@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * langId / quality / token counts are plain integer+string
+  * arithmetic (length/replace/regexp), so each has an exact DuckDB
+  * oracle. Fingerprinting (winnowing) uses xxhash64 rolling k-gram
+  * hashes — engine-specific, so it is spec-verified instead.
+  */
+object TextAnalysis {
+
+  /** Occurrences of `marker` in text, via length arithmetic (exactly
+    * mirrorable in ANSI SQL: (len(t) - len(replace(t, m, ''))) / len(m)). */
+  def occurrences(text: Column, marker: String): Column =
+    ((length(text) - length(replace(text, lit(marker), lit("")))) /
+      marker.length).cast("int")
+
+  /** Per-language marker-word lists (the n-gram-frequency heuristic
+    * structure; markers chosen from the corpus vocabulary so scores
+    * are non-degenerate on the synthetic testdata). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " fast "),
+    "es" -> Seq(" data ", " row ", " value "),
+    "de" -> Seq(" merge ", " sort ", " batch "),
+    "fr" -> Seq(" join ", " filter ", " group "),
+    "zh" -> Seq(" spark ", " hash ", " stream "))
+
+  /** Language-ID: argmax over per-language marker-occurrence scores,
+    * ties broken by language-list order. Adds score_<lang> columns and
+    * `lang_pred`. */
+  def langId(text: Column): (Seq[(String, Column)], Column) = {
+    // pad so boundary words match the ' marker ' form
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores = langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m => occurrences(padded, m)).reduce(_ + _)
+    }
+    // argmax with first-wins tie-break: a CASE that tests languages in
+    // declaration order against the max score
+    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === maxScore, lit(l)).otherwise(acc)
+    }
+    (scores, pred)
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: runs of letters, runs of digits, and single
+    * other non-space chars each count as one token. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Quality score in [0,1]: blends normalized length, mean word
+    * length, and stopword presence. Deterministic double arithmetic,
+    * mirrored in the d9 oracle. */
+  def qualityScore(text: Column): Column = {
+    val nw = wsTokenCount(text).cast("double")
+    val nonSpace = length(replace(text, lit(" "), lit(""))).cast("double")
+    val meanWordLen = when(nw > 0, nonSpace / nw).otherwise(0.0)
+    val stop = occurrences(concat(lit(" "), lower(text), lit(" ")), " the ")
+      .cast("double")
+    val lenScore = least(nw / 100.0, lit(1.0))
+    val wordLenScore = when(meanWordLen.between(3.0, 8.0), 1.0).otherwise(0.5)
+    val stopScore = least(stop / 5.0, lit(1.0))
+    round(lenScore * 0.4 + wordLenScore * 0.4 + stopScore * 0.2, 4)
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): xxhash64
+    * over char k-grams, minimum per sliding window of w, distinct.
+    * Returns an array<long> column. */
+  def fingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val t = lower(text)
+    val n = length(t)
+    val grams = transform(sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => xxhash64(t.substr(i, lit(k))))
+    val mins = when(size(grams) >= w,
+      transform(sequence(lit(1), size(grams) - (w - 1)),
+        j => array_min(slice(grams, j, lit(w)))))
+      .otherwise(array(array_min(grams)))
+    array_distinct(mins)
+  }
+}

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.{AdminEventQuery, EventQuery}
+import graft.model.EventAdapter
+import graft.sources.Tables
+
+/** A-block: the reference's own surface (SURVEY.md §2 A1-A10) —
+  * flattening, the fluent query builders, partitioned ingest layout,
+  * retention, row mapping — exercised over the driver's `events`
+  * table via [[EventAdapter]].
+  */
+object ABlock {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ke(s: SparkSession, d: String): DataFrame =
+    EventAdapter.keycloakEvents(Tables.events(s, d))
+  private def kae(s: SparkSession, d: String): DataFrame =
+    EventAdapter.keycloakAdminEvents(Tables.events(s, d))
+
+  /** WITH-clause prefix shared by all A oracles. */
+  private val withKe = s"WITH ke AS (${EventAdapter.duckdbEventsCte})"
+  private val withKae = s"WITH kae AS (${EventAdapter.duckdbAdminCte})"
+
+  // 2024-01-02T00:00:00Z / 2024-01-04T00:00:00Z as epoch millis —
+  // inside the testdata's time range at every scale factor.
+  private val T0 = 1704153600000L
+  private val T1 = 1704326400000L
+
+  val queries: Map[String, Q] = Map(
+    // A1: user-event flattening (FlatEvent.java:43-55).
+    "a1_flatten_event" -> ((s, d) =>
+      ke(s, d).orderBy(col("time"), col("id"))),
+
+    // A2: admin-event flattening (FlatAdminEvent.java:56-85).
+    "a2_flatten_admin_event" -> ((s, d) =>
+      kae(s, d).orderBy(col("time"), col("id"))),
+
+    // A3: details JSON roundtrip (FlatEvents.java:9-29): parse the
+    // detailsjson map, read a key, re-serialize — proves ser/de is
+    // lossless at the boundary.
+    "a3_details_roundtrip" -> ((s, d) =>
+      ke(s, d)
+        .select(col("id"),
+          get_json_object(col("detailsjson"), "$.k").cast("bigint").as("k"),
+          to_json(map(lit("k"), get_json_object(col("detailsjson"), "$.k").cast("bigint")))
+            .as("reserialized"))
+        .orderBy(col("id").cast("bigint"))),
+
+    // A4: dt/hour partition layout of the ingest path (terraform/
+    // main.tf:84-96) — the partition columns + per-partition counts;
+    // the physical partitioned write is covered by EventStoreSpec.
+    "a4_partitioned_ingest" -> ((s, d) =>
+      ke(s, d)
+        .select(date_format(timestamp_millis(col("time")), "yyyy-MM-dd").as("dt"),
+          (expr("time DIV 3600000") % 24).cast("int").as("hour"))
+        .groupBy(col("dt"), col("hour"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("dt"), col("hour"))),
+
+    // A5: EventQuery filters: type IN + realm/client equality
+    // (AthenaEventQuery.java:161-198).
+    "a5_event_query_filters" -> ((s, d) =>
+      EventQuery(ke(s, d))
+        .types("LOGIN", "ERROR", "CLICK")
+        .realm("realm-1")
+        .client("client-3")
+        .orderByAscTime
+        .toDF),
+
+    // A6: time range + ORDER BY time DESC + LIMIT/OFFSET paging
+    // (AthenaEventQuery.java:136-159).
+    "a6_event_query_paging" -> ((s, d) =>
+      EventQuery(ke(s, d))
+        .fromDate(T0).toDate(T1)
+        .orderByDescTime
+        .firstResult(10)
+        .maxResults(100)
+        .toDF),
+
+    // A7: AdminEventQuery: operation/resourceType IN + auth filters
+    // (AthenaAdminEventQuery.java:185-240).
+    "a7_admin_event_query" -> ((s, d) =>
+      AdminEventQuery(kae(s, d))
+        .operation("CREATE", "UPDATE")
+        .resourceType("USER")
+        .authRealm("realm-0")
+        .orderByAscTime
+        .maxResults(500)
+        .toDF),
+
+    // A8: retention sweep — what survives clearExpiredEvents(olderThan)
+    // (declared no-op in FirehoseEventStoreProvider.java:102-121; we
+    // implement it for real in EventStore, spec-covered; this query
+    // verifies the survivor predicate).
+    "a8_retention_sweep" -> ((s, d) =>
+      ke(s, d)
+        .filter(col("time") >= T1)
+        .groupBy(col("eventtype"))
+        .agg(count(lit(1)).as("n"), min(col("time")).as("min_time"))
+        .orderBy(col("eventtype"))),
+
+    // A9: partition pruning on dt/hour (terraform/main.tf:87-95's
+    // partition projection analog) — predicate on the derived
+    // partition keys; physical pruning shown in EventStoreSpec.
+    "a9_partition_pruning" -> ((s, d) =>
+      ke(s, d)
+        .select(date_format(timestamp_millis(col("time")), "yyyy-MM-dd").as("dt"),
+          (expr("time DIV 3600000") % 24).cast("int").as("hour"),
+          col("eventtype"))
+        .filter(col("dt") === "2024-01-03" && col("hour").between(6, 17))
+        .groupBy(col("hour"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("hour"))),
+
+    // A10: row→Event mapping with blank→null normalization
+    // (AthenaEventQuery.java:207-255).
+    "a10_event_mapping" -> ((s, d) =>
+      EventQuery.normalized(
+        ke(s, d).withColumn("error", coalesce(col("error"), lit(""))))
+        .select(col("id"), col("eventtype"), col("error"), col("time"))
+        .orderBy(col("id").cast("bigint")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_flatten_event" ->
+      s"$withKe SELECT * FROM ke ORDER BY time, id",
+
+    "a2_flatten_admin_event" ->
+      s"$withKae SELECT * FROM kae ORDER BY time, id",
+
+    "a3_details_roundtrip" ->
+      s"""$withKe SELECT id,
+         |  CAST(json_extract_string(detailsjson, '$$.k') AS BIGINT) AS k,
+         |  '{"k":' || json_extract_string(detailsjson, '$$.k') || '}' AS reserialized
+         |FROM ke ORDER BY CAST(id AS BIGINT)""".stripMargin,
+
+    "a4_partitioned_ingest" ->
+      s"""$withKe SELECT strftime(to_timestamp(time / 1000), '%Y-%m-%d') AS dt,
+         |  CAST((time // 3600000) % 24 AS INT) AS hour, count(*) AS n
+         |FROM ke GROUP BY 1, 2 ORDER BY dt, hour""".stripMargin,
+
+    "a5_event_query_filters" ->
+      s"""$withKe SELECT * FROM ke
+         |WHERE eventtype IN ('LOGIN','ERROR','CLICK')
+         |  AND realmid = 'realm-1' AND clientid = 'client-3'
+         |ORDER BY time, id""".stripMargin,
+
+    "a6_event_query_paging" ->
+      s"""$withKe SELECT * FROM ke
+         |WHERE time >= $T0 AND time <= $T1
+         |ORDER BY time DESC, id DESC LIMIT 100 OFFSET 10""".stripMargin,
+
+    "a7_admin_event_query" ->
+      s"""$withKae SELECT * FROM kae
+         |WHERE operationtype IN ('CREATE','UPDATE') AND resourcetype IN ('USER')
+         |  AND authrealmid = 'realm-0'
+         |ORDER BY time, id LIMIT 500""".stripMargin,
+
+    "a8_retention_sweep" ->
+      s"""$withKe SELECT eventtype, count(*) AS n, min(time) AS min_time
+         |FROM ke WHERE time >= $T1
+         |GROUP BY eventtype ORDER BY eventtype""".stripMargin,
+
+    "a9_partition_pruning" ->
+      s"""$withKe SELECT CAST((time // 3600000) % 24 AS INT) AS hour, count(*) AS n
+         |FROM ke
+         |WHERE strftime(to_timestamp(time / 1000), '%Y-%m-%d') = '2024-01-03'
+         |  AND (time // 3600000) % 24 BETWEEN 6 AND 17
+         |GROUP BY 1 ORDER BY hour""".stripMargin,
+
+    "a10_event_mapping" ->
+      s"""$withKe SELECT id, eventtype,
+         |  CASE WHEN trim(coalesce(error, '')) = '' THEN NULL ELSE error END AS error,
+         |  time
+         |FROM ke ORDER BY CAST(id AS BIGINT)""".stripMargin
+  )
+}

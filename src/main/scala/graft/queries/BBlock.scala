@@ -1,0 +1,320 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** B-block: the core analytics capabilities the reference's query
+  * surface rides on (SURVEY.md §2 B1-B12) — what Athena/Presto was
+  * doing for the reference, re-expressed as declarative Spark plans.
+  *
+  * Every query ends in a total ORDER BY (ties broken by key columns)
+  * and rounds float aggregates to 4 decimals, matching its DuckDB
+  * oracle exactly (same aliases, same rounding) so the driver's
+  * hash compare is deterministic.
+  */
+object BBlock {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // B1: filter + projection pushdown — both reach the parquet scan
+    // (PushedFilters + 4-column ReadSchema on an 11-column table).
+    "b1_pushdown_scan" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_quantity") < 5)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_shipdate").cast("date").as("ship_date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // B2: TPC-H Q1 — hash aggregate with partial (map-side) agg.
+    "b2_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // B3: top-k — Catalyst collapses sort+limit to TakeOrderedAndProject.
+    "b3_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("order_date"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // B4: TPC-H Q3 shape — broadcast dim join + shuffle fact join.
+    "b4_join_multiway" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1996-06-30").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .select(col("l_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // B4b: TPC-H Q5 shape — chain of broadcast dims down to region.
+    "b4b_join_region" -> ((s, d) => {
+      val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val nation = Tables.nation(s, d)
+      val cust = Tables.customer(s, d)
+      val supp = Tables.supplier(s, d)
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust.withColumnRenamed("c_nationkey", "cn")),
+          col("o_custkey") === col("c_custkey") && col("cn") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // B5: rank within partition (deterministic: order key includes pk).
+    "b5_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables.part(s, d)
+        .withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("p_brand"), col("rk"), col("p_partkey"), col("p_retailprice"))
+        .orderBy(col("p_brand"), col("rk"), col("p_partkey"))
+    }),
+
+    // B5b: running aggregate per key.
+    "b5b_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 4))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // B6: exact distinct counts (expand-based multi-distinct).
+    "b6_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // B6b: HLL approx distinct — rows-only check (no DuckDB oracle:
+    // sketch estimates are engine-specific); spec asserts <5% error.
+    "b6b_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // B7: EXISTS (left_semi) + NOT EXISTS (left_anti) in one plan.
+    "b7_semi_anti" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+      val urgent = ord.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val low = ord.filter(col("o_orderpriority") === "5-LOW")
+        .select(col("o_custkey"))
+      Tables.customer(s, d)
+        .join(urgent, col("c_custkey") === urgent("o_custkey"), "left_semi")
+        .join(low, col("c_custkey") === low("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // B8: rollup / grouping sets (subtotal rows coalesced to 'ALL' so
+    // null-ordering differences between engines can't bite).
+    "b8_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    // B9: JSON extraction from the props string column (the
+    // detailsjson pattern: FlatEvents.java:9-29 keeps details as JSON).
+    "b9_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+          col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("k"))
+    }),
+
+    // B10: scalar-subquery shape — broadcast the 1-row aggregate.
+    "b10_having_sub" -> ((s, d) => {
+      val supp = Tables.supplier(s, d)
+      val avgBal = supp.agg(avg(col("s_acctbal")).as("avg_bal"))
+      supp.join(broadcast(avgBal))
+        .filter(col("s_acctbal") > col("avg_bal"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // B11: time bucketing (date_trunc) — ns-long ts → µs timestamp
+    // with integer arithmetic only.
+    "b11_time_buckets" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(date_format(
+          date_trunc("hour", timestamp_micros(expr("ts DIV 1000"))),
+          "yyyy-MM-dd HH:00:00").as("bucket_hour"),
+          col("value"))
+        .groupBy(col("bucket_hour"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("bucket_hour"))
+    }),
+
+    // B12: explicit two-phase salted aggregation — the skew pattern
+    // (deterministic salt so the plan is reproducible; at scale the
+    // salt would be hash-based). Result identical to a plain groupBy.
+    "b12_salted_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          (col("event_id") % 16).as("salt"))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(sum(col("value")).as("part_sum"), count(lit(1)).as("part_n"))
+        .groupBy(col("event_type"))
+        .agg(round(sum(col("part_sum")), 4).as("sum_value"),
+          sum(col("part_n")).as("n"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "b1_pushdown_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "b2_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "b3_topk" ->
+      """SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "b4_join_multiway" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-06-30'
+        |  AND l_shipdate > TIMESTAMP '1996-06-30'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "b4b_join_region" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "b5_window_rank" ->
+      """SELECT p_brand, CAST(rk AS INT) AS rk, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+        |  FROM part) t
+        |WHERE rk <= 3
+        |ORDER BY p_brand, rk, p_partkey""".stripMargin,
+
+    "b5b_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "b6_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "b7_semi_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '5-LOW')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "b8_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "b9_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "b10_having_sub" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_acctbal > (SELECT avg(s_acctbal) FROM supplier)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "b11_time_buckets" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket_hour,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket_hour""".stripMargin,
+
+    "b12_salted_agg" ->
+      """SELECT event_type, round(sum(value), 4) AS sum_value, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

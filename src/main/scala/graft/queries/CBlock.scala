@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** C-block: batch-equivalent forms of the streaming pipeline
+  * (SURVEY.md §2 C2-C5). The same logic runs as Structured Streaming
+  * in graft.streaming (spec-covered with MemoryStream); these batch
+  * plans give the driver a DuckDB-checkable correctness surface for
+  * the *semantics* (windowing, sessionization, dedup, burst
+  * detection).
+  *
+  * All event-time arithmetic is integer (ts is long nanoseconds):
+  * µs = ts DIV 1000 in Spark ↔ epoch_us(ts) in DuckDB.
+  */
+object CBlock {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 30-minute session gap, in microseconds. */
+  private val GapUs = 30L * 60 * 1000 * 1000
+  /** 10-minute burst bucket, in microseconds. */
+  private val BucketUs = 10L * 60 * 1000 * 1000
+
+  val queries: Map[String, Q] = Map(
+    // C2: tumbling 1-hour window counts per event_type — the batch
+    // equivalent of the watermarked streaming agg (uses the same
+    // window() expression Structured Streaming uses).
+    "c2_windowed_counts" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(window(timestamp_micros(expr("ts DIV 1000")), "1 hour")
+          .as("w"), col("event_type"), col("value"))
+        .groupBy(col("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:00:00").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // C3: gap-based sessionization — lag + cumulative session index;
+    // the streaming form uses flatMapGroupsWithState (Sessionize spec).
+    "c3_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"))
+        .withColumn("new_session",
+          when(col("us") - lag(col("us"), 1).over(byUser) > GapUs ||
+            lag(col("us"), 1).over(byUser).isNull, lit(1)).otherwise(lit(0)))
+        .withColumn("session_idx", sum(col("new_session")).over(cum))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    // C4: dedup — keep the earliest event per (user_id, event_type);
+    // streaming form is dropDuplicates + watermark (spec-covered).
+    "c4_stream_dedup" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts DIV 1000").as("us"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("us"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // C5: burst detection — 10-minute buckets per user where the
+    // error count crosses the threshold (streaming: windowed agg +
+    // filter, BurstDetect spec).
+    "c5_burst_detect" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .select(col("user_id"),
+          expr(s"(ts DIV 1000) DIV $BucketUs").as("bucket_idx"))
+        .groupBy(col("user_id"), col("bucket_idx"))
+        .agg(count(lit(1)).as("n_errors"))
+        .filter(col("n_errors") >= 2)
+        .select(col("user_id"), (col("bucket_idx") * BucketUs).as("bucket_start_us"),
+          col("n_errors"))
+        .orderBy(col("user_id"), col("bucket_start_us")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "c2_windowed_counts" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "c3_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+         |), flagged AS (
+         |  SELECT user_id, event_id, us,
+         |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > $GapUs
+         |      OR lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+         |      THEN 1 ELSE 0 END AS new_session
+         |  FROM e
+         |), sessions AS (
+         |  SELECT user_id, us,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  FROM flagged
+         |)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |  count(*) AS n_events, min(us) AS start_us, max(us) AS end_us
+         |FROM sessions GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin,
+
+    "c4_stream_dedup" ->
+      """SELECT user_id, event_type, event_id, us FROM (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "c5_burst_detect" ->
+      s"""SELECT user_id, (epoch_us(ts) // $BucketUs) * $BucketUs AS bucket_start_us,
+         |  count(*) AS n_errors
+         |FROM events WHERE event_type = 'error'
+         |GROUP BY user_id, (epoch_us(ts) // $BucketUs)
+         |HAVING count(*) >= 2
+         |ORDER BY user_id, bucket_start_us""".stripMargin
+  )
+}

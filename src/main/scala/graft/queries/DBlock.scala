@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** D-block: LLM-training-data pipeline operators (SURVEY.md §2
+  * D1-D12) over the `documents` / `embeddings` tables.
+  *
+  * SQL-expressible operators (exact dedup, cosine pairs/top-k,
+  * lang-id, quality, token counts, multimodal metadata) carry DuckDB
+  * oracles. Hash-sketch internals (minhash/simhash/LSH/winnowing)
+  * are engine-specific → rows-only driver check + property specs.
+  */
+object DBlock {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // D1: exact dedup via content-hash groupBy (scales as one
+    // shuffle; the hash key is uniform so no skew).
+    "d1_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("content_hash"))),
+
+    // D2: MinHash+LSH near-dup pairs (rows-only + DedupSpec).
+    "d2_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleK = 3, numPerms = 32, bands = 8, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // D3: SimHash near-dup pairs (rows-only + DedupSpec).
+    "d3_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // D4: blocked n-gram Jaccard verification join (rows-only + spec).
+    "d4_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        blockCols = Seq(col("lang"), (col("n_chars") / 100).cast("int")),
+        shingleK = 3, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // D5: embedding cosine near-dup pairs (exact, oracle-checked).
+    "d5_embed_neardup" -> ((s, d) =>
+      Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // D6: brute-force cosine top-k ANN baseline (oracle-checked).
+    "d6_ann_bruteforce" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // D7: LSH-bucketed ANN, the scale path (rows-only + SimilaritySpec
+    // recall check against D6).
+    "d7_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding",
+        k = 10, bits = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // D8: language ID — marker-frequency argmax (oracle-checked).
+    "d8_lang_id" -> ((s, d) => {
+      val (scores, pred) = TextAnalysis.langId(col("text"))
+      Tables.documents(s, d)
+        .select(Seq(col("doc_id")) ++
+          scores.map { case (l, c) => c.as(s"score_$l") } :+
+          pred.as("lang_pred"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // D9: quality scoring (oracle-checked).
+    "d9_quality_score" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_words"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // D10: token counting, whitespace + BPE-ish regex (oracle-checked).
+    "d10_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // D11: winnowing fingerprints (rows-only + TextAnalysisSpec).
+    "d11_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprints(col("text")).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_fp"),
+          array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
+        .orderBy(col("doc_id"))),
+
+    // D12: multimodal metadata over binary payload columns
+    // (oracle-checked; decode stage spec-covered via decodeStub).
+    "d12_multimodal_meta" -> ((s, d) =>
+      Multimodal.metadata(
+        Multimodal.withBinaryPayload(Tables.documents(s, d), "doc_id", "text"))
+        .orderBy(col("doc_id")))
+  )
+
+  /** DuckDB mirror of TextAnalysis.occurrences on padded lower text. */
+  private def occ(marker: String): String =
+    s"CAST((length(pt) - length(replace(pt, '$marker', ''))) / ${marker.length} AS INT)"
+
+  private val langScoreSql: String = TextAnalysis.langMarkers.map {
+    case (lang, ms) =>
+      ms.map(occ).mkString(" + ") + s" AS score_$lang"
+  }.mkString(",\n  ")
+
+  private val langPredSql: String = {
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val maxExpr = s"greatest(${langs.map("score_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN score_$l = $maxExpr THEN '$l'").mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "d5_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "d6_ann_bruteforce" ->
+      """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cos, 4) AS cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 5) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "d8_lang_id" ->
+      s"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pt FROM documents),
+         |s AS (SELECT doc_id,
+         |  $langScoreSql
+         |FROM p)
+         |SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
+         |  $langPredSql AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "d9_quality_score" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+        |    length(replace(text, ' ', '')) AS non_space,
+        |    CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS INT) AS stop_n
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_words,
+        |    CASE WHEN n_words > 0 THEN CAST(non_space AS DOUBLE) / n_words ELSE 0.0 END AS mean_wl,
+        |    CAST(stop_n AS DOUBLE) AS stop_d
+        |  FROM b)
+        |SELECT doc_id, n_words,
+        |  round(least(n_words / 100.0, 1.0) * 0.4 +
+        |    (CASE WHEN mean_wl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+        |    least(stop_d / 5.0, 1.0) * 0.2, 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "d10_token_count" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d12_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  md5(text) AS content_hash,
+        |  CAST(64 + (octet_length(encode(text)) % 16) * 32 AS INT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) % 9) * 32 AS INT) AS height,
+        |  CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
