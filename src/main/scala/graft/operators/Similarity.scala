@@ -63,9 +63,13 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** ANN top-k: corpus bucketed by LSH signature, queries probe their
-    * bucket via equi-join, exact cosine re-rank inside the bucket.
-    * Recall < 1 by construction; spec checks recall vs brute force. */
+  /** ANN top-k: corpus bucketed by LSH signature; each query
+    * multi-probes its own bucket plus every 1-bit-flip neighbor
+    * (bits+1 probes) via equi-join, exact cosine re-rank inside the
+    * probed buckets. Multi-probe expands only the (small) query side
+    * — the corpus keeps exactly one row per vector, so the scan
+    * fraction is ~(bits+1)/2^bits per query. Recall < 1 by
+    * construction; spec checks recall vs brute force. */
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -74,8 +78,13 @@ object Similarity {
       k: Int,
       bits: Int = 8): DataFrame = {
     val sig = signatureExpr(vecCol, bits)
+    val probes = expr(
+      s"""explode(concat(array(sig),
+         |  transform(sequence(0, ${bits - 1}),
+         |    b -> sig ^ shiftleft(cast(1 as bigint), b))))""".stripMargin)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      sig.as("bucket"))
+      sig.as("sig"))
+      .select(col("query_id"), col("qv"), probes.as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       sig.as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))

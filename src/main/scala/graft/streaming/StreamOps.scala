@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators over the event stream (SURVEY.md §2
+  * C2-C5). Each works on a streaming OR batch DataFrame with columns
+  * (userid, eventtype, time[epoch ms], ...) — the streaming specs
+  * drive them with MemoryStream, and CBlock checks the same
+  * semantics in batch form against DuckDB.
+  *
+  * State-size posture for 100 TB/day streams: every operator bounds
+  * state — windowed aggs and dedup by watermark eviction,
+  * sessionization by per-key timeout — so state is O(active keys),
+  * never O(history).
+  */
+object StreamOps {
+
+  /** Watermarked tumbling-window counts per event type (C2). */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", timestamp_millis(col("time")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("eventtype"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("eventtype"), col("n"))
+
+  /** Streaming dedup on event id with watermark-bounded state (C4):
+    * exactly-once landing for an at-least-once delivery stream (the
+    * reference's Firehose retries can duplicate records). */
+  def dedupById(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", timestamp_millis(col("time")))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("id")
+      .drop("ts")
+
+  /** Failed-login burst detector (C5): sliding windows per (realm,
+    * user) counting error events; emits windows crossing `threshold`.
+    */
+  def burstDetect(events: DataFrame, threshold: Long = 3,
+      watermark: String = "30 minutes", windowLen: String = "10 minutes",
+      slide: String = "5 minutes"): DataFrame =
+    events
+      // the watermark advances from error traffic only: Catalyst
+      // pushes this filter below the EventTimeWatermark node, so
+      // windows close when newer *errors* arrive (window emission is
+      // gated on the stream being aggregated, not on total traffic)
+      .filter(col("error").isNotNull)
+      .withColumn("ts", timestamp_millis(col("time")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("realmid"), col("userid"))
+      .agg(count(lit(1)).as("n_errors"))
+      .filter(col("n_errors") >= threshold)
+      .select(col("window.start").as("window_start"), col("realmid"),
+        col("userid"), col("n_errors"))
+
+  /** Input row for sessionization (`ts` is the watermarked event-time
+    * column — it must survive into the grouped Dataset or Spark
+    * rejects the event-time timeout). */
+  case class SessionEvent(userid: String, time: Long, ts: java.sql.Timestamp)
+  /** Mutable per-key state. */
+  case class SessionState(start: Long, end: Long, n: Int)
+  /** Emitted session summary. */
+  case class SessionOut(userid: String, start: Long, end: Long, n_events: Int)
+
+  /** Gap-based sessionization (C3) via flatMapGroupsWithState:
+    * a session closes when no event arrives for `gapMs` (event-time,
+    * watermark-driven timeout). State per active user only.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "30 minutes"): Dataset[SessionOut] = {
+    import spark.implicits._
+
+    def fn(userid: String, rows: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionOut(userid, s.start, s.end, s.n))
+      } else {
+        var out = List.empty[SessionOut]
+        var cur = state.getOption
+        for (e <- rows.toSeq.sortBy(_.time)) {
+          cur match {
+            case Some(s) if e.time - s.end <= gapMs =>
+              cur = Some(s.copy(end = e.time, n = s.n + 1))
+            case Some(s) =>
+              out ::= SessionOut(userid, s.start, s.end, s.n)
+              cur = Some(SessionState(e.time, e.time, 1))
+            case None =>
+              cur = Some(SessionState(e.time, e.time, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // close the session once the watermark passes end + gap
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        out.reverseIterator
+      }
+    }
+
+    events
+      .withColumn("ts", timestamp_millis(col("time")))
+      .withWatermark("ts", watermark)
+      .select(col("userid"), col("time"), col("ts"))
+      .as[SessionEvent]
+      .groupByKey(_.userid)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

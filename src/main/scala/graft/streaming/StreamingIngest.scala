@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming ingest: JSON-lines → typed events →
+  * dt/hour-partitioned parquet.
+  *
+  * Re-expresses the reference's write path
+  * (FirehoseEventStoreProvider.java:123-150: FlatEvent → JSON line →
+  * Firehose; Firehose → Snappy parquet in S3 partitioned dt/hour,
+  * terraform/main.tf:84-96). Here the "delivery stream" is any
+  * streaming Dataset[String] of JSON lines (socket, Kafka, files —
+  * the transform is source-agnostic), and the sink is the same
+  * partitioned layout EventStore uses for batch.
+  */
+object StreamingIngest {
+
+  /** The JSON wire schema: field names follow the reference's
+    * serialized form (FlatEvent.java @JsonProperty: the event type
+    * field is "type" on the wire, "eventtype" as a column). */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("type", StringType),
+    StructField("realmid", StringType),
+    StructField("realmname", StringType),
+    StructField("clientid", StringType),
+    StructField("userid", StringType),
+    StructField("sessionid", StringType),
+    StructField("ipaddress", StringType),
+    StructField("error", StringType),
+    StructField("time", LongType),
+    StructField("detailsjson", StringType)))
+
+  /** Parse a stream (or batch) of JSON lines into the KeycloakEvent
+    * column shape. Malformed lines yield null columns (PERMISSIVE),
+    * mirroring the reference's log-and-continue posture
+    * (FirehoseEventStoreProvider.java:126-131). */
+  def fromJsonLines(lines: Dataset[String]): DataFrame =
+    lines.select(from_json(col("value"), wireSchema).as("e"))
+      .select(
+        col("e.id").as("id"),
+        col("e.type").as("eventtype"),
+        col("e.realmid").as("realmid"),
+        col("e.realmname").as("realmname"),
+        col("e.clientid").as("clientid"),
+        col("e.userid").as("userid"),
+        col("e.sessionid").as("sessionid"),
+        col("e.ipaddress").as("ipaddress"),
+        col("e.error").as("error"),
+        col("e.time").as("time"),
+        col("e.detailsjson").as("detailsjson"))
+
+  /** Serialize KeycloakEvent-shaped rows back to the wire form —
+    * the inverse used to feed the ingest in specs and to re-emit. */
+  def toJsonLines(events: DataFrame): Dataset[String] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(to_json(struct(
+      col("id"), col("eventtype").as("type"), col("realmid"),
+      col("realmname"), col("clientid"), col("userid"), col("sessionid"),
+      col("ipaddress"), col("error"), col("time"), col("detailsjson")))
+      .as("value")).as[String]
+  }
+
+  /** Start the partitioned parquet sink (dt/hour, like EventStore):
+    * the streaming analog of the Firehose delivery stream. */
+  def toPartitionedSink(events: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    events
+      .withColumn("dt", date_format(timestamp_millis(col("time")), "yyyy-MM-dd"))
+      .withColumn("hour", (expr("time DIV 3600000") % 24).cast("int"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("dt", "hour")
+      .start()
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Property checks for the sketch-based dedup operators (the parts no
+  * SQL oracle can express): planted duplicates must be found, and
+  * non-duplicates must not drown them out.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs() = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the deep green forest tonight"
+    val nearDup = base.replace("tonight", "today") // 1-word change
+    val other = "completely different content about spark clusters shuffling massive parquet files across executor nodes"
+    Seq(
+      (0L, base), (1L, nearDup), (2L, other),
+      (3L, base), // exact dup of 0
+      (4L, "tiny doc"), (5L, other.replace("massive", "huge"))
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val res = Dedup.exact(docs(), "doc_id", "text")
+    val dupGroups = res.filter(res("n_copies") > 1).collect()
+    assert(dupGroups.length == 1)
+    assert(dupGroups.head.getAs[Long]("keeper_id") == 0L)
+    assert(dupGroups.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH finds planted near-dups, not unrelated pairs") {
+    val pairs = Dedup.minhashPairs(docs(), "doc_id", "text",
+      shingleK = 3, numPerms = 32, bands = 8, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    assert(pairs.contains((0L, 1L)), s"missed near-dup, got $pairs")
+    assert(pairs.contains((0L, 3L)), s"missed exact dup, got $pairs")
+    assert(pairs.contains((2L, 5L)), s"missed near-dup, got $pairs")
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) },
+      s"tiny unrelated doc paired: $pairs")
+  }
+
+  test("simhash: identical texts 0 distance, near-dups close, unrelated far") {
+    import spark.implicits._
+    // simhash needs long documents: a near-dup means a *proportionally*
+    // small edit, so plant one word changed out of ~100
+    val long0 = Seq.fill(5)(
+      "the quick brown fox jumps over the lazy dog and runs far away into the deep green forest tonight").mkString(" ")
+    val longDocs = Seq(
+      (0L, long0),
+      (1L, long0.replaceFirst("tonight", "today")),
+      (2L, Seq.fill(5)("completely different content about spark clusters shuffling massive parquet files across executor nodes").mkString(" ")),
+      (3L, long0)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(longDocs, "doc_id", "text", maxDist = 16)
+      .collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Int]("hamming"))).toMap
+    assert(pairs((0L, 3L)) == 0, s"exact dup hamming != 0: $pairs")
+    assert(pairs.get((0L, 1L)).exists(_ <= 16), s"near-dup too far: $pairs")
+    assert(!pairs.contains((0L, 2L)), s"unrelated pair matched: $pairs")
+  }
+
+  test("ngram jaccard verification join scores planted pairs high") {
+    import org.apache.spark.sql.functions._
+    val withBlock = docs().withColumn("blk", lit(1))
+    val pairs = Dedup.ngramJaccardPairs(withBlock, "doc_id", "text",
+      blockCols = Seq(col("blk")), shingleK = 3, threshold = 0.5)
+      .collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((0L, 3L)) == 1.0)
+    assert(pairs((0L, 1L)) > 0.7)
+    assert(!pairs.contains((0L, 2L)))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.EventAdapter
+import graft.sources.{EventStore, Tables}
+
+/** Partitioned write/read, planning-time partition pruning, and the
+  * partition-pruned retention sweep. */
+class EventStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshStore(): String = {
+    val dir = Files.createTempDirectory("graft_store_").toString
+    val ke = EventAdapter.keycloakEvents(Tables.events(spark, TestSpark.sf))
+    EventStore.write(ke, dir)
+    dir
+  }
+
+  test("write lands hive-partitioned dt/hour and reads back complete") {
+    val dir = freshStore()
+    val back = EventStore.read(spark, dir)
+    val n = Tables.events(spark, TestSpark.sf).count()
+    assert(back.count() == n)
+    assert(back.columns.contains("dt") && back.columns.contains("hour"))
+    val dtDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    assert(dtDirs.nonEmpty && dtDirs.forall(_.getName.startsWith("dt=")))
+    assert(dtDirs.head.listFiles().exists(_.getName.startsWith("hour=")))
+  }
+
+  test("dt/hour predicates prune partitions at planning time") {
+    import org.apache.spark.sql.functions._
+    val dir = freshStore()
+    val q = EventStore.read(spark, dir)
+      .filter(col("dt") === "2024-01-02" && col("hour") === 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    // pruned scan must touch only the one matching partition
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanned.contains("dt=2024-01-02") || plan.contains("dt#"),
+      "partition filter not pushed")
+    assert(q.count() ==
+      EventStore.read(spark, dir)
+        .filter(col("dt") === "2024-01-02" && col("hour") === 5).count())
+  }
+
+  test("clearExpired drops whole old partitions and rewrites the boundary hour") {
+    import org.apache.spark.sql.functions._
+    val dir = freshStore()
+    val all = EventStore.read(spark, dir).cache()
+    val minT = all.agg(min(col("time"))).head.getLong(0)
+    // cutoff mid-hour, ~26h after the first event → whole partitions
+    // below, one boundary hour rewritten
+    val cutoff = ((minT / 3600000L) + 26) * 3600000L + 1800000L
+    val expectedSurvivors = all.filter(col("time") >= cutoff).count()
+    // whole partitions dropped = hour buckets entirely before the cutoff
+    // that actually contain data (sparse hours have no directory)
+    val expectedDropped = all
+      .select(expr("time DIV 3600000").as("hs")).distinct()
+      .filter((col("hs") + 1) * 3600000L <= cutoff).count()
+    all.unpersist()
+
+    val dropped = EventStore.clearExpired(spark, dir, cutoff)
+    assert(dropped == expectedDropped,
+      s"expected $expectedDropped whole partitions dropped, got $dropped")
+    val after = EventStore.read(spark, dir)
+    assert(after.count() == expectedSurvivors)
+    assert(after.agg(min(col("time"))).head.getLong(0) >= cutoff)
+  }
+}

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.EventAdapter
+import graft.sources.Tables
+import graft.streaming.{StreamOps, StreamingIngest}
+
+/** Structured-Streaming paths driven with MemoryStream: JSON-lines
+  * ingest → partitioned sink, windowed aggregation, dedup,
+  * sessionization, burst detection. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** First 200 events as reference-wire JSON lines. */
+  private def jsonLines(): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val ke = EventAdapter.keycloakEvents(Tables.events(spark, TestSpark.sf))
+      .orderBy(col("time"), col("id")).limit(200)
+    StreamingIngest.toJsonLines(ke).collect().toSeq
+  }
+
+  test("json-lines ingest → typed columns → dt/hour partitioned sink") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val parsed = StreamingIngest.fromJsonLines(input.toDS())
+    val out = Files.createTempDirectory("graft_stream_out_").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt_").toString
+    val q = StreamingIngest.toPartitionedSink(parsed, out, ckpt)
+    try {
+      val lines = jsonLines()
+      input.addData(lines)
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out)
+      assert(landed.count() == lines.size)
+      assert(landed.columns.toSet.contains("eventtype"))
+      val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+        .filterNot(_.getName.startsWith("_")) // _spark_metadata
+      assert(dirs.nonEmpty && dirs.forall(_.getName.startsWith("dt=")))
+
+      // retention must work on a store with a streaming metadata log:
+      // readers would otherwise consult the stale _spark_metadata and
+      // crash on deleted files
+      import org.apache.spark.sql.functions._
+      val minT = landed.agg(min(col("time"))).head.getLong(0)
+      graft.sources.EventStore.clearExpired(spark, out, minT + 3600000L)
+      val after = spark.read.parquet(out)
+      assert(after.count() < lines.size)
+      assert(after.agg(min(col("time"))).head.getLong(0) >= minT + 3600000L)
+    } finally q.stop()
+  }
+
+  test("windowed counts aggregate per hour and event type") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val counts = StreamOps.windowedCounts(
+      StreamingIngest.fromJsonLines(input.toDS()))
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("wc").start()
+    try {
+      input.addData(jsonLines())
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+      assert(rows.nonEmpty)
+      assert(rows.map(_.getAs[Long]("n")).sum == 200L)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops replayed event ids") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val deduped = StreamOps.dedupById(
+      StreamingIngest.fromJsonLines(input.toDS()))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dd").start()
+    try {
+      val lines = jsonLines()
+      input.addData(lines)       // original delivery
+      input.addData(lines.take(50)) // at-least-once replay
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == lines.size)
+    } finally q.stop()
+  }
+
+  test("burst detector flags users with repeated errors in a window") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val bursts = StreamOps.burstDetect(
+      StreamingIngest.fromJsonLines(input.toDS()), threshold = 3)
+    val q = bursts.writeStream.outputMode("append")
+      .format("memory").queryName("bd").start()
+    try {
+      // craft a burst: one user, 4 errors inside 10 minutes
+      val t0 = 1704067200000L
+      val burst = (0 until 4).map { i =>
+        s"""{"id":"burst-$i","type":"ERROR","realmid":"realm-9","userid":"user-x","ipaddress":"10.0.0.1","error":"invalid_user_credentials","time":${t0 + i * 60000},"detailsjson":"{}"}"""
+      }
+      // later errors (different user, below threshold) advance the
+      // watermark — it only moves on rows surviving the error filter;
+      // extra batches because append-mode emits one microbatch after
+      // the watermark passes the window end
+      def tick(i: Int, t: Long) =
+        s"""{"id":"tick-$i","type":"ERROR","realmid":"realm-9","userid":"user-y","error":"invalid_user_credentials","time":$t,"detailsjson":"{}"}"""
+      input.addData(burst)
+      q.processAllAvailable()
+      input.addData(Seq(tick(1, t0 + 3 * 3600000L)))
+      q.processAllAvailable()
+      input.addData(Seq(tick(2, t0 + 4 * 3600000L)))
+      q.processAllAvailable()
+      val rows = spark.table("bd").collect()
+      assert(rows.nonEmpty, "burst not detected")
+      assert(rows.forall(_.getAs[String]("userid") == "user-x"))
+      assert(rows.forall(_.getAs[Long]("n_errors") >= 3L))
+    } finally q.stop()
+  }
+
+  test("sessionization closes sessions after the gap and counts events") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val sessions = StreamOps.sessionize(spark,
+      StreamingIngest.fromJsonLines(input.toDS()), gapMs = 30 * 60 * 1000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("ss").start()
+    try {
+      val t0 = 1704067200000L
+      def ev(id: String, user: String, t: Long) =
+        s"""{"id":"$id","type":"CLICK","realmid":"r","userid":"$user","time":$t,"detailsjson":"{}"}"""
+      // user-a: 3 events in one session, then a second session 2h later
+      input.addData(Seq(
+        ev("a1", "user-a", t0),
+        ev("a2", "user-a", t0 + 60000),
+        ev("a3", "user-a", t0 + 120000),
+        ev("b1", "user-b", t0)))
+      q.processAllAvailable()
+      input.addData(Seq(ev("a4", "user-a", t0 + 2 * 3600000L)))
+      q.processAllAvailable()
+      // far-future events push the watermark past every gap; timeouts
+      // fire in the batch after the watermark advances
+      input.addData(Seq(ev("z1", "user-z", t0 + 12 * 3600000L)))
+      q.processAllAvailable()
+      input.addData(Seq(ev("z2", "user-z", t0 + 13 * 3600000L)))
+      q.processAllAvailable()
+      val rows = spark.table("ss").collect()
+        .map(r => (r.getAs[String]("userid"), r.getAs[Int]("n_events")))
+      assert(rows.contains(("user-a", 3)), s"got ${rows.toSeq}")
+      assert(rows.contains(("user-a", 1)), s"got ${rows.toSeq}")
+      assert(rows.contains(("user-b", 1)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+}

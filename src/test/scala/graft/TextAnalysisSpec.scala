@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, TextAnalysis}
+
+/** Winnowing fingerprints + multimodal decode-stub plumbing (the
+  * pieces without SQL oracles). */
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("fingerprints overlap heavily for near-dup texts, little for unrelated") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the forest"
+    val df = Seq(
+      (0L, base),
+      (1L, base.replace("forest", "meadow")),
+      (2L, "entirely unrelated text talking about database query planners and storage")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.fingerprints(col("text")).as("fp"))
+    val fps = df.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
+    def overlap(a: Set[Long], b: Set[Long]) =
+      (a intersect b).size.toDouble / (a union b).size
+    assert(overlap(fps(0L), fps(1L)) > 0.6)
+    assert(overlap(fps(0L), fps(2L)) < 0.1)
+    // deterministic across evaluations
+    val again = df.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
+    assert(again == fps)
+  }
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "hello world, it's 42 degrees!"), (2L, ""), (3L, "  one  "))
+      .toDF("id", "text")
+      .select(col("id"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe"))
+    val m = df.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(m(1L)._1 == 5)
+    // hello|world|,|it|'|s|42|degrees|! = 9
+    assert(m(1L)._2 == 9)
+    assert(m(2L) == ((0, 0)))
+    assert(m(3L)._1 == 1)
+  }
+
+  test("multimodal decode stub preserves rows and emits deterministic dims") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((0L, "abc"), (1L, "defg"), (2L, "hi")).toDF("doc_id", "text")
+    val media = Multimodal.withBinaryPayload(docs, "doc_id", "text")
+    val feats = Multimodal.decodeStub(spark,
+      media.as[Multimodal.MediaRow]).collect().sortBy(_.doc_id)
+    assert(feats.length == 3)
+    assert(feats(0).byte_len == 3 && feats(1).byte_len == 4)
+    assert(feats.forall(f => f.width >= 64 && f.height >= 64))
+    assert(feats(1).media_type == "audio" && feats(1).channels == 1)
+    // deterministic: second run identical
+    val again = Multimodal.decodeStub(spark,
+      media.as[Multimodal.MediaRow]).collect().sortBy(_.doc_id)
+    assert(again.toSeq == feats.toSeq)
+  }
+}
