@@ -1,57 +1,53 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-/** End-to-end drive of the library surface, as a user would compose
-  * it: JSON-lines stream → partitioned store → fluent query →
-  * retention sweep. Scratch main, not part of the driver contract. */
+/** Edge-case probe for the vector expression path (scratch main). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    import graft.api._
-    import graft.model.EventAdapter
-    import graft.sources.{EventStore, Tables}
-    import graft.streaming._
+    import graft.functions.VectorFunctions._
 
-    val store = java.nio.file.Files.createTempDirectory("e2e_store_").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("e2e_ckpt_").toString
+    // mismatched lengths, nulls inside arrays, empty arrays
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),   // 32
+      (2L, Array(1.0f, 2.0f), Array(4.0f, 5.0f, 6.0f)),          // 14 (shorter wins)
+      (3L, Array.empty[Float], Array(1.0f))                       // 0
+    ).toDF("id", "a", "b")
+    df.select(col("id"), vecDot(col("a"), col("b")).as("dot")).show()
 
-    // 1. stream reference-wire JSON lines into the dt/hour store
-    val ke = EventAdapter.keycloakEvents(Tables.events(spark, "/root/testdata/sf0.001"))
-    val lines = StreamingIngest.toJsonLines(ke).collect().toSeq
-    val input = MemoryStream[String](spark)
-    val sink = StreamingIngest.toPartitionedSink(
-      StreamingIngest.fromJsonLines(input.toDS()), store, ckpt)
-    input.addData(lines)
-    sink.processAllAvailable()
-    sink.stop()
-    println(s"[e2e] landed=${spark.read.parquet(store).count()} of ${lines.size}")
+    val withNull = Seq((4L, Array[java.lang.Float](1.0f, null, 3.0f),
+      Array[java.lang.Float](1.0f, 1.0f, 1.0f))).toDF("id", "a", "b")
+    withNull.select(col("id"), vecDot(col("a"), col("b")).as("dot")).show()
 
-    // 2. query the store through the fluent builder
-    val q = EventQuery(EventStore.read(spark, store))
-      .types("ERROR").realm("realm-1")
-      .orderByAscTime.maxResults(5)
-    val hits = q.results(spark).collect()
-    println(s"[e2e] query hits=${hits.length} first=${hits.headOption.map(e => (e.id, e.eventtype, e.realmid, e.error))}")
-    println("[e2e] plan: " + q.toDF.queryExecution.executedPlan.toString
-      .linesIterator.find(_.contains("PushedFilters")).getOrElse("NO PUSHDOWN"))
+    // null array → expression is null-safe → null out
+    val nullArr = Seq((5L, Option.empty[Array[Float]], Some(Array(1.0f))))
+      .toDF("id", "a", "b")
+    nullArr.select(col("id"), vecDot(col("a"), col("b")).as("dot")).show()
 
-    // 3. retention: clear everything older than min+24h
-    val minT = spark.read.parquet(store).agg(min(col("time"))).head.getLong(0)
-    val cutoff = minT + 24 * 3600000L
-    val before = spark.read.parquet(store).count()
-    val dropped = EventStore.clearExpired(spark, store, cutoff)
-    val after = spark.read.parquet(store).count()
-    val oldest = spark.read.parquet(store).agg(min(col("time"))).head.getLong(0)
-    println(s"[e2e] retention: before=$before after=$after droppedParts=$dropped oldestOk=${oldest >= cutoff}")
+    // wrong type must fail analysis, not crash at runtime
+    try {
+      Seq((1L, Array(1.0, 2.0), Array(1.0, 2.0))).toDF("id", "a", "b")
+        .select(vecDot(col("a"), col("b"))).collect()
+      println("PROBE-FAIL: double arrays accepted")
+    } catch {
+      case e: Exception => println("typecheck rejects double arrays: " +
+        e.getMessage.linesIterator.next())
+    }
+
+    // confirm codegen engages (no fallback warnings): big-ish compute
+    val n = 20000
+    val vecs = spark.range(n).select(col("id"),
+      expr("transform(sequence(0, 63), j -> cast(rand(42) as float))").as("v"))
+    val t0 = System.nanoTime()
+    val s = vecs.select(sum(vecDot(col("v"), col("v")))).head.getDouble(0)
+    println(f"codegen path: $n self-dots in ${(System.nanoTime() - t0) / 1e6}%.0f ms (sum=$s%.1f)")
     spark.stop()
   }
 }

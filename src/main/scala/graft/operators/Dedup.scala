@@ -23,14 +23,25 @@ object Dedup {
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Word k-shingles as strings; documents shorter than k words get
-    * their whole text as a single shingle. */
-  def shingles(text: Column, k: Int): Column = {
-    val w = tokens(text)
-    when(size(w) >= k,
-      transform(sequence(lit(1), size(w) - (k - 1)),
-        i => concat_ws(" ", slice(w, i, lit(k)))))
-      .otherwise(array(concat_ws(" ", w)))
+  /** Adds `out` = distinct word k-shingles of `textCol`; documents
+    * shorter than k words get their whole text as a single shingle.
+    *
+    * Two-stage (tokens materialized as a column first): a lambda that
+    * references the token-array *expression* re-splits the text per
+    * shingle iteration — higher-order functions are interpreted with
+    * no subexpression elimination, so that is O(words²) per document.
+    * A bound attribute makes it O(words·k).
+    */
+  def withShingles(df: DataFrame, textCol: String, k: Int,
+      out: String = "sh"): DataFrame = {
+    val w = col("__graft_words")
+    df.withColumn("__graft_words", tokens(col(textCol)))
+      .withColumn(out, array_distinct(
+        when(size(w) >= k,
+          transform(sequence(lit(1), size(w) - (k - 1)),
+            i => concat_ws(" ", slice(w, i, lit(k)))))
+          .otherwise(array(concat_ws(" ", w)))))
+      .drop("__graft_words")
   }
 
   /** Exact dedup: group by content hash, keep the smallest id.
@@ -64,9 +75,9 @@ object Dedup {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val r = numPerms / bands
 
-    val withSets = docs.select(
-      col(idCol).as("doc_id"),
-      array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+    val withSets = withShingles(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__graft_text")),
+      "__graft_text", shingleK, "sh").drop("__graft_text")
     val withSig = withSets.withColumn("sig", minhashSignature(col("sh"), numPerms))
 
     // one row per (doc, band); band hash = xxhash64 over the band's
@@ -158,9 +169,10 @@ object Dedup {
       blockCols: Seq[Column],
       shingleK: Int = 3,
       threshold: Double = 0.2): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
-      array_distinct(shingles(col(textCol), shingleK)).as("sh"),
-      struct(blockCols: _*).as("block"))
+    val base = withShingles(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__graft_text"),
+        struct(blockCols: _*).as("block")),
+      "__graft_text", shingleK, "sh").drop("__graft_text")
     val a = base.select(col("block"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = base.select(col("block"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("block"))

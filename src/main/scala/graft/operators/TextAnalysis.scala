@@ -74,16 +74,29 @@ object TextAnalysis {
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): xxhash64
     * over char k-grams, minimum per sliding window of w, distinct.
-    * Returns an array<long> column. */
-  def fingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val t = lower(text)
-    val n = length(t)
-    val grams = transform(sequence(lit(1), greatest(n - (k - 1), lit(1))),
+    * Adds an array<long> column `out`.
+    *
+    * Two-stage on purpose: higher-order functions are interpreted
+    * (no codegen, no common-subexpression elimination), so a lambda
+    * that references the gram-array *expression* re-evaluates every
+    * gram hash per window iteration — O(n²) per document (measured:
+    * minutes per 5k docs). Materializing the grams as a real column
+    * first makes the lambda read a bound attribute: O(n·w).
+    * CollapseProject keeps the stages separate because the attribute
+    * is referenced more than once and the expression is non-cheap.
+    */
+  def withFingerprints(df: DataFrame, textCol: String, out: String = "fp",
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val t = lower(col(textCol))
+    val grams = transform(sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
       i => xxhash64(t.substr(i, lit(k))))
-    val mins = when(size(grams) >= w,
-      transform(sequence(lit(1), size(grams) - (w - 1)),
-        j => array_min(slice(grams, j, lit(w)))))
-      .otherwise(array(array_min(grams)))
-    array_distinct(mins)
+    val g = col("__graft_grams")
+    df.withColumn("__graft_grams", grams)
+      .withColumn(out, array_distinct(
+        when(size(g) >= w,
+          transform(sequence(lit(1), size(g) - (w - 1)),
+            j => array_min(slice(g, j, lit(w)))))
+          .otherwise(array(array_min(g)))))
+      .drop("__graft_grams")
   }
 }

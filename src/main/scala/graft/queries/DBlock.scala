@@ -101,9 +101,8 @@ object DBlock {
 
     // D11: winnowing fingerprints (rows-only + TextAnalysisSpec).
     "d11_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          TextAnalysis.fingerprints(col("text")).as("fp"))
+      TextAnalysis.withFingerprints(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
         .select(col("doc_id"), size(col("fp")).as("n_fp"),
           array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
         .orderBy(col("doc_id"))),

@@ -13,12 +13,11 @@ class TextAnalysisSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val base = "the quick brown fox jumps over the lazy dog and runs far away into the forest"
-    val df = Seq(
+    val df = TextAnalysis.withFingerprints(Seq(
       (0L, base),
       (1L, base.replace("forest", "meadow")),
       (2L, "entirely unrelated text talking about database query planners and storage")
-    ).toDF("doc_id", "text")
-      .select(col("doc_id"), TextAnalysis.fingerprints(col("text")).as("fp"))
+    ).toDF("doc_id", "text"), "text").select(col("doc_id"), col("fp"))
     val fps = df.collect().map(r =>
       r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
     def overlap(a: Set[Long], b: Set[Long]) =
