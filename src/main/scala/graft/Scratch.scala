@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Edge-case probe for the vector expression path (scratch main). */
+/** Edge-case probe for the sketch expressions (scratch main). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -12,42 +12,51 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    import graft.functions.VectorFunctions._
+    import graft.functions.SketchFunctions._
+    import graft.operators.Dedup
 
-    // mismatched lengths, nulls inside arrays, empty arrays
-    val df = Seq(
-      (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),   // 32
-      (2L, Array(1.0f, 2.0f), Array(4.0f, 5.0f, 6.0f)),          // 14 (shorter wins)
-      (3L, Array.empty[Float], Array(1.0f))                       // 0
+    // winnow: empty text, 1-char text, unicode, long ascii
+    Seq((1L, ""), (2L, "a"), (3L, "héllo wörld ünïcode tëxt here we go"),
+      (4L, "x" * 500))
+      .toDF("id", "t")
+      .select(col("id"), size(winnow(col("t"), 8, 4)).as("n_fp"))
+      .show()
+
+    // jaccard: empty vs empty (0/0 guard), disjoint, identical
+    Seq(
+      (1L, Seq.empty[Long], Seq.empty[Long]),
+      (2L, Seq(1L, 2L), Seq(3L, 4L)),
+      (3L, Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (4L, Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L))
     ).toDF("id", "a", "b")
-    df.select(col("id"), vecDot(col("a"), col("b")).as("dot")).show()
+      .select(col("id"), jaccardSorted(col("a"), col("b")).as("j"))
+      .show()
 
-    val withNull = Seq((4L, Array[java.lang.Float](1.0f, null, 3.0f),
-      Array[java.lang.Float](1.0f, 1.0f, 1.0f))).toDF("id", "a", "b")
-    withNull.select(col("id"), vecDot(col("a"), col("b")).as("dot")).show()
+    // simhash/minhash on empty token arrays
+    Seq((1L, Seq.empty[String]), (2L, Seq("hello", "world")))
+      .toDF("id", "toks")
+      .select(col("id"), simhash64(col("toks")).as("sim"),
+        size(minhash64(col("toks"), 8)).as("n_sig"))
+      .show()
 
-    // null array → expression is null-safe → null out
-    val nullArr = Seq((5L, Option.empty[Array[Float]], Some(Array(1.0f))))
-      .toDF("id", "a", "b")
-    nullArr.select(col("id"), vecDot(col("a"), col("b")).as("dot")).show()
-
-    // wrong type must fail analysis, not crash at runtime
+    // type rejection
     try {
-      Seq((1L, Array(1.0, 2.0), Array(1.0, 2.0))).toDF("id", "a", "b")
-        .select(vecDot(col("a"), col("b"))).collect()
-      println("PROBE-FAIL: double arrays accepted")
+      Seq((1L, Seq(1, 2))).toDF("id", "a")
+        .select(simhash64(col("a"))).collect()
+      println("PROBE-FAIL: int array accepted")
     } catch {
-      case e: Exception => println("typecheck rejects double arrays: " +
-        e.getMessage.linesIterator.next())
+      case e: Exception =>
+        println("typecheck: " + e.getMessage.linesIterator.next())
     }
 
-    // confirm codegen engages (no fallback warnings): big-ish compute
-    val n = 20000
-    val vecs = spark.range(n).select(col("id"),
-      expr("transform(sequence(0, 63), j -> cast(rand(42) as float))").as("v"))
-    val t0 = System.nanoTime()
-    val s = vecs.select(sum(vecDot(col("v"), col("v")))).head.getDouble(0)
-    println(f"codegen path: $n self-dots in ${(System.nanoTime() - t0) / 1e6}%.0f ms (sum=$s%.1f)")
+    // dedup end-to-end on a unicode + duplicate corpus
+    val docs = Seq(
+      (0L, "héllo wörld this is ä ünïcode document with enough words to shingle"),
+      (1L, "héllo wörld this is ä ünïcode document with enough words to shinglé"),
+      (2L, "completely unrelated engineering text about distributed query engines")
+    ).toDF("doc_id", "text")
+    Dedup.minhashPairs(docs, "doc_id", "text", numPerms = 32, bands = 16,
+      threshold = 0.5).show()
     spark.stop()
   }
 }

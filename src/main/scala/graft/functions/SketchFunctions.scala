@@ -1,0 +1,211 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-sketch hot paths.
+  *
+  * The built-in route — nested `transform`/`aggregate`/`zip_with`
+  * lambdas — is evaluated interpreted, per element, with no
+  * subexpression elimination; profiled at sf0.1 it dominated the
+  * dedup/fingerprint operators. These expressions do the same work
+  * as single tight JVM loops over the unsafe array data (hashing via
+  * the same XXH64 used by Spark's `xxhash64`). They are
+  * engine-specific sketches (rows-only correctness surface +
+  * property specs), so exact parity with a SQL oracle is not
+  * required — but SimHash64 is bit-identical to the previous HOF
+  * formulation by construction.
+  */
+object SketchFunctions {
+  private def ub(e: Expression): Column = Bridge.column(e)
+  private def x(c: Column): Expression = Bridge.expression(c)
+
+  /** 64-bit SimHash of an array<string> token column. */
+  def simhash64(tokens: Column): Column = ub(SimHash64(x(tokens)))
+
+  /** MinHash signature (array<long>, `numPerms` seeded permutations)
+    * of an array<string> shingle column. */
+  def minhash64(shingles: Column, numPerms: Int): Column =
+    ub(MinHash64(x(shingles), numPerms))
+
+  /** Winnowing fingerprints (array<long>, ascending distinct) of a
+    * string column: char k-gram rolling hashes, min per window of w. */
+  def winnow(text: Column, k: Int, w: Int): Column = ub(Winnow(x(text), k, w))
+
+  /** Jaccard similarity of two SORTED distinct array<long> columns
+    * (single merge pass). */
+  def jaccardSorted(a: Column, b: Column): Column =
+    ub(JaccardSortedLong(x(a), x(b)))
+}
+
+/** SimHash: per bit, sum +1/-1 votes from each token's xxhash64 bit,
+  * then take signs. Same bits as the HOF formulation (seed 42, bit b
+  * = (h >>> b) & 1). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"SimHash64 requires array<string>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** MinHash signature: permutation p's hash of shingle s is XXH64 with
+  * seed p; the signature element is the min over shingles. */
+case class MinHash64(child: Expression, numPerms: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"MinHash64 requires array<string>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var p = 0
+        while (p < numPerms) {
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, p.toLong)
+          if (h < sig(p)) sig(p) = h
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Winnowing (Schleimer et al., SIGMOD'03): xxhash64 of each
+  * lowercased char k-gram, minimum per sliding window of w, distinct,
+  * ascending. Single O(n·w) pass per document (w is small). */
+case class Winnow(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"Winnow requires string, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toLowerCase
+    val bytes = text.getBytes // UTF-8; k-grams are byte-grams
+    val nGrams = math.max(bytes.length - k + 1, 1)
+    val grams = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val len = math.min(k, bytes.length - i)
+      grams(i) = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i, len, 42L)
+      i += 1
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (nGrams <= w) {
+      var m = Long.MaxValue
+      var j = 0
+      while (j < nGrams) { if (grams(j) < m) m = grams(j); j += 1 }
+      out.add(m)
+    } else {
+      var j = 0
+      while (j <= nGrams - w) {
+        var m = Long.MaxValue
+        var t = j
+        while (t < j + w) { if (grams(t) < m) m = grams(t); t += 1 }
+        out.add(m)
+        j += 1
+      }
+    }
+    val res = new Array[Long](out.size())
+    val it = out.iterator()
+    var r = 0
+    while (it.hasNext) { res(r) = it.next(); r += 1 }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Jaccard of two sorted distinct long arrays via one merge pass —
+  * O(|a|+|b|) with no per-element boxing (vs interpreted
+  * array_intersect + array_union). */
+case class JaccardSortedLong(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"JaccardSortedLong requires array<long>, got ${l.simpleString} / ${r.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    if (nx == 0 && ny == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    inter.toDouble / (nx.toLong + ny - inter)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}

@@ -3,20 +3,22 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.SketchFunctions
+
 /** Deduplication operators for large-scale text corpora.
   *
-  * All variants are built from codegen'd `functions._` primitives
-  * (xxhash64 / transform / aggregate / zip_with / explode) — no Scala
-  * UDFs — and all candidate generation is *equi-join keyed* (hash
-  * bucket, LSH band, simhash chunk) so the shuffle scales linearly in
-  * corpus size: no O(n²) comparison ever happens except inside a
-  * bucket.
+  * Sketches (minhash/simhash/winnow) are native Catalyst expressions
+  * (graft.functions.SketchFunctions) — single tight loops per row,
+  * not interpreted per-element lambdas. Candidate generation is
+  * always *equi-join keyed* (hash bucket, LSH band, simhash chunk) so
+  * the shuffle scales linearly in corpus size: no O(n²) comparison
+  * ever happens except inside a bucket.
   *
-  * Scale posture (100 TB): the explode(bands) × shuffle-join pattern
-  * is the standard MinHash-LSH layout — candidate volume is bounded
-  * by band collisions, verified pairs by a second equi-keyed join on
-  * doc ids. Skewed buckets (e.g. boilerplate dups) are handled by
-  * AQE skew-join splitting.
+  * Scale posture (100 TB): the explode(bands) → band-join stage
+  * carries only (band key, doc id) — candidate pairs then re-join
+  * the shingle sets by id, so the wide array payload crosses the
+  * network once per doc, not once per band. Skewed buckets (e.g.
+  * boilerplate dups) are handled by AQE skew-join splitting.
   */
 object Dedup {
 
@@ -44,23 +46,23 @@ object Dedup {
       .drop("__graft_words")
   }
 
+  /** Sorted distinct xxhash64 of a string-array column — the compact
+    * set representation the Jaccard merge-join verifies against. */
+  private def hashedSet(sh: Column): Column =
+    sort_array(array_distinct(transform(sh, s => xxhash64(s))))
+
   /** Exact dedup: group by content hash, keep the smallest id.
     * Returns (content_hash, keeper_id, n_copies). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: `numPerms` permutations simulated as seeded
-    * xxhash64 over the shingle set (min over shingles per seed). */
-  def minhashSignature(shinglesCol: Column, numPerms: Int): Column =
-    transform(sequence(lit(0), lit(numPerms - 1)),
-      p => array_min(transform(shinglesCol, sh => xxhash64(p, sh))))
-
   /** MinHash + LSH near-dup pairs.
     *
     * shingle → minhash(numPerms) → band (bands × rowsPerBand) →
-    * equi-join on (band_id, band_hash) → verify true Jaccard on the
-    * distinct-shingle sets → pairs with jaccard >= threshold.
+    * equi-join on (band_id, band_hash) over (key, id) rows only →
+    * candidate id pairs → re-join hashed shingle sets by id → true
+    * Jaccard via a sorted-merge expression → pairs >= threshold.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, each pair once.
     */
@@ -77,52 +79,40 @@ object Dedup {
 
     val withSets = withShingles(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("__graft_text")),
-      "__graft_text", shingleK, "sh").drop("__graft_text")
-    val withSig = withSets.withColumn("sig", minhashSignature(col("sh"), numPerms))
+      "__graft_text", shingleK, "sh")
+      .select(col("doc_id"), col("sh"))
+    val withSig = withSets
+      .withColumn("sig", SketchFunctions.minhash64(col("sh"), numPerms))
 
-    // one row per (doc, band); band hash = xxhash64 over the band's
-    // signature slice (hash of array<long> is supported natively)
-    val banded = withSig.select(
-      col("doc_id"), col("sh"),
+    // narrow banding rows: (band_id, band_hash, doc_id) — no arrays
+    val banded = withSig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
 
-    val a = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
-
-    a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("band_id", "band_hash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+
+    // verification: re-join the hashed sets by id, sorted-merge Jaccard
+    val sets = withSets.select(col("doc_id"), hashedSet(col("sh")).as("shh"))
+    candidates
+      .join(sets.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("shh", "shh_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("shh", "shh_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        SketchFunctions.jaccardSorted(col("shh_a"), col("shh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over lowercased word tokens: per bit, sum +1/-1
-    * votes weighted by each token's xxhash64 bit, then take signs.
-    * Pure SQL expressions (HOFs), evaluated without UDFs. */
-  def simhash(text: Column): Column = {
-    // per-bit masks as Scala-side literals (1L << 63 = Long.MinValue
-    // is the correct sign-bit pattern; a double pow would overflow,
-    // and the DSL shiftright needs a constant shift amount)
-    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
-    val votes = aggregate(
-      tokens(text),
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc,
-        transform(masks,
-          m => when(xxhash64(t).bitwiseAND(m) =!= 0, 1).otherwise(-1)),
-        (x, y) => x + y))
-    // fold bit votes into one long: bit b set iff votes[b] > 0
-    aggregate(
-      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
-      lit(0L), (s, x) => s.bitwiseOR(x))
-  }
+  /** 64-bit SimHash over lowercased word tokens (native expression;
+    * bit-compatible with the seed-42 xxhash64 vote formulation). */
+  def simhash(text: Column): Column =
+    SketchFunctions.simhash64(tokens(text))
 
   /** SimHash near-dup pairs with hamming distance <= maxDist.
     *
@@ -160,7 +150,8 @@ object Dedup {
 
   /** N-gram Jaccard verification join over blocked candidate pairs:
     * blocks by (lang, length bucket) to bound the pair count, then
-    * computes true word-k-gram Jaccard. Returns pairs >= threshold.
+    * verifies true word-k-gram Jaccard on hashed shingle sets with
+    * the sorted-merge expression. Returns pairs >= threshold.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -172,14 +163,14 @@ object Dedup {
     val base = withShingles(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("__graft_text"),
         struct(blockCols: _*).as("block")),
-      "__graft_text", shingleK, "sh").drop("__graft_text")
-    val a = base.select(col("block"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = base.select(col("block"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      "__graft_text", shingleK, "sh")
+      .select(col("doc_id"), col("block"), hashedSet(col("sh")).as("shh"))
+    val a = base.select(col("block"), col("doc_id").as("id_a"), col("shh").as("shh_a"))
+    val b = base.select(col("block"), col("doc_id").as("id_b"), col("shh").as("shh_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        SketchFunctions.jaccardSorted(col("shh_a"), col("shh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .distinct()
   }

@@ -73,30 +73,11 @@ object TextAnalysis {
   }
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): xxhash64
-    * over char k-grams, minimum per sliding window of w, distinct.
-    * Adds an array<long> column `out`.
-    *
-    * Two-stage on purpose: higher-order functions are interpreted
-    * (no codegen, no common-subexpression elimination), so a lambda
-    * that references the gram-array *expression* re-evaluates every
-    * gram hash per window iteration — O(n²) per document (measured:
-    * minutes per 5k docs). Materializing the grams as a real column
-    * first makes the lambda read a bound attribute: O(n·w).
-    * CollapseProject keeps the stages separate because the attribute
-    * is referenced more than once and the expression is non-cheap.
-    */
+    * over char k-grams, minimum per sliding window of w, distinct
+    * ascending. Adds an array<long> column `out`. Backed by the
+    * native Winnow expression — one O(n·w) pass per document (the
+    * HOF formulation was interpreted and quadratic). */
   def withFingerprints(df: DataFrame, textCol: String, out: String = "fp",
-      k: Int = 8, w: Int = 4): DataFrame = {
-    val t = lower(col(textCol))
-    val grams = transform(sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
-      i => xxhash64(t.substr(i, lit(k))))
-    val g = col("__graft_grams")
-    df.withColumn("__graft_grams", grams)
-      .withColumn(out, array_distinct(
-        when(size(g) >= w,
-          transform(sequence(lit(1), size(g) - (w - 1)),
-            j => array_min(slice(g, j, lit(w)))))
-          .otherwise(array(array_min(g)))))
-      .drop("__graft_grams")
-  }
+      k: Int = 8, w: Int = 4): DataFrame =
+    df.withColumn(out, graft.functions.SketchFunctions.winnow(col(textCol), k, w))
 }

@@ -26,8 +26,10 @@ object DBlock {
 
     // D2: MinHash+LSH near-dup pairs (rows-only + DedupSpec).
     "d2_dedup_minhash" -> ((s, d) =>
+      // 16 bands × 2 rows puts the LSH s-curve midpoint at 0.25 —
+      // comfortably below the 0.5 verification threshold
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
-        shingleK = 3, numPerms = 32, bands = 8, threshold = 0.5)
+        shingleK = 3, numPerms = 32, bands = 16, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 

@@ -32,8 +32,10 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("minhash LSH finds planted near-dups, not unrelated pairs") {
+    // 16 bands × 2 rows: s-curve midpoint (1/16)^(1/2) = 0.25, so
+    // pairs at jaccard >= 0.5 are caught with probability ~1
     val pairs = Dedup.minhashPairs(docs(), "doc_id", "text",
-      shingleK = 3, numPerms = 32, bands = 8, threshold = 0.5)
+      shingleK = 3, numPerms = 32, bands = 16, threshold = 0.5)
       .collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
       .toSet
