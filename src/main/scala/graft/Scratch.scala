@@ -3,60 +3,56 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Edge-case probe for the sketch expressions (scratch main). */
+/** Sample-code drive of the provider facade + ANN (scratch main). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    import graft.functions.SketchFunctions._
-    import graft.operators.Dedup
+    import graft.api.GraftEventStoreProvider
+    import graft.model.EventAdapter
+    import graft.operators.Similarity
+    import graft.sources.Tables
 
-    // winnow: empty text, 1-char text, unicode, long ascii
-    Seq((1L, ""), (2L, "a"), (3L, "héllo wörld ünïcode tëxt here we go"),
-      (4L, "x" * 500))
-      .toDF("id", "t")
-      .select(col("id"), size(winnow(col("t"), 8, 4)).as("n_fp"))
-      .show()
+    val base = java.nio.file.Files.createTempDirectory("prov_").toString
+    val p = new GraftEventStoreProvider(spark, s"$base/ev", s"$base/adm")
 
-    // jaccard: empty vs empty (0/0 guard), disjoint, identical
-    Seq(
-      (1L, Seq.empty[Long], Seq.empty[Long]),
-      (2L, Seq(1L, 2L), Seq(3L, 4L)),
-      (3L, Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
-      (4L, Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L))
-    ).toDF("id", "a", "b")
-      .select(col("id"), jaccardSorted(col("a"), col("b")).as("j"))
-      .show()
+    // the reference user journey: log a batch, query it back
+    val ke = EventAdapter.keycloakEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+    p.onEvents(ke.as[graft.model.KeycloakEvent])
+    val hits = p.createQuery().types("ERROR", "CLICK").realm("realm-2")
+      .orderByDescTime.firstResult(5).maxResults(5).results(spark).collect()
+    println(s"[e2e] paged query: n=${hits.length} types=${hits.map(_.eventtype).distinct.mkString(",")}")
 
-    // simhash/minhash on empty token arrays
-    Seq((1L, Seq.empty[String]), (2L, Seq("hello", "world")))
-      .toDF("id", "toks")
-      .select(col("id"), simhash64(col("toks")).as("sim"),
-        size(minhash64(col("toks"), 8)).as("n_sig"))
-      .show()
-
-    // type rejection
+    // probe: query on an EMPTY admin store (no files yet) — what does
+    // a fresh deployment see?
     try {
-      Seq((1L, Seq(1, 2))).toDF("id", "a")
-        .select(simhash64(col("a"))).collect()
-      println("PROBE-FAIL: int array accepted")
+      val n = p.createAdminQuery().operation("CREATE").toDF.count()
+      println(s"[e2e] empty admin store query: n=$n")
     } catch {
       case e: Exception =>
-        println("typecheck: " + e.getMessage.linesIterator.next())
+        println("[e2e] empty admin store: " + e.getMessage.linesIterator.next())
     }
 
-    // dedup end-to-end on a unicode + duplicate corpus
-    val docs = Seq(
-      (0L, "héllo wörld this is ä ünïcode document with enough words to shingle"),
-      (1L, "héllo wörld this is ä ünïcode document with enough words to shinglé"),
-      (2L, "completely unrelated engineering text about distributed query engines")
-    ).toDF("doc_id", "text")
-    Dedup.minhashPairs(docs, "doc_id", "text", numPerms = 32, bands = 16,
-      threshold = 0.5).show()
+    // probe: retention cutoff before all data → nothing dropped
+    val minT = p.events.agg(min(col("time"))).head.getLong(0)
+    println(s"[e2e] no-op retention dropped=${p.clearExpired(minT - 1000)} " +
+      s"count=${p.events.count()}")
+
+    // probe: IVF with nprobe == nlist must equal brute force exactly
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5))
+    val ivfAll = pairs(Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 16))
+    println(s"[e2e] ivf(nprobe=nlist) == bruteforce: ${ivfAll == bf} " +
+      s"(|bf|=${bf.size}, |ivf|=${ivfAll.size})")
     spark.stop()
   }
 }

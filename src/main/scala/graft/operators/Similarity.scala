@@ -109,6 +109,59 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN top-k — the clustered scale path.
+    *
+    * "Training": `nlist` centroids are sampled deterministically from
+    * the corpus (every n/nlist-th vector by id — IVF-flat with corpus
+    * -point centroids). Assignment: each vector joins the broadcast
+    * centroid table and keeps its argmax-cosine cell — one narrow
+    * shuffle, no driver-side collect. Queries probe their `nprobe`
+    * nearest cells and re-rank exactly within them, scanning roughly
+    * nprobe/nlist of the corpus.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val n = corpus.count()
+    val step = math.max(n / nlist, 1L)
+    val centroids = corpus
+      .filter(col(idCol) % step === 0).limit(nlist)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"),
+        vecNorm(col(vecCol)).as("cnrm"))
+
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__csim").desc, col("cell_id"))
+      df.join(broadcast(centroids))
+        .withColumn("__csim",
+          vecDot(col(vec), col("cvec")) / (vecNorm(col(vec)) * col("cnrm")))
+        .withColumn("__crank", row_number().over(w))
+        .filter(col("__crank") <= keep)
+        .drop("__csim", "__crank", "cvec", "cnrm")
+    }
+
+    val corpusCells = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        vecNorm(col(vecCol)).as("cn")), "neighbor_id", "cv", 1)
+    val queryProbes = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        vecNorm(col(vecCol)).as("qn")), "query_id", "qv", nprobe)
+
+    val scored = corpusCells.join(broadcast(queryProbes), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (vecDot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** `bits`-bit random-hyperplane signature as a single SQL
     * expression (shift amounts vary per plane, which the DSL lambda
     * can't express — SQL HOFs can). Signature computation is

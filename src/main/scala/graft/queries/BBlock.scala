@@ -197,6 +197,22 @@ object BBlock {
         .orderBy(col("bucket_hour"))
     }),
 
+    // B13: the SQL entry point — the same surface Athena exposed to
+    // the reference. Registered temp views + spark.sql; Catalyst
+    // compiles it to the identical physical plan the DataFrame API
+    // would produce (TPC-H Q6 shape).
+    "b13_sql" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+          |       count(*) AS n
+          |FROM lineitem_v
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  AND l_discount BETWEEN 0.05 AND 0.07
+          |  AND l_quantity < 24""".stripMargin)
+    }),
+
     // B12: explicit two-phase salted aggregation — the skew pattern
     // (deterministic salt so the plan is reproducible; at scale the
     // salt would be hash-based). Result identical to a plain groupBy.
@@ -315,6 +331,15 @@ object BBlock {
 
     "b12_salted_agg" ->
       """SELECT event_type, round(sum(value), 4) AS sum_value, count(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "b13_sql" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin
   )
 }

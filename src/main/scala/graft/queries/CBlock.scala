@@ -70,6 +70,20 @@ object CBlock {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // C3b: the same gap sessions via Spark's native session_window —
+    // the form the streaming engine merges incrementally. Must agree
+    // exactly with the lag/cumsum oracle.
+    "c3b_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(expr("ts DIV 1000")).as("tsu"))
+        .groupBy(session_window(col("tsu"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("tsu"))).as("start_us"),
+          max(unix_micros(col("tsu"))).as("end_us"))
+        .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+        .orderBy(col("user_id"), col("start_us"))),
+
     // C5: burst detection — 10-minute buckets per user where the
     // error count crosses the threshold (streaming: windowed agg +
     // filter, BurstDetect spec).
@@ -111,6 +125,26 @@ object CBlock {
          |  count(*) AS n_events, min(us) AS start_us, max(us) AS end_us
          |FROM sessions GROUP BY user_id, session_idx
          |ORDER BY user_id, session_idx""".stripMargin,
+
+    "c3b_session_window" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+         |), flagged AS (
+         |  SELECT user_id, event_id, us,
+         |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > $GapUs
+         |      OR lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+         |      THEN 1 ELSE 0 END AS new_session
+         |  FROM e
+         |), sessions AS (
+         |  SELECT user_id, us,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  FROM flagged
+         |)
+         |SELECT user_id, count(*) AS n_events,
+         |  min(us) AS start_us, max(us) AS end_us
+         |FROM sessions GROUP BY user_id, session_idx
+         |ORDER BY user_id, start_us""".stripMargin,
 
     "c4_stream_dedup" ->
       """SELECT user_id, event_type, event_id, us FROM (

@@ -75,6 +75,18 @@ object DBlock {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // D7b: IVF ANN — the clustered scale path (rows-only +
+    // SimilaritySpec recall check).
+    "d7b_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // D8: language ID — marker-frequency argmax (oracle-checked).
     "d8_lang_id" -> ((s, d) => {
       val (scores, pred) = TextAnalysis.langId(col("text"))

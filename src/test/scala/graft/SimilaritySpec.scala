@@ -43,6 +43,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN achieves nontrivial recall vs brute force") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val queries = emb.filter(col("vec_id") < 20)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairsOf(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10))
+    val approx = pairsOf(Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 10,
+      nlist = 16, nprobe = 4))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 4 of 16 cells probed → ~1/4 of the corpus; clustered vectors
+    // must land well above that
+    assert(recall > 0.4, s"recall=$recall")
+  }
+
   test("LSH ANN achieves nontrivial recall vs brute force") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, TestSpark.sf)
