@@ -213,6 +213,25 @@ object BBlock {
           |  AND l_quantity < 24""".stripMargin)
     }),
 
+    // B14: percentiles — exact interpolated (matches quantile_cont)
+    // per priority group; approx variant is what runs at 100 TB
+    // (t-digest/GK sketch via percentile_approx, rows-only b14b).
+    "b14_percentiles" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))),
+
+    "b14b_percentiles_approx" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile_approx(o_totalprice, 0.5, 1000)").as("p50_approx"))
+        .orderBy(col("o_orderpriority"))),
+
     // B12: explicit two-phase salted aggregation — the skew pattern
     // (deterministic salt so the plan is reproducible; at scale the
     // salt would be hash-based). Result identical to a plain groupBy.
@@ -332,6 +351,14 @@ object BBlock {
     "b12_salted_agg" ->
       """SELECT event_type, round(sum(value), 4) AS sum_value, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "b14_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "b13_sql" ->
       """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,

@@ -121,6 +121,20 @@ object DBlock {
           array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
         .orderBy(col("doc_id"))),
 
+    // D13: composed corpus-curation filter — the end-to-end shape a
+    // training-data pipeline runs: token bounds + quality + lang-id
+    // in one single-scan, codegen'd pass (oracle-checked).
+    "d13_corpus_filter" -> ((s, d) => {
+      val (_, pred) = TextAnalysis.langId(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_words"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          pred.as("lang_pred"))
+        .filter(col("n_words").between(20, 200) && col("quality") >= 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // D12: multimodal metadata over binary payload columns
     // (oracle-checked; decode stage spec-covered via decodeStub).
     "d12_multimodal_meta" -> ((s, d) =>
@@ -201,6 +215,37 @@ object DBlock {
         |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d13_corpus_filter" ->
+      s"""WITH p AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt FROM documents),
+         |s AS (SELECT doc_id, text,
+         |  $langScoreSql
+         |FROM p),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_words,
+         |    length(replace(text, ' ', '')) AS non_space,
+         |    CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS INT) AS stop_n,
+         |    $langPredSql AS lang_pred
+         |  FROM s
+         |),
+         |m AS (
+         |  SELECT doc_id, n_words, lang_pred,
+         |    CASE WHEN n_words > 0 THEN CAST(non_space AS DOUBLE) / n_words ELSE 0.0 END AS mean_wl,
+         |    CAST(stop_n AS DOUBLE) AS stop_d
+         |  FROM q)
+         |SELECT doc_id, n_words,
+         |  round(least(n_words / 100.0, 1.0) * 0.4 +
+         |    (CASE WHEN mean_wl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+         |    least(stop_d / 5.0, 1.0) * 0.2, 4) AS quality,
+         |  lang_pred
+         |FROM m
+         |WHERE n_words BETWEEN 20 AND 200
+         |  AND round(least(n_words / 100.0, 1.0) * 0.4 +
+         |    (CASE WHEN mean_wl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+         |    least(stop_d / 5.0, 1.0) * 0.2, 4) >= 0.5
+         |ORDER BY doc_id""".stripMargin,
 
     "d12_multimodal_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL registration path: sketch/vector expressions callable from
+  * spark.sql (temp registration on the shared session; the
+  * SparkSessionExtensions class wires the same functions at session
+  * build time on a cluster). */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("sketch functions are callable from SQL") {
+    GraftExtensions.registerTemp(spark)
+    val row = spark.sql(
+      """SELECT
+        |  simhash64(array('hello', 'world')) AS sim,
+        |  size(minhash64(array('a b c', 'b c d'), 16)) AS n_sig,
+        |  size(winnow('some text to fingerprint here', 8, 4)) AS n_fp,
+        |  jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+        |  vec_dot(array(cast(1.0 as float), cast(2.0 as float)),
+        |          array(cast(3.0 as float), cast(4.0 as float))) AS dot
+        |""".stripMargin).head()
+    assert(row.getAs[Long]("sim") != 0L)
+    assert(row.getAs[Int]("n_sig") == 16)
+    assert(row.getAs[Int]("n_fp") > 0)
+    assert(math.abs(row.getAs[Double]("j") - 0.5) < 1e-12)
+    assert(math.abs(row.getAs[Double]("dot") - 11.0) < 1e-12)
+  }
+
+  test("SQL simhash agrees with the operator API") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.registerTemp(spark)
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf).limit(50)
+    docs.createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql(
+      "SELECT doc_id, simhash64(split(lower(trim(text)), '\\\\s+')) AS s FROM docs_ext")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaApi = docs.select(col("doc_id"),
+      graft.operators.Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaApi)
+  }
+}
