@@ -77,6 +77,10 @@ object Dedup {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val r = numPerms / bands
 
+    // NOTE: the shingle pipeline is evaluated once per consuming
+    // branch (banding, verification) — deriving the signature from
+    // pre-hashed longs was measured SLOWER because it drags the
+    // sort/distinct set construction into the banding branch too.
     val withSets = withShingles(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("__graft_text")),
       "__graft_text", shingleK, "sh")

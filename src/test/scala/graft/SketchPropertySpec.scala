@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{SketchFunctions, VectorFunctions}
+
+/** Randomized cross-checks (fixed seed): each native expression
+  * against a plain-Scala reference implementation. Inputs are built
+  * driver-side and evaluated through real Spark plans in one batch
+  * per property. */
+class SketchPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val rnd = new scala.util.Random(42)
+
+  test("JaccardSortedLong equals set-based Jaccard on random inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cases = (1 to 60).map { i =>
+      val a = List.fill(rnd.nextInt(30))(rnd.nextLong() % 50).distinct.sorted
+      val b = List.fill(rnd.nextInt(30))(rnd.nextLong() % 50).distinct.sorted
+      (i.toLong, a, b)
+    }
+    val got = cases.toDF("i", "a", "b")
+      .select(col("i"), SketchFunctions.jaccardSorted(col("a"), col("b")).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cases.foreach { case (i, a, b) =>
+      val (sa, sb) = (a.toSet, b.toSet)
+      val expected =
+        if (sa.isEmpty && sb.isEmpty) 0.0
+        else (sa intersect sb).size.toDouble / (sa union sb).size
+      assert(math.abs(got(i) - expected) < 1e-12, s"case $i: a=$a b=$b")
+    }
+  }
+
+  test("FloatVecDot equals scala double fold on random vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cases = (1 to 60).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 20 - 10),
+        Array.fill(16)(rnd.nextFloat() * 20 - 10))
+    }
+    val got = cases.toDF("i", "a", "b")
+      .select(col("i"), VectorFunctions.vecDot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cases.foreach { case (i, a, b) =>
+      val expected = a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+        s + x.toDouble * y.toDouble
+      }
+      assert(got(i) == expected, s"case $i")
+    }
+  }
+
+  test("SimHash64 is order-invariant under token reordering") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val cases = (1 to 40).flatMap { i =>
+      val ws = List.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      Seq((i.toLong * 2, ws), (i.toLong * 2 + 1, rnd.shuffle(ws)))
+    }
+    val m = cases.toDF("i", "toks")
+      .select(col("i"), SketchFunctions.simhash64(col("toks")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to 40).foreach { i =>
+      assert(m(i.toLong * 2) == m(i.toLong * 2 + 1),
+        s"case $i: simhash must be token-order invariant")
+    }
+  }
+
+  test("Winnow fingerprints are distinct, sorted, deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cases = (1 to 40).map { i =>
+      (i.toLong, List.fill(8 + rnd.nextInt(60))(('a' + rnd.nextInt(26)).toChar).mkString)
+    }
+    def run() = cases.toDF("i", "t")
+      .select(col("i"), SketchFunctions.winnow(col("t"), 8, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fp1 = run()
+    val fp2 = run()
+    assert(fp1 == fp2, "winnow must be deterministic")
+    fp1.values.foreach { fp =>
+      assert(fp.nonEmpty && fp.toSet.size == fp.size && fp == fp.sorted)
+    }
+  }
+}
