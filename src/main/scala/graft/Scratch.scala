@@ -1,58 +1,60 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-/** Sample-code drive of the provider facade + ANN (scratch main). */
+/** Sample-code drive: bucketed co-located join + compaction of a
+  * streaming-written store (scratch main). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("wh_").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    import graft.api.GraftEventStoreProvider
     import graft.model.EventAdapter
-    import graft.operators.Similarity
-    import graft.sources.Tables
+    import graft.sources.{Bucketing, EventStore, Tables}
+    import graft.streaming.StreamingIngest
 
-    val base = java.nio.file.Files.createTempDirectory("prov_").toString
-    val p = new GraftEventStoreProvider(spark, s"$base/ev", s"$base/adm")
+    // 1. bucketed join: zero exchange below the aggregate
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    Bucketing.writeBucketed(Tables.lineitem(spark, "/root/testdata/sf0.001"),
+      "li_b", "l_orderkey", 4)
+    Bucketing.writeBucketed(Tables.orders(spark, "/root/testdata/sf0.001"),
+      "ord_b", "o_orderkey", 4)
+    val j = Bucketing.read(spark, "li_b")
+      .join(Bucketing.read(spark, "ord_b"), col("l_orderkey") === col("o_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("q"))
+    val plan = j.queryExecution.executedPlan.toString
+    val exch = plan.linesIterator.count(_.contains("Exchange"))
+    println(s"[e2e] bucketed join: exchanges=$exch (1 = only final agg) " +
+      s"bucketedScan=${plan.contains("Bucketed: true")} q=${j.head.getDouble(0)}")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
-    // the reference user journey: log a batch, query it back
+    // 2. compact a STREAMING-written store (carries _spark_metadata)
+    val out = java.nio.file.Files.createTempDirectory("cstore_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cckpt_").toString
     val ke = EventAdapter.keycloakEvents(Tables.events(spark, "/root/testdata/sf0.001"))
-    p.onEvents(ke.as[graft.model.KeycloakEvent])
-    val hits = p.createQuery().types("ERROR", "CLICK").realm("realm-2")
-      .orderByDescTime.firstResult(5).maxResults(5).results(spark).collect()
-    println(s"[e2e] paged query: n=${hits.length} types=${hits.map(_.eventtype).distinct.mkString(",")}")
+    val lines = StreamingIngest.toJsonLines(ke).collect().toSeq
+    val input = MemoryStream[String](spark)
+    val q = StreamingIngest.toPartitionedSink(
+      StreamingIngest.fromJsonLines(input.toDS()), out, ckpt)
+    // several micro-batches → several files per partition
+    lines.grouped(300).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    val before = spark.read.parquet(out).count()
+    val n = EventStore.compact(spark, out, maxFilesPerPartition = 1)
+    val after = spark.read.parquet(out).count()
+    println(s"[e2e] compact streaming store: partitions=$n before=$before after=$after")
 
-    // probe: query on an EMPTY admin store (no files yet) — what does
-    // a fresh deployment see?
-    try {
-      val n = p.createAdminQuery().operation("CREATE").toDF.count()
-      println(s"[e2e] empty admin store query: n=$n")
-    } catch {
-      case e: Exception =>
-        println("[e2e] empty admin store: " + e.getMessage.linesIterator.next())
-    }
-
-    // probe: retention cutoff before all data → nothing dropped
-    val minT = p.events.agg(min(col("time"))).head.getLong(0)
-    println(s"[e2e] no-op retention dropped=${p.clearExpired(minT - 1000)} " +
-      s"count=${p.events.count()}")
-
-    // probe: IVF with nprobe == nlist must equal brute force exactly
-    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val q = emb.filter(col("vec_id") < 10)
-    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val bf = pairs(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5))
-    val ivfAll = pairs(Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5,
-      nlist = 16, nprobe = 16))
-    println(s"[e2e] ivf(nprobe=nlist) == bruteforce: ${ivfAll == bf} " +
-      s"(|bf|=${bf.size}, |ivf|=${ivfAll.size})")
+    // 3. probe: compact of a missing path is a clean no-op
+    println(s"[e2e] compact missing path: ${EventStore.compact(spark, "/tmp/does_not_exist_graft")}")
     spark.stop()
   }
 }

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed table layout for shuffle-free co-located joins.
+  *
+  * At 100 TB the dominant cost of a fact-fact join is the shuffle of
+  * both sides. Writing each fact table bucketed (and sorted) by its
+  * join key lets Spark plan a SortMergeJoin whose children read
+  * pre-partitioned, pre-sorted buckets — zero Exchange, zero Sort at
+  * query time. This is the Spark analog of the co-located layouts
+  * MPP warehouses use for their distribution keys, and the standard
+  * answer to "this join's shuffle is the bottleneck".
+  *
+  * Bucket count guidance: pick so each bucket file lands in the
+  * 128 MB–1 GB range at the target scale; the count must match on
+  * both sides of the join (or divide evenly) for co-location.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted managed table. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}

@@ -45,6 +45,44 @@ object EventStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compact fragmented partitions: any hour directory with more than
+    * `maxFilesPerPartition` data files is rewritten as a single file
+    * (streaming micro-batches land one file per trigger per task —
+    * at an hourly partition grain that accumulates into the
+    * small-file problem that kills scan throughput at scale).
+    * Partition-local: only oversized partitions are touched, each
+    * rewritten and atomically swapped. Drops any streaming metadata
+    * log for the same reason clearExpired does. Returns the number of
+    * partitions compacted.
+    */
+  def compact(spark: SparkSession, path: String,
+      maxFilesPerPartition: Int = 4): Int = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val metadataLog = new Path(root, "_spark_metadata")
+    if (fs.exists(metadataLog)) fs.delete(metadataLog, true)
+
+    var compacted = 0
+    for (dtDir <- fs.listStatus(root) if dtDir.isDirectory;
+         hourDir <- fs.listStatus(dtDir.getPath) if hourDir.isDirectory) {
+      val dataFiles = fs.listStatus(hourDir.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+      if (dataFiles.length > maxFilesPerPartition) {
+        val partPath = hourDir.getPath.toString
+        val rows = spark.read.parquet(partPath).coalesce(1).cache()
+        rows.count() // materialize before the swap
+        rows.write.mode("overwrite").parquet(partPath + "_compact")
+        rows.unpersist()
+        fs.delete(hourDir.getPath, true)
+        fs.rename(new Path(partPath + "_compact"), hourDir.getPath)
+        compacted += 1
+      }
+    }
+    compacted
+  }
+
   /** Delete events with time < olderThanMs.
     *
     * Partition-pruned: hours strictly before the boundary hour are

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Bucketing, Tables}
+
+/** Bucketed co-located join: both sides pre-bucketed on the join key
+  * must join with ZERO Exchange in the plan (the shuffle is paid once
+  * at write time, not per query). */
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("join of two tables bucketed on the key plans no shuffle") {
+    import org.apache.spark.sql.functions._
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force a non-broadcast join so the shuffle question is real
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+      Bucketing.writeBucketed(
+        Tables.lineitem(spark, TestSpark.sf), "li_bucketed", "l_orderkey", 4)
+      Bucketing.writeBucketed(
+        Tables.orders(spark, TestSpark.sf), "ord_bucketed", "o_orderkey", 4)
+
+      val joined = Bucketing.read(spark, "li_bucketed")
+        .join(Bucketing.read(spark, "ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("q"))
+
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join subtree must contain no shuffle: the only Exchange
+      // allowed in the whole plan is the one for the final groupBy
+      val exchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("Reused"))
+      assert(exchanges == 1, s"expected only the groupBy exchange:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+
+      // and the result matches the unbucketed join
+      val expected = Tables.lineitem(spark, TestSpark.sf)
+        .join(Tables.orders(spark, TestSpark.sf),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("q"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val got = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}

@@ -47,6 +47,34 @@ class EventStoreSpec extends AnyFunSuite {
         .filter(col("dt") === "2024-01-02" && col("hour") === 5).count())
   }
 
+  test("compact rewrites fragmented partitions to single files, content intact") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_compact_").toString
+    val ke = EventAdapter.keycloakEvents(Tables.events(spark, TestSpark.sf))
+      .limit(500)
+    // fragment: many tiny appends (the streaming micro-batch pattern)
+    (0 until 5).foreach { i =>
+      EventStore.write(ke.filter(col("id").cast("long") % 5 === i), dir)
+    }
+    val before = EventStore.read(spark, dir)
+    val nBefore = before.count()
+    val sumBefore = before.agg(sum(col("time"))).head.getLong(0)
+
+    val compacted = EventStore.compact(spark, dir, maxFilesPerPartition = 1)
+    assert(compacted > 0)
+    val after = EventStore.read(spark, dir)
+    assert(after.count() == nBefore)
+    assert(after.agg(sum(col("time"))).head.getLong(0) == sumBefore)
+    // every hour dir now holds exactly one data file
+    val root = new java.io.File(dir)
+    for (dt <- root.listFiles() if dt.isDirectory;
+         hour <- dt.listFiles() if hour.isDirectory) {
+      val files = hour.listFiles().filter(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(files.length == 1, s"${hour} has ${files.length} files")
+    }
+  }
+
   test("clearExpired drops whole old partitions and rewrites the boundary hour") {
     import org.apache.spark.sql.functions._
     val dir = freshStore()
