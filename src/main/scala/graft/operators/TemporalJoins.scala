@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators the reference's SQL surface lacks natively:
+  * as-of (latest prior match) and bounded time-range joins.
+  *
+  * Both are expressed in shuffle-friendly forms:
+  * - as-of over a SHARED partitioning: one sort per key partition, a
+  *   running max over the tagged union — no join at all.
+  * - range join via the bucket trick: the inequality predicate
+  *   `r.ts ∈ [l.ts - W, l.ts)` becomes an equi-join on (key, bucket)
+  *   probing exactly two W-wide buckets, then an exact filter. This
+  *   turns an O(n·m) theta-join into a linear-shuffle equi-join —
+  *   the standard rewrite when a time-window join is the bottleneck.
+  */
+object TemporalJoins {
+
+  /** For each row matching `probeWhen`, the greatest `tsCol` of a row
+    * matching `refWhen` with strictly smaller (ts, tiebreak) in the
+    * same `keyCol` group — the as-of lookup, computed with a running
+    * windowed max over the shared key partitioning (no join, one
+    * shuffle, one sort). Monotone frames make max == latest. */
+  def asOfPrior(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      tiebreak: Column,
+      probeWhen: Column,
+      refWhen: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, tiebreak)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("asof_ts", max(when(refWhen, tsCol)).over(w))
+      .filter(probeWhen)
+  }
+
+  /** For each left row: the count of right rows with the same key and
+    * `rightTs ∈ [leftTs - windowUs, leftTs)`, as `n_prior` (0 when
+    * none). Bucketed equi-join: each left row probes its own and the
+    * previous W-bucket; exact range filter afterwards. */
+  def priorCountInWindow(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      windowUs: Long): DataFrame = {
+    val probes = left
+      .select(col(keyCol).as("k"), col(tsCol).as("lts"), col(idCol).as("lid"))
+      .withColumn("bucket",
+        explode(array(expr(s"lts DIV $windowUs"), expr(s"lts DIV $windowUs") - 1)))
+    val build = right
+      .select(col(keyCol).as("k"), col(tsCol).as("rts"))
+      .withColumn("bucket", expr(s"rts DIV $windowUs"))
+
+    val counts = probes.join(build, Seq("k", "bucket"))
+      .filter(col("rts") >= col("lts") - windowUs && col("rts") < col("lts"))
+      .groupBy(col("lid"))
+      .agg(count(lit(1)).as("n_prior"))
+
+    left.select(col(idCol).as("lid"), col(keyCol), col(tsCol))
+      .join(counts, Seq("lid"), "left")
+      .select(col("lid").as(idCol), col(keyCol), col(tsCol),
+        coalesce(col("n_prior"), lit(0L)).as("n_prior"))
+  }
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.TemporalJoins
 import graft.sources.Tables
 
 /** B-block: the core analytics capabilities the reference's query
@@ -197,6 +198,32 @@ object BBlock {
         .orderBy(col("bucket_hour"))
     }),
 
+    // B16: as-of join — each purchase looks up the user's latest
+    // strictly-prior click. One shared partitioning, windowed running
+    // max over the tagged union: no join operator at all.
+    "b16_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts DIV 1000").as("us"))
+      TemporalJoins.asOfPrior(ev, col("user_id"), col("us"), col("event_id"),
+        probeWhen = col("event_type") === "purchase",
+        refWhen = col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("asof_ts").as("last_click_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // B17: bounded range join — errors count same-user events in the
+    // preceding 5 minutes; inequality rewritten as a 2-bucket
+    // equi-join probe + exact filter (linear shuffle, no theta-join).
+    "b17_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts DIV 1000").as("us"))
+      TemporalJoins.priorCountInWindow(
+        ev.filter(col("event_type") === "error"), ev,
+        "user_id", "us", "event_id", windowUs = 300000000L)
+        .orderBy(col("event_id"))
+    }),
+
     // B13: the SQL entry point — the same surface Athena exposed to
     // the reference. Registered temp views + spark.sql; Catalyst
     // compiles it to the identical physical plan the DataFrame API
@@ -351,6 +378,24 @@ object BBlock {
     "b12_salted_agg" ->
       """SELECT event_type, round(sum(value), 4) AS sum_value, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "b16_asof_join" ->
+      """SELECT event_id, user_id, us, last_click_us FROM (
+        |  SELECT event_id, user_id, event_type, us,
+        |    max(CASE WHEN event_type = 'click' THEN us END) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+        |  FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+        |) t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "b17_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events)
+        |SELECT l.event_id, l.user_id, l.us, count(r.us) AS n_prior
+        |FROM e l LEFT JOIN e r
+        |  ON l.user_id = r.user_id AND r.us >= l.us - 300000000 AND r.us < l.us
+        |WHERE l.event_type = 'error'
+        |GROUP BY l.event_id, l.user_id, l.us
+        |ORDER BY l.event_id""".stripMargin,
 
     "b14_percentiles" ->
       """SELECT o_orderpriority,
