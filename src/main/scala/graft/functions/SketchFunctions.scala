@@ -42,6 +42,12 @@ object SketchFunctions {
     * (single merge pass). */
   def jaccardSorted(a: Column, b: Column): Column =
     ub(JaccardSortedLong(x(a), x(b)))
+
+  /** Per-marker occurrence counts (array<int>, aligned with
+    * `markers`) in padded lowercased text — one expression, one text
+    * pass per marker. */
+  def markerCounts(text: Column, markers: Seq[String]): Column =
+    ub(MarkerCounts(x(text), markers))
 }
 
 /** SimHash: per bit, sum +1/-1 votes from each token's xxhash64 bit,
@@ -166,6 +172,56 @@ case class Winnow(child: Expression, k: Int, w: Int)
     var r = 0
     while (it.hasNext) { res(r) = it.next(); r += 1 }
     new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Count of occurrences of each marker substring in `' ' + lower(text)
+  * + ' '`, returned as array<int> aligned with `markers` — one pass
+  * over the text per marker set instead of two length() scans plus a
+  * replace() rebuild per marker (the lang-id scorer does 15 markers:
+  * 30 full string scans and 15 copies per row the arithmetic way).
+  * Matching is byte-wise over UTF-8, same as the SQL length/replace
+  * arithmetic on ASCII markers. */
+case class MarkerCounts(child: Expression, markers: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"MarkerCounts requires string, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val markerBytes: Array[Array[Byte]] =
+    markers.map(m => m.getBytes("UTF-8")).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val padded = " " + input.asInstanceOf[UTF8String].toLowerCase.toString + " "
+    val bytes = padded.getBytes("UTF-8")
+    val out = new Array[Int](markerBytes.length)
+    var m = 0
+    while (m < markerBytes.length) {
+      val pat = markerBytes(m)
+      var i = 0
+      var n = 0
+      val limit = bytes.length - pat.length
+      while (i <= limit) {
+        var j = 0
+        while (j < pat.length && bytes(i + j) == pat(j)) j += 1
+        if (j == pat.length) {
+          n += 1
+          // non-overlapping, left-to-right — exactly how replace()
+          // consumes matches, so counts equal the length arithmetic
+          i += pat.length
+        } else i += 1
+      }
+      out(m) = n
+      m += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -31,12 +31,24 @@ object TextAnalysis {
 
   /** Language-ID: argmax over per-language marker-occurrence scores,
     * ties broken by language-list order. Adds score_<lang> columns and
-    * `lang_pred`. */
-  def langId(text: Column): (Seq[(String, Column)], Column) = {
-    // pad so boundary words match the ' marker ' form
-    val padded = concat(lit(" "), lower(text), lit(" "))
+    * `lang_pred` to `df`.
+    *
+    * All markers are counted by ONE MarkerCounts pass, materialized as
+    * a column so the ~16 downstream references read an attribute
+    * instead of re-running the scan (non-codegen expressions are
+    * re-evaluated per reference otherwise).
+    */
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val flat = langMarkers.flatMap(_._2)
+    val counted = df.withColumn("__graft_mc",
+      graft.functions.SketchFunctions.markerCounts(col(textCol), flat))
+    // per-language score = sum of its markers' slots (1-based index)
+    var idx = 0
     val scores = langMarkers.map { case (lang, ms) =>
-      lang -> ms.map(m => occurrences(padded, m)).reduce(_ + _)
+      val cols = ms.map { _ =>
+        idx += 1; element_at(col("__graft_mc"), idx)
+      }
+      lang -> cols.reduce(_ + _)
     }
     // argmax with first-wins tie-break: a CASE that tests languages in
     // declaration order against the max score
@@ -44,7 +56,11 @@ object TextAnalysis {
     val pred = scores.foldRight(lit("und")) { case ((l, s), acc) =>
       when(s === maxScore, lit(l)).otherwise(acc)
     }
-    (scores, pred)
+    counted
+      .select(Seq(col("*")) ++
+        scores.map { case (l, c) => c.as(s"score_$l") } :+
+        pred.as("lang_pred"): _*)
+      .drop("__graft_mc")
   }
 
   /** Whitespace token count. */

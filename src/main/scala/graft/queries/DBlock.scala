@@ -88,14 +88,11 @@ object DBlock {
     }),
 
     // D8: language ID — marker-frequency argmax (oracle-checked).
-    "d8_lang_id" -> ((s, d) => {
-      val (scores, pred) = TextAnalysis.langId(col("text"))
-      Tables.documents(s, d)
-        .select(Seq(col("doc_id")) ++
-          scores.map { case (l, c) => c.as(s"score_$l") } :+
-          pred.as("lang_pred"): _*)
-        .orderBy(col("doc_id"))
-    }),
+    "d8_lang_id" -> ((s, d) =>
+      TextAnalysis.withLangId(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
+        .drop("text")
+        .orderBy(col("doc_id"))),
 
     // D9: quality scoring (oracle-checked).
     "d9_quality_score" -> ((s, d) =>
@@ -124,16 +121,26 @@ object DBlock {
     // D13: composed corpus-curation filter — the end-to-end shape a
     // training-data pipeline runs: token bounds + quality + lang-id
     // in one single-scan, codegen'd pass (oracle-checked).
-    "d13_corpus_filter" -> ((s, d) => {
-      val (_, pred) = TextAnalysis.langId(col("text"))
-      Tables.documents(s, d)
+    "d13_corpus_filter" -> ((s, d) =>
+      TextAnalysis.withLangId(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
         .select(col("doc_id"),
           TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_words"),
           TextAnalysis.qualityScore(col("text")).as("quality"),
-          pred.as("lang_pred"))
+          col("lang_pred"))
         .filter(col("n_words").between(20, 200) && col("quality") >= 0.5)
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
+
+    // D14: corpus vocabulary stats — token frequency top-k (explode →
+    // partial-agg count → top-k; the first step of tokenizer/BPE
+    // training). Oracle-checked.
+    "d14_token_freq" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)),
 
     // D12: multimodal metadata over binary payload columns
     // (oracle-checked; decode stage spec-covered via decodeStub).
@@ -246,6 +253,12 @@ object DBlock {
          |    (CASE WHEN mean_wl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
          |    least(stop_d / 5.0, 1.0) * 0.2, 4) >= 0.5
          |ORDER BY doc_id""".stripMargin,
+
+    "d14_token_freq" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
     "d12_multimodal_meta" ->
       """SELECT doc_id,
