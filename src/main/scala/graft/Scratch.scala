@@ -1,9 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Overlap-semantics probe for MarkerCounts (scratch main). */
+/** Multimodal stage probes (scratch main). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[2]")
@@ -12,15 +11,24 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    import graft.functions.SketchFunctions
-    val rows = Seq("a a a a", "the the the", " aa a  a ", "")
-      .zipWithIndex.map { case (t, i) => (i, t) }
-    rows.toDF("i", "t")
-      .select(col("i"), col("t"),
-        element_at(SketchFunctions.markerCounts(col("t"), Seq(" a ")), 1).as("c"))
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRow
+
+    val media = Seq(
+      MediaRow(2L, "video", "some video payload bytes here".getBytes("UTF-8")),
+      MediaRow(5L, "video", Array.empty[Byte]), // empty payload
+      MediaRow(1L, "audio", "aud".getBytes("UTF-8")),
+      MediaRow(3L, "image", "img bytes".getBytes("UTF-8"))
+    ).toDS()
+
+    // happy path + probe: tiny 1x1 target must clamp dims to >= 1
+    val tiny = Multimodal.resizeStub(spark, media, 1, 1).collect()
+    println(s"[probe] resize 1x1: dims=${tiny.map(r => (r.doc_id, r.width, r.height)).sortBy(_._1).toSeq}")
+
+    // probe: frame sampler on empty payload video + huge interval
+    val frames = Multimodal.frameSampleStub(spark, media, everyMs = 60000L)
       .collect()
-      .sortBy(_.getInt(0))
-      .foreach(r => println(s"[probe] ${r.getInt(0)} ${"\"" + r.getString(1) + "\""} -> ${r.getInt(2)}"))
+    println(s"[probe] frames(60s interval): ${frames.map(f => (f.doc_id, f.frame_idx, f.ts_ms, f.payload.length)).sortBy(_._1).toSeq}")
     spark.stop()
   }
 }

@@ -69,6 +69,64 @@ object Multimodal {
     }
   }
 
+  /** A resized image row (payload replaced by the resized bytes). */
+  case class ResizedMedia(
+      doc_id: Long,
+      media_type: String,
+      width: Int,
+      height: Int,
+      payload: Array[Byte])
+
+  /** STUB resize: a real implementation decodes, scales to fit
+    * (targetW, targetH) preserving aspect, re-encodes. The fake
+    * derives the output dims from the same deterministic decode and
+    * truncates/pads the payload to width*height bytes so downstream
+    * size accounting is exercised for real. Per-partition iterator
+    * shape, like decodeStub. */
+  def resizeStub(spark: SparkSession, media: Dataset[MediaRow],
+      targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec/scaler init would happen here
+      rows.map { r =>
+        val h = java.util.Arrays.hashCode(r.payload)
+        val srcW = 64 + math.floorMod(h, 16) * 32
+        val srcH = 64 + math.floorMod(h >> 4, 16) * 32
+        val scale = math.min(targetW.toDouble / srcW, targetH.toDouble / srcH)
+        val (w, hgt) = (math.max((srcW * scale).toInt, 1),
+          math.max((srcH * scale).toInt, 1))
+        // ??? real scaler goes here; deterministic fake payload below
+        val out = java.util.Arrays.copyOf(r.payload, w * hgt min 4096)
+        ResizedMedia(r.doc_id, r.media_type, w, hgt, out)
+      }
+    }
+  }
+
+  /** A sampled frame: one row per (video, frame index). */
+  case class Frame(doc_id: Long, frame_idx: Int, ts_ms: Long, payload: Array[Byte])
+
+  /** STUB frame sampling: a real implementation demuxes the container
+    * and decodes one frame every `everyMs`. The fake derives a
+    * deterministic frame count from the payload length and slices
+    * bytes per frame — the row-explosion shape (one input row → N
+    * frame rows, batched per partition) is the real pattern. */
+  def frameSampleStub(spark: SparkSession, media: Dataset[MediaRow],
+      everyMs: Long = 1000L): Dataset[Frame] = {
+    import spark.implicits._
+    media.filter(_.media_type == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val durationMs = (r.payload.length % 7 + 1) * 1000L // fake duration
+        val n = (durationMs / everyMs).toInt.max(1)
+        (0 until n).iterator.map { i =>
+          val start = (i * 16) % math.max(r.payload.length, 1)
+          val slice = java.util.Arrays.copyOfRange(r.payload, start,
+            math.min(start + 16, r.payload.length))
+          Frame(r.doc_id, i, i * everyMs, slice)
+        }
+      }
+    }
+  }
+
   /** Metadata-only projection (no decode, binary column pruned):
     * byte length + content hash + deterministic fake dimensions —
     * fully expression-based, so it has an exact DuckDB oracle. */

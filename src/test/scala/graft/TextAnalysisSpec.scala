@@ -62,4 +62,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       media.as[Multimodal.MediaRow]).collect().sortBy(_.doc_id)
     assert(again.toSeq == feats.toSeq)
   }
+
+  test("resize stub fits targets preserving aspect; frame sampler explodes videos") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 9L).map(i => (i, "x" * (20 + i.toInt * 13))).toDF("doc_id", "text")
+    val media = Multimodal.withBinaryPayload(docs, "doc_id", "text")
+      .as[Multimodal.MediaRow]
+
+    val resized = Multimodal.resizeStub(spark, media, 128, 128).collect()
+    assert(resized.length == 9)
+    assert(resized.forall(r => r.width <= 128 && r.height <= 128))
+    assert(resized.forall(r => r.width == 128 || r.height == 128),
+      "scale-to-fit must touch one target edge")
+
+    val frames = Multimodal.frameSampleStub(spark, media).collect()
+    // only videos (doc_id % 3 == 2) produce frames
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.doc_id % 3 == 2))
+    // frame indices are dense per video starting at 0
+    frames.groupBy(_.doc_id).foreach { case (_, fs) =>
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length))
+      assert(fs.forall(f => f.ts_ms == f.frame_idx * 1000L))
+    }
+  }
 }
