@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-/** Multimodal stage probes (scratch main). */
+/** WordShingles edge probe (scratch main). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[2]")
@@ -11,24 +12,17 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    import graft.operators.Multimodal
-    import graft.operators.Multimodal.MediaRow
+    import graft.operators.Dedup
 
-    val media = Seq(
-      MediaRow(2L, "video", "some video payload bytes here".getBytes("UTF-8")),
-      MediaRow(5L, "video", Array.empty[Byte]), // empty payload
-      MediaRow(1L, "audio", "aud".getBytes("UTF-8")),
-      MediaRow(3L, "image", "img bytes".getBytes("UTF-8"))
-    ).toDS()
-
-    // happy path + probe: tiny 1x1 target must clamp dims to >= 1
-    val tiny = Multimodal.resizeStub(spark, media, 1, 1).collect()
-    println(s"[probe] resize 1x1: dims=${tiny.map(r => (r.doc_id, r.width, r.height)).sortBy(_._1).toSeq}")
-
-    // probe: frame sampler on empty payload video + huge interval
-    val frames = Multimodal.frameSampleStub(spark, media, everyMs = 60000L)
-      .collect()
-    println(s"[probe] frames(60s interval): ${frames.map(f => (f.doc_id, f.frame_idx, f.ts_ms, f.payload.length)).sortBy(_._1).toSeq}")
+    val df = Seq(
+      (1L, ""),                       // empty text
+      (2L, "one two"),                // fewer than k words
+      (3L, "a b a b a b"),            // duplicate shingles collapse
+      (4L, "ünï códe wörds here now") // unicode
+    ).toDF("doc_id", "text")
+    Dedup.withShingles(df, "text", k = 3).collect()
+      .sortBy(_.getLong(0))
+      .foreach(r => println(s"[probe] ${r.getLong(0)} -> ${r.getSeq[String](2).map(s => s"<$s>").toList} n=${r.getSeq[String](2).size}"))
     spark.stop()
   }
 }

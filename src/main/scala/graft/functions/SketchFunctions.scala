@@ -43,6 +43,11 @@ object SketchFunctions {
   def jaccardSorted(a: Column, b: Column): Column =
     ub(JaccardSortedLong(x(a), x(b)))
 
+  /** Distinct space-joined word k-shingles of an array<string>
+    * token column (first-occurrence order). */
+  def wordShingles(tokens: Column, k: Int): Column =
+    ub(WordShingles(x(tokens), k))
+
   /** Per-marker occurrence counts (array<int>, aligned with
     * `markers`) in padded lowercased text — one expression, one text
     * pass per marker. */
@@ -168,6 +173,52 @@ case class Winnow(child: Expression, k: Int, w: Int)
       }
     }
     val res = new Array[Long](out.size())
+    val it = out.iterator()
+    var r = 0
+    while (it.hasNext) { res(r) = it.next(); r += 1 }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Distinct word k-shingles of a token array, space-joined, in
+  * first-occurrence order; inputs shorter than k words yield the
+  * whole token list as one shingle. One pass, no per-window lambda
+  * interpretation and no re-evaluation of the token expression. */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"WordShingles requires array<string>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val words = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      words(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (n < k) {
+      out.add(UTF8String.concatWs(sep, words: _*))
+    } else {
+      var j = 0
+      while (j <= n - k) {
+        out.add(UTF8String.concatWs(sep,
+          java.util.Arrays.copyOfRange(words, j, j + k): _*))
+        j += 1
+      }
+    }
+    val res = new Array[AnyRef](out.size())
     val it = out.iterator()
     var r = 0
     while (it.hasNext) { res(r) = it.next(); r += 1 }

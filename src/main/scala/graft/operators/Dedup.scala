@@ -27,24 +27,12 @@ object Dedup {
 
   /** Adds `out` = distinct word k-shingles of `textCol`; documents
     * shorter than k words get their whole text as a single shingle.
-    *
-    * Two-stage (tokens materialized as a column first): a lambda that
-    * references the token-array *expression* re-splits the text per
-    * shingle iteration — higher-order functions are interpreted with
-    * no subexpression elimination, so that is O(words²) per document.
-    * A bound attribute makes it O(words·k).
-    */
+    * Native one-pass expression (the HOF slice-per-window form was
+    * interpreted and re-evaluated the token split per shingle). */
   def withShingles(df: DataFrame, textCol: String, k: Int,
-      out: String = "sh"): DataFrame = {
-    val w = col("__graft_words")
-    df.withColumn("__graft_words", tokens(col(textCol)))
-      .withColumn(out, array_distinct(
-        when(size(w) >= k,
-          transform(sequence(lit(1), size(w) - (k - 1)),
-            i => concat_ws(" ", slice(w, i, lit(k)))))
-          .otherwise(array(concat_ws(" ", w)))))
-      .drop("__graft_words")
-  }
+      out: String = "sh"): DataFrame =
+    df.withColumn(out,
+      SketchFunctions.wordShingles(tokens(col(textCol)), k))
 
   /** Sorted distinct xxhash64 of a string-array column — the compact
     * set representation the Jaccard merge-join verifies against. */
