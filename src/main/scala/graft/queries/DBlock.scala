@@ -38,10 +38,13 @@ object DBlock {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // D4: blocked n-gram Jaccard verification join (rows-only + spec).
+    // D4: blocked n-gram Jaccard verification join (oracle-checked:
+    // the blocked-pair + true-Jaccard semantics are deterministic —
+    // only the set representation is hashed, and a collision
+    // perturbing the value has probability ~2^-64).
     "d4_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        blockCols = Seq(col("lang"), (col("n_chars") / 100).cast("int")),
+        blockCols = Seq(col("lang"), expr("n_chars DIV 100").cast("int")),
         shingleK = 3, threshold = 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
@@ -170,6 +173,27 @@ object DBlock {
     "d1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS lb,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang, lb,
+        |    CASE WHEN len(ws) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(ws) - 1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+        |    ELSE [list_aggregate(ws, 'string_agg', ' ')] END AS s
+        |  FROM base
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "d5_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
