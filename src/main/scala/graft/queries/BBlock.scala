@@ -198,6 +198,20 @@ object BBlock {
         .orderBy(col("bucket_hour"))
     }),
 
+    // B18: set operations — INTERSECT / EXCEPT (distinct Catalyst
+    // operators: both plan as aggregates/joins over distinct rows).
+    "b18_set_ops" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+      val urgent = ord.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val low = ord.filter(col("o_orderpriority") === "5-LOW")
+        .select(col("o_custkey"))
+      urgent.intersect(low).select(lit("both").as("tag"), col("o_custkey"))
+        .unionAll(
+          urgent.except(low).select(lit("urgent_only").as("tag"), col("o_custkey")))
+        .orderBy(col("tag"), col("o_custkey"))
+    }),
+
     // B16: as-of join — each purchase looks up the user's latest
     // strictly-prior click. One shared partitioning, windowed running
     // max over the tagged union: no join operator at all.
@@ -378,6 +392,18 @@ object BBlock {
     "b12_salted_agg" ->
       """SELECT event_type, round(sum(value), 4) AS sum_value, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "b18_set_ops" ->
+      """SELECT 'both' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |UNION ALL
+        |SELECT 'urgent_only' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |ORDER BY tag, o_custkey""".stripMargin,
 
     "b16_asof_join" ->
       """SELECT event_id, user_id, us, last_click_us FROM (
