@@ -3,26 +3,37 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** WordShingles edge probe (scratch main). */
+/** Sorted-layout pruning comparison (scratch main). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    import graft.operators.Dedup
+    import graft.model.EventAdapter
+    import graft.sources.{EventStore, Tables}
 
-    val df = Seq(
-      (1L, ""),                       // empty text
-      (2L, "one two"),                // fewer than k words
-      (3L, "a b a b a b"),            // duplicate shingles collapse
-      (4L, "ünï códe wörds here now") // unicode
-    ).toDF("doc_id", "text")
-    Dedup.withShingles(df, "text", k = 3).collect()
-      .sortBy(_.getLong(0))
-      .foreach(r => println(s"[probe] ${r.getLong(0)} -> ${r.getSeq[String](2).map(s => s"<$s>").toList} n=${r.getSeq[String](2).size}"))
+    val ke = EventAdapter.keycloakEvents(Tables.events(spark, "/root/testdata/sf0.01"))
+    val total = ke.count()
+
+    def scannedRows(dir: String): Long = {
+      val q = EventStore.read(spark, dir).filter(col("userid") === "user-7")
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+    }
+
+    val plain = java.nio.file.Files.createTempDirectory("plain_").toString
+    EventStore.write(ke, plain, maxRecordsPerFile = 50)
+    val sorted = java.nio.file.Files.createTempDirectory("sorted_").toString
+    EventStore.write(ke, sorted, maxRecordsPerFile = 50, sortWithin = Seq("userid"))
+
+    println(s"[e2e] total=$total plainScan=${scannedRows(plain)} sortedScan=${scannedRows(sorted)}")
+    val a = EventStore.read(spark, plain).filter(col("userid") === "user-7").count()
+    val b = EventStore.read(spark, sorted).filter(col("userid") === "user-7").count()
+    println(s"[e2e] results equal: ${a == b} (n=$a)")
     spark.stop()
   }
 }

@@ -31,15 +31,32 @@ object EventStore {
       .withColumn("dt", date_format(timestamp_millis(col("time")), "yyyy-MM-dd"))
       .withColumn("hour", (expr("time DIV 3600000") % 24).cast("int"))
 
-  /** Append a KeycloakEvent-shaped batch, partitioned dt/hour. */
+  /** Append a KeycloakEvent-shaped batch, partitioned dt/hour.
+    *
+    * `sortWithin` optionally clusters rows inside each hour partition
+    * by secondary columns (e.g. userid): combined with
+    * maxRecordsPerFile this yields files with tight parquet min/max
+    * stats on those columns, so selective equality queries skip whole
+    * files/row-groups — the single-dimension analog of Z-ordering,
+    * and the cheap answer for "point lookups on a non-partition
+    * column" at scale. */
   def write(events: DataFrame, path: String,
-      maxRecordsPerFile: Int = 1000000): Unit =
-    withPartitionColumns(events)
+      maxRecordsPerFile: Int = 1000000,
+      sortWithin: Seq[String] = Nil): Unit = {
+    val partitioned = withPartitionColumns(events)
+    val arranged =
+      if (sortWithin.isEmpty) partitioned
+      else partitioned
+        .repartition(col("dt"), col("hour"))
+        .sortWithinPartitions(
+          (Seq("dt", "hour") ++ sortWithin).map(col): _*)
+    arranged
       .write
       .mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy("dt", "hour")
       .parquet(path)
+  }
 
   /** Read the store; time predicates prune dt/hour partitions. */
   def read(spark: SparkSession, path: String): DataFrame =

@@ -47,6 +47,46 @@ class EventStoreSpec extends AnyFunSuite {
         .filter(col("dt") === "2024-01-02" && col("hour") === 5).count())
   }
 
+  test("sortWithin layout prunes files on the clustered column") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // dense single-hour partition so within-partition clustering is
+    // what decides file min/max ranges: 20k rows, one dt/hour, 40
+    // users, ~500-row files → sorted layout gives each file a narrow
+    // userid range
+    val base = 1704067200000L
+    val events = spark.range(20000).select(
+      col("id").cast("string").as("id"),
+      lit("LOGIN").as("eventtype"),
+      lit("realm-0").as("realmid"), lit("Realm 0").as("realmname"),
+      lit("c").as("clientid"),
+      concat(lit("user-"), lpad((col("id") % 40).cast("string"), 2, "0")).as("userid"),
+      lit("s").as("sessionid"), lit("ip").as("ipaddress"),
+      lit(null).cast("string").as("error"),
+      (lit(base) + (col("id") % 1000)).as("time"),
+      lit("{}").as("detailsjson"))
+
+    def scanRows(dir: String): Long = {
+      val q = EventStore.read(spark, dir).filter(col("userid") === "user-07")
+      assert(q.count() == 500)
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+    }
+
+    val plain = Files.createTempDirectory("graft_plain_").toString
+    EventStore.write(events, plain, maxRecordsPerFile = 500)
+    val sorted = Files.createTempDirectory("graft_sorted_").toString
+    EventStore.write(events, sorted, maxRecordsPerFile = 500,
+      sortWithin = Seq("userid"))
+
+    val (p, s) = (scanRows(plain), scanRows(sorted))
+    // sorted: user-07's rows live in ~1-2 of the 40 files → row-group
+    // stats skip the rest; unsorted: every file spans all users
+    assert(s <= 2000, s"sorted layout scanned $s rows of 20000")
+    assert(s * 5 <= p, s"expected >=5x pruning advantage: sorted=$s plain=$p")
+  }
+
   test("compact rewrites fragmented partitions to single files, content intact") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_compact_").toString
