@@ -108,22 +108,36 @@ object Dedup {
 
   /** SimHash near-dup pairs with hamming distance <= maxDist.
     *
-    * Candidate generation: split the 64-bit simhash into 4 16-bit
-    * chunks; by pigeonhole any pair with hamming <= 3 shares at least
-    * one identical chunk → equi-join on (chunk_id, chunk_value),
-    * verify with bit_count(a XOR b). Returns (id_a, id_b, hamming).
+    * Candidate generation: split the 64-bit simhash into maxDist + 1
+    * chunks (widths as equal as 64 allows); by pigeonhole any pair
+    * with hamming <= maxDist differs in at most maxDist chunks, so it
+    * shares at least one identical chunk → equi-join on (chunk_id,
+    * chunk_value), verify with bit_count(a XOR b). Full recall at any
+    * maxDist <= 63; the cost is chunk width 64/(maxDist+1), so large
+    * maxDist means short chunks and more random bucket collisions —
+    * the standard multi-index hamming-search tradeoff.
+    * Returns (id_a, id_b, hamming).
     */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 63,
+      s"maxDist must be in [0, 63], got $maxDist")
     val withSim = docs.select(col(idCol).as("doc_id"),
       simhash(col(textCol)).as("sim"))
 
-    // per-chunk shift amount varies, so the SQL HOF form is used
+    // maxDist+1 chunks; the first 64 % n chunks take the extra bit
+    val n = maxDist + 1
+    val widths = Array.tabulate(n)(i => 64 / n + (if (i < 64 % n) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val chunkCols = offsets.zip(widths).map { case (off, w) =>
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      shiftrightunsigned(col("sim"), off).bitwiseAND(lit(mask))
+    }
     val chunked = withSim.select(col("doc_id"), col("sim"),
-      posexplode(expr("transform(sequence(0, 3), c -> (sim >> (c * 16)) & 65535)")))
+      posexplode(array(chunkCols.toIndexedSeq: _*)))
       .withColumnRenamed("pos", "chunk_id")
       .withColumnRenamed("col", "chunk_val")
 

@@ -36,6 +36,13 @@ object TemporalJoins {
       .filter(probeWhen)
   }
 
+  /** Floor division (rounds toward -∞, unlike DIV's truncation toward
+    * zero): keeps adjacent buckets aligned for negative timestamps
+    * too. `x - pmod(x, d)` is exactly divisible by d, so DIV on it is
+    * exact integer arithmetic — no double rounding. */
+  private def floorDiv(colName: String, d: Long): Column =
+    expr(s"($colName - pmod($colName, ${d}L)) DIV ${d}L")
+
   /** For each left row: the count of right rows with the same key and
     * `rightTs ∈ [leftTs - windowUs, leftTs)`, as `n_prior` (0 when
     * none). Bucketed equi-join: each left row probes its own and the
@@ -50,10 +57,10 @@ object TemporalJoins {
     val probes = left
       .select(col(keyCol).as("k"), col(tsCol).as("lts"), col(idCol).as("lid"))
       .withColumn("bucket",
-        explode(array(expr(s"lts DIV $windowUs"), expr(s"lts DIV $windowUs") - 1)))
+        explode(array(floorDiv("lts", windowUs), floorDiv("lts", windowUs) - 1)))
     val build = right
       .select(col(keyCol).as("k"), col(tsCol).as("rts"))
-      .withColumn("bucket", expr(s"rts DIV $windowUs"))
+      .withColumn("bucket", floorDiv("rts", windowUs))
 
     val counts = probes.join(build, Seq("k", "bucket"))
       .filter(col("rts") >= col("lts") - windowUs && col("rts") < col("lts"))

@@ -19,7 +19,16 @@ import graft.sources.Tables
 object CBlock {
   type Q = (SparkSession, String) => DataFrame
 
-  /** 30-minute session gap, in microseconds. */
+  /** 30-minute session gap, in microseconds.
+    *
+    * Boundary semantics (one rule everywhere): a new session starts
+    * only when the gap to the previous event is STRICTLY greater than
+    * GapUs — an exact-gap pair MERGES. Verified empirically against
+    * Spark's native session_window (it merges touching [t, t+gap)
+    * windows, not just strictly overlapping ones); c3's lag/cumsum
+    * form, both DuckDB oracles, and StreamOps.sessionize all use the
+    * same rule (SessionBoundarySpec pins it with an exact-gap pair).
+    */
   private val GapUs = 30L * 60 * 1000 * 1000
   /** 10-minute burst bucket, in microseconds. */
   private val BucketUs = 10L * 60 * 1000 * 1000

@@ -25,11 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object EventStore {
 
-  /** Add the dt/hour partition columns derived from epoch-ms `time`. */
+  /** Add the dt/hour partition columns derived from epoch-ms `time`.
+    *
+    * Pure integer epoch arithmetic (floor-division via pmod), NOT
+    * date_format over a timestamp: the latter renders in the session
+    * timezone, so a non-UTC session would disagree with the UTC
+    * partition-start math in [[clearExpired]] and break its
+    * `partStartMs <= time < partStartMs + 1h` invariant. This form is
+    * timezone- and sign-independent (UTC calendar by construction).
+    */
   def withPartitionColumns(events: DataFrame): DataFrame =
     events
-      .withColumn("dt", date_format(timestamp_millis(col("time")), "yyyy-MM-dd"))
-      .withColumn("hour", (expr("time DIV 3600000") % 24).cast("int"))
+      .withColumn("dt", date_from_unix_date(
+        expr("(time - pmod(time, 86400000)) DIV 86400000").cast("int"))
+        .cast("string"))
+      .withColumn("hour", expr("pmod(time, 86400000) DIV 3600000").cast("int"))
 
   /** Append a KeycloakEvent-shaped batch, partitioned dt/hour.
     *
@@ -68,36 +78,51 @@ object EventStore {
     * at an hourly partition grain that accumulates into the
     * small-file problem that kills scan throughput at scale).
     * Partition-local: only oversized partitions are touched, each
-    * rewritten and atomically swapped. Drops any streaming metadata
-    * log for the same reason clearExpired does. Returns the number of
+    * rewritten and swapped in. The partition scan runs FIRST: a no-op
+    * compaction (nothing oversized) touches nothing — in particular it
+    * does not drop the `_spark_metadata` streaming log, so an attached
+    * streaming sink survives a no-op call. When at least one partition
+    * will be rewritten the log is dropped (it no longer describes the
+    * store; readers fall back to partition discovery, and re-attaching
+    * a streaming sink needs a fresh checkpoint). Returns the number of
     * partitions compacted.
+    *
+    * Crash posture: the rewrite lands in a dot-prefixed temp dir that
+    * partition discovery ignores, so a crash before the swap leaves
+    * the store intact plus an invisible leftover. The delete→rename
+    * swap itself is not atomic: a crash between the two loses the
+    * partition from discovery until the temp dir is renamed back by
+    * hand (the rows themselves are never lost).
     */
   def compact(spark: SparkSession, path: String,
       maxFilesPerPartition: Int = 4): Int = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
+
+    val oversized =
+      for (dtDir <- fs.listStatus(root).toSeq if dtDir.isDirectory;
+           hourDir <- fs.listStatus(dtDir.getPath) if hourDir.isDirectory;
+           dataFiles = fs.listStatus(hourDir.getPath)
+             .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+               !f.getPath.getName.startsWith("."))
+           if dataFiles.length > maxFilesPerPartition)
+      yield hourDir.getPath
+    if (oversized.isEmpty) return 0
+
     val metadataLog = new Path(root, "_spark_metadata")
     if (fs.exists(metadataLog)) fs.delete(metadataLog, true)
 
-    var compacted = 0
-    for (dtDir <- fs.listStatus(root) if dtDir.isDirectory;
-         hourDir <- fs.listStatus(dtDir.getPath) if hourDir.isDirectory) {
-      val dataFiles = fs.listStatus(hourDir.getPath)
-        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith("."))
-      if (dataFiles.length > maxFilesPerPartition) {
-        val partPath = hourDir.getPath.toString
-        val rows = spark.read.parquet(partPath).coalesce(1).cache()
-        rows.count() // materialize before the swap
-        rows.write.mode("overwrite").parquet(partPath + "_compact")
-        rows.unpersist()
-        fs.delete(hourDir.getPath, true)
-        fs.rename(new Path(partPath + "_compact"), hourDir.getPath)
-        compacted += 1
-      }
+    for (part <- oversized) {
+      val tmp = new Path(part.getParent, "." + part.getName + ".compact")
+      val rows = spark.read.parquet(part.toString).coalesce(1).cache()
+      rows.count() // materialize before the swap
+      rows.write.mode("overwrite").parquet(tmp.toString)
+      rows.unpersist()
+      fs.delete(part, true)
+      fs.rename(tmp, part)
     }
-    compacted
+    oversized.length
   }
 
   /** Delete events with time < olderThanMs.
@@ -116,6 +141,31 @@ object EventStore {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
 
+    // Scan first: partitions wholly before the cutoff are dropped,
+    // the boundary hour is rewritten. A no-op sweep touches nothing.
+    val dtDirs = fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("dt="))
+    val classified =
+      for (dtDir <- dtDirs;
+           hourDir <- fs.listStatus(dtDir.getPath)
+           if hourDir.isDirectory && hourDir.getPath.getName.startsWith("hour=")) yield {
+        val dt = dtDir.getPath.getName.stripPrefix("dt=")
+        val hour = hourDir.getPath.getName.stripPrefix("hour=").toInt
+        val partStartMs = java.time.LocalDate
+          .parse(dt, fmt).atStartOfDay(java.time.ZoneOffset.UTC)
+          .toInstant.toEpochMilli + hour * 3600000L
+        // every row in the partition satisfies
+        // partStartMs <= time < partStartMs + 1h
+        (hourDir.getPath, partStartMs)
+      }
+    val toDrop = classified.collect {
+      case (p, start) if start + 3600000L <= olderThanMs => p
+    }
+    val toRewrite = classified.collect {
+      case (p, start) if start < olderThanMs && start + 3600000L > olderThanMs => p
+    }
+    if (toDrop.isEmpty && toRewrite.isEmpty) return 0
+
     // A store fed by the streaming sink carries a _spark_metadata
     // write-ahead log; readers then list files from the log, not the
     // directory, and would crash on the files we are about to delete.
@@ -127,43 +177,24 @@ object EventStore {
     val metadataLog = new Path(root, "_spark_metadata")
     if (fs.exists(metadataLog)) fs.delete(metadataLog, true)
 
-    var dropped = 0
-    for (dtDir <- fs.listStatus(root) if dtDir.isDirectory) {
-      val dtName = dtDir.getPath.getName // dt=yyyy-MM-dd
-      if (dtName.startsWith("dt=")) {
-        val dt = dtName.stripPrefix("dt=")
-        for (hourDir <- fs.listStatus(dtDir.getPath) if hourDir.isDirectory) {
-          val hourName = hourDir.getPath.getName // hour=H
-          if (hourName.startsWith("hour=")) {
-            val hour = hourName.stripPrefix("hour=").toInt
-            val partStartMs = java.time.LocalDate
-              .parse(dt, fmt).atStartOfDay(java.time.ZoneOffset.UTC)
-              .toInstant.toEpochMilli + hour * 3600000L
-            // every row in the partition satisfies
-            // partStartMs <= time < partStartMs + 1h
-            if (partStartMs + 3600000L <= olderThanMs) {
-              // entire hour strictly before the cutoff → drop directory
-              fs.delete(hourDir.getPath, true)
-              dropped += 1
-            } else if (partStartMs < olderThanMs) {
-              // boundary hour: rewrite survivors only
-              val partPath = hourDir.getPath.toString
-              val survivors = spark.read.parquet(partPath)
-                .filter(col("time") >= olderThanMs)
-                .cache()
-              survivors.count() // materialize before overwrite
-              survivors.write.mode("overwrite")
-                .parquet(partPath + "_rewrite")
-              survivors.unpersist()
-              fs.delete(hourDir.getPath, true)
-              fs.rename(new Path(partPath + "_rewrite"), hourDir.getPath)
-            }
-          }
-        }
-        // drop empty dt directories
-        if (fs.listStatus(dtDir.getPath).isEmpty) fs.delete(dtDir.getPath, true)
-      }
+    for (part <- toDrop) fs.delete(part, true)
+    for (part <- toRewrite) {
+      // boundary hour: rewrite survivors only (dot-prefixed temp dir —
+      // invisible to discovery until the swap)
+      val tmp = new Path(part.getParent, "." + part.getName + ".rewrite")
+      val survivors = spark.read.parquet(part.toString)
+        .filter(col("time") >= olderThanMs)
+        .cache()
+      survivors.count() // materialize before overwrite
+      survivors.write.mode("overwrite").parquet(tmp.toString)
+      survivors.unpersist()
+      fs.delete(part, true)
+      fs.rename(tmp, part)
     }
-    dropped
+    // drop dt directories left empty by the sweep
+    for (dtDir <- dtDirs if fs.exists(dtDir.getPath) &&
+        fs.listStatus(dtDir.getPath).isEmpty)
+      fs.delete(dtDir.getPath, true)
+    toDrop.length
   }
 }

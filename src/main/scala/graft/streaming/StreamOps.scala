@@ -69,6 +69,12 @@ object StreamOps {
   /** Gap-based sessionization (C3) via flatMapGroupsWithState:
     * a session closes when no event arrives for `gapMs` (event-time,
     * watermark-driven timeout). State per active user only.
+    *
+    * Boundary rule matches session_window and CBlock's oracles: an
+    * event exactly `gapMs` after the session end still MERGES into
+    * the session; only a strictly larger gap starts a new one
+    * (session_window merges touching windows — SessionBoundarySpec
+    * pins this empirically).
     */
   def sessionize(spark: SparkSession, events: DataFrame,
       gapMs: Long = 30 * 60 * 1000L,

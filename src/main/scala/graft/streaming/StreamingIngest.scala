@@ -66,12 +66,12 @@ object StreamingIngest {
   }
 
   /** Start the partitioned parquet sink (dt/hour, like EventStore):
-    * the streaming analog of the Firehose delivery stream. */
+    * the streaming analog of the Firehose delivery stream. Partition
+    * columns come from EventStore's timezone-independent derivation,
+    * so batch and streaming writers agree in any session timezone. */
   def toPartitionedSink(events: DataFrame, path: String,
       checkpoint: String): StreamingQuery =
-    events
-      .withColumn("dt", date_format(timestamp_millis(col("time")), "yyyy-MM-dd"))
-      .withColumn("hour", (expr("time DIV 3600000") % 24).cast("int"))
+    graft.sources.EventStore.withPartitionColumns(events)
       .writeStream
       .outputMode("append")
       .format("parquet")

@@ -66,6 +66,26 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 2L)), s"unrelated pair matched: $pairs")
   }
 
+  test("simhashPairs recall is complete up to maxDist (brute-force cross-check)") {
+    import org.apache.spark.sql.functions._
+    // every candidate pair the chunk join can possibly miss is caught
+    // by comparing against the exact all-pairs hamming computation
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text"))
+    val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (maxDist <- Seq(3, 8, 16)) {
+      val expected = (for {
+        (ia, sa) <- sims; (ib, sb) <- sims if ia < ib
+        if java.lang.Long.bitCount(sa ^ sb) <= maxDist
+      } yield (ia, ib)).toSet
+      val got = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = maxDist)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(got == expected,
+        s"maxDist=$maxDist: missed=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("ngram jaccard verification join scores planted pairs high") {
     import org.apache.spark.sql.functions._
     val withBlock = docs().withColumn("blk", lit(1))

@@ -115,6 +115,59 @@ class EventStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("dt/hour derivation is session-timezone independent (matches UTC)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 2024-01-01T01:30:00Z — in America/Los_Angeles this renders as
+    // 2023-12-31, so a date_format-based derivation would disagree
+    // with clearExpired's UTC partition math
+    val t = 1704072600000L
+    val df = Seq(t).toDF("time")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (tz <- Seq("UTC", "America/Los_Angeles", "Asia/Tokyo")) {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        val row = EventStore.withPartitionColumns(df)
+          .select(col("dt"), col("hour")).head
+        assert(row.getString(0) == "2024-01-01", s"dt wrong under $tz")
+        assert(row.getInt(1) == 1, s"hour wrong under $tz")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("no-op compact leaves the streaming metadata log in place") {
+    val dir = freshStore()
+    // simulate a streaming-sink store: plant a _spark_metadata dir
+    val meta = new java.io.File(dir, "_spark_metadata")
+    assert(meta.mkdir())
+    java.nio.file.Files.writeString(
+      new java.io.File(meta, "0").toPath, "{}")
+    val n = EventStore.compact(spark, dir, maxFilesPerPartition = 1000)
+    assert(n == 0)
+    assert(meta.exists(), "no-op compact must not detach the streaming sink")
+    // an actual compaction does drop it
+    val n2 = EventStore.compact(spark, dir, maxFilesPerPartition = 0)
+    assert(n2 > 0)
+    assert(!meta.exists())
+  }
+
+  test("no-op clearExpired (cutoff at/before the first partition) touches nothing") {
+    import org.apache.spark.sql.functions._
+    val dir = freshStore()
+    // read minT before planting the metadata dir (a bogus log would
+    // hijack the read path — which is exactly why a no-op must not
+    // touch a real one)
+    val minT = EventStore.read(spark, dir).agg(min(col("time"))).head.getLong(0)
+    val meta = new java.io.File(dir, "_spark_metadata")
+    assert(meta.mkdir())
+    // cutoff exactly at the earliest hour-partition start: nothing is
+    // strictly older, so neither drop nor boundary rewrite applies
+    val cutoff = (minT / 3600000L) * 3600000L
+    val dropped = EventStore.clearExpired(spark, dir, cutoff)
+    assert(dropped == 0)
+    assert(meta.exists(), "no-op sweep must not detach the streaming sink")
+  }
+
   test("clearExpired drops whole old partitions and rewrites the boundary hour") {
     import org.apache.spark.sql.functions._
     val dir = freshStore()

@@ -31,6 +31,25 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got(6L).contains(300L))
   }
 
+  test("priorCountInWindow: negative timestamps bucket by floor division") {
+    import spark.implicits._
+    val W = 100L
+    // probes and refs straddling zero; expected counts computed naively
+    val rights = Seq(-250L, -199L, -105L, -100L, -50L, -1L, 0L, 40L, 99L, 150L)
+    val lefts = Seq(-150L, -99L, -1L, 0L, 5L, 120L)
+    val right = rights.zipWithIndex
+      .map { case (ts, i) => (100L + i, "k", ts) }.toDF("event_id", "k", "us")
+    val left = lefts.zipWithIndex
+      .map { case (ts, i) => (i.toLong, "k", ts) }.toDF("event_id", "k", "us")
+    val expected = lefts.zipWithIndex.map { case (lts, i) =>
+      i.toLong -> rights.count(r => r >= lts - W && r < lts).toLong
+    }.toMap
+    val got = TemporalJoins.priorCountInWindow(left, right, "k", "us",
+      "event_id", W).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_prior")).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("priorCountInWindow: [ts-W, ts) bounds are exact") {
     import spark.implicits._
     val W = 100L
