@@ -36,8 +36,19 @@ object Bench {
       dt
     }
 
-    // warm-up: JIT, codegen cache, parquet footers
+    // warm-up: JIT, codegen cache, parquet footers — touch every
+    // source table once so the first measured query on each table
+    // reflects steady-state, not first-open I/O
     force("b2_agg")
+    graft.sources.Tables.all.foreach { t =>
+      // full decode (count() is satisfied from row-group metadata and
+      // would leave the column pages cold)
+      try graft.sources.Tables.load(spark, sfDir, t)
+        .write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $t: ${e.getMessage}")
+      }
+    }
 
     // optional args restrict the run (local profiling); the driver
     // passes none and gets the full registry

@@ -3,37 +3,32 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Sorted-layout pruning comparison (scratch main). */
+/** Profiling scratch main (contents change per investigation). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.model.EventAdapter
-    import graft.sources.{EventStore, Tables}
+    val sf = "/root/testdata/sf0.1"
 
-    val ke = EventAdapter.keycloakEvents(Tables.events(spark, "/root/testdata/sf0.01"))
-    val total = ke.count()
-
-    def scannedRows(dir: String): Long = {
-      val q = EventStore.read(spark, dir).filter(col("userid") === "user-7")
-      q.collect()
-      q.queryExecution.executedPlan.collectLeaves()
-        .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
-    val plain = java.nio.file.Files.createTempDirectory("plain_").toString
-    EventStore.write(ke, plain, maxRecordsPerFile = 50)
-    val sorted = java.nio.file.Files.createTempDirectory("sorted_").toString
-    EventStore.write(ke, sorted, maxRecordsPerFile = 50, sortWithin = Seq("userid"))
+    graft.sources.Tables.documents(spark, sf).count()
 
-    println(s"[e2e] total=$total plainScan=${scannedRows(plain)} sortedScan=${scannedRows(sorted)}")
-    val a = EventStore.read(spark, plain).filter(col("userid") === "user-7").count()
-    val b = EventStore.read(spark, sorted).filter(col("userid") === "user-7").count()
-    println(s"[e2e] results equal: ${a == b} (n=$a)")
+    for (q <- Seq("d13_corpus_filter", "d9_quality_score", "d10_token_count");
+         i <- 1 to 2)
+      time(s"$q $i") {
+        graft.queries.DBlock.queries(q)(spark, sf)
+          .write.mode("overwrite").format("noop").save()
+      }
     spark.stop()
   }
 }

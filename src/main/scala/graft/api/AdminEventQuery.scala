@@ -76,7 +76,10 @@ final class AdminEventQuery private (
         col("resourcetype").isin(resourceTypes: _*)),
       resourcePathValue.map(col("resourcepath") === _),
       fromTime.map(col("time") >= _),
-      toTime.map(col("time") <= _)
+      toTime.map(col("time") <= _),
+      // over an EventStore-backed frame the time range also implies
+      // dt/hour partition bounds → planning-time directory pruning
+      PartitionPruning.timeRangePredicate(events, fromTime, toTime)
     ).flatten
     conds.reduceOption(_ && _)
   }

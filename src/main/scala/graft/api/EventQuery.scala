@@ -76,7 +76,10 @@ final class EventQuery private (
       userId.map(col("userid") === _),
       ip.map(col("ipaddress") === _),
       fromTime.map(col("time") >= _),
-      toTime.map(col("time") <= _)
+      toTime.map(col("time") <= _),
+      // over an EventStore-backed frame the time range also implies
+      // dt/hour partition bounds → planning-time directory pruning
+      PartitionPruning.timeRangePredicate(events, fromTime, toTime)
     ).flatten
     conds.reduceOption(_ && _)
   }

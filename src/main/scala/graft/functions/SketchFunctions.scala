@@ -53,6 +53,91 @@ object SketchFunctions {
     * pass per marker. */
   def markerCounts(text: Column, markers: Seq[String]): Column =
     ub(MarkerCounts(x(text), markers))
+
+  /** struct(n_words, non_space, stop_n) — the quality-scoring base
+    * stats in one native pass (vs ~10 split/replace/regex passes when
+    * the SQL-arithmetic forms get inlined into every reference). */
+  def textStats(text: Column): Column = ub(TextStats(x(text)))
+}
+
+/** One-pass text statistics, bit-compatible with the SQL arithmetic
+  * the d9/d10/d13 DuckDB oracles use:
+  * - n_words  = size(split(trim(text), "\\s+", -1)), 0 when trim(text)
+  *   is empty. trim strips 0x20 only; \s is the ASCII class
+  *   [ \t\n\x0B\f\r]; split keeps leading/trailing empty tokens, so
+  *   the count is (whitespace runs) + 1.
+  * - non_space = length(replace(text, ' ', '')) — code points ≠ 0x20.
+  * - stop_n   = non-overlapping occurrences of " the " in
+  *   ' ' + lower(text) + ' ' (replace()-style left-to-right consume).
+  * All three are byte-wise loops: the classes involved are single
+  * ASCII bytes, which never appear inside UTF-8 continuation bytes.
+  */
+case class TextStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"TextStats requires string, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("non_space", IntegerType, nullable = false),
+    StructField("stop_n", IntegerType, nullable = false)))
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+
+    // n_words over space-trimmed text
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && bytes(lo) == ' ') lo += 1
+    while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
+    var nWords = 0
+    if (hi > lo) {
+      var runs = 0
+      var inWs = false
+      var i = lo
+      while (i < hi) {
+        val ws = isWs(bytes(i))
+        if (ws && !inWs) runs += 1
+        inWs = ws
+        i += 1
+      }
+      nWords = runs + 1
+    }
+
+    // non_space: code points that are not 0x20 (count UTF-8 lead bytes)
+    var nonSpace = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b != ' ' && (b & 0xC0) != 0x80) nonSpace += 1
+      i += 1
+    }
+
+    // stop_n: " the " in padded lowercased text, non-overlapping
+    val padded = (" " + s.toLowerCase.toString + " ").getBytes("UTF-8")
+    val pat = " the ".getBytes("UTF-8")
+    var stopN = 0
+    var p = 0
+    val limit = padded.length - pat.length
+    while (p <= limit) {
+      var j = 0
+      while (j < pat.length && padded(p + j) == pat(j)) j += 1
+      if (j == pat.length) { stopN += 1; p += pat.length } else p += 1
+    }
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, nonSpace, stopN))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** SimHash: per bit, sum +1/-1 votes from each token's xxhash64 bit,

@@ -54,6 +54,40 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Exact all-pairs cosine, block-decomposed — same results as
+    * [[cosinePairs]] (bit-equal cosines), restructured for scale.
+    *
+    * Vectors are grouped into id-range blocks of `blockSize`; every
+    * block pair (upper triangle incl. diagonal) is joined and a
+    * native kernel ([[graft.functions.BlockCosPairs]]) computes the
+    * whole B×B tile in one tight primitive loop, unpacking each
+    * block's vectors once per tile instead of once per pair. The
+    * shuffle/materialization cost drops from n²·dim (row-per-pair
+    * join) to n²·dim/B, and the tile kernel is where a real
+    * deployment would drop in a BLAS GEMM. Dot count is unchanged —
+    * exact all-pairs is inherently O(n²); this bounds the data
+    * movement around it. */
+  def cosinePairsBlocked(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      blockSize: Int = 256): DataFrame = {
+    val blocked = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        vecNorm(col(vecCol)).as("nrm"))
+      .withColumn("blk", expr(s"id DIV $blockSize"))
+      .groupBy(col("blk"))
+      .agg(sort_array(collect_list(struct(col("id"), col("v"), col("nrm"))))
+        .as("rows"))
+    blocked.as("a").join(blocked.as("b"), col("a.blk") <= col("b.blk"))
+      .select(explode(graft.functions.VectorFunctions.blockCosPairs(
+        col("a.rows"), col("b.rows"), col("a.blk") === col("b.blk"),
+        threshold)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.cos").as("cos"))
+  }
+
   /** Exact top-k neighbors for each query vector (excluding self).
     * Queries are broadcast; the corpus is scanned once, partitioned —
     * this shape holds at any corpus size a full scan can cover. */

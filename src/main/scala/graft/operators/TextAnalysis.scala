@@ -63,30 +63,42 @@ object TextAnalysis {
       .drop("__graft_mc")
   }
 
-  /** Whitespace token count. */
+  /** struct(n_words, non_space, stop_n) in ONE native pass —
+    * bit-compatible with the SQL-arithmetic forms the oracles use
+    * (see [[graft.functions.TextStats]]). Materialize it as a column
+    * (withColumn) when several downstream expressions read it, so the
+    * pass runs once per row instead of once per reference. */
+  def textStats(text: Column): Column =
+    graft.functions.SketchFunctions.textStats(text)
+
+  /** Whitespace token count (one native pass; equals
+    * size(split(trim(text), "\\s+")) with the empty-text guard). */
   def wsTokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, 0)
-      .otherwise(size(split(trim(text), "\\s+")))
+    textStats(text).getField("n_words")
 
   /** BPE-ish token count: runs of letters, runs of digits, and single
     * other non-space chars each count as one token. */
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
-  /** Quality score in [0,1]: blends normalized length, mean word
-    * length, and stopword presence. Deterministic double arithmetic,
-    * mirrored in the d9 oracle. */
-  def qualityScore(text: Column): Column = {
-    val nw = wsTokenCount(text).cast("double")
-    val nonSpace = length(replace(text, lit(" "), lit(""))).cast("double")
-    val meanWordLen = when(nw > 0, nonSpace / nw).otherwise(0.0)
-    val stop = occurrences(concat(lit(" "), lower(text), lit(" ")), " the ")
-      .cast("double")
+  /** Quality score in [0,1] from a materialized [[textStats]] struct:
+    * blends normalized length, mean word length, and stopword
+    * presence. Deterministic double arithmetic, mirrored in the d9
+    * oracle. */
+  def qualityFromStats(ts: Column): Column = {
+    val nw = ts.getField("n_words").cast("double")
+    val meanWordLen = when(nw > 0, ts.getField("non_space").cast("double") / nw)
+      .otherwise(0.0)
+    val stop = ts.getField("stop_n").cast("double")
     val lenScore = least(nw / 100.0, lit(1.0))
     val wordLenScore = when(meanWordLen.between(3.0, 8.0), 1.0).otherwise(0.5)
     val stopScore = least(stop / 5.0, lit(1.0))
     round(lenScore * 0.4 + wordLenScore * 0.4 + stopScore * 0.2, 4)
   }
+
+  /** Quality score directly from text — prefer [[qualityFromStats]]
+    * over a materialized stats column on hot paths. */
+  def qualityScore(text: Column): Column = qualityFromStats(textStats(text))
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): xxhash64
     * over char k-grams, minimum per sliding window of w, distinct

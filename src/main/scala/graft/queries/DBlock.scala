@@ -49,10 +49,12 @@ object DBlock {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
-    // D5: embedding cosine near-dup pairs (exact, oracle-checked).
+    // D5: embedding cosine near-dup pairs (exact, oracle-checked) —
+    // block-decomposed all-pairs scan; bit-equal to the row-per-pair
+    // baseline (SimilaritySpec cross-checks them).
     "d5_embed_neardup" -> ((s, d) =>
-      Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.4)
+      Similarity.cosinePairsBlocked(Tables.embeddings(s, d), "vec_id",
+        "embedding", threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -97,12 +99,14 @@ object DBlock {
         .drop("text")
         .orderBy(col("doc_id"))),
 
-    // D9: quality scoring (oracle-checked).
+    // D9: quality scoring (oracle-checked). The stats struct is
+    // materialized once; n_words and the quality blend read fields.
     "d9_quality_score" -> ((s, d) =>
       Tables.documents(s, d)
+        .withColumn("__ts", TextAnalysis.textStats(col("text")))
         .select(col("doc_id"),
-          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_words"),
-          TextAnalysis.qualityScore(col("text")).as("quality"))
+          col("__ts.n_words").cast("long").as("n_words"),
+          TextAnalysis.qualityFromStats(col("__ts")).as("quality"))
         .orderBy(col("doc_id"))),
 
     // D10: token counting, whitespace + BPE-ish regex (oracle-checked).
@@ -122,14 +126,18 @@ object DBlock {
         .orderBy(col("doc_id"))),
 
     // D13: composed corpus-curation filter — the end-to-end shape a
-    // training-data pipeline runs: token bounds + quality + lang-id
-    // in one single-scan, codegen'd pass (oracle-checked).
+    // training-data pipeline runs: token bounds + quality + lang-id in
+    // one scan with two native text passes (marker counts + stats);
+    // the pushed-down filter re-inlines the stats pass, but each
+    // evaluation is a single cheap loop, not the ~10 split/replace
+    // passes the SQL-arithmetic forms expanded to (oracle-checked).
     "d13_corpus_filter" -> ((s, d) =>
       TextAnalysis.withLangId(
         Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
+        .withColumn("__ts", TextAnalysis.textStats(col("text")))
         .select(col("doc_id"),
-          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_words"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
+          col("__ts.n_words").cast("long").as("n_words"),
+          TextAnalysis.qualityFromStats(col("__ts")).as("quality"),
           col("lang_pred"))
         .filter(col("n_words").between(20, 200) && col("quality") >= 0.5)
         .orderBy(col("doc_id"))),

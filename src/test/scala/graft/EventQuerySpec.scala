@@ -42,6 +42,38 @@ class EventQuerySpec extends AnyFunSuite {
       plan.take(1500))
   }
 
+  test("time range over an EventStore frame prunes dt/hour partitions") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_eq_store_").toString
+    graft.sources.EventStore.write(ke, dir)
+    val store = graft.sources.EventStore.read(spark, dir)
+
+    def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.sum
+    }
+
+    // 3-hour slice, mid-range
+    val f = 1704153600000L + 3600000L
+    val t = f + 3 * 3600000L - 1
+    val q = EventQuery(store).fromDate(f).toDate(t).orderByAscTime.toDF
+    // partition predicates appear as PartitionFilters in the scan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").trim.nonEmpty,
+      plan.take(2000))
+    // and the scan opens strictly fewer files than a full read
+    val total = numFiles(store.select(col("id")))
+    val pruned = numFiles(q)
+    assert(pruned < total, s"expected pruning: $pruned vs $total files")
+    // results identical to the plain row-filter semantics
+    val want = store.filter(col("time") >= f && col("time") <= t).count()
+    assert(q.count() == want && want > 0)
+  }
+
   test("typed results map to KeycloakEvent with null normalization") {
     val ds = EventQuery(ke).types("ERROR").maxResults(5).results(spark)
     val rows = ds.collect()

@@ -25,6 +25,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(pairs((2L, 3L)) - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("blocked all-pairs scan is bit-equal to the row-per-pair baseline") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("cos"))).toMap
+    val naive = pairsOf(Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4))
+    // small blockSize so the testdata spans many blocks (diagonal AND
+    // off-diagonal tiles both exercised)
+    val blocked = pairsOf(Similarity.cosinePairsBlocked(
+      emb, "vec_id", "embedding", 0.4, blockSize = 64))
+    assert(blocked.keySet == naive.keySet,
+      s"missing=${naive.keySet -- blocked.keySet} extra=${blocked.keySet -- naive.keySet}")
+    // bit-equal cosines: same accumulation order in both kernels
+    assert(naive.forall { case (k, v) => blocked(k) == v })
+  }
+
   test("brute-force top-k is exact and self-excluding") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, TestSpark.sf)
