@@ -146,12 +146,17 @@ object Similarity {
   /** IVF (inverted-file) ANN top-k — the clustered scale path.
     *
     * "Training": `nlist` centroids are sampled deterministically from
-    * the corpus (every n/nlist-th vector by id — IVF-flat with corpus
-    * -point centroids). Assignment: each vector joins the broadcast
-    * centroid table and keeps its argmax-cosine cell — one narrow
-    * shuffle, no driver-side collect. Queries probe their `nprobe`
-    * nearest cells and re-rank exactly within them, scanning roughly
-    * nprobe/nlist of the corpus.
+    * the corpus (every n/nlist-th vector by id), then optionally
+    * refined with `refineIters` spherical-k-means (Lloyd) steps: each
+    * corpus vector joins the broadcast centroid table, keeps its
+    * argmax-cosine cell, and cell means become the next centroids.
+    * Means are accumulated in FIXED-POINT (value·2²⁴ summed as long),
+    * so the result is exactly deterministic regardless of partition
+    * merge order — double summation would leak partition ordering
+    * into the centroids. Assignment/probing: one narrow shuffle, no
+    * driver-side collect; queries probe their `nprobe` nearest cells
+    * and re-rank exactly within them, scanning ~nprobe/nlist of the
+    * corpus.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -160,13 +165,43 @@ object Similarity {
       vecCol: String,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      refineIters: Int = 2): DataFrame = {
     val n = corpus.count()
     val step = math.max(n / nlist, 1L)
-    val centroids = corpus
+    val sampled = corpus
       .filter(col(idCol) % step === 0).limit(nlist)
       .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"),
         vecNorm(col(vecCol)).as("cnrm"))
+
+    // Lloyd refinement: assign → fixed-point mean per (cell, dim) →
+    // rebuild centroid vectors. Scale-wise this is the standard
+    // "train on a bounded set" loop: each iteration is one broadcast
+    // join + one (cell, dim)-keyed aggregation of the training set.
+    val Scale = (1L << 24).toDouble
+    var centroids = sampled
+    for (_ <- 1 to refineIters) {
+      val w = Window.partitionBy(col("__tid"))
+        .orderBy(col("__csim").desc, col("cell_id"))
+      val assigned = corpus
+        .select(col(idCol).as("__tid"), col(vecCol).as("__tv"))
+        .join(broadcast(centroids))
+        .withColumn("__csim",
+          vecDot(col("__tv"), col("cvec")) / (vecNorm(col("__tv")) * col("cnrm")))
+        .withColumn("__crank", row_number().over(w))
+        .filter(col("__crank") === 1)
+        .select(col("cell_id"), col("__tv"))
+      centroids = assigned
+        .select(col("cell_id"), posexplode(col("__tv")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(sum(round(col("col") * Scale).cast("long")).as("s"),
+          count(lit(1)).as("c"))
+        .withColumn("m", (col("s").cast("double") / col("c") / Scale).cast("float"))
+        .groupBy(col("cell_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)")
+          .as("cvec"))
+        .withColumn("cnrm", vecNorm(col("cvec")))
+    }
 
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(id))

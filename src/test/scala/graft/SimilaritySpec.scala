@@ -71,8 +71,13 @@ class SimilaritySpec extends AnyFunSuite {
       nlist = 16, nprobe = 4))
     val recall = (exact intersect approx).size.toDouble / exact.size
     // 4 of 16 cells probed → ~1/4 of the corpus; clustered vectors
-    // must land well above that
-    assert(recall > 0.4, s"recall=$recall")
+    // must land well above that (k-means refinement lifts sampled-
+    // centroid recall from ~0.50 to ~0.57 here)
+    assert(recall > 0.45, s"recall=$recall")
+    // refinement is exactly deterministic (fixed-point accumulation)
+    val again = pairsOf(Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 10,
+      nlist = 16, nprobe = 4))
+    assert(approx == again, "IVF with refinement must be deterministic")
   }
 
   test("LSH ANN achieves nontrivial recall vs brute force") {
