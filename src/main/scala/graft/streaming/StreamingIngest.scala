@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming ingest: JSON-lines → typed events →
@@ -78,5 +78,77 @@ object StreamingIngest {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .partitionBy("dt", "hour")
+      .start()
+
+  /** Batch-drain ingestion: process everything available on the
+    * source NOW (across as many micro-batches as needed), then stop —
+    * Trigger.AvailableNow. The scheduled-job deployment mode: each
+    * run resumes from the checkpoint with streaming exactly-once
+    * semantics but occupies the cluster only while there is backlog.
+    * Caller awaits termination. */
+  def drainAvailableNow(events: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    graft.sources.EventStore.withPartitionColumns(events)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("dt", "hour")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Upsert one KeycloakEvent-shaped batch into a dt/hour-partitioned
+    * store: rows with an id already present in an affected partition
+    * are REPLACED, new ids appended; only the partitions the batch
+    * touches are rewritten (dynamic partition overwrite — untouched
+    * hours never move). Idempotent: replaying the same batch yields
+    * the same store state, which is what makes [[toUpsertSink]] safe
+    * under at-least-once delivery AND checkpoint loss (the plain
+    * append sink is exactly-once only while its checkpoint survives).
+    */
+  def upsertBatch(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val withParts = graft.sources.EventStore.withPartitionColumns(batch)
+      .dropDuplicates("id")
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // an existing-but-empty directory is not a store yet
+      fs.exists(p) && fs.listStatus(p).nonEmpty
+    }
+    val merged = if (!exists) withParts else {
+      val affected = withParts.select(col("dt"), col("hour")).distinct()
+      // survivors: existing rows in affected partitions whose id is
+      // not superseded by the batch. localCheckpoint truncates the
+      // lineage so the overwrite below does not read its own target.
+      val survivors = spark.read.parquet(path)
+        .join(broadcast(affected), Seq("dt", "hour"), "left_semi")
+        .join(withParts.select(col("id")), Seq("id"), "left_anti")
+        .select(withParts.columns.map(col): _*)
+        .localCheckpoint(true)
+      withParts.unionByName(survivors)
+    }
+    val prevMode =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("dt", "hour").parquet(path)
+    finally prevMode match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Streaming upsert sink: [[upsertBatch]] per micro-batch via
+    * foreachBatch. Lands a plain hive-partitioned store (no streaming
+    * metadata log), deduplicated by event id even when the source
+    * replays — the reference's Firehose retry semantics made
+    * duplicate delivery a first-class concern. */
+  def toUpsertSink(events: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch((batch: DataFrame, _: Long) => upsertBatch(batch, path))
+      .option("checkpointLocation", checkpoint)
       .start()
 }

@@ -53,6 +53,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("AvailableNow drain processes the backlog then terminates") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val out = Files.createTempDirectory("graft_drain_out_").toString
+    val ckpt = Files.createTempDirectory("graft_drain_ckpt_").toString
+    val lines = jsonLines()
+
+    input.addData(lines.take(120))
+    val q1 = StreamingIngest.drainAvailableNow(
+      StreamingIngest.fromJsonLines(input.toDS()), out, ckpt)
+    assert(q1.awaitTermination(60000), "drain 1 did not terminate")
+    assert(spark.read.parquet(out).count() == 120)
+
+    // second drain resumes from the checkpoint: only the new backlog
+    input.addData(lines.drop(120))
+    val q2 = StreamingIngest.drainAvailableNow(
+      StreamingIngest.fromJsonLines(input.toDS()), out, ckpt)
+    assert(q2.awaitTermination(60000), "drain 2 did not terminate")
+    val landed = spark.read.parquet(out)
+    assert(landed.count() == lines.size)
+    assert(landed.select("id").distinct().count() == lines.size)
+  }
+
+  test("upsert sink replaces replayed ids and appends new ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[String](spark)
+    val out = Files.createTempDirectory("graft_upsert_out_").toString
+    val ckpt = Files.createTempDirectory("graft_upsert_ckpt_").toString
+    val t0 = 1704067200000L
+    def ev(id: String, err: String, t: Long) =
+      s"""{"id":"$id","type":"LOGIN","realmid":"r","userid":"u","time":$t,"error":"$err","detailsjson":"{}"}"""
+    val q = StreamingIngest.toUpsertSink(
+      StreamingIngest.fromJsonLines(input.toDS()), out, ckpt)
+    try {
+      input.addData(Seq(ev("e1", "v1", t0), ev("e2", "v1", t0 + 1000)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 2)
+      // replay e2 with a new payload + a new id in another hour
+      input.addData(Seq(ev("e2", "v2", t0 + 1000), ev("e3", "v1", t0 + 3600000L)))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+      assert(rows.count() == 3, "replayed id must not duplicate")
+      val e2 = rows.filter(col("id") === "e2").collect()
+      assert(e2.length == 1 && e2.head.getAs[String]("error") == "v2",
+        "replayed id must carry the latest payload")
+      // partitioned layout, no streaming metadata log (plain store)
+      val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      assert(dirs.nonEmpty && dirs.forall(_.getName.startsWith("dt=")))
+      assert(!new java.io.File(out, "_spark_metadata").exists())
+    } finally q.stop()
+  }
+
   test("windowed counts aggregate per hour and event type") {
     import spark.implicits._
     val input = MemoryStream[String](spark)
