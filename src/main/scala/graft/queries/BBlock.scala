@@ -286,6 +286,43 @@ object BBlock {
         .agg(round(sum(col("part_sum")), 4).as("sum_value"),
           sum(col("part_n")).as("n"))
         .orderBy(col("event_type"))
+    }),
+
+    // B20: pivot — order revenue cross-tabbed status × priority
+    // (explicit pivot values, so no extra distinct-values job and a
+    // stable schema; plans as a single conditional aggregate).
+    "b19_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .agg(round(sum(col("o_totalprice")), 4))
+        .withColumnRenamed("1-URGENT", "urgent")
+        .withColumnRenamed("2-HIGH", "high")
+        .withColumnRenamed("3-MEDIUM", "medium")
+        .withColumnRenamed("4-NOT SPECIFIED", "not_specified")
+        .withColumnRenamed("5-LOW", "low")
+        .orderBy(col("o_orderstatus"))),
+
+    // B21: mergeable distinct-count sketches (Apache DataSketches
+    // HLL) — the pre-aggregation pattern 100 TB pipelines live on:
+    // per-partition sketches are tiny, exactly mergeable (unlike the
+    // estimates themselves), and roll up without rescanning. Here:
+    // per-event-type user sketches + their union, estimates checked
+    // against exact counts in QueriesSpec (rows-only for the driver;
+    // estimates are deterministic but not SQL-derivable).
+    "b20_hll_mergeable" -> ((s, d) => {
+      val perType = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      perType
+        .select(col("event_type"),
+          hll_sketch_estimate(col("sk")).as("est_users"))
+        .unionAll(perType
+          .agg(hll_union_agg(col("sk")).as("merged"))
+          .select(lit("__all__").as("event_type"),
+            hll_sketch_estimate(col("merged")).as("est_users")))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -438,6 +475,15 @@ object BBlock {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
-        |  AND l_quantity < 24""".stripMargin
+        |  AND l_quantity < 24""".stripMargin,
+
+    "b19_pivot" ->
+      """SELECT o_orderstatus,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 4) AS urgent,
+        |  round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 4) AS high,
+        |  round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 4) AS medium,
+        |  round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 4) AS not_specified,
+        |  round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 4) AS low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

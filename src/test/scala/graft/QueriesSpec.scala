@@ -31,4 +31,54 @@ class QueriesSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("HLL sketches estimate within 5% and merge exactly (b20)") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, TestSpark.sf)
+    val est = SparkEntry.queries("b20_hll_mergeable")(spark, TestSpark.sf)
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("est_users"))
+      .toMap
+    // per-type and merged estimates within 5% of exact distinct counts
+    val exactPerType = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    val exactAll = ev.agg(countDistinct(col("user_id"))).head.getLong(0)
+    for ((t, n) <- exactPerType)
+      assert(math.abs(est(t) - n).toDouble / n < 0.05, s"$t: est=${est(t)} exact=$n")
+    assert(math.abs(est("__all__") - exactAll).toDouble / exactAll < 0.05)
+    // mergeability: union of per-type sketches == sketch of the union
+    val direct = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
+      .head.getLong(0)
+    assert(est("__all__") == direct,
+      "merged per-type sketches must equal the directly-built sketch")
+  }
+
+  test("pivot/unpivot round-trips the conditional aggregate (b19)") {
+    import org.apache.spark.sql.functions._
+    val pivoted = SparkEntry.queries("b19_pivot")(spark, TestSpark.sf)
+    // melt back to (status, priority_slug, revenue) and compare with
+    // the direct group-by
+    val melted = pivoted.unpivot(
+      Array(col("o_orderstatus")),
+      Array(col("urgent"), col("high"), col("medium"),
+        col("not_specified"), col("low")),
+      "prio", "revenue")
+      .filter(col("revenue").isNotNull)
+    val direct = graft.sources.Tables.orders(spark, TestSpark.sf)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 4).as("revenue"))
+    assert(melted.count() == direct.count())
+    val m = melted.collect()
+      .map(r => (r.getAs[String]("o_orderstatus"), r.getAs[String]("prio")) ->
+        r.getAs[Double]("revenue")).toMap
+    val slug = Map("1-URGENT" -> "urgent", "2-HIGH" -> "high",
+      "3-MEDIUM" -> "medium", "4-NOT SPECIFIED" -> "not_specified",
+      "5-LOW" -> "low")
+    direct.collect().foreach { r =>
+      val k = (r.getAs[String]("o_orderstatus"),
+        slug(r.getAs[String]("o_orderpriority")))
+      assert(m(k) == r.getAs[Double]("revenue"), s"mismatch at $k")
+    }
+  }
 }
