@@ -32,6 +32,8 @@ object CBlock {
   private val GapUs = 30L * 60 * 1000 * 1000
   /** 10-minute burst bucket, in microseconds. */
   private val BucketUs = 10L * 60 * 1000 * 1000
+  /** 10-minute interval-join lookback, in microseconds. */
+  private val IntervalUs = 10L * 60 * 1000 * 1000
 
   val queries: Map[String, Q] = Map(
     // C2: tumbling 1-hour window counts per event_type — the batch
@@ -92,6 +94,27 @@ object CBlock {
           max(unix_micros(col("tsu"))).as("end_us"))
         .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
         .orderBy(col("user_id"), col("start_us"))),
+
+    // C6: interval join — purchases joined to the same user's clicks
+    // in the preceding 10 minutes; the batch mirror of the
+    // stream-stream interval join (StreamOps.clickToPurchaseJoin,
+    // where the two-sided time bound is what keeps join state finite).
+    "c6_interval_join" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts DIV 1000").as("us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("us").as("c_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("us").as("p_us"))
+      purchases.join(clicks, Seq("user_id"))
+        .filter(col("c_us") >= col("p_us") - IntervalUs &&
+          col("c_us") < col("p_us"))
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          col("p_us"), col("c_us"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
 
     // C5: burst detection — 10-minute buckets per user where the
     // error count crosses the threshold (streaming: windowed agg +
@@ -169,6 +192,15 @@ object CBlock {
          |FROM events WHERE event_type = 'error'
          |GROUP BY user_id, (epoch_us(ts) // $BucketUs)
          |HAVING count(*) >= 2
-         |ORDER BY user_id, bucket_start_us""".stripMargin
+         |ORDER BY user_id, bucket_start_us""".stripMargin,
+
+    "c6_interval_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+         |SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         |  p.user_id AS user_id, p.us AS p_us, c.us AS c_us
+         |FROM e p JOIN e c ON p.user_id = c.user_id
+         |  AND c.us >= p.us - $IntervalUs AND c.us < p.us
+         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+         |ORDER BY purchase_id, click_id""".stripMargin
   )
 }

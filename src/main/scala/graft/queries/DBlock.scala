@@ -153,6 +153,21 @@ object DBlock {
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
 
+    // D15b: repetition scoring (Gopher-style dedup signal): token
+    // duplication fraction per document — high dup_frac is the
+    // classic boilerplate/spam marker a curation pipeline filters on
+    // (oracle-checked).
+    "d15_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          size(array_distinct(col("ws"))).cast("long").as("distinct_tokens"))
+        .withColumn("dup_frac",
+          round(lit(1.0) - col("distinct_tokens").cast("double") /
+            col("n_tokens"), 4))
+        .orderBy(col("doc_id"))),
+
     // D12: multimodal metadata over binary payload columns
     // (oracle-checked; decode stage spec-covered via decodeStub).
     "d12_multimodal_meta" -> ((s, d) =>
@@ -291,6 +306,14 @@ object DBlock {
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
         |  FROM documents) t
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "d15_repetition" ->
+      """SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) AS distinct_tokens,
+        |  round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS dup_frac
+        |FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "d12_multimodal_meta" ->
       """SELECT doc_id,

@@ -57,6 +57,32 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("realmid"),
         col("userid"), col("n_errors"))
 
+  /** Stream-stream interval join (C9): each PURCHASE event joins the
+    * same user's CLICK events from the preceding `windowMs`. Both
+    * sides carry watermarks and the join condition bounds event time
+    * on BOTH ends, so Spark can evict join state older than
+    * watermark − window on each side — state stays O(active window),
+    * never O(stream history). Works on a streaming or batch frame.
+    */
+  def clickToPurchaseJoin(events: DataFrame,
+      watermark: String = "30 minutes",
+      windowMs: Long = 10 * 60 * 1000L): DataFrame = {
+    val clicks = events.filter(col("eventtype") === "CLICK")
+      .select(col("userid").as("c_user"), col("id").as("click_id"),
+        timestamp_millis(col("time")).as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val purchases = events.filter(col("eventtype") === "PURCHASE")
+      .select(col("userid").as("p_user"), col("id").as("purchase_id"),
+        timestamp_millis(col("time")).as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMs MILLISECOND") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("userid"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Input row for sessionization (`ts` is the watermarked event-time
     * column — it must survive into the grouped Dataset or Spark
     * rejects the event-time timeout). */

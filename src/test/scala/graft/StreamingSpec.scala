@@ -106,6 +106,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with prior clicks") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val joined = StreamOps.clickToPurchaseJoin(
+      StreamingIngest.fromJsonLines(input.toDS()), windowMs = 600000L)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij").start()
+    try {
+      val t0 = 1704067200000L
+      def ev(id: String, typ: String, user: String, t: Long) =
+        s"""{"id":"$id","type":"$typ","realmid":"r","userid":"$user","time":$t,"detailsjson":"{}"}"""
+      input.addData(Seq(
+        ev("c1", "CLICK", "u1", t0),             // 5 min before → joins
+        ev("c2", "CLICK", "u1", t0 - 3600000L),  // 65 min before → outside window
+        ev("c3", "CLICK", "u2", t0),             // other user → no join
+        ev("p1", "PURCHASE", "u1", t0 + 300000L)))
+      q.processAllAvailable()
+      // advance both watermarks so state is evictable and output final
+      input.addData(Seq(
+        ev("c9", "CLICK", "u9", t0 + 7200000L),
+        ev("p9", "PURCHASE", "u9", t0 + 7200000L)))
+      q.processAllAvailable()
+      val got = spark.table("ij").collect()
+        .map(r => (r.getAs[String]("purchase_id"), r.getAs[String]("click_id")))
+      assert(got.toSet == Set(("p1", "c1")), s"got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("windowed counts aggregate per hour and event type") {
     import spark.implicits._
     val input = MemoryStream[String](spark)
