@@ -30,7 +30,8 @@ object PlanAudit {
         val bcast = count("BroadcastExchange")
         val smj = count("SortMergeJoin")
         val bhj = count("BroadcastHashJoin")
-        val codegen = count("WholeStageCodegen")
+        // codegen'd operators print with a "*(stageId)" prefix
+        val codegen = s.linesIterator.count(_.trim.matches("^[+:-]*\\s*\\*\\(\\d+\\).*"))
         println(f"$name%-24s scans=$scans pushed=$pushed shuffle=${shuffles - bcast} bcast=$bcast bhj=$bhj smj=$smj wsc=$codegen")
         if (detail.contains(name)) println(s)
       } catch {

@@ -13,25 +13,23 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.1"
     import graft.operators.Similarity
     import graft.sources.Tables
 
-    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
-      val emb = Tables.embeddings(spark, sf)
-      val queries = emb.filter(col("vec_id") < 20)
-      def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
-        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-      val exact = pairsOf(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10))
-      for (iters <- Seq(0, 1, 2, 3)) {
-        val approx = pairsOf(Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 10,
-          nlist = 16, nprobe = 4, refineIters = iters))
-        val recall = (exact intersect approx).size.toDouble / exact.size
-        println(f"[scratch] $sf iters=$iters recall=$recall%.3f")
-      }
-      // determinism: same call twice
-      val r1 = pairsOf(Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 10, 16, 4, 2))
-      val r2 = pairsOf(Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 10, 16, 4, 2))
-      println(s"[scratch] $sf deterministic=${r1 == r2}")
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    val emb = Tables.embeddings(spark, sf)
+    emb.write.mode("overwrite").format("noop").save()
+    // cold per refineIters (fresh plans each — new session would be
+    // cleaner but codegen cache is global anyway)
+    for (it <- Seq(0, 1, 2)) time(s"ivf cold iters=$it") {
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 50), emb, "vec_id",
+        "embedding", 10, 16, 4, refineIters = it)
+        .write.mode("overwrite").format("noop").save()
     }
     spark.stop()
   }

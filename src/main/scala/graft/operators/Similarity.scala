@@ -175,32 +175,45 @@ object Similarity {
         vecNorm(col(vecCol)).as("cnrm"))
 
     // Lloyd refinement: assign → fixed-point mean per (cell, dim) →
-    // rebuild centroid vectors. Scale-wise this is the standard
-    // "train on a bounded set" loop: each iteration is one broadcast
-    // join + one (cell, dim)-keyed aggregation of the training set.
+    // rebuild centroid vectors. Each iteration is one broadcast join
+    // + one (cell, dim)-keyed aggregation; the ≤nlist resulting
+    // centroid rows are pulled to the driver and re-broadcast (the
+    // canonical k-means loop — the pull is bounded by nlist, never by
+    // corpus size, and keeps each iteration's plan free of the
+    // previous one's lineage). Corpus norms are computed once below
+    // the join, not per (vector, centroid) row.
     val Scale = (1L << 24).toDouble
     var centroids = sampled
-    for (_ <- 1 to refineIters) {
-      val w = Window.partitionBy(col("__tid"))
-        .orderBy(col("__csim").desc, col("cell_id"))
-      val assigned = corpus
+    if (refineIters > 0) {
+      val spark = corpus.sparkSession
+      val training = corpus
         .select(col(idCol).as("__tid"), col(vecCol).as("__tv"))
-        .join(broadcast(centroids))
-        .withColumn("__csim",
-          vecDot(col("__tv"), col("cvec")) / (vecNorm(col("__tv")) * col("cnrm")))
-        .withColumn("__crank", row_number().over(w))
-        .filter(col("__crank") === 1)
-        .select(col("cell_id"), col("__tv"))
-      centroids = assigned
-        .select(col("cell_id"), posexplode(col("__tv")))
-        .groupBy(col("cell_id"), col("pos"))
-        .agg(sum(round(col("col") * Scale).cast("long")).as("s"),
-          count(lit(1)).as("c"))
-        .withColumn("m", (col("s").cast("double") / col("c") / Scale).cast("float"))
-        .groupBy(col("cell_id"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)")
-          .as("cvec"))
-        .withColumn("cnrm", vecNorm(col("cvec")))
+        .withColumn("__tn", vecNorm(col("__tv")))
+      for (_ <- 1 to refineIters) {
+        val w = Window.partitionBy(col("__tid"))
+          .orderBy(col("__csim").desc, col("cell_id"))
+        val assigned = training
+          .join(broadcast(centroids))
+          .withColumn("__csim",
+            vecDot(col("__tv"), col("cvec")) / (col("__tn") * col("cnrm")))
+          .withColumn("__crank", row_number().over(w))
+          .filter(col("__crank") === 1)
+          .select(col("cell_id"), col("__tv"))
+        val refined = assigned
+          .select(col("cell_id"), posexplode(col("__tv")))
+          .groupBy(col("cell_id"), col("pos"))
+          .agg(sum(round(col("col") * Scale).cast("long")).as("s"),
+            count(lit(1)).as("c"))
+          .withColumn("m", (col("s").cast("double") / col("c") / Scale).cast("float"))
+          .groupBy(col("cell_id"))
+          .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)")
+            .as("cvec"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        import spark.implicits._
+        centroids = refined.toSeq.toDF("cell_id", "cvec")
+          .withColumn("cnrm", vecNorm(col("cvec")))
+      }
     }
 
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
