@@ -304,6 +304,39 @@ object BBlock {
         .withColumnRenamed("5-LOW", "low")
         .orderBy(col("o_orderstatus"))),
 
+    // B22: correlated scalar subquery — suppliers above their
+    // nation's average balance. Catalyst decorrelates the subquery
+    // into an aggregate + join (no per-row re-execution, which is
+    // what makes the shape viable at scale).
+    "b21_correlated_sub" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      s.sql(
+        """SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+          |FROM supplier_v s
+          |WHERE s_acctbal > (SELECT avg(s2.s_acctbal) FROM supplier_v s2
+          |                   WHERE s2.s_nationkey = s.s_nationkey)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    // B23: RANGE-framed window — per order, revenue of the same
+    // customer's orders in the preceding 30 days (value-based frame,
+    // not row-based; the time-decayed-feature shape).
+    "b22_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_ts"))
+        .rangeBetween(-30L * 86400, -1)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          // sf0.001 stores o_orderdate as TIMESTAMP_NTZ; the cast is a
+          // no-op for TIMESTAMP and pins NTZ wall-time to the UTC
+          // session — same instants DuckDB's epoch() sees
+          unix_micros(col("o_orderdate").cast("timestamp"))
+            .divide(1000000L).cast("long").as("o_ts"))
+        .withColumn("prior_30d_revenue",
+          round(coalesce(sum(col("o_totalprice")).over(w), lit(0.0)), 4))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // B21: mergeable distinct-count sketches (Apache DataSketches
     // HLL) — the pre-aggregation pattern 100 TB pipelines live on:
     // per-partition sketches are tiny, exactly mergeable (unlike the
@@ -476,6 +509,21 @@ object BBlock {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "b21_correlated_sub" ->
+      """SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+        |FROM supplier s
+        |WHERE s_acctbal > (SELECT avg(s2.s_acctbal) FROM supplier s2
+        |                   WHERE s2.s_nationkey = s.s_nationkey)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "b22_range_frame" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS o_ts,
+        |  round(coalesce(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |    RANGE BETWEEN 2592000 PRECEDING AND 1 PRECEDING), 0), 4) AS prior_30d_revenue
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "b19_pivot" ->
       """SELECT o_orderstatus,
