@@ -32,6 +32,35 @@ class SketchPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TextStats equals the SQL-arithmetic forms on adversarial strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val alphabet = "ab .\t\n\r\fthe é世"
+    val cases = (1 to 120).map { i =>
+      val s =
+        if (i <= 4) Seq("", "   ", "\t", " the the ")(i - 1)
+        else (0 until rnd.nextInt(60))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      (i.toLong, s)
+    }
+    // SQL-arithmetic forms — exactly what the DuckDB oracles mirror
+    val df = cases.toDF("i", "t").select(col("i"),
+      SketchFunctions.textStats(col("t")).as("ts"),
+      when(length(trim(col("t"))) === 0, 0)
+        .otherwise(size(split(trim(col("t")), "\\s+"))).as("nw_sql"),
+      length(regexp_replace(col("t"), " ", "")).as("ns_sql"),
+      ((length(concat(lit(" "), lower(col("t")), lit(" "))) -
+        length(regexp_replace(concat(lit(" "), lower(col("t")), lit(" ")),
+          " the ", ""))) / 5).cast("int").as("st_sql"))
+    df.collect().foreach { r =>
+      val ts = r.getStruct(1)
+      assert(ts.getInt(0) == r.getInt(2),
+        s"n_words mismatch on ${cases(r.getLong(0).toInt - 1)._2.replace("\n", "\\n")}")
+      assert(ts.getInt(1) == r.getInt(3), s"non_space mismatch case ${r.getLong(0)}")
+      assert(ts.getInt(2) == r.getInt(4), s"stop_n mismatch case ${r.getLong(0)}")
+    }
+  }
+
   test("FloatVecDot equals scala double fold on random vectors") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

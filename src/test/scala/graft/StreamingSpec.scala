@@ -106,6 +106,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rate-source soak: continuous ingest lands a well-formed store") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft_rate_out_").toString
+    val ckpt = Files.createTempDirectory("graft_rate_ckpt_").toString
+    val t0 = 1704067200000L
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+    val events = rate.select(
+      col("value").cast("string").as("id"),
+      lit("LOGIN").as("eventtype"),
+      lit("r").as("realmid"), lit("R").as("realmname"),
+      lit("c").as("clientid"),
+      concat(lit("u"), (col("value") % 50).cast("string")).as("userid"),
+      lit("s").as("sessionid"), lit("ip").as("ipaddress"),
+      lit(null).cast("string").as("error"),
+      // spread synthetic event times across hours
+      (lit(t0) + col("value") * 60000L).as("time"),
+      lit("{}").as("detailsjson"))
+    val q = StreamingIngest.toPartitionedSink(events, out, ckpt)
+    try {
+      q.awaitTermination(5000) // soak
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(out)
+    assert(landed.count() > 0, "no rows landed during the soak")
+    assert(landed.columns.contains("dt") && landed.columns.contains("hour"))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .filterNot(_.getName.startsWith("_"))
+    assert(dirs.nonEmpty && dirs.forall(_.getName.startsWith("dt=")))
+  }
+
   test("stream-stream interval join pairs purchases with prior clicks") {
     import spark.implicits._
     val input = MemoryStream[String](spark)
