@@ -46,6 +46,21 @@ final class GraftEventStoreProvider(
     StreamingIngest.toPartitionedSink(
       StreamingIngest.fromJsonLines(jsonLines), eventsPath, checkpoint)
 
+  /** Drain the source's current backlog into the store, then stop
+    * (Trigger.AvailableNow) — the scheduled-ingest deployment mode.
+    * Caller awaits termination. */
+  def drainBacklog(jsonLines: Dataset[String], checkpoint: String): StreamingQuery =
+    StreamingIngest.drainAvailableNow(
+      StreamingIngest.fromJsonLines(jsonLines), eventsPath, checkpoint)
+
+  /** Attach the source with UPSERT semantics: replayed event ids
+    * replace their earlier copies instead of duplicating — safe under
+    * at-least-once delivery (the reference's Firehose retries) even
+    * across checkpoint loss. */
+  def startIngestUpsert(jsonLines: Dataset[String], checkpoint: String): StreamingQuery =
+    StreamingIngest.toUpsertSink(
+      StreamingIngest.fromJsonLines(jsonLines), eventsPath, checkpoint)
+
   /** Fluent user-event query over the store (EventQuery semantics of
     * AthenaEventQuery.java). */
   def createQuery(): EventQuery = EventQuery(events)

@@ -120,13 +120,22 @@ object StreamingIngest {
     val merged = if (!exists) withParts else {
       val affected = withParts.select(col("dt"), col("hour")).distinct()
       // survivors: existing rows in affected partitions whose id is
-      // not superseded by the batch. localCheckpoint truncates the
-      // lineage so the overwrite below does not read its own target.
+      // not superseded by the batch. localCheckpoint is EAGER — the
+      // survivors are materialized before anything below mutates the
+      // store, and the overwrite does not read its own target.
       val survivors = spark.read.parquet(path)
         .join(broadcast(affected), Seq("dt", "hour"), "left_semi")
         .join(withParts.select(col("id")), Seq("id"), "left_anti")
         .select(withParts.columns.map(col): _*)
         .localCheckpoint(true)
+      // a store previously fed by the APPEND streaming sink carries a
+      // _spark_metadata log; the partition rewrite below invalidates
+      // it (it would reference replaced files), so drop it and let
+      // readers fall back to partition discovery — same contract as
+      // EventStore.compact/clearExpired
+      val metadataLog = new org.apache.hadoop.fs.Path(path, "_spark_metadata")
+      val fs = metadataLog.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(metadataLog)) fs.delete(metadataLog, true)
       withParts.unionByName(survivors)
     }
     val prevMode =
