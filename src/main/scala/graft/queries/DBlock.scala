@@ -168,6 +168,24 @@ object DBlock {
             col("n_tokens"), 4))
         .orderBy(col("doc_id"))),
 
+    // D16: canonicalization for dedup — lowercase, numbers → <num>,
+    // emails → <email>, whitespace squashed; the normalize-then-hash
+    // front door of every exact-dedup pass (oracle-checked: Spark and
+    // DuckDB run the same RE2-compatible regexes).
+    "d16_canonicalize" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_nums"),
+          regexp_count(col("text"),
+            lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+            .cast("long").as("n_emails"),
+          md5(trim(regexp_replace(regexp_replace(regexp_replace(
+            lower(col("text")),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<email>"),
+            "[0-9]+", "<num>"),
+            "\\s+", " "))).as("canon_hash"))
+        .orderBy(col("doc_id"))),
+
     // D12: multimodal metadata over binary payload columns
     // (oracle-checked; decode stage spec-covered via decodeStub).
     "d12_multimodal_meta" -> ((s, d) =>
@@ -306,6 +324,17 @@ object DBlock {
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
         |  FROM documents) t
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "d16_canonicalize" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  md5(trim(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(text),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+        |    '[0-9]+', '<num>', 'g'),
+        |    '\s+', ' ', 'g'))) AS canon_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d15_repetition" ->
       """SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,

@@ -68,9 +68,18 @@ object EventStore {
       .parquet(path)
   }
 
-  /** Read the store; time predicates prune dt/hour partitions. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** Read the store; time predicates prune dt/hour partitions.
+    *
+    * `mergeSchema = true` reconciles files written with different
+    * (compatible) schemas — an event store accretes attributes over
+    * its lifetime, and old partitions must stay readable, surfacing
+    * null for columns that postdate them. Off by default: schema
+    * merging opens every file footer, which is the expensive part of
+    * planning on a large store. */
+  def read(spark: SparkSession, path: String,
+      mergeSchema: Boolean = false): DataFrame =
+    if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(path)
+    else spark.read.parquet(path)
 
   /** Compact fragmented partitions: any hour directory with more than
     * `maxFilesPerPartition` data files is rewritten as a single file

@@ -115,6 +115,24 @@ class EventStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: old partitions readable after a column is added") {
+    import org.apache.spark.sql.functions._
+    val dir = freshStore()
+    // later deployment logs an extra attribute
+    val evolved = EventAdapter.keycloakEvents(Tables.events(spark, TestSpark.sf))
+      .limit(100)
+      .withColumn("time", col("time") + 30L * 86400000L) // lands in new partitions
+      .withColumn("devicetype", lit("mobile"))
+    EventStore.write(evolved, dir)
+    val all = EventStore.read(spark, dir, mergeSchema = true)
+    assert(all.columns.contains("devicetype"))
+    val n = Tables.events(spark, TestSpark.sf).count()
+    assert(all.count() == n + 100)
+    // pre-evolution rows surface null, evolved rows their value
+    assert(all.filter(col("devicetype").isNull).count() == n)
+    assert(all.filter(col("devicetype") === "mobile").count() == 100)
+  }
+
   test("dt/hour derivation is session-timezone independent (matches UTC)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
