@@ -168,6 +168,17 @@ object DBlock {
             col("n_tokens"), 4))
         .orderBy(col("doc_id"))),
 
+    // D18: deterministic hash sampling — reproducible corpus subsets
+    // keyed on md5(doc_id), so the same documents are selected on any
+    // cluster, any partitioning, any run (seeded rand() is none of
+    // those). The standard way to carve held-out / eval slices from
+    // a 100 TB corpus without a shuffle (oracle-checked).
+    "d17_hash_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // D16: canonicalization for dedup — lowercase, numbers → <num>,
     // emails → <email>, whitespace squashed; the normalize-then-hash
     // front door of every exact-dedup pass (oracle-checked: Spark and
@@ -324,6 +335,11 @@ object DBlock {
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
         |  FROM documents) t
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "d17_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        |ORDER BY doc_id""".stripMargin,
 
     "d16_canonicalize" ->
       """SELECT doc_id,

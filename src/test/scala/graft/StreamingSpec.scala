@@ -53,6 +53,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("malformed JSON lines land as null rows, not failures") {
+    import spark.implicits._
+    // the reference logs-and-continues on serialization trouble
+    // (FirehoseEventStoreProvider.java:126-131); PERMISSIVE parsing is
+    // the streaming analog — a poison line must not kill the query
+    val lines = Seq(
+      """{"id":"ok1","type":"LOGIN","realmid":"r","userid":"u","time":1704067200000,"detailsjson":"{}"}""",
+      """this is not json at all""",
+      """{"id":"ok2","type":"LOGIN","time":"not-a-number"}""")
+    val parsed = StreamingIngest.fromJsonLines(lines.toDS()).collect()
+    assert(parsed.length == 3, "every line must produce a row")
+    assert(parsed.count(_.getAs[String]("id") == "ok1") == 1)
+    assert(parsed.count(r => r.getAs[String]("id") == null) >= 1,
+      "garbage line must yield a null row")
+  }
+
   test("AvailableNow drain processes the backlog then terminates") {
     import spark.implicits._
     val input = MemoryStream[String](spark)
