@@ -122,15 +122,27 @@ object EventStore {
     val metadataLog = new Path(root, "_spark_metadata")
     if (fs.exists(metadataLog)) fs.delete(metadataLog, true)
 
+    // ONE job rewrites every oversized partition: read exactly those
+    // hour directories (basePath keeps dt/hour as columns), cluster
+    // one task per partition value, land under a dot-prefixed temp
+    // root invisible to discovery, then swap directory by directory.
+    // A per-partition loop would cost one Spark job each — O(minutes
+    // of pure scheduling) on a store with thousands of fragmented
+    // hours; this is O(1) jobs regardless of partition count.
+    val tmpRoot = new Path(root, ".compact_tmp")
+    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+    spark.read.option("basePath", path)
+      .parquet(oversized.map(_.toString): _*)
+      .repartition(col("dt"), col("hour"))
+      .write.partitionBy("dt", "hour").parquet(tmpRoot.toString)
+
     for (part <- oversized) {
-      val tmp = new Path(part.getParent, "." + part.getName + ".compact")
-      val rows = spark.read.parquet(part.toString).coalesce(1).cache()
-      rows.count() // materialize before the swap
-      rows.write.mode("overwrite").parquet(tmp.toString)
-      rows.unpersist()
+      val dtName = part.getParent.getName
+      val tmpPart = new Path(new Path(tmpRoot, dtName), part.getName)
       fs.delete(part, true)
-      fs.rename(tmp, part)
+      fs.rename(tmpPart, part)
     }
+    fs.delete(tmpRoot, true)
     oversized.length
   }
 
