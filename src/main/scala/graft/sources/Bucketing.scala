@@ -32,4 +32,23 @@ object Bucketing {
       .saveAsTable(table)
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Event-store layout for user-centric workloads: dt/hour PARTITIONS
+    * (time-range directory pruning, like [[EventStore.write]]) plus
+    * userid BUCKETS inside each partition — per-user aggregations,
+    * sessionization, and event↔event self-joins on userid read
+    * pre-clustered buckets instead of shuffling the fact table each
+    * query. The write pays the one-time shuffle the queries skip. */
+  def writeBucketedEvents(
+      events: DataFrame,
+      table: String,
+      numBuckets: Int = 8): Unit =
+    EventStore.withPartitionColumns(events)
+      .write
+      .mode("overwrite")
+      .format("parquet")
+      .partitionBy("dt", "hour")
+      .bucketBy(numBuckets, "userid")
+      .sortBy("userid")
+      .saveAsTable(table)
 }

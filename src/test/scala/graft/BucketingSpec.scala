@@ -55,4 +55,35 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("bucketed event store: per-user agg shuffles nothing, time still prunes") {
+    import org.apache.spark.sql.functions._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val ke = graft.model.EventAdapter.keycloakEvents(
+        Tables.events(spark, TestSpark.sf))
+      Bucketing.writeBucketedEvents(ke, "ev_bucketed", numBuckets = 4)
+      val store = Bucketing.read(spark, "ev_bucketed")
+
+      // per-user aggregation over bucketed layout: zero Exchange
+      val perUser = store.groupBy(col("userid"))
+        .agg(count(lit(1)).as("n"), max(col("time")).as("last_time"))
+      val aggPlan = perUser.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        s"per-user agg must read buckets shuffle-free:\n$aggPlan")
+      assert(perUser.count() == ke.select("userid").distinct().count())
+
+      // partition pruning still applies on top of bucketing
+      val pruned = store.filter(col("dt") === "2024-01-02" && col("hour") === 5)
+      val prunedPlan = pruned.queryExecution.executedPlan.toString
+      assert(prunedPlan.contains("PartitionFilters: ["), prunedPlan.take(1500))
+      assert(pruned.count() ==
+        graft.sources.EventStore.withPartitionColumns(ke)
+          .filter(col("dt") === "2024-01-02" && col("hour") === 5).count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+    }
+  }
 }
