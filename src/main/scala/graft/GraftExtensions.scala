@@ -39,10 +39,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(array<float>, array<float>) - double dot product"),
       (args: Seq[Expression]) => FloatVecDot(args.head, args(1))))
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(array<string>, k) - distinct word k-shingles"),
+      (args: Seq[Expression]) => WordShingles(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("marker_counts"),
+      info("marker_counts", "marker_counts(text, marker...) - occurrence count per marker"),
+      (args: Seq[Expression]) => MarkerCounts(args.head,
+        args.tail.map(_.eval().toString))))
+    e.injectFunction((FunctionIdentifier("text_stats"),
+      info("text_stats", "text_stats(text) - struct(n_words, non_space, stop_n)"),
+      (args: Seq[Expression]) => TextStats(args.head)))
+    e.injectFunction((FunctionIdentifier("block_cos_pairs"),
+      info("block_cos_pairs",
+        "block_cos_pairs(blockA, blockB, sameBlock, threshold) - above-threshold cosine pairs of two vector blocks"),
+      (args: Seq[Expression]) => BlockCosPairs(args.head, args(1), args(2),
+        toDouble(args(3).eval()))))
   }
 }
 
 object GraftExtensions {
+  /** SQL numeric literals arrive as Decimal, not java.lang.Number. */
+  private[graft] def toDouble(v: Any): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+  }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
@@ -64,5 +86,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => JaccardSortedLong(args.head, args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot",
       (args: Seq[Expression]) => FloatVecDot(args.head, args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingles",
+      (args: Seq[Expression]) => WordShingles(args.head,
+        args(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("marker_counts",
+      (args: Seq[Expression]) => MarkerCounts(args.head,
+        args.tail.map(_.eval().toString)), "scala_udf")
+    reg.createOrReplaceTempFunction("text_stats",
+      (args: Seq[Expression]) => TextStats(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("block_cos_pairs",
+      (args: Seq[Expression]) => BlockCosPairs(args.head, args(1), args(2),
+        toDouble(args(3).eval())), "scala_udf")
   }
 }

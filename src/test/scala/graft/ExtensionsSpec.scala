@@ -27,6 +27,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(row.getAs[Double]("dot") - 11.0) < 1e-12)
   }
 
+  test("round-2 functions are callable from SQL") {
+    GraftExtensions.registerTemp(spark)
+    val row = spark.sql(
+      """SELECT
+        |  size(word_shingles(array('a', 'b', 'c', 'd'), 3)) AS n_sh,
+        |  marker_counts('the cat and the dog', ' the ', ' cat ') AS mc,
+        |  text_stats('hello  world the end').n_words AS nw,
+        |  text_stats('hello  world the end').stop_n AS st,
+        |  size(block_cos_pairs(
+        |    array(struct(1L AS id, array(cast(1.0 as float)) AS v, cast(1.0 as double) AS nrm)),
+        |    array(struct(2L AS id, array(cast(1.0 as float)) AS v, cast(1.0 as double) AS nrm)),
+        |    false, 0.5)) AS n_pairs
+        |""".stripMargin).head()
+    assert(row.getAs[Int]("n_sh") == 2)
+    assert(row.getAs[scala.collection.Seq[Int]]("mc") == Seq(2, 1))
+    assert(row.getAs[Int]("nw") == 4)
+    assert(row.getAs[Int]("st") == 1)
+    assert(row.getAs[Int]("n_pairs") == 1)
+  }
+
   test("SQL simhash agrees with the operator API") {
     import org.apache.spark.sql.functions._
     GraftExtensions.registerTemp(spark)
