@@ -337,6 +337,21 @@ object BBlock {
         .orderBy(col("o_orderkey"))
     }),
 
+    // B24: outer-join distribution (TPC-H Q13 shape) — LEFT OUTER
+    // preserving customers with zero orders, then a second aggregate
+    // over the counts. Exercises null-preserving joins + aggregating
+    // an aggregate, the classic "customer distribution" report.
+    "b23_outer_distribution" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"))
+      val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
     // B21: mergeable distinct-count sketches (Apache DataSketches
     // HLL) — the pre-aggregation pattern 100 TB pipelines live on:
     // per-partition sketches are tiny, exactly mergeable (unlike the
@@ -509,6 +524,13 @@ object BBlock {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "b23_outer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "b21_correlated_sub" ->
       """SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
