@@ -36,6 +36,36 @@ object TemporalJoins {
       .filter(probeWhen)
   }
 
+  /** Two-table as-of join: every probe row gains `asof_ts` — the
+    * greatest ref timestamp strictly before its own (per key), null
+    * when no ref precedes. Front door over [[asOfPrior]]: tags both
+    * sides, unions them into ONE key-partitioned frame, and computes
+    * the lookup as a running windowed max — one shuffle, one sort, no
+    * join operator, which is the shape that survives a fact-sized ref
+    * side (a join would shuffle both tables AND risk skew on hot
+    * keys; the union sorts each key partition once).
+    *
+    * Probe columns are preserved; ref rows contribute only their
+    * timestamps. Ties on (ts) break by rowId: a ref row at the same
+    * (ts, rowId-ordering) BEFORE the probe row counts as prior.
+    */
+  def asOfJoin(
+      probe: DataFrame,
+      ref: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rowIdCol: String): DataFrame = {
+    val probeCols = probe.columns
+    val tagged = probe.withColumn("__is_probe", lit(true))
+      .unionByName(
+        ref.select(col(keyCol), col(tsCol), col(rowIdCol))
+          .withColumn("__is_probe", lit(false)),
+        allowMissingColumns = true)
+    asOfPrior(tagged, col(keyCol), col(tsCol), col(rowIdCol),
+      probeWhen = col("__is_probe"), refWhen = !col("__is_probe"))
+      .select(probeCols.map(col) :+ col("asof_ts"): _*)
+  }
+
   /** Floor division (rounds toward -∞, unlike DIV's truncation toward
     * zero): keeps adjacent buckets aligned for negative timestamps
     * too. `x - pmod(x, d)` is exactly divisible by d, so DIV on it is

@@ -31,6 +31,29 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got(6L).contains(300L))
   }
 
+  test("asOfJoin: two-table front door matches the tagged-union core") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val probe = Seq(
+      (2L, "u1", 100L, "p-a"), (3L, "u1", 200L, "p-b"),
+      (4L, "u2", 50L, "p-c"), (6L, "u1", 300L, "p-d")
+    ).toDF("id", "k", "ts", "payload")
+    val ref = Seq(
+      (1L, "u1", 100L), (5L, "u1", 300L), (9L, "u3", 10L)
+    ).toDF("id", "k", "ts")
+    val got = TemporalJoins.asOfJoin(probe, ref, "k", "ts", "id")
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Long]("asof_ts")).map(_.toLong)).toMap
+    assert(got(2L).contains(100L)) // same-ts ref with smaller id is prior
+    assert(got(3L).contains(100L))
+    assert(got(4L).isEmpty)        // no ref for u2
+    assert(got(6L).contains(300L)) // ref id 5 at same ts is prior
+    // probe payload columns survive
+    val cols = TemporalJoins.asOfJoin(probe, ref, "k", "ts", "id").columns.toSeq
+    assert(cols == Seq("id", "k", "ts", "payload", "asof_ts"))
+  }
+
   test("priorCountInWindow: negative timestamps bucket by floor division") {
     import spark.implicits._
     val W = 100L
