@@ -58,6 +58,22 @@ object SketchFunctions {
     * stats in one native pass (vs ~10 split/replace/regex passes when
     * the SQL-arithmetic forms get inlined into every reference). */
   def textStats(text: Column): Column = ub(TextStats(x(text)))
+
+  /** Bloom filter aggregate over a long column (Spark's internal
+    * BloomFilterAggregate — the expression behind adaptive runtime
+    * filtering, not registered as a public SQL function; surfaced
+    * here for EXPLICIT cross-pipeline pre-filters). */
+  def bloomFilterAgg(c: Column, estimatedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    ub(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      x(c), Literal(estimatedItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  /** Membership probe against a [[bloomFilterAgg]] result. May return
+    * false positives, never false negatives. */
+  def mightContain(bloom: Column, value: Column): Column =
+    ub(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      x(bloom), x(value)))
 }
 
 /** One-pass text statistics, bit-compatible with the SQL arithmetic

@@ -352,6 +352,33 @@ object BBlock {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
+    // B25: explicit bloom-filter runtime pre-filter — build a bloom
+    // over the small side's join keys, drop non-matching fact rows
+    // BEFORE the join shuffle. False positives only cost the exact
+    // join a little extra input, never wrong output, so the result is
+    // oracle-checked as a plain join. (Spark's adaptive runtime
+    // filtering does this automatically between stages; the explicit
+    // form works across pipelines/jobs, e.g. persisted daily blooms.)
+    "b24_bloom_join" -> ((s, d) => {
+      val ord = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      // the built bloom is ONE ~10 KB binary value: pull it and embed
+      // it as a literal (might_contain requires a constant filter —
+      // this is also how a persisted cross-job bloom would be used)
+      val bf = ord.agg(graft.functions.SketchFunctions
+        .bloomFilterAgg(col("o_orderkey"), 10000L, 80000L).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val prefiltered = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .filter(graft.functions.SketchFunctions
+          .mightContain(lit(bf), col("l_orderkey")))
+      prefiltered.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // B21: mergeable distinct-count sketches (Apache DataSketches
     // HLL) — the pre-aggregation pattern 100 TB pipelines live on:
     // per-partition sketches are tiny, exactly mergeable (unlike the
@@ -524,6 +551,13 @@ object BBlock {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "b24_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 300000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "b23_outer_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (

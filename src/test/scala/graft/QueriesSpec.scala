@@ -54,6 +54,45 @@ class QueriesSpec extends AnyFunSuite {
       "merged per-type sketches must equal the directly-built sketch")
   }
 
+  test("count-min sketch bounds heavy-hitter counts (never under, small over)") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select(col("event_type"))
+    val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    val cms = ev.stat.countMinSketch("event_type", eps = 0.001,
+      confidence = 0.99, seed = 42)
+    exact.foreach { case (t, n) =>
+      val est = cms.estimateCount(t)
+      assert(est >= n, s"CMS must never undercount: $t est=$est exact=$n")
+      assert(est <= n + (0.001 * total).toLong + 1,
+        s"CMS overcount beyond eps bound: $t est=$est exact=$n")
+    }
+  }
+
+  test("bloom pre-filter passes every true match (b24 pre-join input)") {
+    import org.apache.spark.sql.functions._
+    val ord = graft.sources.Tables.orders(spark, TestSpark.sf)
+      .filter(col("o_totalprice") > 300000.0).select(col("o_orderkey"))
+    val bf = ord.agg(graft.functions.SketchFunctions
+      .bloomFilterAgg(col("o_orderkey"), 10000L, 80000L).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val li = graft.sources.Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_orderkey"))
+    val kept = li.filter(graft.functions.SketchFunctions
+      .mightContain(lit(bf), col("l_orderkey")))
+    // no false negatives: every lineitem that truly joins survives
+    val trueMatches = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .count()
+    val keptMatches = kept.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(keptMatches == trueMatches)
+    // and the filter actually prunes (false-positive rate is low)
+    assert(kept.count() < li.count(),
+      "bloom pre-filter should drop non-matching rows")
+  }
+
   test("pivot/unpivot round-trips the conditional aggregate (b19)") {
     import org.apache.spark.sql.functions._
     val pivoted = SparkEntry.queries("b19_pivot")(spark, TestSpark.sf)
