@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the scale design lives or dies on
+  * physical-plan properties (pushdown reaching the scan, dims being
+  * broadcast, partial aggregation, no accidental cartesian/row-pair
+  * joins). PlanAudit prints these for eyeballing; this spec makes the
+  * key ones failing assertions so a refactor can't silently regress
+  * them.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+
+  private def count(p: String, tag: String): Int =
+    p.linesIterator.count(_.contains(tag))
+
+  test("b1: filter and projection reach the parquet scan") {
+    val p = plan("b1_pushdown_scan")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p.take(1500))
+    // 5-column scan (4 projected + filter col) of an 11-column table
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(scanCols.nonEmpty && scanCols.split(",").length <= 5,
+      s"scan reads too many columns: $scanCols")
+  }
+
+  test("b4b: every dim join broadcasts, none degrades to sort-merge") {
+    val p = plan("b4b_join_region")
+    assert(count(p, "BroadcastHashJoin") == 5, p.take(2000))
+    assert(count(p, "SortMergeJoin") == 0, "dim join fell back to SMJ")
+  }
+
+  test("b2: aggregation is two-phase (map-side partial)") {
+    val p = plan("b2_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      s"no partial aggregation in plan:\n${p.take(2000)}")
+  }
+
+  test("d2: banding join carries only narrow rows, sets re-join by id") {
+    val p = plan("d2_dedup_minhash")
+    // candidate generation must be an equi-join (hash-based), never a
+    // nested-loop pair enumeration
+    assert(count(p, "BroadcastNestedLoopJoin") == 0,
+      s"minhash candidates degenerated to a pair join:\n${p.take(2000)}")
+  }
+
+  test("d5: blocked scan plans the tile kernel, not a row-per-pair join") {
+    val p = plan("d5_embed_neardup")
+    assert(p.toLowerCase.contains("blockcospairs"),
+      s"blocked kernel missing from plan:\n${p.take(2000)}")
+  }
+
+  test("a6: paged time-range query needs no full-plan shuffle") {
+    // orderBy+offset+limit collapses to TakeOrderedAndProject — no
+    // Exchange means no global sort of the store
+    val p = plan("a6_event_query_paging")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+}
