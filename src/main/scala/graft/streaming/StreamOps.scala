@@ -66,7 +66,8 @@ object StreamOps {
     */
   def clickToPurchaseJoin(events: DataFrame,
       watermark: String = "30 minutes",
-      windowMs: Long = 10 * 60 * 1000L): DataFrame = {
+      windowMs: Long = 10 * 60 * 1000L,
+      joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("eventtype") === "CLICK")
       .select(col("userid").as("c_user"), col("id").as("click_id"),
         timestamp_millis(col("time")).as("c_ts"))
@@ -75,10 +76,15 @@ object StreamOps {
       .select(col("userid").as("p_user"), col("id").as("purchase_id"),
         timestamp_millis(col("time")).as("p_ts"))
       .withWatermark("p_ts", watermark)
+    // "left_outer": purchases with NO prior click still emit (null
+    // click columns) once the watermark proves no match can arrive —
+    // the attribution-report shape where unattributed conversions
+    // must appear too
     purchases.join(clicks,
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMs MILLISECOND") &&
-        col("c_ts") < col("p_ts"))
+        col("c_ts") < col("p_ts"),
+      joinType)
       .select(col("purchase_id"), col("click_id"), col("p_user").as("userid"),
         col("p_ts"), col("c_ts"))
   }

@@ -181,6 +181,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unattributed purchases after watermark") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val joined = StreamOps.clickToPurchaseJoin(
+      StreamingIngest.fromJsonLines(input.toDS()), windowMs = 600000L,
+      joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("oj").start()
+    try {
+      val t0 = 1704067200000L
+      def ev(id: String, typ: String, user: String, t: Long) =
+        s"""{"id":"$id","type":"$typ","realmid":"r","userid":"$user","time":$t,"detailsjson":"{}"}"""
+      input.addData(Seq(
+        ev("c1", "CLICK", "u1", t0),
+        ev("p1", "PURCHASE", "u1", t0 + 300000L), // attributed to c1
+        ev("p2", "PURCHASE", "u2", t0 + 300000L)  // no click at all
+      ))
+      q.processAllAvailable()
+      // push both watermarks far enough that p2's null row finalizes
+      input.addData(Seq(
+        ev("c9", "CLICK", "u9", t0 + 7200000L),
+        ev("p9", "PURCHASE", "u9", t0 + 7200000L)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        ev("c10", "CLICK", "u9", t0 + 10800000L),
+        ev("p10", "PURCHASE", "u9", t0 + 10800000L)))
+      q.processAllAvailable()
+      val got = spark.table("oj").collect()
+        .map(r => r.getAs[String]("purchase_id") ->
+          Option(r.getAs[String]("click_id"))).toMap
+      assert(got.get("p1").flatten.contains("c1"), s"got $got")
+      assert(got.contains("p2") && got("p2").isEmpty,
+        s"unattributed purchase must emit with null click: $got")
+    } finally q.stop()
+  }
+
   test("windowed counts aggregate per hour and event type") {
     import spark.implicits._
     val input = MemoryStream[String](spark)
