@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Stateful streaming operators over the event stream (SURVEY.md §2
   * C2-C5). Each works on a streaming OR batch DataFrame with columns
@@ -150,5 +150,75 @@ object StreamOps {
       .groupByKey(_.userid)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Gap-based sessionization on the transformWithState API (Spark
+    * 4's arbitrary-state successor to flatMapGroupsWithState): typed
+    * ValueState + explicit event-time timers. Same boundary rule as
+    * [[sessionize]] (exact-gap merges). Requires the RocksDB state
+    * store provider — which is also the right provider at scale
+    * (state spills to local disk instead of executor heap, changelog
+    * checkpointing bounds commit latency).
+    */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[String, SessionEvent, SessionOut] {
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[SessionEvent],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      var out = List.empty[SessionOut]
+      var cur = if (session.exists()) {
+        val s = session.get()
+        // this batch supersedes the persisted close timer
+        getHandle.deleteTimer(s.end + gapMs)
+        Some(s)
+      } else None
+      for (e <- rows.toSeq.sortBy(_.time)) {
+        cur match {
+          case Some(s) if e.time - s.end <= gapMs =>
+            cur = Some(s.copy(end = e.time, n = s.n + 1))
+          case Some(s) =>
+            out ::= SessionOut(key, s.start, s.end, s.n)
+            cur = Some(SessionState(e.time, e.time, 1))
+          case None =>
+            cur = Some(SessionState(e.time, e.time, 1))
+        }
+      }
+      cur.foreach { s =>
+        session.update(s)
+        getHandle.registerTimer(s.end + gapMs)
+      }
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (session.exists()) {
+        val s = session.get()
+        session.clear()
+        Iterator(SessionOut(key, s.start, s.end, s.n))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[sessionize]] re-expressed with transformWithState — the query
+    * session must run the RocksDB state store provider
+    * (spark.sql.streaming.stateStore.providerClass). */
+  def sessionizeTws(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "30 minutes"): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withColumn("ts", timestamp_millis(col("time")))
+      .withWatermark("ts", watermark)
+      .select(col("userid"), col("time"), col("ts"))
+      .as[SessionEvent]
+      .groupByKey(_.userid)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

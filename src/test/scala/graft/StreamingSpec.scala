@@ -281,6 +281,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization matches the fMGWS semantics") {
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[String](spark)
+    val sessions = StreamOps.sessionizeTws(spark,
+      StreamingIngest.fromJsonLines(input.toDS()), gapMs = 30 * 60 * 1000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("tws").start()
+    try {
+      val t0 = 1704067200000L
+      def ev(id: String, user: String, t: Long) =
+        s"""{"id":"$id","type":"CLICK","realmid":"r","userid":"$user","time":$t,"detailsjson":"{}"}"""
+      input.addData(Seq(
+        ev("a1", "user-a", t0),
+        ev("a2", "user-a", t0 + 60000),
+        ev("a3", "user-a", t0 + 120000),
+        ev("b1", "user-b", t0)))
+      q.processAllAvailable()
+      input.addData(Seq(ev("a4", "user-a", t0 + 2 * 3600000L)))
+      q.processAllAvailable()
+      input.addData(Seq(ev("z1", "user-z", t0 + 12 * 3600000L)))
+      q.processAllAvailable()
+      input.addData(Seq(ev("z2", "user-z", t0 + 13 * 3600000L)))
+      q.processAllAvailable()
+      val rows = spark.table("tws").collect()
+        .map(r => (r.getAs[String]("userid"), r.getAs[Int]("n_events")))
+      assert(rows.contains(("user-a", 3)), s"got ${rows.toSeq}")
+      assert(rows.contains(("user-a", 1)), s"got ${rows.toSeq}")
+      assert(rows.contains(("user-b", 1)), s"got ${rows.toSeq}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessionization closes sessions after the gap and counts events") {
     import spark.implicits._
     val input = MemoryStream[String](spark)
