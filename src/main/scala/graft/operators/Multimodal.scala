@@ -127,6 +127,37 @@ object Multimodal {
     }
   }
 
+  /** An extracted media embedding (what a vision/audio encoder
+    * produces; feeds the Similarity ANN operators directly). */
+  case class MediaEmbedding(doc_id: Long, media_type: String,
+      embedding: Array[Float])
+
+  /** STUB feature extraction: a real implementation loads an encoder
+    * model once per partition and embeds each payload batch. The fake
+    * derives a deterministic L2-normalized byte-histogram vector so
+    * the downstream ANN plumbing (schema Array[Float], per-partition
+    * batching, cosine math) is exercised for real. */
+  def featureStub(spark: SparkSession, media: Dataset[MediaRow],
+      dim: Int = 16): Dataset[MediaEmbedding] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition encoder/model init would happen here
+      rows.map { r =>
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < r.payload.length) {
+          v(math.floorMod(r.payload(i), dim)) += 1f
+          i += 1
+        }
+        // ??? real encoder goes here; deterministic fake above
+        var ss = 0.0
+        v.foreach(x => ss += x * x)
+        val n = math.max(math.sqrt(ss), 1e-6).toFloat
+        MediaEmbedding(r.doc_id, r.media_type, v.map(_ / n))
+      }
+    }
+  }
+
   /** Metadata-only projection (no decode, binary column pruned):
     * byte length + content hash + deterministic fake dimensions —
     * fully expression-based, so it has an exact DuckDB oracle. */

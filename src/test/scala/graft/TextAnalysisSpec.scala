@@ -86,4 +86,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(fs.forall(f => f.ts_ms == f.frame_idx * 1000L))
     }
   }
+
+  test("feature stub emits unit embeddings that feed the ANN operators") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 30L).map(i => (i, s"media payload $i " * (i.toInt + 1)))
+      .toDF("doc_id", "text")
+    val media = Multimodal.withBinaryPayload(docs, "doc_id", "text")
+      .as[Multimodal.MediaRow]
+    val emb = Multimodal.featureStub(spark, media, dim = 16)
+    val rows = emb.collect()
+    assert(rows.length == 30)
+    rows.foreach { e =>
+      assert(e.embedding.length == 16)
+      val norm = math.sqrt(e.embedding.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5, s"not unit-norm: $norm")
+    }
+    // deterministic
+    assert(Multimodal.featureStub(spark, media, dim = 16).collect()
+      .sortBy(_.doc_id).map(_.embedding.toSeq).toSeq ==
+      rows.sortBy(_.doc_id).map(_.embedding.toSeq).toSeq)
+    // composes with the similarity operators end-to-end
+    val df = emb.toDF()
+    val topk = graft.operators.Similarity.bruteForceTopK(
+      df.filter(col("doc_id") < 3), df, "doc_id", "embedding", k = 5)
+    assert(topk.count() == 15)
+  }
 }
