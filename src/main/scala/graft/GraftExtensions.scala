@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // bounded range theta-joins → 2-bucket equi-joins, transparently
+    e.injectOptimizerRule(_ => graft.plans.BoundedRangeJoinRewrite)
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - 64-bit SimHash of tokens"),
       (args: Seq[Expression]) => SimHash64(args.head)))
