@@ -154,6 +154,57 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over verified near-dup pairs: the step that
+    * turns pairwise matches into dedup GROUPS (a near-dup cluster is
+    * the transitive closure of its pairs). Min-label propagation:
+    * every node starts labeled with itself; each round a node takes
+    * the minimum label among itself and its neighbors; fixpoint in
+    * O(component diameter) rounds — near-dup clusters are shallow, so
+    * this converges in a handful of shuffles even on huge corpora.
+    * The driver loop is bounded by `maxIter` and only counts changed
+    * labels per round (no data is collected). Returns (id, component)
+    * where component = min id of the cluster, one row per id that
+    * appears in any pair.
+    */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).cache()
+    labels.count()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val prop = edges.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("component"))
+        .unionAll(labels)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .cache()
+      changed = prop
+        .join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") < col("old")).count()
+      labels.unpersist()
+      labels = prop
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End of the near-dup pipeline: drop every document whose cluster
+    * has a lower-id member — one survivor (the min id) per near-dup
+    * group, all singletons kept. `pairs` is any (id_a, id_b) frame
+    * from the verification joins above. */
+  def dropNearDuplicates(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val losers = components(pairs)
+      .filter(col("component") < col("id"))
+      .select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
   /** N-gram Jaccard verification join over blocked candidate pairs:
     * blocks by (lang, length bucket) to bound the pair count, then
     * verifies true word-k-gram Jaccard on hashed shingle sets with

@@ -179,6 +179,17 @@ object DBlock {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // D19: near-dup GROUPS — connected components over the verified
+    // d4 pairs (min-label propagation; transitive closure turns
+    // pairwise matches into dedup clusters). Oracle: recursive-CTE
+    // closure in DuckDB over the identical pair set.
+    "d18_neardup_components" -> ((s, d) =>
+      Dedup.components(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          blockCols = Seq(col("lang"), expr("n_chars DIV 100").cast("int")),
+          shingleK = 3, threshold = 0.2))
+        .orderBy(col("id"))),
+
     // D16: canonicalization for dedup — lowercase, numbers → <num>,
     // emails → <email>, whitespace squashed; the normalize-then-hash
     // front door of every exact-dedup pass (oracle-checked: Spark and
@@ -221,31 +232,55 @@ object DBlock {
     s"CASE $cases ELSE 'und' END"
   }
 
+  /** Shared DuckDB fragments: the d4 blocked n-gram Jaccard pair
+    * generation, reused by the components oracle. */
+  private val ngramCtes: String =
+    """base AS (
+      |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS lb,
+      |    string_split_regex(lower(trim(text)), '\s+') AS ws
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, lang, lb,
+      |    CASE WHEN len(ws) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(ws) - 1),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |    ELSE [list_aggregate(ws, 'string_agg', ' ')] END AS s
+      |  FROM base
+      |)""".stripMargin
+
+  private val ngramPairSelect: String =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      |FROM sh a JOIN sh b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.s, b.s))) >= 0.2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
 
     "d4_ngram_jaccard" ->
-      """WITH base AS (
-        |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS lb,
-        |    string_split_regex(lower(trim(text)), '\s+') AS ws
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id, lang, lb,
-        |    CASE WHEN len(ws) >= 3 THEN
-        |      list_distinct(list_transform(range(1, len(ws) - 1),
-        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
-        |    ELSE [list_aggregate(ws, 'string_agg', ' ')] END AS s
-        |  FROM base
-        |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
-        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.2
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"WITH $ngramCtes\n$ngramPairSelect\nORDER BY id_a, id_b",
+
+    // connected components of the same verified pairs: DuckDB builds
+    // the transitive closure with a recursive CTE and takes the min
+    // reachable id per node — exactly the min-label fixpoint the
+    // Spark operator converges to
+    "d18_neardup_components" ->
+      s"""WITH RECURSIVE $ngramCtes,
+         |pairs AS ($ngramPairSelect),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+         |)
+         |SELECT id, min(r) AS component FROM reach GROUP BY id
+         |ORDER BY id""".stripMargin,
 
     "d5_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -86,6 +86,36 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("components groups transitive near-dups; dropNearDuplicates keeps min id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // chain 1-2-3 plus pair 10-11: transitivity must merge the chain
+    // even though (1,3) is not a pair itself
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L),
+      comp.toString)
+
+    val docs = Seq(1L, 2L, 3L, 5L, 10L, 11L).map(i => (i, s"doc $i"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // one survivor per cluster + untouched singleton 5
+    assert(kept == Set(1L, 5L, 10L), kept.toString)
+  }
+
+  test("end-to-end near-dedup: minhash pairs → components → surviving corpus") {
+    val d = docs()
+    val pairs = Dedup.minhashPairs(d, "doc_id", "text",
+      shingleK = 3, numPerms = 32, bands = 16, threshold = 0.5)
+    val kept = Dedup.dropNearDuplicates(d, "doc_id", pairs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // docs 0,1,3 are one near-dup group (keeper 0); 2,5 another
+    // (keeper 2); 4 is a singleton
+    assert(kept == Set(0L, 2L, 4L), kept.toString)
+  }
+
   test("ngram jaccard verification join scores planted pairs high") {
     import org.apache.spark.sql.functions._
     val withBlock = docs().withColumn("blk", lit(1))
