@@ -352,6 +352,24 @@ object BBlock {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
+    // B27: TPC-H Q4 shape — EXISTS-correlated subquery with a date
+    // range, via SQL so Catalyst's subquery-to-semi-join rewrite is
+    // exercised from the SQL surface (b7 covers the DataFrame form).
+    "b25_exists_priority" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders_v o
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1996-07-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem_v l
+          |              WHERE l.l_orderkey = o.o_orderkey
+          |                AND l.l_quantity > 45)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // B25: explicit bloom-filter runtime pre-filter — build a bloom
     // over the small side's join keys, drop non-matching fact rows
     // BEFORE the join shuffle. False positives only cost the exact
@@ -551,6 +569,17 @@ object BBlock {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "b25_exists_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "b24_bloom_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
