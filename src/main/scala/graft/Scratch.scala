@@ -14,22 +14,28 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.1"
-    import graft.operators.Similarity
+    import graft.operators.Dedup
     import graft.sources.Tables
 
     def time(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
       f
-      println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"[scratch] $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
-    val emb = Tables.embeddings(spark, sf)
-    emb.write.mode("overwrite").format("noop").save()
-    // cold per refineIters (fresh plans each — new session would be
-    // cleaner but codegen cache is global anyway)
-    for (it <- Seq(0, 1, 2)) time(s"ivf cold iters=$it") {
-      Similarity.ivfTopK(emb.filter(col("vec_id") < 50), emb, "vec_id",
-        "embedding", 10, 16, 4, refineIters = it)
+    val docs = Tables.documents(spark, sf)
+    docs.write.mode("overwrite").format("noop").save()
+
+    for (i <- 1 to 2) time(s"d3 full (maxDist=8) run$i") {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 8)
         .write.mode("overwrite").format("noop").save()
+    }
+    println(s"[scratch] d3 pairs=${Dedup.simhashPairs(docs, "doc_id", "text", 8).count()}")
+
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      blockCols = Seq(col("lang"), expr("n_chars DIV 100").cast("int")),
+      shingleK = 3, threshold = 0.2)
+    for (i <- 1 to 2) time(s"d18 components run$i") {
+      Dedup.components(pairs).write.mode("overwrite").format("noop").save()
     }
     spark.stop()
   }

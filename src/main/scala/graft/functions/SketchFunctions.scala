@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -74,6 +75,13 @@ object SketchFunctions {
   def mightContain(bloom: Column, value: Column): Column =
     ub(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
       x(bloom), x(value)))
+
+  /** Generator: all (id_a, id_b, hamming) pairs with
+    * popcount(sim_a XOR sim_b) <= maxDist from one bucket's
+    * array<struct<id:long, sim:long>> members; id_a < id_b, streamed
+    * lazily (selecting this column plans a Generate, like explode). */
+  def hammingPairs(members: Column, maxDist: Int): Column =
+    ub(HammingPairsGen(x(members), maxDist))
 }
 
 /** One-pass text statistics, bit-compatible with the SQL arithmetic
@@ -374,6 +382,80 @@ case class MarkerCounts(child: Expression, markers: Seq[String])
       m += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Per-bucket hamming-pair enumeration: emits (id_a, id_b, hamming)
+  * for every member pair with hamming <= maxDist, id_a < id_b.
+  *
+  * This replaces the (chunk_id, chunk_val) equi-SELF-join form of
+  * simhash candidate generation: simhash bits of natural text are
+  * heavily biased, so chunk values skew (at sf0.1 one 7-bit chunk
+  * bucket holds 41% of all docs) and the join grinds ~Σ|bucket|²
+  * rows of SMJ machinery — mostly in one task. Here the pair loop
+  * runs as registers-only popcounts inside a lazy Generator, and only
+  * surviving pairs ever materialize as rows. A bucket of B members
+  * costs 16·B bytes collected and B²/2 popcounts; callers should
+  * exact-dedup identical documents first (d1) so degenerate
+  * identical-text floods collapse to one member before this stage.
+  */
+case class HammingPairsGen(child: Expression, maxDist: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fields), _)
+        if fields.length == 2 && fields.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"HammingPairsGen requires array<struct<long,long>>, got ${dt.simpleString}")
+  }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("hamming", IntegerType, nullable = false)))
+
+  override def supportCodegen: Boolean = false
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val value = child.eval(input)
+    if (value == null) return Iterator.empty
+    val arr = value.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return Iterator.empty
+    val ids = new Array[Long](n)
+    val sims = new Array[Long](n)
+    var k = 0
+    while (k < n) {
+      val row = arr.getStruct(k, 2)
+      ids(k) = row.getLong(0)
+      sims(k) = row.getLong(1)
+      k += 1
+    }
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var j = 1
+      private var nextRow: InternalRow = _
+      private def advance(): Unit = {
+        nextRow = null
+        while (nextRow == null && i < n - 1) {
+          val d = java.lang.Long.bitCount(sims(i) ^ sims(j))
+          if (d <= maxDist && ids(i) != ids(j)) {
+            val (a, b) =
+              if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+            nextRow = new GenericInternalRow(Array[Any](a, b, d))
+          }
+          j += 1
+          if (j >= n) { i += 1; j = i + 1 }
+        }
+      }
+      advance()
+      override def hasNext: Boolean = nextRow != null
+      override def next(): InternalRow = { val r = nextRow; advance(); r }
+    }
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

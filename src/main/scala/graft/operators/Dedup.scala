@@ -22,6 +22,13 @@ import graft.functions.SketchFunctions
   */
 object Dedup {
 
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
@@ -111,11 +118,18 @@ object Dedup {
     * Candidate generation: split the 64-bit simhash into maxDist + 1
     * chunks (widths as equal as 64 allows); by pigeonhole any pair
     * with hamming <= maxDist differs in at most maxDist chunks, so it
-    * shares at least one identical chunk → equi-join on (chunk_id,
-    * chunk_value), verify with bit_count(a XOR b). Full recall at any
+    * shares at least one identical chunk. Full recall at any
     * maxDist <= 63; the cost is chunk width 64/(maxDist+1), so large
     * maxDist means short chunks and more random bucket collisions —
     * the standard multi-index hamming-search tradeoff.
+    *
+    * Within a (chunk_id, chunk_value) bucket, pairs are enumerated by
+    * a lazy Generator over the collected members (tight popcount
+    * loop), NOT an equi-self-join: simhash bits of natural text are
+    * biased, so bucket sizes skew hard and the join form grinds
+    * Σ|bucket|² rows of join machinery in few tasks. Only surviving
+    * pairs materialize. Exact-dedup identical texts first (see
+    * [[exact]]) so identical-doc floods collapse to one member.
     * Returns (id_a, id_b, hamming).
     */
   def simhashPairs(
@@ -125,7 +139,10 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 63,
       s"maxDist must be in [0, 63], got $maxDist")
-    val withSim = docs.select(col(idCol).as("doc_id"),
+    val idT = docs.schema(idCol).dataType
+    require(isIntegral(idT),
+      s"simhashPairs requires an integral id column, got ${idT.simpleString}")
+    val withSim = docs.select(col(idCol).cast("long").as("doc_id"),
       simhash(col(textCol)).as("sim"))
 
     // maxDist+1 chunks; the first 64 % n chunks take the extra bit
@@ -141,56 +158,100 @@ object Dedup {
       .withColumnRenamed("pos", "chunk_id")
       .withColumnRenamed("col", "chunk_val")
 
-    val a = chunked.select(col("chunk_id"), col("chunk_val"),
-      col("doc_id").as("id_a"), col("sim").as("sim_a"))
-    val b = chunked.select(col("chunk_id"), col("chunk_val"),
-      col("doc_id").as("id_b"), col("sim").as("sim_b"))
-
-    a.join(b, Seq("chunk_id", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .filter(col("hamming") <= maxDist)
+    chunked.groupBy(col("chunk_id"), col("chunk_val"))
+      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
+      .select(SketchFunctions.hammingPairs(col("members"), maxDist))
       .distinct()
+      .select(col("id_a").cast(idT).as("id_a"),
+        col("id_b").cast(idT).as("id_b"), col("hamming"))
   }
 
   /** Connected components over verified near-dup pairs: the step that
     * turns pairwise matches into dedup GROUPS (a near-dup cluster is
-    * the transitive closure of its pairs). Min-label propagation:
-    * every node starts labeled with itself; each round a node takes
-    * the minimum label among itself and its neighbors; fixpoint in
-    * O(component diameter) rounds — near-dup clusters are shallow, so
-    * this converges in a handful of shuffles even on huge corpora.
-    * The driver loop is bounded by `maxIter` and only counts changed
-    * labels per round (no data is collected). Returns (id, component)
-    * where component = min id of the cluster, one row per id that
-    * appears in any pair.
+    * the transitive closure of its pairs). Two phases:
+    *
+    * 1. Partition-local contraction: a union-find (union by min id,
+    *    path compression) over whatever edges landed in each partition
+    *    via `mapPartitions`, emitting one star edge (node → local min)
+    *    per node. Connectivity is preserved — any original edge links
+    *    its endpoints through their local stars — and the graph
+    *    shrinks from |E| edges to |V| star edges. When the pair set is
+    *    small (AQE coalesces the verification join's output to one
+    *    partition) this single task already solves the whole graph.
+    * 2. Min-label propagation over the star graph: each round a node
+    *    takes the min label among itself and its neighbors; fixpoint
+    *    in O(diameter of the contracted graph) rounds, one Spark
+    *    action per round (the previous label rides through the
+    *    aggregate, so no second join is needed to count changes).
+    *
+    * Returns (id, component) where component = min id of the cluster,
+    * one row per id that appears in any pair. Ids must be integral.
     */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).cache()
+    val idT = pairs.schema("id_a").dataType
+    require(isIntegral(idT),
+      s"components requires integral ids, got ${idT.simpleString}")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    // Phase 1: per-partition union-find → (node, local min) stars.
+    val stars = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        def find(x0: Long): Long = {
+          var r = x0
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x0 // path compression
+          while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a)
+          val rb = find(b)
+          // union by min id keeps every root = min of its local set
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val out = Iterator.newBuilder[(Long, Long)]
+        parent.keySet().forEach(k => out += ((k.longValue(), find(k))))
+        out.result()
+      }.toDF("id", "component")
+
+    // Phase 2: min-label fixpoint over the (symmetrized) star edges.
+    val init = stars.distinct().cache()
+    var labels = init
     labels.count()
+    val half = labels.filter(col("id") =!= col("component"))
+      .select(col("id").as("src"), col("component").as("dst"))
+    val edges = half
+      .unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
     var changed = 1L
     var iter = 0
+    var prev: DataFrame = null
     while (changed > 0 && iter < maxIter) {
       val prop = edges.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("component"))
-        .unionAll(labels)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .select(col("src").as("id"), col("component"),
+          lit(null).cast("long").as("old"))
+        .unionAll(labels.select(col("id"), col("component"),
+          col("component").as("old")))
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"), min(col("old")).as("old"))
         .cache()
-      changed = prop
-        .join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") < col("old")).count()
-      labels.unpersist()
-      labels = prop
+      changed = prop.filter(col("component") < col("old")).count()
+      if (prev != null) prev.unpersist()
+      prev = prop
+      labels = prop.select(col("id"), col("component"))
       iter += 1
     }
     edges.unpersist()
-    labels
+    if (!(labels eq init)) init.unpersist()
+    labels.select(col("id").cast(idT).as("id"),
+      col("component").cast(idT).as("component"))
   }
 
   /** End of the near-dup pipeline: drop every document whose cluster
