@@ -51,14 +51,27 @@ object Bench {
     }
 
     // optional args restrict the run (local profiling); the driver
-    // passes none and gets the full registry
-    val names = if (args.nonEmpty) args.toSeq
+    // passes none and gets the full registry. A *.json arg is the
+    // metrics output path, not a query name.
+    val qArgs = args.toSeq.filterNot(_.endsWith(".json"))
+    val names = if (qArgs.nonEmpty) qArgs
       else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> force(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout gets truncated/interleaved under some harnesses (every
+    // BENCH_r*.json so far parsed as null) — always mirror the line
+    // to a file: bench_out.json in the cwd, or an explicit path via
+    // env/args
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(args.find(_.endsWith(".json")))
+      .getOrElse("bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

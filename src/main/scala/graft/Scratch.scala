@@ -13,29 +13,25 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.1"
     import graft.operators.Dedup
     import graft.sources.Tables
 
-    def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      f
-      println(f"[scratch] $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-    }
-    val docs = Tables.documents(spark, sf)
-    docs.write.mode("overwrite").format("noop").save()
-
-    for (i <- 1 to 2) time(s"d3 full (maxDist=8) run$i") {
-      Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 8)
-        .write.mode("overwrite").format("noop").save()
-    }
-    println(s"[scratch] d3 pairs=${Dedup.simhashPairs(docs, "doc_id", "text", 8).count()}")
-
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      blockCols = Seq(col("lang"), expr("n_chars DIV 100").cast("int")),
-      shingleK = 3, threshold = 0.2)
-    for (i <- 1 to 2) time(s"d18 components run$i") {
-      Dedup.components(pairs).write.mode("overwrite").format("noop").save()
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      var brute = 0L
+      var i = 0
+      while (i < sims.length) {
+        var j = i + 1
+        while (j < sims.length) {
+          if (java.lang.Long.bitCount(sims(i)._2 ^ sims(j)._2) <= 8) brute += 1
+          j += 1
+        }
+        i += 1
+      }
+      val got = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 8).count()
+      println(s"[scratch] $sf docs=${sims.length} brute=$brute simhashPairs=$got")
     }
     spark.stop()
   }

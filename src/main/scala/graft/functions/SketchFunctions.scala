@@ -424,17 +424,26 @@ case class HammingPairsGen(child: Expression, maxDist: Int)
     val value = child.eval(input)
     if (value == null) return Iterator.empty
     val arr = value.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n < 2) return Iterator.empty
-    val ids = new Array[Long](n)
-    val sims = new Array[Long](n)
+    val m = arr.numElements()
+    if (m < 2) return Iterator.empty
+    val ids = new Array[Long](m)
+    val sims = new Array[Long](m)
+    var n = 0
     var k = 0
-    while (k < n) {
-      val row = arr.getStruct(k, 2)
-      ids(k) = row.getLong(0)
-      sims(k) = row.getLong(1)
+    while (k < m) {
+      // null entries or null fields (a null id / null sketch can't
+      // meaningfully pair — getLong would silently read 0)
+      if (!arr.isNullAt(k)) {
+        val row = arr.getStruct(k, 2)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          ids(n) = row.getLong(0)
+          sims(n) = row.getLong(1)
+          n += 1
+        }
+      }
       k += 1
     }
+    if (n < 2) return Iterator.empty
     new Iterator[InternalRow] {
       private var i = 0
       private var j = 1

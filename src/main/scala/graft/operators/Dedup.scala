@@ -130,37 +130,84 @@ object Dedup {
     * Σ|bucket|² rows of join machinery in few tasks. Only surviving
     * pairs materialize. Exact-dedup identical texts first (see
     * [[exact]]) so identical-doc floods collapse to one member.
+    *
+    * Skew guard: simhash bit bias can funnel a large corpus fraction
+    * into ONE (chunk_id, chunk_val) bucket (41 % of docs at sf0.1),
+    * which would mean a single-task B²/2 popcount loop and a
+    * collect_list that has to fit one executor. Buckets above
+    * `bucketCap` members are therefore re-keyed by a SECOND
+    * maxDist+1-way chunking of the bit-ROTATED simhash: a pair with
+    * hamming <= maxDist has its <= maxDist differing bits spread over
+    * any fixed n-way partition of the 64 bits, so by the same
+    * pigeonhole it shares at least one rotated chunk — recall stays
+    * complete, while the rotation (half a chunk width) makes the
+    * secondary boundaries straddle the primary ones so the split has
+    * fresh bits to discriminate on. One split level with a documented
+    * cap: a secondary bucket is ~|bucket|/2^w of the primary, so the
+    * residual quadratic term drops by orders of magnitude.
+    *
+    * Null semantics: docs with null id or null text (null simhash)
+    * are excluded — they can't meaningfully pair.
     * Returns (id_a, id_b, hamming).
     */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      bucketCap: Int = 4096): DataFrame = {
     require(maxDist >= 0 && maxDist <= 63,
       s"maxDist must be in [0, 63], got $maxDist")
+    require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
     val idT = docs.schema(idCol).dataType
     require(isIntegral(idT),
       s"simhashPairs requires an integral id column, got ${idT.simpleString}")
     val withSim = docs.select(col(idCol).cast("long").as("doc_id"),
       simhash(col(textCol)).as("sim"))
+      .filter(col("doc_id").isNotNull && col("sim").isNotNull)
 
     // maxDist+1 chunks; the first 64 % n chunks take the extra bit
     val n = maxDist + 1
     val widths = Array.tabulate(n)(i => 64 / n + (if (i < 64 % n) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _).init
-    val chunkCols = offsets.zip(widths).map { case (off, w) =>
-      val mask = if (w == 64) -1L else (1L << w) - 1L
-      shiftrightunsigned(col("sim"), off).bitwiseAND(lit(mask))
-    }
+    def chunksOf(word: Column): Seq[Column] =
+      offsets.zip(widths).map { case (off, w) =>
+        val mask = if (w == 64) -1L else (1L << w) - 1L
+        shiftrightunsigned(word, off).bitwiseAND(lit(mask))
+      }.toIndexedSeq
     val chunked = withSim.select(col("doc_id"), col("sim"),
-      posexplode(array(chunkCols.toIndexedSeq: _*)))
+      posexplode(array(chunksOf(col("sim")): _*)))
       .withColumnRenamed("pos", "chunk_id")
       .withColumnRenamed("col", "chunk_val")
 
-    chunked.groupBy(col("chunk_id"), col("chunk_val"))
+    // per-bucket sizes: map-side-combined count, equi-joined back so
+    // oversized buckets can take the split path. Both consumers
+    // exchange `chunked` on the same key, so ReuseExchange dedupes
+    // the scan+sketch work, and the small-branch groupBy reuses the
+    // join's partitioning (no extra shuffle).
+    val sizes = chunked.groupBy(col("chunk_id"), col("chunk_val"))
+      .agg(count(lit(1)).as("bucket_n"))
+    val withN = chunked.join(sizes, Seq("chunk_id", "chunk_val"))
+
+    val smallPairs = withN.filter(col("bucket_n") <= bucketCap)
+      .groupBy(col("chunk_id"), col("chunk_val"))
       .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
       .select(SketchFunctions.hammingPairs(col("members"), maxDist))
+
+    // oversized buckets: sub-bucket by chunks of the rotated simhash
+    val rot = math.max(widths(0) / 2, 1)
+    val rotated = shiftrightunsigned(col("sim"), rot)
+      .bitwiseOR(shiftleft(col("sim"), 64 - rot))
+    val bigPairs = withN.filter(col("bucket_n") > bucketCap)
+      .select(col("chunk_id"), col("chunk_val"), col("doc_id"), col("sim"),
+        posexplode(array(chunksOf(rotated): _*)))
+      .withColumnRenamed("pos", "sec_id")
+      .withColumnRenamed("col", "sec_val")
+      .groupBy(col("chunk_id"), col("chunk_val"), col("sec_id"), col("sec_val"))
+      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
+      .select(SketchFunctions.hammingPairs(col("members"), maxDist))
+
+    smallPairs.unionAll(bigPairs)
       .distinct()
       .select(col("id_a").cast(idT).as("id_a"),
         col("id_b").cast(idT).as("id_b"), col("hamming"))
@@ -184,19 +231,50 @@ object Dedup {
     *    action per round (the previous label rides through the
     *    aggregate, so no second join is needed to count changes).
     *
-    * Returns (id, component) where component = min id of the cluster,
-    * one row per id that appears in any pair. Ids must be integral.
+    * Returns (id, component), one row per id that appears in any
+    * pair; all members of a cluster share one component value, which
+    * is itself a member id (the min id when ids are integral).
+    *
+    * Ids of any type are accepted: integral ids run the long-keyed
+    * propagation directly; anything else (strings, UUIDs, …) is
+    * dictionary-encoded to dense longs first and decoded on the way
+    * out, so the hot loop never carries wide keys.
     */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val idT = pairs.schema("id_a").dataType
-    require(isIntegral(idT),
-      s"components requires integral ids, got ${idT.simpleString}")
-    val spark = pairs.sparkSession
+    if (isIntegral(idT)) {
+      componentsLong(pairs.select(
+        col("id_a").cast("long"), col("id_b").cast("long")), maxIter)
+        .select(col("id").cast(idT).as("id"),
+          col("component").cast(idT).as("component"))
+    } else {
+      // dictionary-encode: one dense long per distinct id. The dict is
+      // localCheckpoint-ed because monotonically_increasing_id is only
+      // stable within one materialization — encode and decode must see
+      // the same assignment.
+      val dict = pairs.select(col("id_a").as("orig"))
+        .unionAll(pairs.select(col("id_b").as("orig")))
+        .distinct()
+        .withColumn("nid", monotonically_increasing_id())
+        .localCheckpoint()
+      val enc = pairs
+        .join(dict.select(col("orig").as("id_a"), col("nid").as("na")), Seq("id_a"))
+        .join(dict.select(col("orig").as("id_b"), col("nid").as("nb")), Seq("id_b"))
+        .select(col("na").as("id_a"), col("nb").as("id_b"))
+      componentsLong(enc, maxIter)
+        .join(dict.select(col("nid").as("id"), col("orig").as("__oid")), Seq("id"))
+        .join(dict.select(col("nid").as("component"), col("orig").as("__ocomp")),
+          Seq("component"))
+        .select(col("__oid").as("id"), col("__ocomp").as("component"))
+    }
+  }
+
+  private def componentsLong(pairsLong: DataFrame, maxIter: Int): DataFrame = {
+    val spark = pairsLong.sparkSession
     import spark.implicits._
 
     // Phase 1: per-partition union-find → (node, local min) stars.
-    val stars = pairs
-      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+    val stars = pairsLong
       .as[(Long, Long)]
       .mapPartitions { it =>
         val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
@@ -248,20 +326,25 @@ object Dedup {
       labels = prop.select(col("id"), col("component"))
       iter += 1
     }
+    // pin the result, then release every cached frame it was built
+    // from (the final `prop` used to stay cached for the session —
+    // one leaked dataset per components() call)
+    val out = labels.select(col("id"), col("component")).localCheckpoint()
     edges.unpersist()
-    if (!(labels eq init)) init.unpersist()
-    labels.select(col("id").cast(idT).as("id"),
-      col("component").cast(idT).as("component"))
+    if (prev != null) prev.unpersist()
+    init.unpersist()
+    out
   }
 
   /** End of the near-dup pipeline: drop every document whose cluster
-    * has a lower-id member — one survivor (the min id) per near-dup
-    * group, all singletons kept. `pairs` is any (id_a, id_b) frame
-    * from the verification joins above. */
+    * label names another member — one survivor (the component
+    * representative: the min id for integral ids) per near-dup group,
+    * all singletons kept. `pairs` is any (id_a, id_b) frame from the
+    * verification joins above. */
   def dropNearDuplicates(docs: DataFrame, idCol: String,
       pairs: DataFrame): DataFrame = {
     val losers = components(pairs)
-      .filter(col("component") < col("id"))
+      .filter(col("component") =!= col("id"))
       .select(col("id"))
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }

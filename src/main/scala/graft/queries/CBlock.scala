@@ -99,16 +99,26 @@ object CBlock {
     // in the preceding 10 minutes; the batch mirror of the
     // stream-stream interval join (StreamOps.clickToPurchaseJoin,
     // where the two-sided time bound is what keeps join state finite).
+    // Keyed on (user_id, bucket), NOT user_id alone: a plain user_id
+    // join enumerates clicks×purchases per user before the range
+    // filter — per-key quadratic at scale. The bucket trick
+    // (TemporalJoins.priorCountInWindow) makes each purchase probe
+    // exactly the two IntervalUs-wide buckets its window can touch,
+    // so the join stays linear in matches + rows.
     "c6_interval_join" -> ((s, d) => {
+      def bucket(c: String): org.apache.spark.sql.Column =
+        expr(s"($c - pmod($c, ${IntervalUs}L)) DIV ${IntervalUs}L")
       val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
         col("event_type"), expr("ts DIV 1000").as("us"))
       val clicks = e.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
-          col("us").as("c_us"))
+          col("us").as("c_us"), bucket("us").as("bucket"))
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"),
           col("us").as("p_us"))
-      purchases.join(clicks, Seq("user_id"))
+        .withColumn("bucket",
+          explode(array(bucket("p_us"), bucket("p_us") - 1)))
+      purchases.join(clicks, Seq("user_id", "bucket"))
         .filter(col("c_us") >= col("p_us") - IntervalUs &&
           col("c_us") < col("p_us"))
         .select(col("purchase_id"), col("click_id"), col("user_id"),

@@ -86,6 +86,77 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhashPairs splits oversized buckets without losing recall") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted mega-bucket: >50% of docs share a long common prefix, so
+    // their simhashes agree on most chunks and they all land in the
+    // same primary buckets — with bucketCap=8 every one of those
+    // buckets must take the secondary-split path, and the pair set
+    // must still equal the brute-force answer (pigeonhole over the
+    // rotated chunking keeps recall complete).
+    val prefix = Seq.fill(30)(
+      "shared boilerplate header text that dominates the document body entirely").mkString(" ")
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 120).map { i =>
+      val tail =
+        if (i < 70) s"unique tail ${rnd.nextLong()} ${rnd.nextLong()}"
+        else Seq.fill(40)(s"w${rnd.nextInt(500)}").mkString(" ")
+      val body = if (i < 70) s"$prefix $tail" else tail
+      (i.toLong, body)
+    }.toDF("doc_id", "text")
+    val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (maxDist <- Seq(4, 10)) {
+      val expected = (for {
+        (ia, sa) <- sims; (ib, sb) <- sims if ia < ib
+        if java.lang.Long.bitCount(sa ^ sb) <= maxDist
+      } yield (ia, ib)).toSet
+      val got = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxDist = maxDist, bucketCap = 8)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(got == expected,
+        s"maxDist=$maxDist cap=8: missed=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
+  test("simhashPairs excludes docs with null text or null id") {
+    import spark.implicits._
+    // null text → null simhash; previously these paired pairwise at
+    // hamming 0 through getLong-as-0, silently deleting them downstream
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "some real document text here"),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[String]),
+      (java.lang.Long.valueOf(3L), null.asInstanceOf[String]),
+      (null.asInstanceOf[java.lang.Long], "another doc")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 16).collect()
+    assert(pairs.isEmpty, pairs.mkString(","))
+  }
+
+  test("components dictionary-encodes string ids; dropNearDuplicates keeps one per cluster") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pairs = Seq(("u-b", "u-a"), ("u-b", "u-c"), ("x-1", "x-2"))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("component")).toMap
+    assert(comp.keySet == Set("u-a", "u-b", "u-c", "x-1", "x-2"), comp.toString)
+    // one shared label per cluster, label is itself a member
+    assert(Set(comp("u-a"), comp("u-b"), comp("u-c")).size == 1, comp.toString)
+    assert(Set("u-a", "u-b", "u-c").contains(comp("u-a")), comp.toString)
+    assert(comp("x-1") == comp("x-2") && Set("x-1", "x-2").contains(comp("x-1")),
+      comp.toString)
+
+    val docs = Seq("u-a", "u-b", "u-c", "x-1", "x-2", "lone")
+      .map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .collect().map(_.getAs[String]("doc_id")).toSet
+    assert(kept.size == 3 && kept.contains("lone"), kept.toString)
+    assert(kept.intersect(Set("u-a", "u-b", "u-c")).size == 1, kept.toString)
+    assert(kept.intersect(Set("x-1", "x-2")).size == 1, kept.toString)
+  }
+
   test("components groups transitive near-dups; dropNearDuplicates keeps min id") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

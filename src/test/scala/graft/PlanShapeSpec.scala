@@ -55,6 +55,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"blocked kernel missing from plan:\n${p.take(2000)}")
   }
 
+  test("c6: interval join is keyed on (user_id, bucket), range filter is residual") {
+    val p = plan("c6_interval_join")
+    // the join key must include the time bucket — a user_id-only key
+    // enumerates clicks×purchases per user (per-key quadratic)
+    val joinLine = p.linesIterator
+      .find(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+      .getOrElse(fail(s"no equi-join in plan:\n${p.take(2000)}"))
+    assert(joinLine.contains("bucket"),
+      s"join not keyed on the time bucket: $joinLine")
+    assert(count(p, "BroadcastNestedLoopJoin") == 0,
+      s"interval join degenerated to a pair join:\n${p.take(2000)}")
+  }
+
   test("a6: paged time-range query needs no full-plan shuffle") {
     // orderBy+offset+limit collapses to TakeOrderedAndProject — no
     // Exchange means no global sort of the store
