@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, plus a batched decode /
   * feature-extract stage.
   *
-  * The Spark-side plumbing — schema, partitioning, batch iteration
-  * shape — is real and tested; the actual codec call is STUBBED with
-  * a deterministic fake (this container has no image/audio libs).
-  * A production deployment replaces [[decodeStub]]'s body with the
-  * real decoder; everything else stays identical.
+  * The IMAGE path is real end-to-end: [[withMediaPayload]] generates
+  * genuine PNG bytes and [[decode]] / [[resizeImages]] run them
+  * through `javax.imageio` (JDK built-in — no external codec needed).
+  * Audio/video have no JDK codec, so their decode stays a
+  * deterministic fake behind the same per-partition iterator shape;
+  * a production deployment swaps in ffmpeg bindings there and
+  * everything else stays identical.
   *
   * At 100 TB scale: binary payloads stay columnar in parquet, decode
   * runs per-partition (one codec context per partition, not per row),
@@ -43,6 +45,115 @@ object Multimodal {
         .when(col(idCol) % 3 === 1, lit("audio"))
         .otherwise(lit("video")).as("media_type"),
       encode(col(textCol), "UTF-8").as("payload"))
+
+  /** Deterministic REAL PNG for doc `id`: a (16 + id%16) × (16 + id%9)
+    * RGB image with id-derived pixels, encoded by javax.imageio. The
+    * dimension formulas give downstream decode queries an exact SQL
+    * oracle: a correct decoder must read exactly these back out of
+    * the PNG header. */
+  def imagePayload(id: Long): Array[Byte] = {
+    val w = (16 + math.floorMod(id, 16)).toInt
+    val h = (16 + math.floorMod(id, 9)).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (id * 31 + x * 7 + y * 131).toInt & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media payloads with REAL bytes where a JDK codec exists: rows
+    * assigned media_type 'image' carry a genuine PNG
+    * ([[imagePayload]]); audio/video keep UTF-8 text bytes (opaque —
+    * no JDK codec to honor them anyway). */
+  def withMediaPayload(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("_1"), col(textCol).as("_2"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val mt = math.floorMod(id, 3) match {
+            case 0 => "image"
+            case 1 => "audio"
+            case _ => "video"
+          }
+          val payload =
+            if (mt == "image") imagePayload(id)
+            else Option(text).getOrElse("").getBytes("UTF-8")
+          MediaRow(id, mt, payload)
+        }
+      }
+  }
+
+  /** Decode media features. Images are decoded FOR REAL via
+    * javax.imageio — width/height/channels come out of the actual
+    * PNG/JPEG/BMP bytes, and undecodable image payloads surface as
+    * (-1, -1, -1) rather than an executor crash. Audio/video (no JDK
+    * codec) keep the deterministic fake of [[decodeStub]]. One
+    * ImageIO context per partition (cache off: payloads are
+    * in-memory, a disk-backed cache would only add I/O). */
+  def decode(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      rows.map { r =>
+        if (r.media_type == "image") {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null)
+            MediaFeatures(r.doc_id, r.media_type, r.payload.length, -1, -1, -1)
+          else MediaFeatures(r.doc_id, r.media_type, r.payload.length,
+            img.getWidth, img.getHeight,
+            img.getColorModel.getNumColorComponents)
+        } else {
+          val h = java.util.Arrays.hashCode(r.payload)
+          MediaFeatures(r.doc_id, r.media_type, r.payload.length,
+            64 + math.floorMod(h, 16) * 32,
+            64 + math.floorMod(h >> 4, 16) * 32,
+            if (r.media_type == "audio") 1 else 3)
+        }
+      }
+    }
+  }
+
+  /** REAL image resize via java.awt: decode, scale to fit
+    * (targetW, targetH) preserving aspect, re-encode as PNG. Only
+    * image rows are transformed (pass audio/video through
+    * [[resizeStub]] if size accounting is needed there). */
+  def resizeImages(spark: SparkSession, media: Dataset[MediaRow],
+      targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.filter(_.media_type == "image").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        val scale = math.min(targetW.toDouble / src.getWidth,
+          targetH.toDouble / src.getHeight)
+        val w = math.max((src.getWidth * scale).toInt, 1)
+        val h = math.max((src.getHeight * scale).toInt, 1)
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        ResizedMedia(r.doc_id, r.media_type, w, h, bos.toByteArray)
+      }
+    }
+  }
 
   /** STUB decode: a real implementation opens a codec per partition
     * and decodes each payload (e.g. via javax.imageio / ffmpeg

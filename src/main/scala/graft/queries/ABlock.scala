@@ -121,7 +121,25 @@ object ABlock {
       EventQuery.normalized(
         ke(s, d).withColumn("error", coalesce(col("error"), lit(""))))
         .select(col("id"), col("eventtype"), col("error"), col("time"))
-        .orderBy(col("id").cast("bigint")))
+        .orderBy(col("id").cast("bigint"))),
+
+    // A13: the PHYSICAL pruned read — events land in a real dt/hour
+    // partitioned store, then the builder's time range derives
+    // partition predicates (PartitionPruning) so the scan lists only
+    // in-range directories. The oracle is the plain time filter over
+    // the flattened events: pruning must be invisible in the results.
+    "a13_pruned_read" -> ((s, d) => {
+      val store = "/tmp/graft_a13_store_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) graft.sources.EventStore.write(ke(s, d), store)
+      EventQuery(graft.sources.EventStore.read(s, store))
+        .fromDate(T0).toDate(T1)
+        .orderByAscTime
+        .toDF
+        .select(col("id"), col("eventtype"), col("realmid"), col("userid"),
+          col("time"), col("detailsjson"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -175,6 +193,11 @@ object ABlock {
       s"""$withKe SELECT id, eventtype,
          |  CASE WHEN trim(coalesce(error, '')) = '' THEN NULL ELSE error END AS error,
          |  time
-         |FROM ke ORDER BY CAST(id AS BIGINT)""".stripMargin
+         |FROM ke ORDER BY CAST(id AS BIGINT)""".stripMargin,
+
+    "a13_pruned_read" ->
+      s"""$withKe SELECT id, eventtype, realmid, userid, time, detailsjson
+         |FROM ke WHERE time >= $T0 AND time <= $T1
+         |ORDER BY time, id""".stripMargin
   )
 }

@@ -397,6 +397,51 @@ object BBlock {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // B26: count-min heavy-hitter estimates. The sketch is built
+    // distributed (one pass, mergeable counters); the probe set —
+    // the distinct event types, a handful of values — is the only
+    // driver-side pull, same bounded pattern as the b24 bloom. With
+    // width >> cardinality the estimate is collision-free, so the
+    // exact GROUP BY oracle pins it (CMS can only ever OVERcount;
+    // matching exact counts proves the sketch landed collision-free
+    // and deterministic).
+    "b26_countmin" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"))
+      val cms = ev.stat.countMinSketch("event_type",
+        eps = 0.0001, confidence = 0.99, seed = 42)
+      val keys = ev.distinct().collect().map(_.getString(0)).sorted
+      import s.implicits._
+      keys.toSeq.map(k => (k, cms.estimateCount(k)))
+        .toDF("event_type", "est_n")
+        .orderBy(col("event_type"))
+    }),
+
+    // B18: bucketed co-located join — both sides written bucketed on
+    // the join key (8 buckets, sorted), so the join plans with ZERO
+    // Exchange: each task reads bucket i of both tables. The one-time
+    // bucketed write pays the shuffle every subsequent join skips —
+    // the layout move for a fact-fact join that dominates a workload.
+    "b18b_bucketed_join" -> ((s, d) => {
+      val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
+      val ot = s"graft_b18b_orders$suffix"
+      val ct = s"graft_b18b_customer$suffix"
+      if (!s.catalog.tableExists(ot))
+        graft.sources.Bucketing.writeBucketed(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")), ot, "o_custkey", 8)
+      if (!s.catalog.tableExists(ct))
+        graft.sources.Bucketing.writeBucketed(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+          ct, "c_custkey", 8)
+      graft.sources.Bucketing.read(s, ot)
+        .join(graft.sources.Bucketing.read(s, ct),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // B21: mergeable distinct-count sketches (Apache DataSketches
     // HLL) — the pre-aggregation pattern 100 TB pipelines live on:
     // per-partition sketches are tiny, exactly mergeable (unlike the
@@ -587,6 +632,16 @@ object BBlock {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 300000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "b26_countmin" ->
+      """SELECT event_type, count(*) AS est_n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "b18b_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "b23_outer_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (

@@ -213,6 +213,19 @@ object DBlock {
     "d12_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(
         Multimodal.withBinaryPayload(Tables.documents(s, d), "doc_id", "text"))
+        .orderBy(col("doc_id"))),
+
+    // D15/D19: REAL image decode — payloads are genuine PNGs
+    // (Multimodal.imagePayload) and width/height/channels come from
+    // javax.imageio reading the actual bytes; the oracle knows only
+    // the generator's dimension formulas, so a decoder that doesn't
+    // truly parse the PNG header cannot match it.
+    "d19_image_decode" -> ((s, d) =>
+      Multimodal.decode(s,
+        Multimodal.withMediaPayload(Tables.documents(s, d), "doc_id", "text"))
+        .filter(_.media_type == "image")
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"))
         .orderBy(col("doc_id")))
   )
 
@@ -403,6 +416,13 @@ object DBlock {
         |  CAST(64 + (octet_length(encode(text)) % 16) * 32 AS INT) AS width,
         |  CAST(64 + (octet_length(encode(text)) % 9) * 32 AS INT) AS height,
         |  CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS channels
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d19_image_decode" ->
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 16 AS INT) AS width,
+        |  CAST(16 + doc_id % 9 AS INT) AS height,
+        |  3 AS channels
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin
   )
 }

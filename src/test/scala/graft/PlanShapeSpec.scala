@@ -69,6 +69,37 @@ class PlanShapeSpec extends AnyFunSuite {
       s"interval join degenerated to a pair join:\n${p.take(2000)}")
   }
 
+  test("b18b: bucketed join plans with zero Exchange on the join") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // AQE off so the pre-execution plan tree is final and walkable;
+    // auto-broadcast off because at test SF the dim side is tiny and
+    // Catalyst would (correctly) broadcast — the property under test
+    // is the big-big shape, where co-located buckets avoid the shuffle
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("b18b_bucketed_join")(spark, TestSpark.sf)
+      val plan = df.queryExecution.executedPlan
+      val smj = plan.collectFirst { case j: SortMergeJoinExec => j }
+        .getOrElse(fail(s"no SortMergeJoin:\n${plan.toString.take(2000)}"))
+      // both sides read pre-bucketed files: nothing under the join may
+      // reshuffle (the only exchange allowed is the groupBy above it)
+      assert(smj.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        s"bucketed join reshuffled its children:\n${smj.toString.take(2000)}")
+      assert(plan.toString.contains("SelectedBucketsCount: 8 out of 8"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("a13: time-range read prunes dt/hour partitions at planning time") {
+    val p = plan("a13_pruned_read")
+    assert(p.contains("PartitionFilters: [") && !p.contains("PartitionFilters: []"),
+      s"no partition filters on the store scan:\n${p.take(2000)}")
+  }
+
   test("a6: paged time-range query needs no full-plan shuffle") {
     // orderBy+offset+limit collapses to TakeOrderedAndProject — no
     // Exchange means no global sort of the store

@@ -75,4 +75,81 @@ class ProviderSpec extends AnyFunSuite {
       assert(p.createQuery().toDF.count() == 3)
     } finally q2.stop()
   }
+
+  test("factory: keyed defaults, blank-as-absent, invalid numerics fall back") {
+    import graft.api.GraftEventStoreProviderFactory
+    import GraftEventStoreProviderFactory.IngestMode
+
+    val defaults = GraftEventStoreProviderFactory.fromConfig(Map.empty).settings
+    assert(!defaults.enabled) // opt-in, like the reference's firehoseEnabled
+    assert(defaults.eventsPath == "/tmp/graft-event-store/events")
+    assert(defaults.adminEventsPath == "/tmp/graft-event-store/admin-events")
+    assert(defaults.retentionMs.isEmpty)
+    assert(defaults.ingestMode == IngestMode.Append)
+
+    val s = GraftEventStoreProviderFactory.fromConfig(Map(
+      "enabled" -> "true",
+      "basePath" -> "/data/store",
+      "adminEventsPath" -> "/elsewhere/admin",
+      "retentionMs" -> "86400000",
+      "ingestMode" -> "Upsert")).settings
+    assert(s.enabled)
+    assert(s.eventsPath == "/data/store/events") // basePath-derived
+    assert(s.adminEventsPath == "/elsewhere/admin") // explicit wins
+    assert(s.retentionMs.contains(86400000L))
+    assert(s.ingestMode == IngestMode.Upsert)
+
+    // blank = absent; unparseable/zero numerics fall back to default
+    val junk = GraftEventStoreProviderFactory.fromConfig(Map(
+      "eventsPath" -> "   ",
+      "retentionMs" -> "not-a-number",
+      "ingestMode" -> "carrier-pigeon")).settings
+    assert(junk.eventsPath == "/tmp/graft-event-store/events")
+    assert(junk.retentionMs.isEmpty)
+    assert(junk.ingestMode == IngestMode.Append)
+    assert(GraftEventStoreProviderFactory.fromConfig(
+      Map("retentionMs" -> "0")).settings.retentionMs.isEmpty)
+  }
+
+  test("factory: disabled gate refuses create; enabled factory wires a working provider") {
+    import spark.implicits._
+    import graft.api.GraftEventStoreProviderFactory
+
+    val off = GraftEventStoreProviderFactory.fromConfig(Map.empty)
+    assert(!off.isSupported)
+    intercept[IllegalStateException] { off.create(spark) }
+
+    val base = Files.createTempDirectory("graft_factory_").toString
+    val f = GraftEventStoreProviderFactory.fromConfig(Map(
+      "enabled" -> "true", "basePath" -> base, "retentionMs" -> "43200000"))
+    assert(f.isSupported)
+    val p = f.create(spark)
+    val ev = EventAdapter.keycloakEvents(Tables.events(spark, TestSpark.sf))
+    p.onEvents(ev.as[graft.model.KeycloakEvent])
+    assert(p.createQuery().types("ERROR").toDF.count() > 0)
+
+    // configured retention: now = minT + 12h + retention(12h) expires
+    // everything below minT + 12h
+    import org.apache.spark.sql.functions._
+    val minT = p.events.agg(min(col("time"))).head.getLong(0)
+    assert(f.applyRetention(p, minT + 12 * 3600000L + 43200000L) > 0)
+    assert(p.events.agg(min(col("time"))).head.getLong(0) >= minT + 12 * 3600000L)
+    // no retention configured → no-op
+    val noRet = GraftEventStoreProviderFactory.fromConfig(
+      Map("enabled" -> "true", "basePath" -> base))
+    assert(noRet.applyRetention(p, System.currentTimeMillis()) == 0)
+  }
+
+  test("factory: fromSparkConf reads the spark.graft.eventStore.* scope") {
+    import graft.api.GraftEventStoreProviderFactory
+    spark.conf.set("spark.graft.eventStore.enabled", "true")
+    spark.conf.set("spark.graft.eventStore.basePath", "/conf/base")
+    try {
+      val s = GraftEventStoreProviderFactory.fromSparkConf(spark).settings
+      assert(s.enabled && s.eventsPath == "/conf/base/events")
+    } finally {
+      spark.conf.unset("spark.graft.eventStore.enabled")
+      spark.conf.unset("spark.graft.eventStore.basePath")
+    }
+  }
 }

@@ -63,6 +63,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(again.toSeq == feats.toSeq)
   }
 
+  test("real image decode reads back the encoded PNG dimensions via javax.imageio") {
+    import spark.implicits._
+    val docs = (0L until 48L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val media = Multimodal.withMediaPayload(docs, "doc_id", "text")
+    // image payloads are genuine PNGs
+    val png = media.filter(_.media_type == "image").head().payload
+    assert(png.take(8).map(_ & 0xFF).toSeq ==
+      Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A), "not a PNG header")
+
+    val feats = Multimodal.decode(spark, media).collect().sortBy(_.doc_id)
+    assert(feats.length == 48)
+    feats.filter(_.media_type == "image").foreach { f =>
+      assert(f.width == 16 + (f.doc_id % 16).toInt, s"$f")
+      assert(f.height == 16 + (f.doc_id % 9).toInt, s"$f")
+      assert(f.channels == 3, s"$f")
+    }
+    // audio/video keep the deterministic fake (no JDK codec)
+    assert(feats.filter(_.media_type == "audio").forall(_.channels == 1))
+
+    // an undecodable "image" surfaces as -1 dims, not a crash
+    val bad = Seq(Multimodal.MediaRow(99L, "image", Array[Byte](1, 2, 3))).toDS()
+    val badFeat = Multimodal.decode(spark, bad).head()
+    assert(badFeat.width == -1 && badFeat.height == -1 && badFeat.channels == -1)
+  }
+
+  test("real image resize scales to fit and re-encodes a decodable PNG") {
+    import spark.implicits._
+    val docs = (0L until 30L by 3).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val media = Multimodal.withMediaPayload(docs, "doc_id", "text")
+    val resized = Multimodal.resizeImages(spark, media, 64, 32).collect()
+    assert(resized.length == 10)
+    resized.foreach { r =>
+      assert(r.width <= 64 && r.height <= 32, r.toString)
+      assert(r.width == 64 || r.height == 32, "scale-to-fit must touch one target edge")
+      // output is itself a real PNG with the claimed dimensions
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      assert(img.getWidth == r.width && img.getHeight == r.height)
+    }
+  }
+
   test("resize stub fits targets preserving aspect; frame sampler explodes videos") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
