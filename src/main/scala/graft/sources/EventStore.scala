@@ -81,6 +81,47 @@ object EventStore {
     if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(path)
     else spark.read.parquet(path)
 
+  /** Crash-safe partition-directory swap: old aside → new in → drop
+    * aside. At every instant the rows exist in a live or dot-prefixed
+    * (discovery-invisible) directory, so a crash anywhere loses
+    * nothing; [[recoverSwaps]] finishes an interrupted swap. (The
+    * previous delete→rename ordering had a window where the partition
+    * was simply gone from discovery.) */
+  private def swapIn(fs: org.apache.hadoop.fs.FileSystem,
+      target: Path, fresh: Path): Unit = {
+    val aside = new Path(target.getParent, "." + target.getName + ".old")
+    if (fs.exists(aside)) fs.delete(aside, true)
+    if (fs.exists(target)) fs.rename(target, aside)
+    fs.rename(fresh, target)
+    fs.delete(aside, true)
+  }
+
+  /** Repair interrupted [[swapIn]]s: an aside dir (`.hour=H.old`)
+    * whose live partition is missing is renamed back; one whose live
+    * partition exists is a completed swap's leftover and is dropped,
+    * as are orphaned `.rewrite` temp dirs. Returns partitions
+    * restored. Safe to call any time; [[compact]] and [[clearExpired]]
+    * run it first. */
+  def recoverSwaps(spark: SparkSession, path: String): Int = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    var restored = 0
+    for (dtDir <- fs.listStatus(root) if dtDir.isDirectory;
+         entry <- fs.listStatus(dtDir.getPath) if entry.isDirectory) {
+      val name = entry.getPath.getName
+      if (name.startsWith(".") && name.endsWith(".old")) {
+        val live = new Path(dtDir.getPath,
+          name.stripPrefix(".").stripSuffix(".old"))
+        if (fs.exists(live)) fs.delete(entry.getPath, true)
+        else { fs.rename(entry.getPath, live); restored += 1 }
+      } else if (name.startsWith(".") && name.endsWith(".rewrite")) {
+        fs.delete(entry.getPath, true) // pre-swap temp; original intact
+      }
+    }
+    restored
+  }
+
   /** Compact fragmented partitions: any hour directory with more than
     * `maxFilesPerPartition` data files is rewritten as a single file
     * (streaming micro-batches land one file per trigger per task —
@@ -98,20 +139,22 @@ object EventStore {
     *
     * Crash posture: the rewrite lands in a dot-prefixed temp dir that
     * partition discovery ignores, so a crash before the swap leaves
-    * the store intact plus an invisible leftover. The delete→rename
-    * swap itself is not atomic: a crash between the two loses the
-    * partition from discovery until the temp dir is renamed back by
-    * hand (the rows themselves are never lost).
+    * the store intact plus an invisible leftover; the swap itself is
+    * the aside→in→drop sequence of [[swapIn]], recoverable at any
+    * point by [[recoverSwaps]] (run automatically on entry).
     */
   def compact(spark: SparkSession, path: String,
       maxFilesPerPartition: Int = 4): Int = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
+    recoverSwaps(spark, path)
 
     val oversized =
-      for (dtDir <- fs.listStatus(root).toSeq if dtDir.isDirectory;
-           hourDir <- fs.listStatus(dtDir.getPath) if hourDir.isDirectory;
+      for (dtDir <- fs.listStatus(root).toSeq
+           if dtDir.isDirectory && dtDir.getPath.getName.startsWith("dt=");
+           hourDir <- fs.listStatus(dtDir.getPath)
+           if hourDir.isDirectory && hourDir.getPath.getName.startsWith("hour=");
            dataFiles = fs.listStatus(hourDir.getPath)
              .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
                !f.getPath.getName.startsWith("."))
@@ -139,8 +182,7 @@ object EventStore {
     for (part <- oversized) {
       val dtName = part.getParent.getName
       val tmpPart = new Path(new Path(tmpRoot, dtName), part.getName)
-      fs.delete(part, true)
-      fs.rename(tmpPart, part)
+      swapIn(fs, part, tmpPart)
     }
     fs.delete(tmpRoot, true)
     oversized.length
@@ -161,6 +203,7 @@ object EventStore {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
+    recoverSwaps(spark, path)
 
     // Scan first: partitions wholly before the cutoff are dropped,
     // the boundary hour is rewritten. A no-op sweep touches nothing.
@@ -209,8 +252,7 @@ object EventStore {
       survivors.count() // materialize before overwrite
       survivors.write.mode("overwrite").parquet(tmp.toString)
       survivors.unpersist()
-      fs.delete(part, true)
-      fs.rename(tmp, part)
+      swapIn(fs, part, tmp)
     }
     // drop dt directories left empty by the sweep
     for (dtDir <- dtDirs if fs.exists(dtDir.getPath) &&

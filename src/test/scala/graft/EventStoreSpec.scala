@@ -209,4 +209,42 @@ class EventStoreSpec extends AnyFunSuite {
     assert(after.count() == expectedSurvivors)
     assert(after.agg(min(col("time"))).head.getLong(0) >= cutoff)
   }
+
+  test("interrupted swap recovers: no crash window loses rows") {
+    import org.apache.hadoop.fs.Path
+    val dir = freshStore()
+    val total = EventStore.read(spark, dir).count()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dtDir = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt="))
+      .head.getPath
+    val part = fs.listStatus(dtDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("hour="))
+      .head.getPath
+
+    // crash state A: old renamed aside, new not yet renamed in (the
+    // fresh copy still sits in an invisible temp). The partition is
+    // missing from discovery until recovery restores the aside copy.
+    val aside = new Path(dtDir, "." + part.getName + ".old")
+    fs.rename(part, aside)
+    assert(EventStore.read(spark, dir).count() < total)
+    assert(EventStore.recoverSwaps(spark, dir) == 1)
+    assert(EventStore.read(spark, dir).count() == total)
+
+    // crash state B: swap completed but aside not dropped → recovery
+    // just cleans the leftover, keeping the live partition
+    fs.mkdirs(new Path(aside, "stale"))
+    assert(EventStore.recoverSwaps(spark, dir) == 0)
+    assert(!fs.exists(aside))
+    assert(EventStore.read(spark, dir).count() == total)
+
+    // crash state C: an orphaned pre-swap .rewrite temp is dropped;
+    // a subsequent sweep runs clean and the store stays complete
+    val rewriteTmp = new Path(dtDir, "." + part.getName + ".rewrite")
+    fs.mkdirs(rewriteTmp)
+    assert(EventStore.recoverSwaps(spark, dir) == 0)
+    assert(!fs.exists(rewriteTmp))
+    assert(EventStore.read(spark, dir).count() == total)
+  }
 }
