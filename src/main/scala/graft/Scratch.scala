@@ -12,27 +12,33 @@ object Scratch {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    import graft.operators.Dedup
-    import graft.sources.Tables
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.SketchFunctions
+    import spark.implicits._
 
-    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
-      val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
-      val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      var brute = 0L
-      var i = 0
-      while (i < sims.length) {
-        var j = i + 1
-        while (j < sims.length) {
-          if (java.lang.Long.bitCount(sims(i)._2 ^ sims(j)._2) <= 8) brute += 1
-          j += 1
-        }
-        i += 1
-      }
-      val got = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 8).count()
-      println(s"[scratch] $sf docs=${sims.length} brute=$brute simhashPairs=$got")
-    }
+    val docs = Seq((1L, "the quick brown fox the lazy dog"),
+      (2L, "another document with the words")).toDF("doc_id", "text")
+    val q = docs.select(
+      SketchFunctions.textStats(col("text")).as("st"),
+      SketchFunctions.simhash64(split(col("text"), " ")).as("sim"),
+      SketchFunctions.minhash64(split(col("text"), " "), 8).as("mh"),
+      SketchFunctions.winnow(col("text"), 5, 4).as("wn"),
+      SketchFunctions.wordShingles(split(col("text"), " "), 3).as("sh"),
+      SketchFunctions.markerCounts(col("text"), Seq(" the ", " dog ")).as("mc"))
+      .select(col("st"), col("sim"), col("mh"), col("wn"), col("mc"),
+        SketchFunctions.jaccardSorted(
+          sort_array(array_distinct(transform(col("sh"), s => xxhash64(s)))),
+          sort_array(array_distinct(transform(col("sh"), s => xxhash64(s))))).as("jac"))
+
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      q.queryExecution.executedPlan)
+    val hasFallback = gen.contains("CodegenFallback")
+    val stages = "WholeStageCodegen".r.findAllIn(gen).length
+    println(s"[scratch] codegen stages=$stages fallback=$hasFallback")
+    // force execution so a Janino failure would surface as the
+    // fallback-with-warning path
+    q.collect().foreach(r => assert(r != null))
+    println("[scratch] executed OK; sample=" + q.head())
     spark.stop()
   }
 }

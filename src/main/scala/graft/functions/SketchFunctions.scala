@@ -93,11 +93,11 @@ object SketchFunctions {
   * - non_space = length(replace(text, ' ', '')) — code points ≠ 0x20.
   * - stop_n   = non-overlapping occurrences of " the " in
   *   ' ' + lower(text) + ' ' (replace()-style left-to-right consume).
-  * All three are byte-wise loops: the classes involved are single
-  * ASCII bytes, which never appear inside UTF-8 continuation bytes.
+  * All three are byte-wise loops ([[SketchKernels.textStats]]): the
+  * classes involved are single ASCII bytes, which never appear inside
+  * UTF-8 continuation bytes.
   */
-case class TextStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class TextStats(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -109,56 +109,11 @@ case class TextStats(child: Expression)
     StructField("non_space", IntegerType, nullable = false),
     StructField("stop_n", IntegerType, nullable = false)))
 
-  private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.textStats(input.asInstanceOf[UTF8String])
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
-    val bytes = s.getBytes
-
-    // n_words over space-trimmed text
-    var lo = 0
-    var hi = bytes.length
-    while (lo < hi && bytes(lo) == ' ') lo += 1
-    while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
-    var nWords = 0
-    if (hi > lo) {
-      var runs = 0
-      var inWs = false
-      var i = lo
-      while (i < hi) {
-        val ws = isWs(bytes(i))
-        if (ws && !inWs) runs += 1
-        inWs = ws
-        i += 1
-      }
-      nWords = runs + 1
-    }
-
-    // non_space: code points that are not 0x20 (count UTF-8 lead bytes)
-    var nonSpace = 0
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i)
-      if (b != ' ' && (b & 0xC0) != 0x80) nonSpace += 1
-      i += 1
-    }
-
-    // stop_n: " the " in padded lowercased text, non-overlapping
-    val padded = (" " + s.toLowerCase.toString + " ").getBytes("UTF-8")
-    val pat = " the ".getBytes("UTF-8")
-    var stopN = 0
-    var p = 0
-    val limit = padded.length - pat.length
-    while (p <= limit) {
-      var j = 0
-      while (j < pat.length && padded(p + j) == pat(j)) j += 1
-      if (j == pat.length) { stopN += 1; p += pat.length } else p += 1
-    }
-
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](nWords, nonSpace, stopN))
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.textStats($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -167,8 +122,7 @@ case class TextStats(child: Expression)
 /** SimHash: per bit, sum +1/-1 votes from each token's xxhash64 bit,
   * then take signs. Same bits as the HOF formulation (seed 42, bit b
   * = (h >>> b) & 1). */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -177,38 +131,18 @@ case class SimHash64(child: Expression)
   }
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        var b = 0
-        while (b < 64) {
-          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
-          b += 1
-        }
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    out
-  }
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.simhash64($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 /** MinHash signature: permutation p's hash of shingle s is XXH64 with
   * seed p; the signature element is the min over shingles. */
-case class MinHash64(child: Expression, numPerms: Int)
-    extends UnaryExpression with CodegenFallback {
+case class MinHash64(child: Expression, numPerms: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -217,24 +151,12 @@ case class MinHash64(child: Expression, numPerms: Int)
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val sig = Array.fill(numPerms)(Long.MaxValue)
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        var p = 0
-        while (p < numPerms) {
-          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, p.toLong)
-          if (h < sig(p)) sig(p) = h
-          p += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
-  }
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.minhash64(input.asInstanceOf[ArrayData], numPerms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.minhash64($c, $numPerms)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -243,8 +165,7 @@ case class MinHash64(child: Expression, numPerms: Int)
 /** Winnowing (Schleimer et al., SIGMOD'03): xxhash64 of each
   * lowercased char k-gram, minimum per sliding window of w, distinct,
   * ascending. Single O(n·w) pass per document (w is small). */
-case class Winnow(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -253,40 +174,12 @@ case class Winnow(child: Expression, k: Int, w: Int)
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toLowerCase
-    val bytes = text.getBytes // UTF-8; k-grams are byte-grams
-    val nGrams = math.max(bytes.length - k + 1, 1)
-    val grams = new Array[Long](nGrams)
-    var i = 0
-    while (i < nGrams) {
-      val len = math.min(k, bytes.length - i)
-      grams(i) = XXH64.hashUnsafeBytes(bytes,
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i, len, 42L)
-      i += 1
-    }
-    val out = new java.util.TreeSet[java.lang.Long]()
-    if (nGrams <= w) {
-      var m = Long.MaxValue
-      var j = 0
-      while (j < nGrams) { if (grams(j) < m) m = grams(j); j += 1 }
-      out.add(m)
-    } else {
-      var j = 0
-      while (j <= nGrams - w) {
-        var m = Long.MaxValue
-        var t = j
-        while (t < j + w) { if (grams(t) < m) m = grams(t); t += 1 }
-        out.add(m)
-        j += 1
-      }
-    }
-    val res = new Array[Long](out.size())
-    val it = out.iterator()
-    var r = 0
-    while (it.hasNext) { res(r) = it.next(); r += 1 }
-    new GenericArrayData(res)
-  }
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.winnow(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.winnow($c, $k, $w)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -296,8 +189,7 @@ case class Winnow(child: Expression, k: Int, w: Int)
   * first-occurrence order; inputs shorter than k words yield the
   * whole token list as one shingle. One pass, no per-window lambda
   * interpretation and no re-evaluation of the token expression. */
-case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -306,33 +198,12 @@ case class WordShingles(child: Expression, k: Int)
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val words = new Array[UTF8String](n)
-    var i = 0
-    while (i < n) {
-      words(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
-      i += 1
-    }
-    val sep = UTF8String.fromString(" ")
-    val out = new java.util.LinkedHashSet[UTF8String]()
-    if (n < k) {
-      out.add(UTF8String.concatWs(sep, words: _*))
-    } else {
-      var j = 0
-      while (j <= n - k) {
-        out.add(UTF8String.concatWs(sep,
-          java.util.Arrays.copyOfRange(words, j, j + k): _*))
-        j += 1
-      }
-    }
-    val res = new Array[AnyRef](out.size())
-    val it = out.iterator()
-    var r = 0
-    while (it.hasNext) { res(r) = it.next(); r += 1 }
-    new GenericArrayData(res)
-  }
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.wordShingles(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.wordShingles($c, $k)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -346,7 +217,7 @@ case class WordShingles(child: Expression, k: Int)
   * Matching is byte-wise over UTF-8, same as the SQL length/replace
   * arithmetic on ASCII markers. */
 case class MarkerCounts(child: Expression, markers: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -358,30 +229,14 @@ case class MarkerCounts(child: Expression, markers: Seq[String])
   @transient private lazy val markerBytes: Array[Array[Byte]] =
     markers.map(m => m.getBytes("UTF-8")).toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val padded = " " + input.asInstanceOf[UTF8String].toLowerCase.toString + " "
-    val bytes = padded.getBytes("UTF-8")
-    val out = new Array[Int](markerBytes.length)
-    var m = 0
-    while (m < markerBytes.length) {
-      val pat = markerBytes(m)
-      var i = 0
-      var n = 0
-      val limit = bytes.length - pat.length
-      while (i <= limit) {
-        var j = 0
-        while (j < pat.length && bytes(i + j) == pat(j)) j += 1
-        if (j == pat.length) {
-          n += 1
-          // non-overlapping, left-to-right — exactly how replace()
-          // consumes matches, so counts equal the length arithmetic
-          i += pat.length
-        } else i += 1
-      }
-      out(m) = n
-      m += 1
-    }
-    new GenericArrayData(out)
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.markerCounts(input.asInstanceOf[UTF8String], markerBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the marker byte table rides along as a codegen reference object
+    val ref = ctx.addReferenceObj("markerBytes", markerBytes, "byte[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.markerCounts($c, $ref)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =
@@ -475,7 +330,7 @@ case class HammingPairsGen(child: Expression, maxDist: Int)
   * O(|a|+|b|) with no per-element boxing (vs interpreted
   * array_intersect + array_union). */
 case class JaccardSortedLong(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -486,24 +341,12 @@ case class JaccardSortedLong(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val nx = x.numElements()
-    val ny = y.numElements()
-    if (nx == 0 && ny == 0) return 0.0
-    var i = 0
-    var j = 0
-    var inter = 0L
-    while (i < nx && j < ny) {
-      val xv = x.getLong(i)
-      val yv = y.getLong(j)
-      if (xv == yv) { inter += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
-    }
-    inter.toDouble / (nx.toLong + ny - inter)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (l, r) => s"graft.functions.SketchKernels.jaccardSorted($l, $r)")
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)

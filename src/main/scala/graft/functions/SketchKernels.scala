@@ -1,0 +1,220 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The tight-loop bodies of the sketch expressions, as one static
+  * kernel per expression. Both execution paths call the SAME method:
+  * interpreted eval delegates here, and each expression's `doGenCode`
+  * emits a direct static call — so the expressions participate in
+  * whole-stage codegen (no CodegenFallback frame, no per-row
+  * interpreted dispatch) with exactly one implementation to keep
+  * correct. (A Scala top-level object compiles with static
+  * forwarders, so `graft.functions.SketchKernels.f(...)` is plain
+  * Java to the generated code.)
+  */
+object SketchKernels {
+
+  /** See [[TextStats]] for the exact SQL-arithmetic contract. */
+  def textStats(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+
+    // n_words over space-trimmed text
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && bytes(lo) == ' ') lo += 1
+    while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
+    var nWords = 0
+    if (hi > lo) {
+      var runs = 0
+      var inWs = false
+      var i = lo
+      while (i < hi) {
+        val b = bytes(i)
+        val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0B ||
+          b == '\f' || b == '\r'
+        if (ws && !inWs) runs += 1
+        inWs = ws
+        i += 1
+      }
+      nWords = runs + 1
+    }
+
+    // non_space: code points that are not 0x20 (count UTF-8 lead bytes)
+    var nonSpace = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b != ' ' && (b & 0xC0) != 0x80) nonSpace += 1
+      i += 1
+    }
+
+    // stop_n: " the " in padded lowercased text, non-overlapping
+    val padded = (" " + s.toLowerCase.toString + " ").getBytes("UTF-8")
+    val pat = " the ".getBytes("UTF-8")
+    var stopN = 0
+    var p = 0
+    val limit = padded.length - pat.length
+    while (p <= limit) {
+      var j = 0
+      while (j < pat.length && padded(p + j) == pat(j)) j += 1
+      if (j == pat.length) { stopN += 1; p += pat.length } else p += 1
+    }
+
+    new GenericInternalRow(Array[Any](nWords, nonSpace, stopN))
+  }
+
+  /** See [[SimHash64]]. */
+  def simhash64(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** See [[MinHash64]]. */
+  def minhash64(arr: ArrayData, numPerms: Int): ArrayData = {
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var p = 0
+        while (p < numPerms) {
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, p.toLong)
+          if (h < sig(p)) sig(p) = h
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** See [[Winnow]]. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.toLowerCase.getBytes // UTF-8; k-grams are byte-grams
+    val nGrams = math.max(bytes.length - k + 1, 1)
+    val grams = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val len = math.min(k, bytes.length - i)
+      grams(i) = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i, len, 42L)
+      i += 1
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (nGrams <= w) {
+      var m = Long.MaxValue
+      var j = 0
+      while (j < nGrams) { if (grams(j) < m) m = grams(j); j += 1 }
+      out.add(m)
+    } else {
+      var j = 0
+      while (j <= nGrams - w) {
+        var m = Long.MaxValue
+        var t = j
+        while (t < j + w) { if (grams(t) < m) m = grams(t); t += 1 }
+        out.add(m)
+        j += 1
+      }
+    }
+    val res = new Array[Long](out.size())
+    val it = out.iterator()
+    var r = 0
+    while (it.hasNext) { res(r) = it.next(); r += 1 }
+    new GenericArrayData(res)
+  }
+
+  /** See [[WordShingles]]. */
+  def wordShingles(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val words = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      words(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (n < k) {
+      out.add(UTF8String.concatWs(sep, words: _*))
+    } else {
+      var j = 0
+      while (j <= n - k) {
+        out.add(UTF8String.concatWs(sep,
+          java.util.Arrays.copyOfRange(words, j, j + k): _*))
+        j += 1
+      }
+    }
+    val res = new Array[AnyRef](out.size())
+    val it = out.iterator()
+    var r = 0
+    while (it.hasNext) { res(r) = it.next(); r += 1 }
+    new GenericArrayData(res)
+  }
+
+  /** See [[MarkerCounts]]. */
+  def markerCounts(text: UTF8String, markerBytes: Array[Array[Byte]]): ArrayData = {
+    val padded = " " + text.toLowerCase.toString + " "
+    val bytes = padded.getBytes("UTF-8")
+    val out = new Array[Int](markerBytes.length)
+    var m = 0
+    while (m < markerBytes.length) {
+      val pat = markerBytes(m)
+      var i = 0
+      var n = 0
+      val limit = bytes.length - pat.length
+      while (i <= limit) {
+        var j = 0
+        while (j < pat.length && bytes(i + j) == pat(j)) j += 1
+        if (j == pat.length) {
+          n += 1
+          // non-overlapping, left-to-right — exactly how replace()
+          // consumes matches, so counts equal the length arithmetic
+          i += pat.length
+        } else i += 1
+      }
+      out(m) = n
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** See [[JaccardSortedLong]]. */
+  def jaccardSorted(x: ArrayData, y: ArrayData): Double = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    if (nx == 0 && ny == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    inter.toDouble / (nx.toLong + ny - inter)
+  }
+}
