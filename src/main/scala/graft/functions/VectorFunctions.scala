@@ -170,6 +170,114 @@ case class BlockCosPairs(
     copy(first = f, second = s, third = t)
 }
 
+/** Per-query local top-k between a corpus block and a query block —
+  * the tile kernel of blocked exact top-k search.
+  *
+  * Inputs are two array<struct<id:long, v:array<float>, nrm:double>>
+  * blocks. For each query in the query block, computes cosine against
+  * every corpus vector in the corpus block (vectors unpacked once per
+  * tile, tight primitive loops — same data-movement argument as
+  * [[BlockCosPairs]]) and keeps the block-local top-k by
+  * (cos desc, neighbor_id asc), excluding self. Emits
+  * array<struct<query_id, neighbor_id, cos>> of ≤ |queries|·k
+  * entries; a global top-k over the union of block-local top-ks is
+  * exact, so the downstream window ranks nBlocks·k candidate rows per
+  * query instead of the whole corpus.
+  */
+case class BlockTopK(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  private def blockOk(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(Array(
+      StructField(_, LongType, _, _),
+      StructField(_, ArrayType(FloatType, _), _, _),
+      StructField(_, DoubleType, _, _))), _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (blockOk(left.dataType) && blockOk(right.dataType) && k >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "BlockTopK requires (array<struct<long,array<float>,double>> ×2, k>=1), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString} / k=$k")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("query_id", LongType, nullable = false),
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false))), containsNull = false)
+
+  private def unpack(block: ArrayData): (Array[Long], Array[Array[Float]], Array[Double]) = {
+    val n = block.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = block.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      vecs(i) = row.getArray(1).toFloatArray()
+      norms(i) = row.getDouble(2)
+      i += 1
+    }
+    (ids, vecs, norms)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (cIds, cVecs, cNorms) = unpack(a.asInstanceOf[ArrayData])
+    val (qIds, qVecs, qNorms) = unpack(b.asInstanceOf[ArrayData])
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](qIds.length * k)
+    // per-query selection arrays (k is small): ordered best-first by
+    // (cos desc, id asc) — the same total order the global rank uses,
+    // so block-local pruning never discards a global top-k row
+    val topCos = new Array[Double](k)
+    val topId = new Array[Long](k)
+    var qi = 0
+    while (qi < qIds.length) {
+      val qv = qVecs(qi)
+      val qn = qNorms(qi)
+      var filled = 0
+      var ci = 0
+      while (ci < cIds.length) {
+        if (cIds(ci) != qIds(qi)) {
+          val cv = cVecs(ci)
+          val n = math.min(qv.length, cv.length)
+          var s = 0.0
+          var t = 0
+          while (t < n) { s += qv(t).toDouble * cv(t).toDouble; t += 1 }
+          val cos = s / (qn * cNorms(ci))
+          val id = cIds(ci)
+          if (filled < k || cos > topCos(filled - 1) ||
+            (cos == topCos(filled - 1) && id < topId(filled - 1))) {
+            // insertion position (linear; k is small)
+            var p = if (filled < k) filled else k - 1
+            while (p > 0 && (cos > topCos(p - 1) ||
+              (cos == topCos(p - 1) && id < topId(p - 1)))) {
+              topCos(p) = topCos(p - 1)
+              topId(p) = topId(p - 1)
+              p -= 1
+            }
+            topCos(p) = cos
+            topId(p) = id
+            if (filled < k) filled += 1
+          }
+        }
+        ci += 1
+      }
+      var r = 0
+      while (r < filled) {
+        out += new GenericInternalRow(Array[Any](qIds(qi), topId(r), topCos(r)))
+        r += 1
+      }
+      qi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 object VectorFunctions {
   /** Column API for [[FloatVecDot]]. */
   def vecDot(a: Column, b: Column): Column = Bridge.column(
@@ -186,4 +294,9 @@ object VectorFunctions {
       threshold: Double): Column = Bridge.column(
     BlockCosPairs(Bridge.expression(blockA), Bridge.expression(blockB),
       Bridge.expression(sameBlock), threshold))
+
+  /** Column API for [[BlockTopK]]. */
+  def blockTopK(corpusBlock: Column, queryBlock: Column, k: Int): Column =
+    Bridge.column(BlockTopK(Bridge.expression(corpusBlock),
+      Bridge.expression(queryBlock), k))
 }

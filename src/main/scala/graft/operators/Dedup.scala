@@ -353,6 +353,15 @@ object Dedup {
     * blocks by (lang, length bucket) to bound the pair count, then
     * verifies true word-k-gram Jaccard on hashed shingle sets with
     * the sorted-merge expression. Returns pairs >= threshold.
+    *
+    * With NO natural blocking key (`blockCols` empty) an unblocked
+    * self-join would be the full n²/2 cross product — instead the
+    * candidate set falls back to minhash-band buckets ([[minhashPairs]]
+    * — same verification, same (id_a, id_b, jaccard) contract, LSH
+    * recall instead of exhaustive-within-block). Pick `bands`/
+    * `numPerms` for the threshold: catch probability at similarity j
+    * is 1-(1-j^(numPerms/bands))^bands, so low thresholds want few
+    * rows per band (e.g. 32 bands × 1 row catches j=0.2 with p≈0.999).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -360,7 +369,12 @@ object Dedup {
       textCol: String,
       blockCols: Seq[Column],
       shingleK: Int = 3,
-      threshold: Double = 0.2): DataFrame = {
+      threshold: Double = 0.2,
+      numPerms: Int = 32,
+      bands: Int = 32): DataFrame = {
+    if (blockCols.isEmpty)
+      return minhashPairs(docs, idCol, textCol, shingleK, numPerms, bands,
+        threshold)
     val base = withShingles(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("__graft_text"),
         struct(blockCols: _*).as("block")),

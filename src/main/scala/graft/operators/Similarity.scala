@@ -88,25 +88,49 @@ object Similarity {
         col("p.cos").as("cos"))
   }
 
-  /** Exact top-k neighbors for each query vector (excluding self).
-    * Queries are broadcast; the corpus is scanned once, partitioned —
-    * this shape holds at any corpus size a full scan can cover. */
+  /** Exact top-k neighbors for each query vector (excluding self),
+    * block-decomposed: the corpus is grouped into id-range blocks and
+    * each (corpus block × query block) tile runs the
+    * [[graft.functions.BlockTopK]] kernel — vectors unpacked once per
+    * tile, tight primitive dot loops, and only the BLOCK-LOCAL top-k
+    * survives the tile. The final window then ranks nBlocks·k
+    * candidate rows per query instead of the whole corpus, which is
+    * what makes the exact scan viable when the corpus side is large:
+    * a row-per-pair join would materialize n·q scored rows through
+    * the shuffle; this materializes q·k per corpus block. Results are
+    * identical (same left-to-right double dots, same
+    * (cos desc, neighbor_id asc) order — block-local pruning keeps a
+    * superset of the global top-k). Queries are broadcast; the corpus
+    * is scanned once, partitioned. */
   def bruteForceTopK(
       queries: DataFrame,
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      vecNorm(col(vecCol)).as("qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      vecNorm(col(vecCol)).as("cn"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (vecDot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      k: Int,
+      blockSize: Int = 256): DataFrame = {
+    val c = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        vecNorm(col(vecCol)).as("nrm"))
+      .withColumn("blk", expr(s"id DIV $blockSize"))
+      .groupBy(col("blk"))
+      .agg(sort_array(collect_list(struct(col("id"), col("v"), col("nrm"))))
+        .as("crows"))
+    val q = queries
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        vecNorm(col(vecCol)).as("nrm"))
+      .withColumn("qblk", expr(s"id DIV $blockSize"))
+      .groupBy(col("qblk"))
+      .agg(sort_array(collect_list(struct(col("id"), col("v"), col("nrm"))))
+        .as("qrows"))
+    val candidates = c.join(broadcast(q))
+      .select(explode(graft.functions.VectorFunctions.blockTopK(
+        col("crows"), col("qrows"), k)).as("p"))
+      .select(col("p.query_id").as("query_id"),
+        col("p.neighbor_id").as("neighbor_id"), col("p.cos").as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    candidates.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 

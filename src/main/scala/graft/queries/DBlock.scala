@@ -215,6 +215,17 @@ object DBlock {
         Multimodal.withBinaryPayload(Tables.documents(s, d), "doc_id", "text"))
         .orderBy(col("doc_id"))),
 
+    // D4b: n-gram Jaccard with NO blocking key — candidates come from
+    // minhash bands instead of an exhaustive within-block join
+    // (rows-only: LSH candidate recall is probabilistic; DedupSpec
+    // pins that it recovers the blocked d4 pairs).
+    "d20_ngram_unblocked" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        blockCols = Nil, shingleK = 3, threshold = 0.2,
+        numPerms = 32, bands = 32)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // D15/D19: REAL image decode — payloads are genuine PNGs
     // (Multimodal.imagePayload) and width/height/channels come from
     // javax.imageio reading the actual bytes; the oracle knows only

@@ -187,6 +187,25 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(0L, 2L, 4L), kept.toString)
   }
 
+  test("unblocked ngram jaccard (minhash-band fallback) recovers the blocked pairs") {
+    import org.apache.spark.sql.functions._
+    // same corpus, no blocking key: the fallback's candidates must
+    // recover every pair the exhaustive-within-block form finds
+    // (single block == exhaustive truth for this corpus)
+    val withBlock = docs().withColumn("blk", lit(1))
+    val blocked = Dedup.ngramJaccardPairs(withBlock, "doc_id", "text",
+      blockCols = Seq(col("blk")), shingleK = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val unblocked = Dedup.ngramJaccardPairs(docs(), "doc_id", "text",
+      blockCols = Nil, shingleK = 3, threshold = 0.5,
+      numPerms = 32, bands = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(blocked.subsetOf(unblocked),
+      s"fallback missed ${blocked -- unblocked}; got $unblocked")
+    // and verification still rejects unrelated docs
+    assert(!unblocked.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
   test("ngram jaccard verification join scores planted pairs high") {
     import org.apache.spark.sql.functions._
     val withBlock = docs().withColumn("blk", lit(1))

@@ -55,6 +55,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"blocked kernel missing from plan:\n${p.take(2000)}")
   }
 
+  test("d6: exact top-k plans the BlockTopK tile kernel") {
+    val p = plan("d6_ann_bruteforce")
+    assert(p.toLowerCase.contains("blocktopk"),
+      s"blocked top-k kernel missing from plan:\n${p.take(2000)}")
+  }
+
   test("c6: interval join is keyed on (user_id, bucket), range filter is residual") {
     val p = plan("c6_interval_join")
     // the join key must include the time bucket — a user_id-only key
