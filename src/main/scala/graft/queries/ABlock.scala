@@ -123,6 +123,48 @@ object ABlock {
         .select(col("id"), col("eventtype"), col("error"), col("time"))
         .orderBy(col("id").cast("bigint"))),
 
+    // A12: the PHYSICAL compaction path — events land fragmented (two
+    // appends → ≥2 files per hour partition), compact() rewrites every
+    // oversized partition to one file, and the oracle pins that the
+    // compacted store still answers the per-partition counts exactly.
+    "a12_compacted_read" -> ((s, d) => {
+      val store = "/tmp/graft_a12_store_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) {
+        val all = ke(s, d)
+        graft.sources.EventStore.write(all.filter(col("time") % 2 === 0), store)
+        graft.sources.EventStore.write(all.filter(col("time") % 2 =!= 0), store)
+        graft.sources.EventStore.compact(s, store, maxFilesPerPartition = 1)
+      }
+      graft.sources.EventStore.read(s, store)
+        .groupBy(col("dt").cast("string").as("dt"), col("hour").cast("int").as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("dt"), col("hour"))
+    }),
+
+    // A14: the PHYSICAL schema-evolution path — old partitions written
+    // before a column existed, new partitions carry it; a mergeSchema
+    // read reconciles, surfacing null for pre-evolution rows. The
+    // oracle derives the same split from the time boundary.
+    "a14_evolved_read" -> ((s, d) => {
+      val store = "/tmp/graft_a14_store_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) {
+        val all = ke(s, d)
+        graft.sources.EventStore.write(all.filter(col("time") < T1), store)
+        graft.sources.EventStore.write(
+          all.filter(col("time") >= T1)
+            .withColumn("channel", upper(col("eventtype"))), store)
+      }
+      graft.sources.EventStore.read(s, store, mergeSchema = true)
+        .groupBy(col("eventtype"))
+        .agg(count(lit(1)).as("n"),
+          count(col("channel")).as("n_evolved"))
+        .orderBy(col("eventtype"))
+    }),
+
     // A13: the PHYSICAL pruned read — events land in a real dt/hour
     // partitioned store, then the builder's time range derives
     // partition predicates (PartitionPruning) so the scan lists only
@@ -198,6 +240,16 @@ object ABlock {
     "a13_pruned_read" ->
       s"""$withKe SELECT id, eventtype, realmid, userid, time, detailsjson
          |FROM ke WHERE time >= $T0 AND time <= $T1
-         |ORDER BY time, id""".stripMargin
+         |ORDER BY time, id""".stripMargin,
+
+    "a12_compacted_read" ->
+      s"""$withKe SELECT strftime(to_timestamp(time / 1000), '%Y-%m-%d') AS dt,
+         |  CAST((time // 3600000) % 24 AS INT) AS hour, count(*) AS n
+         |FROM ke GROUP BY 1, 2 ORDER BY dt, hour""".stripMargin,
+
+    "a14_evolved_read" ->
+      s"""$withKe SELECT eventtype, count(*) AS n,
+         |  CAST(sum(CASE WHEN time >= $T1 THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved
+         |FROM ke GROUP BY eventtype ORDER BY eventtype""".stripMargin
   )
 }

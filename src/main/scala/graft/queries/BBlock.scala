@@ -397,6 +397,21 @@ object BBlock {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // B15: the SQL registration surface — the same native text_stats
+    // expression reached through a registered SQL function name (the
+    // GraftExtensions path), oracle-pinned by the DuckDB length
+    // arithmetic it is bit-compatible with.
+    "b15_sql_function" -> ((s, d) => {
+      graft.GraftExtensions.registerTemp(s)
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .createOrReplaceTempView("graft_b15_docs")
+      s.sql("""SELECT doc_id,
+              |  CAST(text_stats(text).n_words AS BIGINT) AS n_words,
+              |  CAST(text_stats(text).non_space AS BIGINT) AS non_space,
+              |  text_stats(text).stop_n AS stop_n
+              |FROM graft_b15_docs ORDER BY doc_id""".stripMargin)
+    }),
+
     // B26: count-min heavy-hitter estimates. The sketch is built
     // distributed (one pass, mergeable counters); the probe set —
     // the distinct event types, a handful of values — is the only
@@ -632,6 +647,14 @@ object BBlock {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 300000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "b15_sql_function" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS non_space,
+        |  CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS INT) AS stop_n
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "b26_countmin" ->
       """SELECT event_type, count(*) AS est_n
