@@ -34,6 +34,11 @@ object CBlock {
   private val BucketUs = 10L * 60 * 1000 * 1000
   /** 10-minute interval-join lookback, in microseconds. */
   private val IntervalUs = 10L * 60 * 1000 * 1000
+  /** Two-day slice bounds for the physical streamed-ingest entry
+    * (2024-01-02 / 2024-01-04 UTC, epoch ms — same window the
+    * A-block physical stores use). */
+  private val SliceT0 = 1704153600000L
+  private val SliceT1 = 1704326400000L
 
   val queries: Map[String, Q] = Map(
     // C2: tumbling 1-hour window counts per event_type — the batch
@@ -126,6 +131,35 @@ object CBlock {
         .orderBy(col("purchase_id"), col("click_id"))
     }),
 
+    // C1/C6/C7 physically: the JSON wire form of a two-day event
+    // slice is drained through the REAL Structured-Streaming path
+    // (file source → fromJsonLines → Trigger.AvailableNow →
+    // dt/hour-partitioned sink) once per sf dir; the measured query
+    // reads the streamed store back, and the oracle pins that the
+    // streaming pipeline lost and invented nothing.
+    "c7_streamed_ingest" -> ((s, d) => {
+      val base = "/tmp/graft_c7_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) {
+        val slice = graft.model.EventAdapter
+          .keycloakEvents(Tables.events(s, d))
+          .filter(col("time") >= SliceT0 && col("time") < SliceT1)
+        graft.streaming.StreamingIngest.toJsonLines(slice)
+          .write.text(s"$base/in")
+        val q = graft.streaming.StreamingIngest.drainAvailableNow(
+          graft.streaming.StreamingIngest.fromJsonLines(
+            s.readStream.textFile(s"$base/in")),
+          s"$base/store", s"$base/ck")
+        assert(q.awaitTermination(300000), "c7 drain did not terminate")
+      }
+      graft.sources.EventStore.read(s, s"$base/store")
+        .groupBy(col("eventtype"))
+        .agg(count(lit(1)).as("n"),
+          min(col("time")).as("min_time"), max(col("time")).as("max_time"))
+        .orderBy(col("eventtype"))
+    }),
+
     // C5: burst detection — 10-minute buckets per user where the
     // error count crosses the threshold (streaming: windowed agg +
     // filter, BurstDetect spec).
@@ -203,6 +237,13 @@ object CBlock {
          |GROUP BY user_id, (epoch_us(ts) // $BucketUs)
          |HAVING count(*) >= 2
          |ORDER BY user_id, bucket_start_us""".stripMargin,
+
+    "c7_streamed_ingest" ->
+      s"""WITH ke AS (${graft.model.EventAdapter.duckdbEventsCte})
+         |SELECT eventtype, count(*) AS n,
+         |  min(time) AS min_time, max(time) AS max_time
+         |FROM ke WHERE time >= $SliceT0 AND time < $SliceT1
+         |GROUP BY eventtype ORDER BY eventtype""".stripMargin,
 
     "c6_interval_join" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
