@@ -18,18 +18,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed table. */
+  /** Write `df` as a bucketed+sorted managed table. Idempotent across
+    * sessions: a leftover managed-table DIRECTORY from a previous
+    * session (the in-memory catalog forgets the table, the warehouse
+    * dir does not) would fail CREATE with LOCATION_ALREADY_EXISTS, so
+    * any stale location is dropped first. */
   def writeBucketed(
       df: DataFrame,
       table: String,
       bucketCol: String,
-      numBuckets: Int): Unit =
+      numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+  }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
