@@ -40,6 +40,18 @@ object Bench {
     // source table once so the first measured query on each table
     // reflects steady-state, not first-open I/O
     force("b2_agg")
+    // physical-store entries build their store/table once per sf dir
+    // (fragmented-write+compact, streamed drain, bucketed CTAS) —
+    // run them in warm-up so the measured pass times the ENGINE read
+    // path, not one-time /tmp setup
+    Seq("a12_compacted_read", "a13_pruned_read", "a14_evolved_read",
+      "c7_streamed_ingest", "b18b_bucketed_join").foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $n: ${e.getMessage}")
+      }
+    }
     graft.sources.Tables.all.foreach { t =>
       // full decode (count() is satisfied from row-group metadata and
       // would leave the column pages cold)
