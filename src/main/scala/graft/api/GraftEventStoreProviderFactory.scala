@@ -59,7 +59,10 @@ object GraftEventStoreProviderFactory {
   def fromConfig(config: Map[String, String]): GraftEventStoreProviderFactory = {
     val base = get(config, "basePath").getOrElse(DefaultBasePath)
     val settings = Settings(
-      enabled = get(config, "enabled").exists(_.toBoolean),
+      // Boolean.parseBoolean semantics like the reference's
+      // scope.getBoolean: anything but case-insensitive "true" is
+      // false, never a parse failure
+      enabled = get(config, "enabled").exists(_.equalsIgnoreCase("true")),
       eventsPath = get(config, "eventsPath").getOrElse(s"$base/events"),
       adminEventsPath = get(config, "adminEventsPath").getOrElse(s"$base/admin-events"),
       retentionMs = getLong(config, "retentionMs").filter(_ > 0),

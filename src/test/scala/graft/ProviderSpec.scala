@@ -109,6 +109,11 @@ class ProviderSpec extends AnyFunSuite {
     assert(junk.ingestMode == IngestMode.Append)
     assert(GraftEventStoreProviderFactory.fromConfig(
       Map("retentionMs" -> "0")).settings.retentionMs.isEmpty)
+    // parseBoolean semantics: junk is false, never a crash
+    assert(!GraftEventStoreProviderFactory.fromConfig(
+      Map("enabled" -> "yes")).settings.enabled)
+    assert(GraftEventStoreProviderFactory.fromConfig(
+      Map("enabled" -> "TRUE")).settings.enabled)
   }
 
   test("factory: disabled gate refuses create; enabled factory wires a working provider") {
