@@ -172,6 +172,24 @@ object ABlock {
         .orderBy(col("eventtype"))
     }),
 
+    // A15: the PHYSICAL user-bucketed layout — the two-day slice lands
+    // as dt/hour PARTITIONS × userid BUCKETS (sorted); the measured
+    // read is the per-user aggregation this layout exists for, with
+    // the partition columns proving the dual layout round-trips. The
+    // oracle derives the same counts from the raw events.
+    "a15_bucketed_events" -> ((s, d) => {
+      val table = "graft_a15_events_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!s.catalog.tableExists(table))
+        graft.sources.Bucketing.writeBucketedEvents(
+          ke(s, d).filter(col("time") >= T0 && col("time") < T1), table)
+      graft.sources.Bucketing.read(s, table)
+        .groupBy(col("userid"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("dt")).as("n_days"),
+          min(col("time")).as("first_time"))
+        .orderBy(col("userid"))
+    }),
+
     // A13: the PHYSICAL pruned read — events land in a real dt/hour
     // partitioned store, then the builder's time range derives
     // partition predicates (PartitionPruning) so the scan lists only
@@ -261,6 +279,13 @@ object ABlock {
       s"""$withKe SELECT eventtype, count(*) AS n,
          |  CAST(sum(CASE WHEN time >= $TMid THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved
          |FROM ke WHERE time >= $T0 AND time < $T1
-         |GROUP BY eventtype ORDER BY eventtype""".stripMargin
+         |GROUP BY eventtype ORDER BY eventtype""".stripMargin,
+
+    "a15_bucketed_events" ->
+      s"""$withKe SELECT userid, count(*) AS n,
+         |  count(DISTINCT time // 86400000) AS n_days,
+         |  min(time) AS first_time
+         |FROM ke WHERE time >= $T0 AND time < $T1
+         |GROUP BY userid ORDER BY userid""".stripMargin
   )
 }

@@ -18,22 +18,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed table. Idempotent across
-    * sessions: a leftover managed-table DIRECTORY from a previous
-    * session (the in-memory catalog forgets the table, the warehouse
-    * dir does not) would fail CREATE with LOCATION_ALREADY_EXISTS, so
-    * any stale location is dropped first. */
-  def writeBucketed(
-      df: DataFrame,
-      table: String,
-      bucketCol: String,
-      numBuckets: Int): Unit = {
-    val spark = df.sparkSession
+  /** Drop a table AND its leftover warehouse directory. A fresh
+    * session's in-memory catalog forgets managed tables but their
+    * directories persist, and a stale location fails the next CREATE
+    * with LOCATION_ALREADY_EXISTS. */
+  private def dropStale(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Write `df` as a bucketed+sorted managed table. Idempotent across
+    * sessions (see [[dropStale]]). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int): Unit = {
+    dropStale(df.sparkSession, table)
     df.write
       .mode("overwrite")
       .format("parquet")
@@ -53,7 +57,8 @@ object Bucketing {
   def writeBucketedEvents(
       events: DataFrame,
       table: String,
-      numBuckets: Int = 8): Unit =
+      numBuckets: Int = 8): Unit = {
+    dropStale(events.sparkSession, table)
     EventStore.withPartitionColumns(events)
       .write
       .mode("overwrite")
@@ -62,4 +67,5 @@ object Bucketing {
       .bucketBy(numBuckets, "userid")
       .sortBy("userid")
       .saveAsTable(table)
+  }
 }
