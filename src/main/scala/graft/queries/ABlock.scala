@@ -32,6 +32,18 @@ object ABlock {
     * and pruning boundary for the physical-store entries. */
   private val TMid = 1704240000000L
 
+  /** Cache key for the one-time physical stores: sf dir + a
+    * fingerprint (size ^ mtime) of the source events parquet, so a
+    * regenerated testdata set invalidates the cached store instead of
+    * silently serving stale rows. */
+  private[queries] def storeKey(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(d, "events.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      java.lang.Long.toHexString(st.getLen ^ st.getModificationTime)
+  }
+
   val queries: Map[String, Q] = Map(
     // A1: user-event flattening (FlatEvent.java:43-55).
     "a1_flatten_event" -> ((s, d) =>
@@ -135,7 +147,7 @@ object ABlock {
     // one-time write cost of the full month (the write happens once
     // per sf dir; the READ is the measured operation).
     "a12_compacted_read" -> ((s, d) => {
-      val store = "/tmp/graft_a12_store_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val store = "/tmp/graft_a12_store_" + storeKey(s, d)
       val p = new org.apache.hadoop.fs.Path(store)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) {
@@ -155,7 +167,7 @@ object ABlock {
     // read reconciles, surfacing null for pre-evolution rows. The
     // oracle derives the same split from the mid-slice boundary.
     "a14_evolved_read" -> ((s, d) => {
-      val store = "/tmp/graft_a14_store_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val store = "/tmp/graft_a14_store_" + storeKey(s, d)
       val p = new org.apache.hadoop.fs.Path(store)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) {
@@ -178,7 +190,7 @@ object ABlock {
     // the partition columns proving the dual layout round-trips. The
     // oracle derives the same counts from the raw events.
     "a15_bucketed_events" -> ((s, d) => {
-      val table = "graft_a15_events_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = "graft_a15_events_" + storeKey(s, d).toLowerCase
       if (!s.catalog.tableExists(table))
         graft.sources.Bucketing.writeBucketedEvents(
           ke(s, d).filter(col("time") >= T0 && col("time") < T1), table)
@@ -197,7 +209,7 @@ object ABlock {
     // first half at planning time). The oracle is the plain time
     // filter: pruning must be invisible in the results.
     "a13_pruned_read" -> ((s, d) => {
-      val store = "/tmp/graft_a13_store_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val store = "/tmp/graft_a13_store_" + storeKey(s, d)
       val p = new org.apache.hadoop.fs.Path(store)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) graft.sources.EventStore.write(

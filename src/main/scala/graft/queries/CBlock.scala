@@ -138,7 +138,7 @@ object CBlock {
     // reads the streamed store back, and the oracle pins that the
     // streaming pipeline lost and invented nothing.
     "c7_streamed_ingest" -> ((s, d) => {
-      val base = "/tmp/graft_c7_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val base = "/tmp/graft_c7_" + ABlock.storeKey(s, d)
       val p = new org.apache.hadoop.fs.Path(base)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) {
