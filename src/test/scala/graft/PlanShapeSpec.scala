@@ -100,6 +100,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("a15: per-user agg runs on bucket partitioning — no hash exchange") {
+    val p = plan("a15_bucketed_events")
+    // the userid-bucketed layout must satisfy the groupBy(userid)
+    // distribution; the only allowed exchange is the final orderBy's
+    // range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-user agg reshuffled a userid-bucketed store:\n${p.take(2000)}")
+    assert(p.contains("Bucketed: true"), p.take(1500))
+  }
+
   test("a13: time-range read prunes dt/hour partitions at planning time") {
     val p = plan("a13_pruned_read")
     assert(p.contains("PartitionFilters: [") && !p.contains("PartitionFilters: []"),
