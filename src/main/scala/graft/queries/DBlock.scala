@@ -190,6 +190,20 @@ object DBlock {
           shingleK = 3, threshold = 0.2))
         .orderBy(col("id"))),
 
+    // D5+D19 composed: the full embedding-dedup pipeline — exact
+    // blocked cosine pairs → connected components → keep-one —
+    // oracle-checked end to end against a recursive-CTE closure over
+    // the same pair predicate (survivor = min id per cluster,
+    // singletons untouched).
+    "d21_embed_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.dropNearDuplicates(emb, "vec_id",
+        Similarity.cosinePairsBlocked(emb, "vec_id", "embedding",
+          threshold = 0.4))
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // D16: canonicalization for dedup — lowercase, numbers → <num>,
     // emails → <email>, whitespace squashed; the normalize-then-hash
     // front door of every exact-dedup pass (oracle-checked: Spark and
@@ -312,6 +326,23 @@ object DBlock {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d21_embed_dedup" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM comp WHERE component <> id)
+        |ORDER BY vec_id""".stripMargin,
 
     "d6_ann_bruteforce" ->
       """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cos, 4) AS cos FROM (
