@@ -57,6 +57,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "block_cos_pairs(blockA, blockB, sameBlock, threshold) - above-threshold cosine pairs of two vector blocks"),
       (args: Seq[Expression]) => BlockCosPairs(args.head, args(1), args(2),
         toDouble(args(3).eval()))))
+    e.injectFunction((FunctionIdentifier("block_top_k"),
+      info("block_top_k",
+        "block_top_k(corpusBlock, queryBlock, k) - per-query block-local cosine top-k"),
+      (args: Seq[Expression]) => BlockTopK(args.head, args(1),
+        args(2).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("hamming_pairs"),
+      info("hamming_pairs",
+        "hamming_pairs(members, maxDist) - generator of (id_a, id_b, hamming) pairs within a bucket"),
+      (args: Seq[Expression]) => HammingPairsGen(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())))
   }
 }
 
@@ -99,5 +109,11 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("block_cos_pairs",
       (args: Seq[Expression]) => BlockCosPairs(args.head, args(1), args(2),
         toDouble(args(3).eval())), "scala_udf")
+    reg.createOrReplaceTempFunction("block_top_k",
+      (args: Seq[Expression]) => BlockTopK(args.head, args(1),
+        args(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("hamming_pairs",
+      (args: Seq[Expression]) => HammingPairsGen(args.head,
+        args(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
   }
 }

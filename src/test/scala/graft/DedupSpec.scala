@@ -187,6 +187,23 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(0L, 2L, 4L), kept.toString)
   }
 
+  test("degenerate inputs: empty pairs, single doc, maxDist=0") {
+    import spark.implicits._
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.components(emptyPairs).collect().isEmpty)
+    val d = docs()
+    assert(Dedup.dropNearDuplicates(d, "doc_id", emptyPairs).count() == d.count())
+
+    val single = Seq((7L, "only document")).toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(single, "doc_id", "text", maxDist = 16)
+      .collect().isEmpty)
+
+    // maxDist=0: exactly the identical-simhash pairs (docs 0 and 3)
+    val zero = Dedup.simhashPairs(d, "doc_id", "text", maxDist = 0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(zero == Set((0L, 3L)), zero.toString)
+  }
+
   test("unblocked ngram jaccard (minhash-band fallback) recovers the blocked pairs") {
     import org.apache.spark.sql.functions._
     // same corpus, no blocking key: the fallback's candidates must

@@ -27,6 +27,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(row.getAs[Double]("dot") - 11.0) < 1e-12)
   }
 
+  test("round-4 functions are callable from SQL") {
+    GraftExtensions.registerTemp(spark)
+    // block_top_k: 2-vector corpus block, 1-query block, k=1 →
+    // the query's nearest non-self neighbor
+    val tk = spark.sql(
+      """SELECT explode(block_top_k(
+        |  array(named_struct('id', 1L, 'v', array(cast(1.0 as float), cast(0.0 as float)), 'nrm', cast(1.0 as double)),
+        |        named_struct('id', 2L, 'v', array(cast(0.0 as float), cast(1.0 as float)), 'nrm', cast(1.0 as double))),
+        |  array(named_struct('id', 1L, 'v', array(cast(1.0 as float), cast(0.0 as float)), 'nrm', cast(1.0 as double))),
+        |  1)) AS p""".stripMargin).select("p.*").head()
+    assert(tk.getAs[Long]("query_id") == 1L && tk.getAs[Long]("neighbor_id") == 2L)
+
+    // hamming_pairs: generator over a 3-member bucket, maxDist 1
+    val hp = spark.sql(
+      """SELECT hamming_pairs(array(
+        |  named_struct('id', 10L, 'sim', 8L),
+        |  named_struct('id', 11L, 'sim', 9L),
+        |  named_struct('id', 12L, 'sim', 1024L)), 1)""".stripMargin).collect()
+    assert(hp.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+      r.getAs[Int]("hamming"))).toSet == Set((10L, 11L, 1)))
+  }
+
   test("round-2 functions are callable from SQL") {
     GraftExtensions.registerTemp(spark)
     val row = spark.sql(
