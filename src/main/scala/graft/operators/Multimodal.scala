@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, plus a batched decode /
   * feature-extract stage.
   *
-  * The IMAGE path is real end-to-end: [[withMediaPayload]] generates
-  * genuine PNG bytes and [[decode]] / [[resizeImages]] run them
-  * through `javax.imageio` (JDK built-in — no external codec needed).
-  * Audio/video have no JDK codec, so their decode stays a
+  * The IMAGE and AUDIO paths are real end-to-end: [[withMediaPayload]]
+  * generates genuine PNG bytes ([[imagePayload]]) and genuine PCM WAV
+  * bytes ([[audioPayload]]), and [[decode]] / [[resizeImages]] /
+  * [[decodeAudio]] run them through `javax.imageio` and
+  * `javax.sound.sampled` (both JDK built-in — no external codec
+  * needed). Video has no JDK codec, so its decode stays a
   * deterministic fake behind the same per-partition iterator shape;
   * a production deployment swaps in ffmpeg bindings there and
   * everything else stays identical.
@@ -70,10 +72,37 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic REAL PCM WAV for doc `id`: 16-bit little-endian
+    * samples at an id-derived sample rate / channel count / frame
+    * count, containerized by javax.sound.sampled's own WAV writer.
+    * Like [[imagePayload]], the parameter formulas give downstream
+    * decode queries an exact SQL oracle: a correct decoder must read
+    * exactly these back out of the WAV header. */
+  def audioPayload(id: Long): Array[Byte] = {
+    val sampleRate = 8000 + math.floorMod(id, 8).toInt * 1000
+    val channels = 1 + math.floorMod(id, 2).toInt
+    val frames = 200 + math.floorMod(id, 100).toInt
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val data = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < data.length) { // deterministic sample bytes
+      data(i) = ((id * 31 + i * 7) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Media payloads with REAL bytes where a JDK codec exists: rows
     * assigned media_type 'image' carry a genuine PNG
-    * ([[imagePayload]]); audio/video keep UTF-8 text bytes (opaque —
-    * no JDK codec to honor them anyway). */
+    * ([[imagePayload]]), 'audio' rows a genuine PCM WAV
+    * ([[audioPayload]]); video keeps UTF-8 text bytes (opaque — no
+    * JDK codec to honor them anyway). */
   def withMediaPayload(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -86,9 +115,11 @@ object Multimodal {
             case 1 => "audio"
             case _ => "video"
           }
-          val payload =
-            if (mt == "image") imagePayload(id)
-            else Option(text).getOrElse("").getBytes("UTF-8")
+          val payload = mt match {
+            case "image" => imagePayload(id)
+            case "audio" => audioPayload(id)
+            case _ => Option(text).getOrElse("").getBytes("UTF-8")
+          }
           MediaRow(id, mt, payload)
         }
       }
@@ -96,30 +127,75 @@ object Multimodal {
 
   /** Decode media features. Images are decoded FOR REAL via
     * javax.imageio — width/height/channels come out of the actual
-    * PNG/JPEG/BMP bytes, and undecodable image payloads surface as
-    * (-1, -1, -1) rather than an executor crash. Audio/video (no JDK
-    * codec) keep the deterministic fake of [[decodeStub]]. One
-    * ImageIO context per partition (cache off: payloads are
+    * PNG/JPEG/BMP bytes — and audio FOR REAL via javax.sound.sampled
+    * (width carries the sample rate, height the frame count: the
+    * audio analogues of image dimensions — [[decodeAudio]] returns
+    * them under their own names). Undecodable payloads surface as
+    * (-1, -1, -1) rather than an executor crash. Video (no JDK codec)
+    * keeps the deterministic fake of [[decodeStub]]. One codec
+    * context per partition (ImageIO cache off: payloads are
     * in-memory, a disk-backed cache would only add I/O). */
   def decode(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
       rows.map { r =>
-        if (r.media_type == "image") {
-          val img = javax.imageio.ImageIO.read(
+        r.media_type match {
+          case "image" =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            if (img == null)
+              MediaFeatures(r.doc_id, r.media_type, r.payload.length, -1, -1, -1)
+            else MediaFeatures(r.doc_id, r.media_type, r.payload.length,
+              img.getWidth, img.getHeight,
+              img.getColorModel.getNumColorComponents)
+          case "audio" =>
+            try {
+              val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+                new java.io.ByteArrayInputStream(r.payload))
+              MediaFeatures(r.doc_id, r.media_type, r.payload.length,
+                ff.getFormat.getSampleRate.toInt, ff.getFrameLength,
+                ff.getFormat.getChannels)
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException =>
+                MediaFeatures(r.doc_id, r.media_type, r.payload.length, -1, -1, -1)
+            }
+          case _ =>
+            val h = java.util.Arrays.hashCode(r.payload)
+            MediaFeatures(r.doc_id, r.media_type, r.payload.length,
+              64 + math.floorMod(h, 16) * 32,
+              64 + math.floorMod(h >> 4, 16) * 32, 3)
+        }
+      }
+    }
+  }
+
+  /** Decoded audio header features, under audio-native names. */
+  case class AudioFeatures(
+      doc_id: Long,
+      byte_len: Int,
+      sample_rate: Int,
+      channels: Int,
+      frames: Int)
+
+  /** REAL audio decode via javax.sound.sampled: sample rate, channel
+    * count and frame count come out of the actual WAV/AIFF header
+    * bytes (getAudioFileFormat parses the container header without
+    * decoding samples). Undecodable payloads surface as (-1, -1, -1).
+    * Per-partition iterator shape like [[decode]]. */
+  def decodeAudio(spark: SparkSession, media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.filter(_.media_type == "audio").mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
             new java.io.ByteArrayInputStream(r.payload))
-          if (img == null)
-            MediaFeatures(r.doc_id, r.media_type, r.payload.length, -1, -1, -1)
-          else MediaFeatures(r.doc_id, r.media_type, r.payload.length,
-            img.getWidth, img.getHeight,
-            img.getColorModel.getNumColorComponents)
-        } else {
-          val h = java.util.Arrays.hashCode(r.payload)
-          MediaFeatures(r.doc_id, r.media_type, r.payload.length,
-            64 + math.floorMod(h, 16) * 32,
-            64 + math.floorMod(h >> 4, 16) * 32,
-            if (r.media_type == "audio") 1 else 3)
+          AudioFeatures(r.doc_id, r.payload.length,
+            ff.getFormat.getSampleRate.toInt, ff.getFormat.getChannels,
+            ff.getFrameLength)
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException =>
+            AudioFeatures(r.doc_id, r.payload.length, -1, -1, -1)
         }
       }
     }

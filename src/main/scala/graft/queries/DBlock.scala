@@ -251,6 +251,20 @@ object DBlock {
         .filter(_.media_type == "image")
         .toDF()
         .select(col("doc_id"), col("width"), col("height"), col("channels"))
+        .orderBy(col("doc_id"))),
+
+    // D15/D22: REAL audio decode — payloads are genuine PCM WAVs
+    // (Multimodal.audioPayload) and sample rate / channels / frames
+    // come from javax.sound.sampled parsing the actual RIFF header;
+    // like d19, the oracle knows only the generator's parameter
+    // formulas (and the canonical 44-byte-header size arithmetic), so
+    // a decoder that doesn't truly parse the WAV cannot match it.
+    "d22_audio_decode" -> ((s, d) =>
+      Multimodal.decodeAudio(s,
+        Multimodal.withMediaPayload(Tables.documents(s, d), "doc_id", "text"))
+        .toDF()
+        .select(col("doc_id"), col("byte_len"), col("sample_rate"),
+          col("channels"), col("frames"))
         .orderBy(col("doc_id")))
   )
 
@@ -465,6 +479,14 @@ object DBlock {
         |  CAST(16 + doc_id % 16 AS INT) AS width,
         |  CAST(16 + doc_id % 9 AS INT) AS height,
         |  3 AS channels
-        |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
+
+    "d22_audio_decode" ->
+      """SELECT doc_id,
+        |  CAST(44 + (200 + doc_id % 100) * (1 + doc_id % 2) * 2 AS INT) AS byte_len,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(200 + doc_id % 100 AS INT) AS frames
+        |FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -79,13 +79,43 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(f.height == 16 + (f.doc_id % 9).toInt, s"$f")
       assert(f.channels == 3, s"$f")
     }
-    // audio/video keep the deterministic fake (no JDK codec)
-    assert(feats.filter(_.media_type == "audio").forall(_.channels == 1))
+    // audio decodes for real too: width carries the sample rate,
+    // height the frame count, straight out of the WAV header
+    feats.filter(_.media_type == "audio").foreach { f =>
+      assert(f.width == 8000 + (f.doc_id % 8).toInt * 1000, s"$f")
+      assert(f.height == 200 + (f.doc_id % 100).toInt, s"$f")
+      assert(f.channels == 1 + (f.doc_id % 2).toInt, s"$f")
+    }
 
     // an undecodable "image" surfaces as -1 dims, not a crash
     val bad = Seq(Multimodal.MediaRow(99L, "image", Array[Byte](1, 2, 3))).toDS()
     val badFeat = Multimodal.decode(spark, bad).head()
     assert(badFeat.width == -1 && badFeat.height == -1 && badFeat.channels == -1)
+  }
+
+  test("real audio decode reads back WAV header params via javax.sound.sampled") {
+    import spark.implicits._
+    val docs = (0L until 48L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val media = Multimodal.withMediaPayload(docs, "doc_id", "text")
+    // audio payloads are genuine RIFF/WAVE containers
+    val wav = media.filter(_.media_type == "audio").head().payload
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE", "not a WAV header")
+
+    val feats = Multimodal.decodeAudio(spark, media).collect().sortBy(_.doc_id)
+    assert(feats.length == 16) // ids ≡ 1 (mod 3) in [0, 48)
+    feats.foreach { f =>
+      assert(f.sample_rate == 8000 + (f.doc_id % 8).toInt * 1000, s"$f")
+      assert(f.channels == 1 + (f.doc_id % 2).toInt, s"$f")
+      assert(f.frames == 200 + (f.doc_id % 100).toInt, s"$f")
+      // canonical WAV: 44-byte header + 16-bit PCM frames
+      assert(f.byte_len == 44 + f.frames * f.channels * 2, s"$f")
+    }
+
+    // an undecodable "audio" payload surfaces as -1s, not a crash
+    val bad = Seq(Multimodal.MediaRow(98L, "audio", Array[Byte](1, 2, 3))).toDS()
+    val badFeat = Multimodal.decodeAudio(spark, bad).head()
+    assert(badFeat.sample_rate == -1 && badFeat.channels == -1 && badFeat.frames == -1)
   }
 
   test("real image resize scales to fit and re-encodes a decodable PNG") {
