@@ -95,4 +95,35 @@ final class GraftEventStoreProvider(
   /** Delete admin events older than the cutoff (epoch ms). */
   def clearExpiredAdmin(olderThanMs: Long): Int =
     EventStore.clearExpired(spark, adminEventsPath, olderThanMs)
+
+  /** Drop the whole user-event store — `clear()`
+    * (FirehoseEventStoreProvider.java:103). */
+  def clear(): Unit = EventStore.clearAll(spark, eventsPath)
+
+  /** Delete every user event of one realm — `clear(realm)`
+    * (FirehoseEventStoreProvider.java:106). Touched-partitions-only
+    * rewrite (realmid is not a partition column); returns partitions
+    * touched. */
+  def clear(realmId: String): Int =
+    EventStore.clearRealm(spark, eventsPath, realmId)
+
+  /** Delete one realm's user events with time < olderThanMs —
+    * `clear(realm, olderThan)` (FirehoseEventStoreProvider.java:109). */
+  def clear(realmId: String, olderThanMs: Long): Int =
+    EventStore.clearRealm(spark, eventsPath, realmId, Some(olderThanMs))
+
+  /** Drop the whole admin-event store — `clearAdmin()`
+    * (FirehoseEventStoreProvider.java:115). */
+  def clearAdmin(): Unit = EventStore.clearAll(spark, adminEventsPath)
+
+  /** Delete every admin event of one realm — `clearAdmin(realm)`
+    * (FirehoseEventStoreProvider.java:118). */
+  def clearAdmin(realmId: String): Int =
+    EventStore.clearRealm(spark, adminEventsPath, realmId)
+
+  /** Delete one realm's admin events with time < olderThanMs —
+    * `clearAdmin(realm, olderThan)`
+    * (FirehoseEventStoreProvider.java:121). */
+  def clearAdmin(realmId: String, olderThanMs: Long): Int =
+    EventStore.clearRealm(spark, adminEventsPath, realmId, Some(olderThanMs))
 }

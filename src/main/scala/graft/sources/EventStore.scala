@@ -260,4 +260,89 @@ object EventStore {
       fs.delete(dtDir.getPath, true)
     toDrop.length
   }
+
+  /** Delete every event of one realm (optionally only those with
+    * time < olderThanMs) — the GDPR-style purge behind the
+    * reference's `clear(realm[, olderThan])` surface
+    * (FirehoseEventStoreProvider.java:106-109, declared no-ops
+    * there; a standalone engine owns deletion for real).
+    *
+    * realmid is NOT a partition column, so this cannot be a
+    * directory drop like [[clearExpired]] — but it must not be a
+    * full-store rewrite either. Touched-partitions-only:
+    *
+    *  1. One discovery job finds the distinct (dt, hour) partitions
+    *     that contain matching rows. The realm (and time) predicates
+    *     push down to the parquet scan, so row-group stats and
+    *     dictionary filters skip files that cannot contain the realm
+    *     — on a store written with `sortWithin = realmid` clustering,
+    *     most files — and the time bound prunes dt/hour partitions.
+    *  2. One rewrite job reads ONLY the touched partitions, keeps
+    *     survivor rows, and lands them under a dot-prefixed temp root
+    *     invisible to discovery (compact's O(1)-jobs pattern — never
+    *     one job per partition).
+    *  3. Each touched partition is crash-safely [[swapIn]]-swapped;
+    *     a partition left with no survivors is deleted outright.
+    *
+    * Null semantics: rows with null realmid belong to no realm and
+    * always survive. Returns the number of partitions touched.
+    */
+  def clearRealm(spark: SparkSession, path: String, realmId: String,
+      olderThanMs: Option[Long] = None): Int = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    recoverSwaps(spark, path)
+    val hasData = fs.listStatus(root)
+      .exists(d => d.isDirectory && d.getPath.getName.startsWith("dt="))
+    if (!hasData) return 0
+
+    val doomed = olderThanMs.foldLeft(col("realmid") === realmId) {
+      (p, cut) => p && col("time") < cut
+    }
+    val touched = read(spark, path)
+      .filter(doomed)
+      .select(col("dt").cast("string").as("dt"), col("hour").cast("int").as("hour"))
+      .distinct()
+      .collect() // bounded: one row per store partition, not per event
+      .map(r => new Path(new Path(root, s"dt=${r.getString(0)}"),
+        s"hour=${r.getInt(1)}"))
+    if (touched.isEmpty) return 0
+
+    // the streaming WAL no longer describes the store (see clearExpired)
+    val metadataLog = new Path(root, "_spark_metadata")
+    if (fs.exists(metadataLog)) fs.delete(metadataLog, true)
+
+    val tmpRoot = new Path(root, ".clear_realm_tmp")
+    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+    spark.read.option("basePath", path)
+      .parquet(touched.map(_.toString): _*)
+      // survivors: everything the doomed predicate does not match —
+      // including null-realmid rows, where `doomed` evaluates null
+      .filter(not(coalesce(doomed, lit(false))))
+      .repartition(col("dt"), col("hour"))
+      .write.partitionBy("dt", "hour").parquet(tmpRoot.toString)
+
+    for (part <- touched) {
+      val tmpPart = new Path(new Path(tmpRoot, part.getParent.getName), part.getName)
+      if (fs.exists(tmpPart)) swapIn(fs, part, tmpPart)
+      else fs.delete(part, true) // every row in this partition matched
+    }
+    fs.delete(tmpRoot, true)
+    for (dtDir <- fs.listStatus(root)
+         if dtDir.isDirectory && dtDir.getPath.getName.startsWith("dt=") &&
+           fs.listStatus(dtDir.getPath).isEmpty)
+      fs.delete(dtDir.getPath, true)
+    touched.length
+  }
+
+  /** Drop the whole store — the reference's `clear()` /
+    * `clearAdmin()` (FirehoseEventStoreProvider.java:103, 115).
+    * Metadata-only (directory delete, no scan); the path itself is
+    * removed, and the next write recreates it. */
+  def clearAll(spark: SparkSession, path: String): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+  }
 }
