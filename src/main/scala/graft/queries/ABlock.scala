@@ -202,6 +202,55 @@ object ABlock {
         .orderBy(col("userid"))
     }),
 
+    // A11 promoted into the gate: the provider facade END-TO-END over
+    // a physical store — config map → factory (enable gate) → provider
+    // → typed onEvents append → createQuery builder → toDF. The oracle
+    // replays the same filters over the raw events; ProviderSpec
+    // covers the config/gate/ingest-mode matrix.
+    "a11_provider_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val base = "/tmp/graft_a11_store_" + storeKey(s, d)
+      val factory = graft.api.GraftEventStoreProviderFactory.fromConfig(
+        Map("enabled" -> "true", "basePath" -> base))
+      val provider = factory.create(s)
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p))
+        provider.onEvents(
+          ke(s, d).filter(col("time") >= T0 && col("time") < T1)
+            .as[graft.model.KeycloakEvent])
+      provider.createQuery()
+        .types("LOGIN", "LOGOUT")
+        .realm("realm-2")
+        .fromDate(T0).toDate(TMid)
+        .orderByAscTime
+        .toDF
+        .select(col("id"), col("eventtype"), col("realmid"), col("userid"),
+          col("time"))
+    }),
+
+    // A16: the PHYSICAL realm-scoped purge — clear(realm, olderThan)
+    // (FirehoseEventStoreProvider.java:106-109, no-ops there). The
+    // two-day slice lands realmid-clustered, clearRealm rewrites ONLY
+    // the partitions containing matching rows (realmid is not a
+    // partition column), and the oracle pins the exact survivor set:
+    // realm-1 keeps nothing before TMid, every other realm keeps all.
+    // Idempotent on the cached store: a second call finds no matching
+    // rows and touches nothing.
+    "a16_realm_clear" -> ((s, d) => {
+      val store = "/tmp/graft_a16_store_" + storeKey(s, d)
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) graft.sources.EventStore.write(
+        ke(s, d).filter(col("time") >= T0 && col("time") < T1), store,
+        sortWithin = Seq("realmid"))
+      graft.sources.EventStore.clearRealm(s, store, "realm-1", Some(TMid))
+      graft.sources.EventStore.read(s, store)
+        .groupBy(col("realmid"))
+        .agg(count(lit(1)).as("n"), min(col("time")).as("min_time"))
+        .orderBy(col("realmid"))
+    }),
+
     // A13: the PHYSICAL pruned read — events land in a real dt/hour
     // partitioned store, then the builder's time range derives
     // partition predicates (PartitionPruning) so the scan lists only
@@ -298,6 +347,19 @@ object ABlock {
          |  count(DISTINCT time // 86400000) AS n_days,
          |  min(time) AS first_time
          |FROM ke WHERE time >= $T0 AND time < $T1
-         |GROUP BY userid ORDER BY userid""".stripMargin
+         |GROUP BY userid ORDER BY userid""".stripMargin,
+
+    "a16_realm_clear" ->
+      s"""$withKe SELECT realmid, count(*) AS n, min(time) AS min_time
+         |FROM ke WHERE time >= $T0 AND time < $T1
+         |  AND (realmid IS DISTINCT FROM 'realm-1' OR time >= $TMid)
+         |GROUP BY realmid ORDER BY realmid""".stripMargin,
+
+    "a11_provider_roundtrip" ->
+      s"""$withKe SELECT id, eventtype, realmid, userid, time
+         |FROM ke
+         |WHERE eventtype IN ('LOGIN','LOGOUT') AND realmid = 'realm-2'
+         |  AND time >= $T0 AND time <= $TMid
+         |ORDER BY time, id""".stripMargin
   )
 }

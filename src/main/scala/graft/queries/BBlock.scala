@@ -85,9 +85,15 @@ object BBlock {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val li = Tables.lineitem(s, d)
+      // customer is deliberately NOT hinted: unlike nation/region/
+      // supplier it grows linearly with scale factor (~15 GB+ at the
+      // 100 TB posture), and an explicit broadcast() hint is obeyed
+      // regardless of size — AQE cannot demote it — so hinting it
+      // trades a shuffle join at test SF for a driver OOM at 100×.
+      // Stats/AQE still broadcast it while it fits.
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(cust.withColumnRenamed("c_nationkey", "cn")),
+        .join(cust.withColumnRenamed("c_nationkey", "cn"),
           col("o_custkey") === col("c_custkey") && col("cn") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -412,6 +418,32 @@ object BBlock {
               |FROM graft_b15_docs ORDER BY doc_id""".stripMargin)
     }),
 
+    // B27 (B17b promoted into the gate): the bounded range theta-join
+    // exactly as a user would WRITE it — raw SQL, no manual bucketing
+    // — executed through the injected BoundedRangeJoinRewrite
+    // optimizer rule, which synthesizes the 2-bucket equi-key and
+    // turns the nested-loop join into a hash join (c6's manual trick,
+    // applied transparently). The oracle pins the rows; PlanShapeSpec
+    // pins the rewrite (bucket key in the join, zero BNLJ).
+    "b27_auto_range_rewrite" -> ((s, d) => {
+      if (!s.experimental.extraOptimizations
+          .exists(_ eq graft.plans.BoundedRangeJoinRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.BoundedRangeJoinRewrite
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts DIV 1000").as("us"))
+      e.filter(col("event_type") === "click")
+        .createOrReplaceTempView("graft_b27_clicks")
+      e.filter(col("event_type") === "purchase")
+        .createOrReplaceTempView("graft_b27_purchases")
+      s.sql("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+              |  p.user_id AS user_id, p.us AS p_us, c.us AS c_us
+              |FROM graft_b27_purchases p JOIN graft_b27_clicks c
+              |  ON p.user_id = c.user_id
+              |  AND c.us >= p.us - 600000000L AND c.us < p.us
+              |ORDER BY purchase_id, click_id""".stripMargin)
+    }),
+
     // B26: count-min heavy-hitter estimates. The sketch is built
     // distributed (one pass, mergeable counters); the probe set —
     // the distinct event types, a handful of values — is the only
@@ -659,6 +691,15 @@ object BBlock {
     "b26_countmin" ->
       """SELECT event_type, count(*) AS est_n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "b27_auto_range_rewrite" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.user_id AS user_id, p.us AS p_us, c.us AS c_us
+        |FROM e p JOIN e c ON p.user_id = c.user_id
+        |  AND c.us >= p.us - 600000000 AND c.us < p.us
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "b18b_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

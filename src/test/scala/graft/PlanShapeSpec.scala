@@ -29,10 +29,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scan reads too many columns: $scanCols")
   }
 
-  test("b4b: every dim join broadcasts, none degrades to sort-merge") {
+  test("b4b: bounded dims broadcast; customer is free to shuffle") {
+    // nation/region/supplier are hinted (bounded dims); customer is
+    // NOT — it grows with SF, and a hint-forced broadcast would OOM
+    // the driver at 100× where AQE cannot demote an explicit hint.
+    // At test SF stats may still broadcast it, so the pin is >= 3
+    // broadcasts and zero nested-loop joins, with SMJ permitted.
     val p = plan("b4b_join_region")
-    assert(count(p, "BroadcastHashJoin") == 5, p.take(2000))
-    assert(count(p, "SortMergeJoin") == 0, "dim join fell back to SMJ")
+    assert(count(p, "BroadcastHashJoin") >= 3, p.take(2000))
+    assert(count(p, "BroadcastNestedLoopJoin") == 0,
+      s"dim join degenerated to a pair join:\n${p.take(2000)}")
   }
 
   test("b2: aggregation is two-phase (map-side partial)") {
@@ -73,6 +79,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"join not keyed on the time bucket: $joinLine")
     assert(count(p, "BroadcastNestedLoopJoin") == 0,
       s"interval join degenerated to a pair join:\n${p.take(2000)}")
+  }
+
+  test("b27: raw SQL range theta-join is auto-rewritten to a bucket-keyed join") {
+    val p = plan("b27_auto_range_rewrite")
+    // the injected rule must synthesize the bucket equi-key; without
+    // it this plans a per-user-key nested-loop pair enumeration
+    assert(p.contains("__graft_range_bucket"),
+      s"rewrite rule did not fire:\n${p.take(2000)}")
+    assert(count(p, "BroadcastNestedLoopJoin") == 0,
+      s"range join degenerated to a pair join:\n${p.take(2000)}")
   }
 
   test("b18b: bucketed join plans with zero Exchange on the join") {
