@@ -12,6 +12,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // The metrics JSON must be the FIRST stdout line the driver sees
+    // (four rounds of BENCH parsed:null from log noise ahead of it).
+    // Claim the real stdout now, route everything else — including
+    // log4j's console appender, which captures System.out when Spark
+    // initializes logging AFTER this point — to stderr, and write the
+    // JSON to the saved stream at the end: the process then emits
+    // exactly one stdout line, the metrics.
+    val realOut = System.out
+    System.setOut(new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.err), true))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -70,16 +80,21 @@ object Bench {
     val names = if (qArgs.nonEmpty) qArgs
       else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> force(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision: the driver keeps only a ~4 KB stdout tail, and the
+    // full-precision 74-query line overflowed it (head truncated →
+    // parsed:null every round). 3 decimals keeps the whole line < 2 KB.
+    def f3(v: Double): String = // Locale.ROOT: a comma decimal point would corrupt the JSON
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // stdout gets truncated/interleaved under some harnesses (every
-    // BENCH_r*.json so far parsed as null) — always mirror the line
-    // to a file: bench_out.json in the cwd, or an explicit path via
-    // env/args
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    realOut.println(json)
+    realOut.flush()
+    System.err.println(json) // human-visible copy alongside the per-query log
+    // belt and braces: mirror the line to a file too — bench_out.json
+    // in the cwd, or an explicit path via env/args
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .orElse(args.find(_.endsWith(".json")))
       .getOrElse("bench_out.json")
