@@ -79,9 +79,12 @@ object SketchFunctions {
   /** Generator: all (id_a, id_b, hamming) pairs with
     * popcount(sim_a XOR sim_b) <= maxDist from one bucket's
     * array<struct<id:long, sim:long>> members; id_a < id_b, streamed
-    * lazily (selecting this column plans a Generate, like explode). */
-  def hammingPairs(members: Column, maxDist: Int): Column =
-    ub(HammingPairsGen(x(members), maxDist))
+    * lazily (selecting this column plans a Generate, like explode).
+    * A bucket with more than `memberCap` members throws a descriptive
+    * error instead of silently running the quadratic loop. */
+  def hammingPairs(members: Column, maxDist: Int,
+      memberCap: Int = Int.MaxValue): Column =
+    ub(HammingPairsGen(x(members), maxDist, memberCap))
 }
 
 /** One-pass text statistics, bit-compatible with the SQL arithmetic
@@ -257,7 +260,8 @@ case class MarkerCounts(child: Expression, markers: Seq[String])
   * exact-dedup identical documents first (d1) so degenerate
   * identical-text floods collapse to one member before this stage.
   */
-case class HammingPairsGen(child: Expression, maxDist: Int)
+case class HammingPairsGen(child: Expression, maxDist: Int,
+    memberCap: Int = Int.MaxValue)
     extends UnaryExpression with Generator with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -299,6 +303,17 @@ case class HammingPairsGen(child: Expression, maxDist: Int)
       k += 1
     }
     if (n < 2) return Iterator.empty
+    if (n > memberCap)
+      // fail loudly instead of grinding an n²/2 popcount loop in one
+      // task: a bucket this size means the upstream splitting ran
+      // out of discriminating bits (e.g. a flood of near-identical
+      // sketches) and the caller should exact-dedup identical texts
+      // first or raise the cap knowingly
+      throw new org.apache.spark.SparkException(
+        s"hamming bucket holds $n members, over the cap of $memberCap: " +
+        "the corpus floods one sketch bucket (likely mass-duplicated " +
+        "text) - exact-dedup identical documents first, or raise the cap " +
+        "to accept the quadratic bucket cost")
     new Iterator[InternalRow] {
       private var i = 0
       private var j = 1

@@ -83,16 +83,28 @@ object Dedup {
     val withSig = withSets
       .withColumn("sig", SketchFunctions.minhash64(col("sh"), numPerms))
 
-    // narrow banding rows: (band_id, band_hash, doc_id) — no arrays
-    val banded = withSig.select(col("doc_id"),
+    // narrow banding rows: (band_id, band_hash, doc_id, sz) — no
+    // arrays. sz (the shingle-set cardinality, free: shingles are
+    // already distinct) rides along to power the size-ratio
+    // pre-filter below.
+    val banded = withSig.select(col("doc_id"), size(col("sh")).as("sz"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
 
+    // Size-ratio pre-filter: jaccard(A,B) >= t requires
+    // |A∩B| >= t·|A∪B| >= t·max(|A|,|B|), and |A∩B| <= min(|A|,|B|),
+    // so min >= t·max is NECESSARY — pruning on it loses no true
+    // pair. At low thresholds the band join's candidate set is wide
+    // by design (r=1 catches j=t with p≈1, and with it a sea of
+    // low-j junk); this kills the junk on two ints per pair BEFORE
+    // the distinct and the wide hashed-set verification joins.
     val candidates = banded.as("a")
       .join(banded.as("b"), Seq("band_id", "band_hash"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.sz"), col("b.sz")).cast("double") >=
+          lit(threshold) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
@@ -144,7 +156,13 @@ object Dedup {
     * secondary boundaries straddle the primary ones so the split has
     * fresh bits to discriminate on. One split level with a documented
     * cap: a secondary bucket is ~|bucket|/2^w of the primary, so the
-    * residual quadratic term drops by orders of magnitude.
+    * residual quadratic term drops by orders of magnitude. A
+    * pathological corpus where a SECONDARY bucket still exceeds
+    * `secondaryCap` members (a flood of near-identical sketches — the
+    * rotation has no fresh bits left to split on) fails LOUDLY with a
+    * descriptive error instead of silently re-creating the quadratic
+    * single-task loop one level down; exact-dedup identical texts
+    * first, or raise `secondaryCap` to knowingly accept the cost.
     *
     * Null semantics: docs with null id or null text (null simhash)
     * are excluded — they can't meaningfully pair.
@@ -155,10 +173,13 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxDist: Int = 3,
-      bucketCap: Int = 4096): DataFrame = {
+      bucketCap: Int = 4096,
+      secondaryCap: Int = 1 << 16): DataFrame = {
     require(maxDist >= 0 && maxDist <= 63,
       s"maxDist must be in [0, 63], got $maxDist")
     require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
+    require(secondaryCap >= bucketCap,
+      s"secondaryCap ($secondaryCap) must be >= bucketCap ($bucketCap)")
     val idT = docs.schema(idCol).dataType
     require(isIntegral(idT),
       s"simhashPairs requires an integral id column, got ${idT.simpleString}")
@@ -205,7 +226,8 @@ object Dedup {
       .withColumnRenamed("col", "sec_val")
       .groupBy(col("chunk_id"), col("chunk_val"), col("sec_id"), col("sec_val"))
       .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
-      .select(SketchFunctions.hammingPairs(col("members"), maxDist))
+      .select(SketchFunctions.hammingPairs(col("members"), maxDist,
+        memberCap = secondaryCap))
 
     smallPairs.unionAll(bigPairs)
       .distinct()
@@ -320,10 +342,30 @@ object Dedup {
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"), min(col("old")).as("old"))
         .cache()
-      changed = prop.filter(col("component") < col("old")).count()
+      // pointer jumping: component := component's component. Labels
+      // only ever decrease toward the true component min, and every
+      // label value is itself a node id with a label row, so the jump
+      // halves the remaining pointer-chain length — with the
+      // neighbor-min step above, fixpoint lands in O(log diameter)
+      // rounds instead of O(diameter) (at fixpoint the jump is the
+      // identity: label(label(x)) = label(min) = min).
+      //
+      // localCheckpoint, not cache: the jump self-joins prop with
+      // itself, so a lineage-preserving plan doubles every round
+      // (exponential tree, OOM just STRINGIFYING it by round ~10);
+      // checkpointing pins the round's result as a fresh scan and
+      // keeps the plan constant-size across rounds.
+      val jumped = prop
+        .join(prop.select(col("id").as("component"), col("component").as("jcomp")),
+          Seq("component"), "left")
+        .select(col("id"),
+          coalesce(col("jcomp"), col("component")).as("component"), col("old"))
+        .localCheckpoint()
+      changed = jumped.filter(col("component") < col("old")).count()
+      prop.unpersist()
       if (prev != null) prev.unpersist()
-      prev = prop
-      labels = prop.select(col("id"), col("component"))
+      prev = jumped
+      labels = jumped.select(col("id"), col("component"))
       iter += 1
     }
     // pin the result, then release every cached frame it was built

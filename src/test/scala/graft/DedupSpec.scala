@@ -120,6 +120,32 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhashPairs fails loudly when a SECONDARY bucket overflows its cap") {
+    import spark.implicits._
+    // permutations of one word set: simhash is a bag-of-tokens vote,
+    // so all 40 docs share ONE simhash — the rotation has no fresh
+    // bits to split on, every secondary bucket holds all 40 members,
+    // and with secondaryCap below that the engine must error clearly
+    // rather than silently run the quadratic loop one level down
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 40).map { i =>
+      (i.toLong, rnd.shuffle(words).mkString(" "))
+    }.toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3,
+        bucketCap = 8, secondaryCap = 16).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("exact-dedup")),
+      s"error chain lacked the descriptive bucket-cap message: $ex")
+    // the same corpus passes once identical-simhash floods are allowed
+    val ok = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3,
+      bucketCap = 8, secondaryCap = 64).collect()
+    assert(ok.length == 40 * 39 / 2, s"got ${ok.length}")
+  }
+
   test("simhashPairs excludes docs with null text or null id") {
     import spark.implicits._
     // null text → null simhash; previously these paired pairwise at
@@ -174,6 +200,26 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     // one survivor per cluster + untouched singleton 5
     assert(kept == Set(1L, 5L, 10L), kept.toString)
+  }
+
+  test("pointer jumping: a long path graph converges within maxIter rounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // path 0-1-2-…-1023, edges scattered by id_a so phase-1
+    // partition-local contraction cannot shortcut it (consecutive
+    // edges land in different partitions): the contracted graph keeps
+    // a diameter in the hundreds, so plain min-label propagation
+    // would need that many rounds — far beyond maxIter = 20. The
+    // pointer-jumping step (label := label[label]) halves the chain
+    // every round and converges in ~log2(1024) = 10.
+    val n = 1024
+    val pairs = spark.range(n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      .repartition(32, pmod(col("id_a"), lit(32)))
+    val comp = Dedup.components(pairs, maxIter = 20).collect()
+    assert(comp.length == n)
+    assert(comp.forall(_.getAs[Long]("component") == 0L),
+      comp.filter(_.getAs[Long]("component") != 0L).take(5).mkString(","))
   }
 
   test("end-to-end near-dedup: minhash pairs → components → surviving corpus") {
