@@ -153,6 +153,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(dirs.nonEmpty && dirs.forall(_.getName.startsWith("dt=")))
   }
 
+  test("rate-source soak: stateful sessionization bounds state, watermark advances") {
+    import org.apache.spark.sql.functions._
+    // continuous stateful pipeline under sustained input: 50 users,
+    // event time advancing one minute per row, 5-minute session gap —
+    // consecutive events of one user are 50 synthetic minutes apart,
+    // so sessions close constantly. Over N triggers the state store
+    // must stay O(active users), NEVER O(rows seen), and the
+    // watermark must keep moving (a stalled watermark would pin every
+    // session open and grow state without bound).
+    val t0 = 1704067200000L
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "2000").load()
+    val events = rate.select(
+      concat(lit("u"), (col("value") % 50).cast("string")).as("userid"),
+      (lit(t0) + col("value") * 60000L).as("time"))
+    val sessions = StreamOps.sessionize(spark, events,
+      gapMs = 5 * 60000L, watermark = "10 minutes")
+    val q = sessions.writeStream.format("memory")
+      .queryName("graft_soak_sessions").outputMode("append").start()
+    try {
+      var waited = 0
+      while (q.recentProgress.count(_.stateOperators.nonEmpty) < 8 &&
+          waited < 120000) {
+        Thread.sleep(500); waited += 500
+      }
+      val progress = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      assert(progress.length >= 8, s"only ${progress.length} stateful triggers")
+      // bounded state: at most one open session per user (plus the
+      // handful whose close timer hasn't fired within the batch)
+      val maxState = progress.map(_.stateOperators.map(_.numRowsTotal).sum).max
+      assert(maxState <= 100, s"state grew to $maxState rows for 50 users")
+      // watermark advances across the soak, no stall
+      val wms = progress.flatMap(p => Option(p.eventTime.get("watermark"))).distinct
+      assert(wms.length >= 3, s"watermark stalled: ${wms.mkString(", ")}")
+      // and closed sessions actually land downstream
+      assert(spark.table("graft_soak_sessions").count() > 0,
+        "no sessions closed during the soak")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs purchases with prior clicks") {
     import spark.implicits._
     val input = MemoryStream[String](spark)
