@@ -55,8 +55,8 @@ object Bench {
     // run them in warm-up so the measured pass times the ENGINE read
     // path, not one-time /tmp setup
     Seq("a12_compacted_read", "a13_pruned_read", "a14_evolved_read",
-      "a15_bucketed_events", "c7_streamed_ingest",
-      "b18b_bucketed_join").foreach { n =>
+      "a15_bucketed_events", "a16_realm_clear", "a11_provider_roundtrip",
+      "c7_streamed_ingest", "b18b_bucketed_join").foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
