@@ -56,7 +56,8 @@ object Bench {
     // path, not one-time /tmp setup
     Seq("a12_compacted_read", "a13_pruned_read", "a14_evolved_read",
       "a15_bucketed_events", "a16_realm_clear", "a11_provider_roundtrip",
-      "c7_streamed_ingest", "b18b_bucketed_join").foreach { n =>
+      "c7_streamed_ingest", "b18b_bucketed_join",
+      "d19_image_decode").foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
