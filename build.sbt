@@ -14,6 +14,11 @@ run / fork := true
 // The driver parses graft.Bench's single stdout JSON line; sbt's
 // default LoggedOutput would prefix it with "[info] ".
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The driver keeps only the last ~2000 chars of stdout. sbt's trailing
+// "[success] Total time: …" line would sit between the metrics JSON
+// and the end of that window, wasting ~75 chars of it — suppress it so
+// the metrics line IS the tail.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

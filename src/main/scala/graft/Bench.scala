@@ -81,26 +81,37 @@ object Bench {
     val names = if (qArgs.nonEmpty) qArgs
       else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> force(n))
-    // ms precision: the driver keeps only a ~4 KB stdout tail, and the
-    // full-precision 74-query line overflowed it (head truncated →
-    // parsed:null every round). 3 decimals keeps the whole line < 2 KB.
-    def f3(v: Double): String = // Locale.ROOT: a comma decimal point would corrupt the JSON
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    realOut.println(json)
+    def fmt(v: Double, dec: Int): String = // Locale.ROOT: a comma decimal point would corrupt the JSON
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    def line(entries: Seq[(String, Double)], dec: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // The driver keeps only the LAST 2000 chars of stdout and parses
+    // the metrics line out of that tail (BENCH_r01–r05 all show
+    // tail-len 2000 with parsed:null — the full-precision line
+    // overflowed the window and lost its head). Budget the stdout line
+    // to 1800 chars: 2 decimals, and if the registry has grown past
+    // what fits, drop the FASTEST queries from the map first (total
+    // still covers every query; bench_out.json keeps the full map).
+    val budget = 1800
+    var keep = results.sortBy(-_._2)
+    while (keep.size > 1 && line(keep.sortBy(_._1), 2).length > budget)
+      keep = keep.init
+    val stdoutJson = line(keep.sortBy(_._1), 2)
+    val fullJson = line(results, 3)
+    realOut.println(stdoutJson)
     realOut.flush()
-    System.err.println(json) // human-visible copy alongside the per-query log
-    // belt and braces: mirror the line to a file too — bench_out.json
-    // in the cwd, or an explicit path via env/args
+    System.err.println(fullJson) // human-visible full-precision copy
+    // belt and braces: mirror the full line to a file too —
+    // bench_out.json in the cwd, or an explicit path via env/args
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .orElse(args.find(_.endsWith(".json")))
       .getOrElse("bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
+      (fullJson + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -247,10 +247,12 @@ object Dedup {
     *    shrinks from |E| edges to |V| star edges. When the pair set is
     *    small (AQE coalesces the verification join's output to one
     *    partition) this single task already solves the whole graph.
-    * 2. Min-label propagation over the star graph: each round a node
-    *    takes the min label among itself and its neighbors; fixpoint
-    *    in O(diameter of the contracted graph) rounds, one Spark
-    *    action per round (the previous label rides through the
+    * 2. If the contracted star graph is small (≤ `smallGraph` edges,
+    *    default [[defaultSmallGraphEdges]]), one single-task
+    *    union-find pass over all stars solves it exactly in one job.
+    *    Otherwise: min-label propagation with pointer jumping
+    *    (label := label[label]) — fixpoint in O(log diameter) rounds,
+    *    one action per round (the previous label rides through the
     *    aggregate, so no second join is needed to count changes).
     *
     * Returns (id, component), one row per id that appears in any
@@ -262,11 +264,12 @@ object Dedup {
     * dictionary-encoded to dense longs first and decoded on the way
     * out, so the hot loop never carries wide keys.
     */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 20,
+      smallGraph: Long = defaultSmallGraphEdges): DataFrame = {
     val idT = pairs.schema("id_a").dataType
     if (isIntegral(idT)) {
       componentsLong(pairs.select(
-        col("id_a").cast("long"), col("id_b").cast("long")), maxIter)
+        col("id_a").cast("long"), col("id_b").cast("long")), maxIter, smallGraph)
         .select(col("id").cast(idT).as("id"),
           col("component").cast(idT).as("component"))
     } else {
@@ -283,7 +286,7 @@ object Dedup {
         .join(dict.select(col("orig").as("id_a"), col("nid").as("na")), Seq("id_a"))
         .join(dict.select(col("orig").as("id_b"), col("nid").as("nb")), Seq("id_b"))
         .select(col("na").as("id_a"), col("nb").as("id_b"))
-      componentsLong(enc, maxIter)
+      componentsLong(enc, maxIter, smallGraph)
         .join(dict.select(col("nid").as("id"), col("orig").as("__oid")), Seq("id"))
         .join(dict.select(col("nid").as("component"), col("orig").as("__ocomp")),
           Seq("component"))
@@ -291,40 +294,74 @@ object Dedup {
     }
   }
 
-  private def componentsLong(pairsLong: DataFrame, maxIter: Int): DataFrame = {
+  /** Union-find (union by min id, path compression) over one
+    * partition's edges, emitting one (node, local root) star edge per
+    * node seen. Roots are always member ids (the local min), so the
+    * output of one pass is itself a valid edge set for another. */
+  private def unionFind(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def find(x0: Long): Long = {
+      var r = x0
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x0 // path compression
+      while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    it.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      // union by min id keeps every root = min of its local set
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = Iterator.newBuilder[(Long, Long)]
+    parent.keySet().forEach(k => out += ((k.longValue(), find(k))))
+    out.result()
+  }
+
+  /** Default for `smallGraph` below: star graphs at or below this many
+    * edges after phase-1 contraction collapse in ONE single-task
+    * union-find pass instead of iterating distributed label rounds:
+    * ~4M (long, long) rows is ≤ 64 MB in one task — far below executor
+    * memory — and phase 1 has already contracted |E| edges down to one
+    * star edge per (node, partition), so even a 100 TB corpus whose
+    * near-dup graph has millions of nodes takes this path. Only a
+    * graph with ≥ billions of distinct matched nodes falls through to
+    * the O(log d) iterative rounds. */
+  val defaultSmallGraphEdges: Long = 4L << 20
+
+  private def componentsLong(pairsLong: DataFrame, maxIter: Int,
+      smallGraph: Long): DataFrame = {
     val spark = pairsLong.sparkSession
     import spark.implicits._
 
     // Phase 1: per-partition union-find → (node, local min) stars.
     val stars = pairsLong
       .as[(Long, Long)]
-      .mapPartitions { it =>
-        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
-        def find(x0: Long): Long = {
-          var r = x0
-          while (parent.get(r) != r) r = parent.get(r)
-          var c = x0 // path compression
-          while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
-          r
-        }
-        it.foreach { case (a, b) =>
-          if (!parent.containsKey(a)) parent.put(a, a)
-          if (!parent.containsKey(b)) parent.put(b, b)
-          val ra = find(a)
-          val rb = find(b)
-          // union by min id keeps every root = min of its local set
-          if (ra < rb) parent.put(rb, ra)
-          else if (rb < ra) parent.put(ra, rb)
-        }
-        val out = Iterator.newBuilder[(Long, Long)]
-        parent.keySet().forEach(k => out += ((k.longValue(), find(k))))
-        out.result()
-      }.toDF("id", "component")
+      .mapPartitions(unionFind _)
+      .toDF("id", "component")
 
     // Phase 2: min-label fixpoint over the (symmetrized) star edges.
     val init = stars.distinct().cache()
     var labels = init
-    labels.count()
+    val nStars = init.count()
+
+    // Small-graph collapse: one union-find task over ALL star edges
+    // solves the whole graph exactly (stars are themselves edges:
+    // node → local min, a member id), replacing per-round join jobs
+    // whose scheduling floor dominates at this size. Identical output
+    // to the fixpoint: root = component min, one row per node.
+    if (nStars <= smallGraph) {
+      val out = init.as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions(unionFind _)
+        .toDF("id", "component")
+        .localCheckpoint()
+      init.unpersist()
+      return out
+    }
     val half = labels.filter(col("id") =!= col("component"))
       .select(col("id").as("src"), col("component").as("dst"))
     val edges = half
@@ -354,13 +391,15 @@ object Dedup {
       // itself, so a lineage-preserving plan doubles every round
       // (exponential tree, OOM just STRINGIFYING it by round ~10);
       // checkpointing pins the round's result as a fresh scan and
-      // keeps the plan constant-size across rounds.
+      // keeps the plan constant-size across rounds. Lazy (eager=false)
+      // so the changed-count action below materializes it — one job
+      // per round, not a checkpoint job plus a count job.
       val jumped = prop
         .join(prop.select(col("id").as("component"), col("component").as("jcomp")),
           Seq("component"), "left")
         .select(col("id"),
           coalesce(col("jcomp"), col("component")).as("component"), col("old"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = jumped.filter(col("component") < col("old")).count()
       prop.unpersist()
       if (prev != null) prev.unpersist()

@@ -212,14 +212,39 @@ class DedupSpec extends AnyFunSuite {
     // would need that many rounds — far beyond maxIter = 20. The
     // pointer-jumping step (label := label[label]) halves the chain
     // every round and converges in ~log2(1024) = 10.
+    // smallGraph = 0 forces the iterative path: at the default
+    // threshold this graph would take the single-task union-find
+    // collapse and never exercise the rounds this test pins.
     val n = 1024
     val pairs = spark.range(n - 1)
       .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
       .repartition(32, pmod(col("id_a"), lit(32)))
-    val comp = Dedup.components(pairs, maxIter = 20).collect()
+    val comp = Dedup.components(pairs, maxIter = 20, smallGraph = 0L).collect()
     assert(comp.length == n)
     assert(comp.forall(_.getAs[Long]("component") == 0L),
       comp.filter(_.getAs[Long]("component") != 0L).take(5).mkString(","))
+  }
+
+  test("small-graph collapse and iterative rounds agree on a random graph") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 500 random edges over 300 nodes: many multi-node components of
+    // varied shapes. The default path (single-task union-find over the
+    // contracted stars) and the forced iterative path must label every
+    // node identically — the collapse is an optimization, not a
+    // semantic fork.
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 500)
+      .map(_ => (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+      .repartition(16, pmod(col("id_a"), lit(16)))
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    val fast = labelMap(Dedup.components(pairs))
+    val slow = labelMap(Dedup.components(pairs, maxIter = 40, smallGraph = 0L))
+    assert(fast == slow,
+      s"paths disagree on ${fast.toSet.diff(slow.toSet).take(5)}")
   }
 
   test("end-to-end near-dedup: minhash pairs → components → surviving corpus") {
