@@ -160,6 +160,39 @@ object CBlock {
         .orderBy(col("eventtype"))
     }),
 
+    // C8: upsert-sink replay idempotence, physically. The two-day
+    // slice is split at its midpoint and played through
+    // StreamingIngest.upsertBatch (the foreachBatch body of
+    // toUpsertSink) as b1, b2 — then b2 AGAIN and b1 AGAIN, the
+    // at-least-once redelivery pattern the sink exists to absorb
+    // (checkpoint loss replays whole batches, out of order). The
+    // measured query reads the final store back at id level; the
+    // oracle is the once-played slice — equal iff the replays
+    // duplicated, dropped, and altered nothing.
+    "c8_upsert_replay" -> ((s, d) => {
+      val base = "/tmp/graft_c8_" + ABlock.storeKey(s, d)
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) {
+        val slice = graft.model.EventAdapter
+          .keycloakEvents(Tables.events(s, d))
+          .filter(col("time") >= SliceT0 && col("time") < SliceT1)
+        val mid = (SliceT0 + SliceT1) / 2
+        val b1 = slice.filter(col("time") < mid)
+        val b2 = slice.filter(col("time") >= mid)
+        val store = s"$base/store"
+        graft.streaming.StreamingIngest.upsertBatch(b1, store)
+        graft.streaming.StreamingIngest.upsertBatch(b2, store)
+        graft.streaming.StreamingIngest.upsertBatch(b2, store) // replayed
+        graft.streaming.StreamingIngest.upsertBatch(b1, store) // replayed, out of order
+      }
+      graft.sources.EventStore.read(s, s"$base/store")
+        .select(col("id"), col("eventtype"), col("realmid"), col("realmname"),
+          col("clientid"), col("userid"), col("sessionid"), col("ipaddress"),
+          col("error"), col("time"), col("detailsjson"))
+        .orderBy(col("id"))
+    }),
+
     // C5: burst detection — 10-minute buckets per user where the
     // error count crosses the threshold (streaming: windowed agg +
     // filter, BurstDetect spec).
@@ -244,6 +277,13 @@ object CBlock {
          |  min(time) AS min_time, max(time) AS max_time
          |FROM ke WHERE time >= $SliceT0 AND time < $SliceT1
          |GROUP BY eventtype ORDER BY eventtype""".stripMargin,
+
+    "c8_upsert_replay" ->
+      s"""WITH ke AS (${graft.model.EventAdapter.duckdbEventsCte})
+         |SELECT id, eventtype, realmid, realmname, clientid, userid,
+         |  sessionid, ipaddress, error, time, detailsjson
+         |FROM ke WHERE time >= $SliceT0 AND time < $SliceT1
+         |ORDER BY id""".stripMargin,
 
     "c6_interval_join" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
