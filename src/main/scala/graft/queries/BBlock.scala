@@ -58,7 +58,12 @@ object BBlock {
         .limit(100)
     }),
 
-    // B4: TPC-H Q3 shape — broadcast dim join + shuffle fact join.
+    // B4: TPC-H Q3 shape — dim join + shuffle fact join. customer is
+    // NOT hinted even segment-filtered: a one-in-five mktsegment slice
+    // of an SF-linear table is still ~20 % of ~TBs at the 100 TB
+    // posture, and an explicit broadcast() hint is obeyed regardless
+    // of size (AQE cannot demote it). Stats/AQE broadcast it while it
+    // fits; at scale it degrades gracefully to a shuffle join.
     "b4_join_multiway" -> ((s, d) => {
       val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val ord = Tables.orders(s, d)
@@ -66,7 +71,7 @@ object BBlock {
       val li = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
         .select(col("l_orderkey"),
@@ -85,14 +90,16 @@ object BBlock {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val li = Tables.lineitem(s, d)
-      // customer is deliberately NOT hinted: unlike nation/region/
-      // supplier it grows linearly with scale factor (~15 GB+ at the
-      // 100 TB posture), and an explicit broadcast() hint is obeyed
-      // regardless of size — AQE cannot demote it — so hinting it
-      // trades a shuffle join at test SF for a driver OOM at 100×.
-      // Stats/AQE still broadcast it while it fits.
+      // Only nation (25 rows) and region (5 rows) are hinted — they
+      // are bounded regardless of SF. customer AND supplier are NOT:
+      // both grow linearly with scale factor (TPC-H supplier is
+      // 10k rows/SF ≈ 160 GB at the 100 TB posture), and an explicit
+      // broadcast() hint is obeyed regardless of size — AQE cannot
+      // demote it — so hinting either trades a shuffle join at test
+      // SF for a driver OOM at 100×. Stats/AQE still broadcast them
+      // while they fit.
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
         .join(cust.withColumnRenamed("c_nationkey", "cn"),
           col("o_custkey") === col("c_custkey") && col("cn") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))

@@ -29,14 +29,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scan reads too many columns: $scanCols")
   }
 
-  test("b4b: bounded dims broadcast; customer is free to shuffle") {
-    // nation/region/supplier are hinted (bounded dims); customer is
-    // NOT — it grows with SF, and a hint-forced broadcast would OOM
-    // the driver at 100× where AQE cannot demote an explicit hint.
-    // At test SF stats may still broadcast it, so the pin is >= 3
-    // broadcasts and zero nested-loop joins, with SMJ permitted.
+  test("b4b: bounded dims broadcast; SF-linear tables free to shuffle") {
+    // Only nation (25 rows) and region (5 rows) are hinted — genuinely
+    // bounded dims. customer AND supplier are NOT: both grow with SF
+    // (supplier is 10k rows/SF in TPC-H), and a hint-forced broadcast
+    // would OOM the driver at 100× where AQE cannot demote an explicit
+    // hint. At test SF stats may still broadcast them, so the pin is
+    // >= 2 broadcasts and zero nested-loop joins, with SMJ permitted.
     val p = plan("b4b_join_region")
-    assert(count(p, "BroadcastHashJoin") >= 3, p.take(2000))
+    assert(count(p, "BroadcastHashJoin") >= 2, p.take(2000))
     assert(count(p, "BroadcastNestedLoopJoin") == 0,
       s"dim join degenerated to a pair join:\n${p.take(2000)}")
   }
