@@ -294,12 +294,81 @@ object Dedup {
     }
   }
 
+  /** Minimal primitive long→long open-addressing map (power-of-two
+    * capacity, linear probing, grow at 50 % load) for the union-find
+    * hot loop: two `long[]` cost ≤ 32 B per entry at the load ceiling
+    * — versus ~50-60 B per entry of boxed Node objects in a
+    * `java.util.HashMap[Long, Long]` — with zero per-op boxing.
+    * `Long.MinValue` is the empty-slot sentinel, handled as an
+    * out-of-band key so every long id is storable. */
+  private final class LongLongMap(initialCapacity: Int = 1 << 10) {
+    private val EMPTY = Long.MinValue
+    private var cap = {
+      var c = 16; while (c < initialCapacity) c <<= 1; c
+    }
+    private var mask = cap - 1
+    private var keys = {
+      val a = new Array[Long](cap); java.util.Arrays.fill(a, EMPTY); a
+    }
+    private var vals = new Array[Long](cap)
+    private var n = 0
+    private var hasEmptyKey = false
+    private var emptyVal = 0L
+
+    /** Slot holding `k`, or the empty slot where it would go. */
+    private def slot(k: Long): Int = {
+      var h = k * 0x9E3779B97F4A7C15L // splitmix64-style spread of sequential ids
+      h ^= h >>> 32
+      var i = (h & mask).toInt
+      while (keys(i) != EMPTY && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+    def contains(k: Long): Boolean =
+      if (k == EMPTY) hasEmptyKey else keys(slot(k)) == k
+    /** Value for a key the caller knows is present. */
+    def get(k: Long): Long =
+      if (k == EMPTY) emptyVal else vals(slot(k))
+    def put(k: Long, v: Long): Unit = {
+      if (k == EMPTY) {
+        if (!hasEmptyKey) { hasEmptyKey = true; n += 1 }
+        emptyVal = v
+      } else {
+        val i = slot(k)
+        if (keys(i) == k) vals(i) = v
+        else {
+          keys(i) = k; vals(i) = v; n += 1
+          if ((n.toLong << 1) > cap) grow()
+        }
+      }
+    }
+    /** Lazy key iterator. Safe to `put` existing keys (path
+      * compression) while iterating — updates touch vals only, slots
+      * never move once no new keys are inserted. */
+    def keysIterator: Iterator[Long] = {
+      val base = Iterator.range(0, cap).filter(i => keys(i) != EMPTY).map(i => keys(i))
+      if (hasEmptyKey) Iterator.single(EMPTY) ++ base else base
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap <<= 1; mask = cap - 1
+      keys = new Array[Long](cap); java.util.Arrays.fill(keys, EMPTY)
+      vals = new Array[Long](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != EMPTY) { val s = slot(ok(i)); keys(s) = ok(i); vals(s) = ov(i) }
+        i += 1
+      }
+    }
+  }
+
   /** Union-find (union by min id, path compression) over one
     * partition's edges, emitting one (node, local root) star edge per
     * node seen. Roots are always member ids (the local min), so the
-    * output of one pass is itself a valid edge set for another. */
+    * output of one pass is itself a valid edge set for another.
+    * Output is emitted lazily straight off the map's slots — no
+    * second materialized copy of the partition's nodes. */
   private def unionFind(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
-    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    val parent = new LongLongMap()
     def find(x0: Long): Long = {
       var r = x0
       while (parent.get(r) != r) r = parent.get(r)
@@ -308,28 +377,30 @@ object Dedup {
       r
     }
     it.foreach { case (a, b) =>
-      if (!parent.containsKey(a)) parent.put(a, a)
-      if (!parent.containsKey(b)) parent.put(b, b)
+      if (!parent.contains(a)) parent.put(a, a)
+      if (!parent.contains(b)) parent.put(b, b)
       val ra = find(a)
       val rb = find(b)
       // union by min id keeps every root = min of its local set
       if (ra < rb) parent.put(rb, ra)
       else if (rb < ra) parent.put(ra, rb)
     }
-    val out = Iterator.newBuilder[(Long, Long)]
-    parent.keySet().forEach(k => out += ((k.longValue(), find(k))))
-    out.result()
+    parent.keysIterator.map(k => (k, find(k)))
   }
 
   /** Default for `smallGraph` below: star graphs at or below this many
     * edges after phase-1 contraction collapse in ONE single-task
-    * union-find pass instead of iterating distributed label rounds:
-    * ~4M (long, long) rows is ≤ 64 MB in one task — far below executor
-    * memory — and phase 1 has already contracted |E| edges down to one
-    * star edge per (node, partition), so even a 100 TB corpus whose
-    * near-dup graph has millions of nodes takes this path. Only a
-    * graph with ≥ billions of distinct matched nodes falls through to
-    * the O(log d) iterative rounds. */
+    * union-find pass instead of iterating distributed label rounds.
+    * Honest JVM accounting: the task's map is [[LongLongMap]] — two
+    * `long[]` at ≤ 50 % load, ≤ 32 B per node — and 4M star edges
+    * carry at most 8M distinct nodes → ≤ 256 MB in one task
+    * (typically half that, since phase 1 emits one star edge per
+    * node), well below executor memory. Phase 1 has already
+    * contracted |E| edges down to one star edge per (node,
+    * partition), so even a 100 TB corpus whose near-dup graph has
+    * millions of matched nodes takes this path; only tens of millions
+    * of distinct matched nodes and up fall through to the O(log d)
+    * iterative rounds. */
   val defaultSmallGraphEdges: Long = 4L << 20
 
   private def componentsLong(pairsLong: DataFrame, maxIter: Int,
