@@ -190,34 +190,50 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      refineIters: Int = 2): DataFrame = {
+      refineIters: Int = 2,
+      refineSampleMod: Long = 4): DataFrame = {
     val n = corpus.count()
     val step = math.max(n / nlist, 1L)
     val sampled = corpus
       .filter(col(idCol) % step === 0).limit(nlist)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"),
+      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cvec"),
         vecNorm(col(vecCol)).as("cnrm"))
 
-    // Lloyd refinement: assign → fixed-point mean per (cell, dim) →
-    // rebuild centroid vectors. Each iteration is one broadcast join
-    // + one (cell, dim)-keyed aggregation; the ≤nlist resulting
-    // centroid rows are pulled to the driver and re-broadcast (the
-    // canonical k-means loop — the pull is bounded by nlist, never by
-    // corpus size, and keeps each iteration's plan free of the
-    // previous one's lineage). Corpus norms are computed once below
-    // the join, not per (vector, centroid) row.
+    // MINI-BATCH Lloyd refinement: each iteration assigns a
+    // deterministic 1/refineSampleMod slice of the corpus (rotated by
+    // iteration number, so successive steps see different batches) to
+    // its argmax-cosine cell, then cell means become the next
+    // centroids — the mini-batch k-means trade: near-identical
+    // centroid quality for a fraction of the full-corpus scans Lloyd
+    // would pay per iteration. Means are accumulated in FIXED-POINT
+    // (value·2²⁴ summed as long) so the result is exactly
+    // deterministic regardless of partition merge order. The ≤nlist
+    // centroid rows live driver-side between iterations (bounded by
+    // nlist, never corpus size — and each iteration's plan starts
+    // from a literal table, free of the previous one's lineage);
+    // cells a batch leaves empty keep their previous centroid instead
+    // of vanishing. Batch norms are computed once below the join, not
+    // per (vector, centroid) row.
     val Scale = (1L << 24).toDouble
     var centroids = sampled
     if (refineIters > 0) {
       val spark = corpus.sparkSession
+      import spark.implicits._
       val training = corpus
-        .select(col(idCol).as("__tid"), col(vecCol).as("__tv"))
+        .select(col(idCol).cast("long").as("__tid"), col(vecCol).as("__tv"))
         .withColumn("__tn", vecNorm(col("__tv")))
-      for (_ <- 1 to refineIters) {
+      var rows: Map[Long, Seq[Float]] = sampled
+        .select(col("cell_id"), col("cvec")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      for (it <- 1 to refineIters) {
+        val cents = rows.toSeq.toDF("cell_id", "cvec")
+          .withColumn("cnrm", vecNorm(col("cvec")))
+        val batch = training
+          .filter(pmod(col("__tid") + it, lit(refineSampleMod)) === 0)
         val w = Window.partitionBy(col("__tid"))
           .orderBy(col("__csim").desc, col("cell_id"))
-        val assigned = training
-          .join(broadcast(centroids))
+        val assigned = batch
+          .join(broadcast(cents))
           .withColumn("__csim",
             vecDot(col("__tv"), col("cvec")) / (col("__tn") * col("cnrm")))
           .withColumn("__crank", row_number().over(w))
@@ -233,11 +249,11 @@ object Similarity {
           .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)")
             .as("cvec"))
           .collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        import spark.implicits._
-        centroids = refined.toSeq.toDF("cell_id", "cvec")
-          .withColumn("cnrm", vecNorm(col("cvec")))
+          .map(r => r.getLong(0) -> r.getSeq[Float](1))
+        rows = rows ++ refined
       }
+      centroids = rows.toSeq.toDF("cell_id", "cvec")
+        .withColumn("cnrm", vecNorm(col("cvec")))
     }
 
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
