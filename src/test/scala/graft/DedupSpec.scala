@@ -247,6 +247,24 @@ class DedupSpec extends AnyFunSuite {
       s"paths disagree on ${fast.toSet.diff(slow.toSet).take(5)}")
   }
 
+  test("components handles negative ids and the Long.MinValue sentinel key") {
+    import spark.implicits._
+    // The union-find map stores longs in open-addressed slots with
+    // Long.MinValue as the empty sentinel, handled out of band — a
+    // corpus whose ids include Long.MinValue itself, negatives, and
+    // mixed signs must still label every node with its component min.
+    val pairs = Seq(
+      (Long.MinValue, -7L), (-7L, -3L),      // chain through the sentinel id
+      (-100L, 100L),                         // mixed-sign pair
+      (5L, 6L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(comp == Map(
+      Long.MinValue -> Long.MinValue, -7L -> Long.MinValue, -3L -> Long.MinValue,
+      -100L -> -100L, 100L -> -100L,
+      5L -> 5L, 6L -> 5L), comp.toString)
+  }
+
   test("end-to-end near-dedup: minhash pairs → components → surviving corpus") {
     val d = docs()
     val pairs = Dedup.minhashPairs(d, "doc_id", "text",
