@@ -100,15 +100,25 @@ object Dedup {
     // by design (r=1 catches j=t with p≈1, and with it a sea of
     // low-j junk); this kills the junk on two ints per pair BEFORE
     // the distinct and the wide hashed-set verification joins.
-    val candidates = banded.as("a")
-      .join(banded.as("b"), Seq("band_id", "band_hash"))
+    // Explicit shuffle below the two alias branches → identical
+    // Exchange subtrees → ReuseExchange materializes the
+    // scan+shingle+minhash+band pipeline ONCE for the self-join (the
+    // join-induced exchanges above per-side Projects do not reuse).
+    val bandKeyed = banded.repartition(col("band_id"), col("band_hash"))
+    val candidates = bandKeyed.as("a")
+      .join(bandKeyed.as("b"), Seq("band_id", "band_hash"))
       .filter(col("a.doc_id") < col("b.doc_id") &&
         least(col("a.sz"), col("b.sz")).cast("double") >=
           lit(threshold) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
-    // verification: re-join the hashed sets by id, sorted-merge Jaccard
+    // verification: re-join the hashed sets by id, sorted-merge
+    // Jaccard. NO forced co-partitioning here (measured): candidate
+    // sets are usually small enough that AQE broadcast-joins them
+    // into unshuffled set scans — forcing a doc_id shuffle would move
+    // the wide hashed-set arrays to save a second (cheaper) shingle
+    // pass.
     val sets = withSets.select(col("doc_id"), hashedSet(col("sh")).as("shh"))
     candidates
       .join(sets.withColumnRenamed("doc_id", "id_a")
@@ -414,10 +424,14 @@ object Dedup {
       .mapPartitions(unionFind _)
       .toDF("id", "component")
 
-    // Phase 2: min-label fixpoint over the (symmetrized) star edges.
-    val init = stars.distinct().cache()
-    var labels = init
-    val nStars = init.count()
+    // Route on the RAW star count (one row per node per partition —
+    // an upper bound on the distinct star count, so the routing is
+    // conservative): union-find is insensitive to duplicate edges, so
+    // the small-graph path needs no distinct() shuffle at all — at
+    // bench scale that shuffle's 32-task scheduling floor was the
+    // single biggest cost of a components() call on a tiny graph.
+    val stars0 = stars.cache()
+    val nStars = stars0.count()
 
     // Small-graph collapse: one union-find task over ALL star edges
     // solves the whole graph exactly (stars are themselves edges:
@@ -425,14 +439,20 @@ object Dedup {
     // whose scheduling floor dominates at this size. Identical output
     // to the fixpoint: root = component min, one row per node.
     if (nStars <= smallGraph) {
-      val out = init.as[(Long, Long)]
+      val out = stars0.as[(Long, Long)]
         .coalesce(1)
         .mapPartitions(unionFind _)
         .toDF("id", "component")
         .localCheckpoint()
-      init.unpersist()
+      stars0.unpersist()
       return out
     }
+
+    // Phase 2: min-label fixpoint over the (symmetrized) star edges.
+    // Here the distinct() pays for itself: it shrinks every join of
+    // the iterative rounds below.
+    val init = stars0.distinct().cache()
+    var labels = init
     val half = labels.filter(col("id") =!= col("component"))
       .select(col("id").as("src"), col("component").as("dst"))
     val edges = half
@@ -485,6 +505,7 @@ object Dedup {
     edges.unpersist()
     if (prev != null) prev.unpersist()
     init.unpersist()
+    stars0.unpersist()
     out
   }
 
@@ -532,8 +553,15 @@ object Dedup {
         struct(blockCols: _*).as("block")),
       "__graft_text", shingleK, "sh")
       .select(col("doc_id"), col("block"), hashedSet(col("sh")).as("shh"))
-    val a = base.select(col("block"), col("doc_id").as("id_a"), col("shh").as("shh_a"))
-    val b = base.select(col("block"), col("doc_id").as("id_b"), col("shh").as("shh_b"))
+    // One explicit shuffle on the block key BELOW the per-side alias
+    // projects: the two join inputs then share an identical Exchange
+    // subtree, so ReuseExchange materializes the shingle+hash
+    // pipeline ONCE and the second side reads the shuffle files —
+    // without it, the self-join scans and re-hashes the whole corpus
+    // twice (the dominant cost of this operator at scale).
+    val keyed = base.repartition(col("block"))
+    val a = keyed.select(col("block"), col("doc_id").as("id_a"), col("shh").as("shh_a"))
+    val b = keyed.select(col("block"), col("doc_id").as("id_b"), col("shh").as("shh_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
