@@ -211,14 +211,19 @@ object Dedup {
       .withColumnRenamed("pos", "chunk_id")
       .withColumnRenamed("col", "chunk_val")
 
-    // per-bucket sizes: map-side-combined count, equi-joined back so
-    // oversized buckets can take the split path. Both consumers
-    // exchange `chunked` on the same key, so ReuseExchange dedupes
-    // the scan+sketch work, and the small-branch groupBy reuses the
-    // join's partitioning (no extra shuffle).
-    val sizes = chunked.groupBy(col("chunk_id"), col("chunk_val"))
+    // per-bucket sizes, equi-joined back so oversized buckets can
+    // take the split path. ONE explicit shuffle on the bucket key
+    // below both consumers: the count and the join then share the
+    // same Exchange subtree (guaranteed ReuseExchange — the implicit
+    // exchanges would differ, the count's carrying a partial
+    // aggregate below it), so the scan+sketch+explode pipeline runs
+    // once, and everything downstream (count, join, both
+    // collect_list groupBys) rides the same partitioning with zero
+    // further exchanges.
+    val keyed = chunked.repartition(col("chunk_id"), col("chunk_val"))
+    val sizes = keyed.groupBy(col("chunk_id"), col("chunk_val"))
       .agg(count(lit(1)).as("bucket_n"))
-    val withN = chunked.join(sizes, Seq("chunk_id", "chunk_val"))
+    val withN = keyed.join(sizes, Seq("chunk_id", "chunk_val"))
 
     val smallPairs = withN.filter(col("bucket_n") <= bucketCap)
       .groupBy(col("chunk_id"), col("chunk_val"))
