@@ -42,6 +42,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"dim join degenerated to a pair join:\n${p.take(2000)}")
   }
 
+  test("b4: Q3 joins never degenerate to nested-loop; dims hash-join") {
+    // No broadcast hint survives on any SF-linear table (customer is
+    // segment-filtered but still ~20% of a linear table); stats/AQE
+    // may broadcast at test SF, so pin only the safety properties:
+    // hash-based joins throughout, zero nested-loop joins.
+    val p = plan("b4_join_multiway")
+    assert(count(p, "BroadcastNestedLoopJoin") == 0,
+      s"join degenerated to a pair join:\n${p.take(2000)}")
+    assert(count(p, "BroadcastHashJoin") + count(p, "SortMergeJoin") +
+      count(p, "ShuffledHashJoin") >= 2, p.take(2000))
+  }
+
   test("b2: aggregation is two-phase (map-side partial)") {
     val p = plan("b2_agg")
     assert(p.contains("partial_sum") || p.contains("partial_"),
