@@ -7,15 +7,19 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, plus a batched decode /
   * feature-extract stage.
   *
-  * The IMAGE and AUDIO paths are real end-to-end: [[withMediaPayload]]
-  * generates genuine PNG bytes ([[imagePayload]]) and genuine PCM WAV
-  * bytes ([[audioPayload]]), and [[decode]] / [[resizeImages]] /
-  * [[decodeAudio]] run them through `javax.imageio` and
-  * `javax.sound.sampled` (both JDK built-in — no external codec
-  * needed). Video has no JDK codec, so its decode stays a
-  * deterministic fake behind the same per-partition iterator shape;
-  * a production deployment swaps in ffmpeg bindings there and
-  * everything else stays identical.
+  * The IMAGE, AUDIO and VIDEO paths are all real end-to-end:
+  * [[withMediaPayload]] generates genuine PNG bytes
+  * ([[imagePayload]]), genuine PCM WAV bytes ([[audioPayload]]) and
+  * genuine MJPEG-in-AVI bytes ([[videoPayload]] — a RIFF/AVI
+  * container whose frames are real JPEGs), and [[decode]] /
+  * [[resizeImages]] / [[decodeAudio]] / [[decodeVideo]] /
+  * [[frameSampleVideo]] run them through `javax.imageio` and
+  * `javax.sound.sampled` plus a pure-JVM RIFF demuxer (AVI is plain
+  * RIFF chunk walking; the per-frame JPEG decode is javax.imageio
+  * again — no external codec needed for any of the three). A
+  * production deployment would swap the MJPEG demuxer for ffmpeg
+  * bindings to cover inter-frame codecs; everything else stays
+  * identical.
   *
   * At 100 TB scale: binary payloads stay columnar in parquet, decode
   * runs per-partition (one codec context per partition, not per row),
@@ -98,11 +102,194 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Media payloads with REAL bytes where a JDK codec exists: rows
-    * assigned media_type 'image' carry a genuine PNG
-    * ([[imagePayload]]), 'audio' rows a genuine PCM WAV
-    * ([[audioPayload]]); video keeps UTF-8 text bytes (opaque — no
-    * JDK codec to honor them anyway). */
+  // ---------------------------------------------------------------
+  // Video: MJPEG in a RIFF/AVI container. AVI is byte-walkable pure
+  // JVM (RIFF is fourcc + LE u32 size + data, even-padded; see the
+  // public AVI RIFF spec), and MJPEG frames are plain JPEGs that
+  // javax.imageio decodes — so, like PNG and WAV above, the whole
+  // video path is real without any external codec.
+  // ---------------------------------------------------------------
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def riffChunk(cc: String, data: Array[Byte]): Array[Byte] =
+    fcc(cc) ++ le32(data.length.toLong) ++ data ++
+      (if ((data.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+  private def riffList(listType: String, data: Array[Byte]): Array[Byte] =
+    fcc("LIST") ++ le32(4L + data.length) ++ fcc(listType) ++ data
+
+  /** Deterministic REAL MJPEG AVI for doc `id`: (2 + id%5) JPEG
+    * frames of (16 + id%8·2) × (16 + id%6·2) id-derived pixels at
+    * (5 + id%5) fps, in a spec-shaped RIFF container (avih + vids
+    * strh/strf(MJPG) + movi 00dc chunks + idx1). The parameter
+    * formulas give downstream decode queries an exact SQL oracle:
+    * a correct demuxer+decoder must read exactly these back out of
+    * the container and the frame JPEGs. */
+  def videoPayload(id: Long): Array[Byte] = {
+    val w = (16 + math.floorMod(id, 8) * 2).toInt
+    val h = (16 + math.floorMod(id, 6) * 2).toInt
+    val nFrames = (2 + math.floorMod(id, 5)).toInt
+    val fps = (5 + math.floorMod(id, 5)).toInt
+    val frames = Array.tabulate(nFrames) { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (id * 31 + f * 17 + x * 7 + y * 131).toInt & 0xFFFFFF)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avih = riffChunk("avih", // MainAVIHeader: 14 LE u32 fields
+      le32(1000000L / fps) ++ le32(0) ++ le32(0) ++ le32(0x10 /*HASINDEX*/) ++
+        le32(nFrames.toLong) ++ le32(0) ++ le32(1 /*streams*/) ++ le32(0) ++
+        le32(w.toLong) ++ le32(h.toLong) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strh = riffChunk("strh", // AVIStreamHeader for the vids stream
+      fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+        le32(0) ++ le32(1 /*scale*/) ++ le32(fps.toLong /*rate*/) ++
+        le32(0) ++ le32(nFrames.toLong) ++
+        le32(frames.map(_.length).max.toLong) ++ le32(0xFFFFFFFFL) ++
+        le32(0) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    val strf = riffChunk("strf", // BITMAPINFOHEADER, biCompression=MJPG
+      le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++ le16(24) ++
+        fcc("MJPG") ++ le32(w.toLong * h * 3) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = riffList("hdrl", avih ++ riffList("strl", strh ++ strf))
+    val movi = riffList("movi",
+      frames.flatMap(fb => riffChunk("00dc", fb)))
+    var off = 4L // idx1 offsets are relative to the 'movi' fourcc
+    val idx1 = riffChunk("idx1", frames.flatMap { fb =>
+      val e = fcc("00dc") ++ le32(0x10 /*KEYFRAME*/) ++ le32(off) ++
+        le32(fb.length.toLong)
+      off += 8L + fb.length + (fb.length & 1)
+      e
+    })
+    val body = fcc("AVI ") ++ hdrl ++ movi ++ idx1
+    fcc("RIFF") ++ le32(body.length.toLong) ++ body
+  }
+
+  /** Parsed AVI: container dims + vids timing + raw frame bytes. */
+  private[operators] case class AviInfo(width: Int, height: Int,
+      rate: Int, scale: Int, frames: Vector[Array[Byte]])
+
+  /** Pure-JVM RIFF/AVI demux: walk chunks, pull the vids stream
+    * header (rate/scale), the BITMAPINFOHEADER dims, and every video
+    * frame ('##dc'/'##db') payload. Returns None on anything that is
+    * not a plausible AVI (wrong magic, truncated chunks). */
+  private[operators] def parseAvi(b: Array[Byte]): Option[AviInfo] = {
+    def cc(p: Int): String = new String(b, p, 4, "US-ASCII")
+    def u32(p: Int): Long = (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+      ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+    if (b.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") return None
+    var width = -1; var height = -1; var rate = -1; var scale = -1
+    var inVids = false
+    val frames = Vector.newBuilder[Array[Byte]]
+    var ok = true
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (ok && p + 8 <= end) {
+        val id = cc(p)
+        val sz = u32(p + 4)
+        val ds = p + 8
+        if (sz < 0 || ds + sz > end) { ok = false }
+        else {
+          id match {
+            case "LIST" if sz >= 4 => walk(ds + 4, ds + sz.toInt)
+            case "strh" if sz >= 36 =>
+              inVids = cc(ds) == "vids"
+              if (inVids) { scale = u32(ds + 20).toInt; rate = u32(ds + 24).toInt }
+            case "strf" if inVids && sz >= 12 =>
+              width = u32(ds + 4).toInt; height = u32(ds + 8).toInt
+            case dc if dc.endsWith("dc") || dc.endsWith("db") =>
+              frames += java.util.Arrays.copyOfRange(b, ds, ds + sz.toInt)
+            case _ => ()
+          }
+          p = ds + sz.toInt + (sz.toInt & 1)
+        }
+      }
+    }
+    walk(12, math.min(8 + u32(4), b.length.toLong).toInt)
+    val fs = frames.result()
+    if (!ok || width <= 0 || rate <= 0 || scale <= 0 || fs.isEmpty) None
+    else Some(AviInfo(width, height, rate, scale, fs))
+  }
+
+  /** Decoded video features, under video-native names. `width` and
+    * `height` come from REALLY decoding the first frame's JPEG via
+    * javax.imageio (not just the container header — a demuxer that
+    * doesn't decode frames can't produce them), `frames` from the
+    * demuxed chunk count, `fps` from the stream header rate/scale. */
+  case class VideoFeatures(
+      doc_id: Long,
+      byte_len: Int,
+      width: Int,
+      height: Int,
+      frames: Int,
+      fps: Int)
+
+  /** REAL video decode: RIFF/AVI demux + javax.imageio JPEG decode of
+    * the first frame. Undecodable payloads surface as (-1,-1,-1,-1)
+    * rather than an executor crash. Per-partition iterator shape like
+    * [[decode]]. */
+  def decodeVideo(spark: SparkSession, media: Dataset[MediaRow]): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    media.filter(_.media_type == "video").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        parseAvi(r.payload).flatMap { avi =>
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(avi.frames.head))).map { img =>
+            VideoFeatures(r.doc_id, r.payload.length,
+              img.getWidth, img.getHeight, avi.frames.size,
+              math.round(avi.rate.toDouble / avi.scale).toInt)
+          }
+        }.getOrElse(VideoFeatures(r.doc_id, r.payload.length, -1, -1, -1, -1))
+      }
+    }
+  }
+
+  /** REAL frame sampling: demux the AVI and keep one frame per
+    * `everyMs` of stream time (frame i lands at i·1000·scale/rate
+    * ms). Payloads are the actual JPEG bytes out of the container —
+    * the row-explosion shape (one input row → N frame rows) with a
+    * real demuxer behind it. */
+  def frameSampleVideo(spark: SparkSession, media: Dataset[MediaRow],
+      everyMs: Long = 1000L): Dataset[Frame] = {
+    import spark.implicits._
+    media.filter(_.media_type == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseAvi(r.payload) match {
+          case None => Iterator.empty
+          case Some(avi) =>
+            val stepMs = 1000.0 * avi.scale / avi.rate
+            var nextDue = 0L
+            avi.frames.iterator.zipWithIndex.flatMap { case (fb, i) =>
+              val ts = math.round(i * stepMs)
+              if (ts >= nextDue) {
+                nextDue = ts + everyMs
+                Iterator.single(Frame(r.doc_id, i, ts, fb))
+              } else Iterator.empty
+            }
+        }
+      }
+    }
+  }
+
+  /** Media payloads with REAL bytes — all three types have JDK-only
+    * codecs here: 'image' rows carry a genuine PNG ([[imagePayload]]),
+    * 'audio' rows a genuine PCM WAV ([[audioPayload]]), 'video' rows
+    * a genuine MJPEG AVI ([[videoPayload]]). */
   def withMediaPayload(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -118,7 +305,7 @@ object Multimodal {
           val payload = mt match {
             case "image" => imagePayload(id)
             case "audio" => audioPayload(id)
-            case _ => Option(text).getOrElse("").getBytes("UTF-8")
+            case _ => videoPayload(id)
           }
           MediaRow(id, mt, payload)
         }
@@ -130,9 +317,10 @@ object Multimodal {
     * PNG/JPEG/BMP bytes — and audio FOR REAL via javax.sound.sampled
     * (width carries the sample rate, height the frame count: the
     * audio analogues of image dimensions — [[decodeAudio]] returns
-    * them under their own names). Undecodable payloads surface as
-    * (-1, -1, -1) rather than an executor crash. Video (no JDK codec)
-    * keeps the deterministic fake of [[decodeStub]]. One codec
+    * them under their own names), and video FOR REAL via the RIFF/AVI
+    * demuxer + javax.imageio on the first MJPEG frame ([[decodeVideo]]
+    * returns the full video-native feature set). Undecodable payloads
+    * surface as (-1, -1, -1) rather than an executor crash. One codec
     * context per partition (ImageIO cache off: payloads are
     * in-memory, a disk-backed cache would only add I/O). */
   def decode(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
@@ -160,11 +348,16 @@ object Multimodal {
               case _: javax.sound.sampled.UnsupportedAudioFileException =>
                 MediaFeatures(r.doc_id, r.media_type, r.payload.length, -1, -1, -1)
             }
-          case _ =>
-            val h = java.util.Arrays.hashCode(r.payload)
-            MediaFeatures(r.doc_id, r.media_type, r.payload.length,
-              64 + math.floorMod(h, 16) * 32,
-              64 + math.floorMod(h >> 4, 16) * 32, 3)
+          case _ => // video: RIFF/AVI demux + first-frame JPEG decode
+            parseAvi(r.payload).flatMap { avi =>
+              Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(avi.frames.head))).map { img =>
+                MediaFeatures(r.doc_id, r.media_type, r.payload.length,
+                  img.getWidth, img.getHeight,
+                  img.getColorModel.getNumColorComponents)
+              }
+            }.getOrElse(
+              MediaFeatures(r.doc_id, r.media_type, r.payload.length, -1, -1, -1))
         }
       }
     }

@@ -29,7 +29,9 @@ object DBlock {
     val src = new org.apache.hadoop.fs.Path(d, "documents.parquet")
     val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(src)
-    val store = "/tmp/graft_media_store_" +
+    // v2: video rows carry real MJPEG AVIs (payload format is part of
+    // the key so pre-video stores self-invalidate)
+    val store = "/tmp/graft_media_store_v2_" +
       d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
       java.lang.Long.toHexString(st.getLen ^ st.getModificationTime)
     if (!fs.exists(new org.apache.hadoop.fs.Path(store)))
@@ -292,6 +294,21 @@ object DBlock {
         .toDF()
         .select(col("doc_id"), col("byte_len"), col("sample_rate"),
           col("channels"), col("frames"))
+        .orderBy(col("doc_id"))),
+
+    // D15/D23: REAL video decode — payloads are genuine MJPEG AVIs
+    // (Multimodal.videoPayload: RIFF container, real JPEG frames) and
+    // width/height come from javax.imageio decoding the FIRST FRAME's
+    // JPEG, frames from the demuxed 00dc chunk count, fps from the
+    // stream header rate/scale; like d19/d22, the oracle knows only
+    // the generator's parameter formulas, so a decoder that doesn't
+    // truly demux the AVI and decode a frame cannot match it.
+    // (byte_len is excluded: JPEG sizes are encoder-dependent.)
+    "d23_video_decode" -> ((s, d) =>
+      Multimodal.decodeVideo(s, mediaRows(s, d))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("frames"), col("fps"))
         .orderBy(col("doc_id")))
   )
 
@@ -514,6 +531,14 @@ object DBlock {
         |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
         |  CAST(1 + doc_id % 2 AS INT) AS channels,
         |  CAST(200 + doc_id % 100 AS INT) AS frames
-        |FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""".stripMargin,
+
+    "d23_video_decode" ->
+      """SELECT doc_id,
+        |  CAST(16 + (doc_id % 8) * 2 AS INT) AS width,
+        |  CAST(16 + (doc_id % 6) * 2 AS INT) AS height,
+        |  CAST(2 + doc_id % 5 AS INT) AS frames,
+        |  CAST(5 + doc_id % 5 AS INT) AS fps
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin
   )
 }

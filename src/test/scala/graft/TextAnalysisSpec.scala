@@ -118,6 +118,48 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(badFeat.sample_rate == -1 && badFeat.channels == -1 && badFeat.frames == -1)
   }
 
+  test("real video decode demuxes the MJPEG AVI and decodes its frames") {
+    import spark.implicits._
+    val docs = (0L until 48L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val media = Multimodal.withMediaPayload(docs, "doc_id", "text")
+    // video payloads are genuine RIFF/AVI containers
+    val avi = media.filter(_.media_type == "video").head().payload
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF" &&
+      new String(avi.slice(8, 12), "US-ASCII") == "AVI ", "not an AVI header")
+
+    val feats = Multimodal.decodeVideo(spark, media).collect().sortBy(_.doc_id)
+    assert(feats.length == 16) // ids ≡ 2 (mod 3) in [0, 48)
+    feats.foreach { f =>
+      assert(f.width == 16 + (f.doc_id % 8).toInt * 2, s"$f")
+      assert(f.height == 16 + (f.doc_id % 6).toInt * 2, s"$f")
+      assert(f.frames == 2 + (f.doc_id % 5).toInt, s"$f")
+      assert(f.fps == 5 + (f.doc_id % 5).toInt, s"$f")
+    }
+
+    // the sampler's frames are REAL JPEGs with the container's dims
+    val sampled = Multimodal.frameSampleVideo(spark, media, everyMs = 1L)
+      .collect().groupBy(_.doc_id)
+    assert(sampled.keySet == feats.map(_.doc_id).toSet)
+    sampled.foreach { case (id, fs) =>
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length),
+        s"doc $id: frame indices not dense")
+      assert(fs.length == 2 + (id % 5).toInt, s"doc $id: everyMs=1 must keep all frames")
+      fs.foreach { fr =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr.payload))
+        assert(img != null && img.getWidth == 16 + (id % 8).toInt * 2, s"doc $id")
+      }
+    }
+    // sampling at a coarse interval keeps strictly fewer frames (fps
+    // ≥ 5 ⇒ frame step ≤ 200 ms < 1 s) but always frame 0
+    val coarse = Multimodal.frameSampleVideo(spark, media, everyMs = 100000L).collect()
+    assert(coarse.length == 16 && coarse.forall(_.frame_idx == 0))
+
+    // an undecodable "video" payload surfaces as -1s, not a crash
+    val bad = Seq(Multimodal.MediaRow(98L, "video", Array[Byte](1, 2, 3))).toDS()
+    val badFeat = Multimodal.decodeVideo(spark, bad).head()
+    assert(badFeat.width == -1 && badFeat.frames == -1 && badFeat.fps == -1)
+  }
+
   test("real image resize scales to fit and re-encodes a decodable PNG") {
     import spark.implicits._
     val docs = (0L until 30L by 3).map(i => (i, s"doc $i")).toDF("doc_id", "text")
