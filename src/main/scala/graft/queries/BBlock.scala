@@ -270,14 +270,23 @@ object BBlock {
     // B14: percentiles — exact interpolated (matches quantile_cont)
     // per priority group; approx variant is what runs at 100 TB
     // (t-digest/GK sketch via percentile_approx, rows-only b14b).
+    // One array-percentile aggregate, not three scalar ones: exact
+    // percentile's buffer is a value→count OpenHashMap over the whole
+    // group, and three scalar calls build and shuffle-merge three
+    // identical copies of it. The array form sorts the single map
+    // once and reads all three ranks out of it — a third of the
+    // buffer memory and merge traffic at any scale.
     "b14_percentiles" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(
-          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+          expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.95D))").as("ps"),
           count(lit(1)).as("n"))
+        .select(col("o_orderpriority"),
+          round(col("ps").getItem(0), 4).as("p25"),
+          round(col("ps").getItem(1), 4).as("p50"),
+          round(col("ps").getItem(2), 4).as("p95"),
+          col("n"))
         .orderBy(col("o_orderpriority"))),
 
     "b14b_percentiles_approx" -> ((s, d) =>
