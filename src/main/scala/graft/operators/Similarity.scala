@@ -170,17 +170,23 @@ object Similarity {
   /** IVF (inverted-file) ANN top-k — the clustered scale path.
     *
     * "Training": `nlist` centroids are sampled deterministically from
-    * the corpus (every n/nlist-th vector by id), then optionally
-    * refined with `refineIters` spherical-k-means (Lloyd) steps: each
-    * corpus vector joins the broadcast centroid table, keeps its
-    * argmax-cosine cell, and cell means become the next centroids.
+    * the corpus (the nlist smallest ids in xxhash64 order — one scan,
+    * no count pass), then optionally refined with `refineIters`
+    * spherical-k-means (Lloyd) steps.
     * Means are accumulated in FIXED-POINT (value·2²⁴ summed as long),
     * so the result is exactly deterministic regardless of partition
     * merge order — double summation would leak partition ordering
-    * into the centroids. Assignment/probing: one narrow shuffle, no
-    * driver-side collect; queries probe their `nprobe` nearest cells
-    * and re-rank exactly within them, scanning ~nprobe/nlist of the
-    * corpus.
+    * into the centroids.
+    *
+    * Cell assignment (corpus, queries, and each Lloyd batch) is a
+    * pure PROJECTION, not a join: centroids live driver-side (≤nlist
+    * rows), so each row's nearest cells come from `array_min` /
+    * `sort_array` over an nlist-element literal array of
+    * struct(-cosine, cell_id) — the same argmax, with no ×nlist row
+    * expansion and no per-id window shuffle+sort. At 100 TB the
+    * corpus-assignment scan is the dominant pass; keeping it narrow
+    * (map-only) means the only shuffles left are the final top-k
+    * re-rank and the tiny per-iteration cell-mean aggregations.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -192,52 +198,65 @@ object Similarity {
       nprobe: Int = 4,
       refineIters: Int = 2,
       refineSampleMod: Long = 4): DataFrame = {
-    val n = corpus.count()
-    val step = math.max(n / nlist, 1L)
+    // Deterministic uniform sample in ONE corpus scan: the nlist
+    // smallest ids by xxhash64 order (TakeOrderedAndProject — per-
+    // partition top-nlist, driver merge). The previous
+    // count-then-every-n/nlist-th-id formulation scanned the corpus
+    // twice before training ever started.
     val sampled = corpus
-      .filter(col(idCol) % step === 0).limit(nlist)
-      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cvec"),
-        vecNorm(col(vecCol)).as("cnrm"))
+      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cvec"))
+      .orderBy(xxhash64(col("cell_id")), col("cell_id"))
+      .limit(nlist)
+
+    // Driver-side norm, same left-to-right double accumulation as
+    // vecNorm (= sqrt(FloatVecDot(v, v))) so literal-centroid cosines
+    // are bit-equal to what the join formulation computed.
+    def normOf(v: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    // nlist struct(-cos, cell_id) entries against the literal
+    // centroids; array_min / sort_array over them is argmax by cosine
+    // with ties broken by cell_id asc (struct ordering), matching the
+    // window formulation's (desc cosine, asc cell_id).
+    def cellStructs(cents: Seq[(Long, Seq[Float])],
+        vec: Column, vnorm: Column): Seq[Column] =
+      cents.map { case (cid, cv) =>
+        struct(
+          (-(vecDot(vec, typedLit(cv)) / (vnorm * lit(normOf(cv))))).as("ns"),
+          lit(cid).as("cell_id"))
+      }
 
     // MINI-BATCH Lloyd refinement: each iteration assigns a
     // deterministic 1/refineSampleMod slice of the corpus (rotated by
     // iteration number, so successive steps see different batches) to
-    // its argmax-cosine cell, then cell means become the next
-    // centroids — the mini-batch k-means trade: near-identical
-    // centroid quality for a fraction of the full-corpus scans Lloyd
-    // would pay per iteration. Means are accumulated in FIXED-POINT
-    // (value·2²⁴ summed as long) so the result is exactly
-    // deterministic regardless of partition merge order. The ≤nlist
-    // centroid rows live driver-side between iterations (bounded by
-    // nlist, never corpus size — and each iteration's plan starts
-    // from a literal table, free of the previous one's lineage);
-    // cells a batch leaves empty keep their previous centroid instead
-    // of vanishing. Batch norms are computed once below the join, not
-    // per (vector, centroid) row.
+    // its argmax-cosine cell via the literal-centroid projection, then
+    // cell means become the next centroids — the mini-batch k-means
+    // trade: near-identical centroid quality for a fraction of the
+    // full-corpus scans Lloyd would pay per iteration. Means are
+    // accumulated in FIXED-POINT (value·2²⁴ summed as long) so the
+    // result is exactly deterministic regardless of partition merge
+    // order. The ≤nlist centroid rows live driver-side between
+    // iterations (bounded by nlist, never corpus size — and each
+    // iteration's plan starts from literals, free of the previous
+    // one's lineage); cells a batch leaves empty keep their previous
+    // centroid instead of vanishing.
     val Scale = (1L << 24).toDouble
-    var centroids = sampled
+    var rows: Map[Long, Seq[Float]] = sampled.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     if (refineIters > 0) {
-      val spark = corpus.sparkSession
-      import spark.implicits._
       val training = corpus
         .select(col(idCol).cast("long").as("__tid"), col(vecCol).as("__tv"))
         .withColumn("__tn", vecNorm(col("__tv")))
-      var rows: Map[Long, Seq[Float]] = sampled
-        .select(col("cell_id"), col("cvec")).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
       for (it <- 1 to refineIters) {
-        val cents = rows.toSeq.toDF("cell_id", "cvec")
-          .withColumn("cnrm", vecNorm(col("cvec")))
         val batch = training
           .filter(pmod(col("__tid") + it, lit(refineSampleMod)) === 0)
-        val w = Window.partitionBy(col("__tid"))
-          .orderBy(col("__csim").desc, col("cell_id"))
         val assigned = batch
-          .join(broadcast(cents))
-          .withColumn("__csim",
-            vecDot(col("__tv"), col("cvec")) / (col("__tn") * col("cnrm")))
-          .withColumn("__crank", row_number().over(w))
-          .filter(col("__crank") === 1)
+          .withColumn("cell_id",
+            array_min(array(
+              cellStructs(rows.toSeq.sortBy(_._1), col("__tv"), col("__tn")): _*))
+              .getField("cell_id"))
           .select(col("cell_id"), col("__tv"))
         val refined = assigned
           .select(col("cell_id"), posexplode(col("__tv")))
@@ -252,27 +271,30 @@ object Similarity {
           .map(r => r.getLong(0) -> r.getSeq[Float](1))
         rows = rows ++ refined
       }
-      centroids = rows.toSeq.toDF("cell_id", "cvec")
-        .withColumn("cnrm", vecNorm(col("cvec")))
     }
+    val centroidRows = rows.toSeq.sortBy(_._1)
 
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("__csim").desc, col("cell_id"))
-      df.join(broadcast(centroids))
-        .withColumn("__csim",
-          vecDot(col(vec), col("cvec")) / (vecNorm(col(vec)) * col("cnrm")))
-        .withColumn("__crank", row_number().over(w))
-        .filter(col("__crank") <= keep)
-        .drop("__csim", "__crank", "cvec", "cnrm")
-    }
+    // Nearest `keep` cells as a projection over the literal centroid
+    // array — map-only on the (possibly 100 TB) input side.
+    def assign(df: DataFrame, vec: String, nrm: String, keep: Int): DataFrame =
+      if (keep == 1)
+        df.withColumn("cell_id",
+          array_min(array(cellStructs(centroidRows, col(vec), col(nrm)): _*))
+            .getField("cell_id"))
+      else
+        df.withColumn("__probe",
+            explode(slice(
+              sort_array(array(cellStructs(centroidRows, col(vec), col(nrm)): _*)),
+              1, keep)))
+          .withColumn("cell_id", col("__probe").getField("cell_id"))
+          .drop("__probe")
 
     val corpusCells = assign(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        vecNorm(col(vecCol)).as("cn")), "neighbor_id", "cv", 1)
+        vecNorm(col(vecCol)).as("cn")), "cv", "cn", 1)
     val queryProbes = assign(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        vecNorm(col(vecCol)).as("qn")), "query_id", "qv", nprobe)
+        vecNorm(col(vecCol)).as("qn")), "qv", "qn", nprobe)
 
     val scored = corpusCells.join(broadcast(queryProbes), Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
