@@ -527,6 +527,52 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
+  /** Train/eval contamination check: word k-gram overlap between
+    * every corpus document and every eval/benchmark document — the
+    * standard train-test decontamination pass of an LLM data
+    * pipeline. A corpus document sharing >= `minShared` distinct
+    * k-grams with an eval document is flagged, with the shared
+    * fraction of the eval document's k-gram set reported (the usual
+    * contamination score).
+    *
+    * Scale shape: both sides explode to narrow (gram_hash, id) rows
+    * — the wide text never crosses the network — and equi-join on
+    * the 8-byte hash. The eval side is a benchmark suite (tiny vs
+    * the corpus), so stats/AQE broadcast it into an unshuffled scan
+    * of the corpus side: one map-only pass over 100 TB, zero corpus
+    * shuffle; only the per-pair counts aggregate. As in the
+    * verification joins above, only the hashed set representation is
+    * compared — a count perturbed by an xxhash64 collision has
+    * probability ~2^-64.
+    *
+    * Returns (corpus_id, eval_id, n_shared, eval_frac), one row per
+    * contaminated pair.
+    */
+  def crossNgramOverlap(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 8,
+      minShared: Int = 1): DataFrame = {
+    def grams(df: DataFrame, outId: String) =
+      withShingles(df.select(col(idCol).as(outId),
+        col(textCol).as("__graft_text")), "__graft_text", shingleK, "sh")
+        .select(col(outId), size(col("sh")).as(s"${outId}_sz"),
+          explode(col("sh")).as("g"))
+        .select(col(outId), col(s"${outId}_sz"), xxhash64(col("g")).as("gh"))
+    grams(corpus, "corpus_id").drop("corpus_id_sz")
+      .join(grams(evalDocs, "eval_id"), Seq("gh"))
+      // eval_id_sz is functionally dependent on eval_id; grouping by
+      // it avoids a first() aggregate
+      .groupBy(col("corpus_id"), col("eval_id"), col("eval_id_sz"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("corpus_id"), col("eval_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("eval_id_sz"), 4)
+          .as("eval_frac"))
+  }
+
   /** N-gram Jaccard verification join over blocked candidate pairs:
     * blocks by (lang, length bucket) to bound the pair count, then
     * verifies true word-k-gram Jaccard on hashed shingle sets with

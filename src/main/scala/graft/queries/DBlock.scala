@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** D-block: LLM-training-data pipeline operators (SURVEY.md §2
@@ -309,7 +309,43 @@ object DBlock {
         .toDF()
         .select(col("doc_id"), col("width"), col("height"),
           col("frames"), col("fps"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // D20 (pipeline): train/eval decontamination — flag corpus docs
+    // sharing word 8-grams with a held-out eval slice (the d17 hash
+    // sample plays the benchmark suite). Oracle-checked: DuckDB
+    // recomputes the same shingle sets and intersects the strings;
+    // Spark joins xxhash64 of the same sets (collision ~2^-64).
+    "d24_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+      Dedup.crossNgramOverlap(docs.filter(!isEval), docs.filter(isEval),
+        "doc_id", "text", shingleK = 8)
+        .orderBy(col("corpus_id"), col("eval_id"))
+    }),
+
+    // D21 (pipeline): stratified hash sampling — rebalance the
+    // corpus by downsampling head languages to a budget, membership
+    // a pure function of doc_id (reproducible on any cluster, nested
+    // across rates). Zero-shuffle scan filter (oracle-checked).
+    "d25_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedHashSample(Tables.documents(s, d), "doc_id", "lang",
+        Map("en" -> 0.125, "es" -> 0.25, "de" -> 0.5))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // D22 (pipeline): symmetric int8 embedding quantization — the
+    // 4x compression pass before vectors ship to an ANN index or a
+    // training job. Compared via per-vector scalar digests (dims,
+    // scale, sum, L1) so the oracle needs no list hashing
+    // (oracle-checked).
+    "d26_embed_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), col("n_dims"),
+          round(col("scale"), 6).as("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"))
+        .orderBy(col("vec_id")))
   )
 
   /** DuckDB mirror of TextAnalysis.occurrences on padded lower text. */
@@ -539,6 +575,48 @@ object DBlock {
         |  CAST(16 + (doc_id % 6) * 2 AS INT) AS height,
         |  CAST(2 + doc_id % 5 AS INT) AS frames,
         |  CAST(5 + doc_id % 5 AS INT) AS fps
-        |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
+
+    "d24_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 8 THEN
+        |      list_distinct(list_transform(range(1, len(ws) - 6),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+        |             ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]))
+        |    ELSE [list_aggregate(ws, 'string_agg', ' ')] END AS s
+        |  FROM w
+        |), p AS (
+        |  SELECT t.doc_id AS corpus_id, e.doc_id AS eval_id,
+        |    len(list_intersect(t.s, e.s)) AS n_shared, len(e.s) AS esz
+        |  FROM g t JOIN g e
+        |    ON substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 1) <> '0'
+        |   AND substr(md5(CAST(e.doc_id AS VARCHAR)), 1, 1) = '0'
+        |)
+        |SELECT corpus_id, eval_id, CAST(n_shared AS BIGINT) AS n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / esz, 4) AS eval_frac
+        |FROM p WHERE n_shared >= 1 ORDER BY corpus_id, eval_id""".stripMargin,
+
+    "d25_stratified_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE lang WHEN 'en' THEN '20' WHEN 'es' THEN '40'
+        |            WHEN 'de' THEN '80' ELSE 'g' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "d26_embed_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+        |q AS (SELECT vec_id, len(v) AS n_dims, mx / 127.0 AS scale,
+        |  CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(v, x -> CAST(floor(x / (mx / 127.0) + 0.5) AS BIGINT)) END AS q
+        |  FROM m)
+        |SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims, round(scale, 6) AS scale,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1
+        |FROM q ORDER BY vec_id""".stripMargin
   )
 }

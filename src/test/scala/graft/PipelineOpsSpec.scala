@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Sampling, Similarity}
+
+/** Property checks for the round-7 pipeline additions: train/eval
+  * decontamination, stratified hash sampling, int8 quantization.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("crossNgramOverlap flags planted contamination with exact counts") {
+    import spark.implicits._
+    // eval doc 100: 10 words → 3 distinct 8-grams
+    val evalDocs = Seq(
+      (100L, "a b c d e f g h i j"),
+      (101L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // one 8-word window ("a b c d e f g h") matches eval 100
+      (1L, "x y z a b c d e f g h q"),
+      // exact copy of eval 100 → all 3 grams shared
+      (2L, "a b c d e f g h i j"),
+      (3L, "totally different words everywhere nothing matches at all ok fine")
+    ).toDF("doc_id", "text")
+
+    val res = Dedup.crossNgramOverlap(corpus, evalDocs, "doc_id", "text",
+      shingleK = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("eval_id")) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Double]("eval_frac")))
+      .toMap
+    assert(res.keySet == Set((1L, 100L), (2L, 100L)), s"got $res")
+    assert(res((1L, 100L)) == (1L, 0.3333))
+    assert(res((2L, 100L)) == (3L, 1.0))
+
+    val strict = Dedup.crossNgramOverlap(corpus, evalDocs, "doc_id", "text",
+      shingleK = 8, minShared = 2)
+      .collect().map(_.getAs[Long]("corpus_id")).toSet
+    assert(strict == Set(2L))
+  }
+
+  test("crossNgramOverlap short docs fall back to whole-text shingle") {
+    import spark.implicits._
+    val evalDocs = Seq((10L, "short eval doc")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "short eval doc"), // identical short text → matches
+      (2L, "short eval")      // different short text → no match
+    ).toDF("doc_id", "text")
+    val res = Dedup.crossNgramOverlap(corpus, evalDocs, "doc_id", "text",
+      shingleK = 8)
+      .collect().map(r => (r.getAs[Long]("corpus_id"), r.getAs[Double]("eval_frac")))
+    assert(res.toSeq == Seq((1L, 1.0)))
+  }
+
+  test("stratifiedHashSample: rates, nesting, determinism, default") {
+    import spark.implicits._
+    val docs = (0L until 1000L)
+      .map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+
+    def ids(rates: Map[String, Double], default: Double = 1.0): Set[Long] =
+      Sampling.stratifiedHashSample(docs, "doc_id", "lang", rates, default)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+
+    // rate 1.0 keeps the whole stratum; rate 0.0 keeps none of it
+    val all = ids(Map("en" -> 1.0, "zh" -> 1.0))
+    assert(all.size == 1000)
+    val noEn = ids(Map("en" -> 0.0))
+    assert(noEn.forall(_ % 2 == 1) && noEn.size == 500)
+
+    // nested samples: the 0.25 en-sample is a subset of the 0.5 one,
+    // and both are within 4 sigma of the expected size
+    val en25 = ids(Map("en" -> 0.25, "zh" -> 0.0))
+    val en50 = ids(Map("en" -> 0.5, "zh" -> 0.0))
+    assert(en25.subsetOf(en50), "hash samples must nest across rates")
+    assert(en25.size > 85 && en25.size < 165, s"en25=${en25.size}")
+    assert(en50.size > 205 && en50.size < 295, s"en50=${en50.size}")
+
+    // determinism: same inputs, same membership
+    assert(ids(Map("en" -> 0.25, "zh" -> 0.0)) == en25)
+
+    // strata not in the map use the default rate
+    assert(ids(Map("en" -> 0.0), default = 1.0)
+      .forall(_ % 2 == 1))
+    assert(ids(Map.empty, default = 0.0).isEmpty)
+  }
+
+  test("stratifiedHashSample plans as a pure scan filter — zero exchanges") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val plan = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5)).queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"),
+      s"sampling must not shuffle:\n$plan")
+  }
+
+  test("quantizeInt8: roundtrip error <= scale/2, max hits 127, zero vector") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(3.0f, 2.9999f, -3.0f)),
+      (3L, Seq(0.0f, 0.0f)), // zero vector
+      (4L, Seq(1e-8f, -1e-8f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_dims"), r.getAs[Double]("scale"),
+          r.getAs[scala.collection.Seq[Long]]("q")))
+      .toMap
+
+    val orig = Map(
+      1L -> Seq(0.5, -1.0, 0.25, 0.0), 2L -> Seq(3.0, 2.9999f.toDouble, -3.0),
+      3L -> Seq(0.0, 0.0), 4L -> Seq(1e-8f.toDouble, -1e-8f.toDouble))
+    rows.foreach { case (id, (nDims, scale, q)) =>
+      val v = orig(id)
+      assert(nDims == v.size)
+      assert(q.forall(x => x >= -127 && x <= 127), s"vec $id out of range: $q")
+      if (v.exists(_ != 0.0)) {
+        assert(q.map(math.abs).max == 127L,
+          s"vec $id: the max-|v| element must quantize to +-127, got $q")
+        v.zip(q).foreach { case (x, qi) =>
+          assert(math.abs(qi * scale - x) <= scale / 2 + 1e-12,
+            s"vec $id: dequant error for $x -> $qi at scale $scale")
+        }
+      } else {
+        assert(scale == 0.0 && q.forall(_ == 0L))
+      }
+    }
+  }
+}
