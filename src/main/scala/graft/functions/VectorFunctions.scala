@@ -1,9 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -278,6 +281,120 @@ case class BlockTopK(left: Expression, right: Expression, k: Int)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** Bounded top-k-by-(cos desc, id asc) AGGREGATE — the final ranking
+  * stage of the ANN paths as a partial-aggregatable hash aggregate
+  * instead of a per-query `row_number` window: each map task keeps at
+  * most k candidates per query (the same insertion kernel as
+  * [[BlockTopK]]), `merge` combines two k-selections, and the shuffle
+  * carries at most k rows per (query, map partition) — bounded
+  * regardless of corpus size. A window would funnel EVERY scored
+  * candidate of a query into one task: at 100 TB an LSH bucket or an
+  * IVF probe set is a corpus fraction, i.e. a multi-TB sort in a
+  * single partition. The selection order matches the window it
+  * replaces ((cos desc, neighbor_id asc)), so results are identical.
+  *
+  * Emits array<struct<neighbor_id, cos>> ordered best-first; rank is
+  * recovered downstream with posexplode (pos + 1).
+  */
+case class TopKByCos(
+    idChild: Expression,
+    cosChild: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKByCos.State]
+  with BinaryLike[Expression] {
+
+  override def left: Expression = idChild
+  override def right: Expression = cosChild
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (idChild.dataType == LongType && cosChild.dataType == DoubleType &&
+      k >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "TopKByCos requires (bigint id, double cos, k >= 1), got " +
+        s"${idChild.dataType.simpleString} / ${cosChild.dataType.simpleString} / k=$k")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopKByCos.State =
+    new TopKByCos.State(k)
+
+  override def update(b: TopKByCos.State, input: InternalRow): TopKByCos.State = {
+    val idv = idChild.eval(input)
+    val cv = cosChild.eval(input)
+    if (idv != null && cv != null)
+      b.insert(idv.asInstanceOf[Long], cv.asInstanceOf[Double])
+    b
+  }
+
+  override def merge(b: TopKByCos.State, o: TopKByCos.State): TopKByCos.State = {
+    var i = 0
+    while (i < o.filled) { b.insert(o.ids(i), o.cos(i)); i += 1 }
+    b
+  }
+
+  override def eval(b: TopKByCos.State): Any = {
+    val out = new Array[Any](b.filled)
+    var i = 0
+    while (i < b.filled) {
+      out(i) = new GenericInternalRow(Array[Any](b.ids(i), b.cos(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(b: TopKByCos.State): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(4 + b.filled * 16)
+    buf.putInt(b.filled)
+    var i = 0
+    while (i < b.filled) { buf.putLong(b.ids(i)); buf.putDouble(b.cos(i)); i += 1 }
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKByCos.State = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val n = buf.getInt
+    val s = new TopKByCos.State(k)
+    var i = 0
+    while (i < n) { val id = buf.getLong; val c = buf.getDouble; s.insert(id, c); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByCos =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByCos =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): TopKByCos =
+    copy(idChild = l, cosChild = r)
+}
+
+object TopKByCos {
+  /** Best-first selection of size <= k by (cos desc, id asc) — two
+    * primitive arrays, insertion sort (k is small). */
+  final class State(k: Int) {
+    val ids = new Array[Long](k)
+    val cos = new Array[Double](k)
+    var filled = 0
+    def insert(id: Long, c: Double): Unit = {
+      if (filled < k || c > cos(filled - 1) ||
+        (c == cos(filled - 1) && id < ids(filled - 1))) {
+        var p = if (filled < k) filled else k - 1
+        while (p > 0 && (c > cos(p - 1) ||
+          (c == cos(p - 1) && id < ids(p - 1)))) {
+          cos(p) = cos(p - 1); ids(p) = ids(p - 1); p -= 1
+        }
+        cos(p) = c; ids(p) = id
+        if (filled < k) filled += 1
+      }
+    }
+  }
+}
+
 object VectorFunctions {
   /** Column API for [[FloatVecDot]]. */
   def vecDot(a: Column, b: Column): Column = Bridge.column(
@@ -299,4 +416,9 @@ object VectorFunctions {
   def blockTopK(corpusBlock: Column, queryBlock: Column, k: Int): Column =
     Bridge.column(BlockTopK(Bridge.expression(corpusBlock),
       Bridge.expression(queryBlock), k))
+
+  /** Column API for [[TopKByCos]] (an aggregate — use inside agg()). */
+  def topKByCos(neighborId: Column, cos: Column, k: Int): Column =
+    Bridge.column(TopKByCos(Bridge.expression(neighborId),
+      Bridge.expression(cos), k).toAggregateExpression())
 }

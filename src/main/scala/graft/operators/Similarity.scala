@@ -1,9 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
 import graft.functions.VectorFunctions.{vecDot, vecNorm}
 
 /** Similarity search over an embedding column (Array[Float]).
@@ -93,7 +93,7 @@ object Similarity {
     * each (corpus block × query block) tile runs the
     * [[graft.functions.BlockTopK]] kernel — vectors unpacked once per
     * tile, tight primitive dot loops, and only the BLOCK-LOCAL top-k
-    * survives the tile. The final window then ranks nBlocks·k
+    * survives the tile. The final top-k aggregate then ranks nBlocks·k
     * candidate rows per query instead of the whole corpus, which is
     * what makes the exact scan viable when the corpus side is large:
     * a row-per-pair join would materialize n·q scored rows through
@@ -128,11 +128,23 @@ object Similarity {
         col("crows"), col("qrows"), k)).as("p"))
       .select(col("p.query_id").as("query_id"),
         col("p.neighbor_id").as("neighbor_id"), col("p.cos").as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    candidates.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(candidates, k)
   }
+
+  /** Global (rank, neighbor_id, cos) per query from scored candidate
+    * rows via the [[graft.functions.TopKByCos]] partial aggregate —
+    * the shuffle carries at most k rows per (query, map partition),
+    * where the `row_number` window this replaces moved EVERY scored
+    * candidate of a query into one task (a corpus-fraction-sized sort
+    * at 100 TB). Same (cos desc, neighbor_id asc) order, identical
+    * output. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(VectorFunctions.topKByCos(
+        col("neighbor_id").cast("long"), col("cos"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.cos").as("cos"))
 
   /** ANN top-k: corpus bucketed by LSH signature; each query
     * multi-probes its own bucket plus every 1-bit-flip neighbor
@@ -161,10 +173,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (vecDot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) ANN top-k — the clustered scale path.
@@ -300,10 +309,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (vecDot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Symmetric int8 quantization of an embedding column — the

@@ -311,6 +311,22 @@ object DBlock {
           col("frames"), col("fps"))
         .orderBy(col("doc_id"))),
 
+    // D19 composed (text side): the full TEXT dedup pipeline end to
+    // end — blocked n-gram Jaccard pairs → connected components →
+    // keep-one — the mirror of d21's embedding pipeline, on the
+    // documents table. Oracle-checked against a recursive-CTE closure
+    // over the same pair predicate (survivor = min doc_id per
+    // cluster; singletons untouched).
+    "d27_text_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dropNearDuplicates(docs, "doc_id",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          blockCols = Seq(col("lang"), expr("n_chars DIV 100").cast("int")),
+          shingleK = 3, threshold = 0.2))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D20 (pipeline): train/eval decontamination — flag corpus docs
     // sharing word 8-grams with a held-out eval slice (the d17 hash
     // sample plays the benchmark suite). Oracle-checked: DuckDB
@@ -576,6 +592,21 @@ object DBlock {
         |  CAST(2 + doc_id % 5 AS INT) AS frames,
         |  CAST(5 + doc_id % 5 AS INT) AS fps
         |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
+
+    "d27_text_dedup" ->
+      s"""WITH RECURSIVE $ngramCtes,
+         |pairs AS ($ngramPairSelect),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE component <> id)
+         |ORDER BY doc_id""".stripMargin,
 
     "d24_decontaminate" ->
       """WITH w AS (

@@ -1,7 +1,9 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, posexplode}
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.functions.VectorFunctions
 import graft.operators.{Dedup, Sampling, Similarity}
 
 /** Property checks for the round-7 pipeline additions: train/eval
@@ -94,6 +96,43 @@ class PipelineOpsSpec extends AnyFunSuite {
       Map("en" -> 0.5)).queryExecution.executedPlan
     assert(!plan.toString.contains("Exchange"),
       s"sampling must not shuffle:\n$plan")
+  }
+
+  test("topKByCos aggregate: exact order, ties by id asc, merge path") {
+    import spark.implicits._
+    // 1000 candidates for one query across 8 partitions — forces the
+    // partial-update + merge path; cos = id % 10 makes 100-way ties
+    val df = (0L until 1000L).map(i => (1L, i, (i % 10).toDouble))
+      .toDF("query_id", "neighbor_id", "cos").repartition(8)
+    val top = df.groupBy(col("query_id"))
+      .agg(VectorFunctions.topKByCos(col("neighbor_id"), col("cos"), 5)
+        .as("top"))
+      .select(posexplode(col("top")))
+      .collect()
+      .map(r => (r.getAs[Int]("pos"),
+        r.getStruct(1).getLong(0), r.getStruct(1).getDouble(1)))
+      .sortBy(_._1)
+    // all survivors have cos 9.0; ties broken by ascending id
+    assert(top.toSeq == Seq((0, 9L, 9.0), (1, 19L, 9.0), (2, 29L, 9.0),
+      (3, 39L, 9.0), (4, 49L, 9.0)), s"got ${top.toSeq}")
+  }
+
+  test("ANN paths rank via the partial top-k aggregate, not a window") {
+    import spark.implicits._
+    val emb = (0L until 64L)
+      .map(i => (i, Seq.tabulate(8)(j => (i * 31 + j).toFloat % 7 - 3)))
+      .toDF("vec_id", "embedding")
+    for (df <- Seq(
+      Similarity.lshTopK(emb.filter(col("vec_id") < 4), emb,
+        "vec_id", "embedding", k = 5, bits = 4),
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 4), emb,
+        "vec_id", "embedding", k = 5, nlist = 4, nprobe = 2),
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 4), emb,
+        "vec_id", "embedding", k = 5))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("topkbycos"), s"no topk agg:\n$plan")
+      assert(!plan.contains("Window"), s"window survived:\n$plan")
+    }
   }
 
   test("quantizeInt8: roundtrip error <= scale/2, max hits 127, zero vector") {
