@@ -244,7 +244,9 @@ object Multimodal {
     * [[decode]]. */
   def decodeVideo(spark: SparkSession, media: Dataset[MediaRow]): Dataset[VideoFeatures] = {
     import spark.implicits._
-    media.filter(_.media_type == "video").mapPartitions { rows =>
+    // untyped Column filter: runs before object deserialization and
+    // pushes to the scan, so non-video payloads never materialize
+    media.filter(col("media_type") === "video").mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         parseAvi(r.payload).flatMap { avi =>
@@ -267,7 +269,7 @@ object Multimodal {
   def frameSampleVideo(spark: SparkSession, media: Dataset[MediaRow],
       everyMs: Long = 1000L): Dataset[Frame] = {
     import spark.implicits._
-    media.filter(_.media_type == "video").mapPartitions { rows =>
+    media.filter(col("media_type") === "video").mapPartitions { rows =>
       rows.flatMap { r =>
         parseAvi(r.payload) match {
           case None => Iterator.empty
@@ -378,7 +380,7 @@ object Multimodal {
     * Per-partition iterator shape like [[decode]]. */
   def decodeAudio(spark: SparkSession, media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
     import spark.implicits._
-    media.filter(_.media_type == "audio").mapPartitions { rows =>
+    media.filter(col("media_type") === "audio").mapPartitions { rows =>
       rows.map { r =>
         try {
           val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(

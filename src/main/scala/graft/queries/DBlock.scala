@@ -277,8 +277,11 @@ object DBlock {
     // column), not freshly generated payloads: the measured work is
     // scan + codec, the production decode shape.
     "d19_image_decode" -> ((s, d) =>
-      Multimodal.decode(s, mediaRows(s, d))
-        .filter(_.media_type == "image")
+      // pre-filter with an untyped Column predicate: audio/video rows
+      // are dropped at the scan, BEFORE deserialization — previously
+      // every video was demuxed + JPEG-decoded just to be discarded
+      Multimodal.decode(s, mediaRows(s, d)
+        .filter(col("media_type") === "image"))
         .toDF()
         .select(col("doc_id"), col("width"), col("height"), col("channels"))
         .orderBy(col("doc_id"))),
