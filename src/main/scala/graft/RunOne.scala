@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness: time individual registry queries outside the full
+  * Bench loop (`runMain graft.RunOne <sfDir> <name> [name...]`).
+  * Repeat a name to separate cold-JIT from steady-state. Not part of
+  * the driver contract. */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.tail.foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        val n = SparkEntry.queries(name)(spark, args(0)).count()
+        println(s"[runone] $name rows=$n  ${(System.nanoTime() - t0) / 1e9}s")
+      } catch { case e: Throwable =>
+        println(s"[runone] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -82,7 +82,17 @@ object Dedup {
       .select(col("doc_id"), col("sh"))
     val withSig = withSets
       .withColumn("sig", SketchFunctions.minhash64(col("sh"), numPerms))
+    bandPairsFromSigs(withSig, r, bands, threshold)
+  }
 
+  /** The LSH banding + verification machinery of [[minhashPairs]],
+    * over precomputed `(doc_id, sh, sig)` rows — `sig` is any minhash
+    * signature array whose band-slice equality marks a candidate.
+    * Split out so the oracle twin ([[md5MinhashPairs]]) can drive the
+    * IDENTICAL candidate-generation and verification pipeline with an
+    * engine-reproducible signature. */
+  private[graft] def bandPairsFromSigs(withSig: DataFrame, r: Int,
+      bands: Int, threshold: Double): DataFrame = {
     // narrow banding rows: (band_id, band_hash, doc_id, sz) — no
     // arrays. sz (the shingle-set cardinality, free: shingles are
     // already distinct) rides along to power the size-ratio
@@ -118,8 +128,8 @@ object Dedup {
     // sets are usually small enough that AQE broadcast-joins them
     // into unshuffled set scans — forcing a doc_id shuffle would move
     // the wide hashed-set arrays to save a second (cheaper) shingle
-    // pass.
-    val sets = withSets.select(col("doc_id"), hashedSet(col("sh")).as("shh"))
+    // pass. Column pruning drops `sig` from this branch.
+    val sets = withSig.select(col("doc_id"), hashedSet(col("sh")).as("shh"))
     candidates
       .join(sets.withColumnRenamed("doc_id", "id_a")
         .withColumnRenamed("shh", "shh_a"), Seq("id_a"))
@@ -196,7 +206,22 @@ object Dedup {
     val withSim = docs.select(col(idCol).cast("long").as("doc_id"),
       simhash(col(textCol)).as("sim"))
       .filter(col("doc_id").isNotNull && col("sim").isNotNull)
+    simhashPairsFromSigs(withSim, maxDist, bucketCap, secondaryCap)
+      .select(col("id_a").cast(idT).as("id_a"),
+        col("id_b").cast(idT).as("id_b"), col("hamming"))
+  }
 
+  /** The chunk-bucket + skew-guard + popcount machinery of
+    * [[simhashPairs]], over precomputed `(doc_id: long, sim: long)`
+    * signature rows. Split out so the oracle twin
+    * ([[md5SimhashPairs]]) can drive the IDENTICAL candidate
+    * pipeline with an engine-reproducible signature. Returns
+    * (id_a, id_b, hamming) with long ids. */
+  private[graft] def simhashPairsFromSigs(
+      withSim: DataFrame,
+      maxDist: Int,
+      bucketCap: Int = 4096,
+      secondaryCap: Int = 1 << 16): DataFrame = {
     // maxDist+1 chunks; the first 64 % n chunks take the extra bit
     val n = maxDist + 1
     val widths = Array.tabulate(n)(i => 64 / n + (if (i < 64 % n) 1 else 0))
@@ -246,8 +271,104 @@ object Dedup {
 
     smallPairs.unionAll(bigPairs)
       .distinct()
-      .select(col("id_a").cast(idT).as("id_a"),
-        col("id_b").cast(idT).as("id_b"), col("hamming"))
+  }
+
+  // ---------------------------------------------------------------
+  // Oracle twins: the same candidate-generation machinery fed with
+  // ENGINE-REPRODUCIBLE signatures, so an external SQL engine
+  // (DuckDB, the driver's oracle) can recompute the signatures from
+  // raw text and re-derive the exact pair sets — converting the
+  // bucketing/banding machinery (the part most likely to silently
+  // lose recall) from "property-spec says so" to hash-matched.
+  // The production paths keep the faster native XXH64 sketches; the
+  // twins exist for verification, not throughput.
+  // ---------------------------------------------------------------
+
+  /** Engine-independent 60-bit string hash: the integer value of the
+    * first 15 hex chars of md5 — reproducible in any engine with an
+    * md5 function (DuckDB: `('0x'||substr(md5(s),1,15))::BIGINT`).
+    * 60 bits keeps every downstream product/sum inside a signed 64-bit
+    * range in both engines. Always >= 0. */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Prime modulus + deterministic universal-hash constants for the
+    * md5-minhash twin: m_j = min over shingles of (a_j·h + b_j) mod p
+    * with h the low 30 bits of [[md5Hash60]] (so a_j·h < 2^60 — exact
+    * in BIGINT arithmetic in both engines). Exposed so the DuckDB
+    * oracle SQL is generated from the SAME constants. */
+  private[graft] val mhPrime = 1073741789L // largest prime below 2^30
+  private[graft] def mhA(j: Int): Long = {
+    val v = (j * 0x5DEECE66DL + 11L) % mhPrime
+    if (v == 0L) 1L else v
+  }
+  private[graft] def mhB(j: Int): Long = (j * 0x9E3779B9L + 7L) % mhPrime
+
+  /** Engine-reproducible 60-bit SimHash: one [[md5Hash60]] per
+    * lowercased whitespace token (with multiplicity, like the
+    * production sketch — a distinct-token vote degenerates into a
+    * stopword-dominated signature whose pair set explodes), majority
+    * vote per bit (bit i set iff 2·ones_i >= n). Computed as a
+    * codegen'd explode → 60-way sum aggregate, not an interpreted
+    * HOF. Returns (doc_id: long, sim: long); null-text docs absent. */
+  def md5Simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("t"))
+      .select(col("doc_id"), md5Hash60(col("t")).as("h"))
+    val bitSums = (0 until 60).map(i =>
+      sum(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i"))
+    val agg = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val sig = (0 until 60).map(i =>
+      when(col(s"b$i") * 2 >= col("n"), shiftleft(lit(1L), i))
+        .otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("doc_id"), sig.as("sim"))
+  }
+
+  /** Oracle twin of [[simhashPairs]]: the identical chunk-bucket +
+    * popcount machinery fed by [[md5Simhash60]] signatures, so DuckDB
+    * can recompute the signatures from raw text and brute-force the
+    * complete pair set with `bit_count(xor(a, b)) <= maxDist` — a
+    * hash-matched recall check on the pigeonhole bucketing. */
+  def md5SimhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 8): DataFrame =
+    simhashPairsFromSigs(md5Simhash60(docs, idCol, textCol), maxDist)
+
+  /** Oracle twin of [[minhashPairs]]: the identical banding +
+    * size-ratio + verification machinery fed by an md5-based
+    * universal-hash minhash signature ([[mhA]]/[[mhB]] over the low
+    * 30 bits of [[md5Hash60]] per shingle), so DuckDB can recompute
+    * the signatures from raw text and re-derive the exact candidate
+    * (band-slice equality) and verified pair sets. */
+  def md5MinhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numPerms: Int = 32,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val withSets = withShingles(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__graft_text")),
+      "__graft_text", shingleK, "sh")
+      .select(col("doc_id"), col("sh"))
+    // codegen'd explode → numPerms-way min aggregate (an interpreted
+    // HOF would re-evaluate the md5 transform once per permutation)
+    val hs = withSets
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"),
+        md5Hash60(col("g")).bitwiseAND(lit(0x3FFFFFFFL)).as("h"))
+    val minCols = (0 until numPerms).map(j =>
+      min((col("h") * mhA(j) + mhB(j)) % mhPrime).as(s"m$j"))
+    val mins = hs.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numPerms).map(j => col(s"m$j")): _*).as("sig"))
+    bandPairsFromSigs(withSets.join(mins, Seq("doc_id")),
+      numPerms / bands, bands, threshold)
   }
 
   /** Connected components over verified near-dup pairs: the step that

@@ -398,8 +398,7 @@ object Multimodal {
 
   /** REAL image resize via java.awt: decode, scale to fit
     * (targetW, targetH) preserving aspect, re-encode as PNG. Only
-    * image rows are transformed (pass audio/video through
-    * [[resizeStub]] if size accounting is needed there). */
+    * image rows are transformed. */
   def resizeImages(spark: SparkSession, media: Dataset[MediaRow],
       targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
     import spark.implicits._
@@ -426,31 +425,6 @@ object Multimodal {
     }
   }
 
-  /** STUB decode: a real implementation opens a codec per partition
-    * and decodes each payload (e.g. via javax.imageio / ffmpeg
-    * bindings). The fake derives deterministic dimensions from the
-    * payload hash so specs can assert exact values. The partition-
-    * iterator shape (init once, map many) is the real production
-    * pattern. */
-  def decodeStub(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    media.mapPartitions { rows =>
-      // per-partition init would happen here (codec context)
-      rows.map { r =>
-        val len = r.payload.length
-        // ??? real decoder goes here; deterministic fake below
-        val h = java.util.Arrays.hashCode(r.payload)
-        MediaFeatures(
-          doc_id = r.doc_id,
-          media_type = r.media_type,
-          byte_len = len,
-          width = 64 + math.floorMod(h, 16) * 32,
-          height = 64 + math.floorMod(h >> 4, 16) * 32,
-          channels = if (r.media_type == "audio") 1 else 3)
-      }
-    }
-  }
-
   /** A resized image row (payload replaced by the resized bytes). */
   case class ResizedMedia(
       doc_id: Long,
@@ -459,67 +433,23 @@ object Multimodal {
       height: Int,
       payload: Array[Byte])
 
-  /** STUB resize: a real implementation decodes, scales to fit
-    * (targetW, targetH) preserving aspect, re-encodes. The fake
-    * derives the output dims from the same deterministic decode and
-    * truncates/pads the payload to width*height bytes so downstream
-    * size accounting is exercised for real. Per-partition iterator
-    * shape, like decodeStub. */
-  def resizeStub(spark: SparkSession, media: Dataset[MediaRow],
-      targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
-    import spark.implicits._
-    media.mapPartitions { rows =>
-      // per-partition codec/scaler init would happen here
-      rows.map { r =>
-        val h = java.util.Arrays.hashCode(r.payload)
-        val srcW = 64 + math.floorMod(h, 16) * 32
-        val srcH = 64 + math.floorMod(h >> 4, 16) * 32
-        val scale = math.min(targetW.toDouble / srcW, targetH.toDouble / srcH)
-        val (w, hgt) = (math.max((srcW * scale).toInt, 1),
-          math.max((srcH * scale).toInt, 1))
-        // ??? real scaler goes here; deterministic fake payload below
-        val out = java.util.Arrays.copyOf(r.payload, w * hgt min 4096)
-        ResizedMedia(r.doc_id, r.media_type, w, hgt, out)
-      }
-    }
-  }
-
   /** A sampled frame: one row per (video, frame index). */
   case class Frame(doc_id: Long, frame_idx: Int, ts_ms: Long, payload: Array[Byte])
-
-  /** STUB frame sampling: a real implementation demuxes the container
-    * and decodes one frame every `everyMs`. The fake derives a
-    * deterministic frame count from the payload length and slices
-    * bytes per frame — the row-explosion shape (one input row → N
-    * frame rows, batched per partition) is the real pattern. */
-  def frameSampleStub(spark: SparkSession, media: Dataset[MediaRow],
-      everyMs: Long = 1000L): Dataset[Frame] = {
-    import spark.implicits._
-    media.filter(_.media_type == "video").mapPartitions { rows =>
-      rows.flatMap { r =>
-        val durationMs = (r.payload.length % 7 + 1) * 1000L // fake duration
-        val n = (durationMs / everyMs).toInt.max(1)
-        (0 until n).iterator.map { i =>
-          val start = (i * 16) % math.max(r.payload.length, 1)
-          val slice = java.util.Arrays.copyOfRange(r.payload, start,
-            math.min(start + 16, r.payload.length))
-          Frame(r.doc_id, i, i * everyMs, slice)
-        }
-      }
-    }
-  }
 
   /** An extracted media embedding (what a vision/audio encoder
     * produces; feeds the Similarity ANN operators directly). */
   case class MediaEmbedding(doc_id: Long, media_type: String,
       embedding: Array[Float])
 
-  /** STUB feature extraction: a real implementation loads an encoder
-    * model once per partition and embeds each payload batch. The fake
-    * derives a deterministic L2-normalized byte-histogram vector so
-    * the downstream ANN plumbing (schema Array[Float], per-partition
-    * batching, cosine math) is exercised for real. */
-  def featureStub(spark: SparkSession, media: Dataset[MediaRow],
+  /** Byte-histogram media featurizer: a deterministic L2-normalized
+    * `dim`-bucket byte histogram per payload — a real (if crude)
+    * content embedding that feeds the Similarity ANN operators
+    * directly (schema Array[Float], per-partition batching, cosine
+    * math all exercised for real). A production deployment swaps the
+    * histogram for a learned encoder loaded once per partition —
+    * the model-hosting shape is the only thing this featurizer
+    * doesn't exercise. */
+  def byteHistogramFeatures(spark: SparkSession, media: Dataset[MediaRow],
       dim: Int = 16): Dataset[MediaEmbedding] = {
     import spark.implicits._
     media.mapPartitions { rows =>
@@ -531,7 +461,6 @@ object Multimodal {
           v(math.floorMod(r.payload(i), dim)) += 1f
           i += 1
         }
-        // ??? real encoder goes here; deterministic fake above
         var ss = 0.0
         v.foreach(x => ss += x * x)
         val n = math.max(math.sqrt(ss), 1e-6).toFloat

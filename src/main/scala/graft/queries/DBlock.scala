@@ -251,7 +251,7 @@ object DBlock {
         .orderBy(col("doc_id"))),
 
     // D12: multimodal metadata over binary payload columns
-    // (oracle-checked; decode stage spec-covered via decodeStub).
+    // (oracle-checked; real decode stages are d19/d22/d23/d28).
     "d12_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(
         Multimodal.withBinaryPayload(Tables.documents(s, d), "doc_id", "text"))
@@ -353,6 +353,51 @@ object DBlock {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // D15/D28: REAL frame sampling under the oracle — demux every
+    // AVI and emit one row per kept frame. everyMs=1 keeps ALL frames
+    // (frame steps are >= 111 ms), so frame count and timestamps are
+    // pure functions of the generator formulas (2+id%5 frames at
+    // 5+id%5 fps; ts_ms = round(i·1000/fps), spelled floor(x+0.5) in
+    // the oracle to match Math.round): the demuxer's chunk walk and
+    // sampling arithmetic are hash-matched without shipping the
+    // (encoder-dependent) JPEG bytes to DuckDB.
+    "d28_frame_sample" -> ((s, d) =>
+      Multimodal.frameSampleVideo(s, mediaRows(s, d)
+        .filter(col("media_type") === "video"), everyMs = 1L)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("ts_ms"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // D3 oracle twin: the IDENTICAL chunk-bucket + skew-guard +
+    // popcount pair machinery as d3, fed with an engine-reproducible
+    // md5-based 60-bit simhash — DuckDB recomputes the signatures
+    // from raw text and brute-forces ALL pairs with
+    // bit_count(xor) <= maxDist, hash-matching the pigeonhole
+    // bucketing's recall (the machinery most likely to silently lose
+    // pairs). d3 stays the production entry (native XXH64 sketch).
+    // maxDist=4 (vs d3's 8): the unweighted md5-simhash is DENSER
+    // than the production sketch (distinct-token majority vote over
+    // shared stopwords), so 8 would emit a ~20k-pair set that costs
+    // bench seconds without adding verification power — 4 exercises
+    // the same 5-chunk pigeonhole + popcount machinery.
+    "d29_simhash_oracle" -> ((s, d) =>
+      Dedup.md5SimhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxDist = 4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // D2 oracle twin: the IDENTICAL banding + size-ratio +
+    // verification machinery as d2, fed with an md5-based
+    // universal-hash minhash — DuckDB recomputes the signatures from
+    // raw text, re-derives candidates by band-slice equality, and
+    // verifies true Jaccard, hash-matching the LSH candidate
+    // generation end to end. d2 stays the production entry.
+    "d30_minhash_oracle" -> ((s, d) =>
+      Dedup.md5MinhashPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleK = 3, numPerms = 32, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // D22 (pipeline): symmetric int8 embedding quantization — the
     // 4x compression pass before vectors ship to an ANN index or a
     // training job. Compared via per-vector scalar digests (dims,
@@ -407,7 +452,96 @@ object DBlock {
       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
       |    len(list_distinct(list_concat(a.s, b.s))) >= 0.2""".stripMargin
 
+  /** DuckDB mirror of Dedup.md5Hash60: integer value of the first 15
+    * hex chars of md5. */
+  private def h60(e: String): String = s"('0x'||substr(md5($e),1,15))::BIGINT"
+
+  /** d29 oracle: recompute the md5-based 60-bit simhash per document
+    * from raw text (one hash per distinct token, majority vote per
+    * bit), then brute-force ALL pairs with bit_count(xor) <= 8 — the
+    * complete ground-truth pair set the chunked bucketing must equal. */
+  private val md5SimhashSql: String = {
+    val bitSums = (0 until 60).map(i => s"sum((h >> $i) & 1) AS b$i")
+      .mkString(", ")
+    val sigSum = (0 until 60)
+      .map(i => s"CASE WHEN 2*b$i >= n THEN (1::BIGINT << $i) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+       |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+       |), h AS (
+       |  SELECT doc_id, ${h60("t")} AS h FROM tok
+       |), bits AS (
+       |  SELECT doc_id, count(*) AS n, $bitSums
+       |  FROM h GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, $sigSum AS sim FROM bits
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= 4
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** d30 oracle: recompute the md5-based universal-hash minhash
+    * signature per document from raw text (same mhA/mhB constants as
+    * the Spark side), re-derive candidates by exact band-slice
+    * equality (16 bands × 2 rows), and verify true 3-gram Jaccard —
+    * the exact candidate+pair derivation the banding must equal. */
+  private val md5MinhashSql: String = {
+    import graft.operators.Dedup.{mhA, mhB, mhPrime}
+    val mins = (0 until 32)
+      .map(j => s"min((h * ${mhA(j)} + ${mhB(j)}) % $mhPrime) AS m$j")
+      .mkString(", ")
+    val bandCond = (0 until 16)
+      .map(b => s"(a.m${2 * b} = b.m${2 * b} AND a.m${2 * b + 1} = b.m${2 * b + 1})")
+      .mkString(" OR ")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) >= 3 THEN
+       |      list_distinct(list_transform(range(1, len(ws) - 1),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       |    ELSE [list_aggregate(ws, 'string_agg', ' ')] END AS s
+       |  FROM base
+       |), g AS (
+       |  SELECT doc_id, unnest(s) AS g FROM sh
+       |), h AS (
+       |  SELECT doc_id, ${h60("g")} & 1073741823 AS h FROM g
+       |), m AS (
+       |  SELECT doc_id, $mins FROM h GROUP BY doc_id
+       |), cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+       |  WHERE $bandCond
+       |)
+       |SELECT c.id_a, c.id_b,
+       |  round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
+       |FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+       |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d28_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id, 2 + doc_id % 5 AS n, 5 + doc_id % 5 AS fps
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), f AS (
+        |  SELECT doc_id, unnest(range(0, n)) AS i, fps FROM v
+        |)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(floor(i * (1000.0 * 1 / fps) + 0.5) AS BIGINT) AS ts_ms
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "d29_simhash_oracle" -> md5SimhashSql,
+
+    "d30_minhash_oracle" -> md5MinhashSql,
+
     "d1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,

@@ -4,8 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Multimodal, TextAnalysis}
 
-/** Winnowing fingerprints + multimodal decode-stub plumbing (the
-  * pieces without SQL oracles). */
+/** Winnowing fingerprints + multimodal decode/resize/featurize paths
+  * (the pieces without SQL oracles). */
 class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -44,23 +44,6 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(m(1L)._2 == 9)
     assert(m(2L) == ((0, 0)))
     assert(m(3L)._1 == 1)
-  }
-
-  test("multimodal decode stub preserves rows and emits deterministic dims") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    val docs = Seq((0L, "abc"), (1L, "defg"), (2L, "hi")).toDF("doc_id", "text")
-    val media = Multimodal.withBinaryPayload(docs, "doc_id", "text")
-    val feats = Multimodal.decodeStub(spark,
-      media.as[Multimodal.MediaRow]).collect().sortBy(_.doc_id)
-    assert(feats.length == 3)
-    assert(feats(0).byte_len == 3 && feats(1).byte_len == 4)
-    assert(feats.forall(f => f.width >= 64 && f.height >= 64))
-    assert(feats(1).media_type == "audio" && feats(1).channels == 1)
-    // deterministic: second run identical
-    val again = Multimodal.decodeStub(spark,
-      media.as[Multimodal.MediaRow]).collect().sortBy(_.doc_id)
-    assert(again.toSeq == feats.toSeq)
   }
 
   test("real image decode reads back the encoded PNG dimensions via javax.imageio") {
@@ -175,38 +158,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
-  test("resize stub fits targets preserving aspect; frame sampler explodes videos") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    val docs = (0L until 9L).map(i => (i, "x" * (20 + i.toInt * 13))).toDF("doc_id", "text")
-    val media = Multimodal.withBinaryPayload(docs, "doc_id", "text")
-      .as[Multimodal.MediaRow]
-
-    val resized = Multimodal.resizeStub(spark, media, 128, 128).collect()
-    assert(resized.length == 9)
-    assert(resized.forall(r => r.width <= 128 && r.height <= 128))
-    assert(resized.forall(r => r.width == 128 || r.height == 128),
-      "scale-to-fit must touch one target edge")
-
-    val frames = Multimodal.frameSampleStub(spark, media).collect()
-    // only videos (doc_id % 3 == 2) produce frames
-    assert(frames.nonEmpty)
-    assert(frames.forall(_.doc_id % 3 == 2))
-    // frame indices are dense per video starting at 0
-    frames.groupBy(_.doc_id).foreach { case (_, fs) =>
-      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length))
-      assert(fs.forall(f => f.ts_ms == f.frame_idx * 1000L))
-    }
-  }
-
-  test("feature stub emits unit embeddings that feed the ANN operators") {
+  test("byte-histogram featurizer emits unit embeddings that feed the ANN operators") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val docs = (0L until 30L).map(i => (i, s"media payload $i " * (i.toInt + 1)))
       .toDF("doc_id", "text")
     val media = Multimodal.withBinaryPayload(docs, "doc_id", "text")
       .as[Multimodal.MediaRow]
-    val emb = Multimodal.featureStub(spark, media, dim = 16)
+    val emb = Multimodal.byteHistogramFeatures(spark, media, dim = 16)
     val rows = emb.collect()
     assert(rows.length == 30)
     rows.foreach { e =>
@@ -215,7 +174,7 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(math.abs(norm - 1.0) < 1e-5, s"not unit-norm: $norm")
     }
     // deterministic
-    assert(Multimodal.featureStub(spark, media, dim = 16).collect()
+    assert(Multimodal.byteHistogramFeatures(spark, media, dim = 16).collect()
       .sortBy(_.doc_id).map(_.embedding.toSeq).toSeq ==
       rows.sortBy(_.doc_id).map(_.embedding.toSeq).toSeq)
     // composes with the similarity operators end-to-end
