@@ -17,8 +17,15 @@ object RunOne {
     args.tail.foreach { name =>
       val t0 = System.nanoTime()
       try {
-        val n = SparkEntry.queries(name)(spark, args(0)).count()
-        println(s"[runone] $name rows=$n  ${(System.nanoTime() - t0) / 1e9}s")
+        if (name.startsWith("explain:")) {
+          val df = SparkEntry.queries(name.stripPrefix("explain:"))(spark, args(0))
+          df.count() // materialize so AQE finalizes the plan
+          println(s"[runone] === $name ===")
+          df.explain("formatted")
+        } else {
+          val n = SparkEntry.queries(name)(spark, args(0)).count()
+          println(s"[runone] $name rows=$n  ${(System.nanoTime() - t0) / 1e9}s")
+        }
       } catch { case e: Throwable =>
         println(s"[runone] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
