@@ -39,6 +39,13 @@ object SketchFunctions {
     * string column: char k-gram rolling hashes, min per window of w. */
   def winnow(text: Column, k: Int, w: Int): Column = ub(Winnow(x(text), k, w))
 
+  /** Winnowing SELECTION only (min per window of w, distinct,
+    * ascending) over a precomputed positional gram-hash array — the
+    * same kernel phase [[winnow]] runs after hashing, exposed so the
+    * oracle twin can drive it with engine-reproducible hashes. */
+  def winnowSelect(gramHashes: Column, w: Int): Column =
+    ub(WinnowSelect(x(gramHashes), w))
+
   /** Jaccard similarity of two SORTED distinct array<long> columns
     * (single merge pass). */
   def jaccardSorted(a: Column, b: Column): Column =
@@ -183,6 +190,29 @@ case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.SketchKernels.winnow($c, $k, $w)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** The selection phase of [[Winnow]] over an already-hashed gram
+  * sequence (array<long>, positional order): min per sliding window
+  * of w, distinct, ascending. */
+case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"WinnowSelect requires array<long>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.winnowSelect(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.winnowSelect($c, $w)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -122,6 +122,21 @@ object SketchKernels {
         org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i, len, 42L)
       i += 1
     }
+    winnowSelectLongs(grams, w)
+  }
+
+  /** See [[WinnowSelect]]: the selection phase of [[winnow]] over an
+    * already-hashed gram sequence. */
+  def winnowSelect(arr: ArrayData, w: Int): ArrayData =
+    winnowSelectLongs(arr.toLongArray(), w)
+
+  /** Winnowing selection: minimum per sliding window of `w` over the
+    * positional gram-hash sequence, distinct, ascending. Shared by
+    * the production path (XXH64 byte-grams) and the oracle twin
+    * (md5-based grams) so the window/tie/dedup machinery itself is
+    * what the twin's hash-matched oracle exercises. */
+  private def winnowSelectLongs(grams: Array[Long], w: Int): ArrayData = {
+    val nGrams = grams.length
     val out = new java.util.TreeSet[java.lang.Long]()
     if (nGrams <= w) {
       var m = Long.MaxValue

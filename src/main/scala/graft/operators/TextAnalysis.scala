@@ -108,4 +108,29 @@ object TextAnalysis {
   def withFingerprints(df: DataFrame, textCol: String, out: String = "fp",
       k: Int = 8, w: Int = 4): DataFrame =
     df.withColumn(out, graft.functions.SketchFunctions.winnow(col(textCol), k, w))
+
+  /** Oracle twin of [[withFingerprints]]: the IDENTICAL window-min
+    * selection kernel (WinnowSelect) driven by engine-reproducible
+    * md5 char k-gram hashes ([[Dedup.md5Hash60]]) instead of the
+    * XXH64 byte-grams, so DuckDB can recompute every fingerprint
+    * from raw text (substr + md5 + a window-min) and hash-match the
+    * selection machinery. Gram hashes are built codegen'd (explode →
+    * md5 → re-assemble by position), not as an interpreted per-window
+    * HOF. Returns one (doc_id, fp) row per distinct fingerprint. */
+  def md5Fingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val lt = lower(col(textCol))
+    val grams = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), lt.as("lt"),
+        explode(sequence(lit(1), greatest(length(lt) - (k - 1), lit(1))))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        Dedup.md5Hash60(col("lt").substr(col("pos"), lit(k))).as("h"))
+    grams.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("h")))).as("ph"))
+      .select(col("doc_id"),
+        explode(graft.functions.SketchFunctions.winnowSelect(
+          transform(col("ph"), p => p.getField("h")), w)).as("fp"))
+  }
 }

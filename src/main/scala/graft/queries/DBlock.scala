@@ -398,6 +398,22 @@ object DBlock {
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // D11 oracle twin: the IDENTICAL window-min selection kernel as
+    // d11's winnowing (WinnowSelect), fed with engine-reproducible
+    // md5 char 8-gram hashes — DuckDB recomputes every fingerprint
+    // from raw text (substr + md5 + a windowed min) and hash-matches
+    // the selection machinery (window mins, ties, dedup, ordering).
+    // d11 stays the production entry (native XXH64 byte-gram pass).
+    // Runs on the d17 1/16 hash slice: per-doc verification power is
+    // unchanged, and the full-corpus twin's ~550k fingerprint rows
+    // at sf0.1 were pure bench weight, not extra coverage.
+    "d31_winnow_oracle" -> ((s, d) =>
+      TextAnalysis.md5Fingerprints(
+        Tables.documents(s, d)
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "0"),
+        "doc_id", "text", k = 8, w = 4)
+        .orderBy(col("doc_id"), col("fp"))),
+
     // D22 (pipeline): symmetric int8 embedding quantization — the
     // 4x compression pass before vectors ship to an ANN index or a
     // training job. Compared via per-vector scalar digests (dims,
@@ -541,6 +557,30 @@ object DBlock {
     "d29_simhash_oracle" -> md5SimhashSql,
 
     "d30_minhash_oracle" -> md5MinhashSql,
+
+    // winnowing selection recomputed from raw text: same md5 gram
+    // hashes, min per 4-window (frame extends to doc end when the
+    // doc has <= 4 grams — position 1 is then the only kept row,
+    // mirroring the kernel's single-window branch), distinct.
+    "d31_winnow_oracle" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(text) AS lt FROM documents
+        |  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        |), g AS (
+        |  SELECT doc_id, i,
+        |    ('0x'||substr(md5(substr(lt, i, 8)),1,15))::BIGINT AS h
+        |  FROM t, unnest(range(1, greatest(len(lt) - 7, 1) + 1)) AS u(i)
+        |), m AS (
+        |  SELECT doc_id, i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM g
+        |)
+        |SELECT DISTINCT doc_id, fp FROM m
+        |WHERE i <= greatest(ng - 3, 1)
+        |ORDER BY doc_id, fp""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
