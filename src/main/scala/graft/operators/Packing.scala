@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Sequence packing for LLM pretraining: documents are laid out in a
+  * deterministic global order, token counts accumulate into a global
+  * offset, and fixed-capacity context windows ("bins") are cut at
+  * every `capacity` tokens — the concat-then-split packing GPT-style
+  * pipelines run (documents may straddle a bin boundary; the
+  * (start_off, bin_start, bin_end) triple is exactly what a packer
+  * needs to materialize each window).
+  *
+  * Scale design: the global running sum is NOT a single-partition
+  * window (`sum() OVER (ORDER BY …)` collapses 100 TB onto one task —
+  * the canonical global-cumsum trap). Instead, a two-phase prefix
+  * sum:
+  *
+  *   1. `repartitionByRange(orderCol)` gives sorted, disjoint
+  *      partitions (explicit partition count, so AQE cannot re-plan
+  *      the exchange differently between the two passes).
+  *   2. A cheap column-pruned pass computes per-partition token
+  *      totals (map-side partial agg → one row per partition); the
+  *      driver pull is bounded by the partition COUNT, never by data
+  *      size, and exclusive prefix bases are broadcast back in the
+  *      task closure.
+  *   3. `mapPartitions` emits base + partition-local running sum —
+  *      genuine per-partition imperative logic, the documented
+  *      mapPartitions exception.
+  *
+  * The result depends only on (orderCol order, token counts) — NOT on
+  * the partition count or range boundaries — so packings are
+  * reproducible on any cluster (PackingSpec pins 1/4/11-partition
+  * agreement). Ordering by a hash of the id (see the d32 entry)
+  * makes this "shuffle the corpus, then pack" in one operator.
+  *
+  * Returns (idCol, n_tokens, start_off, bin_start, bin_end), where
+  * bin_end >= bin_start marks a straddling document; empty documents
+  * (0 tokens) occupy their current bin without advancing the offset.
+  */
+object Packing {
+
+  def sequencePack(
+      df: DataFrame,
+      idCol: String,
+      tokens: org.apache.spark.sql.Column,
+      orderCol: org.apache.spark.sql.Column,
+      capacity: Long,
+      partitions: Int = 32): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(partitions > 0, s"partitions must be positive, got $partitions")
+
+    val parts = df
+      .select(col(idCol), tokens.cast("long").as("__n"), orderCol.as("__ord"))
+      .repartitionByRange(partitions, col("__ord"))
+
+    // Phase 1: per-partition totals. Column pruning keeps this pass
+    // narrow; partial aggregation ships one row per partition.
+    val totals = parts
+      .select(spark_partition_id().as("__pid"), col("__n"))
+      .groupBy(col("__pid"))
+      .agg(sum(col("__n")).as("__t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val bases = new Array[Long](partitions)
+    var acc = 0L
+    var p = 0
+    while (p < partitions) {
+      bases(p) = acc
+      acc += totals.getOrElse(p, 0L)
+      p += 1
+    }
+
+    // Phase 2: partition-local running sum on the SAME range layout.
+    val idField = df.schema(idCol)
+    val outSchema = StructType(Seq(idField,
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("start_off", LongType, nullable = false)))
+    val local = parts
+      .sortWithinPartitions(col("__ord"))
+      .select(spark_partition_id().as("__pid"), col(idCol), col("__n"))
+    val packed = local.mapPartitions { rows =>
+      var run = -1L // lazily initialized from the partition's base
+      rows.map { r =>
+        if (run < 0) run = bases(r.getInt(0))
+        val n = r.getLong(2)
+        val out = Row(r.get(1), n, run)
+        run += n
+        out
+      }
+    }(Encoders.row(outSchema))
+
+    packed.select(col(idCol), col("n_tokens"), col("start_off"),
+      expr(s"start_off div ${capacity}L").as("bin_start"),
+      expr(s"(start_off + greatest(n_tokens, 1L) - 1L) div ${capacity}L")
+        .as("bin_end"))
+  }
+}

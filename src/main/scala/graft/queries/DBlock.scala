@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** D-block: LLM-training-data pipeline operators (SURVEY.md §2
@@ -414,6 +414,23 @@ object DBlock {
         "doc_id", "text", k = 8, w = 4)
         .orderBy(col("doc_id"), col("fp"))),
 
+    // D23 (pipeline): sequence packing — shuffle the corpus into a
+    // deterministic hash order, accumulate whitespace-token counts
+    // into a global offset via the two-phase prefix sum (NOT a
+    // single-partition global window), and cut 2048-token context
+    // bins; documents may straddle bins (bin_end > bin_start). The
+    // oracle recomputes the same cumsum with a window function —
+    // feasible for DuckDB at oracle scale, the scale-killer Spark
+    // shape this operator exists to avoid (oracle-checked).
+    "d32_sequence_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Packing.sequencePack(docs, "doc_id",
+        tokens = TextAnalysis.wsTokenCount(col("text")),
+        orderCol = md5(col("doc_id").cast("string")),
+        capacity = 2048L)
+        .orderBy(col("doc_id"))
+    }),
+
     // D22 (pipeline): symmetric int8 embedding quantization — the
     // 4x compression pass before vectors ship to an ANN index or a
     // training job. Compared via per-vector scalar digests (dims,
@@ -814,6 +831,24 @@ object DBlock {
         |  CASE lang WHEN 'en' THEN '20' WHEN 'es' THEN '40'
         |            WHEN 'de' THEN '80' ELSE 'g' END
         |ORDER BY doc_id""".stripMargin,
+
+    "d32_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n,
+        |    md5(CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n,
+        |    CAST(COALESCE(sum(n) OVER (ORDER BY ord
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM t
+        |)
+        |SELECT doc_id, n AS n_tokens, off AS start_off,
+        |  CAST(off // 2048 AS BIGINT) AS bin_start,
+        |  CAST((off + greatest(n, 1) - 1) // 2048 AS BIGINT) AS bin_end
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "d26_embed_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -169,4 +169,38 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("sequencePack: contiguous offsets, straddling bins, partition-count invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic token counts 1..40; hash order scrambles doc order
+    val docs = (0L until 40L).map(i => (i, ("w " * (i.toInt + 1)).trim))
+      .toDF("doc_id", "text")
+    def pack(parts: Int) = graft.operators.Packing.sequencePack(
+      docs, "doc_id",
+      tokens = size(split(col("text"), " ")),
+      orderCol = md5(col("doc_id").cast("string")),
+      capacity = 64L, partitions = parts)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+    val base = pack(4).sortBy(_._3)
+    // token counts correct, offsets are the exclusive cumsum in hash order
+    assert(base.map(_._2).sum == (1 to 40).sum)
+    base.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + a._2, s"offset gap between $a and $b")
+    }
+    assert(base.head._3 == 0L)
+    // bin arithmetic: start/end consistent with capacity 64
+    base.foreach { case (_, n, off, bs, be) =>
+      assert(bs == off / 64 && be == (off + math.max(n, 1) - 1) / 64)
+      assert(be >= bs)
+    }
+    // some document must straddle a bin boundary at these sizes
+    assert(base.exists { case (_, _, _, bs, be) => be > bs })
+
+    // the two-phase prefix sum is partitioning-independent
+    assert(pack(1).sortBy(_._1).toSeq == base.sortBy(_._1).toSeq)
+    assert(pack(11).sortBy(_._1).toSeq == base.sortBy(_._1).toSeq)
+  }
 }
