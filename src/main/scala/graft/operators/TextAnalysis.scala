@@ -109,6 +109,40 @@ object TextAnalysis {
       k: Int = 8, w: Int = 4): DataFrame =
     df.withColumn(out, graft.functions.SketchFunctions.winnow(col(textCol), k, w))
 
+  /** Unigram language-model quality scoring: each document's mean
+    * log-probability under the corpus's own unigram distribution —
+    * the (unigram reduction of the) KenLM-style likelihood filter LLM
+    * pipelines use to drop gibberish and boilerplate outliers. Low
+    * `avg_logp` = tokens the corpus rarely uses = quality outlier.
+    *
+    * Scale shape: one scan feeds BOTH the frequency table and the
+    * scoring join — an explicit repartition on the token key below
+    * both consumers gives them an identical Exchange subtree, so
+    * ReuseExchange materializes the tokenize+explode pipeline once
+    * (the minhash self-join pattern). The frequency join is equi-keyed
+    * on the token; zipfian head tokens ("the") are exactly the skew
+    * AQE's skew-join split handles. The corpus total rides along as a
+    * broadcast 1-row cross join, never a driver scalar in the plan.
+    * Float note: avg-of-ln is rounded to 4 decimals on both engines
+    * (§6's accumulation-order rule).
+    *
+    * Returns (doc_id, n_tokens, avg_logp).
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.tokens(col(textCol))).as("t"))
+    val keyed = tok.repartition(col("t"))
+    val freqs = keyed.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = freqs.agg(sum(col("c")).cast("double").as("tot"))
+    keyed.join(freqs, Seq("t"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c").cast("double") / col("tot"))), 4).as("avg_logp"))
+  }
+
   /** Oracle twin of [[withFingerprints]]: the IDENTICAL window-min
     * selection kernel (WinnowSelect) driven by engine-reproducible
     * md5 char k-gram hashes ([[Dedup.md5Hash60]]) instead of the

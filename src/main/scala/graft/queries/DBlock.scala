@@ -431,6 +431,15 @@ object DBlock {
         .orderBy(col("doc_id"))
     }),
 
+    // D24b (pipeline): unigram LM quality scoring — per-doc mean
+    // log-probability under the corpus's own unigram distribution
+    // (the unigram reduction of KenLM-style likelihood filtering).
+    // One scan feeds both the frequency table and the scoring join
+    // via ReuseExchange; equi-keyed on the token (oracle-checked).
+    "d33_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // D22 (pipeline): symmetric int8 embedding quantization — the
     // 4x compression pass before vectors ship to an ANN index or a
     // training job. Compared via per-vector scalar digests (dims,
@@ -831,6 +840,20 @@ object DBlock {
         |  CASE lang WHEN 'en' THEN '20' WHEN 'es' THEN '40'
         |            WHEN 'de' THEN '80' ELSE 'g' END
         |ORDER BY doc_id""".stripMargin,
+
+    "d33_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        |), f AS (
+        |  SELECT t, count(*) AS c FROM tok GROUP BY t
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS DOUBLE) AS tot FROM f
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(ln(CAST(c AS DOUBLE) / tot)), 4) AS avg_logp
+        |FROM tok JOIN f USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d32_sequence_pack" ->
       """WITH t AS (

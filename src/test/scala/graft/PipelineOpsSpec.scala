@@ -203,4 +203,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pack(1).sortBy(_._1).toSeq == base.sortBy(_._1).toSeq)
     assert(pack(11).sortBy(_._1).toSeq == base.sortBy(_._1).toSeq)
   }
+
+  test("unigramLogProb matches a first-principles recomputation and ranks rarity") {
+    import spark.implicits._
+    val corpus = Map(
+      1L -> "the the the the",
+      2L -> "the the cat",
+      3L -> "the zyx",
+      4L -> "the the the")
+    val docs = corpus.toSeq.toDF("doc_id", "text")
+    val res = graft.operators.TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val all = corpus.values.flatMap(_.split(" ")).toSeq
+    val freq = all.groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val tot = all.size.toDouble
+    corpus.foreach { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val exp = BigDecimal(toks.map(t => math.log(freq(t) / tot)).sum / toks.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(res(id)._1 == toks.size, s"doc $id token count")
+      assert(math.abs(res(id)._2 - exp) < 1e-9, s"doc $id: ${res(id)._2} vs $exp")
+    }
+    // the all-common doc outscores the doc with a hapax token
+    assert(res(1L)._2 > res(3L)._2)
+  }
 }
