@@ -115,29 +115,34 @@ object TextAnalysis {
     * pipelines use to drop gibberish and boilerplate outliers. Low
     * `avg_logp` = tokens the corpus rarely uses = quality outlier.
     *
-    * Scale shape: one scan feeds BOTH the frequency table and the
-    * scoring join — an explicit repartition on the token key below
-    * both consumers gives them an identical Exchange subtree, so
-    * ReuseExchange materializes the tokenize+explode pipeline once
-    * (the minhash self-join pattern). The frequency join is equi-keyed
-    * on the token; zipfian head tokens ("the") are exactly the skew
-    * AQE's skew-join split handles. The corpus total rides along as a
-    * broadcast 1-row cross join, never a driver scalar in the plan.
+    * Scale shape: per-token counts come from a WINDOW count over the
+    * token key, not a frequency-table self-join — a join form was
+    * measured to evaluate the scan+explode pipeline three times
+    * (column pruning makes the frequency branch's subtree differ
+    * from the scoring branch's, so ReuseExchange never fires, and
+    * the corpus-total aggregate re-derived it again). The window
+    * rides ONE exchange on the token; zipfian head tokens ("the")
+    * make single heavy partitions, the same skew bound as any
+    * token-keyed shuffle. The corpus total comes from a separate
+    * NARROW scan (sum of per-doc token counts — no explode) and
+    * joins as a broadcast 1-row cross join, never a driver scalar.
     * Float note: avg-of-ln is rounded to 4 decimals on both engines
     * (§6's accumulation-order rule).
     *
     * Returns (doc_id, n_tokens, avg_logp).
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs
-      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        explode(Dedup.tokens(col(textCol))).as("t"))
-    val keyed = tok.repartition(col("t"))
-    val freqs = keyed.groupBy(col("t")).agg(count(lit(1)).as("c"))
-    val total = freqs.agg(sum(col("c")).cast("double").as("tot"))
-    keyed.join(freqs, Seq("t"))
-      .crossJoin(broadcast(total))
+    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val tok = live.select(col(idCol).as("doc_id"),
+      explode(Dedup.tokens(col(textCol))).as("t"))
+    val withC = tok.withColumn("c",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("t"))))
+    // same tokens() semantics as the explode (an empty doc tokenizes
+    // to [""], size 1), so the total matches the exploded row count
+    val total = live
+      .agg(sum(size(Dedup.tokens(col(textCol)))).cast("double").as("tot"))
+    withC.crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(log(col("c").cast("double") / col("tot"))), 4).as("avg_logp"))
