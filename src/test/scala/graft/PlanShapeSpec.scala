@@ -151,4 +151,25 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("a6_event_query_paging")
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
+
+  test("d33: token scoring explodes the corpus exactly once") {
+    // the join formulation evaluated the scan+explode pipeline three
+    // times (column pruning defeated ReuseExchange); the window form
+    // must keep exactly one Generate and one token-keyed exchange
+    val p = plan("d33_unigram_logprob")
+    assert(count(p, "Generate explode") == 1,
+      s"corpus explode pipeline duplicated:\n${p.take(2000)}")
+    assert(count(p, "Window") == 1, p.take(2000))
+  }
+
+  test("d32: packing shuffles once by range; totals pull stays bounded") {
+    // the packing layout is ONE range exchange over the wide path; a
+    // hash exchange would break the sorted-prefix contract, and a
+    // single-partition global window (the cumsum trap) would show as
+    // Window + Exchange SinglePartition on the wide path
+    val p = plan("d32_sequence_pack")
+    assert(count(p, "rangepartitioning(__ord") >= 1, p.take(2000))
+    assert(count(p, "Window") == 0,
+      s"global-window cumsum crept back in:\n${p.take(2000)}")
+  }
 }
