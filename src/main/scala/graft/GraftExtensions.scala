@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => Winnow(args.head,
         args(1).eval().asInstanceOf[Number].intValue(),
         args(2).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("winnow_select"),
+      info("winnow_select", "winnow_select(array<long>, w) - winnowing selection over gram hashes"),
+      (args: Seq[Expression]) => WinnowSelect(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((FunctionIdentifier("jaccard_sorted"),
       info("jaccard_sorted", "jaccard_sorted(array<long>, array<long>) - Jaccard of sorted sets"),
       (args: Seq[Expression]) => JaccardSortedLong(args.head, args(1))))
@@ -94,6 +98,9 @@ object GraftExtensions {
       (args: Seq[Expression]) => Winnow(args.head,
         args(1).eval().asInstanceOf[Number].intValue(),
         args(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_select",
+      (args: Seq[Expression]) => WinnowSelect(args.head,
+        args(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("jaccard_sorted",
       (args: Seq[Expression]) => JaccardSortedLong(args.head, args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot",

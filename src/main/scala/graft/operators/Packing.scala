@@ -52,7 +52,10 @@ object Packing {
     require(partitions > 0, s"partitions must be positive, got $partitions")
 
     val parts = df
-      .select(col(idCol), tokens.cast("long").as("__n"), orderCol.as("__ord"))
+      // null token counts (null text) pack as 0-token docs rather
+      // than NPE-ing the running sum
+      .select(col(idCol), coalesce(tokens.cast("long"), lit(0L)).as("__n"),
+        orderCol.as("__ord"))
       .repartitionByRange(partitions, col("__ord"))
 
     // Phase 1: per-partition totals. Column pruning keeps this pass

@@ -16,6 +16,7 @@ class ExtensionsSpec extends AnyFunSuite {
         |  simhash64(array('hello', 'world')) AS sim,
         |  size(minhash64(array('a b c', 'b c d'), 16)) AS n_sig,
         |  size(winnow('some text to fingerprint here', 8, 4)) AS n_fp,
+        |  winnow_select(array(9L, 3L, 7L, 5L, 1L), 3) AS ws,
         |  jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
         |  vec_dot(array(cast(1.0 as float), cast(2.0 as float)),
         |          array(cast(3.0 as float), cast(4.0 as float))) AS dot
@@ -23,6 +24,8 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("sim") != 0L)
     assert(row.getAs[Int]("n_sig") == 16)
     assert(row.getAs[Int]("n_fp") > 0)
+    // windows of 3 over [9,3,7,5,1]: mins 3, 3, 1 → distinct ascending
+    assert(row.getSeq[Long](row.fieldIndex("ws")) == Seq(1L, 3L))
     assert(math.abs(row.getAs[Double]("j") - 0.5) < 1e-12)
     assert(math.abs(row.getAs[Double]("dot") - 11.0) < 1e-12)
   }
