@@ -367,7 +367,15 @@ object Dedup {
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until numPerms).map(j => col(s"m$j")): _*).as("sig"))
-    bandPairsFromSigs(withSets.join(mins, Seq("doc_id")),
+    // materialize the signed corpus ONCE: the sig join's subtree
+    // differs per consuming branch after column pruning, so unlike
+    // the production path ReuseExchange cannot deduplicate it — the
+    // un-checkpointed plan re-derived scan+shingles+mins for the
+    // banding branch, the verification branch, and both candidate
+    // sides. A verification twin may trade storage for that (the
+    // production minhashPairs stays recompute-based).
+    bandPairsFromSigs(
+      withSets.join(mins, Seq("doc_id")).localCheckpoint(),
       numPerms / bands, bands, threshold)
   }
 
