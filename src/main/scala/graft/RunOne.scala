@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
   * the driver contract. */
 object RunOne {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: RunOne <sfDir> <queryName|explain:queryName> [more...]")
+      return
+    }
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -20,7 +25,7 @@ object RunOne {
         if (name.startsWith("explain:")) {
           val df = SparkEntry.queries(name.stripPrefix("explain:"))(spark, args(0))
           df.count() // materialize so AQE finalizes the plan
-          println(s"[runone] === $name ===")
+          println(s"[runone] === $name  ${(System.nanoTime() - t0) / 1e9}s ===")
           df.explain("formatted")
         } else {
           val n = SparkEntry.queries(name)(spark, args(0)).count()

@@ -126,9 +126,22 @@ object SketchKernels {
   }
 
   /** See [[WinnowSelect]]: the selection phase of [[winnow]] over an
-    * already-hashed gram sequence. */
-  def winnowSelect(arr: ArrayData, w: Int): ArrayData =
-    winnowSelectLongs(arr.toLongArray(), w)
+    * already-hashed gram sequence. An empty input selects nothing;
+    * a null element is a hard error (dropping it would silently
+    * shift every window), not garbage-in-garbage-out. */
+  def winnowSelect(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val grams = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"winnow_select: null gram hash at position $i")
+      grams(i) = arr.getLong(i)
+      i += 1
+    }
+    winnowSelectLongs(grams, w)
+  }
 
   /** Winnowing selection: minimum per sliding window of `w` over the
     * positional gram-hash sequence, distinct, ascending. Shared by

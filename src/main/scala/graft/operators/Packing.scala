@@ -18,8 +18,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * sum:
   *
   *   1. `repartitionByRange(orderCol)` gives sorted, disjoint
-  *      partitions (explicit partition count, so AQE cannot re-plan
-  *      the exchange differently between the two passes).
+  *      partitions, pinned by a narrow localCheckpoint so BOTH
+  *      passes read the same materialized layout (range-boundary
+  *      sampling is re-seeded per job; an un-pinned plan could give
+  *      the two passes different boundaries at scale).
   *   2. A cheap column-pruned pass computes per-partition token
   *      totals (map-side partial agg → one row per partition); the
   *      driver pull is bounded by the partition COUNT, never by data
@@ -57,6 +59,14 @@ object Packing {
       .select(col(idCol), coalesce(tokens.cast("long"), lit(0L)).as("__n"),
         orderCol.as("__ord"))
       .repartitionByRange(partitions, col("__ord"))
+      // pin ONE materialization: the totals pass and the packing pass
+      // are separate jobs, and RangePartitioner seeds its boundary
+      // sampling per execution (rdd.id) — un-pinned, the two jobs can
+      // draw DIFFERENT range bounds once partitions exceed the sample
+      // size, silently mis-basing every offset (invisible at test
+      // scale, corrupt at 100 TB). The checkpoint is the narrow
+      // (id, n, ord) projection, never the full rows.
+      .localCheckpoint()
 
     // Phase 1: per-partition totals. Column pruning keeps this pass
     // narrow; partial aggregation ships one row per partition.

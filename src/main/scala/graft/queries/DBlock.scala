@@ -375,14 +375,15 @@ object DBlock {
     // bit_count(xor) <= maxDist, hash-matching the pigeonhole
     // bucketing's recall (the machinery most likely to silently lose
     // pairs). d3 stays the production entry (native XXH64 sketch).
-    // maxDist=4 (vs d3's 8): the unweighted md5-simhash is DENSER
-    // than the production sketch (distinct-token majority vote over
-    // shared stopwords), so 8 would emit a ~20k-pair set that costs
-    // bench seconds without adding verification power — 4 exercises
-    // the same 5-chunk pigeonhole + popcount machinery.
+    // maxDist=4 (vs d3's 8): the 60-bit md5-simhash (multiplicity
+    // vote, like the production sketch) is still somewhat denser
+    // than the 64-bit XXH64 one, and 8 emitted a ~20k-pair set that
+    // cost bench seconds without adding verification power — 4
+    // exercises the same 5-chunk pigeonhole + popcount machinery.
+    // The threshold literal is shared with the oracle SQL.
     "d29_simhash_oracle" -> ((s, d) =>
       Dedup.md5SimhashPairs(Tables.documents(s, d), "doc_id", "text",
-        maxDist = 4)
+        maxDist = d29MaxDist)
         .orderBy(col("id_a"), col("id_b"))),
 
     // D2 oracle twin: the IDENTICAL banding + size-ratio +
@@ -431,11 +432,13 @@ object DBlock {
         .orderBy(col("doc_id"))
     }),
 
-    // D24b (pipeline): unigram LM quality scoring — per-doc mean
+    // D24 (pipeline): unigram LM quality scoring — per-doc mean
     // log-probability under the corpus's own unigram distribution
     // (the unigram reduction of KenLM-style likelihood filtering).
-    // One scan feeds both the frequency table and the scoring join
-    // via ReuseExchange; equi-keyed on the token (oracle-checked).
+    // Per-token counts via a WINDOW count on one token-keyed
+    // exchange — the frequency-join form triple-evaluated the
+    // explode pipeline (plan-pinned in PlanShapeSpec) — plus a
+    // narrow-scan broadcast total (oracle-checked).
     "d33_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -498,10 +501,15 @@ object DBlock {
     * hex chars of md5. */
   private def h60(e: String): String = s"('0x'||substr(md5($e),1,15))::BIGINT"
 
+  /** The d29 hamming threshold, shared by the Spark entry and the
+    * generated oracle SQL so they cannot drift. */
+  private val d29MaxDist = 4
+
   /** d29 oracle: recompute the md5-based 60-bit simhash per document
-    * from raw text (one hash per distinct token, majority vote per
-    * bit), then brute-force ALL pairs with bit_count(xor) <= 8 — the
-    * complete ground-truth pair set the chunked bucketing must equal. */
+    * from raw text (one hash per token with multiplicity, majority
+    * vote per bit), then brute-force ALL pairs with
+    * bit_count(xor) <= maxDist — the complete ground-truth pair set
+    * the chunked bucketing must equal. */
   private val md5SimhashSql: String = {
     val bitSums = (0 until 60).map(i => s"sum((h >> $i) & 1) AS b$i")
       .mkString(", ")
@@ -522,7 +530,7 @@ object DBlock {
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.sim, b.sim)) <= 4
+       |WHERE bit_count(xor(a.sim, b.sim)) <= $d29MaxDist
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -855,16 +863,20 @@ object DBlock {
         |FROM tok JOIN f USING (t) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // null parity with sequencePack: null text packs as 0 tokens
+    // (COALESCE), and the cumsum orders NULLS FIRST to match Spark's
+    // sort default should ord ever be null — latent today (testdata
+    // has no nulls) but keeps the oracle faithful to the operator.
     "d32_sequence_pack" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n,
+        |    CAST(COALESCE(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS BIGINT) AS n,
         |    md5(CAST(doc_id AS VARCHAR)) AS ord
         |  FROM documents
         |), c AS (
         |  SELECT doc_id, n,
-        |    CAST(COALESCE(sum(n) OVER (ORDER BY ord
+        |    CAST(COALESCE(sum(n) OVER (ORDER BY ord NULLS FIRST
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
         |  FROM t
         |)

@@ -162,13 +162,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Window") == 1, p.take(2000))
   }
 
-  test("d32: packing shuffles once by range; totals pull stays bounded") {
-    // the packing layout is ONE range exchange over the wide path; a
-    // hash exchange would break the sorted-prefix contract, and a
-    // single-partition global window (the cumsum trap) would show as
-    // Window + Exchange SinglePartition on the wide path
+  test("d32: packing reads one pinned range layout; no global window") {
+    // the range-partitioned (id, n, ord) projection is materialized
+    // ONCE (localCheckpoint) so the totals pass and the packing pass
+    // cannot disagree on range boundaries — the plan reads the
+    // checkpoint, and a single-partition global window (the cumsum
+    // trap) must never reappear
     val p = plan("d32_sequence_pack")
-    assert(count(p, "rangepartitioning(__ord") >= 1, p.take(2000))
+    assert(count(p, "Scan ExistingRDD") >= 1,
+      s"packing lost its pinned layout:\n${p.take(2000)}")
     assert(count(p, "Window") == 0,
       s"global-window cumsum crept back in:\n${p.take(2000)}")
   }
