@@ -324,4 +324,33 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((0L, 1L)) > 0.7)
     assert(!pairs.contains((0L, 2L)))
   }
+
+  test("md5 oracle twins find planted near-dups through the shared machinery") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away into the deep dark forest tonight"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("forest", "meadow")),          // near-dup of 1
+      (3L, "completely unrelated words about database query planners and storage engines and shuffles"),
+      (4L, base)                                       // exact dup of 1
+    ).toDF("doc_id", "text")
+
+    val sim = Dedup.md5SimhashPairs(docs, "doc_id", "text", maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.contains((1L, 4L)), s"exact dup must pair at hamming 0: $sim")
+    assert(sim.contains((1L, 2L)) && sim.contains((2L, 4L)),
+      s"one-word swap must stay within hamming 8: $sim")
+    assert(!sim.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc must not pair: $sim")
+
+    val mh = Dedup.md5MinhashPairs(docs, "doc_id", "text",
+      shingleK = 3, numPerms = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == Set((1L, 2L), (1L, 4L), (2L, 4L)), s"got $mh")
+
+    // the twin signature is deterministic across evaluations
+    val sigs = Dedup.md5Simhash60(docs, "doc_id", "text")
+    assert(sigs.collect().toSeq.sortBy(_.getLong(0)) ==
+      sigs.collect().toSeq.sortBy(_.getLong(0)))
+  }
 }
