@@ -158,8 +158,72 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      bits: Int = 8): DataFrame = {
-    val sig = signatureExpr(vecCol, bits)
+      bits: Int = 8): DataFrame =
+    lshTopKWithSig(queries, corpus, idCol, vecCol, k, bits,
+      signatureExpr(vecCol, bits))
+
+  /** Oracle twin of [[lshTopK]]: the IDENTICAL probe/bucket/re-rank
+    * machinery driven by an engine-reproducible signature — integer
+    * hyperplanes (md5 nibble − 8, one per (plane, dim)) over int8-
+    * QUANTIZED vectors, so bucket assignment and candidate cosines
+    * are exact integer arithmetic DuckDB reproduces bit-for-bit (a
+    * float-hyperplane signature has sign-boundary flakiness no
+    * rounding can fix). Callers pass the quantized vectors cast to
+    * float (values ≤ 127, exact); see the d34 entry. */
+  def md5LshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      bits: Int = 4): DataFrame =
+    lshTopKWithSig(queries, corpus, idCol, vecCol, k, bits,
+      md5SignatureExpr(vecCol, bits, dim))
+
+  /** Plane p's component for dim j in the oracle-twin signature:
+    * (first md5 nibble of "p:j") − 8 ∈ [−8, 7]. Public arithmetic an
+    * external engine recomputes from its own md5. */
+  private[graft] def md5Hyperplane(p: Int, j: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$j".getBytes("UTF-8"))
+    ((d(0) >> 4) & 0xF) - 8
+  }
+
+  /** Integer-hyperplane signature over integer-valued vectors of
+    * exactly `dim` components. The plane matrix is bits×dim SMALL
+    * CONSTANTS, so it is precomputed driver-side and embedded as
+    * literals (computing md5("p:j") inside the per-element lambda
+    * re-hashed a constant once per vector element — measured 5×
+    * slower). Every product and sum is exact in double, so the sign
+    * test is engine-independent. */
+  private def md5SignatureExpr(vecCol: String, bits: Int, dim: Int): Column = {
+    val planes = (0 until bits)
+      .map(p => (0 until dim).map(j => md5Hyperplane(p, j))
+        .mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    expr(
+      s"""aggregate(
+         |  transform(sequence(0, ${bits - 1}), p ->
+         |    IF(aggregate(
+         |         zip_with($vecCol, element_at($planes, cast(p + 1 as int)),
+         |           (v, h) -> cast(v as double) * h),
+         |         cast(0.0 as double), (s, x) -> s + x) >= 0,
+         |       shiftleft(1L, p), 0L)),
+         |  0L, (s, x) -> s | x)""".stripMargin)
+  }
+
+  /** The probe/bucket/re-rank machinery of [[lshTopK]] with a
+    * caller-supplied signature column, shared by the production
+    * XXH64-hyperplane path and the md5 oracle twin. */
+  private def lshTopKWithSig(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int,
+      sig: Column): DataFrame = {
     val probes = expr(
       s"""explode(concat(array(sig),
          |  transform(sequence(0, ${bits - 1}),

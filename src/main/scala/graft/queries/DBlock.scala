@@ -443,6 +443,27 @@ object DBlock {
       TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // D7 oracle twin: the IDENTICAL multi-probe bucket-join + top-k
+    // re-rank machinery as d7's LSH ANN, driven by integer
+    // hyperplanes over int8-QUANTIZED vectors (d26's quantization) —
+    // every signature bit and candidate cosine is exact integer
+    // arithmetic (int products, correctly-rounded sqrt), so DuckDB
+    // reproduces buckets, candidate sets (hamming <= 1 on
+    // signatures = own bucket + all 1-bit probes) and the full
+    // ranking bit-for-bit. d7 stays the production entry (XXH64
+    // float hyperplanes on the raw vectors).
+    "d34_lsh_oracle" -> ((s, d) => {
+      val q8 = Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id",
+        "embedding")
+        .select(col("vec_id"),
+          expr("transform(q, x -> cast(x as float))").as("qv"))
+      Similarity.md5LshTopK(q8.filter(col("vec_id") < 50), q8,
+        "vec_id", "qv", k = 10, dim = 64, bits = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // D22 (pipeline): symmetric int8 embedding quantization — the
     // 4x compression pass before vectors ship to an ANN index or a
     // training job. Compared via per-vector scalar digests (dims,
@@ -848,6 +869,41 @@ object DBlock {
         |  CASE lang WHEN 'en' THEN '20' WHEN 'es' THEN '40'
         |            WHEN 'de' THEN '80' ELSE 'g' END
         |ORDER BY doc_id""".stripMargin,
+
+    // int8-quantize per d26, integer-hyperplane signatures, candidates
+    // = signature hamming <= 1 (own bucket + every 1-bit probe),
+    // exact integer cosine re-rank, row_number ties broken by id —
+    // all arithmetic exact, so this is a bit-for-bit mirror
+    "d34_lsh_oracle" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+        |q AS (SELECT vec_id,
+        |  CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(v, x -> CAST(floor(x / (mx / 127.0) + 0.5) AS BIGINT)) END AS q
+        |  FROM m),
+        |s AS (SELECT vec_id, q,
+        |  CAST(list_sum(list_transform(range(0, 4), p ->
+        |    CASE WHEN list_sum(list_transform(range(0, len(q)), j ->
+        |        q[j+1] * (('0x'||substr(md5(CAST(p AS VARCHAR)||':'||CAST(j AS VARCHAR)),1,1))::BIGINT - 8)
+        |      )) >= 0 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS sig,
+        |  sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS nrm
+        |  FROM q),
+        |scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i])) AS DOUBLE)
+        |      / (a.nrm * b.nrm) AS cos
+        |  FROM s a JOIN s b
+        |    ON a.vec_id < 50 AND a.vec_id != b.vec_id
+        |   AND bit_count(xor(a.sig, b.sig)) <= 1
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cos, 4) AS cos
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     "d33_unigram_logprob" ->
       """WITH tok AS (
