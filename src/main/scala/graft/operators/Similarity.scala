@@ -270,16 +270,52 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       refineIters: Int = 2,
-      refineSampleMod: Long = 4): DataFrame = {
+      refineSampleMod: Long = 4): DataFrame =
+    ivfTopKWithSampler(queries, corpus, idCol, vecCol, k, nlist, nprobe,
+      refineIters, refineSampleMod, xxhash64(col(idCol).cast("long")))
+
+  /** Oracle twin of [[ivfTopK]]: the IDENTICAL sample → literal-
+    * centroid cell-assignment projection → nprobe equi-join → top-k
+    * re-rank machinery, with two engine-reproducible substitutions —
+    * centroids sampled by md5 order instead of XXH64, and no Lloyd
+    * refinement (float centroid means reintroduce the sign/boundary
+    * problem). Feed int8-QUANTIZED vectors (as in [[md5LshTopK]])
+    * and every cell argmax, probe set, and rank is exact integer
+    * arithmetic DuckDB reproduces bit-for-bit. */
+  def md5IvfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame =
+    ivfTopKWithSampler(queries, corpus, idCol, vecCol, k, nlist, nprobe,
+      refineIters = 0, refineSampleMod = 4,
+      Dedup.md5Hash60(col(idCol).cast("long").cast("string")))
+
+  private def ivfTopKWithSampler(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      refineIters: Int,
+      refineSampleMod: Long,
+      sampleOrd: Column): DataFrame = {
     // Deterministic uniform sample in ONE corpus scan: the nlist
-    // smallest ids by xxhash64 order (TakeOrderedAndProject — per-
+    // smallest ids by `sampleOrd` (TakeOrderedAndProject — per-
     // partition top-nlist, driver merge). The previous
     // count-then-every-n/nlist-th-id formulation scanned the corpus
     // twice before training ever started.
     val sampled = corpus
-      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cvec"))
-      .orderBy(xxhash64(col("cell_id")), col("cell_id"))
+      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cvec"),
+        sampleOrd.as("__ord"))
+      .orderBy(col("__ord"), col("cell_id"))
       .limit(nlist)
+      .drop("__ord")
 
     // Driver-side norm, same left-to-right double accumulation as
     // vecNorm (= sqrt(FloatVecDot(v, v))) so literal-centroid cosines

@@ -464,6 +464,26 @@ object DBlock {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // D7b oracle twin: the IDENTICAL IVF machinery as d7b — md5-order
+    // centroid sampling, literal-centroid argmax cell assignment
+    // (a map-only projection), nprobe probing, equi-join on cell,
+    // exact top-k re-rank — over int8-quantized vectors, no Lloyd
+    // refinement (float centroid means reintroduce the sign-boundary
+    // problem). All integer arithmetic: DuckDB reproduces cells,
+    // probe sets and ranks bit-for-bit. d7b stays the production
+    // entry (XXH64 sampling + mini-batch refinement on raw floats).
+    "d35_ivf_oracle" -> ((s, d) => {
+      val q8 = Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id",
+        "embedding")
+        .select(col("vec_id"),
+          expr("transform(q, x -> cast(x as float))").as("qv"))
+      Similarity.md5IvfTopK(q8.filter(col("vec_id") < 50), q8,
+        "vec_id", "qv", k = 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // D22 (pipeline): symmetric int8 embedding quantization — the
     // 4x compression pass before vectors ship to an ANN index or a
     // training job. Compared via per-vector scalar digests (dims,
@@ -901,6 +921,48 @@ object DBlock {
         |      ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM scored
         |)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cos, 4) AS cos
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // quantize per d26; centroids = 16 smallest by (md5-hash, id);
+    // cell = argmin (-cos, cell_id) per vector; queries probe their
+    // top-4 cells; candidates share a cell; rank by (cos desc, id)
+    "d35_ivf_oracle" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+        |q AS (SELECT vec_id,
+        |  CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(v, x -> CAST(floor(x / (mx / 127.0) + 0.5) AS BIGINT)) END AS q
+        |  FROM m),
+        |n AS (SELECT vec_id, q,
+        |  sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS nrm FROM q),
+        |cent AS (
+        |  SELECT vec_id AS cell_id, q AS cq, nrm AS cnrm FROM n
+        |  ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT, vec_id
+        |  LIMIT 16),
+        |ass AS (
+        |  SELECT a.vec_id, c.cell_id,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      -(CAST(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*c.cq[i])) AS DOUBLE)
+        |        / (a.nrm * c.cnrm)),
+        |      c.cell_id) AS rk
+        |  FROM n a CROSS JOIN cent c),
+        |corpus_cells AS (SELECT vec_id AS neighbor_id, cell_id FROM ass WHERE rk = 1),
+        |query_probes AS (SELECT vec_id AS query_id, cell_id FROM ass WHERE rk <= 4 AND vec_id < 50),
+        |scored AS (
+        |  SELECT p.query_id, cc.neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(x.q)+1), i -> x.q[i]*y.q[i])) AS DOUBLE)
+        |      / (x.nrm * y.nrm) AS cos
+        |  FROM query_probes p JOIN corpus_cells cc USING (cell_id)
+        |  JOIN n x ON x.vec_id = p.query_id
+        |  JOIN n y ON y.vec_id = cc.neighbor_id
+        |  WHERE p.query_id != cc.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cos, 4) AS cos
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
