@@ -49,6 +49,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("word_shingles", "word_shingles(array<string>, k) - distinct word k-shingles"),
       (args: Seq[Expression]) => WordShingles(args.head,
         args(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("word_grams"),
+      info("word_grams", "word_grams(array<string>, k) - all word k-grams in positional order"),
+      (args: Seq[Expression]) => WordGrams(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("md5_simhash60"),
+      info("md5_simhash60", "md5_simhash60(array<string>) - engine-reproducible 60-bit simhash"),
+      (args: Seq[Expression]) => Md5SimHash60(args.head)))
     e.injectFunction((FunctionIdentifier("marker_counts"),
       info("marker_counts", "marker_counts(text, marker...) - occurrence count per marker"),
       (args: Seq[Expression]) => MarkerCounts(args.head,
@@ -108,6 +115,11 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("word_shingles",
       (args: Seq[Expression]) => WordShingles(args.head,
         args(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("word_grams",
+      (args: Seq[Expression]) => WordGrams(args.head,
+        args(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("md5_simhash60",
+      (args: Seq[Expression]) => Md5SimHash60(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("marker_counts",
       (args: Seq[Expression]) => MarkerCounts(args.head,
         args.tail.map(_.eval().toString)), "scala_udf")

@@ -56,6 +56,20 @@ object SketchFunctions {
   def wordShingles(tokens: Column, k: Int): Column =
     ub(WordShingles(x(tokens), k))
 
+  /** ALL space-joined word k-grams of an array<string> token column —
+    * positional order, multiplicity KEPT (posexplode gives each
+    * gram's 0-based token offset); inputs shorter than k words yield
+    * no grams. The positional counterpart of [[wordShingles]]. */
+  def wordGrams(tokens: Column, k: Int): Column =
+    ub(WordGrams(x(tokens), k))
+
+  /** Engine-reproducible 60-bit SimHash of an array<string> token
+    * column: md5-hash60 per token (with multiplicity), majority vote
+    * per bit — the d29 oracle-twin signature
+    * ([[graft.operators.Dedup.md5Simhash60]]) as ONE codegen'd pass
+    * per document instead of a 60-way explode→sum aggregate. */
+  def md5Simhash60(tokens: Column): Column = ub(Md5SimHash60(x(tokens)))
+
   /** Per-marker occurrence counts (array<int>, aligned with
     * `markers`) in padded lowercased text — one expression, one text
     * pass per marker. */
@@ -178,6 +192,10 @@ case class MinHash64(child: Expression, numPerms: Int) extends UnaryExpression {
 case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if k < 1 => TypeCheckResult.TypeCheckFailure(
+      s"Winnow requires k >= 1, got $k")
+    case _ if w < 1 => TypeCheckResult.TypeCheckFailure(
+      s"Winnow requires w >= 1, got $w")
     case StringType => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
       s"Winnow requires string, got ${dt.simpleString}")
@@ -201,6 +219,11 @@ case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
 case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // w <= 0 would make the selection loops vacuous and silently
+    // return a [Long.MaxValue] sentinel — fail at analysis like the
+    // null-gram path fails at runtime
+    case _ if w < 1 => TypeCheckResult.TypeCheckFailure(
+      s"WinnowSelect requires w >= 1, got $w")
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
       s"WinnowSelect requires array<long>, got ${dt.simpleString}")
@@ -237,6 +260,61 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.SketchKernels.wordShingles($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** ALL word k-grams of a token array, space-joined, in positional
+  * order with multiplicity (the [[WordShingles]] counterpart for
+  * POSITION-aware consumers: posexplode yields each gram's token
+  * offset). Inputs shorter than k words emit an empty array — a
+  * document without a full k-token window holds no k-token span. */
+case class WordGrams(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if k < 1 => TypeCheckResult.TypeCheckFailure(
+      s"WordGrams requires k >= 1, got $k")
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"WordGrams requires array<string>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.wordGrams(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.wordGrams($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Engine-reproducible 60-bit SimHash (the d29 oracle-twin
+  * signature): md5-hash60 of each token — integer value of md5's
+  * first 15 hex chars, recomputable in any engine — voted per bit
+  * with multiplicity, bit i set iff 2·ones_i >= n. Bit-identical to
+  * the explode → 60-way sum aggregate formulation it replaces,
+  * including null parity (a null token counts into n without
+  * voting). An EMPTY token array yields the all-bits-set signature —
+  * unreachable via Dedup.tokens (split never returns an empty
+  * array). */
+case class Md5SimHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"Md5SimHash60 requires array<string>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.md5Simhash60(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.md5Simhash60($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

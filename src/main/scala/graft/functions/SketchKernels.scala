@@ -91,6 +91,58 @@ object SketchKernels {
     out
   }
 
+  /** One MessageDigest per thread: getInstance per row measured as
+    * the dominant cost of a per-token md5 loop (provider lookup +
+    * allocation), and MessageDigest is not thread-safe. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The integer value of the first 15 hex chars of md5(s) —
+    * [[graft.operators.Dedup.md5Hash60]]'s arithmetic, computed from
+    * the digest bytes directly (first 60 bits of the big-endian
+    * digest) instead of via a hex string round-trip. */
+  def md5Hash60(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(s.getBytes) // underlying array when aligned, else a copy
+    val d = md.digest()
+    var h = 0L
+    var b = 0
+    while (b < 8) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+    h >>> 4 // 16 hex chars read, keep the first 15 (60 bits)
+  }
+
+  /** See [[Md5SimHash60]]: engine-reproducible 60-bit simhash — one
+    * md5-hash60 per token (with multiplicity), majority vote per bit
+    * (bit i set iff 2·ones_i >= n). Bit-identical to the explode →
+    * 60-way sum aggregate formulation by construction, including its
+    * null parity: a null token counts into n without voting. */
+  def md5Simhash60(arr: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val m = arr.numElements()
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val h = md5Hash60(arr.getUTF8String(i))
+        var bit = 0
+        while (bit < 60) {
+          votes(bit) += ((h >>> bit) & 1L).toInt
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 60) {
+      if (2 * votes(bit) >= m) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
   /** See [[MinHash64]]. */
   def minhash64(arr: ArrayData, numPerms: Int): ArrayData = {
     val sig = Array.fill(numPerms)(Long.MaxValue)
@@ -199,6 +251,30 @@ object SketchKernels {
     var r = 0
     while (it.hasNext) { res(r) = it.next(); r += 1 }
     new GenericArrayData(res)
+  }
+
+  /** See [[WordGrams]]: every k-gram in positional order, with
+    * multiplicity; n < k emits nothing. Null tokens render as empty
+    * strings (the [[wordShingles]] convention — unreachable via
+    * split, which never returns null elements). */
+  def wordGrams(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[AnyRef])
+    val words = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      words(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[AnyRef](n - k + 1)
+    var j = 0
+    while (j <= n - k) {
+      out(j) = UTF8String.concatWs(sep,
+        java.util.Arrays.copyOfRange(words, j, j + k): _*)
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** See [[MarkerCounts]]. */

@@ -195,11 +195,6 @@ object Dedup {
       maxDist: Int = 3,
       bucketCap: Int = 4096,
       secondaryCap: Int = 1 << 16): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 63,
-      s"maxDist must be in [0, 63], got $maxDist")
-    require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
-    require(secondaryCap >= bucketCap,
-      s"secondaryCap ($secondaryCap) must be >= bucketCap ($bucketCap)")
     val idT = docs.schema(idCol).dataType
     require(isIntegral(idT),
       s"simhashPairs requires an integral id column, got ${idT.simpleString}")
@@ -222,6 +217,15 @@ object Dedup {
       maxDist: Int,
       bucketCap: Int = 4096,
       secondaryCap: Int = 1 << 16): DataFrame = {
+    // guards live HERE, below every caller (production simhashPairs
+    // AND the md5 oracle twin): maxDist > 63 would make zero-width
+    // chunks (mask 0) that silently funnel the whole corpus into one
+    // bucket
+    require(maxDist >= 0 && maxDist <= 63,
+      s"maxDist must be in [0, 63], got $maxDist")
+    require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
+    require(secondaryCap >= bucketCap,
+      s"secondaryCap ($secondaryCap) must be >= bucketCap ($bucketCap)")
     // maxDist+1 chunks; the first 64 % n chunks take the extra bit
     val n = maxDist + 1
     val widths = Array.tabulate(n)(i => 64 / n + (if (i < 64 % n) 1 else 0))
@@ -308,23 +312,24 @@ object Dedup {
     * lowercased whitespace token (with multiplicity, like the
     * production sketch — a distinct-token vote degenerates into a
     * stopword-dominated signature whose pair set explodes), majority
-    * vote per bit (bit i set iff 2·ones_i >= n). Computed as a
-    * codegen'd explode → 60-way sum aggregate, not an interpreted
-    * HOF. Returns (doc_id: long, sim: long); null-text docs absent. */
+    * vote per bit (bit i set iff 2·ones_i >= n). ONE codegen'd
+    * kernel pass per document (Md5SimHash60) — the previous
+    * explode → 60-way sum aggregate formulation computed the same
+    * bits through a full token-keyed aggregate and was d29's whole
+    * bench cost (measured ~2.2 s at sf0.1; DedupSpec pins the two
+    * formulations equal). Returns (doc_id: long, sim: long);
+    * null-text docs absent. */
   def md5Simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs
+    // same id guard as the production path: a non-numeric id column
+    // would cast to null doc_ids instead of erroring
+    val idT = docs.schema(idCol).dataType
+    require(isIntegral(idT),
+      s"md5Simhash60 requires an integral id column, got ${idT.simpleString}")
+    docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(tokens(col(textCol))).as("t"))
-      .select(col("doc_id"), md5Hash60(col("t")).as("h"))
-    val bitSums = (0 until 60).map(i =>
-      sum(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i"))
-    val agg = tok.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-    val sig = (0 until 60).map(i =>
-      when(col(s"b$i") * 2 >= col("n"), shiftleft(lit(1L), i))
-        .otherwise(lit(0L))).reduce(_ + _)
-    agg.select(col("doc_id"), sig.as("sim"))
+        graft.functions.SketchFunctions.md5Simhash60(tokens(col(textCol)))
+          .as("sim"))
   }
 
   /** Oracle twin of [[simhashPairs]]: the identical chunk-bucket +
@@ -377,6 +382,127 @@ object Dedup {
     bandPairsFromSigs(
       withSets.join(mins, Seq("doc_id")).localCheckpoint(),
       numPerms / bands, bands, threshold)
+  }
+
+  /** The shared positional gram pipeline under [[crossDocSpans]] and
+    * [[gramProfile]]: one scan — tokenize, [[graft.functions
+    * .WordGrams]] emits every k-token gram in positional order (one
+    * kernel pass), posexplode, [[md5Hash60]] each gram. Only the
+    * narrow (doc_id, pos: 1-based, h) rows ever reach a shuffle; the
+    * wide gram strings live and die inside the scan stage. The hash
+    * is md5, so every consumer is engine-reproducible end to end
+    * (DuckDB recomputes each gram hash from raw text). */
+  def gramHashes(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.SketchFunctions.wordGrams(
+          tokens(col(textCol)), k)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        md5Hash60(col("col")).as("h"))
+  }
+
+  /** Composed per-document gram profile — the Gopher-style duplicate
+    * n-gram fraction (intra-doc repetition at span granularity, the
+    * k-gram sharpening of d15's distinct-token signal) AND the
+    * cross-doc repeated-gram count (the [[crossDocSpans]] candidate
+    * signal) from ONE shared gram pass:
+    *
+    *   - one [[gramHashes]] scan (shared machinery, one Generate);
+    *   - ONE gram-keyed exchange carrying BOTH window specs: min/max
+    *     doc_id over (h) marks cross-doc grams, count over
+    *     (h, doc_id) marks intra-doc duplicates — HashPartitioning(h)
+    *     satisfies the (h, doc_id) clustering, so the second spec
+    *     adds a sort, never an exchange;
+    *   - ONE doc-keyed exchange for the final per-doc aggregate.
+    *
+    * The composition argument made concrete: when a curation pipeline
+    * wants both repetition scoring and substring-dedup candidates,
+    * they ride a single corpus pass instead of two (the D13-style
+    * composed-pipeline shape; plan-pinned join-free).
+    *
+    * Returns (doc_id, n_grams, dup_gram_frac, n_crossdoc_grams);
+    * documents shorter than k tokens hold no k-gram and are absent.
+    */
+  def gramProfile(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = gramHashes(docs, idCol, textCol, k)
+    val byGram = Window.partitionBy(col("h"))
+    val byGramDoc = Window.partitionBy(col("h"), col("doc_id"))
+    grams
+      .withColumn("__mn", min(col("doc_id")).over(byGram))
+      .withColumn("__mx", max(col("doc_id")).over(byGram))
+      .withColumn("__c", count(lit(1)).over(byGramDoc))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(when(col("__c") > 1, 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 4).as("dup_gram_frac"),
+        sum(when(col("__mn") =!= col("__mx"), 1L).otherwise(0L))
+          .as("n_crossdoc_grams"))
+  }
+
+  /** Exact substring-level dedup — the third standard LLM-corpus
+    * dedup mode alongside exact-doc ([[exact]]) and near-doc
+    * ([[minhashPairs]]/[[simhashPairs]]): find maximal spans of >= k
+    * consecutive whitespace tokens repeated ACROSS documents
+    * (boilerplate headers, license blocks, quoted chunks that
+    * doc-level Jaccard misses because the containing documents
+    * differ). The "deduplicating training data" pass: a downstream
+    * cleaner can cut the reported spans from all-but-one holder.
+    *
+    * Spark shape — ZERO joins, two keyed exchanges:
+    *   1. One scan: tokenize, [[graft.functions.WordGrams]] emits
+    *      every k-token gram in positional order (one kernel pass),
+    *      posexplode, [[md5Hash60]] each gram — only the narrow
+    *      (doc_id, pos, h) rows ever reach a shuffle; the wide gram
+    *      strings live and die inside the scan stage.
+    *   2. ONE gram-keyed exchange: a gram is cross-doc repeated iff
+    *      min(doc_id) != max(doc_id) over its hash — two window
+    *      aggs on the same partition spec (one Exchange), never a
+    *      frequency-table join-back (the d33 triple-eval lesson).
+    *      Skew bound: a universal boilerplate gram lands one hash
+    *      partition, the same bound as any token-keyed shuffle (AQE
+    *      splits oversized partitions).
+    *   3. ONE doc-keyed exchange: gaps-and-islands — positions p, q
+    *      (q > p) belong to one span iff q - p <= k (their k-token
+    *      windows overlap or touch), so a break opens where
+    *      pos - lag(pos) > k; a running sum of breaks numbers the
+    *      islands, and the final groupBy reuses the doc partitioning
+    *      (no further exchange).
+    *
+    * The gram hash is [[md5Hash60]], so the ENTIRE operator — not a
+    * twin — is engine-reproducible and oracle-checked the d31 way
+    * (DuckDB recomputes every gram hash from raw text).
+    *
+    * Returns (doc_id, span_start, span_end, n_grams): 1-based
+    * inclusive token positions, span_end - span_start + 1 >= k;
+    * n_grams = number of cross-doc k-grams merged into the span.
+    */
+  def crossDocSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = gramHashes(docs, idCol, textCol, k)
+    val byGram = Window.partitionBy(col("h"))
+    val hits = grams
+      .withColumn("__mn", min(col("doc_id")).over(byGram))
+      .withColumn("__mx", max(col("doc_id")).over(byGram))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = hits
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > k, 1).otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_grams"))
   }
 
   /** Connected components over verified near-dup pairs: the step that

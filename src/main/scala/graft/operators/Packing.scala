@@ -37,6 +37,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * agreement). Ordering by a hash of the id (see the d32 entry)
   * makes this "shuffle the corpus, then pack" in one operator.
   *
+  * Fault-tolerance caveat: `localCheckpoint` stores the pinned blocks
+  * in executor-local storage with lineage TRUNCATED — if an executor
+  * is lost mid-run (preemption, dynamic allocation scale-down), the
+  * job fails unrecoverably rather than recomputing. Fine for local
+  * mode and dedicated clusters; on a cluster with executor churn,
+  * pass `reliable = true` to pin via a RELIABLE checkpoint instead
+  * (survives executor loss; requires `sparkContext.setCheckpointDir`
+  * to a shared filesystem, and pays one distributed write of the
+  * narrow projection).
+  *
   * Returns (idCol, n_tokens, start_off, bin_start, bin_end), where
   * bin_end >= bin_start marks a straddling document; empty documents
   * (0 tokens) occupy their current bin without advancing the offset.
@@ -49,24 +59,26 @@ object Packing {
       tokens: org.apache.spark.sql.Column,
       orderCol: org.apache.spark.sql.Column,
       capacity: Long,
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 32,
+      reliable: Boolean = false): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     require(partitions > 0, s"partitions must be positive, got $partitions")
 
-    val parts = df
+    val ranged = df
       // null token counts (null text) pack as 0-token docs rather
       // than NPE-ing the running sum
       .select(col(idCol), coalesce(tokens.cast("long"), lit(0L)).as("__n"),
         orderCol.as("__ord"))
       .repartitionByRange(partitions, col("__ord"))
-      // pin ONE materialization: the totals pass and the packing pass
-      // are separate jobs, and RangePartitioner seeds its boundary
-      // sampling per execution (rdd.id) — un-pinned, the two jobs can
-      // draw DIFFERENT range bounds once partitions exceed the sample
-      // size, silently mis-basing every offset (invisible at test
-      // scale, corrupt at 100 TB). The checkpoint is the narrow
-      // (id, n, ord) projection, never the full rows.
-      .localCheckpoint()
+    // pin ONE materialization: the totals pass and the packing pass
+    // are separate jobs, and RangePartitioner seeds its boundary
+    // sampling per execution (rdd.id) — un-pinned, the two jobs can
+    // draw DIFFERENT range bounds once partitions exceed the sample
+    // size, silently mis-basing every offset (invisible at test
+    // scale, corrupt at 100 TB). The checkpoint is the narrow
+    // (id, n, ord) projection, never the full rows. See the
+    // fault-tolerance caveat above for localCheckpoint vs reliable.
+    val parts = if (reliable) ranged.checkpoint() else ranged.localCheckpoint()
 
     // Phase 1: per-partition totals. Column pruning keeps this pass
     // narrow; partial aggregation ships one row per partition.

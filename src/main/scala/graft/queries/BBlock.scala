@@ -524,6 +524,39 @@ object BBlock {
           .select(lit("__all__").as("event_type"),
             hll_sketch_estimate(col("merged")).as("est_users")))
         .orderBy(col("event_type"))
+    }),
+
+    // B21b: the MERGEABILITY claim itself as oracle-checkable rows.
+    // b20's sketch estimates can never hash-match a SQL engine, but
+    // the property they exist for can: partial sketches over disjoint
+    // splits, unioned, must estimate IDENTICALLY to one direct sketch
+    // over the same rows (DataSketches HLL union is a lossless
+    // register-max merge at equal lgK), and the estimate must land
+    // within 5% of the exact distinct count. Both facts are computed
+    // by the ENGINE and emitted as booleans the DuckDB oracle pins to
+    // TRUE — alongside exact_users, which SQL derives independently.
+    "b20b_hll_merge_consistency" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull)
+        .select(col("event_type"), col("user_id"),
+          // deterministic 8-way split standing in for "partitions":
+          // any disjoint cover works, crc32 makes it reproducible
+          pmod(crc32(col("user_id").cast("string")), lit(8)).as("split"))
+      val viaUnion = ev
+        .groupBy(col("event_type"), col("split"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+      val direct = ev.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+          countDistinct(col("user_id")).as("exact_users"))
+      viaUnion.join(direct, Seq("event_type"))
+        .select(col("event_type"),
+          (col("est_merged") === col("est_direct")).as("merge_consistent"),
+          (abs(col("est_merged") - col("exact_users")) <=
+            col("exact_users") * lit(0.05)).as("est_within_5pct"),
+          col("exact_users"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -707,6 +740,18 @@ object BBlock {
     "b26_countmin" ->
       """SELECT event_type, count(*) AS est_n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the booleans are the CLAIM: the engine computes
+    // merge-consistency and 5%-accuracy for real, the oracle pins
+    // both to TRUE and independently derives the exact count the
+    // accuracy claim is judged against
+    "b20b_hll_merge_consistency" ->
+      """SELECT event_type,
+        |  TRUE AS merge_consistent,
+        |  TRUE AS est_within_5pct,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "b27_auto_range_rewrite" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)

@@ -484,6 +484,33 @@ object DBlock {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // D25: exact substring-level dedup — maximal cross-doc repeated
+    // >= 8-token spans (the "deduplicating training data" pass that
+    // doc-level dedup misses: shared boilerplate inside otherwise
+    // distinct documents). Zero joins: WordGrams kernel + posexplode
+    // + md5Hash60, one gram-keyed exchange (min/max-doc windows), one
+    // doc-keyed exchange (gaps-and-islands merge). The gram hash is
+    // md5, so the WHOLE operator is oracle-checked — DuckDB
+    // recomputes every gram hash from raw text and re-derives the
+    // identical spans (d36GramK shared with the oracle SQL).
+    "d36_substring_dedup" -> ((s, d) =>
+      Dedup.crossDocSpans(Tables.documents(s, d), "doc_id", "text",
+        k = d36GramK)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // D26: composed gram profile — Gopher-style duplicate k-gram
+    // fraction (the span-granularity sharpening of d15's distinct-
+    // token repetition) AND the cross-doc repeated-gram count (d36's
+    // candidate signal) off ONE shared gram pass (Dedup.gramHashes):
+    // one Generate, one gram-keyed exchange carrying both window
+    // specs, one doc-keyed aggregate. Fully oracle-checked — DuckDB
+    // recomputes every md5 gram hash from raw text (plan-pinned
+    // join-free, single gram exchange).
+    "d37_gram_profile" -> ((s, d) =>
+      Dedup.gramProfile(Tables.documents(s, d), "doc_id", "text",
+        k = d36GramK)
+        .orderBy(col("doc_id"))),
+
     // D22 (pipeline): symmetric int8 embedding quantization — the
     // 4x compression pass before vectors ship to an ANN index or a
     // training job. Compared via per-vector scalar digests (dims,
@@ -545,6 +572,77 @@ object DBlock {
   /** The d29 hamming threshold, shared by the Spark entry and the
     * generated oracle SQL so they cannot drift. */
   private val d29MaxDist = 4
+
+  /** The d36 gram width, shared by the Spark entry and the generated
+    * oracle SQL so they cannot drift. */
+  private val d36GramK = 8
+
+  /** d36 oracle: recompute every k-token gram hash from raw text
+    * (slice + string_agg + md5), mark grams held by more than one
+    * document (min != max doc over the hash), and merge surviving
+    * positions into maximal spans with the same gaps-and-islands
+    * arithmetic (break iff pos - lag(pos) > k). */
+  private val substringDedupSql: String = {
+    val k = d36GramK
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+       |), g AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |    ('0x'||substr(md5(list_aggregate(ws[i:i+$k-1], 'string_agg', ' ')),1,15))::BIGINT AS h
+       |  FROM t, unnest(range(1, len(ws) - $k + 2)) AS u(i)
+       |  WHERE len(ws) >= $k
+       |), x AS (
+       |  SELECT doc_id, pos,
+       |    min(doc_id) OVER (PARTITION BY h) AS mn,
+       |    max(doc_id) OVER (PARTITION BY h) AS mx
+       |  FROM g
+       |), hits AS (
+       |  SELECT doc_id, pos FROM x WHERE mn <> mx
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $k
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM hits
+       |), grp AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl
+       |)
+       |SELECT doc_id, min(pos) AS span_start,
+       |  max(pos) + ($k - 1) AS span_end,
+       |  CAST(count(*) AS BIGINT) AS n_grams
+       |FROM grp GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  /** d37 oracle: the same gram CTE as [[substringDedupSql]], then the
+    * two duplication signals per document — intra-doc (count over
+    * (h, doc_id) > 1) and cross-doc (min != max doc over h) — exactly
+    * the engine's two window specs, re-derived from raw text. */
+  private val gramProfileSql: String = {
+    val k = d36GramK
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+       |), g AS (
+       |  SELECT doc_id,
+       |    ('0x'||substr(md5(list_aggregate(ws[i:i+$k-1], 'string_agg', ' ')),1,15))::BIGINT AS h
+       |  FROM t, unnest(range(1, len(ws) - $k + 2)) AS u(i)
+       |  WHERE len(ws) >= $k
+       |), x AS (
+       |  SELECT doc_id,
+       |    count(*) OVER (PARTITION BY h, doc_id) AS c,
+       |    min(doc_id) OVER (PARTITION BY h) AS mn,
+       |    max(doc_id) OVER (PARTITION BY h) AS mx
+       |  FROM g
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS dup_gram_frac,
+       |  CAST(sum(CASE WHEN mn <> mx THEN 1 ELSE 0 END) AS BIGINT) AS n_crossdoc_grams
+       |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   /** d29 oracle: recompute the md5-based 60-bit simhash per document
     * from raw text (one hash per token with multiplicity, majority
@@ -630,6 +728,10 @@ object DBlock {
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "d29_simhash_oracle" -> md5SimhashSql,
+
+    "d36_substring_dedup" -> substringDedupSql,
+
+    "d37_gram_profile" -> gramProfileSql,
 
     "d30_minhash_oracle" -> md5MinhashSql,
 

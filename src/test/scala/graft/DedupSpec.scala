@@ -353,4 +353,122 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs.collect().toSeq.sortBy(_.getLong(0)) ==
       sigs.collect().toSeq.sortBy(_.getLong(0)))
   }
+
+  test("Md5SimHash60 kernel equals the explode→sum aggregate formulation") {
+    // the d29 signature was rewritten from a 60-way explode→sum vote
+    // aggregate into one codegen'd kernel pass; the two must stay
+    // bit-identical on REAL corpus text (the aggregate form is the
+    // executable spec of the DuckDB oracle's arithmetic)
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val kernel = Dedup.md5Simhash60(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val tok = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(Dedup.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), Dedup.md5Hash60(col("t")).as("h"))
+    val bitSums = (0 until 60).map(i =>
+      sum(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i"))
+    val agg = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val sig = (0 until 60).map(i =>
+      when(col(s"b$i") * 2 >= col("n"), shiftleft(lit(1L), i))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val reference = agg.select(col("doc_id"), sig.as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(kernel.size == reference.size && kernel.size > 0)
+    val diff = kernel.collect {
+      case (id, s) if reference(id) != s => (id, s, reference(id)) }
+    assert(diff.isEmpty, s"signatures diverge: ${diff.take(5)}")
+  }
+
+  test("crossDocSpans reports planted shared paragraphs as merged maximal spans") {
+    import spark.implicits._
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet" // 10 tokens
+    val shared2 = "kilo lima mike november oscar papa quebec romeo sierra tango"  // 10 tokens
+    val noise1 = "one two three four five six seven eight nine ten eleven twelve"  // 12 tokens
+    val noise2 = "red orange yellow green blue indigo violet umber crimson teal olive maroon"
+    val docs = Seq(
+      // doc 1: shared at positions 3..12, then >8 unique tokens, then shared2
+      (1L, s"preamble words ahead $shared $noise1 $shared2"),
+      // doc 2: shared at positions 1..10
+      (2L, s"$shared trailing unrelated content here"),
+      // doc 3: holds shared2 only
+      (3L, s"$noise2 $shared2 closing words"),
+      // doc 4: unrelated
+      (4L, "nothing here repeats across any document in this corpus at all honestly"),
+      // doc 5: shorter than k tokens — can't hold a k-token span
+      (5L, "alpha bravo charlie delta")
+    ).toDF("doc_id", "text")
+
+    val spans = Dedup.crossDocSpans(docs, "doc_id", "text", k = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+
+    // 10-token shared block = 3 overlapping 8-grams merged into ONE span
+    assert(spans == Set(
+      (1L, 4, 13, 3L),   // shared after a 3-token preamble
+      (1L, 26, 35, 3L),  // shared2 after 12 noise tokens (pos 14..25)
+      (2L, 1, 10, 3L),   // shared at the very front
+      (3L, 13, 22, 3L)   // shared2 after 12 noise tokens
+    ), s"got $spans")
+  }
+
+  test("crossDocSpans merges adjacent islands and keeps within-doc-only repeats out") {
+    import spark.implicits._
+    val block = "w1 w2 w3 w4 w5 w6 w7 w8" // exactly k=8 tokens
+    val docs = Seq(
+      // doc 1 holds block TWICE back to back: hits at pos 1 and 9 —
+      // gap == k merges them into one contiguous 16-token span
+      (1L, s"$block $block"),
+      (2L, s"$block unrelated tail content beyond"),
+      // doc 3: a WITHIN-doc-only repeated block (no other doc holds
+      // it) must not be reported — the operator is cross-doc
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z1 z2 z3 z4 z5 z6 z7 z8")
+    ).toDF("doc_id", "text")
+
+    val spans = Dedup.crossDocSpans(docs, "doc_id", "text", k = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(spans == Set(
+      (1L, 1, 16, 2L), // two adjacent hits, one merged span
+      (2L, 1, 8, 1L)
+    ), s"got $spans")
+  }
+
+  test("gramProfile counts intra-doc duplicate grams and cross-doc grams from one pass") {
+    import spark.implicits._
+    val block = "w1 w2 w3 w4 w5 w6 w7 w8" // exactly k=8 tokens
+    val docs = Seq(
+      // doc 1: block twice (all 9 grams of the 16-token doc that
+      // equal another occurrence: gram@1 == gram@9; the 7 straddling
+      // grams are unique) + cross-doc (doc 2 holds block too)
+      (1L, s"$block $block"),
+      (2L, s"$block unrelated tail content beyond"),
+      // doc 3: intra-doc repeat ONLY — dup_frac > 0, cross-doc 0
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z1 z2 z3 z4 z5 z6 z7 z8"),
+      // doc 4: too short for any 8-gram — absent from the profile
+      (4L, "alpha bravo charlie")
+    ).toDF("doc_id", "text")
+
+    val prof = Dedup.gramProfile(docs, "doc_id", "text", k = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    // doc 1: 9 grams, grams at pos 1 and 9 are the duplicated pair
+    //   (2/9 = 0.2222); cross-doc grams: pos 1 and 9 (both == doc 2's
+    //   gram@1) = 2
+    // doc 2: 5 grams, none intra-duplicated; gram@1 cross-doc = 1
+    // doc 3: 9 grams, pos 1 and 9 duplicated intra-doc; zero cross-doc
+    assert(prof == Set(
+      (1L, 9L, 0.2222, 2L),
+      (2L, 5L, 0.0, 1L),
+      (3L, 9L, 0.2222, 0L)
+    ), s"got $prof")
+  }
 }

@@ -162,6 +162,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Window") == 1, p.take(2000))
   }
 
+  test("d36: substring dedup is join-free — windows on two keyed exchanges") {
+    // the scale shape: gram candidates come from window min/max over
+    // the gram-hash partitioning and spans from gaps-and-islands over
+    // the doc partitioning — never a self-join on the gram key (the
+    // join-back form re-evaluates the scan+gram pipeline, the d33
+    // lesson) and never a cartesian
+    val p = plan("d36_substring_dedup")
+    assert(count(p, "Join") == 0, s"substring dedup grew a join:\n${p.take(2000)}")
+    assert(count(p, "Generate") == 1,
+      s"gram pipeline duplicated:\n${p.take(2000)}")
+    // gram-hash exchange + doc exchange + the entry's orderBy range
+    // exchange; the final groupBy must reuse the doc partitioning
+    assert(count(p, "Exchange") == 3,
+      s"expected 3 exchanges (h, doc, sort):\n${p.take(3000)}")
+  }
+
+  test("d37: composed gram profile rides ONE gram exchange, join-free") {
+    // the composition claim: repetition scoring + cross-doc candidate
+    // counting share one gramHashes pass — the (h, doc_id) window
+    // spec must piggyback on the (h) exchange (HashPartitioning(h)
+    // satisfies the wider clustering), adding a sort, never a second
+    // gram exchange, and never a join-back
+    val p = plan("d37_gram_profile")
+    assert(count(p, "Join") == 0, s"gram profile grew a join:\n${p.take(2000)}")
+    assert(count(p, "Generate") == 1,
+      s"gram pipeline duplicated:\n${p.take(2000)}")
+    // gram-hash exchange + doc aggregate exchange + the orderBy range
+    // exchange — 3 total; a 4th means the (h, doc_id) window forced
+    // its own exchange
+    assert(count(p, "Exchange") == 3,
+      s"expected 3 exchanges (h, doc-agg, sort):\n${p.take(3000)}")
+  }
+
   test("d32: packing reads one pinned range layout; no global window") {
     // the range-partitioned (id, n, ord) projection is materialized
     // ONCE (localCheckpoint) so the totals pass and the packing pass
