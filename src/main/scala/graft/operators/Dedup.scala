@@ -491,6 +491,18 @@ object Dedup {
       .withColumn("__mx", max(col("doc_id")).over(byGram))
       .filter(col("__mn") =!= col("__mx"))
       .select(col("doc_id"), col("pos"))
+    mergeIslands(hits, k)
+  }
+
+  /** The gaps-and-islands merge shared by [[crossDocSpans]] and
+    * [[cutCrossDocSpans]]: gram hit positions p, q (q > p) belong to
+    * one span iff q - p <= k (their k-token windows overlap or
+    * touch), so a break opens where pos - lag(pos) > k; a running sum
+    * of breaks numbers the islands, and the final groupBy reuses the
+    * doc partitioning (ONE doc-keyed exchange total). Returns
+    * (doc_id, span_start, span_end, n_grams), 1-based inclusive. */
+  private def mergeIslands(hits: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val islands = hits
       .withColumn("__brk",
@@ -503,6 +515,60 @@ object Dedup {
         count(lit(1)).as("n_grams"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("n_grams"))
+  }
+
+  /** The cleaning half of substring-level dedup ("deduplicating
+    * training data" keep-one): rewrite each document with its
+    * cross-doc repeated spans REMOVED unless this document is the
+    * span's canonical keeper. Keeper policy is per gram hash: the
+    * smallest doc_id holding a gram keeps it; every other holder's
+    * covered token positions are cut. Deterministic, join-order
+    * independent, and composable with [[crossDocSpans]] (same gram
+    * machinery, same islands merge).
+    *
+    * Shape: the [[gramHashes]] scan + ONE gram-keyed exchange (the
+    * min/max windows) + ONE doc-keyed islands merge as in
+    * [[crossDocSpans]], then the only join in the operator: the
+    * per-doc cut list (collect_list on the islands' doc partitioning,
+    * no extra exchange) joins back to a SECOND narrow scan of the
+    * corpus holding the original-case token array, and a codegen-free
+    * filter HOF drops covered positions (tokens × spans per doc —
+    * spans per doc are few). Token positions are computed on the
+    * LOWERCASED tokenization but applied to the original-case split:
+    * lower() never changes whitespace, so the two align 1:1.
+    *
+    * Returns (doc_id, clean_text): whitespace-canonical (tokens
+    * re-joined with single spaces), original case; a fully-covered
+    * document becomes the empty string. Intra-document repeats inside
+    * the keeper stay (keep-one is across documents; pair with
+    * [[gramProfile]]'s dup_gram_frac for intra-doc policy). */
+  def cutCrossDocSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = gramHashes(docs, idCol, textCol, k)
+    val byGram = Window.partitionBy(col("h"))
+    val cutHits = grams
+      .withColumn("__mn", min(col("doc_id")).over(byGram))
+      .withColumn("__mx", max(col("doc_id")).over(byGram))
+      .filter(col("__mn") =!= col("__mx") && col("doc_id") =!= col("__mn"))
+      .select(col("doc_id"), col("pos"))
+    val cuts = mergeIslands(cutHits, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__cuts"))
+    docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("__w"))
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(
+          when(col("__cuts").isNull, col("__w"))
+            .otherwise(filter(col("__w"), (w, i) =>
+              !exists(col("__cuts"), c =>
+                (i + 1) >= c.getField("span_start") &&
+                  (i + 1) <= c.getField("span_end")))),
+          " ").as("clean_text"))
   }
 
   /** Connected components over verified near-dup pairs: the step that
@@ -841,6 +907,20 @@ object Dedup {
     * `numPerms` for the threshold: catch probability at similarity j
     * is 1-(1-j^(numPerms/bands))^bands, so low thresholds want few
     * rows per band (e.g. 32 bands × 1 row catches j=0.2 with p≈0.999).
+    *
+    * Block-occupancy guard (`blockCap`): within-block candidates are
+    * quadratic in block occupancy, and a coarse natural key's
+    * occupancy grows LINEARLY with the corpus — the sf0.1→sf1
+    * scaling probe measured (lang, len-bucket) candidates at 588k →
+    * 59M (exactly 100× at 10× data); at 100 TB that's the operator's
+    * death. Blocks at or under the cap keep exhaustive all-pairs
+    * semantics (recall 1 within block); blocks OVER it generate
+    * candidates by minhash-band sub-bucketing inside the block
+    * instead (the same signature/banding machinery as
+    * [[minhashPairs]], recall as above — 32×1 bands catch j=0.2 with
+    * p≈0.999). Verification is unchanged either way. The per-block
+    * occupancy count is a window over the SAME block exchange the
+    * self-join reuses — the guard adds no shuffle.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -850,15 +930,23 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.2,
       numPerms: Int = 32,
-      bands: Int = 32): DataFrame = {
+      bands: Int = 32,
+      blockCap: Int = 4096): DataFrame = {
     if (blockCols.isEmpty)
       return minhashPairs(docs, idCol, textCol, shingleK, numPerms, bands,
         threshold)
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    require(blockCap >= 2, s"blockCap must be >= 2, got $blockCap")
+    val r = numPerms / bands
+    // sig rides along for the oversized-block fallback: one codegen'd
+    // kernel pass per doc (32 longs/row through the shuffle), paid
+    // linearly so the guard can kick in without a second corpus scan
     val base = withShingles(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("__graft_text"),
         struct(blockCols: _*).as("block")),
       "__graft_text", shingleK, "sh")
-      .select(col("doc_id"), col("block"), hashedSet(col("sh")).as("shh"))
+      .select(col("doc_id"), col("block"), hashedSet(col("sh")).as("shh"),
+        SketchFunctions.minhash64(col("sh"), numPerms).as("sig"))
     // One explicit shuffle on the block key BELOW the per-side alias
     // projects: the two join inputs then share an identical Exchange
     // subtree, so ReuseExchange materializes the shingle+hash
@@ -866,9 +954,27 @@ object Dedup {
     // without it, the self-join scans and re-hashes the whole corpus
     // twice (the dominant cost of this operator at scale).
     val keyed = base.repartition(col("block"))
-    val a = keyed.select(col("block"), col("doc_id").as("id_a"), col("shh").as("shh_a"))
-    val b = keyed.select(col("block"), col("doc_id").as("id_b"), col("shh").as("shh_b"))
-    a.join(b, Seq("block"))
+    val occ = org.apache.spark.sql.expressions.Window.partitionBy(col("block"))
+    // sub-bucket key: a constant for bounded blocks (exhaustive
+    // within block), one row per band for oversized ones (band
+    // equality marks a candidate; the transform only evaluates on
+    // oversized rows)
+    val sub = keyed
+      .withColumn("__m", count(lit(1)).over(occ))
+      .select(col("block"), col("doc_id"), col("shh"),
+        explode(when(col("__m") <= blockCap,
+          array(struct(lit(-1).as("sub_id"), lit(0L).as("sub_hash"))))
+          .otherwise(transform(sequence(lit(0), lit(bands - 1)),
+            b => struct(b.cast("int").as("sub_id"),
+              xxhash64(b, slice(col("sig"), b * r + 1, lit(r)))
+                .as("sub_hash"))))).as("sub"))
+      .select(col("block"), col("sub.sub_id").as("sub_id"),
+        col("sub.sub_hash").as("sub_hash"), col("doc_id"), col("shh"))
+    val a = sub.select(col("block"), col("sub_id"), col("sub_hash"),
+      col("doc_id").as("id_a"), col("shh").as("shh_a"))
+    val b = sub.select(col("block"), col("sub_id"), col("sub_hash"),
+      col("doc_id").as("id_b"), col("shh").as("shh_b"))
+    a.join(b, Seq("block", "sub_id", "sub_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         SketchFunctions.jaccardSorted(col("shh_a"), col("shh_b")).as("jaccard"))

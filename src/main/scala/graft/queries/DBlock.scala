@@ -498,6 +498,19 @@ object DBlock {
         k = d36GramK)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // D25b: the CLEANING half of substring dedup — rewrite every doc
+    // with its cross-doc repeated spans cut unless the doc is the
+    // gram's min-id keeper (the Lee-et-al "deduplicating training
+    // data" keep-one pass, producing the actual cleaned corpus a
+    // training job consumes). Same gram/islands machinery as d36 plus
+    // the operator's ONE join (cut lists back to the original-case
+    // token array). Fully oracle-checked: DuckDB re-derives the cut
+    // spans from raw text and re-assembles identical cleaned strings.
+    "d38_span_cut" -> ((s, d) =>
+      Dedup.cutCrossDocSpans(Tables.documents(s, d), "doc_id", "text",
+        k = d36GramK)
+        .orderBy(col("doc_id"))),
+
     // D26: composed gram profile — Gopher-style duplicate k-gram
     // fraction (the span-granularity sharpening of d15's distinct-
     // token repetition) AND the cross-doc repeated-gram count (d36's
@@ -617,6 +630,58 @@ object DBlock {
        |ORDER BY doc_id, span_start""".stripMargin
   }
 
+  /** d38 oracle: the [[substringDedupSql]] gram/island machinery with
+    * the keep-one filter (doc <> min holder), then token-level
+    * reconstruction — unnest the ORIGINAL-case split with positions,
+    * anti-join covered positions, string_agg back in order. A fully
+    * covered doc comes back as '' via the outer join. */
+  private val spanCutSql: String = {
+    val k = d36GramK
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws,
+       |         string_split_regex(trim(text), '\\s+') AS wso
+       |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+       |), g AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |    ('0x'||substr(md5(list_aggregate(ws[i:i+$k-1], 'string_agg', ' ')),1,15))::BIGINT AS h
+       |  FROM t, unnest(range(1, len(ws) - $k + 2)) AS u(i)
+       |  WHERE len(ws) >= $k
+       |), x AS (
+       |  SELECT doc_id, pos,
+       |    min(doc_id) OVER (PARTITION BY h) AS mn,
+       |    max(doc_id) OVER (PARTITION BY h) AS mx
+       |  FROM g
+       |), hits AS (
+       |  SELECT doc_id, pos FROM x WHERE mn <> mx AND doc_id <> mn
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $k
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM hits
+       |), grp AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl
+       |), cuts AS (
+       |  SELECT doc_id, min(pos) AS s, max(pos) + ($k - 1) AS e
+       |  FROM grp GROUP BY doc_id, island
+       |), p AS (
+       |  SELECT doc_id, CAST(i AS INT) AS p, wso[CAST(i AS INT)] AS w
+       |  FROM t, unnest(range(1, len(wso) + 1)) AS u(i)
+       |), kept AS (
+       |  SELECT p.doc_id AS doc_id, p.p AS p, p.w AS w
+       |  FROM p LEFT JOIN cuts
+       |    ON p.doc_id = cuts.doc_id AND p.p >= cuts.s AND p.p <= cuts.e
+       |  WHERE cuts.doc_id IS NULL
+       |)
+       |SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text
+       |FROM t LEFT JOIN (
+       |  SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS clean_text
+       |  FROM kept GROUP BY doc_id) k ON t.doc_id = k.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   /** d37 oracle: the same gram CTE as [[substringDedupSql]], then the
     * two duplication signals per document — intra-doc (count over
     * (h, doc_id) > 1) and cross-doc (min != max doc over h) — exactly
@@ -732,6 +797,8 @@ object DBlock {
     "d36_substring_dedup" -> substringDedupSql,
 
     "d37_gram_profile" -> gramProfileSql,
+
+    "d38_span_cut" -> spanCutSql,
 
     "d30_minhash_oracle" -> md5MinhashSql,
 

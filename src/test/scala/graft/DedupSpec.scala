@@ -325,6 +325,32 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("blockCap: oversized blocks fall back to band sub-bucketing without losing planted pairs") {
+    import org.apache.spark.sql.functions._
+    // one block holding the whole corpus, cap forced below its
+    // occupancy: candidates must come from minhash-band sub-buckets
+    // (the scale guard — the sf1 probe measured quadratic candidate
+    // growth on coarse natural keys), and the planted pairs must
+    // still verify identically to the exhaustive form
+    val withBlock = docs().withColumn("blk", lit(1))
+    val exhaustive = Dedup.ngramJaccardPairs(withBlock, "doc_id", "text",
+      blockCols = Seq(col("blk")), shingleK = 3, threshold = 0.5)
+      .collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    val capped = Dedup.ngramJaccardPairs(withBlock, "doc_id", "text",
+      blockCols = Seq(col("blk")), shingleK = 3, threshold = 0.5,
+      blockCap = 2)
+      .collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    // 32 bands × 1 row: miss probability at j >= 0.5 is (1-j)^32 —
+    // the planted pairs are caught deterministically given the fixed
+    // xxhash signatures, with identical verified jaccard
+    assert(capped == exhaustive,
+      s"capped=$capped exhaustive=$exhaustive")
+  }
+
   test("md5 oracle twins find planted near-dups through the shared machinery") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and then runs far away into the deep dark forest tonight"
@@ -439,6 +465,30 @@ class DedupSpec extends AnyFunSuite {
       (1L, 1, 16, 2L), // two adjacent hits, one merged span
       (2L, 1, 8, 1L)
     ), s"got $spans")
+  }
+
+  test("cutCrossDocSpans keeps the min-doc holder intact and cuts every other holder") {
+    import spark.implicits._
+    val shared = "Alpha Bravo Charlie Delta Echo Foxtrot Golf Hotel" // 8 tokens, mixed case
+    val docs = Seq(
+      // doc 1 is the min holder: keeps everything (original case)
+      (1L, s"$shared plus unique trailing words here"),
+      // doc 2: the shared block is cut, unique tail survives
+      (2L, s"$shared different unique tail"),
+      // doc 3: ENTIRELY the shared block → cleaned to empty string
+      (3L, shared),
+      // doc 4: unrelated, untouched (but whitespace-canonicalized)
+      (4L, "  totally   unrelated words that repeat nowhere else at all  ")
+    ).toDF("doc_id", "text")
+
+    val out = Dedup.cutCrossDocSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> s"$shared plus unique trailing words here",
+      2L -> "different unique tail",
+      3L -> "",
+      4L -> "totally unrelated words that repeat nowhere else at all"
+    ), s"got $out")
   }
 
   test("gramProfile counts intra-doc duplicate grams and cross-doc grams from one pass") {

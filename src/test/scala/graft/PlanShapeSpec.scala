@@ -178,6 +178,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected 3 exchanges (h, doc, sort):\n${p.take(3000)}")
   }
 
+  test("d38: span cut is one reconstruct join over the d36 machinery") {
+    // the cleaning pass may add exactly ONE join (cut lists back to
+    // the original-case token array) and NO second gram pipeline —
+    // one Generate total; the corpus is re-scanned narrow for the
+    // token array, never re-grammed
+    val p = plan("d38_span_cut")
+    assert(count(p, "Join") == 1, s"expected exactly 1 join:\n${p.take(2000)}")
+    assert(count(p, "Generate") == 1,
+      s"gram pipeline duplicated:\n${p.take(2000)}")
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0, p.take(2000))
+  }
+
   test("d37: composed gram profile rides ONE gram exchange, join-free") {
     // the composition claim: repetition scoring + cross-doc candidate
     // counting share one gramHashes pass — the (h, doc_id) window
