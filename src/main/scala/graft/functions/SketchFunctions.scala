@@ -70,6 +70,18 @@ object SketchFunctions {
     * per document instead of a 60-way explode→sum aggregate. */
   def md5Simhash60(tokens: Column): Column = ub(Md5SimHash60(x(tokens)))
 
+  /** Symmetric int8 quantization to a float array (integer values
+    * <= 127, exact) — `Similarity.quantizeInt8`'s q column as ONE
+    * codegen'd kernel pass instead of four interpreted HOF passes;
+    * the ANN oracle twins' vector prep ([[QuantizeInt8Floats]]). */
+  def quantizeInt8Floats(vec: Column): Column = ub(QuantizeInt8Floats(x(vec)))
+
+  /** Integer-hyperplane LSH signature over an int8-quantized float
+    * vector — the d34 oracle-twin signature as one codegen'd pass
+    * ([[Md5PlaneSig]]) instead of a bits×dim nested-HOF aggregate. */
+  def md5PlaneSig(vec: Column, bits: Int, dim: Int): Column =
+    ub(Md5PlaneSig(x(vec), bits, dim))
+
   /** Per-marker occurrence counts (array<int>, aligned with
     * `markers`) in padded lowercased text — one expression, one text
     * pass per marker. */
@@ -315,6 +327,74 @@ case class Md5SimHash60(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.md5Simhash60($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Symmetric int8 quantization of a float/double vector to a FLOAT
+  * array in one codegen'd pass — the exact arithmetic of
+  * `Similarity.quantizeInt8`'s q column (floor-half-up against
+  * max|x|/127, all-zero when the vector is all-zero), whose
+  * four-HOF formulation (cast, abs-max, quantize, float-cast) was
+  * the interpreted bulk of the ANN oracle twins' per-vector prep.
+  * Values are integers <= 127, exact in float, so downstream
+  * [[FloatVecDot]] cosines are exact integer arithmetic an external
+  * engine reproduces bit-for-bit. */
+case class QuantizeInt8Floats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"QuantizeInt8Floats requires array<float|double>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  private def isDouble = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.quantizeInt8Floats(input.asInstanceOf[ArrayData], isDouble)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.quantizeInt8Floats($c, $isDouble)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Integer-hyperplane LSH signature (the d34 oracle-twin signature):
+  * plane (p, j) component = (first md5 nibble of "p:j") − 8, dot in
+  * double per plane over an integer-valued float vector, sign test
+  * >= 0 sets bit p. One codegen'd pass with a per-JVM cached plane
+  * matrix — the nested-HOF form re-derived the bits×dim literal
+  * array per row and was the twin's dominant interpreted cost.
+  * Bit-identical to the HOF form and the DuckDB oracle (all
+  * arithmetic exact: products <= 127·8). */
+case class Md5PlaneSig(child: Expression, bits: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if bits < 1 || bits > 63 => TypeCheckResult.TypeCheckFailure(
+      s"Md5PlaneSig requires bits in [1, 63], got $bits")
+    case _ if dim < 1 => TypeCheckResult.TypeCheckFailure(
+      s"Md5PlaneSig requires dim >= 1, got $dim")
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"Md5PlaneSig requires array<float>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.md5PlaneSig(input.asInstanceOf[ArrayData], bits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.md5PlaneSig($c, $bits, $dim)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

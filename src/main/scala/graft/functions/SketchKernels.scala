@@ -143,6 +143,82 @@ object SketchKernels {
     out
   }
 
+  /** See [[QuantizeInt8Floats]]: symmetric int8 quantization to a
+    * FLOAT array (values are integers <= 127, exact in float) — the
+    * arithmetic of `Similarity.quantizeInt8`'s q column
+    * (floor(x / (max|x| / 127) + 0.5), all-zero when max|x| = 0),
+    * computed in double exactly like the HOF projection and the
+    * DuckDB oracle. One codegen'd pass instead of three interpreted
+    * HOF passes (cast, abs-max, quantize) plus a fourth for the
+    * float cast. Null elements quantize to 0 (unreachable via the
+    * embeddings table — no null components). */
+  def quantizeInt8Floats(arr: ArrayData, isDouble: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i))
+        v(i) = if (isDouble) arr.getDouble(i) else arr.getFloat(i).toDouble
+      i += 1
+    }
+    var mx = 0.0
+    i = 0
+    while (i < n) { val a = math.abs(v(i)); if (a > mx) mx = a; i += 1 }
+    val out = new Array[Any](n)
+    if (mx == 0.0) {
+      i = 0; while (i < n) { out(i) = 0.0f; i += 1 }
+    } else {
+      val scale = mx / 127.0
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(v(i) / scale + 0.5).toFloat
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The integer hyperplane matrix of [[Md5PlaneSig]]: component
+    * (p, j) is (first md5 nibble of "p:j") − 8 ∈ [−8, 7] — public
+    * arithmetic any engine recomputes from its own md5
+    * (`Similarity.md5Hyperplane`). Deterministic, so the matrix is
+    * computed once per (bits, dim) per JVM and cached. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Int]]]()
+
+  private def planes(bits: Int, dim: Int): Array[Array[Int]] =
+    planeCache.computeIfAbsent((bits.toLong << 32) | dim, _ =>
+      Array.tabulate(bits, dim) { (p, j) =>
+        val md = md5Local.get()
+        md.reset()
+        (((md.digest(s"$p:$j".getBytes("UTF-8"))(0) >> 4) & 0xF) - 8)
+      })
+
+  /** See [[Md5PlaneSig]]: integer-hyperplane LSH signature over an
+    * integer-valued float vector — dot in double per plane
+    * (left-to-right, exact: products <= 127·8, sums exact in
+    * double), sign test >= 0 sets bit p. Bit-identical to the
+    * nested-HOF formulation and to the DuckDB oracle's list
+    * arithmetic. Null elements contribute 0 (unreachable). */
+  def md5PlaneSig(arr: ArrayData, bits: Int, dim: Int): Long = {
+    val pl = planes(bits, dim)
+    val n = math.min(arr.numElements(), dim)
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      val row = pl(p)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) s += arr.getFloat(i).toDouble * row(i)
+        i += 1
+      }
+      if (s >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   /** See [[MinHash64]]. */
   def minhash64(arr: ArrayData, numPerms: Int): ArrayData = {
     val sig = Array.fill(numPerms)(Long.MaxValue)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.{SketchFunctions, VectorFunctions}
 import graft.functions.VectorFunctions.{vecDot, vecNorm}
 
 /** Similarity search over an embedding column (Array[Float]).
@@ -191,27 +191,16 @@ object Similarity {
   }
 
   /** Integer-hyperplane signature over integer-valued vectors of
-    * exactly `dim` components. The plane matrix is bits×dim SMALL
-    * CONSTANTS, so it is precomputed driver-side and embedded as
-    * literals (computing md5("p:j") inside the per-element lambda
-    * re-hashed a constant once per vector element — measured 5×
-    * slower). Every product and sum is exact in double, so the sign
-    * test is engine-independent. */
-  private def md5SignatureExpr(vecCol: String, bits: Int, dim: Int): Column = {
-    val planes = (0 until bits)
-      .map(p => (0 until dim).map(j => md5Hyperplane(p, j))
-        .mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")
-    expr(
-      s"""aggregate(
-         |  transform(sequence(0, ${bits - 1}), p ->
-         |    IF(aggregate(
-         |         zip_with($vecCol, element_at($planes, cast(p + 1 as int)),
-         |           (v, h) -> cast(v as double) * h),
-         |         cast(0.0 as double), (s, x) -> s + x) >= 0,
-         |       shiftleft(1L, p), 0L)),
-         |  0L, (s, x) -> s | x)""".stripMargin)
-  }
+    * exactly `dim` components — one codegen'd kernel pass
+    * ([[graft.functions.Md5PlaneSig]], per-JVM cached plane matrix
+    * from [[md5Hyperplane]]'s arithmetic). History: an in-lambda md5
+    * form measured 5× slower than a literal plane matrix; the
+    * literal-matrix nested-HOF form computed the right bits but
+    * stayed interpreted per element. Every product and sum is exact
+    * in double in all three forms, so the sign test is
+    * engine-independent and the kernel is bit-identical. */
+  private def md5SignatureExpr(vecCol: String, bits: Int, dim: Int): Column =
+    SketchFunctions.md5PlaneSig(col(vecCol), bits, dim)
 
   /** The probe/bucket/re-rank machinery of [[lshTopK]] with a
     * caller-supplied signature column, shared by the production

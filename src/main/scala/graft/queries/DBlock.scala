@@ -353,6 +353,20 @@ object DBlock {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // D28: temperature resampling — rates DERIVED from the corpus's
+    // own stratum counts (rate_i = sqrt(n_min/n_i) at T=0.5, the
+    // largest no-upsampling schedule with output proportions ∝
+    // n_i^T), thresholds embedded as literals so the sampling pass
+    // stays a pure scan filter. Fully oracle-checked: DuckDB
+    // re-derives the rates from ITS OWN counts and re-applies the
+    // identical md5-prefix selection (sqrt and division are IEEE-
+    // correctly-rounded in both engines).
+    "d39_temperature_sample" -> ((s, d) =>
+      Sampling.temperatureSample(Tables.documents(s, d), "doc_id", "lang",
+        temperature = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
+
     // D15/D28: REAL frame sampling under the oracle — demux every
     // AVI and emit one row per kept frame. everyMs=1 keeps ALL frames
     // (frame steps are >= 111 ms), so frame count and timestamps are
@@ -453,10 +467,13 @@ object DBlock {
     // ranking bit-for-bit. d7 stays the production entry (XXH64
     // float hyperplanes on the raw vectors).
     "d34_lsh_oracle" -> ((s, d) => {
-      val q8 = Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id",
-        "embedding")
+      // quantize via the codegen'd kernel (one pass; same arithmetic
+      // as quantizeInt8's q column, whose four-HOF projection was
+      // this entry's dominant interpreted cost)
+      val q8 = Tables.embeddings(s, d)
         .select(col("vec_id"),
-          expr("transform(q, x -> cast(x as float))").as("qv"))
+          graft.functions.SketchFunctions.quantizeInt8Floats(
+            col("embedding")).as("qv"))
       Similarity.md5LshTopK(q8.filter(col("vec_id") < 50), q8,
         "vec_id", "qv", k = 10, dim = 64, bits = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -473,10 +490,11 @@ object DBlock {
     // probe sets and ranks bit-for-bit. d7b stays the production
     // entry (XXH64 sampling + mini-batch refinement on raw floats).
     "d35_ivf_oracle" -> ((s, d) => {
-      val q8 = Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id",
-        "embedding")
+      // same kernel-quantized prep as d34
+      val q8 = Tables.embeddings(s, d)
         .select(col("vec_id"),
-          expr("transform(q, x -> cast(x as float))").as("qv"))
+          graft.functions.SketchFunctions.quantizeInt8Floats(
+            col("embedding")).as("qv"))
       Similarity.md5IvfTopK(q8.filter(col("vec_id") < 50), q8,
         "vec_id", "qv", k = 10, nlist = 16, nprobe = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -1058,6 +1076,26 @@ object DBlock {
         |  CASE lang WHEN 'en' THEN '20' WHEN 'es' THEN '40'
         |            WHEN 'de' THEN '80' ELSE 'g' END
         |ORDER BY doc_id""".stripMargin,
+
+    // re-derives the T=0.5 rate schedule from its own counts —
+    // sqrt(min_n / n_i), quantized to 1/65536ths with the same
+    // round-half-up and the same keep-all guard — then re-applies
+    // the identical md5-prefix selection
+    "d39_temperature_sample" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang
+        |), t AS (
+        |  SELECT lang,
+        |    CASE WHEN v >= 65536 THEN 'g' ELSE printf('%04x', v) END AS thr
+        |  FROM (SELECT lang,
+        |    CAST(floor(sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / n)
+        |      * 65536 + 0.5) AS BIGINT) AS v FROM c)
+        |)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN t ON d.lang = t.lang
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < t.thr
+        |ORDER BY d.doc_id""".stripMargin,
 
     // int8-quantize per d26, integer-hyperplane signatures, candidates
     // = signature hamming <= 1 (own bucket + every 1-bit probe),

@@ -89,6 +89,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ids(Map.empty, default = 0.0).isEmpty)
   }
 
+  test("temperatureSample: T=1 natural mix, T=0 equalizes, nesting across T, scan-filter plan") {
+    import spark.implicits._
+    // 800 en vs 200 zh — the skew temperature flattening acts on
+    val docs = (0L until 1000L)
+      .map(i => (i, if (i % 5 == 4) "zh" else "en"))
+      .toDF("doc_id", "lang")
+
+    def ids(t: Double): Set[Long] =
+      Sampling.temperatureSample(docs, "doc_id", "lang", t)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+
+    // T=1: rates all (min/n)^0 = 1 — the natural mix, untouched
+    assert(ids(1.0).size == 1000)
+    // T=0: every stratum samples at rate n_min/n_i — en's expected
+    // size equals zh's 200 (hash noise within 4 sigma); zh (the min
+    // stratum) is kept whole at every temperature
+    val t0 = ids(0.0)
+    val t0en = t0.count(_ % 5 != 4)
+    assert(t0.count(_ % 5 == 4) == 200, "min stratum must be kept whole")
+    assert(t0en > 150 && t0en < 250, s"T=0 en kept $t0en, expected ~200")
+    // rates grow with T, and md5-prefix selection nests: cooler
+    // samples are subsets of hotter ones
+    val t5 = ids(0.5)
+    assert(t0.subsetOf(t5) && t5.subsetOf(ids(1.0)),
+      "temperature samples must nest")
+    // the sampling pass itself is a pure scan filter (the count
+    // aggregate is a separate bounded job, thresholds are literals)
+    val plan = Sampling.temperatureSample(docs, "doc_id", "lang", 0.5)
+      .queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"),
+      s"temperature sampling must not shuffle:\n$plan")
+  }
+
   test("stratifiedHashSample plans as a pure scan filter — zero exchanges") {
     import spark.implicits._
     val docs = (0L until 100L).map(i => (i, "en")).toDF("doc_id", "lang")
@@ -133,6 +166,43 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(plan.toLowerCase.contains("topkbycos"), s"no topk agg:\n$plan")
       assert(!plan.contains("Window"), s"window survived:\n$plan")
     }
+  }
+
+  test("quantize/signature kernels are bit-identical to the HOF formulations on real vectors") {
+    import org.apache.spark.sql.functions._
+    // the d34/d35 vector prep was rewritten from interpreted HOFs to
+    // codegen'd kernels; both must stay bit-equal to the HOF
+    // arithmetic the DuckDB oracle re-derives
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+    val kernel = emb.select(col("vec_id"),
+      graft.functions.SketchFunctions.quantizeInt8Floats(col("embedding"))
+        .as("qv"))
+    val hof = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .select(col("vec_id"),
+        expr("transform(q, x -> cast(x as float))").as("qv"))
+    assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty,
+      "kernel quantization diverged from the HOF projection")
+
+    val bits = 4
+    val planes = (0 until bits)
+      .map(p => (0 until 64).map(j => Similarity.md5Hyperplane(p, j))
+        .mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val hofSig = expr(
+      s"""aggregate(
+         |  transform(sequence(0, ${bits - 1}), p ->
+         |    IF(aggregate(
+         |         zip_with(qv, element_at($planes, cast(p + 1 as int)),
+         |           (v, h) -> cast(v as double) * h),
+         |         cast(0.0 as double), (s, x) -> s + x) >= 0,
+         |       shiftleft(1L, p), 0L)),
+         |  0L, (s, x) -> s | x)""".stripMargin)
+    val sigs = kernel.select(
+      graft.functions.SketchFunctions.md5PlaneSig(col("qv"), bits, 64)
+        .as("k"),
+      hofSig.as("h"))
+    assert(sigs.filter(col("k") =!= col("h")).isEmpty,
+      "kernel signature diverged from the HOF formulation")
   }
 
   test("quantizeInt8: roundtrip error <= scale/2, max hits 127, zero vector") {
