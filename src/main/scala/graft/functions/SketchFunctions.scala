@@ -70,6 +70,14 @@ object SketchFunctions {
     * per document instead of a 60-way explode→sum aggregate. */
   def md5Simhash60(tokens: Column): Column = ub(Md5SimHash60(x(tokens)))
 
+  /** The d30 oracle-twin minhash signature (md5-hash60 low 30 bits
+    * per shingle, universal-hash min per permutation) as ONE
+    * codegen'd pass ([[Md5MinHash30]]) — replaces an explode →
+    * numPerms-way min aggregate plus a signature join-back. Callers
+    * must exclude empty-shingle inputs. */
+  def md5Minhash30(shingles: Column, numPerms: Int): Column =
+    ub(Md5MinHash30(x(shingles), numPerms))
+
   /** Symmetric int8 quantization to a float array (integer values
     * <= 127, exact) — `Similarity.quantizeInt8`'s q column as ONE
     * codegen'd kernel pass instead of four interpreted HOF passes;
@@ -327,6 +335,38 @@ case class Md5SimHash60(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.md5Simhash60($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** The d30 oracle-twin minhash signature in one codegen'd pass:
+  * h = low 30 bits of md5Hash60(shingle), m_j = min over shingles of
+  * (a_j·h + b_j) mod p — products < 2^60, exact in long, the same
+  * BIGINT arithmetic the DuckDB oracle runs ([[SketchKernels.mhA]]
+  * is the shared constant source). Min is order-independent, so the
+  * pass is value-identical to the explode → min-aggregate
+  * formulation it replaces. An EMPTY array yields Long.MaxValue
+  * sentinels — callers exclude empty-shingle docs, matching the
+  * aggregate form's inner-join drop. */
+case class Md5MinHash30(child: Expression, numPerms: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if numPerms < 1 => TypeCheckResult.TypeCheckFailure(
+      s"Md5MinHash30 requires numPerms >= 1, got $numPerms")
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"Md5MinHash30 requires array<string>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.md5Minhash30(input.asInstanceOf[ArrayData], numPerms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.md5Minhash30($c, $numPerms)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -238,6 +238,51 @@ object SketchKernels {
     new GenericArrayData(sig)
   }
 
+  /** See [[Md5MinHash30]]: the d30 oracle-twin signature — one
+    * md5Hash60 (low 30 bits) per shingle, universal-hash min per
+    * permutation ((a_j·h + b_j) mod p, products < 2^60 so exact in
+    * long — the same BIGINT arithmetic DuckDB runs). Min is
+    * order-independent, so this single pass is value-identical to
+    * the explode → numPerms-way min aggregate it replaces. Null
+    * shingles are skipped (min ignores null, matching the
+    * aggregate); an EMPTY shingle array returns all-Long.MaxValue
+    * sentinels — callers must exclude empty-shingle docs (the
+    * aggregate form dropped them via its inner join). */
+  /** Prime modulus + deterministic universal-hash constants of the
+    * md5-minhash twin — THE single source both the kernel and the
+    * generated DuckDB oracle SQL (via `Dedup.mhA`/`mhB` delegation)
+    * read, so they cannot drift. */
+  val mhPrime = 1073741789L // largest prime below 2^30
+  def mhA(j: Int): Long = {
+    val v = (j * 0x5DEECE66DL + 11L) % mhPrime
+    if (v == 0L) 1L else v
+  }
+  def mhB(j: Int): Long = (j * 0x9E3779B9L + 7L) % mhPrime
+
+  private val mhConstCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  def md5Minhash30(arr: ArrayData, numPerms: Int): ArrayData = {
+    val (as, bs) = mhConstCache.computeIfAbsent(numPerms, n =>
+      (Array.tabulate(n)(mhA), Array.tabulate(n)(mhB)))
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = md5Hash60(arr.getUTF8String(i)) & 0x3FFFFFFFL
+        var j = 0
+        while (j < numPerms) {
+          val v = (h * as(j) + bs(j)) % mhPrime
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** See [[Winnow]]. */
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
     val bytes = text.toLowerCase.getBytes // UTF-8; k-grams are byte-grams

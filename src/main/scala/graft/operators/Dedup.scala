@@ -299,14 +299,13 @@ object Dedup {
   /** Prime modulus + deterministic universal-hash constants for the
     * md5-minhash twin: m_j = min over shingles of (a_j·h + b_j) mod p
     * with h the low 30 bits of [[md5Hash60]] (so a_j·h < 2^60 — exact
-    * in BIGINT arithmetic in both engines). Exposed so the DuckDB
-    * oracle SQL is generated from the SAME constants. */
-  private[graft] val mhPrime = 1073741789L // largest prime below 2^30
-  private[graft] def mhA(j: Int): Long = {
-    val v = (j * 0x5DEECE66DL + 11L) % mhPrime
-    if (v == 0L) 1L else v
-  }
-  private[graft] def mhB(j: Int): Long = (j * 0x9E3779B9L + 7L) % mhPrime
+    * in BIGINT arithmetic in both engines). Delegates to the kernel's
+    * single source ([[graft.functions.SketchKernels]]) so the DuckDB
+    * oracle SQL is generated from the SAME constants the codegen'd
+    * signature pass reads. */
+  private[graft] val mhPrime = graft.functions.SketchKernels.mhPrime
+  private[graft] def mhA(j: Int): Long = graft.functions.SketchKernels.mhA(j)
+  private[graft] def mhB(j: Int): Long = graft.functions.SketchKernels.mhB(j)
 
   /** Engine-reproducible 60-bit SimHash: one [[md5Hash60]] per
     * lowercased whitespace token (with multiplicity, like the
@@ -356,32 +355,22 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
-    val withSets = withShingles(
+    // ONE codegen'd kernel pass per doc (Md5MinHash30) — the previous
+    // explode → numPerms-way min aggregate computed the same mins
+    // through a doc-keyed exchange, then joined the signatures back
+    // to the shingle sets and needed a localCheckpoint to stop the
+    // plan re-deriving scan+shingles+mins per consuming branch. The
+    // kernel computes sig NEXT TO sh in one projection, so the twin
+    // now has the production path's exact shape (ReuseExchange
+    // applies again) with no checkpoint. The empty-shingle filter
+    // reproduces the aggregate form's inner-join drop.
+    val withSig = withShingles(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("__graft_text")),
       "__graft_text", shingleK, "sh")
       .select(col("doc_id"), col("sh"))
-    // codegen'd explode → numPerms-way min aggregate (an interpreted
-    // HOF would re-evaluate the md5 transform once per permutation)
-    val hs = withSets
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .select(col("doc_id"),
-        md5Hash60(col("g")).bitwiseAND(lit(0x3FFFFFFFL)).as("h"))
-    val minCols = (0 until numPerms).map(j =>
-      min((col("h") * mhA(j) + mhB(j)) % mhPrime).as(s"m$j"))
-    val mins = hs.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numPerms).map(j => col(s"m$j")): _*).as("sig"))
-    // materialize the signed corpus ONCE: the sig join's subtree
-    // differs per consuming branch after column pruning, so unlike
-    // the production path ReuseExchange cannot deduplicate it — the
-    // un-checkpointed plan re-derived scan+shingles+mins for the
-    // banding branch, the verification branch, and both candidate
-    // sides. A verification twin may trade storage for that (the
-    // production minhashPairs stays recompute-based).
-    bandPairsFromSigs(
-      withSets.join(mins, Seq("doc_id")).localCheckpoint(),
-      numPerms / bands, bands, threshold)
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", SketchFunctions.md5Minhash30(col("sh"), numPerms))
+    bandPairsFromSigs(withSig, numPerms / bands, bands, threshold)
   }
 
   /** The shared positional gram pipeline under [[crossDocSpans]] and
