@@ -56,6 +56,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("md5_simhash60"),
       info("md5_simhash60", "md5_simhash60(array<string>) - engine-reproducible 60-bit simhash"),
       (args: Seq[Expression]) => Md5SimHash60(args.head)))
+    e.injectFunction((FunctionIdentifier("md5_minhash30"),
+      info("md5_minhash30", "md5_minhash30(array<string>, numPerms) - engine-reproducible minhash signature"),
+      (args: Seq[Expression]) => Md5MinHash30(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("quantize_int8f"),
+      info("quantize_int8f", "quantize_int8f(array<float|double>) - symmetric int8 quantization as floats"),
+      (args: Seq[Expression]) => QuantizeInt8Floats(args.head)))
+    e.injectFunction((FunctionIdentifier("md5_plane_sig"),
+      info("md5_plane_sig", "md5_plane_sig(array<float>, bits, dim) - integer-hyperplane LSH signature"),
+      (args: Seq[Expression]) => Md5PlaneSig(args.head,
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((FunctionIdentifier("marker_counts"),
       info("marker_counts", "marker_counts(text, marker...) - occurrence count per marker"),
       (args: Seq[Expression]) => MarkerCounts(args.head,
@@ -120,6 +132,15 @@ object GraftExtensions {
         args(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("md5_simhash60",
       (args: Seq[Expression]) => Md5SimHash60(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("md5_minhash30",
+      (args: Seq[Expression]) => Md5MinHash30(args.head,
+        args(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("quantize_int8f",
+      (args: Seq[Expression]) => QuantizeInt8Floats(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("md5_plane_sig",
+      (args: Seq[Expression]) => Md5PlaneSig(args.head,
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("marker_counts",
       (args: Seq[Expression]) => MarkerCounts(args.head,
         args.tail.map(_.eval().toString)), "scala_udf")

@@ -373,6 +373,87 @@ object Dedup {
     bandPairsFromSigs(withSig, numPerms / bands, bands, threshold)
   }
 
+  /** Incremental (batch-vs-corpus) dedup — the ingestion-time
+    * pattern a 100 TB pipeline actually runs: a NEW batch arrives
+    * and must be screened against the EXISTING corpus, exactly
+    * (content hash) and nearly (banded minhash candidates verified
+    * at word-shingle Jaccard >= threshold), WITHOUT ever pairing the
+    * corpus against itself. Returns the SURVIVING batch rows, all
+    * original columns intact.
+    *
+    * Scale shape: the corpus contributes (a) one distinct content-
+    * hash column for the exact anti-join and (b) narrow
+    * (band_id, band_hash, doc_id, sz) rows for the candidate
+    * equi-join — it is NEVER self-joined and its wide text/shingle
+    * arrays never cross the band shuffle. The batch side is
+    * typically orders of magnitude smaller, so AQE broadcasts its
+    * bands and hash sets; candidates are bounded by band-bucket
+    * co-occupancy (the [[minhashPairs]] argument), and the same
+    * size-ratio necessary-condition prunes junk before the
+    * verification joins. Null-text batch rows survive both screens
+    * (no content, nothing to duplicate).
+    *
+    * `md5Sig = true` switches the signature to [[graft.functions
+    * .Md5MinHash30]] (the d30 twin arithmetic) so the WHOLE screen —
+    * candidates, verification, survivors — is engine-reproducible
+    * and oracle-checked (the d40 entry); production keeps the
+    * default XXH64 [[graft.functions.MinHash64]] signature. */
+  def dedupAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numPerms: Int = 32,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      md5Sig: Boolean = false): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val r = numPerms / bands
+
+    def sigs(df: DataFrame): DataFrame = {
+      val s = withShingles(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__graft_text")),
+        "__graft_text", shingleK, "sh")
+        .select(col("doc_id"), col("sh"))
+        .filter(size(col("sh")) > 0)
+      if (md5Sig)
+        s.withColumn("sig", SketchFunctions.md5Minhash30(col("sh"), numPerms))
+      else
+        s.withColumn("sig", SketchFunctions.minhash64(col("sh"), numPerms))
+    }
+    def bandRows(withSig: DataFrame): DataFrame = withSig
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+
+    val bSig = sigs(batch)
+    val cSig = sigs(corpus)
+    val candidates = bandRows(bSig).as("a")
+      .join(bandRows(cSig).as("b"), Seq("band_id", "band_hash"))
+      .filter(least(col("a.sz"), col("b.sz")).cast("double") >=
+        lit(threshold) * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+    val nearFlagged = candidates
+      .join(bSig.select(col("doc_id").as("batch_id"),
+        hashedSet(col("sh")).as("shh_a")), Seq("batch_id"))
+      .join(cSig.select(col("doc_id").as("corpus_id"),
+        hashedSet(col("sh")).as("shh_b")), Seq("corpus_id"))
+      .filter(SketchFunctions.jaccardSorted(col("shh_a"), col("shh_b")) >=
+        threshold)
+      .select(col("batch_id"))
+      .distinct()
+
+    val corpusHashes = corpus.filter(col(textCol).isNotNull)
+      .select(md5(col(textCol)).as("__ch")).distinct()
+    batch
+      .join(corpusHashes, md5(col(textCol)) === col("__ch"), "left_anti")
+      .join(nearFlagged, col(idCol) === col("batch_id"), "left_anti")
+  }
+
   /** The shared positional gram pipeline under [[crossDocSpans]] and
     * [[gramProfile]]: one scan — tokenize, [[graft.functions
     * .WordGrams]] emits every k-token gram in positional order (one

@@ -529,6 +529,24 @@ object DBlock {
         k = d36GramK)
         .orderBy(col("doc_id"))),
 
+    // D29: incremental (batch-vs-corpus) dedup — the ingestion
+    // screen: a 1/16 md5 slice of documents plays the arriving
+    // batch, the rest is the existing corpus; batch docs duplicating
+    // the corpus exactly (content hash) or nearly (banded-minhash
+    // candidates verified at 3-shingle jaccard >= 0.5) are dropped.
+    // md5Sig=true drives the d30 twin arithmetic end to end, so
+    // DuckDB re-derives candidates, verification and the survivor
+    // set from raw text (the corpus is never self-joined).
+    "d40_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val isBatch = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+      Dedup.dedupAgainst(docs.filter(isBatch), docs.filter(!isBatch),
+        "doc_id", "text", md5Sig = true)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D26: composed gram profile — Gopher-style duplicate k-gram
     // fraction (the span-granularity sharpening of d15's distinct-
     // token repetition) AND the cross-doc repeated-gram count (d36's
@@ -798,7 +816,63 @@ object DBlock {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** d40 oracle: the [[md5MinhashSql]] signature machinery applied
+    * CROSS-SET — batch (1/16 md5 slice) vs corpus (rest): candidates
+    * by band-slice equality, verification by true 3-gram jaccard,
+    * exact screen by content-hash equality; survivors = batch minus
+    * both flag sets. The size-ratio prefilter is a necessary
+    * condition only, so the oracle omits it without changing the
+    * verified set. */
+  private val incrementalDedupSql: String = {
+    import graft.operators.Dedup.{mhA, mhB, mhPrime}
+    val mins = (0 until 32)
+      .map(j => s"min((h * ${mhA(j)} + ${mhB(j)}) % $mhPrime) AS m$j")
+      .mkString(", ")
+    val bandCond = (0 until 16)
+      .map(b => s"(a.m${2 * b} = b.m${2 * b} AND a.m${2 * b + 1} = b.m${2 * b + 1})")
+      .mkString(" OR ")
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text, lang, source,
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_batch,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), sh AS (
+       |  SELECT doc_id, is_batch,
+       |    CASE WHEN len(ws) >= 3 THEN
+       |      list_distinct(list_transform(range(1, len(ws) - 1),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       |    ELSE [list_aggregate(ws, 'string_agg', ' ')] END AS s
+       |  FROM all_docs
+       |), g AS (
+       |  SELECT doc_id, unnest(s) AS g FROM sh
+       |), hh AS (
+       |  SELECT doc_id, ${h60("g")} & 1073741823 AS h FROM g
+       |), m AS (
+       |  SELECT doc_id, $mins FROM hh GROUP BY doc_id
+       |), cand AS (
+       |  SELECT a.doc_id AS bid, b.doc_id AS cid
+       |  FROM (SELECT m.* FROM m JOIN all_docs USING (doc_id) WHERE is_batch) a
+       |  JOIN (SELECT m.* FROM m JOIN all_docs USING (doc_id) WHERE NOT is_batch) b
+       |    ON $bandCond
+       |), near AS (
+       |  SELECT DISTINCT c.bid FROM cand c
+       |  JOIN sh x ON x.doc_id = c.bid JOIN sh y ON y.doc_id = c.cid
+       |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+       |), exact AS (
+       |  SELECT DISTINCT b.doc_id FROM all_docs b JOIN all_docs c
+       |    ON b.is_batch AND NOT c.is_batch AND md5(b.text) = md5(c.text)
+       |)
+       |SELECT d.doc_id, d.lang, d.source FROM all_docs d
+       |WHERE d.is_batch
+       |  AND d.doc_id NOT IN (SELECT bid FROM near)
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM exact)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d40_incremental_dedup" -> incrementalDedupSql,
+
     "d28_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id, 2 + doc_id % 5 AS n, 5 + doc_id % 5 AS fps

@@ -467,6 +467,34 @@ class DedupSpec extends AnyFunSuite {
     ), s"got $spans")
   }
 
+  test("dedupAgainst screens a batch against the corpus in both signature modes") {
+    import spark.implicits._
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearA = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val corpus = Seq(
+      (1L, textA),
+      (2L, "completely different corpus content about distributed query engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, textA), // exact duplicate of corpus doc 1 → dropped
+      (11L, nearA), // near-duplicate (1-token delta, jaccard >> 0.5) → dropped
+      (12L, "a genuinely novel batch document that matches nothing at all here")
+    ).toDF("doc_id", "text")
+
+    for (md5Sig <- Seq(false, true)) {
+      val survivors = Dedup.dedupAgainst(batch, corpus, "doc_id", "text",
+        md5Sig = md5Sig)
+        .collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(12L), s"md5Sig=$md5Sig got $survivors")
+    }
+
+    // an empty corpus drops nothing
+    val none = Dedup.dedupAgainst(batch, corpus.filter("doc_id < 0"),
+      "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(none == Set(10L, 11L, 12L))
+  }
+
   test("cutCrossDocSpans keeps the min-doc holder intact and cuts every other holder") {
     import spark.implicits._
     val shared = "Alpha Bravo Charlie Delta Echo Foxtrot Golf Hotel" // 8 tokens, mixed case

@@ -72,6 +72,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Int]("n_pairs") == 1)
   }
 
+  test("round-9 kernels are callable from SQL") {
+    GraftExtensions.registerTemp(spark)
+    val row = spark.sql(
+      """SELECT
+        |  size(word_grams(array('a', 'b', 'c', 'd'), 3)) AS n_g,
+        |  md5_simhash60(array('hello', 'world')) AS sim,
+        |  size(md5_minhash30(array('a b c', 'b c d'), 16)) AS n_mh,
+        |  quantize_int8f(array(cast(0.5 as float), cast(-1.0 as float))) AS q,
+        |  md5_plane_sig(array(cast(3.0 as float), cast(-2.0 as float)), 4, 2) AS ps
+        |""".stripMargin).head()
+    // 4 tokens → 2 positional 3-grams (with multiplicity, ordered)
+    assert(row.getAs[Int]("n_g") == 2)
+    assert(row.getAs[Long]("sim") != 0L)
+    assert(row.getAs[Int]("n_mh") == 16)
+    // max |v| = 1.0 → scale 1/127: 0.5 → 64 (floor(63.5+0.5)), -1.0 → -127
+    assert(row.getSeq[Float](row.fieldIndex("q")) == Seq(64.0f, -127.0f))
+    // 4-bit signature over the md5 plane matrix — deterministic
+    val expected = (0 until 4).map { p =>
+      val s = 3.0 * graft.operators.Similarity.md5Hyperplane(p, 0) +
+        -2.0 * graft.operators.Similarity.md5Hyperplane(p, 1)
+      if (s >= 0) 1L << p else 0L
+    }.sum
+    assert(row.getAs[Long]("ps") == expected)
+  }
+
   test("SQL simhash agrees with the operator API") {
     import org.apache.spark.sql.functions._
     GraftExtensions.registerTemp(spark)
