@@ -40,6 +40,9 @@ object ScaleProbe {
     "d30_minhash_oracle",   // twin banding
     "d36_substring_dedup",  // gram exchange + islands
     "d37_gram_profile",     // shared gram pass, two window specs
+    "d38_span_cut",         // spans + reconstruct join
+    "d39_temperature_sample", // count agg + scan filter
+    "d40_incremental_dedup",  // batch-vs-corpus band screen
     "d18_neardup_components", // components incl. small-graph path
     "d27_text_dedup")       // full text dedup pipeline
 

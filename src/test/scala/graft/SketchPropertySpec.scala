@@ -96,6 +96,72 @@ class SketchPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("round-9 kernels match plain-Scala references on random inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def md5Hash60Ref(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var h = 0L; (0 until 8).foreach(b => h = (h << 8) | (d(b) & 0xFFL))
+      h >>> 4
+    }
+    val words = Vector("a", "bb", "ccc", "déjà", "x1", "longish-token", "")
+    val cases = (1 to 60).map { i =>
+      (i.toLong, List.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size))))
+    }
+    val got = cases.toDF("i", "toks").select(col("i"),
+      SketchFunctions.wordGrams(col("toks"), 3).as("g"),
+      SketchFunctions.md5Simhash60(col("toks")).as("sim"),
+      SketchFunctions.md5Minhash30(col("toks"), 8).as("mh"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    cases.foreach { case (i, toks) =>
+      val (g, sim, mh) = got(i)
+      // wordGrams: all positional 3-grams with multiplicity
+      val expG = if (toks.size < 3) Nil
+        else toks.sliding(3).map(_.mkString(" ")).toList
+      assert(g == expG, s"case $i grams: $toks")
+      // md5Simhash60: majority vote per bit (2*ones >= n)
+      val hs = toks.map(md5Hash60Ref)
+      val expSim = (0 until 60).map { b =>
+        if (2 * hs.count(h => ((h >> b) & 1L) == 1L) >= toks.size) 1L << b
+        else 0L
+      }.sum
+      assert(sim == expSim, s"case $i simhash: $toks")
+      // md5Minhash30: universal-hash mins over low 30 bits
+      val p = graft.functions.SketchKernels.mhPrime
+      val expMh = (0 until 8).map { j =>
+        val (a, b) = (graft.functions.SketchKernels.mhA(j),
+          graft.functions.SketchKernels.mhB(j))
+        if (toks.isEmpty) Long.MaxValue
+        else toks.map(t => ((md5Hash60Ref(t) & 0x3FFFFFFFL) * a + b) % p).min
+      }
+      assert(mh == expMh, s"case $i minhash: $toks")
+    }
+  }
+
+  test("QuantizeInt8Floats bounds, max-hit and zero-vector invariants hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cases = (1 to 60).map { i =>
+      (i.toLong, List.fill(rnd.nextInt(16))(
+        (rnd.nextFloat() - 0.5f) * rnd.nextInt(1000)))
+    }
+    val got = cases.toDF("i", "v").select(col("i"),
+      SketchFunctions.quantizeInt8Floats(col("v")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    cases.foreach { case (i, v) =>
+      val q = got(i)
+      assert(q.size == v.size)
+      assert(q.forall(x => x == x.toLong.toFloat && x >= -127f && x <= 127f),
+        s"case $i: non-integer or out-of-range $q")
+      if (v.exists(_ != 0f)) {
+        // the max-|v| component must land on ±127
+        assert(q.map(math.abs).max == 127f, s"case $i: $v -> $q")
+      } else assert(q.forall(_ == 0f))
+    }
+  }
+
   test("Winnow fingerprints are distinct, sorted, deterministic") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -289,6 +289,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingestion screen: dedupAgainst inside foreachBatch drops corpus dupes") {
+    import spark.implicits._
+    // the D29 incremental screen composed with the streaming ingest
+    // path: each micro-batch of arriving documents is checked against
+    // the STATIC existing corpus (exact + near), survivors appended —
+    // the foreachBatch shape an ingestion pipeline runs at scale
+    // (corpus bands/hashes derive per batch from the same narrow
+    // projections; nothing corpus-side is ever self-joined)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "some corpus knowledge about distributed analytics engines and storage")
+    ).toDF("doc_id", "text")
+    val survivors = new scala.collection.mutable.ArrayBuffer[Long]()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = graft.operators.Dedup
+          .dedupAgainst(batch, corpus, "doc_id", "text")
+          .collect().map(_.getLong(0))
+        survivors.synchronized { survivors ++= kept }; ()
+      }
+      .start()
+    try {
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact
+        (11L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near
+        (12L, "a genuinely novel streaming document matching nothing in the corpus"))
+      q.processAllAvailable()
+      input.addData(
+        (13L, "some corpus knowledge about distributed analytics engines and storage")) // exact, later batch
+      q.processAllAvailable()
+      assert(survivors.sorted == Seq(12L), s"got $survivors")
+    } finally q.stop()
+  }
+
   test("burst detector flags users with repeated errors in a window") {
     import spark.implicits._
     val input = MemoryStream[String](spark)
