@@ -1008,15 +1008,18 @@ object Dedup {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     require(blockCap >= 2, s"blockCap must be >= 2, got $blockCap")
     val r = numPerms / bands
-    // sig rides along for the oversized-block fallback: one codegen'd
-    // kernel pass per doc (32 longs/row through the shuffle), paid
-    // linearly so the guard can kick in without a second corpus scan
+    // sh rides the block exchange (the verification branch needs the
+    // hashed set anyway); the minhash signature for the oversized-
+    // block fallback is computed LAZILY after the occupancy window —
+    // a `when` with no otherwise evaluates the kernel only on rows of
+    // blocks over the cap, so the common all-bounded case pays
+    // nothing for the guard
     val base = withShingles(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("__graft_text"),
         struct(blockCols: _*).as("block")),
       "__graft_text", shingleK, "sh")
       .select(col("doc_id"), col("block"), hashedSet(col("sh")).as("shh"),
-        SketchFunctions.minhash64(col("sh"), numPerms).as("sig"))
+        col("sh"))
     // One explicit shuffle on the block key BELOW the per-side alias
     // projects: the two join inputs then share an identical Exchange
     // subtree, so ReuseExchange materializes the shingle+hash
@@ -1027,16 +1030,18 @@ object Dedup {
     val occ = org.apache.spark.sql.expressions.Window.partitionBy(col("block"))
     // sub-bucket key: a constant for bounded blocks (exhaustive
     // within block), one row per band for oversized ones (band
-    // equality marks a candidate; the transform only evaluates on
-    // oversized rows)
+    // equality marks a candidate; the signature and the transform
+    // only evaluate on oversized rows)
     val sub = keyed
       .withColumn("__m", count(lit(1)).over(occ))
+      .withColumn("__sig", when(col("__m") > blockCap,
+        SketchFunctions.minhash64(col("sh"), numPerms)))
       .select(col("block"), col("doc_id"), col("shh"),
         explode(when(col("__m") <= blockCap,
           array(struct(lit(-1).as("sub_id"), lit(0L).as("sub_hash"))))
           .otherwise(transform(sequence(lit(0), lit(bands - 1)),
             b => struct(b.cast("int").as("sub_id"),
-              xxhash64(b, slice(col("sig"), b * r + 1, lit(r)))
+              xxhash64(b, slice(col("__sig"), b * r + 1, lit(r)))
                 .as("sub_hash"))))).as("sub"))
       .select(col("block"), col("sub.sub_id").as("sub_id"),
         col("sub.sub_hash").as("sub_hash"), col("doc_id"), col("shh"))
