@@ -44,7 +44,10 @@ object ScaleProbe {
     "d39_temperature_sample", // count agg + scan filter
     "d40_incremental_dedup",  // batch-vs-corpus band screen
     "d18_neardup_components", // components incl. small-graph path
-    "d27_text_dedup")       // full text dedup pipeline
+    "d27_text_dedup",       // full text dedup pipeline
+    "d43_decontaminate",    // broadcast holdout gram screen
+    "d44_redact_pii",       // regex scrub scan
+    "d45_shuffle_shard")    // shard-keyed window
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -641,6 +641,53 @@ object Dedup {
           " ").as("clean_text"))
   }
 
+  /** Benchmark decontamination — the eval-overlap screen every
+    * training-data pipeline runs before a model train: flag (and let
+    * the caller drop) training documents that share any k-token gram
+    * with a held-out evaluation/benchmark set, so test questions do
+    * not leak into the training corpus (the GPT-3/PaLM 13-gram
+    * overlap check; k is the knob).
+    *
+    * Spark shape — the asymmetric-cardinality join done right:
+    *   1. The holdout side (benchmarks are MBs against a 100 TB
+    *      corpus) reduces to its DISTINCT gram-hash set via one
+    *      [[gramHashes]] pass, and is broadcast — the corpus-side
+    *      screen is then map-side, no corpus shuffle to pair up.
+    *   2. The training corpus runs the SAME [[gramHashes]] scan; a
+    *      broadcast LEFT SEMI join keeps only gram rows whose hash
+    *      appears in the holdout set, so the only exchange in the
+    *      operator (the per-doc count aggregate) carries matching
+    *      grams alone — at a sane contamination rate, a sliver of
+    *      the corpus.
+    *   3. A left join back to the doc ids (broadcast-sized per
+    *      partition after aggregation) closes the report: every
+    *      training doc appears, contaminated or not.
+    *
+    * The gram hash is [[md5Hash60]], so the ENTIRE screen is
+    * engine-reproducible and oracle-checked (DuckDB re-derives the
+    * holdout gram set and the per-doc overlap counts from raw text).
+    *
+    * Returns (doc_id, shared_grams, contaminated): one row per
+    * non-null training doc; shared_grams counts the doc's k-gram
+    * positions whose gram occurs anywhere in the holdout;
+    * documents shorter than k tokens hold no gram and report 0. */
+  def decontaminate(train: DataFrame, holdout: DataFrame,
+      idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val holdGrams = gramHashes(holdout, idCol, textCol, k)
+      .select(col("h")).distinct()
+    val shared = gramHashes(train, idCol, textCol, k)
+      .join(broadcast(holdGrams), Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+    train
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"),
+        (coalesce(col("shared_grams"), lit(0L)) > 0L).as("contaminated"))
+  }
+
   /** Connected components over verified near-dup pairs: the step that
     * turns pairwise matches into dedup GROUPS (a near-dup cluster is
     * the transitive closure of its pairs). Two phases:

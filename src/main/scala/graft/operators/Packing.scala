@@ -122,4 +122,49 @@ object Packing {
       expr(s"(start_off + greatest(n_tokens, 1L) - 1L) div ${capacity}L")
         .as("bin_end"))
   }
+
+  /** Fixed-token chunking with overlap — the context-window split a
+    * RAG / long-document pipeline runs before embedding or packing:
+    * chunk i of a document covers tokens
+    * [i·stride + 1, min(i·stride + chunkSize, n)] (1-based,
+    * inclusive), for i in 0 .. ceil(max(n − chunkSize, 0) / stride);
+    * overlapping when stride < chunkSize, the final chunk may be
+    * partial but never empty, and a document never emits a chunk
+    * whose start lies beyond its last token.
+    *
+    * Scale shape: a pure projection + one Generate (the chunk-index
+    * sequence explodes per document; the token array never leaves
+    * the scan stage — only chunk text and arithmetic columns ship).
+    * Zero shuffles; whitespace tokenization matches [[sequencePack]]
+    * and the D-block's `tokens()` convention.
+    *
+    * Returns (idCol, chunk_idx, chunk_start, chunk_tokens,
+    * chunk_text); null-id/text rows are dropped.
+    */
+  def tokenChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val toks = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
+      .withColumn("__n", size(col("__w")))
+      // ceil(max(n - chunkSize, 0) / stride) last chunk index
+      .withColumn("__last",
+        ceil(greatest(col("__n") - chunkSize, lit(0)).cast("double") / stride)
+          .cast("int"))
+    toks
+      .select(col(idCol), col("__w"), col("__n"),
+        posexplode(transform(sequence(lit(0), col("__last")),
+          i => i * stride)))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        (col("col") + 1).as("chunk_start"),
+        least(lit(chunkSize), col("__n") - col("col")).as("chunk_tokens"),
+        array_join(slice(col("__w"), col("col") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
 }

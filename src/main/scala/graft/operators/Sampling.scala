@@ -104,4 +104,70 @@ object Sampling {
     df.filter(col(strataCol).isNotNull &&
       substring(md5(col(idCol).cast("string")), 1, 4) < threshold)
   }
+
+  /** Per-stratum cap — the RefinedWeb-style "at most N documents per
+    * source/domain" guard against a single origin dominating the
+    * corpus. Deterministic: within each stratum, rows rank by
+    * md5(id) (id as tiebreak — unreachable for distinct ids), so the
+    * SAME documents are kept on any cluster, any run, and the kept
+    * set of a smaller cap nests inside a larger one's.
+    *
+    * Scale shape: ONE stratum-keyed exchange + a rank window —
+    * the per-group-top-N standard; a skewed stratum lands one
+    * partition, the same bound as any keyed shuffle (and the cap
+    * itself is the cure: everything past the first `cap` rows of a
+    * monster stratum is dropped at the window, never joined or
+    * aggregated downstream). Null-stratum rows are dropped.
+    */
+  def capPerStratum(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.filter(col(strataCol).isNotNull)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
+  /** Deterministic global shuffle + sharding — the last pass before
+    * a training run: assign every document a shard and a position
+    * within it, so the corpus streams to the trainer in a fixed
+    * pseudo-random order that is identical on any cluster, any
+    * partitioning, any rerun (seeded rand() is none of those under
+    * Spark task retry). The shuffle key is a 60-bit md5 of
+    * (seed, id): changing the seed reshuffles everything; keeping it
+    * makes the training order a pure function of the corpus.
+    *
+    * Scale shape: ONE exchange, keyed by shard — exactly the shape
+    * of the training-shard writer that consumes this (each shard =
+    * one output file/stream, `numShards` sized to the trainer's
+    * readers). The within-shard sort is per-partition, never global;
+    * a shard holds ~corpus/numShards rows by the uniformity of md5,
+    * so there is no skew to salt.
+    *
+    * Returns (idCol, shard, pos): shard in [0, numShards),
+    * pos 1-based within its shard in key order (tiebreak id —
+    * unreachable for distinct ids). Null ids are dropped. */
+  def shuffleShard(
+      df: DataFrame,
+      idCol: String,
+      numShards: Int,
+      seed: String): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val key = Dedup.md5Hash60(
+      concat(lit(seed), lit("|"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__k"), col(idCol))
+    df.filter(col(idCol).isNotNull)
+      .withColumn("__k", key)
+      .withColumn("shard", (col("__k") % numShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

@@ -172,4 +172,56 @@ object TextAnalysis {
         explode(graft.functions.SketchFunctions.winnowSelect(
           transform(col("ph"), p => p.getField("h")), w)).as("fp"))
   }
+
+  /** PII patterns for [[redactPii]], applied in order. Each is
+    * restricted to the regex subset whose match semantics are
+    * identical under Java regex (Spark) and RE2 (DuckDB, Go/Rust
+    * engines): character classes, bounded/unbounded counted repeats
+    * and ASCII `\b` — no backrefs, no lookaround, so leftmost-first
+    * and leftmost-longest matching agree and the redaction is
+    * engine-reproducible (oracle-checked byte for byte).
+    *
+    * Order matters and is part of the contract: emails first (their
+    * local/domain parts contain digits and dots the later patterns
+    * would tear up), then dotted-quad IPs (digit runs broken by dots
+    * that the digit-run pattern alone would miss), then bare long
+    * digit runs (phone/account/SSN-ish: 9+ consecutive digits). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+    "[0-9]{9,}" -> "<NUM>")
+
+  /** PII redaction — the scrub pass a training-data pipeline runs
+    * before text reaches a model: replace emails, dotted-quad IPs
+    * and long digit runs with typed placeholder tokens, and report
+    * how many of each were found (the per-doc counts feed the
+    * filter-vs-redact policy decision: a document that is MOSTLY
+    * PII usually gets dropped, not scrubbed).
+    *
+    * Scale shape: a pure codegen'd scan projection — three
+    * `regexp_replace` + three `regexp_extract_all` over one text
+    * read, zero shuffles, composes with partition/column pruning
+    * untouched. Regex cost is linear in text bytes (RE2-safe
+    * patterns are also catastrophic-backtracking-free under Java's
+    * engine: no nested unbounded repeats).
+    *
+    * Returns (idCol, clean_text, n_emails, n_ips, n_digit_runs):
+    * counts are pre-redaction occurrence counts per pattern on the
+    * ORIGINAL text (the email count is not inflated by `<IP>`
+    * tokens, etc.). Null-text rows are dropped. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    val redacted = piiPatterns.foldLeft(t) {
+      case (acc, (re, tok)) => regexp_replace(acc, re, tok)
+    }
+    df.filter(col(idCol).isNotNull && t.isNotNull)
+      .select(col(idCol), redacted.as("clean_text"),
+        size(regexp_extract_all(t, lit(piiPatterns(0)._1), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(t, lit(piiPatterns(1)._1), lit(0)))
+          .as("n_ips"),
+        size(regexp_extract_all(t, lit(piiPatterns(2)._1), lit(0)))
+          .as("n_digit_runs"))
+  }
 }

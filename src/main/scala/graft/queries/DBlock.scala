@@ -529,6 +529,83 @@ object DBlock {
         k = d36GramK)
         .orderBy(col("doc_id"))),
 
+    // D30: fixed-token chunking with overlap — the context-window
+    // split before embedding/packing (chunk i covers tokens
+    // [i·stride+1, min(i·stride+chunkSize, n)], overlapping at
+    // stride < chunkSize, final chunk partial but never empty). Pure
+    // projection + one Generate, zero shuffles; fully oracle-checked
+    // (DuckDB re-derives every chunk boundary and chunk text).
+    "d41_token_chunks" -> ((s, d) =>
+      Packing.tokenChunks(Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // D31: per-stratum cap — at most N docs per source (RefinedWeb's
+    // anti-domination guard), kept set deterministic in md5(id)
+    // order and nested across caps. One stratum-keyed exchange + a
+    // rank window; fully oracle-checked.
+    "d42_source_cap" -> ((s, d) =>
+      Sampling.capPerStratum(Tables.documents(s, d), "doc_id", "source",
+        cap = 3)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // D32: benchmark decontamination — the eval-overlap screen
+    // before a model train: a 1/16 md5 slice of documents plays the
+    // held-out benchmark, the rest is the training corpus; training
+    // docs sharing any 8-token gram with the holdout are flagged
+    // with their overlap count. The holdout's distinct gram-hash
+    // set is broadcast, so the corpus side never shuffles to pair
+    // up; fully oracle-checked (DuckDB re-derives the holdout gram
+    // set and every overlap count from raw text).
+    "d43_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val isHold = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+      Dedup.decontaminate(docs.filter(!isHold), docs.filter(isHold),
+        "doc_id", "text", k = d36GramK)
+        .orderBy(col("doc_id"))
+    }),
+
+    // D33: PII redaction — scrub emails / dotted-quad IPs / long
+    // digit runs to typed placeholders and count each (the
+    // filter-vs-redact policy signal). The synthetic corpus holds no
+    // PII, so the entry PLANTS it deterministically from doc_id —
+    // identical arithmetic in both engines — then redacts; the
+    // pattern set is restricted to the Java-regex/RE2-identical
+    // subset, so the oracle matches the cleaned text byte for byte.
+    // Pure scan projection, zero shuffles.
+    "d44_redact_pii" -> ((s, d) => {
+      val id = col("doc_id")
+      val planted = concat(col("text"),
+        when(id % 3 === 0, concat(lit(" user"), id.cast("string"),
+          lit("@m"), (id % 7).cast("string"), lit(".net")))
+          .otherwise(lit("")),
+        when(id % 6 === 0, concat(lit(" b"), id.cast("string"),
+          lit("@x.org"))).otherwise(lit("")),
+        when(id % 4 === 0, concat(lit(" 10."), (id % 250).cast("string"),
+          lit(".0."), (id % 100).cast("string"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" 9"),
+          lpad(id.cast("string"), 9, "0"))).otherwise(lit("")))
+      TextAnalysis.redactPii(
+        Tables.documents(s, d)
+          .filter(id.isNotNull && col("text").isNotNull)
+          .withColumn("pii_text", planted),
+        "doc_id", "pii_text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // D34: deterministic shuffle + sharding — the training-order
+    // pass: every doc gets a shard (md5(seed|id) mod N) and a
+    // 1-based position within its shard in key order; identical on
+    // any cluster/partitioning/rerun, reshuffled only by the seed.
+    // ONE shard-keyed exchange (the training-shard writer's shape);
+    // fully oracle-checked.
+    "d45_shuffle_shard" -> ((s, d) =>
+      Sampling.shuffleShard(Tables.documents(s, d), "doc_id",
+        numShards = 8, seed = "epoch0")
+        .orderBy(col("doc_id"))),
+
     // D29: incremental (batch-vs-corpus) dedup — the ingestion
     // screen: a 1/16 md5 slice of documents plays the arriving
     // batch, the rest is the existing corpus; batch docs duplicating
@@ -664,6 +741,69 @@ object DBlock {
        |  CAST(count(*) AS BIGINT) AS n_grams
        |FROM grp GROUP BY doc_id, island
        |ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  /** d43 oracle: re-derive the decontamination screen from raw text —
+    * the 1/16 md5(doc_id) slice is the holdout, its distinct k-gram
+    * hashes (the d36 slice+md5 arithmetic) form the banned set, and
+    * each training doc counts its gram positions landing in it. */
+  private val decontaminateSql: String = {
+    val k = d36GramK
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS ws,
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_hold
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), g AS (
+       |  SELECT doc_id, is_hold,
+       |    ('0x'||substr(md5(list_aggregate(ws[i:i+$k-1], 'string_agg', ' ')),1,15))::BIGINT AS h
+       |  FROM t, unnest(range(1, len(ws) - $k + 2)) AS u(i)
+       |  WHERE len(ws) >= $k
+       |), hold AS (
+       |  SELECT DISTINCT h FROM g WHERE is_hold
+       |), sh AS (
+       |  SELECT doc_id, count(*) AS shared_grams FROM g
+       |  WHERE NOT is_hold AND h IN (SELECT h FROM hold)
+       |  GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, coalesce(sh.shared_grams, 0) AS shared_grams,
+       |  coalesce(sh.shared_grams, 0) > 0 AS contaminated
+       |FROM t LEFT JOIN sh USING (doc_id)
+       |WHERE NOT is_hold ORDER BY doc_id""".stripMargin
+  }
+
+  /** d44 oracle: plant the identical doc_id-derived PII, then apply
+    * the same ordered pattern set (Java-regex/RE2-identical subset)
+    * with DuckDB's regexp_replace(..., 'g') and count via
+    * regexp_extract_all on the pre-redaction text. */
+  private val redactPiiSql: String = {
+    val Seq((emailRe, emailTok), (ipRe, ipTok), (numRe, numTok)) =
+      graft.operators.TextAnalysis.piiPatterns
+    // DuckDB single-quoted literals pass backslashes through
+    // unprocessed, so the Java pattern string is the SQL literal
+    // verbatim (only ' would need doubling; the patterns hold none).
+    def q(re: String): String = re.replace("'", "''")
+    s"""WITH p AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' user' || CAST(doc_id AS VARCHAR)
+       |      || '@m' || CAST(doc_id % 7 AS VARCHAR) || '.net' ELSE '' END ||
+       |    CASE WHEN doc_id % 6 = 0 THEN ' b' || CAST(doc_id AS VARCHAR)
+       |      || '@x.org' ELSE '' END ||
+       |    CASE WHEN doc_id % 4 = 0 THEN ' 10.' || CAST(doc_id % 250 AS VARCHAR)
+       |      || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' 9' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+       |      ELSE '' END AS pii_text
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+       |    '${q(emailRe)}', '$emailTok', 'g'),
+       |    '${q(ipRe)}', '$ipTok', 'g'),
+       |    '${q(numRe)}', '$numTok', 'g') AS clean_text,
+       |  CAST(len(regexp_extract_all(pii_text, '${q(emailRe)}')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(pii_text, '${q(ipRe)}')) AS INT) AS n_ips,
+       |  CAST(len(regexp_extract_all(pii_text, '${q(numRe)}')) AS INT) AS n_digit_runs
+       |FROM p ORDER BY doc_id""".stripMargin
   }
 
   /** d38 oracle: the [[substringDedupSql]] gram/island machinery with
@@ -872,6 +1012,48 @@ object DBlock {
 
   val oracles: Map[String, String] = Map(
     "d40_incremental_dedup" -> incrementalDedupSql,
+
+    // chunk arithmetic re-derived: last chunk index =
+    // ceil(max(n - 64, 0) / 48), chunk i starts at 48·i + 1 and
+    // holds min(64, n - 48·i) tokens
+    "d41_token_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id, ws, len(ws) AS n,
+        |    CAST(ceil(greatest(len(ws) - 64, 0) / 48.0) AS INT) AS last
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  CAST(48 * i + 1 AS INT) AS chunk_start,
+        |  CAST(least(64, n - 48 * i) AS INT) AS chunk_tokens,
+        |  list_aggregate(ws[(48 * i + 1):(48 * i + 64)], 'string_agg', ' ')
+        |    AS chunk_text
+        |FROM c, unnest(range(0, last + 1)) AS u(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "d42_source_cap" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents WHERE source IS NOT NULL) t
+        |WHERE rk <= 3 ORDER BY doc_id""".stripMargin,
+
+    "d43_decontaminate" -> decontaminateSql,
+
+    "d44_redact_pii" -> redactPiiSql,
+
+    "d45_shuffle_shard" ->
+      """SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8
+        |    ORDER BY h, doc_id) AS INT) AS pos
+        |FROM (
+        |  SELECT doc_id,
+        |    ('0x'||substr(md5('epoch0|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |ORDER BY doc_id""".stripMargin,
 
     "d28_frame_sample" ->
       """WITH v AS (

@@ -549,4 +549,34 @@ class DedupSpec extends AnyFunSuite {
       (3L, 9L, 0.2222, 0L)
     ), s"got $prof")
   }
+
+  test("decontaminate: planted leak flagged with positional counts, clean and short docs report 0") {
+    import spark.implicits._
+    val block = "q1 q2 q3 q4 q5 q6 q7 q8" // one 8-gram
+    val holdout = Seq(
+      (100L, s"$block tail1 tail2"),
+      (101L, "h1 h2 h3 h4 h5 h6 h7 h8 h9")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // holds the holdout block TWICE → 2 shared positions
+      (1L, s"lead $block mid $block"),
+      // verbatim copy of holdout 101 → all 2 of its grams shared
+      (2L, "h1 h2 h3 h4 h5 h6 h7 h8 h9"),
+      // clean doc → 0, still reported
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      // shorter than k → no grams, still reported as 0
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val res = graft.operators.Dedup
+      .decontaminate(train, holdout, "doc_id", "text", k = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(res == Map(
+      1L -> ((2L, true)),
+      2L -> ((2L, true)),
+      3L -> ((0L, false)),
+      4L -> ((0L, false))
+    ), s"got $res")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions.{col, posexplode}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Sampling, Similarity}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Property checks for the round-7 pipeline additions: train/eval
   * decontamination, stratified hash sampling, int8 quantization.
@@ -87,6 +87,97 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ids(Map("en" -> 0.0), default = 1.0)
       .forall(_ % 2 == 1))
     assert(ids(Map.empty, default = 0.0).isEmpty)
+  }
+
+  test("tokenChunks: boundaries, overlap, partial tail, zero-shuffle plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // n=10 > cs: 3 chunks at stride 4
+      (2L, "a b c"),                                  // n < cs: one whole chunk
+      (3L, (1 to 8).map(i => s"u$i").mkString(" "))   // n == cs: exactly one chunk
+    ).toDF("doc_id", "text")
+    val chunks = graft.operators.Packing
+      .tokenChunks(docs, "doc_id", "text", chunkSize = 8, stride = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+      .toSet
+    assert(chunks == Set(
+      // doc 1: last = ceil((10-8)/4) = 1 → chunks at 1 and 5
+      (1L, 0, 1, 8, "t1 t2 t3 t4 t5 t6 t7 t8"),
+      (1L, 1, 5, 6, "t5 t6 t7 t8 t9 t10"), // overlapping, partial tail
+      (2L, 0, 1, 3, "a b c"),
+      (3L, 0, 1, 8, (1 to 8).map(i => s"u$i").mkString(" "))
+    ), s"got $chunks")
+    // chunking is a projection + Generate — nothing shuffles
+    val plan = graft.operators.Packing
+      .tokenChunks(docs, "doc_id", "text", 8, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("redactPii: typed placeholders, pre-redaction counts, clean text untouched, scan-only plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write to alice.smith+x@corp-mail.co.uk or bob@x.io today"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 up; build 1.2.3 is not an ip"),
+      (3L, "acct 123456789 ref 00987654321x but 12345678 is too short"),
+      (4L, "nothing sensitive here at all"),
+      (5L, "mixed a@b.co 8.8.8.8 999999999")
+    ).toDF("doc_id", "text")
+    val res = TextAnalysis.redactPii(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    assert(res(1L) == (("write to <EMAIL> or <EMAIL> today", 2, 0, 0)))
+    assert(res(2L) == (("server <IP> and <IP> up; build 1.2.3 is not an ip", 0, 2, 0)))
+    assert(res(3L) == (("acct <NUM> ref <NUM>x but 12345678 is too short", 0, 0, 2)))
+    assert(res(4L) == (("nothing sensitive here at all", 0, 0, 0)))
+    assert(res(5L) == (("mixed <EMAIL> <IP> <NUM>", 1, 1, 1)))
+    // a pure scan projection — nothing shuffles
+    val plan = TextAnalysis.redactPii(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"redaction must not shuffle:\n$plan")
+  }
+
+  test("shuffleShard: partition of the corpus, contiguous positions, seed-keyed determinism") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    def run(seed: String): Map[Long, (Int, Int)] =
+      Sampling.shuffleShard(docs, "doc_id", numShards = 8, seed = seed)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2))))
+        .toMap
+    val a = run("epoch0")
+    // every doc lands in exactly one shard, shards in range
+    assert(a.size == 400)
+    assert(a.values.forall { case (s, _) => s >= 0 && s < 8 })
+    // positions are contiguous 1..n within each shard
+    a.values.groupBy(_._1).foreach { case (s, g) =>
+      val ps = g.map(_._2).toSeq.sorted
+      assert(ps == (1 to ps.size), s"shard $s positions not contiguous: $ps")
+    }
+    // same seed → identical assignment; different seed → reshuffled
+    assert(run("epoch0") == a, "must be deterministic")
+    val b = run("epoch1")
+    assert(b != a, "a different seed must reshuffle")
+  }
+
+  test("capPerStratum: cap respected, deterministic, nested across caps") {
+    import spark.implicits._
+    val docs = (0L until 300L)
+      .map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    def kept(cap: Int): Set[Long] =
+      Sampling.capPerStratum(docs, "doc_id", "source", cap)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    val k5 = kept(5)
+    assert(k5.size == 15) // 3 strata × 5
+    assert(kept(5) == k5, "must be deterministic")
+    assert(k5.subsetOf(kept(20)), "smaller caps must nest in larger")
+    // a cap above every stratum size keeps everything
+    assert(kept(100).size == 300)
   }
 
   test("temperatureSample: T=1 natural mix, T=0 equalizes, nesting across T, scan-filter plan") {

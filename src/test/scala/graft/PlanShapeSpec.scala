@@ -208,6 +208,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected 3 exchanges (h, doc-agg, sort):\n${p.take(3000)}")
   }
 
+  test("d43: decontamination screens map-side against a broadcast holdout") {
+    // the asymmetric-cardinality contract: the holdout gram set and
+    // the per-doc counts are the broadcast sides; the training corpus
+    // must never reach a shuffle to pair up with the holdout (no SMJ,
+    // no shuffled hash join anywhere in the screen)
+    val p = plan("d43_decontaminate")
+    assert(count(p, "BroadcastHashJoin") == 2,
+      s"expected semi + report joins broadcast:\n${p.take(3000)}")
+    assert(count(p, "SortMergeJoin") == 0 && count(p, "ShuffledHashJoin") == 0,
+      s"corpus shuffled to pair with the holdout:\n${p.take(3000)}")
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p.take(2000))
+  }
+
+  test("d44: PII redaction is a pure scan projection") {
+    // regex scrub + counts ride the parquet scan; the only exchange
+    // permitted is the entry's presentation orderBy
+    val p = plan("d44_redact_pii")
+    assert(count(p, "Join") == 0, s"redaction grew a join:\n${p.take(2000)}")
+    assert(count(p, "Exchange") == 1,
+      s"expected only the orderBy exchange:\n${p.take(2000)}")
+  }
+
+  test("d45: shuffle-shard is one shard-keyed exchange, no global sort") {
+    // the training-shard writer's shape: hash exchange on shard +
+    // per-shard sort for the rank; the only other exchange is the
+    // entry's presentation orderBy
+    val p = plan("d45_shuffle_shard")
+    assert(count(p, "Window") == 1, p.take(2000))
+    assert(count(p, "Exchange") == 2,
+      s"expected shard exchange + orderBy only:\n${p.take(2000)}")
+    assert(count(p, "hashpartitioning(shard") == 1,
+      s"rank must partition by shard:\n${p.take(2000)}")
+  }
+
   test("d32: packing reads one pinned range layout; no global window") {
     // the range-partitioned (id, n, ord) projection is materialized
     // ONCE (localCheckpoint) so the totals pass and the packing pass
