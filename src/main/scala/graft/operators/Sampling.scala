@@ -117,7 +117,10 @@ object Sampling {
     * partition, the same bound as any keyed shuffle (and the cap
     * itself is the cure: everything past the first `cap` rows of a
     * monster stratum is dropped at the window, never joined or
-    * aggregated downstream). Null-stratum rows are dropped.
+    * aggregated downstream). Null-stratum and null-id rows are
+    * dropped (several null ids in one stratum would tie on both sort
+    * keys, making the kept set run-dependent — the determinism claim
+    * is only honest without them).
     */
   def capPerStratum(
       df: DataFrame,
@@ -128,7 +131,7 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(strataCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.filter(col(strataCol).isNotNull)
+    df.filter(col(strataCol).isNotNull && col(idCol).isNotNull)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= cap)
       .drop("__rk")

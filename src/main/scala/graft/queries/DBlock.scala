@@ -1038,7 +1038,8 @@ object DBlock {
         |  SELECT doc_id, source, lang,
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-        |  FROM documents WHERE source IS NOT NULL) t
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND doc_id IS NOT NULL) t
         |WHERE rk <= 3 ORDER BY doc_id""".stripMargin,
 
     "d43_decontaminate" -> decontaminateSql,

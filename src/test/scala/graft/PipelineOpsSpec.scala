@@ -178,6 +178,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(k5.subsetOf(kept(20)), "smaller caps must nest in larger")
     // a cap above every stratum size keeps everything
     assert(kept(100).size == 300)
+    // null ids would tie on both sort keys (run-dependent kept set)
+    // and null strata have no group — both are dropped
+    val withNulls = Seq(
+      (Some(1L), Some("s")), (None, Some("s")), (Some(2L), None)
+    ).toDF("doc_id", "source")
+    val cleaned = Sampling.capPerStratum(withNulls, "doc_id", "source", 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(cleaned == Set(1L), s"got $cleaned")
   }
 
   test("temperatureSample: T=1 natural mix, T=0 equalizes, nesting across T, scan-filter plan") {
