@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.SketchFunctions
+import graft.sources.Bucketing
 
 /** Deduplication operators for large-scale text corpora.
   *
@@ -398,6 +399,34 @@ object Dedup {
     * candidates, verification, survivors — is engine-reproducible
     * and oracle-checked (the d40 entry); production keeps the
     * default XXH64 [[graft.functions.MinHash64]] signature. */
+  /** (doc_id, sh, sig) signature rows shared by [[dedupAgainst]] and
+    * the [[buildDedupIndex]]/[[dedupAgainstIndex]] pair — the md5Sig
+    * switch picks the engine-reproducible twin arithmetic. */
+  private[graft] def screenSigs(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, numPerms: Int,
+      md5Sig: Boolean): DataFrame = {
+    val s = withShingles(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("__graft_text")),
+      "__graft_text", shingleK, "sh")
+      .select(col("doc_id"), col("sh"))
+      .filter(size(col("sh")) > 0)
+    if (md5Sig)
+      s.withColumn("sig", SketchFunctions.md5Minhash30(col("sh"), numPerms))
+    else
+      s.withColumn("sig", SketchFunctions.minhash64(col("sh"), numPerms))
+  }
+
+  /** Narrow (doc_id, sz, band_id, band_hash) rows from signature
+    * rows — the only corpus-derived rows a band screen ever
+    * shuffles or stores. */
+  private[graft] def screenBandRows(withSig: DataFrame, bands: Int,
+      r: Int): DataFrame = withSig
+    .select(col("doc_id"), size(col("sh")).as("sz"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))))
+    .withColumnRenamed("pos", "band_id")
+    .withColumnRenamed("col", "band_hash")
+
   def dedupAgainst(
       batch: DataFrame,
       corpus: DataFrame,
@@ -410,24 +439,10 @@ object Dedup {
       md5Sig: Boolean = false): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val r = numPerms / bands
-
-    def sigs(df: DataFrame): DataFrame = {
-      val s = withShingles(
-        df.select(col(idCol).as("doc_id"), col(textCol).as("__graft_text")),
-        "__graft_text", shingleK, "sh")
-        .select(col("doc_id"), col("sh"))
-        .filter(size(col("sh")) > 0)
-      if (md5Sig)
-        s.withColumn("sig", SketchFunctions.md5Minhash30(col("sh"), numPerms))
-      else
-        s.withColumn("sig", SketchFunctions.minhash64(col("sh"), numPerms))
-    }
-    def bandRows(withSig: DataFrame): DataFrame = withSig
-      .select(col("doc_id"), size(col("sh")).as("sz"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "band_hash")
+    def sigs(df: DataFrame): DataFrame =
+      screenSigs(df, idCol, textCol, shingleK, numPerms, md5Sig)
+    def bandRows(withSig: DataFrame): DataFrame =
+      screenBandRows(withSig, bands, r)
 
     val bSig = sigs(batch)
     val cSig = sigs(corpus)
@@ -452,6 +467,143 @@ object Dedup {
     batch
       .join(corpusHashes, md5(col(textCol)) === col("__ch"), "left_anti")
       .join(nearFlagged, col(idCol) === col("batch_id"), "left_anti")
+  }
+
+  /** Builds the PERSISTENT dedup index under [[dedupAgainstIndex]] —
+    * the production form of [[dedupAgainst]] at 100 TB, where
+    * re-deriving the corpus's signatures for every arriving batch is
+    * the cost that kills you: a 100 TB corpus is re-read and
+    * re-minhashed per ingest otherwise. The index stores, ONCE, the
+    * three narrow corpus projections a screen ever touches, as
+    * bucketed managed tables:
+    *
+    *   - `<name>_bands` (doc_id, sz, band_id, band_hash), bucketed
+    *     by band_hash — the candidate equi-join side;
+    *   - `<name>_docs` (doc_id, sz, shh), bucketed by doc_id — the
+    *     hashed shingle sets candidate verification re-joins;
+    *   - `<name>_ch` (ch), bucketed by ch — distinct content hashes
+    *     for the exact anti-join;
+    *   - `<name>_meta` — one row holding (shingle_k, num_perms,
+    *     bands, md5_sig, num_buckets): the screen and the append
+    *     path read their parameters from HERE, so index and screen
+    *     arithmetic cannot drift.
+    *
+    * Text never enters the index: at ~1 KB/doc average the band+set
+    * index is orders of magnitude smaller than the corpus, and the
+    * per-batch screen reads it instead of the corpus. Appends add
+    * per-bucket files ([[graft.sources.Bucketing.appendBucketed]]),
+    * never rewrite. Bucketing keeps the screen's index sides
+    * exchange-free even when the arriving batch is too large to
+    * broadcast (the co-located-join argument of B18). */
+  def buildDedupIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      name: String,
+      shingleK: Int = 3,
+      numPerms: Int = 32,
+      bands: Int = 16,
+      md5Sig: Boolean = false,
+      numBuckets: Int = 8): Unit = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val live = corpus.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val sig = screenSigs(live, idCol, textCol, shingleK, numPerms, md5Sig)
+    Bucketing.writeBucketed(screenBandRows(sig, bands, numPerms / bands),
+      s"${name}_bands", "band_hash", numBuckets)
+    Bucketing.writeBucketed(
+      sig.select(col("doc_id"), size(col("sh")).as("sz"),
+        hashedSet(col("sh")).as("shh")),
+      s"${name}_docs", "doc_id", numBuckets)
+    Bucketing.writeBucketed(
+      live.select(md5(col(textCol)).as("ch")).distinct(),
+      s"${name}_ch", "ch", numBuckets)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Bucketing.writeTable(
+      Seq((shingleK, numPerms, bands, md5Sig, numBuckets))
+        .toDF("shingle_k", "num_perms", "bands", "md5_sig", "num_buckets"),
+      s"${name}_meta")
+  }
+
+  private def indexMeta(spark: org.apache.spark.sql.SparkSession,
+      name: String): (Int, Int, Int, Boolean, Int) = {
+    val m = spark.table(s"${name}_meta").head()
+    (m.getAs[Int]("shingle_k"), m.getAs[Int]("num_perms"),
+      m.getAs[Int]("bands"), m.getAs[Boolean]("md5_sig"),
+      m.getAs[Int]("num_buckets"))
+  }
+
+  /** Screens `batch` against a [[buildDedupIndex]] index — the
+    * semantics of [[dedupAgainst]] (exact content-hash anti-join +
+    * banded-minhash candidates verified at shingle-Jaccard >=
+    * `threshold`; returns surviving batch rows, columns intact)
+    * WITHOUT touching the corpus: signatures, band rows, shingle
+    * sets and content hashes all come from the index tables, so the
+    * per-batch cost is (batch scan + sig) + three narrow index
+    * joins. Sketch parameters are read from `<name>_meta`, never
+    * passed — index and screen cannot disagree.
+    *
+    * The screen does NOT mutate the index: call
+    * [[appendToDedupIndex]] with the survivors you actually ingest
+    * (the caller decides what "ingest" means — e.g. after further
+    * filters) to fold them in for the next batch. */
+  def dedupAgainstIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      name: String,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    val (shingleK, numPerms, bands, md5Sig, _) = indexMeta(spark, name)
+    val bSig = screenSigs(batch, idCol, textCol, shingleK, numPerms, md5Sig)
+    val candidates = screenBandRows(bSig, bands, numPerms / bands).as("a")
+      .join(spark.table(s"${name}_bands").as("b"),
+        Seq("band_id", "band_hash"))
+      .filter(least(col("a.sz"), col("b.sz")).cast("double") >=
+        lit(threshold) * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+    val nearFlagged = candidates
+      .join(bSig.select(col("doc_id").as("batch_id"),
+        hashedSet(col("sh")).as("shh_a")), Seq("batch_id"))
+      .join(spark.table(s"${name}_docs")
+        .select(col("doc_id").as("corpus_id"), col("shh").as("shh_b")),
+        Seq("corpus_id"))
+      .filter(SketchFunctions.jaccardSorted(col("shh_a"), col("shh_b")) >=
+        threshold)
+      .select(col("batch_id"))
+      .distinct()
+    batch
+      .join(spark.table(s"${name}_ch"),
+        md5(col(textCol)) === col("ch"), "left_anti")
+      .join(nearFlagged, col(idCol) === col("batch_id"), "left_anti")
+  }
+
+  /** Folds newly ingested documents into an existing index:
+    * appends their band rows, hashed shingle sets and content
+    * hashes as new per-bucket files (existing files are never
+    * rewritten). Parameters come from `<name>_meta`. Call with the
+    * rows actually ingested — typically [[dedupAgainstIndex]]'s
+    * survivors — so the next batch screens against them. */
+  def appendToDedupIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      name: String): Unit = {
+    val spark = docs.sparkSession
+    val (shingleK, numPerms, bands, md5Sig, numBuckets) =
+      indexMeta(spark, name)
+    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val sig = screenSigs(live, idCol, textCol, shingleK, numPerms, md5Sig)
+    Bucketing.appendBucketed(screenBandRows(sig, bands, numPerms / bands),
+      s"${name}_bands", "band_hash", numBuckets)
+    Bucketing.appendBucketed(
+      sig.select(col("doc_id"), size(col("sh")).as("sz"),
+        hashedSet(col("sh")).as("shh")),
+      s"${name}_docs", "doc_id", numBuckets)
+    Bucketing.appendBucketed(
+      live.select(md5(col(textCol)).as("ch")).distinct(),
+      s"${name}_ch", "ch", numBuckets)
   }
 
   /** The shared positional gram pipeline under [[crossDocSpans]] and

@@ -624,6 +624,26 @@ object DBlock {
         .orderBy(col("doc_id"))
     }),
 
+    // D35: the SAME screen through a PERSISTENT dedup index — the
+    // corpus's band rows / shingle sets / content hashes are built
+    // ONCE as bucketed tables and the batch screens against them (at
+    // 100 TB you cannot re-minhash the corpus per arriving batch;
+    // the index is the production shape). Same d40 slice, same
+    // md5Sig arithmetic, so the SAME oracle SQL re-derives the
+    // survivor set from raw text — the hash-match proves screen ==
+    // direct, end to end through build + read.
+    "d46_indexed_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val isBatch = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+      Dedup.buildDedupIndex(docs.filter(!isBatch), "doc_id", "text",
+        name = "d46_idx", md5Sig = true)
+      Dedup.dedupAgainstIndex(docs.filter(isBatch), "doc_id", "text",
+        name = "d46_idx")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D26: composed gram profile — Gopher-style duplicate k-gram
     // fraction (the span-granularity sharpening of d15's distinct-
     // token repetition) AND the cross-doc repeated-gram count (d36's
@@ -1012,6 +1032,10 @@ object DBlock {
 
   val oracles: Map[String, String] = Map(
     "d40_incremental_dedup" -> incrementalDedupSql,
+
+    // identical semantics through the persistent index — the same
+    // raw-text re-derivation must reproduce the survivors
+    "d46_indexed_dedup" -> incrementalDedupSql,
 
     // chunk arithmetic re-derived: last chunk index =
     // ceil(max(n - 64, 0) / 48), chunk i starts at 48·i + 1 and

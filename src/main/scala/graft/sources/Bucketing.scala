@@ -48,6 +48,29 @@ object Bucketing {
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** APPEND to an existing bucketed table with a matching spec — new
+    * rows land in new per-bucket files (no rewrite of existing data),
+    * which is what makes a bucketed layout maintainable incrementally
+    * (the [[graft.operators.Dedup]] persistent index append path). */
+  def appendBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write
+      .mode("append")
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Write a small unbucketed managed table (drop-and-replace,
+    * idempotent across sessions like [[writeBucketed]]). */
+  def writeTable(df: DataFrame, table: String): Unit = {
+    dropStale(df.sparkSession, table)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
   /** Event-store layout for user-centric workloads: dt/hour PARTITIONS
     * (time-range directory pruning, like [[EventStore.write]]) plus
     * userid BUCKETS inside each partition — per-user aggregations,

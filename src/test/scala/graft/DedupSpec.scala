@@ -550,6 +550,50 @@ class DedupSpec extends AnyFunSuite {
     ), s"got $prof")
   }
 
+  test("dedupAgainstIndex == dedupAgainst in both signature modes; append screens the next batch") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated corpus content about spark planning details today ok"),
+      (3L, "a third corpus document with its own words entirely")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // exact copy of corpus 1 → exact screen drops it
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      // near-dup of corpus 2 (last word changed: 7 of 9 union
+      // shingles shared, j = 0.78) → jaccard screen drops it
+      (11L, "completely unrelated corpus content about spark planning details today no"),
+      // genuinely new → survives
+      (12L, "fresh never before seen material all new tokens here now")
+    ).toDF("doc_id", "text")
+
+    for (md5Sig <- Seq(false, true)) {
+      val name = s"t_idx_$md5Sig"
+      Dedup.buildDedupIndex(corpus, "doc_id", "text", name, md5Sig = md5Sig)
+      val direct = Dedup.dedupAgainst(batch, corpus, "doc_id", "text",
+        md5Sig = md5Sig).collect().map(_.getLong(0)).toSet
+      val indexed = Dedup.dedupAgainstIndex(batch, "doc_id", "text", name)
+        .collect().map(_.getLong(0)).toSet
+      assert(indexed == direct, s"md5Sig=$md5Sig: $indexed vs $direct")
+      assert(indexed == Set(12L), s"md5Sig=$md5Sig kept $indexed")
+
+      // fold the survivors in; the next batch duplicating them must
+      // now be screened out by the UPDATED index
+      Dedup.appendToDedupIndex(
+        batch.filter($"doc_id" === 12L), "doc_id", "text", name)
+      val batch2 = Seq(
+        // exact copy of the appended survivor
+        (20L, "fresh never before seen material all new tokens here now"),
+        // near-dup of it (last word changed, j = 0.78)
+        (21L, "fresh never before seen material all new tokens here later"),
+        (22L, "and one more genuinely novel document sails right through")
+      ).toDF("doc_id", "text")
+      val kept2 = Dedup.dedupAgainstIndex(batch2, "doc_id", "text", name)
+        .collect().map(_.getLong(0)).toSet
+      assert(kept2 == Set(22L), s"md5Sig=$md5Sig second batch kept $kept2")
+    }
+  }
+
   test("decontaminate: planted leak flagged with positional counts, clean and short docs report 0") {
     import spark.implicits._
     val block = "q1 q2 q3 q4 q5 q6 q7 q8" // one 8-gram
