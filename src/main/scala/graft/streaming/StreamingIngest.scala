@@ -160,4 +160,52 @@ object StreamingIngest {
       .foreachBatch((batch: DataFrame, _: Long) => upsertBatch(batch, path))
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** The full streaming ingestion-dedup loop over a PERSISTENT index
+    * ([[graft.operators.Dedup.buildDedupIndex]]): per micro-batch,
+    * screen arriving documents against everything ingested so far
+    * (exact + near, [[graft.operators.Dedup.dedupAgainstIndex]]),
+    * append the survivors to the corpus store, then fold them into
+    * the index so the NEXT batch screens against them too. This is
+    * the production shape of the D29 screen: the corpus is never
+    * re-scanned or re-minhashed — each batch pays batch-sig + three
+    * narrow index joins, regardless of corpus size.
+    *
+    * Delivery semantics: a batch REPLAYED after a completed loop
+    * self-suppresses — its content hashes are in the index, so the
+    * screen drops every row (the index makes redelivery idempotent
+    * end to end). The residual window is a crash BETWEEN the sink
+    * append and the index append: the replay re-lands those rows in
+    * the sink once more (at-least-once there; dedupe downstream with
+    * [[graft.operators.Dedup.exact]] or an id-keyed upsert). Sink
+    * first, index second is deliberate — the reverse order would
+    * LOSE rows on replay (screened out before ever landing), and a
+    * duplicate is recoverable where a loss is not.
+    *
+    * Within a single micro-batch, rows duplicating EACH OTHER are
+    * not screened (the screen never self-joins the batch); compose
+    * with [[graft.operators.Dedup.exact]] upstream if intra-batch
+    * duplicates matter at your trigger interval. */
+  def toScreenedDocIngest(docs: DataFrame, idCol: String,
+      textCol: String, indexName: String, path: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // eager localCheckpoint: both consumers below must see ONE
+        // survivor set, and the second runs AFTER the index mutates
+        // (a lazy recompute would re-screen against the updated index
+        // and drop everything). Batch-scoped lifetime, so the
+        // executor-loss caveat of long-lived localCheckpoints does
+        // not apply.
+        val survivors = graft.operators.Dedup
+          .dedupAgainstIndex(batch, idCol, textCol, indexName)
+          .localCheckpoint(true)
+        survivors.write.mode("append").parquet(path)
+        graft.operators.Dedup
+          .appendToDedupIndex(survivors, idCol, textCol, indexName)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

@@ -325,6 +325,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("screened ingest loop: index-screened batches, survivors folded in, replay self-suppresses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("screened").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    graft.operators.Dedup.buildDedupIndex(corpus, "doc_id", "text",
+      name = "t_screened_idx")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingIngest.toScreenedDocIngest(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      "t_screened_idx", s"$dir/docs", s"$dir/ckpt")
+    try {
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact corpus dup
+        (11L, "a genuinely novel streaming document matching nothing in the corpus yet"))
+      q.processAllAvailable()
+      input.addData(
+        // exact dup of batch-1 survivor 11 → the folded-in index drops it
+        (12L, "a genuinely novel streaming document matching nothing in the corpus yet"),
+        // near dup of 11 (last word changed) → near screen drops it
+        (13L, "a genuinely novel streaming document matching nothing in the corpus now"),
+        (14L, "and a second wave document that is entirely new content again"))
+      q.processAllAvailable()
+      // full replay of batch 2's novel doc → self-suppressed
+      input.addData(
+        (15L, "and a second wave document that is entirely new content again"))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(s"$dir/docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(landed == Set(11L, 14L), s"got $landed")
+    } finally q.stop()
+  }
+
   test("burst detector flags users with repeated errors in a window") {
     import spark.implicits._
     val input = MemoryStream[String](spark)
