@@ -123,6 +123,50 @@ object Packing {
         .as("bin_end"))
   }
 
+  /** Token-budget selection — the curation cut that turns "we can
+    * afford B training tokens" into a document set: lay the corpus
+    * out in priority order (highest first, id as tiebreak) and keep
+    * the longest PREFIX whose token total fits the budget. A
+    * document that would overflow the budget is dropped and so is
+    * everything after it — prefix-cut semantics, deliberately NOT
+    * knapsack back-fill: a budget cut that skips doc k but admits a
+    * lower-priority doc k+7 because it happens to be shorter is no
+    * longer monotone in priority, and monotonicity is what makes
+    * budget cuts auditable ("everything above this priority line is
+    * in").
+    *
+    * Scale shape: rides [[sequencePack]]'s two-phase prefix sum
+    * verbatim (range layout + per-partition totals + broadcast
+    * bases — never a single-partition global window), then a scan
+    * filter on start_off; the budget comparison is embedded as a
+    * literal. Everything said there about determinism
+    * (partition-count independence, reproducible on any cluster)
+    * and the localCheckpoint/reliable tradeoff applies unchanged.
+    *
+    * Returns (idCol, n_tokens, start_off) for the kept rows —
+    * start_off is the exclusive running-token total before the doc,
+    * so `start_off + n_tokens <= budget` for every survivor.
+    * Zero-token documents sitting exactly at the budget line are
+    * kept (they cost nothing). */
+  def budgetSelect(
+      df: DataFrame,
+      idCol: String,
+      tokens: org.apache.spark.sql.Column,
+      priority: org.apache.spark.sql.Column,
+      budget: Long,
+      partitions: Int = 32,
+      reliable: Boolean = false): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    // struct orders lexicographically: (-priority, id) ascending ==
+    // priority descending with id tiebreak
+    sequencePack(df, idCol, tokens,
+      struct((-priority).as("np"), col(idCol).as("tb")),
+      capacity = Long.MaxValue, partitions = partitions,
+      reliable = reliable)
+      .filter(col("start_off") + col("n_tokens") <= budget)
+      .select(col(idCol), col("n_tokens"), col("start_off"))
+  }
+
   /** Fixed-token chunking with overlap — the context-window split a
     * RAG / long-document pipeline runs before embedding or packing:
     * chunk i of a document covers tokens

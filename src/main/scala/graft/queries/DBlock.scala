@@ -606,6 +606,21 @@ object DBlock {
         numShards = 8, seed = "epoch0")
         .orderBy(col("doc_id"))),
 
+    // D36: token-budget selection — "we can afford B training
+    // tokens" → keep the longest priority-ordered PREFIX that fits
+    // (priority = n_chars here, id tiebreak; prefix-cut, not
+    // knapsack back-fill — monotone in priority, so the cut is
+    // auditable). Rides sequencePack's two-phase prefix sum (never
+    // a single-partition global window); fully oracle-checked.
+    "d47_budget_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      Packing.budgetSelect(docs, "doc_id",
+        size(Dedup.tokens(col("text"))).cast("long"),
+        col("n_chars"), budget = 10000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // D29: incremental (batch-vs-corpus) dedup — the ingestion
     // screen: a 1/16 md5 slice of documents plays the arriving
     // batch, the rest is the existing corpus; batch docs duplicating
@@ -1067,6 +1082,24 @@ object DBlock {
         |WHERE rk <= 3 ORDER BY doc_id""".stripMargin,
 
     "d43_decontaminate" -> decontaminateSql,
+
+    // exclusive running total re-derived with a 1-PRECEDING window
+    // over the same (n_chars DESC, doc_id) priority order
+    "d47_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n,
+        |    n_chars
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), o AS (
+        |  SELECT doc_id, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS off
+        |  FROM t
+        |)
+        |SELECT doc_id, n AS n_tokens, off AS start_off
+        |FROM o WHERE off + n <= 10000 ORDER BY doc_id""".stripMargin,
 
     "d44_redact_pii" -> redactPiiSql,
 

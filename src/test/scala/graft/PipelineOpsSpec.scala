@@ -164,6 +164,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(b != a, "a different seed must reshuffle")
   }
 
+  test("budgetSelect: prefix cut in priority order, no knapsack back-fill, partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Seq(
+      // (id, n_tokens, priority)
+      (1L, "t1 t2 t3 t4", 50L),   // kept: off 0, 4 tokens
+      (2L, "t1 t2 t3", 40L),      // kept: off 4, total 7
+      (3L, "t1 t2 t3 t4 t5", 30L),// off 7, 7+5 > 8 → dropped
+      (4L, "t1", 20L)             // fits (7+1=8) but AFTER the cut → dropped
+    ).toDF("doc_id", "text", "pri")
+    def run(parts: Int): Map[Long, (Long, Long)] =
+      graft.operators.Packing.budgetSelect(docs, "doc_id",
+        org.apache.spark.sql.functions.size(
+          graft.operators.Dedup.tokens(col("text"))).cast("long"),
+        col("pri"), budget = 8L, partitions = parts)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    val res = run(4)
+    // doc 4 would fit the remaining budget but sits past the cut —
+    // prefix semantics keep the priority line auditable
+    assert(res == Map(1L -> ((4L, 0L)), 2L -> ((3L, 4L))), s"got $res")
+    assert(run(1) == res && run(7) == res,
+      "budget cut must not depend on partitioning")
+    // a budget below the top-priority doc keeps nothing
+    assert(run(4).nonEmpty)
+    val none = graft.operators.Packing.budgetSelect(docs, "doc_id",
+      org.apache.spark.sql.functions.size(
+        graft.operators.Dedup.tokens(col("text"))).cast("long"),
+      col("pri"), budget = 3L, partitions = 4).count()
+    assert(none == 0)
+  }
+
   test("capPerStratum: cap respected, deterministic, nested across caps") {
     import spark.implicits._
     val docs = (0L until 300L)
