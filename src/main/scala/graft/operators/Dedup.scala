@@ -506,16 +506,29 @@ object Dedup {
       md5Sig: Boolean = false,
       numBuckets: Int = 8): Unit = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
+    // _bands/_docs need ids (candidates carry corpus ids; a null id
+    // can never equi-join back, matching dedupAgainst's observable
+    // near-screen). _ch deliberately keeps null-id rows: the exact
+    // screen is about CONTENT, and dedupAgainst's corpusHashes
+    // filters only null text — the indexed screen must agree.
     val live = corpus.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    // one cached sig pass feeds both bucketed writes — re-minhashing
+    // the corpus for the second write would double the build's
+    // dominant cost (the _ch scan below is a single pruned text
+    // column, cheap by comparison)
     val sig = screenSigs(live, idCol, textCol, shingleK, numPerms, md5Sig)
-    Bucketing.writeBucketed(screenBandRows(sig, bands, numPerms / bands),
-      s"${name}_bands", "band_hash", numBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Bucketing.writeBucketed(screenBandRows(sig, bands, numPerms / bands),
+        s"${name}_bands", "band_hash", numBuckets)
+      Bucketing.writeBucketed(
+        sig.select(col("doc_id"), size(col("sh")).as("sz"),
+          hashedSet(col("sh")).as("shh")),
+        s"${name}_docs", "doc_id", numBuckets)
+    } finally sig.unpersist()
     Bucketing.writeBucketed(
-      sig.select(col("doc_id"), size(col("sh")).as("sz"),
-        hashedSet(col("sh")).as("shh")),
-      s"${name}_docs", "doc_id", numBuckets)
-    Bucketing.writeBucketed(
-      live.select(md5(col(textCol)).as("ch")).distinct(),
+      corpus.filter(col(textCol).isNotNull)
+        .select(md5(col(textCol)).as("ch")).distinct(),
       s"${name}_ch", "ch", numBuckets)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -595,14 +608,18 @@ object Dedup {
       indexMeta(spark, name)
     val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
     val sig = screenSigs(live, idCol, textCol, shingleK, numPerms, md5Sig)
-    Bucketing.appendBucketed(screenBandRows(sig, bands, numPerms / bands),
-      s"${name}_bands", "band_hash", numBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Bucketing.appendBucketed(screenBandRows(sig, bands, numPerms / bands),
+        s"${name}_bands", "band_hash", numBuckets)
+      Bucketing.appendBucketed(
+        sig.select(col("doc_id"), size(col("sh")).as("sz"),
+          hashedSet(col("sh")).as("shh")),
+        s"${name}_docs", "doc_id", numBuckets)
+    } finally sig.unpersist()
     Bucketing.appendBucketed(
-      sig.select(col("doc_id"), size(col("sh")).as("sz"),
-        hashedSet(col("sh")).as("shh")),
-      s"${name}_docs", "doc_id", numBuckets)
-    Bucketing.appendBucketed(
-      live.select(md5(col(textCol)).as("ch")).distinct(),
+      docs.filter(col(textCol).isNotNull)
+        .select(md5(col(textCol)).as("ch")).distinct(),
       s"${name}_ch", "ch", numBuckets)
   }
 

@@ -171,10 +171,13 @@ object Packing {
     * RAG / long-document pipeline runs before embedding or packing:
     * chunk i of a document covers tokens
     * [i·stride + 1, min(i·stride + chunkSize, n)] (1-based,
-    * inclusive), for i in 0 .. ceil(max(n − chunkSize, 0) / stride);
-    * overlapping when stride < chunkSize, the final chunk may be
-    * partial but never empty, and a document never emits a chunk
-    * whose start lies beyond its last token.
+    * inclusive), for i in 0 .. min(ceil(max(n − chunkSize, 0) /
+    * stride), floor((n − 1) / stride)); overlapping when stride <
+    * chunkSize, gapped when stride > chunkSize, the final chunk may
+    * be partial but never empty, and a document never emits a chunk
+    * whose start lies beyond its last token (the floor term bites
+    * exactly when stride > chunkSize, where the ceil term alone
+    * would emit a phantom empty chunk past the end).
     *
     * Scale shape: a pure projection + one Generate (the chunk-index
     * sequence explodes per document; the token array never leaves
@@ -197,10 +200,13 @@ object Packing {
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
       .withColumn("__n", size(col("__w")))
-      // ceil(max(n - chunkSize, 0) / stride) last chunk index
+      // last chunk index: ceil(max(n - chunkSize, 0) / stride),
+      // capped at floor((n - 1) / stride) so no start exceeds n
       .withColumn("__last",
-        ceil(greatest(col("__n") - chunkSize, lit(0)).cast("double") / stride)
-          .cast("int"))
+        least(
+          ceil(greatest(col("__n") - chunkSize, lit(0)).cast("double") / stride)
+            .cast("int"),
+          floor((col("__n") - 1).cast("double") / stride).cast("int")))
     toks
       .select(col(idCol), col("__w"), col("__n"),
         posexplode(transform(sequence(lit(0), col("__last")),

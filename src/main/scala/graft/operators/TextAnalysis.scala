@@ -206,22 +206,30 @@ object TextAnalysis {
     * engine: no nested unbounded repeats).
     *
     * Returns (idCol, clean_text, n_emails, n_ips, n_digit_runs):
-    * counts are pre-redaction occurrence counts per pattern on the
-    * ORIGINAL text (the email count is not inflated by `<IP>`
-    * tokens, etc.). Null-text rows are dropped. */
+    * each count is taken on the text with the EARLIER patterns
+    * already redacted, so it reports what this pattern actually
+    * redacted — a digit run living inside an email address counts
+    * as (part of) that email, never additionally as a digit run
+    * (counts on the original text would report phantom PII the
+    * email pass had already neutralized, skewing the
+    * filter-vs-redact policy the counts exist to feed).
+    * Null-text rows are dropped. */
   def redactPii(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val t = col(textCol)
+    val Seq((emailRe, emailTok), (ipRe, ipTok), (numRe, _)) = piiPatterns
+    val afterEmail = regexp_replace(t, emailRe, emailTok)
+    val afterIp = regexp_replace(afterEmail, ipRe, ipTok)
     val redacted = piiPatterns.foldLeft(t) {
       case (acc, (re, tok)) => regexp_replace(acc, re, tok)
     }
     df.filter(col(idCol).isNotNull && t.isNotNull)
       .select(col(idCol), redacted.as("clean_text"),
-        size(regexp_extract_all(t, lit(piiPatterns(0)._1), lit(0)))
+        size(regexp_extract_all(t, lit(emailRe), lit(0)))
           .as("n_emails"),
-        size(regexp_extract_all(t, lit(piiPatterns(1)._1), lit(0)))
+        size(regexp_extract_all(afterEmail, lit(ipRe), lit(0)))
           .as("n_ips"),
-        size(regexp_extract_all(t, lit(piiPatterns(2)._1), lit(0)))
+        size(regexp_extract_all(afterIp, lit(numRe), lit(0)))
           .as("n_digit_runs"))
   }
 }

@@ -830,15 +830,22 @@ object DBlock {
        |      ELSE '' END AS pii_text
        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
        |)
+       |, r AS (
+       |  SELECT doc_id, pii_text,
+       |    regexp_replace(pii_text, '${q(emailRe)}', '$emailTok', 'g')
+       |      AS after_email
+       |  FROM p
+       |), r2 AS (
+       |  SELECT doc_id, pii_text, after_email,
+       |    regexp_replace(after_email, '${q(ipRe)}', '$ipTok', 'g') AS after_ip
+       |  FROM r
+       |)
        |SELECT doc_id,
-       |  regexp_replace(regexp_replace(regexp_replace(pii_text,
-       |    '${q(emailRe)}', '$emailTok', 'g'),
-       |    '${q(ipRe)}', '$ipTok', 'g'),
-       |    '${q(numRe)}', '$numTok', 'g') AS clean_text,
+       |  regexp_replace(after_ip, '${q(numRe)}', '$numTok', 'g') AS clean_text,
        |  CAST(len(regexp_extract_all(pii_text, '${q(emailRe)}')) AS INT) AS n_emails,
-       |  CAST(len(regexp_extract_all(pii_text, '${q(ipRe)}')) AS INT) AS n_ips,
-       |  CAST(len(regexp_extract_all(pii_text, '${q(numRe)}')) AS INT) AS n_digit_runs
-       |FROM p ORDER BY doc_id""".stripMargin
+       |  CAST(len(regexp_extract_all(after_email, '${q(ipRe)}')) AS INT) AS n_ips,
+       |  CAST(len(regexp_extract_all(after_ip, '${q(numRe)}')) AS INT) AS n_digit_runs
+       |FROM r2 ORDER BY doc_id""".stripMargin
   }
 
   /** d38 oracle: the [[substringDedupSql]] gram/island machinery with
@@ -1061,7 +1068,8 @@ object DBlock {
         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |), c AS (
         |  SELECT doc_id, ws, len(ws) AS n,
-        |    CAST(ceil(greatest(len(ws) - 64, 0) / 48.0) AS INT) AS last
+        |    least(CAST(ceil(greatest(len(ws) - 64, 0) / 48.0) AS INT),
+        |      CAST(floor((len(ws) - 1) / 48.0) AS INT)) AS last
         |  FROM t
         |)
         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,

@@ -592,6 +592,25 @@ class DedupSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSet
       assert(kept2 == Set(22L), s"md5Sig=$md5Sig second batch kept $kept2")
     }
+
+    // a NULL-ID corpus row still contributes its content hash (the
+    // exact screen is about content; dedupAgainst's corpusHashes
+    // filters only null text, and the index must agree)
+    val nullIdCorpus = Seq(
+      (Some(1L), "a plain corpus doc with several distinct words inside"),
+      (None, "content owned by a row whose id never materialized sadly")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (30L, "content owned by a row whose id never materialized sadly"),
+      (31L, "a completely new probe document with fresh content words")
+    ).toDF("doc_id", "text")
+    Dedup.buildDedupIndex(nullIdCorpus, "doc_id", "text", "t_idx_nullid")
+    val directKept = Dedup.dedupAgainst(probe, nullIdCorpus, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val indexKept = Dedup.dedupAgainstIndex(probe, "doc_id", "text",
+      "t_idx_nullid").collect().map(_.getLong(0)).toSet
+    assert(indexKept == directKept && indexKept == Set(31L),
+      s"null-id corpus content must screen exactly: $indexKept vs $directKept")
   }
 
   test("decontaminate: planted leak flagged with positional counts, clean and short docs report 0") {

@@ -109,6 +109,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       (2L, 0, 1, 3, "a b c"),
       (3L, 0, 1, 8, (1 to 8).map(i => s"u$i").mkString(" "))
     ), s"got $chunks")
+    // stride > chunkSize (gapped sampling): no phantom chunk past
+    // the end — a 19-token doc at cs=8, stride=10 holds starts 1 and
+    // 11 only (the uncapped ceil((19-8)/10) = 2 would emit an empty
+    // chunk at start 21 with a negative token count)
+    val gapped = graft.operators.Packing
+      .tokenChunks(Seq((9L, (1 to 19).map(i => s"g$i").mkString(" ")))
+        .toDF("doc_id", "text"), "doc_id", "text", chunkSize = 8, stride = 10)
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(gapped == Set((0, 1, 8), (1, 11, 8)), s"got $gapped")
     // chunking is a projection + Generate — nothing shuffles
     val plan = graft.operators.Packing
       .tokenChunks(docs, "doc_id", "text", 8, 4)
@@ -135,6 +146,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(res(3L) == (("acct <NUM> ref <NUM>x but 12345678 is too short", 0, 0, 2)))
     assert(res(4L) == (("nothing sensitive here at all", 0, 0, 0)))
     assert(res(5L) == (("mixed <EMAIL> <IP> <NUM>", 1, 1, 1)))
+    // a digit run INSIDE an email counts as that email, not
+    // additionally as a digit run (counts are taken on the text with
+    // earlier patterns already redacted)
+    val nested = TextAnalysis.redactPii(
+      Seq((9L, "contact 123456789@bank.com now")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(nested.getString(1) == "contact <EMAIL> now")
+    assert((nested.getInt(2), nested.getInt(3), nested.getInt(4)) == ((1, 0, 0)),
+      s"nested digit run must not double-count: $nested")
     // a pure scan projection — nothing shuffles
     val plan = TextAnalysis.redactPii(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
