@@ -623,6 +623,26 @@ object Dedup {
       s"${name}_ch", "ch", numBuckets)
   }
 
+  /** Maintenance pass for a [[buildDedupIndex]] index that has
+    * accreted appends: rewrites each of the three tables to one file
+    * per bucket (each [[appendToDedupIndex]] adds a file per bucket,
+    * so after K batches every screen opens K× the files), and
+    * re-distincts `_ch` (per-batch appends are batch-distinct, not
+    * globally distinct — harmless for anti-join semantics, but
+    * compaction is the natural place to shed the duplicates). Same
+    * staged drop+rename swap as [[graft.sources.Bucketing
+    * .compactBucketed]]: the live table is replaced only after its
+    * compacted copy fully exists. */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    val (_, _, _, _, numBuckets) = indexMeta(spark, name)
+    Bucketing.compactBucketed()(spark, s"${name}_bands", "band_hash",
+      numBuckets)
+    Bucketing.compactBucketed()(spark, s"${name}_docs", "doc_id", numBuckets)
+    Bucketing.compactBucketed(_.distinct())(spark, s"${name}_ch", "ch",
+      numBuckets)
+  }
+
   /** The shared positional gram pipeline under [[crossDocSpans]] and
     * [[gramProfile]]: one scan — tokenize, [[graft.functions
     * .WordGrams]] emits every k-token gram in positional order (one

@@ -71,6 +71,36 @@ object Bucketing {
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
+  /** Rewrites a bucketed table accreted by [[appendBucketed]] back to
+    * one file per bucket (every append adds a file per bucket; after
+    * K appends each bucketed scan opens K× the files). The rewrite
+    * stages into a `__compact_tmp` table first and swaps via
+    * drop+rename, so the live table is replaced only after the
+    * compacted copy fully exists; a crash between the drop and the
+    * rename is recovered on the next call (within a session — the
+    * in-memory catalog doesn't survive a restart, and a lost index
+    * table is rebuildable from its source by construction). */
+  def compactBucketed(
+      df: DataFrame => DataFrame = identity)(
+      spark: SparkSession, table: String, bucketCol: String,
+      numBuckets: Int): Unit = {
+    val tmp = s"${table}__compact_tmp"
+    if (!spark.catalog.tableExists(table)) {
+      require(spark.catalog.tableExists(tmp),
+        s"neither $table nor its compact staging exists")
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+      return
+    }
+    dropStale(spark, tmp)
+    df(spark.table(table)).write
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
   /** Event-store layout for user-centric workloads: dt/hour PARTITIONS
     * (time-range directory pruning, like [[EventStore.write]]) plus
     * userid BUCKETS inside each partition — per-user aggregations,

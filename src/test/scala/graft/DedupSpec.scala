@@ -593,6 +593,39 @@ class DedupSpec extends AnyFunSuite {
       assert(kept2 == Set(22L), s"md5Sig=$md5Sig second batch kept $kept2")
     }
 
+    // after appends, compaction shrinks per-bucket files, dedups the
+    // accreted content hashes, and the screen's verdicts are
+    // untouched
+    val cName = "t_idx_compact"
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", cName, numBuckets = 2)
+    Dedup.appendToDedupIndex(
+      Seq((40L, "appended doc number one with some words in it"))
+        .toDF("doc_id", "text"), "doc_id", "text", cName)
+    Dedup.appendToDedupIndex(
+      Seq((41L, "appended doc number two with other words in it"))
+        .toDF("doc_id", "text"), "doc_id", "text", cName)
+    def bandFiles(): Int = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"${cName}_bands")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).count(f => f.isFile &&
+        !f.getPath.getName.startsWith("_"))
+    }
+    val before = bandFiles()
+    val probe2 = Seq(
+      (50L, "appended doc number one with some words in it"), // dup of 40
+      (51L, "never seen anywhere fresh probe content entirely new")
+    ).toDF("doc_id", "text")
+    val preCompact = Dedup.dedupAgainstIndex(probe2, "doc_id", "text", cName)
+      .collect().map(_.getLong(0)).toSet
+    Dedup.compactDedupIndex(spark, cName)
+    val after = bandFiles()
+    assert(after < before, s"compaction must shrink files: $before -> $after")
+    val postCompact = Dedup.dedupAgainstIndex(probe2, "doc_id", "text", cName)
+      .collect().map(_.getLong(0)).toSet
+    assert(postCompact == preCompact && postCompact == Set(51L),
+      s"compaction changed verdicts: $preCompact -> $postCompact")
+
     // a NULL-ID corpus row still contributes its content hash (the
     // exact screen is about content; dedupAgainst's corpusHashes
     // filters only null text, and the index must agree)
