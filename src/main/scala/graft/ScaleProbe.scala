@@ -47,7 +47,9 @@ object ScaleProbe {
     "d27_text_dedup",       // full text dedup pipeline
     "d43_decontaminate",    // broadcast holdout gram screen
     "d44_redact_pii",       // regex scrub scan
-    "d45_shuffle_shard")    // shard-keyed window
+    "d45_shuffle_shard",    // shard-keyed window
+    "d46_indexed_dedup",    // index build + screen end to end
+    "d47_budget_select")    // two-phase prefix sum + budget filter
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
