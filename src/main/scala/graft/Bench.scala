@@ -35,10 +35,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def force(name: String): Double = {
+    def forceDf(name: String,
+        mk: () => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
+      try mk().write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
@@ -47,6 +47,8 @@ object Bench {
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
       dt
     }
+    def force(name: String): Double =
+      forceDf(name, () => SparkEntry.queries(name)(spark, sfDir))
 
     // warm-up: JIT, codegen cache, parquet footers — touch every
     // source table once so the first measured query on each table
@@ -90,8 +92,32 @@ object Bench {
     // one-time side effects (store builds, checkpoint materialization)
     // are paid before the measured pass; its total is kept as
     // "cold_total" for the record.
-    val coldResults = names.map(n => n -> force(n))
-    val results = names.map(n => n -> force(n))
+    // d46's registry entry deliberately pays a full index BUILD +
+    // screen per run so its oracle covers the whole cycle; the
+    // steady per-batch cost of the production path is the SCREEN
+    // alone over a prebuilt index. Build once here (warm-up-style,
+    // like the a11/a16 stores) and time only the screen as the
+    // bench-only entry d46_screen.
+    val screenOnly: Option[() => org.apache.spark.sql.DataFrame] =
+      if (qArgs.nonEmpty) None else try {
+        import org.apache.spark.sql.functions.{col, md5, substring}
+        val docs = graft.sources.Tables.documents(spark, sfDir)
+          .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        val isBatch =
+          substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+        graft.operators.Dedup.buildDedupIndex(docs.filter(!isBatch),
+          "doc_id", "text", name = "d46bench_idx", md5Sig = true)
+        val batch = docs.filter(isBatch)
+        Some(() => graft.operators.Dedup.dedupAgainstIndex(
+          batch, "doc_id", "text", name = "d46bench_idx"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] d46_screen setup: ${e.getMessage}")
+        None
+      }
+    val coldResults = names.map(n => n -> force(n)) ++
+      screenOnly.map(mk => "d46_screen" -> forceDf("d46_screen", mk))
+    val results = names.map(n => n -> force(n)) ++
+      screenOnly.map(mk => "d46_screen" -> forceDf("d46_screen", mk))
     def fmt(v: Double, dec: Int): String = // Locale.ROOT: a comma decimal point would corrupt the JSON
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     val coldTotal = coldResults.map(_._2).filter(_ >= 0).sum

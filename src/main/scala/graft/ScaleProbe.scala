@@ -62,6 +62,8 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (args.contains("mega")) { megaGramProbe(spark); spark.stop(); return }
+
     buildIfMissing(spark)
 
     def timeWarm(name: String, dir: String): Double = {
@@ -86,6 +88,134 @@ object ScaleProbe {
       }
     }
     spark.stop()
+  }
+
+  // -----------------------------------------------------------------
+  // Mega-gram / zipf stress (`runMain graft.ScaleProbe mega`): the
+  // salted sf1 corpus preserves sf0.1's gram distribution, which is
+  // exactly why the round-9 probe could not see the window-skew risk
+  // in d33/d36/d37/d38 — no single gram or token dominates. This
+  // variant plants the adversarial shape: ONE 8-token boilerplate
+  // block repeated ~130× in 30 % of a 10× corpus (≈ 2M occurrences of
+  // each of its 8 cyclic grams; its tokens are the zipf-head stress
+  // for d33), then times the PRODUCTION operators (de-skewed
+  // agg+join form) against probe-local reimplementations of the
+  // round-9 `... OVER (PARTITION BY h)` window form on the SAME
+  // corpus. The window form must sort-and-buffer every occurrence of
+  // a hot gram in one task; the aggregate form streams them.
+  // -----------------------------------------------------------------
+  private val SfMega = "/root/repo/tmp/sfmega"
+
+  private def megaGramProbe(spark: SparkSession): Unit = {
+    buildMegaIfMissing(spark)
+    import graft.operators.{Dedup, TextAnalysis}
+    import org.apache.spark.sql.expressions.Window
+
+    val docs = spark.read.parquet(s"$SfMega/documents.parquet")
+
+    // ---- round-9 window forms, verbatim shapes (probe-only) ----
+    def windowSpans(): DataFrame = {
+      val grams = Dedup.gramHashes(docs, "doc_id", "text", 8)
+      val byGram = Window.partitionBy(col("h"))
+      val hits = grams
+        .withColumn("__mn", min(col("doc_id")).over(byGram))
+        .withColumn("__mx", max(col("doc_id")).over(byGram))
+        .filter(col("__mn") =!= col("__mx"))
+        .select(col("doc_id"), col("pos"))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      hits
+        .withColumn("__brk",
+          when(col("pos") - lag(col("pos"), 1).over(byDoc) > 8, 1).otherwise(0))
+        .withColumn("__island", sum(col("__brk")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("__island"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + 7).as("span_end"),
+          count(lit(1)).as("n_grams"))
+    }
+    def windowProfile(): DataFrame = {
+      val grams = Dedup.gramHashes(docs, "doc_id", "text", 8)
+      val byGram = Window.partitionBy(col("h"))
+      val byGramDoc = Window.partitionBy(col("h"), col("doc_id"))
+      grams
+        .withColumn("__mn", min(col("doc_id")).over(byGram))
+        .withColumn("__mx", max(col("doc_id")).over(byGram))
+        .withColumn("__c", count(lit(1)).over(byGramDoc))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          round(sum(when(col("__c") > 1, 1L).otherwise(0L)) /
+            count(lit(1)).cast("double"), 4).as("dup_gram_frac"),
+          sum(when(col("__mn") =!= col("__mx"), 1L).otherwise(0L))
+            .as("n_crossdoc_grams"))
+    }
+    def windowLogProb(): DataFrame = {
+      val live = docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val tok = live.select(col("doc_id"),
+        explode(Dedup.tokens(col("text"))).as("t"))
+      val withC = tok.withColumn("c",
+        count(lit(1)).over(Window.partitionBy(col("t"))))
+      val total = live
+        .agg(sum(size(Dedup.tokens(col("text")))).cast("double").as("tot"))
+      withC.crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(log(col("c").cast("double") / col("tot"))), 4)
+            .as("avg_logp"))
+    }
+
+    def timeWarm(label: String, mk: () => DataFrame): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        mk().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); val t = once()
+      System.err.println(f"[mega] $label%-28s $t%8.2f s"); t
+    }
+
+    println("| op (stressed corpus) | window (r9) s | agg+join (r10) s | win/agg |")
+    println("|---|---|---|---|")
+    val cases: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("d36 crossDocSpans", () => windowSpans(),
+        () => Dedup.crossDocSpans(docs, "doc_id", "text", 8)),
+      ("d37 gramProfile", () => windowProfile(),
+        () => Dedup.gramProfile(docs, "doc_id", "text", 8)),
+      ("d33 unigramLogProb", () => windowLogProb(),
+        () => TextAnalysis.unigramLogProb(docs, "doc_id", "text")),
+      ("d38 cutCrossDocSpans", () => windowSpans(), // r9 d38 = spans + cut join; spans dominate
+        () => Dedup.cutCrossDocSpans(docs, "doc_id", "text", 8)))
+    cases.foreach { case (label, win, agg) =>
+      val w = timeWarm(s"$label window", win)
+      val a = timeWarm(s"$label aggjoin", agg)
+      println(f"| $label | $w%.2f | $a%.2f | ${w / a}%.2f |")
+    }
+  }
+
+  private def buildMegaIfMissing(spark: SparkSession): Unit = {
+    val marker = new java.io.File(s"$SfMega/_SUCCESS_PROBE")
+    if (marker.exists()) return
+    new java.io.File(SfMega).mkdirs()
+    val docs = spark.read.parquet(s"$Sf01/documents.parquet")
+    val block = Array.fill(130)((1 to 8).map(i => s"zzmega$i").mkString(" "))
+      .mkString(" ")
+    val copies = (0 until 10).map { i =>
+      val salted =
+        if (i == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1c$i").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      // 30 % of each copy carries the SAME (unsalted) boilerplate
+      // block: one gram key concentrates ~130 × 15k rows
+      salted.withColumn("text",
+        when(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4"),
+          concat(col("text"), lit(" " + block))).otherwise(col("text")))
+    }
+    copies.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$SfMega/documents.parquet")
+    marker.createNewFile()
   }
 
   private def buildIfMissing(spark: SparkSession): Unit = {

@@ -1,44 +1,34 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Profiling scratch main (contents change per investigation). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.functions.SketchFunctions
-    import spark.implicits._
 
-    val docs = Seq((1L, "the quick brown fox the lazy dog"),
-      (2L, "another document with the words")).toDF("doc_id", "text")
-    val q = docs.select(
-      SketchFunctions.textStats(col("text")).as("st"),
-      SketchFunctions.simhash64(split(col("text"), " ")).as("sim"),
-      SketchFunctions.minhash64(split(col("text"), " "), 8).as("mh"),
-      SketchFunctions.winnow(col("text"), 5, 4).as("wn"),
-      SketchFunctions.wordShingles(split(col("text"), " "), 3).as("sh"),
-      SketchFunctions.markerCounts(col("text"), Seq(" the ", " dog ")).as("mc"))
-      .select(col("st"), col("sim"), col("mh"), col("wn"), col("mc"),
-        SketchFunctions.jaccardSorted(
-          sort_array(array_distinct(transform(col("sh"), s => xxhash64(s)))),
-          sort_array(array_distinct(transform(col("sh"), s => xxhash64(s))))).as("jac"))
-
-    val gen = org.apache.spark.sql.execution.debug.codegenString(
-      q.queryExecution.executedPlan)
-    val hasFallback = gen.contains("CodegenFallback")
-    val stages = "WholeStageCodegen".r.findAllIn(gen).length
-    println(s"[scratch] codegen stages=$stages fallback=$hasFallback")
-    // force execution so a Janino failure would surface as the
-    // fallback-with-warning path
-    q.collect().foreach(r => assert(r != null))
-    println("[scratch] executed OK; sample=" + q.head())
+    // Does the reused gram exchange actually fire at runtime under
+    // AQE for the de-skewed d33/d36/d37/d38 shapes? Execute, then
+    // inspect the FINAL adaptive plan for reused stages.
+    for (name <- Seq("d33_unigram_logprob", "d36_substring_dedup",
+        "d37_gram_profile", "d38_span_cut")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString
+      def c(tag: String) = s.linesIterator.count(_.contains(tag))
+      println(s"[scratch] $name final=${s.contains("isFinalPlan=true")} " +
+        s"reusedExchange=${c("ReusedExchange")} " +
+        s"shuffleStages=${c("ShuffleQueryStage")} " +
+        s"exchanges=${c("Exchange") - c("ReusedExchange")} " +
+        s"generates=${c("Generate")} windows=${c("Window")} " +
+        s"sortAgg=${c("SortAggregate")}")
+    }
     spark.stop()
   }
 }

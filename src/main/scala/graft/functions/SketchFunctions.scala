@@ -318,9 +318,12 @@ case class WordGrams(child: Expression, k: Int) extends UnaryExpression {
   * with multiplicity, bit i set iff 2·ones_i >= n. Bit-identical to
   * the explode → 60-way sum aggregate formulation it replaces,
   * including null parity (a null token counts into n without
-  * voting). An EMPTY token array yields the all-bits-set signature —
-  * unreachable via Dedup.tokens (split never returns an empty
-  * array). */
+  * voting). An EMPTY token array yields NULL: every vote 2·0 >= 0
+  * would pass, and the resulting all-bits-set signature would bucket
+  * all empty inputs as near-identical to each other (and to any real
+  * document that legitimately hashes to ~all ones). Unreachable via
+  * Dedup.tokens (split never returns an empty array), but the
+  * registered md5_simhash60 SQL function reaches it with array(). */
 case class Md5SimHash60(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -329,12 +332,21 @@ case class Md5SimHash60(child: Expression) extends UnaryExpression {
       s"Md5SimHash60 requires array<string>, got ${dt.simpleString}")
   }
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any =
-    SketchKernels.md5Simhash60(input.asInstanceOf[ArrayData])
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null
+    else SketchKernels.md5Simhash60(arr)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.md5Simhash60($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() == 0) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.SketchKernels.md5Simhash60($c);
+      }""")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

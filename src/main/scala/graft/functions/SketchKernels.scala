@@ -199,10 +199,17 @@ object SketchKernels {
     * (left-to-right, exact: products <= 127·8, sums exact in
     * double), sign test >= 0 sets bit p. Bit-identical to the
     * nested-HOF formulation and to the DuckDB oracle's list
-    * arithmetic. Null elements contribute 0 (unreachable). */
+    * arithmetic. Null elements contribute 0 (unreachable). A vector
+    * whose length differs from `dim` is rejected loudly: the HOF
+    * formulation null-propagated a short vector through zip_with,
+    * and a silent zero-pad here would diverge from it through the
+    * registered md5_plane_sig SQL function. */
   def md5PlaneSig(arr: ArrayData, bits: Int, dim: Int): Long = {
+    val n = arr.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(
+        s"md5_plane_sig: vector length $n != dim $dim")
     val pl = planes(bits, dim)
-    val n = math.min(arr.numElements(), dim)
     var sig = 0L
     var p = 0
     while (p < bits) {

@@ -478,7 +478,10 @@ object Dedup {
     * bucketed managed tables:
     *
     *   - `<name>_bands` (doc_id, sz, band_id, band_hash), bucketed
-    *     by band_hash — the candidate equi-join side;
+    *     by band_hash — the candidate equi-join side. The screen
+    *     joins on band_hash ALONE (the band index is folded into the
+    *     hash), so this single-column bucketing satisfies the join's
+    *     clustering exactly and the index side never re-shuffles;
     *   - `<name>_docs` (doc_id, sz, shh), bucketed by doc_id — the
     *     hashed shingle sets candidate verification re-joins;
     *   - `<name>_ch` (ch), bucketed by ch — distinct content hashes
@@ -569,9 +572,19 @@ object Dedup {
     val spark = batch.sparkSession
     val (shingleK, numPerms, bands, md5Sig, _) = indexMeta(spark, name)
     val bSig = screenSigs(batch, idCol, textCol, shingleK, numPerms, md5Sig)
-    val candidates = screenBandRows(bSig, bands, numPerms / bands).as("a")
-      .join(spark.table(s"${name}_bands").as("b"),
-        Seq("band_id", "band_hash"))
+    // join on band_hash ALONE: the band index is already folded into
+    // the hash (screenBandRows seeds xxhash64 with it), so equality
+    // on band_hash implies same-band equality up to a 2^-64 collision
+    // whose only effect is one extra candidate for the exact-Jaccard
+    // verification to reject. The payoff is that the index side's
+    // single-column band_hash bucketing now genuinely satisfies the
+    // join's clustering — a (band_id, band_hash) key required a
+    // two-column distribution the bucketing could not provide, so
+    // the index silently re-shuffled whenever the batch was too
+    // large for AQE to broadcast.
+    val candidates = screenBandRows(bSig, bands, numPerms / bands)
+      .drop("band_id").as("a")
+      .join(spark.table(s"${name}_bands").as("b"), Seq("band_hash"))
       .filter(least(col("a.sz"), col("b.sz")).cast("double") >=
         lit(threshold) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("corpus_id"))
@@ -623,6 +636,49 @@ object Dedup {
       s"${name}_ch", "ch", numBuckets)
   }
 
+  /** Keep-one dedup WITHIN one batch, with the SAME sketch
+    * arithmetic as a [[buildDedupIndex]] index (parameters read from
+    * `<name>_meta`): [[dedupAgainstIndex]] screens a batch against
+    * the corpus but never against itself, so a micro-batch carrying
+    * its own duplicates would land every copy. This closes that gap:
+    *
+    *   1. exact: one row per content hash survives — deterministic
+    *      (smallest id wins, a null id never beats a real one);
+    *      null-TEXT rows all pass (no content, nothing to
+    *      duplicate — the [[dedupAgainst]] convention);
+    *   2. near: banded-minhash pairs among the exact survivors
+    *      (the [[minhashPairs]] machinery at the index's
+    *      shingleK/numPerms/bands), verified at shingle-Jaccard >=
+    *      `threshold`, transitive families collapsed via
+    *      [[components]], the min-id root kept.
+    *
+    * Batch-sized work only: the corpus/index is never touched.
+    * Returns surviving batch rows, columns intact. */
+  def dedupWithinBatch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      name: String,
+      threshold: Double = 0.5): DataFrame = {
+    val (shingleK, numPerms, bands, md5Sig, _) =
+      indexMeta(batch.sparkSession, name)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__graft_ch"))
+      .orderBy(col(idCol).asc_nulls_last)
+    val exactKept = batch
+      .withColumn("__graft_ch", md5(col(textCol)))
+      .withColumn("__graft_rk",
+        when(col("__graft_ch").isNull, lit(1))
+          .otherwise(row_number().over(w)))
+      .filter(col("__graft_rk") === 1)
+      .drop("__graft_ch", "__graft_rk")
+    val sigs = screenSigs(exactKept, idCol, textCol, shingleK, numPerms,
+      md5Sig)
+    val pairs = bandPairsFromSigs(sigs, numPerms / bands, bands, threshold)
+      .select(col("id_a"), col("id_b"))
+    dropNearDuplicates(exactKept, idCol, pairs)
+  }
+
   /** Maintenance pass for a [[buildDedupIndex]] index that has
     * accreted appends: rewrites each of the three tables to one file
     * per bucket (each [[appendToDedupIndex]] adds a file per bucket,
@@ -641,6 +697,31 @@ object Dedup {
     Bucketing.compactBucketed()(spark, s"${name}_docs", "doc_id", numBuckets)
     Bucketing.compactBucketed(_.distinct())(spark, s"${name}_ch", "ch",
       numBuckets)
+  }
+
+  /** Re-opens a [[buildDedupIndex]] index in a FRESH session: the
+    * default in-memory catalog forgets every managed table on
+    * restart, but the index's bucketed parquet directories (bucket
+    * ids encoded in the file names) persist in the warehouse. This
+    * re-registers all four tables from their surviving directories —
+    * bucket specs restored from `<name>_meta`, which is registered
+    * first — after finishing any compaction swap a prior process
+    * died inside ([[graft.sources.Bucketing.finishInterruptedSwap]]:
+    * the durable marker + complete staging directory make the swap
+    * recoverable across restarts, not just within a session).
+    * Idempotent; no-op for tables the catalog already knows. */
+  def openDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    require(Bucketing.registerExisting(spark, s"${name}_meta", None),
+      s"no persisted dedup index named '$name' in the warehouse")
+    val (_, _, _, _, numBuckets) = indexMeta(spark, name)
+    Seq(s"${name}_bands" -> "band_hash", s"${name}_docs" -> "doc_id",
+      s"${name}_ch" -> "ch").foreach { case (table, bucketCol) =>
+      Bucketing.finishInterruptedSwap(spark, table)
+      require(Bucketing.registerExisting(spark, table,
+        Some((bucketCol, numBuckets))),
+        s"dedup index '$name' is missing its $table table")
+    }
   }
 
   /** The shared positional gram pipeline under [[crossDocSpans]] and
@@ -663,6 +744,55 @@ object Dedup {
         md5Hash60(col("col")).as("h"))
   }
 
+  /** The de-skewed cross-doc gram machinery shared by [[gramProfile]],
+    * [[crossDocSpans]] and [[cutCrossDocSpans]]: ONE explicit
+    * gram-hash shuffle below every consumer (`repartition(h)` — the
+    * [[bandPairsFromSigs]]/[[simhashPairsFromSigs]] ReuseExchange
+    * pattern, so the scan+tokenize+gram+md5 pipeline materializes
+    * once), plus a per-hash min/max doc-id AGGREGATE on that
+    * partitioning.
+    *
+    * Why an aggregate + join-back and not `min/max OVER (PARTITION BY
+    * h)` (the round-9 form): a window function must SORT its task's
+    * rows by the partition key and BUFFER each key's entire row group
+    * (WindowExec's spillable row array) before emitting — and neither
+    * partial aggregation nor AQE's skew-split applies to a Window
+    * node, so a boilerplate mega-gram (a license header repeated in
+    * 10^8 documents of a 100 TB corpus) lands its whole row set in
+    * one sorting, spilling task. The aggregate form streams those
+    * same rows through a hash aggregate (one entry per hash — no
+    * sort, no row buffer, no spill) and the flag comes back via a
+    * SHUFFLE_HASH-hinted join that builds on the per-hash STATS side
+    * (distinct hashes, bounded per partition) and STREAMS the
+    * instance side — the hot key costs two linear streaming passes
+    * instead of a sort+buffer straggler, and the join (unlike the
+    * window) is a shape AQE's skew machinery can split further.
+    * Returns (keyed, stats): `keyed` the h-partitioned gram rows,
+    * `stats` one (h, __mn, __mx) row per hash on the same
+    * partitioning (zero additional exchanges). */
+  private def gramKeyedStats(grams: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = grams.repartition(col("h"))
+    // `when(pos >= 1, doc_id)` is exactly doc_id (pos is 1-based, so
+    // the guard always holds), but the pos REFERENCE is load-bearing:
+    // it keeps the stats subtree's column set identical to the
+    // instance subtree's. With min(doc_id) alone, column pruning
+    // narrows the stats branch BELOW the explicit repartition, the
+    // two Exchange subtrees stop matching canonically, and
+    // ReuseExchange dies — observed in the physical plan as a second
+    // Generate, i.e. the whole scan+tokenize+gram+md5 pipeline
+    // running twice. Two rejected pinning forms: min(struct(doc_id,
+    // pos)) falls off HashAggregate onto SortAggregate (struct
+    // buffer), whose per-partition sort re-creates the very hot-key
+    // sort this shape exists to avoid; doc_id + pos*0 gets
+    // constant-folded back to bare doc_id. The always-true non-literal
+    // guard survives the optimizer and keeps the aggregate a
+    // streaming hash aggregate.
+    val stats = keyed.groupBy(col("h"))
+      .agg(min(when(col("pos") >= 1, col("doc_id"))).as("__mn"),
+        max(col("doc_id")).as("__mx"))
+    (keyed, stats)
+  }
+
   /** Composed per-document gram profile — the Gopher-style duplicate
     * n-gram fraction (intra-doc repetition at span granularity, the
     * k-gram sharpening of d15's distinct-token signal) AND the
@@ -670,36 +800,47 @@ object Dedup {
     * signal) from ONE shared gram pass:
     *
     *   - one [[gramHashes]] scan (shared machinery, one Generate);
-    *   - ONE gram-keyed exchange carrying BOTH window specs: min/max
-    *     doc_id over (h) marks cross-doc grams, count over
-    *     (h, doc_id) marks intra-doc duplicates — HashPartitioning(h)
-    *     satisfies the (h, doc_id) clustering, so the second spec
-    *     adds a sort, never an exchange;
-    *   - ONE doc-keyed exchange for the final per-doc aggregate.
+    *   - ONE gram-keyed exchange ([[gramKeyedStats]] — explicit, so
+    *     ReuseExchange materializes the gram pipeline once) feeding
+    *     BOTH aggregates: per-(h, doc_id) instance counts and
+    *     per-hash min/max doc ids — HashPartitioning(h) satisfies
+    *     the (h, doc_id) clustering, so neither adds an exchange;
+    *   - the SHUFFLE_HASH join-back marries the two on the same
+    *     partitioning (no exchange, no sort — see [[gramKeyedStats]]
+    *     for why this beats the window form on a hot gram);
+    *   - ONE doc-keyed exchange for the final per-doc aggregate,
+    *     over rows already collapsed to distinct (h, doc_id).
     *
     * The composition argument made concrete: when a curation pipeline
     * wants both repetition scoring and substring-dedup candidates,
     * they ride a single corpus pass instead of two (the D13-style
-    * composed-pipeline shape; plan-pinned join-free).
+    * composed-pipeline shape).
     *
     * Returns (doc_id, n_grams, dup_gram_frac, n_crossdoc_grams);
     * documents shorter than k tokens hold no k-gram and are absent.
     */
   def gramProfile(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = gramHashes(docs, idCol, textCol, k)
-    val byGram = Window.partitionBy(col("h"))
-    val byGramDoc = Window.partitionBy(col("h"), col("doc_id"))
-    grams
-      .withColumn("__mn", min(col("doc_id")).over(byGram))
-      .withColumn("__mx", max(col("doc_id")).over(byGram))
-      .withColumn("__c", count(lit(1)).over(byGramDoc))
+    // the profile never reads gram positions, so the exchange carries
+    // only (doc_id, h) — narrower than the spans pipeline's — and both
+    // consumers reference exactly those two columns, so the pruned
+    // branches stay canonically identical and ReuseExchange holds
+    val keyed = gramHashes(docs, idCol, textCol, k)
+      .select(col("doc_id"), col("h"))
+      .repartition(col("h"))
+    val stats = keyed.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+    // instance counts collapse to distinct (h, doc_id) BEFORE the
+    // join and the doc exchange: the per-doc sums below are exact
+    // integer reconstructions of the instance-level aggregates
+    val perDoc = keyed.groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("__c"))
+    perDoc.join(stats.hint("SHUFFLE_HASH"), Seq("h"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        round(sum(when(col("__c") > 1, 1L).otherwise(0L)) /
-          count(lit(1)).cast("double"), 4).as("dup_gram_frac"),
-        sum(when(col("__mn") =!= col("__mx"), 1L).otherwise(0L))
+      .agg(sum(col("__c")).as("n_grams"),
+        round(sum(when(col("__c") > 1, col("__c")).otherwise(0L)) /
+          sum(col("__c")).cast("double"), 4).as("dup_gram_frac"),
+        sum(when(col("__mn") =!= col("__mx"), col("__c")).otherwise(0L))
           .as("n_crossdoc_grams"))
   }
 
@@ -712,19 +853,22 @@ object Dedup {
     * differ). The "deduplicating training data" pass: a downstream
     * cleaner can cut the reported spans from all-but-one holder.
     *
-    * Spark shape — ZERO joins, two keyed exchanges:
+    * Spark shape — two keyed exchanges and one exchange-free
+    * semi-join:
     *   1. One scan: tokenize, [[graft.functions.WordGrams]] emits
     *      every k-token gram in positional order (one kernel pass),
     *      posexplode, [[md5Hash60]] each gram — only the narrow
     *      (doc_id, pos, h) rows ever reach a shuffle; the wide gram
     *      strings live and die inside the scan stage.
-    *   2. ONE gram-keyed exchange: a gram is cross-doc repeated iff
-    *      min(doc_id) != max(doc_id) over its hash — two window
-    *      aggs on the same partition spec (one Exchange), never a
-    *      frequency-table join-back (the d33 triple-eval lesson).
-    *      Skew bound: a universal boilerplate gram lands one hash
-    *      partition, the same bound as any token-keyed shuffle (AQE
-    *      splits oversized partitions).
+    *   2. ONE gram-keyed exchange ([[gramKeyedStats]]): a gram is
+    *      cross-doc repeated iff min(doc_id) != max(doc_id) over its
+    *      hash, computed as a streaming hash AGGREGATE on the
+    *      explicit h-partitioning and married back by an
+    *      exchange-free SHUFFLE_HASH left-semi join (build = the
+    *      filtered per-hash stats, stream = the instance rows).
+    *      ReuseExchange keeps the gram pipeline one corpus pass, and
+    *      a boilerplate mega-gram streams through agg + probe instead
+    *      of sort-buffering one window task — see [[gramKeyedStats]].
     *   3. ONE doc-keyed exchange: gaps-and-islands — positions p, q
     *      (q > p) belong to one span iff q - p <= k (their k-token
     *      windows overlap or touch), so a break opens where
@@ -742,13 +886,16 @@ object Dedup {
     */
   def crossDocSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = gramHashes(docs, idCol, textCol, k)
-    val byGram = Window.partitionBy(col("h"))
-    val hits = grams
-      .withColumn("__mn", min(col("doc_id")).over(byGram))
-      .withColumn("__mx", max(col("doc_id")).over(byGram))
-      .filter(col("__mn") =!= col("__mx"))
+    val (keyed, stats) = gramKeyedStats(gramHashes(docs, idCol, textCol, k))
+    // inner join against the filtered one-row-per-hash stats, not a
+    // left-semi: PushDownLeftSemiAntiJoin pushes a semi join BELOW
+    // the explicit repartition, which splits the reused exchange
+    // (the instance side's shuffle becomes a fresh
+    // ENSURE_REQUIREMENTS exchange that no longer canonically
+    // matches the stats side's). Multiplicity is 1 either way.
+    val crossdoc = stats.filter(col("__mn") =!= col("__mx")).select(col("h"))
+    val hits = keyed
+      .join(crossdoc.hint("SHUFFLE_HASH"), Seq("h"))
       .select(col("doc_id"), col("pos"))
     mergeIslands(hits, k)
   }
@@ -786,8 +933,9 @@ object Dedup {
     * machinery, same islands merge).
     *
     * Shape: the [[gramHashes]] scan + ONE gram-keyed exchange (the
-    * min/max windows) + ONE doc-keyed islands merge as in
-    * [[crossDocSpans]], then the only join in the operator: the
+    * [[gramKeyedStats]] aggregate + exchange-free SHUFFLE_HASH
+    * join-back) + ONE doc-keyed islands merge as in
+    * [[crossDocSpans]], then the reconstruct join: the
     * per-doc cut list (collect_list on the islands' doc partitioning,
     * no extra exchange) joins back to a SECOND narrow scan of the
     * corpus holding the original-case token array, and a codegen-free
@@ -803,13 +951,12 @@ object Dedup {
     * [[gramProfile]]'s dup_gram_frac for intra-doc policy). */
   def cutCrossDocSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = gramHashes(docs, idCol, textCol, k)
-    val byGram = Window.partitionBy(col("h"))
-    val cutHits = grams
-      .withColumn("__mn", min(col("doc_id")).over(byGram))
-      .withColumn("__mx", max(col("doc_id")).over(byGram))
-      .filter(col("__mn") =!= col("__mx") && col("doc_id") =!= col("__mn"))
+    val (keyed, stats) = gramKeyedStats(gramHashes(docs, idCol, textCol, k))
+    // inner join (not semi): the keeper rule needs __mn per row
+    val cutHits = keyed
+      .join(stats.filter(col("__mn") =!= col("__mx")).hint("SHUFFLE_HASH"),
+        Seq("h"))
+      .filter(col("doc_id") =!= col("__mn"))
       .select(col("doc_id"), col("pos"))
     val cuts = mergeIslands(cutHits, k)
       .groupBy(col("doc_id"))

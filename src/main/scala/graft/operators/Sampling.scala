@@ -113,25 +113,74 @@ object Sampling {
     * set of a smaller cap nests inside a larger one's.
     *
     * Scale shape: ONE stratum-keyed exchange + a rank window —
-    * the per-group-top-N standard; a skewed stratum lands one
-    * partition, the same bound as any keyed shuffle (and the cap
-    * itself is the cure: everything past the first `cap` rows of a
-    * monster stratum is dropped at the window, never joined or
-    * aggregated downstream). Null-stratum and null-id rows are
-    * dropped (several null ids in one stratum would tie on both sort
-    * keys, making the kept set run-dependent — the determinism claim
-    * is only honest without them).
+    * the per-group-top-N standard. A MONSTER stratum (one domain at
+    * 30 % of the corpus) would land its entire row set in one
+    * sorting task just to rank-and-drop it; `prefilter = true` adds
+    * the two-phase escape: from the same bounded per-stratum count
+    * aggregate [[temperatureSample]] uses, derive the md5-prefix
+    * threshold that admits ~`prefilterSlack`·cap rows per stratum,
+    * filter MAP-SIDE on it (a codegen'd scan filter — the monster
+    * stratum dies before the exchange), then exact-rank only the
+    * survivors. Exactness is unconditional, not probabilistic: the
+    * kept set is the cap smallest full-md5 rows, every one of which
+    * necessarily carries one of the cap smallest prefixes, so it is
+    * contained in the admitted set whenever the stratum admits >=
+    * min(cap, n) rows — and an in-plan guard (count over the
+    * filtered stratum) RAISES if hash variance ever admits fewer
+    * (P ~ exp(−cap·(s−1)²/2s) at slack s; rerun with a larger
+    * slack), rather than silently returning a different sample.
+    *
+    * Null-stratum and null-id rows are dropped (several null ids in
+    * one stratum would tie on both sort keys, making the kept set
+    * run-dependent — the determinism claim is only honest without
+    * them).
     */
   def capPerStratum(
       df: DataFrame,
       idCol: String,
       strataCol: String,
-      cap: Int): DataFrame = {
+      cap: Int,
+      prefilter: Boolean = false,
+      prefilterSlack: Double = 4.0): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     import org.apache.spark.sql.expressions.Window
+    val live = df.filter(col(strataCol).isNotNull && col(idCol).isNotNull)
+    val base = if (!prefilter) live else {
+      require(prefilterSlack >= 2.0,
+        s"prefilterSlack must be >= 2, got $prefilterSlack")
+      val counts = live
+        .groupBy(col(strataCol).cast("string").as("__s"))
+        .agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      def thr(n: Long): String = {
+        val r = prefilterSlack * cap / n
+        // quantize UP (1/65536ths): the threshold may admit more
+        // than slack·cap, never meaningfully fewer
+        val v = math.ceil(r * 65536).toLong + 1
+        if (r >= 1.0 || v >= 65536L) "g" else f"$v%04x"
+      }
+      val sCol = col(strataCol).cast("string")
+      val threshold = counts.foldLeft(lit("0"): Column) {
+        case (acc, (s, n)) => when(sCol === s, lit(thr(n))).otherwise(acc)
+      }
+      val nTotal = counts.foldLeft(lit(0L): Column) {
+        case (acc, (s, n)) => when(sCol === s, lit(n)).otherwise(acc)
+      }
+      val admitted = count(lit(1))
+        .over(Window.partitionBy(col(strataCol)))
+      live
+        .filter(substring(md5(col(idCol).cast("string")), 1, 4) < threshold)
+        .withColumn("__adm", admitted)
+        .filter(when(col("__adm") >= least(lit(cap.toLong), nTotal),
+          lit(true))
+          .otherwise(raise_error(concat(
+            lit("capPerStratum prefilter clipped stratum "), sCol,
+            lit(" — rerun with a larger prefilterSlack")))))
+        .drop("__adm")
+    }
     val w = Window.partitionBy(col(strataCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.filter(col(strataCol).isNotNull && col(idCol).isNotNull)
+    base
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= cap)
       .drop("__rk")

@@ -115,19 +115,27 @@ object TextAnalysis {
     * pipelines use to drop gibberish and boilerplate outliers. Low
     * `avg_logp` = tokens the corpus rarely uses = quality outlier.
     *
-    * Scale shape: per-token counts come from a WINDOW count over the
-    * token key, not a frequency-table self-join — a join form was
-    * measured to evaluate the scan+explode pipeline three times
-    * (column pruning makes the frequency branch's subtree differ
-    * from the scoring branch's, so ReuseExchange never fires, and
-    * the corpus-total aggregate re-derived it again). The window
-    * rides ONE exchange on the token; zipfian head tokens ("the")
-    * make single heavy partitions, the same skew bound as any
-    * token-keyed shuffle. The corpus total comes from a separate
-    * NARROW scan (sum of per-doc token counts — no explode) and
-    * joins as a broadcast 1-row cross join, never a driver scalar.
-    * Float note: avg-of-ln is rounded to 4 decimals on both engines
-    * (§6's accumulation-order rule).
+    * Scale shape: ONE explicit token-keyed exchange
+    * (`repartition(t)`) below BOTH the frequency aggregate and the
+    * scoring rows, so ReuseExchange materializes the scan+explode
+    * pipeline once (a naive frequency join-back was measured to
+    * evaluate it three times — column pruning made the branches'
+    * implicit-exchange subtrees differ; the explicit shuffle is the
+    * [[Dedup]] banding pattern that pins them identical). Counts are
+    * a streaming hash AGGREGATE on that partitioning, married back
+    * by an exchange-free SHUFFLE_HASH join (build = distinct-token
+    * frequencies, stream = instances) — NOT `count OVER (PARTITION
+    * BY t)`: a window must sort its task and buffer each key's whole
+    * row group, partial aggregation never applies, and AQE cannot
+    * skew-split a Window node, so a zipfian head token ("the" at
+    * ~5 % of a 100 TB corpus) would sort-buffer its entire row set
+    * in one spilling task. The agg + probe form streams it twice,
+    * linearly, and leaves a join shape AQE's skew machinery can
+    * split. The corpus total comes from a separate NARROW scan (sum
+    * of per-doc token counts — no explode) and joins as a broadcast
+    * 1-row cross join, never a driver scalar. Float note: avg-of-ln
+    * is rounded to 4 decimals on both engines (§6's
+    * accumulation-order rule).
     *
     * Returns (doc_id, n_tokens, avg_logp).
     */
@@ -135,9 +143,15 @@ object TextAnalysis {
     val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
     val tok = live.select(col(idCol).as("doc_id"),
       explode(Dedup.tokens(col(textCol))).as("t"))
-    val withC = tok.withColumn("c",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("t"))))
+    val keyed = tok.repartition(col("t"))
+    // count(doc_id), not count(1): ids are non-null here so the value
+    // is identical, but the reference keeps the frequency subtree's
+    // column set equal to the scoring subtree's — count(1) lets
+    // column pruning drop doc_id below the explicit repartition, the
+    // Exchange subtrees stop matching, and ReuseExchange dies (the
+    // scan+explode pipeline then runs twice)
+    val freq = keyed.groupBy(col("t")).agg(count(col("doc_id")).as("c"))
+    val withC = keyed.join(freq.hint("SHUFFLE_HASH"), Seq("t"))
     // same tokens() semantics as the explode (an empty doc tokenizes
     // to [""], size 1), so the total matches the exploded row count
     val total = live

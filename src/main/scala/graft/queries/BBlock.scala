@@ -141,12 +141,22 @@ object BBlock {
         .orderBy(col("l_returnflag"))
     }),
 
-    // B6b: HLL approx distinct — rows-only check (no DuckDB oracle:
-    // sketch estimates are engine-specific); spec asserts <5% error.
+    // B6b: HLL approx distinct, oracle-checked the b20b way: the
+    // ESTIMATE is engine-specific and can never hash-match a SQL
+    // engine, but the CLAIM it exists for can — the engine computes
+    // |approx − exact| <= 3σ (HLL++ at rsd 0.05 → 15 %) as a
+    // boolean next to an exact count DuckDB derives independently,
+    // and the oracle pins the boolean TRUE. The exact countDistinct
+    // runs only to judge the claim; production uses the sketch alone.
     "b6b_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.15)).as("within_3sigma"),
+          col("exact_parts"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -289,10 +299,23 @@ object BBlock {
           col("n"))
         .orderBy(col("o_orderpriority"))),
 
+    // oracle-checked the b20b way: percentile_approx's GK sketch at
+    // accuracy 1000 guarantees rank error <= 1/1000, so the engine
+    // pins "the approx median's value lies between the exact 0.497
+    // and 0.503 quantiles" (±0.001 plus definitional slack for
+    // interpolation-vs-rank) as a boolean; DuckDB pins it TRUE next
+    // to an independently derived group count.
     "b14b_percentiles_approx" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
-        .agg(expr("percentile_approx(o_totalprice, 0.5, 1000)").as("p50_approx"))
+        .agg(expr("percentile_approx(o_totalprice, 0.5, 1000)").as("p50_approx"),
+          expr("percentile(o_totalprice, array(0.497D, 0.503D))").as("bounds"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderpriority"),
+          (col("p50_approx") >= col("bounds").getItem(0) &&
+            col("p50_approx") <= col("bounds").getItem(1))
+            .as("within_rank_err"),
+          col("n"))
         .orderBy(col("o_orderpriority"))),
 
     // B12: explicit two-phase salted aggregation — the skew pattern
@@ -752,6 +775,19 @@ object BBlock {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
         |FROM events WHERE event_type IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the b20b pattern: the engine computes the accuracy claim as a
+    // boolean, the oracle pins it TRUE beside an independently
+    // derived exact count
+    "b6b_approx_distinct" ->
+      """SELECT l_returnflag, TRUE AS within_3sigma,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "b14b_percentiles_approx" ->
+      """SELECT o_orderpriority, TRUE AS within_rank_err,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "b27_auto_range_rewrite" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)

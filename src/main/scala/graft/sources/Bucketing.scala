@@ -18,16 +18,84 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  /** Canonical warehouse directory of a (managed or re-registered)
+    * table. */
+  private def tableDir(spark: SparkSession, table: String) =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Durable record that [[compactBucketed]]'s swap is between its
+    * drop and its rename — the one non-atomic window. Lives in the
+    * warehouse DIRECTORY (not the catalog), so it survives a process
+    * death even under the default in-memory catalog, letting the
+    * next call detect and finish the interrupted swap. */
+  private def swapMarker(spark: SparkSession, table: String) =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"${table.toLowerCase}__swap_pending")
+
   /** Drop a table AND its leftover warehouse directory. A fresh
     * session's in-memory catalog forgets managed tables but their
     * directories persist, and a stale location fails the next CREATE
-    * with LOCATION_ALREADY_EXISTS. */
+    * with LOCATION_ALREADY_EXISTS. Also clears any pending-swap
+    * marker: a rebuild supersedes an interrupted compaction. */
   private def dropStale(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val loc = tableDir(spark, table)
+    val fs = fsOf(spark, loc)
     if (fs.exists(loc)) fs.delete(loc, true)
+    val mk = swapMarker(spark, table)
+    if (fs.exists(mk)) fs.delete(mk, false)
+  }
+
+  /** Cross-restart half of the swap recovery: if a PRIOR PROCESS
+    * died inside [[compactBucketed]]'s drop→rename window (durable
+    * marker present, catalog — having not survived the restart —
+    * knows neither the live nor the staging table), finish the swap
+    * at the filesystem level: the staging directory holds the
+    * complete compacted copy (it is fully written before the marker
+    * appears), so it becomes the live directory. No-op otherwise.
+    * Idempotent. Callers then [[registerExisting]] to restore the
+    * catalog entry. */
+  def finishInterruptedSwap(spark: SparkSession, table: String): Unit = {
+    val tmp = s"${table}__compact_tmp"
+    val mk = swapMarker(spark, table)
+    val fs = fsOf(spark, mk)
+    if (!fs.exists(mk)) return
+    if (spark.catalog.tableExists(table) || spark.catalog.tableExists(tmp))
+      return // in-session state: the catalog-based recovery path owns it
+    val live = tableDir(spark, table)
+    val stage = tableDir(spark, tmp)
+    if (fs.exists(stage)) {
+      // marker ⇒ staging is complete; prefer it over any live leftover
+      if (fs.exists(live)) fs.delete(live, true)
+      fs.rename(stage, live)
+    }
+    fs.delete(mk, false)
+  }
+
+  /** Re-registers a table from its surviving warehouse directory
+    * after a restart (the default in-memory catalog forgets every
+    * managed table; the parquet files — bucket ids encoded in their
+    * file names — persist). Schema is read from the files; the
+    * bucket spec must be passed because parquet does not record it.
+    * Returns false if the directory does not exist either. */
+  def registerExisting(spark: SparkSession, table: String,
+      bucketSpec: Option[(String, Int)]): Boolean = {
+    if (spark.catalog.tableExists(table)) return true
+    val loc = tableDir(spark, table)
+    if (!fsOf(spark, loc).exists(loc)) return false
+    val cols = spark.read.parquet(loc.toString).schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    val cluster = bucketSpec.map { case (c, n) =>
+      s"CLUSTERED BY (`$c`) SORTED BY (`$c`) INTO $n BUCKETS "
+    }.getOrElse("")
+    spark.sql(s"CREATE TABLE `$table` ($cols) USING parquet " +
+      cluster + s"LOCATION '${loc}'")
+    true
   }
 
   /** Write `df` as a bucketed+sorted managed table. Idempotent across
@@ -76,19 +144,24 @@ object Bucketing {
     * K appends each bucketed scan opens K× the files). The rewrite
     * stages into a `__compact_tmp` table first and swaps via
     * drop+rename, so the live table is replaced only after the
-    * compacted copy fully exists; a crash between the drop and the
-    * rename is recovered on the next call (within a session — the
-    * in-memory catalog doesn't survive a restart, and a lost index
-    * table is rebuildable from its source by construction). */
+    * compacted copy fully exists. The drop→rename window is guarded
+    * by a durable filesystem marker ([[swapMarker]]): a crash inside
+    * it is finished on the next call — same-session via the catalog
+    * (live gone, staging present → rename), across a restart via
+    * [[finishInterruptedSwap]] (catalog gone, marker + staging
+    * directory present → filesystem-level rename). */
   def compactBucketed(
       df: DataFrame => DataFrame = identity)(
       spark: SparkSession, table: String, bucketCol: String,
       numBuckets: Int): Unit = {
+    finishInterruptedSwap(spark, table)
     val tmp = s"${table}__compact_tmp"
+    val fs = fsOf(spark, swapMarker(spark, table))
     if (!spark.catalog.tableExists(table)) {
       require(spark.catalog.tableExists(tmp),
         s"neither $table nor its compact staging exists")
       spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+      fs.delete(swapMarker(spark, table), false)
       return
     }
     dropStale(spark, tmp)
@@ -97,8 +170,16 @@ object Bucketing {
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(tmp)
+    fs.create(swapMarker(spark, table), true).close()
     spark.sql(s"DROP TABLE `$table`")
+    // a table re-registered by [[registerExisting]] is external —
+    // DROP leaves its directory, and the rename below must find the
+    // live location free (no-op for managed tables, whose DROP
+    // already deleted it)
+    val liveDir = tableDir(spark, table)
+    if (fs.exists(liveDir)) fs.delete(liveDir, true)
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    fs.delete(swapMarker(spark, table), false)
   }
 
   /** Event-store layout for user-centric workloads: dt/hour PARTITIONS

@@ -182,16 +182,25 @@ object StreamingIngest {
     * LOSE rows on replay (screened out before ever landing), and a
     * duplicate is recoverable where a loss is not.
     *
-    * Within a single micro-batch, rows duplicating EACH OTHER are
-    * not screened (the screen never self-joins the batch); compose
-    * with [[graft.operators.Dedup.exact]] upstream if intra-batch
-    * duplicates matter at your trigger interval. */
+    * The index screen never self-joins the batch, so rows
+    * duplicating EACH OTHER inside one micro-batch are additionally
+    * run through [[graft.operators.Dedup.dedupWithinBatch]] first
+    * (same sketch arithmetic as the index, parameters from its meta
+    * table): exactly one representative per exact/near family lands
+    * and is folded in. Set `dedupWithinBatch = false` to restore the
+    * screen-only behavior (e.g. when an upstream stage already
+    * dedups the batch). */
   def toScreenedDocIngest(docs: DataFrame, idCol: String,
       textCol: String, indexName: String, path: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, dedupWithinBatch: Boolean = true): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b =
+          if (dedupWithinBatch)
+            graft.operators.Dedup.dedupWithinBatch(
+              batch, idCol, textCol, indexName)
+          else batch
         // eager localCheckpoint: both consumers below must see ONE
         // survivor set, and the second runs AFTER the index mutates
         // (a lazy recompute would re-screen against the updated index
@@ -199,7 +208,7 @@ object StreamingIngest {
         // executor-loss caveat of long-lived localCheckpoints does
         // not apply.
         val survivors = graft.operators.Dedup
-          .dedupAgainstIndex(batch, idCol, textCol, indexName)
+          .dedupAgainstIndex(b, idCol, textCol, indexName)
           .localCheckpoint(true)
         survivors.write.mode("append").parquet(path)
         graft.operators.Dedup

@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Dedup
 
 /** Property checks for the sketch-based dedup operators (the parts no
@@ -674,5 +676,127 @@ class DedupSpec extends AnyFunSuite {
       3L -> ((0L, false)),
       4L -> ((0L, false))
     ), s"got $res")
+  }
+
+  /** A faithful process-restart: a brand-new SparkSession (hence a
+    * brand-new SharedState and a brand-new in-memory catalog that has
+    * forgotten every managed table) over the SAME SparkContext and the
+    * SAME warehouse directory, whose parquet files survived. */
+  private def restartedSession(): org.apache.spark.sql.SparkSession = {
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        old.conf.get("spark.sql.warehouse.dir"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private def restoreSession(): Unit = {
+    org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
+  test("index survives a restart: openDedupIndex re-registers; screen, append, compact still work") {
+    import spark.implicits._
+    val name = "t_idx_restart"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated corpus content about spark planning details today ok")
+    ).toDF("doc_id", "text")
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", name, numBuckets = 2)
+    val probe = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "fresh never before seen material all new tokens here now")
+    ).toDF("doc_id", "text")
+    val before = Dedup.dedupAgainstIndex(probe, "doc_id", "text", name)
+      .collect().map(_.getLong(0)).toSet
+    assert(before == Set(11L))
+
+    val s2 = restartedSession()
+    try {
+      assert(!s2.catalog.tableExists(s"${name}_bands"),
+        "restart simulation failed: catalog still knows the index")
+      Dedup.openDedupIndex(s2, name)
+      import s2.implicits.{localSeqToDatasetHolder => h2}
+      val probe2 = h2(Seq(
+        (10L, "the quick brown fox jumps over the lazy dog tonight"),
+        (11L, "fresh never before seen material all new tokens here now")))
+        .toDF("doc_id", "text")
+      val after = Dedup.dedupAgainstIndex(probe2, "doc_id", "text", name)
+        .collect().map(_.getLong(0)).toSet
+      assert(after == before, s"re-opened screen diverged: $after vs $before")
+      // the re-opened index is fully live: append survivors, compact
+      // (the swap must handle the now-external live tables), screen
+      Dedup.appendToDedupIndex(probe2.filter(col("doc_id") === 11L),
+        "doc_id", "text", name)
+      Dedup.compactDedupIndex(s2, name)
+      val probe3 = h2(Seq(
+        (20L, "fresh never before seen material all new tokens here now"),
+        (21L, "still more genuinely novel content sails right through here")))
+        .toDF("doc_id", "text")
+      val kept3 = Dedup.dedupAgainstIndex(probe3, "doc_id", "text", name)
+        .collect().map(_.getLong(0)).toSet
+      assert(kept3 == Set(21L), s"post-restart append+compact broke: $kept3")
+    } finally restoreSession()
+  }
+
+  test("compaction crash inside the drop→rename window recovers in-session and across a restart") {
+    import spark.implicits._
+    val name = "t_idx_crash"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated corpus content about spark planning details today ok")
+    ).toDF("doc_id", "text")
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", name, numBuckets = 2)
+    val probe = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "fresh never before seen material all new tokens here now")
+    ).toDF("doc_id", "text")
+    val expected = Dedup.dedupAgainstIndex(probe, "doc_id", "text", name)
+      .collect().map(_.getLong(0)).toSet
+
+    // IN-SESSION crash state: staging complete and registered, live
+    // dropped (the catalog-visible half of the window). The rename is
+    // exactly what a death between compactBucketed's drop and rename
+    // leaves behind within a session.
+    val bands = s"${name}_bands"
+    spark.sql(s"ALTER TABLE `$bands` RENAME TO `${bands}__compact_tmp`")
+    Dedup.compactDedupIndex(spark, name) // must finish the swap, not die
+    val inSession = Dedup.dedupAgainstIndex(probe, "doc_id", "text", name)
+      .collect().map(_.getLong(0)).toSet
+    assert(inSession == expected, s"in-session recovery broke: $inSession")
+
+    // CROSS-RESTART crash state: live directory gone, staging
+    // directory complete, durable marker present — and the catalog
+    // empty, because the process died. Fabricate it at the filesystem
+    // level, then re-open in a fresh session.
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(wh, bands)
+    val stage = new org.apache.hadoop.fs.Path(wh, s"${bands}__compact_tmp")
+    val marker = new org.apache.hadoop.fs.Path(wh, s"${bands}__swap_pending")
+    val s2 = restartedSession()
+    try {
+      fs.rename(live, stage)
+      fs.create(marker, true).close()
+      Dedup.openDedupIndex(s2, name) // finishes the swap, re-registers
+      assert(!fs.exists(marker), "marker must be cleared after recovery")
+      assert(fs.exists(live) && !fs.exists(stage),
+        "staging directory must have become the live directory")
+      import s2.implicits.{localSeqToDatasetHolder => h2}
+      val probe2 = h2(Seq(
+        (10L, "the quick brown fox jumps over the lazy dog tonight"),
+        (11L, "fresh never before seen material all new tokens here now")))
+        .toDF("doc_id", "text")
+      val after = Dedup.dedupAgainstIndex(probe2, "doc_id", "text", name)
+        .collect().map(_.getLong(0)).toSet
+      assert(after == expected, s"cross-restart recovery broke: $after")
+    } finally restoreSession()
   }
 }

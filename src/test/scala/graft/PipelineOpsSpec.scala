@@ -241,6 +241,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cleaned == Set(1L), s"got $cleaned")
   }
 
+  test("capPerStratum prefilter: exact-identical kept set; monster stratum filtered before the exchange") {
+    import spark.implicits._
+    // one monster stratum (10k rows) dwarfing two normal ones — the
+    // shape where ranking the whole stratum in one task hurts
+    val docs = ((0L until 10000L).map(i => (i, "monster")) ++
+      (20000L until 20100L).map(i => (i, "small_a")) ++
+      (30000L until 30050L).map(i => (i, "small_b")))
+      .toDF("doc_id", "source")
+    for (cap <- Seq(7, 60)) {
+      val exact = Sampling.capPerStratum(docs, "doc_id", "source", cap)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      val two = Sampling.capPerStratum(docs, "doc_id", "source", cap,
+        prefilter = true)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(two == exact,
+        s"cap=$cap: prefiltered kept set diverged (${two.size} vs ${exact.size})")
+    }
+    // a cap above a small stratum's size keeps the whole stratum —
+    // the min(cap, n) guard must not fire on fully-kept strata
+    val all = Sampling.capPerStratum(docs, "doc_id", "source", 80,
+      prefilter = true).collect()
+      .groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(all == Map("monster" -> 80, "small_a" -> 80, "small_b" -> 50),
+      s"got $all")
+    // the md5-prefix pre-filter must sit below the exchange (a scan
+    // filter), so the monster stratum never reaches the rank sort.
+    // Parquet round-trip: against a LocalRelation the optimizer
+    // folds the filter into the relation itself and there is no
+    // Filter node to pin.
+    val dir = java.nio.file.Files.createTempDirectory("capstrata").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val plan = Sampling.capPerStratum(spark.read.parquet(dir),
+      "doc_id", "source", 7, prefilter = true)
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    val exchangeAt = lines.indexWhere(_.contains("Exchange"))
+    val filterAt = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("substring"))
+    assert(exchangeAt >= 0 && filterAt > exchangeAt,
+      s"prefilter not below the exchange:\n${plan.take(3000)}")
+  }
+
   test("temperatureSample: T=1 natural mix, T=0 equalizes, nesting across T, scan-filter plan") {
     import spark.implicits._
     // 800 en vs 200 zh — the skew temperature flattening acts on

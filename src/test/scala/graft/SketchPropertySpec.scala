@@ -114,19 +114,24 @@ class SketchPropertySpec extends AnyFunSuite {
       SketchFunctions.md5Simhash60(col("toks")).as("sim"),
       SketchFunctions.md5Minhash30(col("toks"), 8).as("mh"))
       .collect().map(r => r.getLong(0) ->
-        ((r.getSeq[String](1), r.getLong(2), r.getSeq[Long](3)))).toMap
+        ((r.getSeq[String](1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getSeq[Long](3)))).toMap
     cases.foreach { case (i, toks) =>
       val (g, sim, mh) = got(i)
       // wordGrams: all positional 3-grams with multiplicity
       val expG = if (toks.size < 3) Nil
         else toks.sliding(3).map(_.mkString(" ")).toList
       assert(g == expG, s"case $i grams: $toks")
-      // md5Simhash60: majority vote per bit (2*ones >= n)
+      // md5Simhash60: majority vote per bit (2*ones >= n); an EMPTY
+      // token array has no votes and yields NULL (every 2·0 >= 0
+      // vote would pass, and the all-ones sentinel bucketed empties
+      // as near-identical through the SQL function)
       val hs = toks.map(md5Hash60Ref)
-      val expSim = (0 until 60).map { b =>
+      val expSim = if (toks.isEmpty) None else Some((0 until 60).map { b =>
         if (2 * hs.count(h => ((h >> b) & 1L) == 1L) >= toks.size) 1L << b
         else 0L
-      }.sum
+      }.sum)
       assert(sim == expSim, s"case $i simhash: $toks")
       // md5Minhash30: universal-hash mins over low 30 bits
       val p = graft.functions.SketchKernels.mhPrime

@@ -359,6 +359,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("screened ingest dedups WITHIN a micro-batch: one representative per exact/near family lands") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("intrabatch").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    graft.operators.Dedup.buildDedupIndex(corpus, "doc_id", "text",
+      name = "t_intrabatch_idx")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingIngest.toScreenedDocIngest(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      "t_intrabatch_idx", s"$dir/docs", s"$dir/ckpt")
+    try {
+      // ONE batch carrying an exact pair and a near pair: the index
+      // knows none of them, so without the intra-batch pass all four
+      // would land. Exactly one per family may survive — the min id.
+      input.addData(
+        (20L, "identical streaming payload repeated twice inside one batch here"),
+        (21L, "identical streaming payload repeated twice inside one batch here"),
+        (22L, "almost identical near duplicate payload inside the very same batch yes"),
+        (23L, "almost identical near duplicate payload inside the very same batch now"))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(s"$dir/docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(landed == Set(20L, 22L), s"got $landed")
+      // and the survivors were folded in: replaying BOTH families in
+      // a later batch is fully self-suppressed
+      input.addData(
+        (24L, "identical streaming payload repeated twice inside one batch here"),
+        (25L, "almost identical near duplicate payload inside the very same batch soon"))
+      q.processAllAvailable()
+      val after = spark.read.parquet(s"$dir/docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(after == Set(20L, 22L), s"replay leaked through: $after")
+    } finally q.stop()
+  }
+
   test("burst detector flags users with repeated errors in a window") {
     import spark.implicits._
     val input = MemoryStream[String](spark)
