@@ -38,8 +38,9 @@ object ScaleProbe {
     "d20_ngram_unblocked",  // candidate width (minhash-band fallback)
     "d29_simhash_oracle",   // twin signature aggregate + brute pairs
     "d30_minhash_oracle",   // twin banding
+    "d33_unigram_logprob",  // token agg+join-back on the reused exchange
     "d36_substring_dedup",  // gram exchange + islands
-    "d37_gram_profile",     // shared gram pass, two window specs
+    "d37_gram_profile",     // shared gram pass, agg+join-back
     "d38_span_cut",         // spans + reconstruct join
     "d39_temperature_sample", // count agg + scan filter
     "d40_incremental_dedup",  // batch-vs-corpus band screen
