@@ -800,14 +800,19 @@ object Dedup {
     * signal) from ONE shared gram pass:
     *
     *   - one [[gramHashes]] scan (shared machinery, one Generate);
-    *   - ONE gram-keyed exchange ([[gramKeyedStats]] — explicit, so
-    *     ReuseExchange materializes the gram pipeline once) feeding
-    *     BOTH aggregates: per-(h, doc_id) instance counts and
-    *     per-hash min/max doc ids — HashPartitioning(h) satisfies
-    *     the (h, doc_id) clustering, so neither adds an exchange;
-    *   - the SHUFFLE_HASH join-back marries the two on the same
-    *     partitioning (no exchange, no sort — see [[gramKeyedStats]]
-    *     for why this beats the window form on a hot gram);
+    *   - ONE gram-keyed exchange (explicit, so ReuseExchange
+    *     materializes the gram pipeline once) feeding BOTH
+    *     aggregates: per-(h, doc_id) instance counts and per-hash
+    *     min/max doc ids — HashPartitioning(h) satisfies the
+    *     (h, doc_id) clustering, so neither adds an exchange;
+    *   - the SHUFFLE_HASH LEFT join marks cross-doc membership on
+    *     the same partitioning (no exchange, no sort — see
+    *     [[gramKeyedStats]] for why aggregate+join beats the window
+    *     form on a hot gram). The build side is the FILTERED
+    *     cross-doc hash set — the boilerplate sliver — not one row
+    *     per distinct gram: joining the full stats table was
+    *     measured ~1.4× slower at sf0.1, the build-map cost for
+    *     millions of singleton hashes the profile never reads;
     *   - ONE doc-keyed exchange for the final per-doc aggregate,
     *     over rows already collapsed to distinct (h, doc_id).
     *
@@ -825,22 +830,31 @@ object Dedup {
     // only (doc_id, h) — narrower than the spans pipeline's — and both
     // consumers reference exactly those two columns, so the pruned
     // branches stay canonically identical and ReuseExchange holds
+    // explicit isNotNull on h (always true — md5 of a non-null gram):
+    // the LEFT join below makes the optimizer infer it on the BUILD
+    // branch only (null keys can't match, left rows survive anyway),
+    // which would de-canonicalize the two exchange subtrees and kill
+    // ReuseExchange; stating it on the shared pipeline keeps both
+    // branches identical
     val keyed = gramHashes(docs, idCol, textCol, k)
       .select(col("doc_id"), col("h"))
+      .filter(col("h").isNotNull)
       .repartition(col("h"))
-    val stats = keyed.groupBy(col("h"))
+    val crossdoc = keyed.groupBy(col("h"))
       .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("h"), lit(1).as("__cd"))
     // instance counts collapse to distinct (h, doc_id) BEFORE the
     // join and the doc exchange: the per-doc sums below are exact
     // integer reconstructions of the instance-level aggregates
     val perDoc = keyed.groupBy(col("h"), col("doc_id"))
       .agg(count(lit(1)).as("__c"))
-    perDoc.join(stats.hint("SHUFFLE_HASH"), Seq("h"))
+    perDoc.join(crossdoc.hint("SHUFFLE_HASH"), Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(col("__c")).as("n_grams"),
         round(sum(when(col("__c") > 1, col("__c")).otherwise(0L)) /
           sum(col("__c")).cast("double"), 4).as("dup_gram_frac"),
-        sum(when(col("__mn") =!= col("__mx"), col("__c")).otherwise(0L))
+        sum(when(col("__cd").isNotNull, col("__c")).otherwise(0L))
           .as("n_crossdoc_grams"))
   }
 
