@@ -164,18 +164,42 @@ object ScaleProbe {
             .as("avg_logp"))
     }
 
-    def timeWarm(label: String, mk: () => DataFrame): Double = {
+    // Wall-clock on a warm 32-thread local box is a wash between the
+    // two forms (the hot partition fits execution memory), so the
+    // probe ALSO captures what actually differs — task spill bytes
+    // and peak execution memory: WindowExec must buffer each hot
+    // key's entire row group in its spillable array, the aggregate
+    // form holds one entry per distinct key.
+    @volatile var spill = 0L
+    @volatile var peak = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          spill += m.memoryBytesSpilled + m.diskBytesSpilled
+          peak = math.max(peak, m.peakExecutionMemory)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def measure(label: String, mk: () => DataFrame): (Double, Long, Long) = {
       def once(): Double = {
         val t0 = System.nanoTime()
         mk().write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
-      once(); val t = once()
-      System.err.println(f"[mega] $label%-28s $t%8.2f s"); t
+      once() // warm: JIT + page cache + codegen
+      spill = 0L; peak = 0L
+      val t = once()
+      Thread.sleep(500) // let straggling task-end events drain
+      System.err.println(
+        f"[mega] $label%-28s $t%8.2f s  spill=${spill / 1e6}%.0f MB  peakExecMem=${peak / 1e6}%.0f MB")
+      (t, spill, peak)
     }
 
-    println("| op (stressed corpus) | window (r9) s | agg+join (r10) s | win/agg |")
-    println("|---|---|---|---|")
+    println("| op (stressed corpus) | window s / spill MB / peak MB | agg+join s / spill MB / peak MB |")
+    println("|---|---|---|")
     val cases: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
       ("d36 crossDocSpans", () => windowSpans(),
         () => Dedup.crossDocSpans(docs, "doc_id", "text", 8)),
@@ -186,9 +210,9 @@ object ScaleProbe {
       ("d38 cutCrossDocSpans", () => windowSpans(), // r9 d38 = spans + cut join; spans dominate
         () => Dedup.cutCrossDocSpans(docs, "doc_id", "text", 8)))
     cases.foreach { case (label, win, agg) =>
-      val w = timeWarm(s"$label window", win)
-      val a = timeWarm(s"$label aggjoin", agg)
-      println(f"| $label | $w%.2f | $a%.2f | ${w / a}%.2f |")
+      val (wt, ws, wp) = measure(s"$label window", win)
+      val (at, as_, ap) = measure(s"$label aggjoin", agg)
+      println(f"| $label | $wt%.2f / ${ws / 1e6}%.0f / ${wp / 1e6}%.0f | $at%.2f / ${as_ / 1e6}%.0f / ${ap / 1e6}%.0f |")
     }
   }
 

@@ -765,8 +765,13 @@ object Dedup {
     * SHUFFLE_HASH-hinted join that builds on the per-hash STATS side
     * (distinct hashes, bounded per partition) and STREAMS the
     * instance side — the hot key costs two linear streaming passes
-    * instead of a sort+buffer straggler, and the join (unlike the
-    * window) is a shape AQE's skew machinery can split further.
+    * with O(distinct-keys) memory instead of a sort+buffer+spill
+    * straggler. (Measured honestly: AQE's skew-split does NOT fire
+    * here either — the build child is an aggregate over the reused
+    * stage, not a bare shuffle read, so OptimizeSkewedJoin's pattern
+    * doesn't match even at a 64 KB skew threshold. Neither form is
+    * AQE-splittable; the aggregate form just makes the hot-key task
+    * linear and memory-light where the window's was sort+spill.)
     * Returns (keyed, stats): `keyed` the h-partitioned gram rows,
     * `stats` one (h, __mn, __mx) row per hash on the same
     * partitioning (zero additional exchanges). */

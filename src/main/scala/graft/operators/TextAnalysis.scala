@@ -130,8 +130,10 @@ object TextAnalysis {
     * skew-split a Window node, so a zipfian head token ("the" at
     * ~5 % of a 100 TB corpus) would sort-buffer its entire row set
     * in one spilling task. The agg + probe form streams it twice,
-    * linearly, and leaves a join shape AQE's skew machinery can
-    * split. The corpus total comes from a separate NARROW scan (sum
+    * linearly, with O(distinct-tokens) task memory (AQE's skew-split
+    * fires on neither form — see [[Dedup]]'s gram machinery note —
+    * the win is the streaming shape itself).
+    * The corpus total comes from a separate NARROW scan (sum
     * of per-doc token counts — no explode) and joins as a broadcast
     * 1-row cross join, never a driver scalar. Float note: avg-of-ln
     * is rounded to 4 decimals on both engines (§6's
