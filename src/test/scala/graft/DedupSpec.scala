@@ -678,6 +678,37 @@ class DedupSpec extends AnyFunSuite {
     ), s"got $res")
   }
 
+  test("dedupWithinBatch: min-id keep-one per exact/near family; null text passes; transitive families collapse") {
+    import spark.implicits._
+    val name = "t_within_idx"
+    Dedup.buildDedupIndex(
+      Seq((1L, "whatever corpus content seeds the meta table parameters here"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", name)
+    val batch = Seq(
+      // exact family: min id 30 wins regardless of row order
+      (Some(31L), Some("identical batch payload repeated across several rows right here")),
+      (Some(30L), Some("identical batch payload repeated across several rows right here")),
+      // transitive near family: 40~41 and 41~42 chain, 40 kept
+      (Some(40L), Some("a chained near duplicate document varying only its last token alpha")),
+      (Some(41L), Some("a chained near duplicate document varying only its last token beta")),
+      (Some(42L), Some("a chained near duplicate document varying only its last token gamma")),
+      // unique survivor
+      (Some(50L), Some("entirely unrelated content with none of those words at all")),
+      // null text: no content, nothing to duplicate — both pass
+      (Some(60L), None),
+      (Some(61L), None)
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupWithinBatch(batch, "doc_id", "text", name)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(30L, 40L, 50L, 60L, 61L), s"got $kept")
+    // deterministic under reordering
+    val kept2 = Dedup.dedupWithinBatch(batch.orderBy(col("doc_id").desc),
+      "doc_id", "text", name)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept2 == kept, s"order-dependent kept set: $kept2")
+  }
+
   /** A faithful process-restart: a brand-new SparkSession (hence a
     * brand-new SharedState and a brand-new in-memory catalog that has
     * forgotten every managed table) over the SAME SparkContext and the
