@@ -971,9 +971,12 @@ object Dedup {
   def cutCrossDocSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     val (keyed, stats) = gramKeyedStats(gramHashes(docs, idCol, textCol, k))
-    // inner join (not semi): the keeper rule needs __mn per row
+    // inner join (not semi): the keeper rule needs __mn per row.
+    // The build side carries only (h, __mn) — __mx's job ends at the
+    // cross-doc filter, and the build map is per-task memory.
     val cutHits = keyed
-      .join(stats.filter(col("__mn") =!= col("__mx")).hint("SHUFFLE_HASH"),
+      .join(stats.filter(col("__mn") =!= col("__mx"))
+        .select(col("h"), col("__mn")).hint("SHUFFLE_HASH"),
         Seq("h"))
       .filter(col("doc_id") =!= col("__mn"))
       .select(col("doc_id"), col("pos"))

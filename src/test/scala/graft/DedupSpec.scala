@@ -678,6 +678,70 @@ class DedupSpec extends AnyFunSuite {
     ), s"got $res")
   }
 
+  test("crossDocSpans matches a plain-Scala brute-force reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2026)
+    val k = 4
+    // reference: recompute cross-doc repeated k-gram positions and
+    // merge islands exactly as specified, in plain Scala
+    def refSpans(corpus: Seq[(Long, String)]): Set[(Long, Int, Int, Long)] = {
+      val toks = corpus.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").toSeq
+      }
+      val grams = toks.flatMap { case (id, ws) =>
+        ws.sliding(k).zipWithIndex.filter(_._1.size == k)
+          .map { case (g, i) => (id, i + 1, g.mkString(" ")) }
+      }
+      val byGram = grams.groupBy(_._3)
+      val cross = byGram.filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val hits = grams.filter(g => cross(g._3))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      hits.flatMap { case (id, ps) =>
+        // islands: break where gap > k
+        val islands = ps.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) => acc match {
+            case (h :: t) :: rest if p - (h :: t).max <= k =>
+              (p :: h :: t) :: rest
+            case _ => List(p) :: acc
+          }
+        }
+        islands.map(is =>
+          (id, is.min, is.max + (k - 1), is.size.toLong))
+      }.toSet
+    }
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",
+      "ii", "jj", "kk", "ll", "mm", "nn")
+    val shared = Vector.fill(3)(
+      Vector.fill(k + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    for (trial <- 1 to 5) {
+      val corpus = (0L until 12L).map { id =>
+        val body = Vector.fill(6 + rnd.nextInt(20))(
+          // mostly-random tokens with doc-salted spice so random
+          // cross-doc repeats are rare but possible
+          if (rnd.nextBoolean()) vocab(rnd.nextInt(vocab.size))
+          else s"u${id}x${rnd.nextInt(50)}")
+        // plant 0-2 shared blocks at random offsets
+        val planted = (0 until rnd.nextInt(3)).foldLeft(body) {
+          case (acc, _) =>
+            val at = rnd.nextInt(acc.size + 1)
+            val blk = shared(rnd.nextInt(shared.size)).split(" ").toVector
+            acc.take(at) ++ blk ++ acc.drop(at)
+        }
+        id -> planted.mkString(" ")
+      }
+      val got = Dedup.crossDocSpans(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      val exp = refSpans(corpus)
+      assert(got == exp,
+        s"trial $trial: engine ${got.size} vs reference ${exp.size}\n" +
+          s"only-engine=${got -- exp}\nonly-ref=${exp -- got}")
+    }
+  }
+
   test("dedupWithinBatch: min-id keep-one per exact/near family; null text passes; transitive families collapse") {
     import spark.implicits._
     val name = "t_within_idx"
