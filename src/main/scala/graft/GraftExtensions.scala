@@ -63,6 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("quantize_int8f"),
       info("quantize_int8f", "quantize_int8f(array<float|double>) - symmetric int8 quantization as floats"),
       (args: Seq[Expression]) => QuantizeInt8Floats(args.head)))
+    e.injectFunction((FunctionIdentifier("pq_adc"),
+      info("pq_adc", "pq_adc(array<int> codes, array<array<double>> lut) - product-quantization asymmetric-distance score"),
+      (args: Seq[Expression]) => PqAdc(args.head, args(1))))
     e.injectFunction((FunctionIdentifier("md5_plane_sig"),
       info("md5_plane_sig", "md5_plane_sig(array<float>, bits, dim) - integer-hyperplane LSH signature"),
       (args: Seq[Expression]) => Md5PlaneSig(args.head,

@@ -226,6 +226,20 @@ object SketchKernels {
     sig
   }
 
+  /** See [[PqAdc]]: Σ_j lut[j][codes[j]] — the PQ asymmetric-distance
+    * lookup loop. Exact when the table holds exact integer-valued
+    * distances (the md5 oracle twin's case). */
+  def pqAdc(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += lut.getArray(j).getDouble(codes.getInt(j))
+      j += 1
+    }
+    s
+  }
+
   /** See [[MinHash64]]. */
   def minhash64(arr: ArrayData, numPerms: Int): ArrayData = {
     val sig = Array.fill(numPerms)(Long.MaxValue)

@@ -395,10 +395,52 @@ object TopKByCos {
   }
 }
 
+/** Asymmetric-distance (ADC) score of a product-quantized vector:
+  * codes = one centroid index per subspace (array<int>), lut = the
+  * query's per-subspace distance table (array<array<double>>,
+  * lut[j][c] = squared L2 between the query's j-th subvector and
+  * subspace j's centroid c). The score is Σ_j lut[j][codes[j]] — m
+  * primitive lookups per scored pair, which is the whole point of
+  * PQ: the corpus side is m bytes of codes, never the vector. A
+  * HOF formulation (aggregate over zip_with with element_at) is
+  * interpreted per pair and dominated the ADC scan; this compiles
+  * to a tight loop. Null codes/lut rows yield null (unreachable via
+  * [[graft.operators.Similarity]]'s encode, which never emits
+  * nulls); an out-of-range code throws — a corrupt code is a bug,
+  * not a row to skip. */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"PqAdc requires (array<int>, array<array<double>>), got " +
+          s"${l.simpleString} / ${r.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (c, l) => s"graft.functions.SketchKernels.pqAdc($c, $l)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API for [[FloatVecDot]]. */
   def vecDot(a: Column, b: Column): Column = Bridge.column(
     FloatVecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API for [[PqAdc]]. */
+  def pqAdc(codes: Column, lut: Column): Column = Bridge.column(
+    PqAdc(Bridge.expression(codes), Bridge.expression(lut)))
 
   /** L2 norm of a float-array column (codegen'd). */
   def vecNorm(a: Column): Column = {

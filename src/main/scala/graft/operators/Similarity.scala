@@ -401,6 +401,192 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Product-quantization (PQ) ADC top-k — the compression half of
+    * the standard 100 TB ANN stack (IVF prunes candidates, PQ makes
+    * each candidate 8–16 BYTES instead of a float vector): the
+    * vector splits into `m` subvectors of dim/m components, each
+    * subvector is replaced by the index of its nearest subspace
+    * centroid (squared L2, ties to the smaller index), and queries
+    * rank candidates by the ADC score Σ_j lut[j][code_j] — a
+    * per-query lookup table of exact query-to-centroid distances, m
+    * primitive lookups per scored pair ([[graft.functions.PqAdc]],
+    * codegen'd).
+    *
+    * Codebooks start as `ksub` corpus vectors sampled
+    * deterministically (the ksub smallest by xxhash64(id), code
+    * index = id-ascending position — the one-scan IVF sampling
+    * discipline), subspace j's centroid c being sample c's j-th
+    * slice, then refine with `refineIters` per-subspace mini-batch
+    * k-means steps (every subspace trains in the SAME pass: one
+    * batch scan emits (subspace, code, component) rows, fixed-point
+    * means — value·2²⁴ summed as long — keep the result exactly
+    * deterministic regardless of partition merge order, empty cells
+    * keep their previous centroid, and the driver pull is bounded by
+    * m·ksub·dsub, never batch size). The engine-reproducible twin
+    * ([[md5PqTopK]]) runs refinement-free — float centroid means
+    * reintroduce the sign/boundary problem exact integer arithmetic
+    * exists to avoid.
+    *
+    * Scale shape: codebooks are literals (m·ksub·dsub floats), so
+    * ENCODE is a map-only projection — the corpus never shuffles and
+    * its vectors never leave the scan stage; only (id, m codes) rows
+    * materialize. The ADC scan broadcasts the query side (codes ×
+    * queries, each pair m lookups) and the global rank rides the
+    * same partial top-k aggregate as every ANN path (at most k rows
+    * per query per map partition cross the shuffle — never a
+    * corpus-sized sort). Compose with [[ivfTopK]]'s cell assignment
+    * upstream when a full scan of codes is still too much.
+    *
+    * Returns (query_id, rank, neighbor_id, dist2): approximate
+    * squared L2, rank 1..k by (dist2 asc, neighbor_id asc), self
+    * excluded. */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 4,
+      ksub: Int = 8,
+      refineIters: Int = 2,
+      refineSampleMod: Long = 4): DataFrame =
+    pqTopKWithSampler(queries, corpus, idCol, vecCol, k, m, ksub,
+      refineIters, refineSampleMod, xxhash64(col(idCol).cast("long")))
+
+  /** Oracle twin of [[pqTopK]]: the IDENTICAL sample → literal-
+    * codebook encode projection → ADC scan → top-k machinery, with
+    * md5-order sampling. Feed int8-QUANTIZED vectors (as in
+    * [[md5LshTopK]]): every centroid component, code argmin and ADC
+    * sum is then exact integer arithmetic (diffs <= 254, squares
+    * <= 64516, <= dim of them — exact in double), so DuckDB
+    * re-derives codebooks, codes and the full ranking bit-for-bit
+    * from the raw parquet. */
+  def md5PqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 4,
+      ksub: Int = 8): DataFrame =
+    pqTopKWithSampler(queries, corpus, idCol, vecCol, k, m, ksub,
+      refineIters = 0, refineSampleMod = 4,
+      Dedup.md5Hash60(col(idCol).cast("long").cast("string")))
+
+  private def pqTopKWithSampler(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int,
+      ksub: Int,
+      refineIters: Int,
+      refineSampleMod: Long,
+      sampleOrd: Column): DataFrame = {
+    require(m >= 1 && ksub >= 1, s"m and ksub must be >= 1, got $m/$ksub")
+    // one-scan deterministic codebook sample (TakeOrderedAndProject;
+    // driver pull bounded by ksub, never corpus size)
+    val sampled = corpus
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"),
+        sampleOrd.as("__ord"))
+      .orderBy(col("__ord"), col("cid"))
+      .limit(ksub)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(sampled.nonEmpty, "pqTopK: empty corpus")
+    val dim = sampled.head._2.size
+    require(dim % m == 0, s"pqTopK: dim $dim must split into m=$m subvectors")
+    val dsub = dim / m
+    var cents: IndexedSeq[IndexedSeq[Float]] =
+      sampled.toIndexedSeq.map(_._2.toIndexedSeq)
+    val kEff = cents.size // a corpus smaller than ksub caps the codebook
+
+    def subCent(c: Int, j: Int): Seq[Float] =
+      cents(c).slice(j * dsub, (j + 1) * dsub)
+    // ||centroid||² in the same left-to-right double order as vecDot
+    def c2(c: Int, j: Int): Double = {
+      val s = subCent(c, j); var acc = 0.0; var i = 0
+      while (i < s.length) { acc += s(i).toDouble * s(i).toDouble; i += 1 }
+      acc
+    }
+
+    // ENCODE as a literal-codebook projection: per subspace, argmin
+    // over struct(||c||² − 2·v_j·c, code) — the ||v_j||² term is
+    // constant within a subspace and drops out of the argmin; ties
+    // break to the smaller code by struct ordering. Reads `cents`
+    // at call time, so refinement iterations see the current book.
+    def codesOf(vv: Column): Column = array((0 until m).map { j =>
+      val sub = slice(vv, j * dsub + 1, dsub)
+      array_min(array((0 until kEff).map { c =>
+        struct(
+          (lit(c2(c, j)) - lit(2.0) * vecDot(sub, typedLit(subCent(c, j))))
+            .as("d"),
+          lit(c).as("code"))
+      }: _*)).getField("code")
+    }: _*)
+
+    // mini-batch per-subspace k-means: ALL subspaces refine in one
+    // batch pass — posexplode the batch's codes to (j, code), slice
+    // the subvector, posexplode its components, fixed-point means
+    // per (j, code, component). Deterministic (long sums), bounded
+    // driver pull (m·ksub·dsub rows), empty cells keep their
+    // previous centroid.
+    val Scale = (1L << 24).toDouble
+    if (refineIters > 0) {
+      val training = corpus
+        .select(col(idCol).cast("long").as("__tid"), col(vecCol).as("__tv"))
+      for (it <- 1 to refineIters) {
+        val refined = training
+          .filter(pmod(col("__tid") + it, lit(refineSampleMod)) === 0)
+          .select(col("__tv"), posexplode(codesOf(col("__tv"))))
+          .withColumnRenamed("pos", "j").withColumnRenamed("col", "code")
+          .select(col("j"), col("code"),
+            posexplode(slice(col("__tv"), col("j") * dsub + 1, lit(dsub))))
+          .groupBy(col("j"), col("code"), col("pos"))
+          .agg(sum(round(col("col") * Scale).cast("long")).as("s"),
+            count(lit(1)).as("c"))
+          .select(col("j"), col("code"), col("pos"),
+            (col("s").cast("double") / col("c") / Scale).cast("float").as("m"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+        cents = cents.indices.map { c =>
+          (0 until m).flatMap { j =>
+            refined.get((j, c)) match {
+              case Some(rows) =>
+                rows.sortBy(_.getInt(2)).map(_.getFloat(3)).toIndexedSeq
+              case None => subCent(c, j).toIndexedSeq // empty cell
+            }
+          }.toIndexedSeq
+        }
+      }
+    }
+
+    // per-query ADC table: lut[j][c] = exact squared L2 between the
+    // query's j-th subvector and subspace j's centroid c
+    def lutOf(qv: Column): Column = array((0 until m).map { j =>
+      val sub = slice(qv, j * dsub + 1, dsub)
+      val q2 = vecDot(sub, sub)
+      array((0 until kEff).map { c =>
+        q2 - lit(2.0) * vecDot(sub, typedLit(subCent(c, j))) + lit(c2(c, j))
+      }: _*)
+    }: _*)
+
+    val enc = corpus.select(col(idCol).as("neighbor_id"),
+      codesOf(col(vecCol)).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      lutOf(col(vecCol)).as("lut"))
+    val scored = enc.join(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-VectorFunctions.pqAdc(col("codes"), col("lut"))).as("cos"))
+    // rankTopK orders by (cos desc, id asc) == (dist2 asc, id asc)
+    rankTopK(scored, k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (-col("cos")).as("dist2"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the
     * compression pass before shipping vectors to an ANN index or a
     * training job (4x smaller than float32; integer dot products).

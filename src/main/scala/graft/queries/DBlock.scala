@@ -502,6 +502,26 @@ object DBlock {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // D37: product-quantization ADC top-k — the compression half of
+    // the 100 TB ANN stack (8-16 code BYTES per corpus vector in the
+    // scan instead of the float vector). md5 twin discipline like
+    // d34/d35: int8-quantized vectors + md5-order codebook sampling
+    // make every centroid, code argmin and ADC sum exact integer
+    // arithmetic, so DuckDB re-derives codebooks, per-subspace codes
+    // and the full ranking bit-for-bit from raw parquet. dist2 is
+    // integer-valued — cast BIGINT, no rounding needed.
+    "d48_pq_adc" -> ((s, d) => {
+      val q8 = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          graft.functions.SketchFunctions.quantizeInt8Floats(
+            col("embedding")).as("qv"))
+      Similarity.md5PqTopK(q8.filter(col("vec_id") < 50), q8,
+        "vec_id", "qv", k = 10, m = 4, ksub = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("dist2").cast("long").as("dist2"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // D25: exact substring-level dedup — maximal cross-doc repeated
     // >= 8-token spans (the "deduplicating training data" pass that
     // doc-level dedup misses: shared boilerplate inside otherwise
@@ -1493,6 +1513,56 @@ object DBlock {
         |      ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM scored)
         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cos, 4) AS cos
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // quantize per d26; codebook = 8 smallest by (md5-hash, id),
+    // code index = id-ascending position 0..7; per (vector, subspace
+    // j of 4 × 16 dims): code = argmin over the 8 centroid slices of
+    // exact squared L2 (ties to the smaller code); ADC score of
+    // (query, neighbor) = Σ_j d2(query_j, centroid[code_nj]) — the
+    // same d2 relation computed once serves both the encode argmin
+    // and the query lookup table
+    "d48_pq_adc" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |mm AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+        |q AS (SELECT vec_id,
+        |  CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(v, x -> CAST(floor(x / (mx / 127.0) + 0.5) AS BIGINT)) END AS q
+        |  FROM mm),
+        |cent AS (
+        |  SELECT vec_id AS cid, q AS cq FROM q
+        |  ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT, vec_id
+        |  LIMIT 8),
+        |centi AS (SELECT cq, CAST(row_number() OVER (ORDER BY cid) - 1 AS INT) AS code FROM cent),
+        |sub AS (
+        |  SELECT code, j.j,
+        |    list_transform(range(1, 17), i -> cq[CAST(j.j*16 + i AS INT)]) AS cs
+        |  FROM centi CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
+        |dist AS (
+        |  SELECT a.vec_id, s.j, s.code,
+        |    CAST(list_sum(list_transform(range(1, 17), i ->
+        |      (a.q[CAST(s.j*16 + i AS INT)] - s.cs[CAST(i AS INT)])
+        |      * (a.q[CAST(s.j*16 + i AS INT)] - s.cs[CAST(i AS INT)]))) AS BIGINT) AS d2
+        |  FROM q a CROSS JOIN sub s),
+        |ncode AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT vec_id, j, code,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rk
+        |    FROM dist) WHERE rk = 1),
+        |scored AS (
+        |  SELECT qd.vec_id AS query_id, nc.vec_id AS neighbor_id,
+        |    CAST(sum(qd.d2) AS BIGINT) AS dist2
+        |  FROM ncode nc
+        |  JOIN dist qd ON qd.j = nc.j AND qd.code = nc.code
+        |  WHERE qd.vec_id < 50 AND qd.vec_id != nc.vec_id
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, dist2,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist2, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 

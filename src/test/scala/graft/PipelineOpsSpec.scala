@@ -283,6 +283,71 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"prefilter not below the exchange:\n${plan.take(3000)}")
   }
 
+  test("pqTopK: exact on a corpus of codebook vectors; deterministic; sane recall vs brute force") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 8 int-valued vectors, dim 8, m=4 (dsub=2), all subvectors
+    // distinct within each subspace: with ksub=8 the sample IS the
+    // corpus, every vector encodes to itself, and the ADC score is
+    // the EXACT squared L2 distance — top-k must equal brute force.
+    val rnd = new scala.util.Random(7)
+    val vecs: Seq[(Long, Array[Float])] = {
+      def gen(): Seq[Array[Float]] =
+        (0 until 8).map(_ => Array.fill(8)((rnd.nextInt(11) - 5).toFloat))
+      var v = gen()
+      while ((0 until 4).exists(j =>
+        v.map(_.slice(j * 2, j * 2 + 2).toSeq).distinct.size < 8)) v = gen()
+      v.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(df, df, "vec_id", "embedding", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val exp = (for ((qid, qv) <- vecs) yield {
+      vecs.filter(_._1 != qid)
+        .map { case (nid, nv) =>
+          val d2 = qv.zip(nv).map { case (a, b) =>
+            (a - b).toDouble * (a - b) }.sum
+          (nid, d2)
+        }
+        .sortBy { case (nid, d2) => (d2, nid) }
+        .take(3).zipWithIndex
+        .map { case ((nid, d2), i) => (qid, i + 1, nid, d2) }
+    }).flatten.toSet
+    assert(got == exp,
+      s"ADC on a self-codebook corpus must be exact:\nonly-got=${got -- exp}\nonly-exp=${exp -- got}")
+
+    // real embeddings: deterministic across runs, and the code
+    // approximation keeps a sane overlap with EXACT L2 search (PQ
+    // approximates squared L2 — cosine brute force is a different
+    // metric on unnormalized vectors and not the right reference)
+    val emb = spark.read
+      .parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    def run() = Similarity.pqTopK(queries, emb, "vec_id", "embedding",
+      k = 10, m = 16, ksub = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val a = run()
+    assert(a == run(), "pqTopK must be deterministic")
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val exactL2 = all.filter(_._1 < 20).flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid)
+        .map { case (nid, nv) =>
+          (nid, qv.zip(nv).map { case (x, y) =>
+            (x - y).toDouble * (x - y) }.sum)
+        }
+        .sortBy { case (nid, d2) => (d2, nid) }
+        .take(10).map { case (nid, _) => (qid, nid) }
+    }.toSet
+    val pqPairs = a.map { case (q, _, n) => (q, n) }
+    val recall = pqPairs.count(exactL2.contains).toDouble / exactL2.size
+    info(f"pq recall@10 vs exact L2: $recall%.2f")
+    assert(recall >= 0.3,
+      f"PQ recall collapsed: $recall%.2f — codes carry no signal")
+  }
+
   test("temperatureSample: T=1 natural mix, T=0 equalizes, nesting across T, scan-filter plan") {
     import spark.implicits._
     // 800 en vs 200 zh — the skew temperature flattening acts on
