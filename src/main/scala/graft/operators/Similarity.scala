@@ -587,6 +587,69 @@ object Similarity {
         (-col("cos")).as("dist2"))
   }
 
+  /** PQ shortlist + exact re-rank — the standard recall-recovery
+    * composition: [[pqTopK]] scans CODES to shortlist
+    * `k · shortlistFactor` candidates per query (m byte-lookups per
+    * pair — the cheap pass), then only the shortlist's true vectors
+    * are fetched by id and re-ranked by exact squared L2. At 100 TB
+    * the expensive exact pass touches q·k·factor vectors instead of
+    * the corpus; the id-join is the narrow row fetch every ANN
+    * serving stack performs. Returns (query_id, rank, neighbor_id,
+    * dist2) with EXACT distances, rank by (dist2 asc, id asc). */
+  def pqTopKRefined(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 4,
+      ksub: Int = 8,
+      shortlistFactor: Int = 5,
+      refineIters: Int = 2,
+      refineSampleMod: Long = 4): DataFrame =
+    refineShortlist(
+      pqTopK(queries, corpus, idCol, vecCol, k * shortlistFactor, m, ksub,
+        refineIters, refineSampleMod),
+      queries, corpus, idCol, vecCol, k)
+
+  /** Oracle twin of [[pqTopKRefined]]: [[md5PqTopK]]'s shortlist +
+    * the same exact-L2 re-rank. Feed int8-quantized vectors and the
+    * ENTIRE pipeline — codebooks, codes, ADC shortlist, exact
+    * re-rank — is integer arithmetic DuckDB re-derives bit-for-bit. */
+  def md5PqTopKRefined(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 4,
+      ksub: Int = 8,
+      shortlistFactor: Int = 5): DataFrame =
+    refineShortlist(
+      md5PqTopK(queries, corpus, idCol, vecCol, k * shortlistFactor, m, ksub),
+      queries, corpus, idCol, vecCol, k)
+
+  private def refineShortlist(
+      shortlist: DataFrame,
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = shortlist.select(col("query_id"), col("neighbor_id"))
+      .join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-(vecDot(col("__qv"), col("__qv"))
+          - lit(2.0) * vecDot(col("__qv"), col("__cv"))
+          + vecDot(col("__cv"), col("__cv")))).as("cos"))
+    rankTopK(scored, k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (-col("cos")).as("dist2"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the
     * compression pass before shipping vectors to an ANN index or a
     * training job (4x smaller than float32; integer dot products).

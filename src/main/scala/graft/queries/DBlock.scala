@@ -522,6 +522,23 @@ object DBlock {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // D37b: PQ shortlist + exact re-rank — the recall-recovery
+    // composition (scan code bytes to shortlist 5·k candidates,
+    // fetch only those vectors, exact squared L2 on the shortlist).
+    // Same md5-twin discipline: over quantized vectors the ENTIRE
+    // pipeline is exact integer arithmetic.
+    "d49_pq_refined" -> ((s, d) => {
+      val q8 = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          graft.functions.SketchFunctions.quantizeInt8Floats(
+            col("embedding")).as("qv"))
+      Similarity.md5PqTopKRefined(q8.filter(col("vec_id") < 50), q8,
+        "vec_id", "qv", k = 10, m = 4, ksub = 8, shortlistFactor = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("dist2").cast("long").as("dist2"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // D25: exact substring-level dedup — maximal cross-doc repeated
     // >= 8-token spans (the "deduplicating training data" pass that
     // doc-level dedup misses: shared boilerplate inside otherwise
@@ -1562,6 +1579,66 @@ object DBlock {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY dist2, neighbor_id) AS rank
         |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // d48's CTEs + an ADC shortlist of 50 per query and an exact
+    // integer squared-L2 re-rank over the shortlisted quantized
+    // vectors
+    "d49_pq_refined" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |mm AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+        |q AS (SELECT vec_id,
+        |  CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(v, x -> CAST(floor(x / (mx / 127.0) + 0.5) AS BIGINT)) END AS q
+        |  FROM mm),
+        |cent AS (
+        |  SELECT vec_id AS cid, q AS cq FROM q
+        |  ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT, vec_id
+        |  LIMIT 8),
+        |centi AS (SELECT cq, CAST(row_number() OVER (ORDER BY cid) - 1 AS INT) AS code FROM cent),
+        |sub AS (
+        |  SELECT code, j.j,
+        |    list_transform(range(1, 17), i -> cq[CAST(j.j*16 + i AS INT)]) AS cs
+        |  FROM centi CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
+        |dist AS (
+        |  SELECT a.vec_id, s.j, s.code,
+        |    CAST(list_sum(list_transform(range(1, 17), i ->
+        |      (a.q[CAST(s.j*16 + i AS INT)] - s.cs[CAST(i AS INT)])
+        |      * (a.q[CAST(s.j*16 + i AS INT)] - s.cs[CAST(i AS INT)]))) AS BIGINT) AS d2
+        |  FROM q a CROSS JOIN sub s),
+        |ncode AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT vec_id, j, code,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rk
+        |    FROM dist) WHERE rk = 1),
+        |adc AS (
+        |  SELECT qd.vec_id AS query_id, nc.vec_id AS neighbor_id,
+        |    CAST(sum(qd.d2) AS BIGINT) AS adc2
+        |  FROM ncode nc
+        |  JOIN dist qd ON qd.j = nc.j AND qd.code = nc.code
+        |  WHERE qd.vec_id < 50 AND qd.vec_id != nc.vec_id
+        |  GROUP BY 1, 2),
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adc2, neighbor_id) AS rk
+        |    FROM adc) WHERE rk <= 50),
+        |exact AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.q)+1), i ->
+        |      (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)])
+        |      * (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)]))) AS BIGINT) AS dist2
+        |  FROM short s
+        |  JOIN q a ON a.vec_id = s.query_id
+        |  JOIN q b ON b.vec_id = s.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, dist2,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist2, neighbor_id) AS rank
+        |  FROM exact)
         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,

@@ -346,6 +346,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     info(f"pq recall@10 vs exact L2: $recall%.2f")
     assert(recall >= 0.3,
       f"PQ recall collapsed: $recall%.2f — codes carry no signal")
+
+    // shortlist + exact re-rank recovers most of what coarse codes
+    // lose — the production serving composition
+    val refined = Similarity.pqTopKRefined(queries, emb, "vec_id",
+      "embedding", k = 10, m = 16, ksub = 32, shortlistFactor = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val refRecall = refined.count(exactL2.contains).toDouble / exactL2.size
+    info(f"pq+rerank recall@10 vs exact L2: $refRecall%.2f")
+    assert(refRecall >= recall && refRecall >= 0.6,
+      f"re-ranked recall did not recover: $refRecall%.2f (codes-only $recall%.2f)")
   }
 
   test("temperatureSample: T=1 natural mix, T=0 equalizes, nesting across T, scan-filter plan") {
