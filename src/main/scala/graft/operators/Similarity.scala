@@ -473,36 +473,13 @@ object Similarity {
       refineIters = 0, refineSampleMod = 4,
       Dedup.md5Hash60(col(idCol).cast("long").cast("string")))
 
-  private def pqTopKWithSampler(
-      queries: DataFrame,
-      corpus: DataFrame,
-      idCol: String,
-      vecCol: String,
-      k: Int,
-      m: Int,
-      ksub: Int,
-      refineIters: Int,
-      refineSampleMod: Long,
-      sampleOrd: Column): DataFrame = {
-    require(m >= 1 && ksub >= 1, s"m and ksub must be >= 1, got $m/$ksub")
-    // one-scan deterministic codebook sample (TakeOrderedAndProject;
-    // driver pull bounded by ksub, never corpus size)
-    val sampled = corpus
-      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"),
-        sampleOrd.as("__ord"))
-      .orderBy(col("__ord"), col("cid"))
-      .limit(ksub)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1)
-    require(sampled.nonEmpty, "pqTopK: empty corpus")
-    val dim = sampled.head._2.size
-    require(dim % m == 0, s"pqTopK: dim $dim must split into m=$m subvectors")
-    val dsub = dim / m
-    var cents: IndexedSeq[IndexedSeq[Float]] =
-      sampled.toIndexedSeq.map(_._2.toIndexedSeq)
-    val kEff = cents.size // a corpus smaller than ksub caps the codebook
-
+  /** A trained PQ codebook as column-expression factories: `cents`
+    * holds kEff full-dim vectors whose j-th dsub-slice is subspace
+    * j's centroid. All expressions embed the book as literals, so
+    * encode and LUT construction are map-only projections. */
+  private case class PqBook(cents: IndexedSeq[IndexedSeq[Float]],
+      m: Int, dsub: Int) {
+    val kEff: Int = cents.size
     def subCent(c: Int, j: Int): Seq[Float] =
       cents(c).slice(j * dsub, (j + 1) * dsub)
     // ||centroid||² in the same left-to-right double order as vecDot
@@ -511,12 +488,10 @@ object Similarity {
       while (i < s.length) { acc += s(i).toDouble * s(i).toDouble; i += 1 }
       acc
     }
-
-    // ENCODE as a literal-codebook projection: per subspace, argmin
-    // over struct(||c||² − 2·v_j·c, code) — the ||v_j||² term is
-    // constant within a subspace and drops out of the argmin; ties
-    // break to the smaller code by struct ordering. Reads `cents`
-    // at call time, so refinement iterations see the current book.
+    // ENCODE: per subspace, argmin over struct(||c||² − 2·v_j·c,
+    // code) — the ||v_j||² term is constant within a subspace and
+    // drops out of the argmin; ties break to the smaller code by
+    // struct ordering.
     def codesOf(vv: Column): Column = array((0 until m).map { j =>
       val sub = slice(vv, j * dsub + 1, dsub)
       array_min(array((0 until kEff).map { c =>
@@ -526,6 +501,43 @@ object Similarity {
           lit(c).as("code"))
       }: _*)).getField("code")
     }: _*)
+    // per-query ADC table: lut[j][c] = exact squared L2 between the
+    // query's j-th subvector and subspace j's centroid c
+    def lutOf(qv: Column): Column = array((0 until m).map { j =>
+      val sub = slice(qv, j * dsub + 1, dsub)
+      val q2 = vecDot(sub, sub)
+      array((0 until kEff).map { c =>
+        q2 - lit(2.0) * vecDot(sub, typedLit(subCent(c, j))) + lit(c2(c, j))
+      }: _*)
+    }: _*)
+  }
+
+  /** Samples and (optionally) refines a [[PqBook]] — see [[pqTopK]]
+    * for the discipline. Driver pulls bounded by ksub resp.
+    * m·ksub·dsub, never corpus size. */
+  private def trainPqBook(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      refineIters: Int,
+      refineSampleMod: Long,
+      sampleOrd: Column): PqBook = {
+    require(m >= 1 && ksub >= 1, s"m and ksub must be >= 1, got $m/$ksub")
+    val sampled = corpus
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"),
+        sampleOrd.as("__ord"))
+      .orderBy(col("__ord"), col("cid"))
+      .limit(ksub)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(sampled.nonEmpty, "trainPqBook: empty corpus")
+    val dim = sampled.head._2.size
+    require(dim % m == 0, s"PQ: dim $dim must split into m=$m subvectors")
+    val dsub = dim / m
+    var book = PqBook(sampled.toIndexedSeq.map(_._2.toIndexedSeq), m, dsub)
 
     // mini-batch per-subspace k-means: ALL subspaces refine in one
     // batch pass — posexplode the batch's codes to (j, code), slice
@@ -540,7 +552,7 @@ object Similarity {
       for (it <- 1 to refineIters) {
         val refined = training
           .filter(pmod(col("__tid") + it, lit(refineSampleMod)) === 0)
-          .select(col("__tv"), posexplode(codesOf(col("__tv"))))
+          .select(col("__tv"), posexplode(book.codesOf(col("__tv"))))
           .withColumnRenamed("pos", "j").withColumnRenamed("col", "code")
           .select(col("j"), col("code"),
             posexplode(slice(col("__tv"), col("j") * dsub + 1, lit(dsub))))
@@ -551,32 +563,37 @@ object Similarity {
             (col("s").cast("double") / col("c") / Scale).cast("float").as("m"))
           .collect()
           .groupBy(r => (r.getInt(0), r.getInt(1)))
-        cents = cents.indices.map { c =>
+        book = book.copy(cents = book.cents.indices.map { c =>
           (0 until m).flatMap { j =>
             refined.get((j, c)) match {
               case Some(rows) =>
                 rows.sortBy(_.getInt(2)).map(_.getFloat(3)).toIndexedSeq
-              case None => subCent(c, j).toIndexedSeq // empty cell
+              case None => book.subCent(c, j).toIndexedSeq // empty cell
             }
           }.toIndexedSeq
-        }
+        })
       }
     }
+    book
+  }
 
-    // per-query ADC table: lut[j][c] = exact squared L2 between the
-    // query's j-th subvector and subspace j's centroid c
-    def lutOf(qv: Column): Column = array((0 until m).map { j =>
-      val sub = slice(qv, j * dsub + 1, dsub)
-      val q2 = vecDot(sub, sub)
-      array((0 until kEff).map { c =>
-        q2 - lit(2.0) * vecDot(sub, typedLit(subCent(c, j))) + lit(c2(c, j))
-      }: _*)
-    }: _*)
-
+  private def pqTopKWithSampler(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int,
+      ksub: Int,
+      refineIters: Int,
+      refineSampleMod: Long,
+      sampleOrd: Column): DataFrame = {
+    val book = trainPqBook(corpus, idCol, vecCol, m, ksub, refineIters,
+      refineSampleMod, sampleOrd)
     val enc = corpus.select(col(idCol).as("neighbor_id"),
-      codesOf(col(vecCol)).as("codes"))
+      book.codesOf(col(vecCol)).as("codes"))
     val q = queries.select(col(idCol).as("query_id"),
-      lutOf(col(vecCol)).as("lut"))
+      book.lutOf(col(vecCol)).as("lut"))
     val scored = enc.join(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -628,6 +645,129 @@ object Similarity {
     refineShortlist(
       md5PqTopK(queries, corpus, idCol, vecCol, k * shortlistFactor, m, ksub),
       queries, corpus, idCol, vecCol, k)
+
+  /** IVF-PQ: the full 100 TB ANN stack in one operator — the IVF
+    * coarse quantizer PRUNES (corpus assigned to its nearest of
+    * `nlist` cells by squared L2; queries probe their `nprobe`
+    * nearest), PQ codes make each surviving candidate `m` BYTES to
+    * score ([[graft.functions.PqAdc]] over the per-query table), and
+    * the exact re-rank touches only the `k · shortlistFactor`
+    * shortlisted vectors. The corpus side is ONE map-only projection
+    * emitting (id, cell_id, codes) — vectors never leave the scan —
+    * and the ADC join is an equi-join on cell_id against the
+    * broadcast probe set, never a full scan of codes. Cell centroids
+    * and codebooks are both deterministically sampled from one
+    * ordered stream (first nlist resp. first ksub — the IVF
+    * discipline); codebooks then refine with the per-subspace
+    * mini-batch k-means of [[pqTopK]]. Codes quantize RAW vectors,
+    * not residuals — the residual refinement drops into
+    * [[PqBook]] without touching this shape.
+    *
+    * Returns (query_id, rank, neighbor_id, dist2): exact squared L2
+    * over the shortlist, rank by (dist2 asc, id asc), self excluded;
+    * recall < 1 from both cell pruning and code coarseness (spec
+    * measures both layers). */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 4,
+      ksub: Int = 8,
+      shortlistFactor: Int = 5,
+      refineIters: Int = 2,
+      refineSampleMod: Long = 4): DataFrame =
+    ivfPqWithSampler(queries, corpus, idCol, vecCol, k, nlist, nprobe, m,
+      ksub, shortlistFactor, refineIters, refineSampleMod,
+      xxhash64(col(idCol).cast("long")))
+
+  /** Oracle twin of [[ivfPqTopK]]: md5-order sampling, no codebook
+    * refinement, int8-quantized inputs — cells, codes, ADC
+    * shortlist and exact re-rank are ALL exact integer arithmetic,
+    * DuckDB-re-derivable bit-for-bit. */
+  def md5IvfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 4,
+      ksub: Int = 8,
+      shortlistFactor: Int = 5): DataFrame =
+    ivfPqWithSampler(queries, corpus, idCol, vecCol, k, nlist, nprobe, m,
+      ksub, shortlistFactor, refineIters = 0, refineSampleMod = 4,
+      Dedup.md5Hash60(col(idCol).cast("long").cast("string")))
+
+  private def ivfPqWithSampler(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      m: Int,
+      ksub: Int,
+      shortlistFactor: Int,
+      refineIters: Int,
+      refineSampleMod: Long,
+      sampleOrd: Column): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
+      s"need 1 <= nprobe <= nlist, got $nprobe/$nlist")
+    // cell centroids: the nlist smallest by the ord stream — full
+    // vectors, L2 cells (same metric as the codes they gate)
+    val cellCents = corpus
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"),
+        sampleOrd.as("__ord"))
+      .orderBy(col("__ord"), col("cid"))
+      .limit(nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+    require(cellCents.nonEmpty, "ivfPqTopK: empty corpus")
+    def cellN2(c: Int): Double = {
+      val s = cellCents(c)._2; var acc = 0.0; var i = 0
+      while (i < s.length) { acc += s(i).toDouble * s(i).toDouble; i += 1 }
+      acc
+    }
+    // argmin of (||c||² − 2·v·c) over the literal centroids == the
+    // L2-nearest cell; ties to the smaller cell id
+    def cellStructs(vv: Column): Seq[Column] =
+      cellCents.indices.map { c =>
+        struct(
+          (lit(cellN2(c)) -
+            lit(2.0) * vecDot(vv, typedLit(cellCents(c)._2.toSeq))).as("d"),
+          lit(cellCents(c)._1).as("cell_id"))
+      }
+
+    val book = trainPqBook(corpus, idCol, vecCol, m, ksub, refineIters,
+      refineSampleMod, sampleOrd)
+
+    // ONE corpus projection: nearest cell + PQ codes, map-only
+    val enc = corpus.select(col(idCol).as("neighbor_id"),
+      array_min(array(cellStructs(col(vecCol)): _*))
+        .getField("cell_id").as("cell_id"),
+      book.codesOf(col(vecCol)).as("codes"))
+    val q = queries
+      .select(col(idCol).as("query_id"), book.lutOf(col(vecCol)).as("lut"),
+        explode(slice(sort_array(array(cellStructs(col(vecCol)): _*)),
+          1, nprobe)).as("__probe"))
+      .select(col("query_id"), col("lut"),
+        col("__probe").getField("cell_id").as("cell_id"))
+    val scored = enc.join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-VectorFunctions.pqAdc(col("codes"), col("lut"))).as("cos"))
+    refineShortlist(
+      rankTopK(scored, k * shortlistFactor)
+        .select(col("query_id"), col("neighbor_id")),
+      queries, corpus, idCol, vecCol, k)
+  }
 
   private def refineShortlist(
       shortlist: DataFrame,
