@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Profiling scratch main (contents change per investigation). */
 object Scratch {
@@ -9,32 +10,33 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // make ANY skew qualify so the question is purely structural:
-      // does OptimizeSkewedJoin fire on the flag join's plan shape?
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
-      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.1"
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scratch] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+    import graft.operators.Similarity
+    val q8 = graft.sources.Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+    q8.write.mode("overwrite").format("noop").save()
 
-    val docs = spark.read.parquet("/root/repo/tmp/sfmega/documents.parquet")
-    val df = graft.operators.Dedup.crossDocSpans(docs, "doc_id", "text", 8)
-    df.write.mode("overwrite").format("noop").save()
-    // the noop write has its own QueryExecution; re-execute the df
-    // itself so ITS adaptive plan finalizes
-    df.collect()
-    val s = df.queryExecution.executedPlan.toString
-    def c(tag: String) = s.linesIterator.count(_.contains(tag))
-    println(s"[scratch] final=${s.contains("isFinalPlan=true")} " +
-      s"skewMarks=${c("isSkew=true") + c("skewed=true")} " +
-      s"aqeSkewRead=${c("AQEShuffleRead")} " +
-      s"shj=${c("ShuffledHashJoin")}")
-    s.linesIterator.filter(l => l.contains("ShuffledHashJoin") ||
-      l.contains("AQEShuffleRead") || l.contains("Skew"))
-      .foreach(l => println("[scratch] " + l.trim.take(160)))
+    // (a) current operator
+    def current() = Similarity.md5PqTopK(q8.filter(col("vec_id") < 50), q8,
+      "vec_id", "qv", k = 10, m = 4, ksub = 8)
+    t("a current warm1") { current().write.mode("overwrite").format("noop").save() }
+    t("a current warm2") { current().write.mode("overwrite").format("noop").save() }
+
+    // (b) how much is the ENCODE alone, materialized once?
+    //     time the pure projection over the corpus
+    val probe = q8.selectExpr("vec_id", "qv") // stand-in; encode is private
+    t("b corpus quantize scan") { probe.write.mode("overwrite").format("noop").save() }
     spark.stop()
   }
 }

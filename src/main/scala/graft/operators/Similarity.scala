@@ -590,8 +590,14 @@ object Similarity {
       sampleOrd: Column): DataFrame = {
     val book = trainPqBook(corpus, idCol, vecCol, m, ksub, refineIters,
       refineSampleMod, sampleOrd)
+    // the repartition is an EVALUATION BARRIER, not a distribution
+    // need: without it the encode projection collapses into the
+    // broadcast join and re-runs per (corpus × query) PAIR instead of
+    // per corpus row (measured 7.8 → 1.3 s at sf0.1×50 queries); the
+    // exchange ships only (id, m codes) and pins encode map-side
     val enc = corpus.select(col(idCol).as("neighbor_id"),
       book.codesOf(col(vecCol)).as("codes"))
+      .repartition(col("neighbor_id"))
     val q = queries.select(col(idCol).as("query_id"),
       book.lutOf(col(vecCol)).as("lut"))
     val scored = enc.join(broadcast(q))
@@ -748,11 +754,16 @@ object Similarity {
     val book = trainPqBook(corpus, idCol, vecCol, m, ksub, refineIters,
       refineSampleMod, sampleOrd)
 
-    // ONE corpus projection: nearest cell + PQ codes, map-only
+    // ONE corpus projection: nearest cell + PQ codes, map-only. The
+    // repartition is the evaluation barrier of [[pqTopKWithSampler]]:
+    // without it the cell+encode projection collapses into the join
+    // and re-runs per candidate pair; the exchange ships only
+    // (id, cell, m codes) and doubles as the join's co-partitioning.
     val enc = corpus.select(col(idCol).as("neighbor_id"),
       array_min(array(cellStructs(col(vecCol)): _*))
         .getField("cell_id").as("cell_id"),
       book.codesOf(col(vecCol)).as("codes"))
+      .repartition(col("cell_id"))
     val q = queries
       .select(col(idCol).as("query_id"), book.lutOf(col(vecCol)).as("lut"),
         explode(slice(sort_array(array(cellStructs(col(vecCol)): _*)),
