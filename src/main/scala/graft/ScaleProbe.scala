@@ -50,7 +50,10 @@ object ScaleProbe {
     "d44_redact_pii",       // regex scrub scan
     "d45_shuffle_shard",    // shard-keyed window
     "d46_indexed_dedup",    // index build + screen end to end
-    "d47_budget_select")    // two-phase prefix sum + budget filter
+    "d47_budget_select",    // two-phase prefix sum + budget filter
+    "d48_pq_adc",           // PQ encode projection + ADC scan
+    "d49_pq_refined",       // + shortlist exact re-rank
+    "d50_ivfpq")            // + coarse cell gating
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -265,6 +268,20 @@ object ScaleProbe {
     (0 until 10).map(_ => li).reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$Sf1/lineitem.parquet")
+
+    // embeddings: 10 id-shifted copies, vectors UNCHANGED — each
+    // vector gains 9 exact twins, which distorts neighbor IDENTITY
+    // but not the wall-clock shape the probe measures (encode rows,
+    // candidate pairs and shortlist sizes all scale 10×); a
+    // recall-faithful 10× corpus would need structure-preserving
+    // vector synthesis, out of probe scope
+    val emb = spark.read.parquet(s"$Sf01/embeddings.parquet")
+    (0 until 10).map { i =>
+      if (i == 0) emb
+      else emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$Sf1/embeddings.parquet")
 
     marker.createNewFile()
   }

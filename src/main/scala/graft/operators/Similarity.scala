@@ -665,8 +665,9 @@ object Similarity {
     * and codebooks are both deterministically sampled from one
     * ordered stream (first nlist resp. first ksub — the IVF
     * discipline); codebooks then refine with the per-subspace
-    * mini-batch k-means of [[pqTopK]]. Codes quantize RAW vectors,
-    * not residuals — the residual refinement drops into
+    * mini-batch k-means of [[pqTopK]] and cell centroids with the
+    * same fixed-point Lloyd loop under the L2 metric. Codes quantize
+    * RAW vectors, not residuals — the residual refinement drops into
     * [[PqBook]] without touching this shape.
     *
     * Returns (query_id, rank, neighbor_id, dist2): exact squared L2
@@ -688,6 +689,7 @@ object Similarity {
       refineSampleMod: Long = 4): DataFrame =
     ivfPqWithSampler(queries, corpus, idCol, vecCol, k, nlist, nprobe, m,
       ksub, shortlistFactor, refineIters, refineSampleMod,
+      cellRefineIters = refineIters,
       xxhash64(col(idCol).cast("long")))
 
   /** Oracle twin of [[ivfPqTopK]]: md5-order sampling, no codebook
@@ -707,6 +709,7 @@ object Similarity {
       shortlistFactor: Int = 5): DataFrame =
     ivfPqWithSampler(queries, corpus, idCol, vecCol, k, nlist, nprobe, m,
       ksub, shortlistFactor, refineIters = 0, refineSampleMod = 4,
+      cellRefineIters = 0,
       Dedup.md5Hash60(col(idCol).cast("long").cast("string")))
 
   private def ivfPqWithSampler(
@@ -722,12 +725,13 @@ object Similarity {
       shortlistFactor: Int,
       refineIters: Int,
       refineSampleMod: Long,
+      cellRefineIters: Int,
       sampleOrd: Column): DataFrame = {
     require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
       s"need 1 <= nprobe <= nlist, got $nprobe/$nlist")
     // cell centroids: the nlist smallest by the ord stream — full
     // vectors, L2 cells (same metric as the codes they gate)
-    val cellCents = corpus
+    var cellCents = corpus
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"),
         sampleOrd.as("__ord"))
       .orderBy(col("__ord"), col("cid"))
@@ -750,6 +754,39 @@ object Similarity {
             lit(2.0) * vecDot(vv, typedLit(cellCents(c)._2.toSeq))).as("d"),
           lit(cellCents(c)._1).as("cell_id"))
       }
+
+    // mini-batch Lloyd on the CELL centroids (L2 metric), the same
+    // fixed-point discipline as the PQ codebook loop: deterministic
+    // long-sum means, bounded driver pull (nlist·dim rows), empty
+    // cells keep their previous centroid. The twin runs 0 iterations
+    // (float means break exact-integer reproducibility).
+    if (cellRefineIters > 0) {
+      val Scale = (1L << 24).toDouble
+      val training = corpus
+        .select(col(idCol).cast("long").as("__tid"), col(vecCol).as("__tv"))
+      for (it <- 1 to cellRefineIters) {
+        val refined = training
+          .filter(pmod(col("__tid") + it, lit(refineSampleMod)) === 0)
+          .select(col("__tv"),
+            array_min(array(cellStructs(col("__tv")): _*))
+              .getField("cell_id").as("cell_id"))
+          .select(col("cell_id"), posexplode(col("__tv")))
+          .groupBy(col("cell_id"), col("pos"))
+          .agg(sum(round(col("col") * Scale).cast("long")).as("s"),
+            count(lit(1)).as("c"))
+          .select(col("cell_id"), col("pos"),
+            (col("s").cast("double") / col("c") / Scale).cast("float").as("m"))
+          .collect()
+          .groupBy(_.getLong(0))
+        cellCents = cellCents.map { case (cid, prev) =>
+          refined.get(cid) match {
+            case Some(rows) =>
+              cid -> rows.sortBy(_.getInt(1)).map(_.getFloat(2)).toIndexedSeq
+            case None => cid -> prev
+          }
+        }
+      }
+    }
 
     val book = trainPqBook(corpus, idCol, vecCol, m, ksub, refineIters,
       refineSampleMod, sampleOrd)

@@ -358,16 +358,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       f"re-ranked recall did not recover: $refRecall%.2f (codes-only $recall%.2f)")
 
     // the full stack: cell pruning on top of codes+re-rank. Probing
-    // 4 of 16 cells scans ~1/4 of the corpus; recall gives up a
-    // little to the pruned cells but must stay well above the scan
-    // fraction, and the whole thing is deterministic
+    // 4 of 16 cells scans ~1/4 of the corpus; refined cell centroids
+    // must hold recall well above the scan fraction (0.40 sampled →
+    // 0.62 with the fixed-point Lloyd loop on), and the whole thing
+    // is deterministic
     val ivfpq = Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding",
       k = 10, nlist = 16, nprobe = 4, m = 16, ksub = 32,
       shortlistFactor = 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivfpqRecall = ivfpq.count(exactL2.contains).toDouble / exactL2.size
     info(f"ivf-pq recall@10 vs exact L2: $ivfpqRecall%.2f")
-    assert(ivfpqRecall >= 0.4, f"IVF-PQ recall collapsed: $ivfpqRecall%.2f")
+    assert(ivfpqRecall >= 0.5, f"IVF-PQ recall collapsed: $ivfpqRecall%.2f")
     val ivfpq2 = Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding",
       k = 10, nlist = 16, nprobe = 4, m = 16, ksub = 32,
       shortlistFactor = 5)
