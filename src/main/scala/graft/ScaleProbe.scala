@@ -167,6 +167,47 @@ object ScaleProbe {
             .as("avg_logp"))
     }
 
+    // ---- d4 blockCap occupancy: window vs agg+join (probe-only) ----
+    // Mega-BLOCK stress: block on `lang` alone, so ONE coarse block
+    // holds ~a third of the corpus (≫ blockCap 4096 → the guard must
+    // route it to band sub-bucketing). Both pipelines run through the
+    // sub-bucket-key stage only — the stage the occupancy count
+    // shapes; the window form buffers the mega-block's WIDE rows
+    // (full shingle arrays) in one un-splittable task, the production
+    // agg+join form streams them.
+    def ngramBase(): DataFrame = Dedup.withShingles(
+      docs.select(col("doc_id"), col("text"), struct(col("lang")).as("block")),
+      "text", 3, "sh")
+      .select(col("doc_id"), col("block"),
+        sort_array(array_distinct(transform(col("sh"), s => xxhash64(s))))
+          .as("shh"),
+        col("sh"))
+    def subStage(withM: DataFrame): DataFrame = {
+      val (bands, r, cap) = (32, 1, 4096)
+      withM
+        .withColumn("__sig", when(col("__m") > cap,
+          graft.functions.SketchFunctions.minhash64(col("sh"), bands * r)))
+        .select(col("block"), col("doc_id"), col("shh"),
+          explode(when(col("__m") <= cap,
+            array(struct(lit(-1).as("sub_id"), lit(0L).as("sub_hash"))))
+            .otherwise(transform(sequence(lit(0), lit(bands - 1)),
+              b => struct(b.cast("int").as("sub_id"),
+                xxhash64(b, slice(col("__sig"), b * r + 1, lit(r)))
+                  .as("sub_hash"))))).as("sub"))
+        .select(col("block"), col("sub.sub_id").as("sub_id"),
+          col("sub.sub_hash").as("sub_hash"), col("doc_id"), col("shh"))
+    }
+    def windowOcc(): DataFrame = {
+      val keyed = ngramBase().repartition(col("block"))
+      subStage(keyed.withColumn("__m",
+        count(lit(1)).over(Window.partitionBy(col("block")))))
+    }
+    def aggOcc(): DataFrame = {
+      val keyed = ngramBase().repartition(col("block"))
+      val occ = keyed.groupBy(col("block")).agg(count(lit(1)).as("__m"))
+      subStage(keyed.join(occ.hint("SHUFFLE_HASH"), Seq("block")))
+    }
+
     // Wall-clock on a warm 32-thread local box is a wash between the
     // two forms (the hot partition fits execution memory), so the
     // probe ALSO captures what actually differs — task spill bytes
@@ -211,7 +252,8 @@ object ScaleProbe {
       ("d33 unigramLogProb", () => windowLogProb(),
         () => TextAnalysis.unigramLogProb(docs, "doc_id", "text")),
       ("d38 cutCrossDocSpans", () => windowSpans(), // r9 d38 = spans + cut join; spans dominate
-        () => Dedup.cutCrossDocSpans(docs, "doc_id", "text", 8)))
+        () => Dedup.cutCrossDocSpans(docs, "doc_id", "text", 8)),
+      ("d4 blockCap occupancy", () => windowOcc(), () => aggOcc()))
     cases.foreach { case (label, win, agg) =>
       val (wt, ws, wp) = measure(s"$label window", win)
       val (at, as_, ap) = measure(s"$label aggjoin", agg)

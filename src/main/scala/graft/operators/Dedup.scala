@@ -1394,8 +1394,18 @@ object Dedup {
     * instead (the same signature/banding machinery as
     * [[minhashPairs]], recall as above — 32×1 bands catch j=0.2 with
     * p≈0.999). Verification is unchanged either way. The per-block
-    * occupancy count is a window over the SAME block exchange the
-    * self-join reuses — the guard adds no shuffle.
+    * occupancy count is a streaming hash AGGREGATE (partial combine,
+    * skew-immune) joined back with a SHUFFLE_HASH build on the tiny
+    * one-row-per-block count table — NOT `count OVER (PARTITION BY
+    * block)`: a window cannot partial-aggregate and must buffer a hot
+    * block's WIDE rows (full shingle arrays) in a single task, and
+    * AQE cannot skew-split a Window node, so a coarse natural block
+    * would straggler at 100 TB (the d33/d36/d37 de-skew discipline
+    * applies verbatim here). Catalyst column-prunes the count branch
+    * all the way to a narrow (blockCols-only) second parquet scan —
+    * deliberately kept: counting occupancy from ~16 bytes/row of
+    * columnar input is far cheaper than re-reading the wide
+    * shingle-array shuffle files.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -1432,13 +1442,16 @@ object Dedup {
     // without it, the self-join scans and re-hashes the whole corpus
     // twice (the dominant cost of this operator at scale).
     val keyed = base.repartition(col("block"))
-    val occ = org.apache.spark.sql.expressions.Window.partitionBy(col("block"))
+    // Occupancy: narrow-key hash aggregate + SHUFFLE_HASH join-back
+    // that builds on the one-row-per-block count side (see class doc:
+    // Catalyst prunes this branch to a narrow blockCols-only scan).
+    val occ = keyed.groupBy(col("block")).agg(count(lit(1)).as("__m"))
     // sub-bucket key: a constant for bounded blocks (exhaustive
     // within block), one row per band for oversized ones (band
     // equality marks a candidate; the signature and the transform
     // only evaluate on oversized rows)
     val sub = keyed
-      .withColumn("__m", count(lit(1)).over(occ))
+      .join(occ.hint("SHUFFLE_HASH"), Seq("block"))
       .withColumn("__sig", when(col("__m") > blockCap,
         SketchFunctions.minhash64(col("sh"), numPerms)))
       .select(col("block"), col("doc_id"), col("shh"),

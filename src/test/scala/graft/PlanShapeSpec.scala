@@ -223,6 +223,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no gram-hash exchange found:\n${np.take(3000)}")
   }
 
+  test("d4: blockCap occupancy is agg+join, never a window over wide shingle rows") {
+    // the guard's occupancy count must NEVER be `count OVER
+    // (PARTITION BY block)` — that buffers a hot block's full shingle
+    // arrays in one un-splittable task. Pinned shape: a hash agg over
+    // a column-pruned narrow scan + ONE ShuffledHashJoin build on the
+    // per-block counts, and the self-join side reuses the wide
+    // shingle pipeline (ReusedExchange) instead of recomputing it.
+    val p = plan("d4_ngram_jaccard")
+    assert(count(p, "Window") == 0,
+      s"occupancy window crept back in:\n${p.take(2000)}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val np = try pinnedPlan("d4_ngram_jaccard")
+      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(count(np, "ShuffledHashJoin") == 1,
+      s"occupancy join-back must hash-build on the count side:\n${np.take(3000)}")
+    assert(count(np, "ReusedExchange") >= 1,
+      s"self-join recomputes the shingle pipeline:\n${np.take(3000)}")
+    assert(count(np, "Window") == 0 && count(np, "SortAggregate") == 0 &&
+      count(np, "CartesianProduct") == 0 &&
+      count(np, "BroadcastNestedLoopJoin") == 0, np.take(2000))
+  }
+
   test("d43: decontamination screens map-side against a broadcast holdout") {
     // the asymmetric-cardinality contract: the holdout gram set and
     // the per-doc counts are the broadcast sides; the training corpus
