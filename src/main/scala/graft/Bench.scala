@@ -34,6 +34,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.SchemaCanary.warnOnDrift(spark, sfDir)
 
     def forceDf(name: String,
         mk: () => org.apache.spark.sql.DataFrame): Double = {
