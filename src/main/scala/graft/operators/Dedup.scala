@@ -1074,36 +1074,53 @@ object Dedup {
     * propagation directly; anything else (strings, UUIDs, …) is
     * dictionary-encoded to dense longs first and decoded on the way
     * out, so the hot loop never carries wide keys.
+    *
+    * Fault-tolerance: every intermediate pin below defaults to
+    * `localCheckpoint` (executor-local blocks, lineage truncated — an
+    * executor lost mid-run fails the job unrecoverably; fine for
+    * local mode and dedicated clusters). On a cluster with
+    * preemption/dynamic-allocation churn pass `reliable = true` to
+    * pin via RELIABLE checkpoints instead (survive executor loss;
+    * requires `sparkContext.setCheckpointDir` on a shared filesystem
+    * and pays one distributed write per pin of a narrow two-long
+    * projection). Same contract as [[Packing.sequencePack]].
     */
   def components(pairs: DataFrame, maxIter: Int = 20,
-      smallGraph: Long = defaultSmallGraphEdges): DataFrame = {
+      smallGraph: Long = defaultSmallGraphEdges,
+      reliable: Boolean = false): DataFrame = {
     val idT = pairs.schema("id_a").dataType
     if (isIntegral(idT)) {
       componentsLong(pairs.select(
-        col("id_a").cast("long"), col("id_b").cast("long")), maxIter, smallGraph)
+        col("id_a").cast("long"), col("id_b").cast("long")), maxIter, smallGraph,
+        reliable)
         .select(col("id").cast(idT).as("id"),
           col("component").cast(idT).as("component"))
     } else {
       // dictionary-encode: one dense long per distinct id. The dict is
-      // localCheckpoint-ed because monotonically_increasing_id is only
-      // stable within one materialization — encode and decode must see
-      // the same assignment.
-      val dict = pairs.select(col("id_a").as("orig"))
+      // pinned because monotonically_increasing_id is only stable
+      // within one materialization — encode and decode must see the
+      // same assignment.
+      val dict = pin(pairs.select(col("id_a").as("orig"))
         .unionAll(pairs.select(col("id_b").as("orig")))
         .distinct()
-        .withColumn("nid", monotonically_increasing_id())
-        .localCheckpoint()
+        .withColumn("nid", monotonically_increasing_id()), reliable)
       val enc = pairs
         .join(dict.select(col("orig").as("id_a"), col("nid").as("na")), Seq("id_a"))
         .join(dict.select(col("orig").as("id_b"), col("nid").as("nb")), Seq("id_b"))
         .select(col("na").as("id_a"), col("nb").as("id_b"))
-      componentsLong(enc, maxIter, smallGraph)
+      componentsLong(enc, maxIter, smallGraph, reliable)
         .join(dict.select(col("nid").as("id"), col("orig").as("__oid")), Seq("id"))
         .join(dict.select(col("nid").as("component"), col("orig").as("__ocomp")),
           Seq("component"))
         .select(col("__oid").as("id"), col("__ocomp").as("component"))
     }
   }
+
+  /** The components() pin: localCheckpoint by default, reliable
+    * checkpoint on request (see the fault-tolerance note above). */
+  private def pin(df: DataFrame, reliable: Boolean,
+      eager: Boolean = true): DataFrame =
+    if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
 
   /** Minimal primitive long→long open-addressing map (power-of-two
     * capacity, linear probing, grow at 50 % load) for the union-find
@@ -1215,7 +1232,7 @@ object Dedup {
   val defaultSmallGraphEdges: Long = 4L << 20
 
   private def componentsLong(pairsLong: DataFrame, maxIter: Int,
-      smallGraph: Long): DataFrame = {
+      smallGraph: Long, reliable: Boolean): DataFrame = {
     val spark = pairsLong.sparkSession
     import spark.implicits._
 
@@ -1240,11 +1257,10 @@ object Dedup {
     // whose scheduling floor dominates at this size. Identical output
     // to the fixpoint: root = component min, one row per node.
     if (nStars <= smallGraph) {
-      val out = stars0.as[(Long, Long)]
+      val out = pin(stars0.as[(Long, Long)]
         .coalesce(1)
         .mapPartitions(unionFind _)
-        .toDF("id", "component")
-        .localCheckpoint()
+        .toDF("id", "component"), reliable)
       stars0.unpersist()
       return out
     }
@@ -1279,19 +1295,19 @@ object Dedup {
       // rounds instead of O(diameter) (at fixpoint the jump is the
       // identity: label(label(x)) = label(min) = min).
       //
-      // localCheckpoint, not cache: the jump self-joins prop with
+      // checkpoint, not cache: the jump self-joins prop with
       // itself, so a lineage-preserving plan doubles every round
       // (exponential tree, OOM just STRINGIFYING it by round ~10);
       // checkpointing pins the round's result as a fresh scan and
       // keeps the plan constant-size across rounds. Lazy (eager=false)
       // so the changed-count action below materializes it — one job
       // per round, not a checkpoint job plus a count job.
-      val jumped = prop
+      val jumped = pin(prop
         .join(prop.select(col("id").as("component"), col("component").as("jcomp")),
           Seq("component"), "left")
         .select(col("id"),
-          coalesce(col("jcomp"), col("component")).as("component"), col("old"))
-        .localCheckpoint(false)
+          coalesce(col("jcomp"), col("component")).as("component"), col("old")),
+        reliable, eager = false)
       changed = jumped.filter(col("component") < col("old")).count()
       prop.unpersist()
       if (prev != null) prev.unpersist()
@@ -1302,7 +1318,7 @@ object Dedup {
     // pin the result, then release every cached frame it was built
     // from (the final `prop` used to stay cached for the session —
     // one leaked dataset per components() call)
-    val out = labels.select(col("id"), col("component")).localCheckpoint()
+    val out = pin(labels.select(col("id"), col("component")), reliable)
     edges.unpersist()
     if (prev != null) prev.unpersist()
     init.unpersist()
@@ -1316,8 +1332,8 @@ object Dedup {
     * all singletons kept. `pairs` is any (id_a, id_b) frame from the
     * verification joins above. */
   def dropNearDuplicates(docs: DataFrame, idCol: String,
-      pairs: DataFrame): DataFrame = {
-    val losers = components(pairs)
+      pairs: DataFrame, reliable: Boolean = false): DataFrame = {
+    val losers = components(pairs, reliable = reliable)
       .filter(col("component") =!= col("id"))
       .select(col("id"))
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")

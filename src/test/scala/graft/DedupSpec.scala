@@ -249,6 +249,49 @@ class DedupSpec extends AnyFunSuite {
       s"paths disagree on ${fast.toSet.diff(slow.toSet).take(5)}")
   }
 
+  test("reliable mode labels the forced-path 1024-node graph identically") {
+    import org.apache.spark.sql.functions._
+    // executor-churn escape hatch: reliable = true swaps every
+    // localCheckpoint pin (dict, per-round jump, final labels) for a
+    // reliable checkpoint. Same path graph as the pointer-jumping
+    // test, smallGraph = 0 so ALL the iterative-path pins execute in
+    // reliable mode, and both modes must agree label-for-label.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val n = 1024
+      val pairs = spark.range(n - 1)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        .repartition(32, pmod(col("id_a"), lit(32)))
+      def labelMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+      val rel = labelMap(
+        Dedup.components(pairs, maxIter = 20, smallGraph = 0L, reliable = true))
+      val loc = labelMap(
+        Dedup.components(pairs, maxIter = 20, smallGraph = 0L))
+      assert(rel.size == n && rel.values.forall(_ == 0L),
+        rel.filter(_._2 != 0L).take(5).toString)
+      assert(rel == loc)
+      // the small-graph collapse pin runs reliable too
+      val small = labelMap(Dedup.components(pairs, reliable = true))
+      assert(small == rel)
+      // and the dictionary-encode pin (non-integral ids)
+      import spark.implicits._
+      val sdict = Dedup.components(
+        Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b"),
+        reliable = true)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      // string representatives are dict-order-dependent; pin the GROUPS
+      val groups = sdict.groupBy(_._2).values.map(_.keySet).toSet
+      assert(groups == Set(Set("a", "b", "c"), Set("x", "y")), sdict.toString)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("components handles negative ids and the Long.MinValue sentinel key") {
     import spark.implicits._
     // The union-find map stores longs in open-addressed slots with
@@ -550,6 +593,70 @@ class DedupSpec extends AnyFunSuite {
       (2L, 5L, 0.0, 1L),
       (3L, 9L, 0.2222, 0L)
     ), s"got $prof")
+  }
+
+  test("d46 screen: a batch too big to broadcast rides bucketed SMJ index reads, zero Exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // the steady-state production shape: batches grow past
+    // autoBroadcastJoinThreshold, AQE can no longer demote the index
+    // joins to broadcasts, and the screen must fall back to
+    // sort-merge/shuffled-hash joins where the single-column
+    // bucketing of _bands/_docs/_ch satisfies the join clustering —
+    // the index sides read their buckets with NO Exchange (only the
+    // unbucketed batch side may shuffle).
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated corpus content about spark planning details today ok"),
+      (3L, "a third corpus document with its own words entirely")
+    ).toDF("doc_id", "text")
+    // the batch must itself exceed the 1 KB threshold, or Spark just
+    // broadcasts the BATCH into the bucketed scans (fine, but not the
+    // fallback under test): 500 distinct docs + one exact and one
+    // near dup of the corpus
+    val batch = (Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "completely unrelated corpus content about spark planning details today no")
+    ) ++ (0 until 500).map(i =>
+      (100L + i, s"document number $i carries payload ${i * 7} and token$i plus ${i * 13} extra"))
+    ).toDF("doc_id", "text")
+    val name = "t_idx_smj"
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", name)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    try {
+      val df = Dedup.dedupAgainstIndex(batch, "doc_id", "text", name)
+      val plan = df.queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: SortMergeJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+        case j: ShuffledHashJoinExec => j
+      }
+      // a join child is an INDEX side iff every leaf under it is a
+      // bucketed file scan (the batch side bottoms out in the local
+      // relation); each such side must be exchange-free
+      val indexSides = joins.flatMap(_.children).filter { side =>
+        val leaves = side.collectLeaves()
+        leaves.nonEmpty && leaves.forall {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.bucketSpec.isDefined
+          case _ => false
+        }
+      }
+      assert(indexSides.size >= 3,
+        s"expected _bands/_docs/_ch to SMJ off bucketed reads:\n${plan.toString.take(4000)}")
+      indexSides.foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+          s"bucketed index side reshuffled:\n${side.toString.take(2000)}")
+      }
+      // semantics unchanged under the forced fallback: both dups
+      // screened, every fresh doc survives
+      assert(df.collect().map(_.getLong(0)).toSet ==
+        (0 until 500).map(100L + _).toSet)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("dedupAgainstIndex == dedupAgainst in both signature modes; append screens the next batch") {
