@@ -81,6 +81,17 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
+  /** The token-count flag: `real = true` switches from the regex
+    * approximation above to the REAL byte-level BPE kernel
+    * ([[graft.functions.BpeTokenizer]], d51 oracle-checked). The
+    * default stays the regex form the d10 oracle pins; count
+    * consumers (sequencePack, budgetSelect, tokenChunks' caller)
+    * re-base by taking this with `real = true` as their tokens
+    * column. */
+  def bpeTokenCount(text: Column, real: Boolean): Column =
+    if (real) graft.functions.BpeTokenizer.bpeTokenCount(text)
+    else bpeTokenCount(text)
+
   /** Quality score in [0,1] from a materialized [[textStats]] struct:
     * blends normalized length, mean word length, and stopword
     * presence. Deterministic double arithmetic, mirrored in the d9

@@ -558,6 +558,26 @@ object DBlock {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // D38: REAL byte-level BPE tokenization (re-bases the d10 regex
+    // approximation; the count consumers d32/d47 re-base by passing
+    // BpeTokenizer.bpeTokenCount as their tokens column, and
+    // TextAnalysis.bpeTokenCount(text, real = true) is the flag).
+    // Fully oracle-checked via the canonical "|hex|…|" token-sequence
+    // string: the merge table is a shared literal, rank-order
+    // left-to-right merge application == one DuckDB replace() per
+    // merge, and the count/md5 arithmetic is engine-shared — so a
+    // single drifted token anywhere in the corpus breaks the hash.
+    "d51_bpe_tokens" -> ((s, d) => {
+      val ts = graft.functions.BpeTokenizer.bpeTokenString(col("text"))
+      Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.BpeTokenizer.bpeTokenCount(col("text"))
+            .cast("long").as("n_bpe"),
+          md5(ts).as("bpe_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D25: exact substring-level dedup — maximal cross-doc repeated
     // >= 8-token spans (the "deduplicating training data" pass that
     // doc-level dedup misses: shared boilerplate inside otherwise
@@ -1106,6 +1126,42 @@ object DBlock {
        |  AND d.doc_id NOT IN (SELECT bid FROM near)
        |  AND d.doc_id NOT IN (SELECT doc_id FROM exact)
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** d51 oracle: rebuilds the canonical BPE token-sequence string
+    * from raw text — byte hex pairs pipe-delimited, then ONE
+    * replace() per merge in rank order (left-to-right non-overlapping
+    * replace IS the merge pass) — and shares the count/md5 arithmetic
+    * with the Spark entry. Generated from
+    * [[graft.functions.BpeTokenizer.mergesHex]], the same literal
+    * table the kernel compiles, so the two cannot drift. */
+  private val bpeTokensSql: String = {
+    // every token carries its OWN pipe pair ("|61||62|…"), so
+    // adjacent merge occurrences share no characters and one
+    // left-to-right replace per merge IS the kernel's merge pass
+    // (see BpeTokenizer's canonical-form doc)
+    val s0 = "regexp_replace(lower(hex(encode(text))), " +
+      "'([0-9a-f]{2})', '|\\1|', 'g')"
+    // DuckDB's binder caps expression nesting at 128, so the merge
+    // chain is layered through CTEs of <= 60 replaces each (rank
+    // order is preserved across layers — CTE n applies strictly
+    // earlier merges than CTE n+1)
+    val layers = graft.functions.BpeTokenizer.mergesHex.grouped(60).toVector
+    val ctes = layers.zipWithIndex.map { case (chunk, i) =>
+      val src = if (i == 0) s0 else "ts"
+      val from = if (i == 0)
+        "documents WHERE doc_id IS NOT NULL AND text IS NOT NULL"
+      else s"t$i"
+      val expr = chunk.foldLeft(src) { case (acc, (a, b)) =>
+        s"replace($acc, '|$a||$b|', '|$a$b|')"
+      }
+      s"t${i + 1} AS (SELECT doc_id, $expr AS ts FROM $from)"
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT doc_id,
+       |  CAST((length(ts) - length(replace(ts, '|', ''))) // 2 AS BIGINT) AS n_bpe,
+       |  md5(ts) AS bpe_md5
+       |FROM t${layers.length} ORDER BY doc_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -1741,6 +1797,8 @@ object DBlock {
         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    "d51_bpe_tokens" -> bpeTokensSql,
 
     "d33_unigram_logprob" ->
       """WITH tok AS (
