@@ -480,4 +480,140 @@ object Multimodal {
       (lit(64) + (length(col("payload")) % 16) * 32).cast("int").as("width"),
       (lit(64) + (length(col("payload")) % 9) * 32).cast("int").as("height"),
       when(col("media_type") === "audio", 1).otherwise(3).as("channels"))
+
+  // ---------------------------------------------------------------
+  // Perceptual image near-dedup: dHash64 over REAL decoded pixels,
+  // fed into the SAME multi-index hamming machinery text SimHash
+  // uses (Dedup.simhashPairsFromSigs) — the multimodal half of the
+  // near-dedup loop. At 100 TB the decode+hash is a map-only scan
+  // (one 64-bit signature per image crosses the network, never
+  // pixels), and candidate generation stays the skew-guarded
+  // chunk-bucket equi-join — no new shuffle shape.
+  // ---------------------------------------------------------------
+
+  /** 64-bit difference hash of an encoded image: ImageIO decode
+    * (real PNG/JPEG/BMP bytes), integer luma ((77r+151g+28b)>>8),
+    * 9×8 AREA-AVERAGE downscale in pure integer arithmetic (no AWT
+    * scaler — deterministic on any JVM/platform), then one bit per
+    * horizontal gradient sign: bit (cy*8+cx) = cell(cx+1,cy) >
+    * cell(cx,cy). Gradient signs make the hash invariant to global
+    * brightness shifts and robust to mild noise — the property
+    * MultimodalSpec pins. None for undecodable payloads or images
+    * smaller than the 9×8 grid. */
+  def dHash64(payload: Array[Byte]): Option[Long] = {
+    val img = try javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val avg = Array.ofDim[Long](8, 9)
+      var cy = 0
+      while (cy < 8) {
+        val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+        var cx = 0
+        while (cx < 9) {
+          val x0 = cx * w / 9; val x1 = (cx + 1) * w / 9
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (77 * ((rgb >> 16) & 0xFF) + 151 * ((rgb >> 8) & 0xFF) +
+                28 * (rgb & 0xFF)) >> 8
+              x += 1
+            }
+            y += 1
+          }
+          avg(cy)(cx) = sum / ((y1 - y0).toLong * (x1 - x0))
+          cx += 1
+        }
+        cy += 1
+      }
+      var bits = 0L; var k = 0
+      cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          if (avg(cy)(cx + 1) > avg(cy)(cx)) bits |= 1L << k
+          k += 1; cx += 1
+        }
+        cy += 1
+      }
+      Some(bits)
+    }
+  }
+
+  /** (doc_id, sim) dHash signatures of the image rows — the exact
+    * input contract of [[graft.operators.Dedup.simhashPairsFromSigs]].
+    * Map-only: pixels never leave the task. */
+  def imageDHashSigs(spark: SparkSession, media: Dataset[MediaRow]): DataFrame = {
+    import spark.implicits._
+    media.filter(_.media_type == "image").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap(r => dHash64(r.payload).map(sig => (r.doc_id, sig)))
+    }.toDF("doc_id", "sim")
+  }
+
+  /** Perceptual near-dup image pairs at hamming <= maxDist: dHash
+    * signatures through the skew-guarded multi-index hamming search
+    * text SimHash uses. Returns (id_a, id_b, hamming). */
+  def imageNearDupPairs(spark: SparkSession, media: Dataset[MediaRow],
+      maxDist: Int = 2): DataFrame =
+    Dedup.simhashPairsFromSigs(imageDHashSigs(spark, media), maxDist)
+
+  /** The d52 corpus: every image doc's REAL PNG plus a PLANTED
+    * near-identical twin at id + [[PlantedIdOffset]] — same pixel
+    * field re-encoded with a brightness bump on one vertical stripe
+    * (a couple of gradient cells move → hamming stays small but
+    * usually nonzero), the standard near-dup-bench construction. */
+  val PlantedIdOffset: Long = 10000000L
+
+  def withPlantedNearDupImages(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .filter(id => math.floorMod(id, 3) == 0)
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          Iterator(
+            MediaRow(id, "image", imagePayload(id)),
+            MediaRow(id + PlantedIdOffset, "image", perturbedImagePayload(id)))
+        }
+      }
+  }
+
+  /** [[imagePayload]]'s pixel field with +12 luma on exactly the
+    * source region of ONE dHash cell (cx=4, cy=3 — the same
+    * x*w/9 / y*h/8 ranges [[dHash64]] averages), so at most the two
+    * horizontal comparisons touching that cell can flip: the twin is
+    * visually near-identical and GUARANTEED within hamming 2. */
+  private[graft] def perturbedImagePayload(id: Long): Array[Byte] = {
+    val w = (16 + math.floorMod(id, 16)).toInt
+    val h = (16 + math.floorMod(id, 9)).toInt
+    val (x0, x1) = (4 * w / 9, 5 * w / 9)
+    val (y0, y1) = (3 * h / 8, 4 * h / 8)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = (id * 31 + x * 7 + y * 131).toInt & 0xFFFFFF
+        val v = if (x >= x0 && x < x1 && y >= y0 && y < y1) {
+          val r = math.min(((base >> 16) & 0xFF) + 12, 255)
+          val g = math.min(((base >> 8) & 0xFF) + 12, 255)
+          val b = math.min((base & 0xFF) + 12, 255)
+          (r << 16) | (g << 8) | b
+        } else base
+        img.setRGB(x, y, v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 }

@@ -286,6 +286,24 @@ object DBlock {
         .select(col("doc_id"), col("width"), col("height"), col("channels"))
         .orderBy(col("doc_id"))),
 
+    // D39: perceptual image near-dedup — dHash64 over REAL decoded
+    // PNG pixels (integer luma, 9×8 area-average, gradient-sign
+    // bits) fed through the SAME skew-guarded multi-index hamming
+    // search text SimHash uses, over a corpus of every image doc
+    // plus a planted near-identical twin (one dHash cell brightened:
+    // guaranteed hamming <= 2). Rows-only — pixel decode has no SQL
+    // oracle; MultimodalSpec pins twin recovery, brightness
+    // invariance, and the decode determinism the hash rests on.
+    // (The synthetic gradient images also pair naturally at <= 2 —
+    // visually-similar fields SHOULD near-dup; deterministic either
+    // way.)
+    "d52_image_neardup" -> ((s, d) => {
+      val media = Multimodal.withPlantedNearDupImages(
+        Tables.documents(s, d).filter(col("doc_id").isNotNull), "doc_id")
+      Multimodal.imageNearDupPairs(s, media, maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // D15/D22: REAL audio decode — payloads are genuine PCM WAVs
     // (Multimodal.audioPayload) and sample rate / channels / frames
     // come from javax.sound.sampled parsing the actual RIFF header;

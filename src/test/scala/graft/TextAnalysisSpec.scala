@@ -76,6 +76,68 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(badFeat.width == -1 && badFeat.height == -1 && badFeat.channels == -1)
   }
 
+  test("dHash64: brightness-invariant, noise-tolerant, deterministic over real PNG decode") {
+    // brightness invariance: +c on EVERY pixel keeps all gradient
+    // signs (below saturation), so the hash is bit-identical
+    def png(id: Long, bump: Int, all: Boolean): Array[Byte] = {
+      val w = 24; val h = 20
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = (id * 31 + x * 7 + y * 131).toInt & 0x7F7F7F // headroom
+        val v = if (all || x == w / 2) {
+          (((base >> 16) & 0xFF) + bump << 16) |
+            ((((base >> 8) & 0xFF) + bump) << 8) | ((base & 0xFF) + bump)
+        } else base
+        img.setRGB(x, y, v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    for (id <- 0L until 10L) {
+      val base = Multimodal.dHash64(png(id, 0, all = false)).get
+      assert(Multimodal.dHash64(png(id, 40, all = true)).get == base,
+        s"global brightness shifted the hash for id=$id")
+      // a single source-column bump lands in one grid column: at most
+      // its two horizontal comparisons per row can flip (<= 16 bits,
+      // typically far fewer) — a localized edit stays localized
+      assert(ham(Multimodal.dHash64(png(id, 25, all = false)).get, base) <= 16)
+      // determinism across repeated decodes
+      assert(Multimodal.dHash64(png(id, 0, all = false)).get == base)
+    }
+    // undecodable and too-small payloads yield None, not a crash
+    assert(Multimodal.dHash64(Array[Byte](1, 2, 3)).isEmpty)
+    val tiny = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(tiny, "png", bos)
+    assert(Multimodal.dHash64(bos.toByteArray).isEmpty)
+  }
+
+  test("d52: every planted near-identical PNG twin is recovered at hamming <= 2") {
+    import spark.implicits._
+    val docs = (0L until 90L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val media = Multimodal.withPlantedNearDupImages(docs, "doc_id")
+    val imageIds = (0L until 90L).filter(_ % 3 == 0)
+    assert(media.count() == imageIds.size * 2L)
+    val pairs = Multimodal.imageNearDupPairs(spark, media, maxDist = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    imageIds.foreach { id =>
+      val key = (id, id + Multimodal.PlantedIdOffset)
+      assert(pairs.contains(key), s"planted twin of $id not recovered")
+      assert(pairs(key) <= 2)
+    }
+    // and the per-pair hamming is the true popcount of the signatures
+    val sigs = Multimodal.imageDHashSigs(spark, media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case ((a, b), d) =>
+      assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) == d)
+    }
+  }
+
   test("real audio decode reads back WAV header params via javax.sound.sampled") {
     import spark.implicits._
     val docs = (0L until 48L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
