@@ -175,6 +175,63 @@ object TextAnalysis {
         round(avg(log(col("c").cast("double") / col("tot"))), 4).as("avg_logp"))
   }
 
+  /** Bigram language-model quality scoring — the n=2 step from
+    * [[unigramLogProb]] toward the KenLM-style likelihood filter:
+    * each document's mean ln P(t_i | t_{i-1}) under the corpus's own
+    * conditional bigram distribution, P(b|a) = c2(a,b) / c1(a) with
+    * c1(a) = Σ_b c2(a,b) (left-context occurrences, so probabilities
+    * per context sum to 1). Low `avg_logp2` = word SEQUENCES the
+    * corpus rarely uses — catches shuffled/garbled text that unigram
+    * scoring cannot (same words, wrong order).
+    *
+    * Scale shape (the d33 discipline, applied twice):
+    *   - ONE bigram explode; ONE explicit (a, b) exchange under both
+    *     the c2 aggregate and the scoring stream (ReuseExchange keeps
+    *     the scan+explode single-pass); c2 married back by an
+    *     exchange-free SHUFFLE_HASH probe. Never `count OVER
+    *     (PARTITION BY a, b)` — a zipfian head bigram ("of the")
+    *     would sort-buffer its entire row set in one task.
+    *   - c1 comes from aggregating the DISTINCT-BIGRAM table c2 (one
+    *     row per distinct pair), never the corpus stream: the (a)
+    *     exchange + join-back touch |distinct bigrams| rows, orders
+    *     of magnitude below the stream at corpus scale.
+    * Docs with fewer than two tokens hold no bigram and are absent —
+    * a conditional-likelihood score of an empty sequence is
+    * undefined, not zero. Returns (doc_id, n_bigrams, avg_logp2),
+    * avg rounded to 4 decimals on both engines (§6 rule).
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val bg = live
+      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(tk[i-1] AS a, tk[i] AS b))")).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+      // split() never yields null elements, so this filter drops
+      // nothing — but making it explicit BELOW the shared repartition
+      // keeps the two join branches' pushed IsNotNull constraints
+      // no-ops, so their Exchange subtrees stay canonically equal and
+      // ReuseExchange holds (the d33 count(doc_id) discipline, one
+      // asymmetry further: the c1 join pushes isnotnull(a) alone)
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val keyed = bg.repartition(col("a"), col("b"))
+    // count(doc_id), not count(1) — keeps the frequency subtree's
+    // column set equal to the scoring subtree's so ReuseExchange
+    // holds (see unigramLogProb's note)
+    val freq2 = keyed.groupBy(col("a"), col("b"))
+      .agg(count(col("doc_id")).as("c2"))
+    val f2keyed = freq2.repartition(col("a"))
+    val ctx = f2keyed.groupBy(col("a")).agg(sum(col("c2")).as("c1"))
+    val scored = f2keyed.join(ctx.hint("SHUFFLE_HASH"), Seq("a"))
+    keyed.join(scored.hint("SHUFFLE_HASH"), Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c2").cast("double") / col("c1").cast("double"))), 4)
+          .as("avg_logp2"))
+  }
+
   /** Oracle twin of [[withFingerprints]]: the IDENTICAL window-min
     * selection kernel (WinnowSelect) driven by engine-reproducible
     * md5 char k-gram hashes ([[Dedup.md5Hash60]]) instead of the

@@ -596,6 +596,16 @@ object DBlock {
         .orderBy(col("doc_id"))
     }),
 
+    // D40: bigram LM quality scoring — conditional sequence
+    // likelihood under the corpus's own bigram distribution (the n=2
+    // KenLM-filter step d33's unigram reduction can't see: shuffled
+    // words score low here). Oracle-checked: DuckDB re-derives the
+    // bigram stream, both count tables and the identical rounded
+    // arithmetic from raw text.
+    "d53_bigram_logprob" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // D25: exact substring-level dedup — maximal cross-doc repeated
     // >= 8-token spans (the "deduplicating training data" pass that
     // doc-level dedup misses: shared boilerplate inside otherwise
@@ -1830,6 +1840,24 @@ object DBlock {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  round(avg(ln(CAST(c AS DOUBLE) / tot)), 4) AS avg_logp
         |FROM tok JOIN f USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d53_bigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        |), bg AS (
+        |  SELECT doc_id, ws[CAST(i AS INT)] AS a, ws[CAST(i + 1 AS INT)] AS b
+        |  FROM tok, unnest(range(1, len(ws))) AS u(i)
+        |  WHERE len(ws) >= 2
+        |), f2 AS (
+        |  SELECT a, b, count(*) AS c2 FROM bg GROUP BY a, b
+        |), c1 AS (
+        |  SELECT a, sum(c2) AS c1 FROM f2 GROUP BY a
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))), 4) AS avg_logp2
+        |FROM bg JOIN f2 USING (a, b) JOIN c1 USING (a)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // null parity with sequencePack: null text packs as 0 tokens

@@ -181,6 +181,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(np, "SortAggregate") == 0, np.take(2000))
   }
 
+  test("d53: bigram scoring explodes once; c2 AND c1 are agg+join, never windows") {
+    val p = plan("d53_bigram_logprob")
+    assert(count(p, "Window") == 0,
+      s"hot-bigram window crept back in:\n${p.take(2000)}")
+    val np = pinnedPlan("d53_bigram_logprob")
+    assert(count(np, "Generate explode") == 1 && count(np, "ReusedExchange") >= 1,
+      s"bigram explode pipeline duplicated:\n${np.take(3000)}")
+    // the (a,b) probe join AND the distinct-bigram c1 join-back both
+    // hash-build; the corpus stream is never sorted
+    assert(count(np, "ShuffledHashJoin") == 2,
+      s"frequency join-backs must hash-build:\n${np.take(3000)}")
+    assert(count(np, "SortAggregate") == 0, np.take(2000))
+  }
+
   test("d36: substring dedup grams once; flags are agg+join, islands keep their windows") {
     val p = plan("d36_substring_dedup")
     // the only windows are the doc-keyed gaps-and-islands lag/cumsum
