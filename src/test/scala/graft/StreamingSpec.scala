@@ -359,6 +359,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("screened ingest crash window: death between sink append and index fold-in loses nothing") {
+    import spark.implicits._
+    // the loop's residual window (StreamingIngest scaladoc): sink
+    // append committed, index fold-in NOT — sink-first is deliberate,
+    // because the replay then re-lands the rows (at-least-once,
+    // recoverable duplicate) where index-first would silently LOSE
+    // them (screened out before ever landing). This test freezes that
+    // contract: simulate the mid-window death, replay the batch
+    // through the real loop, and pin (a) nothing lost, (b) the
+    // duplicate is the worst case, (c) post-recovery redelivery is
+    // fully self-suppressed.
+    val dir = java.nio.file.Files.createTempDirectory("crashwin").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    graft.operators.Dedup.buildDedupIndex(corpus, "doc_id", "text",
+      name = "t_crashwin_idx")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingIngest.toScreenedDocIngest(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      "t_crashwin_idx", s"$dir/docs", s"$dir/ckpt")
+    try {
+      // a batch processed fully through the real loop first
+      input.addData(
+        (10L, "an ordinary first wave document that lands and folds in fine"))
+      q.processAllAvailable()
+
+      // the crash: run the loop body by hand exactly to the sink
+      // append, then "die" before appendToDedupIndex
+      val batchB = Seq(
+        (20L, "novel second wave content caught inside the crash window today"),
+        (21L, "the quick brown fox jumps over the lazy dog near the river bank today") // corpus dup
+      ).toDF("doc_id", "text")
+      val survivors = graft.operators.Dedup
+        .dedupAgainstIndex(batchB, "doc_id", "text", "t_crashwin_idx")
+        .localCheckpoint(true)
+      survivors.write.mode("append").parquet(s"$dir/docs")
+      // (death here: no index fold-in, no source commit)
+
+      def landed(): Seq[Long] = spark.read.parquet(s"$dir/docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(landed().sorted == Seq(10L, 20L), s"pre-replay: ${landed()}")
+
+      // the replay: the source redelivers batch B through the REAL
+      // loop. The index does not know doc 20 yet (fold-in died), so
+      // the screen must NOT suppress it — it re-lands (the documented
+      // at-least-once duplicate) and THEN folds in. The corpus dup 21
+      // stays screened as ever.
+      input.addData(
+        (20L, "novel second wave content caught inside the crash window today"),
+        (21L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      q.processAllAvailable()
+      assert(landed().sorted == Seq(10L, 20L, 20L),
+        s"replay after crash must re-land, not lose: ${landed()}")
+
+      // post-recovery: a THIRD delivery self-suppresses completely
+      input.addData(
+        (22L, "novel second wave content caught inside the crash window today"))
+      q.processAllAvailable()
+      assert(landed().sorted == Seq(10L, 20L, 20L),
+        s"post-recovery redelivery leaked: ${landed()}")
+      // nothing lost at any point: every survivor is present
+      assert(landed().toSet == Set(10L, 20L))
+    } finally q.stop()
+  }
+
   test("screened ingest dedups WITHIN a micro-batch: one representative per exact/near family lands") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("intrabatch").toString
