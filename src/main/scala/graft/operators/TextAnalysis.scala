@@ -232,6 +232,160 @@ object TextAnalysis {
           .as("avg_logp2"))
   }
 
+  /** HTML main-content extraction — see
+    * [[graft.functions.HtmlKernels]] for the exact five-step
+    * contract (script/style/comment removal, block-tag split,
+    * per-block link density, jusText-style keep rule). Returns a
+    * struct(main_text, n_blocks, n_kept, text_chars, link_chars)
+    * column; a pure codegen'd scan projection, zero shuffles. */
+  def htmlMainContent(html: Column, minLen: Int = 10,
+      maxLinkPct: Int = 20): Column =
+    graft.functions.HtmlFunctions.htmlMainContent(html, minLen, maxLinkPct)
+
+  /** DataFrame form of [[htmlMainContent]]: (idCol, main_text,
+    * n_blocks, n_kept, text_chars, link_chars), one row per non-null
+    * input row. */
+  def extractMainHtml(df: DataFrame, idCol: String, htmlCol: String,
+      minLen: Int = 10, maxLinkPct: Int = 20): DataFrame = {
+    val h = htmlMainContent(col(htmlCol), minLen, maxLinkPct)
+    df.filter(col(idCol).isNotNull && col(htmlCol).isNotNull)
+      .withColumn("__graft_html", h)
+      .select(col(idCol), col("__graft_html.main_text").as("main_text"),
+        col("__graft_html.n_blocks").as("n_blocks"),
+        col("__graft_html.n_kept").as("n_kept"),
+        col("__graft_html.text_chars").as("text_chars"),
+        col("__graft_html.link_chars").as("link_chars"))
+  }
+
+  /** Gram sizes for [[repetitionStats]]: 1-grams carry the
+    * denominators, 2/3-grams the top-gram mass, 5-grams the
+    * duplicated-gram mass. */
+  val repetitionNs: Seq[Int] = Seq(1, 2, 3, 5)
+
+  /** Gopher-style repetition statistics (Rae et al. 2112.11446,
+    * Table A1): per document, the fraction of its token characters
+    * accounted for by (a) the single heaviest word 2-gram, (b) the
+    * heaviest 3-gram, and (c) ALL word 5-grams occurring more than
+    * once — the filters that catch boilerplate loops and
+    * keyword-stuffed spam that per-token quality scores miss.
+    *
+    * Exact contract (engine-shared with the d55 oracle):
+    * tokens = split(lower(trim(text)), \s+); an n-gram's char mass
+    * is count · (length(space-joined gram) − (n−1)) — its token
+    * chars, separators excluded; denominator = total token chars
+    * (the n=1 mass). top{2,3}_frac = max gram mass / denominator —
+    * the max is over MASS, not count, so no tie-break on the gram
+    * string is ever needed; dup5_frac = Σ mass over 5-grams with
+    * count ≥ 2, / denominator. Docs shorter than n words have no
+    * n-gram → frac 0. All fracs rounded to 4 decimals (§6 rule).
+    *
+    * Scale shape: ONE Generate (all four gram sizes tagged into one
+    * stream), then two hash aggregates — (doc_id, n, gram) counts,
+    * then a conditional-aggregation collapse straight to doc_id
+    * (the (doc_id, n) level is folded into FILTER-style conditional
+    * sums, so the plan holds exactly TWO exchanges, both carrying
+    * doc_id in the key: per-doc gram multisets bound task width, a
+    * corpus-hot gram never concentrates). Zero windows, zero joins.
+    *
+    * Returns (doc_id, n_words, top2_frac, top3_frac, dup5_frac).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val tk = Dedup.tokens(col(textCol))
+    // one tagged gram stream: array<struct<n:int, g:string>>
+    val tagged = repetitionNs.map { n =>
+      transform(graft.functions.SketchFunctions.wordGrams(tk, n),
+        g => struct(lit(n).as("n"), g.as("g")))
+    }.reduce(concat(_, _))
+    val grams = live
+      .select(col(idCol).as("doc_id"), explode(tagged).as("t"))
+      .select(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
+    val counts = grams.groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val mass = (col("c") * (length(col("g")) - (col("n") - 1))).cast("long")
+    def onlyN(n: Int, v: Column): Column = when(col("n") === n, v)
+    val denom = sum(onlyN(1, mass)).cast("double")
+    def frac(num: Column): Column =
+      round(when(denom > 0, num.cast("double") / denom).otherwise(0.0), 4)
+    counts.groupBy(col("doc_id"))
+      .agg(coalesce(sum(onlyN(1, col("c"))), lit(0L)).as("n_words"),
+        frac(coalesce(max(onlyN(2, mass)), lit(0L))).as("top2_frac"),
+        frac(coalesce(max(onlyN(3, mass)), lit(0L))).as("top3_frac"),
+        frac(coalesce(sum(onlyN(5, when(col("c") >= 2, mass)
+          .otherwise(lit(0L)))), lit(0L))).as("dup5_frac"))
+  }
+
+  /** Stopword list for [[gopherQualityFilter]]'s rule 5, drawn from
+    * the synthetic corpus vocabulary so the rule is non-degenerate
+    * on the testdata (Gopher's own list is {the, be, to, of, and,
+    * that, have, with}). */
+  val gopherStopwords: Seq[String] = Seq("the", "a", "data", "value", "table")
+
+  /** Gopher-style document quality rules (Rae et al. 2112.11446,
+    * §A1.1 "quality filtering"): the pre-training keep/drop gate
+    * computed from cheap surface statistics. Violated rules are
+    * reported as a bitmask so the policy layer can distinguish "too
+    * short" from "symbol spam" (a pipeline usually routes them
+    * differently); `keep` = no rule violated.
+    *
+    *   bit 0 — word count outside [minWords, maxWords]
+    *   bit 1 — mean word length outside [3, 10] chars
+    *   bit 2 — symbol-to-word ratio > 0.1 ('#' or '...' occurrences)
+    *   bit 3 — fraction of tokens containing a letter < 0.8
+    *   bit 4 — fewer than 2 distinct stopwords present
+    *
+    * Exact contract (engine-shared with the d56 oracle): tokens =
+    * split(lower(trim(text)), \s+); mean word length = non-space
+    * chars / n_words; occurrences counted by length arithmetic
+    * ([[occurrences]]); stopword presence = ' w ' contained in the
+    * padded lowercased text. Ratios rounded to 4 decimals BEFORE
+    * the threshold tests, so the keep decision itself is
+    * reproducible across engines (§6 rule).
+    *
+    * Scale shape: single codegen'd scan projection — [[textStats]]
+    * materialized once per row, zero shuffles, zero joins; the only
+    * non-codegen piece is the letter-token ARRAY filter, still one
+    * narrow per-row pass.
+    *
+    * Returns (doc_id, n_words, mean_wlen, sym_ratio, alpha_frac,
+    * stop_distinct, rule_bits, keep).
+    */
+  def gopherQualityFilter(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .withColumn("__ts", textStats(col(textCol)))
+    val nw = col("__ts").getField("n_words")
+    val nwD = nw.cast("double")
+    val meanW = round(when(nw > 0,
+      col("__ts").getField("non_space").cast("double") / nwD)
+      .otherwise(0.0), 4)
+    val symN = occurrences(col(textCol), "#") +
+      occurrences(col(textCol), "...")
+    val symRatio = round(when(nw > 0, symN.cast("double") / nwD)
+      .otherwise(0.0), 4)
+    val alphaN = size(filter(Dedup.tokens(col(textCol)),
+      t => t.rlike("[A-Za-z]")))
+    val alphaFrac = round(when(nw > 0, alphaN.cast("double") / nwD)
+      .otherwise(0.0), 4)
+    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
+    val stopDistinct = gopherStopwords.map { w =>
+      when(padded.contains(s" $w "), 1).otherwise(0): Column
+    }.reduce(_ + _)
+    val bits: Column =
+      (when(nw < minWords || nw > maxWords, 1).otherwise(0)
+        + when(meanW < 3.0 || meanW > 10.0, 2).otherwise(0)
+        + when(symRatio > 0.1, 4).otherwise(0)
+        + when(alphaFrac < 0.8, 8).otherwise(0)
+        + when(stopDistinct < 2, 16).otherwise(0))
+    live.select(col(idCol), nw.cast("long").as("n_words"),
+        meanW.as("mean_wlen"), symRatio.as("sym_ratio"),
+        alphaFrac.as("alpha_frac"),
+        stopDistinct.cast("long").as("stop_distinct"),
+        bits.cast("long").as("rule_bits"),
+        (bits === 0).as("keep"))
+  }
+
   /** Oracle twin of [[withFingerprints]]: the IDENTICAL window-min
     * selection kernel (WinnowSelect) driven by engine-reproducible
     * md5 char k-gram hashes ([[Dedup.md5Hash60]]) instead of the

@@ -787,8 +787,98 @@ object DBlock {
           round(col("scale"), 6).as("scale"),
           aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
           aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"))
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // D41: HTML boilerplate removal / main-content extraction — the
+    // jusText-style pre-step before any text operator sees a
+    // web-scraped corpus (verdict-r11 "What's missing" #4). The
+    // corpus is plain text, so the entry PLANTS a deterministic HTML
+    // page around each document (title/nav/script/style/footer
+    // boilerplate + the text as paragraphs, two extra divs keyed off
+    // doc_id — identical construction in both engines, the d44
+    // discipline), then extracts: script/style/comment removal,
+    // block-tag split, per-block link density, keep rule. Fully
+    // oracle-checked — DuckDB re-derives the page and every block
+    // verdict from raw text via the SAME regex-expressible contract
+    // the codegen'd kernel implements (HtmlKernels), and the md5 of
+    // the extracted main text pins the result byte for byte.
+    "d54_html_extract" -> ((s, d) => {
+      val id = col("doc_id")
+      val html = concat(lit(htmlHead), col("source"), lit(htmlMid1),
+        col("source"), lit(htmlMid2),
+        regexp_replace(col("text"), lit(htmlParaFromRe), lit(htmlParaTo)),
+        lit(htmlMid3),
+        when(id % 4 === 0, lit(htmlKeepDiv)).otherwise(lit("")),
+        when(id % 5 === 0, lit(htmlDropDiv)).otherwise(lit("")),
+        lit(htmlFooter))
+      TextAnalysis.extractMainHtml(
+        Tables.documents(s, d)
+          .filter(id.isNotNull && col("text").isNotNull)
+          .withColumn("html", html),
+        "doc_id", "html")
+        .select(col("doc_id"),
+          col("n_blocks").cast("long").as("n_blocks"),
+          col("n_kept").cast("long").as("n_kept"),
+          col("text_chars").cast("long").as("text_chars"),
+          col("link_chars").cast("long").as("link_chars"),
+          length(col("main_text")).cast("long").as("main_len"),
+          md5(col("main_text")).as("main_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // D42: Gopher repetition statistics — top-2/3-gram char fraction
+    // and duplicated-5-gram char fraction (Rae et al., Table A1),
+    // the filters that catch boilerplate loops doc-level quality
+    // scores miss. One tagged Generate, two doc-keyed exchanges,
+    // zero windows/joins; fully oracle-checked.
+    "d55_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // D43: Gopher quality rules — the keep/drop gate with a
+    // violated-rule bitmask (word count, mean word length, symbol
+    // ratio, letter-token fraction, distinct stopwords). The corpus
+    // is symbol/digit-free, so symbol spam and digit soup are
+    // PLANTED deterministically from doc_id (the d44 discipline) to
+    // make rules 2/3 non-degenerate; fully oracle-checked.
+    "d56_gopher_rules" -> ((s, d) => {
+      val id = col("doc_id")
+      val noisy = concat(col("text"),
+        when(id % 7 === 0, lit(gopherSymNoise)).otherwise(lit("")),
+        when(id % 11 === 0, lit(gopherDigitNoise)).otherwise(lit("")))
+      TextAnalysis.gopherQualityFilter(
+        Tables.documents(s, d)
+          .filter(id.isNotNull && col("text").isNotNull)
+          .withColumn("gtext", noisy),
+        "doc_id", "gtext")
+        .orderBy(col("doc_id"))
+    })
   )
+
+  /** d54 HTML page fragments, shared by the Spark entry and the
+    * generated oracle SQL so construction cannot drift. The paragraph
+    * split replaces " the " with htmlParaTo — via regexp_replace on
+    * the Spark side (Java regex, no metachars in the pattern) and
+    * replace() in DuckDB: identical left-to-right non-overlapping
+    * semantics for a literal pattern. */
+  private val htmlHead = "<html><head><title>"
+  private val htmlMid1 = "</title><style>p{margin:0}</style>" +
+    "<script>var n=1;</script></head><body><div class=\"nav\">" +
+    "<a href=\"/\">home</a> <a href=\"/s\">"
+  private val htmlMid2 = "</a></div><p>"
+  private val htmlParaFromRe = " the "
+  private val htmlParaTo = " </p><p>the "
+  private val htmlMid3 = "</p>"
+  private val htmlKeepDiv = "<div>see also <a href=\"/r\">related</a> " +
+    "extended reading list and curated notes</div>"
+  private val htmlDropDiv = "<div><a href=\"/1\">one</a> " +
+    "<a href=\"/2\">two</a> <a href=\"/3\">three</a></div>"
+  private val htmlFooter = "<div class=\"footer\">copyright " +
+    "<a href=\"/t\">terms</a> <a href=\"/p\">privacy</a></div></body></html>"
+
+  /** d56 planted noise, shared with the oracle SQL. */
+  private val gopherSymNoise = " ### ## # ..."
+  private val gopherDigitNoise = " 00 11 22 33 44 55 66 77 88 99 000 111"
 
   /** DuckDB mirror of TextAnalysis.occurrences on padded lower text. */
   private def occ(marker: String): String =
@@ -1892,6 +1982,154 @@ object DBlock {
         |SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims, round(scale, 6) AS scale,
         |  CAST(list_sum(q) AS BIGINT) AS q_sum,
         |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1
-        |FROM q ORDER BY vec_id""".stripMargin
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    // d54: re-derive the planted page from raw text, then run the
+    // HtmlKernels contract as regex SQL — segment removal, block
+    // split, per-block strip/collapse/trim, anchor capture sums,
+    // keep rule, ordered '\n' re-join — and md5 the result.
+    "d54_html_extract" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '$htmlHead' || source || '$htmlMid1' || source || '$htmlMid2' ||
+         |    replace(text, '$htmlParaFromRe', '$htmlParaTo') || '$htmlMid3' ||
+         |    CASE WHEN doc_id % 4 = 0 THEN '$htmlKeepDiv' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN '$htmlDropDiv' ELSE '' END ||
+         |    '$htmlFooter' AS html
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |), c AS (
+         |  SELECT doc_id,
+         |    regexp_replace(html,
+         |      '(?s)<script[^>]*>.*?</script[^>]*>|<style[^>]*>.*?</style[^>]*>|<!--.*?-->',
+         |      '', 'g') AS ch
+         |  FROM h
+         |), sp AS (
+         |  SELECT doc_id,
+         |    string_split_regex(ch,
+         |      '</?(?:p|div|h[1-6]|li|ul|ol|br|body|html|head|title|table|tr|td)[^>]*>') AS bl
+         |  FROM c
+         |), b AS (
+         |  SELECT doc_id, generate_subscripts(bl, 1) AS ord, unnest(bl) AS blk FROM sp
+         |), t AS (
+         |  SELECT doc_id, ord,
+         |    CASE WHEN tr LIKE ' %' THEN
+         |      CASE WHEN tr LIKE '% ' AND length(tr) > 1 THEN substr(tr, 2, length(tr) - 2)
+         |           ELSE substr(tr, 2) END
+         |      ELSE CASE WHEN tr LIKE '% ' THEN substr(tr, 1, length(tr) - 1) ELSE tr END
+         |    END AS txt,
+         |    CAST(coalesce(list_sum(list_transform(
+         |      regexp_extract_all(blk, '<a[^>]*>([^<]*)</a>', 1), x -> length(x))), 0)
+         |      AS BIGINT) AS alen
+         |  FROM (
+         |    SELECT doc_id, ord, blk,
+         |      regexp_replace(regexp_replace(blk, '<[^>]*>', '', 'g'),
+         |                     '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS tr
+         |    FROM b)
+         |), k AS (
+         |  SELECT doc_id, ord, txt, alen, length(txt) AS tlen,
+         |    (length(txt) >= 10 AND alen * 100 <= 20 * length(txt)) AS keep
+         |  FROM t WHERE length(txt) > 0
+         |)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_blocks,
+         |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+         |  CAST(sum(tlen) AS BIGINT) AS text_chars,
+         |  CAST(sum(alen) AS BIGINT) AS link_chars,
+         |  CAST(coalesce(length(string_agg(txt, chr(10) ORDER BY ord)
+         |    FILTER (WHERE keep)), 0) AS BIGINT) AS main_len,
+         |  md5(coalesce(string_agg(txt, chr(10) ORDER BY ord)
+         |    FILTER (WHERE keep), '')) AS main_md5
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // d55: re-derive the tagged gram stream (n in {1,2,3,5}) from
+    // raw text; mass = count * (len(gram) - (n-1)); denominators
+    // from the n=1 arm.
+    "d55_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, 1 AS n, ws[CAST(i AS INT)] AS g
+        |  FROM tok, unnest(range(1, len(ws) + 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, 2, ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)]
+        |  FROM tok, unnest(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, 3, ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)]
+        |    || ' ' || ws[CAST(i + 2 AS INT)]
+        |  FROM tok, unnest(range(1, len(ws) - 1)) AS u(i) WHERE len(ws) >= 3
+        |  UNION ALL
+        |  SELECT doc_id, 5, ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)]
+        |    || ' ' || ws[CAST(i + 2 AS INT)] || ' ' || ws[CAST(i + 3 AS INT)]
+        |    || ' ' || ws[CAST(i + 4 AS INT)]
+        |  FROM tok, unnest(range(1, len(ws) - 3)) AS u(i) WHERE len(ws) >= 5
+        |), c AS (
+        |  SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY doc_id, n, g
+        |), m AS (
+        |  SELECT doc_id, n, c,
+        |    CAST(c * (length(g) - (n - 1)) AS BIGINT) AS mass FROM c
+        |)
+        |SELECT doc_id,
+        |  CAST(coalesce(sum(c) FILTER (WHERE n = 1), 0) AS BIGINT) AS n_words,
+        |  CASE WHEN coalesce(sum(mass) FILTER (WHERE n = 1), 0) > 0 THEN
+        |    round(CAST(coalesce(max(mass) FILTER (WHERE n = 2), 0) AS DOUBLE) /
+        |      CAST(sum(mass) FILTER (WHERE n = 1) AS DOUBLE), 4) ELSE 0.0 END AS top2_frac,
+        |  CASE WHEN coalesce(sum(mass) FILTER (WHERE n = 1), 0) > 0 THEN
+        |    round(CAST(coalesce(max(mass) FILTER (WHERE n = 3), 0) AS DOUBLE) /
+        |      CAST(sum(mass) FILTER (WHERE n = 1) AS DOUBLE), 4) ELSE 0.0 END AS top3_frac,
+        |  CASE WHEN coalesce(sum(mass) FILTER (WHERE n = 1), 0) > 0 THEN
+        |    round(CAST(coalesce(sum(mass) FILTER (WHERE n = 5 AND c >= 2), 0) AS DOUBLE) /
+        |      CAST(sum(mass) FILTER (WHERE n = 1) AS DOUBLE), 4) ELSE 0.0 END AS dup5_frac
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // d56: plant the same doc_id-keyed noise, then the rule
+    // arithmetic — textStats fragments (d9 formulation), occurrence
+    // counts by length arithmetic, letter-token list filter, padded
+    // stopword containment; ratios rounded before thresholds.
+    "d56_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    text || CASE WHEN doc_id % 7 = 0 THEN '$gopherSymNoise' ELSE '' END
+         |         || CASE WHEN doc_id % 11 = 0 THEN '$gopherDigitNoise' ELSE '' END AS gt
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |), s AS (
+         |  SELECT doc_id, gt, ' ' || lower(gt) || ' ' AS pt,
+         |    CAST(CASE WHEN length(trim(gt)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(gt), '\\s+')) END AS BIGINT) AS nw,
+         |    length(replace(gt, ' ', '')) AS ns,
+         |    string_split_regex(lower(trim(gt)), '\\s+') AS ws
+         |  FROM t
+         |), m AS (
+         |  SELECT doc_id, nw,
+         |    round(CASE WHEN nw > 0 THEN CAST(ns AS DOUBLE) / nw ELSE 0.0 END, 4) AS mean_wlen,
+         |    round(CASE WHEN nw > 0 THEN CAST(
+         |        (length(gt) - length(replace(gt, '#', ''))) +
+         |        (length(gt) - length(replace(gt, '...', ''))) / 3
+         |      AS DOUBLE) / nw ELSE 0.0 END, 4) AS sym_ratio,
+         |    round(CASE WHEN nw > 0 THEN CAST(len(list_filter(ws,
+         |        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / nw
+         |      ELSE 0.0 END, 4) AS alpha_frac,
+         |    CAST($gopherStopSql AS BIGINT) AS stop_distinct
+         |  FROM s
+         |), r AS (
+         |  SELECT doc_id, nw, mean_wlen, sym_ratio, alpha_frac, stop_distinct,
+         |    (CASE WHEN nw < 50 OR nw > 100000 THEN 1 ELSE 0 END
+         |     + CASE WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 2 ELSE 0 END
+         |     + CASE WHEN sym_ratio > 0.1 THEN 4 ELSE 0 END
+         |     + CASE WHEN alpha_frac < 0.8 THEN 8 ELSE 0 END
+         |     + CASE WHEN stop_distinct < 2 THEN 16 ELSE 0 END) AS rb
+         |  FROM m
+         |)
+         |SELECT doc_id, nw AS n_words, mean_wlen, sym_ratio, alpha_frac,
+         |  stop_distinct, CAST(rb AS BIGINT) AS rule_bits, rb = 0 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
   )
+
+  /** DuckDB mirror of gopherQualityFilter's distinct-stopword count:
+    * Σ (padded lower text contains ' w ') over [[TextAnalysis
+    * .gopherStopwords]] — generated from the SAME list. */
+  private def gopherStopSql: String =
+    TextAnalysis.gopherStopwords
+      .map(w => s"CASE WHEN position(' $w ' IN pt) > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
 }

@@ -305,4 +305,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Window") == 0,
       s"global-window cumsum crept back in:\n${p.take(2000)}")
   }
+
+  test("d54: HTML extraction is a pure scan projection") {
+    // page construction + the HtmlMainContent kernel + md5 all ride
+    // the parquet scan; the only exchange is the presentation orderBy
+    val p = plan("d54_html_extract")
+    assert(count(p, "Join") == 0 && count(p, "Generate") == 0,
+      s"extraction grew a join/generate:\n${p.take(2000)}")
+    assert(count(p, "Exchange") == 1,
+      s"expected only the orderBy exchange:\n${p.take(2000)}")
+    // codegen participation is proven in HtmlExtractSpec's executed
+    // plan (the AQE pre-execution string here prints no codegen spans)
+  }
+
+  test("d55: repetition stats are one tagged Generate + doc-keyed hash aggs, no window/join") {
+    // all four gram sizes ride ONE explode; counts collapse through
+    // hash aggregates whose keys carry doc_id (never a corpus-global
+    // gram key, never a window) — exchanges: (doc_id,n,g) agg,
+    // (doc_id) agg, presentation orderBy
+    val p = plan("d55_repetition")
+    assert(count(p, "Window") == 0 && count(p, "Join") == 0,
+      s"repetition stats grew a window/join:\n${p.take(2000)}")
+    assert(count(p, "Generate") == 1,
+      s"gram stream must explode once:\n${p.take(2000)}")
+    assert(count(p, "SortAggregate") == 0, p.take(2000))
+    assert(count(p, "Exchange") <= 3,
+      s"expected two agg exchanges + orderBy:\n${p.take(2000)}")
+  }
+
+  test("d56: gopher rules are a pure scan projection") {
+    val p = plan("d56_gopher_rules")
+    assert(count(p, "Join") == 0 && count(p, "Generate") == 0 &&
+      count(p, "Window") == 0,
+      s"rule gate grew a join/generate/window:\n${p.take(2000)}")
+    assert(count(p, "Exchange") == 1,
+      s"expected only the orderBy exchange:\n${p.take(2000)}")
+  }
 }

@@ -245,4 +245,52 @@ class TextAnalysisSpec extends AnyFunSuite {
       df.filter(col("doc_id") < 3), df, "doc_id", "embedding", k = 5)
     assert(topk.count() == 15)
   }
+
+  test("repetitionStats: hand-computed gram masses on degenerate and mixed docs") {
+    import spark.implicits._
+    val df = TextAnalysis.repetitionStats(Seq(
+      (1L, "a a a a a"),
+      // one repeated 5-gram covering the whole doc
+      (2L, "x y z w v x y z w v"),
+      (3L, "all distinct words here now"),
+      (4L, "tiny doc"),
+      (5L, "")
+    ).toDF("doc_id", "text"), "doc_id", "text")
+    val m = df.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // doc1: denom=5; top 2-gram "a a" c=4 mass=4*2=8 -> 1.6;
+    // top 3-gram "a a a" c=3 mass=3*3=9 -> 1.8; lone 5-gram c=1 -> 0
+    assert(m(1L) == ((5L, 1.6, 1.8, 0.0)))
+    // doc2: denom=10; "x y z w v" c=2 mass=2*5=10 -> dup5 1.0
+    assert(m(2L)._1 == 10L && m(2L)._4 == 1.0)
+    // doc3: all grams unique -> top masses are single occurrences;
+    // denom = 23 token chars; top2 = "distinct words" mass 13
+    assert(m(3L)._1 == 5L && m(3L)._4 == 0.0)
+    // doc4: no 3- or 5-grams; top2 = "tiny doc" mass 7 / denom 7
+    assert(m(4L) == ((2L, 1.0, 0.0, 0.0)))
+    // doc5: one empty token, zero char mass -> all fracs 0
+    assert(m(5L) == ((1L, 0.0, 0.0, 0.0)))
+  }
+
+  test("gopherQualityFilter: each rule bit fires on its crafted doc") {
+    import spark.implicits._
+    val good = (("the table holds a data value " * 9) + "the end").trim
+    val df = TextAnalysis.gopherQualityFilter(Seq(
+      (1L, good),
+      (2L, "the a data value table short"),          // bit0: < 50 words
+      (3L, ("supercalifragilistic " * 60).trim),     // bit1: mean len 20; bit4 too
+      (4L, good + (" #" * 7)),                       // bit2: symbols (alpha stays >= 0.8)
+      (5L, good.split(" ").take(15).mkString(" ") +
+        (" 000" * 30)),                              // bit0+bit3: digit soup
+      (6L, ("window merge batch sort filter " * 12).trim) // bit4: no stopwords
+    ).toDF("doc_id", "text"), "doc_id", "text")
+    val m = df.collect().map(r => r.getLong(0) ->
+      (r.getAs[Long]("rule_bits"), r.getAs[Boolean]("keep"))).toMap
+    assert(m(1L) == ((0L, true)))
+    assert(m(2L) == ((1L, false)))
+    assert(m(3L)._1 == (2L | 16L) && !m(3L)._2)
+    assert(m(4L) == ((4L, false)))
+    assert((m(5L)._1 & 8L) == 8L && (m(5L)._1 & 1L) == 1L && !m(5L)._2)
+    assert(m(6L) == ((16L, false)))
+  }
 }
