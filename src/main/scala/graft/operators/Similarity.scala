@@ -283,6 +283,27 @@ object Similarity {
       refineIters = 0, refineSampleMod = 4,
       Dedup.md5Hash60(col(idCol).cast("long").cast("string")))
 
+  /** Driver-side norm, same left-to-right double accumulation as
+    * vecNorm (= sqrt(FloatVecDot(v, v))) so literal-centroid cosines
+    * are bit-equal to what the join formulation computed. */
+  private def normOf(v: Seq[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** nlist struct(-cos, cell_id) entries against the literal
+    * centroids; array_min / sort_array over them is argmax by cosine
+    * with ties broken by cell_id asc (struct ordering), matching the
+    * window formulation's (desc cosine, asc cell_id). */
+  private def cellStructs(cents: Seq[(Long, Seq[Float])],
+      vec: Column, vnorm: Column): Seq[Column] =
+    cents.map { case (cid, cv) =>
+      struct(
+        (-(vecDot(vec, typedLit(cv)) / (vnorm * lit(normOf(cv))))).as("ns"),
+        lit(cid).as("cell_id"))
+    }
+
   private def ivfTopKWithSampler(
       queries: DataFrame,
       corpus: DataFrame,
@@ -305,26 +326,6 @@ object Similarity {
       .orderBy(col("__ord"), col("cell_id"))
       .limit(nlist)
       .drop("__ord")
-
-    // Driver-side norm, same left-to-right double accumulation as
-    // vecNorm (= sqrt(FloatVecDot(v, v))) so literal-centroid cosines
-    // are bit-equal to what the join formulation computed.
-    def normOf(v: Seq[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-      math.sqrt(s)
-    }
-    // nlist struct(-cos, cell_id) entries against the literal
-    // centroids; array_min / sort_array over them is argmax by cosine
-    // with ties broken by cell_id asc (struct ordering), matching the
-    // window formulation's (desc cosine, asc cell_id).
-    def cellStructs(cents: Seq[(Long, Seq[Float])],
-        vec: Column, vnorm: Column): Seq[Column] =
-      cents.map { case (cid, cv) =>
-        struct(
-          (-(vecDot(vec, typedLit(cv)) / (vnorm * lit(normOf(cv))))).as("ns"),
-          lit(cid).as("cell_id"))
-      }
 
     // MINI-BATCH Lloyd refinement: each iteration assigns a
     // deterministic 1/refineSampleMod slice of the corpus (rotated by
@@ -860,6 +861,85 @@ object Similarity {
         when(col("__mx") === 0.0, transform(col("__v"), _ => lit(0L)))
           .otherwise(transform(col("__v"),
             x => floor(x / (col("__mx") / 127.0) + 0.5))).as("q"))
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): embedding-space
+    * semantic deduplication — cluster the corpus into IVF cells,
+    * then inside each cell drop every vector that has a
+    * strictly-smaller-id neighbor at cosine >= `threshold`. This is
+    * the pipeline step that removes SEMANTIC near-duplicates (same
+    * content re-rendered/paraphrased) that text-level MinHash/SimHash
+    * cannot see.
+    *
+    * Policy notes (part of the contract):
+    *   - min-id-wins, per PAIR, not a transitive closure: SemDeDup's
+    *     own procedure is within-cluster pairwise thresholding with
+    *     one kept representative; min-id makes the kept set
+    *     deterministic and auditable (A<B<C chained near-dups keep A
+    *     only — B is dropped by A, C by whichever of A/B clears the
+    *     threshold — matching the paper's "keep one per group"
+    *     intent without a components pass; compose with
+    *     [[Dedup.components]] when the exact closure is wanted).
+    *   - pairs are generated WITHIN cells only — a cross-cell
+    *     near-dup straddling a centroid boundary is missed; that
+    *     recall trade is the SemDeDup design (the paper's k-means
+    *     clustering has the identical property).
+    *
+    * Scale shape: centroid sampling is ONE corpus scan
+    * (TakeOrderedAndProject, ≤nlist rows to the driver); cell
+    * assignment is a map-only literal-centroid projection (the
+    * [[ivfTopK]] machinery — the corpus never shuffles to meet the
+    * centroids); the within-cell self-join rides ONE cell_id
+    * exchange that ReuseExchange shares across both sides, with
+    * per-cell work bounded by (corpus/nlist)²·dim — size nlist ~
+    * corpus/5k at 100 TB exactly as an IVF index would; the drop
+    * list aggregates to ≤ one row per dropped id and joins back
+    * SHUFFLE_HASH on the id key. No windows, no driver-side pair
+    * loops.
+    *
+    * `md5Sig = true` swaps the centroid sample order to the
+    * engine-reproducible md5 twin (feed int8-QUANTIZED vectors and
+    * every cell argmax and cosine is exact integer arithmetic a SQL
+    * oracle re-derives bit-for-bit — the d35/d50 discipline).
+    *
+    * Returns (vec_id, cell_id, keep, dropped_by): every input row,
+    * keep = no smaller-id in-cell neighbor at >= threshold,
+    * dropped_by = the SMALLEST such neighbor id (null when kept). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16,
+      md5Sig: Boolean = false): DataFrame = {
+    val sampleOrd =
+      if (md5Sig) Dedup.md5Hash60(col(idCol).cast("long").cast("string"))
+      else xxhash64(col(idCol).cast("long"))
+    val centroidRows = emb
+      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cvec"),
+        sampleOrd.as("__ord"))
+      .orderBy(col("__ord"), col("cell_id"))
+      .limit(nlist)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1)
+    val assigned = emb
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"),
+        vecNorm(col(vecCol)).as("nrm"))
+      .withColumn("cell_id",
+        array_min(array(cellStructs(centroidRows, col("v"), col("nrm")): _*))
+          .getField("cell_id"))
+    // ONE explicit cell exchange shared by both self-join sides
+    // (ReuseExchange pins the assignment projection single-pass)
+    val keyed = assigned.repartition(col("cell_id"))
+    val pairs = keyed
+      .select(col("cell_id"), col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na"))
+      .join(keyed.select(col("cell_id"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(vecDot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= threshold)
+    val drops = pairs.groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dropped_by"))
+    assigned.select(col("vec_id"), col("cell_id"))
+      .join(drops.hint("SHUFFLE_HASH"), Seq("vec_id"), "left")
+      .withColumn("keep", col("dropped_by").isNull)
+  }
 
   /** `bits`-bit random-hyperplane signature as a single SQL
     * expression (shift amounts vary per plane, which the DSL lambda

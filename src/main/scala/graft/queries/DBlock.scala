@@ -852,6 +852,23 @@ object DBlock {
           .withColumn("gtext", noisy),
         "doc_id", "gtext")
         .orderBy(col("doc_id"))
+    }),
+
+    // D44 (pipeline): SemDeDup — embedding-space semantic dedup
+    // (IVF cells + within-cell cosine thresholding, min-id wins),
+    // the pass that drops re-rendered/paraphrased duplicates text
+    // dedup can't see. md5Sig + int8-quantized vectors drive the
+    // d35 twin arithmetic end to end, so DuckDB re-derives every
+    // centroid, cell argmax, pair cosine and drop verdict exactly.
+    "d57_semantic_dedup" -> ((s, d) => {
+      val q8 = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+      Similarity.semanticDedup(q8, "vec_id", "qv", threshold = 0.4,
+        nlist = 16, md5Sig = true)
+        .select(col("vec_id"), col("cell_id"), col("keep"),
+          col("dropped_by"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -2122,7 +2139,47 @@ object DBlock {
          |)
          |SELECT doc_id, nw AS n_words, mean_wlen, sym_ratio, alpha_frac,
          |  stop_distinct, CAST(rb AS BIGINT) AS rule_bits, rb = 0 AS keep
-         |FROM r ORDER BY doc_id""".stripMargin
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // d57: the d35 twin CTEs (int8 quantize, md5-order centroids,
+    // argmax cell assignment) extended with the within-cell pair
+    // cosines and the min-id drop verdicts.
+    "d57_semantic_dedup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+        |q AS (SELECT vec_id,
+        |  CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(v, x -> CAST(floor(x / (mx / 127.0) + 0.5) AS BIGINT)) END AS q
+        |  FROM m),
+        |n AS (SELECT vec_id, q,
+        |  sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS nrm FROM q),
+        |cent AS (
+        |  SELECT vec_id AS cell_id, q AS cq, nrm AS cnrm FROM n
+        |  ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT, vec_id
+        |  LIMIT 16),
+        |ass AS (
+        |  SELECT a.vec_id, c.cell_id,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      -(CAST(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*c.cq[i])) AS DOUBLE)
+        |        / (a.nrm * c.cnrm)),
+        |      c.cell_id) AS rk
+        |  FROM n a CROSS JOIN cent c),
+        |cells AS (SELECT vec_id, cell_id FROM ass WHERE rk = 1),
+        |pairs AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(range(1, len(x.q)+1), i -> x.q[i]*y.q[i])) AS DOUBLE)
+        |      / (x.nrm * y.nrm) AS cos
+        |  FROM cells a JOIN cells b USING (cell_id)
+        |  JOIN n x ON x.vec_id = a.vec_id
+        |  JOIN n y ON y.vec_id = b.vec_id
+        |  WHERE a.vec_id < b.vec_id),
+        |drops AS (
+        |  SELECT id_b AS vec_id, min(id_a) AS dropped_by
+        |  FROM pairs WHERE cos >= 0.4 GROUP BY id_b)
+        |SELECT c.vec_id, CAST(c.cell_id AS BIGINT) AS cell_id,
+        |  d.dropped_by IS NULL AS keep, d.dropped_by
+        |FROM cells c LEFT JOIN drops d USING (vec_id)
+        |ORDER BY c.vec_id""".stripMargin
   )
 
   /** DuckDB mirror of gopherQualityFilter's distinct-stopword count:

@@ -333,6 +333,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected two agg exchanges + orderBy:\n${p.take(2000)}")
   }
 
+  test("d57: semantic dedup pairs ride one reused cell exchange; no pair-loop joins") {
+    // cell assignment is a map-only literal-centroid projection; the
+    // within-cell self-join must be an equi-join on cell_id whose two
+    // sides REUSE one explicit exchange, and the drop-list join-back
+    // hash-builds — never a nested-loop pair enumeration or a window
+    val p = plan("d57_semantic_dedup")
+    assert(count(p, "Window") == 0 && count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0,
+      s"pair generation degenerated:\n${p.take(2000)}")
+    val np = pinnedPlan("d57_semantic_dedup")
+    assert(count(np, "ReusedExchange") >= 1,
+      s"self-join recomputes the assignment projection:\n${np.take(3000)}")
+    assert(count(np, "ShuffledHashJoin") >= 1,
+      s"drop-list join-back must hash-build:\n${np.take(3000)}")
+  }
+
   test("d56: gopher rules are a pure scan projection") {
     val p = plan("d56_gopher_rules")
     assert(count(p, "Join") == 0 && count(p, "Generate") == 0 &&

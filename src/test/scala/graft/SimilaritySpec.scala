@@ -94,4 +94,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.35, s"recall=$recall")
     assert(approx.nonEmpty)
   }
+
+  test("semanticDedup: exact in-cell dups drop min-id-wins, both sampler modes agree") {
+    import spark.implicits._
+    // two orthogonal groups; ids 0/1/2 share one vector, 10/11 another
+    val emb = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(1f, 0f, 0f, 0f),
+      10L -> Seq(0f, 1f, 0f, 0f), 11L -> Seq(0f, 1f, 0f, 0f),
+      20L -> Seq(0f, 0f, 1f, 0f)
+    ).toDF("vec_id", "embedding")
+    for (md5Sig <- Seq(false, true)) {
+      val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.9, nlist = 2, md5Sig = md5Sig).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Boolean]("keep"), Option(r.getAs[java.lang.Long]("dropped_by")))).toMap
+      assert(out.size == 6)
+      // identical vectors always share a cell (identical argmax), so
+      // the verdicts hold under EITHER centroid sample
+      assert(out(0L) == ((true, None)), s"md5Sig=$md5Sig: ${out(0L)}")
+      assert(out(1L) == ((false, Some(0L))))
+      assert(out(2L) == ((false, Some(0L))))
+      assert(out(10L) == ((true, None)))
+      assert(out(11L) == ((false, Some(10L))))
+      assert(out(20L) == ((true, None)))
+    }
+  }
+
+  test("semanticDedup: pairwise chain semantics — each drop names its smallest in-threshold neighbor") {
+    import spark.implicits._
+    // A–B cos≈.95, B–C cos≈.947, A–C cos=.80 < τ: B dropped by A,
+    // C dropped by B (pairwise policy; a transitive closure would
+    // still drop C, but could only name A)
+    val emb = Seq(
+      20L -> Seq(0f, 0f, 1f, 0f),
+      21L -> Seq(0f, 0f, 0.95f, 0.3122499f),
+      22L -> Seq(0f, 0f, 0.8f, 0.6f)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.9, nlist = 1).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Boolean]("keep"), Option(r.getAs[java.lang.Long]("dropped_by")))).toMap
+    assert(out(20L) == ((true, None)))
+    assert(out(21L) == ((false, Some(20L))))
+    assert(out(22L) == ((false, Some(21L))))
+    // nothing drops when the threshold clears every pair
+    val none = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.999, nlist = 1).collect()
+    assert(none.forall(_.getAs[Boolean]("keep")))
+  }
 }
