@@ -115,10 +115,31 @@ object Bench {
         System.err.println(s"[bench] d46_screen setup: ${e.getMessage}")
         None
       }
+    // same discipline for the ANN index: build once here, time only
+    // the serving read as the bench-only entry d58_query
+    val annQueryOnly: Option[() => org.apache.spark.sql.DataFrame] =
+      if (qArgs.nonEmpty) None else try {
+        import org.apache.spark.sql.functions.col
+        val q8 = graft.sources.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"),
+            graft.functions.SketchFunctions.quantizeInt8Floats(
+              col("embedding")).as("qv"))
+        graft.operators.Similarity.buildAnnIndex(q8, "vec_id", "qv",
+          name = "d58bench_idx", nlist = 16, m = 4, ksub = 8, md5Sig = true)
+        val queries = q8.filter(col("vec_id") < 50)
+        Some(() => graft.operators.Similarity.annTopKAgainstIndex(
+          queries, "vec_id", "qv", name = "d58bench_idx", k = 10,
+          nprobe = 4, shortlistFactor = 5))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] d58_query setup: ${e.getMessage}")
+        None
+      }
+    val extras = screenOnly.map(mk => "d46_screen" -> mk) ++
+      annQueryOnly.map(mk => "d58_query" -> mk)
     val coldResults = names.map(n => n -> force(n)) ++
-      screenOnly.map(mk => "d46_screen" -> forceDf("d46_screen", mk))
+      extras.map { case (n, mk) => n -> forceDf(n, mk) }
     val results = names.map(n => n -> force(n)) ++
-      screenOnly.map(mk => "d46_screen" -> forceDf("d46_screen", mk))
+      extras.map { case (n, mk) => n -> forceDf(n, mk) }
     def fmt(v: Double, dec: Int): String = // Locale.ROOT: a comma decimal point would corrupt the JSON
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     val coldTotal = coldResults.map(_._2).filter(_ >= 0).sum

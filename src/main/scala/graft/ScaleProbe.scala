@@ -53,7 +53,18 @@ object ScaleProbe {
     "d47_budget_select",    // two-phase prefix sum + budget filter
     "d48_pq_adc",           // PQ encode projection + ADC scan
     "d49_pq_refined",       // + shortlist exact re-rank
-    "d50_ivfpq")            // + coarse cell gating
+    "d50_ivfpq",            // + coarse cell gating
+    "d51_bpe_tokens",       // BPE kernel scan projection
+    "d53_bigram_logprob",   // bigram agg+join-back, c1 off distinct table
+    "d54_html_extract",     // HTML kernel scan projection
+    "d55_repetition",       // tagged gram explode + doc-keyed aggs
+    "d56_gopher_rules",     // rule-gate scan projection
+    // d57 expectation is NOT 10×: the sf1 embeddings are exact
+    // id-shifted twins, so every vector truly gains 9 cos=1
+    // duplicates — within-cell qualifying pairs grow ~100× by data
+    // construction (real work, not engine super-linearity; per-pair
+    // throughput is the signal to eyeball)
+    "d57_semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -713,25 +713,38 @@ object Similarity {
       cellRefineIters = 0,
       Dedup.md5Hash60(col(idCol).cast("long").cast("string")))
 
-  private def ivfPqWithSampler(
-      queries: DataFrame,
+  /** argmin of (||c||² − 2·v·c) over literal L2 cell centroids ==
+    * the L2-nearest cell; ties to the smaller cell id (struct
+    * ordering). */
+  private def l2CellStructs(cents: IndexedSeq[(Long, IndexedSeq[Float])],
+      vv: Column): Seq[Column] = {
+    def cellN2(c: Int): Double = {
+      val s = cents(c)._2; var acc = 0.0; var i = 0
+      while (i < s.length) { acc += s(i).toDouble * s(i).toDouble; i += 1 }
+      acc
+    }
+    cents.indices.map { c =>
+      struct(
+        (lit(cellN2(c)) -
+          lit(2.0) * vecDot(vv, typedLit(cents(c)._2.toSeq))).as("d"),
+        lit(cents(c)._1).as("cell_id"))
+    }
+  }
+
+  /** L2 cell centroids: the nlist smallest ids by `sampleOrd` (one
+    * corpus scan), then `cellRefineIters` mini-batch Lloyd steps in
+    * the fixed-point discipline — deterministic long-sum means,
+    * driver pull bounded by nlist·dim, empty cells keep their
+    * previous centroid. Twins run 0 iterations (float means break
+    * exact-integer reproducibility). */
+  private def trainL2CellCents(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int,
       nlist: Int,
-      nprobe: Int,
-      m: Int,
-      ksub: Int,
-      shortlistFactor: Int,
-      refineIters: Int,
-      refineSampleMod: Long,
       cellRefineIters: Int,
-      sampleOrd: Column): DataFrame = {
-    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
-      s"need 1 <= nprobe <= nlist, got $nprobe/$nlist")
-    // cell centroids: the nlist smallest by the ord stream — full
-    // vectors, L2 cells (same metric as the codes they gate)
+      refineSampleMod: Long,
+      sampleOrd: Column): IndexedSeq[(Long, IndexedSeq[Float])] = {
     var cellCents = corpus
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"),
         sampleOrd.as("__ord"))
@@ -740,27 +753,7 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
       .sortBy(_._1).toIndexedSeq
-    require(cellCents.nonEmpty, "ivfPqTopK: empty corpus")
-    def cellN2(c: Int): Double = {
-      val s = cellCents(c)._2; var acc = 0.0; var i = 0
-      while (i < s.length) { acc += s(i).toDouble * s(i).toDouble; i += 1 }
-      acc
-    }
-    // argmin of (||c||² − 2·v·c) over the literal centroids == the
-    // L2-nearest cell; ties to the smaller cell id
-    def cellStructs(vv: Column): Seq[Column] =
-      cellCents.indices.map { c =>
-        struct(
-          (lit(cellN2(c)) -
-            lit(2.0) * vecDot(vv, typedLit(cellCents(c)._2.toSeq))).as("d"),
-          lit(cellCents(c)._1).as("cell_id"))
-      }
-
-    // mini-batch Lloyd on the CELL centroids (L2 metric), the same
-    // fixed-point discipline as the PQ codebook loop: deterministic
-    // long-sum means, bounded driver pull (nlist·dim rows), empty
-    // cells keep their previous centroid. The twin runs 0 iterations
-    // (float means break exact-integer reproducibility).
+    require(cellCents.nonEmpty, "trainL2CellCents: empty corpus")
     if (cellRefineIters > 0) {
       val Scale = (1L << 24).toDouble
       val training = corpus
@@ -769,7 +762,7 @@ object Similarity {
         val refined = training
           .filter(pmod(col("__tid") + it, lit(refineSampleMod)) === 0)
           .select(col("__tv"),
-            array_min(array(cellStructs(col("__tv")): _*))
+            array_min(array(l2CellStructs(cellCents, col("__tv")): _*))
               .getField("cell_id").as("cell_id"))
           .select(col("cell_id"), posexplode(col("__tv")))
           .groupBy(col("cell_id"), col("pos"))
@@ -788,6 +781,29 @@ object Similarity {
         }
       }
     }
+    cellCents
+  }
+
+  private def ivfPqWithSampler(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      m: Int,
+      ksub: Int,
+      shortlistFactor: Int,
+      refineIters: Int,
+      refineSampleMod: Long,
+      cellRefineIters: Int,
+      sampleOrd: Column): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
+      s"need 1 <= nprobe <= nlist, got $nprobe/$nlist")
+    val cellCents = trainL2CellCents(corpus, idCol, vecCol, nlist,
+      cellRefineIters, refineSampleMod, sampleOrd)
+    def cellStructs(vv: Column): Seq[Column] = l2CellStructs(cellCents, vv)
 
     val book = trainPqBook(corpus, idCol, vecCol, m, ksub, refineIters,
       refineSampleMod, sampleOrd)
@@ -939,6 +955,146 @@ object Similarity {
     assigned.select(col("vec_id"), col("cell_id"))
       .join(drops.hint("SHUFFLE_HASH"), Seq("vec_id"), "left")
       .withColumn("keep", col("dropped_by").isNull)
+  }
+
+  /** Persistent ANN index — the serving form of [[ivfPqTopK]] (the
+    * [[graft.operators.Dedup.buildDedupIndex]] pattern applied to
+    * similarity search): at 100 TB you cannot re-assign cells and
+    * re-encode PQ codes for the whole corpus per query batch. Build
+    * ONCE: cell centroids and PQ codebooks train exactly as in
+    * [[ivfPqTopK]], then a single corpus projection materializes
+    * (vec_id, cell_id, codes, vec) as a parquet table BUCKETED by
+    * cell_id; centroids/codebooks/params land in three small side
+    * tables the query path reads back, so index and query arithmetic
+    * cannot drift.
+    *
+    * `md5Sig = true` builds the engine-reproducible twin (md5-order
+    * sampling, zero refinement — feed int8-quantized vectors and the
+    * whole index is exact integer arithmetic, so querying it is
+    * bit-equal to [[md5IvfPqTopK]] run direct: the d46 "screen ==
+    * direct" proof shape, for ANN). */
+  def buildAnnIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      name: String,
+      nlist: Int = 16,
+      m: Int = 4,
+      ksub: Int = 8,
+      refineIters: Int = 2,
+      refineSampleMod: Long = 4,
+      md5Sig: Boolean = false,
+      numBuckets: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    val sampleOrd =
+      if (md5Sig) Dedup.md5Hash60(col(idCol).cast("long").cast("string"))
+      else xxhash64(col(idCol).cast("long"))
+    val iters = if (md5Sig) 0 else refineIters
+    val cellCents = trainL2CellCents(corpus, idCol, vecCol, nlist, iters,
+      refineSampleMod, sampleOrd)
+    val book = trainPqBook(corpus, idCol, vecCol, m, ksub, iters,
+      refineSampleMod, sampleOrd)
+    // ONE corpus projection — nearest cell + codes + the vector
+    // itself (kept for the exact re-rank; readers that only ADC-scan
+    // prune it at the scan)
+    graft.sources.Bucketing.writeBucketed(
+      corpus.select(col(idCol).cast("long").as("vec_id"),
+        array_min(array(l2CellStructs(cellCents, col(vecCol)): _*))
+          .getField("cell_id").as("cell_id"),
+        book.codesOf(col(vecCol)).as("codes"),
+        col(vecCol).as("vec")),
+      s"${name}_vectors", "cell_id", numBuckets)
+    import spark.implicits._
+    graft.sources.Bucketing.writeTable(
+      cellCents.map { case (cid, v) => (cid, v.toSeq) }
+        .toDF("cell_id", "cvec"), s"${name}_cents")
+    graft.sources.Bucketing.writeTable(
+      book.cents.zipWithIndex.map { case (v, c) => (c, v.toSeq) }
+        .toDF("code", "cvec"), s"${name}_book")
+    graft.sources.Bucketing.writeTable(
+      Seq((nlist, m, ksub, md5Sig, numBuckets))
+        .toDF("nlist", "m", "ksub", "md5_sig", "num_buckets"),
+      s"${name}_meta")
+  }
+
+  /** Re-registers a persisted ANN index's tables from their
+    * warehouse directories in a fresh session (the index outlives
+    * the in-memory catalog — [[graft.operators.Dedup
+    * .openDedupIndex]]'s contract). */
+  def openAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    import graft.sources.Bucketing
+    require(Bucketing.registerExisting(spark, s"${name}_meta", None),
+      s"no persisted ANN index named '$name' in the warehouse")
+    val numBuckets = spark.table(s"${name}_meta").head()
+      .getAs[Int]("num_buckets")
+    require(Bucketing.registerExisting(spark, s"${name}_vectors",
+      Some(("cell_id", numBuckets))),
+      s"ANN index '$name' is missing its _vectors table")
+    Seq(s"${name}_cents", s"${name}_book").foreach { t =>
+      require(Bucketing.registerExisting(spark, t, None),
+        s"ANN index '$name' is missing its $t table")
+    }
+  }
+
+  /** Top-k against a [[buildAnnIndex]] index WITHOUT touching the
+    * corpus: centroids/codebooks come back from the side tables
+    * (driver pull bounded by nlist·dim + m·ksub·dsub), the query
+    * batch probes nprobe cells, and the probed cell set — bounded by
+    * |queries|·nprobe — is pushed as an IN filter so the BUCKETED
+    * index scan prunes to the probed buckets' files
+    * (SelectedBucketsCount in the plan). ADC-scans codes (the vec
+    * column is pruned at the scan), then exact-re-ranks a 5k-per-
+    * query shortlist against vectors FETCHED FROM THE INDEX. Per-
+    * batch cost: query sig + a pruned bucketed scan + two narrow
+    * joins — the corpus is never re-encoded.
+    *
+    * Returns (query_id, rank, neighbor_id, dist2), the
+    * [[ivfPqTopK]] contract. */
+  def annTopKAgainstIndex(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      name: String,
+      k: Int,
+      nprobe: Int = 4,
+      shortlistFactor: Int = 5): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = spark.table(s"${name}_meta").head()
+    val m = meta.getAs[Int]("m")
+    val nlist = meta.getAs[Int]("nlist")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"need 1 <= nprobe <= nlist, got $nprobe/$nlist")
+    val cellCents = spark.table(s"${name}_cents").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+    val bookCents = spark.table(s"${name}_book").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toIndexedSeq).toIndexedSeq
+    val book = PqBook(bookCents, m, bookCents.head.size / m)
+
+    val q = queries
+      .select(col(idCol).as("query_id"), book.lutOf(col(vecCol)).as("lut"),
+        explode(slice(
+          sort_array(array(l2CellStructs(cellCents, col(vecCol)): _*)),
+          1, nprobe)).as("__probe"))
+      .select(col("query_id"), col("lut"),
+        col("__probe").getField("cell_id").as("cell_id"))
+    // literal probed-cell set (≤ |queries|·nprobe, and ≤ nlist after
+    // distinct) → bucket pruning on the index scan
+    val probed = q.select(col("cell_id")).distinct().collect()
+      .map(_.getLong(0)).toSeq
+    val idx = spark.table(s"${name}_vectors")
+    val scored = idx
+      .filter(col("cell_id").isin(probed: _*))
+      .join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-VectorFunctions.pqAdc(col("codes"), col("lut"))).as("cos"))
+    refineShortlist(
+      rankTopK(scored, k * shortlistFactor)
+        .select(col("query_id"), col("neighbor_id")),
+      queries, idx.select(col("vec_id").as(idCol), col("vec").as(vecCol)),
+      idCol, vecCol, k)
   }
 
   /** `bits`-bit random-hyperplane signature as a single SQL

@@ -869,6 +869,29 @@ object DBlock {
         .select(col("vec_id"), col("cell_id"), col("keep"),
           col("dropped_by"))
         .orderBy(col("vec_id"))
+    }),
+
+    // D45 (pipeline): persistent ANN index — build the IVF-PQ index
+    // ONCE as bucketed tables, serve top-k against it with probed-
+    // bucket pruning and index-side re-rank vectors (at 100 TB the
+    // corpus cannot be re-encoded per query batch — the d46
+    // index-once pattern, for similarity serving). Same md5 twin
+    // arithmetic and parameters as d50, so the d50 oracle SQL proves
+    // index build + pruned read == direct computation (the entry
+    // deliberately pays build + query per run, like d46; Bench times
+    // the steady query-only path as d58_query).
+    "d58_ann_index" -> ((s, d) => {
+      val q8 = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+      Similarity.buildAnnIndex(q8, "vec_id", "qv", name = "d58_idx",
+        nlist = 16, m = 4, ksub = 8, md5Sig = true)
+      Similarity.annTopKAgainstIndex(q8.filter(col("vec_id") < 50),
+        "vec_id", "qv", name = "d58_idx", k = 10, nprobe = 4,
+        shortlistFactor = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("dist2").cast("long").as("dist2"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -896,6 +919,85 @@ object DBlock {
   /** d56 planted noise, shared with the oracle SQL. */
   private val gopherSymNoise = " ### ## # ..."
   private val gopherDigitNoise = " 00 11 22 33 44 55 66 77 88 99 000 111"
+
+  /** The d50 IVF-PQ md5-twin oracle, shared verbatim with the
+    * d58 persistent-index entry (index read must equal direct
+    * computation bit for bit). */
+  private val ivfPqTwinSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |mm AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+        |q AS (SELECT vec_id,
+        |  CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(v, x -> CAST(floor(x / (mx / 127.0) + 0.5) AS BIGINT)) END AS q
+        |  FROM mm),
+        |ccent AS (
+        |  SELECT vec_id AS cell_id, q AS cq FROM q
+        |  ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT, vec_id
+        |  LIMIT 16),
+        |cdist AS (
+        |  SELECT a.vec_id, c.cell_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.q)+1), i ->
+        |      (a.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)])
+        |      * (a.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS BIGINT) AS d2
+        |  FROM q a CROSS JOIN ccent c),
+        |cass AS (
+        |  SELECT vec_id, cell_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rk
+        |  FROM cdist),
+        |ccells AS (SELECT vec_id AS neighbor_id, cell_id FROM cass WHERE rk = 1),
+        |cprobes AS (SELECT vec_id AS query_id, cell_id FROM cass WHERE rk <= 4 AND vec_id < 50),
+        |cent AS (
+        |  SELECT vec_id AS cid, q AS cq FROM q
+        |  ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT, vec_id
+        |  LIMIT 8),
+        |centi AS (SELECT cq, CAST(row_number() OVER (ORDER BY cid) - 1 AS INT) AS code FROM cent),
+        |sub AS (
+        |  SELECT code, j.j,
+        |    list_transform(range(1, 17), i -> cq[CAST(j.j*16 + i AS INT)]) AS cs
+        |  FROM centi CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
+        |dist AS (
+        |  SELECT a.vec_id, s.j, s.code,
+        |    CAST(list_sum(list_transform(range(1, 17), i ->
+        |      (a.q[CAST(s.j*16 + i AS INT)] - s.cs[CAST(i AS INT)])
+        |      * (a.q[CAST(s.j*16 + i AS INT)] - s.cs[CAST(i AS INT)]))) AS BIGINT) AS d2
+        |  FROM q a CROSS JOIN sub s),
+        |ncode AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT vec_id, j, code,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rk
+        |    FROM dist) WHERE rk = 1),
+        |adc AS (
+        |  SELECT qd.vec_id AS query_id, nc.vec_id AS neighbor_id,
+        |    CAST(sum(qd.d2) AS BIGINT) AS adc2
+        |  FROM ncode nc
+        |  JOIN ccells cc ON cc.neighbor_id = nc.vec_id
+        |  JOIN cprobes p ON p.cell_id = cc.cell_id
+        |  JOIN dist qd ON qd.vec_id = p.query_id
+        |    AND qd.j = nc.j AND qd.code = nc.code
+        |  WHERE qd.vec_id != nc.vec_id
+        |  GROUP BY 1, 2),
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adc2, neighbor_id) AS rk
+        |    FROM adc) WHERE rk <= 50),
+        |exact AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.q)+1), i ->
+        |      (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)])
+        |      * (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)]))) AS BIGINT) AS dist2
+        |  FROM short s
+        |  JOIN q a ON a.vec_id = s.query_id
+        |  JOIN q b ON b.vec_id = s.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, dist2,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist2, neighbor_id) AS rank
+        |  FROM exact)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB mirror of TextAnalysis.occurrences on padded lower text. */
   private def occ(marker: String): String =
@@ -1857,81 +1959,14 @@ object DBlock {
     // centroids, corpus takes its nearest, queries probe their top
     // 4), ADC restricted to cell-matched pairs, shortlist 50, exact
     // integer re-rank
-    "d50_ivfpq" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |mm AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
-        |q AS (SELECT vec_id,
-        |  CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
-        |       ELSE list_transform(v, x -> CAST(floor(x / (mx / 127.0) + 0.5) AS BIGINT)) END AS q
-        |  FROM mm),
-        |ccent AS (
-        |  SELECT vec_id AS cell_id, q AS cq FROM q
-        |  ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT, vec_id
-        |  LIMIT 16),
-        |cdist AS (
-        |  SELECT a.vec_id, c.cell_id,
-        |    CAST(list_sum(list_transform(range(1, len(a.q)+1), i ->
-        |      (a.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)])
-        |      * (a.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS BIGINT) AS d2
-        |  FROM q a CROSS JOIN ccent c),
-        |cass AS (
-        |  SELECT vec_id, cell_id,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rk
-        |  FROM cdist),
-        |ccells AS (SELECT vec_id AS neighbor_id, cell_id FROM cass WHERE rk = 1),
-        |cprobes AS (SELECT vec_id AS query_id, cell_id FROM cass WHERE rk <= 4 AND vec_id < 50),
-        |cent AS (
-        |  SELECT vec_id AS cid, q AS cq FROM q
-        |  ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT, vec_id
-        |  LIMIT 8),
-        |centi AS (SELECT cq, CAST(row_number() OVER (ORDER BY cid) - 1 AS INT) AS code FROM cent),
-        |sub AS (
-        |  SELECT code, j.j,
-        |    list_transform(range(1, 17), i -> cq[CAST(j.j*16 + i AS INT)]) AS cs
-        |  FROM centi CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
-        |dist AS (
-        |  SELECT a.vec_id, s.j, s.code,
-        |    CAST(list_sum(list_transform(range(1, 17), i ->
-        |      (a.q[CAST(s.j*16 + i AS INT)] - s.cs[CAST(i AS INT)])
-        |      * (a.q[CAST(s.j*16 + i AS INT)] - s.cs[CAST(i AS INT)]))) AS BIGINT) AS d2
-        |  FROM q a CROSS JOIN sub s),
-        |ncode AS (
-        |  SELECT vec_id, j, code FROM (
-        |    SELECT vec_id, j, code,
-        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rk
-        |    FROM dist) WHERE rk = 1),
-        |adc AS (
-        |  SELECT qd.vec_id AS query_id, nc.vec_id AS neighbor_id,
-        |    CAST(sum(qd.d2) AS BIGINT) AS adc2
-        |  FROM ncode nc
-        |  JOIN ccells cc ON cc.neighbor_id = nc.vec_id
-        |  JOIN cprobes p ON p.cell_id = cc.cell_id
-        |  JOIN dist qd ON qd.vec_id = p.query_id
-        |    AND qd.j = nc.j AND qd.code = nc.code
-        |  WHERE qd.vec_id != nc.vec_id
-        |  GROUP BY 1, 2),
-        |short AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT query_id, neighbor_id,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY adc2, neighbor_id) AS rk
-        |    FROM adc) WHERE rk <= 50),
-        |exact AS (
-        |  SELECT s.query_id, s.neighbor_id,
-        |    CAST(list_sum(list_transform(range(1, len(a.q)+1), i ->
-        |      (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)])
-        |      * (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)]))) AS BIGINT) AS dist2
-        |  FROM short s
-        |  JOIN q a ON a.vec_id = s.query_id
-        |  JOIN q b ON b.vec_id = s.neighbor_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, dist2,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dist2, neighbor_id) AS rank
-        |  FROM exact)
-        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2
-        |FROM ranked WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    "d50_ivfpq" -> ivfPqTwinSql,
+
+    // d58 serves the IDENTICAL ranking through the persisted index
+    // (same md5 twin arithmetic, same k/nlist/nprobe/m/ksub/
+    // shortlist) — one oracle string, two entries: the hash-match
+    // proves index build + pruned read == direct computation, the
+    // d46 "screen == direct" proof shape for ANN.
+    "d58_ann_index" -> ivfPqTwinSql,
 
     "d51_bpe_tokens" -> bpeTokensSql,
 

@@ -143,4 +143,86 @@ class SimilaritySpec extends AnyFunSuite {
       threshold = 0.999, nlist = 1).collect()
     assert(none.forall(_.getAs[Boolean]("keep")))
   }
+
+  private def q8corpus = {
+    import org.apache.spark.sql.functions.col
+    Tables.embeddings(spark, TestSpark.sf).select(col("vec_id"),
+      graft.functions.SketchFunctions.quantizeInt8Floats(
+        col("embedding")).as("qv"))
+  }
+
+  test("persistent ANN index: indexed top-k equals direct md5IvfPqTopK bit for bit") {
+    import org.apache.spark.sql.functions.col
+    val q8 = q8corpus
+    Similarity.buildAnnIndex(q8, "vec_id", "qv", name = "t_ann_idx",
+      nlist = 8, m = 4, ksub = 8, md5Sig = true, numBuckets = 4)
+    val queries = q8.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("dist2"))).toSet
+    val indexed = rows(Similarity.annTopKAgainstIndex(queries, "vec_id",
+      "qv", name = "t_ann_idx", k = 5, nprobe = 2))
+    val direct = rows(Similarity.md5IvfPqTopK(queries, q8, "vec_id", "qv",
+      k = 5, nlist = 8, nprobe = 2, m = 4, ksub = 8, shortlistFactor = 5))
+    assert(indexed.nonEmpty && indexed == direct)
+  }
+
+  test("persistent ANN index: single-query serve prunes the bucketed scan to probed buckets") {
+    import org.apache.spark.sql.functions.col
+    val q8 = q8corpus
+    Similarity.buildAnnIndex(q8, "vec_id", "qv", name = "t_ann_prune",
+      nlist = 8, m = 4, ksub = 8, md5Sig = true, numBuckets = 4)
+    val served = Similarity.annTopKAgainstIndex(
+      q8.filter(col("vec_id") === 0), "vec_id", "qv",
+      name = "t_ann_prune", k = 5, nprobe = 2)
+    val plan = served.queryExecution.executedPlan.toString
+    // 2 probed cells land in at most 2 of the 4 buckets; the scan
+    // must report bucket pruning, never a full-index read
+    val sel = "SelectedBucketsCount: (\\d+) out of 4".r
+      .findFirstMatchIn(plan)
+    assert(sel.nonEmpty, s"no bucket pruning in plan:\n${plan.take(3000)}")
+    assert(sel.get.group(1).toInt <= 2, plan.take(3000))
+    assert(served.count() == 5)
+  }
+
+  test("persistent ANN index survives a restart: openAnnIndex re-registers, serve unchanged") {
+    import org.apache.spark.sql.functions.col
+    val q8 = q8corpus
+    Similarity.buildAnnIndex(q8, "vec_id", "qv", name = "t_ann_restart",
+      nlist = 8, m = 4, ksub = 8, md5Sig = true, numBuckets = 4)
+    val queries = q8.filter(col("vec_id") < 5)
+    val before = Similarity.annTopKAgainstIndex(queries, "vec_id", "qv",
+      name = "t_ann_restart", k = 5, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    // brand-new session (fresh in-memory catalog) over the same
+    // warehouse — the DedupSpec restart discipline
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        old.conf.get("spark.sql.warehouse.dir"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      assert(!s2.catalog.tableExists("t_ann_restart_vectors"),
+        "restart simulation failed: catalog still knows the index")
+      Similarity.openAnnIndex(s2, "t_ann_restart")
+      val q8b = Tables.embeddings(s2, TestSpark.sf).select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+      val after = Similarity.annTopKAgainstIndex(
+        q8b.filter(col("vec_id") < 5), "vec_id", "qv",
+        name = "t_ann_restart", k = 5, nprobe = 2).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(after == before)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
 }
