@@ -1017,6 +1017,37 @@ object Similarity {
       s"${name}_meta")
   }
 
+  /** Appends a batch of NEW vectors to a [[buildAnnIndex]] index:
+    * encodes them against the index's OWN stored centroids and
+    * codebooks (read back from the side tables — the codebooks do
+    * not retrain, exactly as a production IVF-PQ index ingests), and
+    * appends per-bucket files to the bucketed vectors table (no
+    * rewrite of existing data; [[graft.sources.Bucketing
+    * .compactBucketed]] folds accreted appends when wanted). */
+  def appendToAnnIndex(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      name: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = spark.table(s"${name}_meta").head()
+    val m = meta.getAs[Int]("m")
+    val numBuckets = meta.getAs[Int]("num_buckets")
+    val cellCents = spark.table(s"${name}_cents").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+    val bookCents = spark.table(s"${name}_book").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toIndexedSeq).toIndexedSeq
+    val book = PqBook(bookCents, m, bookCents.head.size / m)
+    graft.sources.Bucketing.appendBucketed(
+      batch.select(col(idCol).cast("long").as("vec_id"),
+        array_min(array(l2CellStructs(cellCents, col(vecCol)): _*))
+          .getField("cell_id").as("cell_id"),
+        book.codesOf(col(vecCol)).as("codes"),
+        col(vecCol).as("vec")),
+      s"${name}_vectors", "cell_id", numBuckets)
+  }
+
   /** Re-registers a persisted ANN index's tables from their
     * warehouse directories in a fresh session (the index outlives
     * the in-memory catalog — [[graft.operators.Dedup

@@ -892,7 +892,23 @@ object DBlock {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("dist2").cast("long").as("dist2"))
         .orderBy(col("query_id"), col("rank"))
-    })
+    }),
+
+    // D38 composition: sequence packing driven by REAL BPE counts —
+    // the re-base the D38 `real` flag promises, proven end to end
+    // with an oracle (the d51 merge-chain CTEs feed the d32 prefix-
+    // sum arithmetic; a single drifted token count anywhere breaks
+    // the hash).
+    "d59_bpe_pack" -> ((s, d) =>
+      Packing.sequencePack(
+        Tables.documents(s, d)
+          .filter(col("doc_id").isNotNull && col("text").isNotNull),
+        "doc_id",
+        tokens = graft.functions.BpeTokenizer.bpeTokenCount(col("text"))
+          .cast("long"),
+        orderCol = md5(col("doc_id").cast("string")),
+        capacity = 2048L)
+        .orderBy(col("doc_id")))
   )
 
   /** d54 HTML page fragments, shared by the Spark entry and the
@@ -1372,17 +1388,19 @@ object DBlock {
     * with the Spark entry. Generated from
     * [[graft.functions.BpeTokenizer.mergesHex]], the same literal
     * table the kernel compiles, so the two cannot drift. */
-  private val bpeTokensSql: String = {
-    // every token carries its OWN pipe pair ("|61||62|…"), so
-    // adjacent merge occurrences share no characters and one
-    // left-to-right replace per merge IS the kernel's merge pass
-    // (see BpeTokenizer's canonical-form doc)
+  /** The d51 merge-chain CTEs: (joined CTE text, last CTE name).
+    * Every token carries its OWN pipe pair ("|61||62|…"), so
+    * adjacent merge occurrences share no characters and one
+    * left-to-right replace per merge IS the kernel's merge pass
+    * (see BpeTokenizer's canonical-form doc). DuckDB's binder caps
+    * expression nesting at 128, so the merge chain is layered
+    * through CTEs of <= 60 replaces each (rank order is preserved
+    * across layers — CTE n applies strictly earlier merges than
+    * CTE n+1). Shared by the d51 count/md5 oracle and the d59
+    * packing-composition oracle. */
+  private val bpeCteChain: (String, String) = {
     val s0 = "regexp_replace(lower(hex(encode(text))), " +
       "'([0-9a-f]{2})', '|\\1|', 'g')"
-    // DuckDB's binder caps expression nesting at 128, so the merge
-    // chain is layered through CTEs of <= 60 replaces each (rank
-    // order is preserved across layers — CTE n applies strictly
-    // earlier merges than CTE n+1)
     val layers = graft.functions.BpeTokenizer.mergesHex.grouped(60).toVector
     val ctes = layers.zipWithIndex.map { case (chunk, i) =>
       val src = if (i == 0) s0 else "ts"
@@ -1394,11 +1412,38 @@ object DBlock {
       }
       s"t${i + 1} AS (SELECT doc_id, $expr AS ts FROM $from)"
     }
-    s"""WITH ${ctes.mkString(",\n")}
+    (ctes.mkString(",\n"), s"t${layers.length}")
+  }
+
+  private val bpeTokensSql: String = {
+    val (ctes, last) = bpeCteChain
+    s"""WITH $ctes
        |SELECT doc_id,
        |  CAST((length(ts) - length(replace(ts, '|', ''))) // 2 AS BIGINT) AS n_bpe,
        |  md5(ts) AS bpe_md5
-       |FROM t${layers.length} ORDER BY doc_id""".stripMargin
+       |FROM $last ORDER BY doc_id""".stripMargin
+  }
+
+  /** d59: the d32 prefix-sum arithmetic over REAL BPE counts — the
+    * token counts come from the SAME merge-chain CTEs as d51. */
+  private val bpePackSql: String = {
+    val (ctes, last) = bpeCteChain
+    s"""WITH $ctes,
+       |t AS (
+       |  SELECT doc_id,
+       |    CAST((length(ts) - length(replace(ts, '|', ''))) // 2 AS BIGINT) AS n,
+       |    md5(CAST(doc_id AS VARCHAR)) AS ord
+       |  FROM $last
+       |), c AS (
+       |  SELECT doc_id, n,
+       |    CAST(COALESCE(sum(n) OVER (ORDER BY ord NULLS FIRST
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM t
+       |)
+       |SELECT doc_id, n AS n_tokens, off AS start_off,
+       |  CAST(off // 2048 AS BIGINT) AS bin_start,
+       |  CAST((off + greatest(n, 1) - 1) // 2048 AS BIGINT) AS bin_end
+       |FROM c ORDER BY doc_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -1969,6 +2014,7 @@ object DBlock {
     "d58_ann_index" -> ivfPqTwinSql,
 
     "d51_bpe_tokens" -> bpeTokensSql,
+    "d59_bpe_pack" -> bpePackSql,
 
     "d33_unigram_logprob" ->
       """WITH tok AS (

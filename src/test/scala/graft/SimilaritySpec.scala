@@ -185,6 +185,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(served.count() == 5)
   }
 
+  test("persistent ANN index append: new vectors encode with stored codebooks and become findable") {
+    import org.apache.spark.sql.functions.col
+    val q8 = q8corpus
+    Similarity.buildAnnIndex(q8, "vec_id", "qv", name = "t_ann_append",
+      nlist = 8, m = 4, ksub = 8, md5Sig = true, numBuckets = 4)
+    val query = q8.filter(col("vec_id") === 0)
+    // plant an exact twin of the query vector under a fresh id: after
+    // the append it must serve as the rank-1 neighbor at distance 0
+    val twin = query.select((col("vec_id") + 100000L).as("vec_id"),
+      col("qv"))
+    Similarity.appendToAnnIndex(twin, "vec_id", "qv", name = "t_ann_append")
+    val top = Similarity.annTopKAgainstIndex(query, "vec_id", "qv",
+      name = "t_ann_append", k = 3, nprobe = 2).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(top.head.getAs[Long]("neighbor_id") == 100000L, top.mkString("; "))
+    assert(top.head.getAs[Double]("dist2") == 0.0)
+  }
+
   test("persistent ANN index survives a restart: openAnnIndex re-registers, serve unchanged") {
     import org.apache.spark.sql.functions.col
     val q8 = q8corpus
