@@ -3,19 +3,28 @@ package graft
 /** Profiling scratch main (contents change per investigation). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    import graft.operators.Multimodal
-    val ids = (0L until 500L).filter(_ % 3 == 0)
-    val orig = ids.map(id => id -> Multimodal.dHash64(Multimodal.imagePayload(id)).get).toMap
-    val pert = ids.map(id => id -> Multimodal.dHash64(Multimodal.perturbedImagePayload(id)).get).toMap
-    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
-    val planted = ids.map(id => ham(orig(id), pert(id)))
-    println(s"[scratch] planted hamming: min=${planted.min} max=${planted.max} " +
-      s"mean=${planted.sum.toDouble / planted.size}")
-    println(s"[scratch] planted histogram: ${planted.groupBy(identity).view.mapValues(_.size).toMap.toSeq.sortBy(_._1)}")
-    val cross = for {
-      i <- ids.indices; j <- (i + 1) until ids.size
-    } yield ham(orig(ids(i)), orig(ids(j)))
-    println(s"[scratch] natural cross pairs: ${cross.size}, min=${cross.min}, " +
-      s"<=2: ${cross.count(_ <= 2)}, <=4: ${cross.count(_ <= 4)}, <=6: ${cross.count(_ <= 6)}, <=10: ${cross.count(_ <= 10)}")
+    import org.apache.spark.sql.functions._
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/scratch_wh_" + System.nanoTime())
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val q8 = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(col("embedding")).as("qv"))
+    graft.operators.Similarity.buildAnnIndex(q8, "vec_id", "qv",
+      name = "s_idx", nlist = 8, m = 4, ksub = 8, md5Sig = true, numBuckets = 4)
+    println("[scratch] base count = " + spark.table("s_idx_vectors").count())
+    val twin = q8.filter(col("vec_id") === 0).collect().head.getSeq[Float](1)
+    val batch = Seq((200000L, twin), (200001L, twin.map(-_))).toDF("vec_id", "qv")
+    println("[scratch] batch schema: " + batch.schema)
+    println("[scratch] index schema: " + spark.table("s_idx_vectors").schema)
+    graft.operators.Similarity.appendToAnnIndex(batch, "vec_id", "qv", "s_idx")
+    println("[scratch] after append count = " + spark.table("s_idx_vectors").count())
+    spark.stop()
   }
 }

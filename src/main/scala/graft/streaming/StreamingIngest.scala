@@ -217,4 +217,53 @@ object StreamingIngest {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Streaming embedding ingest into a persistent ANN index
+    * ([[graft.operators.Similarity.buildAnnIndex]]): per micro-batch,
+    * rows whose id is ALREADY indexed are dropped (an anti-join on
+    * the index's narrow vec_id projection — vectors are id-keyed, so
+    * id equality is the idempotence contract, where C10's doc screen
+    * is content-keyed), fresh rows land in the parquet sink and then
+    * encode-append into the index with its OWN stored codebooks.
+    *
+    * Redelivery semantics mirror [[toScreenedDocIngest]]: a replay
+    * AFTER both appends fully self-suppresses (ids now indexed); the
+    * residual window is a crash BETWEEN the sink append and the
+    * index append — the replay re-lands those rows in the sink once
+    * more (at-least-once there, dedupe downstream by id) and the
+    * index append happens exactly once. Sink first, index second is
+    * deliberate: the reverse order would LOSE vectors on replay.
+    *
+    * The eager localCheckpoint is REQUIRED, not an optimization:
+    * the anti-join must be evaluated ONCE — the index append mutates
+    * the very table the anti-join reads, so a lazy recompute by the
+    * second consumer would see its own batch as already-indexed and
+    * append nothing.
+    *
+    * Visibility: appends run in the stream's session, which refreshes
+    * its own catalog state. A DIFFERENT session that read the table
+    * earlier holds a cached file listing — call
+    * `spark.catalog.refreshTable("<index>_vectors")` (or
+    * [[graft.operators.Similarity.openAnnIndex]] in a fresh session)
+    * before serving against a concurrently-ingesting index. */
+  def toAnnIngest(vectors: DataFrame, idCol: String, vecCol: String,
+      indexName: String, path: String,
+      checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val indexed = batch.sparkSession
+          .table(s"${indexName}_vectors")
+          .select(col("vec_id").as("__indexed_id"))
+        val fresh = batch
+          .join(indexed.hint("SHUFFLE_HASH"),
+            batch(idCol).cast("long") === col("__indexed_id"), "left_anti")
+          .localCheckpoint(true)
+        fresh.write.mode("append").parquet(path)
+        graft.operators.Similarity
+          .appendToAnnIndex(fresh, idCol, vecCol, indexName)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

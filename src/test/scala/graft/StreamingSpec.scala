@@ -359,6 +359,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ANN ingest loop: fresh vectors land + index-append, redelivered ids self-suppress") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("annstream").toString
+    // seed index over the sf corpus (quantized twin mode)
+    val q8 = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+    graft.operators.Similarity.buildAnnIndex(q8, "vec_id", "qv",
+      name = "t_ann_stream", nlist = 8, m = 4, ksub = 8, md5Sig = true,
+      numBuckets = 4)
+    val baseCount = spark.table("t_ann_stream_vectors").count()
+    // twin of vec 0 under a fresh id, streamed in
+    val twinVec = q8.filter(col("vec_id") === 0).collect()
+      .head.getSeq[Float](1)
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = StreamingIngest.toAnnIngest(
+      input.toDS().toDF("vec_id", "qv"), "vec_id", "qv",
+      "t_ann_stream", s"$dir/vecs", s"$dir/ckpt")
+    try {
+      input.addData((200000L, twinVec), (200001L, twinVec.map(-_)))
+      q.processAllAvailable()
+      // full redelivery: both ids already indexed -> nothing anywhere
+      input.addData((200000L, twinVec), (200001L, twinVec.map(-_)))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(s"$dir/vecs")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(landed == Set(200000L, 200001L), s"got $landed")
+      // the appends ran in the stream's cloned session; this session
+      // cached the table's file listing at baseCount time — refresh
+      // before reading (the toAnnIngest scaladoc's visibility rule)
+      spark.catalog.refreshTable("t_ann_stream_vectors")
+      assert(spark.table("t_ann_stream_vectors").count() == baseCount + 2)
+      // the streamed twin serves as rank-1 / distance-0 neighbor
+      val top = graft.operators.Similarity.annTopKAgainstIndex(
+        q8.filter(col("vec_id") === 0), "vec_id", "qv",
+        name = "t_ann_stream", k = 3, nprobe = 2).collect()
+        .sortBy(_.getAs[Int]("rank"))
+      assert(top.head.getAs[Long]("neighbor_id") == 200000L)
+      assert(top.head.getAs[Double]("dist2") == 0.0)
+    } finally q.stop()
+  }
+
   test("screened ingest crash window: death between sink append and index fold-in loses nothing") {
     import spark.implicits._
     // the loop's residual window (StreamingIngest scaladoc): sink
