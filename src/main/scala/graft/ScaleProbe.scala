@@ -64,7 +64,9 @@ object ScaleProbe {
     // duplicates — within-cell qualifying pairs grow ~100× by data
     // construction (real work, not engine super-linearity; per-pair
     // throughput is the signal to eyeball)
-    "d57_semantic_dedup")
+    "d57_semantic_dedup",
+    "d58_ann_index",        // index build (encode projection + bucketed write) + pruned serve
+    "d59_bpe_pack")         // BPE-count packing: kernel scan + two-phase prefix sum
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
