@@ -386,6 +386,92 @@ object TextAnalysis {
         (bits === 0).as("keep"))
   }
 
+  /** Byte-level BPE tokenizer TRAINING — vocabulary induction from
+    * the corpus itself (the production half of
+    * [[graft.functions.BpeTokenizer]], which APPLIES a fixed merge
+    * table; a real pipeline trains that table on its own data
+    * first). Classic BPE: `numMerges` iterations of "count adjacent
+    * token pairs corpus-wide, merge the most frequent pair
+    * everywhere", stopping early when the best pair falls below
+    * `minCount`. Ties break (count desc, a asc, b asc) on the
+    * lowercase byte-hex token spellings, so the learned table is
+    * fully deterministic.
+    *
+    * State lives in the d51 CANONICAL form — each doc is a string of
+    * per-token "|hex|" cells — so one literal `replace('|a||b|',
+    * '|ab|')` per iteration IS the corpus-wide merge pass (the exact
+    * property the d51 oracle is built on, now reused for training),
+    * and the d60 oracle can re-derive every round: pair counts,
+    * argmax, the conditional merge, and a per-round corpus digest
+    * (bit_xor of per-doc md5-hash60 of the canonical state — order-
+    * independent, overflow-free) that pins the entire state after
+    * each learned merge.
+    *
+    * Scale shape, per iteration: ONE (a, b)-keyed count aggregate
+    * (map-side partials mean only DISTINCT pairs — bounded by
+    * vocab², in practice far smaller — cross the wire), a driver
+    * pull of exactly ONE argmax row, a map-only replace, and the
+    * digest aggregate; the evolving state is pinned per round
+    * (localCheckpoint, or reliable checkpoints with
+    * `reliable = true` — the [[Dedup.components]] contract) so round
+    * N+1's lineage starts from materialized data, not N stacked
+    * replaces. M merges = M corpus passes — the textbook cost;
+    * industrial trainers cut it by subsampling (compose with
+    * [[Sampling]]'s hash sample upstream) or by incremental
+    * pair-delta maintenance, disclosed as future work.
+    *
+    * Returns one row per LEARNED merge: (rank 1.., a, b, cnt,
+    * state_xor) — a/b lowercase byte-hex spellings, cnt the
+    * corpus-wide pair count that won the round, state_xor the
+    * corpus digest after applying the merge. */
+  def trainBpe(docs: DataFrame, idCol: String, textCol: String,
+      numMerges: Int, minCount: Long = 2L,
+      reliable: Boolean = false): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    var state = pin(docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        regexp_replace(lower(hex(col(textCol).cast("binary"))),
+          "([0-9a-f]{2})", "|$1|").as("ts")))
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val best = state
+        .select(split(regexp_replace(col("ts"), "^\\||\\|$", ""), "\\|\\|")
+          .as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> struct(tk[i-1] AS a, tk[i] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getAs[Long]("c") < minCount) done = true
+      else {
+        val (a, b, c) = (best.head.getAs[String]("a"),
+          best.head.getAs[String]("b"), best.head.getAs[Long]("c"))
+        state = pin(state.select(col("doc_id"),
+          replace(col("ts"), lit(s"|$a||$b|"), lit(s"|$a$b|")).as("ts")))
+        val digest = state
+          .agg(expr("bit_xor(" +
+            s"cast(conv(substring(md5(ts), 1, 15), 16, 10) as bigint))"))
+          .head().getLong(0)
+        learned += ((rank, a, b, c, digest))
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("rank", "a", "b", "cnt", "state_xor")
+      .select(col("rank").cast("long").as("rank"), col("a"), col("b"),
+        col("cnt"), col("state_xor"))
+  }
+
   /** Oracle twin of [[withFingerprints]]: the IDENTICAL window-min
     * selection kernel (WinnowSelect) driven by engine-reproducible
     * md5 char k-gram hashes ([[Dedup.md5Hash60]]) instead of the

@@ -908,8 +908,24 @@ object DBlock {
           .cast("long"),
         orderCol = md5(col("doc_id").cast("string")),
         capacity = 2048L)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // D46 (pipeline): BPE tokenizer TRAINING — vocabulary induction
+    // from the corpus (the production half of D38, which APPLIES a
+    // fixed table). Eight rounds of count-pairs/merge-the-winner in
+    // the d51 canonical form; fully oracle-checked, with a per-round
+    // corpus digest (bit_xor of per-doc md5-hash60 of the canonical
+    // state) pinning the entire evolving state, and the oracle
+    // cross-validated against an independent priority-loop reference
+    // during development.
+    "d60_bpe_train" -> ((s, d) =>
+      TextAnalysis.trainBpe(Tables.documents(s, d), "doc_id", "text",
+        numMerges = d60Merges)
+        .orderBy(col("rank")))
   )
+
+  /** d60 round count, shared with the generated oracle SQL. */
+  private val d60Merges = 8
 
   /** d54 HTML page fragments, shared by the Spark entry and the
     * generated oracle SQL so construction cannot drift. The paragraph
@@ -1422,6 +1438,42 @@ object DBlock {
        |  CAST((length(ts) - length(replace(ts, '|', ''))) // 2 AS BIGINT) AS n_bpe,
        |  md5(ts) AS bpe_md5
        |FROM $last ORDER BY doc_id""".stripMargin
+  }
+
+  /** d60: re-derive the full training loop — per round, pair counts
+    * from the canonical state, the (c desc, a, b) argmax, the
+    * conditional corpus-wide merge (the d51 '|a||b|' replace IS the
+    * merge pass), and the state digest. Chained CTEs are MATERIALIZED
+    * — each t_i is referenced three times, so default inlining would
+    * re-derive t0 exponentially many times (3^rounds scans). */
+  private val bpeTrainSql: String = {
+    val layers = (1 to d60Merges).map { i =>
+      val prev = s"t${i - 1}"
+      s"""p$i AS (
+         |  SELECT ws[CAST(i AS INT)] AS a, ws[CAST(i + 1 AS INT)] AS b, count(*) AS c
+         |  FROM (SELECT string_split(trim(ts, '|'), '||') AS ws FROM $prev),
+         |    unnest(range(1, len(ws))) AS u(i)
+         |  GROUP BY a, b),
+         |m$i AS MATERIALIZED (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |t$i AS MATERIALIZED (
+         |  SELECT doc_id, CASE WHEN (SELECT c FROM m$i) >= 2
+         |    THEN replace(ts,
+         |      '|' || (SELECT a FROM m$i) || '||' || (SELECT b FROM m$i) || '|',
+         |      '|' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || '|')
+         |    ELSE ts END AS ts FROM $prev),
+         |d$i AS (SELECT bit_xor(('0x'||substr(md5(ts),1,15))::BIGINT) AS dg FROM t$i)""".stripMargin
+    }
+    val rows = (1 to d60Merges).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, (SELECT a FROM m$i) AS a,
+         |  (SELECT b FROM m$i) AS b, (SELECT c FROM m$i) AS cnt,
+         |  (SELECT dg FROM d$i) AS state_xor
+         |WHERE (SELECT c FROM m$i) >= 2""".stripMargin
+    }
+    s"""WITH t0 AS MATERIALIZED (
+       |  SELECT doc_id, regexp_replace(lower(hex(encode(text))), '([0-9a-f]{2})', '|\\1|', 'g') AS ts
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |${layers.mkString(",\n")}
+       |SELECT * FROM (${rows.mkString(" UNION ALL ")}) ORDER BY rank""".stripMargin
   }
 
   /** d59: the d32 prefix-sum arithmetic over REAL BPE counts — the
@@ -2015,6 +2067,7 @@ object DBlock {
 
     "d51_bpe_tokens" -> bpeTokensSql,
     "d59_bpe_pack" -> bpePackSql,
+    "d60_bpe_train" -> bpeTrainSql,
 
     "d33_unigram_logprob" ->
       """WITH tok AS (

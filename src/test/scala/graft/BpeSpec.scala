@@ -132,4 +132,48 @@ class BpeSpec extends AnyFunSuite {
     val n = BpeTokenizer.tokenIds(t.getBytes("UTF-8")).length
     assert(n <= t.length * 3 / 5, s"${t.length} bytes -> $n tokens")
   }
+
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("trainBpe: hand-computed rounds, tie-break, minCount stop, state digests") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // doc1 = "aaab" -> [61,61,61,62]; doc2 = "ab" -> [61,62]
+    // round 1: pairs (61,61):2 (left-to-right in the aaa run),
+    //          (61,62):2 -> count tie, (61,61) wins lexicographically
+    // round 2: (61,62):2 wins -> doc1 [6161,6162], doc2 [6162]
+    // round 3: best pair count 1 < minCount -> stop at 2 merges
+    val out = graft.operators.TextAnalysis.trainBpe(
+      Seq((1L, "aaab"), (2L, "ab")).toDF("doc_id", "text"),
+      "doc_id", "text", numMerges = 8).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("a"),
+        r.getAs[String]("b"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("state_xor")))
+    assert(out.length == 2, out.mkString("; "))
+    assert(out(0) == ((1L, "61", "61", 2L,
+      h60("|6161||61||62|") ^ h60("|61||62|"))))
+    assert(out(1) == ((2L, "61", "62", 2L,
+      h60("|6161||6162|") ^ h60("|6162|"))))
+  }
+
+  test("trainBpe: deterministic across runs; learned merges compress the training corpus") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .filter(col("doc_id") < 100)
+    val a = graft.operators.TextAnalysis
+      .trainBpe(docs, "doc_id", "text", numMerges = 4).collect().toSeq
+    val b = graft.operators.TextAnalysis
+      .trainBpe(docs, "doc_id", "text", numMerges = 4).collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+    assert(a.length == 4)
+    // every learned pair must be frequent: counts monotone-ish and >= 2
+    val cnts = a.map(_.getAs[Long]("cnt"))
+    assert(cnts.forall(_ >= 2L))
+  }
 }
