@@ -921,7 +921,34 @@ object DBlock {
     "d60_bpe_train" -> ((s, d) =>
       TextAnalysis.trainBpe(Tables.documents(s, d), "doc_id", "text",
         numMerges = d60Merges)
-        .orderBy(col("rank")))
+        .orderBy(col("rank"))),
+
+    // D46b: tokenize with the TRAINED vocabulary — the train→apply
+    // composition a real pipeline runs (induce merges on the corpus,
+    // then tokenize the corpus under its own vocab). The learned
+    // table is a bounded driver pull (numMerges rows); application
+    // is a pure scan projection (one replace per learned merge on
+    // the canonical form — the d51 property again). Oracle = the d60
+    // training CTEs' FINAL state, so a drift anywhere in training OR
+    // application breaks the per-doc md5s.
+    "d61_trained_tokenize" -> ((s, d) => {
+      val merges = TextAnalysis.trainBpe(Tables.documents(s, d),
+        "doc_id", "text", numMerges = d60Merges)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+      val ts0 = regexp_replace(lower(hex(col("text").cast("binary"))),
+        "([0-9a-f]{2})", "|$1|")
+      val ts = merges.foldLeft(ts0) { case (acc, (a, b)) =>
+        replace(acc, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+      }
+      Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          ((length(ts) - length(replace(ts, lit("|"), lit("")))) / 2)
+            .cast("long").as("n_trained"),
+          md5(ts).as("trained_md5"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** d60 round count, shared with the generated oracle SQL. */
@@ -1446,7 +1473,10 @@ object DBlock {
     * merge pass), and the state digest. Chained CTEs are MATERIALIZED
     * — each t_i is referenced three times, so default inlining would
     * re-derive t0 exponentially many times (3^rounds scans). */
-  private val bpeTrainSql: String = {
+  /** The d60 training CTE chain (t0 + per-round p/m/t/d layers),
+    * shared by the d60 merge-list oracle and the d61 train→apply
+    * oracle. */
+  private val bpeTrainCtes: String = {
     val layers = (1 to d60Merges).map { i =>
       val prev = s"t${i - 1}"
       s"""p$i AS (
@@ -1463,18 +1493,31 @@ object DBlock {
          |    ELSE ts END AS ts FROM $prev),
          |d$i AS (SELECT bit_xor(('0x'||substr(md5(ts),1,15))::BIGINT) AS dg FROM t$i)""".stripMargin
     }
+    s"""t0 AS MATERIALIZED (
+       |  SELECT doc_id, regexp_replace(lower(hex(encode(text))), '([0-9a-f]{2})', '|\\1|', 'g') AS ts
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |${layers.mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeTrainSql: String = {
     val rows = (1 to d60Merges).map { i =>
       s"""SELECT CAST($i AS BIGINT) AS rank, (SELECT a FROM m$i) AS a,
          |  (SELECT b FROM m$i) AS b, (SELECT c FROM m$i) AS cnt,
          |  (SELECT dg FROM d$i) AS state_xor
          |WHERE (SELECT c FROM m$i) >= 2""".stripMargin
     }
-    s"""WITH t0 AS MATERIALIZED (
-       |  SELECT doc_id, regexp_replace(lower(hex(encode(text))), '([0-9a-f]{2})', '|\\1|', 'g') AS ts
-       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-       |${layers.mkString(",\n")}
+    s"""WITH $bpeTrainCtes
        |SELECT * FROM (${rows.mkString(" UNION ALL ")}) ORDER BY rank""".stripMargin
   }
+
+  /** d61: the training chain's FINAL state, read per doc — count =
+    * pipes/2, md5 of the canonical string. */
+  private val bpeTrainedTokenizeSql: String =
+    s"""WITH $bpeTrainCtes
+       |SELECT doc_id,
+       |  CAST((length(ts) - length(replace(ts, '|', ''))) // 2 AS BIGINT) AS n_trained,
+       |  md5(ts) AS trained_md5
+       |FROM t$d60Merges ORDER BY doc_id""".stripMargin
 
   /** d59: the d32 prefix-sum arithmetic over REAL BPE counts — the
     * token counts come from the SAME merge-chain CTEs as d51. */
@@ -2068,6 +2111,7 @@ object DBlock {
     "d51_bpe_tokens" -> bpeTokensSql,
     "d59_bpe_pack" -> bpePackSql,
     "d60_bpe_train" -> bpeTrainSql,
+    "d61_trained_tokenize" -> bpeTrainedTokenizeSql,
 
     "d33_unigram_logprob" ->
       """WITH tok AS (
