@@ -912,30 +912,32 @@ object DBlock {
 
     // D46 (pipeline): BPE tokenizer TRAINING — vocabulary induction
     // from the corpus (the production half of D38, which APPLIES a
-    // fixed table). Eight rounds of count-pairs/merge-the-winner in
-    // the d51 canonical form; fully oracle-checked, with a per-round
+    // fixed table). Training runs on a deterministic md5 QUARTER of
+    // the corpus — the industrial shape (a tokenizer trains on a
+    // sample; M full-corpus passes per merge would be the naive
+    // cost) — eight rounds of count-pairs/merge-the-winner in the
+    // d51 canonical form; fully oracle-checked, with a per-round
     // corpus digest (bit_xor of per-doc md5-hash60 of the canonical
     // state) pinning the entire evolving state, and the oracle
     // cross-validated against an independent priority-loop reference
     // during development.
     "d60_bpe_train" -> ((s, d) =>
-      TextAnalysis.trainBpe(Tables.documents(s, d), "doc_id", "text",
-        numMerges = d60Merges)
+      TextAnalysis.trainBpe(Tables.documents(s, d).filter(d60Slice),
+        "doc_id", "text", numMerges = d60Merges)
         .orderBy(col("rank"))),
 
     // D46b: tokenize with the TRAINED vocabulary — the train→apply
-    // composition a real pipeline runs (induce merges on the corpus,
-    // then tokenize the corpus under its own vocab). The learned
-    // table is a bounded driver pull (numMerges rows); application
-    // is a pure scan projection (one replace per learned merge on
-    // the canonical form — the d51 property again). Oracle = the d60
-    // training CTEs' FINAL state, so a drift anywhere in training OR
-    // application breaks the per-doc md5s.
+    // composition a real pipeline runs: induce merges on the SAMPLE,
+    // tokenize the FULL corpus under them. The learned table is a
+    // bounded driver pull (numMerges rows, memoized per sf-dir like
+    // the media store — deterministic, so the memo is sound);
+    // application is a pure scan projection (one replace per learned
+    // merge on the canonical form — the d51 property again). Oracle
+    // = the sliced training chain's merges applied to the full
+    // corpus, so a drift anywhere in training OR application breaks
+    // the per-doc md5s.
     "d61_trained_tokenize" -> ((s, d) => {
-      val merges = TextAnalysis.trainBpe(Tables.documents(s, d),
-        "doc_id", "text", numMerges = d60Merges)
-        .orderBy(col("rank")).collect()
-        .map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+      val merges = trainedMerges(s, d)
       val ts0 = regexp_replace(lower(hex(col("text").cast("binary"))),
         "([0-9a-f]{2})", "|$1|")
       val ts = merges.foldLeft(ts0) { case (acc, (a, b)) =>
@@ -953,6 +955,32 @@ object DBlock {
 
   /** d60 round count, shared with the generated oracle SQL. */
   private val d60Merges = 8
+
+  /** d60's deterministic training slice (a quarter of doc_ids by md5
+    * first hex char), shared in spirit with the SQL mirror below. */
+  private def d60Slice: org.apache.spark.sql.Column =
+    substring(md5(col("doc_id").cast("string")), 1, 1)
+      .isin("0", "1", "2", "3")
+  private val d60SliceSql: String =
+    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')"
+
+  /** Learned merge table per sf dir, memoized (training is
+    * deterministic; the key carries the documents file's length and
+    * mtime so regenerated testdata self-invalidates — the mediaStore
+    * discipline). */
+  private val bpeMergeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+  private def trainedMerges(s: SparkSession, d: String): Seq[(String, String)] = {
+    val src = new org.apache.hadoop.fs.Path(d, "documents.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    val key = s"$d:${st.getLen}:${st.getModificationTime}:$d60Merges"
+    bpeMergeCache.getOrElseUpdate(key,
+      TextAnalysis.trainBpe(Tables.documents(s, d).filter(d60Slice),
+        "doc_id", "text", numMerges = d60Merges)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq)
+  }
 
   /** d54 HTML page fragments, shared by the Spark entry and the
     * generated oracle SQL so construction cannot drift. The paragraph
@@ -1495,7 +1523,8 @@ object DBlock {
     }
     s"""t0 AS MATERIALIZED (
        |  SELECT doc_id, regexp_replace(lower(hex(encode(text))), '([0-9a-f]{2})', '|\\1|', 'g') AS ts
-       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |    AND $d60SliceSql),
        |${layers.mkString(",\n")}""".stripMargin
   }
 
@@ -1510,14 +1539,30 @@ object DBlock {
        |SELECT * FROM (${rows.mkString(" UNION ALL ")}) ORDER BY rank""".stripMargin
   }
 
-  /** d61: the training chain's FINAL state, read per doc — count =
-    * pipes/2, md5 of the canonical string. */
-  private val bpeTrainedTokenizeSql: String =
-    s"""WITH $bpeTrainCtes
+  /** d61: the SLICED training chain's merges applied to the FULL
+    * corpus (a0..aM mirror the t-chain's conditional replace, over
+    * every document) — count = pipes/2, md5 of the canonical
+    * string. */
+  private val bpeTrainedTokenizeSql: String = {
+    val applyLayers = (1 to d60Merges).map { i =>
+      val prev = s"a${i - 1}"
+      s"""a$i AS MATERIALIZED (
+         |  SELECT doc_id, CASE WHEN (SELECT c FROM m$i) >= 2
+         |    THEN replace(ts,
+         |      '|' || (SELECT a FROM m$i) || '||' || (SELECT b FROM m$i) || '|',
+         |      '|' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || '|')
+         |    ELSE ts END AS ts FROM $prev)""".stripMargin
+    }
+    s"""WITH $bpeTrainCtes,
+       |a0 AS MATERIALIZED (
+       |  SELECT doc_id, regexp_replace(lower(hex(encode(text))), '([0-9a-f]{2})', '|\\1|', 'g') AS ts
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |${applyLayers.mkString(",\n")}
        |SELECT doc_id,
        |  CAST((length(ts) - length(replace(ts, '|', ''))) // 2 AS BIGINT) AS n_trained,
        |  md5(ts) AS trained_md5
-       |FROM t$d60Merges ORDER BY doc_id""".stripMargin
+       |FROM a$d60Merges ORDER BY doc_id""".stripMargin
+  }
 
   /** d59: the d32 prefix-sum arithmetic over REAL BPE counts — the
     * token counts come from the SAME merge-chain CTEs as d51. */
