@@ -804,17 +804,10 @@ object DBlock {
     // the extracted main text pins the result byte for byte.
     "d54_html_extract" -> ((s, d) => {
       val id = col("doc_id")
-      val html = concat(lit(htmlHead), col("source"), lit(htmlMid1),
-        col("source"), lit(htmlMid2),
-        regexp_replace(col("text"), lit(htmlParaFromRe), lit(htmlParaTo)),
-        lit(htmlMid3),
-        when(id % 4 === 0, lit(htmlKeepDiv)).otherwise(lit("")),
-        when(id % 5 === 0, lit(htmlDropDiv)).otherwise(lit("")),
-        lit(htmlFooter))
       TextAnalysis.extractMainHtml(
         Tables.documents(s, d)
           .filter(id.isNotNull && col("text").isNotNull)
-          .withColumn("html", html),
+          .withColumn("html", plantedHtml(col("text"))),
         "doc_id", "html")
         .select(col("doc_id"),
           col("n_blocks").cast("long").as("n_blocks"),
@@ -950,6 +943,42 @@ object DBlock {
             .cast("long").as("n_trained"),
           md5(ts).as("trained_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // D47 (pipeline): the COMPOSED preprocessing pipeline — extract
+    // main content from planted pages (every 10th doc republishes a
+    // shared body: the mirror-site shape), Gopher-gate the extracted
+    // text, exact-dedup it keep-min (the planted family collapses to
+    // its min-id representatives), and sequence-pack the survivors.
+    // One end-to-end hash proves the OPERATORS COMPOSE: a drift in
+    // any stage — a block verdict, a gate ratio, a keeper choice, a
+    // prefix-sum offset — breaks the final per-doc rows.
+    "d62_pipeline" -> ((s, d) => {
+      val id = col("doc_id")
+      val body = when(id % 10 === 0, lit(d62SharedText))
+        .otherwise(col("text"))
+      val extracted = TextAnalysis.extractMainHtml(
+        Tables.documents(s, d)
+          .filter(id.isNotNull && col("text").isNotNull)
+          .withColumn("html", plantedHtml(body)),
+        "doc_id", "html")
+        .select(col("doc_id"), col("main_text"))
+      val gateKeep = TextAnalysis.gopherQualityFilter(
+        extracted, "doc_id", "main_text", minWords = 20)
+        .filter(col("keep")).select(col("doc_id"))
+      val kept = extracted.join(gateKeep.hint("SHUFFLE_HASH"), Seq("doc_id"))
+        .withColumn("mh", md5(col("main_text")))
+      val keepers = kept.groupBy(col("mh")).agg(min(id).as("doc_id"))
+      val unique = kept.join(keepers.hint("SHUFFLE_HASH"),
+        Seq("mh", "doc_id"))
+      Packing.sequencePack(unique, "doc_id",
+        tokens = TextAnalysis.wsTokenCount(col("main_text")).cast("long"),
+        orderCol = md5(id.cast("string")),
+        capacity = 2048L)
+        .join(unique.select(col("doc_id"), col("mh")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("start_off"),
+          col("bin_start"), col("bin_end"), col("mh").as("main_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1006,6 +1035,30 @@ object DBlock {
   /** d56 planted noise, shared with the oracle SQL. */
   private val gopherSymNoise = " ### ## # ..."
   private val gopherDigitNoise = " 00 11 22 33 44 55 66 77 88 99 000 111"
+
+  /** The d54 page construction over an arbitrary body-text column —
+    * shared by d54 (raw text) and d62 (text with a planted shared
+    * body for every 10th doc, so the pipeline's dedup stage is
+    * non-degenerate). */
+  private def plantedHtml(textCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(lit(htmlHead), col("source"), lit(htmlMid1),
+      col("source"), lit(htmlMid2),
+      regexp_replace(textCol, lit(htmlParaFromRe), lit(htmlParaTo)),
+      lit(htmlMid3),
+      when(id % 4 === 0, lit(htmlKeepDiv)).otherwise(lit("")),
+      when(id % 5 === 0, lit(htmlDropDiv)).otherwise(lit("")),
+      lit(htmlFooter))
+  }
+
+  /** d62's planted shared body (every 10th doc republishes it — the
+    * mirror-site shape that makes the exact-dedup stage do real
+    * work; ≥20 words and stopword-rich so it clears the gate). */
+  private val d62SharedText =
+    "the shared press release body that every mirror site " +
+    "republishes verbatim with a data table and a value summary " +
+    "the wire service distributes to partner outlets"
 
   /** The d50 IVF-PQ md5-twin oracle, shared verbatim with the
     * d58 persistent-index entry (index read must equal direct
@@ -2156,6 +2209,7 @@ object DBlock {
     "d51_bpe_tokens" -> bpeTokensSql,
     "d59_bpe_pack" -> bpePackSql,
     "d60_bpe_train" -> bpeTrainSql,
+    "d62_pipeline" -> pipelineSql,
     "d61_trained_tokenize" -> bpeTrainedTokenizeSql,
 
     "d33_unigram_logprob" ->
@@ -2228,58 +2282,7 @@ object DBlock {
     // HtmlKernels contract as regex SQL — segment removal, block
     // split, per-block strip/collapse/trim, anchor capture sums,
     // keep rule, ordered '\n' re-join — and md5 the result.
-    "d54_html_extract" ->
-      s"""WITH h AS (
-         |  SELECT doc_id,
-         |    '$htmlHead' || source || '$htmlMid1' || source || '$htmlMid2' ||
-         |    replace(text, '$htmlParaFromRe', '$htmlParaTo') || '$htmlMid3' ||
-         |    CASE WHEN doc_id % 4 = 0 THEN '$htmlKeepDiv' ELSE '' END ||
-         |    CASE WHEN doc_id % 5 = 0 THEN '$htmlDropDiv' ELSE '' END ||
-         |    '$htmlFooter' AS html
-         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
-         |), c AS (
-         |  SELECT doc_id,
-         |    regexp_replace(html,
-         |      '(?s)<script[^>]*>.*?</script[^>]*>|<style[^>]*>.*?</style[^>]*>|<!--.*?-->',
-         |      '', 'g') AS ch
-         |  FROM h
-         |), sp AS (
-         |  SELECT doc_id,
-         |    string_split_regex(ch,
-         |      '</?(?:p|div|h[1-6]|li|ul|ol|br|body|html|head|title|table|tr|td)[^>]*>') AS bl
-         |  FROM c
-         |), b AS (
-         |  SELECT doc_id, generate_subscripts(bl, 1) AS ord, unnest(bl) AS blk FROM sp
-         |), t AS (
-         |  SELECT doc_id, ord,
-         |    CASE WHEN tr LIKE ' %' THEN
-         |      CASE WHEN tr LIKE '% ' AND length(tr) > 1 THEN substr(tr, 2, length(tr) - 2)
-         |           ELSE substr(tr, 2) END
-         |      ELSE CASE WHEN tr LIKE '% ' THEN substr(tr, 1, length(tr) - 1) ELSE tr END
-         |    END AS txt,
-         |    CAST(coalesce(list_sum(list_transform(
-         |      regexp_extract_all(blk, '<a[^>]*>([^<]*)</a>', 1), x -> length(x))), 0)
-         |      AS BIGINT) AS alen
-         |  FROM (
-         |    SELECT doc_id, ord, blk,
-         |      regexp_replace(regexp_replace(blk, '<[^>]*>', '', 'g'),
-         |                     '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS tr
-         |    FROM b)
-         |), k AS (
-         |  SELECT doc_id, ord, txt, alen, length(txt) AS tlen,
-         |    (length(txt) >= 10 AND alen * 100 <= 20 * length(txt)) AS keep
-         |  FROM t WHERE length(txt) > 0
-         |)
-         |SELECT doc_id,
-         |  CAST(count(*) AS BIGINT) AS n_blocks,
-         |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
-         |  CAST(sum(tlen) AS BIGINT) AS text_chars,
-         |  CAST(sum(alen) AS BIGINT) AS link_chars,
-         |  CAST(coalesce(length(string_agg(txt, chr(10) ORDER BY ord)
-         |    FILTER (WHERE keep)), 0) AS BIGINT) AS main_len,
-         |  md5(coalesce(string_agg(txt, chr(10) ORDER BY ord)
-         |    FILTER (WHERE keep), '')) AS main_md5
-         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d54_html_extract" -> htmlExtractSql,
 
     // d55: re-derive the tagged gram stream (n in {1,2,3,5}) from
     // raw text; mass = count * (len(gram) - (n-1)); denominators
@@ -2404,6 +2407,125 @@ object DBlock {
         |FROM cells c LEFT JOIN drops d USING (vec_id)
         |ORDER BY c.vec_id""".stripMargin
   )
+
+  /** The d54 extraction chain (page construction over `textExpr` +
+    * the HtmlKernels contract as regex SQL) up to the per-block
+    * verdict CTE `k` — shared by the d54 oracle and the d62
+    * composed-pipeline oracle. */
+  private def htmlExtractCtes(textExpr: String): String =
+    s"""h AS (
+       |  SELECT doc_id,
+       |    '$htmlHead' || source || '$htmlMid1' || source || '$htmlMid2' ||
+       |    replace($textExpr, '$htmlParaFromRe', '$htmlParaTo') || '$htmlMid3' ||
+       |    CASE WHEN doc_id % 4 = 0 THEN '$htmlKeepDiv' ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN '$htmlDropDiv' ELSE '' END ||
+       |    '$htmlFooter' AS html
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), c AS (
+       |  SELECT doc_id,
+       |    regexp_replace(html,
+       |      '(?s)<script[^>]*>.*?</script[^>]*>|<style[^>]*>.*?</style[^>]*>|<!--.*?-->',
+       |      '', 'g') AS ch
+       |  FROM h
+       |), sp AS (
+       |  SELECT doc_id,
+       |    string_split_regex(ch,
+       |      '</?(?:p|div|h[1-6]|li|ul|ol|br|body|html|head|title|table|tr|td)[^>]*>') AS bl
+       |  FROM c
+       |), b AS (
+       |  SELECT doc_id, generate_subscripts(bl, 1) AS ord, unnest(bl) AS blk FROM sp
+       |), t AS (
+       |  SELECT doc_id, ord,
+       |    CASE WHEN tr LIKE ' %' THEN
+       |      CASE WHEN tr LIKE '% ' AND length(tr) > 1 THEN substr(tr, 2, length(tr) - 2)
+       |           ELSE substr(tr, 2) END
+       |      ELSE CASE WHEN tr LIKE '% ' THEN substr(tr, 1, length(tr) - 1) ELSE tr END
+       |    END AS txt,
+       |    CAST(coalesce(list_sum(list_transform(
+       |      regexp_extract_all(blk, '<a[^>]*>([^<]*)</a>', 1), x -> length(x))), 0)
+       |      AS BIGINT) AS alen
+       |  FROM (
+       |    SELECT doc_id, ord, blk,
+       |      regexp_replace(regexp_replace(blk, '<[^>]*>', '', 'g'),
+       |                     '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS tr
+       |    FROM b)
+       |), k AS (
+       |  SELECT doc_id, ord, txt, alen, length(txt) AS tlen,
+       |    (length(txt) >= 10 AND alen * 100 <= 20 * length(txt)) AS keep
+       |  FROM t WHERE length(txt) > 0
+       |)""".stripMargin
+
+  private lazy val htmlExtractSql: String =
+    s"""WITH ${htmlExtractCtes("text")}
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_blocks,
+       |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+       |  CAST(sum(tlen) AS BIGINT) AS text_chars,
+       |  CAST(sum(alen) AS BIGINT) AS link_chars,
+       |  CAST(coalesce(length(string_agg(txt, chr(10) ORDER BY ord)
+       |    FILTER (WHERE keep)), 0) AS BIGINT) AS main_len,
+       |  md5(coalesce(string_agg(txt, chr(10) ORDER BY ord)
+       |    FILTER (WHERE keep), '')) AS main_md5
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** d62: the composed pipeline re-derived stage by stage — the d54
+    * extraction chain over the CASE'd body, the d56 gate arithmetic
+    * on the EXTRACTED text (minWords 20, keep = no rule violated),
+    * keep-min exact dedup on the main-text md5, and the d32
+    * prefix-sum pack over the survivors. */
+  private lazy val pipelineSql: String =
+    s"""WITH ${htmlExtractCtes(
+         s"CASE WHEN doc_id % 10 = 0 THEN '$d62SharedText' ELSE text END")},
+       |mt AS (
+       |  SELECT doc_id, coalesce(string_agg(txt, chr(10) ORDER BY ord)
+       |    FILTER (WHERE keep), '') AS main
+       |  FROM k GROUP BY doc_id
+       |), s2 AS (
+       |  SELECT doc_id, main, ' ' || lower(main) || ' ' AS pt,
+       |    CAST(CASE WHEN length(trim(main)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(main), '\\s+')) END AS BIGINT) AS nw,
+       |    length(replace(main, ' ', '')) AS ns,
+       |    string_split_regex(lower(trim(main)), '\\s+') AS ws
+       |  FROM mt
+       |), g AS (
+       |  SELECT doc_id, main FROM (
+       |    SELECT doc_id, main, nw,
+       |      round(CASE WHEN nw > 0 THEN CAST(ns AS DOUBLE) / nw ELSE 0.0 END, 4) AS mean_wlen,
+       |      round(CASE WHEN nw > 0 THEN CAST(
+       |          (length(main) - length(replace(main, '#', ''))) +
+       |          (length(main) - length(replace(main, '...', ''))) / 3
+       |        AS DOUBLE) / nw ELSE 0.0 END, 4) AS sym_ratio,
+       |      round(CASE WHEN nw > 0 THEN CAST(len(list_filter(ws,
+       |          x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / nw
+       |        ELSE 0.0 END, 4) AS alpha_frac,
+       |      CAST($gopherStopSql AS BIGINT) AS sd
+       |    FROM s2)
+       |  WHERE nw >= 20 AND nw <= 100000
+       |    AND mean_wlen BETWEEN 3.0 AND 10.0 AND sym_ratio <= 0.1
+       |    AND alpha_frac >= 0.8 AND sd >= 2
+       |), dd AS (
+       |  SELECT doc_id, main, md5(main) AS mh FROM g
+       |), kp AS (
+       |  SELECT mh, min(doc_id) AS doc_id FROM dd GROUP BY mh
+       |), u AS (
+       |  SELECT dd.doc_id, dd.mh, dd.main FROM dd JOIN kp USING (mh, doc_id)
+       |), tt AS (
+       |  SELECT doc_id, mh,
+       |    CAST(CASE WHEN length(trim(main)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(main), '\\s+')) END AS BIGINT) AS n,
+       |    md5(CAST(doc_id AS VARCHAR)) AS ord
+       |  FROM u
+       |), cc AS (
+       |  SELECT doc_id, mh, n,
+       |    CAST(COALESCE(sum(n) OVER (ORDER BY ord NULLS FIRST
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM tt
+       |)
+       |SELECT doc_id, n AS n_tokens, off AS start_off,
+       |  CAST(off // 2048 AS BIGINT) AS bin_start,
+       |  CAST((off + greatest(n, 1) - 1) // 2048 AS BIGINT) AS bin_end,
+       |  mh AS main_md5
+       |FROM cc ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of gopherQualityFilter's distinct-stopword count:
     * Σ (padded lower text contains ' w ') over [[TextAnalysis
