@@ -120,4 +120,19 @@ class QueriesSpec extends AnyFunSuite {
       assert(m(k) == r.getAs[Double]("revenue"), s"mismatch at $k")
     }
   }
+
+  test("d62 pipeline: each planted mirror family collapses to its min-id representative") {
+    // every 10th doc republishes the shared body; the %4-keyed
+    // keep-div splits the planted family into two extraction
+    // variants (doc_id % 20 == 0 carries the extra kept block), so
+    // exactly TWO planted docs survive dedup: the min id of each
+    // variant — 0 and 10
+    val out = SparkEntry.queries("d62_pipeline")(spark, TestSpark.sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val planted = out.filter(_ % 10 == 0)
+    assert(planted == Set(0L, 10L), s"planted survivors: $planted")
+    // the gate + dedup genuinely drop rows, but most of the corpus
+    // survives (unique bodies, word counts in range)
+    assert(out.size > 300 && out.size < 500, s"survivors: ${out.size}")
+  }
 }
