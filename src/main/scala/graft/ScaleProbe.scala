@@ -66,7 +66,8 @@ object ScaleProbe {
     // throughput is the signal to eyeball)
     "d57_semantic_dedup",
     "d58_ann_index",        // index build (encode projection + bucketed write) + pruned serve
-    "d59_bpe_pack")         // BPE-count packing: kernel scan + two-phase prefix sum
+    "d59_bpe_pack",         // BPE-count packing: kernel scan + two-phase prefix sum
+    "d62_pipeline")         // composed extract→gate→dedup→pack chain
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -351,24 +351,24 @@ object TextAnalysis {
     * Returns (doc_id, n_words, mean_wlen, sym_ratio, alpha_frac,
     * stop_distinct, rule_bits, keep).
     */
-  def gopherQualityFilter(docs: DataFrame, idCol: String, textCol: String,
-      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
-    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .withColumn("__ts", textStats(col(textCol)))
-    val nw = col("__ts").getField("n_words")
+  /** The five gate metrics + bitmask over a materialized textStats
+    * struct and the raw text — the single arithmetic source both
+    * [[gopherQualityFilter]] and [[gopherRuleBits]] derive from. */
+  private def gopherMetrics(ts: Column, text: Column, minWords: Int,
+      maxWords: Int): (Column, Column, Column, Column, Column, Column) = {
+    val nw = ts.getField("n_words")
     val nwD = nw.cast("double")
     val meanW = round(when(nw > 0,
-      col("__ts").getField("non_space").cast("double") / nwD)
+      ts.getField("non_space").cast("double") / nwD)
       .otherwise(0.0), 4)
-    val symN = occurrences(col(textCol), "#") +
-      occurrences(col(textCol), "...")
+    val symN = occurrences(text, "#") + occurrences(text, "...")
     val symRatio = round(when(nw > 0, symN.cast("double") / nwD)
       .otherwise(0.0), 4)
-    val alphaN = size(filter(Dedup.tokens(col(textCol)),
+    val alphaN = size(filter(Dedup.tokens(text),
       t => t.rlike("[A-Za-z]")))
     val alphaFrac = round(when(nw > 0, alphaN.cast("double") / nwD)
       .otherwise(0.0), 4)
-    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
+    val padded = concat(lit(" "), lower(text), lit(" "))
     val stopDistinct = gopherStopwords.map { w =>
       when(padded.contains(s" $w "), 1).otherwise(0): Column
     }.reduce(_ + _)
@@ -378,6 +378,27 @@ object TextAnalysis {
         + when(symRatio > 0.1, 4).otherwise(0)
         + when(alphaFrac < 0.8, 8).otherwise(0)
         + when(stopDistinct < 2, 16).otherwise(0))
+    (nw, meanW, symRatio, alphaFrac, stopDistinct, bits)
+  }
+
+  /** The rule bitmask as ONE Column over raw text — the gate inline,
+    * for streaming filters and composed pipelines (`=== 0` is the
+    * keep predicate). A stateless scan projection, so it applies
+    * directly to a STREAMING DataFrame ahead of a dedup screen —
+    * cheap filters first, the production order — where the
+    * DataFrame form would force a stream-stream self-join to marry
+    * its verdict back to the text. Prefer [[gopherQualityFilter]]
+    * in batch when you also want the metrics. */
+  def gopherRuleBits(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column =
+    gopherMetrics(textStats(text), text, minWords, maxWords)._6
+
+  def gopherQualityFilter(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .withColumn("__ts", textStats(col(textCol)))
+    val (nw, meanW, symRatio, alphaFrac, stopDistinct, bits) =
+      gopherMetrics(col("__ts"), col(textCol), minWords, maxWords)
     live.select(col(idCol), nw.cast("long").as("n_words"),
         meanW.as("mean_wlen"), symRatio.as("sym_ratio"),
         alphaFrac.as("alpha_frac"),

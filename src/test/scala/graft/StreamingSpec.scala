@@ -403,6 +403,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quality gate composes INTO the screened ingest stream (pure projection, no state)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // gopherQualityFilter is a stateless scan projection, so it
+    // applies directly to the STREAMING DataFrame ahead of the
+    // dedup screen — cheap filters first, the real pipeline order
+    val dir = java.nio.file.Files.createTempDirectory("gated").toString
+    val corpus = Seq(
+      (1L, ("the corpus data table holds a value " * 8).trim)
+    ).toDF("doc_id", "text")
+    graft.operators.Dedup.buildDedupIndex(corpus, "doc_id", "text",
+      name = "t_gated_idx")
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDS().toDF("doc_id", "text")
+    val gated = docs.filter(graft.operators.TextAnalysis
+      .gopherRuleBits(col("text"), minWords = 20) === 0)
+    val q = StreamingIngest.toScreenedDocIngest(gated, "doc_id", "text",
+      "t_gated_idx", s"$dir/docs", s"$dir/ckpt")
+    try {
+      val good = ("a genuinely novel streaming document about the " +
+        "data value table ") * 4
+      input.addData(
+        (10L, ("the corpus data table holds a value " * 8).trim), // corpus dup
+        (11L, "too short to pass the gate"),                       // gate drop
+        (12L, good.trim))                                          // survivor
+      q.processAllAvailable()
+      val landed = spark.read.parquet(s"$dir/docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(landed == Set(12L), s"got $landed")
+    } finally q.stop()
+  }
+
   test("screened ingest crash window: death between sink append and index fold-in loses nothing") {
     import spark.implicits._
     // the loop's residual window (StreamingIngest scaladoc): sink
