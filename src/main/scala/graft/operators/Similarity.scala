@@ -933,6 +933,9 @@ object Similarity {
       .limit(nlist)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1)
+    // a zero-arg array() would fail ANALYSIS with an opaque error —
+    // fail loudly with the actual cause instead
+    require(centroidRows.nonEmpty, "semanticDedup: empty corpus")
     val assigned = emb
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"),
         vecNorm(col(vecCol)).as("nrm"))

@@ -144,6 +144,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(none.forall(_.getAs[Boolean]("keep")))
   }
 
+  test("empty-corpus edges fail loudly or return empty, never an opaque analysis error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(empty, "vec_id", "embedding", threshold = 0.5)
+    }
+    assert(e1.getMessage.contains("empty corpus"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.buildAnnIndex(empty, "vec_id", "embedding", name = "t_empty")
+    }
+    assert(e2.getMessage.contains("empty corpus"))
+    // training on an empty corpus learns nothing, returns an empty
+    // (schema-complete) merge table
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis
+      .trainBpe(docs, "doc_id", "text", numMerges = 3)
+    assert(merges.columns.toSeq ==
+      Seq("rank", "a", "b", "cnt", "state_xor") && merges.count() == 0)
+    // extraction / gating on empty inputs: empty out
+    assert(graft.operators.TextAnalysis.extractMainHtml(
+      Seq.empty[(Long, String)].toDF("doc_id", "html"),
+      "doc_id", "html").count() == 0)
+    assert(graft.operators.TextAnalysis.repetitionStats(
+      docs, "doc_id", "text").count() == 0)
+  }
+
   private def q8corpus = {
     import org.apache.spark.sql.functions.col
     Tables.embeddings(spark, TestSpark.sf).select(col("vec_id"),
