@@ -349,6 +349,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"drop-list join-back must hash-build:\n${np.take(3000)}")
   }
 
+  test("d62: composed pipeline joins stay hash-based; pack reads its pinned layout") {
+    // the gate join-back and keeper semi are doc/hash-keyed equi-joins
+    // (never a pair loop); the pack stage reads the d32 checkpointed
+    // range layout, and no global-window cumsum reappears
+    val p = plan("d62_pipeline")
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0,
+      s"pipeline degenerated to a pair join:\n${p.take(2000)}")
+    assert(count(p, "Window") == 0,
+      s"global-window cumsum crept back in:\n${p.take(2000)}")
+    assert(count(p, "Scan ExistingRDD") >= 1,
+      s"pack stage lost its pinned layout:\n${p.take(2000)}")
+  }
+
   test("d56: gopher rules are a pure scan projection") {
     val p = plan("d56_gopher_rules")
     assert(count(p, "Join") == 0 && count(p, "Generate") == 0 &&
