@@ -47,7 +47,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * kernel IS the contract above, ~O(n) per document with a constant
   * number of passes. Char counts are UTF-16 units — identical to
   * code points for every non-astral char, and the contract's inputs
-  * are ASCII-constructed.
+  * are ASCII-constructed. Tag matching is CASE-SENSITIVE lowercase
+  * ASCII (`<SCRIPT>`/`<P>` are not tags under this contract — real
+  * web pages must be lowercased upstream; see
+  * [[graft.operators.TextAnalysis.htmlMainContent]]).
   *
   * 100 TB posture: pure scan projection, zero shuffles, zero UDFs;
   * participates in whole-stage codegen via the static-kernel pattern

@@ -643,7 +643,9 @@ object Dedup {
     * its own duplicates would land every copy. This closes that gap:
     *
     *   1. exact: one row per content hash survives — deterministic
-    *      (smallest id wins, a null id never beats a real one);
+    *      (smallest non-null id wins; a row with a NULL id never
+    *      survives keep-one, since a keeper must be appendable to
+    *      the index and [[appendToDedupIndex]] drops id-less rows);
     *      null-TEXT rows all pass (no content, nothing to
     *      duplicate — the [[dedupAgainst]] convention);
     *   2. near: banded-minhash pairs among the exact survivors
@@ -662,16 +664,35 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val (shingleK, numPerms, bands, md5Sig, _) =
       indexMeta(batch.sparkSession, name)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("__graft_ch"))
-      .orderBy(col(idCol).asc_nulls_last)
-    val exactKept = batch
-      .withColumn("__graft_ch", md5(col(textCol)))
-      .withColumn("__graft_rk",
-        when(col("__graft_ch").isNull, lit(1))
-          .otherwise(row_number().over(w)))
-      .filter(col("__graft_rk") === 1)
-      .drop("__graft_ch", "__graft_rk")
+    // Keep-one per content hash as a narrow HASH AGGREGATE +
+    // SHUFFLE_HASH semi-join back (the d4/d33 house recipe), never
+    // `row_number() OVER (PARTITION BY ch)`: WindowExec funnels a
+    // mega-family of identical texts (full rows) into one
+    // un-splittable task, while the keeper aggregate ships only
+    // (ch, id) rows — Catalyst column-prunes the branch — and its
+    // map-side partial collapses each family to <=1 narrow row per
+    // input partition before the shuffle, so skew dies at the map
+    // stage. min() ignores null ids, so a null id never beats a real
+    // one; a row needs a NON-NULL id to survive keep-one at all (a
+    // keeper's job is to feed [[appendToDedupIndex]], which drops
+    // id-less rows anyway). Null-TEXT rows all pass, unioned back
+    // untouched — the [[dedupAgainst]] convention. Caller contract:
+    // ids are unique within a batch (the C10 ingest's redelivery
+    // dedup guarantees it); rows duplicating the keeper's (ch, id)
+    // would all survive.
+    val hashed = batch.withColumn("__graft_ch", md5(col(textCol)))
+    val keepers = hashed
+      .filter(col("__graft_ch").isNotNull && col(idCol).isNotNull)
+      .groupBy(col("__graft_ch").as("__graft_kch"))
+      .agg(min(col(idCol)).as("__graft_kid"))
+    val exactKept = hashed
+      .join(keepers.hint("SHUFFLE_HASH"),
+        col("__graft_ch") === col("__graft_kch") &&
+          col(idCol) === col("__graft_kid"),
+        "left_semi")
+      .drop("__graft_ch")
+      .unionByName(
+        hashed.filter(col("__graft_ch").isNull).drop("__graft_ch"))
     val sigs = screenSigs(exactKept, idCol, textCol, shingleK, numPerms,
       md5Sig)
     val pairs = bandPairsFromSigs(sigs, numPerms / bands, bands, threshold)

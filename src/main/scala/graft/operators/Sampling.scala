@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** Deterministic stratified sampling for corpus curation.
   *
@@ -195,31 +196,83 @@ object Sampling {
     * (seed, id): changing the seed reshuffles everything; keeping it
     * makes the training order a pure function of the corpus.
     *
-    * Scale shape: ONE exchange, keyed by shard — exactly the shape
-    * of the training-shard writer that consumes this (each shard =
-    * one output file/stream, `numShards` sized to the trainer's
-    * readers). The within-shard sort is per-partition, never global;
-    * a shard holds ~corpus/numShards rows by the uniformity of md5,
-    * so there is no skew to salt.
+    * Scale shape: [[graft.operators.Packing.sequencePack]]'s
+    * two-phase prefix-sum discipline, applied per shard — NEVER
+    * `row_number() OVER (PARTITION BY shard)`, whose WindowExec
+    * buffers a whole shard (~corpus/numShards rows) in one task's
+    * spillable array. Instead: a range layout over
+    * (shard, key, id) — balanced by sampling even when a shard far
+    * outweighs a task — is pinned once (checkpoint; see
+    * sequencePack on WHY the RangePartitioner's per-execution
+    * boundary sampling makes this mandatory, not an optimization),
+    * then phase 1 collects per-(partition, shard) COUNTS (narrow
+    * rows, ≤ partitions·numShards of them), the driver prefix-sums
+    * them into per-(partition, shard) rank bases, and phase 2
+    * assigns positions partition-locally on the same layout. A
+    * shard's rows span partitions contiguously in range order, so
+    * base + local running count IS the global within-shard rank.
     *
     * Returns (idCol, shard, pos): shard in [0, numShards),
     * pos 1-based within its shard in key order (tiebreak id —
-    * unreachable for distinct ids). Null ids are dropped. */
+    * unreachable for distinct ids). Null ids are dropped.
+    * `reliable = true` swaps the layout pin from localCheckpoint to
+    * a reliable checkpoint (executor-loss safe), the sequencePack
+    * contract. */
   def shuffleShard(
       df: DataFrame,
       idCol: String,
       numShards: Int,
-      seed: String): DataFrame = {
+      seed: String,
+      partitions: Int = 32,
+      reliable: Boolean = false): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
-    import org.apache.spark.sql.expressions.Window
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
     val key = Dedup.md5Hash60(
       concat(lit(seed), lit("|"), col(idCol).cast("string")))
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(col("__k"), col(idCol))
-    df.filter(col(idCol).isNotNull)
-      .withColumn("__k", key)
+    val ranged = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), key.as("__k"))
       .withColumn("shard", (col("__k") % numShards).cast("int"))
-      .withColumn("pos", row_number().over(w))
-      .select(col(idCol), col("shard"), col("pos"))
+      .repartitionByRange(partitions, col("shard"), col("__k"), col(idCol))
+    val parts = if (reliable) ranged.checkpoint() else ranged.localCheckpoint()
+
+    // Phase 1: per-(partition, shard) counts — narrow, one row per
+    // occupied (pid, shard) cell, bounded by partitions · numShards.
+    val counts = parts
+      .select(spark_partition_id().as("__pid"), col("shard"))
+      .groupBy(col("__pid"), col("shard"))
+      .agg(count(lit(1)).as("__c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+    // Driver prefix sum per shard across partitions in range order.
+    val bases: Map[(Int, Int), Long] = counts
+      .groupBy(_._1._2)
+      .iterator.flatMap { case (sh, entries) =>
+        var acc = 0L
+        entries.sortBy(_._1._1).map { case ((pid, _), c) =>
+          val r = (pid, sh) -> acc; acc += c; r
+        }
+      }.toMap
+
+    // Phase 2: partition-local ranks on the SAME pinned layout.
+    val idField = df.schema(idCol)
+    val outSchema = StructType(Seq(idField,
+      StructField("shard", IntegerType, nullable = false),
+      StructField("pos", IntegerType, nullable = false)))
+    parts
+      .sortWithinPartitions(col("shard"), col("__k"), col(idCol))
+      .select(spark_partition_id().as("__pid"), col(idCol), col("shard"))
+      .mapPartitions { rows =>
+        var curShard = Int.MinValue
+        var run = 0L
+        rows.map { r =>
+          val sh = r.getInt(2)
+          if (sh != curShard) {
+            curShard = sh
+            run = bases.getOrElse((r.getInt(0), sh), 0L)
+          }
+          run += 1L
+          Row(r.get(1), sh, run.toInt)
+        }
+      }(Encoders.row(outSchema))
   }
 }

@@ -296,12 +296,22 @@ object Similarity {
     * centroids; array_min / sort_array over them is argmax by cosine
     * with ties broken by cell_id asc (struct ordering), matching the
     * window formulation's (desc cosine, asc cell_id). */
+  // Zero-norm guard: 0/0 cosine is NaN, and Spark's ordering puts
+  // NaN ABOVE every real number (NaN >= t is true), so an unguarded
+  // zero-norm vector would win every comparison — spurious cell
+  // ties here, spurious "duplicate" pairs in [[semanticDedup]].
+  // Convention: a zero-norm operand contributes cosine 0.0 (no
+  // similarity evidence), mirrored in the d57 oracle SQL.
   private def cellStructs(cents: Seq[(Long, Seq[Float])],
       vec: Column, vnorm: Column): Seq[Column] =
     cents.map { case (cid, cv) =>
-      struct(
-        (-(vecDot(vec, typedLit(cv)) / (vnorm * lit(normOf(cv))))).as("ns"),
-        lit(cid).as("cell_id"))
+      val cn = normOf(cv)
+      val ns =
+        if (cn == 0.0) lit(0.0)
+        else when(vnorm > 0,
+          -(vecDot(vec, typedLit(cv)) / (vnorm * lit(cn))))
+          .otherwise(lit(0.0))
+      struct(ns.as("ns"), lit(cid).as("cell_id"))
     }
 
   private def ivfTopKWithSampler(
@@ -951,8 +961,13 @@ object Similarity {
       .join(keyed.select(col("cell_id"), col("vec_id").as("id_b"),
         col("v").as("vb"), col("nrm").as("nb")), Seq("cell_id"))
       .filter(col("id_a") < col("id_b"))
-      .filter(vecDot(col("va"), col("vb")) / (col("na") * col("nb"))
-        >= threshold)
+      // zero-norm guard: NaN >= threshold is TRUE in Spark's
+      // ordering, so one all-zero vector (a real artifact of int8
+      // quantization) would silently drop, or cause the drop of,
+      // every other vector in its cell — contribute 0.0 instead
+      .filter(when(col("na") * col("nb") > 0,
+        vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .otherwise(lit(0.0)) >= threshold)
     val drops = pairs.groupBy(col("id_b").as("vec_id"))
       .agg(min(col("id_a")).as("dropped_by"))
     assigned.select(col("vec_id"), col("cell_id"))
@@ -1042,6 +1057,17 @@ object Similarity {
     val bookCents = spark.table(s"${name}_book").collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toIndexedSeq).toIndexedSeq
     val book = PqBook(bookCents, m, bookCents.head.size / m)
+    // Fail loudly on a wrong-dimension batch: slice/vecDot over a
+    // short array would otherwise encode GARBAGE codes into the
+    // index silently. One cheap driver-side probe (the centroids are
+    // already collected; the batch head is one row).
+    val indexDim = cellCents.head._2.length
+    val dims = batch.agg(min(size(col(vecCol))).as("lo"),
+      max(size(col(vecCol))).as("hi")).head()
+    if (!dims.isNullAt(0))
+      require(dims.getInt(0) == indexDim && dims.getInt(1) == indexDim,
+        s"appendToAnnIndex('$name'): batch vector dims " +
+          s"[${dims.getInt(0)}, ${dims.getInt(1)}] != index dim $indexDim")
     graft.sources.Bucketing.appendBucketed(
       batch.select(col(idCol).cast("long").as("vec_id"),
         array_min(array(l2CellStructs(cellCents, col(vecCol)): _*))

@@ -232,12 +232,124 @@ object TextAnalysis {
           .as("avg_logp2"))
   }
 
+  /** Trigram language-model scoring with STUPID BACKOFF (Brants et
+    * al. 2007, "Large Language Models in Machine Translation" — the
+    * web-scale backoff that skips Katz's discount bookkeeping
+    * because at corpus scale the unnormalized score ranks just as
+    * well): each document's mean ln S(c | a, b) where
+    *
+    *   S(c|a,b) = c3(abc) / c2ctx(ab)                if c3 > 0
+    *            = α · c2(bc) / c1ctx(b)              elif c2 > 0
+    *            = α² · (c1(c) + 1) / (N + V)         otherwise
+    *
+    * with α = 0.4 (the paper's constant) and an add-one unigram
+    * floor so a token never seen in training still scores finite.
+    * The LM trains on the `trainFilter` slice of the corpus (pass
+    * the d60 md5-quarter for the engine-reproducible form) and
+    * scores EVERY document — the production shape (train on a
+    * reference slice, score candidates), and the only shape where
+    * backoff ever fires: scored-corpus-only counts make every
+    * trigram its own evidence.
+    *
+    * All counts are TRIGRAM-STREAM-DERIVED (each doc's positions
+    * 3..n): c2ctx(ab) = Σ_c c3(abc) — the context mass, so
+    * probabilities per context sum to 1 — and the backoff tables
+    * c2(bc) = Σ_a c3(abc), c1ctx(b) = Σ_c c2(bc), c1(c) = Σ_b
+    * c2(bc), N = Σ c3, V = |distinct c|. Deriving them from the
+    * distinct-trigram table instead of re-exploding lower orders is
+    * the d53 "c1 from c2" discipline taken to depth 3: every
+    * derived table is |distinct| sized, never stream sized.
+    *
+    * Scale shape (the d53 discipline): ONE explode, ONE explicit
+    * (a, b, c) exchange under BOTH the count aggregate (train
+    * counts via a conditional count that re-evaluates `trainFilter`
+    * from the id riding the same rows) and the scoring stream
+    * (ReuseExchange keeps the scan+explode single-pass); the
+    * backoff tables join onto the DISTINCT table (left, each
+    * |distinct|-sized), N+V broadcast as one row, and the finished
+    * per-trigram score marries the stream back by an exchange-free
+    * SHUFFLE_HASH probe. Never a window; a zipfian head trigram
+    * concentrates only its count, not its rows.
+    *
+    * Docs with fewer than three tokens hold no trigram and are
+    * absent (the d53 convention). Returns (doc_id, n_trigrams,
+    * avg_logp3), avg rounded to 4 decimals on both engines (§6
+    * rule). */
+  def trigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      trainFilter: Column): DataFrame = {
+    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val tg = live
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(2, size(tk) - 1), " +
+          "i -> struct(tk[i-2] AS a, tk[i-1] AS b, tk[i] AS c))")).as("tg"))
+      .select(col(idCol), col("tg.a").as("a"),
+        col("tg.b").as("b"), col("tg.c").as("c"))
+      // explicit so the join-back's pushed IsNotNull constraints are
+      // no-ops and both exchange subtrees stay canonically equal —
+      // the d53 ReuseExchange discipline
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("c").isNotNull)
+    val keyed = tg.repartition(col("a"), col("b"), col("c"))
+    // trainFilter re-evaluates INSIDE the conditional count (so it
+    // must be a deterministic predicate over idCol alone — slices
+    // are id-keyed by design): materializing it as a column would
+    // give the aggregate branch a projection the scoring stream
+    // lacks, and ReuseExchange only unifies canonically EQUAL
+    // subtrees — the flag's per-trigram evaluation is the price of
+    // the single explode. count(when(filter, id)): id is non-null
+    // by the live filter, so this counts exactly the train rows.
+    val dist = keyed.groupBy(col("a"), col("b"), col("c"))
+      .agg(count(when(trainFilter, col(idCol))).as("c3"))
+    val tr3 = dist.filter(col("c3") > 0)
+    val c2ctx = tr3.groupBy(col("a"), col("b"))
+      .agg(sum(col("c3")).as("c2ctx"))
+    val c2bc = tr3.groupBy(col("b"), col("c"))
+      .agg(sum(col("c3")).as("c2bc"))
+    val c1ctx = c2bc.groupBy(col("b")).agg(sum(col("c2bc")).as("c1ctx"))
+    val c1c = c2bc.groupBy(col("c")).agg(sum(col("c2bc")).as("c1c"))
+    val nv = tr3.agg(sum(col("c3")).as("n_train"),
+      count_distinct(col("c")).as("v_train"))
+    val scoredDist = dist
+      .join(c2ctx.hint("SHUFFLE_HASH"), Seq("a", "b"), "left")
+      .join(c2bc.hint("SHUFFLE_HASH"), Seq("b", "c"), "left")
+      .join(c1ctx.hint("SHUFFLE_HASH"), Seq("b"), "left")
+      .join(c1c.hint("SHUFFLE_HASH"), Seq("c"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("a"), col("b"), col("c"),
+        log(
+          when(col("c3") > 0,
+            col("c3").cast("double") / col("c2ctx").cast("double"))
+            .when(col("c2bc").isNotNull,
+              lit(0.4) * (col("c2bc").cast("double") /
+                col("c1ctx").cast("double")))
+            .otherwise(lit(0.4) * lit(0.4) *
+              ((coalesce(col("c1c"), lit(0L)).cast("double") + lit(1.0)) /
+                (col("n_train").cast("double") +
+                  col("v_train").cast("double")))))
+          .as("__logs"))
+    keyed
+      .join(scoredDist.hint("SHUFFLE_HASH"), Seq("a", "b", "c"))
+      .groupBy(col(idCol).as("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(avg(col("__logs")), 4).as("avg_logp3"))
+  }
+
   /** HTML main-content extraction — see
     * [[graft.functions.HtmlKernels]] for the exact five-step
     * contract (script/style/comment removal, block-tag split,
     * per-block link density, jusText-style keep rule). Returns a
     * struct(main_text, n_blocks, n_kept, text_chars, link_chars)
-    * column; a pure codegen'd scan projection, zero shuffles. */
+    * column; a pure codegen'd scan projection, zero shuffles.
+    *
+    * Tag matching is LOWERCASE-ASCII by contract: `<SCRIPT>`,
+    * `<Style>`, `<P>` etc. are NOT recognized — real-web markup
+    * (where uppercase tags are common) must be lowercased first,
+    * e.g. `htmlMainContent(lower(html))` when the payload carries no
+    * case-sensitive visible text, or pre-normalized upstream. The
+    * kernel and its DuckDB oracle share this contract verbatim, so
+    * loosening it means changing BOTH. */
   def htmlMainContent(html: Column, minLen: Int = 10,
       maxLinkPct: Int = 20): Column =
     graft.functions.HtmlFunctions.htmlMainContent(html, minLen, maxLinkPct)
@@ -278,6 +390,16 @@ object TextAnalysis {
     * string is ever needed; dup5_frac = Σ mass over 5-grams with
     * count ≥ 2, / denominator. Docs shorter than n words have no
     * n-gram → frac 0. All fracs rounded to 4 decimals (§6 rule).
+    *
+    * NOT a ≤1 "fraction of characters covered": gram occurrences
+    * OVERLAP, so the mass ratios are unbounded (a doc that is one
+    * word repeated N times has top2_frac → 2). Gopher's published
+    * thresholds (e.g. 0.20 for the top 2-gram) assume the covered-
+    * character definition and are NOT directly transferable —
+    * calibrate any threshold against THIS statistic before gating
+    * on it. The overlapping form is kept
+    * deliberately: it needs no per-doc position bookkeeping, so the
+    * whole statistic stays in two doc-keyed hash aggregates.
     *
     * Scale shape: ONE Generate (all four gram sizes tagged into one
     * stream), then two hash aggregates — (doc_id, n, gram) counts,

@@ -552,12 +552,25 @@ object BBlock {
     // B21b: the MERGEABILITY claim itself as oracle-checkable rows.
     // b20's sketch estimates can never hash-match a SQL engine, but
     // the property they exist for can: partial sketches over disjoint
-    // splits, unioned, must estimate IDENTICALLY to one direct sketch
-    // over the same rows (DataSketches HLL union is a lossless
-    // register-max merge at equal lgK), and the estimate must land
-    // within 5% of the exact distinct count. Both facts are computed
-    // by the ENGINE and emitted as booleans the DuckDB oracle pins to
-    // TRUE — alongside exact_users, which SQL derives independently.
+    // splits, unioned, must carry IDENTICAL REGISTER STATE to one
+    // direct sketch over the same rows (register max-merge is
+    // associative and order-free). The register state — NOT the raw
+    // estimate — is the mergeable thing: a directly-built sketch
+    // estimates via the insertion-path-dependent HIP estimator, and
+    // a union's estimate is itself order-dependent while its inputs
+    // are still in exact coupon mode (the HIP accumulator keeps
+    // updating per coupon), so raw merged-vs-direct estimate equality
+    // is NONDETERMINISTIC across shuffle arrival orders — first seen
+    // red at sf0.1, where sketches leave coupon-exact mode. The
+    // deterministic register-level proof: union each side with one
+    // DENSE sketch over a disjoint key space ("ballast") — a dense
+    // input flips the union out-of-order, forcing the estimate onto
+    // the composite estimator, a pure function of the registers. The
+    // two ballasted estimates are bit-equal iff the register states
+    // are. est_within_5pct stays on the raw merged estimate (every
+    // possible merge order lands well inside a 5% = 3-sigma band at
+    // lgK=12). Booleans computed by the ENGINE, pinned TRUE by the
+    // oracle beside an independently derived exact count.
     "b20b_hll_merge_consistency" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .filter(col("event_type").isNotNull)
@@ -569,14 +582,23 @@ object BBlock {
         .groupBy(col("event_type"), col("split"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
         .groupBy(col("event_type"))
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+        .agg(hll_union_agg(col("sk")).as("msk"))
       val direct = ev.groupBy(col("event_type"))
-        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+        .agg(hll_sketch_agg(col("user_id")).as("dsk"),
           countDistinct(col("user_id")).as("exact_users"))
+      // 4096 distinct >> the lgK=12 coupon limit, so the ballast is
+      // HLL-dense no matter how its own partials merged; its key
+      // space can never collide with real user ids
+      val ballast = s.range(4096).agg(
+        hll_sketch_agg(concat(lit("__graft_ballast_"),
+          col("id").cast("string"))).as("bsk"))
       viaUnion.join(direct, Seq("event_type"))
+        .crossJoin(broadcast(ballast))
         .select(col("event_type"),
-          (col("est_merged") === col("est_direct")).as("merge_consistent"),
-          (abs(col("est_merged") - col("exact_users")) <=
+          (hll_sketch_estimate(hll_union(col("msk"), col("bsk"))) ===
+            hll_sketch_estimate(hll_union(col("dsk"), col("bsk"))))
+            .as("merge_consistent"),
+          (abs(hll_sketch_estimate(col("msk")) - col("exact_users")) <=
             col("exact_users") * lit(0.05)).as("est_within_5pct"),
           col("exact_users"))
         .orderBy(col("event_type"))

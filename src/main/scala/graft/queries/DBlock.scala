@@ -606,6 +606,20 @@ object DBlock {
       TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // D48: trigram LM scoring with STUPID BACKOFF (Brants et al.
+    // 2007) — the KenLM-filter rung above d53: the LM trains on the
+    // d60 md5-quarter slice and scores the FULL corpus, so unseen
+    // trigrams exist and the backoff chain (trigram → 0.4·bigram →
+    // 0.16·add-one unigram) actually fires. One tagged explode, one
+    // reused (a,b,c) exchange, every count table derived from the
+    // distinct-trigram table; fully oracle-checked (DuckDB re-derives
+    // the slice, all five count tables, the backoff CASE and the
+    // rounded average from raw text).
+    "d65_trigram_logprob" -> ((s, d) =>
+      TextAnalysis.trigramLogProb(Tables.documents(s, d), "doc_id",
+        "text", trainFilter = d60Slice)
+        .orderBy(col("doc_id"))),
+
     // D25: exact substring-level dedup — maximal cross-doc repeated
     // >= 8-token spans (the "deduplicating training data" pass that
     // doc-level dedup misses: shared boilerplate inside otherwise
@@ -703,7 +717,8 @@ object DBlock {
     // pass: every doc gets a shard (md5(seed|id) mod N) and a
     // 1-based position within its shard in key order; identical on
     // any cluster/partitioning/rerun, reshuffled only by the seed.
-    // ONE shard-keyed exchange (the training-shard writer's shape);
+    // Ranks via the d32 two-phase prefix-sum discipline per shard
+    // (pinned range layout + driver bases — no per-shard window);
     // fully oracle-checked.
     "d45_shuffle_shard" -> ((s, d) =>
       Sampling.shuffleShard(Tables.documents(s, d), "doc_id",
@@ -2244,6 +2259,52 @@ object DBlock {
         |FROM bg JOIN f2 USING (a, b) JOIN c1 USING (a)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // d65: the full stupid-backoff chain re-derived — train slice,
+    // distinct-trigram counts, the four derived tables, N+V, the
+    // backoff CASE (identical literal arithmetic and parenthesis
+    // order to the engine, so the doubles match bit-for-bit) and the
+    // rounded per-doc average.
+    "d65_trigram_logprob" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id,
+        |    $d60SliceSql AS tr,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        |), tg AS (
+        |  SELECT doc_id, tr,
+        |    ws[CAST(i AS INT)] AS a, ws[CAST(i + 1 AS INT)] AS b,
+        |    ws[CAST(i + 2 AS INT)] AS c
+        |  FROM tok, unnest(range(1, len(ws) - 1)) AS u(i)
+        |  WHERE len(ws) >= 3
+        |), dist AS (
+        |  SELECT a, b, c, count(*) FILTER (WHERE tr) AS c3
+        |  FROM tg GROUP BY a, b, c
+        |), tr3 AS (SELECT * FROM dist WHERE c3 > 0),
+        |x2 AS (SELECT a, b, CAST(sum(c3) AS BIGINT) AS c2ctx FROM tr3 GROUP BY a, b),
+        |y2 AS (SELECT b, c, CAST(sum(c3) AS BIGINT) AS c2bc FROM tr3 GROUP BY b, c),
+        |z1 AS (SELECT b, CAST(sum(c2bc) AS BIGINT) AS c1ctx FROM y2 GROUP BY b),
+        |w1 AS (SELECT c, CAST(sum(c2bc) AS BIGINT) AS c1c FROM y2 GROUP BY c),
+        |nv AS (SELECT CAST(sum(c3) AS BIGINT) AS n_train,
+        |  CAST(count(DISTINCT c) AS BIGINT) AS v_train FROM tr3),
+        |sd AS (
+        |  SELECT d.a, d.b, d.c,
+        |    ln(CASE
+        |      WHEN d.c3 > 0 THEN CAST(d.c3 AS DOUBLE) / CAST(x2.c2ctx AS DOUBLE)
+        |      WHEN y2.c2bc IS NOT NULL THEN CAST(0.4 AS DOUBLE) * (CAST(y2.c2bc AS DOUBLE) / CAST(z1.c1ctx AS DOUBLE))
+        |      ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) * ((CAST(COALESCE(w1.c1c, 0) AS DOUBLE) + 1.0) /
+        |        (CAST(nv.n_train AS DOUBLE) + CAST(nv.v_train AS DOUBLE)))
+        |    END) AS logs
+        |  FROM dist d
+        |  LEFT JOIN x2 USING (a, b)
+        |  LEFT JOIN y2 USING (b, c)
+        |  LEFT JOIN z1 USING (b)
+        |  LEFT JOIN w1 USING (c)
+        |  CROSS JOIN nv)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  round(avg(logs), 4) AS avg_logp3
+        |FROM tg JOIN sd USING (a, b, c)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // null parity with sequencePack: null text packs as 0 tokens
     // (COALESCE), and the cumsum orders NULLS FIRST to match Spark's
     // sort default should ord ever be null — latent today (testdata
@@ -2386,15 +2447,17 @@ object DBlock {
         |ass AS (
         |  SELECT a.vec_id, c.cell_id,
         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
-        |      -(CAST(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*c.cq[i])) AS DOUBLE)
-        |        / (a.nrm * c.cnrm)),
+        |      CASE WHEN a.nrm * c.cnrm > 0 THEN
+        |        -(CAST(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*c.cq[i])) AS DOUBLE)
+        |          / (a.nrm * c.cnrm)) ELSE 0.0 END,
         |      c.cell_id) AS rk
         |  FROM n a CROSS JOIN cent c),
         |cells AS (SELECT vec_id, cell_id FROM ass WHERE rk = 1),
         |pairs AS (
         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-        |    CAST(list_sum(list_transform(range(1, len(x.q)+1), i -> x.q[i]*y.q[i])) AS DOUBLE)
-        |      / (x.nrm * y.nrm) AS cos
+        |    CASE WHEN x.nrm * y.nrm > 0 THEN
+        |      CAST(list_sum(list_transform(range(1, len(x.q)+1), i -> x.q[i]*y.q[i])) AS DOUBLE)
+        |        / (x.nrm * y.nrm) ELSE 0.0 END AS cos
         |  FROM cells a JOIN cells b USING (cell_id)
         |  JOIN n x ON x.vec_id = a.vec_id
         |  JOIN n y ON y.vec_id = b.vec_id

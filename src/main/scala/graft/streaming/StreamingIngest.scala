@@ -255,9 +255,21 @@ object StreamingIngest {
         val indexed = batch.sparkSession
           .table(s"${indexName}_vectors")
           .select(col("vec_id").as("__indexed_id"))
-        val fresh = batch
+        // Idempotence needs a usable identity: a row whose id casts
+        // to null can never match the anti-join, so every replay
+        // would re-append it — likewise the second copy of an id
+        // duplicated WITHIN one micro-batch (redelivery inside the
+        // retried batch). Drop id-less rows, keep one row per id.
+        // try_cast, not cast: under ANSI a malformed id would kill
+        // the batch; the contract here is drop-at-the-door.
+        val identified = batch
+          .withColumn("__graft_cid", batch(idCol).try_cast("long"))
+          .filter(col("__graft_cid").isNotNull)
+          .dropDuplicates("__graft_cid")
+        val fresh = identified
           .join(indexed.hint("SHUFFLE_HASH"),
-            batch(idCol).cast("long") === col("__indexed_id"), "left_anti")
+            col("__graft_cid") === col("__indexed_id"), "left_anti")
+          .drop("__graft_cid")
           .localCheckpoint(true)
         fresh.write.mode("append").parquet(path)
         graft.operators.Similarity

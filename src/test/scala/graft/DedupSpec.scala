@@ -878,6 +878,21 @@ class DedupSpec extends AnyFunSuite {
       "doc_id", "text", name)
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(kept2 == kept, s"order-dependent kept set: $kept2")
+    // null-id contract: a row with no id never survives keep-one
+    // (a keeper must be appendable to the index, which requires an
+    // id); a real-id twin in the same family wins, and an id-less
+    // family leaves no keeper at all. Null-text rows still pass even
+    // with a null id.
+    val withNullIds = Seq(
+      (Some(70L), Some("payload shared by a real id row and an id-less row")),
+      (Option.empty[Long], Some("payload shared by a real id row and an id-less row")),
+      (Option.empty[Long], Some("an id-less family with no real id twin anywhere")),
+      (Option.empty[Long], Option.empty[String])
+    ).toDF("doc_id", "text")
+    val kept3 = Dedup.dedupWithinBatch(withNullIds, "doc_id", "text", name)
+      .collect().map(r => Option(r.getAs[java.lang.Long]("doc_id"))
+        .map(_.longValue) -> Option(r.getAs[String]("text")).isEmpty).toSet
+    assert(kept3 == Set(Some(70L) -> false, None -> true), s"got $kept3")
   }
 
   /** A faithful process-restart: a brand-new SparkSession (hence a

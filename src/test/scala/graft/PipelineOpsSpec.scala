@@ -182,6 +182,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(run("epoch0") == a, "must be deterministic")
     val b = run("epoch1")
     assert(b != a, "a different seed must reshuffle")
+    // partition-count invariance: the rank is a pure function of the
+    // corpus + seed, not of the physical layout (the d32 discipline's
+    // defining property)
+    for (parts <- Seq(1, 3, 32)) {
+      val c = Sampling.shuffleShard(docs, "doc_id", numShards = 8,
+        seed = "epoch0", partitions = parts)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2))))
+        .toMap
+      assert(c == a, s"partitions=$parts changed the assignment")
+    }
   }
 
   test("budgetSelect: prefix cut in priority order, no knapsack back-fill, partition-invariant") {
@@ -585,5 +596,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     // the all-common doc outscores the doc with a hapax token
     assert(res(1L)._2 > res(3L)._2)
+  }
+
+  test("trigramLogProb: every stupid-backoff tier fires on a hand-computed corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // train = doc 1 only: tokens [a b c a b c] → trigram counts
+    // c3: (a,b,c)=2, (b,c,a)=1, (c,a,b)=1; N=4, V=3 (distinct c's:
+    // c, a, b); c2ctx(a,b)=2, (b,c)=1, (c,a)=1; c2bc(b,c)=2,
+    // (c,a)=1, (a,b)=1; c1ctx(b)=2, (c)=1, (a)=1; c1(c)=2, (a)=1,
+    // (b)=1.
+    val docs = Seq(
+      (1L, "a b c a b c"),   // train; all trigrams seen → tier 1
+      (200L, "a b c d"),     // (a,b,c) tier 1; (b,c,d) unseen even
+                             //   as bigram (c,d) → tier 3 add-one
+      (201L, "x b c"),       // (x,b,c): no c3, but c2bc(b,c)=2 →
+                             //   tier 2
+      (202L, "a b")          // < 3 tokens → absent
+    ).toDF("doc_id", "text")
+    val res = graft.operators.TextAnalysis.trigramLogProb(
+      docs, "doc_id", "text", trainFilter = col("doc_id") < 100L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(res.keySet == Set(1L, 200L, 201L), s"got ${res.keySet}")
+    def r4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: s = [2/2, 1/1, 1/1, 2/2] → ln 1 = 0 each
+    assert(res(1L) == ((4L, 0.0)), s"doc 1: ${res(1L)}")
+    // doc 200: ln(2/2)=0 and tier-3 ln(0.4·0.4·(0+1)/(4+3))
+    val tier3 = math.log(0.4 * 0.4 * ((0.0 + 1.0) / (4.0 + 3.0)))
+    assert(res(200L)._1 == 2L)
+    assert(math.abs(res(200L)._2 - r4((0.0 + tier3) / 2)) < 1e-9,
+      s"doc 200: ${res(200L)._2}")
+    // doc 201: tier-2 ln(0.4·(2/2))
+    assert(res(201L) == ((1L, r4(math.log(0.4 * (2.0 / 2.0))))),
+      s"doc 201: ${res(201L)}")
   }
 }

@@ -195,6 +195,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(np, "SortAggregate") == 0, np.take(2000))
   }
 
+  test("d65: trigram backoff scoring explodes once; every count table is agg+join, never a window") {
+    val p = plan("d65_trigram_logprob")
+    assert(count(p, "Window") == 0,
+      s"hot-trigram window crept back in:\n${p.take(2000)}")
+    val np = pinnedPlan("d65_trigram_logprob")
+    assert(count(np, "Generate explode") == 1 && count(np, "ReusedExchange") >= 1,
+      s"trigram explode pipeline duplicated:\n${np.take(3000)}")
+    // backoff-table joins hash-build on the distinct-trigram side;
+    // the corpus stream is never sorted and never pair-joined
+    assert(count(np, "ShuffledHashJoin") >= 2,
+      s"count join-backs must hash-build:\n${np.take(3000)}")
+    assert(count(np, "SortAggregate") == 0 &&
+      count(np, "CartesianProduct") == 0, np.take(2000))
+  }
+
   test("d36: substring dedup grams once; flags are agg+join, islands keep their windows") {
     val p = plan("d36_substring_dedup")
     // the only windows are the doc-keyed gaps-and-islands lag/cumsum
@@ -281,16 +296,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected only the orderBy exchange:\n${p.take(2000)}")
   }
 
-  test("d45: shuffle-shard is one shard-keyed exchange, no global sort") {
-    // the training-shard writer's shape: hash exchange on shard +
-    // per-shard sort for the rank; the only other exchange is the
-    // entry's presentation orderBy
+  test("d45: shuffle-shard ranks ride the pinned range layout, never a per-shard window") {
+    // the d32 two-phase discipline applied per shard: ranks come
+    // from partition-local running counts over the checkpointed
+    // range layout + driver-broadcast bases. A `row_number() OVER
+    // (PARTITION BY shard)` — which buffers a whole shard in one
+    // task — must never reappear; the only exchange left in the
+    // final plan is the entry's presentation orderBy (the range
+    // exchange lives before the checkpoint).
     val p = plan("d45_shuffle_shard")
-    assert(count(p, "Window") == 1, p.take(2000))
-    assert(count(p, "Exchange") == 2,
-      s"expected shard exchange + orderBy only:\n${p.take(2000)}")
-    assert(count(p, "hashpartitioning(shard") == 1,
-      s"rank must partition by shard:\n${p.take(2000)}")
+    assert(count(p, "Window") == 0,
+      s"per-shard rank window crept back in:\n${p.take(2000)}")
+    assert(count(p, "Scan ExistingRDD") >= 1,
+      s"sharding lost its pinned layout:\n${p.take(2000)}")
+    assert(count(p, "Exchange") == 1,
+      s"expected only the orderBy exchange:\n${p.take(2000)}")
   }
 
   test("d32: packing reads one pinned range layout; no global window") {
@@ -370,5 +390,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rule gate grew a join/generate/window:\n${p.take(2000)}")
     assert(count(p, "Exchange") == 1,
       s"expected only the orderBy exchange:\n${p.take(2000)}")
+  }
+
+  test("c10: batch-screen keep-one is a hash agg + semi-join, never a row_number window") {
+    // dedupWithinBatch sits in the streaming ingest hot path; a
+    // `row_number() OVER (PARTITION BY content_hash)` there funnels a
+    // micro-batch's mega-family of identical texts (full rows) into
+    // one un-splittable task. Pinned shape (the d4/d33 recipe): a
+    // narrow (ch, id) hash aggregate whose map-side partial collapses
+    // each family to <=1 row per input partition BEFORE the shuffle,
+    // then a hash-built semi-join back — no window, no sort agg.
+    import spark.implicits._
+    val name = "psp_within_idx"
+    operators.Dedup.buildDedupIndex(
+      Seq((1L, "seed corpus content for the screen meta parameters"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", name)
+    val batch = (1L to 64L)
+      .map(i => (i, s"batch doc number ${i % 8} with shared family text"))
+      .toDF("doc_id", "text")
+    val p = operators.Dedup.dedupWithinBatch(batch, "doc_id", "text", name)
+      .queryExecution.executedPlan.toString
+    assert(count(p, "Window") == 0,
+      s"keep-one window crept back into the batch screen:\n${p.take(2000)}")
+    assert(p.contains("partial_min"),
+      s"keeper aggregate lost its map-side partial:\n${p.take(2000)}")
+    assert(count(p, "SortAggregate") == 0, p.take(2000))
+    assert(count(p, "ShuffledHashJoin") >= 1,
+      s"keep-one join-back must hash-build:\n${p.take(3000)}")
   }
 }

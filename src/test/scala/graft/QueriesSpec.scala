@@ -47,11 +47,28 @@ class QueriesSpec extends AnyFunSuite {
     for ((t, n) <- exactPerType)
       assert(math.abs(est(t) - n).toDouble / n < 0.05, s"$t: est=${est(t)} exact=$n")
     assert(math.abs(est("__all__") - exactAll).toDouble / exactAll < 0.05)
-    // mergeability: union of per-type sketches == sketch of the union
-    val direct = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
-      .head.getLong(0)
-    assert(est("__all__") == direct,
-      "merged per-type sketches must equal the directly-built sketch")
+    // mergeability: union of per-type sketches carries the same
+    // REGISTER STATE as a sketch of the union. Raw estimates are NOT
+    // comparable — a direct sketch estimates via the insertion-path-
+    // dependent HIP estimator, a union via the composite estimator —
+    // so both sides are ballast-unioned with one dense disjoint
+    // sketch, forcing both estimates onto the composite estimator (a
+    // pure function of the registers): bit-equality iff the register
+    // states match (the b20b formulation).
+    val ballast = spark.range(4096).agg(
+      hll_sketch_agg(concat(lit("__graft_ballast_"),
+        col("id").cast("string"))).as("bsk"))
+    val perType = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val sides = perType.agg(hll_union_agg(col("sk")).as("msk"))
+      .crossJoin(ev.agg(hll_sketch_agg(col("user_id")).as("dsk")))
+      .crossJoin(ballast)
+      .select(
+        hll_sketch_estimate(hll_union(col("msk"), col("bsk"))).as("mb"),
+        hll_sketch_estimate(hll_union(col("dsk"), col("bsk"))).as("db"))
+      .head()
+    assert(sides.getLong(0) == sides.getLong(1),
+      s"merged per-type registers must equal the direct sketch's: $sides")
   }
 
   test("count-min sketch bounds heavy-hitter counts (never under, small over)") {

@@ -144,6 +144,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(none.forall(_.getAs[Boolean]("keep")))
   }
 
+  test("semanticDedup: an all-zero vector is inert — NaN cosines never nuke a cell") {
+    import spark.implicits._
+    // an all-zero embedding (a real artifact of int8 quantization)
+    // yields 0/0 = NaN pair cosines, and NaN >= threshold is TRUE in
+    // Spark's ordering — unguarded, vec 5 would drop BOTH real twins
+    // below it and/or every same-cell vector. Contract: zero-norm
+    // contributes cosine 0.0 — it survives, drops nobody, and the
+    // real twin family still collapses normally.
+    val emb = Seq(
+      5L -> Seq(0f, 0f, 0f, 0f),
+      10L -> Seq(0f, 1f, 0f, 0f), 11L -> Seq(0f, 1f, 0f, 0f),
+      20L -> Seq(0f, 0f, 1f, 0f)
+    ).toDF("vec_id", "embedding")
+    for (md5Sig <- Seq(false, true)) {
+      val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.9, nlist = 1, md5Sig = md5Sig).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Boolean]("keep"),
+            Option(r.getAs[java.lang.Long]("dropped_by")))).toMap
+      assert(out.size == 4)
+      assert(out(5L) == ((true, None)), s"md5Sig=$md5Sig: ${out(5L)}")
+      assert(out(10L) == ((true, None)), s"md5Sig=$md5Sig: ${out(10L)}")
+      assert(out(11L) == ((false, Some(10L))), s"md5Sig=$md5Sig: ${out(11L)}")
+      assert(out(20L) == ((true, None)), s"md5Sig=$md5Sig: ${out(20L)}")
+    }
+  }
+
   test("empty-corpus edges fail loudly or return empty, never an opaque analysis error") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -400,6 +400,52 @@ class StreamingSpec extends AnyFunSuite {
         .sortBy(_.getAs[Int]("rank"))
       assert(top.head.getAs[Long]("neighbor_id") == 200000L)
       assert(top.head.getAs[Double]("dist2") == 0.0)
+      // an id duplicated WITHIN one micro-batch (redelivery inside a
+      // retried batch) indexes exactly ONCE — the anti-join alone
+      // can't see it (the index append hasn't happened yet), so the
+      // in-batch dropDuplicates must
+      input.addData((200002L, twinVec), (200002L, twinVec))
+      q.processAllAvailable()
+      val n200002 = spark.read.parquet(s"$dir/vecs")
+        .filter(col("vec_id") === 200002L).count()
+      assert(n200002 == 1, s"in-batch duplicate landed $n200002 times")
+      spark.catalog.refreshTable("t_ann_stream_vectors")
+      assert(spark.table("t_ann_stream_vectors")
+        .filter(col("vec_id") === 200002L).count() == 1)
+    } finally q.stop()
+  }
+
+  test("ANN ingest: a null-cast id can never replay-loop into the index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a row whose id casts to null can never match the idempotence
+    // anti-join, so before the guard EVERY checkpoint replay
+    // re-appended it — unbounded duplicates. Contract: id-less rows
+    // are dropped at the door.
+    val dir = java.nio.file.Files.createTempDirectory("annnull").toString
+    val q8 = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+    graft.operators.Similarity.buildAnnIndex(q8, "vec_id", "qv",
+      name = "t_ann_null", nlist = 8, m = 4, ksub = 8, md5Sig = true,
+      numBuckets = 4)
+    val vec = q8.filter(col("vec_id") === 0).collect().head.getSeq[Float](1)
+    val input = MemoryStream[(String, Seq[Float])](spark)
+    val q = StreamingIngest.toAnnIngest(
+      input.toDS().toDF("vec_id", "qv"), "vec_id", "qv",
+      "t_ann_null", s"$dir/vecs", s"$dir/ckpt")
+    try {
+      input.addData(("300000", vec), ("not-an-id", vec))
+      q.processAllAvailable()
+      input.addData(("not-an-id", vec)) // redelivered id-less row
+      q.processAllAvailable()
+      val landed = spark.read.parquet(s"$dir/vecs")
+        .select(col("vec_id")).collect().map(_.getString(0)).toSeq
+      assert(landed == Seq("300000"), s"got $landed")
+      spark.catalog.refreshTable("t_ann_null_vectors")
+      assert(spark.table("t_ann_null_vectors")
+        .filter(col("vec_id") === 300000L).count() == 1)
     } finally q.stop()
   }
 
