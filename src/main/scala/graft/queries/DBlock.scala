@@ -304,6 +304,29 @@ object DBlock {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // D39b: d52's ORACLE TWIN — the dHash signatures themselves,
+    // bit for bit. The planted corpus's pixels are doc_id ARITHMETIC
+    // ((id*31 + x*7 + y*131) & 0xFFFFFF, +12-clamped on one dHash
+    // cell for the twin), and PNG is lossless, so DuckDB re-derives
+    // the integer luma, the 9×8 area-average downscale, and all 64
+    // gradient bits straight from the formulas — while Spark goes
+    // through the REAL path: PNG encode, ImageIO decode, pixel scan
+    // (Multimodal.dHash64). A hash match proves the whole
+    // decode+downscale+hash kernel; the pair machinery downstream of
+    // these sigs is d29's hash-matched simhashPairsFromSigs path.
+    // Signatures ship as two unsigned 32-bit halves — identical
+    // two's-complement BIGINT arithmetic on both engines without
+    // 1<<63 overflow games.
+    "d52b_dhash_bits" -> ((s, d) => {
+      val media = Multimodal.withPlantedNearDupImages(
+        Tables.documents(s, d).filter(col("doc_id").isNotNull), "doc_id")
+      Multimodal.imageDHashSigs(s, media)
+        .select(col("doc_id"),
+          expr("shiftrightunsigned(sim, 32)").as("sig_hi"),
+          (col("sim").bitwiseAND(lit(0xFFFFFFFFL))).as("sig_lo"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D15/D22: REAL audio decode — payloads are genuine PCM WAVs
     // (Multimodal.audioPayload) and sample rate / channels / frames
     // come from javax.sound.sampled parsing the actual RIFF header;
@@ -1692,6 +1715,68 @@ object DBlock {
         |WHERE rk <= 3 ORDER BY doc_id""".stripMargin,
 
     "d43_decontaminate" -> decontaminateSql,
+
+    // d52's oracle twin: the planted corpus's pixels are doc_id
+    // arithmetic and PNG is lossless, so every dHash bit re-derives
+    // in SQL — integer luma, floor-partition 9×8 area average
+    // (SUM // COUNT, matching Scala's positive int division), then
+    // one gradient-sign bit per horizontal cell pair (bit k =
+    // cy*8+cx, split into unsigned 32-bit halves)
+    "d52b_dhash_bits" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS src FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % 3 = 0
+        |), imgs AS (
+        |  SELECT src, src AS img, FALSE AS pert FROM ids
+        |  UNION ALL
+        |  SELECT src, src + 10000000, TRUE FROM ids
+        |), dims AS (
+        |  SELECT img, src, pert,
+        |    16 + (src % 16) AS w, 16 + (src % 9) AS h
+        |  FROM imgs
+        |), cells AS (
+        |  SELECT d.img, d.src, d.pert, cy.cy, cx.cx,
+        |    (cx.cx * d.w) // 9 AS x0, ((cx.cx + 1) * d.w) // 9 AS x1,
+        |    (cy.cy * d.h) // 8 AS y0, ((cy.cy + 1) * d.h) // 8 AS y1,
+        |    (4 * d.w) // 9 AS px0, (5 * d.w) // 9 AS px1,
+        |    (3 * d.h) // 8 AS py0, (4 * d.h) // 8 AS py1
+        |  FROM dims d,
+        |    (SELECT unnest(range(8)) AS cy) cy,
+        |    (SELECT unnest(range(9)) AS cx) cx
+        |), lum AS (
+        |  SELECT img, cy, cx,
+        |    CASE WHEN pert AND x >= px0 AND x < px1
+        |              AND y >= py0 AND y < py1
+        |      THEN (77 * least(((base >> 16) & 255) + 12, 255)
+        |          + 151 * least(((base >> 8) & 255) + 12, 255)
+        |          + 28 * least((base & 255) + 12, 255)) >> 8
+        |      ELSE (77 * ((base >> 16) & 255)
+        |          + 151 * ((base >> 8) & 255)
+        |          + 28 * (base & 255)) >> 8
+        |    END AS luma
+        |  FROM (
+        |    SELECT c.*, xs.x, ys.y,
+        |      ((c.src * 31) + (xs.x * 7) + (ys.y * 131)) & 16777215 AS base
+        |    FROM cells c,
+        |      unnest(range(c.x0, c.x1)) AS xs(x),
+        |      unnest(range(c.y0, c.y1)) AS ys(y)
+        |  ) p
+        |), avgs AS (
+        |  SELECT img, cy, cx, SUM(luma) // COUNT(*) AS a
+        |  FROM lum GROUP BY 1, 2, 3
+        |)
+        |SELECT a.img AS doc_id,
+        |  CAST(SUM(CASE WHEN b.a > a.a AND (a.cy * 8 + a.cx) >= 32
+        |    THEN (CAST(1 AS BIGINT) << (a.cy * 8 + a.cx - 32))
+        |    ELSE 0 END) AS BIGINT) AS sig_hi,
+        |  CAST(SUM(CASE WHEN b.a > a.a AND (a.cy * 8 + a.cx) < 32
+        |    THEN (CAST(1 AS BIGINT) << (a.cy * 8 + a.cx))
+        |    ELSE 0 END) AS BIGINT) AS sig_lo
+        |FROM avgs a
+        |JOIN avgs b ON b.img = a.img AND b.cy = a.cy AND b.cx = a.cx + 1
+        |WHERE a.cx < 8
+        |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
 
     // exclusive running total re-derived with a 1-PRECEDING window
     // over the same (n_chars DESC, doc_id) priority order

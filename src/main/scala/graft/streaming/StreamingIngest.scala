@@ -218,6 +218,81 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** The FULL preprocessing pipeline as a streaming ingest loop —
+    * the d62 capstone (extract → quality-gate → dedup → pack)
+    * composed into [[toScreenedDocIngest]]'s per-micro-batch shape.
+    * This is the production posture of a training-data pipeline: raw
+    * pages arrive on a stream; each micro-batch pays
+    *
+    *   1. extract: [[graft.operators.TextAnalysis.extractMainHtml]] —
+    *      a stateless codegen'd scan projection (boilerplate off,
+    *      main text out);
+    *   2. gate: [[graft.operators.TextAnalysis.gopherRuleBits]]` === 0`
+    *      as a plain Column filter — cheap filters FIRST, so gated
+    *      rows never reach the (more expensive) sketch arithmetic;
+    *   3. dedup: [[graft.operators.Dedup.dedupWithinBatch]] (the
+    *      batch against itself) then
+    *      [[graft.operators.Dedup.dedupAgainstIndex]] (the batch
+    *      against everything ever ingested — exact + near over the
+    *      persistent index, batch-sized work only);
+    *   4. pack: [[graft.operators.Packing.sequencePack]] over the
+    *      survivors' extracted text, landing (id, main_text,
+    *      n_tokens, start_off, bin_start, bin_end, ingest_batch) in
+    *      the sink. Bins are BATCH-scoped (offsets restart at 0 each
+    *      micro-batch) and namespaced by `ingest_batch` — each batch
+    *      emits a self-contained shard of training sequences, the
+    *      unit a trainer epoch consumes; a global re-pack across
+    *      shards is the batch d62/d32 operator, not the stream's job.
+    *
+    * Delivery semantics are [[toScreenedDocIngest]]'s verbatim: the
+    * extract and gate stages are deterministic projections, so a
+    * replayed batch re-derives the same main_text, hits its own
+    * content hashes in the index, and self-suppresses; the residual
+    * at-least-once window is a crash between the sink append and the
+    * index fold-in (sink first — a duplicate shard row is
+    * recoverable, a lost document is not). The index stores the
+    * EXTRACTED text's sketches: dedup semantics are "same main
+    * content", robust to boilerplate-only page differences — two
+    * mirrors of one article dedup even when their chrome differs. */
+  def toPipelineIngest(pages: DataFrame, idCol: String, htmlCol: String,
+      indexName: String, path: String, checkpoint: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      packCapacity: Long = 2048L, htmlMinLen: Int = 10,
+      htmlMaxLinkPct: Int = 20): StreamingQuery =
+    pages.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val extracted = graft.operators.TextAnalysis.extractMainHtml(
+          batch, idCol, htmlCol, htmlMinLen, htmlMaxLinkPct)
+          .select(col(idCol), col("main_text"))
+        val gated = extracted.filter(graft.operators.TextAnalysis
+          .gopherRuleBits(col("main_text"), minWords, maxWords) === 0)
+        val inBatch = graft.operators.Dedup.dedupWithinBatch(
+          gated, idCol, "main_text", indexName)
+        // eager localCheckpoint: the survivor set feeds THREE
+        // consumers (pack, sink, index fold-in), and the last runs
+        // after the index mutates — a lazy recompute would re-screen
+        // against the updated index and drop everything
+        val survivors = graft.operators.Dedup
+          .dedupAgainstIndex(inBatch, idCol, "main_text", indexName)
+          .localCheckpoint(true)
+        val packed = graft.operators.Packing.sequencePack(
+          survivors, idCol,
+          tokens = graft.operators.TextAnalysis
+            .wsTokenCount(col("main_text")).cast("long"),
+          orderCol = md5(col(idCol).cast("string")),
+          capacity = packCapacity)
+        packed
+          .join(survivors.select(col(idCol), col("main_text")), Seq(idCol))
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("append").parquet(path)
+        graft.operators.Dedup
+          .appendToDedupIndex(survivors, idCol, "main_text", indexName)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming embedding ingest into a persistent ANN index
     * ([[graft.operators.Similarity.buildAnnIndex]]): per micro-batch,
     * rows whose id is ALREADY indexed are dropped (an anti-join on

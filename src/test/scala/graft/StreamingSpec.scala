@@ -692,4 +692,97 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.contains(("user-b", 1)), s"got ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("full pipeline ingest: extract → gate → dedup → pack per micro-batch, replay self-suppresses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the d62 capstone composed INTO the streaming ingest loop — raw
+    // pages in, packed training shards out, the persistent index
+    // making redelivery idempotent end to end
+    val dir = java.nio.file.Files.createTempDirectory("pipestream").toString
+    // chrome varies per mirror; the extracted body is what dedups.
+    // nav + footer are link-dense (dropped), title/short blocks fall
+    // under minLen, script/style segments are removed outright — the
+    // kept block is exactly `body`.
+    def page(chrome: String, body: String): String =
+      s"""<html><head><title>$chrome</title><style>p{margin:0}</style>""" +
+        s"""<script>var n=1;</script></head><body><div class="nav">""" +
+        s"""<a href="/">home</a> <a href="/s">$chrome</a></div><p>$body""" +
+        s"""</p><div class="footer">copyright <a href="/t">terms</a> """ +
+        s"""<a href="/p">privacy</a></div></body></html>"""
+    val sharedBody = "the mirrored press release body holds a data table " +
+      "and a value summary that wire services distribute to partner " +
+      "outlets for training corpora"                       // 23 words, gated in
+    val corpusText = "the corpus data table holds a value summary with " +
+      "enough prior words that the quality gate keeps it and the " +
+      "screen can match it exactly"                        // >=20 words
+    val freshBody = "a genuinely novel streaming document about the data " +
+      "value landscape with sufficient distinct words to clear the " +
+      "minimum word count gate easily today"
+    val fresh2Body = "and a second wave document that is entirely new " +
+      "content again carrying the data value table words it needs to " +
+      "pass the quality gate"
+    graft.operators.Dedup.buildDedupIndex(
+      Seq((1L, corpusText)).toDF("doc_id", "text"), "doc_id", "text",
+      name = "t_pipeline_idx")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingIngest.toPipelineIngest(
+      input.toDS().toDF("doc_id", "html"), "doc_id", "html",
+      "t_pipeline_idx", s"$dir/packed", s"$dir/ckpt",
+      minWords = 20, packCapacity = 16L)
+    try {
+      input.addData(
+        (10L, page("m1", sharedBody)),   // mirror family → min-id keeper
+        (20L, page("m2", sharedBody)),
+        (30L, page("m3", sharedBody)),
+        (11L, page("m4", "too short to pass the gate")), // gate drop
+        (12L, page("m5", corpusText)),   // exact dup of the indexed corpus
+        (13L, page("m6", freshBody)))    // novel survivor
+      q.processAllAvailable()
+      def landed() = spark.read.parquet(s"$dir/packed")
+      // exactly the d62 survivor set: one mirror keeper + the novel doc
+      val b0 = landed().filter(col("ingest_batch") === 0).collect()
+      assert(b0.map(_.getAs[Long]("doc_id")).toSet == Set(10L, 13L),
+        s"got ${b0.map(_.getAs[Long]("doc_id")).toSeq}")
+      // packed shard invariants: main_text is the EXTRACTED body, the
+      // token counts are its real word counts, offsets are a batch-
+      // scoped prefix sum, bins split at capacity 16
+      val byId = b0.map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(byId(10L).getAs[String]("main_text") == sharedBody)
+      assert(byId(13L).getAs[String]("main_text") == freshBody)
+      val n10 = sharedBody.split("\\s+").length.toLong
+      val n13 = freshBody.split("\\s+").length.toLong
+      assert(byId(10L).getAs[Long]("n_tokens") == n10)
+      assert(byId(13L).getAs[Long]("n_tokens") == n13)
+      val offs = b0.map(r => r.getAs[Long]("start_off")).sorted
+      val ns = b0.sortBy(_.getAs[Long]("start_off"))
+        .map(_.getAs[Long]("n_tokens"))
+      assert(offs.head == 0L && offs(1) == ns.head,
+        s"offsets not a prefix sum: ${offs.toSeq} vs ${ns.toSeq}")
+      b0.foreach { r =>
+        assert(r.getAs[Long]("bin_start") == r.getAs[Long]("start_off") / 16L)
+      }
+      // batch 2: a FOURTH mirror of the shared body under a fresh id is
+      // suppressed by the folded-in index (content-keyed, chrome-blind);
+      // a genuinely new page lands in its own shard with offsets
+      // restarting at 0
+      input.addData(
+        (40L, page("m7", sharedBody)),
+        (41L, page("m8", fresh2Body)))
+      q.processAllAvailable()
+      val b1 = landed().filter(col("ingest_batch") === 1).collect()
+      assert(b1.map(_.getAs[Long]("doc_id")).toSet == Set(41L),
+        s"got ${b1.map(_.getAs[Long]("doc_id")).toSeq}")
+      assert(b1.head.getAs[Long]("start_off") == 0L,
+        "shard offsets must restart per micro-batch")
+      // full redelivery of batch 2 → the extract+gate stages re-derive
+      // the same main_text, the index knows its hash, nothing lands
+      input.addData(
+        (40L, page("m7", sharedBody)),
+        (41L, page("m8", fresh2Body)))
+      q.processAllAvailable()
+      assert(landed().count() == 3,
+        s"replay must self-suppress, got ${landed().count()}")
+    } finally q.stop()
+  }
 }
