@@ -132,9 +132,18 @@ object Multimodal {
   def videoPayload(id: Long): Array[Byte] = {
     val w = (16 + math.floorMod(id, 8) * 2).toInt
     val h = (16 + math.floorMod(id, 6) * 2).toInt
-    val nFrames = (2 + math.floorMod(id, 5)).toInt
     val fps = (5 + math.floorMod(id, 5)).toInt
-    val frames = Array.tabulate(nFrames) { f =>
+    muxAvi(videoFrames(id), w, h, fps)
+  }
+
+  /** The deterministic JPEG frame set of [[videoPayload]], split out
+    * so a REMUXED twin (same frames, different container timing) can
+    * reuse the identical bytes. */
+  private[graft] def videoFrames(id: Long): Array[Array[Byte]] = {
+    val w = (16 + math.floorMod(id, 8) * 2).toInt
+    val h = (16 + math.floorMod(id, 6) * 2).toInt
+    val nFrames = (2 + math.floorMod(id, 5)).toInt
+    Array.tabulate(nFrames) { f =>
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
@@ -150,6 +159,13 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray
     }
+  }
+
+  /** RIFF/AVI muxing of pre-encoded MJPEG frames — the container
+    * half of [[videoPayload]], shared with the remux twin. */
+  private[graft] def muxAvi(frames: Array[Array[Byte]], w: Int, h: Int,
+      fps: Int): Array[Byte] = {
+    val nFrames = frames.length
     val avih = riffChunk("avih", // MainAVIHeader: 14 LE u32 fields
       le32(1000000L / fps) ++ le32(0) ++ le32(0) ++ le32(0x10 /*HASINDEX*/) ++
         le32(nFrames.toLong) ++ le32(0) ++ le32(1 /*streams*/) ++ le32(0) ++
@@ -614,6 +630,236 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // Perceptual VIDEO near-dedup: dHash64 per demuxed frame, videos
+  // paired when EVERY aligned sampled frame matches — the remux /
+  // re-encode dup (same content in a different container, the
+  // overwhelmingly common video duplicate) under the same hamming
+  // machinery as images/text. At 100 TB: demux+decode+hash is a
+  // map-only scan (one 64-bit sig per sampled frame crosses the
+  // network, never pixels), candidate generation stays the
+  // skew-guarded chunk-bucket equi-join on a composite
+  // (video, frame) key, and the video-level verdict is one
+  // (vid_a, vid_b)-keyed hash aggregate over frame pairs.
+  // ---------------------------------------------------------------
+
+  /** Frame-index bound for the composite (video, frame) pairing key:
+    * doc_id·1024 + frame_idx must not collide across videos. 1024
+    * sampled frames ≈ 17 min at one sample/second — raise everyMs,
+    * not the bound, for longer footage. */
+  val MaxSampledFrames: Long = 1024L
+
+  /** Per-sampled-frame dHash signatures of the video rows: RIFF/AVI
+    * demux ([[frameSampleVideo]]), javax.imageio JPEG decode,
+    * [[dHash64]] — one (doc_id, frame_idx, sim) row per decodable
+    * sampled frame. `everyMs = 0` hashes every frame. Map-only:
+    * pixels never leave the task. */
+  def videoFrameDHashSigs(spark: SparkSession, media: Dataset[MediaRow],
+      everyMs: Long = 0L): DataFrame = {
+    import spark.implicits._
+    frameSampleVideo(spark, media, everyMs).mapPartitions { frames =>
+      javax.imageio.ImageIO.setUseCache(false)
+      frames.flatMap(f =>
+        dHash64(f.payload).map(sig => (f.doc_id, f.frame_idx, sig)))
+    }.toDF("doc_id", "frame_idx", "sim")
+  }
+
+  /** Perceptual near-dup VIDEO pairs: two videos pair iff they
+    * sampled the SAME number of decodable frames and every aligned
+    * frame pair (same frame_idx) is within hamming <= maxDist — the
+    * remux/re-encode duplicate contract (a truncation or re-cut is a
+    * different video under it, deliberately). Frame candidates ride
+    * [[graft.operators.Dedup.simhashPairsFromSigs]] on a composite
+    * doc_id·1024 + frame_idx key (fail-loud above the bound), then
+    * one (vid_a, vid_b) hash aggregate checks the all-frames-match
+    * condition against each side's sampled-frame count.
+    * Returns (id_a, id_b, n_frames, max_hamming). */
+  def videoNearDupPairs(spark: SparkSession, media: Dataset[MediaRow],
+      maxDist: Int = 2, everyMs: Long = 0L): DataFrame = {
+    val sigs = videoFrameDHashSigs(spark, media, everyMs)
+      .localCheckpoint(true) // two consumers: pairing + counts
+    val keyed = sigs.select(
+      (col("doc_id") * MaxSampledFrames +
+        when(col("frame_idx") >= MaxSampledFrames, raise_error(concat(
+          lit(s"videoNearDupPairs: frame_idx >= $MaxSampledFrames "),
+          lit("(raise everyMs to sample longer footage)"))))
+          .otherwise(col("frame_idx"))).as("doc_id"),
+      col("sim"))
+    val framePairs = Dedup.simhashPairsFromSigs(keyed, maxDist)
+      .select(
+        expr(s"id_a div $MaxSampledFrames").as("vid_a"),
+        expr(s"id_a % $MaxSampledFrames").as("fi_a"),
+        expr(s"id_b div $MaxSampledFrames").as("vid_b"),
+        expr(s"id_b % $MaxSampledFrames").as("fi_b"),
+        col("hamming"))
+      .filter(col("vid_a") =!= col("vid_b") && col("fi_a") === col("fi_b"))
+    val counts = sigs.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    framePairs
+      .groupBy(col("vid_a"), col("vid_b"))
+      .agg(count(lit(1)).as("n_frames"), max(col("hamming")).as("max_hamming"))
+      .join(counts.select(col("doc_id").as("vid_a"), col("nf").as("nf_a"))
+        .hint("SHUFFLE_HASH"), Seq("vid_a"))
+      .join(counts.select(col("doc_id").as("vid_b"), col("nf").as("nf_b"))
+        .hint("SHUFFLE_HASH"), Seq("vid_b"))
+      .filter(col("n_frames") === col("nf_a") &&
+        col("n_frames") === col("nf_b"))
+      .select(col("vid_a").as("id_a"), col("vid_b").as("id_b"),
+        col("n_frames"), col("max_hamming"))
+  }
+
+  /** The d63 corpus: every video doc's REAL MJPEG AVI plus a REMUXED
+    * twin at id + [[PlantedIdOffset]] — byte-identical JPEG frames in
+    * a container with different timing (fps + 3), the
+    * same-content-different-container duplicate. Frame dHashes are
+    * identical (hamming 0) while the payload bytes differ. */
+  def withPlantedNearDupVideos(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .filter(id => math.floorMod(id, 3) == 2)
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          Iterator(
+            MediaRow(id, "video", videoPayload(id)),
+            MediaRow(id + PlantedIdOffset, "video", remuxedVideoPayload(id)))
+        }
+      }
+  }
+
+  /** [[videoPayload]]'s frames remuxed at fps + 3: identical JPEG
+    * bytes, different container timing — the planted remux twin. */
+  private[graft] def remuxedVideoPayload(id: Long): Array[Byte] = {
+    val w = (16 + math.floorMod(id, 8) * 2).toInt
+    val h = (16 + math.floorMod(id, 6) * 2).toInt
+    val fps = (5 + math.floorMod(id, 5)).toInt + 3
+    muxAvi(videoFrames(id), w, h, fps)
+  }
+
+  // ---------------------------------------------------------------
+  // Perceptual AUDIO near-dedup: a 64-bit energy-gradient
+  // fingerprint over REAL WAV decode — 65 equal frame windows, one
+  // bit per consecutive-window mean-|sample| comparison. Gradient
+  // signs make it invariant to global gain (the audio analog of
+  // dHash's brightness invariance) and to the declared sample rate
+  // (windows index FRAMES, not seconds) — so a remuxed/relabeled
+  // copy fingerprints identically. Same 100 TB posture as dHash:
+  // map-only decode+hash, skew-guarded hamming pairing. And because
+  // WAV PCM is lossless and the planted corpus's samples are doc_id
+  // arithmetic, the whole path has an exact SQL oracle (d64b) — the
+  // d52b discipline.
+  // ---------------------------------------------------------------
+
+  /** 64-bit energy-gradient fingerprint of an encoded audio payload:
+    * javax.sound decode (16-bit LE PCM), mean |sample| over 65
+    * frame-partition windows (all channels pooled, integer
+    * arithmetic), bit k = mean(k+1) > mean(k). None for undecodable
+    * payloads, non-16-bit/big-endian encodings, or clips shorter
+    * than 65 frames. */
+  def audioFingerprint64(payload: Array[Byte]): Option[Long] = {
+    val decoded =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else Some((ais.readAllBytes(), fmt.getChannels))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+    decoded.flatMap { case (bytes, ch) =>
+      val nFrames = bytes.length / (2 * ch)
+      if (nFrames < 65) None
+      else {
+        val e = new Array[Long](65)
+        var w = 0
+        while (w < 65) {
+          val f0 = w * nFrames / 65
+          val f1 = (w + 1) * nFrames / 65
+          var sum = 0L
+          var f = f0
+          while (f < f1) {
+            var c = 0
+            while (c < ch) {
+              val j = (f * ch + c) * 2
+              val v = ((bytes(j) & 0xFF) | (bytes(j + 1) << 8)).toShort.toInt
+              sum += math.abs(v)
+              c += 1
+            }
+            f += 1
+          }
+          e(w) = sum / ((f1 - f0).toLong * ch)
+          w += 1
+        }
+        var bits = 0L
+        var k = 0
+        while (k < 64) {
+          if (e(k + 1) > e(k)) bits |= 1L << k
+          k += 1
+        }
+        Some(bits)
+      }
+    }
+  }
+
+  /** (doc_id, sim) audio fingerprints of the audio rows — the exact
+    * input contract of [[graft.operators.Dedup.simhashPairsFromSigs]].
+    * Map-only: samples never leave the task. */
+  def audioFingerprintSigs(spark: SparkSession, media: Dataset[MediaRow]): DataFrame = {
+    import spark.implicits._
+    media.filter(_.media_type == "audio").mapPartitions { rows =>
+      rows.flatMap(r => audioFingerprint64(r.payload).map(fp => (r.doc_id, fp)))
+    }.toDF("doc_id", "sim")
+  }
+
+  /** Perceptual near-dup audio pairs at hamming <= maxDist through
+    * the skew-guarded multi-index hamming search. (id_a, id_b,
+    * hamming). */
+  def audioNearDupPairs(spark: SparkSession, media: Dataset[MediaRow],
+      maxDist: Int = 2): DataFrame =
+    Dedup.simhashPairsFromSigs(audioFingerprintSigs(spark, media), maxDist)
+
+  /** The d64 corpus: every audio doc's REAL PCM WAV plus a REMUXED
+    * twin at id + [[PlantedIdOffset]] — byte-identical samples and
+    * channel count under a different declared sample rate (a
+    * relabeled/remuxed copy). Fingerprints are identical (hamming 0)
+    * while the payload bytes differ. */
+  def withPlantedNearDupAudio(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .filter(id => math.floorMod(id, 3) == 1)
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          Iterator(
+            MediaRow(id, "audio", audioPayload(id)),
+            MediaRow(id + PlantedIdOffset, "audio", remuxedAudioPayload(id)))
+        }
+      }
+  }
+
+  /** [[audioPayload]]'s samples re-containerized at a fixed 22050 Hz
+    * label: same PCM bytes and channel layout, different declared
+    * rate — the planted remux twin. */
+  private[graft] def remuxedAudioPayload(id: Long): Array[Byte] = {
+    val channels = 1 + math.floorMod(id, 2).toInt
+    val frames = 200 + math.floorMod(id, 100).toInt
+    val fmt = new javax.sound.sampled.AudioFormat(
+      22050f, 16, channels, true, false)
+    val data = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < data.length) {
+      data(i) = ((id * 31 + i * 7) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 }

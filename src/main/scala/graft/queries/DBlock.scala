@@ -327,6 +327,52 @@ object DBlock {
         .orderBy(col("doc_id"))
     }),
 
+    // D48: perceptual VIDEO near-dedup — dHash64 per demuxed MJPEG
+    // frame (real RIFF walk + ImageIO decode), videos paired when
+    // every aligned frame matches. The planted corpus is every video
+    // doc plus a REMUXED twin (identical JPEG bytes, fps+3 container
+    // timing — the same-content-different-container duplicate).
+    // Rows-only: JPEG's DCT has no SQL oracle; MultimodalSpec pins
+    // exact twin recovery at hamming 0 and that a frame-count
+    // mismatch never pairs. The per-frame hash kernel is d52b's
+    // hash-matched dHash64; the pairing machinery is d29's.
+    "d63_video_neardup" -> ((s, d) => {
+      val media = Multimodal.withPlantedNearDupVideos(
+        Tables.documents(s, d).filter(col("doc_id").isNotNull), "doc_id")
+      Multimodal.videoNearDupPairs(s, media, maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // D49: perceptual AUDIO near-dedup — 64-bit energy-gradient
+    // fingerprint over real WAV decode, paired through the hamming
+    // machinery. Planted corpus: every audio doc plus a remuxed twin
+    // (same PCM under a different declared sample rate). Rows-only
+    // like d52/d63; d64b below hash-checks the fingerprint itself.
+    "d64_audio_neardup" -> ((s, d) => {
+      val media = Multimodal.withPlantedNearDupAudio(
+        Tables.documents(s, d).filter(col("doc_id").isNotNull), "doc_id")
+      Multimodal.audioNearDupPairs(s, media, maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // D49b: d64's ORACLE TWIN (the d52b discipline) — WAV PCM is
+    // lossless and the planted corpus's sample bytes are doc_id
+    // arithmetic ((id*31 + i*7) & 0xFF), so DuckDB re-derives every
+    // fingerprint bit: signed 16-bit LE reassembly, mean |sample|
+    // over the 65 floor-partition frame windows, gradient signs.
+    // Spark goes through the REAL path: WAV encode, javax.sound
+    // decode, sample scan. Twins fingerprint identically to their
+    // src by construction — the remux invariance, oracle-checked.
+    "d64b_audio_fp_bits" -> ((s, d) => {
+      val media = Multimodal.withPlantedNearDupAudio(
+        Tables.documents(s, d).filter(col("doc_id").isNotNull), "doc_id")
+      Multimodal.audioFingerprintSigs(s, media)
+        .select(col("doc_id"),
+          expr("shiftrightunsigned(sim, 32)").as("sig_hi"),
+          (col("sim").bitwiseAND(lit(0xFFFFFFFFL))).as("sig_lo"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D15/D22: REAL audio decode — payloads are genuine PCM WAVs
     // (Multimodal.audioPayload) and sample rate / channels / frames
     // come from javax.sound.sampled parsing the actual RIFF header;
@@ -1775,6 +1821,56 @@ object DBlock {
         |FROM avgs a
         |JOIN avgs b ON b.img = a.img AND b.cy = a.cy AND b.cx = a.cx + 1
         |WHERE a.cx < 8
+        |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // d64's oracle twin: WAV PCM is lossless and the planted sample
+    // bytes are doc_id arithmetic, so every fingerprint bit
+    // re-derives in SQL — signed 16-bit LE sample reassembly, mean
+    // |sample| per floor-partition frame window (SUM // samples,
+    // matching Scala's positive long division), gradient signs as
+    // two unsigned 32-bit halves. Twins (aid = src + 10000000) carry
+    // their src's samples — the remux invariance.
+    "d64b_audio_fp_bits" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS src FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % 3 = 1
+        |), auds AS (
+        |  SELECT src, src AS aid FROM ids
+        |  UNION ALL
+        |  SELECT src, src + 10000000 FROM ids
+        |), dims AS (
+        |  SELECT aid, src, 1 + (src % 2) AS ch, 200 + (src % 100) AS nf
+        |  FROM auds
+        |), wins AS (
+        |  SELECT d.aid, d.src, d.ch, w.w,
+        |    (w.w * d.nf) // 65 AS f0, ((w.w + 1) * d.nf) // 65 AS f1
+        |  FROM dims d, (SELECT unnest(range(65)) AS w) w
+        |), en AS (
+        |  SELECT aid, w,
+        |    SUM(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END))
+        |      // ((f1 - f0) * ch) AS e
+        |  FROM (
+        |    SELECT ws.aid, ws.w, ws.f1, ws.f0, ws.ch,
+        |      ((ws.src * 31 + ((fs.f * ws.ch + cs.c) * 2) * 7) & 255)
+        |      + 256 * ((ws.src * 31 + ((fs.f * ws.ch + cs.c) * 2 + 1) * 7)
+        |               & 255) AS v
+        |    FROM wins ws,
+        |      unnest(range(ws.f0, ws.f1)) AS fs(f),
+        |      unnest(range(ws.ch)) AS cs(c)
+        |  ) s
+        |  GROUP BY 1, 2, f1, f0, ch
+        |)
+        |SELECT a.aid AS doc_id,
+        |  CAST(SUM(CASE WHEN b.e > a.e AND a.w >= 32
+        |    THEN (CAST(1 AS BIGINT) << (a.w - 32)) ELSE 0 END) AS BIGINT)
+        |    AS sig_hi,
+        |  CAST(SUM(CASE WHEN b.e > a.e AND a.w < 32
+        |    THEN (CAST(1 AS BIGINT) << a.w) ELSE 0 END) AS BIGINT)
+        |    AS sig_lo
+        |FROM en a
+        |JOIN en b ON b.aid = a.aid AND b.w = a.w + 1
+        |WHERE a.w < 64
         |GROUP BY 1
         |ORDER BY doc_id""".stripMargin,
 

@@ -138,6 +138,100 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("d63: every planted remux twin pairs at hamming 0; truncated copies never pair") {
+    import spark.implicits._
+    val docs = (0L until 90L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val media = Multimodal.withPlantedNearDupVideos(docs, "doc_id")
+    val videoIds = (0L until 90L).filter(_ % 3 == 2)
+    assert(media.count() == videoIds.size * 2L)
+    // the twin is the SAME frames in a retimed container: different
+    // payload bytes, identical frame dHashes
+    videoIds.take(3).foreach { id =>
+      assert(!java.util.Arrays.equals(Multimodal.videoPayload(id),
+        Multimodal.remuxedVideoPayload(id)), "twin bytes must differ")
+    }
+    val pairs = Multimodal.videoNearDupPairs(spark, media, maxDist = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getInt(3))).toMap
+    val frameCount = videoIds.map(id => id -> (2 + id % 5)).toMap
+    videoIds.foreach { id =>
+      val key = (id, id + Multimodal.PlantedIdOffset)
+      assert(pairs.contains(key), s"planted remux twin of $id not recovered")
+      val (nf, maxHam) = pairs(key)
+      assert(nf == frameCount(id), s"twin of $id matched $nf frames")
+      assert(maxHam == 0, s"remuxed frames must hash identically, got $maxHam")
+    }
+    // the all-aligned-frames contract: a pair can only exist between
+    // videos with the SAME sampled-frame count
+    val nfOf = (id: Long) => frameCount(if (id >= Multimodal.PlantedIdOffset)
+      id - Multimodal.PlantedIdOffset else id)
+    pairs.keys.foreach { case (a, b) =>
+      assert(nfOf(a) == nfOf(b), s"pair ($a,$b) spans frame counts")
+    }
+    // a truncated copy (one frame dropped) is a different video
+    val base = 2L
+    val w = (16 + base % 8 * 2).toInt; val h = (16 + base % 6 * 2).toInt
+    val truncated = Multimodal.muxAvi(
+      Multimodal.videoFrames(base).dropRight(1), w, h, 5)
+    val withTrunc = media.union(Seq(
+      Multimodal.MediaRow(777777L, "video", truncated)).toDS())
+    val tp = Multimodal.videoNearDupPairs(spark, withTrunc, maxDist = 2)
+      .filter($"id_a" === 777777L || $"id_b" === 777777L).count()
+    assert(tp == 0, "a truncated copy must not pair")
+  }
+
+  test("d64: audio fingerprint is gain- and rate-label-invariant; planted twins pair at hamming 0") {
+    import spark.implicits._
+    // gain invariance: scaling every sample by a constant preserves
+    // all window-mean orderings (the dHash brightness analog)
+    def wav(samples: Array[Int], ch: Int, rate: Float): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, ch, true, false)
+      val data = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        data(2 * i) = (v & 0xFF).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt,
+        (samples.length / ch).toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rnd = new scala.util.Random(7)
+    val samples = Array.fill(400)(rnd.nextInt(2001) - 1000)
+    val base = Multimodal.audioFingerprint64(wav(samples, 1, 8000f)).get
+    assert(Multimodal.audioFingerprint64(
+      wav(samples.map(_ * 3), 1, 8000f)).get == base,
+      "a 3x gain changed the fingerprint")
+    assert(Multimodal.audioFingerprint64(
+      wav(samples, 1, 44100f)).get == base,
+      "a sample-rate relabel changed the fingerprint")
+    // short clips and junk yield None, not a crash
+    assert(Multimodal.audioFingerprint64(
+      wav(samples.take(40), 1, 8000f)).isEmpty)
+    assert(Multimodal.audioFingerprint64(Array[Byte](9, 9, 9)).isEmpty)
+    // planted corpus: every remux twin recovered at hamming 0
+    val docs = (0L until 90L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val media = Multimodal.withPlantedNearDupAudio(docs, "doc_id")
+    val audioIds = (0L until 90L).filter(_ % 3 == 1)
+    assert(media.count() == audioIds.size * 2L)
+    audioIds.take(3).foreach { id =>
+      assert(!java.util.Arrays.equals(Multimodal.audioPayload(id),
+        Multimodal.remuxedAudioPayload(id)), "twin bytes must differ")
+    }
+    val pairs = Multimodal.audioNearDupPairs(spark, media, maxDist = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    audioIds.foreach { id =>
+      val key = (id, id + Multimodal.PlantedIdOffset)
+      assert(pairs.contains(key), s"planted remux twin of $id not recovered")
+      assert(pairs(key) == 0, s"remuxed samples must fingerprint identically")
+    }
+  }
+
   test("real audio decode reads back WAV header params via javax.sound.sampled") {
     import spark.implicits._
     val docs = (0L until 48L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
