@@ -567,6 +567,39 @@ object TextAnalysis {
     * state_xor) — a/b lowercase byte-hex spellings, cnt the
     * corpus-wide pair count that won the round, state_xor the
     * corpus digest after applying the merge. */
+  /** Token-budget TRAINING SLICE for [[trainBpe]] (and any other
+    * corpus-sample trainer): turns "we can afford to train on B
+    * tokens" into a document subset, instead of a fixed corpus
+    * fraction (the d60 md5-quarter). The corpus is laid out in a
+    * deterministic md5-hash order — an unbiased corpus shuffle, no
+    * topical/temporal skew from the storage order — and the longest
+    * PREFIX whose whitespace-token total fits the budget is kept:
+    * [[Packing.budgetSelect]]'s two-phase prefix-sum arithmetic
+    * verbatim (range layout + per-partition totals + broadcast
+    * bases, never a global window), with [[Dedup.md5Hash60]] of the
+    * id as the priority.
+    *
+    * Monotone and stable: slice(b1) ⊆ slice(b2) whenever b1 <= b2,
+    * and any budget >= the corpus total returns the full corpus —
+    * raising the budget only ADDS training documents, it never
+    * reshuffles the ones already selected, so two budgets landing on
+    * the same prefix train IDENTICAL merge tables (the BpeSpec pin).
+    * At a real 100 TB corpus this is the knob that replaces a
+    * hard-coded slice fraction: the budget is set by trainer
+    * economics, and the prefix-cut stays auditable (everything above
+    * the hash line is in). Returns the surviving docs rows,
+    * columns intact. */
+  def bpeTrainingSlice(docs: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Long, reliable: Boolean = false): DataFrame = {
+    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val kept = Packing.budgetSelect(live, idCol,
+      tokens = wsTokenCount(col(textCol)).cast("long"),
+      priority = Dedup.md5Hash60(col(idCol).cast("string")),
+      budget = tokenBudget, reliable = reliable)
+    live.join(kept.select(col(idCol)).hint("SHUFFLE_HASH"), Seq(idCol),
+      "left_semi")
+  }
+
   def trainBpe(docs: DataFrame, idCol: String, textCol: String,
       numMerges: Int, minCount: Long = 2L,
       reliable: Boolean = false): DataFrame = {

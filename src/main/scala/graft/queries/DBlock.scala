@@ -1003,6 +1003,22 @@ object DBlock {
         "doc_id", "text", numMerges = d60Merges)
         .orderBy(col("rank"))),
 
+    // D46c: BUDGET-driven training slice — the d60 trainer fed by
+    // bpeTrainingSlice (D36's two-phase budget arithmetic under an
+    // md5-hash corpus-shuffle priority) instead of a fixed quarter:
+    // "train on <= 20k tokens" as a first-class parameter. The
+    // oracle re-derives slice membership with the d47 window form
+    // over the same (md5Hash60 DESC, doc_id) order, then replays the
+    // full per-round training chain on that slice — a drift in
+    // EITHER the budget cut or the training loop breaks the merge
+    // list and its state digests.
+    "d66_bpe_budget_train" -> ((s, d) =>
+      TextAnalysis.trainBpe(
+        TextAnalysis.bpeTrainingSlice(Tables.documents(s, d),
+          "doc_id", "text", tokenBudget = d66Budget),
+        "doc_id", "text", numMerges = d60Merges)
+        .orderBy(col("rank"))),
+
     // D46b: tokenize with the TRAINED vocabulary — the train→apply
     // composition a real pipeline runs: induce merges on the SAMPLE,
     // tokenize the FULL corpus under them. The learned table is a
@@ -1076,6 +1092,29 @@ object DBlock {
       .isin("0", "1", "2", "3")
   private val d60SliceSql: String =
     "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')"
+
+  /** d66's token budget: the D46 disclosure's "slice fraction driven
+    * by a token budget" knob made real — training text is bounded by
+    * trainer economics, not a hard-coded corpus fraction. */
+  private val d66Budget = 20000L
+
+  /** d66's training-slice predicate in SQL: the
+    * [[graft.operators.TextAnalysis.bpeTrainingSlice]] semantics
+    * re-derived with a 1-PRECEDING window over the same
+    * (md5Hash60 DESC, doc_id) priority order — the d47 oracle's
+    * budget arithmetic with the hash priority. */
+  private val d66SliceSql: String =
+    s"""doc_id IN (SELECT doc_id FROM (
+       |    SELECT doc_id, n,
+       |      coalesce(sum(n) OVER (ORDER BY pr DESC, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |    FROM (SELECT doc_id,
+       |        CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+       |          AS BIGINT) AS n,
+       |        ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS pr
+       |      FROM documents
+       |      WHERE doc_id IS NOT NULL AND text IS NOT NULL) b
+       |  ) s WHERE off + n <= $d66Budget)""".stripMargin
 
   /** Learned merge table per sf dir, memoized (training is
     * deterministic; the key carries the documents file's length and
@@ -1641,7 +1680,7 @@ object DBlock {
   /** The d60 training CTE chain (t0 + per-round p/m/t/d layers),
     * shared by the d60 merge-list oracle and the d61 train→apply
     * oracle. */
-  private val bpeTrainCtes: String = {
+  private def bpeTrainCtesFor(sliceSql: String): String = {
     val layers = (1 to d60Merges).map { i =>
       val prev = s"t${i - 1}"
       s"""p$i AS (
@@ -1661,20 +1700,22 @@ object DBlock {
     s"""t0 AS MATERIALIZED (
        |  SELECT doc_id, regexp_replace(lower(hex(encode(text))), '([0-9a-f]{2})', '|\\1|', 'g') AS ts
        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
-       |    AND $d60SliceSql),
+       |    AND $sliceSql),
        |${layers.mkString(",\n")}""".stripMargin
   }
+  private val bpeTrainCtes: String = bpeTrainCtesFor(d60SliceSql)
 
-  private val bpeTrainSql: String = {
+  private def bpeTrainSqlFor(sliceSql: String): String = {
     val rows = (1 to d60Merges).map { i =>
       s"""SELECT CAST($i AS BIGINT) AS rank, (SELECT a FROM m$i) AS a,
          |  (SELECT b FROM m$i) AS b, (SELECT c FROM m$i) AS cnt,
          |  (SELECT dg FROM d$i) AS state_xor
          |WHERE (SELECT c FROM m$i) >= 2""".stripMargin
     }
-    s"""WITH $bpeTrainCtes
+    s"""WITH ${bpeTrainCtesFor(sliceSql)}
        |SELECT * FROM (${rows.mkString(" UNION ALL ")}) ORDER BY rank""".stripMargin
   }
+  private val bpeTrainSql: String = bpeTrainSqlFor(d60SliceSql)
 
   /** d61: the SLICED training chain's merges applied to the FULL
     * corpus (a0..aM mirror the t-chain's conditional replace, over
@@ -2405,6 +2446,7 @@ object DBlock {
     "d51_bpe_tokens" -> bpeTokensSql,
     "d59_bpe_pack" -> bpePackSql,
     "d60_bpe_train" -> bpeTrainSql,
+    "d66_bpe_budget_train" -> bpeTrainSqlFor(d66SliceSql),
     "d62_pipeline" -> pipelineSql,
     "d61_trained_tokenize" -> bpeTrainedTokenizeSql,
 

@@ -176,4 +176,60 @@ class BpeSpec extends AnyFunSuite {
     val cnts = a.map(_.getAs[Long]("cnt"))
     assert(cnts.forall(_ >= 2L))
   }
+
+  test("bpeTrainingSlice: budget-monotone prefix; equal prefixes train identical merges") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val TA = graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .filter(col("doc_id") < 200)
+    def sliceIds(budget: Long): Set[Long] =
+      TA.bpeTrainingSlice(docs, "doc_id", "text", budget)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val total = docs.select(
+      org.apache.spark.sql.functions.sum(
+        TA.wsTokenCount(col("text")).cast("long")))
+      .collect().head.getLong(0)
+    // md5-hash order is a fixed layout: a bigger budget only EXTENDS
+    // the prefix, and a budget covering the corpus returns all of it
+    val s1 = sliceIds(total / 4)
+    val s2 = sliceIds(total / 2)
+    val all = sliceIds(total)
+    assert(s1.nonEmpty && s1.size < s2.size && s2.size < all.size,
+      s"prefix sizes not strictly growing: ${s1.size}/${s2.size}/${all.size}")
+    assert(s1.subsetOf(s2) && s2.subsetOf(all),
+      "budget slices must be nested prefixes")
+    assert(all == docs.filter(col("text").isNotNull)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet,
+      "a budget >= the corpus total must return the full corpus")
+    // the membership is exactly budgetSelect's prefix cut under the
+    // (md5Hash60 DESC, doc_id) layout — re-derived by hand
+    val laid = docs.filter(col("text").isNotNull).select(col("doc_id"),
+      TA.wsTokenCount(col("text")).cast("long").as("n"),
+      graft.operators.Dedup.md5Hash60(col("doc_id").cast("string")).as("pr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, _, pr) => (-pr, id) }
+    var off = 0L
+    val expected = laid.takeWhile { case (_, n, _) =>
+      val in = off + n <= total / 4; if (in) off += n; in
+    }.map(_._1).toSet
+    assert(s1 == expected, "slice membership drifted from the prefix cut")
+    // the D46 contract: any two budgets landing on the SAME prefix
+    // train IDENTICAL merge tables (the budget only controls how
+    // much text the trainer sees, never reshuffles it)
+    val budgetAtPrefix = off // exact token total of the s1 prefix
+    val mA = TA.trainBpe(TA.bpeTrainingSlice(docs, "doc_id", "text",
+      budgetAtPrefix), "doc_id", "text", numMerges = 3)
+      .collect().map(_.toSeq).toSeq
+    val mB = TA.trainBpe(TA.bpeTrainingSlice(docs, "doc_id", "text",
+      total / 4), "doc_id", "text", numMerges = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(mA == mB, "same prefix, different merges")
+    // and a full-corpus budget trains exactly trainBpe(full corpus)
+    val mAll = TA.trainBpe(TA.bpeTrainingSlice(docs, "doc_id", "text",
+      total), "doc_id", "text", numMerges = 3).collect().map(_.toSeq).toSeq
+    val mDirect = TA.trainBpe(docs, "doc_id", "text", numMerges = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(mAll == mDirect)
+  }
 }
