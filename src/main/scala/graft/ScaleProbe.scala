@@ -67,7 +67,21 @@ object ScaleProbe {
     "d57_semantic_dedup",
     "d58_ann_index",        // index build (encode projection + bucketed write) + pruned serve
     "d59_bpe_pack",         // BPE-count packing: kernel scan + two-phase prefix sum
-    "d62_pipeline")         // composed extract→gate→dedup→pack chain
+    "d62_pipeline",         // composed extract→gate→dedup→pack chain
+    // r13 additions. d63/d64 include per-row media synthesis
+    // (JPEG/WAV encode) in the timing — corpus construction, not
+    // engine cost; the scaling signal is still the ratio. d66's
+    // expectation is NOT 10×: the token budget is FIXED, so the
+    // training slice (and each merge round's replace pass over it)
+    // stays constant-size — only the slice SELECTION (prefix sum
+    // over the full corpus) scales. Flat-ish is the CORRECT result:
+    // the budget knob bounding training cost is the very property
+    // d66 exists to prove.
+    "d52b_dhash_bits",      // PNG decode + dHash scan, map-only
+    "d63_video_neardup",    // demux+decode+hash + composite-key hamming
+    "d64_audio_neardup",    // WAV decode + fingerprint + hamming
+    "d65_trigram_logprob",  // trigram agg + distinct-table backoff joins
+    "d66_bpe_budget_train") // budget slice + training rounds (flat-ish)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
