@@ -419,4 +419,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "ShuffledHashJoin") >= 1,
       s"keep-one join-back must hash-build:\n${p.take(3000)}")
   }
+
+  test("d63/d64: perceptual media pairing stays bucketed — no all-pairs join, no window") {
+    // video/audio near-dedup candidates must come from the
+    // chunk-bucket equi-join (64-bit sigs only), never an all-pairs
+    // shape over payload rows; the video-level verdict is a hash
+    // aggregate, not a per-video window
+    Seq("d63_video_neardup", "d64_audio_neardup").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "CartesianProduct") == 0 &&
+        count(p, "BroadcastNestedLoopJoin") == 0,
+        s"$q degenerated to an all-pairs join:\n${p.take(2000)}")
+      assert(count(p, "Window") == 0,
+        s"$q grew a window:\n${p.take(1500)}")
+    }
+  }
 }
