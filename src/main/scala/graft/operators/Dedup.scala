@@ -213,6 +213,22 @@ object Dedup {
     * ([[md5SimhashPairs]]) can drive the IDENTICAL candidate
     * pipeline with an engine-reproducible signature. Returns
     * (id_a, id_b, hamming) with long ids. */
+  /** The pigeonhole chunk columns of a 64-bit signature at `maxDist`:
+    * maxDist+1 chunks (two sigs within hamming maxDist share at
+    * least one chunk verbatim), the first 64 % n chunks taking the
+    * extra bit. Shared by [[simhashPairsFromSigs]] (in-corpus
+    * pairing) and the persistent signature index below (batch
+    * screening), so the two candidate generators cannot drift. */
+  private def simChunkCols(word: Column, maxDist: Int): Seq[Column] = {
+    val n = maxDist + 1
+    val widths = Array.tabulate(n)(i => 64 / n + (if (i < 64 % n) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    offsets.zip(widths).map { case (off, w) =>
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      shiftrightunsigned(word, off).bitwiseAND(lit(mask))
+    }.toIndexedSeq
+  }
+
   private[graft] def simhashPairsFromSigs(
       withSim: DataFrame,
       maxDist: Int,
@@ -230,12 +246,7 @@ object Dedup {
     // maxDist+1 chunks; the first 64 % n chunks take the extra bit
     val n = maxDist + 1
     val widths = Array.tabulate(n)(i => 64 / n + (if (i < 64 % n) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _).init
-    def chunksOf(word: Column): Seq[Column] =
-      offsets.zip(widths).map { case (off, w) =>
-        val mask = if (w == 64) -1L else (1L << w) - 1L
-        shiftrightunsigned(word, off).bitwiseAND(lit(mask))
-      }.toIndexedSeq
+    def chunksOf(word: Column): Seq[Column] = simChunkCols(word, maxDist)
     val chunked = withSim.select(col("doc_id"), col("sim"),
       posexplode(array(chunksOf(col("sim")): _*)))
       .withColumnRenamed("pos", "chunk_id")
@@ -743,6 +754,114 @@ object Dedup {
         Some((bucketCol, numBuckets))),
         s"dedup index '$name' is missing its $table table")
     }
+  }
+
+  // ---------------------------------------------------------------
+  // Persistent PERCEPTUAL SIGNATURE index — the D35 index-once
+  // pattern for 64-bit hamming signatures (image dHash, audio
+  // fingerprints, any (doc_id, sim) producer): at 100 TB the media
+  // corpus cannot be re-decoded or re-chunked per arriving batch, so
+  // the pigeonhole chunk rows are built ONCE as a bucketed table and
+  // each batch pays batch-decode + ONE narrow equi-join. The chunk
+  // key is folded to a single hash (chunk_hash = xxhash64(chunk_id,
+  // chunk_val)) for exactly the reason the dedup index folds band_id
+  // into band_hash: a two-column join key could never satisfy the
+  // single-column bucket clustering, so the index side would
+  // silently re-shuffle. A fold collision's only cost is one extra
+  // candidate for the exact bit_count verification to reject.
+  // ---------------------------------------------------------------
+
+  private def simChunkRows(sigs: DataFrame, maxDist: Int): DataFrame = {
+    val chunks = simChunkCols(col("sim"), maxDist)
+    sigs.select(col("doc_id"), col("sim"),
+      posexplode(array(chunks: _*)))
+      .select(col("doc_id"), col("sim"),
+        xxhash64(col("pos"), col("col")).as("chunk_hash"))
+  }
+
+  private def simIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      name: String): (Int, Int) = {
+    val m = spark.table(s"${name}_meta").head()
+    (m.getAs[Int]("max_dist"), m.getAs[Int]("num_buckets"))
+  }
+
+  /** Builds a persistent signature index over `(doc_id: long,
+    * sim: long)` rows — pigeonhole chunk rows bucketed by chunk_hash
+    * plus a meta table the screen and append paths read `maxDist`
+    * from, so index and screen arithmetic cannot drift. */
+  def buildSimIndex(
+      sigs: DataFrame,
+      name: String,
+      maxDist: Int = 2,
+      numBuckets: Int = 8): Unit = {
+    require(maxDist >= 0 && maxDist <= 63,
+      s"maxDist must be in [0, 63], got $maxDist")
+    val live = sigs.filter(col("doc_id").isNotNull && col("sim").isNotNull)
+    Bucketing.writeBucketed(simChunkRows(live, maxDist),
+      s"${name}_chunks", "chunk_hash", numBuckets)
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    Bucketing.writeTable(
+      Seq((maxDist, numBuckets)).toDF("max_dist", "num_buckets"),
+      s"${name}_meta")
+  }
+
+  /** Screens batch signatures against a [[buildSimIndex]] index:
+    * returns the batch rows whose sig is NOT within hamming
+    * `maxDist` (from the index meta) of any indexed sig. Candidates
+    * come from the chunk_hash equi-join alone — the bucketed index
+    * side never shuffles — and are verified with the exact
+    * `bit_count(xor)` popcount, so a chunk-fold collision can only
+    * add a rejected candidate, never a wrong verdict. A replayed
+    * batch whose sigs are already indexed matches itself at hamming
+    * 0 and fully self-suppresses — the C13 idempotence contract. */
+  def screenAgainstSimIndex(batchSigs: DataFrame, name: String): DataFrame = {
+    val spark = batchSigs.sparkSession
+    val (maxDist, _) = simIndexMeta(spark, name)
+    val live = batchSigs
+      .filter(col("doc_id").isNotNull && col("sim").isNotNull)
+    val flagged = simChunkRows(live, maxDist).as("a")
+      .join(spark.table(s"${name}_chunks").as("b"), Seq("chunk_hash"))
+      .filter(bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= maxDist)
+      .select(col("a.doc_id").as("doc_id"))
+      .distinct()
+    live.join(flagged.hint("SHUFFLE_HASH"), Seq("doc_id"), "left_anti")
+  }
+
+  /** Folds newly ingested signatures into a [[buildSimIndex]] index
+    * as new per-bucket files (existing files never rewritten). Call
+    * with the rows actually ingested — typically
+    * [[screenAgainstSimIndex]]'s survivors. */
+  def appendToSimIndex(sigs: DataFrame, name: String): Unit = {
+    val spark = sigs.sparkSession
+    val (maxDist, numBuckets) = simIndexMeta(spark, name)
+    Bucketing.appendBucketed(
+      simChunkRows(sigs.filter(col("doc_id").isNotNull &&
+        col("sim").isNotNull), maxDist),
+      s"${name}_chunks", "chunk_hash", numBuckets)
+  }
+
+  /** Maintenance: rewrites the chunk table to one file per bucket
+    * after K appends ([[compactDedupIndex]]'s contract). */
+  def compactSimIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    val (_, numBuckets) = simIndexMeta(spark, name)
+    Bucketing.compactBucketed()(spark, s"${name}_chunks", "chunk_hash",
+      numBuckets)
+  }
+
+  /** Re-opens a [[buildSimIndex]] index in a fresh session from its
+    * surviving warehouse directories ([[openDedupIndex]]'s
+    * contract). */
+  def openSimIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    require(Bucketing.registerExisting(spark, s"${name}_meta", None),
+      s"no persisted signature index named '$name' in the warehouse")
+    val (_, numBuckets) = simIndexMeta(spark, name)
+    Bucketing.finishInterruptedSwap(spark, s"${name}_chunks")
+    require(Bucketing.registerExisting(spark, s"${name}_chunks",
+      Some(("chunk_hash", numBuckets))),
+      s"signature index '$name' is missing its chunks table")
   }
 
   /** The shared positional gram pipeline under [[crossDocSpans]] and

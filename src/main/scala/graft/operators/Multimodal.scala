@@ -841,6 +841,64 @@ object Multimodal {
       }
   }
 
+  /** One 64-bit perceptual signature per media row — the uniform
+    * contract the persistent signature index
+    * ([[graft.operators.Dedup.buildSimIndex]]) and the streaming
+    * media ingest screen consume: image → [[dHash64]] (near-dup at
+    * hamming ≤ 2), audio → [[audioFingerprint64]] (gain/rate-label
+    * invariant), video → an EXACT combined frame-signature hash (a
+    * deterministic fold over the per-frame dHashes in frame order —
+    * remuxed/retimed copies hash identically since their frame
+    * dHashes do, but per-frame NEAR matches do not survive the fold:
+    * video NEAR dedup is [[videoNearDupPairs]]'s batch job, by
+    * design). Rows whose payload is undecodable are absent. Map-only:
+    * pixels/samples never leave the task. */
+  def mediaSigs(spark: SparkSession, media: Dataset[MediaRow]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val sig = r.media_type match {
+          case "image" => dHash64(r.payload)
+          case "audio" => audioFingerprint64(r.payload)
+          case "video" => parseAvi(r.payload).flatMap { avi =>
+            val hs = avi.frames.flatMap(fb => dHash64(fb))
+            if (hs.isEmpty) None
+            else Some(hs.foldLeft(1125899906842597L)(
+              (acc, h) => acc * 1000003L + h))
+          }
+          case _ => None
+        }
+        sig.map(s => (r.doc_id, r.media_type, s))
+      }
+    }.toDF("doc_id", "media_type", "sim")
+  }
+
+  /** An audio payload UNRELATED to [[audioPayload]]`(id)`: identical
+    * container shape (same rate/channels/frames formulas) but a
+    * different sample arithmetic ((id·37 + i·11) & 0xFF) — the
+    * "different recording, same format" row for screen tests and the
+    * d67 oracle. */
+  private[graft] def unrelatedAudioPayload(id: Long): Array[Byte] = {
+    val sampleRate = 8000 + math.floorMod(id, 8).toInt * 1000
+    val channels = 1 + math.floorMod(id, 2).toInt
+    val frames = 200 + math.floorMod(id, 100).toInt
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val data = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < data.length) {
+      data(i) = ((id * 37 + i * 11) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** [[audioPayload]]'s samples re-containerized at a fixed 22050 Hz
     * label: same PCM bytes and channel layout, different declared
     * rate — the planted remux twin. */

@@ -596,8 +596,17 @@ object TextAnalysis {
       tokens = wsTokenCount(col(textCol)).cast("long"),
       priority = Dedup.md5Hash60(col(idCol).cast("string")),
       budget = tokenBudget, reliable = reliable)
+    // The slice is <= tokenBudget tokens BY CONTRACT, so its
+    // partition count should follow the budget, not the parent
+    // corpus's layout: an iterative trainer (M rounds × several jobs
+    // each) over a 20k-token slice spread across hundreds of parent
+    // partitions pays per-task scheduling, not compute. ~2M tokens
+    // per partition keeps tasks meaty; coalesce is narrow (no
+    // shuffle) and the slice CONTENT is partition-independent.
+    val parts = math.max(1L, math.min(tokenBudget / 2000000L, 10000L)).toInt
     live.join(kept.select(col(idCol)).hint("SHUFFLE_HASH"), Seq(idCol),
       "left_semi")
+      .coalesce(parts)
   }
 
   def trainBpe(docs: DataFrame, idCol: String, textCol: String,

@@ -373,6 +373,41 @@ object DBlock {
         .orderBy(col("doc_id"))
     }),
 
+    // D51: persistent perceptual-signature index + batch screen —
+    // the D35 index-once pattern for media sigs, FULLY oracle-checked
+    // end to end through real codecs: the corpus's audio fingerprints
+    // (real WAV decode) build a bucketed chunk index; the batch is
+    // every corpus doc's REMUX twin (identical fingerprint → must
+    // screen out at hamming 0) plus an UNRELATED same-format audio
+    // (different sample arithmetic → survives unless it accidentally
+    // lands within hamming 2, which both engines decide identically).
+    // DuckDB re-derives every fingerprint from the d64b byte
+    // arithmetic and brute-forces the screen with bit_count(xor) —
+    // a hash-matched RECALL check on the pigeonhole chunk machinery,
+    // the d29/d30 discipline applied to the index path.
+    "d67_sim_index_screen" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("doc_id") % 3 === 1)
+        .select(col("doc_id").cast("long")).as[Long]
+      val corpus = base.mapPartitions(_.map(id =>
+        Multimodal.MediaRow(id, "audio", Multimodal.audioPayload(id))))
+      val batch = base.mapPartitions(_.flatMap(id => Iterator(
+        Multimodal.MediaRow(id + Multimodal.PlantedIdOffset, "audio",
+          Multimodal.remuxedAudioPayload(id)),
+        Multimodal.MediaRow(id + 2 * Multimodal.PlantedIdOffset, "audio",
+          Multimodal.unrelatedAudioPayload(id)))))
+      Dedup.buildSimIndex(
+        Multimodal.audioFingerprintSigs(s, corpus), "d67_idx",
+        maxDist = 2)
+      Dedup.screenAgainstSimIndex(
+        Multimodal.audioFingerprintSigs(s, batch), "d67_idx")
+        .select(col("doc_id"),
+          expr("shiftrightunsigned(sim, 32)").as("sig_hi"),
+          (col("sim").bitwiseAND(lit(0xFFFFFFFFL))).as("sig_lo"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D15/D22: REAL audio decode — payloads are genuine PCM WAVs
     // (Multimodal.audioPayload) and sample rate / channels / frames
     // come from javax.sound.sampled parsing the actual RIFF header;
@@ -1913,6 +1948,65 @@ object DBlock {
         |JOIN en b ON b.aid = a.aid AND b.w = a.w + 1
         |WHERE a.w < 64
         |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // d67: the d64b fingerprint arithmetic over corpus + batch
+    // (twins carry their src's (31,7) sample constants, unrelateds
+    // the (37,11) ones), then the screen brute-forced: a batch row
+    // survives iff NO corpus fingerprint is within hamming 2
+    // (bit_count over xor'd unsigned halves == the 64-bit popcount)
+    "d67_sim_index_screen" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS src FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % 3 = 1
+        |), alla AS (
+        |  SELECT src, src AS aid, 31 AS ka, 7 AS kb, 0 AS batch FROM ids
+        |  UNION ALL
+        |  SELECT src, src + 10000000, 31, 7, 1 FROM ids
+        |  UNION ALL
+        |  SELECT src, src + 20000000, 37, 11, 1 FROM ids
+        |), dims AS (
+        |  SELECT aid, src, ka, kb, batch,
+        |    1 + (src % 2) AS ch, 200 + (src % 100) AS nf
+        |  FROM alla
+        |), wins AS (
+        |  SELECT d.aid, d.src, d.ka, d.kb, d.batch, d.ch, w.w,
+        |    (w.w * d.nf) // 65 AS f0, ((w.w + 1) * d.nf) // 65 AS f1
+        |  FROM dims d, (SELECT unnest(range(65)) AS w) w
+        |), en AS (
+        |  SELECT aid, batch, w,
+        |    SUM(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END))
+        |      // ((f1 - f0) * ch) AS e
+        |  FROM (
+        |    SELECT ws.aid, ws.batch, ws.w, ws.f1, ws.f0, ws.ch,
+        |      ((ws.src * ws.ka + ((fs.f * ws.ch + cs.c) * 2) * ws.kb) & 255)
+        |      + 256 * ((ws.src * ws.ka
+        |                + ((fs.f * ws.ch + cs.c) * 2 + 1) * ws.kb) & 255) AS v
+        |    FROM wins ws,
+        |      unnest(range(ws.f0, ws.f1)) AS fs(f),
+        |      unnest(range(ws.ch)) AS cs(c)
+        |  ) s
+        |  GROUP BY 1, 2, 3, f1, f0, ch
+        |), fp AS (
+        |  SELECT a.aid, a.batch,
+        |    CAST(SUM(CASE WHEN b.e > a.e AND a.w >= 32
+        |      THEN (CAST(1 AS BIGINT) << (a.w - 32)) ELSE 0 END) AS BIGINT)
+        |      AS sig_hi,
+        |    CAST(SUM(CASE WHEN b.e > a.e AND a.w < 32
+        |      THEN (CAST(1 AS BIGINT) << a.w) ELSE 0 END) AS BIGINT)
+        |      AS sig_lo
+        |  FROM en a
+        |  JOIN en b ON b.aid = a.aid AND b.w = a.w + 1
+        |  WHERE a.w < 64
+        |  GROUP BY 1, 2
+        |)
+        |SELECT b.aid AS doc_id, b.sig_hi, b.sig_lo
+        |FROM fp b
+        |WHERE b.batch = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM fp c
+        |  WHERE c.batch = 0
+        |    AND bit_count(xor(b.sig_hi, c.sig_hi))
+        |      + bit_count(xor(b.sig_lo, c.sig_lo)) <= 2)
         |ORDER BY doc_id""".stripMargin,
 
     // exclusive running total re-derived with a 1-PRECEDING window

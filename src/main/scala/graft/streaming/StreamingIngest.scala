@@ -293,6 +293,69 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming MEDIA ingest with a perceptual dedup screen — the C10
+    * loop for binary payloads over a persistent signature index
+    * ([[graft.operators.Dedup.buildSimIndex]]): per micro-batch,
+    * decode one 64-bit perceptual signature per row
+    * ([[graft.operators.Multimodal.mediaSigs]] — image dHash, audio
+    * fingerprint, video exact frame-hash fold), keep one
+    * representative per within-batch near-family (pigeonhole pairs +
+    * components keep-min — the d52/d63/d64 machinery, batch-sized),
+    * screen survivors against every signature ever ingested (ONE
+    * narrow chunk_hash equi-join against the bucketed index), land
+    * the surviving PAYLOAD rows in the sink, then fold their sigs
+    * into the index so the next batch screens against them.
+    *
+    * Undecodable payloads yield no signature and are dropped at the
+    * door (nothing to screen with, nothing to make a replay
+    * idempotent), mirroring [[toAnnIngest]]'s id-less-row contract.
+    * Delivery semantics are [[toScreenedDocIngest]]'s: a replayed
+    * batch's sigs are in the index, so it fully self-suppresses;
+    * the residual crash window between sink append and index fold-in
+    * re-lands rows (at-least-once, recoverable) rather than losing
+    * them. Near-dup screening applies to image/audio sigs; a video
+    * only screens against an EXACT remux/retime copy (per-frame near
+    * matching is [[graft.operators.Multimodal.videoNearDupPairs]]'s
+    * batch job). */
+  def toMediaIngest(media: DataFrame, idCol: String, typeCol: String,
+      payloadCol: String, indexName: String, path: String,
+      checkpoint: String): StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val rows = batch.select(col(idCol).cast("long").as("doc_id"),
+          col(typeCol).as("media_type"), col(payloadCol).as("payload"))
+          .as[graft.operators.Multimodal.MediaRow]
+        // one decode pass; two consumers (keep-one + the payload
+        // join-back) — batch-scoped eager pin, the C10 discipline
+        val sigs = graft.operators.Multimodal.mediaSigs(spark, rows)
+          .localCheckpoint(true)
+        val (maxDist, _) = {
+          val m = spark.table(s"${indexName}_meta").head()
+          (m.getAs[Int]("max_dist"), m.getAs[Int]("num_buckets"))
+        }
+        val pairs = graft.operators.Dedup
+          .simhashPairsFromSigs(sigs.select(col("doc_id"), col("sim")),
+            maxDist)
+          .select(col("id_a"), col("id_b"))
+        val kept = graft.operators.Dedup
+          .dropNearDuplicates(sigs, "doc_id", pairs)
+        val survivors = graft.operators.Dedup
+          .screenAgainstSimIndex(kept, indexName)
+          .localCheckpoint(true)
+        batch
+          .join(survivors.select(col("doc_id").as("__graft_sid")),
+            col(idCol).cast("long") === col("__graft_sid"), "left_semi")
+          .write.mode("append").parquet(path)
+        graft.operators.Dedup.appendToSimIndex(
+          survivors.select(col("doc_id"), col("sim")), indexName)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming embedding ingest into a persistent ANN index
     * ([[graft.operators.Similarity.buildAnnIndex]]): per micro-batch,
     * rows whose id is ALREADY indexed are dropped (an anti-join on

@@ -918,6 +918,51 @@ class DedupSpec extends AnyFunSuite {
     org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
 
+  test("sim index: hamming screen at maxDist, append folds in, replay self-suppresses, restart re-opens") {
+    import spark.implicits._
+    val name = "t_sim_idx"
+    def flip(s: Long, bits: Int*): Long = bits.foldLeft(s)((a, b) => a ^ (1L << b))
+    val s1 = 0x0123456789ABCDEFL
+    val s2 = 0x7EDCBA9876543210L
+    Dedup.buildSimIndex(Seq((1L, s1), (2L, s2)).toDF("doc_id", "sim"),
+      name, maxDist = 2, numBuckets = 2)
+    val batch = Seq(
+      (10L, s1),                 // exact dup of 1 → screened
+      (11L, flip(s1, 3, 40)),    // hamming 2 of 1 → screened
+      (12L, flip(s2, 1, 17, 63)),// hamming 3 of 2 → survives
+      (13L, 0x5A5A5A5A5A5A5A5AL) // unrelated → survives
+    ).toDF("doc_id", "sim")
+    val kept = Dedup.screenAgainstSimIndex(batch, name)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 13L), s"got $kept")
+    // fold the survivors in: the next batch screens against them
+    Dedup.appendToSimIndex(
+      batch.filter($"doc_id".isin(12L, 13L)), name)
+    val batch2 = Seq(
+      (20L, flip(0x5A5A5A5A5A5A5A5AL, 8)), // hamming 1 of 13 → screened
+      (21L, flip(s1, 3, 40)),              // replay of 11's sig... indexed? 11 was NOT ingested
+      (22L, flip(s2, 1, 17, 63))           // exact replay of 12 → screened
+    ).toDF("doc_id", "sim")
+    val kept2 = Dedup.screenAgainstSimIndex(batch2, name)
+      .collect().map(_.getLong(0)).toSet
+    // 21 carries 11's sig: 11 never landed (screened in batch 1), and
+    // its sig is hamming 2 from INDEXED s1 — still screened, same
+    // verdict as before: the screen is stable across batches
+    assert(kept2 == Set.empty, s"got $kept2")
+    // restart: the bucketed chunk table outlives the catalog
+    val s2s = restartedSession()
+    try {
+      assert(!s2s.catalog.tableExists(s"${name}_chunks"))
+      Dedup.openSimIndex(s2s, name)
+      import s2s.implicits._
+      val keptR = Dedup.screenAgainstSimIndex(
+        Seq((30L, s1), (31L, flip(s2, 1, 17, 63)), (32L, -1L))
+          .toDF("doc_id", "sim"), name)
+        .collect().map(_.getLong(0)).toSet
+      assert(keptR == Set(32L), s"restart screen drifted: $keptR")
+    } finally restoreSession()
+  }
+
   test("index survives a restart: openDedupIndex re-registers; screen, append, compact still work") {
     import spark.implicits._
     val name = "t_idx_restart"

@@ -693,6 +693,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("media ingest: perceptual screen per micro-batch over the sim index, replay self-suppresses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val M = graft.operators.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("mediastream").toString
+    // corpus: one of each payload type, indexed by perceptual sig
+    val corpus = Seq(
+      M.MediaRow(6L, "image", M.imagePayload(6L)),
+      M.MediaRow(7L, "audio", M.audioPayload(7L)),
+      M.MediaRow(8L, "video", M.videoPayload(8L))).toDS()
+    graft.operators.Dedup.buildSimIndex(
+      M.mediaSigs(spark, corpus), "t_media_idx", maxDist = 2,
+      numBuckets = 2)
+    val input = MemoryStream[(Long, String, Array[Byte])](spark)
+    val q = StreamingIngest.toMediaIngest(
+      input.toDS().toDF("doc_id", "media_type", "payload"),
+      "doc_id", "media_type", "payload",
+      "t_media_idx", s"$dir/media", s"$dir/ckpt")
+    try {
+      input.addData(
+        (100L, "image", M.perturbedImagePayload(6L)), // hamming<=2 of indexed → screened
+        (101L, "audio", M.remuxedAudioPayload(7L)),   // identical fp → screened
+        (102L, "video", M.remuxedVideoPayload(8L)),   // exact frame fold → screened
+        (103L, "image", M.imagePayload(20L)),         // novel image → lands
+        (104L, "image", Array[Byte](1, 2, 3)),        // undecodable → dropped at door
+        (105L, "audio", M.audioPayload(30L)),         // in-batch family:
+        (106L, "audio", M.remuxedAudioPayload(30L)))  //   keep-one min id 105
+      q.processAllAvailable()
+      def landed(): Set[Long] = spark.read.parquet(s"$dir/media")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(landed() == Set(103L, 105L), s"got ${landed()}")
+      // batch 2: a perceptual copy of batch 1's survivor under a new
+      // id is screened by the folded-in index; a fresh clip lands
+      input.addData(
+        (200L, "image", M.imagePayload(20L)),   // copy of 103 → screened
+        (201L, "audio", M.audioPayload(40L)))   // fresh → lands
+      q.processAllAvailable()
+      assert(landed() == Set(103L, 105L, 201L), s"got ${landed()}")
+      // full redelivery of batch 2 → sigs are indexed → nothing new
+      input.addData(
+        (200L, "image", M.imagePayload(20L)),
+        (201L, "audio", M.audioPayload(40L)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/media").count() == 3,
+        "replay must self-suppress")
+    } finally q.stop()
+  }
+
   test("full pipeline ingest: extract → gate → dedup → pack per micro-batch, replay self-suppresses") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
