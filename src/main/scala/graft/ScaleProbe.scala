@@ -81,7 +81,8 @@ object ScaleProbe {
     "d63_video_neardup",    // demux+decode+hash + composite-key hamming
     "d64_audio_neardup",    // WAV decode + fingerprint + hamming
     "d65_trigram_logprob",  // trigram agg + distinct-table backoff joins
-    "d66_bpe_budget_train") // budget slice + training rounds (flat-ish)
+    "d66_bpe_budget_train", // budget slice + training rounds (flat-ish)
+    "d67_sim_index_screen") // sig index build + chunk-join screen
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -108,9 +109,11 @@ object ScaleProbe {
       once(); once()
     }
 
+    // optional args restrict the probe to the named queries
+    val only = args.toSet
     println("| query | sf0.1 s | sf1 s | ratio (linear=10) |")
     println("|---|---|---|---|")
-    probes.foreach { q =>
+    probes.filter(q => only.isEmpty || only(q)).foreach { q =>
       try {
         val a = timeWarm(q, Sf01)
         val b = timeWarm(q, Sf1)

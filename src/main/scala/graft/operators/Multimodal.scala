@@ -90,8 +90,14 @@ object Multimodal {
       sampleRate.toFloat, 16, channels, true, false)
     val data = new Array[Byte](frames * channels * 2)
     var i = 0
-    while (i < data.length) { // deterministic sample bytes
-      data(i) = ((id * 31 + i * 7) & 0xFF).toByte
+    while (i < data.length) {
+      // deterministic sample bytes; the (id >> 8)·(i % 13) term
+      // breaks the mod-256 periodicity of id·31 alone — without it,
+      // ids congruent mod lcm(256, 100, 2) share IDENTICAL payloads,
+      // which turns large synthetic corpora into forests of true
+      // duplicate fingerprints (a data artifact the sf1 scale probe
+      // measured as a fake pair explosion)
+      data(i) = ((id * 31 + i * 7 + (id >> 8) * (i % 13)) & 0xFF).toByte
       i += 1
     }
     val ais = new javax.sound.sampled.AudioInputStream(
@@ -887,8 +893,8 @@ object Multimodal {
       sampleRate.toFloat, 16, channels, true, false)
     val data = new Array[Byte](frames * channels * 2)
     var i = 0
-    while (i < data.length) {
-      data(i) = ((id * 37 + i * 11) & 0xFF).toByte
+    while (i < data.length) { // de-periodized like audioPayload
+      data(i) = ((id * 37 + i * 11 + (id >> 8) * (i % 17)) & 0xFF).toByte
       i += 1
     }
     val ais = new javax.sound.sampled.AudioInputStream(
@@ -909,8 +915,8 @@ object Multimodal {
       22050f, 16, channels, true, false)
     val data = new Array[Byte](frames * channels * 2)
     var i = 0
-    while (i < data.length) {
-      data(i) = ((id * 31 + i * 7) & 0xFF).toByte
+    while (i < data.length) { // identical samples to audioPayload
+      data(i) = ((id * 31 + i * 7 + (id >> 8) * (i % 13)) & 0xFF).toByte
       i += 1
     }
     val ais = new javax.sound.sampled.AudioInputStream(

@@ -1927,13 +1927,17 @@ object DBlock {
         |    SUM(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END))
         |      // ((f1 - f0) * ch) AS e
         |  FROM (
-        |    SELECT ws.aid, ws.w, ws.f1, ws.f0, ws.ch,
-        |      ((ws.src * 31 + ((fs.f * ws.ch + cs.c) * 2) * 7) & 255)
-        |      + 256 * ((ws.src * 31 + ((fs.f * ws.ch + cs.c) * 2 + 1) * 7)
-        |               & 255) AS v
-        |    FROM wins ws,
-        |      unnest(range(ws.f0, ws.f1)) AS fs(f),
-        |      unnest(range(ws.ch)) AS cs(c)
+        |    SELECT aid, w, f1, f0, ch,
+        |      ((src * 31 + jb * 7 + (src // 256) * (jb % 13)) & 255)
+        |      + 256 * ((src * 31 + (jb + 1) * 7
+        |                + (src // 256) * ((jb + 1) % 13)) & 255) AS v
+        |    FROM (
+        |      SELECT ws.aid, ws.src, ws.w, ws.f1, ws.f0, ws.ch,
+        |        (fs.f * ws.ch + cs.c) * 2 AS jb
+        |      FROM wins ws,
+        |        unnest(range(ws.f0, ws.f1)) AS fs(f),
+        |        unnest(range(ws.ch)) AS cs(c)
+        |    ) jx
         |  ) s
         |  GROUP BY 1, 2, f1, f0, ch
         |)
@@ -1960,17 +1964,18 @@ object DBlock {
         |  SELECT doc_id AS src FROM documents
         |  WHERE doc_id IS NOT NULL AND doc_id % 3 = 1
         |), alla AS (
-        |  SELECT src, src AS aid, 31 AS ka, 7 AS kb, 0 AS batch FROM ids
+        |  SELECT src, src AS aid, 31 AS ka, 7 AS kb, 13 AS km, 0 AS batch
+        |  FROM ids
         |  UNION ALL
-        |  SELECT src, src + 10000000, 31, 7, 1 FROM ids
+        |  SELECT src, src + 10000000, 31, 7, 13, 1 FROM ids
         |  UNION ALL
-        |  SELECT src, src + 20000000, 37, 11, 1 FROM ids
+        |  SELECT src, src + 20000000, 37, 11, 17, 1 FROM ids
         |), dims AS (
-        |  SELECT aid, src, ka, kb, batch,
+        |  SELECT aid, src, ka, kb, km, batch,
         |    1 + (src % 2) AS ch, 200 + (src % 100) AS nf
         |  FROM alla
         |), wins AS (
-        |  SELECT d.aid, d.src, d.ka, d.kb, d.batch, d.ch, w.w,
+        |  SELECT d.aid, d.src, d.ka, d.kb, d.km, d.batch, d.ch, w.w,
         |    (w.w * d.nf) // 65 AS f0, ((w.w + 1) * d.nf) // 65 AS f1
         |  FROM dims d, (SELECT unnest(range(65)) AS w) w
         |), en AS (
@@ -1978,13 +1983,17 @@ object DBlock {
         |    SUM(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END))
         |      // ((f1 - f0) * ch) AS e
         |  FROM (
-        |    SELECT ws.aid, ws.batch, ws.w, ws.f1, ws.f0, ws.ch,
-        |      ((ws.src * ws.ka + ((fs.f * ws.ch + cs.c) * 2) * ws.kb) & 255)
-        |      + 256 * ((ws.src * ws.ka
-        |                + ((fs.f * ws.ch + cs.c) * 2 + 1) * ws.kb) & 255) AS v
-        |    FROM wins ws,
-        |      unnest(range(ws.f0, ws.f1)) AS fs(f),
-        |      unnest(range(ws.ch)) AS cs(c)
+        |    SELECT aid, batch, w, f1, f0, ch,
+        |      ((src * ka + jb * kb + (src // 256) * (jb % km)) & 255)
+        |      + 256 * ((src * ka + (jb + 1) * kb
+        |                + (src // 256) * ((jb + 1) % km)) & 255) AS v
+        |    FROM (
+        |      SELECT ws.aid, ws.src, ws.ka, ws.kb, ws.km, ws.batch, ws.w,
+        |        ws.f1, ws.f0, ws.ch, (fs.f * ws.ch + cs.c) * 2 AS jb
+        |      FROM wins ws,
+        |        unnest(range(ws.f0, ws.f1)) AS fs(f),
+        |        unnest(range(ws.ch)) AS cs(c)
+        |    ) jx
         |  ) s
         |  GROUP BY 1, 2, 3, f1, f0, ch
         |), fp AS (

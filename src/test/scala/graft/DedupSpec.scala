@@ -659,6 +659,53 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("sim-index screen: big batches ride bucketed index reads, zero Exchange on the index side") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // same production posture as the d46 SMJ fallback: once the batch
+    // outgrows autoBroadcastJoinThreshold, the chunk_hash join must
+    // ride the single-column bucketing of <name>_chunks — the index
+    // side reads its buckets with NO Exchange
+    val name = "t_sim_smj"
+    val corpusSigs = (0 until 50).map(i => (i.toLong, i * 0x9E3779B97F4A7C15L))
+    Dedup.buildSimIndex(corpusSigs.toDF("doc_id", "sim"), name,
+      maxDist = 2, numBuckets = 2)
+    val batch = ((0 until 600).map(i =>
+      (1000L + i, i * 0x9E3779B97F4A7C15L + 0x5555555555555555L)) :+
+      (2000L, corpusSigs(7)._2)) // one exact dup → screened
+      .toDF("doc_id", "sim")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    try {
+      val df = Dedup.screenAgainstSimIndex(batch, name)
+      val plan = df.queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: SortMergeJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+        case j: ShuffledHashJoinExec => j
+      }
+      val indexSides = joins.flatMap(_.children).filter { side =>
+        val leaves = side.collectLeaves()
+        leaves.nonEmpty && leaves.forall {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.bucketSpec.isDefined
+          case _ => false
+        }
+      }
+      assert(indexSides.nonEmpty,
+        s"expected the chunks join to read bucketed:\n${plan.toString.take(3000)}")
+      indexSides.foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+          s"bucketed chunk side reshuffled:\n${side.toString.take(2000)}")
+      }
+      val kept = df.collect().map(_.getLong(0)).toSet
+      assert(kept == (0 until 600).map(1000L + _).toSet, s"got ${kept.size}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("dedupAgainstIndex == dedupAgainst in both signature modes; append screens the next batch") {
     import spark.implicits._
     val corpus = Seq(
