@@ -134,8 +134,41 @@ object Bench {
         System.err.println(s"[bench] d58_query setup: ${e.getMessage}")
         None
       }
+    // and for the perceptual signature index: d67's registry entry
+    // pays corpus+batch WAV synthesis AND the index build per run so
+    // its oracle covers the whole cycle; the production steady cost
+    // is the SCREEN alone over a prebuilt index and pre-decoded
+    // batch sigs.
+    val simScreenOnly: Option[() => org.apache.spark.sql.DataFrame] =
+      if (qArgs.nonEmpty) None else try {
+        import org.apache.spark.sql.functions.col
+        val spark2 = spark
+        import spark2.implicits._
+        val base = graft.sources.Tables.documents(spark, sfDir)
+          .filter(col("doc_id").isNotNull && col("doc_id") % 3 === 1)
+          .select(col("doc_id").cast("long")).as[Long]
+        val M = graft.operators.Multimodal
+        val corpus = base.mapPartitions(_.map(id =>
+          M.MediaRow(id, "audio", M.audioPayload(id))))
+        graft.operators.Dedup.buildSimIndex(
+          M.audioFingerprintSigs(spark, corpus), "d67bench_idx",
+          maxDist = 2)
+        val batch = base.mapPartitions(_.flatMap(id => Iterator(
+          M.MediaRow(id + M.PlantedIdOffset, "audio",
+            M.remuxedAudioPayload(id)),
+          M.MediaRow(id + 2 * M.PlantedIdOffset, "audio",
+            M.unrelatedAudioPayload(id)))))
+        val batchSigs = M.audioFingerprintSigs(spark, batch)
+          .localCheckpoint(true)
+        Some(() => graft.operators.Dedup.screenAgainstSimIndex(
+          batchSigs, "d67bench_idx"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] d67_screen setup: ${e.getMessage}")
+        None
+      }
     val extras = screenOnly.map(mk => "d46_screen" -> mk) ++
-      annQueryOnly.map(mk => "d58_query" -> mk)
+      annQueryOnly.map(mk => "d58_query" -> mk) ++
+      simScreenOnly.map(mk => "d67_screen" -> mk)
     val coldResults = names.map(n => n -> force(n)) ++
       extras.map { case (n, mk) => n -> forceDf(n, mk) }
     val results = names.map(n => n -> force(n)) ++
