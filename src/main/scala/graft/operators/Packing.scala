@@ -217,4 +217,29 @@ object Packing {
         array_join(slice(col("__w"), col("col") + 1, lit(chunkSize)), " ")
           .as("chunk_text"))
   }
+
+  /** Global re-pack of a streaming shard sink — the batch half of
+    * the C12 contract ([[graft.streaming.StreamingIngest
+    * .toPipelineIngest]] emits BATCH-scoped shards whose offsets
+    * restart at 0 each micro-batch; an epoch that wants ONE
+    * contiguous global bin sequence runs this over the accumulated
+    * sink). Documents are deduplicated by id first — the stream's
+    * crash-window residual is a duplicate shard row, and a re-pack
+    * is the natural place to shed it — then re-packed from their
+    * stored token counts (no re-tokenization; the stream already
+    * paid it) in the same md5(id) order the shards used. Returns the
+    * [[sequencePack]] shape plus the carried text column. */
+  def repackShards(spark: org.apache.spark.sql.SparkSession,
+      path: String, capacity: Long, idCol: String = "doc_id",
+      textCol: String = "main_text",
+      reliable: Boolean = false): DataFrame = {
+    val docs = spark.read.parquet(path)
+      .select(col(idCol), col(textCol), col("n_tokens"))
+      .dropDuplicates(idCol)
+    sequencePack(docs, idCol,
+      tokens = col("n_tokens"),
+      orderCol = md5(col(idCol).cast("string")),
+      capacity = capacity, reliable = reliable)
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+  }
 }

@@ -831,6 +831,27 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(landed().count() == 3,
         s"replay must self-suppress, got ${landed().count()}")
+      // the batch half of the contract: a global re-pack over the
+      // accumulated shard sink yields ONE contiguous bin sequence
+      // (per-batch offsets restarted; the epoch-level pack must not),
+      // re-using the stored token counts, dedup-by-id shedding any
+      // crash-window residual (none here: count stays 3)
+      val repacked = graft.operators.Packing.repackShards(
+        spark, s"$dir/packed", capacity = 16L).collect()
+      assert(repacked.length == 3)
+      val offs2 = repacked.map(r =>
+        (r.getAs[Long]("start_off"), r.getAs[Long]("n_tokens"))).sortBy(_._1)
+      assert(offs2.head._1 == 0L, "global pack must start at 0")
+      offs2.sliding(2).foreach {
+        case Array((o1, n1), (o2, _)) =>
+          assert(o2 == o1 + n1, s"global offsets not contiguous: ${offs2.toSeq}")
+        case _ => ()
+      }
+      repacked.foreach { r =>
+        assert(r.getAs[Long]("bin_start") ==
+          r.getAs[Long]("start_off") / 16L)
+        assert(r.getAs[String]("main_text").nonEmpty)
+      }
     } finally q.stop()
   }
 }
