@@ -408,6 +408,28 @@ object DBlock {
         .orderBy(col("doc_id"))
     }),
 
+    // D39 composed: perceptual image dedup KEEP-ONE, fully
+    // oracle-checked end to end through the real codec — the d21/d27
+    // keep-one composition applied to pixels: real PNG decode →
+    // dHash sigs → skew-guarded hamming pairs at <= 2 → connected
+    // components → min-id survivors. DuckDB re-derives the sigs from
+    // the d52b pixel arithmetic, brute-forces ALL pairs, and closes
+    // them with the d27 recursive CTE — so candidate RECALL, the
+    // closure, and the keeper rule are all hash-matched. Corpus
+    // md5-sliced to 1/16 so the oracle's all-pairs stays trivial.
+    "d68_image_dedup" -> ((s, d) => {
+      val slice = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull &&
+          substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+      val media = Multimodal.withPlantedNearDupImages(slice, "doc_id")
+      val sigs = Multimodal.imageDHashSigs(s, media).localCheckpoint(true)
+      val pairs = Dedup.simhashPairsFromSigs(sigs, maxDist = 2)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dropNearDuplicates(sigs, "doc_id", pairs)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D15/D22: REAL audio decode — payloads are genuine PCM WAVs
     // (Multimodal.audioPayload) and sample rate / channels / frames
     // come from javax.sound.sampled parsing the actual RIFF header;
@@ -1210,6 +1232,69 @@ object DBlock {
       lit(htmlFooter))
   }
 
+  /** The d52b dHash-signature CTE chain — planted-corpus pixels →
+    * integer luma → 9×8 floor-partition area average → gradient-sign
+    * bits as unsigned 32-bit halves, ending in
+    * `dsigs(img, sig_hi, sig_lo)`. Parameterized by an extra WHERE
+    * fragment on the source doc slice and shared by the d52b bit
+    * oracle and the d68 dedup-composition oracle, so the two cannot
+    * drift. */
+  private def dhashSigCtes(extraWhere: String): String =
+    s"""ids AS (
+       |  SELECT doc_id AS src FROM documents
+       |  WHERE doc_id IS NOT NULL AND doc_id % 3 = 0$extraWhere
+       |), imgs AS (
+       |  SELECT src, src AS img, FALSE AS pert FROM ids
+       |  UNION ALL
+       |  SELECT src, src + 10000000, TRUE FROM ids
+       |), dims AS (
+       |  SELECT img, src, pert,
+       |    16 + (src % 16) AS w, 16 + (src % 9) AS h
+       |  FROM imgs
+       |), cells AS (
+       |  SELECT d.img, d.src, d.pert, cy.cy, cx.cx,
+       |    (cx.cx * d.w) // 9 AS x0, ((cx.cx + 1) * d.w) // 9 AS x1,
+       |    (cy.cy * d.h) // 8 AS y0, ((cy.cy + 1) * d.h) // 8 AS y1,
+       |    (4 * d.w) // 9 AS px0, (5 * d.w) // 9 AS px1,
+       |    (3 * d.h) // 8 AS py0, (4 * d.h) // 8 AS py1
+       |  FROM dims d,
+       |    (SELECT unnest(range(8)) AS cy) cy,
+       |    (SELECT unnest(range(9)) AS cx) cx
+       |), lum AS (
+       |  SELECT img, cy, cx,
+       |    CASE WHEN pert AND x >= px0 AND x < px1
+       |              AND y >= py0 AND y < py1
+       |      THEN (77 * least(((base >> 16) & 255) + 12, 255)
+       |          + 151 * least(((base >> 8) & 255) + 12, 255)
+       |          + 28 * least((base & 255) + 12, 255)) >> 8
+       |      ELSE (77 * ((base >> 16) & 255)
+       |          + 151 * ((base >> 8) & 255)
+       |          + 28 * (base & 255)) >> 8
+       |    END AS luma
+       |  FROM (
+       |    SELECT c.*, xs.x, ys.y,
+       |      ((c.src * 31) + (xs.x * 7) + (ys.y * 131)) & 16777215 AS base
+       |    FROM cells c,
+       |      unnest(range(c.x0, c.x1)) AS xs(x),
+       |      unnest(range(c.y0, c.y1)) AS ys(y)
+       |  ) p
+       |), avgs AS (
+       |  SELECT img, cy, cx, SUM(luma) // COUNT(*) AS a
+       |  FROM lum GROUP BY 1, 2, 3
+       |), dsigs AS (
+       |  SELECT a.img,
+       |    CAST(SUM(CASE WHEN b.a > a.a AND (a.cy * 8 + a.cx) >= 32
+       |      THEN (CAST(1 AS BIGINT) << (a.cy * 8 + a.cx - 32))
+       |      ELSE 0 END) AS BIGINT) AS sig_hi,
+       |    CAST(SUM(CASE WHEN b.a > a.a AND (a.cy * 8 + a.cx) < 32
+       |      THEN (CAST(1 AS BIGINT) << (a.cy * 8 + a.cx))
+       |      ELSE 0 END) AS BIGINT) AS sig_lo
+       |  FROM avgs a
+       |  JOIN avgs b ON b.img = a.img AND b.cy = a.cy AND b.cx = a.cx + 1
+       |  WHERE a.cx < 8
+       |  GROUP BY 1
+       |)""".stripMargin
+
   /** d62's planted shared body (every 10th doc republishes it — the
     * mirror-site shape that makes the exact-dedup stage do real
     * work; ≥20 words and stopword-rich so it clears the gate). */
@@ -1844,61 +1929,33 @@ object DBlock {
     // (SUM // COUNT, matching Scala's positive int division), then
     // one gradient-sign bit per horizontal cell pair (bit k =
     // cy*8+cx, split into unsigned 32-bit halves)
-    "d52b_dhash_bits" ->
-      """WITH ids AS (
-        |  SELECT doc_id AS src FROM documents
-        |  WHERE doc_id IS NOT NULL AND doc_id % 3 = 0
-        |), imgs AS (
-        |  SELECT src, src AS img, FALSE AS pert FROM ids
-        |  UNION ALL
-        |  SELECT src, src + 10000000, TRUE FROM ids
-        |), dims AS (
-        |  SELECT img, src, pert,
-        |    16 + (src % 16) AS w, 16 + (src % 9) AS h
-        |  FROM imgs
-        |), cells AS (
-        |  SELECT d.img, d.src, d.pert, cy.cy, cx.cx,
-        |    (cx.cx * d.w) // 9 AS x0, ((cx.cx + 1) * d.w) // 9 AS x1,
-        |    (cy.cy * d.h) // 8 AS y0, ((cy.cy + 1) * d.h) // 8 AS y1,
-        |    (4 * d.w) // 9 AS px0, (5 * d.w) // 9 AS px1,
-        |    (3 * d.h) // 8 AS py0, (4 * d.h) // 8 AS py1
-        |  FROM dims d,
-        |    (SELECT unnest(range(8)) AS cy) cy,
-        |    (SELECT unnest(range(9)) AS cx) cx
-        |), lum AS (
-        |  SELECT img, cy, cx,
-        |    CASE WHEN pert AND x >= px0 AND x < px1
-        |              AND y >= py0 AND y < py1
-        |      THEN (77 * least(((base >> 16) & 255) + 12, 255)
-        |          + 151 * least(((base >> 8) & 255) + 12, 255)
-        |          + 28 * least((base & 255) + 12, 255)) >> 8
-        |      ELSE (77 * ((base >> 16) & 255)
-        |          + 151 * ((base >> 8) & 255)
-        |          + 28 * (base & 255)) >> 8
-        |    END AS luma
-        |  FROM (
-        |    SELECT c.*, xs.x, ys.y,
-        |      ((c.src * 31) + (xs.x * 7) + (ys.y * 131)) & 16777215 AS base
-        |    FROM cells c,
-        |      unnest(range(c.x0, c.x1)) AS xs(x),
-        |      unnest(range(c.y0, c.y1)) AS ys(y)
-        |  ) p
-        |), avgs AS (
-        |  SELECT img, cy, cx, SUM(luma) // COUNT(*) AS a
-        |  FROM lum GROUP BY 1, 2, 3
-        |)
-        |SELECT a.img AS doc_id,
-        |  CAST(SUM(CASE WHEN b.a > a.a AND (a.cy * 8 + a.cx) >= 32
-        |    THEN (CAST(1 AS BIGINT) << (a.cy * 8 + a.cx - 32))
-        |    ELSE 0 END) AS BIGINT) AS sig_hi,
-        |  CAST(SUM(CASE WHEN b.a > a.a AND (a.cy * 8 + a.cx) < 32
-        |    THEN (CAST(1 AS BIGINT) << (a.cy * 8 + a.cx))
-        |    ELSE 0 END) AS BIGINT) AS sig_lo
-        |FROM avgs a
-        |JOIN avgs b ON b.img = a.img AND b.cy = a.cy AND b.cx = a.cx + 1
-        |WHERE a.cx < 8
-        |GROUP BY 1
-        |ORDER BY doc_id""".stripMargin,
+    "d52b_dhash_bits" -> (s"WITH ${dhashSigCtes("")}\n" +
+      """SELECT img AS doc_id, sig_hi, sig_lo FROM dsigs
+        |ORDER BY doc_id""".stripMargin),
+
+    // d68: the perceptual dedup COMPOSITION brute-forced — the d52b
+    // signature arithmetic on an md5-sliced corpus, ALL pairs at
+    // hamming <= 2 (split-half bit_count == the 64-bit popcount),
+    // the transitive closure via the d27 recursive-CTE discipline,
+    // min-id survivors
+    "d68_image_dedup" -> (s"WITH RECURSIVE ${dhashSigCtes(
+        " AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'")},\n" +
+      """pairs AS (
+        |  SELECT a.img AS id_a, b.img AS id_b
+        |  FROM dsigs a JOIN dsigs b ON b.img > a.img
+        |   AND bit_count(xor(a.sig_hi, b.sig_hi))
+        |     + bit_count(xor(a.sig_lo, b.sig_lo)) <= 2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT img AS doc_id FROM dsigs
+        |WHERE img NOT IN (SELECT id FROM comp WHERE component <> id)
+        |ORDER BY doc_id""".stripMargin),
 
     // d64's oracle twin: WAV PCM is lossless and the planted sample
     // bytes are doc_id arithmetic, so every fingerprint bit
