@@ -1157,6 +1157,62 @@ object Similarity {
       idCol, vecCol, k)
   }
 
+  /** RANGE search against a [[buildAnnIndex]] index: every indexed
+    * vector within L2 distance² <= `radius2` of each query, EXACT
+    * within the `nprobe` probed cells (the IVF recall gate — a
+    * neighbor living in an unprobed cell is unseen; the standard IVF
+    * contract, disclosed). Unlike the top-k path there is NO ADC
+    * shortlist stage: an approximate shortlist cut could drop a true
+    * in-range vector, and a range query has no k to size one by —
+    * the probed cells' vectors are scored exactly instead. The
+    * probed-cell IN literal is pushed into the scan; because the
+    * index files are bucketed BY cell_id, each file holds only its
+    * bucket's cells and the pushed filter prunes at file/row-group
+    * granularity from footer stats. (Catalyst's
+    * DisableUnnecessaryBucketedScan drops the bucketed-scan form
+    * here — a bare projection has no distribution requirement — so
+    * the plan shows PushedFilters rather than SelectedBucketsCount;
+    * compose the result into any aggregate/join, the common shape,
+    * and the bucket-set pruning re-engages as in the top-k path.)
+    * Returns (query_id, neighbor_id, dist2): exact squared L2,
+    * self excluded; the empty result is a valid answer (nothing in
+    * range among probed cells). */
+  def annRangeAgainstIndex(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      name: String,
+      radius2: Double,
+      nprobe: Int = 4): DataFrame = {
+    require(radius2 >= 0, s"radius2 must be >= 0, got $radius2")
+    val spark = queries.sparkSession
+    val meta = spark.table(s"${name}_meta").head()
+    val nlist = meta.getAs[Int]("nlist")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"need 1 <= nprobe <= nlist, got $nprobe/$nlist")
+    val cellCents = spark.table(s"${name}_cents").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        explode(slice(
+          sort_array(array(l2CellStructs(cellCents, col(vecCol)): _*)),
+          1, nprobe)).as("__probe"))
+      .select(col("query_id"), col("__qv"),
+        col("__probe").getField("cell_id").as("cell_id"))
+    val probed = q.select(col("cell_id")).distinct().collect()
+      .map(_.getLong(0)).toSeq
+    spark.table(s"${name}_vectors")
+      .filter(col("cell_id").isin(probed: _*))
+      .join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (vecDot(col("__qv"), col("__qv"))
+          - lit(2.0) * vecDot(col("__qv"), col("vec"))
+          + vecDot(col("vec"), col("vec"))).as("dist2"))
+      .filter(col("dist2") <= lit(radius2))
+  }
+
   /** `bits`-bit random-hyperplane signature as a single SQL
     * expression (shift amounts vary per plane, which the DSL lambda
     * can't express — SQL HOFs can). Signature computation is

@@ -1028,6 +1028,29 @@ object DBlock {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // D45b: RANGE search over the persistent ANN index — "everything
+    // within distance r", the dedup/retrieval query shape top-k
+    // can't express (k is unknown; a cut could drop a true in-range
+    // vector, so there is deliberately NO ADC shortlist: the probed
+    // cells' vectors score exactly, still bucket-pruned). The twin
+    // discipline makes it FULLY oracle-checked: int8 vectors +
+    // md5-order centroids → cell assignment, probes and every exact
+    // distance are integer arithmetic DuckDB re-derives; the oracle
+    // reuses the SAME cell CTEs as d50/d58, so index and range
+    // machinery cannot drift.
+    "d69_ann_range" -> ((s, d) => {
+      val q8 = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+      Similarity.buildAnnIndex(q8, "vec_id", "qv", name = "d69_idx",
+        nlist = 16, m = 4, ksub = 8, md5Sig = true)
+      Similarity.annRangeAgainstIndex(q8.filter(col("vec_id") < 50),
+        "vec_id", "qv", name = "d69_idx", radius2 = 160000.0, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          col("dist2").cast("long").as("dist2"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // D38 composition: sequence packing driven by REAL BPE counts —
     // the re-base the D38 `real` flag promises, proven end to end
     // with an oracle (the d51 merge-chain CTEs feed the d32 prefix-
@@ -1303,11 +1326,14 @@ object DBlock {
     "republishes verbatim with a data table and a value summary " +
     "the wire service distributes to partner outlets"
 
-  /** The d50 IVF-PQ md5-twin oracle, shared verbatim with the
-    * d58 persistent-index entry (index read must equal direct
-    * computation bit for bit). */
-  private val ivfPqTwinSql: String =
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** The shared IVF-cell CTE prefix of the int8+md5 twin oracles:
+    * quantized vectors `q`, md5-order cell centroids (nlist 16),
+    * nearest-cell assignment `ccells`, and per-query probed cells
+    * `cprobes` (nprobe 4, queries vec_id < 50) — reused by the
+    * d50/d58 IVF-PQ oracle and the d69 range-search oracle so the
+    * cell machinery cannot drift between them. */
+  private val ivfCellCtes: String =
+    """v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |mm AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
         |q AS (SELECT vec_id,
         |  CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
@@ -1328,8 +1354,14 @@ object DBlock {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rk
         |  FROM cdist),
         |ccells AS (SELECT vec_id AS neighbor_id, cell_id FROM cass WHERE rk = 1),
-        |cprobes AS (SELECT vec_id AS query_id, cell_id FROM cass WHERE rk <= 4 AND vec_id < 50),
-        |cent AS (
+        |cprobes AS (SELECT vec_id AS query_id, cell_id FROM cass WHERE rk <= 4 AND vec_id < 50)""".stripMargin
+
+  /** The d50 IVF-PQ md5-twin oracle, shared verbatim with the
+    * d58 persistent-index entry (index read must equal direct
+    * computation bit for bit). */
+  private val ivfPqTwinSql: String =
+    s"WITH $ivfCellCtes,\n" +
+    """cent AS (
         |  SELECT vec_id AS cid, q AS cq FROM q
         |  ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT, vec_id
         |  LIMIT 8),
@@ -2602,6 +2634,26 @@ object DBlock {
     // proves index build + pruned read == direct computation, the
     // d46 "screen == direct" proof shape for ANN.
     "d58_ann_index" -> ivfPqTwinSql,
+
+    // range search brute-forced on the SAME cell CTEs as d50/d58:
+    // every (probed cell, resident) pair scored with the exact
+    // integer distance, filtered at the radius — no shortlist to
+    // mirror because the Spark path deliberately has none
+    "d69_ann_range" -> (s"WITH $ivfCellCtes,\n" +
+      """ex AS (
+        |  SELECT p.query_id, cc.neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.q)+1), i ->
+        |      (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)])
+        |      * (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)]))) AS BIGINT)
+        |      AS dist2
+        |  FROM cprobes p
+        |  JOIN ccells cc ON cc.cell_id = p.cell_id
+        |  JOIN q a ON a.vec_id = p.query_id
+        |  JOIN q b ON b.vec_id = cc.neighbor_id
+        |  WHERE cc.neighbor_id <> p.query_id)
+        |SELECT query_id, neighbor_id, dist2 FROM ex
+        |WHERE dist2 <= 160000
+        |ORDER BY query_id, neighbor_id""".stripMargin),
 
     "d51_bpe_tokens" -> bpeTokensSql,
     "d59_bpe_pack" -> bpePackSql,

@@ -239,6 +239,62 @@ class SimilaritySpec extends AnyFunSuite {
     assert(served.count() == 5)
   }
 
+  test("range search: exact within probed cells, radius-monotone, bucket-pruned, empty is valid") {
+    import org.apache.spark.sql.functions.col
+    val q8 = q8corpus
+    Similarity.buildAnnIndex(q8, "vec_id", "qv", name = "t_ann_range",
+      nlist = 8, m = 4, ksub = 8, md5Sig = true, numBuckets = 4)
+    val queries = q8.filter(col("vec_id") < 5)
+    def rows(r2: Double) = Similarity.annRangeAgainstIndex(
+      queries, "vec_id", "qv", name = "t_ann_range",
+      radius2 = r2, nprobe = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        -> r.getAs[Double]("dist2")).toMap
+    val r1 = rows(200000.0)
+    assert(r1.nonEmpty, "expected some in-range neighbors")
+    // every reported distance is genuinely exact squared L2 and
+    // within the radius — recomputed from the raw vectors
+    val vecs = q8.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    r1.foreach { case ((q, n), d2) =>
+      val (a, b) = (vecs(q), vecs(n))
+      val exact = a.zip(b).map { case (x, y) =>
+        (x - y).toDouble * (x - y) }.sum
+      assert(math.abs(exact - d2) < 1e-6, s"($q,$n): $exact vs $d2")
+      assert(d2 <= 200000.0 && q != n)
+    }
+    // radius monotonicity: a smaller radius returns exactly the
+    // subset within it
+    val r0 = rows(120000.0)
+    assert(r0 == r1.filter(_._2 <= 120000.0))
+    // a radius below every pair distance returns EMPTY — a valid
+    // answer, not an error
+    assert(rows(1.0).isEmpty)
+    // the probed-cell literal reaches the scan (file/row-group
+    // pruning on the cell-bucketed files; a bare range projection
+    // has no distribution requirement, so Catalyst may drop the
+    // bucketed-scan FORM — the operator scaladoc documents it — but
+    // the pushed IN filter must always be there, and composing into
+    // an aggregate restores SelectedBucketsCount like top-k)
+    val plan = Similarity.annRangeAgainstIndex(
+      q8.filter(col("vec_id") === 0), "vec_id", "qv",
+      name = "t_ann_range", radius2 = 200000.0, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[In\\(cell_id".r.findFirstIn(plan).nonEmpty,
+      s"probed-cell filter not pushed:\n${plan.take(3000)}")
+    val agg = Similarity.annRangeAgainstIndex(
+      q8.filter(col("vec_id") === 0), "vec_id", "qv",
+      name = "t_ann_range", radius2 = 200000.0, nprobe = 2)
+      .groupBy(col("query_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)))
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of 4".r
+      .findFirstMatchIn(agg)
+    assert(sel.nonEmpty, s"no bucket pruning under the agg:\n${agg.take(3000)}")
+    assert(sel.get.group(1).toInt <= 2, agg.take(3000))
+  }
+
   test("persistent ANN index append: new vectors encode with stored codebooks and become findable") {
     import org.apache.spark.sql.functions.col
     val q8 = q8corpus
