@@ -82,7 +82,16 @@ object ScaleProbe {
     "d64_audio_neardup",    // WAV decode + fingerprint + hamming
     "d65_trigram_logprob",  // trigram agg + distinct-table backoff joins
     "d66_bpe_budget_train", // budget slice + training rounds (flat-ish)
-    "d67_sim_index_screen") // sig index build + chunk-join screen
+    "d67_sim_index_screen", // sig index build + chunk-join screen
+    // r13 session-3 additions. d70's postings stream is the QUERY
+    // terms' only, so near-10× (the filtered stream scales with the
+    // corpus). d72's expectation is NOT 10×: the token budget is
+    // fixed (the d66 argument), only the offsets pass scales.
+    "d70_bm25_topk",        // filtered postings + broadcast df/stats
+    "d71_url_dedup",        // canonicalize scan + hash agg + join-back
+    "d72_mixture_sample",   // two-phase per-stratum prefix (fixed budget)
+    "d73_nb_classifier",    // train counts + scoring on reused exchange
+    "d74_nb_model_score")   // train + broadcast-served scoring
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

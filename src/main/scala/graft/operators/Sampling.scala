@@ -187,6 +187,150 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Mixture-matching sampler — the data-mixing cut that turns "the
+    * training set is W% web, X% books, Y% code, inside a budget of B
+    * tokens" into a document set (the Pile / Gopher / LLaMA mixture
+    * table made executable). Each stratum s gets an integer token
+    * allowance
+    *
+    *   allowance(s) = rawWeight(s) · B  div  Σ_s rawWeight(s)
+    *
+    * (pure integer arithmetic — no float shares to drift across
+    * engines), and within each stratum documents are kept in
+    * deterministic md5(seed|id)-priority order as the longest prefix
+    * whose token total fits the allowance — [[graft.operators
+    * .Packing.budgetSelect]]'s prefix-cut semantics per stratum
+    * (a doc that would overflow is dropped and so is everything
+    * after it: monotone in priority, so the cut stays auditable).
+    *
+    * `rawWeight` must be a function of the stratum (one integer per
+    * stratum, riding the rows); an in-plan-derived guard RAISES on
+    * an inconsistent weight column rather than silently averaging.
+    *
+    * Scale shape: [[shuffleShard]]'s two-phase prefix-sum discipline
+    * with token SUMS instead of counts — a (stratum, priority) range
+    * layout pinned once (checkpoint; see sequencePack on why), phase
+    * 1 collects per-(partition, stratum) token totals (narrow,
+    * ≤ partitions·|strata| rows), the driver prefix-sums them into
+    * bases, phase 2 assigns within-stratum running offsets
+    * partition-locally — NEVER `sum() OVER (PARTITION BY stratum)`,
+    * whose WindowExec buffers a whole stratum (~corpus/|strata|
+    * rows) in one task. The allowance comparison is a scan filter
+    * on the result.
+    *
+    * Returns (idCol, strataCol, n_tokens, start_off) for kept rows —
+    * start_off is the within-stratum exclusive prefix total, so
+    * start_off + n_tokens <= allowance(stratum) for every survivor.
+    * Null id/stratum/token rows are dropped. `reliable = true` swaps
+    * the layout pin to a reliable checkpoint (the sequencePack
+    * contract). */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      tokens: Column,
+      rawWeight: Column,
+      budget: Long,
+      seed: String = "mix",
+      partitions: Int = 32,
+      reliable: Boolean = false): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    val pr = Dedup.md5Hash60(
+      concat(lit(seed), lit("|"), col(idCol).cast("string")))
+    val base = df
+      .filter(col(idCol).isNotNull && col(strataCol).isNotNull)
+      .select(col(idCol), col(strataCol).cast("string").as("__s"),
+        tokens.cast("long").as("__n"), rawWeight.cast("long").as("__w"),
+        pr.as("__p"))
+      .filter(col("__n").isNotNull)
+    // per-stratum integer allowances: bounded driver pull (|strata|
+    // rows), fail-loud on a weight column that is not a function of
+    // the stratum, overflow-guarded multiply
+    val wRows = base.groupBy(col("__s"))
+      .agg(min(col("__w")).as("lo"), max(col("__w")).as("hi"))
+      .collect()
+      .map { r =>
+        val (s, lo, hi) = (r.getString(0), r.getLong(1), r.getLong(2))
+        require(lo == hi,
+          s"mixtureSample: rawWeight inconsistent within stratum $s " +
+            s"($lo vs $hi) — it must be a function of the stratum")
+        require(lo > 0, s"mixtureSample: rawWeight must be > 0 " +
+          s"(stratum $s has $lo)")
+        s -> lo
+      }
+    val totalW = wRows.map(_._2).sum
+    val allowance: Map[String, Long] = wRows.map { case (s, w) =>
+      require(w == 0 || math.abs(budget) <= Long.MaxValue / w,
+        s"mixtureSample: rawWeight·budget overflows for stratum $s")
+      s -> (w * budget / totalW)
+    }.toMap
+
+    // range layout over (stratum, priority desc, id), pinned
+    val ranged = base
+      .select(col(idCol), col("__s"), col("__n"), col("__p"))
+      .repartitionByRange(partitions, col("__s"), col("__p").desc,
+        col(idCol))
+    val parts = if (reliable) ranged.checkpoint() else ranged.localCheckpoint()
+
+    // Phase 1: per-(partition, stratum) token totals.
+    val counts = parts
+      .select(spark_partition_id().as("__pid"), col("__s"), col("__n"))
+      .groupBy(col("__pid"), col("__s"))
+      .agg(sum(col("__n")).as("__t"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+    // Driver prefix sum per stratum across partitions in range order.
+    val bases: Map[(Int, String), Long] = counts
+      .groupBy(_._1._2)
+      .iterator.flatMap { case (s, entries) =>
+        var acc = 0L
+        entries.sortBy(_._1._1).map { case ((pid, _), t) =>
+          val r = (pid, s) -> acc; acc += t; r
+        }
+      }.toMap
+
+    // Phase 2: partition-local running token offsets on the SAME
+    // pinned layout.
+    val idField = df.schema(idCol)
+    val outSchema = StructType(Seq(idField,
+      StructField("__s", org.apache.spark.sql.types.StringType,
+        nullable = false),
+      StructField("n_tokens", org.apache.spark.sql.types.LongType,
+        nullable = false),
+      StructField("start_off", org.apache.spark.sql.types.LongType,
+        nullable = false)))
+    val offsets = parts
+      .sortWithinPartitions(col("__s"), col("__p").desc, col(idCol))
+      .select(spark_partition_id().as("__pid"), col(idCol), col("__s"),
+        col("__n"))
+      .mapPartitions { rows =>
+        var curStratum: String = null
+        var run = 0L
+        rows.map { r =>
+          val s = r.getString(2)
+          if (s != curStratum) {
+            curStratum = s
+            run = bases.getOrElse((r.getInt(0), s), 0L)
+          }
+          val n = r.getLong(3)
+          val out = Row(r.get(1), s, n, run)
+          run += n
+          out
+        }
+      }(Encoders.row(outSchema))
+
+    // allowance as a literal CASE over the bounded strata set (the
+    // capPerStratum threshold-fold shape), then the prefix-cut filter
+    val allowCol = allowance.foldLeft(lit(-1L): Column) {
+      case (acc, (s, a)) => when(col("__s") === s, lit(a)).otherwise(acc)
+    }
+    offsets
+      .filter(col("start_off") + col("n_tokens") <= allowCol)
+      .select(col(idCol), col("__s").as(strataCol), col("n_tokens"),
+        col("start_off"))
+  }
+
   /** Deterministic global shuffle + sharding — the last pass before
     * a training run: assign every document a shard and a position
     * within it, so the corpus streams to the trainer in a fixed

@@ -741,4 +741,266 @@ object TextAnalysis {
         size(regexp_extract_all(afterIp, lit(numRe), lit(0)))
           .as("n_digit_runs"))
   }
+
+  /** Multinomial Naive-Bayes document classifier, trained and applied
+    * in one plan — the fastText-shaped quality/domain filter of the
+    * GPT-3 / CCNet lineage (train a cheap linear classifier on a
+    * labeled slice, score the whole corpus, gate on the sign), with
+    * NB's count-based weights instead of SGD so every number is
+    * integer-count arithmetic + ln and the WHOLE op — training and
+    * scoring — is oracle-checked.
+    *
+    * Model, with add-one smoothing over the train vocabulary V:
+    *
+    *   w(t)      = ln((c1(t)+1)/(N1+|V|)) − ln((c0(t)+1)/(N0+|V|))
+    *   log_odds  = ln(D1/D0) + Σ_{tokens} w(t)   (unseen t: c=0 both)
+    *
+    * where c_y(t) are token counts in train docs of class y, N_y
+    * their totals, D_y the train doc counts. Positive log-odds ⇒
+    * class 1.
+    *
+    * Scale shape (the d53/d65 discipline): ONE explode of the full
+    * corpus, ONE explicit term-keyed exchange reused by BOTH the
+    * train-count aggregate (conditional counts — `trainFilter` is
+    * re-evaluated per row from the id, the label rides the stream)
+    * and the scoring stream; the weight table is |train vocab|-sized
+    * and joins back with an exchange-free SHUFFLE_HASH probe (left —
+    * unseen tokens surface as unmatched rows and take the smoothed
+    * floor per DOC, as (n_tokens − matched)·floor after the
+    * aggregate, so no one-row broadcast ever rides the token
+    * stream); N/V and D1/D0 are one-row broadcasts at the doc level.
+    * Never a window. The scoring aggregate groups by (doc_id, y) —
+    * y is functionally dependent on doc_id, so the result is
+    * unchanged, but as a grouping key it survives column pruning and
+    * keeps the two branches' exchange subtrees canonically equal for
+    * ReuseExchange (the d53 count(doc_id) discipline).
+    *
+    * `trainFilter` must be a deterministic predicate over `idCol`
+    * (it is re-evaluated inside the aggregate); `label` is any
+    * non-null boolean row predicate. Both train classes must be
+    * non-empty — an in-plan guard RAISES otherwise (a silent ±inf
+    * prior would poison every score).
+    *
+    * Returns (doc_id, n_tokens, log_odds, pred): log_odds rounded to
+    * 4 decimals (§6 rule), pred = rounded log_odds > 0 so the gate
+    * decision itself is engine-reproducible. Null id/text/label rows
+    * are dropped. */
+  def nbLogOdds(docs: DataFrame, idCol: String, textCol: String,
+      label: Column, trainFilter: Column): DataFrame = {
+    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+      label.isNotNull)
+    val keyed = live
+      .select(col(idCol), label.as("y"),
+        explode(Dedup.tokens(col(textCol))).as("term"))
+      // split() never yields nulls — explicit so the join-back's
+      // pushed IsNotNull is a no-op and the exchange subtrees stay
+      // canonically equal (the d53 ReuseExchange discipline)
+      .filter(col("term").isNotNull)
+      .repartition(col("term"))
+    val (weights, floor0, dstats) =
+      nbTrainParts(keyed, live, idCol, label, trainFilter)
+    // the unseen-token weight is one scalar — applied per DOC as
+    // (n_tokens − matched)·floor AFTER the aggregate, so the one-row
+    // broadcast never rides the token stream. `y` is a GROUPING key
+    // (functionally dependent on doc_id) purely so column pruning
+    // cannot strip it from the scoring branch and break ReuseExchange
+    // with the count branch; the output projection drops it.
+    val scored = keyed
+      .join(weights.hint("SHUFFLE_HASH"), Seq("term"), "left")
+      .groupBy(col(idCol).as("doc_id"), col("y"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("__w")).as("__m"),
+        sum(col("__w")).as("__sw"))
+    scored.crossJoin(broadcast(floor0)).crossJoin(broadcast(dstats))
+      .select(col("doc_id"), col("n_tokens"),
+        round(nbPrior + (coalesce(col("__sw"), lit(0.0)) +
+          (col("n_tokens") - col("__m")).cast("double") * col("__fl")),
+          4).as("log_odds"))
+      .withColumn("pred", col("log_odds") > 0)
+  }
+
+  /** The prior ln(D1/D0) with the fail-loud empty-class guard, over
+    * (d1, d0) columns — shared by the inline and persisted-model
+    * scoring paths so their arithmetic cannot drift. */
+  private def nbPrior: Column =
+    when(col("d1") > 0 && col("d0") > 0,
+      log(col("d1").cast("double") / col("d0").cast("double")))
+      .otherwise(raise_error(lit(
+        "nbLogOdds: a train class is empty — prior undefined")))
+
+  /** The training half of [[nbLogOdds]], shared verbatim with
+    * [[trainNbModel]]: per-term conditional counts over the keyed
+    * token stream (vocab = any train occurrence), the |vocab|-sized
+    * add-one weight table, the one-row unseen floor and the one-row
+    * train-doc class counts. trainFilter re-evaluates from the id
+    * inside the count — see trigramLogProb on why it is not
+    * materialized as a column. */
+  private def nbTrainParts(keyed: DataFrame, live: DataFrame,
+      idCol: String, label: Column, trainFilter: Column)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val counts = keyed.groupBy(col("term"))
+      .agg(count(when(trainFilter && col("y"), col(idCol))).as("c1"),
+        count(when(trainFilter && !col("y"), col(idCol))).as("c0"))
+      .filter(col("c1") + col("c0") > 0)
+    val nv = counts.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"),
+      count(lit(1)).as("v"))
+    val dstats = live.filter(trainFilter)
+      .agg(count(when(label, col(idCol))).as("d1"),
+        count(when(!label, col(idCol))).as("d0"))
+    val weights = counts.crossJoin(broadcast(nv))
+      .select(col("term"),
+        (log((col("c1").cast("double") + 1.0) /
+          (col("n1") + col("v")).cast("double")) -
+          log((col("c0").cast("double") + 1.0) /
+            (col("n0") + col("v")).cast("double"))).as("__w"))
+    val floor0 = nv.select(
+      (log(lit(1.0) / (col("n1") + col("v")).cast("double")) -
+        log(lit(1.0) / (col("n0") + col("v")).cast("double")))
+        .as("__fl"))
+    (weights, floor0, dstats)
+  }
+
+  /** Trains the [[nbLogOdds]] model ONCE and persists it — the
+    * classifier analog of the D35/D45 index-once pattern: at 100 TB
+    * you do not re-count the training slice per scored batch (and a
+    * STREAMING scorer cannot — a per-batch retrain would be a
+    * stream-batch dependency cycle). Two warehouse tables:
+    * `<name>_weights` (term, w — the |train vocab|-sized add-one
+    * log-ratio table) and `<name>_meta` (one row: fl, d1, d0 — the
+    * unseen floor and the prior's class counts, stored as the raw
+    * LONGS so the scoring path recomputes ln(d1/d0) with the exact
+    * arithmetic the inline path uses). [[openNbModel]] re-registers
+    * both across a restart; [[scoreWithNbModel]] serves from them. */
+  def trainNbModel(docs: DataFrame, idCol: String, textCol: String,
+      label: Column, trainFilter: Column, name: String): Unit = {
+    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+      label.isNotNull)
+    val keyed = live
+      .select(col(idCol), label.as("y"),
+        explode(Dedup.tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
+      .repartition(col("term"))
+    val (weights, floor0, dstats) =
+      nbTrainParts(keyed, live, idCol, label, trainFilter)
+    graft.sources.Bucketing.writeTable(
+      weights.select(col("term"), col("__w").as("w")), s"${name}_weights")
+    graft.sources.Bucketing.writeTable(
+      floor0.crossJoin(dstats)
+        .select(col("__fl").as("fl"), col("d1"), col("d0")),
+      s"${name}_meta")
+  }
+
+  /** Re-registers a persisted NB model's tables in a fresh session
+    * (the openDedupIndex contract). */
+  def openNbModel(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit =
+    Seq(s"${name}_weights", s"${name}_meta").foreach { t =>
+      require(graft.sources.Bucketing.registerExisting(spark, t, None),
+        s"no persisted NB model named '$name' in the warehouse")
+    }
+
+  /** Scores documents against a persisted NB model — the fastText
+    * serving shape: the |vocab|-sized weight table BROADCASTS onto
+    * the exploded token stream (a pure map-side join — a scored
+    * batch never shuffles its tokens; if a vocabulary ever outgrows
+    * the broadcast threshold the join degrades to SHUFFLE_HASH, not
+    * to a failure), the per-doc aggregate's map-side partial
+    * collapses each document's tokens WITHIN its input partition
+    * (a document's tokens are co-located by construction — they come
+    * from one row), and floor/prior apply per doc from the one-row
+    * meta broadcast. Composes with a streaming foreachBatch loop
+    * unchanged — scoring is stateless given the model. Output and
+    * arithmetic are IDENTICAL to [[nbLogOdds]] on the same corpus:
+    * the d58 "index == direct" discipline, oracle-checkable with the
+    * inline query's SQL verbatim. */
+  def scoreWithNbModel(docs: DataFrame, idCol: String, textCol: String,
+      name: String): DataFrame = {
+    val spark = docs.sparkSession
+    val weights = spark.table(s"${name}_weights")
+      .select(col("term"), col("w").as("__w"))
+    val meta = spark.table(s"${name}_meta")
+    val toks = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
+    toks
+      .join(broadcast(weights), Seq("term"), "left")
+      .groupBy(col(idCol).as("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("__w")).as("__m"),
+        sum(col("__w")).as("__sw"))
+      .crossJoin(broadcast(meta.select(col("fl").as("__fl"),
+        col("d1"), col("d0"))))
+      .select(col("doc_id"), col("n_tokens"),
+        round(nbPrior + (coalesce(col("__sw"), lit(0.0)) +
+          (col("n_tokens") - col("__m")).cast("double") * col("__fl")),
+          4).as("log_odds"))
+      .withColumn("pred", col("log_odds") > 0)
+  }
+
+  /** Tracking query parameters stripped by [[canonicalizeUrl]]:
+    * analytics/click identifiers that vary per referral without
+    * changing the resource (the RefinedWeb/CCNet URL-dedup
+    * convention). The pattern is shared verbatim with the oracle. */
+  val trackingParamRe: String = "^(utm_[^=]*|fbclid|gclid|ref)="
+
+  /** URL canonicalization — the normalization pass ahead of URL-keyed
+    * dedup in a web-crawl pipeline (two crawls of the same resource
+    * differ in case, default ports, tracking params, param order,
+    * fragments and trailing slashes; content dedup would catch them
+    * late, AFTER paying fetch + extract — the URL key catches them
+    * at the frontier):
+    *
+    *   1. drop the fragment (`#...`)
+    *   2. lowercase scheme and host (path/query stay case-sensitive)
+    *   3. drop default ports (http:80, https:443); keep others
+    *   4. strip trailing slashes from the path
+    *   5. drop tracking params ([[trackingParamRe]]), SORT the rest
+    *      (param order is transport noise), drop an empty query
+    *
+    * Pure built-in string functions (regexp_extract/replace, split,
+    * filter, array_sort) — a codegen'd scan projection, zero
+    * shuffles, and every step has an exact DuckDB mirror. ASCII
+    * URLs by contract (no IDN/percent-decoding — decoding is NOT
+    * idempotent and belongs upstream). */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = regexp_extract(noFrag, "^[^/]*//([^/?#]*)", 1)
+    val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val portPart = when(port === "" ||
+      (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val rest = regexp_extract(noFrag, "^[^/]*//[^/?#]*(.*)$", 1)
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1),
+      "/+$", "")
+    val q = regexp_extract(rest, "\\?(.*)$", 1)
+    val params = filter(split(q, "&"),
+      p => !(p.rlike(trackingParamRe) || p === ""))
+    val qs = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, portPart, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  /** URL-keyed dedup over [[canonicalizeUrl]]: exact keep-one on the
+    * canonical key — [[Dedup.exact]]'s hash-groupBy shape (one
+    * uniform-keyed aggregate + an exchange-free SHUFFLE_HASH join
+    * back; the canonical URL IS the content hash here, no windows).
+    * Returns every input row as (idCol, urlCol, canon_url, keeper)
+    * with keeper = "this row is its canonical group's min-id" — the
+    * survivor set AND the provenance in one output, the d21 keep-one
+    * convention. Null id/url rows are dropped. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val canon = df
+      .filter(col(idCol).isNotNull && col(urlCol).isNotNull)
+      .select(col(idCol), col(urlCol),
+        canonicalizeUrl(col(urlCol)).as("canon_url"))
+    val keep = canon.groupBy(col("canon_url"))
+      .agg(min(col(idCol)).as("__keeper"))
+    canon.join(keep.hint("SHUFFLE_HASH"), Seq("canon_url"))
+      .select(col(idCol), col(urlCol), col("canon_url"),
+        (col(idCol) === col("__keeper")).as("keeper"))
+  }
 }

@@ -746,6 +746,84 @@ object DBlock {
         "text", trainFilter = d60Slice)
         .orderBy(col("doc_id"))),
 
+    // D52: Okapi BM25 ranked retrieval — the "query the corpus"
+    // primitive (targeted exploration, retrieval-backed decontam,
+    // eval mining). The corpus is never inverted: the query-term
+    // isin filter sits map-side under the explode, so only |Q|
+    // terms' postings shuffle; df/N/avgdl derive from the postings
+    // aggregate + one broadcast one-row; top-k is
+    // TakeOrderedAndProject. k1/b chosen exactly representable
+    // (1.5/0.75) so both engines' literal arithmetic is identical.
+    // Fully oracle-checked: DuckDB re-derives tf, df, idf and the
+    // rounded score sum from raw text.
+    "d70_bm25_topk" -> ((s, d) =>
+      graft.operators.Retrieval.bm25TopK(Tables.documents(s, d),
+        "doc_id", "text", queryTerms = d70Terms, topK = 20,
+        k1 = 1.5, b = 0.75)),
+
+    // D53: URL canonicalization + URL-keyed dedup — the frontier
+    // dedup ahead of fetch/extract (two crawls of one resource
+    // differ in case, default ports, tracking params, param order,
+    // fragments, trailing slashes). URLs are PLANTED from doc_id
+    // arithmetic (the d44 discipline) so every rule fires on the
+    // synthetic corpus and DuckDB re-derives both the planting and
+    // the canonicalization; keep-one is the d1 hash-groupBy shape
+    // on the canonical key. Fully oracle-checked.
+    "d71_url_dedup" -> ((s, d) =>
+      TextAnalysis.urlDedup(
+        Tables.documents(s, d)
+          .filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), plantedUrl.as("url")),
+        "doc_id", "url")
+        .orderBy(col("doc_id"))),
+
+    // D54: mixture-matching sampler — the Pile/Gopher/LLaMA data-
+    // mixing table made executable: integer per-stratum allowances
+    // from raw weights × a global token budget, then a per-stratum
+    // md5-priority prefix cut via the two-phase prefix-sum (never a
+    // per-stratum window). Raw weights derive from the source name
+    // (suffix % 3 + 1) so all 20 strata carry unequal shares both
+    // engines can re-derive. Fully oracle-checked.
+    "d72_mixture_sample" -> ((s, d) =>
+      Sampling.mixtureSample(
+        Tables.documents(s, d).filter(col("text").isNotNull),
+        "doc_id", "source",
+        tokens = size(Dedup.tokens(col("text"))).cast("long"),
+        rawWeight = substring(col("source"), 4, 10).cast("int") % 3 + 1,
+        budget = d72Budget, seed = "mix")
+        .orderBy(col("doc_id"))),
+
+    // D55: Naive-Bayes document classifier, train→score in one plan
+    // — the fastText-shaped quality/domain gate of the GPT-3/CCNet
+    // lineage with count-based weights instead of SGD, so training
+    // AND scoring are exact integer-count + ln arithmetic and the
+    // whole op is oracle-checked. Trains on the d60 md5-quarter
+    // (labels: lang == 'en'), scores every document; one explode,
+    // one term-keyed exchange reused by the count aggregate and the
+    // scoring stream, |vocab|-sized SHUFFLE_HASH join-back, one-row
+    // broadcasts for N/V and the prior. Zero windows.
+    "d73_nb_classifier" -> ((s, d) =>
+      TextAnalysis.nbLogOdds(Tables.documents(s, d), "doc_id", "text",
+        label = col("lang") === "en", trainFilter = d60Slice)
+        .orderBy(col("doc_id"))),
+
+    // D55b: the PERSISTED form of d73 — train once into warehouse
+    // tables (weights + one-row meta), score from the stored model
+    // via a broadcast map-side join (the fastText serving shape; a
+    // scored batch never shuffles its tokens). Oracle is d73's SQL
+    // VERBATIM — one string, two entries: the hash-match proves
+    // persisted-model scoring == inline train+score, the d58
+    // "index == direct" discipline applied to the classifier.
+    "d74_nb_model_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.trainNbModel(docs, "doc_id", "text",
+        label = col("lang") === "en", trainFilter = d60Slice,
+        name = "d74_model")
+      TextAnalysis.scoreWithNbModel(docs.filter(col("lang").isNotNull),
+        "doc_id", "text", "d74_model")
+        .orderBy(col("doc_id"))
+    }),
+
     // D25: exact substring-level dedup — maximal cross-doc repeated
     // >= 8-token spans (the "deduplicating training data" pass that
     // doc-level dedup misses: shared boilerplate inside otherwise
@@ -1177,6 +1255,55 @@ object DBlock {
     * by a token budget" knob made real — training text is bounded by
     * trainer economics, not a hard-coded corpus fraction. */
   private val d66Budget = 20000L
+
+  /** d70's query terms — corpus-vocabulary words with distinct
+    * document frequencies so idf actually differentiates. */
+  private val d70Terms = Seq("customer", "vector", "merge", "spark")
+
+  /** d72's global token budget (~30% of the sf0.01 corpus; a FIXED
+    * budget, so like d66 the cut cost stays flat as the corpus
+    * grows — that is the correct mixture-cut scaling, not a bug). */
+  private val d72Budget = 8000L
+
+  /** d71's planted URL (the d44 discipline: every canonicalization
+    * rule derivable from doc_id arithmetic, mirrored verbatim in
+    * [[plantedUrlSql]]). Scheme case + default-vs-kept ports +
+    * host case + trailing slash + tracking params in three
+    * permutations + fragments; canonical identity collapses to
+    * (id%4, id%5, id%3==1 | via id%2), ~40 classes over the corpus. */
+  private def plantedUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      when(id % 2 === 0, "https").otherwise("HTTP"),
+      lit("://WWW.Example"), (id % 5).cast("string"), lit(".COM"),
+      when(id % 3 === 0,
+        when(id % 2 === 0, ":443").otherwise(":80"))
+        .when(id % 3 === 1, ":8080").otherwise(""),
+      lit("/A/b"), (id % 4).cast("string"),
+      when(id % 2 === 0, "/").otherwise(""),
+      when(id % 3 === 0, "?utm_source=feed&b=2&a=1")
+        .when(id % 3 === 1,
+          concat(lit("?b=2&fbclid=x"), (id % 7).cast("string"),
+            lit("&a=1")))
+        .otherwise("?a=1&b=2"),
+      when(id % 2 === 1, concat(lit("#s"), (id % 6).cast("string")))
+        .otherwise(""))
+  }
+
+  private val plantedUrlSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) ||
+      |'://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM' ||
+      |(CASE WHEN doc_id % 3 = 0 THEN
+      |   (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+      | WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+      |'/A/b' || CAST(doc_id % 4 AS VARCHAR) ||
+      |(CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+      |(CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+      | WHEN doc_id % 3 = 1 THEN
+      |   '?b=2&fbclid=x' || CAST(doc_id % 7 AS VARCHAR) || '&a=1'
+      | ELSE '?a=1&b=2' END) ||
+      |(CASE WHEN doc_id % 2 = 1 THEN '#s' || CAST(doc_id % 6 AS VARCHAR)
+      | ELSE '' END)""".stripMargin.replace("\n", " ")
 
   /** d66's training-slice predicate in SQL: the
     * [[graft.operators.TextAnalysis.bpeTrainingSlice]] semantics
@@ -1915,6 +2042,53 @@ object DBlock {
        |  CAST((off + greatest(n, 1) - 1) // 2048 AS BIGINT) AS bin_end
        |FROM c ORDER BY doc_id""".stripMargin
   }
+
+  /** d73/d74 shared oracle: the NB classifier re-derived end to end
+    * (see the oracles-map comment). */
+  private val nbClassifierSql: String =
+    s"""WITH base AS (
+        |  SELECT doc_id, (lang = 'en') AS y, $d60SliceSql AS tr,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS ws
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+        |), tok AS (
+        |  SELECT doc_id, y, tr, unnest(ws) AS term FROM base
+        |), cnt AS (
+        |  SELECT term,
+        |    CAST(count(*) FILTER (WHERE tr AND y) AS BIGINT) AS c1,
+        |    CAST(count(*) FILTER (WHERE tr AND NOT y) AS BIGINT) AS c0
+        |  FROM tok GROUP BY term
+        |  HAVING count(*) FILTER (WHERE tr AND y) +
+        |    count(*) FILTER (WHERE tr AND NOT y) > 0
+        |), nv AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c0) AS BIGINT) AS n0,
+        |    CAST(count(*) AS BIGINT) AS v FROM cnt
+        |), ds AS (
+        |  SELECT CAST(count(*) FILTER (WHERE y) AS BIGINT) AS d1,
+        |    CAST(count(*) FILTER (WHERE NOT y) AS BIGINT) AS d0
+        |  FROM base WHERE tr
+        |), w AS (
+        |  SELECT term,
+        |    ln((CAST(c1 AS DOUBLE) + 1.0) / CAST(n1 + v AS DOUBLE)) -
+        |    ln((CAST(c0 AS DOUBLE) + 1.0) / CAST(n0 + v AS DOUBLE)) AS tw
+        |  FROM cnt CROSS JOIN nv
+        |), fl AS (
+        |  SELECT ln(1.0 / CAST(n1 + v AS DOUBLE)) -
+        |    ln(1.0 / CAST(n0 + v AS DOUBLE)) AS fl0 FROM nv
+        |), sc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(w.tw) AS BIGINT) AS m, sum(w.tw) AS sw
+        |  FROM tok LEFT JOIN w USING (term) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  round(ln(CAST(d1 AS DOUBLE) / CAST(d0 AS DOUBLE)) +
+        |    (coalesce(sw, 0.0) + CAST(n_tokens - m AS DOUBLE) * fl0), 4)
+        |    AS log_odds,
+        |  round(ln(CAST(d1 AS DOUBLE) / CAST(d0 AS DOUBLE)) +
+        |    (coalesce(sw, 0.0) + CAST(n_tokens - m AS DOUBLE) * fl0), 4) > 0
+        |    AS pred
+        |FROM sc CROSS JOIN fl CROSS JOIN ds
+        |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d40_incremental_dedup" -> incrementalDedupSql,
@@ -2739,6 +2913,119 @@ object DBlock {
         |  round(avg(logs), 4) AS avg_logp3
         |FROM tg JOIN sd USING (a, b, c)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // d70: BM25 re-derived — tf with the doc length riding the
+    // unnest, df from the (doc, term) aggregate, the one-row corpus
+    // stats, and the identical literal arithmetic (k1 = 1.5 and
+    // b = 0.75 are exactly representable, so every intermediate
+    // double matches bit for bit before the 4-decimal round).
+    "d70_bm25_topk" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(ws)) AS BIGINT) AS sum_dl FROM tok
+        |), post AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+        |    unnest(ws) AS term FROM tok
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+        |    max(dl) AS dl
+        |  FROM post WHERE term IN (${d70Terms.map("'" + _ + "'").mkString(", ")})
+        |  GROUP BY doc_id, term
+        |), dft AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+        |), sc AS (
+        |  SELECT doc_id,
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5) /
+        |        (CAST(df_t AS DOUBLE) + 0.5)) *
+        |      (CAST(tf AS DOUBLE) * 2.5) /
+        |      (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+        |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS w
+        |  FROM tf JOIN dft USING (term) CROSS JOIN st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(sum(w), 4) AS bm25
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // d71: planted URL + the full canonicalization mirror (fragment
+    // strip, scheme/host lowering, default-port drop, trailing-slash
+    // strip, tracking-param filter + param sort) + keep-min dedup.
+    "d71_url_dedup" ->
+      s"""WITH u AS (
+        |  SELECT doc_id, $plantedUrlSql AS url
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), p1 AS (
+        |  SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nofrag
+        |  FROM u
+        |), p2 AS (
+        |  SELECT doc_id, url, nofrag,
+        |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_extract(nofrag, '^[^/]*//([^/?#]*)', 1) AS hostport,
+        |    regexp_extract(nofrag, '^[^/]*//[^/?#]*(.*)$$', 1) AS rest
+        |  FROM p1
+        |), p3 AS (
+        |  SELECT doc_id, url, scheme,
+        |    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$$', '') AS path,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(regexp_extract(rest, '\\?(.*)$$', 1), '&'),
+        |      p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')
+        |        AND p <> '')), '&') AS qs
+        |  FROM p2
+        |), c AS (
+        |  SELECT doc_id, url,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |       OR (scheme = 'https' AND port = '443') THEN ''
+        |     ELSE ':' || port END) || path ||
+        |    (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canon_url
+        |  FROM p3
+        |), k AS (
+        |  SELECT canon_url, min(doc_id) AS keeper_id FROM c GROUP BY canon_url
+        |)
+        |SELECT c.doc_id, c.url, c.canon_url,
+        |  c.doc_id = k.keeper_id AS keeper
+        |FROM c JOIN k USING (canon_url) ORDER BY doc_id""".stripMargin,
+
+    // d72: integer allowances (w·B // Σw over the distinct strata),
+    // per-stratum cumulative token mass in (md5 priority DESC, id)
+    // order, prefix-cut filter — the window form re-derives the
+    // engine's two-phase prefix sum.
+    "d72_mixture_sample" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n,
+        |    ('0x'||substr(md5('mix|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS pr,
+        |    CAST(CAST(substr(source, 4) AS INT) % 3 + 1 AS BIGINT) AS w
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND text IS NOT NULL
+        |), tw AS (
+        |  SELECT CAST(sum(w) AS BIGINT) AS total
+        |  FROM (SELECT DISTINCT source, w FROM b) x
+        |), off AS (
+        |  SELECT doc_id, source, n, w,
+        |    coalesce(sum(n) OVER (PARTITION BY source ORDER BY pr DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM b)
+        |SELECT doc_id, source, n AS n_tokens,
+        |  CAST(start_off AS BIGINT) AS start_off
+        |FROM off CROSS JOIN tw
+        |WHERE start_off + n <= w * $d72Budget // total
+        |ORDER BY doc_id""".stripMargin,
+
+    // d73: the NB classifier re-derived end to end — conditional
+    // train counts over the md5-quarter, vocab/N totals, add-one
+    // weights, the unseen-token floor, the prior, and the rounded
+    // log-odds whose sign IS the gate decision. Identical literal
+    // arithmetic and parenthesis order to the engine. d74 pins the
+    // SAME SQL against the persisted-model scoring path (train →
+    // warehouse tables → broadcast-served), so a hash match proves
+    // model == inline — the d58 discipline.
+    "d73_nb_classifier" -> nbClassifierSql,
+    "d74_nb_model_score" -> nbClassifierSql,
 
     // null parity with sequencePack: null text packs as 0 tokens
     // (COALESCE), and the cumsum orders NULLS FIRST to match Spark's

@@ -1,0 +1,318 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Retrieval, Sampling, TextAnalysis}
+
+/** Property checks for the round-13 session-3 curation additions:
+  * BM25 ranked retrieval, URL canonicalization + dedup, the
+  * mixture-matching sampler, and the Naive-Bayes classifier.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // ---------------------------------------------------------- BM25
+
+  test("bm25TopK matches the hand formula, ranks, and cuts at k") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a"), // tf(a)=2, dl=3
+      (2L, "b c"),   // tf(c)=1, dl=2
+      (3L, "c c c"), // tf(c)=3, dl=3
+      (4L, "b b b")  // no query term → absent
+    ).toDF("doc_id", "text")
+    val res = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queryTerms = Seq("a", "c"), topK = 10, k1 = 1.5, b = 0.75)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Double]("bm25")))
+
+    // independent re-derivation of the formula
+    val n = 4.0
+    val avgdl = (3 + 2 + 3 + 3) / 4.0
+    def idf(df: Int) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def w(df: Int, tf: Long, dl: Long) =
+      idf(df) * (tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * dl / avgdl))
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = Map(
+      1L -> (1L, r4(w(1, 2, 3))),
+      2L -> (1L, r4(w(2, 1, 2))),
+      3L -> (1L, r4(w(2, 3, 3))))
+    assert(res.toMap == exp, s"got ${res.toMap}, want $exp")
+    // ranked by score desc
+    assert(res.map(_._2._2).sliding(2).forall(p => p(0) >= p(1)))
+    // the cut honors (score desc, doc_id)
+    val top1 = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("a", "c"), topK = 1, k1 = 1.5, b = 0.75)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(top1 == Seq(res.maxBy(r => (r._2._2, -r._1))._1))
+  }
+
+  test("bm25TopK: multi-term docs sum per-term scores; absent query terms contribute nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y"),
+      (2L, "x z z")
+    ).toDF("doc_id", "text")
+    val res = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queryTerms = Seq("x", "z", "nosuchterm"), topK = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_terms")).toMap
+    // doc 2 matched two query terms, doc 1 one; the phantom term
+    // matched nothing and poisoned nothing (no NaN/zero-df row)
+    assert(res == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  // --------------------------------------- URL canonicalization
+
+  private def canon1(u: String): String = {
+    import spark.implicits._
+    Seq(u).toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u")).as("c"))
+      .head().getString(0)
+  }
+
+  test("canonicalizeUrl applies each rule and composes them") {
+    // every rule at once
+    assert(canon1("HTTPS://WWW.Ex.COM:443/a/B/?b=2&utm_source=x&a=1#frag")
+      == "https://www.ex.com/a/B?a=1&b=2")
+    // scheme+host lowered, path case preserved
+    assert(canon1("HTTP://HoSt.CoM/PaTh") == "http://host.com/PaTh")
+    // default ports dropped per scheme; non-default kept
+    assert(canon1("http://h:80/p") == "http://h/p")
+    assert(canon1("https://h:443/p") == "https://h/p")
+    assert(canon1("http://h:443/p") == "http://h:443/p")
+    assert(canon1("http://h:8080/p") == "http://h:8080/p")
+    // trailing slashes (including a bare "/") stripped
+    assert(canon1("https://h/p///") == "https://h/p")
+    assert(canon1("https://h/") == "https://h")
+    // tracking params dropped, rest sorted, empty query dropped
+    assert(canon1("https://h/p?utm_campaign=z&gclid=1&fbclid=2&ref=r")
+      == "https://h/p")
+    assert(canon1("https://h/p?z=1&a=2&m=3") == "https://h/p?a=2&m=3&z=1")
+    // fragment dropped even with no query
+    assert(canon1("https://h/p#x") == "https://h/p")
+  }
+
+  test("canonicalizeUrl is idempotent") {
+    val urls = Seq(
+      "HTTPS://WWW.Ex.COM:443/a/B/?b=2&utm_source=x&a=1#frag",
+      "http://h:8080/p?z=1&a=2", "https://h/", "http://h/p")
+    urls.foreach { u =>
+      val once = canon1(u)
+      assert(canon1(once) == once, s"not idempotent for $u → $once")
+    }
+  }
+
+  test("urlDedup: variants of one resource collapse to the min-id keeper") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://a.com/x"),
+      (2L, "HTTPS://A.COM:443/x/?utm_source=f#top"),
+      (3L, "https://a.com/x?p=1"), // different query → different resource
+      (4L, "http://b.org/y"),
+      (5L, "http://B.ORG:80/y")
+    ).toDF("doc_id", "url")
+    val res = TextAnalysis.urlDedup(docs, "doc_id", "url")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("canon_url"), r.getAs[Boolean]("keeper"))).toMap
+    assert(res(1L) == ("https://a.com/x", true))
+    assert(res(2L) == ("https://a.com/x", false))
+    assert(res(3L) == ("https://a.com/x?p=1", true))
+    assert(res(4L) == ("http://b.org/y", true))
+    assert(res(5L) == ("http://b.org/y", false))
+  }
+
+  // ------------------------------------------- mixture sampler
+
+  test("mixtureSample: integer allowances, md5-priority prefix cut, invariance") {
+    import spark.implicits._
+    // two strata, raw weights 1 (A) and 2 (B); budget 30 →
+    // allowance(A) = 10, allowance(B) = 20
+    val docs = (0L until 40L).map { i =>
+      val s = if (i % 2 == 0) "A" else "B"
+      (i, s, "w " * 4)
+    }.toDF("doc_id", "stratum", "text")
+    val w = when(col("stratum") === "A", 1).otherwise(2)
+    val tk = size(Dedup.tokens(col("text"))).cast("long")
+    val res = Sampling.mixtureSample(docs, "doc_id", "stratum",
+      tokens = tk, rawWeight = w, budget = 30L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("stratum"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("start_off")))
+
+    // reference: per-stratum (md5Hash60 desc, id) prefix cut, derived
+    // independently with the same hash expression
+    val pri = docs.select(col("doc_id"), col("stratum"),
+      Dedup.md5Hash60(concat(lit("mix|"), col("doc_id").cast("string")))
+        .as("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def expectFor(s: String, allow: Long): Seq[(Long, Long)] = {
+      var acc = 0L
+      pri.filter(_._2 == s).sortBy(t => (-t._3, t._1)).flatMap {
+        case (id, _, _) =>
+          val r = if (acc + 4 <= allow) Some(id -> acc) else None
+          acc += 4
+          r
+      }.toSeq
+    }
+    val expA = expectFor("A", 10) // 2 docs of 4 tokens fit in 10
+    val expB = expectFor("B", 20) // 5 docs fit in 20
+    assert(res.filter(_._2 == "A").map(t => (t._1, t._4)).sorted.toSeq ==
+      expA.sorted.toSeq)
+    assert(res.filter(_._2 == "B").map(t => (t._1, t._4)).sorted.toSeq ==
+      expB.sorted.toSeq)
+    assert(res.forall(_._3 == 4L))
+    // per-stratum kept token mass respects the integer allowance
+    assert(res.filter(_._2 == "A").map(_._3).sum <= 10)
+    assert(res.filter(_._2 == "B").map(_._3).sum <= 20)
+
+    // partition-count invariance (the two-phase prefix sum is layout-
+    // pinned): same kept set and offsets at any partitioning
+    val res7 = Sampling.mixtureSample(docs, "doc_id", "stratum",
+      tokens = tk, rawWeight = w, budget = 30L, partitions = 7)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("start_off")))
+    assert(res7.sorted.toSeq == res.map(t => (t._1, t._4)).sorted.toSeq)
+  }
+
+  test("mixtureSample: inconsistent rawWeight and zero budget fail/empty cleanly") {
+    import spark.implicits._
+    val docs = Seq((1L, "A", "x y"), (2L, "A", "x y"))
+      .toDF("doc_id", "stratum", "text")
+    val tk = size(Dedup.tokens(col("text"))).cast("long")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(docs, "doc_id", "stratum", tk,
+        rawWeight = col("doc_id"), budget = 10L)
+    }
+    assert(e.getMessage.contains("rawWeight inconsistent"))
+    val empty = Sampling.mixtureSample(docs, "doc_id", "stratum", tk,
+      rawWeight = lit(1), budget = 0L).count()
+    assert(empty == 0L)
+  }
+
+  // -------------------------------------- Naive-Bayes classifier
+
+  test("nbLogOdds matches hand-computed add-one weights, floor and prior") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good good nice", true),
+      (2L, "good stuff", true),
+      (3L, "bad awful", false),
+      (4L, "bad bad", false),
+      (5L, "good bad new", true) // scored only (not in train slice)
+    ).toDF("doc_id", "text", "y")
+    val res = TextAnalysis.nbLogOdds(docs, "doc_id", "text",
+      label = col("y"), trainFilter = col("doc_id") <= 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("log_odds"),
+          r.getAs[Boolean]("pred"))).toMap
+
+    // counts: c1 good=3 nice=1 stuff=1; c0 bad=3 awful=1
+    // N1=5, N0=4, V=5, D1=D0=2 → prior = 0
+    def w(c1: Long, c0: Long) =
+      math.log((c1 + 1.0) / 10.0) - math.log((c0 + 1.0) / 9.0)
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val floor = math.log(1.0 / 10.0) - math.log(1.0 / 9.0)
+    val exp5 = r4(0.0 + (w(3, 0) + w(0, 3) + 1.0 * floor))
+    assert(res(5L)._1 == 3L)
+    assert(math.abs(res(5L)._2 - exp5) < 1e-9, s"${res(5L)._2} vs $exp5")
+    assert(res(5L)._3 == (exp5 > 0))
+    val exp1 = r4(0.0 + (w(3, 0) * 2 + w(1, 0) + 0.0))
+    assert(math.abs(res(1L)._2 - exp1) < 1e-9)
+    assert(res(1L)._3) // "good good nice" is confidently class 1
+    assert(!res(4L)._3) // "bad bad" is confidently class 0
+  }
+
+  test("persisted NB model: scores == inline, survives restart, composes with a stream") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good good nice", true),
+      (2L, "good stuff", true),
+      (3L, "bad awful", false),
+      (4L, "bad bad", false),
+      (5L, "good bad new", true),
+      (6L, "nice stuff here", false)
+    ).toDF("doc_id", "text", "y")
+    val inline = TextAnalysis.nbLogOdds(docs, "doc_id", "text",
+      label = col("y"), trainFilter = col("doc_id") <= 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getBoolean(3))).sortBy(_._1).toSeq
+
+    TextAnalysis.trainNbModel(docs, "doc_id", "text",
+      label = col("y"), trainFilter = col("doc_id") <= 4,
+      name = "t_nb_model")
+    def served(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      TextAnalysis.scoreWithNbModel(
+        docs.collect().map(r => (r.getLong(0), r.getString(1)))
+          .toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", "t_nb_model")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getBoolean(3))).sortBy(_._1).toSeq
+    }
+    assert(served(spark) == inline,
+      "persisted-model scoring drifted from inline train+score")
+
+    // restart: a fresh session + catalog; the model tables survive
+    // in the warehouse and openNbModel re-registers them
+    val s2 = {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir",
+          spark.conf.get("spark.sql.warehouse.dir"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
+    try {
+      assert(!s2.catalog.tableExists("t_nb_model_weights"),
+        "restart simulation failed: catalog still knows the model")
+      TextAnalysis.openNbModel(s2, "t_nb_model")
+      assert(served(s2) == inline, "restart re-open drifted")
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+
+    // streaming composition: scoring is stateless given the model,
+    // so it drops into a foreachBatch loop unchanged
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Boolean)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= TextAnalysis.scoreWithNbModel(batch, "doc_id", "text",
+          "t_nb_model")
+          .collect().map(r => (r.getLong(0), r.getDouble(2),
+            r.getBoolean(3)))
+        ()
+      }.start()
+    input.addData((5L, "good bad new"), (7L, "good good good"))
+    q.processAllAvailable(); q.stop()
+    val exp5 = inline.find(_._1 == 5L).get
+    assert(got.sortBy(_._1).toSeq.head == ((5L, exp5._3, exp5._4)))
+    assert(got.exists(g => g._1 == 7L && g._3)) // all-"good" → class 1
+  }
+
+  test("nbLogOdds raises when a train class is empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good", true), (2L, "fine", true), (3L, "bad", false)
+    ).toDF("doc_id", "text", "y")
+    val e = intercept[Exception] {
+      TextAnalysis.nbLogOdds(docs, "doc_id", "text",
+        label = col("y"), trainFilter = col("doc_id") <= 2).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("train class is empty") ||
+        e.getCause != null &&
+        e.getCause.getMessage.contains("train class is empty")))
+  }
+}

@@ -434,4 +434,59 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$q grew a window:\n${p.take(1500)}")
     }
   }
+
+  test("d70: BM25 filters query-term postings map-side and top-ks without a global sort") {
+    val p = plan("d70_bm25_topk")
+    assert(count(p, "Window") == 0, p.take(1500))
+    // the top-k is per-partition heaps + a k-row driver merge
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n${p.take(2000)}")
+    // the query-term IN filter sits UNDER the first exchange (on the
+    // Generate output), so only |Q| terms' postings ever shuffle:
+    // plan order in the string is exchange AFTER (above) the filtered
+    // generate — assert no SortAggregate and the df/stats joins
+    // broadcast rather than shuffling the postings again
+    assert(count(p, "SortAggregate") == 0, p.take(1500))
+    assert(count(p, "BroadcastHashJoin") >= 1, p.take(2500))
+  }
+
+  test("d71: URL dedup is canonicalize-scan + ONE hash agg + hash join-back") {
+    val p = plan("d71_url_dedup")
+    assert(count(p, "Window") == 0, p.take(1500))
+    assert(count(p, "ShuffledHashJoin") == 1,
+      s"keep-one join-back must hash-build:\n${p.take(2500)}")
+    assert(count(p, "SortAggregate") == 0, p.take(1500))
+  }
+
+  test("d72: mixture sampler rides the pinned range layout, never a per-stratum window") {
+    val p = plan("d72_mixture_sample")
+    assert(count(p, "Window") == 0,
+      s"per-stratum window crept back in:\n${p.take(2000)}")
+  }
+
+  test("d74: persisted-model scoring broadcasts the weight table; tokens never shuffle") {
+    val p = plan("d74_nb_model_score")
+    assert(count(p, "Window") == 0, p.take(1500))
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      s"weight table must broadcast onto the token stream:\n${p.take(2500)}")
+    // the serving path has no term-keyed repartition — the only
+    // exchanges are the per-doc aggregate's and the output sort's
+    assert(!p.contains("REPARTITION_BY_COL"),
+      s"scored batch shuffled its tokens:\n${p.take(2500)}")
+    assert(count(p, "SortAggregate") == 0, p.take(1500))
+  }
+
+  test("d73: NB classifier explodes once; train counts and scoring share the term exchange") {
+    val p = plan("d73_nb_classifier")
+    assert(count(p, "Window") == 0, p.take(1500))
+    val np = pinnedPlan("d73_nb_classifier")
+    // ONE corpus explode feeds both the conditional count aggregate
+    // and the scoring stream (the d53 discipline); the weight table
+    // joins back with a hash-built probe
+    assert(count(np, "ReusedExchange") >= 1,
+      s"corpus explode pipeline duplicated:\n${np.take(3000)}")
+    assert(count(np, "ShuffledHashJoin") == 1,
+      s"weight join-back must hash-build:\n${np.take(3000)}")
+    assert(count(np, "SortAggregate") == 0, np.take(1500))
+  }
 }
