@@ -91,7 +91,8 @@ object ScaleProbe {
     "d71_url_dedup",        // canonicalize scan + hash agg + join-back
     "d72_mixture_sample",   // two-phase per-stratum prefix (fixed budget)
     "d73_nb_classifier",    // train counts + scoring on reused exchange
-    "d74_nb_model_score")   // train + broadcast-served scoring
+    "d74_nb_model_score",   // train + broadcast-served scoring
+    "d75_upsample")         // quality-tier copy explode, map-only
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -187,6 +187,53 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic epoch upsampling — the other half of data mixing
+    * ([[mixtureSample]] cuts strata DOWN; this repeats high-value
+    * documents UP, the "Wikipedia × N epochs" row of every public
+    * mixture table): each document expands to `repeats` copies
+    * (doc_id, copy_idx 0-based), each copy carrying a 60-bit
+    * md5(seed|id|copy) shuffle key so the expanded corpus feeds
+    * [[shuffleShard]] / [[graft.operators.Packing.sequencePack]] in
+    * a deterministic interleaved order — copies of one document
+    * scatter across the epoch instead of clumping back-to-back
+    * (which would put correlated gradients in consecutive steps).
+    *
+    * `repeats` must be a per-row integer >= 0 (0 drops the doc — a
+    * gate and an upsampler compose in one pass); an in-plan guard
+    * RAISES past `maxRepeats` — a runaway repeat expression
+    * silently exploding the corpus N× is the failure mode that
+    * must be loud.
+    *
+    * Scale shape: a pure projection + ONE Generate (the copy-index
+    * sequence explodes per document) — zero shuffles, zero joins;
+    * the blow-up factor is exactly Σ repeats / N, chosen by the
+    * caller's policy, and composes with partition pruning and
+    * column pruning untouched. Returns (idCol, copy_idx, n_copies,
+    * shuffle_key). Null-id rows are dropped. */
+  def upsample(
+      df: DataFrame,
+      idCol: String,
+      repeats: Column,
+      seed: String = "up",
+      maxRepeats: Int = 100): DataFrame = {
+    require(maxRepeats >= 1, s"maxRepeats must be >= 1, got $maxRepeats")
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), repeats.cast("int").as("__r"))
+      .filter(col("__r").isNotNull && col("__r") > 0)
+      .select(col(idCol),
+        when(col("__r") <= maxRepeats, col("__r"))
+          .otherwise(raise_error(concat(
+            lit(s"upsample: repeats exceeds maxRepeats=$maxRepeats for id "),
+            col(idCol).cast("string")))).as("__r"))
+      .select(col(idCol), col("__r").cast("long").as("n_copies"),
+        posexplode(sequence(lit(0), col("__r") - 1)))
+      .select(col(idCol), col("col").cast("long").as("copy_idx"),
+        col("n_copies"),
+        Dedup.md5Hash60(concat(lit(seed), lit("|"),
+          col(idCol).cast("string"), lit("|"),
+          col("col").cast("string"))).as("shuffle_key"))
+  }
+
   /** Mixture-matching sampler — the data-mixing cut that turns "the
     * training set is W% web, X% books, Y% code, inside a budget of B
     * tokens" into a document set (the Pile / Gopher / LLaMA mixture

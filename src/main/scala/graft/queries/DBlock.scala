@@ -807,6 +807,23 @@ object DBlock {
         label = col("lang") === "en", trainFilter = d60Slice)
         .orderBy(col("doc_id"))),
 
+    // D56: deterministic epoch upsampling — the other half of data
+    // mixing (d72 cuts strata down; this repeats high-value docs up,
+    // the "Wikipedia × N epochs" mixture-table row): quality tiers
+    // (the d9 arithmetic) choose 1×/2×/3× repeats, each copy carries
+    // a md5(seed|id|copy) shuffle key so copies scatter across the
+    // epoch. Pure projection + ONE Generate, zero shuffles; fully
+    // oracle-checked (DuckDB re-derives quality, tiers, copies and
+    // keys).
+    "d75_upsample" -> ((s, d) => {
+      val q = TextAnalysis.qualityScore(col("text"))
+      Sampling.upsample(
+        Tables.documents(s, d).filter(col("text").isNotNull),
+        "doc_id",
+        repeats = when(q >= 0.8, 3).when(q >= 0.5, 2).otherwise(1))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
     // D55b: the PERSISTED form of d73 — train once into warehouse
     // tables (weights + one-row meta), score from the stored model
     // via a broadcast map-side join (the fastText serving shape; a
@@ -3015,6 +3032,39 @@ object DBlock {
         |FROM off CROSS JOIN tw
         |WHERE start_off + n <= w * $d72Budget // total
         |ORDER BY doc_id""".stripMargin,
+
+    // d75: quality tiers (the d9 arithmetic verbatim) → repeat
+    // counts → copies with re-derived shuffle keys.
+    "d75_upsample" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+        |    length(replace(text, ' ', '')) AS non_space,
+        |    CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS INT) AS stop_n
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, n_words,
+        |    CASE WHEN n_words > 0 THEN CAST(non_space AS DOUBLE) / n_words ELSE 0.0 END AS mean_wl,
+        |    CAST(stop_n AS DOUBLE) AS stop_d
+        |  FROM b),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(n_words / 100.0, 1.0) * 0.4 +
+        |      (CASE WHEN mean_wl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+        |      least(stop_d / 5.0, 1.0) * 0.2, 4) AS quality
+        |  FROM m),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN quality >= 0.8 THEN 3
+        |         WHEN quality >= 0.5 THEN 2 ELSE 1 END AS nc
+        |  FROM q)
+        |SELECT doc_id, CAST(i AS BIGINT) AS copy_idx,
+        |  CAST(nc AS BIGINT) AS n_copies,
+        |  ('0x'||substr(md5('up|'||CAST(doc_id AS VARCHAR)||'|'||
+        |    CAST(i AS VARCHAR)),1,15))::BIGINT AS shuffle_key
+        |FROM r, unnest(range(0, nc)) AS u(i)
+        |ORDER BY doc_id, copy_idx""".stripMargin,
 
     // d73: the NB classifier re-derived end to end — conditional
     // train counts over the md5-quarter, vocab/N totals, add-one

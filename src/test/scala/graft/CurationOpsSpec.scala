@@ -192,6 +192,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(empty == 0L)
   }
 
+  // ------------------------------------------- epoch upsampling
+
+  test("upsample: repeat expansion, 0-drop, deterministic scatter keys, runaway guard") {
+    import spark.implicits._
+    val docs = Seq((1L, 3), (2L, 1), (3L, 0), (4L, 2))
+      .toDF("doc_id", "r")
+    val res = Sampling.upsample(docs, "doc_id", repeats = col("r"))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("copy_idx"), r.getAs[Long]("n_copies"),
+        r.getAs[Long]("shuffle_key")))
+    // 3 + 1 + 0 + 2 copies; copy_idx dense from 0; n_copies carried
+    assert(res.map(t => (t._1, t._2)).toSet ==
+      Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (4L, 0L), (4L, 1L)))
+    assert(res.filter(_._1 == 1L).forall(_._3 == 3L))
+    // shuffle keys: all distinct (copies of one doc scatter) and
+    // deterministic across runs
+    assert(res.map(_._4).distinct.length == res.length)
+    val again = Sampling.upsample(docs, "doc_id", repeats = col("r"))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("copy_idx"), r.getAs[Long]("n_copies"),
+        r.getAs[Long]("shuffle_key")))
+    assert(again.sortBy(t => (t._1, t._2)).toSeq ==
+      res.sortBy(t => (t._1, t._2)).toSeq)
+    // a runaway repeat expression fails loudly, never explodes N×
+    val e = intercept[Exception] {
+      Sampling.upsample(docs, "doc_id", repeats = col("r") * 1000)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxRepeats") ||
+      e.getCause != null && e.getCause.getMessage.contains("maxRepeats"))
+  }
+
   // -------------------------------------- Naive-Bayes classifier
 
   test("nbLogOdds matches hand-computed add-one weights, floor and prior") {

@@ -464,6 +464,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-stratum window crept back in:\n${p.take(2000)}")
   }
 
+  test("d75: upsampling is a pure projection + one Generate — no shuffle beyond the output sort") {
+    val p = plan("d75_upsample")
+    assert(count(p, "Window") == 0, p.take(1500))
+    assert(count(p, "Generate") == 1, p.take(1500))
+    assert(count(p, "Join") == 0, p.take(1500))
+    // the only exchange is the orderBy's range partitioning
+    assert(count(p, "Exchange") <= 1, p.take(2000))
+  }
+
   test("d74: persisted-model scoring broadcasts the weight table; tokens never shuffle") {
     val p = plan("d74_nb_model_score")
     assert(count(p, "Window") == 0, p.take(1500))
