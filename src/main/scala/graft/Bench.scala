@@ -144,21 +144,28 @@ object Bench {
         import org.apache.spark.sql.functions.col
         val spark2 = spark
         import spark2.implicits._
+        // members imported (not held in a local `val M`): an object
+        // member resolves to a static MODULE$ access inside the
+        // lambdas below, while a captured local module VALUE must be
+        // serialized with the closure — Task not serializable, which
+        // silently cost this entry in the r13 session-3 bench run
+        import graft.operators.Multimodal.{MediaRow, PlantedIdOffset,
+          audioFingerprintSigs, audioPayload, remuxedAudioPayload,
+          unrelatedAudioPayload}
         val base = graft.sources.Tables.documents(spark, sfDir)
           .filter(col("doc_id").isNotNull && col("doc_id") % 3 === 1)
           .select(col("doc_id").cast("long")).as[Long]
-        val M = graft.operators.Multimodal
         val corpus = base.mapPartitions(_.map(id =>
-          M.MediaRow(id, "audio", M.audioPayload(id))))
+          MediaRow(id, "audio", audioPayload(id))))
         graft.operators.Dedup.buildSimIndex(
-          M.audioFingerprintSigs(spark, corpus), "d67bench_idx",
+          audioFingerprintSigs(spark, corpus), "d67bench_idx",
           maxDist = 2)
         val batch = base.mapPartitions(_.flatMap(id => Iterator(
-          M.MediaRow(id + M.PlantedIdOffset, "audio",
-            M.remuxedAudioPayload(id)),
-          M.MediaRow(id + 2 * M.PlantedIdOffset, "audio",
-            M.unrelatedAudioPayload(id)))))
-        val batchSigs = M.audioFingerprintSigs(spark, batch)
+          MediaRow(id + PlantedIdOffset, "audio",
+            remuxedAudioPayload(id)),
+          MediaRow(id + 2 * PlantedIdOffset, "audio",
+            unrelatedAudioPayload(id)))))
+        val batchSigs = audioFingerprintSigs(spark, batch)
           .localCheckpoint(true)
         Some(() => graft.operators.Dedup.screenAgainstSimIndex(
           batchSigs, "d67bench_idx"))
@@ -166,9 +173,30 @@ object Bench {
         System.err.println(s"[bench] d67_screen setup: ${e.getMessage}")
         None
       }
+    // and for the NB model: d74's registry entry pays the TRAIN per
+    // run so its oracle covers the whole train→persist→score cycle;
+    // the production steady cost is broadcast-served SCORING alone
+    // over the prebuilt model.
+    val nbScoreOnly: Option[() => org.apache.spark.sql.DataFrame] =
+      if (qArgs.nonEmpty) None else try {
+        import org.apache.spark.sql.functions.{col, substring, md5}
+        val docs = graft.sources.Tables.documents(spark, sfDir)
+        graft.operators.TextAnalysis.trainNbModel(docs, "doc_id", "text",
+          label = col("lang") === "en",
+          trainFilter = substring(md5(col("doc_id").cast("string")), 1, 1)
+            .isin("0", "1", "2", "3"),
+          name = "d74bench_model")
+        Some(() => graft.operators.TextAnalysis.scoreWithNbModel(
+          docs.filter(col("lang").isNotNull), "doc_id", "text",
+          "d74bench_model"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] d74_score setup: ${e.getMessage}")
+        None
+      }
     val extras = screenOnly.map(mk => "d46_screen" -> mk) ++
       annQueryOnly.map(mk => "d58_query" -> mk) ++
-      simScreenOnly.map(mk => "d67_screen" -> mk)
+      simScreenOnly.map(mk => "d67_screen" -> mk) ++
+      nbScoreOnly.map(mk => "d74_score" -> mk)
     val coldResults = names.map(n => n -> force(n)) ++
       extras.map { case (n, mk) => n -> forceDf(n, mk) }
     val results = names.map(n => n -> force(n)) ++

@@ -253,20 +253,41 @@ object StreamingIngest {
     * recoverable, a lost document is not). The index stores the
     * EXTRACTED text's sketches: dedup semantics are "same main
     * content", robust to boilerplate-only page differences — two
-    * mirrors of one article dedup even when their chrome differs. */
+    * mirrors of one article dedup even when their chrome differs.
+    *
+    * `nbModel` optionally names a persisted classifier
+    * ([[graft.operators.TextAnalysis.trainNbModel]]): the EXTRACTED
+    * text scores against the frozen model (a broadcast map-side
+    * join, batch-sized) and rows with log-odds <= `nbThreshold`
+    * drop BETWEEN the rule gate and the dedup stages — the
+    * production filter order (free rules first, model inference
+    * second, sketch arithmetic last, each stage shrinking the next
+    * one's input). The model is frozen, so the stage is
+    * deterministic and replay self-suppression is unchanged. */
   def toPipelineIngest(pages: DataFrame, idCol: String, htmlCol: String,
       indexName: String, path: String, checkpoint: String,
       minWords: Int = 50, maxWords: Int = 100000,
       packCapacity: Long = 2048L, htmlMinLen: Int = 10,
-      htmlMaxLinkPct: Int = 20): StreamingQuery =
+      htmlMaxLinkPct: Int = 20, nbModel: Option[String] = None,
+      nbThreshold: Double = 0.0): StreamingQuery =
     pages.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val extracted = graft.operators.TextAnalysis.extractMainHtml(
           batch, idCol, htmlCol, htmlMinLen, htmlMaxLinkPct)
           .select(col(idCol), col("main_text"))
-        val gated = extracted.filter(graft.operators.TextAnalysis
+        val ruleGated = extracted.filter(graft.operators.TextAnalysis
           .gopherRuleBits(col("main_text"), minWords, maxWords) === 0)
+        val gated = nbModel match {
+          case Some(m) =>
+            val keep = graft.operators.TextAnalysis
+              .scoreWithNbModel(ruleGated, idCol, "main_text", m)
+              .filter(col("log_odds") > nbThreshold)
+              .select(col("doc_id").as(idCol))
+            ruleGated.join(keep.hint("SHUFFLE_HASH"), Seq(idCol),
+              "left_semi")
+          case None => ruleGated
+        }
         val inBatch = graft.operators.Dedup.dedupWithinBatch(
           gated, idCol, "main_text", indexName)
         // eager localCheckpoint: the survivor set feeds THREE

@@ -854,4 +854,78 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("pipeline ingest with a frozen model gate: rule-passing spam drops between gate and dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("pipegate").toString
+    def page(chrome: String, body: String): String =
+      s"""<html><head><title>$chrome</title><style>p{margin:0}</style>""" +
+        s"""<script>var n=1;</script></head><body><div class="nav">""" +
+        s"""<a href="/">home</a> <a href="/s">$chrome</a></div><p>$body""" +
+        s"""</p><div class="footer">copyright <a href="/t">terms</a> """ +
+        s"""<a href="/p">privacy</a></div></body></html>"""
+    // a frozen classifier: corpus-flavored vocab is class 1, spam
+    // vocab class 0 — trained once, persisted, broadcast-served
+    val train = Seq(
+      (1L, "the data value table holds a corpus summary for partners", true),
+      (2L, "a corpus document with the value words and data tables", true),
+      (3L, "the casino bonus winner will click a free prize offer", false),
+      (4L, "claim the jackpot spins bonus and a casino prize today", false)
+    ).toDF("doc_id", "text", "y")
+    TextAnalysis.trainNbModel(train, "doc_id", "text",
+      label = col("y"), trainFilter = lit(true), name = "t_pipegate_model")
+    // both bodies pass the RULE gate (>= 20 words, stopwords, normal
+    // shape); only the model separates them — verify the premise
+    // before streaming so a vocab drift fails here, not as a silent
+    // pass-through
+    val goodBody = "the data value table holds a corpus summary with " +
+      "the partner words and enough data value terms to pass the " +
+      "quality gate easily today"
+    val spamBody = "the casino bonus winner will click a free prize " +
+      "offer and claim the jackpot spins bonus with a casino prize " +
+      "for a winner today"
+    val premise = TextAnalysis.scoreWithNbModel(
+      Seq((1L, goodBody), (2L, spamBody)).toDF("doc_id", "text"),
+      "doc_id", "text", "t_pipegate_model")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(premise(1L) > 0 && premise(2L) <= 0,
+      s"model premise broken: $premise")
+    val ruleBits = Seq((goodBody, spamBody)).toDF("g", "s")
+      .select(TextAnalysis.gopherRuleBits(col("g"), 20, 100000),
+        TextAnalysis.gopherRuleBits(col("s"), 20, 100000))
+      .head()
+    assert(ruleBits.getInt(0) == 0 && ruleBits.getInt(1) == 0,
+      s"both bodies must pass the RULE gate (else the model gate is " +
+        s"untested): $ruleBits")
+
+    graft.operators.Dedup.buildDedupIndex(
+      Seq((1L, "seed corpus body for the pipeline gate test with " +
+        "enough words to stand alone")).toDF("doc_id", "text"),
+      "doc_id", "text", name = "t_pipegate_idx")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingIngest.toPipelineIngest(
+      input.toDS().toDF("doc_id", "html"), "doc_id", "html",
+      "t_pipegate_idx", s"$dir/packed", s"$dir/ckpt",
+      minWords = 20, packCapacity = 64L,
+      nbModel = Some("t_pipegate_model"))
+    try {
+      input.addData(
+        (50L, page("s1", spamBody)),  // rule-passing spam → model drop
+        (51L, page("g1", goodBody)))  // lands
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/packed")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(got == Set(51L), s"model gate failed: $got")
+      // replay self-suppresses through the model stage too (frozen
+      // model → deterministic scores → same drop, index knows 51)
+      input.addData(
+        (50L, page("s1", spamBody)),
+        (51L, page("g1", goodBody)))
+      q.processAllAvailable()
+      val after = spark.read.parquet(s"$dir/packed").count()
+      assert(after == 1L, s"replay must self-suppress, got $after")
+    } finally q.stop()
+  }
 }
