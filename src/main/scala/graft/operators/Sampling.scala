@@ -281,6 +281,82 @@ object Sampling {
       seed: String = "mix",
       partitions: Int = 32,
       reliable: Boolean = false): DataFrame = {
+    val (offsets, allowance, _) = mixtureOffsets(df, idCol, strataCol,
+      tokens, rawWeight, budget, seed, partitions, reliable)
+    // allowance as a literal CASE over the bounded strata set (the
+    // capPerStratum threshold-fold shape), then the prefix-cut filter
+    val allowCol = allowance.foldLeft(lit(-1L): Column) {
+      case (acc, (s, a)) => when(col("__s") === s, lit(a)).otherwise(acc)
+    }
+    offsets
+      .filter(col("start_off") + col("n_tokens") <= allowCol)
+      .select(col(idCol), col("__s").as(strataCol), col("n_tokens"),
+        col("start_off"))
+  }
+
+  /** FULL mixture semantics — [[mixtureSample]] extended with
+    * EPOCHS, the up-sampling half every public mixture table carries
+    * (LLaMA's "epochs" column: Wikipedia at 2.45 epochs while web
+    * crawl sits below 1): when a stratum's token allowance exceeds
+    * its total mass, every document earns `allowance div total`
+    * whole-corpus epochs and the REMAINDER fills as the usual
+    * md5-priority prefix — so Σ n_copies·n_tokens <= allowance
+    * exactly, per stratum, in pure integer arithmetic. A stratum
+    * whose allowance is below its mass degenerates to the
+    * [[mixtureSample]] prefix cut (epochs = 0); rows with zero
+    * copies are dropped. Feed the result to [[upsample]] (repeats =
+    * n_copies) for the physical copy explosion with scatter keys.
+    *
+    * Same two-phase machinery, same guards, same determinism as
+    * [[mixtureSample]]; the per-stratum totals come from the SAME
+    * phase-1 aggregate the offsets need (no extra pass). Returns
+    * (idCol, strataCol, n_tokens, start_off, n_copies). */
+  def mixtureEpochs(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      tokens: Column,
+      rawWeight: Column,
+      budget: Long,
+      seed: String = "mix",
+      partitions: Int = 32,
+      reliable: Boolean = false): DataFrame = {
+    val (offsets, allowance, totals) = mixtureOffsets(df, idCol,
+      strataCol, tokens, rawWeight, budget, seed, partitions, reliable)
+    val epochs: Map[String, (Long, Long)] = allowance.map { case (s, a) =>
+      val t = totals.getOrElse(s, 0L)
+      if (t <= 0) s -> (0L, 0L) else s -> (a / t, a % t)
+    }
+    val epochCol = epochs.foldLeft(lit(0L): Column) {
+      case (acc, (s, (e, _))) => when(col("__s") === s, lit(e)).otherwise(acc)
+    }
+    val remCol = epochs.foldLeft(lit(0L): Column) {
+      case (acc, (s, (_, r))) => when(col("__s") === s, lit(r)).otherwise(acc)
+    }
+    offsets
+      .select(col(idCol), col("__s").as(strataCol), col("n_tokens"),
+        col("start_off"),
+        (epochCol + when(col("start_off") + col("n_tokens") <= remCol,
+          lit(1L)).otherwise(lit(0L))).as("n_copies"))
+      .filter(col("n_copies") > 0)
+  }
+
+  /** Shared [[mixtureSample]]/[[mixtureEpochs]] machinery: the
+    * pinned (stratum, md5-priority) range layout, the two-phase
+    * per-stratum token prefix sum, and the integer allowance map —
+    * returns (offsets, allowance by stratum, total token mass by
+    * stratum; the totals fall out of the SAME phase-1 aggregate). */
+  private def mixtureOffsets(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      tokens: Column,
+      rawWeight: Column,
+      budget: Long,
+      seed: String,
+      partitions: Int,
+      reliable: Boolean)
+      : (DataFrame, Map[String, Long], Map[String, Long]) = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(partitions >= 1, s"partitions must be >= 1, got $partitions")
     val pr = Dedup.md5Hash60(
@@ -367,15 +443,9 @@ object Sampling {
         }
       }(Encoders.row(outSchema))
 
-    // allowance as a literal CASE over the bounded strata set (the
-    // capPerStratum threshold-fold shape), then the prefix-cut filter
-    val allowCol = allowance.foldLeft(lit(-1L): Column) {
-      case (acc, (s, a)) => when(col("__s") === s, lit(a)).otherwise(acc)
-    }
-    offsets
-      .filter(col("start_off") + col("n_tokens") <= allowCol)
-      .select(col(idCol), col("__s").as(strataCol), col("n_tokens"),
-        col("start_off"))
+    val totals: Map[String, Long] = counts
+      .groupBy(_._1._2).map { case (s, es) => s -> es.map(_._2).sum }
+    (offsets, allowance, totals)
   }
 
   /** Deterministic global shuffle + sharding — the last pass before

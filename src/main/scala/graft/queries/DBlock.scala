@@ -807,6 +807,24 @@ object DBlock {
         label = col("lang") === "en", trainFilter = d60Slice)
         .orderBy(col("doc_id"))),
 
+    // D54b: FULL mixture semantics — d72 extended with EPOCHS (the
+    // LLaMA mixture-table column): budget = 2× the corpus token mass
+    // (derived, not hard-coded, so every SF exercises epochs ≥ 1),
+    // strata whose allowance exceeds their mass earn whole epochs +
+    // a remainder prefix; Σ n_copies·n_tokens <= allowance exactly,
+    // per stratum, in pure integer arithmetic. Fully oracle-checked.
+    "d76_mixture_epochs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull &&
+        col("source").isNotNull && col("text").isNotNull)
+      val tk = size(Dedup.tokens(col("text"))).cast("long")
+      val total = docs.agg(sum(tk)).head().getLong(0)
+      Sampling.mixtureEpochs(docs, "doc_id", "source",
+        tokens = tk,
+        rawWeight = substring(col("source"), 4, 10).cast("int") % 3 + 1,
+        budget = 2L * total, seed = "mix")
+        .orderBy(col("doc_id"))
+    }),
+
     // D56: deterministic epoch upsampling — the other half of data
     // mixing (d72 cuts strata down; this repeats high-value docs up,
     // the "Wikipedia × N epochs" mixture-table row): quality tiers
@@ -3031,6 +3049,42 @@ object DBlock {
         |  CAST(start_off AS BIGINT) AS start_off
         |FROM off CROSS JOIN tw
         |WHERE start_off + n <= w * $d72Budget // total
+        |ORDER BY doc_id""".stripMargin,
+
+    // d76: the d72 machinery + derived 2×-mass budget, whole epochs
+    // per stratum and the remainder prefix, all integer arithmetic.
+    "d76_mixture_epochs" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n,
+        |    ('0x'||substr(md5('mix|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS pr,
+        |    CAST(CAST(substr(source, 4) AS INT) % 3 + 1 AS BIGINT) AS w
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND text IS NOT NULL
+        |), tw AS (
+        |  SELECT CAST(sum(w) AS BIGINT) AS total_w
+        |  FROM (SELECT DISTINCT source, w FROM b) x
+        |), cb AS (
+        |  SELECT CAST(2 * sum(n) AS BIGINT) AS budget FROM b
+        |), tot AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS total FROM b GROUP BY source
+        |), ep AS (
+        |  SELECT source,
+        |    CAST((w * budget // total_w) // total AS BIGINT) AS epochs,
+        |    CAST((w * budget // total_w) % total AS BIGINT) AS rem
+        |  FROM (SELECT DISTINCT source, w FROM b) x
+        |  CROSS JOIN tw CROSS JOIN cb JOIN tot USING (source)
+        |), off AS (
+        |  SELECT doc_id, source, n,
+        |    coalesce(sum(n) OVER (PARTITION BY source ORDER BY pr DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM b)
+        |SELECT doc_id, source, n AS n_tokens,
+        |  CAST(start_off AS BIGINT) AS start_off,
+        |  CAST(epochs + CASE WHEN start_off + n <= rem THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_copies
+        |FROM off JOIN ep USING (source)
+        |WHERE epochs + CASE WHEN start_off + n <= rem THEN 1 ELSE 0 END > 0
         |ORDER BY doc_id""".stripMargin,
 
     // d75: quality tiers (the d9 arithmetic verbatim) → repeat

@@ -177,6 +177,44 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(res7.sorted.toSeq == res.map(t => (t._1, t._4)).sorted.toSeq)
   }
 
+  test("mixtureEpochs: whole epochs + remainder prefix, exact integer budget accounting") {
+    import spark.implicits._
+    // A: 3 docs × 4 tokens = 12; B: 2 docs × 4 = 8; equal weights,
+    // budget 30 → allowance 15 each.
+    // A: epochs 15/12 = 1, rem 3 → no 4-token doc fits → all 1 copy.
+    // B: epochs 15/8 = 1, rem 7 → the highest-priority doc fits → 2.
+    val docs = Seq(
+      (1L, "A"), (2L, "A"), (3L, "A"), (10L, "B"), (11L, "B")
+    ).map { case (i, s) => (i, s, "w w w w") }
+      .toDF("doc_id", "stratum", "text")
+    val tk = size(Dedup.tokens(col("text"))).cast("long")
+    val res = Sampling.mixtureEpochs(docs, "doc_id", "stratum",
+      tokens = tk, rawWeight = lit(1), budget = 30L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("stratum"), r.getAs[Long]("n_copies"))).toMap
+    assert(res.filter(_._2._1 == "A").values.forall(_._2 == 1L),
+      s"A must get exactly one epoch: $res")
+    // which B doc doubles is the md5-priority argmax — derive it
+    val bTop = docs.filter(col("stratum") === "B")
+      .select(col("doc_id"),
+        Dedup.md5Hash60(concat(lit("mix|"), col("doc_id").cast("string")))
+          .as("p"))
+      .collect().maxBy(r => (r.getLong(1), -r.getLong(0))).getLong(0)
+    assert(res(bTop) == ("B", 2L), s"remainder must fill by priority: $res")
+    assert(res.filter(t => t._2._1 == "B" && t._1 != bTop)
+      .values.forall(_._2 == 1L))
+    // exact accounting: Σ copies·tokens <= allowance, per stratum
+    Seq("A", "B").foreach { s =>
+      val used = res.filter(_._2._1 == s).values.map(_._2 * 4).sum
+      assert(used <= 15, s"stratum $s used $used > 15")
+    }
+    // composes with upsample for the physical explosion
+    val exploded = Sampling.upsample(
+      Sampling.mixtureEpochs(docs, "doc_id", "stratum", tk, lit(1), 30L),
+      "doc_id", repeats = col("n_copies")).count()
+    assert(exploded == res.values.map(_._2).sum)
+  }
+
   test("mixtureSample: inconsistent rawWeight and zero budget fail/empty cleanly") {
     import spark.implicits._
     val docs = Seq((1L, "A", "x y"), (2L, "A", "x y"))

@@ -458,10 +458,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "SortAggregate") == 0, p.take(1500))
   }
 
-  test("d72: mixture sampler rides the pinned range layout, never a per-stratum window") {
-    val p = plan("d72_mixture_sample")
-    assert(count(p, "Window") == 0,
-      s"per-stratum window crept back in:\n${p.take(2000)}")
+  test("d72/d76: mixture sampler rides the pinned range layout, never a per-stratum window") {
+    Seq("d72_mixture_sample", "d76_mixture_epochs").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "Window") == 0,
+        s"$q: per-stratum window crept back in:\n${p.take(2000)}")
+    }
   }
 
   test("d75: upsampling is a pure projection + one Generate — no shuffle beyond the output sort") {
