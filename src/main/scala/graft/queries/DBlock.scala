@@ -1272,6 +1272,64 @@ object DBlock {
         .select(col("doc_id"), col("n_tokens"), col("start_off"),
           col("bin_start"), col("bin_end"), col("mh").as("main_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // D47b (model-gated pipeline): the d62 capstone with the LEARNED
+    // stage composed in — extract → rule gate → NB-classifier gate
+    // (trained in-plan on the rule-gated extracted texts' d60 slice,
+    // lang=='en' labels; kept iff rounded log-odds > 0) → keep-min
+    // dedup → pack. The production filter order (free rules first,
+    // model inference second), and the proof that even a TRAINED
+    // MODEL stage is engine-reproducible inside the composed chain:
+    // one end-to-end hash covers block verdicts, gate ratios, every
+    // training count, the weight/floor/prior arithmetic, the gate
+    // sign, keeper choices and prefix-sum offsets.
+    "d77_model_pipeline" -> ((s, d) => {
+      val id = col("doc_id")
+      val body = when(id % 10 === 0, lit(d62SharedText))
+        .otherwise(col("text"))
+      val docs0 = Tables.documents(s, d)
+        .filter(id.isNotNull && col("text").isNotNull)
+      // pinned once (narrow (doc_id, main_text) rows): the chain
+      // below reads the extraction ~8 times (gate, train counts,
+      // scoring stream, dedup, pack, final join) and the HtmlKernels
+      // pass is the chain's most expensive projection — one eager
+      // localCheckpoint trades one extraction pass for all repeats
+      // (batch-scoped lifetime, the C12 pin discipline; 7.7 → ~3 s
+      // at sf0.1)
+      val extracted = TextAnalysis.extractMainHtml(
+        docs0.withColumn("html", plantedHtml(body)), "doc_id", "html")
+        .select(col("doc_id"), col("main_text"))
+        .localCheckpoint(true)
+      val gateKeep = TextAnalysis.gopherQualityFilter(
+        extracted, "doc_id", "main_text", minWords = 20)
+        .filter(col("keep")).select(col("doc_id"))
+      val ruleKept = extracted
+        .join(gateKeep.hint("SHUFFLE_HASH"), Seq("doc_id"))
+      val labeled = ruleKept.join(
+        docs0.select(col("doc_id"), col("lang")).hint("SHUFFLE_HASH"),
+        Seq("doc_id"))
+      val modelKeep = TextAnalysis.nbLogOdds(labeled, "doc_id",
+        "main_text", label = col("lang") === "en",
+        trainFilter = d60Slice)
+        .filter(col("log_odds") > 0)
+        .select(col("doc_id"), col("log_odds"))
+      val kept = ruleKept
+        .join(modelKeep.hint("SHUFFLE_HASH"), Seq("doc_id"))
+        .withColumn("mh", md5(col("main_text")))
+      val keepers = kept.groupBy(col("mh")).agg(min(id).as("doc_id"))
+      val unique = kept.join(keepers.hint("SHUFFLE_HASH"),
+        Seq("mh", "doc_id"))
+      Packing.sequencePack(unique, "doc_id",
+        tokens = TextAnalysis.wsTokenCount(col("main_text")).cast("long"),
+        orderCol = md5(id.cast("string")),
+        capacity = 2048L)
+        .join(unique.select(col("doc_id"), col("mh"), col("log_odds")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("start_off"),
+          col("bin_start"), col("bin_end"), col("mh").as("main_md5"),
+          col("log_odds"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2869,6 +2927,7 @@ object DBlock {
     "d60_bpe_train" -> bpeTrainSql,
     "d66_bpe_budget_train" -> bpeTrainSqlFor(d66SliceSql),
     "d62_pipeline" -> pipelineSql,
+    "d77_model_pipeline" -> modelPipelineSql,
     "d61_trained_tokenize" -> bpeTrainedTokenizeSql,
 
     "d33_unigram_logprob" ->
@@ -3414,6 +3473,112 @@ object DBlock {
        |  CAST(off // 2048 AS BIGINT) AS bin_start,
        |  CAST((off + greatest(n, 1) - 1) // 2048 AS BIGINT) AS bin_end,
        |  mh AS main_md5
+       |FROM cc ORDER BY doc_id""".stripMargin
+
+  /** d77: pipelineSql's chain with the NB model stage between the
+    * rule gate `g` and the dedup — the d73 arithmetic re-derived
+    * over the rule-gated EXTRACTED texts (train slice = the d60
+    * md5-quarter of the gated docs, labels from the source table's
+    * lang), gate = rounded log-odds > 0, then keep-min dedup and
+    * the prefix-sum pack carrying log_odds through. */
+  private lazy val modelPipelineSql: String =
+    s"""WITH ${htmlExtractCtes(
+         s"CASE WHEN doc_id % 10 = 0 THEN '$d62SharedText' ELSE text END")},
+       |mt AS (
+       |  SELECT doc_id, coalesce(string_agg(txt, chr(10) ORDER BY ord)
+       |    FILTER (WHERE keep), '') AS main
+       |  FROM k GROUP BY doc_id
+       |), s2 AS (
+       |  SELECT doc_id, main, ' ' || lower(main) || ' ' AS pt,
+       |    CAST(CASE WHEN length(trim(main)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(main), '\\s+')) END AS BIGINT) AS nw,
+       |    length(replace(main, ' ', '')) AS ns,
+       |    string_split_regex(lower(trim(main)), '\\s+') AS ws
+       |  FROM mt
+       |), g AS (
+       |  SELECT doc_id, main FROM (
+       |    SELECT doc_id, main, nw,
+       |      round(CASE WHEN nw > 0 THEN CAST(ns AS DOUBLE) / nw ELSE 0.0 END, 4) AS mean_wlen,
+       |      round(CASE WHEN nw > 0 THEN CAST(
+       |          (length(main) - length(replace(main, '#', ''))) +
+       |          (length(main) - length(replace(main, '...', ''))) / 3
+       |        AS DOUBLE) / nw ELSE 0.0 END, 4) AS sym_ratio,
+       |      round(CASE WHEN nw > 0 THEN CAST(len(list_filter(ws,
+       |          x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / nw
+       |        ELSE 0.0 END, 4) AS alpha_frac,
+       |      CAST($gopherStopSql AS BIGINT) AS sd
+       |    FROM s2)
+       |  WHERE nw >= 20 AND nw <= 100000
+       |    AND mean_wlen BETWEEN 3.0 AND 10.0 AND sym_ratio <= 0.1
+       |    AND alpha_frac >= 0.8 AND sd >= 2
+       |), g2 AS (
+       |  SELECT g.doc_id, g.main, (dx.lang = 'en') AS y,
+       |    substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 1)
+       |      IN ('0','1','2','3') AS tr,
+       |    string_split_regex(lower(trim(g.main)), '\\s+') AS ws
+       |  FROM g JOIN documents dx ON g.doc_id = dx.doc_id
+       |  WHERE dx.lang IS NOT NULL
+       |), ntok AS (
+       |  SELECT doc_id, y, tr, unnest(ws) AS term FROM g2
+       |), ncnt AS (
+       |  SELECT term,
+       |    CAST(count(*) FILTER (WHERE tr AND y) AS BIGINT) AS c1,
+       |    CAST(count(*) FILTER (WHERE tr AND NOT y) AS BIGINT) AS c0
+       |  FROM ntok GROUP BY term
+       |  HAVING count(*) FILTER (WHERE tr AND y) +
+       |    count(*) FILTER (WHERE tr AND NOT y) > 0
+       |), nnv AS (
+       |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+       |    CAST(sum(c0) AS BIGINT) AS n0,
+       |    CAST(count(*) AS BIGINT) AS v FROM ncnt
+       |), nds AS (
+       |  SELECT CAST(count(*) FILTER (WHERE y) AS BIGINT) AS d1,
+       |    CAST(count(*) FILTER (WHERE NOT y) AS BIGINT) AS d0
+       |  FROM g2 WHERE tr
+       |), nw2 AS (
+       |  SELECT term,
+       |    ln((CAST(c1 AS DOUBLE) + 1.0) / CAST(n1 + v AS DOUBLE)) -
+       |    ln((CAST(c0 AS DOUBLE) + 1.0) / CAST(n0 + v AS DOUBLE)) AS tw
+       |  FROM ncnt CROSS JOIN nnv
+       |), nfl AS (
+       |  SELECT ln(1.0 / CAST(n1 + v AS DOUBLE)) -
+       |    ln(1.0 / CAST(n0 + v AS DOUBLE)) AS fl0 FROM nnv
+       |), nsc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS ntk,
+       |    CAST(count(nw2.tw) AS BIGINT) AS m, sum(nw2.tw) AS sw
+       |  FROM ntok LEFT JOIN nw2 USING (term) GROUP BY doc_id
+       |), mk AS (
+       |  SELECT doc_id, log_odds FROM (
+       |    SELECT doc_id,
+       |      round(ln(CAST(d1 AS DOUBLE) / CAST(d0 AS DOUBLE)) +
+       |        (coalesce(sw, 0.0) + CAST(ntk - m AS DOUBLE) * fl0), 4)
+       |        AS log_odds
+       |    FROM nsc CROSS JOIN nfl CROSS JOIN nds)
+       |  WHERE log_odds > 0
+       |), dd AS (
+       |  SELECT g2.doc_id, g2.main, md5(g2.main) AS mh, mk.log_odds
+       |  FROM g2 JOIN mk USING (doc_id)
+       |), kp AS (
+       |  SELECT mh, min(doc_id) AS doc_id FROM dd GROUP BY mh
+       |), u AS (
+       |  SELECT dd.doc_id, dd.mh, dd.main, dd.log_odds
+       |  FROM dd JOIN kp USING (mh, doc_id)
+       |), tt AS (
+       |  SELECT doc_id, mh, log_odds,
+       |    CAST(CASE WHEN length(trim(main)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(main), '\\s+')) END AS BIGINT) AS n,
+       |    md5(CAST(doc_id AS VARCHAR)) AS ord
+       |  FROM u
+       |), cc AS (
+       |  SELECT doc_id, mh, log_odds, n,
+       |    CAST(COALESCE(sum(n) OVER (ORDER BY ord NULLS FIRST
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM tt
+       |)
+       |SELECT doc_id, n AS n_tokens, off AS start_off,
+       |  CAST(off // 2048 AS BIGINT) AS bin_start,
+       |  CAST((off + greatest(n, 1) - 1) // 2048 AS BIGINT) AS bin_end,
+       |  mh AS main_md5, log_odds
        |FROM cc ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of gopherQualityFilter's distinct-stopword count:

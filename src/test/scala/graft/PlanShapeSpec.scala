@@ -383,6 +383,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"pack stage lost its pinned layout:\n${p.take(2000)}")
   }
 
+  test("d77: model-gated pipeline stays hash-joined; the NB stage brings no window") {
+    // d62's pins hold with the learned stage composed in: the model
+    // gate is a doc-keyed semi-ish equi-join on the classifier output
+    // (whose only broadcast-nested-loop is the sanctioned one-row
+    // floor/prior cross), and no stage grew a window
+    val p = plan("d77_model_pipeline")
+    assert(count(p, "CartesianProduct") == 0,
+      s"pipeline degenerated to a pair join:\n${p.take(2000)}")
+    assert(count(p, "Window") == 0,
+      s"a window crept into the composed chain:\n${p.take(2000)}")
+    assert(count(p, "Scan ExistingRDD") >= 1,
+      s"pack stage lost its pinned layout:\n${p.take(2000)}")
+    assert(count(p, "SortAggregate") == 0, p.take(2000))
+  }
+
   test("d56: gopher rules are a pure scan projection") {
     val p = plan("d56_gopher_rules")
     assert(count(p, "Join") == 0 && count(p, "Generate") == 0 &&
