@@ -94,7 +94,8 @@ object ScaleProbe {
     "d74_nb_model_score",   // train + broadcast-served scoring
     "d75_upsample",         // quality-tier copy explode, map-only
     "d76_mixture_epochs",   // epochs + remainder prefix (derived budget)
-    "d77_model_pipeline")   // extract→rules→NB gate→dedup→pack chain
+    "d77_model_pipeline",   // extract→rules→NB gate→dedup→pack chain
+    "d78_corpus_report")    // grouping-sets data card, one hash agg
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

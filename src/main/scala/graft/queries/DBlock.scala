@@ -1274,6 +1274,38 @@ object DBlock {
         .orderBy(col("doc_id"))
     }),
 
+    // D57: corpus report card — the "data card" aggregate a curation
+    // run publishes with its output: per-(lang, source) doc counts,
+    // token mass, mean quality and distinct-content counts (the dup
+    // rate's numerator), with ROLLUP subtotals and the grand total in
+    // ONE grouping-sets aggregate (Expand + hash agg, map-side
+    // partials, no windows/joins). Fully oracle-checked; null-group
+    // ordering pinned NULLS FIRST on both engines.
+    "d78_corpus_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        // quality in EXACT 1e-4 integer units: a group avg over
+        // thousands of rounded doubles lands on round-half
+        // boundaries where a 1-ulp addition-order difference flips
+        // the 4th decimal across engines (it did, at sf0.1); an
+        // integer numerator makes the division and its rounding
+        // bit-identical everywhere
+        .withColumn("__qi",
+          round(TextAnalysis.qualityScore(col("text")) * 10000, 0)
+            .cast("long"))
+        .withColumn("__n",
+          TextAnalysis.wsTokenCount(col("text")).cast("long"))
+      docs.rollup(col("lang"), col("source"))
+        .agg(grouping_id().as("lvl"),
+          count(lit(1)).as("n_docs"),
+          sum(col("__n")).as("n_tokens"),
+          round(sum(col("__qi")).cast("double") /
+            (count(lit(1)) * 10000L).cast("double"), 4).as("avg_quality"),
+          count_distinct(md5(col("text"))).as("n_distinct"))
+        .orderBy(col("lvl"), col("lang").asc_nulls_first,
+          col("source").asc_nulls_first)
+    }),
+
     // D47b (model-gated pipeline): the d62 capstone with the LEARNED
     // stage composed in — extract → rule gate → NB-classifier gate
     // (trained in-plan on the rule-gated extracted texts' d60 slice,
@@ -3109,6 +3141,38 @@ object DBlock {
         |FROM off CROSS JOIN tw
         |WHERE start_off + n <= w * $d72Budget // total
         |ORDER BY doc_id""".stripMargin,
+
+    // d78: the data card re-derived — the d9 quality chain, token
+    // mass, ROLLUP subtotals with matching grouping-id bits and
+    // pinned null-group ordering.
+    "d78_corpus_report" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, source, text,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+        |    length(replace(text, ' ', '')) AS non_space,
+        |    CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS INT) AS stop_n
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, lang, source, text, n_words,
+        |    CASE WHEN n_words > 0 THEN CAST(non_space AS DOUBLE) / n_words ELSE 0.0 END AS mean_wl,
+        |    CAST(stop_n AS DOUBLE) AS stop_d
+        |  FROM b),
+        |q AS (
+        |  SELECT doc_id, lang, source, text, n_words,
+        |    CAST(round(round(least(n_words / 100.0, 1.0) * 0.4 +
+        |      (CASE WHEN mean_wl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+        |      least(stop_d / 5.0, 1.0) * 0.2, 4) * 10000, 0) AS BIGINT) AS qi
+        |  FROM m)
+        |SELECT lang, source,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS lvl,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(qi) AS DOUBLE) /
+        |    CAST(count(*) * 10000 AS DOUBLE), 4) AS avg_quality,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+        |FROM q GROUP BY ROLLUP(lang, source)
+        |ORDER BY lvl, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
 
     // d76: the d72 machinery + derived 2×-mass budget, whole epochs
     // per stratum and the remainder prefix, all integer arithmetic.

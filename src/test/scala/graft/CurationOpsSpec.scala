@@ -230,6 +230,41 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(empty == 0L)
   }
 
+  // ------------------------------------------- corpus report card
+
+  test("d78 shape: rollup levels, exact integer-unit avg, distinct content") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "en", "s1", "alpha beta"),
+      (2L, "en", "s1", "alpha beta"), // exact dup content
+      (3L, "en", "s2", "gamma delta epsilon"),
+      (4L, "de", "s1", "zeta eta")
+    ).toDF("doc_id", "lang", "source", "text")
+      .withColumn("__qi",
+        round(TextAnalysis.qualityScore(col("text")) * 10000, 0)
+          .cast("long"))
+    val rolled = docs.rollup(col("lang"), col("source"))
+      .agg(grouping_id().as("lvl"), count(lit(1)).as("n_docs"),
+        count_distinct(md5(col("text"))).as("n_distinct"),
+        round(sum(col("__qi")).cast("double") /
+          (count(lit(1)) * 10000L).cast("double"), 4).as("aq"))
+      .collect()
+      .map(r => (Option(r.getAs[String]("lang")).getOrElse("·"),
+        Option(r.getAs[String]("source")).getOrElse("·"),
+        r.getAs[Long]("lvl"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_distinct"))).toSet
+    // leaf rows + per-lang subtotals + grand total, dup collapsing
+    // only where content repeats
+    assert(rolled.contains(("en", "s1", 0L, 2L, 1L)))
+    assert(rolled.contains(("en", "s2", 0L, 1L, 1L)))
+    assert(rolled.contains(("de", "s1", 0L, 1L, 1L)))
+    assert(rolled.contains(("en", "·", 1L, 3L, 2L)))
+    assert(rolled.contains(("de", "·", 1L, 1L, 1L)))
+    assert(rolled.contains(("·", "·", 3L, 4L, 3L)))
+    assert(rolled.size == 6)
+  }
+
   // ------------------------------------------- epoch upsampling
 
   test("upsample: repeat expansion, 0-drop, deterministic scatter keys, runaway guard") {

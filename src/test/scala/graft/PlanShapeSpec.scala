@@ -481,6 +481,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d78: corpus report is one grouping-sets hash aggregate — no window, no join") {
+    val p = plan("d78_corpus_report")
+    assert(count(p, "Window") == 0 && count(p, "Join") == 0, p.take(1500))
+    assert(count(p, "Expand") >= 1,
+      s"rollup lost its grouping-sets Expand:\n${p.take(1500)}")
+    assert(count(p, "SortAggregate") == 0, p.take(1500))
+  }
+
   test("d75: upsampling is a pure projection + one Generate — no shuffle beyond the output sort") {
     val p = plan("d75_upsample")
     assert(count(p, "Window") == 0, p.take(1500))
