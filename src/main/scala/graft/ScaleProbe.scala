@@ -95,7 +95,8 @@ object ScaleProbe {
     "d75_upsample",         // quality-tier copy explode, map-only
     "d76_mixture_epochs",   // epochs + remainder prefix (derived budget)
     "d77_model_pipeline",   // extract→rules→NB gate→dedup→pack chain
-    "d78_corpus_report")    // grouping-sets data card, one hash agg
+    "d78_corpus_report",    // grouping-sets data card, one hash agg
+    "d63b_video_dhash_bits") // PNG mux/demux/decode + per-frame dHash
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

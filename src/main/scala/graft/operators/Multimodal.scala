@@ -144,8 +144,16 @@ object Multimodal {
 
   /** The deterministic JPEG frame set of [[videoPayload]], split out
     * so a REMUXED twin (same frames, different container timing) can
-    * reuse the identical bytes. */
-  private[graft] def videoFrames(id: Long): Array[Array[Byte]] = {
+    * reuse the identical bytes. `fmt = "png"` swaps the per-frame
+    * codec for LOSSLESS PNG (pixels survive encode→decode exactly),
+    * which is what gives the d63b bit oracle its footing — the frame
+    * pixel formula is doc_id+frame arithmetic, so with a lossless
+    * codec DuckDB can re-derive every frame dHash bit while Spark
+    * goes through the REAL mux → RIFF demux → ImageIO decode path
+    * (ImageIO sniffs content, so the decode path is codec-agnostic).
+    */
+  private[graft] def videoFrames(id: Long,
+      fmt: String = "jpg"): Array[Array[Byte]] = {
     val w = (16 + math.floorMod(id, 8) * 2).toInt
     val h = (16 + math.floorMod(id, 6) * 2).toInt
     val nFrames = (2 + math.floorMod(id, 5)).toInt
@@ -162,15 +170,35 @@ object Multimodal {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
+      javax.imageio.ImageIO.write(img, fmt, bos)
       bos.toByteArray
     }
+  }
+
+  /** [[videoPayload]] with LOSSLESS PNG frames in the same real AVI
+    * container (codec fourcc "png " in both stream header and
+    * BITMAPINFOHEADER) — the d63b oracle-twin corpus generator. */
+  private[graft] def pngVideoPayload(id: Long): Array[Byte] = {
+    val w = (16 + math.floorMod(id, 8) * 2).toInt
+    val h = (16 + math.floorMod(id, 6) * 2).toInt
+    val fps = (5 + math.floorMod(id, 5)).toInt
+    muxAvi(videoFrames(id, "png"), w, h, fps, codec = "png ")
+  }
+
+  /** The d63b corpus: one lossless-PNG AVI per id % 3 == 2 doc. */
+  def withPlantedPngVideos(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .filter(id => math.floorMod(id, 3) == 2)
+      .mapPartitions(_.map(id =>
+        MediaRow(id, "video", pngVideoPayload(id))))
   }
 
   /** RIFF/AVI muxing of pre-encoded MJPEG frames — the container
     * half of [[videoPayload]], shared with the remux twin. */
   private[graft] def muxAvi(frames: Array[Array[Byte]], w: Int, h: Int,
-      fps: Int): Array[Byte] = {
+      fps: Int, codec: String = "MJPG"): Array[Byte] = {
     val nFrames = frames.length
     val avih = riffChunk("avih", // MainAVIHeader: 14 LE u32 fields
       le32(1000000L / fps) ++ le32(0) ++ le32(0) ++ le32(0x10 /*HASINDEX*/) ++
@@ -178,14 +206,14 @@ object Multimodal {
         le32(w.toLong) ++ le32(h.toLong) ++
         le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
     val strh = riffChunk("strh", // AVIStreamHeader for the vids stream
-      fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      fcc("vids") ++ fcc(codec) ++ le32(0) ++ le16(0) ++ le16(0) ++
         le32(0) ++ le32(1 /*scale*/) ++ le32(fps.toLong /*rate*/) ++
         le32(0) ++ le32(nFrames.toLong) ++
         le32(frames.map(_.length).max.toLong) ++ le32(0xFFFFFFFFL) ++
         le32(0) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
-    val strf = riffChunk("strf", // BITMAPINFOHEADER, biCompression=MJPG
+    val strf = riffChunk("strf", // BITMAPINFOHEADER, biCompression=codec
       le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++ le16(24) ++
-        fcc("MJPG") ++ le32(w.toLong * h * 3) ++
+        fcc(codec) ++ le32(w.toLong * h * 3) ++
         le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
     val hdrl = riffList("hdrl", avih ++ riffList("strl", strh ++ strf))
     val movi = riffList("movi",

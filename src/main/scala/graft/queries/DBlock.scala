@@ -343,6 +343,25 @@ object DBlock {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // D48b: d63's ORACLE TWIN (the d52b discipline lifted to video):
+    // the frame pixel formula is doc_id+frame arithmetic and the
+    // twin corpus muxes LOSSLESS PNG frames into the same real AVI
+    // container, so DuckDB re-derives every per-frame dHash bit —
+    // integer luma, 9×8 floor-partition area averages, 64 gradient
+    // signs — while Spark runs the REAL path: PNG encode → RIFF mux
+    // → demux → ImageIO decode → pixel scan. Erases the d63 family's
+    // twin-less rows-only status: the frame-hash kernel and the
+    // demux/sampling machinery are now hash-matched end to end.
+    "d63b_video_dhash_bits" -> ((s, d) => {
+      val media = Multimodal.withPlantedPngVideos(
+        Tables.documents(s, d).filter(col("doc_id").isNotNull), "doc_id")
+      Multimodal.videoFrameDHashSigs(s, media)
+        .select(col("doc_id"), col("frame_idx"),
+          expr("shiftrightunsigned(sim, 32)").as("sig_hi"),
+          (col("sim").bitwiseAND(lit(0xFFFFFFFFL))).as("sig_lo"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // D49: perceptual AUDIO near-dedup — 64-bit energy-gradient
     // fingerprint over real WAV decode, paired through the hamming
     // machinery. Planted corpus: every audio doc plus a remuxed twin
@@ -2260,6 +2279,60 @@ object DBlock {
     // (SUM // COUNT, matching Scala's positive int division), then
     // one gradient-sign bit per horizontal cell pair (bit k =
     // cy*8+cx, split into unsigned 32-bit halves)
+    // d63b: the d52b pixel re-derivation per (video, frame) — dims
+    // and frame count from the id formulas, pixel base with the
+    // frame term, the identical 9×8 floor-partition luma averages
+    // and gradient bits, one row per demuxed frame.
+    "d63b_video_dhash_bits" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS src FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % 3 = 2
+        |), dims AS (
+        |  SELECT src, 16 + (src % 8) * 2 AS w, 16 + (src % 6) * 2 AS h,
+        |    2 + (src % 5) AS nf
+        |  FROM ids
+        |), fr AS (
+        |  SELECT d.src, d.w, d.h, f.f
+        |  FROM dims d, unnest(range(d.nf)) AS f(f)
+        |), cells AS (
+        |  SELECT fr.src, fr.f, cy.cy, cx.cx,
+        |    (cx.cx * fr.w) // 9 AS x0, ((cx.cx + 1) * fr.w) // 9 AS x1,
+        |    (cy.cy * fr.h) // 8 AS y0, ((cy.cy + 1) * fr.h) // 8 AS y1
+        |  FROM fr,
+        |    (SELECT unnest(range(8)) AS cy) cy,
+        |    (SELECT unnest(range(9)) AS cx) cx
+        |), lum AS (
+        |  SELECT src, f, cy, cx,
+        |    (77 * ((base >> 16) & 255) + 151 * ((base >> 8) & 255)
+        |      + 28 * (base & 255)) >> 8 AS luma
+        |  FROM (
+        |    SELECT c.*,
+        |      ((c.src * 31) + (c.f * 17) + (xs.x * 7) + (ys.y * 131))
+        |        & 16777215 AS base
+        |    FROM cells c,
+        |      unnest(range(c.x0, c.x1)) AS xs(x),
+        |      unnest(range(c.y0, c.y1)) AS ys(y)
+        |  ) p
+        |), avgs AS (
+        |  SELECT src, f, cy, cx, SUM(luma) // COUNT(*) AS a
+        |  FROM lum GROUP BY 1, 2, 3, 4
+        |), dsigs AS (
+        |  SELECT a.src, a.f,
+        |    CAST(SUM(CASE WHEN b.a > a.a AND (a.cy * 8 + a.cx) >= 32
+        |      THEN (CAST(1 AS BIGINT) << (a.cy * 8 + a.cx - 32))
+        |      ELSE 0 END) AS BIGINT) AS sig_hi,
+        |    CAST(SUM(CASE WHEN b.a > a.a AND (a.cy * 8 + a.cx) < 32
+        |      THEN (CAST(1 AS BIGINT) << (a.cy * 8 + a.cx))
+        |      ELSE 0 END) AS BIGINT) AS sig_lo
+        |  FROM avgs a
+        |  JOIN avgs b ON b.src = a.src AND b.f = a.f
+        |    AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8
+        |  GROUP BY 1, 2)
+        |SELECT src AS doc_id, CAST(f AS INT) AS frame_idx,
+        |  sig_hi, sig_lo
+        |FROM dsigs ORDER BY doc_id, frame_idx""".stripMargin,
+
     "d52b_dhash_bits" -> (s"WITH ${dhashSigCtes("")}\n" +
       """SELECT img AS doc_id, sig_hi, sig_lo FROM dsigs
         |ORDER BY doc_id""".stripMargin),

@@ -181,6 +181,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(tp == 0, "a truncated copy must not pair")
   }
 
+  test("d63b: lossless PNG frames survive the real AVI path; sigs equal direct pixel hashing") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val media = Multimodal.withPlantedPngVideos(docs, "doc_id")
+    val sigs = Multimodal.videoFrameDHashSigs(spark, media)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val videoIds = (0L until 30L).filter(_ % 3 == 2)
+    // every frame demuxed and decoded; the mux→demux→decode path is
+    // pixel-lossless, so each frame's sig equals dHash64 of the PNG
+    // bytes that went INTO the container
+    videoIds.foreach { id =>
+      val frames = Multimodal.videoFrames(id, "png")
+      assert(frames.indices.forall(f => sigs.contains((id, f))),
+        s"video $id lost frames through the container")
+      frames.zipWithIndex.foreach { case (fb, f) =>
+        assert(sigs((id, f)) == Multimodal.dHash64(fb).get,
+          s"frame ($id, $f) sig drifted through mux/demux")
+      }
+    }
+    assert(sigs.size == videoIds.map(id => 2 + id % 5).sum)
+  }
+
   test("d64: audio fingerprint is gain- and rate-label-invariant; planted twins pair at hamming 0") {
     import spark.implicits._
     // gain invariance: scaling every sample by a constant preserves
