@@ -731,6 +731,58 @@ object Dedup {
       numBuckets)
   }
 
+  /** RETIREMENT — the lifecycle verb the other five (build, append,
+    * compact, open, screen) leave open, and at 100 TB a mandatory
+    * one: a takedown/right-to-be-forgotten request must remove a
+    * document's near-dup EVIDENCE (its band rows and shingle-set
+    * row) from the persistent index without a corpus rebuild. Rides
+    * [[graft.sources.Bucketing.compactBucketed]]'s staged
+    * drop/rename swap verbatim — the rewrite is an anti-join filter
+    * over each bucketed table, staged fully before the live table is
+    * touched, so a crash anywhere inside the swap recovers exactly
+    * like an interrupted compaction (same marker, same
+    * finishInterruptedSwap path).
+    *
+    * CONTENT hashes are a separate decision, so they take the
+    * removed docs' TEXTS and a flag: with `dropContentHashes =
+    * false` (default) the `_ch` row stays and future byte-identical
+    * content keeps screening out — the usual dedup posture (the
+    * content was seen; a re-crawl of it is still a duplicate). With
+    * `true`, the texts' md5 rows are removed and identical content
+    * can be ingested fresh — the takedown-then-relicense posture.
+    * The caller must know which contract it wants; there is no
+    * middle ground because the index stores DISTINCT hashes, not
+    * per-doc ownership (by design — see [[buildDedupIndex]]).
+    *
+    * `docs` needs (idCol) always and (textCol) only when dropping
+    * content hashes. Null ids are ignored (they were never indexed
+    * under an id). The removed-id set is broadcast into the
+    * anti-joins — retirement batches are takedown-sized, not
+    * corpus-sized; the bucketed tables rewrite partition-local with
+    * their clustering intact. */
+  def retireFromDedupIndex(docs: DataFrame, idCol: String,
+      textCol: String, name: String,
+      dropContentHashes: Boolean = false): Unit = {
+    val spark = docs.sparkSession
+    val (_, _, _, _, numBuckets) = indexMeta(spark, name)
+    val ids = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("__rid")).distinct()
+    Bucketing.compactBucketed(
+      _.join(broadcast(ids), col("doc_id") === col("__rid"),
+        "left_anti"))(spark, s"${name}_bands", "band_hash", numBuckets)
+    Bucketing.compactBucketed(
+      _.join(broadcast(ids), col("doc_id") === col("__rid"),
+        "left_anti"))(spark, s"${name}_docs", "doc_id", numBuckets)
+    if (dropContentHashes) {
+      val hashes = docs
+        .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+        .select(md5(col(textCol)).as("__rch")).distinct()
+      Bucketing.compactBucketed(
+        _.join(broadcast(hashes), col("ch") === col("__rch"),
+          "left_anti").distinct())(spark, s"${name}_ch", "ch", numBuckets)
+    }
+  }
+
   /** Re-opens a [[buildDedupIndex]] index in a FRESH session: the
     * default in-memory catalog forgets every managed table on
     * restart, but the index's bucketed parquet directories (bucket
@@ -848,6 +900,22 @@ object Dedup {
     val (_, numBuckets) = simIndexMeta(spark, name)
     Bucketing.compactBucketed()(spark, s"${name}_chunks", "chunk_hash",
       numBuckets)
+  }
+
+  /** Retirement for the signature index — [[retireFromDedupIndex]]'s
+    * takedown verb without its content-hash ambiguity: every chunk
+    * row carries its doc_id, so removing the ids removes the
+    * document's entire screening footprint in one crash-safe
+    * compact-with-filter rewrite. */
+  def retireFromSimIndex(ids: DataFrame, idCol: String,
+      name: String): Unit = {
+    val spark = ids.sparkSession
+    val (_, numBuckets) = simIndexMeta(spark, name)
+    val rids = ids.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("__rid")).distinct()
+    Bucketing.compactBucketed(
+      _.join(broadcast(rids), col("doc_id") === col("__rid"),
+        "left_anti"))(spark, s"${name}_chunks", "chunk_hash", numBuckets)
   }
 
   /** Re-opens a [[buildSimIndex]] index in a fresh session from its

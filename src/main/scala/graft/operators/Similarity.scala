@@ -1077,6 +1077,27 @@ object Similarity {
       s"${name}_vectors", "cell_id", numBuckets)
   }
 
+  /** Retirement for the ANN index — [[graft.operators.Dedup
+    * .retireFromDedupIndex]]'s takedown verb for vectors: removes
+    * the ids' (cell_id, codes, vec) rows in one crash-safe
+    * compact-with-filter rewrite (staged, swap-marked, restart-
+    * recoverable); centroids and codebooks are statistics over the
+    * historical corpus and deliberately stay — a takedown removes
+    * the DOCUMENT, not the trained quantizer (re-training on
+    * retirement would re-encode the entire index for every
+    * takedown, the exact cost the index exists to avoid). */
+  def retireFromAnnIndex(ids: DataFrame, idCol: String,
+      name: String): Unit = {
+    val spark = ids.sparkSession
+    val numBuckets = spark.table(s"${name}_meta").head()
+      .getAs[Int]("num_buckets")
+    val rids = ids.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("__rid")).distinct()
+    graft.sources.Bucketing.compactBucketed(
+      _.join(broadcast(rids), col("vec_id") === col("__rid"),
+        "left_anti"))(spark, s"${name}_vectors", "cell_id", numBuckets)
+  }
+
   /** Re-registers a persisted ANN index's tables from their
     * warehouse directories in a fresh session (the index outlives
     * the in-memory catalog — [[graft.operators.Dedup

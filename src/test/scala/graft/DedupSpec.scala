@@ -1010,6 +1010,26 @@ class DedupSpec extends AnyFunSuite {
     } finally restoreSession()
   }
 
+  test("sim index retirement: the retired doc's whole screening footprint vanishes") {
+    import spark.implicits._
+    val name = "t_sim_retire"
+    def flip(s: Long, bits: Int*): Long = bits.foldLeft(s)((a, b) => a ^ (1L << b))
+    val s1 = 0x0123456789ABCDEFL
+    val s2 = 0x7EDCBA9876543210L
+    Dedup.buildSimIndex(Seq((1L, s1), (2L, s2)).toDF("doc_id", "sim"),
+      name, maxDist = 2, numBuckets = 2)
+    def kept(rows: Seq[(Long, Long)]): Set[Long] =
+      Dedup.screenAgainstSimIndex(rows.toDF("doc_id", "sim"), name)
+        .collect().map(_.getLong(0)).toSet
+    assert(kept(Seq((10L, s1), (11L, flip(s1, 3)))).isEmpty)
+    Dedup.retireFromSimIndex(Seq(Tuple1(1L)).toDF("doc_id"), "doc_id", name)
+    // exact AND near copies of the retired sig now land; doc 2's
+    // footprint is untouched
+    assert(kept(Seq((10L, s1), (11L, flip(s1, 3)))) == Set(10L, 11L))
+    assert(kept(Seq((12L, flip(s2, 5)))).isEmpty,
+      "retirement must not touch other docs' chunks")
+  }
+
   test("index survives a restart: openDedupIndex re-registers; screen, append, compact still work") {
     import spark.implicits._
     val name = "t_idx_restart"
@@ -1051,6 +1071,56 @@ class DedupSpec extends AnyFunSuite {
       val kept3 = Dedup.dedupAgainstIndex(probe3, "doc_id", "text", name)
         .collect().map(_.getLong(0)).toSet
       assert(kept3 == Set(21L), s"post-restart append+compact broke: $kept3")
+    } finally restoreSession()
+  }
+
+  test("index retirement: near-dup evidence removed; content hashes per flag; survives restart") {
+    import spark.implicits._
+    val name = "t_idx_retire"
+    val kept = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated corpus content about spark planning details today ok")
+    )
+    Dedup.buildDedupIndex(kept.toDF("doc_id", "text"), "doc_id", "text",
+      name, numBuckets = 2)
+    def screen(rows: Seq[(Long, String)]): Set[Long] =
+      Dedup.dedupAgainstIndex(rows.toDF("doc_id", "text"),
+        "doc_id", "text", name).collect().map(_.getLong(0)).toSet
+    val near = (50L, "the quick brown fox jumps over the lazy dog right now")
+    val exact = (51L, kept.head._2)
+    // both suppressed while doc 1 is indexed
+    assert(screen(Seq(near, exact)).isEmpty)
+
+    // retire doc 1 WITHOUT content-hash removal: near-dup evidence
+    // (bands + shingle set) is gone, so the near copy lands; the
+    // byte-identical copy still screens on the retained content hash
+    Dedup.retireFromDedupIndex(Seq(kept.head).toDF("doc_id", "text"),
+      "doc_id", "text", name)
+    assert(screen(Seq(near)) == Set(50L),
+      "retired doc's near-dup evidence must be gone")
+    assert(screen(Seq(exact)).isEmpty,
+      "content hash must be RETAINED without the flag")
+    // doc 2's rows are untouched
+    assert(screen(Seq((60L,
+      "completely unrelated corpus content about spark planning details right here ok"))).isEmpty)
+
+    // retire WITH dropContentHashes: identical content ingests fresh
+    Dedup.retireFromDedupIndex(Seq(kept.head).toDF("doc_id", "text"),
+      "doc_id", "text", name, dropContentHashes = true)
+    assert(screen(Seq(exact)) == Set(51L),
+      "dropped content hash must re-admit identical content")
+
+    // the rewrite rides the compact swap: a fresh session re-opens
+    // the retired index and sees the same screens
+    val s2 = restartedSession()
+    try {
+      Dedup.openDedupIndex(s2, name)
+      import s2.implicits.{localSeqToDatasetHolder => h2}
+      val again = Dedup.dedupAgainstIndex(
+        h2(Seq(near, exact)).toDF("doc_id", "text"),
+        "doc_id", "text", name).collect().map(_.getLong(0)).toSet
+      assert(again == Set(near._1, exact._1),
+        s"retirement did not survive the restart: $again")
     } finally restoreSession()
   }
 

@@ -221,6 +221,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(indexed.nonEmpty && indexed == direct)
   }
 
+  test("ANN index retirement: retired vectors vanish from serving; the quantizer stays") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val q8 = q8corpus
+    Similarity.buildAnnIndex(q8, "vec_id", "qv", name = "t_ann_retire",
+      nlist = 8, m = 4, ksub = 8, md5Sig = true, numBuckets = 4)
+    val queries = q8.filter(col("vec_id") === 0)
+    def serve() = Similarity.annTopKAgainstIndex(queries, "vec_id",
+      "qv", name = "t_ann_retire", k = 5, nprobe = 2)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val before = serve()
+    assert(before.size == 5)
+    val gone = before.head // retire the serving top-1
+    Similarity.retireFromAnnIndex(Seq(gone).toDF("vec_id"), "vec_id",
+      "t_ann_retire")
+    val after = serve()
+    assert(!after.contains(gone), s"retired vector $gone still served")
+    // the rest of the ranking is intact: dropping one neighbor
+    // preserves the relative order of the others (exact re-rank)
+    assert(after.take(4) == before.filter(_ != gone).take(4),
+      s"ranking disturbed: $before -> $after")
+    assert(after.size == 5, s"k no longer filled: $after")
+  }
+
   test("persistent ANN index: single-query serve prunes the bucketed scan to probed buckets") {
     import org.apache.spark.sql.functions.col
     val q8 = q8corpus
