@@ -1077,6 +1077,30 @@ object Similarity {
       s"${name}_vectors", "cell_id", numBuckets)
   }
 
+  /** Ops observability for the ANN index — the occupancy histogram
+    * that drives the retrain/re-balance decision (a cell holding 10×
+    * its share degrades nprobe recall AND makes its bucket the
+    * straggler of every probed scan; an EMPTY cell is a wasted
+    * probe): per-cell vector counts over the bucketed table joined
+    * against the FULL centroid list, so empty cells surface as
+    * zero rows instead of silently missing. One scan that reads
+    * ONLY cell_id (codes and vec prune away) + one |nlist|-sized
+    * aggregate + one-row total broadcast. Returns
+    * (cell_id, n_vecs, share) with share rounded to 4 decimals. */
+  def annIndexStats(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame = {
+    val counts = spark.table(s"${name}_vectors")
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("__n"))
+    val total = counts.agg(sum(col("__n")).as("__t"))
+    spark.table(s"${name}_cents").select(col("cell_id"))
+      .join(broadcast(counts), Seq("cell_id"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("cell_id"),
+        coalesce(col("__n"), lit(0L)).as("n_vecs"),
+        round(coalesce(col("__n"), lit(0L)).cast("double") /
+          col("__t").cast("double"), 4).as("share"))
+  }
+
   /** Retirement for the ANN index — [[graft.operators.Dedup
     * .retireFromDedupIndex]]'s takedown verb for vectors: removes
     * the ids' (cell_id, codes, vec) rows in one crash-safe

@@ -1160,6 +1160,22 @@ object DBlock {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // D45c: ANN index occupancy stats — the ops histogram behind the
+    // retrain/re-balance decision (a 10×-share cell is the straggler
+    // of every probed scan; an empty cell is a wasted probe). The
+    // centroid join surfaces empty cells as zeros; the scan reads
+    // ONLY cell_id. Oracle reuses the d50/d58 cell CTEs verbatim, so
+    // the stats and the index assignment machinery cannot drift.
+    "d79_ann_index_stats" -> ((s, d) => {
+      val q8 = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+      Similarity.buildAnnIndex(q8, "vec_id", "qv", name = "d79_idx",
+        nlist = 16, m = 4, ksub = 8, md5Sig = true)
+      Similarity.annIndexStats(s, "d79_idx")
+        .orderBy(col("cell_id"))
+    }),
+
     // D45b: RANGE search over the persistent ANN index — "everything
     // within distance r", the dedup/retrieval query shape top-k
     // can't express (k is unknown; a cut could drop a true in-range
@@ -3011,6 +3027,22 @@ object DBlock {
     // every (probed cell, resident) pair scored with the exact
     // integer distance, filtered at the radius — no shortlist to
     // mirror because the Spark path deliberately has none
+    // d79: occupancy from the SAME cell-assignment CTEs as d50/d58 —
+    // per-cell counts over every vector's argmin cell, empty cells
+    // zero via the centroid left join, shares from exact integers.
+    "d79_ann_index_stats" -> (s"WITH $ivfCellCtes,\n" +
+      """cnt AS (
+        |  SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vecs
+        |  FROM ccells GROUP BY cell_id
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS t FROM ccells
+        |)
+        |SELECT c.cell_id, coalesce(cnt.n_vecs, 0) AS n_vecs,
+        |  round(CAST(coalesce(cnt.n_vecs, 0) AS DOUBLE) /
+        |    CAST(t AS DOUBLE), 4) AS share
+        |FROM ccent c LEFT JOIN cnt USING (cell_id) CROSS JOIN tot
+        |ORDER BY cell_id""".stripMargin),
+
     "d69_ann_range" -> (s"WITH $ivfCellCtes,\n" +
       """ex AS (
         |  SELECT p.query_id, cc.neighbor_id,

@@ -221,6 +221,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(indexed.nonEmpty && indexed == direct)
   }
 
+  test("ANN index stats: occupancy covers the corpus, empty cells surface, retirement reflects") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val q8 = q8corpus
+    val n = q8.count()
+    Similarity.buildAnnIndex(q8, "vec_id", "qv", name = "t_ann_stats",
+      nlist = 8, m = 4, ksub = 8, md5Sig = true, numBuckets = 4)
+    def stats() = Similarity.annIndexStats(spark, "t_ann_stats")
+      .collect().map(r => r.getAs[Long]("cell_id") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("share"))).toMap
+    val s0 = stats()
+    assert(s0.size == 8, "one row per centroid, empty cells included")
+    assert(s0.values.map(_._1).sum == n, "occupancy must cover the corpus")
+    assert(math.abs(s0.values.map(_._2).sum - 1.0) < 0.01)
+    // retiring a vector moves exactly its cell's count down by one
+    val someId = q8.select(col("vec_id")).head().getLong(0)
+    Similarity.retireFromAnnIndex(Seq(someId).toDF("vec_id"), "vec_id",
+      "t_ann_stats")
+    val s1 = stats()
+    assert(s1.values.map(_._1).sum == n - 1)
+    assert(s0.count { case (c, (v, _)) => s1(c)._1 == v - 1 } == 1 &&
+      s0.count { case (c, (v, _)) => s1(c)._1 == v } == 7,
+      s"retirement must move one cell by one: $s0 -> $s1")
+  }
+
   test("ANN index retirement: retired vectors vanish from serving; the quantizer stays") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
