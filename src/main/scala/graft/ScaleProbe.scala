@@ -96,7 +96,9 @@ object ScaleProbe {
     "d76_mixture_epochs",   // epochs + remainder prefix (derived budget)
     "d77_model_pipeline",   // extract→rules→NB gate→dedup→pack chain
     "d78_corpus_report",    // grouping-sets data card, one hash agg
-    "d63b_video_dhash_bits") // PNG mux/demux/decode + per-frame dHash
+    "d63b_video_dhash_bits", // PNG mux/demux/decode + per-frame dHash
+    "d79_ann_index_stats",  // index build + cell_id-only occupancy scan
+    "d80_tfidf_keywords")   // shared term exchange + per-doc top-k
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -81,4 +81,48 @@ object Retrieval {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Per-document TF-IDF keyword extraction — the tagging pass that
+    * labels every document with its most distinctive terms (topical
+    * routing, cluster naming, index-card metadata): score(d, t) =
+    * tf · ln(N/df), each document's topK terms by (score desc, term)
+    * with the tie-break making the output deterministic.
+    *
+    * Scale shape: ONE term-keyed exchange serves the whole plan —
+    * the (doc, term) tf aggregate, the df aggregate AND the tf×df
+    * join all run on it without re-shuffling, because a partitioning
+    * on `term` satisfies every downstream clustering ({term} ⊆
+    * {doc, term}); N is a one-row broadcast. The per-doc top-k is a
+    * doc-keyed aggregate whose collect_list is bounded by the
+    * document's own distinct-term count (the d41 per-doc-array
+    * bound), sliced after an array_sort — never a corpus-wide rank
+    * window. Returns (doc_id, rank, term, score), score rounded to
+    * 4 decimals BEFORE ranking (§6 rule — both engines rank the
+    * identical doubles). Null id/text rows are dropped. */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val nDocs = live.agg(count(lit(1)).as("n_docs"))
+    val keyed = live
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.tokens(col(textCol))).as("term"))
+      .repartition(col("term"))
+    val tf = keyed.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val scored = tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df_t").cast("double")),
+          4).as("score"))
+    scored.groupBy(col("doc_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("score")).as("ns"), col("term"), col("score")))),
+        1, topK).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), (col("pos") + 1).as("rank"),
+        col("col.term").as("term"), col("col.score").as("score"))
+  }
 }

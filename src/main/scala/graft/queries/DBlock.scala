@@ -780,6 +780,18 @@ object DBlock {
         "doc_id", "text", queryTerms = d70Terms, topK = 20,
         k1 = 1.5, b = 0.75)),
 
+    // D52b: per-doc TF-IDF keyword extraction — the tagging pass
+    // (topical routing, cluster naming): each doc's top-3 terms by
+    // tf·ln(N/df), rounded BEFORE ranking with a term tie-break so
+    // both engines rank identical doubles. One term-keyed exchange
+    // serves tf, df and their join; the top-k is a per-doc
+    // array_sort+slice bounded by the doc's own vocab, never a
+    // corpus rank window. Fully oracle-checked.
+    "d80_tfidf_keywords" -> ((s, d) =>
+      graft.operators.Retrieval.tfidfKeywords(Tables.documents(s, d),
+        "doc_id", "text", topK = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
     // D53: URL canonicalization + URL-keyed dedup — the frontier
     // dedup ahead of fetch/extract (two crawls of one resource
     // differ in case, default ports, tracking params, param order,
@@ -3179,6 +3191,33 @@ object DBlock {
         |  round(sum(w), 4) AS bm25
         |FROM sc GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // d80: tf/df/idf re-derived from raw text; ranking over the SAME
+    // rounded doubles with the same (score desc, term) tie-break.
+    "d80_tfidf_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM tok) x
+        |  GROUP BY doc_id, term
+        |), dft AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+        |), nd AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM tok
+        |), sc AS (
+        |  SELECT doc_id, term,
+        |    round(CAST(tf AS DOUBLE) *
+        |      ln(CAST(n AS DOUBLE) / CAST(df_t AS DOUBLE)), 4) AS score
+        |  FROM tf JOIN dft USING (term) CROSS JOIN nd
+        |), rk AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS rank
+        |  FROM sc)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, score
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // d71: planted URL + the full canonicalization mirror (fragment
     // strip, scheme/host lowering, default-port drop, trailing-slash

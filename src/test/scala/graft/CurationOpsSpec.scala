@@ -64,6 +64,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(res == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("tfidfKeywords: hand-computed scores, rank order, term tie-break, topK cut") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (1L, "alpha alpha beta shared"),
+      (2L, "beta gamma shared"),
+      (3L, "shared shared shared")
+    ).toDF("doc_id", "text")
+    val res = Retrieval.tfidfKeywords(docs, "doc_id", "text", topK = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Double]("score"))).toMap
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def s(tf: Long, df: Long) = r4(tf * math.log(3.0 / df))
+    // doc 1: alpha 2·ln(3) beats beta 1·ln(1.5); shared idf 0
+    assert(res((1L, 1)) == ("alpha", s(2, 1)))
+    assert(res((1L, 2)) == ("beta", s(1, 2)))
+    // doc 2: beta and gamma — gamma 1·ln(3) > beta 1·ln(1.5)
+    assert(res((2L, 1)) == ("gamma", s(1, 1)))
+    assert(res((2L, 2)) == ("beta", s(1, 2)))
+    // doc 3: only the ubiquitous term → one row, score 0
+    assert(res((3L, 1)) == ("shared", 0.0))
+    assert(!res.contains((3L, 2)), "no phantom rank rows")
+    // tie-break: equal scores rank by term ascending
+    val tied = Retrieval.tfidfKeywords(
+      Seq((9L, "zz aa")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .collect().map(r => r.getAs[Int]("rank") -> r.getAs[String]("term"))
+      .toMap
+    assert(tied == Map(1 -> "aa", 2 -> "zz"))
+  }
+
   // --------------------------------------- URL canonicalization
 
   private def canon1(u: String): String = {

@@ -481,6 +481,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d80: keyword extraction shares ONE term exchange; per-doc top-k is never a rank window") {
+    val p = plan("d80_tfidf_keywords")
+    assert(count(p, "Window") == 0,
+      s"corpus rank window crept in:\n${p.take(1500)}")
+    assert(count(p, "SortAggregate") == 0, p.take(1500))
+    val np = pinnedPlan("d80_tfidf_keywords")
+    // tf, df and their join all ride the single repartition(term)
+    // exchange ({term} satisfies every downstream clustering)
+    assert(count(np, "ReusedExchange") >= 1,
+      s"term exchange duplicated:\n${np.take(3000)}")
+  }
+
   test("d78: corpus report is one grouping-sets hash aggregate — no window, no join") {
     val p = plan("d78_corpus_report")
     assert(count(p, "Window") == 0 && count(p, "Join") == 0, p.take(1500))
