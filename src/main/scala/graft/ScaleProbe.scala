@@ -98,7 +98,8 @@ object ScaleProbe {
     "d78_corpus_report",    // grouping-sets data card, one hash agg
     "d63b_video_dhash_bits", // PNG mux/demux/decode + per-frame dHash
     "d79_ann_index_stats",  // index build + cell_id-only occupancy scan
-    "d80_tfidf_keywords")   // shared term exchange + per-doc top-k
+    "d80_tfidf_keywords",   // shared term exchange + per-doc top-k
+    "d81_audio_dedup")      // audio sigs → pairs → components keep-one
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

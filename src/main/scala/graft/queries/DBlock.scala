@@ -392,6 +392,29 @@ object DBlock {
         .orderBy(col("doc_id"))
     }),
 
+    // D49b: perceptual AUDIO dedup KEEP-ONE — the d68 composition
+    // (sigs → hamming pairs → components → min-id survivors) applied
+    // to audio, where the WHOLE pipeline is oracle-checked (the
+    // energy-gradient fingerprint is losslessly SQL-derivable,
+    // unlike image JPEG): DuckDB re-derives every fingerprint from
+    // the planted byte arithmetic, brute-forces the pairs with
+    // 64-bit popcounts, closes them with the d27 recursive CTE and
+    // applies the keeper rule — candidate recall, closure and keeper
+    // choice all hash-matched through REAL WAV encode→decode.
+    "d81_audio_dedup" -> ((s, d) => {
+      val slice = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull &&
+          substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+      val media = Multimodal.withPlantedNearDupAudio(slice, "doc_id")
+      val sigs = Multimodal.audioFingerprintSigs(s, media)
+        .localCheckpoint(true)
+      val pairs = Dedup.simhashPairsFromSigs(sigs, maxDist = 2)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dropNearDuplicates(sigs, "doc_id", pairs)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D51: persistent perceptual-signature index + batch screen —
     // the D35 index-once pattern for media sigs, FULLY oracle-checked
     // end to end through real codecs: the corpus's audio fingerprints
@@ -2262,6 +2285,59 @@ object DBlock {
         |FROM sc CROSS JOIN fl CROSS JOIN ds
         |ORDER BY doc_id""".stripMargin
 
+  /** The d64b audio-fingerprint CTE chain (planted WAV byte
+    * arithmetic → signed 16-bit reassembly → 65 window means →
+    * gradient-sign halves), ending in `asigs(aid, sig_hi, sig_lo)`.
+    * Parameterized by an extra WHERE fragment on the source slice and
+    * shared by the d64b bit oracle and the d81 audio-dedup
+    * composition oracle, so the two cannot drift (the dhashSigCtes
+    * discipline applied to audio). */
+  private def audioFpCtes(extraWhere: String): String =
+    s"""ids AS (
+       |  SELECT doc_id AS src FROM documents
+       |  WHERE doc_id IS NOT NULL AND doc_id % 3 = 1$extraWhere
+       |), auds AS (
+       |  SELECT src, src AS aid FROM ids
+       |  UNION ALL
+       |  SELECT src, src + 10000000 FROM ids
+       |), dims AS (
+       |  SELECT aid, src, 1 + (src % 2) AS ch, 200 + (src % 100) AS nf
+       |  FROM auds
+       |), wins AS (
+       |  SELECT d.aid, d.src, d.ch, w.w,
+       |    (w.w * d.nf) // 65 AS f0, ((w.w + 1) * d.nf) // 65 AS f1
+       |  FROM dims d, (SELECT unnest(range(65)) AS w) w
+       |), en AS (
+       |  SELECT aid, w,
+       |    SUM(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END))
+       |      // ((f1 - f0) * ch) AS e
+       |  FROM (
+       |    SELECT aid, w, f1, f0, ch,
+       |      ((src * 31 + jb * 7 + (src // 256) * (jb % 13)) & 255)
+       |      + 256 * ((src * 31 + (jb + 1) * 7
+       |                + (src // 256) * ((jb + 1) % 13)) & 255) AS v
+       |    FROM (
+       |      SELECT ws.aid, ws.src, ws.w, ws.f1, ws.f0, ws.ch,
+       |        (fs.f * ws.ch + cs.c) * 2 AS jb
+       |      FROM wins ws,
+       |        unnest(range(ws.f0, ws.f1)) AS fs(f),
+       |        unnest(range(ws.ch)) AS cs(c)
+       |    ) jx
+       |  ) s
+       |  GROUP BY 1, 2, f1, f0, ch
+       |), asigs AS (
+       |  SELECT a.aid,
+       |    CAST(SUM(CASE WHEN b.e > a.e AND a.w >= 32
+       |      THEN (CAST(1 AS BIGINT) << (a.w - 32)) ELSE 0 END) AS BIGINT)
+       |      AS sig_hi,
+       |    CAST(SUM(CASE WHEN b.e > a.e AND a.w < 32
+       |      THEN (CAST(1 AS BIGINT) << a.w) ELSE 0 END) AS BIGINT)
+       |      AS sig_lo
+       |  FROM en a
+       |  JOIN en b ON b.aid = a.aid AND b.w = a.w + 1
+       |  WHERE a.w < 64
+       |  GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d40_incremental_dedup" -> incrementalDedupSql,
 
@@ -2396,52 +2472,33 @@ object DBlock {
     // matching Scala's positive long division), gradient signs as
     // two unsigned 32-bit halves. Twins (aid = src + 10000000) carry
     // their src's samples — the remux invariance.
-    "d64b_audio_fp_bits" ->
-      """WITH ids AS (
-        |  SELECT doc_id AS src FROM documents
-        |  WHERE doc_id IS NOT NULL AND doc_id % 3 = 1
-        |), auds AS (
-        |  SELECT src, src AS aid FROM ids
-        |  UNION ALL
-        |  SELECT src, src + 10000000 FROM ids
-        |), dims AS (
-        |  SELECT aid, src, 1 + (src % 2) AS ch, 200 + (src % 100) AS nf
-        |  FROM auds
-        |), wins AS (
-        |  SELECT d.aid, d.src, d.ch, w.w,
-        |    (w.w * d.nf) // 65 AS f0, ((w.w + 1) * d.nf) // 65 AS f1
-        |  FROM dims d, (SELECT unnest(range(65)) AS w) w
-        |), en AS (
-        |  SELECT aid, w,
-        |    SUM(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END))
-        |      // ((f1 - f0) * ch) AS e
-        |  FROM (
-        |    SELECT aid, w, f1, f0, ch,
-        |      ((src * 31 + jb * 7 + (src // 256) * (jb % 13)) & 255)
-        |      + 256 * ((src * 31 + (jb + 1) * 7
-        |                + (src // 256) * ((jb + 1) % 13)) & 255) AS v
-        |    FROM (
-        |      SELECT ws.aid, ws.src, ws.w, ws.f1, ws.f0, ws.ch,
-        |        (fs.f * ws.ch + cs.c) * 2 AS jb
-        |      FROM wins ws,
-        |        unnest(range(ws.f0, ws.f1)) AS fs(f),
-        |        unnest(range(ws.ch)) AS cs(c)
-        |    ) jx
-        |  ) s
-        |  GROUP BY 1, 2, f1, f0, ch
-        |)
-        |SELECT a.aid AS doc_id,
-        |  CAST(SUM(CASE WHEN b.e > a.e AND a.w >= 32
-        |    THEN (CAST(1 AS BIGINT) << (a.w - 32)) ELSE 0 END) AS BIGINT)
-        |    AS sig_hi,
-        |  CAST(SUM(CASE WHEN b.e > a.e AND a.w < 32
-        |    THEN (CAST(1 AS BIGINT) << a.w) ELSE 0 END) AS BIGINT)
-        |    AS sig_lo
-        |FROM en a
-        |JOIN en b ON b.aid = a.aid AND b.w = a.w + 1
-        |WHERE a.w < 64
-        |GROUP BY 1
-        |ORDER BY doc_id""".stripMargin,
+    "d64b_audio_fp_bits" -> (s"WITH ${audioFpCtes("")}\n" +
+      """SELECT aid AS doc_id, sig_hi, sig_lo
+        |FROM asigs ORDER BY doc_id""".stripMargin),
+
+    // d81: the d68 keep-one composition applied to AUDIO — and here
+    // the WHOLE pipeline is oracle-checked (the audio fingerprint is
+    // losslessly SQL-derivable, unlike image JPEG): fingerprints from
+    // the d64b byte arithmetic, pairs brute-forced with the 64-bit
+    // popcount, closed with the d27 recursive CTE, min-id survivors.
+    "d81_audio_dedup" -> (s"WITH RECURSIVE ${audioFpCtes(
+        " AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'")},\n" +
+      """pairs AS (
+        |  SELECT a.aid AS id_a, b.aid AS id_b
+        |  FROM asigs a JOIN asigs b ON b.aid > a.aid
+        |   AND bit_count(xor(a.sig_hi, b.sig_hi))
+        |     + bit_count(xor(a.sig_lo, b.sig_lo)) <= 2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT aid AS doc_id FROM asigs
+        |WHERE aid NOT IN (SELECT id FROM comp WHERE component <> id)
+        |ORDER BY doc_id""".stripMargin),
 
     // d67: the d64b fingerprint arithmetic over corpus + batch
     // (twins carry their src's (31,7) sample constants, unrelateds
