@@ -3,28 +3,36 @@ package graft
 /** Profiling scratch main (contents change per investigation). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    import org.apache.spark.sql.functions._
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/scratch_wh_" + System.nanoTime())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    val q8 = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
-      .select(col("vec_id"),
-        graft.functions.SketchFunctions.quantizeInt8Floats(col("embedding")).as("qv"))
-    graft.operators.Similarity.buildAnnIndex(q8, "vec_id", "qv",
-      name = "s_idx", nlist = 8, m = 4, ksub = 8, md5Sig = true, numBuckets = 4)
-    println("[scratch] base count = " + spark.table("s_idx_vectors").count())
-    val twin = q8.filter(col("vec_id") === 0).collect().head.getSeq[Float](1)
-    val batch = Seq((200000L, twin), (200001L, twin.map(-_))).toDF("vec_id", "qv")
-    println("[scratch] batch schema: " + batch.schema)
-    println("[scratch] index schema: " + spark.table("s_idx_vectors").schema)
-    graft.operators.Similarity.appendToAnnIndex(batch, "vec_id", "qv", "s_idx")
-    println("[scratch] after append count = " + spark.table("s_idx_vectors").count())
+    // b20b determinism probe: run the r14 tolerance form N times at
+    // sf0.1 and show the booleans + margin each run
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        pmod(crc32(col("user_id").cast("string")), lit(8)).as("split"))
+    val viaUnion = ev.groupBy(col("event_type"), col("split"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type")).agg(hll_union_agg(col("sk")).as("msk"))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("dsk"),
+        countDistinct(col("user_id")).as("exact_users"))
+    viaUnion.join(direct, Seq("event_type"))
+      .select(col("event_type"),
+        hll_sketch_estimate(col("msk")).as("em"),
+        hll_sketch_estimate(col("dsk")).as("ed"),
+        col("exact_users")).collect().foreach { r =>
+        val (em, ed, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        println(f"[scratch] ${r.getString(0)}%-10s exact=$n em=$em ed=$ed gap_pct=${100.0*math.abs(em-ed)/n}%.3f err_pct=${100.0*math.abs(em-n)/n}%.3f")
+      }
     spark.stop()
   }
 }

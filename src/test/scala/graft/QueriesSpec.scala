@@ -47,28 +47,28 @@ class QueriesSpec extends AnyFunSuite {
     for ((t, n) <- exactPerType)
       assert(math.abs(est(t) - n).toDouble / n < 0.05, s"$t: est=${est(t)} exact=$n")
     assert(math.abs(est("__all__") - exactAll).toDouble / exactAll < 0.05)
-    // mergeability: union of per-type sketches carries the same
-    // REGISTER STATE as a sketch of the union. Raw estimates are NOT
-    // comparable — a direct sketch estimates via the insertion-path-
-    // dependent HIP estimator, a union via the composite estimator —
-    // so both sides are ballast-unioned with one dense disjoint
-    // sketch, forcing both estimates onto the composite estimator (a
-    // pure function of the registers): bit-equality iff the register
-    // states match (the b20b formulation).
-    val ballast = spark.range(4096).agg(
-      hll_sketch_agg(concat(lit("__graft_ballast_"),
-        col("id").cast("string"))).as("bsk"))
-    val perType = ev.groupBy(col("event_type"))
+    // mergeability: the union of per-type sketches must estimate the
+    // same cardinality as one direct sketch over all rows. NOT a
+    // bit-equality claim — r13's register-level formulation (ballast-
+    // union both sides onto the composite estimator, assert the two
+    // estimates bit-equal) proved shuffle-order-dependent at the
+    // driver's gate: which partial arrives first decides when the
+    // union gadget leaves sparse mode, and sparse→dense promotion
+    // does not commute bit-for-bit with coupon replay. The b20b r14
+    // tolerance form claims only what the math guarantees for every
+    // merge order: both estimates within the lgK=12 error band of the
+    // same exact count, so their gap is bounded by ~6σ.
+    val merged = ev.groupBy(col("event_type"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    val sides = perType.agg(hll_union_agg(col("sk")).as("msk"))
+      .agg(hll_union_agg(col("sk")).as("msk"))
       .crossJoin(ev.agg(hll_sketch_agg(col("user_id")).as("dsk")))
-      .crossJoin(ballast)
       .select(
-        hll_sketch_estimate(hll_union(col("msk"), col("bsk"))).as("mb"),
-        hll_sketch_estimate(hll_union(col("dsk"), col("bsk"))).as("db"))
+        hll_sketch_estimate(col("msk")).as("m"),
+        hll_sketch_estimate(col("dsk")).as("d"))
       .head()
-    assert(sides.getLong(0) == sides.getLong(1),
-      s"merged per-type registers must equal the direct sketch's: $sides")
+    assert(math.abs(merged.getLong(0) - merged.getLong(1)) <=
+      0.10 * exactAll + 2,
+      s"merged-vs-direct estimates outside the 6-sigma band: $merged")
   }
 
   test("count-min sketch bounds heavy-hitter counts (never under, small over)") {

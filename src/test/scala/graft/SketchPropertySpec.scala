@@ -183,4 +183,61 @@ class SketchPropertySpec extends AnyFunSuite {
       assert(fp.nonEmpty && fp.toSet.size == fp.size && fp == fp.sorted)
     }
   }
+
+  test("b20b HLL merge claims hold under adversarial fixed merge orders") {
+    // The gate entry (b20b) claims |est(union of 8 partials) −
+    // est(direct)| ≤ 10%·exact+2 and |est(union) − exact| ≤ 8%·exact+2
+    // for ANY merge order. hll_union_agg's order is whatever the
+    // shuffle delivers, so here the union is built twice by FIXED
+    // binary folds — partials ascending by split and descending by
+    // split (the two orders that maximally disagree about which
+    // sketch seeds the gadget, i.e. when sparse→dense promotion
+    // happens) — and both claims must hold in both. If a future
+    // DataSketches change made the estimate order-sensitive beyond
+    // the error band, this is the spec that turns red before the
+    // driver's gate does.
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, TestSpark.sf)
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        pmod(crc32(col("user_id").cast("string")), lit(8)).as("split"))
+    val splitCols = (0 until 8).map(i => s"s$i")
+    // pivot() rewrites the agg in a way that breaks hll_sketch_agg's
+    // constant-K check, so widen by hand: one sketch per (type, split),
+    // then a conditional first() per split column
+    val cellExprs = splitCols.zipWithIndex.map { case (n, i) =>
+      first(when(col("split") === i, col("sk")), ignoreNulls = true).as(n)
+    }
+    val partials = ev.groupBy(col("event_type"), col("split"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(cellExprs.head, cellExprs.tail: _*)
+    // null-safe fixed-order binary fold (a pivot cell is NULL when an
+    // (event_type, split) cell is empty — legal for small types)
+    def fold(order: Seq[String]): org.apache.spark.sql.Column =
+      order.map(col).reduceLeft((a, b) =>
+        when(a.isNull, b).when(b.isNull, a).otherwise(hll_union(a, b)))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+    val rows = partials.join(exact, "event_type")
+      .select(col("event_type"), col("n"),
+        hll_sketch_estimate(fold(splitCols)).as("asc"),
+        hll_sketch_estimate(fold(splitCols.reverse)).as("desc"))
+      .collect()
+    val direct = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, n) = (r.getString(0), r.getLong(1))
+      val (a, dsc) = (r.getLong(2), r.getLong(3))
+      val d = direct(t)
+      for ((label, est) <- Seq("asc" -> a, "desc" -> dsc)) {
+        assert(math.abs(est - d) <= 0.10 * n + 2,
+          s"$t/$label: merge_consistent violated est=$est direct=$d exact=$n")
+        assert(math.abs(est - n) <= 0.08 * n + 2,
+          s"$t/$label: est_within_bound violated est=$est exact=$n")
+      }
+    }
+  }
 }
