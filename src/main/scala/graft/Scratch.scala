@@ -11,28 +11,13 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // b20b determinism probe: run the r14 tolerance form N times at
-    // sf0.1 and show the booleans + margin each run
-    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    import org.apache.spark.sql.functions._
-    val ev = graft.sources.Tables.events(spark, sf)
-      .filter(col("event_type").isNotNull)
-      .select(col("event_type"), col("user_id"),
-        pmod(crc32(col("user_id").cast("string")), lit(8)).as("split"))
-    val viaUnion = ev.groupBy(col("event_type"), col("split"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      .groupBy(col("event_type")).agg(hll_union_agg(col("sk")).as("msk"))
-    val direct = ev.groupBy(col("event_type"))
-      .agg(hll_sketch_agg(col("user_id")).as("dsk"),
-        countDistinct(col("user_id")).as("exact_users"))
-    viaUnion.join(direct, Seq("event_type"))
-      .select(col("event_type"),
-        hll_sketch_estimate(col("msk")).as("em"),
-        hll_sketch_estimate(col("dsk")).as("ed"),
-        col("exact_users")).collect().foreach { r =>
-        val (em, ed, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
-        println(f"[scratch] ${r.getString(0)}%-10s exact=$n em=$em ed=$ed gap_pct=${100.0*math.abs(em-ed)/n}%.3f err_pct=${100.0*math.abs(em-n)/n}%.3f")
-      }
+    // targeted oracle dump for a single query at a given SF
+    val name = args(0)
+    val sf = args(1)
+    val out = args(2)
+    SparkEntry.queries(name)(spark, sf)
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    println(s"[scratch] wrote $name from $sf to $out")
     spark.stop()
   }
 }

@@ -754,6 +754,21 @@ object Dedup {
     * middle ground because the index stores DISTINCT hashes, not
     * per-doc ownership (by design — see [[buildDedupIndex]]).
     *
+    * SHARED-HASH COLLATERAL of `dropContentHashes = true`: if a
+    * removed doc's text is byte-identical to a RETAINED doc's, the
+    * one `_ch` row they shared is still removed — a later re-crawl
+    * of the retained doc's text passes the exact screen and is
+    * caught only by the minhash band path (which misses degenerate
+    * texts shorter than the shingle size). This cannot be fixed
+    * index-side: `_ch` has no ownership column, and `_docs` carries
+    * no row at all for shingle-less texts, so "is this hash still
+    * owned by a survivor" is unanswerable from the index alone. A
+    * caller who needs exclusivity must pre-filter its removal set
+    * against the surviving corpus (anti-join removal texts' md5
+    * against survivors' md5) BEFORE calling — that join belongs to
+    * whoever still has the corpus, which the index deliberately
+    * does not.
+    *
     * `docs` needs (idCol) always and (textCol) only when dropping
     * content hashes. Null ids are ignored (they were never indexed
     * under an id). The removed-id set is broadcast into the
@@ -930,6 +945,107 @@ object Dedup {
     require(Bucketing.registerExisting(spark, s"${name}_chunks",
       Some(("chunk_hash", numBuckets))),
       s"signature index '$name' is missing its chunks table")
+  }
+
+  // ---------------------------------------------------------------
+  // Persistent URL FRONTIER index — the fourth index family. The
+  // production pipeline order is URL-screen → extract → gate →
+  // content-dedup (the CCNet/RefinedWeb first pass: most re-crawls
+  // are the SAME url under tracking params, and dropping them by key
+  // costs one narrow equi-join instead of an extract + sketch pass).
+  // One table, `<name>_url (uh)`, bucketed by uh =
+  // md5(canonicalizeUrl(url)) — the canonical key IS the content
+  // hash here (the d71 insight), so the family is `_ch`'s machinery
+  // verbatim: distinct hashes, no ownership, append-only with
+  // crash-safe compaction, and the same takedown contract.
+  // ---------------------------------------------------------------
+
+  private def urlIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      name: String): Int =
+    spark.table(s"${name}_meta").head().getAs[Int]("num_buckets")
+
+  private def urlKeys(docs: DataFrame, urlCol: String): DataFrame =
+    docs.filter(col(urlCol).isNotNull)
+      .select(md5(TextAnalysis.canonicalizeUrl(col(urlCol))).as("uh"))
+      .distinct()
+
+  /** Builds a persistent canonical-URL key set over `docs(urlCol)`.
+    * Null-URL rows contribute nothing (a frontier key is the URL;
+    * there is nothing to remember without one). */
+  def buildUrlIndex(docs: DataFrame, urlCol: String, name: String,
+      numBuckets: Int = 8): Unit = {
+    Bucketing.writeBucketed(urlKeys(docs, urlCol),
+      s"${name}_url", "uh", numBuckets)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Bucketing.writeTable(Seq(numBuckets).toDF("num_buckets"),
+      s"${name}_meta")
+  }
+
+  /** Screens `batch` against a [[buildUrlIndex]] frontier: returns
+    * the rows whose canonical URL has never been seen. One narrow
+    * md5-key anti-join — the bucketed index side never shuffles.
+    * Null-URL rows are dropped at the door, [[graft.streaming
+    * .StreamingIngest.toAnnIngest]]'s id-less-row contract: a row
+    * the frontier cannot key can neither be screened nor make its
+    * own replay idempotent, and passing it through silently would
+    * turn the screen into a sieve. */
+  def screenAgainstUrlIndex(batch: DataFrame, urlCol: String,
+      name: String): DataFrame = {
+    val spark = batch.sparkSession
+    batch.filter(col(urlCol).isNotNull)
+      .join(spark.table(s"${name}_url"),
+        md5(TextAnalysis.canonicalizeUrl(col(urlCol))) === col("uh"),
+        "left_anti")
+  }
+
+  /** Folds newly admitted URLs into the frontier as new per-bucket
+    * files. Call with the rows that actually ENTERED the pipeline —
+    * the frontier remembers fetched-and-processed URLs, not just
+    * content survivors (a content-duplicate page's URL was still
+    * seen; re-crawling it buys nothing). */
+  def appendToUrlIndex(docs: DataFrame, urlCol: String,
+      name: String): Unit = {
+    val numBuckets = urlIndexMeta(docs.sparkSession, name)
+    Bucketing.appendBucketed(urlKeys(docs, urlCol),
+      s"${name}_url", "uh", numBuckets)
+  }
+
+  /** Maintenance: rewrites the url table to one file per bucket
+    * ([[compactDedupIndex]]'s contract), deduplicating the appended
+    * key files. */
+  def compactUrlIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    val numBuckets = urlIndexMeta(spark, name)
+    Bucketing.compactBucketed(_.distinct())(spark, s"${name}_url",
+      "uh", numBuckets)
+  }
+
+  /** Takedown verb: removes the given URLs' canonical keys so they
+    * can be re-crawled fresh. Keys are DISTINCT with no ownership
+    * (same layout as `_ch`), but unlike content hashes a canonical
+    * URL is its own identity — no shared-key collateral exists. */
+  def retireFromUrlIndex(docs: DataFrame, urlCol: String,
+      name: String): Unit = {
+    val spark = docs.sparkSession
+    val numBuckets = urlIndexMeta(spark, name)
+    val gone = urlKeys(docs, urlCol).select(col("uh").as("__ruh"))
+    Bucketing.compactBucketed(
+      _.join(broadcast(gone), col("uh") === col("__ruh"),
+        "left_anti").distinct())(spark, s"${name}_url", "uh", numBuckets)
+  }
+
+  /** Re-opens a [[buildUrlIndex]] frontier in a fresh session
+    * ([[openDedupIndex]]'s contract). */
+  def openUrlIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    require(Bucketing.registerExisting(spark, s"${name}_meta", None),
+      s"no persisted url index named '$name' in the warehouse")
+    val numBuckets = urlIndexMeta(spark, name)
+    Bucketing.finishInterruptedSwap(spark, s"${name}_url")
+    require(Bucketing.registerExisting(spark, s"${name}_url",
+      Some(("uh", numBuckets))),
+      s"url index '$name' is missing its url table")
   }
 
   /** The shared positional gram pipeline under [[crossDocSpans]] and

@@ -195,6 +195,34 @@ object Multimodal {
         MediaRow(id, "video", pngVideoPayload(id))))
   }
 
+  /** [[pngVideoPayload]]'s frames remuxed at fps + 3: identical
+    * lossless PNG bytes, different container timing — the planted
+    * remux twin for the ORACLE-CHECKED video keep-one (d82). */
+  private[graft] def remuxedPngVideoPayload(id: Long): Array[Byte] = {
+    val w = (16 + math.floorMod(id, 8) * 2).toInt
+    val h = (16 + math.floorMod(id, 6) * 2).toInt
+    val fps = (5 + math.floorMod(id, 5)).toInt + 3
+    muxAvi(videoFrames(id, "png"), w, h, fps, codec = "png ")
+  }
+
+  /** The d82 corpus: each id % 3 == 2 doc's lossless-PNG AVI plus a
+    * REMUXED twin at id + [[PlantedIdOffset]] (same PNG frame bytes,
+    * fps + 3 container timing). Because PNG is lossless the twin's
+    * per-frame dHashes are SQL-derivable from the same pixel formulas
+    * as its src — the d81/d64b "twin carries the src arithmetic"
+    * discipline lifted to video, which is what lets the FULL keep-one
+    * composition (sigs → aligned-frame pairs → components → min-id
+    * survivors) be oracle-checked instead of rows-only. */
+  def withPlantedPngNearDupVideos(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .filter(id => math.floorMod(id, 3) == 2)
+      .mapPartitions(_.flatMap(id => Iterator(
+        MediaRow(id, "video", pngVideoPayload(id)),
+        MediaRow(id + PlantedIdOffset, "video", remuxedPngVideoPayload(id)))))
+  }
+
   /** RIFF/AVI muxing of pre-encoded MJPEG frames — the container
     * half of [[videoPayload]], shared with the remux twin. */
   private[graft] def muxAvi(frames: Array[Array[Byte]], w: Int, h: Int,
@@ -715,6 +743,15 @@ object Multimodal {
       maxDist: Int = 2, everyMs: Long = 0L): DataFrame = {
     val sigs = videoFrameDHashSigs(spark, media, everyMs)
       .localCheckpoint(true) // two consumers: pairing + counts
+    videoNearDupPairsFromSigs(sigs, maxDist)
+  }
+
+  /** [[videoNearDupPairs]] from already-materialized per-frame sigs
+    * ((doc_id, frame_idx, sim) rows) — the entry point for
+    * compositions that reuse one decode pass for both pairing and
+    * the keep-one universe (d82). Caller owns pinning `sigs` if the
+    * plan consumes them more than once. */
+  def videoNearDupPairsFromSigs(sigs: DataFrame, maxDist: Int = 2): DataFrame = {
     val keyed = sigs.select(
       (col("doc_id") * MaxSampledFrames +
         when(col("frame_idx") >= MaxSampledFrames, raise_error(concat(

@@ -50,6 +50,14 @@ object Retrieval {
     require(queryTerms.distinct == queryTerms,
       s"queryTerms must be distinct, got $queryTerms")
     require(topK >= 1, s"topK must be >= 1, got $topK")
+    // tokens() lowercases the corpus side; a mixed-case query term
+    // would silently score zero matches, so fail loud rather than
+    // normalize (a caller passing 'Spark' should KNOW matching is
+    // case-folded, not discover it from a quiet rescore)
+    queryTerms.find(t => t != t.toLowerCase).foreach(t =>
+      throw new IllegalArgumentException(
+        s"bm25TopK: query term '$t' is not lowercase — corpus tokens " +
+          "are case-folded by Dedup.tokens; lowercase the query"))
     val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
     val toks = live.select(col(idCol).as("doc_id"),
       Dedup.tokens(col(textCol)).as("tk"))

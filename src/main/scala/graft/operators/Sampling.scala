@@ -17,6 +17,31 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   */
 object Sampling {
 
+  /** Upper bound on distinct strata for the driver-side pulls below
+    * (per-stratum counts / weights / thresholds): each stratum
+    * becomes one row on the driver AND one CASE arm in a literal
+    * plan, so the operators here are built for mixture TABLES (tens
+    * of strata — languages, sources, tiers), not high-cardinality
+    * keys. A user passing e.g. a raw domain column would otherwise
+    * get an unbounded driver pull plus a megabyte CASE expression
+    * that slows planning before it breaks anything visibly —
+    * raise-don't-drift. Pre-bucket such a column (hash ranges,
+    * [[capPerStratum]] output tiers) to get under the bound. */
+  val MaxStrata: Int = 4096
+
+  /** The bounded pull itself: LIMIT MaxStrata+1 caps what can ever
+    * reach the driver (the guard fires off one extra row, not after
+    * materializing a million), then fail loud past the bound. */
+  private def boundedStrataPull(grouped: DataFrame, op: String): Array[Row] = {
+    val rows = grouped.limit(MaxStrata + 1).collect()
+    require(rows.length <= MaxStrata,
+      s"$op: more than $MaxStrata distinct strata — this operator pulls " +
+        "one row per stratum to the driver and builds a per-stratum " +
+        "literal plan; use a coarser stratum column or pre-bucket it " +
+        "(Sampling.MaxStrata)")
+    rows
+  }
+
   /** Keeps each row iff the first two hex chars of md5(id) sort
     * below the row's stratum threshold — rates quantize to 1/256ths
     * (plenty for corpus budgeting; use more prefix chars for finer
@@ -82,10 +107,10 @@ object Sampling {
       temperature: Double): DataFrame = {
     require(temperature >= 0.0 && temperature <= 1.0,
       s"temperature must be in [0, 1], got $temperature")
-    val counts = df.filter(col(strataCol).isNotNull)
+    val counts = boundedStrataPull(df.filter(col(strataCol).isNotNull)
       .groupBy(col(strataCol).cast("string").as("__s"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .agg(count(lit(1)).as("__n")), "temperatureSample")
+      .map(r => r.getString(0) -> r.getLong(1))
     if (counts.isEmpty) return df.filter(lit(false))
     val nMin = counts.map(_._2).min.toDouble
     def rate(n: Long): Double =
@@ -149,10 +174,10 @@ object Sampling {
     val base = if (!prefilter) live else {
       require(prefilterSlack >= 2.0,
         s"prefilterSlack must be >= 2, got $prefilterSlack")
-      val counts = live
+      val counts = boundedStrataPull(live
         .groupBy(col(strataCol).cast("string").as("__s"))
-        .agg(count(lit(1)).as("__n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .agg(count(lit(1)).as("__n")), "capPerStratum")
+        .map(r => r.getString(0) -> r.getLong(1))
       def thr(n: Long): String = {
         val r = prefilterSlack * cap / n
         // quantize UP (1/65536ths): the threshold may admit more
@@ -325,6 +350,9 @@ object Sampling {
       strataCol, tokens, rawWeight, budget, seed, partitions, reliable)
     val epochs: Map[String, (Long, Long)] = allowance.map { case (s, a) =>
       val t = totals.getOrElse(s, 0L)
+      // t > 0 for every stratum that reaches here (mixtureOffsets
+      // drops zero-token rows, so a present stratum has mass);
+      // the branch stays as a defensive dead end, not a behavior
       if (t <= 0) s -> (0L, 0L) else s -> (a / t, a % t)
     }
     val epochCol = epochs.foldLeft(lit(0L): Column) {
@@ -366,15 +394,28 @@ object Sampling {
       .select(col(idCol), col(strataCol).cast("string").as("__s"),
         tokens.cast("long").as("__n"), rawWeight.cast("long").as("__w"),
         pr.as("__p"))
-      .filter(col("__n").isNotNull)
+      // zero-token rows are dropped EXPLICITLY (they carry no mass,
+      // would earn phantom copies under mixtureEpochs' start_off+n<=r
+      // test, and divide the oracle's allowance arithmetic by zero —
+      // one defined behavior on both engines)
+      .filter(col("__n").isNotNull && col("__n") > 0)
     // per-stratum integer allowances: bounded driver pull (|strata|
     // rows), fail-loud on a weight column that is not a function of
-    // the stratum, overflow-guarded multiply
-    val wRows = base.groupBy(col("__s"))
-      .agg(min(col("__w")).as("lo"), max(col("__w")).as("hi"))
-      .collect()
+    // the stratum, overflow-guarded multiply. Null weights are
+    // checked FIRST — min/max ignore nulls, so without the count
+    // comparison a stratum mixing null and non-null weights would
+    // slip the lo==hi guard, and an all-null one would NPE opaquely.
+    val wRows = boundedStrataPull(base.groupBy(col("__s"))
+      .agg(min(col("__w")).as("lo"), max(col("__w")).as("hi"),
+        count(lit(1)).as("nrows"), count(col("__w")).as("nw")),
+      "mixtureSample")
       .map { r =>
-        val (s, lo, hi) = (r.getString(0), r.getLong(1), r.getLong(2))
+        val s = r.getString(0)
+        require(r.getLong(3) == r.getLong(4),
+          s"mixtureSample: rawWeight is NULL on " +
+            s"${r.getLong(3) - r.getLong(4)} of ${r.getLong(3)} rows in " +
+            s"stratum $s — it must be a non-null function of the stratum")
+        val (lo, hi) = (r.getLong(1), r.getLong(2))
         require(lo == hi,
           s"mixtureSample: rawWeight inconsistent within stratum $s " +
             s"($lo vs $hi) — it must be a function of the stratum")

@@ -36,6 +36,59 @@ object TemporalJoins {
       .filter(probeWhen)
   }
 
+  /** [[asOfPrior]] for ZIPF-HEAD keys: the classic form sorts a hot
+    * key's ENTIRE row set in one task (the per-key window), which is
+    * the failure mode when one user/entity carries millions of rows.
+    * This variant two-levels the running max by TIME BUCKET — the
+    * only salt that preserves prefix semantics (a random salt would
+    * break "prior"):
+    *   1. one hash aggregate: per (key, bucket) max ref ts;
+    *   2. a per-key window over the BUCKET table (rows = distinct
+    *      buckets per key, bounded by time-range/bucketUs — never by
+    *      row count) computes each bucket's exclusive prior max;
+    *   3. rows join their bucket's prior max on (key, bucket) and an
+    *      in-bucket window (partition width = one key's rows in ONE
+    *      bucket) supplies the same-bucket strictly-prior max;
+    *   asof_ts = greatest of the two (greatest skips nulls).
+    * Same contract as [[asOfPrior]] bit for bit; the hot key's sort
+    * is sharded across its time buckets. Pick `bucketUs` so a head
+    * key's densest bucket fits a task sort (e.g. an hour).
+    */
+  def asOfPriorSalted(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      tiebreak: Column,
+      probeWhen: Column,
+      refWhen: Column,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be > 0, got $bucketUs")
+    val bucketed = df
+      .withColumn("__bnum", tsCol - pmod(tsCol, lit(bucketUs)))
+      .withColumn("__b", expr(s"__bnum DIV ${bucketUs}L"))
+      .drop("__bnum")
+    val bucketPrior = bucketed
+      .groupBy(keyCol.as("__k"), col("__b"))
+      .agg(max(when(refWhen, tsCol)).as("__bmax"))
+      .withColumn("__prior_bmax",
+        max(col("__bmax")).over(Window.partitionBy(col("__k"))
+          .orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__k"), col("__b"), col("__prior_bmax"))
+    val winb = Window.partitionBy(keyCol, col("__b"))
+      .orderBy(tsCol, tiebreak)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(bucketPrior.hint("SHUFFLE_HASH"),
+        // null-safe on both: a null key groups like the classic
+        // window's null partition, a null ts lands in the null bucket
+        keyCol <=> col("__k") && bucketed("__b") <=> bucketPrior("__b"))
+      .drop("__k").drop(bucketPrior("__b"))
+      .withColumn("__inb_max", max(when(refWhen, tsCol)).over(winb))
+      .withColumn("asof_ts", greatest(col("__inb_max"), col("__prior_bmax")))
+      .filter(probeWhen)
+      .drop("__b", "__inb_max", "__prior_bmax")
+  }
+
   /** Two-table as-of join: every probe row gains `asof_ts` — the
     * greatest ref timestamp strictly before its own (per key), null
     * when no ref precedes. Front door over [[asOfPrior]]: tags both
@@ -54,16 +107,23 @@ object TemporalJoins {
       ref: DataFrame,
       keyCol: String,
       tsCol: String,
-      rowIdCol: String): DataFrame = {
+      rowIdCol: String,
+      bucketUs: Long = 0L): DataFrame = {
     val probeCols = probe.columns
     val tagged = probe.withColumn("__is_probe", lit(true))
       .unionByName(
         ref.select(col(keyCol), col(tsCol), col(rowIdCol))
           .withColumn("__is_probe", lit(false)),
         allowMissingColumns = true)
-    asOfPrior(tagged, col(keyCol), col(tsCol), col(rowIdCol),
-      probeWhen = col("__is_probe"), refWhen = !col("__is_probe"))
-      .select(probeCols.map(col) :+ col("asof_ts"): _*)
+    val looked =
+      if (bucketUs > 0L)
+        asOfPriorSalted(tagged, col(keyCol), col(tsCol), col(rowIdCol),
+          probeWhen = col("__is_probe"), refWhen = !col("__is_probe"),
+          bucketUs = bucketUs)
+      else
+        asOfPrior(tagged, col(keyCol), col(tsCol), col(rowIdCol),
+          probeWhen = col("__is_probe"), refWhen = !col("__is_probe"))
+    looked.select(probeCols.map(col) :+ col("asof_ts"): _*)
   }
 
   /** Floor division (rounds toward -∞, unlike DIV's truncation toward

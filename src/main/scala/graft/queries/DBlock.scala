@@ -415,6 +415,36 @@ object DBlock {
         .orderBy(col("doc_id"))
     }),
 
+    // D48 composed: perceptual VIDEO dedup KEEP-ONE — closes the
+    // image(d68)/audio(d81)/video symmetry. The d63b lossless
+    // PNG-in-AVI corpus plus a REMUXED twin per video (identical PNG
+    // frame bytes, fps+3 timing) makes the ENTIRE composition
+    // SQL-derivable: DuckDB re-derives every per-frame dHash bit
+    // from the pixel formulas (twin rows carry their src's
+    // arithmetic — the d81 discipline), brute-forces aligned-frame
+    // pairs with 64-bit popcounts, applies the all-frames-must-match
+    // video pairing contract, closes pairs with the d27 recursive
+    // CTE and keeps min-id survivors — while Spark runs the REAL
+    // path: PNG encode → RIFF mux → demux → ImageIO decode → dHash →
+    // composite-key hamming pairing → components → keep-one. One
+    // decode pass feeds pairing AND the keeper universe
+    // (videoNearDupPairsFromSigs over pinned sigs). md5-sliced to
+    // 1/16 so the oracle's all-pairs stays trivial.
+    "d82_video_dedup" -> ((s, d) => {
+      val slice = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull &&
+          substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+      val media = Multimodal.withPlantedPngNearDupVideos(slice, "doc_id")
+      val sigs = Multimodal.videoFrameDHashSigs(s, media)
+        .localCheckpoint(true) // pairing + counts + keeper universe
+      val pairs = Multimodal.videoNearDupPairsFromSigs(sigs, maxDist = 2)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dropNearDuplicates(
+        sigs.select(col("doc_id")).distinct(), "doc_id", pairs)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D51: persistent perceptual-signature index + batch screen —
     // the D35 index-once pattern for media sigs, FULLY oracle-checked
     // end to end through real codecs: the corpus's audio fingerprints
@@ -2500,6 +2530,90 @@ object DBlock {
         |WHERE aid NOT IN (SELECT id FROM comp WHERE component <> id)
         |ORDER BY doc_id""".stripMargin),
 
+    // d82: the VIDEO keep-one composition brute-forced — d63b's
+    // per-frame dHash re-derivation on an md5-sliced corpus plus the
+    // remux twin (vid = src + 10000000 carries its src's pixel
+    // arithmetic — PNG lossless, so bit-exact), aligned-frame pairs
+    // at hamming <= 2, the all-frames-must-match video pairing
+    // contract (n matching aligned frames == both sides' frame
+    // counts), the d27 recursive-CTE closure, min-id survivors.
+    "d82_video_dedup" ->
+      """WITH RECURSIVE ids AS (
+        |  SELECT doc_id AS src FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % 3 = 2
+        |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        |), vids AS (
+        |  SELECT src, src AS vid FROM ids
+        |  UNION ALL
+        |  SELECT src, src + 10000000 FROM ids
+        |), dims AS (
+        |  SELECT vid, src, 16 + (src % 8) * 2 AS w, 16 + (src % 6) * 2 AS h,
+        |    2 + (src % 5) AS nf
+        |  FROM vids
+        |), fr AS (
+        |  SELECT d.vid, d.src, d.w, d.h, d.nf, f.f
+        |  FROM dims d, unnest(range(d.nf)) AS f(f)
+        |), cells AS (
+        |  SELECT fr.vid, fr.src, fr.f, cy.cy, cx.cx,
+        |    (cx.cx * fr.w) // 9 AS x0, ((cx.cx + 1) * fr.w) // 9 AS x1,
+        |    (cy.cy * fr.h) // 8 AS y0, ((cy.cy + 1) * fr.h) // 8 AS y1
+        |  FROM fr,
+        |    (SELECT unnest(range(8)) AS cy) cy,
+        |    (SELECT unnest(range(9)) AS cx) cx
+        |), lum AS (
+        |  SELECT vid, f, cy, cx,
+        |    (77 * ((base >> 16) & 255) + 151 * ((base >> 8) & 255)
+        |      + 28 * (base & 255)) >> 8 AS luma
+        |  FROM (
+        |    SELECT c.*,
+        |      ((c.src * 31) + (c.f * 17) + (xs.x * 7) + (ys.y * 131))
+        |        & 16777215 AS base
+        |    FROM cells c,
+        |      unnest(range(c.x0, c.x1)) AS xs(x),
+        |      unnest(range(c.y0, c.y1)) AS ys(y)
+        |  ) p
+        |), avgs AS (
+        |  SELECT vid, f, cy, cx, SUM(luma) // COUNT(*) AS a
+        |  FROM lum GROUP BY 1, 2, 3, 4
+        |), dsigs AS (
+        |  SELECT a.vid, a.f,
+        |    CAST(SUM(CASE WHEN b.a > a.a AND (a.cy * 8 + a.cx) >= 32
+        |      THEN (CAST(1 AS BIGINT) << (a.cy * 8 + a.cx - 32))
+        |      ELSE 0 END) AS BIGINT) AS sig_hi,
+        |    CAST(SUM(CASE WHEN b.a > a.a AND (a.cy * 8 + a.cx) < 32
+        |      THEN (CAST(1 AS BIGINT) << (a.cy * 8 + a.cx))
+        |      ELSE 0 END) AS BIGINT) AS sig_lo
+        |  FROM avgs a
+        |  JOIN avgs b ON b.vid = a.vid AND b.f = a.f
+        |    AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8
+        |  GROUP BY 1, 2
+        |), counts AS (
+        |  SELECT vid, COUNT(*) AS nf FROM dsigs GROUP BY vid
+        |), fpairs AS (
+        |  SELECT a.vid AS id_a, b.vid AS id_b, COUNT(*) AS n
+        |  FROM dsigs a JOIN dsigs b ON b.vid > a.vid AND b.f = a.f
+        |   AND bit_count(xor(a.sig_hi, b.sig_hi))
+        |     + bit_count(xor(a.sig_lo, b.sig_lo)) <= 2
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM fpairs p
+        |  JOIN counts ca ON ca.vid = p.id_a
+        |  JOIN counts cb ON cb.vid = p.id_b
+        |  WHERE p.n = ca.nf AND p.n = cb.nf
+        |), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |             UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT vid AS doc_id FROM vids
+        |WHERE vid NOT IN (SELECT id FROM comp WHERE component <> id)
+        |ORDER BY doc_id""".stripMargin,
+
     // d67: the d64b fingerprint arithmetic over corpus + batch
     // (twins carry their src's (31,7) sample constants, unrelateds
     // the (37,11) ones), then the screen brute-forced: a batch row
@@ -3322,13 +3436,16 @@ object DBlock {
     // order, prefix-cut filter — the window form re-derives the
     // engine's two-phase prefix sum.
     "d72_mixture_sample" ->
-      s"""WITH b AS (
+      s"""WITH b0 AS (
         |  SELECT doc_id, source,
         |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n,
         |    ('0x'||substr(md5('mix|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS pr,
         |    CAST(CAST(substr(source, 4) AS INT) % 3 + 1 AS BIGINT) AS w
         |  FROM documents
         |  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND text IS NOT NULL
+        |), b AS (
+        |  -- zero-token rows dropped, mirroring mixtureOffsets
+        |  SELECT * FROM b0 WHERE n > 0
         |), tw AS (
         |  SELECT CAST(sum(w) AS BIGINT) AS total
         |  FROM (SELECT DISTINCT source, w FROM b) x
@@ -3378,13 +3495,16 @@ object DBlock {
     // d76: the d72 machinery + derived 2×-mass budget, whole epochs
     // per stratum and the remainder prefix, all integer arithmetic.
     "d76_mixture_epochs" ->
-      s"""WITH b AS (
+      s"""WITH b0 AS (
         |  SELECT doc_id, source,
         |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n,
         |    ('0x'||substr(md5('mix|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS pr,
         |    CAST(CAST(substr(source, 4) AS INT) % 3 + 1 AS BIGINT) AS w
         |  FROM documents
         |  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND text IS NOT NULL
+        |), b AS (
+        |  -- zero-token rows dropped, mirroring mixtureOffsets
+        |  SELECT * FROM b0 WHERE n > 0
         |), tw AS (
         |  SELECT CAST(sum(w) AS BIGINT) AS total_w
         |  FROM (SELECT DISTINCT source, w FROM b) x

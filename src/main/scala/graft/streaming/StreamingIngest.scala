@@ -263,18 +263,59 @@ object StreamingIngest {
     * production filter order (free rules first, model inference
     * second, sketch arithmetic last, each stage shrinking the next
     * one's input). The model is frozen, so the stage is
-    * deterministic and replay self-suppression is unchanged. */
+    * deterministic and replay self-suppression is unchanged.
+    *
+    * `urlCol` + `urlIndexName` (both or neither) prepend the URL
+    * FRONTIER screen — the true stage 0 of the CCNet/RefinedWeb
+    * order (URL-screen → extract → gate → content-dedup): a
+    * within-batch canonical keep-one ([[graft.operators.TextAnalysis
+    * .urlDedup]] — the same page under two tracking-param URLs lands
+    * once) then an anti-join against the persistent
+    * [[graft.operators.Dedup.buildUrlIndex]] key set, BEFORE any
+    * extraction cost is paid. The admitted rows are eagerly
+    * localCheckpoint-pinned (two consumers: the pipeline below and
+    * the frontier fold-in at the end). Index write ORDER inside the
+    * batch is sink → content index → url index, and the order is
+    * load-bearing: if the url fold-in ran before the content one, a
+    * crash between them would replay into a stage-0 full stop —
+    * sink rows landed whose SKETCHES never reached the content
+    * index, and every future near-dup of them slips the screen
+    * forever. With url last, the replay passes stage 0, the content
+    * screen self-suppresses on its own hashes, and the url fold-in
+    * completes — the residual window stays "a recoverable duplicate
+    * append", never a silent dedup hole. Frontier semantics: a URL
+    * is remembered once ADMITTED (even if its content later gates
+    * out or dedups — the page was fetched and judged; re-crawling
+    * it buys nothing). */
   def toPipelineIngest(pages: DataFrame, idCol: String, htmlCol: String,
       indexName: String, path: String, checkpoint: String,
       minWords: Int = 50, maxWords: Int = 100000,
       packCapacity: Long = 2048L, htmlMinLen: Int = 10,
       htmlMaxLinkPct: Int = 20, nbModel: Option[String] = None,
-      nbThreshold: Double = 0.0): StreamingQuery =
+      nbThreshold: Double = 0.0, urlCol: Option[String] = None,
+      urlIndexName: Option[String] = None): StreamingQuery = {
+    require(urlCol.isDefined == urlIndexName.isDefined,
+      "urlCol and urlIndexName come together: the frontier screen " +
+        "needs both the key column and the index to screen against")
     pages.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val admitted = (urlCol, urlIndexName) match {
+          case (Some(u), Some(ix)) =>
+            val keepOne = graft.operators.TextAnalysis
+              .urlDedup(batch, idCol, u)
+              .filter(col("keeper"))
+              .select(col(idCol).as("__kid"))
+            val screened = graft.operators.Dedup.screenAgainstUrlIndex(
+              batch.join(keepOne.hint("SHUFFLE_HASH"),
+                col(idCol) === col("__kid"), "left_semi"), u, ix)
+            // eager pin: consumed by the pipeline below AND the
+            // frontier fold-in after the sink lands (batch-scoped)
+            screened.localCheckpoint(true)
+          case _ => batch
+        }
         val extracted = graft.operators.TextAnalysis.extractMainHtml(
-          batch, idCol, htmlCol, htmlMinLen, htmlMaxLinkPct)
+          admitted, idCol, htmlCol, htmlMinLen, htmlMaxLinkPct)
           .select(col(idCol), col("main_text"))
         val ruleGated = extracted.filter(graft.operators.TextAnalysis
           .gopherRuleBits(col("main_text"), minWords, maxWords) === 0)
@@ -309,10 +350,19 @@ object StreamingIngest {
           .write.mode("append").parquet(path)
         graft.operators.Dedup
           .appendToDedupIndex(survivors, idCol, "main_text", indexName)
+        // url frontier LAST — see the ordering argument in the
+        // scaladoc (url-before-content would make a crash between
+        // the two a permanent content-dedup hole)
+        (urlCol, urlIndexName) match {
+          case (Some(u), Some(ix)) =>
+            graft.operators.Dedup.appendToUrlIndex(admitted, u, ix)
+          case _ => ()
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** Streaming MEDIA ingest with a perceptual dedup screen — the C10
     * loop for binary payloads over a persistent signature index

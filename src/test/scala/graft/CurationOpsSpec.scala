@@ -262,6 +262,79 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(empty == 0L)
   }
 
+  test("mixtureSample: null rawWeight fails loud; zero-token rows drop explicitly") {
+    import spark.implicits._
+    // a stratum mixing null and non-null weights must not slip the
+    // lo==hi consistency guard (min/max ignore nulls), and an
+    // all-null stratum must raise the same clear message, not NPE
+    val mixed = Seq((1L, "A", "x y", Some(2L)), (2L, "A", "x y", None),
+      (3L, "B", "x", Some(1L))).toDF("doc_id", "stratum", "text", "w")
+    val tk = size(Dedup.tokens(col("text"))).cast("long")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(mixed, "doc_id", "stratum", tk,
+        rawWeight = col("w"), budget = 10L)
+    }
+    assert(e1.getMessage.contains("NULL"), e1.getMessage)
+    val allNull = Seq((1L, "A", "x y", None: Option[Long]))
+      .toDF("doc_id", "stratum", "text", "w")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(allNull, "doc_id", "stratum", tk,
+        rawWeight = col("w"), budget = 10L)
+    }
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+    // zero-token rows carry no mass: dropped from the output AND
+    // from the stratum totals (one defined behavior, both engines);
+    // under mixtureEpochs they can never earn phantom copies
+    val withZero = Seq((1L, "A", 0L), (2L, "A", 3L), (3L, "A", 2L))
+      .toDF("doc_id", "stratum", "n")
+    val got = Sampling.mixtureSample(withZero, "doc_id", "stratum",
+      tokens = col("n"), rawWeight = lit(1), budget = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L), s"zero-token row leaked: $got")
+    val ep = Sampling.mixtureEpochs(withZero, "doc_id", "stratum",
+      tokens = col("n"), rawWeight = lit(1), budget = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(!ep.contains(1L), s"zero-token row earned copies: $ep")
+    // epochs = 100 div 5 = 20 for the two massy rows
+    assert(ep(2L) == 20L && ep(3L) == 20L, s"epoch arithmetic drifted: $ep")
+  }
+
+  test("per-stratum driver pulls raise past MaxStrata instead of building a giant CASE") {
+    import spark.implicits._
+    val n = Sampling.MaxStrata + 1
+    val wide = spark.range(n.toLong)
+      .selectExpr("id AS doc_id", "CAST(id AS STRING) AS stratum",
+        "2L AS n")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(wide, "doc_id", "stratum", 0.5)
+    }
+    assert(e1.getMessage.contains("MaxStrata"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(wide, "doc_id", "stratum",
+        tokens = col("n"), rawWeight = lit(1), budget = 10L)
+    }
+    assert(e2.getMessage.contains("MaxStrata"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Sampling.capPerStratum(wide, "doc_id", "stratum", cap = 1,
+        prefilter = true)
+    }
+    assert(e3.getMessage.contains("MaxStrata"), e3.getMessage)
+    // under the bound everything still works
+    assert(Sampling.temperatureSample(
+      wide.filter(col("doc_id") < 10), "doc_id", "stratum", 1.0)
+      .count() == 10L)
+  }
+
+  test("bm25TopK rejects non-lowercase query terms loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark shuffles data")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("Spark"), topK = 5)
+    }
+    assert(e.getMessage.contains("lowercase"), e.getMessage)
+  }
+
   // ------------------------------------------- corpus report card
 
   test("d78 shape: rollup levels, exact integer-unit avg, distinct content") {

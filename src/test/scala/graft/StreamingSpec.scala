@@ -928,4 +928,113 @@ class StreamingSpec extends AnyFunSuite {
       assert(after == 1L, s"replay must self-suppress, got $after")
     } finally q.stop()
   }
+
+  test("pipeline ingest with a url frontier: tracking variants land once, frontier persists, replay self-suppresses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("pipeurl").toString
+    def page(chrome: String, body: String): String =
+      s"""<html><head><title>$chrome</title><style>p{margin:0}</style>""" +
+        s"""<script>var n=1;</script></head><body><div class="nav">""" +
+        s"""<a href="/">home</a> <a href="/s">$chrome</a></div><p>$body""" +
+        s"""</p><div class="footer">copyright <a href="/t">terms</a> """ +
+        s"""<a href="/p">privacy</a></div></body></html>"""
+    // genuinely DISTINCT bodies (not a shared template — the content
+    // near-dup screen would rightly collapse template variants and
+    // mask what the URL screen does)
+    val bodies = Map(
+      "first" -> ("migratory birds navigate using a magnetic sense and " +
+        "the star positions while crossing continents twice a year " +
+        "along routes their ancestors flew for thousands of generations"),
+      "second" -> ("the municipal budget hearing ran four hours as " +
+        "council members debated road repairs school funding and a " +
+        "proposed transit line that splits the district vote evenly"),
+      "third" -> ("the deep ocean vents host a chemosynthetic community " +
+        "where tube worms and blind shrimp thrive on mineral plumes " +
+        "no sunlight ever reaches at crushing abyssal pressures"),
+      "fourth" -> ("a revival of the jazz quartet recording scene has " +
+        "small labels pressing vinyl again while streaming royalties " +
+        "reshape how session musicians negotiate their contracts"),
+      "fifth" -> ("the glacier monitoring stations report a steady " +
+        "melt rate across alpine ranges prompting water authorities " +
+        "to redesign reservoir plans for the coming several decades"),
+      "sixth" -> ("the chess championship ended in a rapid tiebreak " +
+        "after fourteen classical draws with the challenger finding a " +
+        "knight sacrifice the engines had dismissed as unsound"),
+      "seventh" -> ("the urban beekeeping ordinances now require a hive " +
+        "registration and setback distances as rooftop colonies " +
+        "multiply and pollinate community gardens across the city"))
+    def body(tag: String): String = bodies(tag)
+    // frontier seeded with one already-crawled url; content index
+    // seeded separately — the two screens are independent keys
+    graft.operators.Dedup.buildUrlIndex(
+      Seq("https://Seen.example.com:443/old/").toDF("url"),
+      "url", name = "t_url_idx")
+    graft.operators.Dedup.buildDedupIndex(
+      Seq((1L, "seed corpus body for the url frontier test with " +
+        "enough words to stand alone")).toDF("doc_id", "text"),
+      "doc_id", "text", name = "t_urlpipe_idx")
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = StreamingIngest.toPipelineIngest(
+      input.toDS().toDF("doc_id", "html", "url"), "doc_id", "html",
+      "t_urlpipe_idx", s"$dir/packed", s"$dir/ckpt",
+      minWords = 20, packCapacity = 64L,
+      urlCol = Some("url"), urlIndexName = Some("t_url_idx"))
+    try {
+      input.addData(
+        // same resource under two tracking-param variants — DIFFERENT
+        // page contents, so only the URL key can collapse them; the
+        // min-id keeper is the one that lands
+        (10L, page("v1", body("first")),
+          "https://a.example.com/art?utm_source=x&id=7"),
+        (20L, page("v2", body("second")),
+          "https://a.example.com/art?id=7&utm_campaign=y#frag"),
+        // canonical match of the SEEDED frontier → screened at stage 0
+        (30L, page("v3", body("third")),
+          "https://seen.example.com/old?utm_source=z"),
+        // null URL → dropped at the door (unkeyable row)
+        (40L, page("v4", body("fourth")), null),
+        // fresh url, fresh content → lands
+        (50L, page("v5", body("fifth")), "https://b.example.com/x"))
+      q.processAllAvailable()
+      def landed() = spark.read.parquet(s"$dir/packed")
+      val b0 = landed().collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(b0 == Set(10L, 50L), s"got $b0")
+      // batch 2: batch-1's admitted urls are folded in — the same
+      // resource under a THIRD variant screens even with new content;
+      // a genuinely new url lands
+      input.addData(
+        (60L, page("v6", body("sixth")),
+          "https://a.example.com/art?fbclid=abc&id=7"),
+        (70L, page("v7", body("seventh")), "https://c.example.com/y"))
+      q.processAllAvailable()
+      val all = landed().collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(all == Set(10L, 50L, 70L), s"got $all")
+      // full redelivery → every url is in the frontier → stage-0
+      // full stop, nothing lands twice
+      input.addData(
+        (60L, page("v6", body("sixth")),
+          "https://a.example.com/art?fbclid=abc&id=7"),
+        (70L, page("v7", body("seventh")), "https://c.example.com/y"))
+      q.processAllAvailable()
+      assert(landed().count() == 3,
+        s"replay must self-suppress at stage 0, got ${landed().count()}")
+      // restart contract: the frontier re-opens from the warehouse
+      // like the other index families
+      graft.operators.Dedup.openUrlIndex(spark, "t_url_idx")
+      val screened = graft.operators.Dedup.screenAgainstUrlIndex(
+        Seq((99L, "https://a.example.com/art?id=7&utm_source=q"))
+          .toDF("doc_id", "url"), "url", "t_url_idx").count()
+      assert(screened == 0L, "re-opened frontier must still screen")
+      // plan pin: the screen's index side reads the bucketed table
+      // with no Exchange under the anti-join (single-column uh
+      // clustering — the zero-index-shuffle contract of the family)
+      val p = graft.operators.Dedup.screenAgainstUrlIndex(
+        Seq((1L, "https://z.example.com/a")).toDF("doc_id", "url"),
+        "url", "t_url_idx")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning(uh"),
+        s"frontier side re-shuffled:\n${p.take(2000)}")
+    } finally q.stop()
+  }
 }

@@ -54,6 +54,54 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(cols == Seq("id", "k", "ts", "payload", "asof_ts"))
   }
 
+  test("asOfPriorSalted equals the classic window on edges and on a zipf-head key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // edge corpus: same-ts ties, bucket-boundary timestamps, a key
+    // with no refs, negative timestamps — each at several bucketUs
+    // values including ones that split ties across bucket edges
+    val edge = Seq(
+      (1L, "u1", 100L, "ref"), (2L, "u1", 100L, "probe"),
+      (3L, "u1", 200L, "probe"), (4L, "u2", 50L, "probe"),
+      (5L, "u1", 300L, "ref"), (6L, "u1", 300L, "probe"),
+      (7L, "u1", -150L, "ref"), (8L, "u1", -150L, "probe"),
+      (9L, "u3", 0L, "probe"), (10L, "u3", -1L, "ref")
+    ).toDF("id", "k", "ts", "typ")
+    // zipf-head corpus: one key carries 2000 rows, others 10 each
+    val rnd = new scala.util.Random(11)
+    val zipf = ((0 until 2000).map(i =>
+      (i.toLong, "head", rnd.nextInt(5000).toLong,
+        if (rnd.nextBoolean()) "ref" else "probe")) ++
+      (0 until 100).map(i =>
+        (10000L + i, s"t${i % 10}", rnd.nextInt(500).toLong,
+          if (i % 3 == 0) "ref" else "probe")))
+      .toDF("id", "k", "ts", "typ")
+    for (df <- Seq(edge, zipf); bucketUs <- Seq(1L, 7L, 100L, 1000L)) {
+      def read(r: org.apache.spark.sql.Row) =
+        r.getAs[Long]("id") ->
+          Option(r.getAs[java.lang.Long]("asof_ts")).map(_.toLong)
+      val classic = TemporalJoins.asOfPrior(df, col("k"), col("ts"),
+        col("id"), col("typ") === "probe", col("typ") === "ref")
+        .collect().map(read).toMap
+      val salted = TemporalJoins.asOfPriorSalted(df, col("k"), col("ts"),
+        col("id"), col("typ") === "probe", col("typ") === "ref", bucketUs)
+        .collect().map(read).toMap
+      assert(salted == classic,
+        s"bucketUs=$bucketUs diverged: ${
+          (salted.toSet diff classic.toSet).take(5)} vs ${
+          (classic.toSet diff salted.toSet).take(5)}")
+    }
+    // the front door flag routes to the same answers
+    val probe = Seq((2L, "u1", 100L, "p"), (6L, "u1", 300L, "p"))
+      .toDF("id", "k", "ts", "payload")
+    val ref = Seq((1L, "u1", 100L), (5L, "u1", 300L)).toDF("id", "k", "ts")
+    val a = TemporalJoins.asOfJoin(probe, ref, "k", "ts", "id")
+      .orderBy("id").collect().toSeq
+    val b = TemporalJoins.asOfJoin(probe, ref, "k", "ts", "id",
+      bucketUs = 60L).orderBy("id").collect().toSeq
+    assert(a == b, s"front-door flag diverged: $a vs $b")
+  }
+
   test("priorCountInWindow: negative timestamps bucket by floor division") {
     import spark.implicits._
     val W = 100L

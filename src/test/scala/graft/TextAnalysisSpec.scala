@@ -204,6 +204,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(sigs.size == videoIds.map(id => 2 + id % 5).sum)
   }
 
+  test("d82: video keep-one collapses each remuxed-PNG twin family to its min id") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val media = Multimodal.withPlantedPngNearDupVideos(docs, "doc_id")
+    val videoIds = (0L until 60L).filter(_ % 3 == 2)
+    assert(media.count() == videoIds.size * 2L)
+    // the twin is the same lossless frames in a retimed container:
+    // different payload bytes, identical per-frame sigs
+    videoIds.take(3).foreach { id =>
+      assert(!java.util.Arrays.equals(Multimodal.pngVideoPayload(id),
+        Multimodal.remuxedPngVideoPayload(id)), "twin bytes must differ")
+    }
+    val sigs = Multimodal.videoFrameDHashSigs(spark, media)
+      .localCheckpoint(true)
+    val pairs = Multimodal.videoNearDupPairsFromSigs(sigs, maxDist = 2)
+      .select($"id_a", $"id_b")
+    val kept = graft.operators.Dedup.dropNearDuplicates(
+      sigs.select($"doc_id").distinct(), "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    // every family {id, id + offset} collapses to the src (min id);
+    // no twin survives, no src is lost
+    assert(kept == videoIds.toSet,
+      s"survivors ${kept.toSeq.sorted} != srcs $videoIds")
+    // an unrelated singleton (no twin) always survives keep-one
+    val lone = Multimodal.MediaRow(999999L, "video",
+      Multimodal.pngVideoPayload(999999L))
+    val sigs2 = Multimodal.videoFrameDHashSigs(
+      spark, media.union(Seq(lone).toDS())).localCheckpoint(true)
+    val kept2 = graft.operators.Dedup.dropNearDuplicates(
+      sigs2.select($"doc_id").distinct(), "doc_id",
+      Multimodal.videoNearDupPairsFromSigs(sigs2, maxDist = 2)
+        .select($"id_a", $"id_b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2.contains(999999L), "a twin-less video must survive")
+  }
+
   test("d64: audio fingerprint is gain- and rate-label-invariant; planted twins pair at hamming 0") {
     import spark.implicits._
     // gain invariance: scaling every sample by a constant preserves
