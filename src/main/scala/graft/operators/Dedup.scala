@@ -909,12 +909,118 @@ object Dedup {
   }
 
   /** Maintenance: rewrites the chunk table to one file per bucket
-    * after K appends ([[compactDedupIndex]]'s contract). */
+    * after K appends ([[compactDedupIndex]]'s contract). The optional
+    * video-frame tables compact too when present — with distinct(),
+    * since a replayed [[appendVideoFramesToSimIndex]] legally lands
+    * duplicate rows the screen tolerates but a compaction should
+    * shed. */
   def compactSimIndex(spark: org.apache.spark.sql.SparkSession,
       name: String): Unit = {
     val (_, numBuckets) = simIndexMeta(spark, name)
     Bucketing.compactBucketed()(spark, s"${name}_chunks", "chunk_hash",
       numBuckets)
+    if (spark.catalog.tableExists(s"${name}_vchunks"))
+      Bucketing.compactBucketed(_.distinct())(spark, s"${name}_vchunks",
+        "chunk_hash", numBuckets)
+    if (spark.catalog.tableExists(s"${name}_vframes"))
+      Bucketing.compactBucketed(_.distinct())(spark, s"${name}_vframes",
+        "vid", numBuckets)
+  }
+
+  // ---------------------------------------------------------------
+  // Per-frame NEAR video screening for the signature index. A video
+  // in the base index is one EXACT frame-hash fold (toMediaIngest's
+  // sig): a remuxed/retimed copy folds identically and screens, but
+  // a RE-ENCODED copy — same content, slightly different pixels —
+  // perturbs every frame hash and slips the fold. These verbs add
+  // frame-level evidence: per-frame dHashes keyed doc_id·1024 +
+  // frame_idx ride the SAME pigeonhole chunk machinery, and the
+  // screen renders the d63 video verdict (same frame count, every
+  // aligned frame within maxDist) from the chunk matches. The frame
+  // rows live in a SEPARATE table pair, deliberately: in the shared
+  // _chunks table a PLAIN doc's id aliases some video's composite
+  // key (doc 2048 == video 2, frame 0), and a chance sig match
+  // would credit that video's aligned-frame tally — a wrong verdict
+  // the exact popcount verification could never catch, because the
+  // aliasing is in the KEY, not the signature. `<name>_vchunks`
+  // carries the chunk rows, `<name>_vframes` the per-video frame
+  // counts the all-frames-must-match verdict needs.
+  // ---------------------------------------------------------------
+
+  private def videoCompositeKey(frameSigs: DataFrame): DataFrame = {
+    val M = Multimodal.MaxSampledFrames
+    frameSigs.select(
+      (col("doc_id") * M +
+        when(col("frame_idx") >= M || col("frame_idx") < 0,
+          raise_error(lit(s"video sim index: frame_idx outside [0, $M) " +
+            "(raise the sampling interval for longer footage)")))
+          .otherwise(col("frame_idx"))).as("doc_id"),
+      col("sim"))
+  }
+
+  /** Folds per-frame video signatures ((doc_id, frame_idx, sim) rows
+    * — [[graft.operators.Multimodal.videoFrameDHashSigs]]'s shape)
+    * into a [[buildSimIndex]] index's video-frame side. Lazily
+    * creates the `_vchunks`/`_vframes` tables on first call; both
+    * reads of `frameSigs` are append writes over the same immutable
+    * input, so pinning is the CALLER's call (pass localCheckpoint'd
+    * sigs when the upstream is a decode pipeline). */
+  def appendVideoFramesToSimIndex(frameSigs: DataFrame,
+      name: String): Unit = {
+    val spark = frameSigs.sparkSession
+    val (maxDist, numBuckets) = simIndexMeta(spark, name)
+    val live = frameSigs.filter(col("doc_id").isNotNull &&
+      col("frame_idx").isNotNull && col("sim").isNotNull)
+    Bucketing.appendBucketed(
+      simChunkRows(videoCompositeKey(live), maxDist),
+      s"${name}_vchunks", "chunk_hash", numBuckets)
+    Bucketing.appendBucketed(
+      live.groupBy(col("doc_id").as("vid")).agg(count(lit(1)).as("nf")),
+      s"${name}_vframes", "vid", numBuckets)
+  }
+
+  /** Screens batch videos (per-frame sig rows) against the index's
+    * video-frame side: a batch video is flagged iff some indexed
+    * video has the SAME frame count and EVERY aligned frame within
+    * hamming maxDist — [[graft.operators.Multimodal
+    * .videoNearDupPairs]]'s contract, rendered from one chunk_hash
+    * equi-join (the bucketed index side never shuffles) plus one
+    * (batch_vid, corpus_vid) tally aggregate. Returns the surviving
+    * FRAME rows, shape-preserving, so survivors feed
+    * [[appendVideoFramesToSimIndex]] directly. Duplicate index rows
+    * from a replayed append cannot flip a verdict (frame matches
+    * are distinct-ed before the tally). Before any frames are
+    * indexed the screen passes everything — there is no evidence to
+    * match against. */
+  def screenVideosAgainstSimIndex(batchFrameSigs: DataFrame,
+      name: String): DataFrame = {
+    val spark = batchFrameSigs.sparkSession
+    val (maxDist, _) = simIndexMeta(spark, name)
+    val live = batchFrameSigs.filter(col("doc_id").isNotNull &&
+      col("frame_idx").isNotNull && col("sim").isNotNull)
+    if (!spark.catalog.tableExists(s"${name}_vchunks")) return live
+    val M = Multimodal.MaxSampledFrames
+    val matches = simChunkRows(videoCompositeKey(live), maxDist).as("a")
+      .join(spark.table(s"${name}_vchunks").as("b"), Seq("chunk_hash"))
+      .filter(bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= maxDist)
+      .select(expr(s"a.doc_id div $M").as("bvid"),
+        expr(s"a.doc_id % $M").as("bfi"),
+        expr(s"b.doc_id div $M").as("cvid"),
+        expr(s"b.doc_id % $M").as("cfi"))
+      .filter(col("bfi") === col("cfi"))
+      .select(col("bvid"), col("cvid"), col("bfi")).distinct()
+    val tallies = matches.groupBy(col("bvid"), col("cvid"))
+      .agg(count(lit(1)).as("n"))
+    val bCounts = live.groupBy(col("doc_id").as("bvid"))
+      .agg(count(lit(1)).as("nfb"))
+    val flagged = tallies
+      .join(spark.table(s"${name}_vframes").select(col("vid").as("cvid"),
+        col("nf").as("nfc")).distinct(), Seq("cvid"))
+      .join(bCounts.hint("SHUFFLE_HASH"), Seq("bvid"))
+      .filter(col("n") === col("nfb") && col("n") === col("nfc"))
+      .select(col("bvid")).distinct()
+    live.join(flagged.hint("SHUFFLE_HASH"),
+      col("doc_id") === col("bvid"), "left_anti")
   }
 
   /** Retirement for the signature index — [[retireFromDedupIndex]]'s
@@ -931,6 +1037,16 @@ object Dedup {
     Bucketing.compactBucketed(
       _.join(broadcast(rids), col("doc_id") === col("__rid"),
         "left_anti"))(spark, s"${name}_chunks", "chunk_hash", numBuckets)
+    // video-frame side: composite keys retire by their vid half
+    val M = Multimodal.MaxSampledFrames
+    if (spark.catalog.tableExists(s"${name}_vchunks"))
+      Bucketing.compactBucketed(
+        _.join(broadcast(rids), expr(s"doc_id div $M") === col("__rid"),
+          "left_anti"))(spark, s"${name}_vchunks", "chunk_hash", numBuckets)
+    if (spark.catalog.tableExists(s"${name}_vframes"))
+      Bucketing.compactBucketed(
+        _.join(broadcast(rids), col("vid") === col("__rid"),
+          "left_anti"))(spark, s"${name}_vframes", "vid", numBuckets)
   }
 
   /** Re-opens a [[buildSimIndex]] index in a fresh session from its
@@ -945,6 +1061,14 @@ object Dedup {
     require(Bucketing.registerExisting(spark, s"${name}_chunks",
       Some(("chunk_hash", numBuckets))),
       s"signature index '$name' is missing its chunks table")
+    // the video-frame side is OPTIONAL (lazily created on the first
+    // appendVideoFramesToSimIndex) — re-register when present
+    Bucketing.finishInterruptedSwap(spark, s"${name}_vchunks")
+    Bucketing.registerExisting(spark, s"${name}_vchunks",
+      Some(("chunk_hash", numBuckets)))
+    Bucketing.finishInterruptedSwap(spark, s"${name}_vframes")
+    Bucketing.registerExisting(spark, s"${name}_vframes",
+      Some(("vid", numBuckets)))
   }
 
   // ---------------------------------------------------------------

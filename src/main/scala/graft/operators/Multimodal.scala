@@ -195,6 +195,49 @@ object Multimodal {
         MediaRow(id, "video", pngVideoPayload(id))))
   }
 
+  /** [[pngVideoPayload]]'s content RE-ENCODED, not remuxed: every
+    * frame re-rendered with the [[perturbedImagePayload]] +12 clamp
+    * inside one dHash cell region (a bounded perturbation — at most
+    * the cell's two horizontal comparisons per row can flip, in
+    * practice <= 2 bits), then muxed at fps + 2. The planted
+    * same-content-different-encode duplicate: its frame BYTES differ
+    * (an exact frame-hash fold misses it) while every aligned frame
+    * stays within hamming maxDist — the case per-frame index
+    * screening ([[graft.operators.Dedup
+    * .screenVideosAgainstSimIndex]]) exists for. */
+  private[graft] def reencodedPngVideoPayload(id: Long): Array[Byte] = {
+    val w = (16 + math.floorMod(id, 8) * 2).toInt
+    val h = (16 + math.floorMod(id, 6) * 2).toInt
+    val nFrames = (2 + math.floorMod(id, 5)).toInt
+    val fps = (5 + math.floorMod(id, 5)).toInt + 2
+    val (x0, x1) = (4 * w / 9, 5 * w / 9)
+    val (y0, y1) = (3 * h / 8, 4 * h / 8)
+    val frames = Array.tabulate(nFrames) { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val base = (id * 31 + f * 17 + x * 7 + y * 131).toInt & 0xFFFFFF
+          val v = if (x >= x0 && x < x1 && y >= y0 && y < y1) {
+            val r = math.min(((base >> 16) & 0xFF) + 12, 255)
+            val g = math.min(((base >> 8) & 0xFF) + 12, 255)
+            val b = math.min((base & 0xFF) + 12, 255)
+            (r << 16) | (g << 8) | b
+          } else base
+          img.setRGB(x, y, v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    muxAvi(frames, w, h, fps, codec = "png ")
+  }
+
   /** [[pngVideoPayload]]'s frames remuxed at fps + 3: identical
     * lossless PNG bytes, different container timing — the planted
     * remux twin for the ORACLE-CHECKED video keep-one (d82). */

@@ -445,6 +445,64 @@ object DBlock {
         .orderBy(col("doc_id"))
     }),
 
+    // D59: the EPOCH-ASSEMBLY capstone — the mixing half of the
+    // pipeline chained end to end under one per-row hash, the d62/
+    // d77 discipline applied to what a training run executes LAST:
+    //   1. mixtureEpochs (d76): integer allowances from the mixture
+    //      table, whole epochs + remainder prefix per stratum;
+    //   2. upsample (d75): the physical copy explosion — one
+    //      training INSTANCE per (doc, copy), instance key
+    //      doc_id·128 + copy_idx (n_copies <= upsample's
+    //      maxRepeats = 100 < 128, so the key cannot collide);
+    //   3. shuffleShard (d45): every instance lands a shard and a
+    //      deterministic in-shard position — the cross-source
+    //      interleave that keeps a training shard from reading one
+    //      source for a gigabyte;
+    //   4. sequencePack (d32): context bins over the epoch's token
+    //      stream in (shard, pos) order — shard streams concatenate
+    //      in shard order, bins may straddle both documents and
+    //      shard boundaries (ONE epoch-wide address space, the
+    //      global re-pack semantics, deliberately unlike the
+    //      batch-scoped C12 shards).
+    // Every stage is pure integer/md5 arithmetic, so DuckDB
+    // re-derives the whole chain: allowances, copies, shard ranks,
+    // the (shard, pos)-ordered prefix sum and the bin addresses —
+    // one hash over (doc, copy, shard, pos, offsets) pins all four
+    // operators' composition, not just each alone.
+    "d83_epoch_assembly" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull &&
+        col("source").isNotNull && col("text").isNotNull)
+      val tk = size(Dedup.tokens(col("text"))).cast("long")
+      val total = docs.agg(sum(tk)).head().getLong(0)
+      // pinned: feeds the copy explosion AND the token join-back
+      val mix = Sampling.mixtureEpochs(docs, "doc_id", "source",
+        tokens = tk,
+        rawWeight = substring(col("source"), 4, 10).cast("int") % 3 + 1,
+        budget = 2L * total, seed = "mix")
+        .localCheckpoint(true)
+      val inst = Sampling.upsample(mix, "doc_id", repeats = col("n_copies"))
+        .select(col("doc_id"), col("copy_idx"),
+          (col("doc_id") * 128 + col("copy_idx")).as("inst"))
+      val sharded = Sampling.shuffleShard(inst.select(col("inst")),
+        "inst", numShards = 4, seed = "asm")
+      val staged = sharded
+        .join(inst.hint("SHUFFLE_HASH"), Seq("inst"))
+        .join(mix.select(col("doc_id"), col("n_tokens"))
+          .hint("SHUFFLE_HASH"), Seq("doc_id"))
+      val packed = Packing.sequencePack(staged, "inst",
+        tokens = col("n_tokens"),
+        orderCol = concat(lpad(col("shard").cast("string"), 4, "0"),
+          lit("#"), lpad(col("pos").cast("string"), 12, "0")),
+        capacity = 2048L)
+      packed
+        .join(staged.select(col("inst"), col("doc_id"), col("copy_idx"),
+          col("shard"), col("pos")).hint("SHUFFLE_HASH"), Seq("inst"))
+        .select(col("doc_id"), col("copy_idx"), col("shard"), col("pos"),
+          col("n_tokens"), col("start_off"), col("bin_start"),
+          col("bin_end"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
     // D51: persistent perceptual-signature index + batch screen —
     // the D35 index-once pattern for media sigs, FULLY oracle-checked
     // end to end through real codecs: the corpus's audio fingerprints
@@ -2613,6 +2671,70 @@ object DBlock {
         |SELECT vid AS doc_id FROM vids
         |WHERE vid NOT IN (SELECT id FROM comp WHERE component <> id)
         |ORDER BY doc_id""".stripMargin,
+
+    // d83: the whole epoch assembly re-derived — d76's allowance/
+    // epoch arithmetic, the copy explosion with inst = doc·128 + i,
+    // d45's md5 shard ranks over instances, the (shard, pos)-ordered
+    // global prefix sum and d32's bin addresses.
+    "d83_epoch_assembly" ->
+      s"""WITH b0 AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n,
+        |    ('0x'||substr(md5('mix|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS pr,
+        |    CAST(CAST(substr(source, 4) AS INT) % 3 + 1 AS BIGINT) AS w
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND text IS NOT NULL
+        |), b AS (
+        |  SELECT * FROM b0 WHERE n > 0
+        |), tw AS (
+        |  SELECT CAST(sum(w) AS BIGINT) AS total_w
+        |  FROM (SELECT DISTINCT source, w FROM b) x
+        |), cb AS (
+        |  SELECT CAST(2 * sum(n) AS BIGINT) AS budget FROM b
+        |), tot AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS total FROM b GROUP BY source
+        |), ep AS (
+        |  SELECT source,
+        |    CAST((w * budget // total_w) // total AS BIGINT) AS epochs,
+        |    CAST((w * budget // total_w) % total AS BIGINT) AS rem
+        |  FROM (SELECT DISTINCT source, w FROM b) x
+        |  CROSS JOIN tw CROSS JOIN cb JOIN tot USING (source)
+        |), off AS (
+        |  SELECT doc_id, source, n,
+        |    coalesce(sum(n) OVER (PARTITION BY source ORDER BY pr DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM b
+        |), mixres AS (
+        |  SELECT doc_id, n,
+        |    epochs + CASE WHEN start_off + n <= rem THEN 1 ELSE 0 END AS nc
+        |  FROM off JOIN ep USING (source)
+        |  WHERE epochs + CASE WHEN start_off + n <= rem THEN 1 ELSE 0 END > 0
+        |), copies AS (
+        |  SELECT doc_id, n, CAST(i AS BIGINT) AS copy_idx,
+        |    doc_id * 128 + i AS inst
+        |  FROM mixres, unnest(range(0, nc)) AS u(i)
+        |), keyed AS (
+        |  SELECT *,
+        |    ('0x'||substr(md5('asm|'||CAST(inst AS VARCHAR)),1,15))::BIGINT AS h
+        |  FROM copies
+        |), sharded AS (
+        |  SELECT *, CAST(h % 4 AS INT) AS shard,
+        |    CAST(row_number() OVER (PARTITION BY h % 4
+        |      ORDER BY h, inst) AS INT) AS pos
+        |  FROM keyed
+        |), packed AS (
+        |  SELECT *, CAST(coalesce(sum(n) OVER (
+        |      ORDER BY lpad(CAST(shard AS VARCHAR), 4, '0') || '#' ||
+        |        lpad(CAST(pos AS VARCHAR), 12, '0')
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS o
+        |  FROM sharded
+        |)
+        |SELECT doc_id, copy_idx, shard, pos, n AS n_tokens,
+        |  o AS start_off,
+        |  CAST(o // 2048 AS BIGINT) AS bin_start,
+        |  CAST((o + greatest(n, 1) - 1) // 2048 AS BIGINT) AS bin_end
+        |FROM packed ORDER BY doc_id, copy_idx""".stripMargin,
 
     // d67: the d64b fingerprint arithmetic over corpus + batch
     // (twins carry their src's (31,7) sample constants, unrelateds

@@ -385,9 +385,14 @@ object StreamingIngest {
     * the residual crash window between sink append and index fold-in
     * re-lands rows (at-least-once, recoverable) rather than losing
     * them. Near-dup screening applies to image/audio sigs; a video
-    * only screens against an EXACT remux/retime copy (per-frame near
-    * matching is [[graft.operators.Multimodal.videoNearDupPairs]]'s
-    * batch job). */
+    * screens here only against an EXACT remux/retime copy (the
+    * frame-hash fold). A RE-ENCODED copy needs frame-level evidence:
+    * feed [[graft.operators.Multimodal.videoFrameDHashSigs]] through
+    * [[graft.operators.Dedup.screenVideosAgainstSimIndex]] /
+    * [[graft.operators.Dedup.appendVideoFramesToSimIndex]] — the
+    * per-frame side of the same index — or run
+    * [[graft.operators.Multimodal.videoNearDupPairs]] as the batch
+    * job. */
   def toMediaIngest(media: DataFrame, idCol: String, typeCol: String,
       payloadCol: String, indexName: String, path: String,
       checkpoint: String): StreamingQuery =

@@ -1010,6 +1010,84 @@ class DedupSpec extends AnyFunSuite {
     } finally restoreSession()
   }
 
+  test("sim index video side: a re-encoded twin screens per-frame; fold path, replay, retirement, restart intact") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val name = "t_sim_vidx"
+    // base index over plain doc-level sigs — the exact-fold path the
+    // video side must not disturb
+    val s1 = 0x0123456789ABCDEFL
+    Dedup.buildSimIndex(Seq((1L, s1)).toDF("doc_id", "sim"),
+      name, maxDist = 2, numBuckets = 2)
+    // corpus: two lossless-PNG AVIs, frame sigs through the real
+    // demux+decode path, folded into the index's video-frame side
+    val corpus = Seq(2L, 5L).map(id =>
+      Multimodal.MediaRow(id, "video", Multimodal.pngVideoPayload(id))).toDS()
+    val corpusSigs = Multimodal.videoFrameDHashSigs(spark, corpus)
+      .localCheckpoint(true)
+    Dedup.appendVideoFramesToSimIndex(corpusSigs, name)
+    // batch: the four verdicts that define the contract
+    val trunc = Multimodal.muxAvi(
+      Multimodal.videoFrames(2L, "png").dropRight(1), 20, 20, 7,
+      codec = "png ")
+    val batch = Seq(
+      // RE-ENCODED twin of 2: perturbed pixels, different bytes,
+      // different frame hashes (probed: >=1 frame differs, all within
+      // hamming 2) — the exact fold would MISS it; per-frame must not
+      Multimodal.MediaRow(102L, "video",
+        Multimodal.reencodedPngVideoPayload(2L)),
+      // remuxed twin of 5: hamming 0 per frame → screens
+      Multimodal.MediaRow(205L, "video",
+        Multimodal.remuxedPngVideoPayload(5L)),
+      // genuinely different content → survives
+      Multimodal.MediaRow(300L, "video", Multimodal.pngVideoPayload(11L)),
+      // truncated copy of 2: every present frame matches but the
+      // frame COUNTS differ → a different video under the d63
+      // contract → survives
+      Multimodal.MediaRow(400L, "video", trunc)).toDS()
+    val batchSigs = Multimodal.videoFrameDHashSigs(spark, batch)
+      .localCheckpoint(true)
+    def screen(): Set[Long] =
+      Dedup.screenVideosAgainstSimIndex(batchSigs, name)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(screen() == Set(300L, 400L), s"got ${screen()}")
+    // the survivors' frame rows are shape-preserving (feedable back
+    // into appendVideoFramesToSimIndex)
+    assert(Dedup.screenVideosAgainstSimIndex(batchSigs, name).columns
+      .toSeq == Seq("doc_id", "frame_idx", "sim"))
+    // exact-fold path untouched: doc-level screen ignores _vchunks
+    val baseKept = Dedup.screenAgainstSimIndex(
+      Seq((50L, s1), (51L, 0x5A5A5A5A5A5A5A5AL)).toDF("doc_id", "sim"),
+      name).collect().map(_.getLong(0)).toSet
+    assert(baseKept == Set(51L), s"base screen drifted: $baseKept")
+    // replayed append (duplicate index rows) must not flip verdicts
+    Dedup.appendVideoFramesToSimIndex(corpusSigs, name)
+    assert(screen() == Set(300L, 400L),
+      s"replayed append flipped a verdict: ${screen()}")
+    // retirement removes video 2's whole frame footprint: its
+    // re-encode now lands; 5's remux still screens
+    Dedup.retireFromSimIndex(Seq(Tuple1(2L)).toDF("doc_id"), "doc_id", name)
+    assert(screen() == Set(102L, 300L, 400L),
+      s"retirement incomplete: ${screen()}")
+    // restart: openSimIndex re-registers the optional video tables
+    val s2s = restartedSession()
+    try {
+      assert(!s2s.catalog.tableExists(s"${name}_vchunks"))
+      Dedup.openSimIndex(s2s, name)
+      assert(s2s.catalog.tableExists(s"${name}_vchunks") &&
+        s2s.catalog.tableExists(s"${name}_vframes"))
+      val replayRows = {
+        import s2s.implicits._
+        Seq(Multimodal.MediaRow(500L, "video",
+          Multimodal.remuxedPngVideoPayload(5L))).toDS()
+      }
+      val keptR = Dedup.screenVideosAgainstSimIndex(
+        Multimodal.videoFrameDHashSigs(s2s, replayRows), name)
+        .select("doc_id").distinct().count()
+      assert(keptR == 0L, "re-opened video side must still screen")
+    } finally restoreSession()
+  }
+
   test("sim index retirement: the retired doc's whole screening footprint vanishes") {
     import spark.implicits._
     val name = "t_sim_retire"

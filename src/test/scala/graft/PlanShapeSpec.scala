@@ -383,6 +383,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"pack stage lost its pinned layout:\n${p.take(2000)}")
   }
 
+  test("d83: epoch assembly chains four operators with zero windows and hash joins only") {
+    // mixtureEpochs -> upsample -> shuffleShard -> sequencePack under
+    // one plan: the copy explosion is a Generate (never a join), every
+    // join-back (shard/pos to instance, tokens to doc, pack output to
+    // provenance) is a hash equi-join, both prefix sums ride their
+    // pinned range layouts, and no stage grew a window or a sort agg
+    val p = plan("d83_epoch_assembly")
+    assert(count(p, "Window") == 0,
+      s"a window crept into the assembly chain:\n${p.take(2000)}")
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0,
+      s"assembly degenerated to a pair join:\n${p.take(2000)}")
+    assert(count(p, "SortAggregate") == 0, p.take(2000))
+    assert(count(p, "ShuffledHashJoin") >= 2,
+      s"join-backs must hash-build:\n${p.take(3000)}")
+    assert(count(p, "Scan ExistingRDD") >= 2,
+      s"a prefix-sum stage lost its pinned layout:\n${p.take(2000)}")
+    assert(count(p, "Generate") >= 1, // posexplode of the copy range
+      s"the copy explosion must be a Generate:\n${p.take(2000)}")
+  }
+
   test("d77: model-gated pipeline stays hash-joined; the NB stage brings no window") {
     // d62's pins hold with the learned stage composed in: the model
     // gate is a doc-keyed semi-ish equi-join on the classifier output
