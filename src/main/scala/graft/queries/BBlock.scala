@@ -249,6 +249,26 @@ object BBlock {
         .orderBy(col("event_id"))
     }),
 
+    // B16b: the SALTED as-of path under the SAME oracle as b16 — the
+    // zipf-head escape (time-bucketed two-level running max; see
+    // TemporalJoins.asOfPriorSalted) must be bit-identical to the
+    // classic per-key window, and this entry makes that an
+    // oracle-gate fact rather than a spec-only one. bucketUs = 1h:
+    // a head user's rows shard across its hours instead of sorting
+    // in one task.
+    "b16b_asof_salted" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts DIV 1000").as("us"))
+      TemporalJoins.asOfPriorSalted(ev, col("user_id"), col("us"),
+        col("event_id"),
+        probeWhen = col("event_type") === "purchase",
+        refWhen = col("event_type") === "click",
+        bucketUs = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("asof_ts").as("last_click_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // B17: bounded range join — errors count same-user events in the
     // preceding 5 minutes; inequality rewritten as a 2-bucket
     // equi-join probe + exact filter (linear shuffle, no theta-join).
@@ -731,6 +751,17 @@ object BBlock {
         |ORDER BY tag, o_custkey""".stripMargin,
 
     "b16_asof_join" ->
+      """SELECT event_id, user_id, us, last_click_us FROM (
+        |  SELECT event_id, user_id, event_type, us,
+        |    max(CASE WHEN event_type = 'click' THEN us END) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+        |  FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+        |) t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // b16b: the salted path must be bit-identical to the classic —
+    // same oracle text as b16, deliberately
+    "b16b_asof_salted" ->
       """SELECT event_id, user_id, us, last_click_us FROM (
         |  SELECT event_id, user_id, event_type, us,
         |    max(CASE WHEN event_type = 'click' THEN us END) OVER (

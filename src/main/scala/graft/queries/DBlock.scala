@@ -503,6 +503,90 @@ object DBlock {
         .orderBy(col("doc_id"), col("copy_idx"))
     }),
 
+    // D60 (batch surface): the URL FRONTIER index fully
+    // oracle-checked end to end — the md5-lower-half docs' planted
+    // urls (d71's planting: every canonicalization rule fires)
+    // BUILD the persistent frontier, the upper-half docs screen
+    // against it, and a batch row survives iff its CANONICAL url
+    // matches no corpus row's. DuckDB re-derives the planting, all
+    // five canonicalization rules and the set subtraction — a
+    // hash-matched recall check on the frontier key (md5(canon))
+    // through the real build→bucketed-write→screen path. Slices are
+    // md5-keyed (not parity: plantedUrl's scheme depends on id
+    // parity and survives canonicalization, so a parity split would
+    // share zero canonical classes and trivially pass everything)
+    // and the corpus is deliberately SMALL (1/16) against a half-
+    // corpus batch: the planting collapses to ~60 canonical classes,
+    // and a half-sized corpus covers them all, which screens the
+    // whole batch — a 0-row result proves nothing. The 1/16 corpus
+    // leaves classes uncovered, so the oracle pins BOTH verdicts:
+    // screened rows (covered classes) and survivors (uncovered).
+    "d84_url_screen" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), plantedUrl.as("url"))
+      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      Dedup.buildUrlIndex(docs.filter(h1 === "0"), "url", "d84_url_idx")
+      Dedup.screenAgainstUrlIndex(docs.filter(h1 >= "8"), "url", "d84_url_idx")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // D61 (oracle): per-frame NEAR video screening fully
+    // oracle-checked through the real codec path — the corpus's
+    // lossless-PNG AVIs build the video-frame side of a signature
+    // index, and the batch holds FOUR planted variants per corpus
+    // video: a REMUXED twin (+10M: identical frame bytes, retimed —
+    // screens at hamming 0), a RE-ENCODED twin (+20M: one-dHash-cell
+    // +12 clamp per frame, different BYTES and different frame
+    // hashes — the case the exact fold misses and this screen
+    // exists for), a TRUNCATED copy (+30M: last frame dropped —
+    // survives by the frame-count contract) and an UNRELATED video
+    // (+40M: different content formula — survives). Every pixel of
+    // every variant is doc_id arithmetic (the clamp region is
+    // integer floor division), so DuckDB re-derives all frame sigs
+    // — including the re-encode's clamped luma — and brute-forces
+    // the all-aligned-frames verdict with 64-bit popcounts: recall,
+    // the frame-count contract and the survivor set are
+    // hash-matched through PNG encode → RIFF mux → demux → ImageIO
+    // decode → chunk join → tally.
+    "d85_video_index_screen" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull &&
+          substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+        .select(col("doc_id").cast("long")).as[Long]
+        .filter((id: Long) => math.floorMod(id, 3) == 2)
+      val corpus = base.mapPartitions(_.map(id =>
+        Multimodal.MediaRow(id, "video", Multimodal.pngVideoPayload(id))))
+      val batch = base.mapPartitions(_.flatMap { id =>
+        val w = (16 + math.floorMod(id, 8) * 2).toInt
+        val h = (16 + math.floorMod(id, 6) * 2).toInt
+        val fps = (5 + math.floorMod(id, 5)).toInt
+        Iterator(
+          Multimodal.MediaRow(id + 10000000L, "video",
+            Multimodal.remuxedPngVideoPayload(id)),
+          Multimodal.MediaRow(id + 20000000L, "video",
+            Multimodal.reencodedPngVideoPayload(id)),
+          Multimodal.MediaRow(id + 30000000L, "video",
+            Multimodal.muxAvi(
+              Multimodal.videoFrames(id, "png").dropRight(1),
+              w, h, fps, codec = "png ")),
+          Multimodal.MediaRow(id + 40000000L, "video",
+            Multimodal.pngVideoPayload(id + 40000000L)))
+      })
+      Dedup.buildSimIndex(
+        Multimodal.mediaSigs(s, corpus).select(col("doc_id"), col("sim")),
+        "d85_idx", maxDist = 2)
+      Dedup.appendVideoFramesToSimIndex(
+        Multimodal.videoFrameDHashSigs(s, corpus), "d85_idx")
+      Dedup.screenVideosAgainstSimIndex(
+        Multimodal.videoFrameDHashSigs(s, batch), "d85_idx")
+        .select(col("doc_id"), col("frame_idx"),
+          expr("shiftrightunsigned(sim, 32)").as("sig_hi"),
+          (col("sim").bitwiseAND(lit(0xFFFFFFFFL))).as("sig_lo"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // D51: persistent perceptual-signature index + batch screen —
     // the D35 index-once pattern for media sigs, FULLY oracle-checked
     // end to end through real codecs: the corpus's audio fingerprints
@@ -1572,6 +1656,43 @@ object DBlock {
       when(id % 2 === 1, concat(lit("#s"), (id % 6).cast("string")))
         .otherwise(""))
   }
+
+  /** The d71 canonicalization arithmetic as a reusable CTE chain
+    * ending in `c (doc_id, url, canon_url)` — shared by the d71
+    * keep-one oracle and the d84 frontier-screen oracle so the two
+    * can never drift. */
+  private lazy val canonUrlCtes: String =
+    s"""u AS (
+      |  SELECT doc_id, $plantedUrlSql AS url
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |), p1 AS (
+      |  SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nofrag
+      |  FROM u
+      |), p2 AS (
+      |  SELECT doc_id, url, nofrag,
+      |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_extract(nofrag, '^[^/]*//([^/?#]*)', 1) AS hostport,
+      |    regexp_extract(nofrag, '^[^/]*//[^/?#]*(.*)$$', 1) AS rest
+      |  FROM p1
+      |), p3 AS (
+      |  SELECT doc_id, url, scheme,
+      |    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+      |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+      |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$$', '') AS path,
+      |    array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(rest, '\\?(.*)$$', 1), '&'),
+      |      p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')
+      |        AND p <> '')), '&') AS qs
+      |  FROM p2
+      |), c AS (
+      |  SELECT doc_id, url,
+      |    scheme || '://' || host ||
+      |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+      |       OR (scheme = 'https' AND port = '443') THEN ''
+      |     ELSE ':' || port END) || path ||
+      |    (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canon_url
+      |  FROM p3
+      |)""".stripMargin
 
   private val plantedUrlSql: String =
     """(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) ||
@@ -2736,6 +2857,97 @@ object DBlock {
         |  CAST((o + greatest(n, 1) - 1) // 2048 AS BIGINT) AS bin_end
         |FROM packed ORDER BY doc_id, copy_idx""".stripMargin,
 
+    // d85: the per-frame video screen brute-forced — the d82 pixel
+    // re-derivation extended with a variant table (vid, pid, clamp,
+    // dropf): remux/reenc/trunc carry their src's pixel formula
+    // (reenc with the integer clamp-region +12 luma), unrelated its
+    // own; verdict = some corpus video with equal frame count and
+    // every aligned frame within hamming 2; survivors emit their
+    // frame sigs.
+    "d85_video_index_screen" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS src FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % 3 = 2
+        |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        |), vars AS (
+        |  SELECT src, src AS vid, src AS pid, 0 AS clamp, 0 AS dropf FROM ids
+        |  UNION ALL SELECT src, src + 10000000, src, 0, 0 FROM ids
+        |  UNION ALL SELECT src, src + 20000000, src, 1, 0 FROM ids
+        |  UNION ALL SELECT src, src + 30000000, src, 0, 1 FROM ids
+        |  UNION ALL SELECT src, src + 40000000, src + 40000000, 0, 0 FROM ids
+        |), dims AS (
+        |  SELECT vid, pid, clamp,
+        |    16 + (pid % 8) * 2 AS w, 16 + (pid % 6) * 2 AS h,
+        |    2 + (pid % 5) - dropf AS nf
+        |  FROM vars
+        |), fr AS (
+        |  SELECT d.vid, d.pid, d.clamp, d.w, d.h, f.f
+        |  FROM dims d, unnest(range(d.nf)) AS f(f)
+        |), cells AS (
+        |  SELECT fr.vid, fr.pid, fr.clamp, fr.f, cy.cy, cx.cx,
+        |    (cx.cx * fr.w) // 9 AS x0, ((cx.cx + 1) * fr.w) // 9 AS x1,
+        |    (cy.cy * fr.h) // 8 AS y0, ((cy.cy + 1) * fr.h) // 8 AS y1,
+        |    (4 * fr.w) // 9 AS bx0, (5 * fr.w) // 9 AS bx1,
+        |    (3 * fr.h) // 8 AS by0, (4 * fr.h) // 8 AS by1
+        |  FROM fr,
+        |    (SELECT unnest(range(8)) AS cy) cy,
+        |    (SELECT unnest(range(9)) AS cx) cx
+        |), px AS (
+        |  SELECT c.vid, c.f, c.cy, c.cx,
+        |    ((c.pid * 31) + (c.f * 17) + (xs.x * 7) + (ys.y * 131))
+        |      & 16777215 AS base,
+        |    CASE WHEN c.clamp = 1 AND xs.x >= c.bx0 AND xs.x < c.bx1
+        |          AND ys.y >= c.by0 AND ys.y < c.by1 THEN 1 ELSE 0 END AS inb
+        |  FROM cells c,
+        |    unnest(range(c.x0, c.x1)) AS xs(x),
+        |    unnest(range(c.y0, c.y1)) AS ys(y)
+        |), lum AS (
+        |  SELECT vid, f, cy, cx,
+        |    CASE WHEN inb = 1 THEN
+        |      (77 * least(((base >> 16) & 255) + 12, 255)
+        |       + 151 * least(((base >> 8) & 255) + 12, 255)
+        |       + 28 * least((base & 255) + 12, 255)) >> 8
+        |    ELSE
+        |      (77 * ((base >> 16) & 255) + 151 * ((base >> 8) & 255)
+        |       + 28 * (base & 255)) >> 8 END AS luma
+        |  FROM px
+        |), avgs AS (
+        |  SELECT vid, f, cy, cx, SUM(luma) // COUNT(*) AS a
+        |  FROM lum GROUP BY 1, 2, 3, 4
+        |), dsigs AS (
+        |  SELECT a.vid, a.f,
+        |    CAST(SUM(CASE WHEN b.a > a.a AND (a.cy * 8 + a.cx) >= 32
+        |      THEN (CAST(1 AS BIGINT) << (a.cy * 8 + a.cx - 32))
+        |      ELSE 0 END) AS BIGINT) AS sig_hi,
+        |    CAST(SUM(CASE WHEN b.a > a.a AND (a.cy * 8 + a.cx) < 32
+        |      THEN (CAST(1 AS BIGINT) << (a.cy * 8 + a.cx))
+        |      ELSE 0 END) AS BIGINT) AS sig_lo
+        |  FROM avgs a
+        |  JOIN avgs b ON b.vid = a.vid AND b.f = a.f
+        |    AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8
+        |  GROUP BY 1, 2
+        |), counts AS (
+        |  SELECT vid, COUNT(*) AS nfr FROM dsigs GROUP BY vid
+        |), fm AS (
+        |  SELECT b.vid AS bvid, c.vid AS cvid, COUNT(*) AS n
+        |  FROM dsigs b JOIN dsigs c
+        |    ON b.vid >= 10000000 AND c.vid < 10000000 AND c.f = b.f
+        |   AND bit_count(xor(b.sig_hi, c.sig_hi))
+        |     + bit_count(xor(b.sig_lo, c.sig_lo)) <= 2
+        |  GROUP BY 1, 2
+        |), flagged AS (
+        |  SELECT DISTINCT f.bvid FROM fm f
+        |  JOIN counts cb ON cb.vid = f.bvid
+        |  JOIN counts cc ON cc.vid = f.cvid
+        |  WHERE f.n = cb.nfr AND f.n = cc.nfr
+        |)
+        |SELECT vid AS doc_id, CAST(f AS INT) AS frame_idx,
+        |  sig_hi, sig_lo
+        |FROM dsigs
+        |WHERE vid >= 10000000 AND vid NOT IN (SELECT bvid FROM flagged)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     // d67: the d64b fingerprint arithmetic over corpus + batch
     // (twins carry their src's (31,7) sample constants, unrelateds
     // the (37,11) ones), then the screen brute-forced: a batch row
@@ -3516,42 +3728,25 @@ object DBlock {
     // strip, scheme/host lowering, default-port drop, trailing-slash
     // strip, tracking-param filter + param sort) + keep-min dedup.
     "d71_url_dedup" ->
-      s"""WITH u AS (
-        |  SELECT doc_id, $plantedUrlSql AS url
-        |  FROM documents WHERE doc_id IS NOT NULL
-        |), p1 AS (
-        |  SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nofrag
-        |  FROM u
-        |), p2 AS (
-        |  SELECT doc_id, url, nofrag,
-        |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    regexp_extract(nofrag, '^[^/]*//([^/?#]*)', 1) AS hostport,
-        |    regexp_extract(nofrag, '^[^/]*//[^/?#]*(.*)$$', 1) AS rest
-        |  FROM p1
-        |), p3 AS (
-        |  SELECT doc_id, url, scheme,
-        |    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
-        |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
-        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$$', '') AS path,
-        |    array_to_string(list_sort(list_filter(
-        |      string_split(regexp_extract(rest, '\\?(.*)$$', 1), '&'),
-        |      p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')
-        |        AND p <> '')), '&') AS qs
-        |  FROM p2
-        |), c AS (
-        |  SELECT doc_id, url,
-        |    scheme || '://' || host ||
-        |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-        |       OR (scheme = 'https' AND port = '443') THEN ''
-        |     ELSE ':' || port END) || path ||
-        |    (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canon_url
-        |  FROM p3
-        |), k AS (
-        |  SELECT canon_url, min(doc_id) AS keeper_id FROM c GROUP BY canon_url
+      (s"WITH $canonUrlCtes, k AS (\n" +
+      """  SELECT canon_url, min(doc_id) AS keeper_id FROM c GROUP BY canon_url
         |)
         |SELECT c.doc_id, c.url, c.canon_url,
         |  c.doc_id = k.keeper_id AS keeper
-        |FROM c JOIN k USING (canon_url) ORDER BY doc_id""".stripMargin,
+        |FROM c JOIN k USING (canon_url) ORDER BY doc_id""".stripMargin),
+
+    // d84: the frontier screen brute-forced — canonicalize BOTH
+    // halves with the d71 arithmetic; a batch (upper-half) doc
+    // survives iff its canonical url matches no corpus (lower-half)
+    // doc's canonical url.
+    "d84_url_screen" ->
+      (s"WITH $canonUrlCtes\n" +
+      """SELECT c.doc_id FROM c
+        |WHERE substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 1) >= '8'
+        |  AND c.canon_url NOT IN (
+        |    SELECT canon_url FROM c
+        |    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0')
+        |ORDER BY doc_id""".stripMargin),
 
     // d72: integer allowances (w·B // Σw over the distinct strata),
     // per-stratum cumulative token mass in (md5 priority DESC, id)
