@@ -99,7 +99,17 @@ object ScaleProbe {
     "d63b_video_dhash_bits", // PNG mux/demux/decode + per-frame dHash
     "d79_ann_index_stats",  // index build + cell_id-only occupancy scan
     "d80_tfidf_keywords",   // shared term exchange + per-doc top-k
-    "d81_audio_dedup")      // audio sigs → pairs → components keep-one
+    "d81_audio_dedup",      // audio sigs → pairs → components keep-one
+    // r14 additions. d82/d85 include PNG-AVI synthesis in the timing
+    // (the d63 caveat); their md5-sliced corpora scale with docs so
+    // ~10× is the expectation. d84's canonical-class count is FIXED
+    // (~60 planted classes) but the canonicalize+join work scales
+    // with the batch → ~10×. b16b is absent: the sf1 derivation
+    // carries documents/lineitem only, not events.
+    "d82_video_dedup",      // frame sigs → aligned pairs → keep-one
+    "d83_epoch_assembly",   // mixture→copies→shards→pack chain
+    "d84_url_screen",       // canonicalize scan + frontier anti-join
+    "d85_video_index_screen") // frame chunk join + tally verdict
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -867,6 +867,13 @@ object Dedup {
     Bucketing.writeBucketed(simChunkRows(live, maxDist),
       s"${name}_chunks", "chunk_hash", numBuckets)
     val spark = sigs.sparkSession
+    // a REBUILD must reset the optional video-frame side too: those
+    // tables are append-created, so no overwrite path clears them,
+    // and stale evidence (same-name index from a prior build or a
+    // dead session's directory) would either screen against a dead
+    // corpus or fail the next lazy create on the leftover location
+    Bucketing.dropTableAndDir(spark, s"${name}_vchunks")
+    Bucketing.dropTableAndDir(spark, s"${name}_vframes")
     import spark.implicits._
     Bucketing.writeTable(
       Seq((maxDist, numBuckets)).toDF("max_dist", "num_buckets"),

@@ -42,6 +42,16 @@ object Bucketing {
     * directories persist, and a stale location fails the next CREATE
     * with LOCATION_ALREADY_EXISTS. Also clears any pending-swap
     * marker: a rebuild supersedes an interrupted compaction. */
+  /** Public face of [[dropStale]] for index families with OPTIONAL
+    * side tables (the sim index's lazily-created `_vchunks` /
+    * `_vframes`): a rebuild must clear them explicitly — they are
+    * created by append, so no overwrite path would, and a stale
+    * directory from a dead session would otherwise either poison
+    * the rebuilt index with the old index's evidence or fail the
+    * next lazy create with LOCATION_ALREADY_EXISTS. */
+  def dropTableAndDir(spark: SparkSession, table: String): Unit =
+    dropStale(spark, table)
+
   private def dropStale(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = tableDir(spark, table)

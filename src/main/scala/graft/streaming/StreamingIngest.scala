@@ -385,17 +385,30 @@ object StreamingIngest {
     * the residual crash window between sink append and index fold-in
     * re-lands rows (at-least-once, recoverable) rather than losing
     * them. Near-dup screening applies to image/audio sigs; a video
-    * screens here only against an EXACT remux/retime copy (the
-    * frame-hash fold). A RE-ENCODED copy needs frame-level evidence:
-    * feed [[graft.operators.Multimodal.videoFrameDHashSigs]] through
-    * [[graft.operators.Dedup.screenVideosAgainstSimIndex]] /
-    * [[graft.operators.Dedup.appendVideoFramesToSimIndex]] — the
-    * per-frame side of the same index — or run
-    * [[graft.operators.Multimodal.videoNearDupPairs]] as the batch
-    * job. */
+    * screens by default only against an EXACT remux/retime copy
+    * (the frame-hash fold).
+    *
+    * `videoFrameScreen = true` adds the FRAME-LEVEL video path (the
+    * D61 machinery composed into the loop): fold-stage video
+    * survivors pay one more decode for per-frame dHashes, collapse
+    * within-batch NEAR families (aligned-frame pairing + keep-min —
+    * a video and its re-encode arriving in ONE batch land once),
+    * screen against the index's `_vchunks` side (a RE-ENCODED copy
+    * of anything ever ingested is caught, not just a remux), and
+    * survivors' frame sigs fold into the frame side. Index write
+    * ORDER becomes sink → FRAME side → fold side, and the order is
+    * load-bearing: on a crash between the two index appends, a
+    * replayed batch is byte-identical, so the frame screen (already
+    * fed) self-suppresses its videos at hamming 0 — had the fold
+    * side been written first, the fold screen would suppress the
+    * replay and the frame evidence would never land, leaving every
+    * future RE-ENCODE of those videos unscreenable forever. With
+    * frame-first, a video suppressed by either screen is already
+    * frame-indexed, and the frame side subsumes the fold side for
+    * both remuxes (hamming 0) and re-encodes. */
   def toMediaIngest(media: DataFrame, idCol: String, typeCol: String,
       payloadCol: String, indexName: String, path: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, videoFrameScreen: Boolean = false): StreamingQuery =
     media.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -418,15 +431,50 @@ object StreamingIngest {
           .select(col("id_a"), col("id_b"))
         val kept = graft.operators.Dedup
           .dropNearDuplicates(sigs, "doc_id", pairs)
-        val survivors = graft.operators.Dedup
+        val foldSurvivors = graft.operators.Dedup
           .screenAgainstSimIndex(kept, indexName)
           .localCheckpoint(true)
+        // optional frame-level video stage over the fold survivors
+        val (survivorIds, videoFrames) =
+          if (!videoFrameScreen)
+            (foldSurvivors.select(col("doc_id")), None)
+          else {
+            val vKept = rows.toDF()
+              .filter(col("media_type") === "video")
+              .join(foldSurvivors.select(col("doc_id"))
+                .hint("SHUFFLE_HASH"), Seq("doc_id"), "left_semi")
+              .as[graft.operators.Multimodal.MediaRow]
+            val vSigs = graft.operators.Multimodal
+              .videoFrameDHashSigs(spark, vKept)
+              .localCheckpoint(true) // pairing + universe + screen
+            val vPairs = graft.operators.Multimodal
+              .videoNearDupPairsFromSigs(vSigs, maxDist)
+              .select(col("id_a"), col("id_b"))
+            val vOne = graft.operators.Dedup.dropNearDuplicates(
+              vSigs.select(col("doc_id")).distinct(), "doc_id", vPairs)
+            val vFinal = graft.operators.Dedup
+              .screenVideosAgainstSimIndex(
+                vSigs.join(vOne.hint("SHUFFLE_HASH"), Seq("doc_id"),
+                  "left_semi"), indexName)
+              .localCheckpoint(true) // sink filter + frame fold-in
+            val ids = foldSurvivors
+              .filter(col("media_type") =!= "video")
+              .select(col("doc_id"))
+              .unionAll(vFinal.select(col("doc_id")).distinct())
+            (ids, Some(vFinal))
+          }
         batch
-          .join(survivors.select(col("doc_id").as("__graft_sid")),
+          .join(survivorIds.select(col("doc_id").as("__graft_sid")),
             col(idCol).cast("long") === col("__graft_sid"), "left_semi")
           .write.mode("append").parquet(path)
+        // frame side FIRST when present — see the ordering argument
+        videoFrames.foreach(vf => graft.operators.Dedup
+          .appendVideoFramesToSimIndex(vf, indexName))
         graft.operators.Dedup.appendToSimIndex(
-          survivors.select(col("doc_id"), col("sim")), indexName)
+          foldSurvivors
+            .join(survivorIds.hint("SHUFFLE_HASH"), Seq("doc_id"),
+              "left_semi")
+            .select(col("doc_id"), col("sim")), indexName)
         ()
       }
       .option("checkpointLocation", checkpoint)

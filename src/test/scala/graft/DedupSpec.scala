@@ -1088,6 +1088,41 @@ class DedupSpec extends AnyFunSuite {
     } finally restoreSession()
   }
 
+  test("sim index rebuild resets the optional video-frame side (no stale evidence, no leftover-location crash)") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val name = "t_sim_vrebuild"
+    Dedup.buildSimIndex(Seq((1L, 7L)).toDF("doc_id", "sim"),
+      name, maxDist = 2, numBuckets = 2)
+    val corpus = Seq(Multimodal.MediaRow(2L, "video",
+      Multimodal.pngVideoPayload(2L))).toDS()
+    Dedup.appendVideoFramesToSimIndex(
+      Multimodal.videoFrameDHashSigs(spark, corpus), name)
+    val remux = Multimodal.videoFrameDHashSigs(spark,
+      Seq(Multimodal.MediaRow(102L, "video",
+        Multimodal.remuxedPngVideoPayload(2L))).toDS())
+      .localCheckpoint(true)
+    assert(Dedup.screenVideosAgainstSimIndex(remux, name)
+      .select("doc_id").distinct().count() == 0L)
+    // REBUILD under the same name: the frame side must reset — a
+    // lazy-created append table survives every overwrite path, so
+    // without the explicit drop the rebuilt index would screen
+    // against the DEAD index's evidence (and a fresh session would
+    // crash on the leftover directory instead)
+    Dedup.buildSimIndex(Seq((1L, 7L)).toDF("doc_id", "sim"),
+      name, maxDist = 2, numBuckets = 2)
+    assert(!spark.catalog.tableExists(s"${name}_vchunks"),
+      "rebuild must drop the stale frame side")
+    assert(Dedup.screenVideosAgainstSimIndex(remux, name)
+      .select("doc_id").distinct().count() == 1L,
+      "a rebuilt index must not screen against dead evidence")
+    // and the lazy create works again on the cleared location
+    Dedup.appendVideoFramesToSimIndex(
+      Multimodal.videoFrameDHashSigs(spark, corpus), name)
+    assert(Dedup.screenVideosAgainstSimIndex(remux, name)
+      .select("doc_id").distinct().count() == 0L)
+  }
+
   test("sim index retirement: the retired doc's whole screening footprint vanishes") {
     import spark.implicits._
     val name = "t_sim_retire"

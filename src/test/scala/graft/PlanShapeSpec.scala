@@ -471,6 +471,30 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d82/d85: video keep-one and the frame-side screen stay bucketed — no all-pairs join, no window") {
+    // the keep-one composition and the index screen must both get
+    // their candidates from chunk-keyed equi-joins over 64-bit sigs
+    // (never an all-pairs shape over frame rows) and render verdicts
+    // with hash aggregates, not windows
+    Seq("d82_video_dedup", "d85_video_index_screen").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "CartesianProduct") == 0 &&
+        count(p, "BroadcastNestedLoopJoin") == 0,
+        s"$q degenerated to an all-pairs join:\n${p.take(2000)}")
+      assert(count(p, "Window") == 0,
+        s"$q grew a window:\n${p.take(1500)}")
+      assert(count(p, "SortAggregate") == 0, p.take(1500))
+    }
+  }
+
+  test("d84: the frontier screen is one codegen'd canonicalization + an anti-join; index side unshuffled") {
+    val p = plan("d84_url_screen")
+    assert(count(p, "Window") == 0 && count(p, "Generate") == 0,
+      s"frontier screen grew a window/generate:\n${p.take(1500)}")
+    assert(!p.contains("Exchange hashpartitioning(uh"),
+      s"frontier index side re-shuffled:\n${p.take(2000)}")
+  }
+
   test("d70: BM25 filters query-term postings map-side and top-ks without a global sort") {
     val p = plan("d70_bm25_topk")
     assert(count(p, "Window") == 0, p.take(1500))

@@ -741,6 +741,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("media ingest with videoFrameScreen: re-encodes screen, in-batch video families collapse, replay self-suppresses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val M = graft.operators.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("mediavstream").toString
+    // corpus: a PNG video indexed on BOTH sides (fold + frames) plus
+    // an image, so the non-video path is exercised under the flag
+    val corpus = Seq(
+      M.MediaRow(6L, "image", M.imagePayload(6L)),
+      M.MediaRow(8L, "video", M.pngVideoPayload(8L))).toDS()
+    graft.operators.Dedup.buildSimIndex(
+      M.mediaSigs(spark, corpus).select(col("doc_id"), col("sim")),
+      "t_mediav_idx", maxDist = 2, numBuckets = 2)
+    graft.operators.Dedup.appendVideoFramesToSimIndex(
+      M.videoFrameDHashSigs(spark,
+        corpus.filter(_.media_type == "video")), "t_mediav_idx")
+    val input = MemoryStream[(Long, String, Array[Byte])](spark)
+    val q = StreamingIngest.toMediaIngest(
+      input.toDS().toDF("doc_id", "media_type", "payload"),
+      "doc_id", "media_type", "payload",
+      "t_mediav_idx", s"$dir/media", s"$dir/ckpt",
+      videoFrameScreen = true)
+    try {
+      input.addData(
+        // RE-ENCODE of the indexed video: different bytes, different
+        // frame hashes → the fold screen misses it, the frame screen
+        // must not
+        (100L, "video", M.reencodedPngVideoPayload(8L)),
+        // remux of the indexed video: fold screen catches it (and the
+        // frame screen would too)
+        (101L, "video", M.remuxedPngVideoPayload(8L)),
+        // in-batch NEAR family: a fresh video AND its re-encode in
+        // ONE batch → frame-level keep-one lands the min id only
+        (102L, "video", M.pngVideoPayload(11L)),
+        (103L, "video", M.reencodedPngVideoPayload(11L)),
+        // novel image rides the unchanged non-video path
+        (104L, "image", M.imagePayload(20L)))
+      q.processAllAvailable()
+      def landed(): Set[Long] = spark.read.parquet(s"$dir/media")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(landed() == Set(102L, 104L), s"got ${landed()}")
+      // batch 2: a re-encode of batch 1's SURVIVOR (102) under a new
+      // id screens against the folded-in frame evidence; a fresh
+      // video lands
+      input.addData(
+        (200L, "video", M.reencodedPngVideoPayload(11L)),
+        (201L, "video", M.pngVideoPayload(14L)))
+      q.processAllAvailable()
+      assert(landed() == Set(102L, 104L, 201L), s"got ${landed()}")
+      // full redelivery of batch 2 → byte-identical frames are in
+      // the frame index at hamming 0 → nothing new
+      input.addData(
+        (200L, "video", M.reencodedPngVideoPayload(11L)),
+        (201L, "video", M.pngVideoPayload(14L)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/media").count() == 3,
+        s"replay must self-suppress")
+    } finally q.stop()
+  }
+
   test("full pipeline ingest: extract → gate → dedup → pack per micro-batch, replay self-suppresses") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
