@@ -1794,6 +1794,45 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
+  /** Duplication REPORT CARD — the number a curation run publishes
+    * next to its keep-one decision: close `pairs` into connected
+    * components and report the cluster-size histogram, one row per
+    * size — (cluster_size, n_clusters, n_docs, n_dropped) — plus
+    * the singleton row (cluster_size = 1, everything in `universe`
+    * that joined no cluster, n_dropped = 0). Σ n_docs over all rows
+    * = |universe|, Σ n_dropped = what keep-one would delete — the
+    * corpus's dup rate in pure integer counts (rates divide
+    * offline; integer-only output is the d78 lesson about
+    * cross-engine rounding).
+    *
+    * Scale shape: the same O(log d) component machinery as
+    * [[dropNearDuplicates]], then TWO tiny hash aggregates (per
+    * component, then per size — both bounded by cluster counts, not
+    * corpus rows) and two single-number driver pulls for the
+    * singleton arithmetic. Every pair generator in this file feeds
+    * it unchanged. Null-id universe rows are ignored. */
+  def dedupReport(universe: DataFrame, idCol: String,
+      pairs: DataFrame, reliable: Boolean = false): DataFrame = {
+    val spark = universe.sparkSession
+    import spark.implicits._
+    val comp = components(pairs, reliable = reliable)
+      .localCheckpoint(true) // histogram + the clustered count below
+    val hist = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("n_clusters") * col("cluster_size")).as("n_docs"),
+        (col("n_clusters") * (col("cluster_size") - 1)).as("n_dropped"))
+    val nTotal = universe.filter(col(idCol).isNotNull)
+      .select(col(idCol)).distinct().count()
+    val nClustered = comp.count()
+    val singles = nTotal - nClustered
+    hist.unionAll(
+      Seq((1L, singles, singles, 0L))
+        .toDF("cluster_size", "n_clusters", "n_docs", "n_dropped"))
+  }
+
   /** Train/eval contamination check: word k-gram overlap between
     * every corpus document and every eval/benchmark document — the
     * standard train-test decontamination pass of an LLM data

@@ -577,4 +577,143 @@ object Sampling {
         }
       }(Encoders.row(outSchema))
   }
+
+  private def checkSplits(splits: Seq[(String, Double)]): Unit = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.map(_._1).distinct == splits.map(_._1),
+      s"split names must be distinct, got ${splits.map(_._1)}")
+    splits.foreach { case (n, w) =>
+      require(w > 0.0, s"split '$n' must have weight > 0, got $w") }
+  }
+
+  /** Deterministic train/val/test assignment, HASH mode — the
+    * 100 TB default: each row's split is a pure function of
+    * md5(seed|id), thresholds quantized to 1/65536ths (the
+    * temperatureSample discipline), so the operator is a codegen'd
+    * scan PROJECTION — zero shuffles, composable with partition
+    * pruning, and any engine re-derives the assignment. Proportions
+    * hold in expectation (±√n noise per split), which is what every
+    * production split wants: membership must never depend on what
+    * else is in the corpus, so yesterday's train doc is train
+    * forever, under appends, deletes and re-partitioning. Use
+    * [[stratifiedSplit]] when EXACT per-stratum counts matter more
+    * than append-stability. Null-id rows are dropped (no identity,
+    * no stable membership). */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      seed: String = "split"): DataFrame = {
+    checkSplits(splits)
+    val total = splits.map(_._2).sum
+    // cumulative thresholds as 4-hex-char strings; the LAST split
+    // takes everything above the previous threshold (never "g"-caps
+    // early, so the weights always partition the hash space)
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val thr = cums.init.map(c =>
+      f"${math.floor(c * 65536 + 0.5).toLong}%04x")
+    val h = substring(md5(concat(lit(seed), lit("|"),
+      col(idCol).cast("string"))), 1, 4)
+    val assign = thr.zip(splits.map(_._1)).foldRight(
+      lit(splits.last._1): Column) {
+      case ((t, name), acc) => when(h < t, name).otherwise(acc)
+    }
+    df.filter(col(idCol).isNotNull).withColumn("split", assign)
+  }
+
+  /** Deterministic train/val/test assignment, EXACT mode: within
+    * each stratum, rows rank by (md5(seed|id), id) and the first
+    * round(p_train·n) go to the first split, the next slice to the
+    * second, and so on — cumulative boundaries floor(cum_i·n + 0.5),
+    * so the counts are exact (the last boundary is n by
+    * construction) and the per-stratum mix of every split matches
+    * the corpus. The price vs [[hashSplit]] is append-stability:
+    * adding rows moves boundaries, so membership is a function of
+    * the WHOLE stratum — the eval-set builder's contract, not the
+    * rolling-ingest one.
+    *
+    * Scale shape: the shuffleShard two-phase rank discipline keyed
+    * by stratum — ONE range exchange on (stratum, hash, id), a
+    * per-(partition, stratum) count aggregate (≤ partitions·strata
+    * rows, strata capped by [[MaxStrata]]), driver prefix bases,
+    * partition-local running ranks. No per-stratum window ever sees
+    * a full stratum. Null id/stratum rows are dropped. Returns
+    * (idCol, strataCol, split). */
+  def stratifiedSplit(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      splits: Seq[(String, Double)],
+      seed: String = "split",
+      partitions: Int = 32,
+      reliable: Boolean = false): DataFrame = {
+    checkSplits(splits)
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    val total = splits.map(_._2).sum
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val key = md5(concat(lit(seed), lit("|"), col(idCol).cast("string")))
+    val ranged = df
+      .filter(col(idCol).isNotNull && col(strataCol).isNotNull)
+      .select(col(idCol), col(strataCol).cast("string").as("__s"),
+        key.as("__k"))
+      .repartitionByRange(partitions, col("__s"), col("__k"), col(idCol))
+    val parts = if (reliable) ranged.checkpoint() else ranged.localCheckpoint()
+
+    // Phase 1: per-(partition, stratum) counts; guard the stratum
+    // cardinality BEFORE pulling (partitions · strata rows)
+    val counts = parts
+      .select(spark_partition_id().as("__pid"), col("__s"))
+      .groupBy(col("__pid"), col("__s"))
+      .agg(count(lit(1)).as("__c"))
+      .limit(partitions * (MaxStrata + 1))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+    val strata = counts.map(_._1._2).distinct
+    require(strata.length <= MaxStrata,
+      s"stratifiedSplit: more than $MaxStrata distinct strata — " +
+        "use a coarser stratum column or hashSplit (Sampling.MaxStrata)")
+    val totals: Map[String, Long] =
+      counts.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val bases: Map[(Int, String), Long] = counts
+      .groupBy(_._1._2)
+      .iterator.flatMap { case (s, entries) =>
+        var acc = 0L
+        entries.sortBy(_._1._1).map { case ((pid, _), c) =>
+          val r = (pid, s) -> acc; acc += c; r
+        }
+      }.toMap
+    // per-stratum cumulative boundaries; the last is exactly n
+    val bounds: Map[String, Array[Long]] = totals.map { case (s, n) =>
+      val b = cums.init.map(c => math.floor(c * n + 0.5).toLong).toArray
+      s -> (b :+ n)
+    }
+    val names = splits.map(_._1).toArray
+
+    // Phase 2: partition-local running ranks on the pinned layout
+    val idField = df.schema(idCol)
+    val strataField = StructField(strataCol, org.apache.spark.sql.types
+      .StringType, nullable = false)
+    val outSchema = StructType(Seq(idField, strataField,
+      StructField("split", org.apache.spark.sql.types.StringType,
+        nullable = false)))
+    parts
+      .sortWithinPartitions(col("__s"), col("__k"), col(idCol))
+      .select(spark_partition_id().as("__pid"), col(idCol), col("__s"))
+      .mapPartitions { rows =>
+        var cur: String = null
+        var run = 0L
+        rows.map { r =>
+          val s = r.getString(2)
+          if (s != cur) {
+            cur = s
+            run = bases.getOrElse((r.getInt(0), s), 0L)
+          }
+          run += 1L
+          val b = bounds(s)
+          var i = 0
+          while (i < b.length - 1 && run > b(i)) i += 1
+          Row(r.get(1), s, names(i))
+        }
+      }(Encoders.row(outSchema))
+  }
 }

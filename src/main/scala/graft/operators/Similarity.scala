@@ -975,6 +975,69 @@ object Similarity {
       .withColumn("keep", col("dropped_by").isNull)
   }
 
+  /** Semantic train/eval DECONTAMINATION — the embedding-space
+    * sibling of [[graft.operators.Dedup.decontaminate]]: the k-gram
+    * screen catches VERBATIM eval leakage, this catches PARAPHRASED
+    * or re-rendered leakage the way SemDeDup catches re-rendered
+    * duplicates (Abbas et al. 2303.09540's observation applied to
+    * the train/test boundary). A corpus document whose embedding
+    * lies within cosine >= `threshold` of ANY holdout
+    * (eval/benchmark) embedding is flagged, with the smallest
+    * matching holdout id reported.
+    *
+    * Scale shape: IVF cells train on a corpus sample exactly as
+    * [[semanticDedup]] (md5Sig = the engine-reproducible twin
+    * discipline), BOTH sides assign map-side against the broadcast
+    * centroid literals, and the candidate join is (cell_id)-keyed
+    * with the HOLDOUT side benchmark-suite-sized — stats/AQE
+    * broadcast it, so the corpus side never shuffles for the join:
+    * one map-shaped pass over 100 TB, the d43 decontamination
+    * posture with embeddings in place of gram hashes. Cell gating
+    * trades recall for that shape exactly like d57: a cross-cell
+    * paraphrase is missed — disclosed, not hidden; for a final
+    * audit pass, a smaller nlist (coarser cells) raises recall at
+    * quadratic-in-cell-size cost.
+    *
+    * Returns (vec_id, cell_id, keep, matched_eval): every corpus
+    * row; keep = no in-cell holdout at >= threshold; matched_eval =
+    * the smallest such holdout id (null when kept). The zero-norm
+    * guard contributes cos 0.0 (the d57 NaN lesson). */
+  def semanticDecontaminate(corpus: DataFrame, holdout: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nlist: Int = 16, md5Sig: Boolean = false): DataFrame = {
+    val sampleOrd =
+      if (md5Sig) Dedup.md5Hash60(col(idCol).cast("long").cast("string"))
+      else xxhash64(col(idCol).cast("long"))
+    val centroidRows = corpus
+      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cvec"),
+        sampleOrd.as("__ord"))
+      .orderBy(col("__ord"), col("cell_id"))
+      .limit(nlist)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1)
+    require(centroidRows.nonEmpty, "semanticDecontaminate: empty corpus")
+    def assign(df: DataFrame, outId: String): DataFrame = df
+      .select(col(idCol).cast("long").as(outId), col(vecCol).as(s"__v_$outId"),
+        vecNorm(col(vecCol)).as(s"__n_$outId"))
+      .withColumn("cell_id",
+        array_min(array(cellStructs(centroidRows,
+          col(s"__v_$outId"), col(s"__n_$outId")): _*))
+          .getField("cell_id"))
+    val corpusA = assign(corpus, "vec_id")
+    val holdoutA = assign(holdout, "hid")
+    val flagged = corpusA
+      .join(holdoutA, Seq("cell_id"))
+      .filter(when(col("__n_vec_id") * col("__n_hid") > 0,
+        vecDot(col("__v_vec_id"), col("__v_hid")) /
+          (col("__n_vec_id") * col("__n_hid")))
+        .otherwise(lit(0.0)) >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(min(col("hid")).as("matched_eval"))
+    corpusA.select(col("vec_id"), col("cell_id"))
+      .join(flagged.hint("SHUFFLE_HASH"), Seq("vec_id"), "left")
+      .withColumn("keep", col("matched_eval").isNull)
+  }
+
   /** Persistent ANN index — the serving form of [[ivfPqTopK]] (the
     * [[graft.operators.Dedup.buildDedupIndex]] pattern applied to
     * similarity search): at 100 TB you cannot re-assign cells and

@@ -587,6 +587,68 @@ object DBlock {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // D63: the duplication REPORT CARD over the d27 pair predicate —
+    // the cluster-size histogram a curation run publishes beside its
+    // keep-one: per size, (n_clusters, n_docs, n_dropped), plus the
+    // singleton row; Σ n_docs == |corpus|, Σ n_dropped == the dup
+    // rate's numerator, all integer counts (the d78 rounding
+    // lesson). DuckDB re-derives the pairs, closes them with the
+    // d27 recursive CTE and aggregates the same histogram.
+    "d86_dedup_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupReport(docs, "doc_id",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          blockCols = Seq(col("lang"), expr("n_chars DIV 100").cast("int")),
+          shingleK = 3, threshold = 0.2))
+        .orderBy(col("cluster_size"))
+    }),
+
+    // D62 (hash mode): deterministic train/val/test split as a pure
+    // scan projection — membership is a function of md5(seed|id)
+    // alone, so a document's split survives appends, deletes and
+    // re-partitioning (the rolling-ingest contract); proportions
+    // hold in expectation. Thresholds quantized to 1/65536ths, the
+    // temperatureSample discipline; fully oracle-checked.
+    "d87_hash_split" -> ((s, d) =>
+      Sampling.hashSplit(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", d8xSplits, seed = "sp")
+        .orderBy(col("doc_id"))),
+
+    // D62 (exact mode): per-stratum EXACT counts — rows rank by
+    // (md5(seed|id), id) within each stratum and cumulative
+    // boundaries floor(cum·n + 0.5) cut the splits, so every
+    // stratum contributes its exact share to each split (the
+    // eval-set builder's contract; membership depends on the whole
+    // stratum, deliberately unlike d87). Ranks ride the
+    // shuffleShard two-phase prefix discipline keyed by stratum —
+    // no per-stratum window. Fully oracle-checked.
+    "d88_stratified_split" -> ((s, d) =>
+      Sampling.stratifiedSplit(
+        Tables.documents(s, d), "doc_id", "lang", d8xSplits, seed = "sp")
+        .orderBy(col("doc_id"))),
+
+    // D64: SEMANTIC decontamination — the embedding-space sibling of
+    // d43's k-gram screen (verbatim leakage there, paraphrased /
+    // re-rendered leakage here): corpus embeddings vs an md5-sliced
+    // holdout standing in for the eval suite, IVF-cell-gated exact
+    // cosines at the d57 threshold, every cosine exact via the int8
+    // twin discipline so the WHOLE screen is oracle-checked —
+    // centroid sample, both assignments, candidate pairs and the
+    // min-holdout-id verdict.
+    "d89_semantic_decontaminate" -> ((s, d) => {
+      val q8 = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+      val evalSide = substring(md5(col("vec_id").cast("string")), 1, 1) === "0"
+      Similarity.semanticDecontaminate(
+        q8.filter(!evalSide), q8.filter(evalSide),
+        "vec_id", "qv", threshold = 0.4, nlist = 16, md5Sig = true)
+        .select(col("vec_id"), col("cell_id"), col("keep"),
+          col("matched_eval"))
+        .orderBy(col("vec_id"))
+    }),
+
     // D51: persistent perceptual-signature index + batch screen —
     // the D35 index-once pattern for media sigs, FULLY oracle-checked
     // end to end through real codecs: the corpus's audio fingerprints
@@ -1656,6 +1718,19 @@ object DBlock {
       when(id % 2 === 1, concat(lit("#s"), (id % 6).cast("string")))
         .otherwise(""))
   }
+
+  /** d87/d88's split table and ITS derived constants, computed once
+    * so the Spark entries and the oracle literals cannot drift: the
+    * cumulative weights carry float-normalization noise
+    * (0.8+0.1+0.1 sums to 1.0000000000000002 in IEEE doubles), so
+    * the oracle interpolates THESE values — never re-derives them. */
+  private val d8xSplits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val d8xCums: Seq[Double] = {
+    val t = d8xSplits.map(_._2).sum
+    d8xSplits.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / t)
+  }
+  private val d8xThr: Seq[String] =
+    d8xCums.init.map(c => f"${math.floor(c * 65536 + 0.5).toLong}%04x")
 
   /** The d71 canonicalization arithmetic as a reusable CTE chain
     * ending in `c (doc_id, url, canon_url)` — shared by the d71
@@ -3290,6 +3365,75 @@ object DBlock {
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE component <> id)
          |ORDER BY doc_id""".stripMargin,
 
+    // d86: the same closure as d27, aggregated into the histogram —
+    // sizes per component, clusters per size, and the singleton row
+    // from the total/clustered difference; integer counts only.
+    "d86_dedup_report" ->
+      s"""WITH RECURSIVE $ngramCtes,
+         |pairs AS ($ngramPairSelect),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |sizes AS (SELECT component, count(*) AS cluster_size
+         |          FROM comp GROUP BY component),
+         |hist AS (SELECT cluster_size, count(*) AS n_clusters
+         |         FROM sizes GROUP BY cluster_size),
+         |tot AS (SELECT count(DISTINCT doc_id) AS n FROM documents
+         |        WHERE doc_id IS NOT NULL),
+         |cl AS (SELECT count(*) AS m FROM comp)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(n_clusters AS BIGINT) AS n_clusters,
+         |  CAST(n_clusters * cluster_size AS BIGINT) AS n_docs,
+         |  CAST(n_clusters * (cluster_size - 1) AS BIGINT) AS n_dropped
+         |FROM hist
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(n - m AS BIGINT),
+         |  CAST(n - m AS BIGINT), CAST(0 AS BIGINT) FROM tot, cl
+         |ORDER BY cluster_size""".stripMargin,
+
+    // d87: the hash-mode split re-applied — same md5 prefix, same
+    // quantized thresholds (interpolated from the ONE Scala
+    // computation both sides share, so float-normalization noise in
+    // the cumulative weights cannot drift between engines).
+    "d87_hash_split" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN h < '${d8xThr(0)}' THEN 'train'
+         |       WHEN h < '${d8xThr(1)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang,
+         |        substr(md5('sp|'||CAST(doc_id AS VARCHAR)), 1, 4) AS h
+         |      FROM documents WHERE doc_id IS NOT NULL)
+         |ORDER BY doc_id""".stripMargin,
+
+    // d88: the exact-mode split re-derived with a per-stratum
+    // row_number over the same (md5, id) order and the same
+    // floor(cum·n + 0.5) boundaries — cum literals interpolated
+    // from the shared Scala computation (shortest-round-trip double
+    // rendering parses back to the identical IEEE value).
+    "d88_stratified_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang,
+         |    md5('sp|'||CAST(doc_id AS VARCHAR)) AS k
+         |  FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+         |), r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM b
+         |)
+         |SELECT doc_id, lang,
+         |  CASE WHEN rk <= CAST(floor(${d8xCums(0)} * n + 0.5) AS BIGINT)
+         |         THEN 'train'
+         |       WHEN rk <= CAST(floor(${d8xCums(1)} * n + 0.5) AS BIGINT)
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM r ORDER BY doc_id""".stripMargin,
+
     "d24_decontaminate" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
@@ -4055,6 +4199,53 @@ object DBlock {
         |SELECT c.vec_id, CAST(c.cell_id AS BIGINT) AS cell_id,
         |  d.dropped_by IS NULL AS keep, d.dropped_by
         |FROM cells c LEFT JOIN drops d USING (vec_id)
+        |ORDER BY c.vec_id""".stripMargin,
+
+    // d89: d57's integer re-derivation with a corpus/holdout split —
+    // centroids sample the CORPUS side only (md5 != '0'), both sides
+    // assign against them, candidates are in-cell corpus × holdout,
+    // verdict = min matching holdout id at cos >= 0.4.
+    "d89_semantic_decontaminate" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+        |q AS (SELECT vec_id,
+        |  CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(v, x -> CAST(floor(x / (mx / 127.0) + 0.5) AS BIGINT)) END AS q
+        |  FROM m),
+        |n AS (SELECT vec_id, q,
+        |  sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS nrm,
+        |  substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0' AS is_eval
+        |  FROM q),
+        |cent AS (
+        |  SELECT vec_id AS cell_id, q AS cq, nrm AS cnrm FROM n
+        |  WHERE NOT is_eval
+        |  ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT, vec_id
+        |  LIMIT 16),
+        |ass AS (
+        |  SELECT a.vec_id, a.is_eval, c.cell_id,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      CASE WHEN a.nrm * c.cnrm > 0 THEN
+        |        -(CAST(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*c.cq[i])) AS DOUBLE)
+        |          / (a.nrm * c.cnrm)) ELSE 0.0 END,
+        |      c.cell_id) AS rk
+        |  FROM n a CROSS JOIN cent c),
+        |cells AS (SELECT vec_id, is_eval, cell_id FROM ass WHERE rk = 1),
+        |pairs AS (
+        |  SELECT x.vec_id, y.vec_id AS hid,
+        |    CASE WHEN x.nrm * y.nrm > 0 THEN
+        |      CAST(list_sum(list_transform(range(1, len(x.q)+1), i -> x.q[i]*y.q[i])) AS DOUBLE)
+        |        / (x.nrm * y.nrm) ELSE 0.0 END AS cos
+        |  FROM cells a JOIN cells b USING (cell_id)
+        |  JOIN n x ON x.vec_id = a.vec_id
+        |  JOIN n y ON y.vec_id = b.vec_id
+        |  WHERE NOT a.is_eval AND b.is_eval),
+        |flags AS (
+        |  SELECT vec_id, min(hid) AS matched_eval
+        |  FROM pairs WHERE cos >= 0.4 GROUP BY vec_id)
+        |SELECT c.vec_id, CAST(c.cell_id AS BIGINT) AS cell_id,
+        |  f.matched_eval IS NULL AS keep, f.matched_eval
+        |FROM cells c LEFT JOIN flags f USING (vec_id)
+        |WHERE NOT c.is_eval
         |ORDER BY c.vec_id""".stripMargin
   )
 

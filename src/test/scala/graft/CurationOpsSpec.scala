@@ -325,6 +325,72 @@ class CurationOpsSpec extends AnyFunSuite {
       .count() == 10L)
   }
 
+  test("hashSplit: weights partition the hash space; membership is corpus-independent; guards fire") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "st")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.hashSplit(docs, "doc_id", splits, seed = "t")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(got.size == 400, "every non-null-id row gets exactly one split")
+    // roughly proportional (expectation ± generous noise at n=400)
+    val counts = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 280 && counts("train") < 360, counts.toString)
+    assert(counts.getOrElse("val", 0) > 10 && counts.getOrElse("test", 0) > 10,
+      counts.toString)
+    // THE property hash mode exists for: membership never depends on
+    // the rest of the corpus — a subset assigns identically
+    val sub = Sampling.hashSplit(docs.filter($"doc_id" <= 100), "doc_id",
+      splits, seed = "t")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    sub.foreach { case (id, sp) => assert(got(id) == sp,
+      s"membership of $id changed with corpus size") }
+    // a different seed reshuffles
+    val re = Sampling.hashSplit(docs, "doc_id", splits, seed = "u")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(re != got, "seed must reshuffle assignments")
+    // guards
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "a" -> 0.5)) }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.0)) }
+  }
+
+  test("stratifiedSplit: exact per-stratum counts at the rounded boundaries; partition-invariant") {
+    import spark.implicits._
+    // three strata with sizes that exercise rounding: 101, 40, 7
+    val docs = ((1L to 101L).map((_, "a")) ++ (200L to 239L).map((_, "b")) ++
+      (300L to 306L).map((_, "c"))).toDF("doc_id", "st")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def run(parts: Int) = Sampling.stratifiedSplit(docs, "doc_id", "st",
+      splits, seed = "t", partitions = parts)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val got = run(32)
+    // disjoint + total
+    assert(got.length == 148 && got.map(_._1).distinct.length == 148)
+    // exact counts per stratum: boundaries floor(cum*n + 0.5)
+    val t = splits.map(_._2).sum
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / t)
+    for ((st, n) <- Seq("a" -> 101L, "b" -> 40L, "c" -> 7L)) {
+      val b = cums.init.map(c => math.floor(c * n + 0.5).toLong) :+ n
+      val exp = b.zip(0L +: b.init).map { case (hi, lo) => hi - lo }
+      val cnt = splits.map(_._1).map(sp =>
+        got.count(r => r._2 == st && r._3 == sp).toLong)
+      assert(cnt == exp, s"stratum $st: got $cnt expected $exp")
+    }
+    // the partition count must not move a single assignment (the
+    // two-phase rank discipline's whole point)
+    assert(run(3).sortBy(_._1).toSeq == got.sortBy(_._1).toSeq,
+      "assignments drifted with the partition count")
+    // exactness beats hashSplit where it should: stratum c (n=7)
+    // cuts at floor(0.8·7+0.5)=6 and floor(0.9·7+0.5)=6 — train 6,
+    // val 0, test 1 (cumulative rounding assigns the leftover row
+    // to the LAST split; the boundaries are the contract, not any
+    // per-split rounding intuition)
+    val cCounts = splits.map(_._1).map(sp =>
+      got.count(r => r._2 == "c" && r._3 == sp))
+    assert(cCounts == Seq(6, 0, 1), s"got $cCounts")
+  }
+
   test("bm25TopK rejects non-lowercase query terms loudly") {
     import spark.implicits._
     val docs = Seq((1L, "spark shuffles data")).toDF("doc_id", "text")

@@ -1088,6 +1088,32 @@ class DedupSpec extends AnyFunSuite {
     } finally restoreSession()
   }
 
+  test("dedupReport: hand-built pairs yield the exact histogram; accounting identities hold") {
+    import spark.implicits._
+    // clusters: {1,2,3} (transitive via 1-2, 2-3), {4,5}; singletons 6,7
+    val universe = (1L to 7L).map(i => (i, s"t$i")).toDF("doc_id", "txt")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupReport(universe, "doc_id", pairs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      3L -> (1L, 3L, 2L),
+      2L -> (1L, 2L, 1L),
+      1L -> (2L, 2L, 0L)), s"got $got")
+    // identities: sum n_docs == |universe|, sum n_dropped == what
+    // keep-one deletes
+    assert(got.values.map(_._2).sum == 7L)
+    val dropped = universe.count() -
+      Dedup.dropNearDuplicates(universe, "doc_id", pairs).count()
+    assert(got.values.map(_._3).sum == dropped)
+    // empty pair set: one singleton row covering everything
+    val none = Dedup.dedupReport(universe, "doc_id",
+      pairs.filter(org.apache.spark.sql.functions.lit(false))).collect()
+    assert(none.length == 1 &&
+      none.head.getLong(0) == 1L && none.head.getLong(1) == 7L)
+  }
+
   test("sim index rebuild resets the optional video-frame side (no stale evidence, no leftover-location crash)") {
     import spark.implicits._
     import graft.operators.Multimodal

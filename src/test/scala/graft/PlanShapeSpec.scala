@@ -495,6 +495,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"frontier index side re-shuffled:\n${p.take(2000)}")
   }
 
+  test("d87/d88: hash split is a pure scan projection; exact split ranks ride the pinned layout, no window") {
+    val p87 = plan("d87_hash_split")
+    assert(count(p87, "Join") == 0 && count(p87, "Window") == 0 &&
+      count(p87, "Generate") == 0,
+      s"hash split grew a join/window/generate:\n${p87.take(1500)}")
+    assert(count(p87, "Exchange") == 1, // the orderBy only
+      s"hash split must stay a scan projection:\n${p87.take(1500)}")
+    val p88 = plan("d88_stratified_split")
+    assert(count(p88, "Window") == 0,
+      s"a per-stratum window crept into the exact split:\n${p88.take(1500)}")
+    assert(count(p88, "Scan ExistingRDD") >= 1,
+      s"exact split lost its pinned rank layout:\n${p88.take(1500)}")
+  }
+
   test("d70: BM25 filters query-term postings map-side and top-ks without a global sort") {
     val p = plan("d70_bm25_topk")
     assert(count(p, "Window") == 0, p.take(1500))
