@@ -495,6 +495,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"frontier index side re-shuffled:\n${p.take(2000)}")
   }
 
+  test("d86/d89: report card and semantic screen stay window-free with no pair loops") {
+    // d86's closure + two histogram aggregates and d89's cell-gated
+    // corpus×holdout screen must never degenerate to a row-pair loop
+    // or grow per-group windows (the assignment argmin is array_min
+    // over struct literals, not a rank window)
+    Seq("d86_dedup_report", "d89_semantic_decontaminate").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "Window") == 0,
+        s"$q grew a window:\n${p.take(1500)}")
+      assert(count(p, "CartesianProduct") == 0,
+        s"$q degenerated to a cartesian:\n${p.take(2000)}")
+      assert(count(p, "SortAggregate") == 0, p.take(1500))
+    }
+  }
+
   test("d87/d88: hash split is a pure scan projection; exact split ranks ride the pinned layout, no window") {
     val p87 = plan("d87_hash_split")
     assert(count(p87, "Join") == 0 && count(p87, "Window") == 0 &&
