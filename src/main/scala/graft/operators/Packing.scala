@@ -123,6 +123,43 @@ object Packing {
         .as("bin_end"))
   }
 
+  /** Per-bin document-boundary MANIFEST over [[sequencePack]] output
+    * — the artifact a trainer actually consumes from packed data:
+    * attention must reset at document boundaries inside a context
+    * bin, so the loader needs, per (bin, document) overlap, WHERE
+    * the document's segment sits in the bin and which slice of the
+    * document it is. One row per overlap:
+    * (bin, idCol, seg_start, seg_len, doc_off) with `seg_start` the
+    * bin-local token offset, `seg_len` the overlap length, `doc_off`
+    * the segment's offset within its document (0 for the first bin
+    * a document touches, then accumulating — a straddling doc's
+    * segments reassemble by doc_off order). Zero-token docs emit
+    * one seg_len = 0 row in their bin (provenance must not vanish).
+    *
+    * Scale shape: ONE Generate (each doc explodes into its own bin
+    * span — bounded by n_tokens/capacity + 1 rows) plus pure integer
+    * projections: no shuffle, no window, no join. Every quantity is
+    * re-derivable by any engine from the packed table, so the
+    * operator is exactly as oracle-checkable as the packing it
+    * annotates. Invariants (spec-pinned): per bin, Σ seg_len +
+    * zero-rows = min(capacity, occupied) with segments contiguous
+    * from 0; per doc, segments partition [0, n_tokens). */
+  def binManifest(packed: DataFrame, idCol: String,
+      capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val binLo = col("bin") * capacity
+    val binHi = (col("bin") + 1) * capacity
+    val segAbs = greatest(col("start_off"), binLo)
+    packed
+      .select(col(idCol), col("n_tokens"), col("start_off"),
+        explode(sequence(col("bin_start"), col("bin_end"))).as("bin"))
+      .select(col("bin"), col(idCol),
+        (segAbs - binLo).as("seg_start"),
+        (least(col("start_off") + col("n_tokens"), binHi) - segAbs)
+          .as("seg_len"),
+        (segAbs - col("start_off")).as("doc_off"))
+  }
+
   /** Token-budget selection — the curation cut that turns "we can
     * afford B training tokens" into a document set: lay the corpus
     * out in priority order (highest first, id as tiebreak) and keep

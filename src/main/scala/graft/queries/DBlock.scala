@@ -628,6 +628,23 @@ object DBlock {
         Tables.documents(s, d), "doc_id", "lang", d8xSplits, seed = "sp")
         .orderBy(col("doc_id"))),
 
+    // D65: the per-bin document-boundary MANIFEST over d32's packing
+    // — the artifact the trainer's loader consumes (attention resets
+    // at document boundaries inside a context bin): one row per
+    // (bin, doc) overlap with the bin-local segment and the
+    // document-local offset, pure integer arithmetic over the packed
+    // table (one Generate, zero shuffles). Fully oracle-checked —
+    // DuckDB re-derives the d32 cumsum, the bin spans and every
+    // segment quantity.
+    "d90_bin_manifest" -> ((s, d) => {
+      val packed = Packing.sequencePack(Tables.documents(s, d), "doc_id",
+        tokens = TextAnalysis.wsTokenCount(col("text")),
+        orderCol = md5(col("doc_id").cast("string")),
+        capacity = 2048L)
+      Packing.binManifest(packed, "doc_id", 2048L)
+        .orderBy(col("bin"), col("doc_id"))
+    }),
+
     // D64: SEMANTIC decontamination — the embedding-space sibling of
     // d43's k-gram screen (verbatim leakage there, paraphrased /
     // re-rendered leakage here): corpus embeddings vs an md5-sliced
@@ -4057,6 +4074,34 @@ object DBlock {
         |  CAST(off // 2048 AS BIGINT) AS bin_start,
         |  CAST((off + greatest(n, 1) - 1) // 2048 AS BIGINT) AS bin_end
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // d90: the d32 cumsum extended to per-(bin, doc) segments — the
+    // same bin addresses unnested into bin spans, every segment
+    // quantity pure integer arithmetic over (off, n, bin).
+    "d90_bin_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(COALESCE(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS BIGINT) AS n,
+        |    md5(CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n,
+        |    CAST(COALESCE(sum(n) OVER (ORDER BY ord NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM t
+        |), x AS (
+        |  SELECT doc_id, n, off,
+        |    unnest(range(off // 2048,
+        |      (off + greatest(n, 1) - 1) // 2048 + 1)) AS bin
+        |  FROM c
+        |)
+        |SELECT CAST(bin AS BIGINT) AS bin, doc_id,
+        |  CAST(greatest(off, bin * 2048) - bin * 2048 AS BIGINT) AS seg_start,
+        |  CAST(least(off + n, (bin + 1) * 2048)
+        |    - greatest(off, bin * 2048) AS BIGINT) AS seg_len,
+        |  CAST(greatest(off, bin * 2048) - off AS BIGINT) AS doc_off
+        |FROM x ORDER BY bin, doc_id""".stripMargin,
 
     "d26_embed_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -572,6 +572,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pack(11).sortBy(_._1).toSeq == base.sortBy(_._1).toSeq)
   }
 
+  test("binManifest: segments partition each document and tile each bin; zero-token rows keep provenance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = ((0L until 40L).map(i => (i, ("w " * (i.toInt + 1)).trim)) :+
+      (99L, "")) // 0-token doc: must appear with seg_len 0
+      .toDF("doc_id", "text")
+    val cap = 64L
+    val packed = graft.operators.Packing.sequencePack(docs, "doc_id",
+      tokens = when(length(trim(col("text"))) === 0, 0)
+        .otherwise(size(split(trim(col("text")), " "))),
+      orderCol = md5(col("doc_id").cast("string")), capacity = cap)
+      .localCheckpoint(true)
+    val man = graft.operators.Packing.binManifest(packed, "doc_id", cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val byDoc = man.groupBy(_._2)
+    val toks = packed.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per doc: segments reassemble [0, n) contiguously by doc_off
+    toks.foreach { case (id, n) =>
+      val segs = byDoc(id).sortBy(_._5)
+      assert(segs.head._5 == 0L, s"doc $id first segment not at 0")
+      segs.sliding(2).foreach {
+        case Array(a, b) => assert(b._5 == a._5 + a._4,
+          s"doc $id segments not contiguous: $a $b")
+        case _ => ()
+      }
+      assert(segs.map(_._4).sum == n, s"doc $id segments != n_tokens")
+    }
+    // zero-token doc: exactly one row, seg_len 0
+    assert(byDoc(99L).length == 1 && byDoc(99L).head._4 == 0L)
+    // per bin: non-empty segments tile [0, occupied) contiguously
+    man.groupBy(_._1).foreach { case (bin, rows) =>
+      val segs = rows.filter(_._4 > 0).sortBy(_._3)
+      if (segs.nonEmpty) {
+        assert(segs.head._3 == 0L, s"bin $bin does not start at 0")
+        segs.sliding(2).foreach {
+          case Array(a, b) => assert(b._3 == a._3 + a._4,
+            s"bin $bin has a gap: $a $b")
+          case _ => ()
+        }
+        assert(segs.map(_._4).sum <= cap, s"bin $bin overflows")
+      }
+    }
+    // total mass conserved
+    assert(man.map(_._4).sum == toks.values.sum)
+  }
+
   test("unigramLogProb matches a first-principles recomputation and ranks rarity") {
     import spark.implicits._
     val corpus = Map(

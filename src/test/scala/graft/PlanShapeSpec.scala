@@ -510,6 +510,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d90: the bin manifest is one Generate over the pinned pack layout — no join, no window") {
+    val p = plan("d90_bin_manifest")
+    assert(count(p, "Join") == 0 && count(p, "Window") == 0,
+      s"manifest grew a join/window:\n${p.take(1500)}")
+    assert(count(p, "Generate") == 1,
+      s"manifest must be exactly one bin-span explode:\n${p.take(1500)}")
+    assert(count(p, "Scan ExistingRDD") >= 1,
+      s"manifest lost the pack's pinned layout:\n${p.take(1500)}")
+  }
+
   test("d87/d88: hash split is a pure scan projection; exact split ranks ride the pinned layout, no window") {
     val p87 = plan("d87_hash_split")
     assert(count(p87, "Join") == 0 && count(p87, "Window") == 0 &&
