@@ -957,7 +957,11 @@ object Dedup {
   private def videoCompositeKey(frameSigs: DataFrame): DataFrame = {
     val M = Multimodal.MaxSampledFrames
     frameSigs.select(
-      (col("doc_id") * M +
+      (when(col("doc_id") < 0,
+        raise_error(lit("video sim index: negative doc_id — the " +
+          "div/% decomposition in the screen truncates (not floors), " +
+          "so a negative id would mis-key persisted chunk rows")))
+        .otherwise(col("doc_id")) * M +
         when(col("frame_idx") >= M || col("frame_idx") < 0,
           raise_error(lit(s"video sim index: frame_idx outside [0, $M) " +
             "(raise the sampling interval for longer footage)")))
@@ -998,14 +1002,18 @@ object Dedup {
     * from a replayed append cannot flip a verdict (frame matches
     * are distinct-ed before the tally). Before any frames are
     * indexed the screen passes everything — there is no evidence to
-    * match against. */
+    * match against; likewise when a crash between the append's two
+    * writes left `_vchunks` without `_vframes`, the screen degrades
+    * to pass-everything (the family's recoverable-duplicate posture)
+    * instead of throwing forever on the missing frame-count side. */
   def screenVideosAgainstSimIndex(batchFrameSigs: DataFrame,
       name: String): DataFrame = {
     val spark = batchFrameSigs.sparkSession
     val (maxDist, _) = simIndexMeta(spark, name)
     val live = batchFrameSigs.filter(col("doc_id").isNotNull &&
       col("frame_idx").isNotNull && col("sim").isNotNull)
-    if (!spark.catalog.tableExists(s"${name}_vchunks")) return live
+    if (!spark.catalog.tableExists(s"${name}_vchunks") ||
+      !spark.catalog.tableExists(s"${name}_vframes")) return live
     val M = Multimodal.MaxSampledFrames
     val matches = simChunkRows(videoCompositeKey(live), maxDist).as("a")
       .join(spark.table(s"${name}_vchunks").as("b"), Seq("chunk_hash"))

@@ -610,8 +610,16 @@ object Sampling {
     // takes everything above the previous threshold (never "g"-caps
     // early, so the weights always partition the hash space)
     val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
-    val thr = cums.init.map(c =>
-      f"${math.floor(c * 65536 + 0.5).toLong}%04x")
+    val thr = cums.init.map { c =>
+      // the temperatureSample quantize-then-guard discipline: a
+      // cumulative within half a quantum of 1.0 (e.g. a 6.5e-6
+      // holdout split) rounds to 65536, whose 5-char "%04x"
+      // rendering "10000" sorts BELOW most 4-char hashes and would
+      // silently invert the assignment — clamp to the always-true
+      // sentinel instead
+      val v = math.floor(c * 65536 + 0.5).toLong
+      if (v >= 65536L) "g" else f"$v%04x"
+    }
     val h = substring(md5(concat(lit(seed), lit("|"),
       col(idCol).cast("string"))), 1, 4)
     val assign = thr.zip(splits.map(_._1)).foldRight(

@@ -577,8 +577,13 @@ object DBlock {
       Dedup.buildSimIndex(
         Multimodal.mediaSigs(s, corpus).select(col("doc_id"), col("sim")),
         "d85_idx", maxDist = 2)
+      // pin the corpus frame sigs before the append: the fold
+      // consumes them twice (one write per side table), and without
+      // a pin the full PNG demux+decode+dHash pass — the entry's
+      // most expensive stage — runs twice (the d82 discipline)
       Dedup.appendVideoFramesToSimIndex(
-        Multimodal.videoFrameDHashSigs(s, corpus), "d85_idx")
+        Multimodal.videoFrameDHashSigs(s, corpus).localCheckpoint(true),
+        "d85_idx")
       Dedup.screenVideosAgainstSimIndex(
         Multimodal.videoFrameDHashSigs(s, batch), "d85_idx")
         .select(col("doc_id"), col("frame_idx"),

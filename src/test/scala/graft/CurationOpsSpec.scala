@@ -353,6 +353,17 @@ class CurationOpsSpec extends AnyFunSuite {
       Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "a" -> 0.5)) }
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.0)) }
+    // quantization edge: a non-final cumulative within half a
+    // quantum of 1.0 rounds to 65536, whose naive "%04x" rendering
+    // is the 5-char "10000" — which sorts BELOW most 4-char hashes
+    // and would hand the 0.9999935 split ~1/16 of the corpus. The
+    // "g" clamp keeps the big split big.
+    val tiny = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.9999935, "holdout" -> 6.5e-6), seed = "t")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiny.getOrElse("train", 0L) == 400L,
+      s"quantized-to-1.0 threshold inverted the assignment: $tiny")
   }
 
   test("stratifiedSplit: exact per-stratum counts at the rounded boundaries; partition-invariant") {

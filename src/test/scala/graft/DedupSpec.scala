@@ -1149,6 +1149,50 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").distinct().count() == 0L)
   }
 
+  test("video screen: a crash between the append's two writes (chunks landed, frame counts missing) degrades to pass-everything, and the next append heals it") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val name = "t_sim_vcrash"
+    Dedup.buildSimIndex(Seq((1L, 7L)).toDF("doc_id", "sim"),
+      name, maxDist = 2, numBuckets = 2)
+    val corpus = Seq(Multimodal.MediaRow(2L, "video",
+      Multimodal.pngVideoPayload(2L))).toDS()
+    val corpusSigs = Multimodal.videoFrameDHashSigs(spark, corpus)
+      .localCheckpoint(true)
+    Dedup.appendVideoFramesToSimIndex(corpusSigs, name)
+    val remux = Multimodal.videoFrameDHashSigs(spark,
+      Seq(Multimodal.MediaRow(102L, "video",
+        Multimodal.remuxedPngVideoPayload(2L))).toDS())
+      .localCheckpoint(true)
+    assert(Dedup.screenVideosAgainstSimIndex(remux, name)
+      .select("doc_id").distinct().count() == 0L)
+    // simulate the crash window: _vchunks persisted, _vframes not —
+    // the screen must degrade to pass-everything (recoverable
+    // duplicates), NOT throw on the missing frame-count side and
+    // wedge every later replay
+    spark.sql(s"DROP TABLE ${name}_vframes")
+    assert(Dedup.screenVideosAgainstSimIndex(remux, name)
+      .select("doc_id").distinct().count() > 0L,
+      "partial index state must pass-everything, not screen or throw")
+    // the replayed append recreates the frame side; screening resumes
+    Dedup.appendVideoFramesToSimIndex(corpusSigs, name)
+    assert(Dedup.screenVideosAgainstSimIndex(remux, name)
+      .select("doc_id").distinct().count() == 0L,
+      "replayed append must heal the partial state")
+  }
+
+  test("video composite key: negative doc_id raises instead of silently mis-keying the persisted index") {
+    import spark.implicits._
+    val name = "t_sim_vneg"
+    Dedup.buildSimIndex(Seq((1L, 7L)).toDF("doc_id", "sim"),
+      name, maxDist = 2, numBuckets = 2)
+    val bad = Seq((-2L, 0, 7L)).toDF("doc_id", "frame_idx", "sim")
+    val e = intercept[Exception] {
+      Dedup.appendVideoFramesToSimIndex(bad, name)
+    }
+    assert(e.getMessage.contains("negative doc_id"), e.getMessage)
+  }
+
   test("sim index retirement: the retired doc's whole screening footprint vanishes") {
     import spark.implicits._
     val name = "t_sim_retire"
