@@ -9,8 +9,12 @@ import org.apache.spark.sql.SparkSession
   * including final projections a count() would let Catalyst prune —
   * executes. A short warm-up (flagship query) pays JIT/codegen and
   * parquet-footer caching once, not inside the first measured query.
-  * Each query then runs twice and the SECOND (steady-state) time is
-  * reported; the first pass's sum is kept as "cold_total".
+  * Each query then runs in a cold pass (one-time side effects) plus
+  * TWO isolated measured passes in opposite orders, and the reported
+  * number is the per-entry MIN of the measured passes; per-entry
+  * cleanup between runs (unpersist, cache clear, table drop) keeps
+  * every entry's measurement free of the registry's accumulated
+  * weight. The cold pass's sum is kept as "cold_total".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -197,10 +201,61 @@ object Bench {
       annQueryOnly.map(mk => "d58_query" -> mk) ++
       simScreenOnly.map(mk => "d67_screen" -> mk) ++
       nbScoreOnly.map(mk => "d74_score" -> mk)
-    val coldResults = names.map(n => n -> force(n)) ++
-      extras.map { case (n, mk) => n -> forceDf(n, mk) }
-    val results = names.map(n => n -> force(n)) ++
-      extras.map { case (n, mk) => n -> forceDf(n, mk) }
+
+    // -------- per-entry isolation (the r14 measurement fix) --------
+    // Single-JVM timing of 150+ plans inflated OLD entries ~7-12% as
+    // the registry grew: entry-created state accumulated across the
+    // run — eager localCheckpoints pinned in the block manager,
+    // index tables piling up in the shared catalog, cached relations
+    // — so every entry was measured under the heap/catalog weight of
+    // everything before it, and two rounds of verdict time went to
+    // re-adjudicating that inflation as "drift". Fix, in two parts:
+    // (1) AFTER each measured entry, release everything the entry
+    // created — unpersist its RDDs (the prebuilt extras' checkpoints
+    // from the setup above are snapshotted and kept: unpersisting a
+    // localCheckpoint destroys its truncated lineage), clear the
+    // relation cache, drop its catalog tables (the warm-up-built
+    // stores and the *bench_idx/model tables are in the snapshot and
+    // survive); (2) run TWO measured passes in OPPOSITE orders and
+    // report the per-entry MIN — any residual order- or host-load-
+    // dependent inflation hits an entry in at most one pass. A
+    // failure (-1) in either pass propagates through min: failures
+    // stay loud.
+    val baselineTables: Set[String] =
+      spark.catalog.listTables().collect().map(_.name).toSet
+    val baselineRdds: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keys.toSet
+    def cleanup(): Unit = {
+      try {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!baselineRdds.contains(id)) rdd.unpersist(blocking = false)
+        }
+        spark.catalog.listTables().collect().foreach { t =>
+          if (!baselineTables.contains(t.name)) {
+            if (t.tableType == "TEMPORARY") spark.catalog.dropTempView(t.name)
+            else spark.sql(s"DROP TABLE IF EXISTS `${t.name}`")
+          }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] cleanup: ${e.getMessage}")
+      }
+    }
+    val allEntries: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+      names.map(n => n ->
+        (() => SparkEntry.queries(n)(spark, sfDir))) ++ extras
+    def measurePass(entries: Seq[(String, () =>
+        org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
+      entries.map { case (n, mk) =>
+        val t = forceDf(n, mk); cleanup(); n -> t
+      }
+    // cold pass pays one-time side effects (JIT, /tmp store builds)
+    val coldResults = measurePass(allEntries)
+    val passA = measurePass(allEntries).toMap
+    val passB = measurePass(allEntries.reverse).toMap
+    val results = allEntries.map { case (n, _) =>
+      n -> math.min(passA(n), passB(n))
+    }
     def fmt(v: Double, dec: Int): String = // Locale.ROOT: a comma decimal point would corrupt the JSON
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     val coldTotal = coldResults.map(_._2).filter(_ >= 0).sum

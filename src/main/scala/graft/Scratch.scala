@@ -11,13 +11,24 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // targeted oracle dump for a single query at a given SF
+    // targeted oracle dump for a single query at a given SF, in the
+    // Verify output layout ($out/$name/*.parquet + oracle_sql.json)
+    // so `tools/local_verify.py <sf> $out --skip-spark` gates just
+    // this query
     val name = args(0)
     val sf = args(1)
     val out = args(2)
     SparkEntry.queries(name)(spark, sf)
-      .coalesce(1).write.mode("overwrite").parquet(out)
-    println(s"[scratch] wrote $name from $sf to $out")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+    val sqlJson = SparkEntry.oracleSql.get(name).map { sql =>
+      val esc = sql.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\t", "\\t")
+      s"""{"$name": "$esc"}"""
+    }.getOrElse("{}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/oracle_sql.json"),
+      sqlJson.getBytes("UTF-8"))
+    println(s"[scratch] wrote $name from $sf to $out/$name")
     spark.stop()
   }
 }

@@ -1164,6 +1164,98 @@ object Similarity {
           col("__t").cast("double"), 4).as("share"))
   }
 
+  private def rebalanceMarker(name: String): String =
+    s"${name.toLowerCase}__rebalance_pending"
+
+  /** Re-balance actuator for the ANN index — the verb behind
+    * [[annIndexStats]]'s occupancy histogram (stats with no actuator
+    * is half a lifecycle): retrains the cell centroids from the
+    * index's CURRENT contents — appends and retirements drift the
+    * live corpus away from what the original build trained on, a 10×
+    * cell is every probed scan's straggler and an empty cell a
+    * wasted probe — then reassigns every stored vector to its new
+    * nearest cell and rewrites the bucketed vectors table crash-
+    * safe. The PQ codebook deliberately does NOT retrain: codes are
+    * a function of (vec, book) alone, independent of cells, so the
+    * stored codes stay bit-valid and the rewrite is a pure cell_id
+    * reassignment — no decode/re-encode pass over the corpus (a
+    * book refresh invalidates every stored code; that is a rebuild,
+    * not a rebalance). Serving needs no change: the query path reads
+    * centroids back from `_cents` per batch.
+    *
+    * Crash safety — TWO tables must change together, so the write
+    * order makes every window recoverable: (1) the new centroids
+    * stage durably under `_cents_stage`; (2) a filesystem marker
+    * (the [[graft.sources.Bucketing]] swap-marker discipline)
+    * declares the staged centroids the truth; (3) the vectors
+    * rewrite runs under its own compact swap; (4) the stage promotes
+    * over `_cents`; (5) marker, then stage, clear. Pre-marker a
+    * leftover stage is simply dropped — the live index was never
+    * touched. Post-marker, recovery ROLLS FORWARD: the rewrite is
+    * idempotent (cell_id is recomputed from the stored vec against
+    * the staged centroids, so re-running over fully- or partially-
+    * rewritten contents yields the same table) and the promotion is
+    * a plain overwrite. [[openAnnIndex]] runs the same recovery, so
+    * a process death at ANY point leaves a fresh session one open()
+    * from consistent. */
+  def rebalanceAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      refineIters: Int = 2,
+      refineSampleMod: Long = 4): Unit = {
+    finishInterruptedRebalance(spark, name)
+    val meta = spark.table(s"${name}_meta").head()
+    val nlist = meta.getAs[Int]("nlist")
+    val md5Sig = meta.getAs[Boolean]("md5_sig")
+    val contents = spark.table(s"${name}_vectors")
+    val sampleOrd =
+      if (md5Sig) Dedup.md5Hash60(col("vec_id").cast("long").cast("string"))
+      else xxhash64(col("vec_id").cast("long"))
+    val iters = if (md5Sig) 0 else refineIters
+    val cellCents = trainL2CellCents(contents, "vec_id", "vec", nlist,
+      iters, refineSampleMod, sampleOrd)
+    import spark.implicits._
+    graft.sources.Bucketing.writeTable(
+      cellCents.map { case (cid, v) => (cid, v.toSeq) }
+        .toDF("cell_id", "cvec"), s"${name}_cents_stage")
+    graft.sources.Bucketing.createMarker(spark, rebalanceMarker(name))
+    completeRebalance(spark, name)
+  }
+
+  /** Roll-forward tail shared by [[rebalanceAnnIndex]] and its crash
+    * recovery — precondition: staged centroids exist and the marker
+    * is set (the staged state is the declared truth). */
+  private def completeRebalance(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    val stage = s"${name}_cents_stage"
+    val numBuckets = spark.table(s"${name}_meta").head()
+      .getAs[Int]("num_buckets")
+    val cellCents = spark.table(stage).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+    graft.sources.Bucketing.compactBucketed(df => df.select(
+      col("vec_id"),
+      array_min(array(l2CellStructs(cellCents, col("vec")): _*))
+        .getField("cell_id").as("cell_id"),
+      col("codes"), col("vec")))(
+      spark, s"${name}_vectors", "cell_id", numBuckets)
+    graft.sources.Bucketing.writeTable(spark.table(stage), s"${name}_cents")
+    graft.sources.Bucketing.deleteMarker(spark, rebalanceMarker(name))
+    graft.sources.Bucketing.dropTableAndDir(spark, stage)
+  }
+
+  private def finishInterruptedRebalance(
+      spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    val stage = s"${name}_cents_stage"
+    if (!graft.sources.Bucketing.markerExists(spark, rebalanceMarker(name))) {
+      // pre-marker crash: the staged centroids never became the
+      // truth — the live index is untouched; drop the leftover
+      graft.sources.Bucketing.dropTableAndDir(spark, stage)
+      return
+    }
+    graft.sources.Bucketing.registerExisting(spark, stage, None)
+    completeRebalance(spark, name)
+  }
+
   /** Retirement for the ANN index — [[graft.operators.Dedup
     * .retireFromDedupIndex]]'s takedown verb for vectors: removes
     * the ids' (cell_id, codes, vec) rows in one crash-safe
@@ -1196,6 +1288,9 @@ object Similarity {
       s"no persisted ANN index named '$name' in the warehouse")
     val numBuckets = spark.table(s"${name}_meta").head()
       .getAs[Int]("num_buckets")
+    // a prior process may have died inside retireFromAnnIndex's (or
+    // the rebalance's) compact swap — finish it before registering
+    Bucketing.finishInterruptedSwap(spark, s"${name}_vectors")
     require(Bucketing.registerExisting(spark, s"${name}_vectors",
       Some(("cell_id", numBuckets))),
       s"ANN index '$name' is missing its _vectors table")
@@ -1203,6 +1298,9 @@ object Similarity {
       require(Bucketing.registerExisting(spark, t, None),
         s"ANN index '$name' is missing its $t table")
     }
+    // ...and an interrupted REBALANCE rolls forward (marker set) or
+    // clears its never-promoted stage (no marker)
+    finishInterruptedRebalance(spark, name)
   }
 
   /** Top-k against a [[buildAnnIndex]] index WITHOUT touching the

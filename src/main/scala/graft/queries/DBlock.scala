@@ -650,6 +650,37 @@ object DBlock {
         .orderBy(col("bin"), col("doc_id"))
     }),
 
+    // D45d: ANN index REBALANCE — the actuator behind the d79
+    // occupancy stats: build on the even half (book AND cells train
+    // on evens), append the odd half (encoded with the even-trained
+    // book, assigned to even-trained cells — the occupancy drift a
+    // growing index accretes), then retrain cells from the index's
+    // CURRENT contents and rewrite assignments crash-safe. The PQ
+    // book deliberately does NOT retrain (codes are cell-independent
+    // and stay bit-valid). The md5-twin proof: the oracle is the
+    // d50/d58 twin SQL with ONE change — the book CTE trains on the
+    // build-time subset (WHERE vec_id % 2 = 0) while the cell CTEs
+    // train on the full corpus, exactly what rebalance-after-append
+    // must produce. Querying the rebalanced index == that direct
+    // recomputation, bit for bit.
+    "d91_ann_rebalance" -> ((s, d) => {
+      val q8 = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+      Similarity.buildAnnIndex(q8.filter(col("vec_id") % 2 === 0),
+        "vec_id", "qv", name = "d91_idx",
+        nlist = 16, m = 4, ksub = 8, md5Sig = true)
+      Similarity.appendToAnnIndex(q8.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "qv", "d91_idx")
+      Similarity.rebalanceAnnIndex(s, "d91_idx")
+      Similarity.annTopKAgainstIndex(q8.filter(col("vec_id") < 50),
+        "vec_id", "qv", name = "d91_idx", k = 10, nprobe = 4,
+        shortlistFactor = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("dist2").cast("long").as("dist2"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // D64: SEMANTIC decontamination — the embedding-space sibling of
     // d43's k-gram screen (verbatim leakage there, paraphrased /
     // re-rendered leakage here): corpus embeddings vs an md5-sliced
@@ -1986,14 +2017,17 @@ object DBlock {
 
   /** The d50 IVF-PQ md5-twin oracle, shared verbatim with the
     * d58 persistent-index entry (index read must equal direct
-    * computation bit for bit). */
-  private val ivfPqTwinSql: String =
+    * computation bit for bit). `bookWhere` restricts the PQ-book
+    * training slice — the d91 rebalance proof trains the book on
+    * the BUILD-time subset while the rebalanced cells train on the
+    * full contents (codes never retrain on rebalance, cells do). */
+  private def ivfPqTwinSqlFor(bookWhere: String): String =
     s"WITH $ivfCellCtes,\n" +
-    """cent AS (
-        |  SELECT vec_id AS cid, q AS cq FROM q
+    s"""cent AS (
+        |  SELECT vec_id AS cid, q AS cq FROM q $bookWhere
         |  ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT, vec_id
-        |  LIMIT 8),
-        |centi AS (SELECT cq, CAST(row_number() OVER (ORDER BY cid) - 1 AS INT) AS code FROM cent),
+        |  LIMIT 8),""".stripMargin + "\n" +
+    """centi AS (SELECT cq, CAST(row_number() OVER (ORDER BY cid) - 1 AS INT) AS code FROM cent),
         |sub AS (
         |  SELECT code, j.j,
         |    list_transform(range(1, 17), i -> cq[CAST(j.j*16 + i AS INT)]) AS cs
@@ -2041,6 +2075,8 @@ object DBlock {
         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin
+
+  private val ivfPqTwinSql: String = ivfPqTwinSqlFor("")
 
   /** DuckDB mirror of TextAnalysis.occurrences on padded lower text. */
   private def occ(marker: String): String =
@@ -3705,6 +3741,9 @@ object DBlock {
     // proves index build + pruned read == direct computation, the
     // d46 "screen == direct" proof shape for ANN.
     "d58_ann_index" -> ivfPqTwinSql,
+    // rebalance proof: book trained on the BUILD subset (evens),
+    // cells on the full corpus — what rebalance-after-append yields
+    "d91_ann_rebalance" -> ivfPqTwinSqlFor("WHERE vec_id % 2 = 0"),
 
     // range search brute-forced on the SAME cell CTEs as d50/d58:
     // every (probed cell, resident) pair scored with the exact

@@ -61,6 +61,28 @@ object Bucketing {
     if (fs.exists(mk)) fs.delete(mk, false)
   }
 
+  /** Durable filesystem markers for MULTI-table maintenance verbs
+    * (the ANN rebalance changes centroids AND assignments together):
+    * same warehouse-directory durability as [[swapMarker]], named by
+    * the caller, so an index family can declare "the staged state is
+    * now the truth" across a process death. */
+  private[graft] def createMarker(spark: SparkSession, tag: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tag)
+    fsOf(spark, p).create(p, true).close()
+  }
+  private[graft] def markerExists(spark: SparkSession, tag: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tag)
+    fsOf(spark, p).exists(p)
+  }
+  private[graft] def deleteMarker(spark: SparkSession, tag: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tag)
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
   /** Cross-restart half of the swap recovery: if a PRIOR PROCESS
     * died inside [[compactBucketed]]'s drop→rename window (durable
     * marker present, catalog — having not survived the restart —

@@ -362,6 +362,149 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.head.getAs[Double]("dist2") == 0.0)
   }
 
+  test("ANN index rebalance: skewed occupancy flattens, codes stay bit-valid, assignments match the new centroids, serving finds the planted twin") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val name = "t_ann_rebal"
+    // build corpus: 32 vectors huddled near the origin — every cell
+    // seed (md5-first-16 of the BUILD set) lands in the huddle
+    def nearVec(i: Long): Seq[Float] =
+      Seq((i % 3).toFloat, ((i / 3) % 3).toFloat, 0f, 0f, 0f, 0f, 0f, 0f)
+    // appended corpus: 64 far-away spread vectors (ids 100/101 are an
+    // identical planted twin) — against huddle-trained cells they
+    // pile into a handful of cells, the occupancy drift a growing
+    // index accretes
+    def farVec(j: Long): Seq[Float] = {
+      val b = if (j == 101L) 100L else j
+      Seq(500f + 7f * (b % 8), 500f + 5f * (b % 5), 400f + (b % 11),
+        300f + (b % 13), (b % 17).toFloat, 0f, 0f, 0f)
+    }
+    val build = (0L until 32L).map(i => (i, nearVec(i))).toDF("vec_id", "qv")
+    val appended = (100L until 164L).map(j => (j, farVec(j)))
+      .toDF("vec_id", "qv")
+    Similarity.buildAnnIndex(build, "vec_id", "qv", name = name,
+      nlist = 16, m = 2, ksub = 4, md5Sig = true, numBuckets = 4)
+    Similarity.appendToAnnIndex(appended, "vec_id", "qv", name)
+    def stats(): Map[Long, Long] =
+      Similarity.annIndexStats(spark, name).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def codes(): Map[Long, Seq[Int]] =
+      spark.table(s"${name}_vectors").select(col("vec_id"), col("codes"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val statsBefore = stats()
+    val codesBefore = codes()
+    assert(statsBefore.values.sum == 96L)
+    Similarity.rebalanceAnnIndex(spark, name)
+    val statsAfter = stats()
+    // occupancy flattens: the far majority now seeds most cells
+    assert(statsAfter.values.sum == 96L, "rebalance lost vectors")
+    assert(statsAfter.values.max < statsBefore.values.max,
+      s"max occupancy did not flatten: ${statsBefore.values.max} -> " +
+        s"${statsAfter.values.max}")
+    assert(statsAfter.values.count(_ > 0) > statsBefore.values.count(_ > 0),
+      "rebalance did not reduce empty cells")
+    // codes are cell-independent and must be bit-identical (the PQ
+    // book does not retrain)
+    assert(codes() == codesBefore, "rebalance must not touch codes")
+    // every stored assignment matches the NEW centroids (driver-side
+    // argmin re-derivation; int8-scale whole numbers are exact in
+    // double, ties break by cell_id as in l2CellStructs)
+    val cents = spark.table(s"${name}_cents").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toIndexedSeq)
+      .sortBy(_._1)
+    val rows = spark.table(s"${name}_vectors")
+      .select(col("vec_id"), col("cell_id"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
+    rows.foreach { case (vid, cid, v) =>
+      val best = cents.map { case (c, cv) =>
+        val d2 = cv.zip(v).map { case (a, b) =>
+          (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum
+        (d2, c)
+      }.min
+      assert(best._2 == cid,
+        s"vec $vid assigned to $cid but nearest staged cent is $best")
+    }
+    // serving over the rebalanced index finds the planted twin
+    val top = Similarity.annTopKAgainstIndex(
+      Seq((100L, farVec(100L))).toDF("vec_id", "qv"), "vec_id", "qv",
+      name = name, k = 3, nprobe = 4).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(top.nonEmpty && top.head._1 == 1 && top.head._2 == 101L &&
+      top.head._3 == 0.0, s"twin not served: ${top.toSeq}")
+  }
+
+  test("ANN index rebalance crash windows: a pre-marker stage drops; a post-marker stage rolls FORWARD across a restart") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val name = "t_ann_rebal_crash"
+    val marker = s"${name.toLowerCase}__rebalance_pending"
+    val q8 = q8corpus.filter(col("vec_id") < 40)
+    Similarity.buildAnnIndex(q8, "vec_id", "qv", name = name,
+      nlist = 8, m = 4, ksub = 8, md5Sig = true, numBuckets = 4)
+    val centsBefore = spark.table(s"${name}_cents").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toList).toMap
+    // ---- window 1: crash BEFORE the marker — staged centroids never
+    // became the truth; recovery must drop them and leave the live
+    // index untouched
+    graft.sources.Bucketing.writeTable(
+      Seq((999L, Seq.fill(64)(1f))).toDF("cell_id", "cvec"),
+      s"${name}_cents_stage")
+    Similarity.rebalanceAnnIndex(spark, name) // entry recovery runs first
+    assert(!spark.catalog.tableExists(s"${name}_cents_stage"),
+      "pre-marker stage must be dropped")
+    // (the rebalance itself then ran: contents == build corpus, so
+    // md5-order cents are unchanged)
+    assert(spark.table(s"${name}_cents").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toList).toMap
+      == centsBefore, "identical-contents rebalance must be a fixpoint")
+    // ---- window 2: crash AFTER the marker — the staged centroids
+    // are the declared truth; a fresh session's open() must roll
+    // forward: promote them and rewrite every assignment
+    val staged = centsBefore.toSeq.sortBy(_._1)
+      .map { case (cid, cv) => (cid, cv.map(x => x + 2f)) }
+    graft.sources.Bucketing.writeTable(
+      staged.toDF("cell_id", "cvec"), s"${name}_cents_stage")
+    graft.sources.Bucketing.createMarker(spark, marker)
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        old.conf.get("spark.sql.warehouse.dir"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      Similarity.openAnnIndex(s2, name)
+      assert(!graft.sources.Bucketing.markerExists(s2, marker),
+        "roll-forward must clear the marker")
+      assert(!s2.catalog.tableExists(s"${name}_cents_stage"),
+        "roll-forward must clear the stage")
+      val centsAfter = s2.table(s"${name}_cents").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toList).toMap
+      assert(centsAfter == staged.toMap,
+        "staged centroids must have been promoted")
+      // every assignment was rewritten against the PROMOTED centroids
+      val cents = centsAfter.toSeq.sortBy(_._1)
+      s2.table(s"${name}_vectors")
+        .select(col("vec_id"), col("cell_id"), col("vec")).collect()
+        .foreach { r =>
+          val v = r.getSeq[Float](2)
+          val best = cents.map { case (c, cv) =>
+            (cv.zip(v).map { case (a, b) =>
+              (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum, c)
+          }.min
+          assert(best._2 == r.getLong(1),
+            s"vec ${r.getLong(0)} not reassigned to the promoted cents")
+        }
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
+
   test("persistent ANN index survives a restart: openAnnIndex re-registers, serve unchanged") {
     import org.apache.spark.sql.functions.col
     val q8 = q8corpus
