@@ -134,6 +134,11 @@ object BpeTokenizer {
 
   def vocabSize: Int = tokenBytesArr.length
 
+  /** (id, hex) for every token in the fixed vocab — the oracle's
+    * hex→id lookup table (a VALUES list of ~vocabSize rows). */
+  def vocabHex: Seq[(Int, String)] =
+    tokenHexArr.indices.map(i => (i, tokenHexArr(i)))
+
   // ---- kernels (static: called from both eval and codegen) --------
 
   /** Core: UTF-8 bytes → token ids, merges applied in rank order,

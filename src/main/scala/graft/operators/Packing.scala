@@ -160,6 +160,59 @@ object Packing {
         (segAbs - col("start_off")).as("doc_off"))
   }
 
+  /** Per-bin token-id MATERIALIZATION — the actual packed artifact a
+    * trainer mmaps (the `.bin` file the [[binManifest]] addresses):
+    * for each context bin, the concatenated token ids of its
+    * document segments, segments in bin order, each segment the
+    * doc_off-based slice of its document's id sequence. Together
+    * with the manifest this makes the packing family's output
+    * CONSUMABLE, not just addressable: bin k's array is exactly
+    * capacity ids (the tail bin excepted), and re-slicing the bins
+    * by the manifest's segments reassembles every document's id
+    * sequence bit for bit (spec-pinned).
+    *
+    * Scale shape: tokenization runs ONCE (the id sequences are
+    * pinned and feed both the pack — via their size — and the slice
+    * join; the d82 one-decode-pass discipline), the pack rides
+    * [[sequencePack]]'s two-phase prefix sum, the manifest is a
+    * Generate, and the assembly is ONE hash join (manifest ⋈ ids on
+    * the doc id) plus ONE bin-keyed aggregate whose per-group state
+    * is bounded by `capacity` + segment count — never by corpus
+    * size. No window, no driver loop; bins partition across the
+    * cluster by bin id. */
+  def binTokens(
+      df: DataFrame,
+      idCol: String,
+      tokenIds: org.apache.spark.sql.Column,
+      orderCol: org.apache.spark.sql.Column,
+      capacity: Long,
+      partitions: Int = 32,
+      reliable: Boolean = false): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val ids0 = df.select(col(idCol), tokenIds.as("__ids"),
+      orderCol.as("__ord0"))
+    val ids = if (reliable) ids0.checkpoint() else ids0.localCheckpoint()
+    val packed = sequencePack(ids, idCol,
+      tokens = size(col("__ids")).cast("long"),
+      orderCol = col("__ord0"), capacity = capacity,
+      partitions = partitions, reliable = reliable)
+    val manifest = binManifest(packed, idCol, capacity)
+    val segs = manifest
+      .join(ids.select(col(idCol), col("__ids")).hint("SHUFFLE_HASH"),
+        Seq(idCol))
+      .select(col("bin"), col("seg_start"),
+        slice(col("__ids"), (col("doc_off") + 1).cast("int"),
+          col("seg_len").cast("int")).as("__seg"))
+    // zero-length segments flatten away but still carry their bin —
+    // a zero-token doc sitting exactly on a capacity boundary at the
+    // corpus tail legitimately yields an EMPTY final bin
+    segs.groupBy(col("bin"))
+      .agg(sort_array(collect_list(struct(
+        col("seg_start").as("o"), col("__seg").as("s")))).as("__ss"))
+      .select(col("bin"),
+        flatten(expr("transform(__ss, x -> x.s)")).as("token_ids"))
+  }
+
   /** Token-budget selection — the curation cut that turns "we can
     * afford B training tokens" into a document set: lay the corpus
     * out in priority order (highest first, id as tiebreak) and keep

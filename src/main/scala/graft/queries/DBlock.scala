@@ -650,6 +650,30 @@ object DBlock {
         .orderBy(col("bin"), col("doc_id"))
     }),
 
+    // D66: per-bin token-id MATERIALIZATION — the `.bin` artifact
+    // the d90 manifest addresses: concatenate each context bin's
+    // document segments (real fixed-BPE ids, the d38/d59 tokenizer)
+    // in bin order. The oracle re-derives every token id (the d51
+    // merge-chain CTEs + a hex→id vocab VALUES table), replays the
+    // d59 prefix sum and the d90 segment arithmetic, reassembles
+    // each bin ORDER BY (seg_start, in-doc position) and md5s the
+    // comma-joined id string — one drifted id, offset or segment
+    // boundary anywhere breaks the hash.
+    "d92_bin_tokens" -> ((s, d) => {
+      Packing.binTokens(
+        Tables.documents(s, d)
+          .filter(col("doc_id").isNotNull && col("text").isNotNull),
+        "doc_id",
+        tokenIds = graft.functions.BpeTokenizer.bpeTokenIds(col("text")),
+        orderCol = md5(col("doc_id").cast("string")),
+        capacity = 2048L)
+        .select(col("bin"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          md5(expr("array_join(cast(token_ids as array<string>), ',')"))
+            .as("ids_md5"))
+        .orderBy(col("bin"))
+    }),
+
     // D45d: ANN index REBALANCE — the actuator behind the d79
     // occupancy stats: build on the even half (book AND cells train
     // on evens), append the odd half (encoded with the even-trained
@@ -2580,6 +2604,58 @@ object DBlock {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** d92: re-derive per-bin token-id content — the d51 merge chain
+    * gives every doc's canonical "|hex|" token string, a vocab
+    * VALUES table maps hex→id, the d59 prefix sum lays docs out, the
+    * d90 arithmetic cuts segments, and each bin reassembles ORDER BY
+    * (seg_start, in-doc position). Zero-only bins (a zero-token doc
+    * on a capacity boundary at the corpus tail) surface via the LEFT
+    * join and hash the empty string, matching Spark's empty array. */
+  private val binTokensSql: String = {
+    val (ctes, last) = bpeCteChain
+    val vocabVals = graft.functions.BpeTokenizer.vocabHex
+      .map { case (id, hx) => s"($id, '$hx')" }.mkString(", ")
+    s"""WITH $ctes,
+       |vocab(id, hx) AS (VALUES $vocabVals),
+       |t AS (
+       |  SELECT doc_id, ts,
+       |    CAST((length(ts) - length(replace(ts, '|', ''))) // 2 AS BIGINT) AS n,
+       |    md5(CAST(doc_id AS VARCHAR)) AS ord
+       |  FROM $last
+       |), c AS (
+       |  SELECT doc_id, ts, n,
+       |    CAST(COALESCE(sum(n) OVER (ORDER BY ord NULLS FIRST
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM t
+       |), tok AS (
+       |  -- NB: the list alias must not collide with vocab.hx — an
+       |  -- ambiguous name would resolve the index expression to the
+       |  -- joined VARCHAR and silently empty the join
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, v.id
+       |  FROM (SELECT doc_id, string_split(trim(ts, '|'), '||') AS hxs
+       |        FROM c WHERE n > 0),
+       |    unnest(range(1, len(hxs) + 1)) AS u(i)
+       |  JOIN vocab v ON v.hx = hxs[CAST(i AS INT)]
+       |), seg AS (
+       |  SELECT CAST(bin AS BIGINT) AS bin, doc_id,
+       |    CAST(greatest(off, bin * 2048) - bin * 2048 AS BIGINT) AS seg_start,
+       |    CAST(least(off + n, (bin + 1) * 2048)
+       |      - greatest(off, bin * 2048) AS BIGINT) AS seg_len,
+       |    CAST(greatest(off, bin * 2048) - off AS BIGINT) AS doc_off
+       |  FROM (SELECT doc_id, n, off,
+       |    unnest(range(off // 2048, (off + greatest(n, 1) - 1) // 2048 + 1)) AS bin
+       |    FROM c)
+       |), binned AS (
+       |  SELECT s.bin, s.seg_start, k.pos - s.doc_off AS rel, k.id
+       |  FROM seg s LEFT JOIN tok k ON k.doc_id = s.doc_id
+       |    AND k.pos > s.doc_off AND k.pos <= s.doc_off + s.seg_len
+       |)
+       |SELECT bin, CAST(count(id) AS BIGINT) AS n_tokens,
+       |  md5(COALESCE(string_agg(CAST(id AS VARCHAR), ','
+       |    ORDER BY seg_start, rel), '')) AS ids_md5
+       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   /** d73/d74 shared oracle: the NB classifier re-derived end to end
     * (see the oracles-map comment). */
   private val nbClassifierSql: String =
@@ -3783,6 +3859,7 @@ object DBlock {
 
     "d51_bpe_tokens" -> bpeTokensSql,
     "d59_bpe_pack" -> bpePackSql,
+    "d92_bin_tokens" -> binTokensSql,
     "d60_bpe_train" -> bpeTrainSql,
     "d66_bpe_budget_train" -> bpeTrainSqlFor(d66SliceSql),
     "d62_pipeline" -> pipelineSql,

@@ -621,6 +621,59 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(man.map(_._4).sum == toks.values.sum)
   }
 
+  test("binTokens: bins hold exactly capacity ids except the tail; manifest slices reassemble every doc; partition-invariant; boundary zero-doc yields an empty bin") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val docs = Seq(
+      (1L, Seq(1, 2, 3)),
+      (2L, Seq(4, 5, 6, 7)),
+      (3L, Seq.empty[Int]),
+      (4L, Seq(8, 9, 10, 11, 12, 13, 14)),
+      (5L, Seq(15, 16))
+    ).toDF("doc_id", "ids")
+    def run(parts: Int): Map[Long, List[Int]] =
+      Packing.binTokens(docs, "doc_id", col("ids"), col("doc_id"),
+        capacity = 5L, partitions = parts)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val got = run(4)
+    // doc order 1..5 → token stream 1..16 → bins of 5
+    assert(got == Map(0L -> List(1, 2, 3, 4, 5), 1L -> List(6, 7, 8, 9, 10),
+      2L -> List(11, 12, 13, 14, 15), 3L -> List(16)), got.toString)
+    // every bin but the tail is exactly capacity
+    val tail = got.keys.max
+    got.foreach { case (b, ids) =>
+      if (b != tail) assert(ids.size == 5, s"bin $b not full: $ids") }
+    // partition invariance (the two-phase prefix sum contract)
+    assert(run(1) == got && run(7) == got)
+    // the manifest's segments reassemble each document's id sequence
+    val packed = Packing.sequencePack(docs, "doc_id",
+      org.apache.spark.sql.functions.size(col("ids")).cast("long"),
+      col("doc_id"), 5L)
+    val man = Packing.binManifest(packed, "doc_id", 5L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getLong(4),  // doc_off
+        r.getAs[Long]("bin"), r.getAs[Long]("seg_start"),
+        r.getAs[Long]("seg_len")))
+    val byDoc = man.groupBy(_._1)
+    val orig = Map(1L -> List(1, 2, 3), 2L -> List(4, 5, 6, 7),
+      3L -> Nil, 4L -> List(8, 9, 10, 11, 12, 13, 14),
+      5L -> List(15, 16))
+    orig.foreach { case (id, ids) =>
+      val re = byDoc(id).sortBy(_._2).flatMap { case (_, _, bin, ss, sl) =>
+        got(bin).slice(ss.toInt, (ss + sl).toInt)
+      }.toList
+      assert(re == ids, s"doc $id reassembly: $re != $ids")
+    }
+    // a zero-token doc landing exactly on a capacity boundary at the
+    // corpus tail legitimately opens an EMPTY final bin
+    val edge = Seq((1L, Seq(1, 2, 3, 4, 5)), (2L, Seq.empty[Int]))
+      .toDF("doc_id", "ids")
+    val gotEdge = Packing.binTokens(edge, "doc_id", col("ids"),
+      col("doc_id"), capacity = 5L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(gotEdge == Map(0L -> List(1, 2, 3, 4, 5), 1L -> Nil),
+      gotEdge.toString)
+  }
+
   test("unigramLogProb matches a first-principles recomputation and ranks rarity") {
     import spark.implicits._
     val corpus = Map(
