@@ -268,6 +268,18 @@ object DBlock {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // D8b oracle twin: d20's minhash-band fallback (32 bands of
+    // r=1, threshold 0.2) under the d30 md5-signature discipline —
+    // DuckDB recomputes every signature from raw text and re-derives
+    // the exact candidate and verified pair sets, closing the last
+    // twin-less rows-only entry whose arithmetic is SQL-derivable.
+    // d20 stays the production entry (XXH64 signatures).
+    "d20b_ngram_unblocked_oracle" -> ((s, d) =>
+      Dedup.md5MinhashPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleK = 3, numPerms = 32, bands = 32, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // D15/D19: REAL image decode — payloads are genuine PNGs
     // (Multimodal.imagePayload) and width/height/channels come from
     // javax.imageio reading the actual bytes; the oracle knows only
@@ -2377,13 +2389,21 @@ object DBlock {
     * the Spark side), re-derive candidates by exact band-slice
     * equality (16 bands × 2 rows), and verify true 3-gram Jaccard —
     * the exact candidate+pair derivation the banding must equal. */
-  private val md5MinhashSql: String = {
+  /** The d30 md5-minhash twin oracle, parameterized by the banding
+    * geometry so the d20b UNBLOCKED twin (32 bands of r=1, threshold
+    * 0.2 — d20's exact parameters) shares the machinery verbatim. */
+  private def md5MinhashSqlFor(numPerms: Int, bands: Int,
+      threshold: Double): String = {
     import graft.operators.Dedup.{mhA, mhB, mhPrime}
-    val mins = (0 until 32)
+    val r = numPerms / bands
+    val mins = (0 until numPerms)
       .map(j => s"min((h * ${mhA(j)} + ${mhB(j)}) % $mhPrime) AS m$j")
       .mkString(", ")
-    val bandCond = (0 until 16)
-      .map(b => s"(a.m${2 * b} = b.m${2 * b} AND a.m${2 * b + 1} = b.m${2 * b + 1})")
+    val bandCond = (0 until bands)
+      .map { b =>
+        "(" + (0 until r).map(j => s"a.m${b * r + j} = b.m${b * r + j}")
+          .mkString(" AND ") + ")"
+      }
       .mkString(" OR ")
     s"""WITH base AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
@@ -2410,9 +2430,10 @@ object DBlock {
        |    len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
        |FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
        |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
-       |    len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+       |    len(list_distinct(list_concat(x.s, y.s))) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
   }
+  private val md5MinhashSql: String = md5MinhashSqlFor(32, 16, 0.5)
 
   /** d40 oracle: the [[md5MinhashSql]] signature machinery applied
     * CROSS-SET — batch (1/16 md5 slice) vs corpus (rest): candidates
@@ -3271,6 +3292,7 @@ object DBlock {
     "d38_span_cut" -> spanCutSql,
 
     "d30_minhash_oracle" -> md5MinhashSql,
+    "d20b_ngram_unblocked_oracle" -> md5MinhashSqlFor(32, 32, 0.2),
 
     // winnowing selection recomputed from raw text: same md5 gram
     // hashes, min per 4-window (frame extends to doc end when the

@@ -405,16 +405,53 @@ object StreamingIngest {
     * future RE-ENCODE of those videos unscreenable forever. With
     * frame-first, a video suppressed by either screen is already
     * frame-indexed, and the frame side subsumes the fold side for
-    * both remuxes (hamming 0) and re-encodes. */
+    * both remuxes (hamming 0) and re-encodes.
+    *
+    * `urlCol`/`urlIndexName` add the C12 URL-frontier STAGE 0 —
+    * media re-crawls are URL-duplicated at least as often as pages,
+    * and the frontier kills them BEFORE any decode cost is paid: a
+    * within-batch canonical keep-one ([[graft.operators.TextAnalysis
+    * .urlDedup]] — the same payload under two tracking-param URLs
+    * decodes once) then the anti-join against the persistent
+    * [[graft.operators.Dedup.buildUrlIndex]] key set. The frontier
+    * fold-in runs LAST — after sink, frame side and fold side — and
+    * the order is load-bearing for the same reason as
+    * [[toPipelineIngest]]'s: url-before-signature would turn a crash
+    * between the appends into a permanent perceptual-dedup hole
+    * (sink rows whose SIGNATURES never reached the index, with the
+    * replay stopped dead at stage 0); with url last, the replay
+    * passes stage 0, the signature screens self-suppress, and the
+    * url fold-in completes. Frontier semantics as in C12: a URL is
+    * remembered once ADMITTED, even if its payload later dedups. */
   def toMediaIngest(media: DataFrame, idCol: String, typeCol: String,
       payloadCol: String, indexName: String, path: String,
-      checkpoint: String, videoFrameScreen: Boolean = false): StreamingQuery =
+      checkpoint: String, videoFrameScreen: Boolean = false,
+      urlCol: Option[String] = None,
+      urlIndexName: Option[String] = None): StreamingQuery = {
+    require(urlCol.isDefined == urlIndexName.isDefined,
+      "urlCol and urlIndexName come together: the frontier screen " +
+        "needs both the key column and the index to screen against")
     media.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        val rows = batch.select(col(idCol).cast("long").as("doc_id"),
+        // STAGE 0: url frontier, before any decode cost
+        val admitted = (urlCol, urlIndexName) match {
+          case (Some(u), Some(ix)) =>
+            val keepOne = graft.operators.TextAnalysis
+              .urlDedup(batch, idCol, u)
+              .filter(col("keeper"))
+              .select(col(idCol).as("__kid"))
+            val screened = graft.operators.Dedup.screenAgainstUrlIndex(
+              batch.join(keepOne.hint("SHUFFLE_HASH"),
+                col(idCol) === col("__kid"), "left_semi"), u, ix)
+            // two consumers: the decode pipeline and the frontier
+            // fold-in after the sink lands — batch-scoped eager pin
+            screened.localCheckpoint(true)
+          case _ => batch
+        }
+        val rows = admitted.select(col(idCol).cast("long").as("doc_id"),
           col(typeCol).as("media_type"), col(payloadCol).as("payload"))
           .as[graft.operators.Multimodal.MediaRow]
         // one decode pass; two consumers (keep-one + the payload
@@ -463,7 +500,7 @@ object StreamingIngest {
               .unionAll(vFinal.select(col("doc_id")).distinct())
             (ids, Some(vFinal))
           }
-        batch
+        admitted
           .join(survivorIds.select(col("doc_id").as("__graft_sid")),
             col(idCol).cast("long") === col("__graft_sid"), "left_semi")
           .write.mode("append").parquet(path)
@@ -475,10 +512,19 @@ object StreamingIngest {
             .join(survivorIds.hint("SHUFFLE_HASH"), Seq("doc_id"),
               "left_semi")
             .select(col("doc_id"), col("sim")), indexName)
+        // url frontier LAST — see the ordering argument in the
+        // scaladoc (url-before-signature would make a crash between
+        // the appends a permanent perceptual-dedup hole)
+        (urlCol, urlIndexName) match {
+          case (Some(u), Some(ix)) =>
+            graft.operators.Dedup.appendToUrlIndex(admitted, u, ix)
+          case _ => ()
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** Streaming embedding ingest into a persistent ANN index
     * ([[graft.operators.Similarity.buildAnnIndex]]): per micro-batch,

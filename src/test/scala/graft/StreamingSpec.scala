@@ -801,6 +801,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("media ingest with a url frontier: same resource under tracking variants decodes once, replay stops at stage 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val M = graft.operators.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("mediaurl").toString
+    graft.operators.Dedup.buildSimIndex(
+      M.mediaSigs(spark,
+        Seq(M.MediaRow(1L, "image", M.imagePayload(1L))).toDS()),
+      "t_murl_idx", maxDist = 2, numBuckets = 2)
+    graft.operators.Dedup.buildUrlIndex(
+      Seq("https://Seen.example.com:443/old/").toDF("url"),
+      "url", name = "t_murl_front")
+    val input = MemoryStream[(Long, String, Array[Byte], String)](spark)
+    val q = StreamingIngest.toMediaIngest(
+      input.toDS().toDF("doc_id", "media_type", "payload", "url"),
+      "doc_id", "media_type", "payload",
+      "t_murl_idx", s"$dir/media", s"$dir/ckpt",
+      urlCol = Some("url"), urlIndexName = Some("t_murl_front"))
+    try {
+      input.addData(
+        // same resource under two tracking-param variants with
+        // DIFFERENT pixel content — only the URL key can collapse
+        // them (the perceptual screen would rightly keep both), so
+        // the min-id keeper landing alone proves the stage-0 screen
+        // ran before any decode
+        (10L, "image", M.imagePayload(10L),
+          "https://a.example.com/img?utm_source=x&id=7"),
+        (20L, "image", M.imagePayload(20L),
+          "https://a.example.com/img?id=7&utm_campaign=y#frag"),
+        // canonical match of the SEEDED frontier → screened at stage 0
+        (30L, "image", M.imagePayload(30L),
+          "https://seen.example.com/old?utm_source=z"),
+        // fresh url, fresh content → lands
+        (40L, "image", M.imagePayload(40L), "https://b.example.com/x"))
+      q.processAllAvailable()
+      def landed(): Set[Long] = spark.read.parquet(s"$dir/media")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(landed() == Set(10L, 40L), s"got ${landed()}")
+      // batch 2: batch-1's ADMITTED urls are folded in — a THIRD
+      // variant of the same resource screens even with new pixels;
+      // a genuinely new url lands
+      input.addData(
+        (50L, "image", M.imagePayload(50L),
+          "https://a.example.com/img?fbclid=abc&id=7"),
+        (60L, "image", M.imagePayload(60L), "https://c.example.com/y"))
+      q.processAllAvailable()
+      assert(landed() == Set(10L, 40L, 60L), s"got ${landed()}")
+      // full redelivery → every url is in the frontier → stage-0
+      // full stop, nothing lands twice
+      input.addData(
+        (50L, "image", M.imagePayload(50L),
+          "https://a.example.com/img?fbclid=abc&id=7"),
+        (60L, "image", M.imagePayload(60L), "https://c.example.com/y"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/media").count() == 3,
+        "replay must self-suppress at stage 0")
+    } finally q.stop()
+  }
+
   test("full pipeline ingest: extract → gate → dedup → pack per micro-batch, replay self-suppresses") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
