@@ -123,6 +123,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     if (args.contains("mega")) { megaGramProbe(spark); spark.stop(); return }
+    if (args.contains("asof")) { asofSkewProbe(spark); spark.stop(); return }
 
     buildIfMissing(spark)
 
@@ -317,6 +318,115 @@ object ScaleProbe {
       val (at, as_, ap) = measure(s"$label aggjoin", agg)
       println(f"| $label | $wt%.2f / ${ws / 1e6}%.0f / ${wp / 1e6}%.0f | $at%.2f / ${as_ / 1e6}%.0f / ${ap / 1e6}%.0f |")
     }
+  }
+
+  // -----------------------------------------------------------------
+  // As-of skew probe (`runMain graft.ScaleProbe asof`): the b16b
+  // receipt. asOfPriorSalted exists precisely for zipf-head keys —
+  // the classic per-key window sorts a hot key's ENTIRE row set in
+  // one task — but until this probe the 2000-row spec was the only
+  // skew evidence. Derivation: sf0.1 events with HALF of all rows
+  // collapsed onto one user ("zipfhead"), at 1× and at 10× — each
+  // copy's timestamps shift by the full span, so 10× data means 10×
+  // HISTORY (per-bucket density constant, the realistic growth
+  // shape). Expectation: the classic form's worst task grows ~10×
+  // (one task sorts the head key's whole history); the salted form's
+  // stays flat (the head key shards across its time buckets). Both
+  // forms are also checked bit-equal on every probed corpus.
+  // -----------------------------------------------------------------
+  private val SfAsof = "/root/repo/tmp/sfasof"
+
+  private def asofSkewProbe(spark: SparkSession): Unit = {
+    import graft.operators.TemporalJoins
+    buildAsofIfMissing(spark)
+    val bucketUs = spark.read.parquet(s"$SfAsof/meta.parquet")
+      .head().getLong(0)
+
+    @volatile var maxTaskMs = 0L
+    @volatile var spill = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (e.taskInfo != null)
+          maxTaskMs = math.max(maxTaskMs, e.taskInfo.duration)
+        val m = e.taskMetrics
+        if (m != null) spill += m.memoryBytesSpilled + m.diskBytesSpilled
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    def classic(ev: DataFrame): DataFrame =
+      TemporalJoins.asOfPrior(ev, col("user_id"), col("us"),
+        col("event_id"), probeWhen = col("event_type") === "purchase",
+        refWhen = col("event_type") === "click")
+    def salted(ev: DataFrame): DataFrame =
+      TemporalJoins.asOfPriorSalted(ev, col("user_id"), col("us"),
+        col("event_id"), probeWhen = col("event_type") === "purchase",
+        refWhen = col("event_type") === "click", bucketUs = bucketUs)
+
+    def measure(label: String, mk: () => DataFrame): (Double, Long, Long) = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        mk().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm
+      maxTaskMs = 0L; spill = 0L
+      val t = once()
+      Thread.sleep(500)
+      System.err.println(
+        f"[asof] $label%-16s $t%7.2f s  maxTask=${maxTaskMs}%5d ms  spill=${spill / 1e6}%.0f MB")
+      (t, maxTaskMs, spill)
+    }
+
+    println("| scale | form | wall s | max task ms | spill MB |")
+    println("|---|---|---|---|---|")
+    Seq(("1x", "ev1"), ("10x", "ev10")).foreach { case (label, sub) =>
+      val ev = spark.read.parquet(s"$SfAsof/$sub")
+      // bit-equality first: the receipt is only meaningful if the
+      // two forms agree on this corpus
+      val h = (df: DataFrame) => df
+        .select(col("event_id"), col("asof_ts"))
+        .agg(count(lit(1)), bit_xor(xxhash64(col("event_id"),
+          coalesce(col("asof_ts"), lit(-1L))))).head()
+      require(h(classic(ev)) == h(salted(ev)),
+        s"classic/salted disagree on $label")
+      val (ct, cm, cs) = measure(s"$label classic", () => classic(ev))
+      val (st, sm, ss) = measure(s"$label salted", () => salted(ev))
+      println(f"| $label | classic | $ct%.2f | $cm | ${cs / 1e6}%.0f |")
+      println(f"| $label | salted | $st%.2f | $sm | ${ss / 1e6}%.0f |")
+    }
+  }
+
+  private def buildAsofIfMissing(spark: SparkSession): Unit = {
+    val marker = new java.io.File(s"$SfAsof/_SUCCESS_PROBE")
+    if (marker.exists()) return
+    new java.io.File(SfAsof).mkdirs()
+    val ev0 = graft.sources.Tables.events(spark, Sf01)
+      .select(col("event_id").cast("long").as("event_id"), col("user_id"),
+        col("event_type"), expr("ts DIV 1000").as("us"))
+    val span = ev0.agg(min(col("us")), max(col("us"))).head()
+    val range = span.getLong(1) - span.getLong(0) + 1L
+    // ~64 buckets per 1× span — a head key's densest bucket stays a
+    // small task sort at any probed scale
+    spark.range(1).select(lit(math.max(range / 64L, 1L)).as("bucket_us"))
+      .write.mode("overwrite").parquet(s"$SfAsof/meta.parquet")
+    def skewed(copies: Int): DataFrame =
+      (0 until copies).map { i =>
+        ev0.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+          col("user_id"), col("event_type"),
+          (col("us") + lit(i.toLong * range)).as("us"))
+      }.reduce(_ unionByName _)
+        // HALF of all rows collapse onto one key — the zipf head
+        // (user_id is numeric in the events schema; -42 is the head)
+        .withColumn("user_id",
+          when(substring(md5(col("event_id").cast("string")), 1, 1) < "8",
+            lit(-42L)).otherwise(col("user_id").cast("long")))
+    skewed(1).repartition(32)
+      .write.mode("overwrite").parquet(s"$SfAsof/ev1")
+    skewed(10).repartition(32)
+      .write.mode("overwrite").parquet(s"$SfAsof/ev10")
+    marker.createNewFile()
   }
 
   private def buildMegaIfMissing(spark: SparkSession): Unit = {

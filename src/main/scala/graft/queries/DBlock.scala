@@ -662,7 +662,7 @@ object DBlock {
         .orderBy(col("bin"), col("doc_id"))
     }),
 
-    // D66: per-bin token-id MATERIALIZATION — the `.bin` artifact
+    // D67: per-bin token-id MATERIALIZATION — the `.bin` artifact
     // the d90 manifest addresses: concatenate each context bin's
     // document segments (real fixed-BPE ids, the d38/d59 tokenizer)
     // in bin order. The oracle re-derives every token id (the d51
@@ -686,7 +686,7 @@ object DBlock {
         .orderBy(col("bin"))
     }),
 
-    // D45d: ANN index REBALANCE — the actuator behind the d79
+    // D66: ANN index REBALANCE — the actuator behind the d79
     // occupancy stats: build on the even half (book AND cells train
     // on evens), append the odd half (encoded with the even-trained
     // book, assigned to even-trained cells — the occupancy drift a
