@@ -1832,10 +1832,15 @@ object Dedup {
       .select(col("cluster_size"), col("n_clusters"),
         (col("n_clusters") * col("cluster_size")).as("n_docs"),
         (col("n_clusters") * (col("cluster_size") - 1)).as("n_dropped"))
-    val nTotal = universe.filter(col(idCol).isNotNull)
-      .select(col(idCol)).distinct().count()
-    val nClustered = comp.count()
-    val singles = nTotal - nClustered
+    // ONE driver action for both scalars (universe size + clustered
+    // count): a tagged union into a two-row aggregate, instead of
+    // two separate count() jobs
+    val cnt = universe.filter(col(idCol).isNotNull)
+      .select(col(idCol)).distinct().select(lit("u").as("__s"))
+      .unionAll(comp.select(lit("c").as("__s")))
+      .groupBy(col("__s")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val singles = cnt.getOrElse("u", 0L) - cnt.getOrElse("c", 0L)
     hist.unionAll(
       Seq((1L, singles, singles, 0L))
         .toDF("cluster_size", "n_clusters", "n_docs", "n_dropped"))

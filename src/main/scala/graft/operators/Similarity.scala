@@ -927,12 +927,33 @@ object Similarity {
     * every cell argmax and cosine is exact integer arithmetic a SQL
     * oracle re-derives bit-for-bit — the d35/d50 discipline).
     *
+    * SIZING `nlist` (a formula, not an example): within-cell pair
+    * work is ~(corpus/nlist)² per cell, so
+    *   nlist ≈ corpus_rows / target_cell_rows
+    * with target_cell_rows ~5k–50k for a dedup pass (a 50k cell is
+    * ~1.25G cosines — minutes of one executor's work; a 1M cell is
+    * ~500G — a straggler that never finishes). The default 16 is an
+    * ORACLE-SCALE default, guarded: the operator counts the corpus
+    * (one column-pruned scan, cheap beside the centroid sample) and
+    * RAISES when mean cell size exceeds `maxMeanCellRows` (default
+    * 2²² ≈ 4.2M — already past any sane cell) rather than launching
+    * a quadratic job that cannot finish; pass a right-sized nlist,
+    * or raise `maxMeanCellRows` to explicitly own the cost.
+    *
     * Returns (vec_id, cell_id, keep, dropped_by): every input row,
     * keep = no smaller-id in-cell neighbor at >= threshold,
     * dropped_by = the SMALLEST such neighbor id (null when kept). */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16,
-      md5Sig: Boolean = false): DataFrame = {
+      md5Sig: Boolean = false,
+      maxMeanCellRows: Long = 1L << 22): DataFrame = {
+    val n = emb.select(col(idCol)).count()
+    require(n <= nlist.toLong * maxMeanCellRows,
+      s"semanticDedup: $n rows over $nlist cells = mean " +
+        s"${n / math.max(nlist, 1)} rows/cell (> $maxMeanCellRows); " +
+        "within-cell pair cost is ~(corpus/nlist)^2 per cell — size " +
+        "nlist ~ corpus_rows / target_cell_rows (target 5k-50k), or " +
+        "raise maxMeanCellRows to own the cost explicitly")
     val sampleOrd =
       if (md5Sig) Dedup.md5Hash60(col(idCol).cast("long").cast("string"))
       else xxhash64(col(idCol).cast("long"))
@@ -998,13 +1019,32 @@ object Similarity {
     * audit pass, a smaller nlist (coarser cells) raises recall at
     * quadratic-in-cell-size cost.
     *
+    * SIZING `nlist` (a formula, not an example): candidate work is
+    * ~(corpus/nlist)·(holdout in the cell) per cell, so
+    *   nlist ≈ corpus_rows / target_cell_rows
+    * with target_cell_rows sized so cell_rows × (holdout/nlist)
+    * stays a task-sized cosine count (holdouts are benchmark-suite-
+    * sized, so targets up to ~1M rows/cell are fine — an order
+    * looser than [[semanticDedup]]'s quadratic bound). The default
+    * 16 is an oracle-scale default, guarded exactly as there: the
+    * corpus is counted and the call RAISES past `maxMeanCellRows`
+    * (default 2²² ≈ 4.2M) instead of launching an unfinishable job;
+    * pass a right-sized nlist or raise the bound to own the cost.
+    *
     * Returns (vec_id, cell_id, keep, matched_eval): every corpus
     * row; keep = no in-cell holdout at >= threshold; matched_eval =
     * the smallest such holdout id (null when kept). The zero-norm
     * guard contributes cos 0.0 (the d57 NaN lesson). */
   def semanticDecontaminate(corpus: DataFrame, holdout: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
-      nlist: Int = 16, md5Sig: Boolean = false): DataFrame = {
+      nlist: Int = 16, md5Sig: Boolean = false,
+      maxMeanCellRows: Long = 1L << 22): DataFrame = {
+    val n = corpus.select(col(idCol)).count()
+    require(n <= nlist.toLong * maxMeanCellRows,
+      s"semanticDecontaminate: $n corpus rows over $nlist cells = mean " +
+        s"${n / math.max(nlist, 1)} rows/cell (> $maxMeanCellRows); " +
+        "size nlist ~ corpus_rows / target_cell_rows, or raise " +
+        "maxMeanCellRows to own the cost explicitly")
     val sampleOrd =
       if (md5Sig) Dedup.md5Hash60(col(idCol).cast("long").cast("string"))
       else xxhash64(col(idCol).cast("long"))

@@ -171,6 +171,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semantic cell-cost guard: the call raises past the documented mean-cell bound with the sizing formula; under it, unchanged") {
+    import spark.implicits._
+    val emb = (1L to 10L).map(i => (i, Seq(i.toFloat, 1f)))
+      .toDF("vec_id", "qv")
+    // 10 rows over 2 cells with a bound of 3/cell → raise, and the
+    // message carries the formula the caller needs
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(emb, "vec_id", "qv", threshold = 0.9,
+        nlist = 2, maxMeanCellRows = 3L)
+    }
+    assert(e1.getMessage.contains("target_cell_rows"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(emb, emb.limit(2), "vec_id", "qv",
+        threshold = 0.9, nlist = 2, maxMeanCellRows = 3L)
+    }
+    assert(e2.getMessage.contains("maxMeanCellRows"), e2.getMessage)
+    // owning the cost explicitly (or sizing nlist right) proceeds
+    assert(Similarity.semanticDedup(emb, "vec_id", "qv", threshold = 0.9,
+      nlist = 2, maxMeanCellRows = 5L).count() == 10L)
+    assert(Similarity.semanticDecontaminate(emb, emb.limit(2), "vec_id",
+      "qv", threshold = 0.9, nlist = 4).count() == 10L)
+  }
+
   test("empty-corpus edges fail loudly or return empty, never an opaque analysis error") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
