@@ -1219,9 +1219,9 @@ object Similarity {
     * a function of (vec, book) alone, independent of cells, so the
     * stored codes stay bit-valid and the rewrite is a pure cell_id
     * reassignment — no decode/re-encode pass over the corpus (a
-    * book refresh invalidates every stored code; that is a rebuild,
-    * not a rebalance). Serving needs no change: the query path reads
-    * centroids back from `_cents` per batch.
+    * book refresh invalidates every stored code; that is
+    * [[rebuildAnnIndex]], not a rebalance). Serving needs no change:
+    * the query path reads centroids back from `_cents` per batch.
     *
     * Crash safety — TWO tables must change together, so the write
     * order makes every window recoverable: (1) the new centroids
@@ -1261,35 +1261,111 @@ object Similarity {
     completeRebalance(spark, name)
   }
 
-  /** Roll-forward tail shared by [[rebalanceAnnIndex]] and its crash
-    * recovery — precondition: staged centroids exist and the marker
-    * is set (the staged state is the declared truth). */
+  /** Roll-forward tail shared by [[rebalanceAnnIndex]],
+    * [[rebuildAnnIndex]] and their crash recovery — precondition:
+    * staged centroids exist and the marker is set (the staged state
+    * is the declared truth). A staged BOOK beside them means a
+    * rebuild: codes re-encode against it and it promotes too;
+    * without one (a rebalance) codes carry over bit-unchanged. */
   private def completeRebalance(spark: org.apache.spark.sql.SparkSession,
       name: String): Unit = {
     val stage = s"${name}_cents_stage"
-    val numBuckets = spark.table(s"${name}_meta").head()
-      .getAs[Int]("num_buckets")
+    val bookStage = s"${name}_book_stage"
+    val metaRow = spark.table(s"${name}_meta").head()
+    val numBuckets = metaRow.getAs[Int]("num_buckets")
+    val m = metaRow.getAs[Int]("m")
     val cellCents = spark.table(stage).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
       .sortBy(_._1).toIndexedSeq
+    val stagedBook: Option[PqBook] =
+      if (!graft.sources.Bucketing.registerExisting(spark, bookStage, None))
+        None
+      else Some {
+        val bc = spark.table(bookStage).collect()
+          .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toIndexedSeq)
+          .toIndexedSeq
+        PqBook(bc, m, bc.head.size / m)
+      }
     graft.sources.Bucketing.compactBucketed(df => df.select(
       col("vec_id"),
       array_min(array(l2CellStructs(cellCents, col("vec")): _*))
         .getField("cell_id").as("cell_id"),
-      col("codes"), col("vec")))(
+      stagedBook.map(b => b.codesOf(col("vec")).as("codes"))
+        .getOrElse(col("codes")),
+      col("vec")))(
       spark, s"${name}_vectors", "cell_id", numBuckets)
     graft.sources.Bucketing.writeTable(spark.table(stage), s"${name}_cents")
+    stagedBook.foreach(_ => graft.sources.Bucketing.writeTable(
+      spark.table(bookStage), s"${name}_book"))
     graft.sources.Bucketing.deleteMarker(spark, rebalanceMarker(name))
     graft.sources.Bucketing.dropTableAndDir(spark, stage)
+    graft.sources.Bucketing.dropTableAndDir(spark, bookStage)
+  }
+
+  /** Full REBUILD from the index's current contents — the verb
+    * [[rebalanceAnnIndex]] deliberately is not: retrains cell
+    * centroids AND the PQ codebook from what the index holds NOW,
+    * re-encodes every stored vector's codes, reassigns cells, and
+    * rewrites crash-safe. Reach for it when the CODES have gone
+    * stale — appends encode against the build-time book, and after
+    * enough distribution drift the ADC shortlist quality degrades in
+    * a way no cell rebalance can fix (the book, not the cells, is
+    * the approximation). It costs what a build costs (one full
+    * re-encode pass over the index contents — still never touching
+    * the source corpus); the rebalance stays the cheap actuator for
+    * occupancy-only drift.
+    *
+    * Proof obligation (the d93 oracle): rebuilding from contents
+    * must equal a FRESH build over the same vector set — rebuild
+    * erases build-history dependence, so an index built on half the
+    * corpus, appended with the rest, then rebuilt serves bit-equal
+    * to the direct full-corpus computation (the d58 twin SQL,
+    * verbatim).
+    *
+    * Crash safety: the [[rebalanceAnnIndex]] stage→marker→rewrite→
+    * promote→clear discipline with the BOOK staged beside the
+    * centroids; post-marker recovery rolls forward (codes and cells
+    * are both pure functions of (stored vec, staged tables), so the
+    * rewrite is idempotent). [[openAnnIndex]] finishes either verb's
+    * interruption — the marker records which tables were staged. */
+  def rebuildAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      refineIters: Int = 2,
+      refineSampleMod: Long = 4): Unit = {
+    finishInterruptedRebalance(spark, name)
+    val meta = spark.table(s"${name}_meta").head()
+    val nlist = meta.getAs[Int]("nlist")
+    val m = meta.getAs[Int]("m")
+    val ksub = meta.getAs[Int]("ksub")
+    val md5Sig = meta.getAs[Boolean]("md5_sig")
+    val contents = spark.table(s"${name}_vectors")
+    val sampleOrd =
+      if (md5Sig) Dedup.md5Hash60(col("vec_id").cast("long").cast("string"))
+      else xxhash64(col("vec_id").cast("long"))
+    val iters = if (md5Sig) 0 else refineIters
+    val cellCents = trainL2CellCents(contents, "vec_id", "vec", nlist,
+      iters, refineSampleMod, sampleOrd)
+    val book = trainPqBook(contents, "vec_id", "vec", m, ksub,
+      iters, refineSampleMod, sampleOrd)
+    import spark.implicits._
+    graft.sources.Bucketing.writeTable(
+      cellCents.map { case (cid, v) => (cid, v.toSeq) }
+        .toDF("cell_id", "cvec"), s"${name}_cents_stage")
+    graft.sources.Bucketing.writeTable(
+      book.cents.zipWithIndex.map { case (v, c) => (c, v.toSeq) }
+        .toDF("code", "cvec"), s"${name}_book_stage")
+    graft.sources.Bucketing.createMarker(spark, rebalanceMarker(name))
+    completeRebalance(spark, name)
   }
 
   private def finishInterruptedRebalance(
       spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
     val stage = s"${name}_cents_stage"
     if (!graft.sources.Bucketing.markerExists(spark, rebalanceMarker(name))) {
-      // pre-marker crash: the staged centroids never became the
-      // truth — the live index is untouched; drop the leftover
+      // pre-marker crash: the staged tables never became the truth —
+      // the live index is untouched; drop the leftovers
       graft.sources.Bucketing.dropTableAndDir(spark, stage)
+      graft.sources.Bucketing.dropTableAndDir(spark, s"${name}_book_stage")
       return
     }
     graft.sources.Bucketing.registerExisting(spark, stage, None)

@@ -662,6 +662,32 @@ object DBlock {
         .orderBy(col("bin"), col("doc_id"))
     }),
 
+    // D68: ANN index full REBUILD — the verb the rebalance is not:
+    // cells AND the PQ book retrain from the index's current
+    // contents and every code re-encodes. The proof obligation is
+    // exactly "rebuild erases build history": build on the even
+    // half, append the odd half (codes against the even-trained
+    // book), REBUILD, query — and the oracle is the d50/d58 direct
+    // full-corpus twin SQL, VERBATIM: one string now proving three
+    // entries (d50 direct, d58 build-once, d93 rebuild-after-drift).
+    "d93_ann_rebuild" -> ((s, d) => {
+      val q8 = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+      Similarity.buildAnnIndex(q8.filter(col("vec_id") % 2 === 0),
+        "vec_id", "qv", name = "d93_idx",
+        nlist = 16, m = 4, ksub = 8, md5Sig = true)
+      Similarity.appendToAnnIndex(q8.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "qv", "d93_idx")
+      Similarity.rebuildAnnIndex(s, "d93_idx")
+      Similarity.annTopKAgainstIndex(q8.filter(col("vec_id") < 50),
+        "vec_id", "qv", name = "d93_idx", k = 10, nprobe = 4,
+        shortlistFactor = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("dist2").cast("long").as("dist2"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // D67: per-bin token-id MATERIALIZATION — the `.bin` artifact
     // the d90 manifest addresses: concatenate each context bin's
     // document segments (real fixed-BPE ids, the d38/d59 tokenizer)
@@ -3842,6 +3868,9 @@ object DBlock {
     // rebalance proof: book trained on the BUILD subset (evens),
     // cells on the full corpus — what rebalance-after-append yields
     "d91_ann_rebalance" -> ivfPqTwinSqlFor("WHERE vec_id % 2 = 0"),
+    // rebuild proof: build history erased — the direct full-corpus
+    // twin, verbatim
+    "d93_ann_rebuild" -> ivfPqTwinSql,
 
     // range search brute-forced on the SAME cell CTEs as d50/d58:
     // every (probed cell, resident) pair scored with the exact

@@ -456,6 +456,50 @@ class SimilaritySpec extends AnyFunSuite {
       top.head._3 == 0.0, s"twin not served: ${top.toSeq}")
   }
 
+  test("ANN index rebuild: erases build history — bit-equal to a fresh build on the same contents, codes re-encoded") {
+    import org.apache.spark.sql.functions.col
+    val q8 = q8corpus.filter(col("vec_id") < 60).localCheckpoint(true)
+    // drifted index: built on one half, appended with the other
+    Similarity.buildAnnIndex(q8.filter(col("vec_id") % 2 === 0),
+      "vec_id", "qv", name = "t_ann_rebuild",
+      nlist = 8, m = 4, ksub = 8, md5Sig = true, numBuckets = 4)
+    Similarity.appendToAnnIndex(q8.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "qv", "t_ann_rebuild")
+    val driftedCodes = spark.table("t_ann_rebuild_vectors")
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    Similarity.rebuildAnnIndex(spark, "t_ann_rebuild")
+    // reference: a fresh build over the identical vector set
+    Similarity.buildAnnIndex(q8, "vec_id", "qv", name = "t_ann_fresh",
+      nlist = 8, m = 4, ksub = 8, md5Sig = true, numBuckets = 4)
+    def table(n: String): Set[(Long, Long, List[Int], List[Float])] =
+      spark.table(s"${n}_vectors").collect().map(r => (r.getLong(0),
+        r.getLong(1), r.getSeq[Int](2).toList,
+        r.getSeq[Float](3).toList)).toSet
+    assert(table("t_ann_rebuild") == table("t_ann_fresh"),
+      "rebuild must equal a fresh build row for row")
+    def side(n: String, t: String): Set[String] =
+      spark.table(s"$n$t").collect().map(_.toString).toSet
+    assert(side("t_ann_rebuild", "_cents") == side("t_ann_fresh", "_cents"))
+    assert(side("t_ann_rebuild", "_book") == side("t_ann_fresh", "_book"))
+    // and the codes genuinely changed (the book retrained — this is
+    // what distinguishes rebuild from rebalance)
+    val rebuiltCodes = spark.table("t_ann_rebuild_vectors")
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(rebuiltCodes != driftedCodes,
+      "a rebuild over a drifted book should re-encode at least one code")
+    // staging artifacts are gone
+    assert(!spark.catalog.tableExists("t_ann_rebuild_cents_stage") &&
+      !spark.catalog.tableExists("t_ann_rebuild_book_stage"))
+    // serving agrees between the two indexes
+    val q = q8.filter(col("vec_id") < 5)
+    def serve(n: String) = Similarity.annTopKAgainstIndex(q, "vec_id",
+      "qv", name = n, k = 5, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(serve("t_ann_rebuild") == serve("t_ann_fresh"))
+  }
+
   test("ANN index rebalance crash windows: a pre-marker stage drops; a post-marker stage rolls FORWARD across a restart") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
