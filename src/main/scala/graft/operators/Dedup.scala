@@ -823,6 +823,38 @@ object Dedup {
     }
   }
 
+  /** Occupancy/cardinality report for a [[buildDedupIndex]] index —
+    * the dedup family's counterpart of
+    * [[graft.operators.Similarity.annIndexStats]] (every index
+    * family carries a stats verb beside its build/append/compact/
+    * retire/open lifecycle; stats drive the compact/rebuild
+    * decision). One row: `n_docs` (signature rows), `n_content_
+    * hashes` (exact-screen keys), `n_band_rows` / `n_distinct_bands`
+    * / `max_band_occ` (the band-bucket histogram's mass, support and
+    * hot bucket — a mega-bucket is every screen join's straggler and
+    * the signal to re-band or salt).
+    *
+    * Scale shape: the occupancy aggregate groups by the table's OWN
+    * bucket key, so the bucketed scan satisfies the clustering and
+    * the only exchanges are three one-row aggregate gathers. Note
+    * `n_distinct_bands` counts distinct stored `band_hash` values —
+    * band vectors folded through xxhash64 at build time; the count
+    * equals the distinct-band-vector count unless a 64-bit fold
+    * collision exists in the data (deterministic for a fixed corpus;
+    * the d97 oracle verifies no-collision holds at every gate SF). */
+  def dedupIndexStats(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame = {
+    val occ = spark.table(s"${name}_bands")
+      .groupBy(col("band_hash")).agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n")).as("n_band_rows"),
+        count(lit(1)).as("n_distinct_bands"),
+        max(col("__n")).as("max_band_occ"))
+    spark.table(s"${name}_docs").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(spark.table(s"${name}_ch")
+        .agg(count(lit(1)).as("n_content_hashes")))
+      .crossJoin(occ)
+  }
+
   // ---------------------------------------------------------------
   // Persistent PERCEPTUAL SIGNATURE index — the D35 index-once
   // pattern for 64-bit hamming signatures (image dHash, audio
@@ -1086,6 +1118,30 @@ object Dedup {
       Some(("vid", numBuckets)))
   }
 
+  /** Occupancy/cardinality report for a [[buildSimIndex]] index —
+    * the signature family's [[dedupIndexStats]]: one row with
+    * `n_sigs` (indexed signatures — exact arithmetic
+    * n_chunk_rows / (maxDist + 1), every sig contributes exactly its
+    * pigeonhole chunk count), `n_chunk_rows` / `n_distinct_chunks` /
+    * `max_chunk_occ` (the chunk-bucket histogram; a mega-bucket —
+    * one chunk value shared by a huge near-family — is the screen
+    * join's straggler signal). Groups by the table's own bucket key:
+    * zero exchanges below the one-row gather. The xxhash64-fold
+    * caveat of [[dedupIndexStats]] applies to `n_distinct_chunks`
+    * identically. */
+  def simIndexStats(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame = {
+    val (maxDist, _) = simIndexMeta(spark, name)
+    spark.table(s"${name}_chunks")
+      .groupBy(col("chunk_hash")).agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n")).as("n_chunk_rows"),
+        count(lit(1)).as("n_distinct_chunks"),
+        max(col("__n")).as("max_chunk_occ"))
+      .select((col("n_chunk_rows") / (maxDist + 1)).cast("long").as("n_sigs"),
+        col("n_chunk_rows"), col("n_distinct_chunks"),
+        col("max_chunk_occ"))
+  }
+
   // ---------------------------------------------------------------
   // Persistent URL FRONTIER index — the fourth index family. The
   // production pipeline order is URL-screen → extract → gate →
@@ -1186,6 +1242,16 @@ object Dedup {
       Some(("uh", numBuckets))),
       s"url index '$name' is missing its url table")
   }
+
+  /** Cardinality report for a [[buildUrlIndex]] frontier — the
+    * family's [[dedupIndexStats]]. The frontier is a distinct key
+    * set (one md5 per canonical URL, no ownership, no occupancy),
+    * so the report is the one number a crawl scheduler reads:
+    * `n_urls`, the frontier's size. A single count over the bucketed
+    * scan. */
+  def urlIndexStats(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame =
+    spark.table(s"${name}_url").agg(count(lit(1)).as("n_urls"))
 
   /** The shared positional gram pipeline under [[crossDocSpans]] and
     * [[gramProfile]]: one scan — tokenize, [[graft.functions
@@ -1460,6 +1526,109 @@ object Dedup {
                 (i + 1) >= c.getField("span_start") &&
                   (i + 1) <= c.getField("span_end")))),
           " ").as("clean_text"))
+  }
+
+  /** Corpus-wide LINE-level dedup — the C4/RefinedWeb line discipline
+    * (C4 discards every occurrence-after-the-first of any line
+    * repeated across the corpus; RefinedWeb's line-wise dedup is the
+    * same pass at line granularity): a line whose normalized form
+    * (trim + lowercase) appears in at least `minDocs` DISTINCT
+    * documents keeps exactly ONE occurrence — the minimal (doc_id,
+    * pos) — and every other occurrence corpus-wide is removed,
+    * including later repeats inside the keeper document itself.
+    * Blank-normalized lines (structural whitespace) never
+    * participate and are always kept. This is the boilerplate killer
+    * document-level dedup (D1) and span-level dedup (D25) both miss
+    * at their granularity: navigation bars, cookie banners and
+    * license lines that repeat verbatim across otherwise-distinct
+    * pages (reference scope: xgp/keycloak-event-stream has no
+    * corpus-cleaning surface; this is engine-own pipeline ground).
+    *
+    * Shape — the [[gramKeyedStats]] discipline at line granularity:
+    * one scan + ONE Generate (posexplode over `split(text, "\n",
+    * -1)` — limit -1 so trailing blank lines keep their positions),
+    * ONE explicit line-hash exchange reused by every hash-keyed
+    * consumer, and aggregates instead of windows (a boilerplate
+    * mega-line — one cookie banner in 10^8 documents of a 100 TB
+    * corpus — streams through per-(h, doc) and per-h HASH aggregates
+    * instead of sort-buffering its whole row set in one window
+    * task). The keeper occurrence — the global arg-min (doc, pos) —
+    * costs NO extra pass: min_by(min-pos, doc_id) rides the per-hash
+    * stats aggregate on a primitive (long, int) buffer (a
+    * min(struct(doc, pos)) would fall off HashAggregate onto
+    * SortAggregate — the very hot-key sort this shape avoids — and
+    * an explicit keeper equi-join gets re-keyed by the optimizer
+    * onto (h, doc), re-shuffling both sides). The one join-back is
+    * an exchange-free SHUFFLE_HASH build on the duplicated-hash
+    * SLIVER (hashes seen in >= minDocs docs), never one entry per
+    * distinct line. The rebuild is [[cutCrossDocSpans]]'s
+    * reconstruct join: per-doc removed-position lists (ONE doc-keyed
+    * exchange) join a second narrow scan holding the original line
+    * array, and a filter HOF drops removed indices — the document is
+    * never exploded a second time.
+    *
+    * The line hash is [[md5Hash60]] over the normalized line, so the
+    * whole operator is oracle-reproducible (DuckDB re-derives every
+    * line hash, the keeper choice and the reassembled text).
+    *
+    * Returns (doc_id, n_lines, n_removed, clean_text): one row per
+    * non-null input doc; `clean_text` re-joins kept lines with "\n"
+    * in original order (original case — normalization exists only
+    * for matching); a document whose every line is removed becomes
+    * the empty string. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val lines = live
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n", -1)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        md5Hash60(trim(lower(col("col")))).as("h"),
+        (length(trim(col("col"))) > 0).as("__nb"))
+    val keyed = lines.filter(col("__nb"))
+      .select(col("doc_id"), col("pos"), col("h"))
+      .repartition(col("h"))
+    // per-(hash, doc) collapse: min position, streaming hash agg on
+    // the h partitioning (HashPartitioning(h) satisfies (h, doc_id)
+    // clustering — no second exchange).
+    val perDoc = keyed.groupBy(col("h"), col("doc_id"))
+      .agg(min(col("pos")).as("__mnpos"))
+    // per-hash stats over rows already collapsed to distinct
+    // (h, doc_id): distinct-doc count is a plain count, and the
+    // keeper POSITION rides the same pass as min_by(min-pos,
+    // doc_id) — doc_id is unique within the group, so the arg-min is
+    // deterministic, the (long, int) buffer stays on HashAggregate's
+    // fast path (a min(struct(doc, pos)) would fall to
+    // SortAggregate), and no keeper join exists for the optimizer to
+    // re-key (an explicit keeper equi-join was observed re-shuffling
+    // BOTH sides on (h, doc), splitting the reused h partitioning).
+    val keeper = perDoc.groupBy(col("h"))
+      .agg(count(lit(1)).as("__nd"),
+        min(col("doc_id")).as("__mn"),
+        min_by(col("__mnpos"), col("doc_id")).as("__kpos"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("h").as("__dh"), col("__mn"), col("__kpos"))
+    // every non-keeper occurrence of a duplicated hash goes. The
+    // keeper-identity check stays a post-join FILTER (a NOT over a
+    // conjunction — not an extractable equi-key).
+    val removed = keyed
+      .join(keeper.hint("SHUFFLE_HASH"), col("h") === col("__dh"))
+      .filter(!(col("doc_id") === col("__mn") && col("pos") === col("__kpos")))
+      .select(col("doc_id"), col("pos"))
+    val rm = removed.groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("__rm"))
+    live
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\n", -1).as("__ls"))
+      .join(rm.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__ls")).as("n_lines"),
+        coalesce(size(col("__rm")), lit(0)).as("n_removed"),
+        array_join(
+          when(col("__rm").isNull, col("__ls"))
+            .otherwise(filter(col("__ls"), (_, i) =>
+              !array_contains(col("__rm"), i + 1))),
+          "\n").as("clean_text"))
   }
 
   /** Benchmark decontamination — the eval-overlap screen every

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Retrieval, Sampling, Similarity, Snapshot, TextAnalysis}
 import graft.sources.Tables
 
 /** D-block: LLM-training-data pipeline operators (SURVEY.md §2
@@ -660,6 +660,172 @@ object DBlock {
         capacity = 2048L)
       Packing.binManifest(packed, "doc_id", 2048L)
         .orderBy(col("bin"), col("doc_id"))
+    }),
+
+    // D69: corpus-wide LINE-level dedup — the C4/RefinedWeb line
+    // discipline: a normalized line repeated in >= 2 distinct docs
+    // keeps exactly its minimal (doc_id, pos) occurrence; every
+    // other occurrence corpus-wide is cut and the docs reassemble.
+    // The boilerplate killer D1 (whole-doc) and D25 (token-span)
+    // both miss at their granularity. Testdata text is single-line
+    // token soup, so the entry PLANTS line structure
+    // deterministically (the d71 planted-URL precedent): each doc's
+    // whitespace tokens wrap into fixed-width 8-token lines joined
+    // by '\n' — cross-doc line repetition is then inherent to the
+    // shared-vocabulary corpus. Fully oracle-checked: DuckDB replays
+    // the wrap, every md5 line hash, the keeper choice and the
+    // reassembled text.
+    "d94_line_dedup" -> ((s, d) => {
+      val w = 8
+      val ws = split(trim(col("text")), "\\s+")
+      val nl = ceil(size(ws) / lit(w.toDouble)).cast("int")
+      val planted = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          array_join(transform(sequence(lit(1), nl), i =>
+            array_join(slice(ws, (i - 1) * lit(w) + 1, lit(w)), " ")),
+            "\n").as("text"))
+      Dedup.lineDedup(planted, "doc_id", "text", minDocs = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // D70: corpus snapshot DIFF — the between-crawls delta that
+    // scopes every incremental re-curation: added docs feed the D29
+    // incremental dedup, removed docs feed the index retire verbs,
+    // changed docs re-score. The entry derives the OLD snapshot
+    // deterministically from the corpus (md5(doc_id) slices: 'f'
+    // held out of old → added; 'e' content-perturbed in old →
+    // changed; 'd' ghost-id twins present only in old → removed;
+    // the rest unchanged) so all four verdicts are exercised — the
+    // d84 both-verdicts discipline. Fully oracle-checked.
+    "d95_corpus_diff" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val old = base.filter(h1 =!= "f")
+        .select(col("doc_id"),
+          when(h1 === "e", concat(col("text"), lit(" EDITED")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(base.filter(h1 === "d")
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+      Snapshot.corpusDiff(old, base, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // D71: hybrid lexical+dense retrieval — BM25 per-query ranks
+    // (the new batch front door) fused with brute-force cosine ranks
+    // by reciprocal-rank fusion (Cormack et al. 2009), the standard
+    // production hybrid: no score calibration between legs, ranks
+    // only. Corpus = documents ⋈ embeddings on the planted
+    // doc_id = vec_id alignment; the 5 probe docs query BY EXAMPLE
+    // (their own top-3 TF-IDF keywords as the lexical query, their
+    // own embedding as the dense query, self excluded on both
+    // legs). Fully oracle-checked: DuckDB re-derives the keywords,
+    // both legs' ranked lists and the fused RRF ranking.
+    "d96_hybrid_topk" -> ((s, d) => {
+      val corp = Tables.documents(s, d).join(
+        Tables.embeddings(s, d).hint("SHUFFLE_HASH"),
+        col("doc_id") === col("vec_id"))
+      val kw = Retrieval.tfidfKeywords(corp, "doc_id", "text", topK = 3)
+        .filter(col("doc_id") < 5)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("term"))).as("terms"))
+        .select(col("doc_id").as("query_id"), col("terms"))
+      val lex = Retrieval.bm25PerQueryRanks(corp, "doc_id", "text",
+        kw, "query_id", "terms", topK = 20, k1 = 1.5, b = 0.75,
+        excludeSelf = true)
+      val dense = Similarity.bruteForceTopK(
+        corp.filter(col("doc_id") < 5), corp, "doc_id", "embedding",
+        k = 20)
+        .select(col("query_id"), col("rank"),
+          col("neighbor_id").as("doc_id"))
+      Retrieval.rrfFuse(
+        lex.select(col("query_id"), col("rank"), col("doc_id")),
+        dense, k0 = 60, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // D73: INCREMENTAL RE-CURATION capstone — the refresh pipeline a
+    // re-crawled corpus actually runs, composing D70 + D35: the
+    // snapshot diff SCOPES the work (only added/changed docs pay the
+    // screen — at 100 TB the whole point is that unchanged docs pay
+    // one narrow fingerprint join and nothing else), the persistent
+    // dedup index built from the OLD snapshot screens the work set
+    // (a changed doc whose edit is trivial near-matches its own old
+    // version and is skipped — the desired behavior for re-crawls),
+    // and removed docs become the index retire list. Emits one
+    // (doc_id, action) row per work item: 'ingest' (novel, goes in),
+    // 'skip_dup' (screened by the old corpus), 'retire' (gone;
+    // feed to retireFromDedupIndex). Fully oracle-checked: DuckDB
+    // re-derives the snapshot, the work set, the md5-minhash band
+    // candidates, the exact-jaccard verdicts and the exact-hash
+    // screen — sides keyed by (doc_id, side) because a changed doc
+    // legitimately exists on BOTH sides with different text.
+    "d100_incremental_curation" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val old = base.filter(h1 =!= "f")
+        .select(col("doc_id"),
+          when(h1 === "e", concat(col("text"), lit(" EDITED")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(base.filter(h1 === "d")
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            col("text")))
+      val diff = Snapshot.corpusDiff(old, base, "doc_id", "text")
+        .localCheckpoint(true) // work set + retire set both read it
+      val newWork = base.join(
+        diff.filter(col("status").isin("added", "changed"))
+          .select(col("doc_id")).hint("SHUFFLE_HASH"),
+        Seq("doc_id"), "left_semi")
+      Dedup.buildDedupIndex(old, "doc_id", "text", name = "d100_idx",
+        md5Sig = true)
+      val ingest = Dedup.dedupAgainstIndex(newWork, "doc_id", "text",
+        "d100_idx")
+        .select(col("doc_id"))
+        .localCheckpoint(true) // union arm + skip anti-join both read it
+      ingest.select(col("doc_id"), lit("ingest").as("action"))
+        .unionByName(newWork.select(col("doc_id"))
+          .join(ingest, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit("skip_dup").as("action")))
+        .unionByName(diff.filter(col("status") === "removed")
+          .select(col("doc_id"), lit("retire").as("action")))
+        .orderBy(col("doc_id"), col("action"))
+    }),
+
+    // D72: index lifecycle STATS for the dedup / signature / URL
+    // families — d79's annIndexStats counterpart, so every index
+    // family pairs its actuators with the report that triggers them
+    // (compact/re-band/rebalance decisions read occupancy, not
+    // vibes). Each occupancy aggregate groups by the table's OWN
+    // bucket key: the bucketed scan satisfies the clustering, zero
+    // exchanges below the one-row gather. All three are fully
+    // oracle-checked — DuckDB re-derives the md5-minhash band
+    // vectors (d97), the md5-simhash pigeonhole chunks (d98) and
+    // the canonical-URL key set (d99) from raw text and
+    // re-aggregates the same histograms, so the no-xxhash-fold-
+    // collision premise behind the distinct counts is VERIFIED at
+    // every gate SF, not assumed.
+    "d97_dedup_index_stats" -> ((s, d) => {
+      Dedup.buildDedupIndex(Tables.documents(s, d), "doc_id", "text",
+        name = "d97_idx", shingleK = 3, numPerms = 32, bands = 16,
+        md5Sig = true)
+      Dedup.dedupIndexStats(s, "d97_idx")
+    }),
+
+    "d98_sim_index_stats" -> ((s, d) => {
+      Dedup.buildSimIndex(
+        Dedup.md5Simhash60(Tables.documents(s, d), "doc_id", "text"),
+        "d98_idx", maxDist = 2)
+      Dedup.simIndexStats(s, "d98_idx")
+    }),
+
+    "d99_url_index_stats" -> ((s, d) => {
+      Dedup.buildUrlIndex(
+        Tables.documents(s, d).filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), plantedUrl.as("url")),
+        "url", name = "d99_idx")
+      Dedup.urlIndexStats(s, "d99_idx")
     }),
 
     // D68: ANN index full REBUILD — the verb the rebalance is not:
@@ -2461,6 +2627,87 @@ object DBlock {
   }
   private val md5MinhashSql: String = md5MinhashSqlFor(32, 16, 0.5)
 
+  /** d97 oracle: re-derive every md5-minhash band vector (the d30
+    * mins arithmetic — 32 perms, 16 bands of r=2) and re-aggregate
+    * the index's occupancy report. n_distinct_bands equality PROVES
+    * the build-time xxhash64 band fold was collision-free on this
+    * corpus (a collision would merge two band-vector groups and
+    * shrink the engine's count). */
+  private val dedupIndexStatsSql: String = {
+    import graft.operators.Dedup.{mhA, mhB, mhPrime}
+    val mins = (0 until 32)
+      .map(j => s"min((h * ${mhA(j)} + ${mhB(j)}) % $mhPrime) AS m$j")
+      .mkString(", ")
+    val arms = (0 until 16)
+      .map(b => s"SELECT doc_id, $b AS band_id, m${2 * b} AS x0, " +
+        s"m${2 * b + 1} AS x1 FROM m")
+      .mkString(" UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) >= 3 THEN
+       |      list_distinct(list_transform(range(1, len(ws) - 1),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       |    ELSE [list_aggregate(ws, 'string_agg', ' ')] END AS s
+       |  FROM base
+       |), g AS (SELECT doc_id, unnest(s) AS g FROM sh
+       |), h AS (SELECT doc_id, ${h60("g")} & 1073741823 AS h FROM g
+       |), m AS (SELECT doc_id, $mins FROM h GROUP BY doc_id
+       |), bnd AS ($arms
+       |), occ AS (
+       |  SELECT band_id, x0, x1, CAST(count(*) AS BIGINT) AS c
+       |  FROM bnd GROUP BY band_id, x0, x1
+       |)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_docs,
+       |  (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) FROM documents
+       |     WHERE text IS NOT NULL) AS n_content_hashes,
+       |  CAST(sum(c) AS BIGINT) AS n_band_rows,
+       |  CAST(count(*) AS BIGINT) AS n_distinct_bands,
+       |  CAST(max(c) AS BIGINT) AS max_band_occ
+       |FROM occ""".stripMargin
+  }
+
+  /** d98 oracle: the d29 md5-simhash signature CTE + the pigeonhole
+    * chunk slicing (maxDist = 2 → 3 chunks of widths 22/21/21 at
+    * offsets 0/22/43, the Dedup.simChunkCols arithmetic verbatim),
+    * re-aggregated into the chunk occupancy report. Same
+    * collision-proof reading as d97. */
+  private val simIndexStatsSql: String = {
+    val bitSums = (0 until 60).map(i => s"sum((h >> $i) & 1) AS b$i")
+      .mkString(", ")
+    val sigSum = (0 until 60)
+      .map(i => s"CASE WHEN 2*b$i >= n THEN (1::BIGINT << $i) ELSE 0 END")
+      .mkString(" + ")
+    val arms = Seq((0, 0, (1L << 22) - 1), (1, 22, (1L << 21) - 1),
+      (2, 43, (1L << 21) - 1))
+      .map { case (i, off, mask) =>
+        s"SELECT doc_id, $i AS chunk_id, (sim >> $off) & $mask AS v FROM sig"
+      }
+      .mkString(" UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+       |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+       |), h AS (
+       |  SELECT doc_id, ${h60("t")} AS h FROM tok
+       |), bits AS (
+       |  SELECT doc_id, count(*) AS n, $bitSums
+       |  FROM h GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, $sigSum AS sim FROM bits
+       |), ch AS ($arms
+       |), occ AS (
+       |  SELECT chunk_id, v, CAST(count(*) AS BIGINT) AS c
+       |  FROM ch GROUP BY chunk_id, v
+       |)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM sig) AS n_sigs,
+       |  CAST(sum(c) AS BIGINT) AS n_chunk_rows,
+       |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+       |  CAST(max(c) AS BIGINT) AS max_chunk_occ
+       |FROM occ""".stripMargin
+  }
+
   /** d40 oracle: the [[md5MinhashSql]] signature machinery applied
     * CROSS-SET — batch (1/16 md5 slice) vs corpus (rest): candidates
     * by band-slice equality, verification by true 3-gram jaccard,
@@ -2513,6 +2760,81 @@ object DBlock {
        |  AND d.doc_id NOT IN (SELECT bid FROM near)
        |  AND d.doc_id NOT IN (SELECT doc_id FROM exact)
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** d100 oracle: the d95 snapshot derivation + the d40/d46
+    * cross-set screen arithmetic, with sides keyed by (doc_id, side)
+    * because a CHANGED doc legitimately exists on both sides with
+    * different text (old carries its EDITED twin). Work set = added
+    * ('f' slice, absent from old) + changed ('e' slice, fingerprints
+    * differ); retire = the ghost ids present only in old. */
+  private val incrementalCurationSql: String = {
+    import graft.operators.Dedup.{mhA, mhB, mhPrime}
+    val mins = (0 until 32)
+      .map(j => s"min((h * ${mhA(j)} + ${mhB(j)}) % $mhPrime) AS m$j")
+      .mkString(", ")
+    val bandCond = (0 until 16)
+      .map(b => s"(a.m${2 * b} = b.m${2 * b} AND a.m${2 * b + 1} = b.m${2 * b + 1})")
+      .mkString(" OR ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)),1,1) AS h1
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), old AS (
+       |  SELECT doc_id,
+       |    CASE WHEN h1 = 'e' THEN text || ' EDITED' ELSE text END AS text
+       |  FROM base WHERE h1 <> 'f'
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000, text FROM base WHERE h1 = 'd'
+       |), work AS (
+       |  SELECT doc_id, text FROM base WHERE h1 IN ('f', 'e')
+       |), uni AS (
+       |  SELECT doc_id, text, TRUE AS is_batch FROM work
+       |  UNION ALL
+       |  SELECT doc_id, text, FALSE FROM old
+       |), t AS (
+       |  SELECT doc_id, is_batch,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS ws,
+       |    md5(text) AS ch
+       |  FROM uni
+       |), sh AS (
+       |  SELECT doc_id, is_batch, ch,
+       |    CASE WHEN len(ws) >= 3 THEN
+       |      list_distinct(list_transform(range(1, len(ws) - 1),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       |    ELSE [list_aggregate(ws, 'string_agg', ' ')] END AS s
+       |  FROM t
+       |), g AS (
+       |  SELECT doc_id, is_batch, unnest(s) AS g FROM sh
+       |), hh AS (
+       |  SELECT doc_id, is_batch, ${h60("g")} & 1073741823 AS h FROM g
+       |), m AS (
+       |  SELECT doc_id, is_batch, $mins FROM hh GROUP BY doc_id, is_batch
+       |), cand AS (
+       |  SELECT a.doc_id AS bid, b.doc_id AS cid
+       |  FROM (SELECT * FROM m WHERE is_batch) a
+       |  JOIN (SELECT * FROM m WHERE NOT is_batch) b
+       |    ON $bandCond
+       |), near AS (
+       |  SELECT DISTINCT c.bid FROM cand c
+       |  JOIN sh x ON x.doc_id = c.bid AND x.is_batch
+       |  JOIN sh y ON y.doc_id = c.cid AND NOT y.is_batch
+       |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+       |), exact AS (
+       |  SELECT DISTINCT x.doc_id FROM sh x
+       |  WHERE x.is_batch AND x.ch IN (SELECT ch FROM sh WHERE NOT is_batch)
+       |), skip AS (
+       |  SELECT bid AS doc_id FROM near UNION SELECT doc_id FROM exact
+       |)
+       |SELECT doc_id, action FROM (
+       |  SELECT w.doc_id, 'ingest' AS action FROM work w
+       |  WHERE w.doc_id NOT IN (SELECT doc_id FROM skip)
+       |  UNION ALL
+       |  SELECT w.doc_id, 'skip_dup' FROM work w
+       |  WHERE w.doc_id IN (SELECT doc_id FROM skip)
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000, 'retire' FROM base WHERE h1 = 'd'
+       |) ORDER BY doc_id, action""".stripMargin
   }
 
   /** d51 oracle: rebuilds the canonical BPE token-sequence string
@@ -3871,6 +4193,163 @@ object DBlock {
     // rebuild proof: build history erased — the direct full-corpus
     // twin, verbatim
     "d93_ann_rebuild" -> ivfPqTwinSql,
+
+    "d100_incremental_curation" -> incrementalCurationSql,
+    "d97_dedup_index_stats" -> dedupIndexStatsSql,
+    "d98_sim_index_stats" -> simIndexStatsSql,
+    // d99: the frontier key set re-derived through the d71
+    // canonicalization mirror — the report is its cardinality.
+    "d99_url_index_stats" ->
+      (s"WITH $canonUrlCtes\n" +
+        "SELECT CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls FROM c"),
+
+    // d95: the derived old snapshot (slice perturbations), both md5
+    // fingerprints and all four statuses re-derived in SQL.
+    "d95_corpus_diff" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)),1,1) AS h1
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), old AS (
+        |  SELECT doc_id,
+        |    CASE WHEN h1 = 'e' THEN text || ' EDITED' ELSE text END AS text
+        |  FROM base WHERE h1 <> 'f'
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM base WHERE h1 = 'd'
+        |), o AS (SELECT doc_id, md5(text) AS fp_old FROM old),
+        |n AS (SELECT doc_id, md5(text) AS fp_new FROM base)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN fp_old = fp_new THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  fp_old, fp_new
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // d96: both legs re-derived end to end — per-query top-3 TF-IDF
+    // keywords (d80 arithmetic, df over the joined corpus), per-query
+    // BM25 over those terms (d70 arithmetic, self excluded, rounded
+    // before ranking), brute-force cosine ranks (d6 machinery over
+    // the joined corpus), then the RRF fusion on raw 1/(60+rank)
+    // doubles with the doc_id tie-break.
+    "d96_hybrid_topk" ->
+      """WITH corp AS (
+        |  SELECT d.doc_id, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |  WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
+        |), tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM corp
+        |), tfall AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM tok) x
+        |  GROUP BY doc_id, term
+        |), dfall AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tfall GROUP BY term
+        |), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+        |kwsc AS (
+        |  SELECT doc_id, term,
+        |    round(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(df_t AS DOUBLE)), 4) AS score
+        |  FROM tfall JOIN dfall USING (term) CROSS JOIN nd
+        |  WHERE doc_id < 5
+        |), qt AS (
+        |  SELECT doc_id AS query_id, term FROM (
+        |    SELECT doc_id, term,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |    FROM kwsc) z
+        |  WHERE rn <= 3
+        |), st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(ws)) AS BIGINT) AS sum_dl FROM tok
+        |), post AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM tok
+        |), btf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+        |  FROM post WHERE term IN (SELECT DISTINCT term FROM qt)
+        |  GROUP BY doc_id, term
+        |), bdf AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM btf GROUP BY term
+        |), lexsc AS (
+        |  SELECT qt.query_id, btf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5) /
+        |          (CAST(df_t AS DOUBLE) + 0.5)) *
+        |        (CAST(tf AS DOUBLE) * 2.5) /
+        |        (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+        |          (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 4) AS bm25
+        |  FROM btf JOIN bdf USING (term) JOIN qt USING (term) CROSS JOIN st
+        |  WHERE btf.doc_id <> qt.query_id
+        |  GROUP BY qt.query_id, btf.doc_id
+        |), lex AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY bm25 DESC, doc_id) AS rank
+        |    FROM lexsc) t WHERE rank <= 20
+        |), dense AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+        |      row_number() OVER (PARTITION BY q.doc_id
+        |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+        |          c.embedding::DOUBLE[]) DESC, c.doc_id) AS rank
+        |    FROM corp q JOIN corp c ON q.doc_id <> c.doc_id
+        |    WHERE q.doc_id < 5) t
+        |  WHERE rank <= 20
+        |), fused AS (
+        |  SELECT coalesce(lex.query_id, dense.query_id) AS query_id,
+        |    coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+        |    coalesce(1.0/(60 + lex.rank), 0) + coalesce(1.0/(60 + dense.rank), 0) AS rrf
+        |  FROM lex FULL OUTER JOIN dense
+        |    ON lex.query_id = dense.query_id AND lex.doc_id = dense.doc_id
+        |)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, round(rrf, 6) AS rrf
+        |FROM (SELECT query_id, doc_id, rrf,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY rrf DESC, doc_id) AS rank
+        |      FROM fused) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // d94: the planted 8-token line wrap, every md5 line hash, the
+    // min-(doc, pos) keeper choice and the reassembled text all
+    // re-derived from raw text. ANTI JOIN drops removed occurrences;
+    // a doc whose every line is removed re-joins to the empty string.
+    "d94_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), ln AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    list_aggregate(ws[(i-1)*8+1:(i-1)*8+8], 'string_agg', ' ') AS line
+        |  FROM t, unnest(range(1, CAST(ceil(len(ws)/8.0) AS BIGINT) + 1)) AS u(i)
+        |), g AS (
+        |  SELECT doc_id, pos, line,
+        |    ('0x'||substr(md5(lower(trim(line))),1,15))::BIGINT AS h
+        |  FROM ln
+        |), st AS (
+        |  SELECT h, count(DISTINCT doc_id) AS nd, min(doc_id) AS mn
+        |  FROM g GROUP BY h
+        |), kp AS (
+        |  SELECT g.h, min(g.pos) AS kpos
+        |  FROM g JOIN st ON g.h = st.h AND g.doc_id = st.mn
+        |  WHERE st.nd >= 2 GROUP BY g.h
+        |), rem AS (
+        |  SELECT g.doc_id, g.pos
+        |  FROM g JOIN st ON g.h = st.h JOIN kp ON g.h = kp.h
+        |  WHERE st.nd >= 2 AND NOT (g.doc_id = st.mn AND g.pos = kp.kpos)
+        |), keptxt AS (
+        |  SELECT ln.doc_id, string_agg(ln.line, chr(10) ORDER BY ln.pos) AS txt
+        |  FROM ln ANTI JOIN rem ON ln.doc_id = rem.doc_id AND ln.pos = rem.pos
+        |  GROUP BY ln.doc_id
+        |), rc AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS c FROM rem GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  CAST(ceil(len(ws)/8.0) AS INT) AS n_lines,
+        |  coalesce(rc.c, 0) AS n_removed,
+        |  coalesce(keptxt.txt, '') AS clean_text
+        |FROM t LEFT JOIN rc ON t.doc_id = rc.doc_id
+        |LEFT JOIN keptxt ON t.doc_id = keptxt.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // range search brute-forced on the SAME cell CTEs as d50/d58:
     // every (probed cell, resident) pair scored with the exact

@@ -602,4 +602,78 @@ class CurationOpsSpec extends AnyFunSuite {
         e.getCause != null &&
         e.getCause.getMessage.contains("train class is empty")))
   }
+
+  // ------------------------------------------- hybrid retrieval (r15)
+
+  test("bm25PerQueryRanks agrees with bm25TopK per query and ranks deterministically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a"), (2L, "b c"), (3L, "c c c"), (4L, "b b b"),
+      (5L, "a c b")
+    ).toDF("doc_id", "text")
+    val queries = Seq(
+      (100L, Seq("a", "c")),
+      (200L, Seq("b"))
+    ).toDF("query_id", "terms")
+    val per = Retrieval.bm25PerQueryRanks(docs, "doc_id", "text",
+      queries, "query_id", "terms", topK = 10, k1 = 1.5, b = 0.75)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Int]("rank"))
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25")))
+          .toSeq
+      }
+    // each query's ranked list == the single-query front door's
+    for ((qid, terms) <- Seq(100L -> Seq("a", "c"), 200L -> Seq("b"))) {
+      val solo = Retrieval.bm25TopK(docs, "doc_id", "text",
+        queryTerms = terms, topK = 10, k1 = 1.5, b = 0.75)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"))).toSeq
+      assert(per(qid) == solo, s"query $qid")
+    }
+  }
+
+  test("bm25PerQueryRanks excludeSelf drops the probe doc from its own list") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma"), (3L, "delta delta")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, Seq("alpha"))).toDF("query_id", "terms")
+    val withSelf = Retrieval.bm25PerQueryRanks(docs, "doc_id", "text",
+      queries, "query_id", "terms", topK = 10)
+      .select("doc_id").as[Long].collect().toSet
+    val noSelf = Retrieval.bm25PerQueryRanks(docs, "doc_id", "text",
+      queries, "query_id", "terms", topK = 10, excludeSelf = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(withSelf == Set(1L, 2L))
+    assert(noSelf == Set(2L))
+  }
+
+  test("rrfFuse: hand-computed fusion, absent-side zero, doc_id tie-break, topK cut") {
+    import spark.implicits._
+    // query 7: lex ranks d1=1, d2=2; dense ranks d2=1, d3=2.
+    val lex = Seq((7L, 1, 1L), (7L, 2, 2L)).toDF("query_id", "rank", "doc_id")
+    val dense = Seq((7L, 1, 2L), (7L, 2, 3L)).toDF("query_id", "rank", "doc_id")
+    val res = Retrieval.rrfFuse(lex, dense, k0 = 60, topK = 10)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("rrf")))
+    // d2: 1/62 + 1/61 = .030524; d1: 1/61 = .016393; d3: 1/62 = .016129
+    assert(res.map(t => (t._1, t._2)).toSeq == Seq((1, 2L), (2, 1L), (3, 3L)))
+    assert(math.abs(res(0)._3 - math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6) < 1e-9)
+    // tie-break: two docs with the SAME single-leg rank on opposite
+    // legs tie exactly in rrf; smaller doc_id wins
+    val lexT = Seq((8L, 1, 5L)).toDF("query_id", "rank", "doc_id")
+    val denseT = Seq((8L, 1, 4L)).toDF("query_id", "rank", "doc_id")
+    val tied = Retrieval.rrfFuse(lexT, denseT, k0 = 60, topK = 10)
+      .orderBy(col("rank")).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(tied == Seq(4L, 5L))
+    // topK cut
+    val many = (1 to 8).map(i => (9L, i, 100L + i))
+      .toDF("query_id", "rank", "doc_id")
+    val cut = Retrieval.rrfFuse(many, many.limit(0), k0 = 60, topK = 3)
+      .collect()
+    assert(cut.length == 3)
+  }
 }

@@ -1361,4 +1361,121 @@ class DedupSpec extends AnyFunSuite {
       assert(after == expected, s"cross-restart recovery broke: $after")
     } finally restoreSession()
   }
+
+  // ------------------------------------------- index stats (r15)
+
+  test("dedupIndexStats: hand counts on a tiny index; append moves the report") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),      // exact dup of 0
+      (2L, "epsilon zeta eta theta iota")
+    ).toDF("doc_id", "text")
+    val name = "t_idx_stats"
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", name,
+      shingleK = 3, numPerms = 32, bands = 16, md5Sig = true)
+    val r = Dedup.dedupIndexStats(spark, name).head()
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_content_hashes") == 2L, "exact dups collapse in _ch")
+    assert(r.getAs[Long]("n_band_rows") == 3L * 16)
+    // docs 0 and 1 share every band (identical sigs); doc 2 shares
+    // none of theirs unless a band collides — distinct bands is
+    // between 16 (total collapse) and 32 (no cross-doc collision)
+    val nb = r.getAs[Long]("n_distinct_bands")
+    assert(nb >= 16L && nb <= 32L, s"n_distinct_bands=$nb")
+    assert(r.getAs[Long]("max_band_occ") >= 2L, "dup pair shares bands")
+    // append one novel doc: rows grow by one doc's worth
+    Dedup.appendToDedupIndex(
+      Seq((3L, "totally new words appear here now")).toDF("doc_id", "text"),
+      "doc_id", "text", name)
+    val r2 = Dedup.dedupIndexStats(spark, name).head()
+    assert(r2.getAs[Long]("n_docs") == 4L)
+    assert(r2.getAs[Long]("n_band_rows") == 4L * 16)
+    assert(r2.getAs[Long]("n_content_hashes") == 3L)
+  }
+
+  test("simIndexStats and urlIndexStats: exact arithmetic on tiny indexes") {
+    import spark.implicits._
+    val sigs = Seq((0L, 0L), (1L, 0L), (2L, -1L))
+      .toDF("doc_id", "sim")
+    Dedup.buildSimIndex(sigs, "t_sim_stats", maxDist = 2)
+    val s = Dedup.simIndexStats(spark, "t_sim_stats").head()
+    assert(s.getAs[Long]("n_sigs") == 3L)
+    assert(s.getAs[Long]("n_chunk_rows") == 9L)
+    // sigs 0 and 0 share all 3 chunk values; -1 shares none → 6
+    assert(s.getAs[Long]("n_distinct_chunks") == 6L)
+    assert(s.getAs[Long]("max_chunk_occ") == 2L)
+
+    val docs = Seq(
+      (0L, "https://a.example.com/x?utm_source=f"),
+      (1L, "https://A.EXAMPLE.com/x"),          // canon-equal to 0
+      (2L, "https://b.example.com/y")
+    ).toDF("doc_id", "url")
+    Dedup.buildUrlIndex(docs, "url", "t_url_stats")
+    val u = Dedup.urlIndexStats(spark, "t_url_stats").head()
+    assert(u.getAs[Long]("n_urls") == 2L)
+  }
+
+  // ------------------------------------------------ lineDedup (r15)
+
+  private def lineRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Int]("n_lines"), r.getAs[Int]("n_removed"),
+        r.getAs[String]("clean_text")))).toMap
+
+  test("lineDedup: min-(doc,pos) keeper, cross-doc and keeper-doc repeats cut, case-fold match") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta\nCOMMON Line\ngamma delta\ncommon line"),
+      (1L, "other text\ncommon line\nmore stuff\ncommon   line"),
+      (2L, "unique only\nlines here")
+    ).toDF("doc_id", "text")
+    val res = lineRows(Dedup.lineDedup(docs, "doc_id", "text"))
+    // keeper: doc 0 pos 2 (min doc, min pos). doc 0's pos-4 repeat
+    // and doc 1's pos-2 repeat are cut; doc 1 pos 4 differs (inner
+    // whitespace is part of the normalized line) and survives.
+    assert(res(0L) == ((4, 1, "alpha beta\nCOMMON Line\ngamma delta")))
+    assert(res(1L) == ((4, 1, "other text\nmore stuff\ncommon   line")))
+    assert(res(2L) == ((2, 0, "unique only\nlines here")))
+  }
+
+  test("lineDedup: intra-doc-only repeats survive; minDocs raises the bar") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "repeat me\nrepeat me\nrepeat me"), // one doc only
+      (1L, "shared line\nown text"),
+      (2L, "shared line\nother text")
+    ).toDF("doc_id", "text")
+    val res2 = lineRows(Dedup.lineDedup(docs, "doc_id", "text"))
+    assert(res2(0L)._2 == 0, "intra-doc repeats are not corpus dups")
+    assert(res2(1L) == ((2, 0, "shared line\nown text")))
+    assert(res2(2L) == ((2, 1, "other text")))
+    // minDocs = 3: the 2-doc shared line now survives everywhere
+    val res3 = lineRows(Dedup.lineDedup(docs, "doc_id", "text", minDocs = 3))
+    assert(res3(2L) == ((2, 0, "shared line\nother text")))
+  }
+
+  test("lineDedup: blank lines are structural — never deduped, always kept; trailing newline round-trips") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a\n\nb\n"),   // blank line + trailing newline
+      (1L, "c\n\nd\n")    // same blank pattern, different content
+    ).toDF("doc_id", "text")
+    val res = lineRows(Dedup.lineDedup(docs, "doc_id", "text"))
+    assert(res(0L) == ((4, 0, "a\n\nb\n")))
+    assert(res(1L) == ((4, 0, "c\n\nd\n")))
+  }
+
+  test("lineDedup: a fully-removed document becomes the empty string") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the banner"),
+      (1L, "the banner"),
+      (2L, "the banner\nthe banner")
+    ).toDF("doc_id", "text")
+    val res = lineRows(Dedup.lineDedup(docs, "doc_id", "text"))
+    assert(res(0L) == ((1, 0, "the banner")), "keeper holds")
+    assert(res(1L) == ((1, 1, "")))
+    assert(res(2L) == ((2, 2, "")))
+  }
 }

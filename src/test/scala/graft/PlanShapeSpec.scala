@@ -619,4 +619,57 @@ class PlanShapeSpec extends AnyFunSuite {
       s"weight join-back must hash-build:\n${np.take(3000)}")
     assert(count(np, "SortAggregate") == 0, np.take(1500))
   }
+
+  test("d100: incremental curation — no windows, no cartesian; the screen reads the bucketed index") {
+    val p = plan("d100_incremental_curation")
+    assert(count(p, "Window") == 0, p.take(2000))
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0, p.take(2000))
+    assert(count(p, "SortAggregate") == 0, p.take(2000))
+  }
+
+  test("d94: line dedup explodes once, keeper rides min_by in the hash agg, probe joins on h alone") {
+    val p = plan("d94_line_dedup")
+    assert(count(p, "Window") == 0,
+      s"hot-line window crept back in:\n${p.take(2000)}")
+    val np = pinnedPlan("d94_line_dedup")
+    // ONE line explode; the per-(h,doc) collapse and the removal
+    // probe share the explicit h exchange
+    assert(count(np, "Generate") == 1 && count(np, "ReusedExchange") >= 1,
+      s"line explode pipeline duplicated:\n${np.take(3000)}")
+    // keeper identity is a post-join filter, NEVER a second equi-key
+    // (a (h, doc) re-key was observed re-shuffling both join sides:
+    // it shows up as extra hash exchanges beyond the h repartition,
+    // the removals rollup and the rebuild's doc-keyed pair)
+    assert(count(np, "Exchange hashpartitioning") <= 4,
+      s"keeper join re-keyed the h partitioning:\n${np.take(3000)}")
+    // removal probe + rebuild join, both hash-built
+    assert(count(np, "ShuffledHashJoin") == 2,
+      s"join-backs must hash-build:\n${np.take(3000)}")
+    // min_by keeps the stats chain on HashAggregate's fast path
+    assert(count(np, "SortAggregate") == 0, np.take(2000))
+  }
+
+  test("d95: snapshot diff is one full-outer hash join over md5-projected sides") {
+    val p = plan("d95_corpus_diff")
+    assert(count(p, "Window") == 0, p.take(1500))
+    assert(count(p, "ShuffledHashJoin") == 1 && p.contains("FullOuter"),
+      s"diff must be one full-outer hash join:\n${p.take(2500)}")
+    // fingerprints are projected below the join: the shuffle carries
+    // md5 strings, never document text
+    val joinIdx = p.indexOf("ShuffledHashJoin")
+    assert(!p.substring(0, joinIdx).contains("text#"),
+      s"document text crossed the diff shuffle:\n${p.take(2500)}")
+  }
+
+  test("d96: hybrid fusion has no windows and no cartesian; ranking rides the bounded heaps") {
+    val p = plan("d96_hybrid_topk")
+    assert(count(p, "Window") == 0,
+      s"rank window crept into the fusion:\n${p.take(2500)}")
+    assert(count(p, "CartesianProduct") == 0, p.take(2000))
+    assert(count(p, "SortAggregate") == 0, p.take(2000))
+    // both legs' per-query top-k and the fused top-k are TopKByCos
+    // ObjectHashAggregates (bounded per-group state)
+    assert(count(p, "ObjectHashAggregate") >= 4, p.take(3000))
+  }
 }
