@@ -109,7 +109,31 @@ object ScaleProbe {
     "d82_video_dedup",      // frame sigs → aligned pairs → keep-one
     "d83_epoch_assembly",   // mixture→copies→shards→pack chain
     "d84_url_screen",       // canonicalize scan + frontier anti-join
-    "d85_video_index_screen") // frame chunk join + tally verdict
+    "d85_video_index_screen", // frame chunk join + tally verdict
+    // r15 additions. d94's planted lines are salted per copy (the
+    // token salt rides into every wrapped line), so each copy keeps
+    // sf0.1's cross-doc line-dup structure → ~10× is the linear
+    // expectation. d96's query COUNT is fixed (5 probe docs) but
+    // both legs stream the full corpus (filtered postings, dense
+    // scan) → ~10×. d97-d99 are index build + occupancy aggregate →
+    // ~10×. d100's work set is a fixed md5 slice of the corpus so
+    // the screen side scales with it → ~10×.
+    "d94_line_dedup",       // line explode + min_by stats + reconstruct
+    "d95_corpus_diff",      // md5 projections + one full-outer join
+    "d96_hybrid_topk",      // BM25 postings + dense scan + RRF fusion
+    "d97_dedup_index_stats", // index build + band occupancy aggregate
+    "d98_sim_index_stats",  // simhash sigs + chunk occupancy aggregate
+    "d99_url_index_stats",  // frontier build + cardinality
+    "d100_incremental_curation", // diff scoping + old-index screen
+    // r15 session 2. d101 is the d33 score chain + the two-phase
+    // rank (both ~linear); d102 is a map-side suffix explode +
+    // broadcast screen; d103 two count aggregates + a vocab-sized
+    // full-outer join (vocab grows sublinearly → expect <10×);
+    // d104 three shrinking aggregates over the gram stream.
+    "d101_ppl_buckets",     // unigram LM + per-lang ranked cut
+    "d102_url_blocklist",   // suffix explode + broadcast blocklist
+    "d103_vocab_drift",     // two count tables + full-outer + top-k
+    "d104_gram_histogram")  // (h,doc) collapse + support histogram
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -124,6 +148,7 @@ object ScaleProbe {
 
     if (args.contains("mega")) { megaGramProbe(spark); spark.stop(); return }
     if (args.contains("asof")) { asofSkewProbe(spark); spark.stop(); return }
+    if (args.contains("lines")) { hotLineProbe(spark); spark.stop(); return }
 
     buildIfMissing(spark)
 
@@ -396,6 +421,112 @@ object ScaleProbe {
       println(f"| $label | classic | $ct%.2f | $cm | ${cs / 1e6}%.0f |")
       println(f"| $label | salted | $st%.2f | $sm | ${ss / 1e6}%.0f |")
     }
+  }
+
+  // -----------------------------------------------------------------
+  // Hot-line stress (`runMain graft.ScaleProbe lines`): lineDedup's
+  // skew story, measured. The sfmega corpus (one unsalted 8-token
+  // boilerplate block appended to 30 % of a 10× corpus) wraps into
+  // 8-token lines exactly as the d94 entry does — the block becomes
+  // a handful of phase-shifted MEGA-LINES, each with ~10^5-10^6
+  // occurrences on one hash key. The production form (per-(h, doc) +
+  // per-h HASH aggregates, min_by keeper) streams those occurrences;
+  // the window form (min/max doc + row_number OVER (PARTITION BY h))
+  // must sort-and-buffer each hot line's entire row set in one task.
+  // Bit-equality of the two forms' outputs is required before any
+  // timing is reported (the asof-probe discipline).
+  // -----------------------------------------------------------------
+  private def hotLineProbe(spark: SparkSession): Unit = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
+    buildMegaIfMissing(spark)
+    val w = 8
+    val ws = split(trim(col("text")), "\\s+")
+    val nl = ceil(size(ws) / lit(w.toDouble)).cast("int")
+    val docs = spark.read.parquet(s"$SfMega/documents.parquet")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        array_join(transform(sequence(lit(1), nl), i =>
+          array_join(slice(ws, (i - 1) * lit(w) + 1, lit(w)), " ")), "\n")
+          .as("text"))
+
+    def production(): DataFrame = Dedup.lineDedup(docs, "doc_id", "text")
+
+    // round-9-style window form, probe-only: identical semantics
+    // (minDocs = 2 ≡ min != max doc; keeper ≡ row_number 1 under
+    // (doc_id, pos))
+    def windowForm(): DataFrame = {
+      val lines = docs
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\n", -1)))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"),
+          Dedup.md5Hash60(trim(lower(col("col")))).as("h"),
+          (length(trim(col("col"))) > 0).as("__nb"))
+      val keyed = lines.filter(col("__nb"))
+        .select(col("doc_id"), col("pos"), col("h"))
+      val byH = Window.partitionBy(col("h"))
+      val removed = keyed
+        .withColumn("__mn", min(col("doc_id")).over(byH))
+        .withColumn("__mx", max(col("doc_id")).over(byH))
+        .withColumn("__rn", row_number().over(
+          byH.orderBy(col("doc_id"), col("pos"))))
+        .filter(col("__mn") =!= col("__mx") && col("__rn") > 1)
+        .select(col("doc_id"), col("pos"))
+      val rm = removed.groupBy(col("doc_id"))
+        .agg(collect_list(col("pos")).as("__rm"))
+      docs
+        .select(col("doc_id"), split(col("text"), "\n", -1).as("__ls"))
+        .join(rm.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(col("__ls")).as("n_lines"),
+          coalesce(size(col("__rm")), lit(0)).as("n_removed"),
+          array_join(
+            when(col("__rm").isNull, col("__ls"))
+              .otherwise(filter(col("__ls"), (_, i) =>
+                !array_contains(col("__rm"), i + 1))),
+            "\n").as("clean_text"))
+    }
+
+    @volatile var maxTaskMs = 0L
+    @volatile var spill = 0L
+    @volatile var peak = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (e.taskInfo != null)
+          maxTaskMs = math.max(maxTaskMs, e.taskInfo.duration)
+        val m = e.taskMetrics
+        if (m != null) {
+          spill += m.memoryBytesSpilled + m.diskBytesSpilled
+          peak = math.max(peak, m.peakExecutionMemory)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    // bit-equality first (the receipt means nothing without it)
+    val h = (df: DataFrame) => df
+      .agg(count(lit(1)), bit_xor(xxhash64(col("doc_id"),
+        col("n_removed"), col("clean_text")))).head()
+    require(h(production()) == h(windowForm()),
+      "production/window line dedup disagree on the mega corpus")
+
+    def measure(label: String, mk: () => DataFrame): Unit = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        mk().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm
+      maxTaskMs = 0L; spill = 0L; peak = 0L
+      val t = once()
+      Thread.sleep(500)
+      println(f"| $label | $t%.2f | $maxTaskMs | ${spill / 1e6}%.0f | ${peak / 1e6}%.0f |")
+    }
+    println("| form | wall s | max task ms | spill MB | peakExecMem MB |")
+    println("|---|---|---|---|---|")
+    measure("production (agg+min_by)", () => production())
+    measure("window (round-9 form)", () => windowForm())
   }
 
   private def buildAsofIfMissing(spark: SparkSession): Unit = {

@@ -1273,6 +1273,43 @@ object Dedup {
         md5Hash60(col("col")).as("h"))
   }
 
+  /** Repeated-gram SUPPORT histogram — the memorization-risk report
+    * of the dedup literature (Lee et al. 2107.06499 count duplicated
+    * substrings; Carlini et al. 2202.07646 measure that extraction
+    * probability grows with a sequence's duplication count): for
+    * k-token grams present in >= `minDocs` DISTINCT documents, the
+    * distribution of that support — one (n_docs, n_grams) row per
+    * support level, "how many distinct k-grams appear in exactly N
+    * documents". The tail of this histogram is what span-level
+    * dedup (D25) cuts; published beside the cluster-size report card
+    * (D63) it quantifies the residual memorization surface, in pure
+    * integer counts (the d78 rounding lesson). Grams are
+    * [[md5Hash60]]-keyed, so the oracle's string-keyed recount
+    * verifies the no-collision premise at every gate SF (the d97
+    * discipline).
+    *
+    * Scale shape — three aggregates, each orders of magnitude
+    * smaller than the last, no windows, no joins: distinct
+    * (h, doc_id) rides ONE composite-keyed hash aggregate (the
+    * composite key is NOT skewed — a mega-gram spreads across its
+    * documents — and map-side partials collapse in-doc repeats
+    * before the exchange); per-hash support is a plain count over
+    * distinct pairs (h-keyed, streaming — the zipf-head gram is one
+    * GROUP, never one task's sorted row set); the histogram groups
+    * the vocabulary-sized support table by count. */
+  def gramSupportHistogram(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val perDoc = gramHashes(docs, idCol, textCol, k)
+      .groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("__occ"))
+    val support = perDoc.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    support.groupBy(col("n_docs"))
+      .agg(count(lit(1)).as("n_grams"))
+  }
+
   /** The de-skewed cross-doc gram machinery shared by [[gramProfile]],
     * [[crossDocSpans]] and [[cutCrossDocSpans]]: ONE explicit
     * gram-hash shuffle below every consumer (`repartition(h)` — the
@@ -1544,27 +1581,33 @@ object Dedup {
     * pages (reference scope: xgp/keycloak-event-stream has no
     * corpus-cleaning surface; this is engine-own pipeline ground).
     *
-    * Shape — the [[gramKeyedStats]] discipline at line granularity:
-    * one scan + ONE Generate (posexplode over `split(text, "\n",
-    * -1)` — limit -1 so trailing blank lines keep their positions),
-    * ONE explicit line-hash exchange reused by every hash-keyed
-    * consumer, and aggregates instead of windows (a boilerplate
-    * mega-line — one cookie banner in 10^8 documents of a 100 TB
-    * corpus — streams through per-(h, doc) and per-h HASH aggregates
-    * instead of sort-buffering its whole row set in one window
-    * task). The keeper occurrence — the global arg-min (doc, pos) —
-    * costs NO extra pass: min_by(min-pos, doc_id) rides the per-hash
-    * stats aggregate on a primitive (long, int) buffer (a
-    * min(struct(doc, pos)) would fall off HashAggregate onto
-    * SortAggregate — the very hot-key sort this shape avoids — and
-    * an explicit keeper equi-join gets re-keyed by the optimizer
-    * onto (h, doc), re-shuffling both sides). The one join-back is
-    * an exchange-free SHUFFLE_HASH build on the duplicated-hash
-    * SLIVER (hashes seen in >= minDocs docs), never one entry per
-    * distinct line. The rebuild is [[cutCrossDocSpans]]'s
-    * reconstruct join: per-doc removed-position lists (ONE doc-keyed
-    * exchange) join a second narrow scan holding the original line
-    * array, and a filter HOF drops removed indices — the document is
+    * Shape — r15's two-level aggregate revision, after the sfmega
+    * hot-line probe caught the r14 form (one h-keyed exchange of the
+    * FULL line stream, consumed twice) losing 2× to even the window
+    * form: the hot task there both read the mega-line's whole row
+    * set twice AND built the h-partition's per-(h, doc) hash map
+    * alone. Now the full stream is aggregated FIRST on the COMPOSITE
+    * (h, doc_id) key — unskewed by construction (a boilerplate
+    * mega-line spreads across its documents), map-side partials
+    * collapse in-doc repeats, and min/count keep the buffer on
+    * HashAggregate's primitive fast path — so the only h-clustered
+    * data is the collapsed PAIRS table (h, doc, min-pos, count): one
+    * explicit `repartition(h)` on it is reused by both the per-hash
+    * keeper aggregate (count + min + min_by(min-pos, doc_id) — a
+    * min(struct) would fall to SortAggregate; an explicit keeper
+    * equi-join gets re-keyed by the optimizer onto (h, doc),
+    * re-shuffling both sides) and the removal probe join, an
+    * exchange-free SHUFFLE_HASH build on the duplicated-hash SLIVER.
+    * The hot h still lands one partition there, but as collapsed
+    * per-doc rows streamed by aggregate and probe — never a sorted
+    * window buffer, never a single-task hash map of the whole
+    * stream. The rebuild is [[cutCrossDocSpans]]'s reconstruct join
+    * with hash-keyed removal entries instead of position lists: each
+    * affected doc gets its removed-line (hash, keeper-pos) structs
+    * via ONE doc-keyed exchange of the sliver, and a filter HOF
+    * re-hashes each line ONCE (transform to (line, hash) structs
+    * first, so the hash is not recomputed per removal entry) and
+    * drops every occurrence except the keeper's — the document is
     * never exploded a second time.
     *
     * The line hash is [[md5Hash60]] over the normalized line, so the
@@ -1586,49 +1629,71 @@ object Dedup {
       .select(col("doc_id"), (col("pos") + 1).as("pos"),
         md5Hash60(trim(lower(col("col")))).as("h"),
         (length(trim(col("col"))) > 0).as("__nb"))
-    val keyed = lines.filter(col("__nb"))
-      .select(col("doc_id"), col("pos"), col("h"))
-      .repartition(col("h"))
-    // per-(hash, doc) collapse: min position, streaming hash agg on
-    // the h partitioning (HashPartitioning(h) satisfies (h, doc_id)
-    // clustering — no second exchange).
-    val perDoc = keyed.groupBy(col("h"), col("doc_id"))
+    // Level 1: full-stream collapse on the UNSKEWED composite key.
+    // Map-side partials fold in-doc repeats before the exchange; the
+    // min-only buffer stays on HashAggregate's primitive fast path.
+    // Deliberately NO occurrence count here: count(c) on the
+    // non-nullable output gets rewritten to count(1) by the
+    // optimizer, which prunes the column from ONE consumer branch
+    // below the shared h repartition and kills the ReuseExchange
+    // (observed; the removed COUNT is instead derived in the rebuild
+    // as size(original) - size(kept) — already-computed arrays).
+    val pairs = lines.filter(col("__nb"))
+      .groupBy(col("h"), col("doc_id"))
       .agg(min(col("pos")).as("__mnpos"))
-    // per-hash stats over rows already collapsed to distinct
-    // (h, doc_id): distinct-doc count is a plain count, and the
-    // keeper POSITION rides the same pass as min_by(min-pos,
-    // doc_id) — doc_id is unique within the group, so the arg-min is
-    // deterministic, the (long, int) buffer stays on HashAggregate's
-    // fast path (a min(struct(doc, pos)) would fall to
-    // SortAggregate), and no keeper join exists for the optimizer to
-    // re-key (an explicit keeper equi-join was observed re-shuffling
-    // BOTH sides on (h, doc), splitting the reused h partitioning).
-    val keeper = perDoc.groupBy(col("h"))
+      .repartition(col("h"))
+    // Level 2: per-hash stats over the collapsed pairs, riding the
+    // ONE explicit h exchange. doc_id is unique within the group, so
+    // min_by is deterministic.
+    val keeper = pairs.groupBy(col("h"))
       .agg(count(lit(1)).as("__nd"),
         min(col("doc_id")).as("__mn"),
         min_by(col("__mnpos"), col("doc_id")).as("__kpos"))
       .filter(col("__nd") >= minDocs)
       .select(col("h").as("__dh"), col("__mn"), col("__kpos"))
-    // every non-keeper occurrence of a duplicated hash goes. The
-    // keeper-identity check stays a post-join FILTER (a NOT over a
-    // conjunction — not an extractable equi-key).
-    val removed = keyed
+    // One removal ENTRY per (duplicated hash, doc): the keeper doc
+    // keeps its first occurrence (k = keeper pos), every other doc
+    // removes all occurrences (k = null). The coalesce's fallback
+    // never fires — on the keeper row __kpos IS that row's __mnpos
+    // by construction — it is here so this branch consumes the SAME
+    // pairs columns {h, doc_id, __mnpos} as the keeper aggregate:
+    // column pruning would otherwise project __mnpos away below the
+    // shared h repartition and kill the ReuseExchange (the d33
+    // discipline).
+    val hits = pairs
       .join(keeper.hint("SHUFFLE_HASH"), col("h") === col("__dh"))
-      .filter(!(col("doc_id") === col("__mn") && col("pos") === col("__kpos")))
-      .select(col("doc_id"), col("pos"))
-    val rm = removed.groupBy(col("doc_id"))
-      .agg(collect_list(col("pos")).as("__rm"))
+      .select(col("doc_id"),
+        struct(col("h").as("h"),
+          when(col("doc_id") === col("__mn"),
+            coalesce(col("__kpos"), col("__mnpos"))).as("k"))
+          .as("__e"))
+    val rm = hits.groupBy(col("doc_id"))
+      .agg(collect_list(col("__e")).as("__rm"))
+    // Rebuild: hash each line ONCE (transform to (line, hash)
+    // structs, so exists() does not recompute md5 per removal
+    // entry), drop occurrences per the entries, re-join original
+    // case/order. The kept array materializes in its OWN projection
+    // (CollapseProject keeps non-cheap expressions referenced twice
+    // out of line), so n_removed's size() does not re-run the HOF
+    // chain.
+    val withH = transform(col("__ls"), ln =>
+      struct(ln.as("l"), md5Hash60(trim(lower(ln))).as("hh")))
+    val keptLines = transform(
+      filter(withH, (e, i) =>
+        !exists(col("__rm"), x =>
+          x.getField("h") === e.getField("hh") &&
+            (x.getField("k").isNull || x.getField("k") =!= i + 1))),
+      e => e.getField("l"))
     live
       .select(col(idCol).as("doc_id"), split(col(textCol), "\n", -1).as("__ls"))
       .join(rm.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__ls"),
+        when(col("__rm").isNull, col("__ls")).otherwise(keptLines)
+          .as("__kept"))
       .select(col("doc_id"),
         size(col("__ls")).as("n_lines"),
-        coalesce(size(col("__rm")), lit(0)).as("n_removed"),
-        array_join(
-          when(col("__rm").isNull, col("__ls"))
-            .otherwise(filter(col("__ls"), (_, i) =>
-              !array_contains(col("__rm"), i + 1))),
-          "\n").as("clean_text"))
+        (size(col("__ls")) - size(col("__kept"))).as("n_removed"),
+        array_join(col("__kept"), "\n").as("clean_text"))
   }
 
   /** Benchmark decontamination — the eval-overlap screen every

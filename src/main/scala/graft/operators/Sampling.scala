@@ -656,14 +656,76 @@ object Sampling {
       partitions: Int = 32,
       reliable: Boolean = false): DataFrame = {
     checkSplits(splits)
-    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
     val total = splits.map(_._2).sum
     val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
-    val key = md5(concat(lit(seed), lit("|"), col(idCol).cast("string")))
+    rankedAssign(df, idCol, strataCol,
+      md5(concat(lit(seed), lit("|"), col(idCol).cast("string"))),
+      cums, splits.map(_._1).toArray, outCol = "split",
+      partitions, reliable, op = "stratifiedSplit")
+  }
+
+  /** Per-stratum RANKED bucketing — [[stratifiedSplit]]'s exact-count
+    * machinery with the rank key caller-chosen instead of an md5
+    * shuffle: within each stratum, rows order by (orderCol, id) and
+    * cumulative boundaries floor(cum_i·n + 0.5) cut the buckets.
+    * This is the CCNet discipline (Wenzek et al., LREC 2020): per
+    * LANGUAGE, documents rank by LM quality score and split into
+    * head/middle/tail fractions, so "keep the head, drop or reweight
+    * the tail" is a per-language policy — a global score cut would
+    * let a high-resource language's mid-range crowd out a
+    * low-resource language's best documents. Pass
+    * `orderCol = -score` to put the best score in the FIRST bucket
+    * (keys sort ascending; IEEE negation is exact, so ranking by the
+    * negated rounded score is bit-identical to `score DESC`). The
+    * order key must be deterministic and total under the (orderCol,
+    * id) tiebreak — round scores before ranking (§6's rule) so both
+    * engines rank identical doubles.
+    *
+    * Scale shape: identical to [[stratifiedSplit]] — ONE range
+    * exchange on (stratum, key, id), a bounded per-(partition,
+    * stratum) count pull under [[MaxStrata]], partition-local running
+    * ranks; no per-stratum window ever buffers a full stratum, which
+    * is exactly what a rank-percentile cut per language must avoid at
+    * 100 TB (English IS the zipf-head stratum). Returns (idCol,
+    * strataCol, bucket). */
+  def rankBuckets(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      orderCol: Column,
+      buckets: Seq[(String, Double)],
+      partitions: Int = 32,
+      reliable: Boolean = false): DataFrame = {
+    checkSplits(buckets)
+    val total = buckets.map(_._2).sum
+    val cums = buckets.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    rankedAssign(df, idCol, strataCol, orderCol,
+      cums, buckets.map(_._1).toArray, outCol = "bucket",
+      partitions, reliable, op = "rankBuckets")
+  }
+
+  /** The shared two-phase per-stratum rank assignment behind
+    * [[stratifiedSplit]] and [[rankBuckets]]: range-partition by
+    * (stratum, key, id), pin the layout, pull bounded per-(partition,
+    * stratum) counts, derive prefix bases + floor(cum·n + 0.5)
+    * boundaries on the driver, then walk partition-local running
+    * ranks. Null id/stratum rows are dropped. */
+  private def rankedAssign(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      keyCol: Column,
+      cums: Seq[Double],
+      names: Array[String],
+      outCol: String,
+      partitions: Int,
+      reliable: Boolean,
+      op: String): DataFrame = {
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
     val ranged = df
       .filter(col(idCol).isNotNull && col(strataCol).isNotNull)
       .select(col(idCol), col(strataCol).cast("string").as("__s"),
-        key.as("__k"))
+        keyCol.as("__k"))
       .repartitionByRange(partitions, col("__s"), col("__k"), col(idCol))
     val parts = if (reliable) ranged.checkpoint() else ranged.localCheckpoint()
 
@@ -678,7 +740,7 @@ object Sampling {
       .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
     val strata = counts.map(_._1._2).distinct
     require(strata.length <= MaxStrata,
-      s"stratifiedSplit: more than $MaxStrata distinct strata — " +
+      s"$op: more than $MaxStrata distinct strata — " +
         "use a coarser stratum column or hashSplit (Sampling.MaxStrata)")
     val totals: Map[String, Long] =
       counts.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
@@ -695,14 +757,13 @@ object Sampling {
       val b = cums.init.map(c => math.floor(c * n + 0.5).toLong).toArray
       s -> (b :+ n)
     }
-    val names = splits.map(_._1).toArray
 
     // Phase 2: partition-local running ranks on the pinned layout
     val idField = df.schema(idCol)
     val strataField = StructField(strataCol, org.apache.spark.sql.types
       .StringType, nullable = false)
     val outSchema = StructType(Seq(idField, strataField,
-      StructField("split", org.apache.spark.sql.types.StringType,
+      StructField(outCol, org.apache.spark.sql.types.StringType,
         nullable = false)))
     parts
       .sortWithinPartitions(col("__s"), col("__k"), col(idCol))

@@ -56,4 +56,70 @@ object Snapshot {
       idCol: String, textCol: String): DataFrame =
     corpusDiff(oldSnap, newSnap, idCol, textCol)
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
+
+  /** Vocabulary DRIFT between two corpus snapshots — the distribution
+    * monitor behind [[corpusDiff]]'s row-level delta: per token, how
+    * did its unigram probability move between crawls? A refreshed
+    * corpus whose token distribution shifts hard (a spam burst, a
+    * scrape-source change, a boilerplate invasion) deserves a
+    * re-curation pass even when row-level churn looks modest — and a
+    * trained tokenizer/LM whose corpus drifts is the D68 rebuild
+    * trigger's text-side sibling.
+    *
+    * Output: the `topK` tokens by absolute probability shift as
+    * (t, c_old, c_new, shift) — raw integer counts on both sides
+    * (absent = 0) plus the add-one-smoothed log-ratio
+    * `shift = ln((c_new+1)/(N_new+V)) − ln((c_old+1)/(N_old+V))`
+    * (V = union vocabulary, so the smoothing is defined for
+    * one-sided tokens; rounded to 4 decimals, §6's rule).
+    * Ranking uses the CROSS-MULTIPLIED integer |c_new·N_old −
+    * c_old·N_new| (∝ |p_new − p_old|, exact — no float ordering at
+    * the cut), carried as decimal(18,0)·decimal(18,0) →
+    * decimal(37,0) so the product cannot overflow below ~1e18
+    * tokens per side; ties break on the token.
+    *
+    * Scale shape: each side is one token explode + one token-keyed
+    * count aggregate (map-side partials; a zipf-head token is one
+    * GROUP, never one task's row set); the two count tables —
+    * vocabulary-sized, orders below the streams — meet in ONE
+    * full-outer SHUFFLE_HASH join, pinned once; N totals ride
+    * narrow no-explode scans broadcast as 1-row joins (the d33
+    * discipline) and V is one aggregate over the pinned join. The
+    * top-k is TakeOrderedAndProject, never a rank window. */
+  def vocabDrift(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, textCol: String, topK: Int = 50): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def live(df: DataFrame): DataFrame =
+      df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    def counts(df: DataFrame, out: String): DataFrame = live(df)
+      .select(explode(Dedup.tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as(out))
+    def total(df: DataFrame, out: String, dec: String): DataFrame = live(df)
+      .agg(sum(size(Dedup.tokens(col(textCol)))).as("__tl"))
+      .select(col("__tl").cast("double").as(out),
+        col("__tl").cast("decimal(18,0)").as(dec))
+    val joined = counts(oldSnap, "c_old")
+      .join(counts(newSnap, "c_new").hint("SHUFFLE_HASH"),
+        Seq("t"), "full_outer")
+      .select(col("t"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+      .localCheckpoint(true) // V aggregate + drift ranking share it
+    val v = joined.agg(count(lit(1)).cast("double").as("v"))
+    val drift = abs(col("c_new").cast("decimal(18,0)") * col("n_old")
+      - col("c_old").cast("decimal(18,0)") * col("n_new"))
+    joined
+      .crossJoin(broadcast(total(oldSnap, "tot_old", "n_old")))
+      .crossJoin(broadcast(total(newSnap, "tot_new", "n_new")))
+      .crossJoin(broadcast(v))
+      .select(col("t"), col("c_old"), col("c_new"),
+        round(log((col("c_new") + 1).cast("double")
+            / (col("tot_new") + col("v")))
+          - log((col("c_old") + 1).cast("double")
+            / (col("tot_old") + col("v"))), 4).as("shift"),
+        drift.as("__drift"))
+      .orderBy(col("__drift").desc, col("t"))
+      .limit(topK)
+      .select(col("t"), col("c_old"), col("c_new"), col("shift"))
+  }
 }

@@ -937,6 +937,70 @@ object TextAnalysis {
       .withColumn("pred", col("log_odds") > 0)
   }
 
+  /** Classifier CALIBRATION report — the reliability diagram +
+    * threshold sweep behind choosing a quality-gate cutoff (the
+    * `nbThreshold` knob of the streaming pipeline): on a HELD-OUT
+    * labeled slice, scores map to probabilities p = σ(score) and
+    * bucket into `bins` fixed-width probability bins (Niculescu-Mizil
+    * & Caruana, ICML 2005; the ECE binning of Guo et al., ICML 2017).
+    * Per bin: count, positive count, observed positive rate vs mean
+    * predicted probability (their gap is the bin's calibration
+    * error), plus the cumulative threshold sweep — predicting
+    * positive at p >= bin/bins gives `cum_n` predicted positives,
+    * `cum_pos` true positives, and the precision/recall pair the
+    * threshold choice trades between.
+    *
+    * Determinism across engines: p derives from the ALREADY-4dp-
+    * rounded score, so both engines exponentiate identical doubles;
+    * the bin cut floor(p·bins) sits ~1e-5 away from any boundary
+    * (the score rounding perturbs p off exact bin edges); avg_p
+    * sums round(p·10⁴) as exact INTEGERS (the d78 rule — a double
+    * sum would be partition-order-dependent) and divides once.
+    * pos_rate/precision/recall are integer ratios rounded to 4dp.
+    *
+    * Scale shape: one map-side projection over the scored slice, ONE
+    * `bins`-row aggregate (map-side partials; bins is tiny by
+    * contract), then the cumulative sweep as a broadcast self-join
+    * of the ≤`bins`-row table — pinned by an eager localCheckpoint
+    * (a bounded pull, ≤`bins` rows) so the three consumers (left,
+    * right, total-positives) never recompute the corpus aggregate.
+    * Zero windows, nothing corpus-sized above the first aggregate. */
+  def calibrationReport(scored: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000,
+      s"bins must be in [2, 1000], got $bins")
+    val p = lit(1.0) / (lit(1.0) + exp(-col(scoreCol)))
+    val agg = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        least(floor(p * bins).cast("long"), lit(bins - 1L)).as("bin"),
+        col(labelCol).cast("boolean").as("__y"),
+        round(p * 10000).cast("long").as("__p4"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__y"), lit(1))).as("n_pos"),
+        sum(col("__p4")).as("__p4s"))
+      .localCheckpoint(true)
+    val right = agg.select(col("bin").as("__b2"), col("n").as("__n2"),
+      col("n_pos").as("__np2"))
+    val tot = agg.agg(sum(col("n_pos")).as("__tp"))
+    agg
+      .join(broadcast(right), col("__b2") >= col("bin"))
+      .groupBy(col("bin"), col("n"), col("n_pos"), col("__p4s"))
+      .agg(sum(col("__n2")).as("cum_n"), sum(col("__np2")).as("cum_pos"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 4).as("pos_rate"),
+        round(col("__p4s").cast("double") / (col("n") * 10000.0), 4)
+          .as("avg_p"),
+        col("cum_n"), col("cum_pos"),
+        round(col("cum_pos").cast("double") / col("cum_n"), 4)
+          .as("precision"),
+        when(col("__tp") > 0,
+          round(col("cum_pos").cast("double") / col("__tp"), 4))
+          .as("recall"))
+  }
+
   /** Tracking query parameters stripped by [[canonicalizeUrl]]:
     * analytics/click identifiers that vary per referral without
     * changing the resource (the RefinedWeb/CCNet URL-dedup
@@ -982,6 +1046,56 @@ object TextAnalysis {
     val qs = array_join(array_sort(params), "&")
     concat(scheme, lit("://"), host, portPart, path,
       when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  /** Lowercased host of an (ASCII) URL — the [[canonicalizeUrl]] host
+    * arithmetic alone, exposed for key/gate operators that act on the
+    * domain rather than the full resource identity. */
+  def urlHost(u: Column): Column =
+    lower(regexp_extract(regexp_extract(regexp_replace(u, "#.*$", ""),
+      "^[^/]*//([^/?#]*)", 1), "^([^:]*)", 1))
+
+  /** URL blocklist gate — the domain filter web-crawl curation runs at
+    * the frontier (the RefinedWeb/CCNet convention, classically against
+    * the public UT1 category lists): a document is blocked when ANY
+    * dot-boundary SUFFIX of its URL host appears in the blocklist, so
+    * the entry `example.com` blocks `example.com` AND every subdomain
+    * `*.example.com`, while `www.example.com` blocks only that exact
+    * host — the standard registrable-domain matching rule, with the
+    * list itself deciding the granularity.
+    *
+    * Spark shape (the asymmetric-cardinality join done the d24 way):
+    * the host explodes into its ≤ label-count suffixes MAP-SIDE (one
+    * Generate over a pure projection, no text ever leaves the scan),
+    * the blocklist — MBs against a 100 TB corpus — broadcasts, so the
+    * suffix screen is a map-side broadcast equi-join and the only
+    * narrow exchange before the verdict carries MATCHED suffix rows
+    * alone (a sliver at any sane block rate). The verdict joins back
+    * exchange-free (SHUFFLE_HASH) on the id, the [[urlDedup]] shape.
+    * `blocked_by` is the lexicographically-smallest matching domain —
+    * deterministic provenance when several list entries match.
+    *
+    * Returns (idCol, urlCol, host, blocked, blocked_by); null id/url
+    * rows are dropped (an unkeyable row cannot be gated), null
+    * blocklist domains are ignored. */
+  def urlBlocklistGate(df: DataFrame, idCol: String, urlCol: String,
+      blocklist: DataFrame, domainCol: String): DataFrame = {
+    val live = df
+      .filter(col(idCol).isNotNull && col(urlCol).isNotNull)
+      .select(col(idCol), col(urlCol), urlHost(col(urlCol)).as("host"))
+    val labels = split(col("host"), "\\.")
+    val sfx = live.select(col(idCol),
+      explode(transform(sequence(lit(1), size(labels)),
+        i => array_join(slice(labels, i, size(labels) - i + 1), ".")))
+        .as("sfx"))
+    val bl = blocklist.filter(col(domainCol).isNotNull)
+      .select(lower(col(domainCol)).as("sfx")).distinct()
+    val hits = sfx.join(broadcast(bl), Seq("sfx"))
+      .groupBy(col(idCol))
+      .agg(min(col("sfx")).as("blocked_by"))
+    live.join(hits.hint("SHUFFLE_HASH"), Seq(idCol), "left")
+      .select(col(idCol), col(urlCol), col("host"),
+        col("blocked_by").isNotNull.as("blocked"), col("blocked_by"))
   }
 
   /** URL-keyed dedup over [[canonicalizeUrl]]: exact keep-one on the

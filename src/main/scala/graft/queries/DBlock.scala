@@ -828,6 +828,115 @@ object DBlock {
       Dedup.urlIndexStats(s, "d99_idx")
     }),
 
+    // D78: classifier CALIBRATION sweep — the reliability diagram +
+    // threshold sweep behind choosing the pipeline's quality-gate
+    // cutoff (toPipelineIngest's nbThreshold knob): the d73 NB
+    // classifier trains on the d60 md5-quarter, scores everything,
+    // and the report is computed on the HELD-OUT three quarters
+    // (calibration measured on training data flatters the model —
+    // the holdout split is the methodology, not a detail). Per
+    // probability bin: count, positives, observed rate vs mean
+    // predicted p (the calibration gap), plus cumulative
+    // precision/recall at each bin threshold. Fully oracle-checked.
+    "d105_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = TextAnalysis.nbLogOdds(docs, "doc_id", "text",
+        label = col("lang") === "en", trainFilter = d60Slice)
+      TextAnalysis.calibrationReport(
+        scored.filter(!d60Slice)
+          .join(docs.select(col("doc_id"), (col("lang") === "en").as("y"))
+            .hint("SHUFFLE_HASH"), Seq("doc_id")),
+        "log_odds", "y")
+        .orderBy(col("bin"))
+    }),
+
+    // D77: repeated-gram SUPPORT histogram — the memorization-risk
+    // report (Lee et al. 2107.06499; Carlini et al. 2202.07646:
+    // extraction probability grows with duplication count): how many
+    // distinct 8-grams appear in exactly N documents, N >= 2. The
+    // tail is what span dedup (d46) cuts; beside the d86 cluster
+    // report it quantifies the residual memorization surface in
+    // pure integer counts. The oracle recounts support on the gram
+    // STRINGS, so the md5Hash60 no-collision premise is verified at
+    // every gate SF (the d97 discipline). Fully oracle-checked.
+    "d104_gram_histogram" -> ((s, d) =>
+      Dedup.gramSupportHistogram(Tables.documents(s, d), "doc_id",
+        "text", k = 8, minDocs = 2)
+        .orderBy(col("n_docs"))),
+
+    // D76: vocabulary DRIFT between snapshots — the distribution
+    // monitor behind d95's row-level diff (a spam burst or scrape-
+    // source change shifts the token distribution even when row
+    // churn looks modest; it is also the text-side trigger for the
+    // d93 tokenizer/index rebuild). Same derived old snapshot as
+    // d95 so the drift is real: removed 'd'-ghost mass, added 'f'
+    // mass, ' EDITED' tokens injected on the 'e' slice. Top-50 by
+    // the CROSS-MULTIPLIED integer |c_new·N_old − c_old·N_new| —
+    // exact, no float ordering at the cut — with smoothed log-ratio
+    // shift. Fully oracle-checked.
+    "d103_vocab_drift" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val old = base.filter(h1 =!= "f")
+        .select(col("doc_id"),
+          when(h1 === "e", concat(col("text"), lit(" EDITED")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(base.filter(h1 === "d")
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            col("text")))
+      Snapshot.vocabDrift(old, base, "doc_id", "text", topK = 50)
+    }),
+
+    // D75: URL BLOCKLIST gate — the frontier domain filter
+    // (RefinedWeb/CCNet convention, classically against the public
+    // UT1 category lists): any dot-boundary suffix of the URL host
+    // matching a blocklist domain blocks the doc, so `example1.com`
+    // blocks every subdomain while `www.example3.com` blocks only
+    // that exact host — BOTH match modes exercised on the planted
+    // URLs (hosts www.example{0..4}.com → id%5∈{1,3} blocked,
+    // suffix-match and exact-match respectively, ~40% block rate at
+    // every SF). Suffixes explode map-side, the blocklist
+    // broadcasts, only matched rows shuffle before the verdict
+    // join-back. Fully oracle-checked.
+    "d102_url_blocklist" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.urlBlocklistGate(
+        Tables.documents(s, d).filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), plantedUrl.as("url")),
+        "doc_id", "url",
+        d102Blocklist.toDF("domain"), "domain")
+        .orderBy(col("doc_id"))
+    }),
+
+    // D74: CCNet-style perplexity bucketing (Wenzek et al., LREC
+    // 2020) — per LANGUAGE, documents rank by the d33 unigram LM
+    // score and cut into head/middle/tail thirds: the quality prior
+    // the public data-mixing tables consume ("head" reads like the
+    // LM's training set, "tail" like garbage), per-language so a
+    // high-resource language's mid-range cannot crowd out a
+    // low-resource language's best documents. Ranks ride the d88
+    // two-phase machinery (never a per-language window — English IS
+    // the zipf-head stratum at 100 TB); the rank key is the NEGATED
+    // rounded score (IEEE negation is exact, ≡ ORDER BY score DESC)
+    // with the doc_id tiebreak. Fully oracle-checked: DuckDB
+    // re-derives the unigram scores, the per-language row_number
+    // over the same order and the floor(cum·n + 0.5) boundaries
+    // (cum literals interpolated from the ONE Scala computation).
+    "d101_ppl_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val scored = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang"))
+          .hint("SHUFFLE_HASH"), Seq("doc_id"))
+        .localCheckpoint(true) // rank input + score join-back share it
+      Sampling.rankBuckets(scored, "doc_id", "lang",
+        negate(col("avg_logp")), d101Buckets)
+        .join(scored.select(col("doc_id"), col("avg_logp"))
+          .hint("SHUFFLE_HASH"), Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D68: ANN index full REBUILD — the verb the rebalance is not:
     // cells AND the PQ book retrain from the index's current
     // contents and every code re-encodes. The proof obligation is
@@ -2010,6 +2119,23 @@ object DBlock {
     val t = d8xSplits.map(_._2).sum
     d8xSplits.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / t)
   }
+
+  /** d102's blocklist: one registrable-domain entry (suffix-blocks
+    * every www.example1.com subdomain) and one exact-host entry —
+    * both match modes of the gate exercised; interpolated into the
+    * oracle VALUES list so entry and oracle cannot drift. */
+  private val d102Blocklist = Seq("example1.com", "www.example3.com")
+
+  /** d101's bucket table and ITS cumulative fractions, computed once
+    * so the entry and the oracle literals cannot drift (the d8x
+    * rule: 1/3 and 2/3 are not exactly representable, so the oracle
+    * interpolates THESE doubles — shortest-round-trip rendering
+    * parses back to the identical IEEE value). */
+  private val d101Buckets = Seq("head" -> 1.0, "middle" -> 1.0, "tail" -> 1.0)
+  private val d101Cums: Seq[Double] = {
+    val t = d101Buckets.map(_._2).sum
+    d101Buckets.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / t)
+  }
   private val d8xThr: Seq[String] =
     d8xCums.init.map(c => f"${math.floor(c * 65536 + 0.5).toLong}%04x")
 
@@ -3025,10 +3151,12 @@ object DBlock {
        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
   }
 
-  /** d73/d74 shared oracle: the NB classifier re-derived end to end
-    * (see the oracles-map comment). */
-  private val nbClassifierSql: String =
-    s"""WITH base AS (
+  /** The NB classifier score chain re-derived end to end, ending in
+    * `nbscored(doc_id, n_tokens, log_odds)` — shared by the d73/d74
+    * oracle and the d105 calibration oracle, so the score arithmetic
+    * cannot drift between the three. */
+  private val nbScoreCtes: String =
+    s"""base AS (
         |  SELECT doc_id, (lang = 'en') AS y, $d60SliceSql AS tr,
         |    string_split_regex(lower(trim(text)), '\\s+') AS ws
         |  FROM documents
@@ -3061,16 +3189,54 @@ object DBlock {
         |), sc AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |    CAST(count(w.tw) AS BIGINT) AS m, sum(w.tw) AS sw
-        |  FROM tok LEFT JOIN w USING (term) GROUP BY doc_id)
-        |SELECT doc_id, n_tokens,
-        |  round(ln(CAST(d1 AS DOUBLE) / CAST(d0 AS DOUBLE)) +
-        |    (coalesce(sw, 0.0) + CAST(n_tokens - m AS DOUBLE) * fl0), 4)
-        |    AS log_odds,
-        |  round(ln(CAST(d1 AS DOUBLE) / CAST(d0 AS DOUBLE)) +
-        |    (coalesce(sw, 0.0) + CAST(n_tokens - m AS DOUBLE) * fl0), 4) > 0
-        |    AS pred
-        |FROM sc CROSS JOIN fl CROSS JOIN ds
-        |ORDER BY doc_id""".stripMargin
+        |  FROM tok LEFT JOIN w USING (term) GROUP BY doc_id
+        |), nbscored AS (
+        |  SELECT doc_id, n_tokens,
+        |    round(ln(CAST(d1 AS DOUBLE) / CAST(d0 AS DOUBLE)) +
+        |      (coalesce(sw, 0.0) + CAST(n_tokens - m AS DOUBLE) * fl0), 4)
+        |      AS log_odds
+        |  FROM sc CROSS JOIN fl CROSS JOIN ds)""".stripMargin
+
+  /** d73/d74 shared oracle: the NB classifier re-derived end to end
+    * (see the oracles-map comment). `pred` compares the ALREADY
+    * rounded log_odds to 0, exactly as the engine does. */
+  private val nbClassifierSql: String =
+    s"""WITH $nbScoreCtes
+        |SELECT doc_id, n_tokens, log_odds, log_odds > 0 AS pred
+        |FROM nbscored ORDER BY doc_id""".stripMargin
+
+  /** d105 oracle: the calibration report re-derived from nbscored —
+    * sigmoid of the 4dp-rounded score (identical doubles both
+    * engines), fixed-width probability bins, integer-summed avg_p
+    * (round(p·10⁴) as BIGINT — the d78 no-float-sum rule), and the
+    * cumulative threshold sweep as a bin self-join. */
+  private val d105CalibrationSql: String =
+    s"""WITH $nbScoreCtes,
+        |hold AS (
+        |  SELECT s.log_odds, (d.lang = 'en') AS y
+        |  FROM nbscored s JOIN documents d USING (doc_id)
+        |  WHERE NOT ($d60SliceSql)
+        |), pp AS (
+        |  SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, y,
+        |    CAST(round(p * 10000) AS BIGINT) AS p4
+        |  FROM (SELECT 1.0 / (1.0 + exp(-log_odds)) AS p, y FROM hold)
+        |), agg AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) FILTER (WHERE y) AS BIGINT) AS n_pos,
+        |    CAST(sum(p4) AS BIGINT) AS p4s
+        |  FROM pp GROUP BY bin
+        |), tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp FROM agg)
+        |SELECT a.bin, a.n, a.n_pos,
+        |  round(CAST(a.n_pos AS DOUBLE) / a.n, 4) AS pos_rate,
+        |  round(CAST(a.p4s AS DOUBLE) / (a.n * 10000.0), 4) AS avg_p,
+        |  CAST(sum(b.n) AS BIGINT) AS cum_n,
+        |  CAST(sum(b.n_pos) AS BIGINT) AS cum_pos,
+        |  round(CAST(sum(b.n_pos) AS DOUBLE) / sum(b.n), 4) AS precision,
+        |  CASE WHEN tp > 0
+        |    THEN round(CAST(sum(b.n_pos) AS DOUBLE) / tp, 4) END AS recall
+        |FROM agg a JOIN agg b ON b.bin >= a.bin CROSS JOIN tot
+        |GROUP BY a.bin, a.n, a.n_pos, a.p4s, tp
+        |ORDER BY a.bin""".stripMargin
 
   /** The d64b audio-fingerprint CTE chain (planted WAV byte
     * arithmetic → signed 16-bit reassembly → 65 window means →
@@ -3937,6 +4103,143 @@ object DBlock {
          |         THEN 'val'
          |       ELSE 'test' END AS split
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // d104: the histogram re-derived on gram STRINGS (the wordGrams
+    // contract: a doc shorter than k holds no gram), distinct per
+    // doc, support >= 2, grouped by support — a single md5Hash60
+    // collision anywhere would merge two grams and break the counts.
+    "d105_calibration" -> d105CalibrationSql,
+
+    "d104_gram_histogram" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, unnest(
+        |    list_transform(range(1, len(ws) - 6),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+        |           ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7])) AS gram
+        |  FROM w WHERE len(ws) >= 8
+        |), pd AS (
+        |  SELECT DISTINCT doc_id, gram FROM g
+        |), sup AS (
+        |  SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM pd GROUP BY gram HAVING count(*) >= 2
+        |)
+        |SELECT n_docs, CAST(count(*) AS BIGINT) AS n_grams
+        |FROM sup GROUP BY n_docs ORDER BY n_docs""".stripMargin,
+
+    // d103: the drift report re-derived — the d95 old snapshot, both
+    // token count tables, the full-outer vocab join, integer totals
+    // cast to double exactly as the engine, the smoothed log-ratio
+    // with identical parenthesis order, and the top-50 cut on the
+    // same cross-multiplied decimal with the token tie-break.
+    "d103_vocab_drift" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)),1,1) AS h1
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), old AS (
+        |  SELECT doc_id,
+        |    CASE WHEN h1 = 'e' THEN text || ' EDITED' ELSE text END AS text
+        |  FROM base WHERE h1 <> 'f'
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM base WHERE h1 = 'd'
+        |), co AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c_old FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM old) GROUP BY t
+        |), cn AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c_new FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM base) GROUP BY t
+        |), j AS (
+        |  SELECT coalesce(co.t, cn.t) AS t,
+        |    coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+        |  FROM co FULL OUTER JOIN cn ON co.t = cn.t
+        |), tots AS (
+        |  SELECT
+        |    (SELECT CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+        |       AS BIGINT) FROM old) AS tl_old,
+        |    (SELECT CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+        |       AS BIGINT) FROM base) AS tl_new,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM j) AS vl
+        |)
+        |SELECT t, c_old, c_new,
+        |  round(ln(CAST(c_new + 1 AS DOUBLE)
+        |        / (CAST(tl_new AS DOUBLE) + CAST(vl AS DOUBLE)))
+        |      - ln(CAST(c_old + 1 AS DOUBLE)
+        |        / (CAST(tl_old AS DOUBLE) + CAST(vl AS DOUBLE))), 4) AS shift
+        |FROM j, tots
+        |ORDER BY abs(CAST(c_new AS DECIMAL(18,0)) * CAST(tl_old AS DECIMAL(18,0))
+        |  - CAST(c_old AS DECIMAL(18,0)) * CAST(tl_new AS DECIMAL(18,0))) DESC, t
+        |LIMIT 50""".stripMargin,
+
+    // d102: the blocklist gate re-derived — the planted URLs, the
+    // host arithmetic, every dot-boundary suffix via list slicing,
+    // the VALUES blocklist (shared Scala literals) and the min-match
+    // verdict.
+    "d102_url_blocklist" ->
+      s"""WITH u AS (
+        |  SELECT doc_id, $plantedUrlSql AS url
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), h AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(regexp_extract(
+        |      regexp_replace(url, '#.*$$', ''),
+        |      '^[^/]*//([^/?#]*)', 1), '^([^:]*)', 1)) AS host
+        |  FROM u
+        |), l AS (
+        |  SELECT doc_id, host, string_split(host, '.') AS labels FROM h
+        |), s AS (
+        |  SELECT doc_id,
+        |    array_to_string(labels[CAST(i AS BIGINT):], '.') AS sfx
+        |  FROM l, unnest(range(1, len(labels) + 1)) AS r(i)
+        |), bl(domain) AS (
+        |  VALUES ${d102Blocklist.map(dm => s"('$dm')").mkString(", ")}
+        |), m AS (
+        |  SELECT doc_id, min(sfx) AS blocked_by
+        |  FROM s JOIN bl ON s.sfx = bl.domain GROUP BY doc_id
+        |)
+        |SELECT h.doc_id, h.url, h.host,
+        |  m.blocked_by IS NOT NULL AS blocked, m.blocked_by
+        |FROM h LEFT JOIN m ON h.doc_id = m.doc_id
+        |ORDER BY h.doc_id""".stripMargin,
+
+    // d101: the CCNet bucketing re-derived — the d33 unigram score
+    // chain verbatim, then a per-language row_number over the same
+    // (score DESC, doc_id) order and the same floor(cum·n + 0.5)
+    // boundaries, cum literals interpolated from the shared Scala
+    // computation (the d88 discipline).
+    "d101_ppl_buckets" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        |), f AS (
+        |  SELECT t, count(*) AS c FROM tok GROUP BY t
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS DOUBLE) AS tot FROM f
+        |), sc AS (
+        |  SELECT doc_id, round(avg(ln(CAST(c AS DOUBLE) / tot)), 4) AS avg_logp
+        |  FROM tok JOIN f USING (t) CROSS JOIN tot GROUP BY doc_id
+        |), sl AS (
+        |  SELECT sc.doc_id, d.lang, sc.avg_logp
+        |  FROM sc JOIN documents d USING (doc_id)
+        |  WHERE d.lang IS NOT NULL
+        |), r AS (
+        |  SELECT doc_id, lang, avg_logp,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY avg_logp DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM sl
+        |)
+        |SELECT doc_id, lang,
+        |  CASE WHEN rk <= CAST(floor(${d101Cums(0)} * n + 0.5) AS BIGINT)
+        |         THEN 'head'
+        |       WHEN rk <= CAST(floor(${d101Cums(1)} * n + 0.5) AS BIGINT)
+        |         THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  avg_logp
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "d24_decontaminate" ->
       """WITH w AS (

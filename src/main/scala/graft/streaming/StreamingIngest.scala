@@ -265,6 +265,15 @@ object StreamingIngest {
     * one's input). The model is frozen, so the stage is
     * deterministic and replay self-suppression is unchanged.
     *
+    * `blocklist` (+ `blocklistDomainCol`, requires `urlCol`) prepends
+    * the D75 domain gate as a STATELESS stage before even the
+    * frontier: a blocked page pays nothing and — deliberately —
+    * never reaches the frontier index, because "blocked by policy"
+    * is not "fetched and judged": unblocking a domain later must
+    * leave its URLs crawlable, and a stateless filter has no crash
+    * window at all. The blocklist broadcasts (MBs vs the stream);
+    * the verdict is the batch-sized left-semi of the nb stage.
+    *
     * `urlCol` + `urlIndexName` (both or neither) prepend the URL
     * FRONTIER screen — the true stage 0 of the CCNet/RefinedWeb
     * order (URL-screen → extract → gate → content-dedup): a
@@ -293,13 +302,30 @@ object StreamingIngest {
       packCapacity: Long = 2048L, htmlMinLen: Int = 10,
       htmlMaxLinkPct: Int = 20, nbModel: Option[String] = None,
       nbThreshold: Double = 0.0, urlCol: Option[String] = None,
-      urlIndexName: Option[String] = None): StreamingQuery = {
+      urlIndexName: Option[String] = None,
+      blocklist: Option[DataFrame] = None,
+      blocklistDomainCol: String = "domain"): StreamingQuery = {
     require(urlCol.isDefined == urlIndexName.isDefined,
       "urlCol and urlIndexName come together: the frontier screen " +
         "needs both the key column and the index to screen against")
+    require(blocklist.isEmpty || urlCol.isDefined,
+      "blocklist needs urlCol: the domain gate keys on the URL")
     pages.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // stage -1: the stateless domain gate — before any index IO,
+        // and deliberately OUTSIDE the frontier's memory (see
+        // scaladoc)
+        val batch = (blocklist, urlCol) match {
+          case (Some(bl), Some(u)) =>
+            val ok = graft.operators.TextAnalysis.urlBlocklistGate(
+              batch0, idCol, u, bl, blocklistDomainCol)
+              .filter(!col("blocked"))
+              .select(col(idCol).as("__ubid"))
+            batch0.join(ok.hint("SHUFFLE_HASH"),
+              col(idCol) === col("__ubid"), "left_semi")
+          case _ => batch0
+        }
         val admitted = (urlCol, urlIndexName) match {
           case (Some(u), Some(ix)) =>
             val keepOne = graft.operators.TextAnalysis

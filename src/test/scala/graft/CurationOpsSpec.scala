@@ -156,6 +156,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(res(5L) == ("http://b.org/y", false))
   }
 
+  test("urlBlocklistGate: suffix match blocks subdomains, exact entry blocks only itself") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://www.bad.com/x"),   // subdomain of blocked bad.com
+      (2L, "https://bad.com/y"),       // blocked domain itself
+      (3L, "https://notbad.com/z"),    // NOT a dot-boundary suffix
+      (4L, "https://www.exact.org/a"), // exact-host entry
+      (5L, "https://sub.exact.org/b"), // sibling host — not blocked
+      (6L, "https://fine.net/c")
+    ).toDF("doc_id", "url")
+    val bl = Seq("bad.com", "www.exact.org").toDF("domain")
+    val res = TextAnalysis.urlBlocklistGate(docs, "doc_id", "url",
+      bl, "domain")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("blocked"), r.getAs[String]("blocked_by")))).toMap
+    assert(res(1L) == ((true, "bad.com")))
+    assert(res(2L) == ((true, "bad.com")))
+    assert(res(3L) == ((false, null)))
+    assert(res(4L) == ((true, "www.exact.org")))
+    assert(res(5L) == ((false, null)))
+    assert(res(6L) == ((false, null)))
+  }
+
   // ------------------------------------------- mixture sampler
 
   test("mixtureSample: integer allowances, md5-priority prefix cut, invariance") {
@@ -402,6 +425,33 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(cCounts == Seq(6, 0, 1), s"got $cCounts")
   }
 
+  test("rankBuckets: ranked cut per stratum, score-desc via negation, partition-invariant") {
+    import spark.implicits._
+    // stratum a: 7 docs, scores descending with doc_id so head =
+    // lowest ids; a tie on score (ids 3,4) breaks on doc_id.
+    // stratum b: 2 docs — boundaries floor(1/3·2+0.5)=1,
+    // floor(2/3·2+0.5)=1 → head 1, middle 0, tail 1.
+    val docs = (Seq((1L, "a", 9.0), (2L, "a", 8.0), (3L, "a", 7.0),
+      (4L, "a", 7.0), (5L, "a", 6.0), (6L, "a", 5.0), (7L, "a", 4.0),
+      (10L, "b", 2.0), (11L, "b", 1.0))).toDF("doc_id", "st", "score")
+    val buckets = Seq("head" -> 1.0, "middle" -> 1.0, "tail" -> 1.0)
+    def run(parts: Int) = Sampling.rankBuckets(docs, "doc_id", "st",
+      org.apache.spark.sql.functions.negate(
+        org.apache.spark.sql.functions.col("score")),
+      buckets, partitions = parts)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val got = run(32)
+    val byId = got.map(r => r._1 -> r._3).toMap
+    // stratum a (n=7): boundaries floor(7/3+0.5)=2, floor(14/3+0.5)=5
+    // → head {1,2}, middle {3,4,5}, tail {6,7}
+    assert(Seq(1L, 2L).forall(byId(_) == "head"))
+    assert(Seq(3L, 4L, 5L).forall(byId(_) == "middle"))
+    assert(Seq(6L, 7L).forall(byId(_) == "tail"))
+    assert(byId(10L) == "head" && byId(11L) == "tail")
+    assert(run(3).sortBy(_._1).toSeq == got.sortBy(_._1).toSeq,
+      "assignments drifted with the partition count")
+  }
+
   test("bm25TopK rejects non-lowercase query terms loudly") {
     import spark.implicits._
     val docs = Seq((1L, "spark shuffles data")).toDF("doc_id", "text")
@@ -601,6 +651,41 @@ class CurationOpsSpec extends AnyFunSuite {
       (e.getMessage.contains("train class is empty") ||
         e.getCause != null &&
         e.getCause.getMessage.contains("train class is empty")))
+  }
+
+  test("calibrationReport: hand bins, integer avg_p, cumulative precision/recall sweep") {
+    import spark.implicits._
+    // σ(-10) ≈ 4.54e-5 → bin 0, p4 = 0; σ(0) = 0.5 → bin 2 of 4;
+    // σ(10) ≈ 0.99995 → floor(p·4) = 3 (and the cap keeps p = 1.0
+    // in the last bin). One null score and one null label drop.
+    val scored = Seq(
+      (-10.0, Some(false)), (-10.0, Some(true)),
+      (0.0, Some(true)), (0.0, Some(false)), (0.0, Some(true)),
+      (10.0, Some(true)),
+      (0.0, None)
+    ).toDF("log_odds", "y")
+      .unionByName(Seq((Option.empty[Double], Some(true)))
+        .toDF("log_odds", "y"))
+    val rows = TextAnalysis.calibrationReport(scored, "log_odds", "y",
+      bins = 4)
+      .orderBy(col("bin"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7), r.getDouble(8)))
+    assert(rows.toSeq == Seq(
+      // bin, n, n_pos, pos_rate, avg_p, cum_n, cum_pos, precision, recall
+      (0L, 2L, 1L, 0.5, 0.0, 6L, 4L, 0.6667, 1.0),
+      (2L, 3L, 2L, 0.6667, 0.5, 4L, 3L, 0.75, 0.75),
+      (3L, 1L, 1L, 1.0, 1.0, 1L, 1L, 1.0, 0.25)))
+  }
+
+  test("calibrationReport: recall is null when the holdout has no positives") {
+    import spark.implicits._
+    val scored = Seq((1.0, false), (-1.0, false)).toDF("log_odds", "y")
+    val rows = TextAnalysis.calibrationReport(scored, "log_odds", "y",
+      bins = 2).collect()
+    assert(rows.forall(_.isNullAt(8)) && rows.forall(_.getLong(2) == 0L))
   }
 
   // ------------------------------------------- hybrid retrieval (r15)

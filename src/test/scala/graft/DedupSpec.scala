@@ -1478,4 +1478,33 @@ class DedupSpec extends AnyFunSuite {
     assert(res(1L) == ((1, 1, "")))
     assert(res(2L) == ((2, 2, "")))
   }
+
+  test("gramSupportHistogram: distinct-doc support, in-doc repeats count once, short-doc whole gram") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),     // 2-grams: "a b", "b c"
+      (2L, "a b d"),     // "a b", "b d"
+      (3L, "a b c"),     // "a b", "b c"
+      (4L, "x"),         // shorter than k → holds NO gram (wordGrams)
+      (5L, "x"),
+      (6L, "a b a b")    // "a b" twice in-doc → counts ONCE; "b a" once
+    ).toDF("doc_id", "text")
+    val res = Dedup.gramSupportHistogram(docs, "doc_id", "text",
+      k = 2, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("n_docs") ->
+        r.getAs[Long]("n_grams")).toMap
+    // support: "a b" → 4 docs, "b c" → 2; "b d"/"b a" singletons are
+    // below minDocs; the short docs contribute nothing
+    assert(res == Map(2L -> 1L, 4L -> 1L), s"got $res")
+    // raising minDocs drops the 2-doc grams
+    val hi = Dedup.gramSupportHistogram(docs, "doc_id", "text",
+      k = 2, minDocs = 3)
+      .collect().map(r => r.getAs[Long]("n_docs") ->
+        r.getAs[Long]("n_grams")).toMap
+    assert(hi == Map(4L -> 1L), s"got $hi")
+    intercept[IllegalArgumentException] {
+      Dedup.gramSupportHistogram(docs, "doc_id", "text", k = 2,
+        minDocs = 1)
+    }
+  }
 }

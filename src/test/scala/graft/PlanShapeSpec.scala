@@ -620,6 +620,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(np, "SortAggregate") == 0, np.take(1500))
   }
 
+  test("d105: calibration sweep — no windows; corpus work ends at the bins aggregate") {
+    val p = plan("d105_calibration")
+    assert(count(p, "Window") == 0, p.take(1500))
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+    assert(count(p, "SortAggregate") == 0, p.take(1500))
+    // the cumulative sweep and one-row totals ride broadcasts of the
+    // checkpointed ≤bins-row table — never a corpus-sized join
+    assert(count(p, "ShuffledHashJoin") <= 2, p.take(2500))
+  }
+
   test("d100: incremental curation — no windows, no cartesian; the screen reads the bucketed index") {
     val p = plan("d100_incremental_curation")
     assert(count(p, "Window") == 0, p.take(2000))
@@ -633,15 +643,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Window") == 0,
       s"hot-line window crept back in:\n${p.take(2000)}")
     val np = pinnedPlan("d94_line_dedup")
-    // ONE line explode; the per-(h,doc) collapse and the removal
-    // probe share the explicit h exchange
+    // ONE line explode; the keeper aggregate and the removal probe
+    // share the explicit h exchange over the COLLAPSED pairs table
+    // (the r15 two-level shape: the full stream is aggregated on the
+    // unskewed (h, doc) composite key first)
     assert(count(np, "Generate") == 1 && count(np, "ReusedExchange") >= 1,
       s"line explode pipeline duplicated:\n${np.take(3000)}")
-    // keeper identity is a post-join filter, NEVER a second equi-key
-    // (a (h, doc) re-key was observed re-shuffling both join sides:
-    // it shows up as extra hash exchanges beyond the h repartition,
-    // the removals rollup and the rebuild's doc-keyed pair)
-    assert(count(np, "Exchange hashpartitioning") <= 4,
+    // exactly the four intended exchanges: the (h, doc) stream
+    // collapse, the pairs h repartition, the removals rollup and the
+    // rebuild's doc-keyed live side — anything more means the keeper
+    // join got re-keyed or ReuseExchange died (a ReusedExchange node
+    // PRINTS its target's "Exchange hashpartitioning" descriptor, so
+    // subtract those mentions from the raw substring count)
+    assert(count(np, "Exchange hashpartitioning")
+        - count(np, "ReusedExchange") <= 4,
       s"keeper join re-keyed the h partitioning:\n${np.take(3000)}")
     // removal probe + rebuild join, both hash-built
     assert(count(np, "ShuffledHashJoin") == 2,

@@ -42,4 +42,29 @@ class SnapshotSpec extends AnyFunSuite {
         r.getAs[Long]("n")).toMap
     assert(sum == Map("unchanged" -> 1L, "changed" -> 1L, "added" -> 1L))
   }
+
+  test("vocabDrift: hand-computed counts, smoothing, drift order and the top-k cut") {
+    import spark.implicits._
+    // old: "a a b", "c"      → N_old = 4, counts a:2 b:1 c:1
+    // new: "a b b", "c", "d" → N_new = 5, counts a:1 b:2 c:1 d:1
+    // union vocab V = 4
+    val old = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val neu = Seq((1L, "a b b"), (2L, "c"), (3L, "d")).toDF("doc_id", "text")
+    val rows = Snapshot.vocabDrift(old, neu, "doc_id", "text", topK = 3)
+      .collect()
+    // drift_num = |c_new·4 − c_old·5|: a |4−10|=6, b |8−5|=3, d |4−0|=4,
+    // c |4−5|=1 → top-3 order a, d, b (ties none)
+    assert(rows.map(_.getAs[String]("t")).toSeq == Seq("a", "d", "b"))
+    val byT = rows.map(r => r.getAs[String]("t") ->
+      ((r.getAs[Long]("c_old"), r.getAs[Long]("c_new"),
+        r.getAs[Double]("shift")))).toMap
+    assert(byT("a")._1 == 2L && byT("a")._2 == 1L)
+    assert(byT("d")._1 == 0L && byT("d")._2 == 1L)
+    def sh(cn: Long, co: Long): Double =
+      BigDecimal(math.log((cn + 1).toDouble / (5.0 + 4.0))
+        - math.log((co + 1).toDouble / (4.0 + 4.0)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byT("a")._3 == sh(1, 2))
+    assert(byT("d")._3 == sh(1, 0))
+  }
 }

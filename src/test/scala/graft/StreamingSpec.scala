@@ -1156,4 +1156,57 @@ class StreamingSpec extends AnyFunSuite {
         s"frontier side re-shuffled:\n${p.take(2000)}")
     } finally q.stop()
   }
+
+  test("pipeline ingest with a domain blocklist: blocked pages never land AND never enter the frontier") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pipebl").toString
+    def page(chrome: String, body: String): String =
+      s"""<html><head><title>$chrome</title></head><body><p>$body""" +
+        s"""</p><div class="footer"><a href="/t">terms</a></div></body></html>"""
+    val bodyA = "the observatory logged a slow variable star whose " +
+      "brightness curve repeats every nineteen days across the " +
+      "archival plates spanning a century of patient measurement"
+    val bodyB = "the harbor dredging project uncovered a colonial " +
+      "shipwreck whose cargo manifest survived in a sealed jar " +
+      "giving historians an unusually complete trade inventory"
+    graft.operators.Dedup.buildUrlIndex(
+      Seq("https://seeded.example.com/old").toDF("url"),
+      "url", name = "t_bl_url_idx")
+    graft.operators.Dedup.buildDedupIndex(
+      Seq((1L, "seed corpus body for the blocklist pipeline test " +
+        "with enough words to stand alone")).toDF("doc_id", "text"),
+      "doc_id", "text", name = "t_blpipe_idx")
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = StreamingIngest.toPipelineIngest(
+      input.toDS().toDF("doc_id", "html", "url"), "doc_id", "html",
+      "t_blpipe_idx", s"$dir/packed", s"$dir/ckpt",
+      minWords = 20, packCapacity = 64L,
+      urlCol = Some("url"), urlIndexName = Some("t_bl_url_idx"),
+      blocklist = Some(Seq("blocked.example.com").toDF("domain")))
+    try {
+      input.addData(
+        // subdomain of a blocked domain → gated at stage -1
+        (10L, page("v1", bodyA), "https://sub.blocked.example.com/x"),
+        (20L, page("v2", bodyB), "https://ok.example.com/y"))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(s"$dir/packed")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(landed == Set(20L), s"got $landed")
+      // the blocked URL must NOT be in the frontier: "blocked by
+      // policy" is not "fetched and judged" — after an unblock the
+      // page must still be crawlable (screen passes it through)
+      val stillCrawlable = graft.operators.Dedup.screenAgainstUrlIndex(
+        Seq((99L, "https://sub.blocked.example.com/x"))
+          .toDF("doc_id", "url"), "url", "t_bl_url_idx").count()
+      assert(stillCrawlable == 1L,
+        "blocked url leaked into the frontier index")
+      // redelivery: 20 self-suppresses at the frontier, 10 stays
+      // blocked — nothing lands twice
+      input.addData(
+        (10L, page("v1", bodyA), "https://sub.blocked.example.com/x"),
+        (20L, page("v2", bodyB), "https://ok.example.com/y"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/packed").count() == 1L)
+    } finally q.stop()
+  }
 }
