@@ -443,12 +443,20 @@ object ScaleProbe {
     val w = 8
     val ws = split(trim(col("text")), "\\s+")
     val nl = ceil(size(ws) / lit(w.toDouble)).cast("int")
+    // PIN the wrapped corpus across 32 partitions before timing: the
+    // mega parquet is ~13 MB in 32 small files, so the default
+    // 128 MB maxPartitionBytes packs the WHOLE scan into ONE task —
+    // a 30 s serial scan+wrap+md5 that dominated (and equalized)
+    // every earlier reading of this probe. With the input pinned,
+    // the receipt measures the dedup PLANS, which is the question.
     val docs = spark.read.parquet(s"$SfMega/documents.parquet")
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"),
         array_join(transform(sequence(lit(1), nl), i =>
           array_join(slice(ws, (i - 1) * lit(w) + 1, lit(w)), " ")), "\n")
           .as("text"))
+      .repartition(32)
+      .localCheckpoint(true)
 
     def production(): DataFrame = Dedup.lineDedup(docs, "doc_id", "text")
 

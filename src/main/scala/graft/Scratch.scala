@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Profiling scratch main (contents change per investigation).
-  * Current: does AQE lose the d94 ReuseExchange? Full production
-  * lineDedup with AQE on vs off on the mega corpus. */
+  * Current: localize lineDedup's sfmega cost — time each sub-plan of
+  * the production form against the window twin's equivalents. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -27,6 +27,15 @@ object Scratch {
           array_join(slice(ws, (i - 1) * lit(w) + 1, lit(w)), " ")), "\n")
           .as("text"))
 
+    @volatile var maxTaskMs = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null)
+          maxTaskMs = math.max(maxTaskMs, e.taskInfo.duration)
+    }
+    spark.sparkContext.addSparkListener(listener)
+
     def time(label: String)(mk: () => DataFrame): Unit = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -34,21 +43,64 @@ object Scratch {
         (System.nanoTime() - t0) / 1e9
       }
       once()
-      println(f"$label%-28s ${once()}%7.2f s")
+      maxTaskMs = 0L
+      val t = once()
+      println(f"$label%-34s ${t}%7.2f s   maxTask ${maxTaskMs} ms")
     }
 
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    val df1 = Dedup.lineDedup(docs, "doc_id", "text")
-    time("full prod AQE on")(() => Dedup.lineDedup(docs, "doc_id", "text"))
-    df1.write.mode("overwrite").format("noop").save()
-    val ep = df1.queryExecution.executedPlan.toString
-    println("AQE-on executed plan ReusedExchange lines: " +
-      ep.linesIterator.count(_.contains("ReusedExchange")))
-    println("AQE-on executed plan Generate lines: " +
-      ep.linesIterator.count(_.contains("Generate")))
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    time("full prod AQE off")(() => Dedup.lineDedup(docs, "doc_id", "text"))
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // ---- production sub-plans, cumulative
+    val live = docs
+    val lines = live
+      .select(col("doc_id"), posexplode(split(col("text"), "\n", -1)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        Dedup.md5Hash60(trim(lower(col("col")))).as("h"),
+        (length(trim(col("col"))) > 0).as("__nb"))
+    def pairs() = lines.filter(col("__nb"))
+      .groupBy(col("h"), col("doc_id"))
+      .agg(min(col("pos")).as("__mnpos"))
+      .repartition(col("h"))
+    def keeper() = pairs().groupBy(col("h"))
+      .agg(count(lit(1)).as("__nd"),
+        min(col("doc_id")).as("__mn"),
+        min_by(col("__mnpos"), col("doc_id")).as("__kpos"))
+      .filter(col("__nd") >= 2)
+      .select(col("h").as("__dh"), col("__mn"), col("__kpos"))
+    def hits() = pairs()
+      .join(keeper().hint("SHUFFLE_HASH"), col("h") === col("__dh"))
+      .select(col("doc_id"),
+        struct(col("h").as("h"),
+          when(col("doc_id") === col("__mn"),
+            coalesce(col("__kpos"), col("__mnpos"))).as("k"))
+          .as("__e"))
+    def rm() = hits().groupBy(col("doc_id"))
+      .agg(collect_list(col("__e")).as("__rm"))
+
+    time("explode+hash only")(() => lines)
+    time("pairs (level-1 agg + repart)")(() => pairs())
+    time("keeper")(() => keeper())
+    time("hits")(() => hits())
+    time("rm")(() => rm())
+    time("full production")(() => Dedup.lineDedup(docs, "doc_id", "text"))
+
+    // window-twin equivalents for the same cut points
+    import org.apache.spark.sql.expressions.Window
+    val keyed = lines.filter(col("__nb"))
+      .select(col("doc_id"), col("pos"), col("h"))
+    def winRemoved() = {
+      val byH = Window.partitionBy(col("h"))
+      keyed
+        .withColumn("__mn", min(col("doc_id")).over(byH))
+        .withColumn("__mx", max(col("doc_id")).over(byH))
+        .withColumn("__rn", row_number().over(
+          byH.orderBy(col("doc_id"), col("pos"))))
+        .filter(col("__mn") =!= col("__mx") && col("__rn") > 1)
+        .select(col("doc_id"), col("pos"))
+    }
+    def winRm() = winRemoved().groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("__rm"))
+    time("window removed")(() => winRemoved())
+    time("window rm")(() => winRm())
+
     spark.stop()
   }
 }

@@ -385,6 +385,72 @@ object Dedup {
     bandPairsFromSigs(withSig, numPerms / bands, bands, threshold)
   }
 
+  /** Candidate-pair Jaccard HISTOGRAM — the threshold-sensitivity
+    * report behind choosing the near-dup τ (every published dedup
+    * pipeline states a Jaccard cutoff; this is the evidence for it):
+    * for EVERY LSH band candidate (no size-ratio prefilter, no
+    * threshold — sub-τ mass is exactly what the report must show),
+    * the exact shingle-set Jaccard bucketed into 21 width-0.05 bins.
+    * The bin cut is pure INTEGER arithmetic — (20·|∩|) div |∪| — so
+    * no float boundary exists for the two engines to disagree on
+    * (bin 20 is exactly j = 1.0, the exact-duplicate mass). Reading
+    * the report: mass just under a candidate τ warns the cut is
+    * inside a dense region; a bimodal shape (junk low, near-dups
+    * high) confirms a stable τ anywhere in the gap.
+    *
+    * Uses the md5-derived signature ([[md5MinhashPairs]]'s kernel) so
+    * the WHOLE report is oracle-checkable; the set intersection runs
+    * over xxhash64-hashed shingles while the oracle recounts the
+    * strings, so the no-collision premise is verified at every gate
+    * SF (the d97 discipline).
+    *
+    * Scale: the band equi-join is the one candidate generator (equi
+    * keys, never a cross join); WITHOUT the size-ratio prefilter the
+    * candidate set is deliberately wider than the dedup path's — this
+    * is a sampled-or-scheduled REPORT, not the per-ingest screen, and
+    * at 100 TB it runs on a hash slice (compose with hashSample). */
+  def candidateJaccardHistogram(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numPerms: Int = 32,
+      bands: Int = 16): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val r = numPerms / bands
+    val withSig = withShingles(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__graft_text")),
+      "__graft_text", shingleK, "sh")
+      .select(col("doc_id"), col("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", SketchFunctions.md5Minhash30(col("sh"), numPerms))
+    val banded = withSig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+    val bandKeyed = banded.repartition(col("band_id"), col("band_hash"))
+    val candidates = bandKeyed.as("a")
+      .join(bandKeyed.as("b"), Seq("band_id", "band_hash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = withSig.select(col("doc_id"), hashedSet(col("sh")).as("shh"))
+    candidates
+      .join(sets.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("shh", "shh_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("shh", "shh_b"), Seq("id_b"))
+      .select(size(array_intersect(col("shh_a"), col("shh_b")))
+        .cast("long").as("__i"),
+        (size(col("shh_a")) + size(col("shh_b"))).cast("long").as("__ab"))
+      .select(expr("(20 * __i) div (__ab - __i)").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("bin"), round(col("bin") * 0.05, 2).as("j_lo"),
+        col("n_pairs"))
+  }
+
   /** Incremental (batch-vs-corpus) dedup — the ingestion-time
     * pattern a 100 TB pipeline actually runs: a NEW batch arrives
     * and must be screened against the EXISTING corpus, exactly

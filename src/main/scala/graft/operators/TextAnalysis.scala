@@ -1001,6 +1001,47 @@ object TextAnalysis {
           .as("recall"))
   }
 
+  /** Tokenizer FERTILITY report per language — the multilingual
+    * tokenizer-fit metric of the public literature (fertility =
+    * subword tokens per whitespace word, the XLM-R/mBERT comparison
+    * number; bytes per token, the compression-rate view the BLOOM
+    * tokenizer work reports): a vocabulary trained on a skewed
+    * language mix over-segments the under-represented languages, and
+    * this report is how that shows up per language — rising
+    * fertility / falling bytes-per-token flags the language whose
+    * text pays more sequence positions per sentence. Pairs with the
+    * BPE training family (D46): the caller passes ANY per-doc token
+    * count column (the trained-merge count for the real report; the
+    * regex approximation for a quick look).
+    *
+    * All ratios derive from exact per-language INTEGER sums (token /
+    * word / byte totals) divided once and rounded to 4 decimals —
+    * no float accumulation order anywhere (the d78 rule).
+    *
+    * Scale: one scan projection + ONE language-keyed aggregate with
+    * map-side partials — a zipf-head language is one GROUP, never
+    * one task's row set. */
+  def tokenizerFertility(docs: DataFrame, idCol: String,
+      textCol: String, langCol: String, tokenCount: Column): DataFrame =
+    docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        col(langCol).isNotNull)
+      .select(col(langCol).as("lang"),
+        tokenCount.cast("long").as("__t"),
+        wsTokenCount(col(textCol)).cast("long").as("__w"),
+        octet_length(col(textCol)).cast("long").as("__b"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("n_tokens"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__b")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_words"), col("n_bytes"),
+        round(col("n_tokens").cast("double") / col("n_words"), 4)
+          .as("fertility"),
+        round(col("n_bytes").cast("double") / col("n_tokens"), 4)
+          .as("bytes_per_token"))
+
   /** Tracking query parameters stripped by [[canonicalizeUrl]]:
     * analytics/click identifiers that vary per referral without
     * changing the resource (the RefinedWeb/CCNet URL-dedup

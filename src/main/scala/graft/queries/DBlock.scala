@@ -828,6 +828,47 @@ object DBlock {
       Dedup.urlIndexStats(s, "d99_idx")
     }),
 
+    // D80: tokenizer FERTILITY per language — the multilingual
+    // tokenizer-fit report (fertility = trained-BPE tokens per
+    // whitespace word, the XLM-R comparison number; bytes per token,
+    // the BLOOM compression view): the d60-trained tokenizer
+    // re-applies to the full corpus and per-language INTEGER sums
+    // divide once — the language whose text pays more sequence
+    // positions per sentence shows up as the high-fertility row.
+    // Fully oracle-checked via the shared trained-merge chain.
+    "d107_fertility" -> ((s, d) => {
+      val merges = trainedMerges(s, d)
+      val ts0 = regexp_replace(lower(hex(col("text").cast("binary"))),
+        "([0-9a-f]{2})", "|$1|")
+      val ts = merges.foldLeft(ts0) { case (acc, (a, b)) =>
+        replace(acc, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+      }
+      TextAnalysis.tokenizerFertility(Tables.documents(s, d),
+        "doc_id", "text", "lang",
+        tokenCount =
+          (length(ts) - length(replace(ts, lit("|"), lit("")))) / 2)
+        .orderBy(col("lang"))
+    }),
+
+    // D79: candidate-pair Jaccard HISTOGRAM — the threshold-
+    // sensitivity report behind the near-dup τ: every LSH band
+    // candidate's exact shingle Jaccard bucketed into 21 width-0.05
+    // bins by pure INTEGER arithmetic ((20·|∩|) div |∪| — no float
+    // boundary for the engines to disagree on; bin 20 is exactly
+    // j = 1.0, the exact-duplicate mass). Mass just under a τ warns
+    // the cut sits in a dense region; a bimodal shape confirms a
+    // stable τ anywhere in the gap. md5-derived signatures so the
+    // WHOLE report is oracle-checked — the engine intersects
+    // xxhash64-hashed shingles, the oracle recounts the strings, so
+    // the no-collision premise is verified per gate SF (the d97
+    // discipline). Fully oracle-checked.
+    "d106_jaccard_histogram" -> ((s, d) =>
+      Dedup.candidateJaccardHistogram(
+        Tables.documents(s, d)
+          .filter(col("doc_id").isNotNull && col("text").isNotNull),
+        "doc_id", "text")
+        .orderBy(col("bin"))),
+
     // D78: classifier CALIBRATION sweep — the reliability diagram +
     // threshold sweep behind choosing the pipeline's quality-gate
     // cutoff (toPipelineIngest's nbThreshold knob): the d73 NB
@@ -2753,6 +2794,53 @@ object DBlock {
   }
   private val md5MinhashSql: String = md5MinhashSqlFor(32, 16, 0.5)
 
+  /** d106 oracle: the md5-minhash banding machinery (32 perms, 16
+    * bands of r=2 — the d30 geometry) with NO threshold and NO
+    * size-ratio prefilter, re-binned into the integer Jaccard
+    * histogram. list_intersect recounts shingle STRINGS, so the
+    * engine's xxhash64 hashed-set intersection premise is verified
+    * at every gate SF. */
+  private val d106JaccardHistSql: String = {
+    import graft.operators.Dedup.{mhA, mhB, mhPrime}
+    val mins = (0 until 32)
+      .map(j => s"min((h * ${mhA(j)} + ${mhB(j)}) % $mhPrime) AS m$j")
+      .mkString(", ")
+    val bandCond = (0 until 16)
+      .map(b => s"(a.m${2 * b} = b.m${2 * b} AND " +
+        s"a.m${2 * b + 1} = b.m${2 * b + 1})")
+      .mkString(" OR ")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) >= 3 THEN
+       |      list_distinct(list_transform(range(1, len(ws) - 1),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       |    ELSE [list_aggregate(ws, 'string_agg', ' ')] END AS s
+       |  FROM base
+       |), g AS (
+       |  SELECT doc_id, unnest(s) AS g FROM sh
+       |), h AS (
+       |  SELECT doc_id, ${h60("g")} & 1073741823 AS h FROM g
+       |), m AS (
+       |  SELECT doc_id, $mins FROM h GROUP BY doc_id
+       |), cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+       |  WHERE $bandCond
+       |), iu AS (
+       |  SELECT CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS i,
+       |    CAST(len(x.s) + len(y.s) AS BIGINT) AS ab
+       |  FROM cand c JOIN sh x ON x.doc_id = c.id_a
+       |    JOIN sh y ON y.doc_id = c.id_b
+       |)
+       |SELECT bin, round(bin * 0.05, 2) AS j_lo,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM (SELECT (20 * i) // (ab - i) AS bin FROM iu)
+       |GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   /** d97 oracle: re-derive every md5-minhash band vector (the d30
     * mins arithmetic — 32 perms, 16 bands of r=2) and re-aggregate
     * the index's occupancy report. n_distinct_bands equality PROVES
@@ -3056,7 +3144,12 @@ object DBlock {
     * corpus (a0..aM mirror the t-chain's conditional replace, over
     * every document) — count = pipes/2, md5 of the canonical
     * string. */
-  private val bpeTrainedTokenizeSql: String = {
+  /** The trained-BPE application chain (train CTEs + hex rendering +
+    * one replace layer per learned merge), ending in
+    * `a<d60Merges>(doc_id, ts)` — shared by the d61 tokenize oracle
+    * and the d107 fertility oracle so the trained-merge application
+    * cannot drift between them. */
+  private val bpeTrainedApplyChain: String = {
     val applyLayers = (1 to d60Merges).map { i =>
       val prev = s"a${i - 1}"
       s"""a$i AS MATERIALIZED (
@@ -3066,16 +3159,41 @@ object DBlock {
          |      '|' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || '|')
          |    ELSE ts END AS ts FROM $prev)""".stripMargin
     }
-    s"""WITH $bpeTrainCtes,
+    s"""$bpeTrainCtes,
        |a0 AS MATERIALIZED (
        |  SELECT doc_id, regexp_replace(lower(hex(encode(text))), '([0-9a-f]{2})', '|\\1|', 'g') AS ts
        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-       |${applyLayers.mkString(",\n")}
+       |${applyLayers.mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeTrainedTokenizeSql: String =
+    s"""WITH $bpeTrainedApplyChain
        |SELECT doc_id,
        |  CAST((length(ts) - length(replace(ts, '|', ''))) // 2 AS BIGINT) AS n_trained,
        |  md5(ts) AS trained_md5
        |FROM a$d60Merges ORDER BY doc_id""".stripMargin
-  }
+
+  /** d107 oracle: the trained-BPE chain re-applied, then per-language
+    * INTEGER sums (token/word/byte totals) and the two single-division
+    * ratios — fertility and bytes-per-token. */
+  private val d107FertilitySql: String =
+    s"""WITH $bpeTrainedApplyChain,
+       |t AS (
+       |  SELECT d.lang,
+       |    CAST((length(a.ts) - length(replace(a.ts, '|', ''))) // 2 AS BIGINT) AS tk,
+       |    CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(d.text), '\\s+')) END AS BIGINT) AS wd,
+       |    CAST(octet_length(encode(d.text)) AS BIGINT) AS bt
+       |  FROM a$d60Merges a JOIN documents d USING (doc_id)
+       |  WHERE d.lang IS NOT NULL
+       |)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tk) AS BIGINT) AS n_tokens,
+       |  CAST(sum(wd) AS BIGINT) AS n_words,
+       |  CAST(sum(bt) AS BIGINT) AS n_bytes,
+       |  round(CAST(sum(tk) AS DOUBLE) / sum(wd), 4) AS fertility,
+       |  round(CAST(sum(bt) AS DOUBLE) / sum(tk), 4) AS bytes_per_token
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
   /** d59: the d32 prefix-sum arithmetic over REAL BPE counts — the
     * token counts come from the SAME merge-chain CTEs as d51. */
@@ -4109,6 +4227,10 @@ object DBlock {
     // doc, support >= 2, grouped by support — a single md5Hash60
     // collision anywhere would merge two grams and break the counts.
     "d105_calibration" -> d105CalibrationSql,
+
+    "d106_jaccard_histogram" -> d106JaccardHistSql,
+
+    "d107_fertility" -> d107FertilitySql,
 
     "d104_gram_histogram" ->
       """WITH w AS (

@@ -1507,4 +1507,29 @@ class DedupSpec extends AnyFunSuite {
         minDocs = 1)
     }
   }
+
+  test("candidateJaccardHistogram: exact dups in bin 20, a near pair at its integer bin, disjoint docs uncandidated") {
+    import spark.implicits._
+    val tenA = (1 to 10).map(i => s"alpha$i").mkString(" ")
+    val tenB = (1 to 10).map(i => s"beta$i").mkString(" ")
+    // twelve words; the twin changes ONLY the last word, so of the 10
+    // 3-shingles exactly one differs: |∩| = 9, |∪| = 11,
+    // bin = (20·9) div 11 = 16
+    val near1 = (1 to 12).map(i => s"gamma$i").mkString(" ")
+    val near2 = (1 to 11).map(i => s"gamma$i").mkString(" ") + " delta"
+    val docs = Seq(
+      (1L, tenA), (2L, tenA),           // exact pair → j = 1 → bin 20
+      (3L, tenB), (4L, tenB), (5L, tenB), // 3 exact pairs → bin 20
+      (6L, near1), (7L, near2),         // near pair → bin 16
+      (8L, (1 to 10).map(i => s"omega$i").mkString(" ")) // disjoint
+    ).toDF("doc_id", "text")
+    val res = Dedup.candidateJaccardHistogram(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Double]("j_lo"), r.getAs[Long]("n_pairs"))).toMap
+    // word-disjoint docs share no shingle, hence (for these fixed
+    // strings) no band — the only candidates are the planted pairs
+    assert(res == Map(20L -> ((1.0, 4L)), 16L -> ((0.8, 1L))),
+      s"got $res")
+  }
 }

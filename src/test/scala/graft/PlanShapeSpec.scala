@@ -620,6 +620,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(np, "SortAggregate") == 0, np.take(1500))
   }
 
+  test("d107: fertility report — pure scan projection + one language aggregate, no joins") {
+    val p = plan("d107_fertility")
+    assert(count(p, "Window") == 0, p.take(1500))
+    assert(count(p, "Join") == 0,
+      s"fertility must be projection + aggregate only:\n${p.take(2000)}")
+    assert(count(p, "SortAggregate") == 0, p.take(1500))
+  }
+
+  test("d106: jaccard histogram — band equi-join generates candidates, banding pipeline reused") {
+    val p = plan("d106_jaccard_histogram")
+    assert(count(p, "Window") == 0, p.take(1500))
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0, p.take(2000))
+    val np = pinnedPlan("d106_jaccard_histogram")
+    // the band self-join's two sides share the explicit
+    // (band_id, band_hash) repartition — sig pipeline runs once
+    assert(count(np, "ReusedExchange") >= 1,
+      s"banding pipeline duplicated:\n${np.take(3000)}")
+  }
+
   test("d105: calibration sweep — no windows; corpus work ends at the bins aggregate") {
     val p = plan("d105_calibration")
     assert(count(p, "Window") == 0, p.take(1500))

@@ -446,4 +446,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert((m(5L)._1 & 8L) == 8L && (m(5L)._1 & 1L) == 1L && !m(5L)._2)
     assert(m(6L) == ((16L, false)))
   }
+
+  test("tokenizerFertility: per-language integer sums and single-division ratios") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when}
+    val docs = Seq(
+      // en: 2 docs, words 2 + 3 = 5, bytes 5 + 9 = 14
+      (1L, "ab cd", "en"),        // synthetic tokens: 4
+      (2L, "e fg hijk", "en"),    // 6 → en tokens 10
+      (3L, "xy z", "de"),         // words 2, bytes 4, tokens 4
+      (4L, null.asInstanceOf[String], "de"), // null text drops
+      (5L, "w", null.asInstanceOf[String])   // null lang drops
+    ).toDF("doc_id", "text", "lang")
+    val rep = TextAnalysis.tokenizerFertility(docs, "doc_id", "text",
+      "lang", tokenCount = when(col("doc_id") === 1L, 4L)
+        .when(col("doc_id") === 2L, 6L).otherwise(4L))
+    assert(rep.columns.toSeq == Seq("lang", "n_docs", "n_tokens",
+      "n_words", "n_bytes", "fertility", "bytes_per_token"))
+    val res = rep.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(res("en") == ((2L, 10L, 5L, 14L, 2.0, 1.4)), res.toString)
+    assert(res("de") == ((1L, 4L, 2L, 4L, 2.0, 1.0)), res.toString)
+    assert(res.size == 2)
+  }
 }
