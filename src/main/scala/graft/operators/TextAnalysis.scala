@@ -1042,6 +1042,40 @@ object TextAnalysis {
         round(col("n_bytes").cast("double") / col("n_tokens"), 4)
           .as("bytes_per_token"))
 
+  /** Per-DOMAIN corpus report — the evidence a blocklist (D75) is
+    * curated FROM: web-pipeline curation decisions are made at host
+    * granularity (RefinedWeb/CCNet drop or keep whole domains), and
+    * this report is the per-host roll-up those decisions read — doc
+    * count, token and byte mass, and mean quality (the D9 blend) per
+    * URL host. A host with many docs and low mean quality is a
+    * blocklist candidate; a high-mass high-quality host is worth a
+    * crawl-budget boost.
+    *
+    * avg_quality follows the integer-units rule: the per-doc quality
+    * is already rounded to 4 decimals, so round(q·10⁴) is an exact
+    * integer, sums exactly in any partition order, and divides once.
+    *
+    * Scale: one scan projection (host extraction + stats kernels) +
+    * ONE host-keyed aggregate with map-side partials — a mega-host
+    * is one GROUP, never one task's row set. */
+  def domainReport(docs: DataFrame, idCol: String, urlCol: String,
+      textCol: String): DataFrame =
+    docs
+      .filter(col(idCol).isNotNull && col(urlCol).isNotNull &&
+        col(textCol).isNotNull)
+      .select(urlHost(col(urlCol)).as("host"),
+        wsTokenCount(col(textCol)).cast("long").as("__t"),
+        octet_length(col(textCol)).cast("long").as("__b"),
+        round(qualityScore(col(textCol)) * 10000).cast("long").as("__q4"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("n_tokens"),
+        sum(col("__b")).as("n_bytes"),
+        sum(col("__q4")).as("__q4s"))
+      .select(col("host"), col("n_docs"), col("n_tokens"), col("n_bytes"),
+        round(col("__q4s").cast("double") / (col("n_docs") * 10000.0), 4)
+          .as("avg_quality"))
+
   /** Tracking query parameters stripped by [[canonicalizeUrl]]:
     * analytics/click identifiers that vary per referral without
     * changing the resource (the RefinedWeb/CCNet URL-dedup

@@ -828,6 +828,22 @@ object DBlock {
       Dedup.urlIndexStats(s, "d99_idx")
     }),
 
+    // D81: per-DOMAIN corpus report — the evidence a blocklist is
+    // curated FROM (web curation decides at host granularity): per
+    // URL host, doc count, token/byte mass and mean quality (the d9
+    // blend, averaged in exact integer units). A many-docs low-
+    // quality host is a d102 blocklist candidate. Planted URLs give
+    // five hosts; DuckDB re-derives host, stats and the integer-unit
+    // average. Fully oracle-checked.
+    "d108_domain_report" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.domainReport(
+        Tables.documents(s, d).filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), col("text"), plantedUrl.as("url")),
+        "doc_id", "url", "text")
+        .orderBy(col("host"))
+    }),
+
     // D80: tokenizer FERTILITY per language — the multilingual
     // tokenizer-fit report (fertility = trained-BPE tokens per
     // whitespace word, the XLM-R comparison number; bytes per token,
@@ -4231,6 +4247,43 @@ object DBlock {
     "d106_jaccard_histogram" -> d106JaccardHistSql,
 
     "d107_fertility" -> d107FertilitySql,
+
+    // d108: host from the planted URL (the d102 derivation), the d9
+    // quality blend per doc, then per-host integer-unit sums.
+    "d108_domain_report" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text, $plantedUrlSql AS url
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |), h AS (
+         |  SELECT doc_id, text,
+         |    lower(regexp_extract(regexp_extract(
+         |      regexp_replace(url, '#.*$$', ''),
+         |      '^[^/]*//([^/?#]*)', 1), '^([^:]*)', 1)) AS host
+         |  FROM u
+         |), b AS (
+         |  SELECT host, text,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_words,
+         |    length(replace(text, ' ', '')) AS non_space,
+         |    CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS INT) AS stop_n
+         |  FROM h
+         |), q AS (
+         |  SELECT host, n_words,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS bt,
+         |    CAST(round(round(least(n_words / 100.0, 1.0) * 0.4 +
+         |      (CASE WHEN (CASE WHEN n_words > 0
+         |          THEN CAST(non_space AS DOUBLE) / n_words ELSE 0.0 END)
+         |          BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+         |      least(CAST(stop_n AS DOUBLE) / 5.0, 1.0) * 0.2, 4) * 10000)
+         |      AS BIGINT) AS q4
+         |  FROM b
+         |)
+         |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
+         |  CAST(sum(bt) AS BIGINT) AS n_bytes,
+         |  round(CAST(sum(q4) AS DOUBLE) / (count(*) * 10000.0), 4)
+         |    AS avg_quality
+         |FROM q GROUP BY host ORDER BY host""".stripMargin,
 
     "d104_gram_histogram" ->
       """WITH w AS (

@@ -620,6 +620,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(np, "SortAggregate") == 0, np.take(1500))
   }
 
+  test("d108: domain report — pure scan projection + one host aggregate, no joins") {
+    val p = plan("d108_domain_report")
+    assert(count(p, "Window") == 0, p.take(1500))
+    assert(count(p, "Join") == 0,
+      s"domain report must be projection + aggregate only:\n${p.take(2000)}")
+    assert(count(p, "SortAggregate") == 0, p.take(1500))
+  }
+
   test("d107: fertility report — pure scan projection + one language aggregate, no joins") {
     val p = plan("d107_fertility")
     assert(count(p, "Window") == 0, p.take(1500))

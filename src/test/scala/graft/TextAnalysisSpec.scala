@@ -471,4 +471,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(res("de") == ((1L, 4L, 2L, 4L, 2.0, 1.0)), res.toString)
     assert(res.size == 2)
   }
+
+  test("domainReport: hosts fold case/port, integer-unit quality mean, null url/text drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "http://A.com/x", "aa bb cc"),
+      (2L, "https://a.com:443/y?z", "dd ee"),
+      (3L, "http://b.org/p", "ff gg hh ii"),
+      (4L, null.asInstanceOf[String], "drops"),
+      (5L, "http://c.net/", null.asInstanceOf[String])
+    ).toDF("doc_id", "url", "text")
+    // per-doc quality from the pinned d9 blend (its own spec owns the
+    // formula); this test owns the per-host aggregation arithmetic
+    val q = docs.filter(col("text").isNotNull && col("url").isNotNull)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def avg4(ids: Long*): Double =
+      math.round(ids.map(i => math.round(q(i) * 10000)).sum.toDouble /
+        (ids.size * 10000.0) * 10000) / 10000.0
+    val res = TextAnalysis.domainReport(docs, "doc_id", "url", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(res("a.com") == ((2L, 5L, 13L, avg4(1L, 2L))), res.toString)
+    assert(res("b.org") == ((1L, 4L, 11L, avg4(3L))), res.toString)
+    assert(res.size == 2)
+  }
 }
