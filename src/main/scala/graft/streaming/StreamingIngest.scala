@@ -295,7 +295,24 @@ object StreamingIngest {
     * append", never a silent dedup hole. Frontier semantics: a URL
     * is remembered once ADMITTED (even if its content later gates
     * out or dedups — the page was fetched and judged; re-crawling
-    * it buys nothing). */
+    * it buys nothing).
+    *
+    * `funnelDir` (C14) turns on ADMISSION-FUNNEL TELEMETRY — the
+    * ingest observability a production crawl watches (a spike in
+    * n_blocked means a list change; n_url_dup, a re-crawl storm;
+    * n_gate_cut, an extractor or source regression; n_index_dup, a
+    * mirror flood): per micro-batch ONE row of stage counts lands
+    * under `funnelDir/ingest_batch=<id>/`, written LAST (telemetry
+    * is advisory: a crash before it loses the batch's row until the
+    * replay overwrites the same partition — idempotent by path).
+    * Cost, disclosed: the intermediate batch-scoped frames
+    * (extracted, gated, in-batch survivors) are localCheckpoint-
+    * pinned so every count reads a materialized frame and no stage
+    * is ever recomputed for telemetry — the pins add batch-sized
+    * memory, nothing corpus-sized, and the gate chain itself still
+    * evaluates exactly once. n_gate_cut folds the extract, rule and
+    * nb cuts into one number (their per-stage split is the batch
+    * d47/d55 operators' job, not the stream's). */
   def toPipelineIngest(pages: DataFrame, idCol: String, htmlCol: String,
       indexName: String, path: String, checkpoint: String,
       minWords: Int = 50, maxWords: Int = 100000,
@@ -304,7 +321,8 @@ object StreamingIngest {
       nbThreshold: Double = 0.0, urlCol: Option[String] = None,
       urlIndexName: Option[String] = None,
       blocklist: Option[DataFrame] = None,
-      blocklistDomainCol: String = "domain"): StreamingQuery = {
+      blocklistDomainCol: String = "domain",
+      funnelDir: Option[String] = None): StreamingQuery = {
     require(urlCol.isDefined == urlIndexName.isDefined,
       "urlCol and urlIndexName come together: the frontier screen " +
         "needs both the key column and the index to screen against")
@@ -345,7 +363,7 @@ object StreamingIngest {
           .select(col(idCol), col("main_text"))
         val ruleGated = extracted.filter(graft.operators.TextAnalysis
           .gopherRuleBits(col("main_text"), minWords, maxWords) === 0)
-        val gated = nbModel match {
+        val gated0 = nbModel match {
           case Some(m) =>
             val keep = graft.operators.TextAnalysis
               .scoreWithNbModel(ruleGated, idCol, "main_text", m)
@@ -355,8 +373,14 @@ object StreamingIngest {
               "left_semi")
           case None => ruleGated
         }
-        val inBatch = graft.operators.Dedup.dedupWithinBatch(
+        // telemetry pin: counts must read a materialized frame, and
+        // the downstream dedup must not re-evaluate the gate chain
+        val gated = if (funnelDir.isDefined) gated0.localCheckpoint(true)
+          else gated0
+        val inBatch0 = graft.operators.Dedup.dedupWithinBatch(
           gated, idCol, "main_text", indexName)
+        val inBatch = if (funnelDir.isDefined)
+          inBatch0.localCheckpoint(true) else inBatch0
         // eager localCheckpoint: the survivor set feeds THREE
         // consumers (pack, sink, index fold-in), and the last runs
         // after the index mutates — a lazy recompute would re-screen
@@ -383,6 +407,30 @@ object StreamingIngest {
           case (Some(u), Some(ix)) =>
             graft.operators.Dedup.appendToUrlIndex(admitted, u, ix)
           case _ => ()
+        }
+        // funnel telemetry, written last (advisory — see scaladoc);
+        // every count below reads a pinned frame or the raw batch,
+        // and the row overwrites its own ingest_batch partition so a
+        // replay is idempotent by path
+        funnelDir.foreach { fd =>
+          val spark = batch0.sparkSession
+          import spark.implicits._
+          val nIn = batch0.count()
+          val nPostBlock =
+            if (blocklist.isDefined) batch.count() else nIn
+          val nAdmitted =
+            if (urlIndexName.isDefined) admitted.count() else nPostBlock
+          val nGated = gated.count()
+          val nUnique = inBatch.count()
+          val nLanded = survivors.count()
+          Seq((nIn, nIn - nPostBlock, nPostBlock - nAdmitted,
+            nAdmitted - nGated, nGated - nUnique, nUnique - nLanded,
+            nLanded))
+            .toDF("n_input", "n_blocked", "n_url_dup", "n_gate_cut",
+              "n_batch_dup", "n_index_dup", "n_landed")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$fd/ingest_batch=$batchId")
         }
         ()
       }

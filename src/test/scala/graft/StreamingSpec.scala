@@ -1209,4 +1209,76 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$dir/packed").count() == 1L)
     } finally q.stop()
   }
+
+  test("pipeline funnel telemetry: one row per batch, every stage cut counted, redelivery reads as full suppression") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pipefunnel").toString
+    def page(chrome: String, body: String): String =
+      s"""<html><head><title>$chrome</title></head><body><p>$body""" +
+        s"""</p><div class="footer"><a href="/t">terms</a></div></body></html>"""
+    val bodyB = "the harbor survey counted forty two vessels at anchor " +
+      "with a manifest listing grain salt and timber for the northern " +
+      "routes across patient decades of record keeping"
+    val bodyC = "the press release body holds a data table and a value " +
+      "summary that wire services distribute to partner outlets for " +
+      "training corpora in every market"
+    val seedText = "the corpus data table holds a value summary with " +
+      "enough prior words that the quality gate keeps it and the " +
+      "screen can match it exactly"
+    graft.operators.Dedup.buildDedupIndex(
+      Seq((1L, seedText)).toDF("doc_id", "text"), "doc_id", "text",
+      name = "t_funnel_idx")
+    graft.operators.Dedup.buildUrlIndex(
+      Seq("https://seeded.example.com/old").toDF("url"), "url",
+      name = "t_funnel_url_idx")
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = StreamingIngest.toPipelineIngest(
+      input.toDS().toDF("doc_id", "html", "url"), "doc_id", "html",
+      "t_funnel_idx", s"$dir/packed", s"$dir/ckpt",
+      minWords = 20, packCapacity = 64L,
+      urlCol = Some("url"), urlIndexName = Some("t_funnel_url_idx"),
+      blocklist = Some(Seq("blocked.example.com").toDF("domain")),
+      funnelDir = Some(s"$dir/funnel"))
+    try {
+      input.addData(
+        (10L, page("v0", bodyB), "https://sub.blocked.example.com/x"), // blocked
+        (20L, page("v1", bodyB), "https://ok.example.com/b?utm_source=1"),
+        (21L, page("v2", bodyB), "https://ok.example.com/b?utm_source=2"), // url keep-one
+        (30L, page("v3", "too short to pass"), "https://ok.example.com/c"), // gate cut
+        (40L, page("v4", bodyC), "https://ok.example.com/d"),
+        (41L, page("v5", bodyC), "https://ok.example.com/e"), // batch dup of 40
+        (50L, page("v6", seedText), "https://ok.example.com/f")) // index dup
+      q.processAllAvailable()
+      def funnel() = spark.read.parquet(s"$dir/funnel")
+        .collect().map(r => r.getAs[Long]("ingest_batch") ->
+          ((r.getAs[Long]("n_input"), r.getAs[Long]("n_blocked"),
+            r.getAs[Long]("n_url_dup"), r.getAs[Long]("n_gate_cut"),
+            r.getAs[Long]("n_batch_dup"), r.getAs[Long]("n_index_dup"),
+            r.getAs[Long]("n_landed")))).toMap
+      // 7 in; 1 blocked; 1 url keep-one; 1 short; 1 in-batch dup;
+      // 1 index dup; 20 and 40 land
+      assert(funnel()(0L) == ((7L, 1L, 1L, 1L, 1L, 1L, 2L)),
+        funnel().toString)
+      val landed = spark.read.parquet(s"$dir/packed")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(landed == Set(20L, 40L), s"got $landed")
+      // full redelivery: the funnel row reads as total stage-0
+      // suppression — 10 still blocked, and every other URL was
+      // ADMITTED in batch 0 (frontier semantics: remembered even if
+      // the content later gated out or deduped), so all six cut at
+      // the frontier and no later stage sees a row
+      input.addData(
+        (10L, page("v0", bodyB), "https://sub.blocked.example.com/x"),
+        (20L, page("v1", bodyB), "https://ok.example.com/b?utm_source=1"),
+        (21L, page("v2", bodyB), "https://ok.example.com/b?utm_source=2"),
+        (30L, page("v3", "too short to pass"), "https://ok.example.com/c"),
+        (40L, page("v4", bodyC), "https://ok.example.com/d"),
+        (41L, page("v5", bodyC), "https://ok.example.com/e"),
+        (50L, page("v6", seedText), "https://ok.example.com/f"))
+      q.processAllAvailable()
+      assert(funnel()(1L) == ((7L, 1L, 6L, 0L, 0L, 0L, 0L)),
+        funnel().toString)
+      assert(spark.read.parquet(s"$dir/packed").count() == 2L)
+    } finally q.stop()
+  }
 }
