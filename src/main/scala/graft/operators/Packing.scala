@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -332,4 +332,35 @@ object Packing {
       capacity = capacity, reliable = reliable)
       .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
   }
+
+  /** Sequence-LENGTH distribution — the evidence behind choosing a
+    * pack capacity (and a max-sequence cut): documents bucketed by
+    * power-of-two token count, one row per occupied bucket with its
+    * exact [lo, hi] range, doc count and token mass. Read it before
+    * setting [[sequencePack]]'s capacity: mass above the capacity
+    * bucket is what gets split across bins; a long tail argues for a
+    * length cut upstream.
+    *
+    * The bucket is PURE INTEGER arithmetic — length(bin(n)) is
+    * floor(log2 n)+1 on the binary string, no float log to disagree
+    * at exact powers of two — and lo/hi derive by bit shifts. Bucket
+    * 0 holds token-less documents (empty text). One scan projection +
+    * ONE ≤64-row aggregate; map-side partials. */
+  def lengthHistogram(docs: DataFrame, idCol: String,
+      tokens: Column): DataFrame =
+    docs.filter(col(idCol).isNotNull)
+      .select(tokens.cast("long").as("__n"))
+      .select(when(col("__n") <= 0, lit(0L))
+        .otherwise(length(bin(col("__n"))).cast("long")).as("bucket"),
+        col("__n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+      .select(col("bucket"),
+        when(col("bucket") === 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) - 1)"))
+          .as("lo"),
+        when(col("bucket") === 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1"))
+          .as("hi"),
+        col("n_docs"), col("n_tokens"))
 }

@@ -100,6 +100,30 @@ object Sampling {
     * Null-stratum rows are dropped (they belong to no mix
     * component). Returns the sampled rows unchanged.
     */
+  /** Deterministic EXACT-k sample — the budgeted-count sibling of the
+    * rate-based hash sampling (D18 pins a FRACTION; a labeling run,
+    * an eval build or a spot-check audit pins a COUNT): the k rows
+    * with the smallest md5(seed|id), all original columns intact.
+    * Deterministic across machines, partitionings and engines;
+    * NESTED like the rate sampler — the k'-sample (k' < k) is a
+    * prefix of the k-sample under the same seed, so budgets can grow
+    * without resampling; a new seed draws an independent sample.
+    *
+    * Scale shape: plans as TakeOrderedAndProject — per-partition
+    * k-row heaps + one k-row driver merge, never a global sort. k is
+    * a driver-bounded pull by contract (same bound class as the
+    * strata pulls), guarded. The id tiebreak makes the cut
+    * deterministic even under an md5 prefix collision. */
+  def exactSample(df: DataFrame, idCol: String, k: Int,
+      seed: String = ""): DataFrame = {
+    require(k >= 1 && k <= 10000000,
+      s"exactSample: k must be in [1, 1e7] (a driver-merged pull), got $k")
+    df.filter(col(idCol).isNotNull)
+      .orderBy(md5(concat(lit(seed), lit("|"), col(idCol).cast("string"))),
+        col(idCol))
+      .limit(k)
+  }
+
   def temperatureSample(
       df: DataFrame,
       idCol: String,

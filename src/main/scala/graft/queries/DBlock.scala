@@ -828,6 +828,31 @@ object DBlock {
       Dedup.urlIndexStats(s, "d99_idx")
     }),
 
+    // D83: sequence-length distribution — the evidence behind the
+    // pack capacity: docs bucketed by power-of-two token count
+    // (pure integer — length(bin(n)), no float log to disagree at
+    // exact powers of two), one row per occupied bucket with exact
+    // [lo, hi], doc count and token mass. Mass above the capacity
+    // bucket is what sequencePack splits across bins. Fully
+    // oracle-checked.
+    "d110_length_histogram" -> ((s, d) =>
+      Packing.lengthHistogram(
+        Tables.documents(s, d).filter(col("text").isNotNull),
+        "doc_id",
+        tokens = TextAnalysis.wsTokenCount(col("text")))
+        .orderBy(col("bucket"))),
+
+    // D82: deterministic EXACT-k sample — the budgeted-count sibling
+    // of the d22 rate sampler (a labeling run pins a COUNT, not a
+    // fraction): the k smallest md5(seed|id) rows, nested across
+    // budgets, TakeOrderedAndProject (per-partition heaps + one
+    // k-row merge, never a global sort). Fully oracle-checked.
+    "d109_exact_sample" -> ((s, d) =>
+      Sampling.exactSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", k = 137, seed = "audit")
+        .orderBy(col("doc_id"))),
+
     // D81: per-DOMAIN corpus report — the evidence a blocklist is
     // curated FROM (web curation decides at host granularity): per
     // URL host, doc count, token/byte mass and mean quality (the d9
@@ -4247,6 +4272,32 @@ object DBlock {
     "d106_jaccard_histogram" -> d106JaccardHistSql,
 
     "d107_fertility" -> d107FertilitySql,
+
+    "d109_exact_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang FROM documents WHERE doc_id IS NOT NULL
+        |  ORDER BY md5('audit|' || CAST(doc_id AS VARCHAR)), doc_id
+        |  LIMIT 137)
+        |ORDER BY doc_id""".stripMargin,
+
+    "d110_length_histogram" ->
+      """WITH t AS (
+        |  SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), b AS (
+        |  SELECT CASE WHEN n <= 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(length(bin(n)) AS BIGINT) END AS bucket, n
+        |  FROM t
+        |)
+        |SELECT bucket,
+        |  CASE WHEN bucket = 0 THEN 0
+        |    ELSE (CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)) END AS lo,
+        |  CASE WHEN bucket = 0 THEN 0
+        |    ELSE (CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 1 END AS hi,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // d108: host from the planted URL (the d102 derivation), the d9
     // quality blend per doc, then per-host integer-unit sums.

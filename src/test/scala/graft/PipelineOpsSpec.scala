@@ -734,4 +734,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(res(201L) == ((1L, r4(math.log(0.4 * (2.0 / 2.0))))),
       s"doc 201: ${res(201L)}")
   }
+
+  test("exactSample: exact k, nested across budgets, seed-dependent, partition-invariant") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"row$i")).toDF("doc_id", "v")
+    def ids(k: Int, seed: String, parts: Int) =
+      Sampling.exactSample(docs.repartition(parts), "doc_id", k, seed)
+        .collect().map(_.getLong(0)).toSet
+    val s40 = ids(40, "s1", 4)
+    assert(s40.size == 40)
+    // nested: the smaller budget is a subset of the larger
+    assert(ids(10, "s1", 4).subsetOf(s40))
+    // deterministic across partitionings
+    assert(ids(40, "s1", 11) == s40)
+    // a different seed draws a different sample
+    assert(ids(40, "s2", 4) != s40)
+    // all columns ride through
+    assert(Sampling.exactSample(docs, "doc_id", 5, "s1")
+      .columns.toSeq == Seq("doc_id", "v"))
+    intercept[IllegalArgumentException] {
+      Sampling.exactSample(docs, "doc_id", 0)
+    }
+  }
+
+  test("lengthHistogram: integer power-of-two buckets, exact lo/hi, zero-token bucket") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val docs = Seq(
+      (1L, 0L),   // bucket 0
+      (2L, 1L),   // bucket 1 [1,1]
+      (3L, 7L),   // bucket 3 [4,7]
+      (4L, 8L),   // bucket 4 [8,15] — the exact power-of-two edge
+      (5L, 8L),
+      (6L, 1023L) // bucket 10 [512,1023]
+    ).toDF("doc_id", "n")
+    val res = Packing.lengthHistogram(docs, "doc_id", col("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(res == Map(
+      0L -> ((0L, 0L, 1L, 0L)),
+      1L -> ((1L, 1L, 1L, 1L)),
+      3L -> ((4L, 7L, 1L, 7L)),
+      4L -> ((8L, 15L, 2L, 16L)),
+      10L -> ((512L, 1023L, 1L, 1023L))), res.toString)
+  }
 }

@@ -620,6 +620,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(np, "SortAggregate") == 0, np.take(1500))
   }
 
+  test("d109: exact sample plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan("d109_exact_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"budgeted sample must ride per-partition heaps:\n${p.take(2000)}")
+    assert(count(p, "Window") == 0 && count(p, "Join") == 0, p.take(1500))
+  }
+
+  test("d110: length histogram — integer buckets, projection + one aggregate, no joins") {
+    val p = plan("d110_length_histogram")
+    assert(count(p, "Window") == 0, p.take(1500))
+    assert(count(p, "Join") == 0, p.take(1500))
+    assert(count(p, "SortAggregate") == 0, p.take(1500))
+  }
+
   test("d108: domain report — pure scan projection + one host aggregate, no joins") {
     val p = plan("d108_domain_report")
     assert(count(p, "Window") == 0, p.take(1500))
