@@ -32,6 +32,15 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val Sf01 = "/root/testdata/sf0.1"
   private val Sf1 = "/root/repo/tmp/sf1"
+  /** LAYOUT-MATCHED 1× corpus: the driver's sf0.1 tables are single
+    * files with ONE row group each, so their stage-1 scan+compute is
+    * ONE task, while the derived sf1 writes 32 files — timing 1×
+    * against the raw sf0.1 handicaps the 1× side up to 32× on
+    * map-heavy stages and DEFLATES every ratio (the §11k item-15
+    * maxPartitionBytes lesson, caught again here). The probe's 1×
+    * side reads this 32-file rewrite of sf0.1 instead: same rows,
+    * same layout class as sf1, so the ratio measures the PLAN. */
+  private val Sf1x = "/root/repo/tmp/sf1x"
 
   private val probes = Seq(
     "b2_agg",               // lineitem control: pure partial agg
@@ -133,7 +142,20 @@ object ScaleProbe {
     "d101_ppl_buckets",     // unigram LM + per-lang ranked cut
     "d102_url_blocklist",   // suffix explode + broadcast blocklist
     "d103_vocab_drift",     // two count tables + full-outer + top-k
-    "d104_gram_histogram")  // (h,doc) collapse + support histogram
+    "d104_gram_histogram",  // (h,doc) collapse + support histogram
+    // r15 session 3. d105 is the d73 NB chain + a bins-row tail →
+    // tracks the classifier's ~linear cost; d106 is the md5-minhash
+    // banding WITHOUT the size prefilter — candidate count grows
+    // superlinearly with duplicated-content mass, but the sf1
+    // derivation salts copies so cross-copy bands stay disjoint →
+    // ~10× expected; d107/d108/d110 are scan projections + tiny
+    // aggregates → ~10×; d109 is TakeOrderedAndProject → ~10× scan.
+    "d105_calibration",     // NB score chain + bins tail
+    "d106_jaccard_histogram", // band candidates + integer bins
+    "d107_fertility",       // trained-merge fold + lang aggregate
+    "d108_domain_report",   // host extraction + host aggregate
+    "d109_exact_sample",    // per-partition heaps + k-row merge
+    "d110_length_histogram") // bin(n) buckets + <=64-row aggregate
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -151,6 +173,7 @@ object ScaleProbe {
     if (args.contains("lines")) { hotLineProbe(spark); spark.stop(); return }
 
     buildIfMissing(spark)
+    buildBaselineIfMissing(spark)
 
     def timeWarm(name: String, dir: String): Double = {
       def once(): Double = {
@@ -162,14 +185,42 @@ object ScaleProbe {
       once(); once()
     }
 
+    // per-entry cleanup, Bench's r14 isolation fix ported verbatim:
+    // without it, entry-created state (index tables, pinned
+    // localCheckpoints, cached relations) bleeds into the NEXT
+    // entry's timing — measured here as d94 reading 54.6 s inside
+    // the probe session vs 3.45 s standalone on the same corpus
+    // (a 16× pollution artifact that briefly read as a genuine
+    // superlinear scale failure).
+    val baselineTables: Set[String] =
+      spark.catalog.listTables().collect().map(_.name).toSet
+    val baselineRdds: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keys.toSet
+    def cleanup(): Unit = try {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!baselineRdds.contains(id)) rdd.unpersist(blocking = false)
+      }
+      spark.catalog.listTables().collect().foreach { t =>
+        if (!baselineTables.contains(t.name)) {
+          if (t.tableType == "TEMPORARY") spark.catalog.dropTempView(t.name)
+          else spark.sql(s"DROP TABLE IF EXISTS `${t.name}`")
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[probe] cleanup: ${e.getMessage}")
+    }
+
     // optional args restrict the probe to the named queries
     val only = args.toSet
     println("| query | sf0.1 s | sf1 s | ratio (linear=10) |")
     println("|---|---|---|---|")
     probes.filter(q => only.isEmpty || only(q)).foreach { q =>
       try {
-        val a = timeWarm(q, Sf01)
+        val a = timeWarm(q, Sf1x)
+        cleanup()
         val b = timeWarm(q, Sf1)
+        cleanup()
         println(f"| $q | $a%.2f | $b%.2f | ${b / a}%.1f |")
       } catch {
         case e: Throwable => println(s"| $q | FAILED ${e.getMessage} | | |")
@@ -592,6 +643,21 @@ object ScaleProbe {
     copies.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$SfMega/documents.parquet")
+    marker.createNewFile()
+  }
+
+  /** Rewrites the probed sf0.1 tables as 32-file parquet (same rows)
+    * — see [[Sf1x]] for why the probe's 1× side must match sf1's
+    * layout class. */
+  private def buildBaselineIfMissing(spark: SparkSession): Unit = {
+    val marker = new java.io.File(s"$Sf1x/_SUCCESS_PROBE")
+    if (marker.exists()) return
+    new java.io.File(Sf1x).mkdirs()
+    Seq("documents", "lineitem", "embeddings").foreach { t =>
+      spark.read.parquet(s"$Sf01/$t.parquet")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$Sf1x/$t.parquet")
+    }
     marker.createNewFile()
   }
 

@@ -1076,6 +1076,37 @@ object TextAnalysis {
         round(col("__q4s").cast("double") / (col("n_docs") * 10000.0), 4)
           .as("avg_quality"))
 
+  /** Language-ID CONFUSION matrix — the eval report behind trusting
+    * (or retiring) the D8 heuristic as a pipeline gate: against a
+    * labeled slice, one row per (label, predicted) cell with its doc
+    * count and its share of the label's row mass (recall on the
+    * diagonal, each misclassification direction off it — the matrix
+    * tells you WHICH languages leak into which, the per-label number
+    * an aggregate accuracy hides). Share follows the integer-units
+    * rule: exact counts divided once, rounded to 4 decimals.
+    *
+    * Scale: one scan projection (the langId kernel) + ONE
+    * (label, predicted) aggregate — ≤ |langs|² rows — pinned by a
+    * bounded localCheckpoint so the label-total join-back reads the
+    * tiny materialized matrix, never the corpus twice. */
+  def langIdConfusion(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    val m = withLangId(docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(labelCol).as("label"), col(textCol).as("__graft_t")),
+      "__graft_t")
+      .select(col("label"), col("lang_pred").as("predicted"))
+      .groupBy(col("label"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true)
+    val totals = m.groupBy(col("label"))
+      .agg(sum(col("n_docs")).as("__lt"))
+    m.join(broadcast(totals), Seq("label"))
+      .select(col("label"), col("predicted"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("__lt"), 4).as("share"))
+  }
+
   /** Tracking query parameters stripped by [[canonicalizeUrl]]:
     * analytics/click identifiers that vary per referral without
     * changing the resource (the RefinedWeb/CCNet URL-dedup

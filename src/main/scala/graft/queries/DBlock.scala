@@ -828,6 +828,17 @@ object DBlock {
       Dedup.urlIndexStats(s, "d99_idx")
     }),
 
+    // D84: language-ID confusion matrix — the eval report behind
+    // trusting the d8 heuristic as a gate: per (label, predicted)
+    // cell, doc count and share of the label's mass (recall on the
+    // diagonal, each leak direction off it). One langId scan + one
+    // <=|langs|^2-row aggregate. Fully oracle-checked via the d8
+    // score/argmax fragments.
+    "d111_langid_confusion" -> ((s, d) =>
+      TextAnalysis.langIdConfusion(Tables.documents(s, d),
+        "doc_id", "text", "lang")
+        .orderBy(col("label"), col("predicted"))),
+
     // D83: sequence-length distribution — the evidence behind the
     // pack capacity: docs bucketed by power-of-two token count
     // (pure integer — length(bin(n)), no float log to disagree at
@@ -4272,6 +4283,26 @@ object DBlock {
     "d106_jaccard_histogram" -> d106JaccardHistSql,
 
     "d107_fertility" -> d107FertilitySql,
+
+    "d111_langid_confusion" ->
+      s"""WITH p AS (
+         |  SELECT lang, ' ' || lower(text) || ' ' AS pt FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+         |), s AS (
+         |  SELECT lang AS label, $langScoreSql FROM p
+         |), m AS (
+         |  SELECT label, $langPredSql AS predicted FROM s
+         |), c AS (
+         |  SELECT label, predicted, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM m GROUP BY label, predicted
+         |), t AS (
+         |  SELECT label, CAST(sum(n_docs) AS BIGINT) AS lt
+         |  FROM c GROUP BY label
+         |)
+         |SELECT c.label, c.predicted, c.n_docs,
+         |  round(CAST(c.n_docs AS DOUBLE) / t.lt, 4) AS share
+         |FROM c JOIN t USING (label)
+         |ORDER BY label, predicted""".stripMargin,
 
     "d109_exact_sample" ->
       """SELECT doc_id, lang FROM (

@@ -620,6 +620,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(np, "SortAggregate") == 0, np.take(1500))
   }
 
+  test("d111: langid confusion — one corpus aggregate; the share join reads the pinned matrix") {
+    val p = plan("d111_langid_confusion")
+    assert(count(p, "Window") == 0, p.take(1500))
+    assert(count(p, "SortAggregate") == 0, p.take(1500))
+    // the label-total join-back must broadcast onto the <=|langs|^2
+    // checkpointed matrix, never re-scan the corpus
+    assert(count(p, "BroadcastHashJoin") >= 1 &&
+      count(p, "Scan parquet") == 0,
+      s"share join must read the pinned matrix:\n${p.take(2500)}")
+  }
+
   test("d109: exact sample plans as TakeOrderedAndProject, never a global sort") {
     val p = plan("d109_exact_sample")
     assert(p.contains("TakeOrderedAndProject"),

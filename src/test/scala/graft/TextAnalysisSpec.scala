@@ -498,4 +498,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(res("b.org") == ((1L, 4L, 11L, avg4(3L))), res.toString)
     assert(res.size == 2)
   }
+
+  test("langIdConfusion: cells count docs, share is per-label, misrouted docs land off-diagonal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // marker words route predictions (langMarkers: en = the/a/fast,
+    // de = merge/sort/batch). Doc 3 is labeled en but reads like the
+    // de marker set — the off-diagonal cell the matrix exists to
+    // expose. Doc 4's null lang drops.
+    val docs = Seq(
+      (1L, "the fast report on the table", "en"),
+      (2L, "a fast plan", "en"),
+      (3L, "merge sort batch runs", "en"),
+      (5L, "merge sort pipeline", "de"),
+      (4L, "the x", null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "lang")
+    val res = TextAnalysis.langIdConfusion(docs, "doc_id", "text", "lang")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(res(("en", "en")) == ((2L, 0.6667)), res.toString)
+    assert(res(("en", "de")) == ((1L, 0.3333)), res.toString)
+    assert(res(("de", "de")) == ((1L, 1.0)), res.toString)
+    assert(res.size == 3)
+  }
 }
