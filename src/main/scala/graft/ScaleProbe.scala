@@ -192,6 +192,15 @@ object ScaleProbe {
     // the probe session vs 3.45 s standalone on the same corpus
     // (a 16× pollution artifact that briefly read as a genuine
     // superlinear scale failure).
+    //
+    // EVEN WITH this cleanup, a long multi-entry session still
+    // accumulates enough JVM/heap state to inflate later entries
+    // severalfold at these sub-second absolute sizes (measured:
+    // d47 at 14.3 s in-session vs 0.96 s in a fresh JVM; d39 11.4 s
+    // vs 1.4 s). The supported timing mode is therefore ONE ENTRY
+    // PER INVOCATION — `runMain graft.ScaleProbe <entry>` in a loop
+    // — which is how the §11k receipts are produced; a multi-entry
+    // invocation remains useful only for smoke coverage.
     val baselineTables: Set[String] =
       spark.catalog.listTables().collect().map(_.name).toSet
     val baselineRdds: Set[Int] =

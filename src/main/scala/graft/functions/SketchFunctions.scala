@@ -101,6 +101,14 @@ object SketchFunctions {
     * the SQL-arithmetic forms get inlined into every reference). */
   def textStats(text: Column): Column = ub(TextStats(x(text)))
 
+  /** struct(n_words, denom, top2, top3, dup5) — the per-document
+    * Gopher repetition masses in ONE native pass over the token
+    * array (the corpus-wide (doc, n, gram) aggregate this replaces
+    * shuffled gram strings and went superlinear at 10× — see
+    * [[graft.operators.TextAnalysis.repetitionStats]]). */
+  def repetitionStats(tokens: Column): Column =
+    ub(RepetitionStats(x(tokens)))
+
   /** Bloom filter aggregate over a long column (Spark's internal
     * BloomFilterAggregate — the expression behind adaptive runtime
     * filtering, not registered as a public SQL function; surfaced
@@ -158,6 +166,35 @@ case class TextStats(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.textStats($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Per-document Gopher repetition masses over the token array — see
+  * [[SketchKernels.repetitionStats]] for the arithmetic contract
+  * (bit-compatible with the (doc, n, gram)-aggregate formulation the
+  * d26 DuckDB oracle mirrors). */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"RepetitionStats requires array<string>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("denom", LongType, nullable = false),
+    StructField("top2", LongType, nullable = false),
+    StructField("top3", LongType, nullable = false),
+    StructField("dup5", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.repetitionStats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.repetitionStats($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

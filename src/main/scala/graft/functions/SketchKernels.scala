@@ -446,6 +446,68 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  /** See [[RepetitionStats]]: per-DOCUMENT Gopher repetition masses
+    * in one local pass — n_words, the n=1 char-mass denominator, the
+    * max 2-/3-gram masses and the duplicated-5-gram mass sum. A
+    * gram's mass is count × (chars of the space-joined gram − (n−1))
+    * = count × Σ chars(window tokens), so the joined string's length
+    * never needs materializing; the joined string IS the map key
+    * (tokens are \s+-split, so joining is bijective and the window
+    * char sum is constant per key). Counting is java.util.HashMap
+    * over the doc's own grams — document-sized state, no shuffle. */
+  def repetitionStats(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val words = new Array[UTF8String](n)
+    val chars = new Array[Long](n)
+    var i = 0
+    var denom = 0L
+    while (i < n) {
+      val w = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8
+        else arr.getUTF8String(i)
+      words(i) = w
+      chars(i) = w.numChars().toLong
+      denom += chars(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    // per k: count + window char sum per distinct gram
+    def masses(k: Int): java.util.HashMap[UTF8String, Array[Long]] = {
+      val m = new java.util.HashMap[UTF8String, Array[Long]]()
+      if (n >= k) {
+        var j = 0
+        while (j <= n - k) {
+          val g = UTF8String.concatWs(sep,
+            java.util.Arrays.copyOfRange(words, j, j + k): _*)
+          var s = 0L
+          var t = j
+          while (t < j + k) { s += chars(t); t += 1 }
+          val e = m.get(g)
+          if (e == null) m.put(g, Array(1L, s)) else e(0) += 1L
+          j += 1
+        }
+      }
+      m
+    }
+    def maxMass(k: Int): Long = {
+      var best = 0L
+      val it = masses(k).values().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val v = e(0) * e(1)
+        if (v > best) best = v
+      }
+      best
+    }
+    var dup5 = 0L
+    val it5 = masses(5).values().iterator()
+    while (it5.hasNext) {
+      val e = it5.next()
+      if (e(0) >= 2L) dup5 += e(0) * e(1)
+    }
+    new GenericInternalRow(Array[Any](n.toLong, denom,
+      maxMass(2), maxMass(3), dup5))
+  }
+
   /** See [[JaccardSortedLong]]. */
   def jaccardSorted(x: ArrayData, y: ArrayData): Double = {
     val nx = x.numElements()

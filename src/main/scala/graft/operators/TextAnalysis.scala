@@ -401,41 +401,39 @@ object TextAnalysis {
     * deliberately: it needs no per-doc position bookkeeping, so the
     * whole statistic stays in two doc-keyed hash aggregates.
     *
-    * Scale shape: ONE Generate (all four gram sizes tagged into one
-    * stream), then two hash aggregates — (doc_id, n, gram) counts,
-    * then a conditional-aggregation collapse straight to doc_id
-    * (the (doc_id, n) level is folded into FILTER-style conditional
-    * sums, so the plan holds exactly TWO exchanges, both carrying
-    * doc_id in the key: per-doc gram multisets bound task width, a
-    * corpus-hot gram never concentrates). Zero windows, zero joins.
+    * Scale shape — r15 revision: repetition is a PER-DOCUMENT
+    * statistic, and the original corpus-wide (doc_id, n, gram)
+    * aggregate paid a corpus-sized exchange of raw gram STRINGS to
+    * compute it — the fork-probe measured that form superlinear at
+    * 10× data (1.3 → 20 s; the partial-aggregate map overflows on
+    * ~one-group-per-row gram keys and the exchange degrades to
+    * shipping the gram stream, with spill-grant timing making the
+    * readings bimodal besides). Now ONE native kernel pass per
+    * document ([[graft.functions.SketchKernels.repetitionStats]]:
+    * local hash maps bounded by the document's own gram count)
+    * inside a scan projection — ZERO exchanges, zero Generates,
+    * whole-stage codegen. The masses are bit-identical to the
+    * aggregate formulation (same joined-gram identity, same char
+    * arithmetic), so the d26 oracle — which recounts gram strings
+    * in SQL — pins the kernel end to end at every gate SF.
     *
     * Returns (doc_id, n_words, top2_frac, top3_frac, dup5_frac).
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-    val tk = Dedup.tokens(col(textCol))
-    // one tagged gram stream: array<struct<n:int, g:string>>
-    val tagged = repetitionNs.map { n =>
-      transform(graft.functions.SketchFunctions.wordGrams(tk, n),
-        g => struct(lit(n).as("n"), g.as("g")))
-    }.reduce(concat(_, _))
-    val grams = live
-      .select(col(idCol).as("doc_id"), explode(tagged).as("t"))
-      .select(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
-    val counts = grams.groupBy(col("doc_id"), col("n"), col("g"))
-      .agg(count(lit(1)).as("c"))
-    val mass = (col("c") * (length(col("g")) - (col("n") - 1))).cast("long")
-    def onlyN(n: Int, v: Column): Column = when(col("n") === n, v)
-    val denom = sum(onlyN(1, mass)).cast("double")
-    def frac(num: Column): Column =
-      round(when(denom > 0, num.cast("double") / denom).otherwise(0.0), 4)
-    counts.groupBy(col("doc_id"))
-      .agg(coalesce(sum(onlyN(1, col("c"))), lit(0L)).as("n_words"),
-        frac(coalesce(max(onlyN(2, mass)), lit(0L))).as("top2_frac"),
-        frac(coalesce(max(onlyN(3, mass)), lit(0L))).as("top3_frac"),
-        frac(coalesce(sum(onlyN(5, when(col("c") >= 2, mass)
-          .otherwise(lit(0L)))), lit(0L))).as("dup5_frac"))
+    def frac(num: Column, denom: Column): Column =
+      round(when(denom > 0, num.cast("double") / denom.cast("double"))
+        .otherwise(0.0), 4)
+    live
+      .select(col(idCol).as("doc_id"),
+        graft.functions.SketchFunctions
+          .repetitionStats(Dedup.tokens(col(textCol))).as("__rs"))
+      .select(col("doc_id"),
+        col("__rs.n_words").as("n_words"),
+        frac(col("__rs.top2"), col("__rs.denom")).as("top2_frac"),
+        frac(col("__rs.top3"), col("__rs.denom")).as("top3_frac"),
+        frac(col("__rs.dup5"), col("__rs.denom")).as("dup5_frac"))
   }
 
   /** Stopword list for [[gopherQualityFilter]]'s rule 5, drawn from

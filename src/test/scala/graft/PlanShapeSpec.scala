@@ -338,19 +338,22 @@ class PlanShapeSpec extends AnyFunSuite {
     // plan (the AQE pre-execution string here prints no codegen spans)
   }
 
-  test("d55: repetition stats are one tagged Generate + doc-keyed hash aggs, no window/join") {
-    // all four gram sizes ride ONE explode; counts collapse through
-    // hash aggregates whose keys carry doc_id (never a corpus-global
-    // gram key, never a window) — exchanges: (doc_id,n,g) agg,
-    // (doc_id) agg, presentation orderBy
+  test("d55: repetition stats are one kernel scan projection — no shuffle at all") {
+    // the r15 kernel revision: per-doc repetition masses compute in
+    // ONE native pass inside the scan projection — no Generate, no
+    // aggregate exchange, nothing corpus-keyed; the only exchange is
+    // the presentation orderBy (the string-keyed corpus aggregate
+    // this replaced went superlinear at 10×, see the operator doc)
     val p = plan("d55_repetition")
     assert(count(p, "Window") == 0 && count(p, "Join") == 0,
       s"repetition stats grew a window/join:\n${p.take(2000)}")
-    assert(count(p, "Generate") == 1,
-      s"gram stream must explode once:\n${p.take(2000)}")
-    assert(count(p, "SortAggregate") == 0, p.take(2000))
-    assert(count(p, "Exchange") <= 3,
-      s"expected two agg exchanges + orderBy:\n${p.take(2000)}")
+    assert(count(p, "Generate") == 0,
+      s"kernel form must not explode:\n${p.take(2000)}")
+    assert(count(p, "HashAggregate") == 0 &&
+      count(p, "ObjectHashAggregate") == 0,
+      s"kernel form must not aggregate:\n${p.take(2000)}")
+    assert(count(p, "Exchange") <= 1,
+      s"only the presentation orderBy may shuffle:\n${p.take(2000)}")
   }
 
   test("d57: semantic dedup pairs ride one reused cell exchange; no pair-loop joins") {
