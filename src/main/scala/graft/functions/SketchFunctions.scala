@@ -78,6 +78,13 @@ object SketchFunctions {
   def md5Minhash30(shingles: Column, numPerms: Int): Column =
     ub(Md5MinHash30(x(shingles), numPerms))
 
+  /** [[md5Minhash30]] with the per-shingle md5Hash60 step already
+    * done — signature re-derivation from a dedup index's STORED
+    * hashed shingle sets (the reband verb's kernel); value-identical
+    * to md5Minhash30 over the original shingles at any numPerms. */
+  def md5Minhash30FromHashes(hashes: Column, numPerms: Int): Column =
+    ub(Md5MinHash30FromHashes(x(hashes), numPerms))
+
   /** Symmetric int8 quantization to a float array (integer values
     * <= 127, exact) — `Similarity.quantizeInt8`'s q column as ONE
     * codegen'd kernel pass instead of four interpreted HOF passes;
@@ -100,6 +107,13 @@ object SketchFunctions {
     * stats in one native pass (vs ~10 split/replace/regex passes when
     * the SQL-arithmetic forms get inlined into every reference). */
   def textStats(text: Column): Column = ub(TextStats(x(text)))
+
+  /** Per-document (term, tf) posting entries (array<struct>, term-
+    * sorted) — the map-side-complete rows of an inverted-index build
+    * ([[TermCounts]]): tf is a per-doc statistic, so deriving it via
+    * explode→groupBy would pay a corpus-wide exchange that merges
+    * nothing. */
+  def termCounts(tokens: Column): Column = ub(TermCounts(x(tokens)))
 
   /** struct(n_words, denom, top2, top3, dup5) — the per-document
     * Gopher repetition masses in ONE native pass over the token
@@ -398,6 +412,32 @@ case class Md5SimHash60(child: Expression) extends UnaryExpression {
   * formulation it replaces. An EMPTY array yields Long.MaxValue
   * sentinels — callers exclude empty-shingle docs, matching the
   * aggregate form's inner-join drop. */
+/** Per-document term-frequency posting entries, computed locally per
+  * row — see [[SketchKernels.termCounts]] for why this beats the
+  * explode→groupBy formulation at scale (the exchange it deletes
+  * merges nothing). */
+case class TermCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"TermCounts requires array<string>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.termCounts(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.termCounts($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class Md5MinHash30(child: Expression, numPerms: Int)
     extends UnaryExpression {
 

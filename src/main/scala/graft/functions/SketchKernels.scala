@@ -304,6 +304,37 @@ object SketchKernels {
     new GenericArrayData(sig)
   }
 
+  /** See [[Md5MinHash30FromHashes]]: [[md5Minhash30]] with the
+    * per-shingle md5Hash60 step already done — the signature
+    * re-derivation a REBAND runs over a dedup index's stored hashed
+    * shingle sets. Value-identical to md5Minhash30 over the original
+    * shingles for ANY numPerms: the universal-hash min folds each
+    * element's low 30 bits, and a 60-bit collision between two
+    * distinct shingles (one stored element instead of two) cannot
+    * move a min over equal values. Null elements are skipped (the
+    * md5Minhash30 parity; unreachable from stored sets, whose arrays
+    * are containsNull = false). */
+  def md5Minhash30FromHashes(arr: ArrayData, numPerms: Int): ArrayData = {
+    val (as, bs) = mhConstCache.computeIfAbsent(numPerms, n =>
+      (Array.tabulate(n)(mhA), Array.tabulate(n)(mhB)))
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i) & 0x3FFFFFFFL
+        var j = 0
+        while (j < numPerms) {
+          val v = (h * as(j) + bs(j)) % mhPrime
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** See [[Winnow]]. */
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
     val bytes = text.toLowerCase.getBytes // UTF-8; k-grams are byte-grams
@@ -506,6 +537,39 @@ object SketchKernels {
     }
     new GenericInternalRow(Array[Any](n.toLong, denom,
       maxMass(2), maxMass(3), dup5))
+  }
+
+  /** See [[TermCounts]]: per-document (term, tf) posting entries in
+    * one local hash pass — term frequency is a per-DOCUMENT
+    * statistic, so computing it with explode → groupBy(doc_id, term)
+    * ships every posting row through a corpus-wide exchange whose
+    * merge phase is a no-op (each document lives in exactly one
+    * partition; the map-side partial aggregate already finished the
+    * job). This kernel makes the postings of an inverted-index build
+    * a pure scan projection: zero exchanges below the bucketed
+    * write. Entries are term-sorted (UTF8String byte order) so the
+    * output is deterministic; null tokens count as empty strings
+    * (the [[wordShingles]] convention — unreachable via split). */
+  def termCounts(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val m = new java.util.TreeMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < n) {
+      val w = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8
+        else arr.getUTF8String(i)
+      val e = m.get(w)
+      if (e == null) m.put(w, Array(1L)) else e(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](m.size())
+    val it = m.entrySet().iterator()
+    var r = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(r) = new GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
+      r += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** See [[JaccardSortedLong]]. */

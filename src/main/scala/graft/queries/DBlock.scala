@@ -731,7 +731,12 @@ object DBlock {
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("term"))).as("terms"))
         .select(col("doc_id").as("query_id"), col("terms"))
-      val lex = Retrieval.bm25PerQueryRanks(corp, "doc_id", "text",
+      // the lexical leg rides the persistent BM25 index (d112's
+      // family) instead of rescanning the corpus per batch — the
+      // oracle is unchanged because indexed serving is bit-equal to
+      // the fresh scan (the Bm25IndexSpec/d112 proof)
+      Retrieval.buildBm25Index(corp, "doc_id", "text", name = "d96_idx")
+      val lex = Retrieval.bm25RanksAgainstIndex(s, "d96_idx",
         kw, "query_id", "terms", topK = 20, k1 = 1.5, b = 0.75,
         excludeSelf = true)
       val dense = Similarity.bruteForceTopK(
@@ -1520,6 +1525,36 @@ object DBlock {
         "doc_id", "text", queryTerms = d70Terms, topK = 20,
         k1 = 1.5, b = 0.75)),
 
+    // D85: BM25 served from the PERSISTENT inverted index — the d58
+    // twin discipline for lexical retrieval, closing the last
+    // operator family that rescanned the corpus per query batch:
+    // build the four-table index (postings/df/docs/meta, the D45
+    // index-once pattern), then serve d70's exact query from the
+    // index alone — a bucket-pruned postings scan of the query
+    // terms' buckets plus two broadcast joins; the corpus appears
+    // nowhere in the serving plan (PlanShapeSpec pins both). The
+    // oracle is d70's fresh-scan SQL VERBATIM, so the hash match
+    // proves build + pruned serving == direct recomputation.
+    "d112_indexed_bm25" -> ((s, d) => {
+      Retrieval.buildBm25Index(Tables.documents(s, d), "doc_id", "text",
+        name = "d112_idx")
+      Retrieval.bm25TopKAgainstIndex(s, "d112_idx",
+        queryTerms = d70Terms, topK = 20, k1 = 1.5, b = 0.75)
+    }),
+
+    // D85 (stats verb): the BM25 index's one-row corpus card —
+    // doc count, vocabulary size, posting count, token mass, avgdl —
+    // three single-row aggregates over the index's own tables, the
+    // d97-d99 observability discipline for the fifth index family.
+    // Fully oracle-checked: DuckDB re-derives every figure from raw
+    // text, so a match also proves the index's CONTENTS (not just a
+    // serving path) are exactly the corpus's inverted form.
+    "d115_bm25_index_stats" -> ((s, d) => {
+      Retrieval.buildBm25Index(Tables.documents(s, d), "doc_id", "text",
+        name = "d115_idx")
+      Retrieval.bm25IndexStats(s, "d115_idx")
+    }),
+
     // D52b: per-doc TF-IDF keyword extraction — the tagging pass
     // (topical routing, cluster naming): each doc's top-3 terms by
     // tf·ln(N/df), rounded BEFORE ranking with a term tie-break so
@@ -2171,6 +2206,41 @@ object DBlock {
   /** d70's query terms — corpus-vocabulary words with distinct
     * document frequencies so idf actually differentiates. */
   private val d70Terms = Seq("customer", "vector", "merge", "spark")
+
+  /** The d70 fresh-scan BM25 oracle — shared VERBATIM with d112 (the
+    * d58 twin discipline): one SQL string proving both the direct
+    * operator and the persistent-index serving path, so a hash match
+    * on d112 is a proof that index build + bucket-pruned serving ==
+    * direct corpus recomputation, bit for bit. */
+  private lazy val d70Sql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      |), st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(ws)) AS BIGINT) AS sum_dl FROM tok
+      |), post AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+      |    unnest(ws) AS term FROM tok
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+      |    max(dl) AS dl
+      |  FROM post WHERE term IN (${d70Terms.map("'" + _ + "'").mkString(", ")})
+      |  GROUP BY doc_id, term
+      |), dft AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+      |), sc AS (
+      |  SELECT doc_id,
+      |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5) /
+      |        (CAST(df_t AS DOUBLE) + 0.5)) *
+      |      (CAST(tf AS DOUBLE) * 2.5) /
+      |      (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+      |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS w
+      |  FROM tf JOIN dft USING (term) CROSS JOIN st)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |  round(sum(w), 4) AS bm25
+      |FROM sc GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
   /** d72's global token budget (~30% of the sf0.01 corpus; a FIXED
     * budget, so like d66 the cut cost stays flat as the corpus
@@ -5039,35 +5109,30 @@ object DBlock {
     // stats, and the identical literal arithmetic (k1 = 1.5 and
     // b = 0.75 are exactly representable, so every intermediate
     // double matches bit for bit before the 4-decimal round).
-    "d70_bm25_topk" ->
-      s"""WITH tok AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+    "d70_bm25_topk" -> d70Sql,
+
+    // d112: the fresh-scan SQL VERBATIM — the twin proof that the
+    // persistent inverted index serves the identical ranking.
+    "d112_indexed_bm25" -> d70Sql,
+
+    // d115: the index's corpus card re-derived from raw text — every
+    // figure (doc count, vocabulary size, posting count, token mass,
+    // avgdl) recomputed by DuckDB from the documents table.
+    "d115_bm25_index_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
-        |), st AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(len(ws)) AS BIGINT) AS sum_dl FROM tok
         |), post AS (
-        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
-        |    unnest(ws) AS term FROM tok
+        |  SELECT doc_id, unnest(ws) AS term FROM tok
         |), tf AS (
-        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
-        |    max(dl) AS dl
-        |  FROM post WHERE term IN (${d70Terms.map("'" + _ + "'").mkString(", ")})
-        |  GROUP BY doc_id, term
-        |), dft AS (
-        |  SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term
-        |), sc AS (
-        |  SELECT doc_id,
-        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5) /
-        |        (CAST(df_t AS DOUBLE) + 0.5)) *
-        |      (CAST(tf AS DOUBLE) * 2.5) /
-        |      (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
-        |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS w
-        |  FROM tf JOIN dft USING (term) CROSS JOIN st)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-        |  round(sum(w), 4) AS bm25
-        |FROM sc GROUP BY doc_id
-        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+        |  SELECT doc_id, term FROM post GROUP BY doc_id, term
+        |)
+        |SELECT CAST((SELECT count(*) FROM tok) AS BIGINT) AS n_docs,
+        |  CAST((SELECT count(DISTINCT term) FROM post) AS BIGINT) AS n_terms,
+        |  CAST((SELECT count(*) FROM tf) AS BIGINT) AS n_postings,
+        |  CAST((SELECT sum(len(ws)) FROM tok) AS BIGINT) AS sum_dl,
+        |  round(CAST((SELECT sum(len(ws)) FROM tok) AS DOUBLE) /
+        |    CAST((SELECT count(*) FROM tok) AS DOUBLE), 4) AS avgdl""".stripMargin,
 
     // d80: tf/df/idf re-derived from raw text; ranking over the SAME
     // rounded doubles with the same (score desc, term) tie-break.

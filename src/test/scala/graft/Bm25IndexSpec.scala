@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Retrieval
+
+/** The persistent BM25 index family: serving from the index must
+  * equal the fresh corpus scan BIT FOR BIT (same weight expression,
+  * same rounding, same tie-breaks), and every maintenance verb must
+  * leave an index that serves as if freshly built over the verb's
+  * resulting doc set — no tombstones, no stale statistics. */
+class Bm25IndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox"),
+      (3L, "spark shuffles are expensive at scale"),
+      (4L, "brown dogs and lazy cats sleep"),
+      (5L, "fox fox fox"),
+      (6L, "a completely unrelated document about nothing"),
+      (7L, ""), // empty text tokenizes to [""] — still a live doc
+      (8L, "the dog jumps over spark")
+    ).toDF("doc_id", "text")
+      .unionByName(Seq((9L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")) // null text: dropped by both paths
+  }
+
+  private def topKRows(df: DataFrame): Seq[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  private def rankRows(df: DataFrame): Seq[(Long, Int, Long, Double)] =
+    df.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+
+  private val terms = Seq("fox", "lazy", "spark")
+
+  test("indexed top-k equals the fresh scan bit for bit") {
+    Retrieval.buildBm25Index(docs, "doc_id", "text", "bmspec_idx",
+      numBuckets = 4)
+    val fresh = topKRows(Retrieval.bm25TopK(docs, "doc_id", "text",
+      terms, topK = 5, k1 = 1.5, b = 0.75))
+    val served = topKRows(Retrieval.bm25TopKAgainstIndex(spark,
+      "bmspec_idx", terms, topK = 5, k1 = 1.5, b = 0.75))
+    assert(fresh.nonEmpty && served == fresh)
+  }
+
+  test("append: build-half then append-half serves equal to build-full") {
+    Retrieval.buildBm25Index(docs.filter("doc_id % 2 = 0"), "doc_id",
+      "text", "bmspec_app", numBuckets = 4)
+    Retrieval.appendToBm25Index(docs.filter("doc_id % 2 = 1"), "doc_id",
+      "text", "bmspec_app")
+    val fresh = topKRows(Retrieval.bm25TopK(docs, "doc_id", "text",
+      terms, topK = 8))
+    val served = topKRows(Retrieval.bm25TopKAgainstIndex(spark,
+      "bmspec_app", terms, topK = 8))
+    assert(served == fresh)
+    // derived stats refreshed too: df/meta describe the full doc set
+    val card = Retrieval.bm25IndexStats(spark, "bmspec_app").head()
+    assert(card.getAs[Long]("n_docs") == 8L)
+  }
+
+  test("retire: survivors serve equal to a fresh build over survivors") {
+    import spark.implicits._
+    Retrieval.buildBm25Index(docs, "doc_id", "text", "bmspec_ret",
+      numBuckets = 4)
+    Retrieval.retireFromBm25Index(Seq(3L, 5L).toDF("doc_id"), "doc_id",
+      "bmspec_ret")
+    val survivors = docs.filter("doc_id not in (3, 5)")
+    val fresh = topKRows(Retrieval.bm25TopK(survivors, "doc_id", "text",
+      terms, topK = 8))
+    val served = topKRows(Retrieval.bm25TopKAgainstIndex(spark,
+      "bmspec_ret", terms, topK = 8))
+    assert(served == fresh)
+    // 'spark' appeared in docs 3 and 8: df must have decremented, and
+    // doc 5's retirement must drop its postings — a term whose last
+    // doc retires disappears outright (no tombstones)
+    val dfRow = spark.table("bmspec_ret_df")
+      .filter("term = 'spark'").head()
+    assert(dfRow.getAs[Long]("df_t") == 1L)
+    assert(spark.table("bmspec_ret_df").filter("term = 'shuffles'")
+      .isEmpty)
+  }
+
+  test("batch ranks from the index equal bm25PerQueryRanks, excludeSelf") {
+    import spark.implicits._
+    Retrieval.buildBm25Index(docs, "doc_id", "text", "bmspec_rank",
+      numBuckets = 4)
+    val queries = Seq(
+      (1L, Seq("fox", "lazy")),
+      (3L, Seq("spark", "scale")),
+      (6L, Seq("zzz_unseen"))) // no posting matches: absent from output
+      .toDF("query_id", "terms")
+    val fresh = rankRows(Retrieval.bm25PerQueryRanks(docs, "doc_id",
+      "text", queries, "query_id", "terms", topK = 4, k1 = 1.5,
+      b = 0.75, excludeSelf = true))
+    val served = rankRows(Retrieval.bm25RanksAgainstIndex(spark,
+      "bmspec_rank", queries, "query_id", "terms", topK = 4, k1 = 1.5,
+      b = 0.75, excludeSelf = true))
+    assert(fresh.nonEmpty && served == fresh)
+    assert(!served.exists(_._1 == 6L))
+    // the bounded driver pull fails loudly past the guard
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25RanksAgainstIndex(spark, "bmspec_rank", queries,
+        "query_id", "terms", topK = 4, maxQueryTerms = 2)
+    }
+    assert(e.getMessage.contains("distinct terms"))
+  }
+
+  test("stats card matches direct recomputation from the corpus") {
+    Retrieval.buildBm25Index(docs, "doc_id", "text", "bmspec_stats",
+      numBuckets = 4)
+    val card = Retrieval.bm25IndexStats(spark, "bmspec_stats").head()
+    assert(card.getAs[Long]("n_docs") == 8L)
+    // 8 live docs; doc 7 contributes one "" token
+    val expectedSumDl = docs.filter("text is not null")
+      .selectExpr("sum(size(split(lower(trim(text)), '\\\\s+')))")
+      .head().getLong(0)
+    assert(card.getAs[Long]("sum_dl") == expectedSumDl)
+    assert(card.getAs[Long]("n_postings") ==
+      spark.table("bmspec_stats_postings").count())
+    assert(card.getAs[Long]("n_terms") ==
+      spark.table("bmspec_stats_df").count())
+  }
+
+  test("repairBm25Stats re-derives df/meta from postings after a stats-window death") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    Retrieval.buildBm25Index(docs, "doc_id", "text", "bmspec_rep",
+      numBuckets = 4)
+    // simulate a death inside appendToBm25Index AFTER the postings/
+    // docs appends but BEFORE the df/meta refresh: append the raw
+    // rows directly, leaving the derived stats stale
+    val extra = Seq((10L, "fox among sparks")).toDF("doc_id", "text")
+    val batchPost = extra
+      .select(col("doc_id"),
+        graft.operators.Dedup.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(graft.functions.SketchFunctions.termCounts(
+          col("tk"))).as("e"))
+      .select(col("e.term").as("term"), col("doc_id"),
+        col("e.tf").as("tf"), col("dl"))
+    graft.sources.Bucketing.appendBucketed(batchPost,
+      "bmspec_rep_postings", "term", 4)
+    graft.sources.Bucketing.appendBucketed(
+      batchPost.groupBy("doc_id").agg(max("dl").as("dl")),
+      "bmspec_rep_docs", "doc_id", 4)
+    Retrieval.repairBm25Stats(spark, "bmspec_rep")
+    val full = docs.unionByName(extra)
+    val fresh = topKRows(Retrieval.bm25TopK(full, "doc_id", "text",
+      terms, topK = 8))
+    val served = topKRows(Retrieval.bm25TopKAgainstIndex(spark,
+      "bmspec_rep", terms, topK = 8))
+    assert(served == fresh)
+  }
+
+  test("serving plan prunes postings buckets and never reads a corpus file") {
+    Retrieval.buildBm25Index(docs, "doc_id", "text", "bmspec_plan",
+      numBuckets = 4)
+    val p = Retrieval.bm25TopKAgainstIndex(spark, "bmspec_plan", terms,
+      topK = 5).queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount"),
+      s"postings scan did not bucket-prune:\n${p.take(2000)}")
+    assert(!p.contains("documents"),
+      s"serving plan touches the corpus:\n${p.take(2000)}")
+  }
+}

@@ -129,6 +129,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d112: indexed BM25 serving bucket-prunes postings, never reads the corpus") {
+    val p = plan("d112_indexed_bm25")
+    // the whole point of the index: the serving plan scans only the
+    // query terms' buckets of the postings table — the documents
+    // parquet appears nowhere (the build ran eagerly before this plan)
+    assert(p.contains("SelectedBucketsCount"),
+      s"postings scan did not bucket-prune:\n${p.take(2000)}")
+    assert(!p.contains("documents"),
+      s"indexed serving plan touches the corpus:\n${p.take(2000)}")
+  }
+
   test("a15: per-user agg runs on bucket partitioning — no hash exchange") {
     val p = plan("a15_bucketed_events")
     // the userid-bucketed layout must satisfy the groupBy(userid)
