@@ -461,6 +461,35 @@ case class Md5MinHash30(child: Expression, numPerms: Int)
     copy(child = c)
 }
 
+/** [[Md5MinHash30]] over PRE-HASHED shingles (array<long> of
+  * md5Hash60 values) — the reband verb's signature re-derivation
+  * from a dedup index's stored `_docs` sets; value-identical to the
+  * string form at any numPerms (see [[SketchKernels
+  * .md5Minhash30FromHashes]] for the collision argument). */
+case class Md5MinHash30FromHashes(child: Expression, numPerms: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if numPerms < 1 => TypeCheckResult.TypeCheckFailure(
+      s"Md5MinHash30FromHashes requires numPerms >= 1, got $numPerms")
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"Md5MinHash30FromHashes requires array<bigint>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.md5Minhash30FromHashes(input.asInstanceOf[ArrayData],
+      numPerms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.md5Minhash30FromHashes($c, $numPerms)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Symmetric int8 quantization of a float/double vector to a FLOAT
   * array in one codegen'd pass — the exact arithmetic of
   * `Similarity.quantizeInt8`'s q column (floor-half-up against

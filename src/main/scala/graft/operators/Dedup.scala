@@ -42,10 +42,21 @@ object Dedup {
     df.withColumn(out,
       SketchFunctions.wordShingles(tokens(col(textCol)), k))
 
-  /** Sorted distinct xxhash64 of a string-array column — the compact
-    * set representation the Jaccard merge-join verifies against. */
-  private def hashedSet(sh: Column): Column =
-    sort_array(array_distinct(transform(sh, s => xxhash64(s))))
+  /** Sorted distinct per-shingle hashes of a string-array column —
+    * the compact set representation the Jaccard merge-join verifies
+    * against. Jaccard is basis-invariant (any injective-enough
+    * per-element hash preserves intersections), so the basis follows
+    * the signature family: xxhash64 for the production path, and
+    * [[md5Hash60]] wherever the hash set is STORED as a dedup
+    * index's `_docs` column — the md5 basis is the sufficient
+    * statistic [[rebandDedupIndex]] re-derives signatures from
+    * (md5Minhash30 is universal-hash mins over md5Hash60 low bits,
+    * so a stored md5 set re-bands at ANY (bands, numPerms); an
+    * xxhash64 set cannot — [[graft.functions.SketchKernels
+    * .minhash64]] seeds each permutation over raw shingle bytes). */
+  private def hashedSet(sh: Column, md5Basis: Boolean = false): Column =
+    sort_array(array_distinct(transform(sh,
+      s => if (md5Basis) md5Hash60(s) else xxhash64(s))))
 
   /** Exact dedup: group by content hash, keep the smallest id.
     * Returns (content_hash, keeper_id, n_copies). */
@@ -497,8 +508,19 @@ object Dedup {
     * rows — the only corpus-derived rows a band screen ever
     * shuffles or stores. */
   private[graft] def screenBandRows(withSig: DataFrame, bands: Int,
-      r: Int): DataFrame = withSig
-    .select(col("doc_id"), size(col("sh")).as("sz"),
+      r: Int): DataFrame =
+    bandRowsFromSig(
+      withSig.select(col("doc_id"), size(col("sh")).as("sz"), col("sig")),
+      bands, r)
+
+  /** The band-row derivation itself, over (doc_id, sz, sig) rows —
+    * ONE definition of the band fold (xxhash64 seeded by the band
+    * index over the signature slice) shared by the fresh screen path
+    * and [[rebandDedupIndex]]'s index-local rebuild, so the two can
+    * never drift. */
+  private def bandRowsFromSig(sigRows: DataFrame, bands: Int,
+      r: Int): DataFrame = sigRows
+    .select(col("doc_id"), col("sz"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))))
     .withColumnRenamed("pos", "band_id")
@@ -601,9 +623,13 @@ object Dedup {
     try {
       Bucketing.writeBucketed(screenBandRows(sig, bands, numPerms / bands),
         s"${name}_bands", "band_hash", numBuckets)
+      // the stored set's hash basis follows the signature family (see
+      // hashedSet): under md5Sig the _docs column doubles as the
+      // sufficient statistic rebandDedupIndex re-derives signatures
+      // from, corpus-free
       Bucketing.writeBucketed(
         sig.select(col("doc_id"), size(col("sh")).as("sz"),
-          hashedSet(col("sh")).as("shh")),
+          hashedSet(col("sh"), md5Sig).as("shh")),
         s"${name}_docs", "doc_id", numBuckets)
     } finally sig.unpersist()
     Bucketing.writeBucketed(
@@ -668,7 +694,7 @@ object Dedup {
       .distinct()
     val nearFlagged = candidates
       .join(bSig.select(col("doc_id").as("batch_id"),
-        hashedSet(col("sh")).as("shh_a")), Seq("batch_id"))
+        hashedSet(col("sh"), md5Sig).as("shh_a")), Seq("batch_id"))
       .join(spark.table(s"${name}_docs")
         .select(col("doc_id").as("corpus_id"), col("shh").as("shh_b")),
         Seq("corpus_id"))
@@ -704,7 +730,7 @@ object Dedup {
         s"${name}_bands", "band_hash", numBuckets)
       Bucketing.appendBucketed(
         sig.select(col("doc_id"), size(col("sh")).as("sz"),
-          hashedSet(col("sh")).as("shh")),
+          hashedSet(col("sh"), md5Sig).as("shh")),
         s"${name}_docs", "doc_id", numBuckets)
     } finally sig.unpersist()
     Bucketing.appendBucketed(
@@ -797,6 +823,103 @@ object Dedup {
       numBuckets)
   }
 
+  private def rebandMarker(name: String): String =
+    s"${name.toLowerCase}__reband_pending"
+
+  /** RE-BAND actuator for a [[buildDedupIndex]] index — the verb
+    * behind [[dedupIndexStats]]'s band histogram (stats with no
+    * actuator is half a lifecycle, the [[graft.operators.Similarity
+    * .rebalanceAnnIndex]] argument): changes the LSH geometry
+    * (bands × rows-per-band sets the candidate threshold t ≈
+    * (1/b)^(1/r)) of an EXISTING index WITHOUT touching the corpus.
+    * The stored `_docs` hashed shingle sets are the sufficient
+    * statistic: under the md5 signature family the per-shingle
+    * md5Hash60 values re-derive the minhash at ANY (bands, numPerms)
+    * ([[graft.functions.SketchFunctions.md5Minhash30FromHashes]] —
+    * value-identical to a fresh build's signatures, so a rebanded
+    * index screens BIT-EQUAL to one built at the new parameters; the
+    * d113 oracle is that equality verbatim). The production xxhash64
+    * family is NOT re-derivable (its kernel seeds each permutation
+    * over raw shingle bytes), so a non-md5 index fails loudly here —
+    * its re-band is a corpus rebuild, honestly priced.
+    *
+    * Scale shape: one scan of `_docs` (doc-bucketed, narrow) → one
+    * signature projection (pure kernel, zero exchanges) → band rows
+    * → one bucketed write. The corpus, at 10,000× the index's size,
+    * is never read.
+    *
+    * Crash safety — `_bands` and `_meta` must change TOGETHER (the
+    * band rows are only interpretable through meta's bands/numPerms),
+    * so the write order is the [[graft.operators.Similarity
+    * .rebalanceAnnIndex]] stage→marker→promote→clear discipline:
+    * (1) the new band rows and new meta stage durably under
+    * `_bands_stage`/`_meta_stage`; (2) a durable filesystem marker
+    * declares the staged state the truth; (3) both tables promote
+    * (plain overwrites re-runnable from the intact stage); (4)
+    * marker, then stages, clear. Pre-marker a leftover stage drops —
+    * the live index was never touched. Post-marker recovery ROLLS
+    * FORWARD from the stage; [[openDedupIndex]] runs the same
+    * recovery, so a death at ANY point leaves a fresh session one
+    * open() from consistent. */
+  def rebandDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, bands: Int, numPerms: Int): Unit = {
+    finishInterruptedReband(spark, name)
+    val (shingleK, _, _, md5Sig, numBuckets) = indexMeta(spark, name)
+    require(md5Sig,
+      s"rebandDedupIndex('$name'): only md5Sig indexes re-band " +
+        "index-locally — the xxhash64 signature family seeds each " +
+        "permutation over raw shingle bytes, so new signatures need " +
+        "the corpus; rebuild with buildDedupIndex instead")
+    require(numPerms % bands == 0,
+      s"numPerms ($numPerms) must divide into bands ($bands)")
+    val r = numPerms / bands
+    val sigRows = spark.table(s"${name}_docs")
+      .select(col("doc_id"), col("sz"),
+        SketchFunctions.md5Minhash30FromHashes(col("shh"), numPerms)
+          .as("sig"))
+    Bucketing.writeBucketed(bandRowsFromSig(sigRows, bands, r),
+      s"${name}_bands_stage", "band_hash", numBuckets)
+    import spark.implicits._
+    Bucketing.writeTable(
+      Seq((shingleK, numPerms, bands, md5Sig, numBuckets))
+        .toDF("shingle_k", "num_perms", "bands", "md5_sig", "num_buckets"),
+      s"${name}_meta_stage")
+    Bucketing.createMarker(spark, rebandMarker(name))
+    completeReband(spark, name)
+  }
+
+  /** Roll-forward tail shared by [[rebandDedupIndex]] and its crash
+    * recovery — precondition: both stages exist and the marker is
+    * set. Both promotions are plain overwrites from the intact
+    * stage, so re-running after a death anywhere inside is safe. */
+  private def completeReband(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    val bandsStage = s"${name}_bands_stage"
+    val metaStage = s"${name}_meta_stage"
+    Bucketing.registerExisting(spark, metaStage, None)
+    val numBuckets = spark.table(metaStage).head().getAs[Int]("num_buckets")
+    Bucketing.registerExisting(spark, bandsStage,
+      Some(("band_hash", numBuckets)))
+    Bucketing.writeBucketed(spark.table(bandsStage), s"${name}_bands",
+      "band_hash", numBuckets)
+    Bucketing.writeTable(spark.table(metaStage), s"${name}_meta")
+    Bucketing.deleteMarker(spark, rebandMarker(name))
+    Bucketing.dropTableAndDir(spark, bandsStage)
+    Bucketing.dropTableAndDir(spark, metaStage)
+  }
+
+  private def finishInterruptedReband(
+      spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    if (!Bucketing.markerExists(spark, rebandMarker(name))) {
+      // pre-marker death: the staged tables never became the truth —
+      // the live index is untouched; drop the leftovers
+      Bucketing.dropTableAndDir(spark, s"${name}_bands_stage")
+      Bucketing.dropTableAndDir(spark, s"${name}_meta_stage")
+      return
+    }
+    completeReband(spark, name)
+  }
+
   /** RETIREMENT — the lifecycle verb the other five (build, append,
     * compact, open, screen) leave open, and at 100 TB a mandatory
     * one: a takedown/right-to-be-forgotten request must remove a
@@ -877,6 +1000,11 @@ object Dedup {
     * Idempotent; no-op for tables the catalog already knows. */
   def openDedupIndex(spark: org.apache.spark.sql.SparkSession,
       name: String): Unit = {
+    // an interrupted REBAND recovers FIRST (post-marker, the live
+    // meta may be mid-overwrite — the staged meta is the truth and
+    // completeReband reads only the stage); pre-marker it just
+    // clears never-promoted leftovers
+    finishInterruptedReband(spark, name)
     require(Bucketing.registerExisting(spark, s"${name}_meta", None),
       s"no persisted dedup index named '$name' in the warehouse")
     val (_, _, _, _, numBuckets) = indexMeta(spark, name)

@@ -1823,6 +1823,31 @@ object DBlock {
         .orderBy(col("doc_id"))
     }),
 
+    // D86: dedup-index RE-BAND — the actuator symmetry the ANN
+    // family got in r15 (rebalance/rebuild), for the minhash index:
+    // the LSH geometry (bands × rows-per-band → candidate threshold)
+    // was frozen at build; rebandDedupIndex re-derives signatures
+    // from the stored _docs hashed shingle sets (md5 basis — the
+    // sufficient statistic), rewrites _bands + _meta under the
+    // stage→marker→promote→clear crash protocol, and NEVER touches
+    // the corpus. Build at 16 bands (r=2), reband to 8 (r=4 —
+    // tighter candidate recall, a genuinely different screen from
+    // d46's on the same slice), then screen d46's batch. The oracle
+    // is the d46 derivation AT THE NEW GEOMETRY — a hash match
+    // proves rebanded == fresh-build-at-new-params, bit for bit.
+    "d113_rebanded_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val isBatch = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+      Dedup.buildDedupIndex(docs.filter(!isBatch), "doc_id", "text",
+        name = "d113_idx", md5Sig = true)
+      Dedup.rebandDedupIndex(s, "d113_idx", bands = 8, numPerms = 32)
+      Dedup.dedupAgainstIndex(docs.filter(isBatch), "doc_id", "text",
+        name = "d113_idx")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D26: composed gram profile — Gopher-style duplicate k-gram
     // fraction (the span-granularity sharpening of d15's distinct-
     // token repetition) AND the cross-doc repeated-gram count (d36's
@@ -3051,13 +3076,20 @@ object DBlock {
     * both flag sets. The size-ratio prefilter is a necessary
     * condition only, so the oracle omits it without changing the
     * verified set. */
-  private val incrementalDedupSql: String = {
+  /** The d40/d46 cross-set screen SQL, parameterized by LSH geometry
+    * so d113's REBANDED index proves against the same derivation at
+    * its NEW (bands, rows-per-band) — the reband claim is exactly
+    * "screens as if freshly built at the new parameters". */
+  private def indexedDedupSqlFor(numPerms: Int, bands: Int): String = {
     import graft.operators.Dedup.{mhA, mhB, mhPrime}
-    val mins = (0 until 32)
+    val r = numPerms / bands
+    val mins = (0 until numPerms)
       .map(j => s"min((h * ${mhA(j)} + ${mhB(j)}) % $mhPrime) AS m$j")
       .mkString(", ")
-    val bandCond = (0 until 16)
-      .map(b => s"(a.m${2 * b} = b.m${2 * b} AND a.m${2 * b + 1} = b.m${2 * b + 1})")
+    val bandCond = (0 until bands)
+      .map(b => "(" + (0 until r)
+        .map(k => s"a.m${b * r + k} = b.m${b * r + k}")
+        .mkString(" AND ") + ")")
       .mkString(" OR ")
     s"""WITH all_docs AS (
        |  SELECT doc_id, text, lang, source,
@@ -3097,6 +3129,8 @@ object DBlock {
        |  AND d.doc_id NOT IN (SELECT doc_id FROM exact)
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  private val incrementalDedupSql: String = indexedDedupSqlFor(32, 16)
 
   /** d100 oracle: the d95 snapshot derivation + the d40/d46
     * cross-set screen arithmetic, with sides keyed by (doc_id, side)
@@ -3537,6 +3571,11 @@ object DBlock {
     // identical semantics through the persistent index — the same
     // raw-text re-derivation must reproduce the survivors
     "d46_indexed_dedup" -> incrementalDedupSql,
+
+    // d113: the d46 screen derivation AT THE REBANDED GEOMETRY
+    // (8 bands × 4 rows from the same 32 permutations) — proving the
+    // index-local reband equals a fresh build at the new parameters.
+    "d113_rebanded_dedup" -> indexedDedupSqlFor(32, 8),
 
     // chunk arithmetic re-derived: last chunk index =
     // ceil(max(n - 64, 0) / 48), chunk i starts at 48·i + 1 and

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** The dedup-index RE-BAND verb: changing the LSH geometry of an
+  * existing index from its own stored state must be
+  * indistinguishable from a fresh build at the new parameters —
+  * band rows, meta, and the resulting screen all bit-equal — and a
+  * death anywhere inside the two-table promotion must recover. */
+class RebandSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Corpus with planted near-dup structure: docs 1-6 the corpus,
+    * 101-106 an arriving batch (101 exact dup of 1, 102 near-dup of
+    * 2 with one word changed, 103-106 novel). */
+  private def corpus: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every day"),
+      (2L, "spark shuffles are the dominant cost of large joins"),
+      (3L, "minhash signatures estimate jaccard similarity cheaply"),
+      (4L, "bucketed layouts avoid the exchange under the join"),
+      (5L, "watermarks bound state in streaming aggregations"),
+      (6L, "predicate pushdown reaches the parquet scan")
+    ).toDF("doc_id", "text")
+  }
+
+  private def batch: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (101L, "the quick brown fox jumps over the lazy dog every day"),
+      (102L, "spark shuffles are the dominant cost of big joins"),
+      (103L, "an entirely novel document about nothing at all"),
+      (104L, "codegen keeps expressions inside the tungsten pipeline"),
+      (105L, "minhash signatures estimate jaccard similarity cheaply today"),
+      (106L, "completely fresh content with no corpus overlap")
+    ).toDF("doc_id", "text")
+  }
+
+  private def survivors(name: String): Seq[Long] =
+    Dedup.dedupAgainstIndex(batch, "doc_id", "text", name)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+  private def bandRows(table: String): Set[(Long, Int, Int, Long)] =
+    spark.table(table).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+
+  test("rebanded index equals a fresh build at the new geometry, bit for bit") {
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", name = "t_reband_a",
+      numPerms = 32, bands = 16, md5Sig = true, numBuckets = 4)
+    Dedup.rebandDedupIndex(spark, "t_reband_a", bands = 8, numPerms = 32)
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", name = "t_reband_b",
+      numPerms = 32, bands = 8, md5Sig = true, numBuckets = 4)
+    assert(bandRows("t_reband_a_bands") == bandRows("t_reband_b_bands"),
+      "rebanded band rows must equal a fresh build's at the new geometry")
+    val metaA = spark.table("t_reband_a_meta").head()
+    assert(metaA.getAs[Int]("bands") == 8 &&
+      metaA.getAs[Int]("num_perms") == 32)
+    assert(survivors("t_reband_a") == survivors("t_reband_b"))
+    // the screen still works: the exact dup (101) is always caught
+    assert(!survivors("t_reband_a").contains(101L))
+    // appends after the reband encode at the NEW geometry (params are
+    // read from the promoted meta): appending to both indexes keeps
+    // them identical
+    import spark.implicits._
+    val extra = Seq((7L, "one more corpus document arrives later on"))
+      .toDF("doc_id", "text")
+    Dedup.appendToDedupIndex(extra, "doc_id", "text", "t_reband_a")
+    Dedup.appendToDedupIndex(extra, "doc_id", "text", "t_reband_b")
+    assert(bandRows("t_reband_a_bands") == bandRows("t_reband_b_bands"))
+  }
+
+  test("a non-md5 index refuses to reband index-locally") {
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", name = "t_reband_xx",
+      numPerms = 32, bands = 16, md5Sig = false, numBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.rebandDedupIndex(spark, "t_reband_xx", bands = 8,
+        numPerms = 32)
+    }
+    assert(e.getMessage.contains("md5Sig"))
+  }
+
+  test("reband crash windows: pre-marker stage drops; post-marker stage rolls forward across a restart") {
+    import spark.implicits._
+    val name = "t_reband_crash"
+    val marker = s"${name}__reband_pending"
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", name = name,
+      numPerms = 32, bands = 16, md5Sig = true, numBuckets = 4)
+    val liveBefore = bandRows(s"${name}_bands")
+
+    // ---- window 1: death BEFORE the marker — the staged tables
+    // never became the truth; the next verb drops them and the live
+    // index is untouched
+    graft.sources.Bucketing.writeTable(
+      Seq((3, 32, 8, true, 4)).toDF("shingle_k", "num_perms", "bands",
+        "md5_sig", "num_buckets"), s"${name}_meta_stage")
+    Dedup.rebandDedupIndex(spark, name, bands = 8, numPerms = 32)
+    assert(!spark.catalog.tableExists(s"${name}_meta_stage"),
+      "pre-marker stage must be dropped")
+    // (the reband itself then ran: geometry is now 8 bands)
+    assert(spark.table(s"${name}_meta").head().getAs[Int]("bands") == 8)
+    assert(bandRows(s"${name}_bands") != liveBefore)
+
+    // ---- window 2: death AFTER the marker — the staged state is
+    // the declared truth; a fresh session's open() must roll forward
+    // (promote both tables, clear marker and stages). Stage a
+    // distinguishable state — the 16-band geometry again — via a
+    // scratch fresh index whose band rows become the stage.
+    Dedup.buildDedupIndex(corpus, "doc_id", "text",
+      name = "t_reband_scratch", numPerms = 32, bands = 16,
+      md5Sig = true, numBuckets = 4)
+    graft.sources.Bucketing.writeBucketed(
+      spark.table("t_reband_scratch_bands"), s"${name}_bands_stage",
+      "band_hash", 4)
+    graft.sources.Bucketing.writeTable(
+      spark.table("t_reband_scratch_meta"), s"${name}_meta_stage")
+    graft.sources.Bucketing.createMarker(spark, marker)
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        old.conf.get("spark.sql.warehouse.dir"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      Dedup.openDedupIndex(s2, name)
+      assert(!graft.sources.Bucketing.markerExists(s2, marker),
+        "roll-forward must clear the marker")
+      assert(!s2.catalog.tableExists(s"${name}_bands_stage") &&
+        !s2.catalog.tableExists(s"${name}_meta_stage"),
+        "roll-forward must clear the stages")
+      assert(s2.table(s"${name}_meta").head().getAs[Int]("bands") == 16,
+        "staged meta must have been promoted")
+      val promoted = s2.table(s"${name}_bands").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      // the scratch index lives in the same warehouse; the fresh
+      // session's catalog forgot it — re-register to read it back
+      graft.sources.Bucketing.registerExisting(s2,
+        "t_reband_scratch_bands", Some(("band_hash", 4)))
+      val staged = s2.table("t_reband_scratch_bands").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      assert(promoted == staged, "staged band rows must have been promoted")
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
+}
