@@ -189,18 +189,30 @@ object StreamingIngest {
     * table): exactly one representative per exact/near family lands
     * and is folded in. Set `dedupWithinBatch = false` to restore the
     * screen-only behavior (e.g. when an upstream stage already
-    * dedups the batch). */
+    * dedups the batch).
+    *
+    * `funnelDir` turns on the C14 admission-funnel telemetry for
+    * this loop's three stages: one (n_input, n_batch_dup,
+    * n_index_dup, n_landed) row per micro-batch lands under
+    * `funnelDir/ingest_batch=<id>/`, written LAST (advisory;
+    * partition-overwrite idempotent under replay). The within-batch
+    * stage is localCheckpoint-pinned when telemetry is on so its
+    * count reads a materialized frame (the C14 cost discipline —
+    * batch-sized pins, the screen chain still evaluates once). */
   def toScreenedDocIngest(docs: DataFrame, idCol: String,
       textCol: String, indexName: String, path: String,
-      checkpoint: String, dedupWithinBatch: Boolean = true): StreamingQuery =
+      checkpoint: String, dedupWithinBatch: Boolean = true,
+      funnelDir: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b =
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b0 =
           if (dedupWithinBatch)
             graft.operators.Dedup.dedupWithinBatch(
               batch, idCol, textCol, indexName)
           else batch
+        val b = if (funnelDir.isDefined && dedupWithinBatch)
+          b0.localCheckpoint(true) else b0
         // eager localCheckpoint: both consumers below must see ONE
         // survivor set, and the second runs AFTER the index mutates
         // (a lazy recompute would re-screen against the updated index
@@ -213,6 +225,18 @@ object StreamingIngest {
         survivors.write.mode("append").parquet(path)
         graft.operators.Dedup
           .appendToDedupIndex(survivors, idCol, textCol, indexName)
+        funnelDir.foreach { fd =>
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val nIn = batch.count()
+          val nUnique = b.count()
+          val nLanded = survivors.count()
+          Seq((nIn, nIn - nUnique, nUnique - nLanded, nLanded))
+            .toDF("n_input", "n_batch_dup", "n_index_dup", "n_landed")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$fd/ingest_batch=$batchId")
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -496,18 +520,34 @@ object StreamingIngest {
     * replay stopped dead at stage 0); with url last, the replay
     * passes stage 0, the signature screens self-suppress, and the
     * url fold-in completes. Frontier semantics as in C12: a URL is
-    * remembered once ADMITTED, even if its payload later dedups. */
+    * remembered once ADMITTED, even if its payload later dedups.
+    *
+    * `funnelDir` turns on the C14 admission-funnel telemetry with
+    * the decode-relevant stage split this loop's costs make
+    * valuable to watch (decode is the expensive stage, so
+    * n_url_dup — cuts BEFORE decode — is the money number, and a
+    * spike in n_undecodable is a source or codec regression): one
+    * (n_input, n_url_dup, n_undecodable, n_batch_dup, n_index_dup,
+    * n_frame_screened, n_landed) row per micro-batch under
+    * `funnelDir/ingest_batch=<id>/`, written LAST (advisory;
+    * partition-overwrite idempotent under replay — a fully
+    * self-suppressed redelivery reads as total index-dup
+    * suppression). The within-batch keep-one frame is pinned when
+    * telemetry is on (the other counted frames are already pinned
+    * for their own consumers), so every count reads a materialized
+    * frame and no decode or screen re-runs for telemetry. */
   def toMediaIngest(media: DataFrame, idCol: String, typeCol: String,
       payloadCol: String, indexName: String, path: String,
       checkpoint: String, videoFrameScreen: Boolean = false,
       urlCol: Option[String] = None,
-      urlIndexName: Option[String] = None): StreamingQuery = {
+      urlIndexName: Option[String] = None,
+      funnelDir: Option[String] = None): StreamingQuery = {
     require(urlCol.isDefined == urlIndexName.isDefined,
       "urlCol and urlIndexName come together: the frontier screen " +
         "needs both the key column and the index to screen against")
     media.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
         // STAGE 0: url frontier, before any decode cost
@@ -540,8 +580,13 @@ object StreamingIngest {
           .simhashPairsFromSigs(sigs.select(col("doc_id"), col("sim")),
             maxDist)
           .select(col("id_a"), col("id_b"))
-        val kept = graft.operators.Dedup
+        val kept0 = graft.operators.Dedup
           .dropNearDuplicates(sigs, "doc_id", pairs)
+        // telemetry pin: the keep-one count must not re-run the
+        // pair/components machinery (batch-sized memory, C14 cost
+        // discipline)
+        val kept = if (funnelDir.isDefined) kept0.localCheckpoint(true)
+          else kept0
         val foldSurvivors = graft.operators.Dedup
           .screenAgainstSimIndex(kept, indexName)
           .localCheckpoint(true)
@@ -594,6 +639,26 @@ object StreamingIngest {
             graft.operators.Dedup.appendToUrlIndex(admitted, u, ix)
           case _ => ()
         }
+        // funnel telemetry, written last (advisory — see scaladoc);
+        // every counted frame is pinned, and the row overwrites its
+        // own ingest_batch partition so a replay is idempotent
+        funnelDir.foreach { fd =>
+          val nIn = batch.count()
+          val nAdmitted =
+            if (urlIndexName.isDefined) admitted.count() else nIn
+          val nDecoded = sigs.count()
+          val nKept = kept.count()
+          val nFold = foldSurvivors.count()
+          val nLanded = survivorIds.count()
+          Seq((nIn, nIn - nAdmitted, nAdmitted - nDecoded,
+            nDecoded - nKept, nKept - nFold, nFold - nLanded, nLanded))
+            .toDF("n_input", "n_url_dup", "n_undecodable",
+              "n_batch_dup", "n_index_dup", "n_frame_screened",
+              "n_landed")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$fd/ingest_batch=$batchId")
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -627,13 +692,24 @@ object StreamingIngest {
     * earlier holds a cached file listing — call
     * `spark.catalog.refreshTable("<index>_vectors")` (or
     * [[graft.operators.Similarity.openAnnIndex]] in a fresh session)
-    * before serving against a concurrently-ingesting index. */
+    * before serving against a concurrently-ingesting index.
+    *
+    * `funnelDir` turns on the C14 admission-funnel telemetry for
+    * this loop's id-keyed stages: one (n_input, n_unidentified,
+    * n_index_dup, n_landed) row per micro-batch under
+    * `funnelDir/ingest_batch=<id>/`, written LAST (advisory;
+    * partition-overwrite idempotent — a full redelivery reads as
+    * total index-dup suppression). n_unidentified folds the id-less
+    * rows and the within-batch id duplicates into one number (both
+    * are "no usable identity" cuts at the same door). The identified
+    * frame is pinned when telemetry is on; fresh is already pinned
+    * for its own two consumers. */
   def toAnnIngest(vectors: DataFrame, idCol: String, vecCol: String,
-      indexName: String, path: String,
-      checkpoint: String): StreamingQuery =
+      indexName: String, path: String, checkpoint: String,
+      funnelDir: Option[String] = None): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val indexed = batch.sparkSession
           .table(s"${indexName}_vectors")
           .select(col("vec_id").as("__indexed_id"))
@@ -644,10 +720,12 @@ object StreamingIngest {
         // retried batch). Drop id-less rows, keep one row per id.
         // try_cast, not cast: under ANSI a malformed id would kill
         // the batch; the contract here is drop-at-the-door.
-        val identified = batch
+        val identified0 = batch
           .withColumn("__graft_cid", batch(idCol).try_cast("long"))
           .filter(col("__graft_cid").isNotNull)
           .dropDuplicates("__graft_cid")
+        val identified = if (funnelDir.isDefined)
+          identified0.localCheckpoint(true) else identified0
         val fresh = identified
           .join(indexed.hint("SHUFFLE_HASH"),
             col("__graft_cid") === col("__indexed_id"), "left_anti")
@@ -656,6 +734,18 @@ object StreamingIngest {
         fresh.write.mode("append").parquet(path)
         graft.operators.Similarity
           .appendToAnnIndex(fresh, idCol, vecCol, indexName)
+        funnelDir.foreach { fd =>
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val nIn = batch.count()
+          val nIdent = identified.count()
+          val nLanded = fresh.count()
+          Seq((nIn, nIn - nIdent, nIdent - nLanded, nLanded))
+            .toDF("n_input", "n_unidentified", "n_index_dup", "n_landed")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$fd/ingest_batch=$batchId")
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

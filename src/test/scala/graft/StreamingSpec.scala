@@ -1281,4 +1281,151 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$dir/packed").count() == 2L)
     } finally q.stop()
   }
+
+  test("media funnel telemetry: decode-relevant stage cuts counted, redelivery reads as stage-0 suppression") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val M = graft.operators.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("mediafunnel").toString
+    val corpus = Seq(
+      M.MediaRow(6L, "image", M.imagePayload(6L)),
+      M.MediaRow(7L, "audio", M.audioPayload(7L))).toDS()
+    graft.operators.Dedup.buildSimIndex(
+      M.mediaSigs(spark, corpus), "t_mfun_idx", maxDist = 2,
+      numBuckets = 2)
+    graft.operators.Dedup.buildUrlIndex(
+      Seq("https://seeded.example.com/old").toDF("url"), "url",
+      name = "t_mfun_url_idx")
+    val input = MemoryStream[(Long, String, Array[Byte], String)](spark)
+    val q = StreamingIngest.toMediaIngest(
+      input.toDS().toDF("doc_id", "media_type", "payload", "url"),
+      "doc_id", "media_type", "payload",
+      "t_mfun_idx", s"$dir/media", s"$dir/ckpt",
+      urlCol = Some("url"), urlIndexName = Some("t_mfun_url_idx"),
+      funnelDir = Some(s"$dir/funnel"))
+    try {
+      val rows = Seq(
+        (9L, "image", M.imagePayload(50L),
+          "https://seeded.example.com/old"), // frontier index dup
+        (10L, "image", M.imagePayload(51L),
+          "https://ok.example.com/a?utm_source=1"), // lands
+        (11L, "image", M.imagePayload(52L),
+          "https://ok.example.com/a?utm_source=2"), // url keep-one cut
+        (12L, "image", Array[Byte](1, 2, 3),
+          "https://ok.example.com/b"), // undecodable
+        (13L, "audio", M.audioPayload(30L),
+          "https://ok.example.com/c"), // lands (family keeper)
+        (14L, "audio", M.remuxedAudioPayload(30L),
+          "https://ok.example.com/d"), // in-batch family of 13
+        (15L, "image", M.perturbedImagePayload(6L),
+          "https://ok.example.com/e")) // perceptual index dup
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      def funnel() = spark.read.parquet(s"$dir/funnel")
+        .collect().map(r => r.getAs[Long]("ingest_batch") ->
+          ((r.getAs[Long]("n_input"), r.getAs[Long]("n_url_dup"),
+            r.getAs[Long]("n_undecodable"), r.getAs[Long]("n_batch_dup"),
+            r.getAs[Long]("n_index_dup"),
+            r.getAs[Long]("n_frame_screened"),
+            r.getAs[Long]("n_landed")))).toMap
+      assert(funnel()(0L) == ((7L, 2L, 1L, 1L, 1L, 0L, 2L)),
+        funnel().toString)
+      val landed = spark.read.parquet(s"$dir/media")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(landed == Set(10L, 13L), s"got $landed")
+      // full redelivery: every admitted URL is now in the frontier
+      // (9's always was; 11's canonical equals 10's) — all seven cut
+      // at stage 0, no decode is ever paid
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      assert(funnel()(1L) == ((7L, 7L, 0L, 0L, 0L, 0L, 0L)),
+        funnel().toString)
+      assert(spark.read.parquet(s"$dir/media").count() == 2L)
+    } finally q.stop()
+  }
+
+  test("screened-doc funnel telemetry: batch-dup and index-dup cuts counted, redelivery self-suppresses at the index stage") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("docfunnel").toString
+    val seedText = "the corpus data table holds a value summary with " +
+      "enough prior words that the screen can match it exactly"
+    val novelA = "the harbor survey counted forty two vessels at anchor " +
+      "with a manifest listing grain salt and timber"
+    val novelB = "an entirely different treatise on bucketed layouts " +
+      "and the exchanges they delete from the join"
+    graft.operators.Dedup.buildDedupIndex(
+      Seq((1L, seedText)).toDF("doc_id", "text"), "doc_id", "text",
+      name = "t_dfun_idx")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingIngest.toScreenedDocIngest(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      "t_dfun_idx", s"$dir/docs", s"$dir/ckpt",
+      funnelDir = Some(s"$dir/funnel"))
+    try {
+      val rows = Seq(
+        (10L, novelA),   // lands (keeper of the 10/11 exact family)
+        (11L, novelA),   // in-batch exact dup
+        (12L, seedText), // index dup
+        (13L, novelB))   // lands
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      def funnel() = spark.read.parquet(s"$dir/funnel")
+        .collect().map(r => r.getAs[Long]("ingest_batch") ->
+          ((r.getAs[Long]("n_input"), r.getAs[Long]("n_batch_dup"),
+            r.getAs[Long]("n_index_dup"),
+            r.getAs[Long]("n_landed")))).toMap
+      assert(funnel()(0L) == ((4L, 1L, 1L, 2L)), funnel().toString)
+      val landed = spark.read.parquet(s"$dir/docs")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(landed == Set(10L, 13L), s"got $landed")
+      // full redelivery: the in-batch dup still cuts at its stage;
+      // everything else is now index content — nothing lands
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      assert(funnel()(1L) == ((4L, 1L, 3L, 0L)), funnel().toString)
+      assert(spark.read.parquet(s"$dir/docs").count() == 2L)
+    } finally q.stop()
+  }
+
+  test("ANN funnel telemetry: unidentified and already-indexed cuts counted, redelivery reads as full index-dup suppression") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("annfunnel").toString
+    val q8 = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+    graft.operators.Similarity.buildAnnIndex(q8, "vec_id", "qv",
+      name = "t_afun_idx", nlist = 8, m = 4, ksub = 8, md5Sig = true,
+      numBuckets = 4)
+    val vec = q8.filter(col("vec_id") === 0).collect().head.getSeq[Float](1)
+    val input = MemoryStream[(String, Seq[Float])](spark)
+    val q = StreamingIngest.toAnnIngest(
+      input.toDS().toDF("vec_id", "qv"), "vec_id", "qv",
+      "t_afun_idx", s"$dir/vecs", s"$dir/ckpt",
+      funnelDir = Some(s"$dir/funnel"))
+    try {
+      val rows = Seq(
+        ("400000", vec),       // lands
+        ("400000", vec),       // within-batch id dup → unidentified
+        ("not-an-id", vec),    // null-cast id → unidentified
+        ("0", vec),            // already indexed → index dup
+        ("400001", vec))       // lands
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      def funnel() = spark.read.parquet(s"$dir/funnel")
+        .collect().map(r => r.getAs[Long]("ingest_batch") ->
+          ((r.getAs[Long]("n_input"), r.getAs[Long]("n_unidentified"),
+            r.getAs[Long]("n_index_dup"),
+            r.getAs[Long]("n_landed")))).toMap
+      assert(funnel()(0L) == ((5L, 2L, 1L, 2L)), funnel().toString)
+      // full redelivery: both fresh ids are indexed now — the only
+      // cuts are the unidentified pair and three index dups
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      assert(funnel()(1L) == ((5L, 2L, 3L, 0L)), funnel().toString)
+      assert(spark.read.parquet(s"$dir/vecs").count() == 2L)
+    } finally q.stop()
+  }
 }
