@@ -213,6 +213,68 @@ object Packing {
         flatten(expr("transform(__ss, x -> x.s)")).as("token_ids"))
   }
 
+  /** EPOCH DELIVERY capstone — the checked artifact a trainer
+    * actually loads, composing the packing family end to end: real
+    * token ids pack into capacity-sized bins ([[binTokens]] — the
+    * d92 `.bin` payload over the d90 manifest arithmetic), bins
+    * shard into a deterministic training order
+    * ([[graft.operators.Sampling.shuffleShard]] — md5(seed|bin) mod
+    * numShards, positions in key order), and each shard publishes
+    * ONE integrity row: (shard, n_bins, n_tokens, shard_md5), where
+    * shard_md5 folds every bin's content hash in shard order. One
+    * drifted token id, offset, segment boundary, bin assignment,
+    * shard assignment or training-order position anywhere in the
+    * composition breaks a shard hash — the d77 one-hash discipline
+    * applied to the delivery artifact, which is exactly the check a
+    * trainer runs before an epoch ("is this the corpus the curation
+    * run signed?").
+    *
+    * Scale shape: the pack is [[sequencePack]]'s two-phase prefix
+    * sum; per-BIN hashes bound aggregation state by `capacity`
+    * (the bin's ids join as one array, never a corpus-wide token
+    * explosion); the per-SHARD fold aggregates 32-byte hex digests,
+    * so shard-aggregate state is ~36 B × bins-per-shard — for a
+    * 100 TB corpus at 2048-token bins and 1024 shards, ~1.7 MB per
+    * shard group, broadcast-class. Determinism is inherited from
+    * the pinned two-phase prefix sums on both levels: the output
+    * depends only on (orderCol order, token ids, seed, numShards,
+    * capacity), never on partitioning or rerun (spec-pinned).
+    *
+    * The `reliable` flag is [[sequencePack]]'s: localCheckpoint
+    * pins (fast, executor-loss-fragile) vs reliable checkpoints. */
+  def epochShards(
+      df: DataFrame,
+      idCol: String,
+      tokenIds: org.apache.spark.sql.Column,
+      orderCol: org.apache.spark.sql.Column,
+      capacity: Long,
+      numShards: Int,
+      seed: String,
+      partitions: Int = 32,
+      reliable: Boolean = false): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val bins0 = binTokens(df, idCol, tokenIds, orderCol, capacity,
+      partitions, reliable)
+      .select(col("bin"),
+        size(col("token_ids")).cast("long").as("__nt"),
+        // per-bin content hash: the comma-joined id string (the d92
+        // ids_md5 convention — an empty tail bin hashes "")
+        md5(expr("array_join(cast(token_ids as array<string>), ',')"))
+          .as("__bmd5"))
+    // two consumers (shard assignment + the hash join-back): pin so
+    // the pack does not recompute
+    val bins = if (reliable) bins0.checkpoint() else bins0.localCheckpoint()
+    val sharded = Sampling.shuffleShard(bins.select(col("bin")), "bin",
+      numShards, seed, partitions, reliable)
+    sharded.join(bins.hint("SHUFFLE_HASH"), Seq("bin"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("__nt")).as("n_tokens"),
+        md5(expr("array_join(transform(" +
+          "sort_array(collect_list(struct(pos, __bmd5))), " +
+          "x -> x.__bmd5), '')")).as("shard_md5"))
+  }
+
   /** Token-budget selection — the curation cut that turns "we can
     * afford B training tokens" into a document set: lay the corpus
     * out in priority order (highest first, id as tiebreak) and keep

@@ -1085,6 +1085,28 @@ object DBlock {
         .orderBy(col("bin"))
     }),
 
+    // D87: EPOCH DELIVERY capstone — the checked artifact a trainer
+    // loads, composing the whole packing family under per-shard
+    // integrity hashes: real BPE ids (d51) pack into bins (d59/d92),
+    // bins shuffle-shard into training order (d45), and each shard
+    // publishes (n_bins, n_tokens, shard_md5) with the shard hash
+    // folding every bin's content hash in shard order — one drifted
+    // id, offset, segment, bin, shard or position anywhere breaks
+    // it (the d77 one-hash discipline on the delivery artifact).
+    // Fully oracle-checked: DuckDB replays the merge-chain ids, the
+    // prefix sums, the segment arithmetic, the md5 shard assignment
+    // and the fold.
+    "d114_epoch_shards" -> ((s, d) => {
+      Packing.epochShards(
+        Tables.documents(s, d)
+          .filter(col("doc_id").isNotNull && col("text").isNotNull),
+        "doc_id",
+        tokenIds = graft.functions.BpeTokenizer.bpeTokenIds(col("text")),
+        orderCol = md5(col("doc_id").cast("string")),
+        capacity = 2048L, numShards = 4, seed = "ep114")
+        .orderBy(col("shard"))
+    }),
+
     // D66: ANN index REBALANCE — the actuator behind the d79
     // occupancy stats: build on the even half (book AND cells train
     // on evens), append the odd half (encoded with the even-trained
@@ -3380,11 +3402,15 @@ object DBlock {
     * (seg_start, in-doc position). Zero-only bins (a zero-token doc
     * on a capacity boundary at the corpus tail) surface via the LEFT
     * join and hash the empty string, matching Spark's empty array. */
-  private val binTokensSql: String = {
+  /** The d92 token→pack→segment derivation up to
+    * `binned(bin, seg_start, rel, id)` — shared by the d92 per-bin
+    * oracle and the d114 epoch-shard oracle, so the packing
+    * arithmetic cannot drift between the two. */
+  private val binnedCtes: String = {
     val (ctes, last) = bpeCteChain
     val vocabVals = graft.functions.BpeTokenizer.vocabHex
       .map { case (id, hx) => s"($id, '$hx')" }.mkString(", ")
-    s"""WITH $ctes,
+    s"""$ctes,
        |vocab(id, hx) AS (VALUES $vocabVals),
        |t AS (
        |  SELECT doc_id, ts,
@@ -3418,12 +3444,39 @@ object DBlock {
        |  SELECT s.bin, s.seg_start, k.pos - s.doc_off AS rel, k.id
        |  FROM seg s LEFT JOIN tok k ON k.doc_id = s.doc_id
        |    AND k.pos > s.doc_off AND k.pos <= s.doc_off + s.seg_len
-       |)
+       |)""".stripMargin
+  }
+
+  private val binTokensSql: String =
+    s"""WITH $binnedCtes
        |SELECT bin, CAST(count(id) AS BIGINT) AS n_tokens,
        |  md5(COALESCE(string_agg(CAST(id AS VARCHAR), ','
        |    ORDER BY seg_start, rel), '')) AS ids_md5
        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
-  }
+
+  /** d114 oracle: the binned derivation, folded to per-bin content
+    * hashes, sharded by md5(seed|bin) mod 4 in (hash, bin) training
+    * order, each shard's bin hashes folded under one md5 — DuckDB
+    * re-derives every token id, every pack offset, every segment,
+    * every bin hash, the shard assignment AND the order, so a
+    * shard_md5 match pins the whole delivery artifact at once. */
+  private val epochShardsSql: String =
+    s"""WITH $binnedCtes,
+       |bm AS (
+       |  SELECT bin, CAST(count(id) AS BIGINT) AS nt,
+       |    md5(COALESCE(string_agg(CAST(id AS VARCHAR), ','
+       |      ORDER BY seg_start, rel), '')) AS bmd5
+       |  FROM binned GROUP BY bin
+       |), shx AS (
+       |  SELECT bin, nt, bmd5,
+       |    ('0x'||substr(md5('ep114|'||CAST(bin AS VARCHAR)),1,15))::BIGINT AS h
+       |  FROM bm
+       |)
+       |SELECT CAST(h % 4 AS INT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_bins,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(bmd5, '' ORDER BY h, bin)) AS shard_md5
+       |FROM shx GROUP BY 1 ORDER BY shard""".stripMargin
 
   /** The NB classifier score chain re-derived end to end, ending in
     * `nbscored(doc_id, n_tokens, log_odds)` — shared by the d73/d74
@@ -5059,6 +5112,7 @@ object DBlock {
     "d51_bpe_tokens" -> bpeTokensSql,
     "d59_bpe_pack" -> bpePackSql,
     "d92_bin_tokens" -> binTokensSql,
+    "d114_epoch_shards" -> epochShardsSql,
     "d60_bpe_train" -> bpeTrainSql,
     "d66_bpe_budget_train" -> bpeTrainSqlFor(d66SliceSql),
     "d62_pipeline" -> pipelineSql,

@@ -674,6 +674,38 @@ class PipelineOpsSpec extends AnyFunSuite {
       gotEdge.toString)
   }
 
+  test("epochShards: shard hashes invariant to partitioning and rerun; totals conserve; seed reshuffles") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // 9 docs × 3-7 ids → several bins at capacity 5, spread over 3
+    // shards so ordering inside a shard matters
+    val docs = (1L to 9L).map(i =>
+      (i, (1 to (3 + (i % 5)).toInt).map(j => (i * 100 + j).toInt)))
+      .toDF("doc_id", "ids")
+    def run(parts: Int, seed: String = "s1",
+        df: org.apache.spark.sql.DataFrame = docs) =
+      Packing.epochShards(df, "doc_id", col("ids"), col("doc_id"),
+        capacity = 5L, numShards = 3, seed = seed, partitions = parts)
+        .collect()
+        .map(r => r.getAs[Int]("shard") ->
+          ((r.getAs[Long]("n_bins"), r.getAs[Long]("n_tokens"),
+            r.getAs[String]("shard_md5")))).toMap
+    val got = run(4)
+    // partition- and rerun-invariance: the artifact a trainer checks
+    // must not depend on cluster layout (both prefix sums are pinned
+    // two-phase, both hashes fold in deterministic order)
+    assert(run(1) == got && run(7) == got && run(4) == got)
+    // ...nor on the INPUT's partitioning
+    assert(run(4, df = docs.repartition(5)) == got)
+    // totals conserve: every token lands in exactly one shard, every
+    // bin in exactly one shard
+    val totalTokens = (1L to 9L).map(i => 3 + (i % 5)).sum
+    assert(got.values.map(_._2).sum == totalTokens)
+    assert(got.values.map(_._1).sum == (totalTokens + 4) / 5)
+    // a different seed is a genuinely different training order
+    assert(run(4, seed = "s2") != got)
+  }
+
   test("unigramLogProb matches a first-principles recomputation and ranks rarity") {
     import spark.implicits._
     val corpus = Map(
