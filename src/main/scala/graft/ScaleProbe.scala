@@ -22,8 +22,15 @@ import org.apache.spark.sql.functions._
   * artifact, not engine behavior), while salted copies keep each
   * copy's internal near-dup structure identical to sf0.1 → the
   * linear-scaling expectation for pair outputs is exactly 10×.
-  * `lineitem` is unioned 10× unsalted (the b2 control is a pure
-  * aggregate; key multiplicity is irrelevant).
+  * The MEDIA analog of the salt lives in the id shift itself: the
+  * media entries synthesize payloads from doc_id arithmetic, so the
+  * per-copy shift is chosen with a content-parameter residue
+  * coprime to the payload formulas' moduli (see buildIfMissing) —
+  * shifted copies derive perceptually DISJOINT payloads and media
+  * family density stays constant at 10×, the property whose absence
+  * made the r15 d63/d64/d67 ratios measure the corpus instead of
+  * the operator. `lineitem` is unioned 10× unsalted (the b2 control
+  * is a pure aggregate; key multiplicity is irrelevant).
   *
   * Each probed query runs twice per scale and the SECOND time is
   * reported (same steady-state discipline as Bench); ratios print as
@@ -509,7 +516,7 @@ object ScaleProbe {
     // a 30 s serial scan+wrap+md5 that dominated (and equalized)
     // every earlier reading of this probe. With the input pinned,
     // the receipt measures the dedup PLANS, which is the question.
-    val docs = spark.read.parquet(s"$SfMega/documents.parquet")
+    def wrapped(path: String): DataFrame = spark.read.parquet(path)
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"),
         array_join(transform(sequence(lit(1), nl), i =>
@@ -517,8 +524,16 @@ object ScaleProbe {
           .as("text"))
       .repartition(32)
       .localCheckpoint(true)
+    // 1× hot corpus (copy 0 + block) beside the 10×: the boundedness
+    // receipt is worst-TASK growth of the production form when the
+    // hot line's occurrence count itself grows 10× — a bounded
+    // two-level aggregate grows ~linearly (the map-side (h, doc)
+    // collapse absorbs the hot key), a buffering form superlinearly
+    val docs1 = wrapped(s"$SfMega/documents1.parquet")
+    val docs = wrapped(s"$SfMega/documents.parquet")
 
-    def production(): DataFrame = Dedup.lineDedup(docs, "doc_id", "text")
+    def production(d: DataFrame = docs): DataFrame =
+      Dedup.lineDedup(d, "doc_id", "text")
 
     // round-9-style window form, probe-only: identical semantics
     // (minDocs = 2 ≡ min != max doc; keeper ≡ row_number 1 under
@@ -579,7 +594,8 @@ object ScaleProbe {
     require(h(production()) == h(windowForm()),
       "production/window line dedup disagree on the mega corpus")
 
-    def measure(label: String, mk: () => DataFrame): Unit = {
+    def measure(corpus: String, label: String,
+        mk: () => DataFrame): Unit = {
       def once(): Double = {
         val t0 = System.nanoTime()
         mk().write.mode("overwrite").format("noop").save()
@@ -589,12 +605,17 @@ object ScaleProbe {
       maxTaskMs = 0L; spill = 0L; peak = 0L
       val t = once()
       Thread.sleep(500)
-      println(f"| $label | $t%.2f | $maxTaskMs | ${spill / 1e6}%.0f | ${peak / 1e6}%.0f |")
+      println(f"| $corpus | $label | $t%.2f | $maxTaskMs | ${spill / 1e6}%.0f | ${peak / 1e6}%.0f |")
     }
-    println("| form | wall s | max task ms | spill MB | peakExecMem MB |")
-    println("|---|---|---|---|---|")
-    measure("production (agg+min_by)", () => production())
-    measure("window (round-9 form)", () => windowForm())
+    println("| corpus | form | wall s | max task ms | spill MB | peakExecMem MB |")
+    println("|---|---|---|---|---|---|")
+    // the boundedness receipt: the production form's worst TASK at
+    // 1× vs 10× hot-line occupancy (a bounded two-level aggregate
+    // absorbs the hot key map-side; a buffering form funnels the hot
+    // line's whole row set into one task)
+    measure("1x hot", "production (agg+min_by)", () => production(docs1))
+    measure("10x hot", "production (agg+min_by)", () => production(docs))
+    measure("10x hot", "window (round-9 form)", () => windowForm())
   }
 
   private def buildAsofIfMissing(spark: SparkSession): Unit = {
@@ -652,6 +673,12 @@ object ScaleProbe {
     copies.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$SfMega/documents.parquet")
+    // the 1× side of the hot-line boundedness receipt: copy 0 alone,
+    // same 30% block — the hot line's occurrence count is exactly
+    // 1/10th of the 10× corpus's
+    copies.head
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$SfMega/documents1.parquet")
     marker.createNewFile()
   }
 
@@ -676,11 +703,29 @@ object ScaleProbe {
     new java.io.File(Sf1).mkdirs()
 
     val docs = spark.read.parquet(s"$Sf01/documents.parquet")
-    // 5000 docs at sf0.1; shift well clear of the id range per copy
+    // Per-copy id shift — THREE constraints, each learned the hard
+    // way (the r15 wrong-#4 media-density artifact):
+    //  1. magnitude: >= 2e9 keeps every copy's id range clear of the
+    //     media entries' planted-variant offsets (+1e7..+4e7) and the
+    //     d95/d100 ghost offset (+1e9) — the old 1e7 shift made copy
+    //     i's BASE ids collide with copy i-1's planted twins;
+    //  2. content residue: the media payload formulas key dims /
+    //     rates / frame counts off id mod {16, 9, 8, 6, 5, 2, 100}
+    //     (lcm 3600). The old shift was ≡ 0 mod most of these, so
+    //     shifted copies re-derived the SAME payload parameters and
+    //     perceptual families merged across copies — d63/d64/d67
+    //     ratios then measured family-density growth, not the
+    //     operator. 2000000011 mod 3600 = 2011, coprime to 3600, so
+    //     every copy pair lands a different content-parameter
+    //     residue and copies stay perceptually disjoint — the media
+    //     analog of the text salt;
+    //  3. slice rotation: ≡ 1 mod 3, so the id%3 media slices stay
+    //     ~1/3 of every copy.
+    val copyShift = 2000000011L
     val copies = (0 until 10).map { i =>
       if (i == 0) docs
       else docs.select(
-        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        (col("doc_id") + lit(i * copyShift)).as("doc_id"),
         regexp_replace(col("text"), "(\\S+)", s"$$1c$i").as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
@@ -700,9 +745,10 @@ object ScaleProbe {
     // recall-faithful 10× corpus would need structure-preserving
     // vector synthesis, out of probe scope
     val emb = spark.read.parquet(s"$Sf01/embeddings.parquet")
+    // same shift as documents: d96 joins doc_id = vec_id
     (0 until 10).map { i =>
       if (i == 0) emb
-      else emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+      else emb.withColumn("vec_id", col("vec_id") + lit(i * copyShift))
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$Sf1/embeddings.parquet")

@@ -326,25 +326,65 @@ object Retrieval {
     val numBuckets = spark.table(s"${name}_meta").head()
       .getAs[Int]("num_buckets")
     val live = batch.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    // eager localCheckpoint, NOT persist: the caller's batch plan may
+    // reference this index's own tables (the [[screenNewForBm25Index]]
+    // anti-join in the streaming composition), and the `_docs` append
+    // below INVALIDATES any cache built over them — a lazily
+    // re-evaluated plan would then anti-join against the mutated
+    // table, see its own rows as already-indexed, and silently feed
+    // an EMPTY frame to the df/meta refresh. The checkpoint truncates
+    // lineage, so the pinned postings are immune to the mutation.
     val post = live
       .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         explode(SketchFunctions.termCounts(col("tk"))).as("e"))
       .select(col("e.term").as("term"), col("doc_id"),
         col("e.tf").as("tf"), col("dl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      Bucketing.appendBucketed(post, s"${name}_postings", "term", numBuckets)
-      Bucketing.appendBucketed(
-        post.groupBy(col("doc_id")).agg(max(col("dl")).as("dl")),
-        s"${name}_docs", "doc_id", numBuckets)
-      val batchDf = post.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
-      Bucketing.compactBucketed(old =>
-        old.unionByName(batchDf).groupBy(col("term"))
-          .agg(sum(col("df_t")).as("df_t")))(
-        spark, s"${name}_df", "term", numBuckets)
-    } finally post.unpersist()
+      .localCheckpoint(true)
+    Bucketing.appendBucketed(post, s"${name}_postings", "term", numBuckets)
+    Bucketing.appendBucketed(
+      post.groupBy(col("doc_id")).agg(max(col("dl")).as("dl")),
+      s"${name}_docs", "doc_id", numBuckets)
+    val batchDf = post.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    Bucketing.compactBucketed(old =>
+      old.unionByName(batchDf).groupBy(col("term"))
+        .agg(sum(col("df_t")).as("df_t")))(
+      spark, s"${name}_df", "term", numBuckets)
     writeBm25Meta(spark, name, numBuckets)
+  }
+
+  /** Maintenance pass for a BM25 index that has accreted appends:
+    * rewrites the three bucketed tables to one file per bucket (each
+    * [[appendToBm25Index]] adds a file per bucket; after K batches
+    * every serving scan opens K× the files). Same staged drop+rename
+    * swap as [[graft.sources.Bucketing.compactBucketed]] — the live
+    * table is replaced only after the compacted copy fully exists,
+    * and an interrupted swap finishes on the next verb or
+    * [[openBm25Index]]. `_df`/`_meta` are value-unchanged by
+    * compaction and stay. */
+  def compactBm25Index(spark: SparkSession, name: String): Unit = {
+    val numBuckets = spark.table(s"${name}_meta").head()
+      .getAs[Int]("num_buckets")
+    Bucketing.compactBucketed()(spark, s"${name}_postings", "term",
+      numBuckets)
+    Bucketing.compactBucketed()(spark, s"${name}_df", "term", numBuckets)
+    Bucketing.compactBucketed()(spark, s"${name}_docs", "doc_id",
+      numBuckets)
+  }
+
+  /** The ids of `batch` rows NOT yet in the index — the idempotence
+    * screen a streaming composition runs before
+    * [[appendToBm25Index]] (appending an existing id doubles its
+    * postings silently; the anti-join against the narrow `_docs`
+    * projection makes a replayed append a no-op instead). Batch-
+    * sized work: the batch broadcasts into the anti-join when small;
+    * `_docs` is a two-column bucketed scan. */
+  def screenNewForBm25Index(batch: DataFrame, idCol: String,
+      name: String): DataFrame = {
+    val spark = batch.sparkSession
+    batch.join(
+      spark.table(s"${name}_docs").select(col("doc_id").as("__bm_id")),
+      col(idCol) === col("__bm_id"), "left_anti")
   }
 
   /** Rebuilds the index's derived statistics (`_df`, `_meta`) from

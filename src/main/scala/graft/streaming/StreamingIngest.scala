@@ -198,11 +198,33 @@ object StreamingIngest {
     * partition-overwrite idempotent under replay). The within-batch
     * stage is localCheckpoint-pinned when telemetry is on so its
     * count reads a materialized frame (the C14 cost discipline —
-    * batch-sized pins, the screen chain still evaluates once). */
+    * batch-sized pins, the screen chain still evaluates once).
+    *
+    * `bm25IndexName` makes the ingest RETRIEVAL-READY: survivors
+    * additionally append into a persistent BM25 index
+    * ([[graft.operators.Retrieval.buildBm25Index]]) so everything
+    * ever landed is immediately servable by
+    * [[graft.operators.Retrieval.bm25TopKAgainstIndex]] without a
+    * corpus scan. Write ORDER inside the batch is sink → BM25 →
+    * dedup fold-in, and each choice is load-bearing: the BM25
+    * append is made idempotent by an id anti-join against the
+    * index's own `_docs` ([[graft.operators.Retrieval
+    * .screenNewForBm25Index]] — a raw re-append would silently
+    * DOUBLE a replayed batch's postings), and it must run BEFORE
+    * the dedup fold-in because the reverse order turns a crash
+    * between the two appends into a permanent retrieval hole: the
+    * replay would self-suppress at the dedup screen and the landed
+    * rows' postings would never be written, exactly the C12/C13
+    * url-frontier ordering argument. With BM25 second and
+    * anti-joined, every crash window replays to a consistent index:
+    * the dedup screen passes (hashes not yet folded), the BM25
+    * anti-join suppresses what already landed, and the fold-in
+    * completes. */
   def toScreenedDocIngest(docs: DataFrame, idCol: String,
       textCol: String, indexName: String, path: String,
       checkpoint: String, dedupWithinBatch: Boolean = true,
-      funnelDir: Option[String] = None): StreamingQuery =
+      funnelDir: Option[String] = None,
+      bm25IndexName: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -223,6 +245,14 @@ object StreamingIngest {
           .dedupAgainstIndex(b, idCol, textCol, indexName)
           .localCheckpoint(true)
         survivors.write.mode("append").parquet(path)
+        // BM25 append BEFORE the dedup fold-in, anti-joined for
+        // idempotence — see the ordering argument in the scaladoc
+        bm25IndexName.foreach { bx =>
+          graft.operators.Retrieval.appendToBm25Index(
+            graft.operators.Retrieval.screenNewForBm25Index(
+              survivors, idCol, bx),
+            idCol, textCol, bx)
+        }
         graft.operators.Dedup
           .appendToDedupIndex(survivors, idCol, textCol, indexName)
         funnelDir.foreach { fd =>

@@ -158,6 +158,64 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(served == fresh)
   }
 
+  test("compaction folds accreted appends; a fresh session re-opens the index and serves identically") {
+    Retrieval.buildBm25Index(docs.filter("doc_id <= 4"), "doc_id",
+      "text", "bmspec_open", numBuckets = 4)
+    Retrieval.appendToBm25Index(docs.filter("doc_id in (5, 6)"),
+      "doc_id", "text", "bmspec_open")
+    Retrieval.appendToBm25Index(docs.filter("doc_id >= 7"), "doc_id",
+      "text", "bmspec_open")
+    val before = topKRows(Retrieval.bm25TopKAgainstIndex(spark,
+      "bmspec_open", terms, topK = 8))
+    Retrieval.compactBm25Index(spark, "bmspec_open")
+    assert(topKRows(Retrieval.bm25TopKAgainstIndex(spark,
+      "bmspec_open", terms, topK = 8)) == before,
+      "compaction must be value-invisible")
+    // a fresh session (catalog gone, warehouse directories intact)
+    // re-opens and serves bit-identically
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        old.conf.get("spark.sql.warehouse.dir"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      Retrieval.openBm25Index(s2, "bmspec_open")
+      val served = Retrieval.bm25TopKAgainstIndex(s2, "bmspec_open",
+        terms, topK = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(served == before)
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
+
+  test("screenNewForBm25Index makes a replayed append a no-op") {
+    Retrieval.buildBm25Index(docs.filter("doc_id <= 6"), "doc_id",
+      "text", "bmspec_scr", numBuckets = 4)
+    val batch = docs.filter("doc_id in (5, 6, 7, 8)")
+    val fresh = Retrieval.screenNewForBm25Index(batch, "doc_id",
+      "bmspec_scr")
+    assert(fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(7L, 8L))
+    Retrieval.appendToBm25Index(fresh, "doc_id", "text", "bmspec_scr")
+    val nPost = spark.table("bmspec_scr_postings").count()
+    // full replay: everything now screened — the append is a no-op
+    Retrieval.appendToBm25Index(
+      Retrieval.screenNewForBm25Index(batch, "doc_id", "bmspec_scr"),
+      "doc_id", "text", "bmspec_scr")
+    assert(spark.table("bmspec_scr_postings").count() == nPost,
+      "replayed append doubled postings")
+  }
+
   test("serving plan prunes postings buckets and never reads a corpus file") {
     Retrieval.buildBm25Index(docs, "doc_id", "text", "bmspec_plan",
       numBuckets = 4)

@@ -1388,6 +1388,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("retrieval-ready ingest: landed docs serve from the BM25 index, replay doubles nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("bm25ingest").toString
+    val seedText = "the corpus data table holds a value summary with " +
+      "enough prior words that the screen can match it exactly"
+    graft.operators.Dedup.buildDedupIndex(
+      Seq((1L, seedText)).toDF("doc_id", "text"), "doc_id", "text",
+      name = "t_bm25ing_idx")
+    graft.operators.Retrieval.buildBm25Index(
+      Seq((1L, seedText)).toDF("doc_id", "text"), "doc_id", "text",
+      name = "t_bm25ing_bm", numBuckets = 4)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingIngest.toScreenedDocIngest(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      "t_bm25ing_idx", s"$dir/docs", s"$dir/ckpt",
+      bm25IndexName = Some("t_bm25ing_bm"))
+    try {
+      val rows = Seq(
+        (10L, "harbor vessels at anchor with manifests of grain"),
+        (11L, seedText), // dedup-screened: must NOT reach the BM25 index
+        (12L, "spark shuffles dominate the cost of large joins"))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      spark.catalog.refreshTable("t_bm25ing_bm_postings")
+      spark.catalog.refreshTable("t_bm25ing_bm_docs")
+      // landed docs serve; the screened dup's id never indexed
+      val hits = graft.operators.Retrieval.bm25TopKAgainstIndex(spark,
+        "t_bm25ing_bm", Seq("harbor", "shuffles"), topK = 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(hits == Set(10L, 12L), s"got $hits")
+      assert(spark.table("t_bm25ing_bm_docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+        == Set(1L, 10L, 12L))
+      val nPost = spark.table("t_bm25ing_bm_postings").count()
+      // full redelivery: dedup screen suppresses everything, the
+      // BM25 anti-join sees nothing new — postings unchanged
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      spark.catalog.refreshTable("t_bm25ing_bm_postings")
+      assert(spark.table("t_bm25ing_bm_postings").count() == nPost,
+        "replay changed the postings table")
+      assert(spark.read.parquet(s"$dir/docs").count() == 2L)
+    } finally q.stop()
+  }
+
   test("ANN funnel telemetry: unidentified and already-indexed cuts counted, redelivery reads as full index-dup suppression") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
