@@ -888,6 +888,52 @@ object Dedup {
     completeReband(spark, name)
   }
 
+  /** The DECISION input between [[dedupIndexStats]] (what the index
+    * is) and [[rebandDedupIndex]] (the actuator): for each candidate
+    * band partition of the index's own permutations, the candidate-
+    * pair volume the band screen WOULD generate — the screen's
+    * dominant cost, and the number an operator weighs against the
+    * geometry's implied jaccard threshold (t ≈ (1/bands)^(rows/1))
+    * before committing to a re-band. Computed from the index alone:
+    * signatures re-derive from the stored `_docs` hashed shingle
+    * sets (the [[rebandDedupIndex]] sufficient-statistic argument,
+    * so md5Sig indexes only), each geometry pays one narrow
+    * aggregate over the re-derived band rows, and the corpus is
+    * never read. Returns one row per geometry: (bands,
+    * rows_per_band, n_buckets, candidate_pairs, max_band_occ) —
+    * candidate_pairs = Σ_bucket n·(n−1)/2 (the within-bucket pair
+    * enumeration a screen joins), max_band_occ the skew signal (a
+    * mega-bucket is the candidate join's straggler). Bucket
+    * identity is the band-fold hash, the [[dedupIndexStats]]
+    * no-collision premise. */
+  def rebandSweep(spark: org.apache.spark.sql.SparkSession,
+      name: String, bandsChoices: Seq[Int]): DataFrame = {
+    require(bandsChoices.nonEmpty, "bandsChoices must be non-empty")
+    val (_, numPerms, _, md5Sig, _) = indexMeta(spark, name)
+    require(md5Sig,
+      s"rebandSweep('$name'): only md5Sig indexes re-derive " +
+        "signatures index-locally (the rebandDedupIndex argument)")
+    bandsChoices.foreach(b => require(b >= 1 && numPerms % b == 0,
+      s"bands $b must divide numPerms $numPerms"))
+    // one signature pass, pinned: every geometry re-aggregates it
+    val sig = spark.table(s"${name}_docs")
+      .select(col("doc_id"), col("sz"),
+        SketchFunctions.md5Minhash30FromHashes(col("shh"), numPerms)
+          .as("sig"))
+      .localCheckpoint()
+    bandsChoices.map { b =>
+      val r = numPerms / b
+      bandRowsFromSig(sig, b, r)
+        .groupBy(col("band_hash")).agg(count(lit(1)).as("__n"))
+        .agg(count(lit(1)).as("n_buckets"),
+          coalesce(sum(expr("__n * (__n - 1) DIV 2")), lit(0L))
+            .as("candidate_pairs"),
+          coalesce(max(col("__n")), lit(0L)).as("max_band_occ"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_buckets"), col("candidate_pairs"), col("max_band_occ"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Roll-forward tail shared by [[rebandDedupIndex]] and its crash
     * recovery — precondition: both stages exist and the marker is
     * set. Both promotions are plain overwrites from the intact

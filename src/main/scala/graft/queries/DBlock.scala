@@ -1870,6 +1870,24 @@ object DBlock {
         .orderBy(col("doc_id"))
     }),
 
+    // D88: re-band DECISION sweep — the number an operator reads
+    // BEFORE pulling the d113 actuator: for every band partition of
+    // the index's 32 permutations (32×1, 16×2, 8×4, 4×8), the
+    // candidate-pair volume the screen would generate, its bucket
+    // support and its hot bucket — all re-derived from the stored
+    // _docs hashed shingle sets, corpus never read. Completes the
+    // stats → decision → actuator triangle for the dedup family.
+    // Fully oracle-checked: DuckDB re-derives every minhash, groups
+    // every geometry's band tuples and counts the same pairs.
+    "d116_reband_sweep" -> ((s, d) => {
+      Dedup.buildDedupIndex(
+        Tables.documents(s, d)
+          .filter(col("doc_id").isNotNull && col("text").isNotNull),
+        "doc_id", "text", name = "d116_idx", md5Sig = true)
+      Dedup.rebandSweep(s, "d116_idx", bandsChoices = Seq(32, 16, 8, 4))
+        .orderBy(col("bands"))
+    }),
+
     // D26: composed gram profile — Gopher-style duplicate k-gram
     // fraction (the span-granularity sharpening of d15's distinct-
     // token repetition) AND the cross-doc repeated-gram count (d36's
@@ -3154,6 +3172,50 @@ object DBlock {
 
   private val incrementalDedupSql: String = indexedDedupSqlFor(32, 16)
 
+  /** d116 oracle: every geometry's band-bucket census re-derived
+    * from raw text — the mins CTE once, then per geometry one
+    * GROUP BY per band over its r-tuple of mins, pair counts via
+    * integer n·(n−1)//2. Bucket identity here is the band TUPLE
+    * itself; Spark's is the 64-bit band fold — equal up to the
+    * d97 no-collision premise this oracle re-verifies per gate. */
+  private val rebandSweepSql: String = {
+    import graft.operators.Dedup.{mhA, mhB, mhPrime}
+    val mins = (0 until 32)
+      .map(j => s"min((h * ${mhA(j)} + ${mhB(j)}) % $mhPrime) AS m$j")
+      .mkString(", ")
+    def geometry(b: Int): String = {
+      val r = 32 / b
+      val perBand = (0 until b).map { band =>
+        val cols = (0 until r).map(k => s"m${band * r + k}").mkString(", ")
+        s"SELECT count(*) AS cnt FROM m GROUP BY $cols"
+      }.mkString(" UNION ALL ")
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS candidate_pairs,
+         |  CAST(max(cnt) AS BIGINT) AS max_band_occ
+         |FROM ($perBand) GROUP BY 1, 2""".stripMargin
+    }
+    s"""WITH docs0 AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) >= 3 THEN
+       |      list_distinct(list_transform(range(1, len(ws) - 1),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       |    ELSE [list_aggregate(ws, 'string_agg', ' ')] END AS s
+       |  FROM docs0
+       |), g AS (
+       |  SELECT doc_id, unnest(s) AS g FROM sh
+       |), hh AS (
+       |  SELECT doc_id, ${h60("g")} & 1073741823 AS h FROM g
+       |), m AS (
+       |  SELECT doc_id, $mins FROM hh GROUP BY doc_id
+       |)
+       |${Seq(32, 16, 8, 4).map(geometry).mkString("\nUNION ALL\n")}
+       |ORDER BY bands""".stripMargin
+  }
+
   /** d100 oracle: the d95 snapshot derivation + the d40/d46
     * cross-set screen arithmetic, with sides keyed by (doc_id, side)
     * because a CHANGED doc legitimately exists on both sides with
@@ -3629,6 +3691,8 @@ object DBlock {
     // (8 bands × 4 rows from the same 32 permutations) — proving the
     // index-local reband equals a fresh build at the new parameters.
     "d113_rebanded_dedup" -> indexedDedupSqlFor(32, 8),
+
+    "d116_reband_sweep" -> rebandSweepSql,
 
     // chunk arithmetic re-derived: last chunk index =
     // ceil(max(n - 64, 0) / 48), chunk i starts at 48·i + 1 and

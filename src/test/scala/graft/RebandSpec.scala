@@ -75,6 +75,40 @@ class RebandSpec extends AnyFunSuite {
     assert(bandRows("t_reband_a_bands") == bandRows("t_reband_b_bands"))
   }
 
+  test("rebandSweep: per-geometry candidate census from the index alone, exact against a manual recount") {
+    import spark.implicits._
+    // corpus + one exact twin: every geometry must count its pair
+    val twin = corpus.unionByName(
+      Seq((7L, "the quick brown fox jumps over the lazy dog every day"))
+        .toDF("doc_id", "text"))
+    Dedup.buildDedupIndex(twin, "doc_id", "text", name = "t_sweep_idx",
+      numPerms = 32, bands = 16, md5Sig = true, numBuckets = 4)
+    val rows = Dedup.rebandSweep(spark, "t_sweep_idx",
+      bandsChoices = Seq(16, 8))
+      .collect().map(r => r.getAs[Int]("bands") ->
+        ((r.getAs[Int]("rows_per_band"), r.getAs[Long]("n_buckets"),
+          r.getAs[Long]("candidate_pairs"),
+          r.getAs[Long]("max_band_occ")))).toMap
+    assert(rows.keySet == Set(16, 8))
+    assert(rows(16)._1 == 2 && rows(8)._1 == 4)
+    // manual recount of the 8×4 geometry from the same stored sets
+    val sig = spark.table("t_sweep_idx_docs")
+      .select(col("doc_id"),
+        graft.functions.SketchFunctions.md5Minhash30FromHashes(
+          col("shh"), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val buckets = sig.flatMap { case (_, s) =>
+      (0 until 8).map(b => (b, s.slice(b * 4, b * 4 + 4).toList)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows(8)._2 == buckets.size)
+    assert(rows(8)._3 == buckets.values.map(n => n * (n - 1) / 2).sum)
+    assert(rows(8)._4 == buckets.values.max)
+    // the exact twin (identical signature) pairs in every geometry
+    assert(rows(16)._3 >= 1 && rows(8)._3 >= 1)
+    // looser geometry (r=2) can only see MORE candidates than r=4
+    assert(rows(16)._3 >= rows(8)._3)
+  }
+
   test("a non-md5 index refuses to reband index-locally") {
     Dedup.buildDedupIndex(corpus, "doc_id", "text", name = "t_reband_xx",
       numPerms = 32, bands = 16, md5Sig = false, numBuckets = 4)
