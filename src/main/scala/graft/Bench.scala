@@ -197,10 +197,28 @@ object Bench {
         System.err.println(s"[bench] d74_score setup: ${e.getMessage}")
         None
       }
+    // and for the BM25 index: d112's registry entry pays the full
+    // inverted-index BUILD + serve per run so its oracle covers the
+    // whole cycle; the production steady cost is the bucket-pruned
+    // SERVE alone over a prebuilt index.
+    val bm25ServeOnly: Option[() => org.apache.spark.sql.DataFrame] =
+      if (qArgs.nonEmpty) None else try {
+        graft.operators.Retrieval.buildBm25Index(
+          graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
+          name = "d112bench_idx")
+        Some(() => graft.operators.Retrieval.bm25TopKAgainstIndex(
+          spark, "d112bench_idx",
+          queryTerms = Seq("customer", "vector", "merge", "spark"),
+          topK = 20, k1 = 1.5, b = 0.75))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] d112_serve setup: ${e.getMessage}")
+        None
+      }
     val extras = screenOnly.map(mk => "d46_screen" -> mk) ++
       annQueryOnly.map(mk => "d58_query" -> mk) ++
       simScreenOnly.map(mk => "d67_screen" -> mk) ++
-      nbScoreOnly.map(mk => "d74_score" -> mk)
+      nbScoreOnly.map(mk => "d74_score" -> mk) ++
+      bm25ServeOnly.map(mk => "d112_serve" -> mk)
 
     // -------- per-entry isolation (the r14 measurement fix) --------
     // Single-JVM timing of 150+ plans inflated OLD entries ~7-12% as

@@ -162,7 +162,19 @@ object ScaleProbe {
     "d107_fertility",       // trained-merge fold + lang aggregate
     "d108_domain_report",   // host extraction + host aggregate
     "d109_exact_sample",    // per-partition heaps + k-row merge
-    "d110_length_histogram") // bin(n) buckets + <=64-row aggregate
+    "d110_length_histogram", // bin(n) buckets + <=64-row aggregate
+    // r16 additions. d112/d115 pay an inverted-index BUILD per run
+    // (one kernel scan projection + bucketed writes → ~10×) plus a
+    // pruned serve whose cost tracks the query terms' postings
+    // alone; d113 is a build + index-local reband + screen (~10×);
+    // d114 is the d59 BPE-pack shape + a shard fold (~10×); d116 is
+    // a build + four narrow sweep aggregates over re-derived
+    // signatures (~10×).
+    "d112_indexed_bm25",    // TermCounts build + bucket-pruned serve
+    "d113_rebanded_dedup",  // build + index-local reband + screen
+    "d114_epoch_shards",    // BPE pack + bin hashes + shard fold
+    "d115_bm25_index_stats", // build + three one-row aggregates
+    "d116_reband_sweep")    // build + per-geometry band census
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
