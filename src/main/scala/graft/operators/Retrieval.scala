@@ -387,6 +387,33 @@ object Retrieval {
       col(idCol) === col("__bm_id"), "left_anti")
   }
 
+  /** Heals the one residual window of the retrieval-ready ingest
+    * composition ([[graft.streaming.StreamingIngest
+    * .toScreenedDocIngest]]'s `bm25IndexName`): a crash between the
+    * sink append and the BM25 append leaves landed documents with no
+    * postings, and the replay self-suppresses at the dedup screen —
+    * so redelivery alone cannot heal it. Reconciliation is the
+    * answer: anti-join the LANDED corpus against the index's own
+    * `_docs` ids and append whatever is missing. Idempotent (a
+    * second run finds nothing) and safe to run any time — it is the
+    * [[screenNewForBm25Index]] + [[appendToBm25Index]] composition
+    * with the count surfaced. COST, disclosed: one scan of the
+    * landed corpus against the narrow `_docs` projection — a repair
+    * verb to run after a crash or on a schedule, not per batch.
+    * Returns the number of documents healed. */
+  def reconcileBm25Index(landed: DataFrame, idCol: String,
+      textCol: String, name: String): Long = {
+    // eager pin: counted AND appended — and the append mutates the
+    // very tables the anti-join reads (the appendToBm25Index
+    // cache-invalidation lesson)
+    val missing = screenNewForBm25Index(
+      landed.filter(col(idCol).isNotNull && col(textCol).isNotNull),
+      idCol, name).localCheckpoint(true)
+    val n = missing.count()
+    if (n > 0) appendToBm25Index(missing, idCol, textCol, name)
+    n
+  }
+
   /** Rebuilds the index's derived statistics (`_df`, `_meta`) from
     * its own postings/docs tables — the recovery verb for a death
     * inside [[appendToBm25Index]]'s df/meta window, and the honest

@@ -1419,6 +1419,67 @@ object Similarity {
     finishInterruptedRebalance(spark, name)
   }
 
+  /** RECALL sweep for a [[buildAnnIndex]] index — the ops card
+    * behind choosing `nprobe` (and the number that tells you when a
+    * [[rebalanceAnnIndex]]/[[rebuildAnnIndex]] is due: recall decay
+    * at fixed nprobe IS distribution drift): for each probed nprobe,
+    * recall@k of [[annTopKAgainstIndex]] against the EXACT top-k
+    * ground truth over the index's own contents. Ground truth is the
+    * honest cost of a recall eval — |queries| × index rows of
+    * distance arithmetic (run it on an eval-sized probe batch, the
+    * [[annTopKAgainstIndex]] contract) — computed as a broadcast of
+    * the query batch against one pruned (vec_id, vec) scan, folded
+    * by the bounded per-query top-k heap; self-matches are excluded
+    * on both sides (the serving path's convention). All nprobe arms
+    * share ONE truth set and ONE semi-join; recall = hits /
+    * (n_queries · k), exact integer counts divided once and rounded
+    * to 4 decimals (§6 rule).
+    *
+    * Returns (nprobe, k, n_queries, hits, recall), one row per
+    * probed nprobe — including zero-hit arms (a left join from the
+    * nprobe list, so a catastrophic recall reads as 0.0, not as a
+    * missing row). */
+  def annRecallSweep(spark: org.apache.spark.sql.SparkSession,
+      name: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobes: Seq[Int], shortlistFactor: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobes.nonEmpty && nprobes.distinct == nprobes,
+      s"nprobes must be non-empty and distinct, got $nprobes")
+    val qv = queries.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
+    val nq = qv.count() // bounded: an eval-sized probe batch
+    require(nq >= 1, s"annRecallSweep('$name'): empty query batch")
+    val contents = spark.table(s"${name}_vectors")
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("__cv"))
+    val truth = contents
+      .join(broadcast(qv), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (vecDot(col("__qv"), col("__qv"))
+          - lit(2.0) * vecDot(col("__qv"), col("__cv"))
+          + vecDot(col("__cv"), col("__cv"))).as("__d2"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorFunctions.topKByCos(
+        col("neighbor_id"), -col("__d2"), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"))
+    val servedAll = nprobes.map { np =>
+      annTopKAgainstIndex(queries, idCol, vecCol, name, k = k,
+        nprobe = np, shortlistFactor = shortlistFactor)
+        .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val hits = servedAll
+      .join(truth.hint("SHUFFLE_HASH"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+    import spark.implicits._
+    nprobes.toDF("nprobe")
+      .join(broadcast(hits), Seq("nprobe"), "left")
+      .select(col("nprobe"), lit(k).as("k"), lit(nq).as("n_queries"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          lit(nq * k).cast("double"), 4).as("recall"))
+  }
+
   /** Top-k against a [[buildAnnIndex]] index WITHOUT touching the
     * corpus: centroids/codebooks come back from the side tables
     * (driver pull bounded by nlist·dim + m·ksub·dsub), the query

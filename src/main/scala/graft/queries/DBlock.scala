@@ -1061,6 +1061,29 @@ object DBlock {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // D89: ANN RECALL sweep — the ops card behind choosing nprobe
+    // (and the drift alarm that schedules d91/d93: recall decay at
+    // fixed nprobe IS distribution drift): serve the same query
+    // batch at nprobe 1/2/4 against the persistent index, score each
+    // arm against the brute-force exact top-10 over the index's own
+    // contents, one (nprobe, k, n_queries, hits, recall) row per
+    // arm. Fully oracle-checked — DuckDB re-derives the cells, the
+    // book, all three served rankings AND the exhaustive ground
+    // truth, then counts the same hits; the serve chain is the
+    // d50/d58 twin's own CTEs (shared generators, so the recall
+    // oracle and the serving oracle cannot drift).
+    "d117_ann_recall" -> ((s, d) => {
+      val q8 = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+      Similarity.buildAnnIndex(q8, "vec_id", "qv", name = "d117_idx",
+        nlist = 16, m = 4, ksub = 8, md5Sig = true)
+      Similarity.annRecallSweep(s, "d117_idx",
+        q8.filter(col("vec_id") < 50), "vec_id", "qv",
+        k = 10, nprobes = Seq(1, 2, 4), shortlistFactor = 5)
+        .orderBy(col("nprobe"))
+    }),
+
     // D67: per-bin token-id MATERIALIZATION — the `.bin` artifact
     // the d90 manifest addresses: concatenate each context bin's
     // document segments (real fixed-BPE ids, the d38/d59 tokenizer)
@@ -2597,14 +2620,11 @@ object DBlock {
         |ccells AS (SELECT vec_id AS neighbor_id, cell_id FROM cass WHERE rk = 1),
         |cprobes AS (SELECT vec_id AS query_id, cell_id FROM cass WHERE rk <= 4 AND vec_id < 50)""".stripMargin
 
-  /** The d50 IVF-PQ md5-twin oracle, shared verbatim with the
-    * d58 persistent-index entry (index read must equal direct
-    * computation bit for bit). `bookWhere` restricts the PQ-book
-    * training slice — the d91 rebalance proof trains the book on
-    * the BUILD-time subset while the rebalanced cells train on the
-    * full contents (codes never retrain on rebalance, cells do). */
-  private def ivfPqTwinSqlFor(bookWhere: String): String =
-    s"WITH $ivfCellCtes,\n" +
+  /** PQ-book + per-subvector code/distance CTEs (cent → ncode),
+    * shared by the d50/d58/d91/d93 twin and the d117 recall oracle
+    * so the book arithmetic cannot drift. `bookWhere` restricts the
+    * training slice (the d91 rebalance proof). */
+  private def ivfBookCtesFor(bookWhere: String): String =
     s"""cent AS (
         |  SELECT vec_id AS cid, q AS cq FROM q $bookWhere
         |  ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT, vec_id
@@ -2624,41 +2644,103 @@ object DBlock {
         |  SELECT vec_id, j, code FROM (
         |    SELECT vec_id, j, code,
         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rk
-        |    FROM dist) WHERE rk = 1),
-        |adc AS (
+        |    FROM dist) WHERE rk = 1)""".stripMargin
+
+  /** One ADC-serve chain (adc → short → exact → ranked) against a
+    * named probes CTE, suffixed so several nprobe arms can share one
+    * book — shared by the twin (suffix "", `cprobes`) and the d117
+    * per-nprobe arms. */
+  private def ivfServeChainFor(suffix: String, probesCte: String): String =
+    s"""adc$suffix AS (
         |  SELECT qd.vec_id AS query_id, nc.vec_id AS neighbor_id,
         |    CAST(sum(qd.d2) AS BIGINT) AS adc2
         |  FROM ncode nc
         |  JOIN ccells cc ON cc.neighbor_id = nc.vec_id
-        |  JOIN cprobes p ON p.cell_id = cc.cell_id
+        |  JOIN $probesCte p ON p.cell_id = cc.cell_id
         |  JOIN dist qd ON qd.vec_id = p.query_id
         |    AND qd.j = nc.j AND qd.code = nc.code
         |  WHERE qd.vec_id != nc.vec_id
         |  GROUP BY 1, 2),
-        |short AS (
+        |short$suffix AS (
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT query_id, neighbor_id,
         |      row_number() OVER (PARTITION BY query_id
         |        ORDER BY adc2, neighbor_id) AS rk
-        |    FROM adc) WHERE rk <= 50),
-        |exact AS (
+        |    FROM adc$suffix) WHERE rk <= 50),
+        |exact$suffix AS (
         |  SELECT s.query_id, s.neighbor_id,
         |    CAST(list_sum(list_transform(range(1, len(a.q)+1), i ->
         |      (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)])
         |      * (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)]))) AS BIGINT) AS dist2
-        |  FROM short s
+        |  FROM short$suffix s
         |  JOIN q a ON a.vec_id = s.query_id
         |  JOIN q b ON b.vec_id = s.neighbor_id),
-        |ranked AS (
+        |ranked$suffix AS (
         |  SELECT query_id, neighbor_id, dist2,
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY dist2, neighbor_id) AS rank
-        |  FROM exact)
-        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2
+        |  FROM exact$suffix)""".stripMargin
+
+  /** The d50 IVF-PQ md5-twin oracle, shared verbatim with the
+    * d58 persistent-index entry (index read must equal direct
+    * computation bit for bit). `bookWhere` restricts the PQ-book
+    * training slice — the d91 rebalance proof trains the book on
+    * the BUILD-time subset while the rebalanced cells train on the
+    * full contents (codes never retrain on rebalance, cells do). */
+  private def ivfPqTwinSqlFor(bookWhere: String): String =
+    s"WITH $ivfCellCtes,\n" +
+    ivfBookCtesFor(bookWhere) + ",\n" +
+    ivfServeChainFor("", "cprobes") + "\n" +
+    """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin
 
   private val ivfPqTwinSql: String = ivfPqTwinSqlFor("")
+
+  /** d117 oracle: the twin's cell/book arithmetic, served at THREE
+    * nprobe values (cprobes1/cprobes2 from the same cell-rank CTE,
+    * the twin's own cprobes for nprobe 4), each arm ranked to k=10,
+    * plus the brute-force exact top-10 ground truth over all
+    * vectors — recall = |served ∩ true| / (n_queries · 10), exact
+    * integer counts divided once. */
+  private val annRecallSql: String =
+    s"WITH $ivfCellCtes,\n" +
+    """cprobes1 AS (SELECT vec_id AS query_id, cell_id FROM cass WHERE rk <= 1 AND vec_id < 50),
+        |cprobes2 AS (SELECT vec_id AS query_id, cell_id FROM cass WHERE rk <= 2 AND vec_id < 50),""".stripMargin +
+    "\n" + ivfBookCtesFor("") + ",\n" +
+    ivfServeChainFor("1", "cprobes1") + ",\n" +
+    ivfServeChainFor("2", "cprobes2") + ",\n" +
+    ivfServeChainFor("4", "cprobes") + ",\n" +
+    """bd AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.q)+1), i ->
+        |      (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)])
+        |      * (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)]))) AS BIGINT) AS d2
+        |  FROM q a JOIN q b ON b.vec_id != a.vec_id
+        |  WHERE a.vec_id < 50),
+        |btrue AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY d2, neighbor_id) AS rk
+        |    FROM bd) WHERE rk <= 10),
+        |nqr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q WHERE vec_id < 50),
+        |hitsr AS (
+        |  SELECT 1 AS nprobe, CAST(count(*) AS BIGINT) AS hits
+        |  FROM ranked1 r JOIN btrue t USING (query_id, neighbor_id)
+        |  WHERE r.rank <= 10
+        |  UNION ALL
+        |  SELECT 2, CAST(count(*) AS BIGINT)
+        |  FROM ranked2 r JOIN btrue t USING (query_id, neighbor_id)
+        |  WHERE r.rank <= 10
+        |  UNION ALL
+        |  SELECT 4, CAST(count(*) AS BIGINT)
+        |  FROM ranked4 r JOIN btrue t USING (query_id, neighbor_id)
+        |  WHERE r.rank <= 10)
+        |SELECT nprobe, 10 AS k, n AS n_queries, hits,
+        |  round(CAST(hits AS DOUBLE) / CAST(n * 10 AS DOUBLE), 4) AS recall
+        |FROM hitsr CROSS JOIN nqr
+        |ORDER BY nprobe""".stripMargin
 
   /** DuckDB mirror of TextAnalysis.occurrences on padded lower text. */
   private def occ(marker: String): String =
@@ -4979,6 +5061,7 @@ object DBlock {
     // rebuild proof: build history erased — the direct full-corpus
     // twin, verbatim
     "d93_ann_rebuild" -> ivfPqTwinSql,
+    "d117_ann_recall" -> annRecallSql,
 
     "d100_incremental_curation" -> incrementalCurationSql,
     "d97_dedup_index_stats" -> dedupIndexStatsSql,

@@ -216,6 +216,22 @@ class Bm25IndexSpec extends AnyFunSuite {
       "replayed append doubled postings")
   }
 
+  test("reconcileBm25Index heals a sink/index crash window and is idempotent") {
+    // simulate the C16 residual window: docs 1-6 "landed in the sink"
+    // but only 1-4 made it into the index before a death
+    Retrieval.buildBm25Index(docs.filter("doc_id <= 4"), "doc_id",
+      "text", "bmspec_rec", numBuckets = 4)
+    val landed = docs.filter("doc_id <= 6")
+    assert(Retrieval.reconcileBm25Index(landed, "doc_id", "text",
+      "bmspec_rec") == 2L)
+    val fresh = topKRows(Retrieval.bm25TopK(landed, "doc_id", "text",
+      terms, topK = 8))
+    assert(topKRows(Retrieval.bm25TopKAgainstIndex(spark, "bmspec_rec",
+      terms, topK = 8)) == fresh, "healed index must serve as fresh")
+    assert(Retrieval.reconcileBm25Index(landed, "doc_id", "text",
+      "bmspec_rec") == 0L, "second reconciliation must find nothing")
+  }
+
   test("serving plan prunes postings buckets and never reads a corpus file") {
     Retrieval.buildBm25Index(docs, "doc_id", "text", "bmspec_plan",
       numBuckets = 4)

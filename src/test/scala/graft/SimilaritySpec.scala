@@ -228,6 +228,32 @@ class SimilaritySpec extends AnyFunSuite {
         col("embedding")).as("qv"))
   }
 
+  test("annRecallSweep: monotone in nprobe; full-probe over a sub-shortlist corpus reads exactly 1.0") {
+    import org.apache.spark.sql.functions.col
+    // 40 vectors < the k·shortlistFactor = 50-wide shortlist:
+    // probing EVERY cell makes the ADC shortlist exhaustive, so the
+    // exact re-rank returns the true top-k and recall@k is exactly
+    // 1.0 — a closed-form anchor (with the DEFAULT factor the
+    // shortlist is 25 < 39 candidates and ADC truncation correctly
+    // costs recall — the first run of this spec measured 0.9)
+    val q8 = q8corpus.filter(col("vec_id") < 40)
+    Similarity.buildAnnIndex(q8, "vec_id", "qv", name = "t_recall_idx",
+      nlist = 4, m = 4, ksub = 8, md5Sig = true, numBuckets = 4)
+    val rows = Similarity.annRecallSweep(spark, "t_recall_idx",
+      q8.filter(col("vec_id") < 10), "vec_id", "qv",
+      k = 5, nprobes = Seq(1, 2, 4), shortlistFactor = 10)
+      .collect().map(r => r.getAs[Int]("nprobe") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Long]("hits"),
+          r.getAs[Double]("recall")))).toMap
+    assert(rows.keySet == Set(1, 2, 4))
+    assert(rows.values.forall(_._1 == 10L))
+    // recall monotone nondecreasing in probes on a fixed corpus
+    assert(rows(1)._3 <= rows(2)._3 && rows(2)._3 <= rows(4)._3,
+      rows.toString)
+    assert(rows(4)._2 == 50L && rows(4)._3 == 1.0,
+      s"full probe must be exact under a sub-shortlist corpus: $rows")
+  }
+
   test("persistent ANN index: indexed top-k equals direct md5IvfPqTopK bit for bit") {
     import org.apache.spark.sql.functions.col
     val q8 = q8corpus
