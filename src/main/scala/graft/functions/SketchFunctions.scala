@@ -115,6 +115,11 @@ object SketchFunctions {
     * nothing. */
   def termCounts(tokens: Column): Column = ub(TermCounts(x(tokens)))
 
+  /** [[termCounts]] with positions kept (array<struct<term,
+    * positions>>, 1-based ascending) — the positional inverted-index
+    * build rows phrase/proximity serving reads ([[TermPositions]]). */
+  def termPositions(tokens: Column): Column = ub(TermPositions(x(tokens)))
+
   /** struct(n_words, denom, top2, top3, dup5) — the per-document
     * Gopher repetition masses in ONE native pass over the token
     * array (the corpus-wide (doc, n, gram) aggregate this replaces
@@ -433,6 +438,31 @@ case class TermCounts(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.SketchKernels.termCounts($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Per-document positional posting entries — see
+  * [[SketchKernels.termPositions]]. */
+case class TermPositions(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"TermPositions requires array<string>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("positions", ArrayType(IntegerType, containsNull = false),
+      nullable = false))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.termPositions(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.termPositions($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

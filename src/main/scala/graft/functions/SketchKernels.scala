@@ -572,6 +572,43 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  /** See [[TermPositions]]: [[termCounts]] with the evidence kept —
+    * per-document (term, positions) posting entries, positions
+    * 1-based token offsets in ascending order (tf = the list's
+    * size). The positional form of the inverted-index build: phrase
+    * and proximity queries need WHERE a term occurred, not just how
+    * often, and deriving positions later means re-tokenizing the
+    * corpus — the exact rescan the index exists to kill. Same
+    * map-side-complete argument as termCounts; entries term-sorted;
+    * null tokens count as empty strings. */
+  def termPositions(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val m = new java.util.TreeMap[UTF8String, java.util.ArrayList[Int]]()
+    var i = 0
+    while (i < n) {
+      val w = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8
+        else arr.getUTF8String(i)
+      var e = m.get(w)
+      if (e == null) { e = new java.util.ArrayList[Int](); m.put(w, e) }
+      e.add(i + 1)
+      i += 1
+    }
+    val out = new Array[Any](m.size())
+    val it = m.entrySet().iterator()
+    var r = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val ps = e.getValue
+      val arrOut = new Array[Int](ps.size())
+      var j = 0
+      while (j < arrOut.length) { arrOut(j) = ps.get(j); j += 1 }
+      out(r) = new GenericInternalRow(Array[Any](e.getKey,
+        new GenericArrayData(arrOut)))
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** See [[JaccardSortedLong]]. */
   def jaccardSorted(x: ArrayData, y: ArrayData): Double = {
     val nx = x.numElements()

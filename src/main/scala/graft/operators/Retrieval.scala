@@ -266,12 +266,18 @@ object Retrieval {
       name: String, numBuckets: Int = 8): Unit = {
     val spark = docs.sparkSession
     val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    // positional postings: positions (1-based ascending) ride every
+    // (term, doc) row so phrase/proximity serving never re-tokenizes
+    // the corpus; tf is their size. Storage cost, disclosed: ~one
+    // int per corpus token — the standard positional-index price,
+    // and the column PRUNES AWAY at every pure-BM25 serving scan.
     val post = live
       .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-        explode(SketchFunctions.termCounts(col("tk"))).as("e"))
+        explode(SketchFunctions.termPositions(col("tk"))).as("e"))
       .select(col("e.term").as("term"), col("doc_id"),
-        col("e.tf").as("tf"), col("dl"))
+        size(col("e.positions")).cast("long").as("tf"), col("dl"),
+        col("e.positions").as("positions"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       Bucketing.writeBucketed(post, s"${name}_postings", "term", numBuckets)
@@ -337,9 +343,10 @@ object Retrieval {
     val post = live
       .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-        explode(SketchFunctions.termCounts(col("tk"))).as("e"))
+        explode(SketchFunctions.termPositions(col("tk"))).as("e"))
       .select(col("e.term").as("term"), col("doc_id"),
-        col("e.tf").as("tf"), col("dl"))
+        size(col("e.positions")).cast("long").as("tf"), col("dl"),
+        col("e.positions").as("positions"))
       .localCheckpoint(true)
     Bucketing.appendBucketed(post, s"${name}_postings", "term", numBuckets)
     Bucketing.appendBucketed(
@@ -579,6 +586,103 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.neighbor_id").as("doc_id"), col("col.cos").as("bm25"))
+  }
+
+  private def requirePhrase(phrase: Seq[String]): Unit = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    phrase.find(t => t != t.toLowerCase).foreach(t =>
+      throw new IllegalArgumentException(
+        s"phrase term '$t' is not lowercase — corpus tokens are " +
+          "case-folded by Dedup.tokens; lowercase the phrase"))
+  }
+
+  /** Shared phrase-scoring tail of [[bm25PhraseTopK]] and
+    * [[bm25PhraseAgainstIndex]] — ONE definition so the fresh and
+    * indexed paths are bit-equal by construction (the bm25Weight
+    * argument). Input `pos`: (doc_id, dl, term, positions) rows for
+    * the phrase's distinct terms only. Slot 0 anchors; each later
+    * slot joins its postings on doc_id (repeated phrase terms reuse
+    * the same rows), and the occurrence count is the intersection of
+    * slot-shifted position arrays — array HOFs, zero explodes. The
+    * phrase then scores as ONE pseudo-term: tf = occurrences, df =
+    * docs containing the phrase (derived per query — phrase df is
+    * query-specific by nature, never stored), dl/n_docs/sum_dl the
+    * ordinary corpus stats. `scored` is evaluated twice (df
+    * aggregate + scoring) — both narrow (doc_id, dl, tf) passes over
+    * the matched docs only, the [[bm25TopK]] recompute posture. */
+  private def scorePhrase(pos: DataFrame, stats: DataFrame,
+      phrase: Seq[String], topK: Int, k1: Double, b: Double): DataFrame = {
+    val slot0 = pos.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("dl"), col("positions").as("__p0"))
+    val joined = phrase.zipWithIndex.tail.foldLeft(slot0) {
+      case (acc, (t, i)) =>
+        acc.join(pos.filter(col("term") === t)
+          .select(col("doc_id"), col("positions").as(s"__p$i")),
+          Seq("doc_id"))
+    }
+    val inter = phrase.indices.tail.foldLeft(col("__p0")) { (acc, i) =>
+      array_intersect(acc, transform(col(s"__p$i"), x => x - i))
+    }
+    val scored = joined
+      .select(col("doc_id"), col("dl"), size(inter).cast("long").as("tf"))
+      .filter(col("tf") > 0)
+    val dfp = scored.agg(count(lit(1)).as("df_t"))
+    scored.join(broadcast(dfp))
+      .join(broadcast(stats))
+      .select(col("doc_id"), col("tf").as("phrase_tf"),
+        round(bm25Weight(k1, b), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Exact-PHRASE BM25 top-k over a fresh corpus scan — "find every
+    * document containing this exact word sequence, best first": the
+    * targeted-exploration / contamination-hunt primitive where bag-
+    * of-words matching is too loose (a benchmark question leaks as a
+    * SEQUENCE, not a term set). Occurrences are counted by
+    * intersecting slot-shifted per-term position lists (a phrase
+    * occurs at p iff term_i sits at p+i for every slot), then the
+    * phrase scores as one pseudo-term under the standard Okapi
+    * weight. Returns (doc_id, phrase_tf, bm25), score rounded to 4
+    * decimals, ordered (bm25 desc, doc_id), top-k via
+    * TakeOrderedAndProject. A one-word phrase degenerates to
+    * [[bm25TopK]] on that term, as it should. */
+  def bm25PhraseTopK(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    requirePhrase(phrase)
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val toks = live.select(col(idCol).as("doc_id"),
+      Dedup.tokens(col(textCol)).as("tk"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("tk")).cast("long")).as("sum_dl"))
+    val pos = toks
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(SketchFunctions.termPositions(col("tk"))).as("e"))
+      .filter(col("e.term").isin(phrase.distinct: _*))
+      .select(col("doc_id"), col("dl"), col("e.term").as("term"),
+        col("e.positions").as("positions"))
+    scorePhrase(pos, stats, phrase, topK, k1, b)
+  }
+
+  /** [[bm25PhraseTopK]] served from a [[buildBm25Index]] index — the
+    * positional payoff: phrase search over 100 TB without
+    * re-tokenizing anything, reading only the phrase terms' buckets
+    * (the postings carry positions precisely for this). Bit-equal to
+    * the fresh scan (shared [[scorePhrase]] tail; the d119 oracle is
+    * the fresh path's SQL verbatim). */
+  def bm25PhraseAgainstIndex(spark: SparkSession, name: String,
+      phrase: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    requirePhrase(phrase)
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val pos = spark.table(s"${name}_postings")
+      .filter(col("term").isin(phrase.distinct: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("positions"))
+    val stats = spark.table(s"${name}_meta")
+      .select(col("n_docs"), col("sum_dl"))
+    scorePhrase(pos, stats, phrase, topK, k1, b)
   }
 
   /** Per-document TF-IDF keyword extraction — the tagging pass that

@@ -1600,6 +1600,26 @@ object DBlock {
       Retrieval.bm25IndexStats(s, "d115_idx")
     }),
 
+    // D90: exact-PHRASE BM25 — sequence-level retrieval where
+    // bag-of-words is too loose (a leaked benchmark question is a
+    // SEQUENCE): occurrences counted by intersecting slot-shifted
+    // per-term position lists, then scored as one pseudo-term under
+    // the Okapi weight. Fresh-scan form; d119 is the same query
+    // served from the positional index, same oracle (twin proof).
+    "d118_phrase_bm25" -> ((s, d) =>
+      Retrieval.bm25PhraseTopK(Tables.documents(s, d), "doc_id",
+        "text", phrase = d118Phrase, topK = 20, k1 = 1.5, b = 0.75)),
+
+    // D90 (indexed): the same phrase served from the d112 positional
+    // postings — no re-tokenization, only the phrase terms' buckets
+    // read; oracle = the fresh path's SQL verbatim.
+    "d119_indexed_phrase" -> ((s, d) => {
+      Retrieval.buildBm25Index(Tables.documents(s, d), "doc_id", "text",
+        name = "d119_idx")
+      Retrieval.bm25PhraseAgainstIndex(s, "d119_idx",
+        phrase = d118Phrase, topK = 20, k1 = 1.5, b = 0.75)
+    }),
+
     // D52b: per-doc TF-IDF keyword extraction — the tagging pass
     // (topical routing, cluster naming): each doc's top-3 terms by
     // tf·ln(N/df), rounded BEFORE ranking with a term tie-break so
@@ -2294,6 +2314,48 @@ object DBlock {
   /** d70's query terms — corpus-vocabulary words with distinct
     * document frequencies so idf actually differentiates. */
   private val d70Terms = Seq("customer", "vector", "merge", "spark")
+
+  /** d118/d119's phrase — two common vocabulary words, so the bigram
+    * occurs (and repeats within documents) at every SF. */
+  private val d118Phrase = Seq("merge", "spark")
+
+  /** The d118/d119 phrase-BM25 oracle: DuckDB re-derives phrase
+    * occurrence counts positionally (list_filter over token offsets
+    * — term i must sit at p+i for every slot), the phrase df, and
+    * the single-pseudo-term Okapi score. Shared by the fresh-scan
+    * and indexed entries — the d70/d112 twin discipline for the
+    * positional path. */
+  private def phraseBm25SqlFor(phrase: Seq[String], topK: Int): String = {
+    val l = phrase.length
+    val conds = phrase.zipWithIndex.map { case (t, i) =>
+      if (i == 0) s"ws[CAST(i AS INT)] = '$t'"
+      else s"ws[CAST(i + $i AS INT)] = '$t'"
+    }.mkString(" AND ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(ws)) AS BIGINT) AS sum_dl FROM tok
+       |), occ AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |    CAST(len(list_filter(range(1, len(ws) - ${l - 2}),
+       |      i -> $conds)) AS BIGINT) AS tf
+       |  FROM tok
+       |), hit AS (
+       |  SELECT * FROM occ WHERE tf > 0
+       |), dfp AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS df_t FROM hit
+       |)
+       |SELECT doc_id, tf AS phrase_tf,
+       |  round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5) /
+       |      (CAST(df_t AS DOUBLE) + 0.5)) *
+       |    (CAST(tf AS DOUBLE) * 2.5) /
+       |    (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+       |      (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 4) AS bm25
+       |FROM hit CROSS JOIN dfp CROSS JOIN st
+       |ORDER BY bm25 DESC, doc_id LIMIT $topK""".stripMargin
+  }
 
   /** The d70 fresh-scan BM25 oracle — shared VERBATIM with d112 (the
     * d58 twin discipline): one SQL string proving both the direct
@@ -3775,6 +3837,11 @@ object DBlock {
     "d113_rebanded_dedup" -> indexedDedupSqlFor(32, 8),
 
     "d116_reband_sweep" -> rebandSweepSql,
+
+    // d118/d119: one phrase oracle proves the fresh scan AND the
+    // positional-index serving (the d70/d112 twin discipline).
+    "d118_phrase_bm25" -> phraseBm25SqlFor(d118Phrase, 20),
+    "d119_indexed_phrase" -> phraseBm25SqlFor(d118Phrase, 20),
 
     // chunk arithmetic re-derived: last chunk index =
     // ceil(max(n - 64, 0) / 48), chunk i starts at 48·i + 1 and

@@ -140,10 +140,11 @@ class Bm25IndexSpec extends AnyFunSuite {
       .select(col("doc_id"),
         graft.operators.Dedup.tokens(col("text")).as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-        explode(graft.functions.SketchFunctions.termCounts(
+        explode(graft.functions.SketchFunctions.termPositions(
           col("tk"))).as("e"))
       .select(col("e.term").as("term"), col("doc_id"),
-        col("e.tf").as("tf"), col("dl"))
+        size(col("e.positions")).cast("long").as("tf"), col("dl"),
+        col("e.positions").as("positions"))
     graft.sources.Bucketing.appendBucketed(batchPost,
       "bmspec_rep_postings", "term", 4)
     graft.sources.Bucketing.appendBucketed(
@@ -230,6 +231,49 @@ class Bm25IndexSpec extends AnyFunSuite {
       terms, topK = 8)) == fresh, "healed index must serve as fresh")
     assert(Retrieval.reconcileBm25Index(landed, "doc_id", "text",
       "bmspec_rec") == 0L, "second reconciliation must find nothing")
+  }
+
+  test("phrase: indexed serving equals the fresh scan bit for bit; positions are real") {
+    import spark.implicits._
+    val pdocs = Seq(
+      (1L, "the quick brown fox and the quick brown fox again"),
+      (2L, "brown quick inversion and a brown quick again"), // inverted: no match
+      (3L, "one quick brown match here"),
+      (4L, "quick stop then brown gap never adjacent"),
+      (5L, "")).toDF("doc_id", "text")
+    Retrieval.buildBm25Index(pdocs, "doc_id", "text", "bmspec_ph",
+      numBuckets = 4)
+    val phrase = Seq("quick", "brown")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    val fresh = rows(Retrieval.bm25PhraseTopK(pdocs, "doc_id", "text",
+      phrase, topK = 10))
+    val served = rows(Retrieval.bm25PhraseAgainstIndex(spark,
+      "bmspec_ph", phrase, topK = 10))
+    assert(served == fresh)
+    // occurrence counts positional: doc 1 twice, doc 3 once, docs
+    // 2/4 never (inversion / gap), doc 5 empty
+    val byDoc = fresh.map(r => r._1 -> r._2).toMap
+    assert(byDoc == Map(1L -> 2L, 3L -> 1L), byDoc.toString)
+    // a one-word phrase degenerates to single-term BM25
+    val oneWord = rows(Retrieval.bm25PhraseAgainstIndex(spark,
+      "bmspec_ph", Seq("brown"), topK = 10))
+    val viaTerm = Retrieval.bm25TopKAgainstIndex(spark, "bmspec_ph",
+      Seq("brown"), topK = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(oneWord.map(r => (r._1, r._3)) == viaTerm)
+    // a repeated-term phrase ("quick brown fox and the quick"?) —
+    // the aligned self-overlap case: "brown fox" vs "fox fox"
+    val rep = rows(Retrieval.bm25PhraseAgainstIndex(spark, "bmspec_ph",
+      Seq("the", "quick"), topK = 10))
+    assert(rep.map(r => r._1 -> r._2).toMap == Map(1L -> 2L))
+    // loud refusal on a non-lowercase phrase
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25PhraseAgainstIndex(spark, "bmspec_ph",
+        Seq("Quick", "brown"), topK = 5)
+    }
+    assert(e.getMessage.contains("lowercase"))
   }
 
   test("serving plan prunes postings buckets and never reads a corpus file") {
