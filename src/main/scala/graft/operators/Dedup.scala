@@ -1310,6 +1310,91 @@ object Dedup {
       col("doc_id") === col("bvid"), "left_anti")
   }
 
+  private def rechunkMarker(name: String): String =
+    s"${name.toLowerCase}__rechunk_pending"
+
+  /** RE-CHUNK actuator for the signature index — the [[
+    * rebandDedupIndex]] symmetry for the perceptual family, closing
+    * the last geometry frozen at build: `maxDist` fixes the
+    * pigeonhole chunk count (maxDist+1 chunks guarantee a candidate
+    * for any signature within maxDist), and loosening or tightening
+    * it previously meant re-decoding the whole media corpus. It
+    * never has to: every stored chunk row CARRIES its signature, so
+    * the distinct (doc_id, sim) pairs are the index's own sufficient
+    * statistic — re-chunking is one distinct-projection + one chunk
+    * re-derivation per side, corpus (and decoder) never touched. A
+    * rechunked index screens BIT-EQUAL to one built fresh at the new
+    * maxDist (the d120 oracle is that equality, via d67's screen SQL
+    * verbatim). The video-frame side re-chunks too when present
+    * (frame chunks use the same maxDist); `_vframes` is geometry-
+    * independent and stays.
+    *
+    * Crash safety: the [[rebandDedupIndex]] stage→marker→promote→
+    * clear discipline over `_chunks`(+`_vchunks`)+`_meta` — staged
+    * fully, declared by a durable marker, promoted by re-runnable
+    * overwrites; [[openSimIndex]] finishes an interruption in either
+    * direction. As a side effect the distinct() absorbs any
+    * duplicate rows a replayed append accreted (the compact verb's
+    * posture). */
+  def rechunkSimIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, maxDist: Int): Unit = {
+    finishInterruptedRechunk(spark, name)
+    require(maxDist >= 0 && maxDist <= 63,
+      s"maxDist must be in [0, 63], got $maxDist")
+    val (_, numBuckets) = simIndexMeta(spark, name)
+    val sigs = spark.table(s"${name}_chunks")
+      .select(col("doc_id"), col("sim")).distinct()
+    Bucketing.writeBucketed(simChunkRows(sigs, maxDist),
+      s"${name}_chunks_stage", "chunk_hash", numBuckets)
+    if (spark.catalog.tableExists(s"${name}_vchunks")) {
+      val vsigs = spark.table(s"${name}_vchunks")
+        .select(col("doc_id"), col("sim")).distinct()
+      Bucketing.writeBucketed(simChunkRows(vsigs, maxDist),
+        s"${name}_vchunks_stage", "chunk_hash", numBuckets)
+    }
+    import spark.implicits._
+    Bucketing.writeTable(
+      Seq((maxDist, numBuckets)).toDF("max_dist", "num_buckets"),
+      s"${name}_meta_stage")
+    Bucketing.createMarker(spark, rechunkMarker(name))
+    completeRechunk(spark, name)
+  }
+
+  /** Roll-forward tail of [[rechunkSimIndex]] and its recovery —
+    * precondition: stages exist, marker set. A staged `_vchunks`
+    * beside the chunks means the video side re-chunked too (the
+    * completeRebalance staged-book pattern). */
+  private def completeRechunk(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    val metaStage = s"${name}_meta_stage"
+    Bucketing.registerExisting(spark, metaStage, None)
+    val numBuckets = spark.table(metaStage).head().getAs[Int]("num_buckets")
+    Bucketing.registerExisting(spark, s"${name}_chunks_stage",
+      Some(("chunk_hash", numBuckets)))
+    Bucketing.writeBucketed(spark.table(s"${name}_chunks_stage"),
+      s"${name}_chunks", "chunk_hash", numBuckets)
+    if (Bucketing.registerExisting(spark, s"${name}_vchunks_stage",
+      Some(("chunk_hash", numBuckets))))
+      Bucketing.writeBucketed(spark.table(s"${name}_vchunks_stage"),
+        s"${name}_vchunks", "chunk_hash", numBuckets)
+    Bucketing.writeTable(spark.table(metaStage), s"${name}_meta")
+    Bucketing.deleteMarker(spark, rechunkMarker(name))
+    Bucketing.dropTableAndDir(spark, s"${name}_chunks_stage")
+    Bucketing.dropTableAndDir(spark, s"${name}_vchunks_stage")
+    Bucketing.dropTableAndDir(spark, metaStage)
+  }
+
+  private def finishInterruptedRechunk(
+      spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    if (!Bucketing.markerExists(spark, rechunkMarker(name))) {
+      Bucketing.dropTableAndDir(spark, s"${name}_chunks_stage")
+      Bucketing.dropTableAndDir(spark, s"${name}_vchunks_stage")
+      Bucketing.dropTableAndDir(spark, s"${name}_meta_stage")
+      return
+    }
+    completeRechunk(spark, name)
+  }
+
   /** Retirement for the signature index — [[retireFromDedupIndex]]'s
     * takedown verb without its content-hash ambiguity: every chunk
     * row carries its doc_id, so removing the ids removes the
@@ -1341,6 +1426,9 @@ object Dedup {
     * contract). */
   def openSimIndex(spark: org.apache.spark.sql.SparkSession,
       name: String): Unit = {
+    // an interrupted RECHUNK recovers FIRST — mid-promotion the live
+    // meta may be mid-overwrite; the staged meta is the truth
+    finishInterruptedRechunk(spark, name)
     require(Bucketing.registerExisting(spark, s"${name}_meta", None),
       s"no persisted signature index named '$name' in the warehouse")
     val (_, numBuckets) = simIndexMeta(spark, name)

@@ -1217,6 +1217,39 @@ object DBlock {
         .orderBy(col("doc_id"))
     }),
 
+    // D91b: signature-index RE-CHUNK — the d113 actuator symmetry
+    // for the perceptual family: maxDist (the pigeonhole chunk
+    // geometry) was frozen at build; rechunkSimIndex re-derives
+    // chunk rows from the index's own stored (doc_id, sim) pairs
+    // under the stage→marker→promote→clear protocol — the media
+    // corpus is never re-decoded. Build at maxDist=1 (a geometry
+    // that would MISS hamming-2 remuxes), rechunk to 2, screen d67's
+    // exact batch: the oracle is d67's screen SQL VERBATIM, so the
+    // hash match proves rechunked == fresh-build-at-new-maxDist.
+    "d120_rechunked_sim" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("doc_id") % 3 === 1)
+        .select(col("doc_id").cast("long")).as[Long]
+      val corpus = base.mapPartitions(_.map(id =>
+        Multimodal.MediaRow(id, "audio", Multimodal.audioPayload(id))))
+      val batch = base.mapPartitions(_.flatMap(id => Iterator(
+        Multimodal.MediaRow(id + Multimodal.PlantedIdOffset, "audio",
+          Multimodal.remuxedAudioPayload(id)),
+        Multimodal.MediaRow(id + 2 * Multimodal.PlantedIdOffset, "audio",
+          Multimodal.unrelatedAudioPayload(id)))))
+      Dedup.buildSimIndex(
+        Multimodal.audioFingerprintSigs(s, corpus), "d120_idx",
+        maxDist = 1)
+      Dedup.rechunkSimIndex(s, "d120_idx", maxDist = 2)
+      Dedup.screenAgainstSimIndex(
+        Multimodal.audioFingerprintSigs(s, batch), "d120_idx")
+        .select(col("doc_id"),
+          expr("shiftrightunsigned(sim, 32)").as("sig_hi"),
+          (col("sim").bitwiseAND(lit(0xFFFFFFFFL))).as("sig_lo"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D39 composed: perceptual image dedup KEEP-ONE, fully
     // oracle-checked end to end through the real codec — the d21/d27
     // keep-one composition applied to pixels: real PNG decode →
@@ -2314,6 +2347,71 @@ object DBlock {
   /** d70's query terms — corpus-vocabulary words with distinct
     * document frequencies so idf actually differentiates. */
   private val d70Terms = Seq("customer", "vector", "merge", "spark")
+
+  /** d67/d120's screen oracle — the d64b fingerprint arithmetic over
+    * corpus + batch, screen brute-forced at hamming <= 2. Shared
+    * VERBATIM by the fresh-geometry build (d67) and the rechunked
+    * index (d120): a hash match on d120 proves the index-local
+    * re-chunk equals a fresh build at the new maxDist. */
+  private val simScreenTwinSql: String =
+
+      """WITH ids AS (
+        |  SELECT doc_id AS src FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % 3 = 1
+        |), alla AS (
+        |  SELECT src, src AS aid, 31 AS ka, 7 AS kb, 13 AS km, 0 AS batch
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT src, src + 10000000, 31, 7, 13, 1 FROM ids
+        |  UNION ALL
+        |  SELECT src, src + 20000000, 37, 11, 17, 1 FROM ids
+        |), dims AS (
+        |  SELECT aid, src, ka, kb, km, batch,
+        |    1 + (src % 2) AS ch, 200 + (src % 100) AS nf
+        |  FROM alla
+        |), wins AS (
+        |  SELECT d.aid, d.src, d.ka, d.kb, d.km, d.batch, d.ch, w.w,
+        |    (w.w * d.nf) // 65 AS f0, ((w.w + 1) * d.nf) // 65 AS f1
+        |  FROM dims d, (SELECT unnest(range(65)) AS w) w
+        |), en AS (
+        |  SELECT aid, batch, w,
+        |    SUM(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END))
+        |      // ((f1 - f0) * ch) AS e
+        |  FROM (
+        |    SELECT aid, batch, w, f1, f0, ch,
+        |      ((src * ka + jb * kb + (src // 256) * (jb % km)) & 255)
+        |      + 256 * ((src * ka + (jb + 1) * kb
+        |                + (src // 256) * ((jb + 1) % km)) & 255) AS v
+        |    FROM (
+        |      SELECT ws.aid, ws.src, ws.ka, ws.kb, ws.km, ws.batch, ws.w,
+        |        ws.f1, ws.f0, ws.ch, (fs.f * ws.ch + cs.c) * 2 AS jb
+        |      FROM wins ws,
+        |        unnest(range(ws.f0, ws.f1)) AS fs(f),
+        |        unnest(range(ws.ch)) AS cs(c)
+        |    ) jx
+        |  ) s
+        |  GROUP BY 1, 2, 3, f1, f0, ch
+        |), fp AS (
+        |  SELECT a.aid, a.batch,
+        |    CAST(SUM(CASE WHEN b.e > a.e AND a.w >= 32
+        |      THEN (CAST(1 AS BIGINT) << (a.w - 32)) ELSE 0 END) AS BIGINT)
+        |      AS sig_hi,
+        |    CAST(SUM(CASE WHEN b.e > a.e AND a.w < 32
+        |      THEN (CAST(1 AS BIGINT) << a.w) ELSE 0 END) AS BIGINT)
+        |      AS sig_lo
+        |  FROM en a
+        |  JOIN en b ON b.aid = a.aid AND b.w = a.w + 1
+        |  WHERE a.w < 64
+        |  GROUP BY 1, 2
+        |)
+        |SELECT b.aid AS doc_id, b.sig_hi, b.sig_lo
+        |FROM fp b
+        |WHERE b.batch = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM fp c
+        |  WHERE c.batch = 0
+        |    AND bit_count(xor(b.sig_hi, c.sig_hi))
+        |      + bit_count(xor(b.sig_lo, c.sig_lo)) <= 2)
+        |ORDER BY doc_id""".stripMargin
 
   /** d118/d119's phrase — two common vocabulary words, so the bigram
     * occurs (and repeats within documents) at every SF. */
@@ -4242,64 +4340,12 @@ object DBlock {
     // the (37,11) ones), then the screen brute-forced: a batch row
     // survives iff NO corpus fingerprint is within hamming 2
     // (bit_count over xor'd unsigned halves == the 64-bit popcount)
-    "d67_sim_index_screen" ->
-      """WITH ids AS (
-        |  SELECT doc_id AS src FROM documents
-        |  WHERE doc_id IS NOT NULL AND doc_id % 3 = 1
-        |), alla AS (
-        |  SELECT src, src AS aid, 31 AS ka, 7 AS kb, 13 AS km, 0 AS batch
-        |  FROM ids
-        |  UNION ALL
-        |  SELECT src, src + 10000000, 31, 7, 13, 1 FROM ids
-        |  UNION ALL
-        |  SELECT src, src + 20000000, 37, 11, 17, 1 FROM ids
-        |), dims AS (
-        |  SELECT aid, src, ka, kb, km, batch,
-        |    1 + (src % 2) AS ch, 200 + (src % 100) AS nf
-        |  FROM alla
-        |), wins AS (
-        |  SELECT d.aid, d.src, d.ka, d.kb, d.km, d.batch, d.ch, w.w,
-        |    (w.w * d.nf) // 65 AS f0, ((w.w + 1) * d.nf) // 65 AS f1
-        |  FROM dims d, (SELECT unnest(range(65)) AS w) w
-        |), en AS (
-        |  SELECT aid, batch, w,
-        |    SUM(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END))
-        |      // ((f1 - f0) * ch) AS e
-        |  FROM (
-        |    SELECT aid, batch, w, f1, f0, ch,
-        |      ((src * ka + jb * kb + (src // 256) * (jb % km)) & 255)
-        |      + 256 * ((src * ka + (jb + 1) * kb
-        |                + (src // 256) * ((jb + 1) % km)) & 255) AS v
-        |    FROM (
-        |      SELECT ws.aid, ws.src, ws.ka, ws.kb, ws.km, ws.batch, ws.w,
-        |        ws.f1, ws.f0, ws.ch, (fs.f * ws.ch + cs.c) * 2 AS jb
-        |      FROM wins ws,
-        |        unnest(range(ws.f0, ws.f1)) AS fs(f),
-        |        unnest(range(ws.ch)) AS cs(c)
-        |    ) jx
-        |  ) s
-        |  GROUP BY 1, 2, 3, f1, f0, ch
-        |), fp AS (
-        |  SELECT a.aid, a.batch,
-        |    CAST(SUM(CASE WHEN b.e > a.e AND a.w >= 32
-        |      THEN (CAST(1 AS BIGINT) << (a.w - 32)) ELSE 0 END) AS BIGINT)
-        |      AS sig_hi,
-        |    CAST(SUM(CASE WHEN b.e > a.e AND a.w < 32
-        |      THEN (CAST(1 AS BIGINT) << a.w) ELSE 0 END) AS BIGINT)
-        |      AS sig_lo
-        |  FROM en a
-        |  JOIN en b ON b.aid = a.aid AND b.w = a.w + 1
-        |  WHERE a.w < 64
-        |  GROUP BY 1, 2
-        |)
-        |SELECT b.aid AS doc_id, b.sig_hi, b.sig_lo
-        |FROM fp b
-        |WHERE b.batch = 1 AND NOT EXISTS (
-        |  SELECT 1 FROM fp c
-        |  WHERE c.batch = 0
-        |    AND bit_count(xor(b.sig_hi, c.sig_hi))
-        |      + bit_count(xor(b.sig_lo, c.sig_lo)) <= 2)
-        |ORDER BY doc_id""".stripMargin,
+    "d67_sim_index_screen" -> simScreenTwinSql,
+
+    // d120: d67's screen derivation VERBATIM — proving the
+    // index-local rechunk equals a fresh build at the new maxDist.
+    "d120_rechunked_sim" -> simScreenTwinSql,
+
 
     // exclusive running total re-derived with a 1-PRECEDING window
     // over the same (n_chars DESC, doc_id) priority order

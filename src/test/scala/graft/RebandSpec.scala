@@ -109,6 +109,86 @@ class RebandSpec extends AnyFunSuite {
     assert(rows(16)._3 >= rows(8)._3)
   }
 
+  test("rechunkSimIndex: geometry change from stored sigs equals a fresh build; video side follows; crash windows recover") {
+    import spark.implicits._
+    val S = 0x0123456789ABCDEFL
+    val sigs = Seq((1L, S), (2L, S ^ 0xF0L)).toDF("doc_id", "sim")
+    val batch = Seq(
+      (101L, S ^ 1L),           // hamming 1: screened at either geometry
+      (102L, S ^ 3L),           // hamming 2: screened only at maxDist 2
+      (103L, S ^ 7L))           // hamming 3: survives both
+      .toDF("doc_id", "sim")
+    def survivors(name: String): Set[Long] =
+      Dedup.screenAgainstSimIndex(batch, name)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    def chunks(table: String): Set[(Long, Long, Long)] =
+      spark.table(table).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    Dedup.buildSimIndex(sigs, "t_rechunk_a", maxDist = 1, numBuckets = 2)
+    // the video-frame side follows the geometry: stage some frames
+    val frames = Seq((7L, 0, S), (7L, 1, S ^ 0x10L))
+      .toDF("doc_id", "frame_idx", "sim")
+    Dedup.appendVideoFramesToSimIndex(frames, "t_rechunk_a")
+    assert(survivors("t_rechunk_a") == Set(102L, 103L))
+    Dedup.rechunkSimIndex(spark, "t_rechunk_a", maxDist = 2)
+    assert(survivors("t_rechunk_a") == Set(103L))
+    // bit-equal to a fresh build + append at the new geometry
+    Dedup.buildSimIndex(sigs, "t_rechunk_b", maxDist = 2, numBuckets = 2)
+    Dedup.appendVideoFramesToSimIndex(frames, "t_rechunk_b")
+    assert(chunks("t_rechunk_a_chunks") == chunks("t_rechunk_b_chunks"))
+    assert(chunks("t_rechunk_a_vchunks") == chunks("t_rechunk_b_vchunks"))
+    assert(spark.table("t_rechunk_a_meta").head().getAs[Int]("max_dist") == 2)
+
+    // crash window 1: pre-marker stage drops, live untouched
+    graft.sources.Bucketing.writeTable(
+      Seq((9, 2)).toDF("max_dist", "num_buckets"),
+      "t_rechunk_a_meta_stage")
+    Dedup.rechunkSimIndex(spark, "t_rechunk_a", maxDist = 1)
+    assert(!spark.catalog.tableExists("t_rechunk_a_meta_stage"))
+    assert(spark.table("t_rechunk_a_meta").head().getAs[Int]("max_dist") == 1)
+
+    // crash window 2: post-marker roll-forward across a restart —
+    // stage the 2-geometry (the fresh index b's state), set the
+    // marker, and let a fresh session's open() promote it
+    graft.sources.Bucketing.writeBucketed(
+      spark.table("t_rechunk_b_chunks"), "t_rechunk_a_chunks_stage",
+      "chunk_hash", 2)
+    graft.sources.Bucketing.writeTable(
+      spark.table("t_rechunk_b_meta"), "t_rechunk_a_meta_stage")
+    graft.sources.Bucketing.createMarker(spark,
+      "t_rechunk_a__rechunk_pending")
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        old.conf.get("spark.sql.warehouse.dir"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      Dedup.openSimIndex(s2, "t_rechunk_a")
+      assert(!graft.sources.Bucketing.markerExists(s2,
+        "t_rechunk_a__rechunk_pending"))
+      assert(s2.table("t_rechunk_a_meta").head().getAs[Int]("max_dist") == 2,
+        "staged meta must have been promoted")
+      val promoted = s2.table("t_rechunk_a_chunks").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      graft.sources.Bucketing.registerExisting(s2, "t_rechunk_b_chunks",
+        Some(("chunk_hash", 2)))
+      val staged = s2.table("t_rechunk_b_chunks").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(promoted == staged)
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
+
   test("a non-md5 index refuses to reband index-locally") {
     Dedup.buildDedupIndex(corpus, "doc_id", "text", name = "t_reband_xx",
       numPerms = 32, bands = 16, md5Sig = false, numBuckets = 4)
