@@ -170,11 +170,20 @@ object ScaleProbe {
     // d114 is the d59 BPE-pack shape + a shard fold (~10×); d116 is
     // a build + four narrow sweep aggregates over re-derived
     // signatures (~10×).
-    "d112_indexed_bm25",    // TermCounts build + bucket-pruned serve
+    "d112_indexed_bm25",    // TermPositions build + bucket-pruned serve
     "d113_rebanded_dedup",  // build + index-local reband + screen
     "d114_epoch_shards",    // BPE pack + bin hashes + shard fold
     "d115_bm25_index_stats", // build + three one-row aggregates
-    "d116_reband_sweep")    // build + per-geometry band census
+    "d116_reband_sweep",    // build + per-geometry band census
+    // r16 session 2. d117 pays a build + 3 serves + the |q|×N exact
+    // ground truth (the truth term scales with the corpus → ~10×);
+    // d118/d119 are positional phrase scoring (fresh scan vs build +
+    // pruned serve); d120 is a WAV-synthesis sim build + rechunk +
+    // screen (the d67 shape + one index-local rewrite).
+    "d117_ann_recall",      // build + nprobe sweep + brute truth
+    "d118_phrase_bm25",     // positional fresh-scan phrase
+    "d119_indexed_phrase",  // build + pruned positional serve
+    "d120_rechunked_sim")   // sim build + rechunk + screen
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -1217,7 +1217,7 @@ object DBlock {
         .orderBy(col("doc_id"))
     }),
 
-    // D91b: signature-index RE-CHUNK — the d113 actuator symmetry
+    // D91: signature-index RE-CHUNK — the d113 actuator symmetry
     // for the perceptual family: maxDist (the pigeonhole chunk
     // geometry) was frozen at build; rechunkSimIndex re-derives
     // chunk rows from the index's own stored (doc_id, sim) pairs
