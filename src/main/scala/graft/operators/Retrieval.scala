@@ -182,17 +182,37 @@ object Retrieval {
     * every engine — no rounding ambiguity), rrf rounded to 6
     * decimals for display AFTER ranking. */
   def rrfFuse(listA: DataFrame, listB: DataFrame, k0: Int = 60,
+      topK: Int = 10): DataFrame = rrfFuseAll(Seq(listA, listB), k0, topK)
+
+  /** [[rrfFuse]] generalized to N ranked systems — Cormack et al.'s
+    * fusion is defined over any system count, and production stacks
+    * routinely fuse three or more (lexical, dense, a static quality
+    * or link-authority prior, a recency leg …). Each list carries
+    * (query_id, rank, doc_id) and is top-k-bounded per query, so the
+    * fold of full-outer SHUFFLE_HASH equi-joins moves at most Σ k_i
+    * narrow rows per query; the rrf sum is a FIXED left-associated
+    * expression over the lists in argument order — N inexact doubles
+    * summed in one deterministic order, so both engines rank
+    * identical values (a groupBy-sum over a union would add in
+    * partition order, ULP-unstable at ties). Absent docs contribute
+    * 0 per list; the fused top-k rides the bounded heap. Returns
+    * (query_id, rank, doc_id, rrf), rrf rounded to 6 decimals AFTER
+    * ranking. */
+  def rrfFuseAll(lists: Seq[DataFrame], k0: Int = 60,
       topK: Int = 10): DataFrame = {
+    require(lists.size >= 2, s"need >= 2 lists, got ${lists.size}")
     require(k0 >= 1, s"k0 must be >= 1, got $k0")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val a = listA.select(col("query_id"), col("doc_id"),
-      col("rank").as("__ra"))
-    val b = listB.select(col("query_id"), col("doc_id"),
-      col("rank").as("__rb"))
-    a.join(b.hint("SHUFFLE_HASH"), Seq("query_id", "doc_id"), "full_outer")
-      .select(col("query_id"), col("doc_id"),
-        (coalesce(lit(1.0) / (lit(k0) + col("__ra")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(k0) + col("__rb")), lit(0.0))).as("rrf"))
+    val prepped = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col("query_id"), col("doc_id"), col("rank").as(s"__r$i"))
+    }
+    val joined = prepped.reduce((a, b) =>
+      a.join(b.hint("SHUFFLE_HASH"), Seq("query_id", "doc_id"),
+        "full_outer"))
+    val rrf = lists.indices
+      .map(i => coalesce(lit(1.0) / (lit(k0) + col(s"__r$i")), lit(0.0)))
+      .reduce(_ + _)
+    joined.select(col("query_id"), col("doc_id"), rrf.as("rrf"))
       .groupBy(col("query_id"))
       .agg(graft.functions.VectorFunctions.topKByCos(
         col("doc_id").cast("long"), col("rrf"), topK).as("top"))

@@ -750,6 +750,54 @@ object DBlock {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // D92: THREE-system hybrid retrieval — rrfFuseAll over the
+    // production triple: the indexed lexical leg (D85), the dense
+    // cosine leg, and a STATIC quality prior (the d9 blend as a
+    // query-independent ranked list — the BM25+PageRank-style fusion
+    // shape, self dropped per query with GLOBAL rank numbers kept).
+    // The N-ary fold keeps the rrf sum a fixed left-associated
+    // expression, so both engines rank identical doubles. Fully
+    // oracle-checked: DuckDB re-derives keywords, both dynamic legs,
+    // the quality prior and the chained full-outer fusion.
+    "d121_hybrid3_topk" -> ((s, d) => {
+      val corp = Tables.documents(s, d).join(
+        Tables.embeddings(s, d).hint("SHUFFLE_HASH"),
+        col("doc_id") === col("vec_id"))
+      Retrieval.buildBm25Index(corp, "doc_id", "text", name = "d121_idx")
+      val kw = Retrieval.tfidfKeywords(corp, "doc_id", "text", topK = 3)
+        .filter(col("doc_id") < 5)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("term"))).as("terms"))
+        .select(col("doc_id").as("query_id"), col("terms"))
+      val lex = Retrieval.bm25RanksAgainstIndex(s, "d121_idx",
+        kw, "query_id", "terms", topK = 20, k1 = 1.5, b = 0.75,
+        excludeSelf = true)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val dense = Similarity.bruteForceTopK(
+        corp.filter(col("doc_id") < 5), corp, "doc_id", "embedding",
+        k = 20)
+        .select(col("query_id"), col("rank"),
+          col("neighbor_id").as("doc_id"))
+      // static prior: global top-21 by (rounded quality desc, id) —
+      // 21 so a self-drop still leaves 20 — broadcast to every
+      // query, GLOBAL rank numbers kept after the drop (a static
+      // list's ranks mean the same thing to every query)
+      val qtop = corp
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .agg(graft.functions.VectorFunctions.topKByCos(
+          col("doc_id"), col("q"), 21).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("int").as("rank"),
+          col("col.neighbor_id").as("doc_id"))
+      val prior = kw.select(col("query_id"))
+        .crossJoin(broadcast(qtop))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      Retrieval.rrfFuseAll(Seq(lex, dense, prior), k0 = 60, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // D73: INCREMENTAL RE-CURATION capstone — the refresh pipeline a
     // re-crawled corpus actually runs, composing D70 + D35: the
     // snapshot diff SCOPES the work (only added/changed docs pay the
@@ -5283,6 +5331,114 @@ object DBlock {
         |    coalesce(1.0/(60 + lex.rank), 0) + coalesce(1.0/(60 + dense.rank), 0) AS rrf
         |  FROM lex FULL OUTER JOIN dense
         |    ON lex.query_id = dense.query_id AND lex.doc_id = dense.doc_id
+        |)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, round(rrf, 6) AS rrf
+        |FROM (SELECT query_id, doc_id, rrf,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY rrf DESC, doc_id) AS rank
+        |      FROM fused) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // d121: the d96 derivation + the d9 quality blend as a static
+    // prior leg + the left-associated three-way full-outer fusion.
+    "d121_hybrid3_topk" ->
+      """WITH corp AS (
+        |  SELECT d.doc_id, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |  WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
+        |), tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM corp
+        |), tfall AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM tok) x
+        |  GROUP BY doc_id, term
+        |), dfall AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tfall GROUP BY term
+        |), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+        |kwsc AS (
+        |  SELECT doc_id, term,
+        |    round(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(df_t AS DOUBLE)), 4) AS score
+        |  FROM tfall JOIN dfall USING (term) CROSS JOIN nd
+        |  WHERE doc_id < 5
+        |), qt AS (
+        |  SELECT doc_id AS query_id, term FROM (
+        |    SELECT doc_id, term,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |    FROM kwsc) z
+        |  WHERE rn <= 3
+        |), st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(ws)) AS BIGINT) AS sum_dl FROM tok
+        |), post AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM tok
+        |), btf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+        |  FROM post WHERE term IN (SELECT DISTINCT term FROM qt)
+        |  GROUP BY doc_id, term
+        |), bdf AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM btf GROUP BY term
+        |), lexsc AS (
+        |  SELECT qt.query_id, btf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5) /
+        |          (CAST(df_t AS DOUBLE) + 0.5)) *
+        |        (CAST(tf AS DOUBLE) * 2.5) /
+        |        (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+        |          (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 4) AS bm25
+        |  FROM btf JOIN bdf USING (term) JOIN qt USING (term) CROSS JOIN st
+        |  WHERE btf.doc_id <> qt.query_id
+        |  GROUP BY qt.query_id, btf.doc_id
+        |), lex AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY bm25 DESC, doc_id) AS rank
+        |    FROM lexsc) t WHERE rank <= 20
+        |), dense AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+        |      row_number() OVER (PARTITION BY q.doc_id
+        |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+        |          c.embedding::DOUBLE[]) DESC, c.doc_id) AS rank
+        |    FROM corp q JOIN corp c ON q.doc_id <> c.doc_id
+        |    WHERE q.doc_id < 5) t
+        |  WHERE rank <= 20
+        |), qb AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+        |    length(replace(text, ' ', '')) AS non_space,
+        |    CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS INT) AS stop_n
+        |  FROM corp
+        |), qual AS (
+        |  SELECT doc_id,
+        |    round(least(n_words / 100.0, 1.0) * 0.4 +
+        |      (CASE WHEN (CASE WHEN n_words > 0 THEN CAST(non_space AS DOUBLE) / n_words ELSE 0.0 END)
+        |            BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+        |      least(CAST(stop_n AS DOUBLE) / 5.0, 1.0) * 0.2, 4) AS q
+        |  FROM qb
+        |), qtop AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY q DESC, doc_id) AS rank
+        |    FROM qual) t WHERE rank <= 21
+        |), prior AS (
+        |  SELECT k.query_id, t.doc_id, t.rank
+        |  FROM (SELECT DISTINCT query_id FROM qt) k CROSS JOIN qtop t
+        |  WHERE t.doc_id <> k.query_id
+        |), f1 AS (
+        |  SELECT coalesce(lex.query_id, dense.query_id) AS query_id,
+        |    coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+        |    lex.rank AS r0, dense.rank AS r1
+        |  FROM lex FULL OUTER JOIN dense
+        |    ON lex.query_id = dense.query_id AND lex.doc_id = dense.doc_id
+        |), fused AS (
+        |  SELECT coalesce(f1.query_id, p.query_id) AS query_id,
+        |    coalesce(f1.doc_id, p.doc_id) AS doc_id,
+        |    (coalesce(1.0/(60 + f1.r0), 0) + coalesce(1.0/(60 + f1.r1), 0))
+        |      + coalesce(1.0/(60 + p.rank), 0) AS rrf
+        |  FROM f1 FULL OUTER JOIN prior p
+        |    ON f1.query_id = p.query_id AND f1.doc_id = p.doc_id
         |)
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, round(rrf, 6) AS rrf
         |FROM (SELECT query_id, doc_id, rrf,

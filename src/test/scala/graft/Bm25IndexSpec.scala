@@ -276,6 +276,35 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("lowercase"))
   }
 
+  test("rrfFuseAll: hand-computed three-system fusion; binary delegation unchanged") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // one query, three systems with a doc appearing in 3/2/1 lists
+    val a = Seq((0L, 1, 10L), (0L, 2, 20L), (0L, 3, 30L))
+      .toDF("query_id", "rank", "doc_id")
+    val b = Seq((0L, 1, 20L), (0L, 2, 10L)).toDF("query_id", "rank", "doc_id")
+    val c = Seq((0L, 1, 10L), (0L, 2, 40L)).toDF("query_id", "rank", "doc_id")
+    val fused = Retrieval.rrfFuseAll(Seq(a, b, c), k0 = 60, topK = 4)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("rrf"))).toList
+    def s3(xs: Double*) = BigDecimal(xs.reduceLeft(_ + _))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 10: ranks 1/2/1 -> 1/61 + 1/62 + 1/61; doc 20: 2/1 ->
+    // 1/62 + 1/61; doc 30: 1/63; doc 40: 1/62 (left-assoc sums)
+    assert(fused.map(x => (x._1, x._2)) ==
+      List((1, 10L), (2, 20L), (3, 40L), (4, 30L)), fused.toString)
+    assert(fused.head._3 == s3(1.0 / 61, 1.0 / 62, 1.0 / 61))
+    assert(fused(1)._3 == s3(1.0 / 62, 1.0 / 61))
+    // binary rrfFuse (now a delegation) matches the 2-list N-ary
+    val viaBinary = Retrieval.rrfFuse(a, b, k0 = 60, topK = 4).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("rrf"))).toList
+    val viaN = Retrieval.rrfFuseAll(Seq(a, b), k0 = 60, topK = 4)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("rrf"))).toList
+    assert(viaBinary == viaN)
+  }
+
   test("serving plan prunes postings buckets and never reads a corpus file") {
     Retrieval.buildBm25Index(docs, "doc_id", "text", "bmspec_plan",
       numBuckets = 4)
