@@ -366,7 +366,16 @@ object StreamingIngest {
     * memory, nothing corpus-sized, and the gate chain itself still
     * evaluates exactly once. n_gate_cut folds the extract, rule and
     * nb cuts into one number (their per-stage split is the batch
-    * d47/d55 operators' job, not the stream's). */
+    * d47/d55 operators' job, not the stream's).
+    *
+    * `bm25IndexName` makes the pipeline RETRIEVAL-READY over the
+    * EXTRACTED text (dedup semantics and retrieval semantics agree:
+    * both see main content, not chrome): survivors append into a
+    * persistent BM25 index between the sink and the dedup fold-in,
+    * idempotent via the id anti-join — the [[toScreenedDocIngest]]
+    * ordering argument verbatim (BM25-after-fold-in would turn a
+    * crash between the appends into a permanent retrieval hole;
+    * without the anti-join a replay doubles postings). */
   def toPipelineIngest(pages: DataFrame, idCol: String, htmlCol: String,
       indexName: String, path: String, checkpoint: String,
       minWords: Int = 50, maxWords: Int = 100000,
@@ -376,7 +385,8 @@ object StreamingIngest {
       urlIndexName: Option[String] = None,
       blocklist: Option[DataFrame] = None,
       blocklistDomainCol: String = "domain",
-      funnelDir: Option[String] = None): StreamingQuery = {
+      funnelDir: Option[String] = None,
+      bm25IndexName: Option[String] = None): StreamingQuery = {
     require(urlCol.isDefined == urlIndexName.isDefined,
       "urlCol and urlIndexName come together: the frontier screen " +
         "needs both the key column and the index to screen against")
@@ -452,6 +462,14 @@ object StreamingIngest {
           .join(survivors.select(col(idCol), col("main_text")), Seq(idCol))
           .withColumn("ingest_batch", lit(batchId))
           .write.mode("append").parquet(path)
+        // BM25 append over the EXTRACTED text, BEFORE the dedup
+        // fold-in and anti-joined for idempotence — see scaladoc
+        bm25IndexName.foreach { bx =>
+          graft.operators.Retrieval.appendToBm25Index(
+            graft.operators.Retrieval.screenNewForBm25Index(
+              survivors, idCol, bx),
+            idCol, "main_text", bx)
+        }
         graft.operators.Dedup
           .appendToDedupIndex(survivors, idCol, "main_text", indexName)
         // url frontier LAST — see the ordering argument in the

@@ -1282,6 +1282,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pipeline retrieval-ready: survivors' EXTRACTED text serves from the BM25 index, replay doubles nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("pipebm25").toString
+    def page(chrome: String, body: String): String =
+      s"""<html><head><title>$chrome</title></head><body><p>$body""" +
+        s"""</p><div class="footer"><a href="/t">terms</a></div></body></html>"""
+    val bodyA = "the harbor survey counted forty two vessels at anchor " +
+      "with a manifest listing grain salt and timber for the northern " +
+      "routes across patient decades of record keeping"
+    val bodyB = "the press release body holds a data table and a value " +
+      "summary that wire services distribute to partner outlets for " +
+      "training corpora in every market"
+    val seed = Seq((1L, "seed corpus text with enough words to exist"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.buildDedupIndex(seed, "doc_id", "text",
+      name = "t_pbm_idx")
+    graft.operators.Retrieval.buildBm25Index(seed, "doc_id", "text",
+      name = "t_pbm_bm", numBuckets = 4)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingIngest.toPipelineIngest(
+      input.toDS().toDF("doc_id", "html"), "doc_id", "html",
+      "t_pbm_idx", s"$dir/packed", s"$dir/ckpt",
+      minWords = 20, packCapacity = 64L,
+      bm25IndexName = Some("t_pbm_bm"))
+    try {
+      val rows = Seq(
+        (10L, page("v1", bodyA)),
+        (11L, page("v2", bodyB)),
+        (12L, page("v3", "too short to pass"))) // gate cut: never indexed
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      spark.catalog.refreshTable("t_pbm_bm_postings")
+      spark.catalog.refreshTable("t_pbm_bm_docs")
+      // the EXTRACTED text serves: body words hit, chrome words do not
+      val hits = graft.operators.Retrieval.bm25TopKAgainstIndex(spark,
+        "t_pbm_bm", Seq("harbor", "outlets"), topK = 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(hits == Set(10L, 11L), s"got $hits")
+      assert(graft.operators.Retrieval.bm25TopKAgainstIndex(spark,
+        "t_pbm_bm", Seq("footer"), topK = 5).isEmpty,
+        "chrome words must not be indexed (extraction precedes indexing)")
+      val nPost = spark.table("t_pbm_bm_postings").count()
+      // full redelivery: dedup screen suppresses; postings stable
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      spark.catalog.refreshTable("t_pbm_bm_postings")
+      assert(spark.table("t_pbm_bm_postings").count() == nPost)
+    } finally q.stop()
+  }
+
   test("media funnel telemetry: decode-relevant stage cuts counted, redelivery reads as stage-0 suppression") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
