@@ -183,7 +183,8 @@ object ScaleProbe {
     "d117_ann_recall",      // build + nprobe sweep + brute truth
     "d118_phrase_bm25",     // positional fresh-scan phrase
     "d119_indexed_phrase",  // build + pruned positional serve
-    "d120_rechunked_sim")   // sim build + rechunk + screen
+    "d120_rechunked_sim",   // sim build + rechunk + screen
+    "d121_hybrid3_topk")    // bm25 build + 3-leg fuse (fixed 5 queries)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
