@@ -608,6 +608,8 @@ object Dedup {
       md5Sig: Boolean = false,
       numBuckets: Int = 8): Unit = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
+    Bucketing.withIndexLease(corpus.sparkSession, name,
+      "buildDedupIndex") {
     // _bands/_docs need ids (candidates carry corpus ids; a null id
     // can never equi-join back, matching dedupAgainst's observable
     // near-screen). _ch deliberately keeps null-id rows: the exact
@@ -639,17 +641,52 @@ object Dedup {
     val spark = corpus.sparkSession
     import spark.implicits._
     Bucketing.writeTable(
-      Seq((shingleK, numPerms, bands, md5Sig, numBuckets))
-        .toDF("shingle_k", "num_perms", "bands", "md5_sig", "num_buckets"),
+      Seq((shingleK, numPerms, bands, md5Sig, shhBasisOf(md5Sig),
+        numBuckets))
+        .toDF("shingle_k", "num_perms", "bands", "md5_sig", "shh_basis",
+          "num_buckets"),
       s"${name}_meta")
+    }
   }
+
+  /** The per-shingle hash basis the index's stored `_docs.shh` sets
+    * use — a FORMAT fact recorded in `_meta`, because the basis of
+    * md5Sig indexes changed once (xxhash64 → md5Hash60, when the
+    * stored set became [[rebandDedupIndex]]'s sufficient statistic):
+    * screening a batch hashed in one basis against sets stored in
+    * the other makes every Jaccard intersection ~empty, so near-dups
+    * silently PASS the screen — a wrong-answer class that must fail
+    * loudly instead ([[indexMeta]] refuses). */
+  private def shhBasisOf(md5Sig: Boolean): String =
+    if (md5Sig) "md5h60" else "xxh64"
 
   private def indexMeta(spark: org.apache.spark.sql.SparkSession,
       name: String): (Int, Int, Int, Boolean, Int) = {
     val m = spark.table(s"${name}_meta").head()
+    val md5Sig = m.getAs[Boolean]("md5_sig")
+    // Format guard: a pre-basis-field md5Sig index stored xxhash64
+    // sets, which this code would screen against md5Hash60 batch
+    // hashes — duplicates would silently pass. Refuse and direct the
+    // operator to rebuild. (A basis-less xxh64 index is fine: that
+    // family's basis never changed.)
+    val recorded =
+      if (m.schema.fieldNames.contains("shh_basis"))
+        m.getAs[String]("shh_basis")
+      else if (md5Sig)
+        throw new IllegalArgumentException(
+          s"dedup index '$name' predates the shh_basis format: its " +
+            "md5Sig _docs sets were stored under the old xxhash64 " +
+            "basis, which this version's md5Hash60 batch hashing " +
+            "cannot screen against (near-dups would silently pass) — " +
+            "rebuild with buildDedupIndex")
+      else "xxh64"
+    require(recorded == shhBasisOf(md5Sig),
+      s"dedup index '$name' records shh_basis '$recorded' but its " +
+        s"signature family expects '${shhBasisOf(md5Sig)}' — the " +
+        "stored sets and this version's batch hashing disagree; " +
+        "rebuild with buildDedupIndex")
     (m.getAs[Int]("shingle_k"), m.getAs[Int]("num_perms"),
-      m.getAs[Int]("bands"), m.getAs[Boolean]("md5_sig"),
-      m.getAs[Int]("num_buckets"))
+      m.getAs[Int]("bands"), md5Sig, m.getAs[Int]("num_buckets"))
   }
 
   /** Screens `batch` against a [[buildDedupIndex]] index — the
@@ -720,6 +757,7 @@ object Dedup {
       textCol: String,
       name: String): Unit = {
     val spark = docs.sparkSession
+    Bucketing.withIndexLease(spark, name, "appendToDedupIndex") {
     val (shingleK, numPerms, bands, md5Sig, numBuckets) =
       indexMeta(spark, name)
     val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
@@ -737,6 +775,7 @@ object Dedup {
       docs.filter(col(textCol).isNotNull)
         .select(md5(col(textCol)).as("ch")).distinct(),
       s"${name}_ch", "ch", numBuckets)
+    }
   }
 
   /** Keep-one dedup WITHIN one batch, with the SAME sketch
@@ -814,14 +853,16 @@ object Dedup {
     * .compactBucketed]]: the live table is replaced only after its
     * compacted copy fully exists. */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
-      name: String): Unit = {
-    val (_, _, _, _, numBuckets) = indexMeta(spark, name)
-    Bucketing.compactBucketed()(spark, s"${name}_bands", "band_hash",
-      numBuckets)
-    Bucketing.compactBucketed()(spark, s"${name}_docs", "doc_id", numBuckets)
-    Bucketing.compactBucketed(_.distinct())(spark, s"${name}_ch", "ch",
-      numBuckets)
-  }
+      name: String): Unit =
+    Bucketing.withIndexLease(spark, name, "compactDedupIndex") {
+      val (_, _, _, _, numBuckets) = indexMeta(spark, name)
+      Bucketing.compactBucketed()(spark, s"${name}_bands", "band_hash",
+        numBuckets)
+      Bucketing.compactBucketed()(spark, s"${name}_docs", "doc_id",
+        numBuckets)
+      Bucketing.compactBucketed(_.distinct())(spark, s"${name}_ch", "ch",
+        numBuckets)
+    }
 
   private def rebandMarker(name: String): String =
     s"${name.toLowerCase}__reband_pending"
@@ -862,7 +903,8 @@ object Dedup {
     * recovery, so a death at ANY point leaves a fresh session one
     * open() from consistent. */
   def rebandDedupIndex(spark: org.apache.spark.sql.SparkSession,
-      name: String, bands: Int, numPerms: Int): Unit = {
+      name: String, bands: Int, numPerms: Int): Unit =
+    Bucketing.withIndexLease(spark, name, "rebandDedupIndex") {
     finishInterruptedReband(spark, name)
     val (shingleK, _, _, md5Sig, numBuckets) = indexMeta(spark, name)
     require(md5Sig,
@@ -881,12 +923,14 @@ object Dedup {
       s"${name}_bands_stage", "band_hash", numBuckets)
     import spark.implicits._
     Bucketing.writeTable(
-      Seq((shingleK, numPerms, bands, md5Sig, numBuckets))
-        .toDF("shingle_k", "num_perms", "bands", "md5_sig", "num_buckets"),
+      Seq((shingleK, numPerms, bands, md5Sig, shhBasisOf(md5Sig),
+        numBuckets))
+        .toDF("shingle_k", "num_perms", "bands", "md5_sig", "shh_basis",
+          "num_buckets"),
       s"${name}_meta_stage")
     Bucketing.createMarker(spark, rebandMarker(name))
     completeReband(spark, name)
-  }
+    }
 
   /** The DECISION input between [[dedupIndexStats]] (what the index
     * is) and [[rebandDedupIndex]] (the actuator): for each candidate
@@ -1014,6 +1058,7 @@ object Dedup {
       textCol: String, name: String,
       dropContentHashes: Boolean = false): Unit = {
     val spark = docs.sparkSession
+    Bucketing.withIndexLease(spark, name, "retireFromDedupIndex") {
     val (_, _, _, _, numBuckets) = indexMeta(spark, name)
     val ids = docs.filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("__rid")).distinct()
@@ -1030,6 +1075,7 @@ object Dedup {
       Bucketing.compactBucketed(
         _.join(broadcast(hashes), col("ch") === col("__rch"),
           "left_anti").distinct())(spark, s"${name}_ch", "ch", numBuckets)
+    }
     }
   }
 
@@ -1135,10 +1181,11 @@ object Dedup {
       numBuckets: Int = 8): Unit = {
     require(maxDist >= 0 && maxDist <= 63,
       s"maxDist must be in [0, 63], got $maxDist")
+    val spark = sigs.sparkSession
+    Bucketing.withIndexLease(spark, name, "buildSimIndex") {
     val live = sigs.filter(col("doc_id").isNotNull && col("sim").isNotNull)
     Bucketing.writeBucketed(simChunkRows(live, maxDist),
       s"${name}_chunks", "chunk_hash", numBuckets)
-    val spark = sigs.sparkSession
     // a REBUILD must reset the optional video-frame side too: those
     // tables are append-created, so no overwrite path clears them,
     // and stale evidence (same-name index from a prior build or a
@@ -1150,6 +1197,7 @@ object Dedup {
     Bucketing.writeTable(
       Seq((maxDist, numBuckets)).toDF("max_dist", "num_buckets"),
       s"${name}_meta")
+    }
   }
 
   /** Screens batch signatures against a [[buildSimIndex]] index:
@@ -1180,11 +1228,13 @@ object Dedup {
     * [[screenAgainstSimIndex]]'s survivors. */
   def appendToSimIndex(sigs: DataFrame, name: String): Unit = {
     val spark = sigs.sparkSession
-    val (maxDist, numBuckets) = simIndexMeta(spark, name)
-    Bucketing.appendBucketed(
-      simChunkRows(sigs.filter(col("doc_id").isNotNull &&
-        col("sim").isNotNull), maxDist),
-      s"${name}_chunks", "chunk_hash", numBuckets)
+    Bucketing.withIndexLease(spark, name, "appendToSimIndex") {
+      val (maxDist, numBuckets) = simIndexMeta(spark, name)
+      Bucketing.appendBucketed(
+        simChunkRows(sigs.filter(col("doc_id").isNotNull &&
+          col("sim").isNotNull), maxDist),
+        s"${name}_chunks", "chunk_hash", numBuckets)
+    }
   }
 
   /** Maintenance: rewrites the chunk table to one file per bucket
@@ -1194,17 +1244,18 @@ object Dedup {
     * duplicate rows the screen tolerates but a compaction should
     * shed. */
   def compactSimIndex(spark: org.apache.spark.sql.SparkSession,
-      name: String): Unit = {
-    val (_, numBuckets) = simIndexMeta(spark, name)
-    Bucketing.compactBucketed()(spark, s"${name}_chunks", "chunk_hash",
-      numBuckets)
-    if (spark.catalog.tableExists(s"${name}_vchunks"))
-      Bucketing.compactBucketed(_.distinct())(spark, s"${name}_vchunks",
-        "chunk_hash", numBuckets)
-    if (spark.catalog.tableExists(s"${name}_vframes"))
-      Bucketing.compactBucketed(_.distinct())(spark, s"${name}_vframes",
-        "vid", numBuckets)
-  }
+      name: String): Unit =
+    Bucketing.withIndexLease(spark, name, "compactSimIndex") {
+      val (_, numBuckets) = simIndexMeta(spark, name)
+      Bucketing.compactBucketed()(spark, s"${name}_chunks", "chunk_hash",
+        numBuckets)
+      if (spark.catalog.tableExists(s"${name}_vchunks"))
+        Bucketing.compactBucketed(_.distinct())(spark, s"${name}_vchunks",
+          "chunk_hash", numBuckets)
+      if (spark.catalog.tableExists(s"${name}_vframes"))
+        Bucketing.compactBucketed(_.distinct())(spark, s"${name}_vframes",
+          "vid", numBuckets)
+    }
 
   // ---------------------------------------------------------------
   // Per-frame NEAR video screening for the signature index. A video
@@ -1251,15 +1302,18 @@ object Dedup {
   def appendVideoFramesToSimIndex(frameSigs: DataFrame,
       name: String): Unit = {
     val spark = frameSigs.sparkSession
-    val (maxDist, numBuckets) = simIndexMeta(spark, name)
-    val live = frameSigs.filter(col("doc_id").isNotNull &&
-      col("frame_idx").isNotNull && col("sim").isNotNull)
-    Bucketing.appendBucketed(
-      simChunkRows(videoCompositeKey(live), maxDist),
-      s"${name}_vchunks", "chunk_hash", numBuckets)
-    Bucketing.appendBucketed(
-      live.groupBy(col("doc_id").as("vid")).agg(count(lit(1)).as("nf")),
-      s"${name}_vframes", "vid", numBuckets)
+    Bucketing.withIndexLease(spark, name,
+      "appendVideoFramesToSimIndex") {
+      val (maxDist, numBuckets) = simIndexMeta(spark, name)
+      val live = frameSigs.filter(col("doc_id").isNotNull &&
+        col("frame_idx").isNotNull && col("sim").isNotNull)
+      Bucketing.appendBucketed(
+        simChunkRows(videoCompositeKey(live), maxDist),
+        s"${name}_vchunks", "chunk_hash", numBuckets)
+      Bucketing.appendBucketed(
+        live.groupBy(col("doc_id").as("vid")).agg(count(lit(1)).as("nf")),
+        s"${name}_vframes", "vid", numBuckets)
+    }
   }
 
   /** Screens batch videos (per-frame sig rows) against the index's
@@ -1337,7 +1391,8 @@ object Dedup {
     * duplicate rows a replayed append accreted (the compact verb's
     * posture). */
   def rechunkSimIndex(spark: org.apache.spark.sql.SparkSession,
-      name: String, maxDist: Int): Unit = {
+      name: String, maxDist: Int): Unit =
+    Bucketing.withIndexLease(spark, name, "rechunkSimIndex") {
     finishInterruptedRechunk(spark, name)
     require(maxDist >= 0 && maxDist <= 63,
       s"maxDist must be in [0, 63], got $maxDist")
@@ -1358,7 +1413,7 @@ object Dedup {
       s"${name}_meta_stage")
     Bucketing.createMarker(spark, rechunkMarker(name))
     completeRechunk(spark, name)
-  }
+    }
 
   /** Roll-forward tail of [[rechunkSimIndex]] and its recovery —
     * precondition: stages exist, marker set. A staged `_vchunks`
@@ -1403,6 +1458,7 @@ object Dedup {
   def retireFromSimIndex(ids: DataFrame, idCol: String,
       name: String): Unit = {
     val spark = ids.sparkSession
+    Bucketing.withIndexLease(spark, name, "retireFromSimIndex") {
     val (_, numBuckets) = simIndexMeta(spark, name)
     val rids = ids.filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("__rid")).distinct()
@@ -1419,6 +1475,7 @@ object Dedup {
       Bucketing.compactBucketed(
         _.join(broadcast(rids), col("vid") === col("__rid"),
           "left_anti"))(spark, s"${name}_vframes", "vid", numBuckets)
+    }
   }
 
   /** Re-opens a [[buildSimIndex]] index in a fresh session from its
@@ -1497,12 +1554,14 @@ object Dedup {
     * there is nothing to remember without one). */
   def buildUrlIndex(docs: DataFrame, urlCol: String, name: String,
       numBuckets: Int = 8): Unit = {
-    Bucketing.writeBucketed(urlKeys(docs, urlCol),
-      s"${name}_url", "uh", numBuckets)
     val spark = docs.sparkSession
-    import spark.implicits._
-    Bucketing.writeTable(Seq(numBuckets).toDF("num_buckets"),
-      s"${name}_meta")
+    Bucketing.withIndexLease(spark, name, "buildUrlIndex") {
+      Bucketing.writeBucketed(urlKeys(docs, urlCol),
+        s"${name}_url", "uh", numBuckets)
+      import spark.implicits._
+      Bucketing.writeTable(Seq(numBuckets).toDF("num_buckets"),
+        s"${name}_meta")
+    }
   }
 
   /** Screens `batch` against a [[buildUrlIndex]] frontier: returns
@@ -1528,21 +1587,24 @@ object Dedup {
     * content survivors (a content-duplicate page's URL was still
     * seen; re-crawling it buys nothing). */
   def appendToUrlIndex(docs: DataFrame, urlCol: String,
-      name: String): Unit = {
-    val numBuckets = urlIndexMeta(docs.sparkSession, name)
-    Bucketing.appendBucketed(urlKeys(docs, urlCol),
-      s"${name}_url", "uh", numBuckets)
-  }
+      name: String): Unit =
+    Bucketing.withIndexLease(docs.sparkSession, name,
+      "appendToUrlIndex") {
+      val numBuckets = urlIndexMeta(docs.sparkSession, name)
+      Bucketing.appendBucketed(urlKeys(docs, urlCol),
+        s"${name}_url", "uh", numBuckets)
+    }
 
   /** Maintenance: rewrites the url table to one file per bucket
     * ([[compactDedupIndex]]'s contract), deduplicating the appended
     * key files. */
   def compactUrlIndex(spark: org.apache.spark.sql.SparkSession,
-      name: String): Unit = {
-    val numBuckets = urlIndexMeta(spark, name)
-    Bucketing.compactBucketed(_.distinct())(spark, s"${name}_url",
-      "uh", numBuckets)
-  }
+      name: String): Unit =
+    Bucketing.withIndexLease(spark, name, "compactUrlIndex") {
+      val numBuckets = urlIndexMeta(spark, name)
+      Bucketing.compactBucketed(_.distinct())(spark, s"${name}_url",
+        "uh", numBuckets)
+    }
 
   /** Takedown verb: removes the given URLs' canonical keys so they
     * can be re-crawled fresh. Keys are DISTINCT with no ownership
@@ -1551,11 +1613,14 @@ object Dedup {
   def retireFromUrlIndex(docs: DataFrame, urlCol: String,
       name: String): Unit = {
     val spark = docs.sparkSession
-    val numBuckets = urlIndexMeta(spark, name)
-    val gone = urlKeys(docs, urlCol).select(col("uh").as("__ruh"))
-    Bucketing.compactBucketed(
-      _.join(broadcast(gone), col("uh") === col("__ruh"),
-        "left_anti").distinct())(spark, s"${name}_url", "uh", numBuckets)
+    Bucketing.withIndexLease(spark, name, "retireFromUrlIndex") {
+      val numBuckets = urlIndexMeta(spark, name)
+      val gone = urlKeys(docs, urlCol).select(col("uh").as("__ruh"))
+      Bucketing.compactBucketed(
+        _.join(broadcast(gone), col("uh") === col("__ruh"),
+          "left_anti").distinct())(spark, s"${name}_url", "uh",
+        numBuckets)
+    }
   }
 
   /** Re-opens a [[buildUrlIndex]] frontier in a fresh session

@@ -20,6 +20,95 @@ import graft.sources.Bucketing
   */
 object Retrieval {
 
+  /** The two retrieval tokenizer FAMILIES. A tokenizer is index
+    * state, not a per-call preference: postings built under one
+    * family are unfindable under another (the normalized term
+    * `spark` never matches the whitespace token `"spark."`), so the
+    * family is recorded in the index `_meta` (the dedup index's
+    * md5_sig precedent) and every serving verb refuses loudly on a
+    * mismatch rather than silently scoring zero.
+    *
+    *   - `"ws"` — bare case-folded whitespace split ([[Dedup.tokens]]),
+    *     the historical default; right for pre-tokenized or
+    *     machine-generated corpora where punctuation IS signal.
+    *   - `"norm"` — `"ws"` plus boundary normalization: leading and
+    *     trailing non-alphanumeric runs are stripped from each token
+    *     and emptied tokens drop, so `"(spark)."`, `"spark,"` and
+    *     `spark` are ONE term — what a user querying real prose
+    *     expects. INTRA-word punctuation is deliberately kept
+    *     (`don't`, `3.2`, `state-of-the-art` stay single terms:
+    *     stripping interior marks would glue or split real
+    *     vocabulary both ways, and the boundary-only rule is the
+    *     reversible one). The character class is ASCII `[a-z0-9]`
+    *     after case-folding — the oracle-reproducible choice; a
+    *     Unicode-letter class is a family VALUE away precisely
+    *     because the family is recorded, not assumed. */
+  val TokenizerFamilies: Seq[String] = Seq("ws", "norm")
+
+  /** The token array of `text` under a tokenizer family — ONE
+    * definition shared by every fresh-scan operator and every index
+    * build/append, so a family can never mean two things. */
+  def tokensFor(family: String, text: Column): Column = family match {
+    case "ws" => Dedup.tokens(text)
+    case "norm" =>
+      filter(
+        transform(Dedup.tokens(text),
+          t => regexp_replace(t, "^[^a-z0-9]+|[^a-z0-9]+$", "")),
+        t => length(t) > 0)
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenizer family '$other' — one of $TokenizerFamilies")
+  }
+
+  /** Fail-loud guard every term-taking entry point runs: corpus
+    * tokens are case-folded by both families, and under `norm` a
+    * query term carrying boundary punctuation could never match a
+    * stored term — both are caller bugs better surfaced than
+    * silently scored as zero matches. */
+  private def requireQueryTerms(op: String, tokenizer: String,
+      terms: Seq[String]): Unit = {
+    require(TokenizerFamilies.contains(tokenizer),
+      s"$op: unknown tokenizer family '$tokenizer' — one of " +
+        s"$TokenizerFamilies")
+    terms.find(t => t != t.toLowerCase).foreach(t =>
+      throw new IllegalArgumentException(
+        s"$op: query term '$t' is not lowercase — corpus tokens are " +
+          "case-folded; lowercase the query"))
+    if (tokenizer == "norm")
+      terms.find(t => t != t.replaceAll("^[^a-z0-9]+|[^a-z0-9]+$", ""))
+        .foreach(t => throw new IllegalArgumentException(
+          s"$op: query term '$t' carries boundary punctuation the " +
+            "'norm' tokenizer strips from the corpus — normalize the " +
+            "query term"))
+  }
+
+  /** (num_buckets, tokenizer) from a BM25 index's `_meta`, failing
+    * LOUDLY on a pre-tokenizer-family index: its meta cannot say
+    * which family built its postings, and guessing wrong makes every
+    * query silently score zero — the operator must rebuild (the
+    * [[Dedup]] `shh_basis` refusal precedent). */
+  private def bm25Meta(spark: SparkSession,
+      name: String): (Int, String) = {
+    val row = spark.table(s"${name}_meta").head()
+    require(row.schema.fieldNames.contains("tokenizer"),
+      s"BM25 index '$name' predates the tokenizer-family format: its " +
+        "_meta does not record which tokenizer built the postings, so " +
+        "serving cannot verify query/index agreement — rebuild with " +
+        "buildBm25Index")
+    (row.getAs[Int]("num_buckets"), row.getAs[String]("tokenizer"))
+  }
+
+  /** The serving-side half of the family contract: the caller says
+    * which family its terms are in; the index says which family its
+    * postings are in; a mismatch is a wrong-answer class (silent
+    * zero-match), so it throws instead of returning. */
+  private def requireFamily(op: String, name: String,
+      indexFamily: String, queryFamily: String): Unit =
+    require(indexFamily == queryFamily,
+      s"$op: index '$name' was built with tokenizer family " +
+        s"'$indexFamily' but the query terms are declared " +
+        s"'$queryFamily' — matching across families silently finds " +
+        "nothing; re-tokenize the query or rebuild the index")
+
   /** Okapi BM25 top-k (Robertson et al., TREC-3; the +1 idf form
     * `ln(1 + (N - df + 0.5)/(df + 0.5))` so scores are always
     * positive):
@@ -48,22 +137,20 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], topK: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      tokenizer: String = "ws"): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct == queryTerms,
       s"queryTerms must be distinct, got $queryTerms")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    // tokens() lowercases the corpus side; a mixed-case query term
+    // a mixed-case (or, under norm, punctuation-carrying) query term
     // would silently score zero matches, so fail loud rather than
     // normalize (a caller passing 'Spark' should KNOW matching is
     // case-folded, not discover it from a quiet rescore)
-    queryTerms.find(t => t != t.toLowerCase).foreach(t =>
-      throw new IllegalArgumentException(
-        s"bm25TopK: query term '$t' is not lowercase — corpus tokens " +
-          "are case-folded by Dedup.tokens; lowercase the query"))
+    requireQueryTerms("bm25TopK", tokenizer, queryTerms)
     val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
     val toks = live.select(col(idCol).as("doc_id"),
-      Dedup.tokens(col(textCol)).as("tk"))
+      tokensFor(tokenizer, col(textCol)).as("tk"))
     // one-row corpus stats (N docs, total token mass), broadcast
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       sum(size(col("tk")).cast("long")).as("sum_dl"))
@@ -78,17 +165,11 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     // document frequencies from the (doc, term) aggregate — |Q|-sized
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
-    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-    val idf = log(lit(1.0) +
-      (col("n_docs").cast("double") - col("df_t").cast("double") + 0.5) /
-        (col("df_t").cast("double") + 0.5))
-    val w = idf * (col("tf").cast("double") * (k1 + 1.0)) /
-      (col("tf").cast("double") +
-        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
     tf.join(broadcast(dfT), Seq("term"))
       .join(broadcast(stats))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"), round(sum(w), 4).as("bm25"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(bm25Weight(k1, b)), 4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
   }
@@ -121,11 +202,13 @@ object Retrieval {
   def bm25PerQueryRanks(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, termsCol: String,
       topK: Int, k1: Double = 1.2, b: Double = 0.75,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      tokenizer: String = "ws"): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
+    requireQueryTerms("bm25PerQueryRanks", tokenizer, Nil)
     val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
     val toks = live.select(col(idCol).as("doc_id"),
-      Dedup.tokens(col(textCol)).as("tk"))
+      tokensFor(tokenizer, col(textCol)).as("tk"))
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       sum(size(col("tk")).cast("long")).as("sum_dl"))
     val qt = queries
@@ -141,18 +224,11 @@ object Retrieval {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
-    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-    val idf = log(lit(1.0) +
-      (col("n_docs").cast("double") - col("df_t").cast("double") + 0.5) /
-        (col("df_t").cast("double") + 0.5))
-    val w = idf * (col("tf").cast("double") * (k1 + 1.0)) /
-      (col("tf").cast("double") +
-        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
     val perQuery = tf.join(broadcast(dfT), Seq("term"))
       .join(broadcast(stats))
       .join(broadcast(qt), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(w), 4).as("bm25"))
+      .agg(round(sum(bm25Weight(k1, b)), 4).as("bm25"))
     val screened =
       if (excludeSelf) perQuery.filter(col("doc_id") =!= col("query_id"))
       else perQuery
@@ -223,13 +299,15 @@ object Retrieval {
   }
 
   /** The Okapi weight shared by every BM25 path — ONE expression
-    * definition so the fresh-scan operators ([[bm25TopK]],
-    * [[bm25PerQueryRanks]]) and the index-serving operators
-    * ([[bm25TopKAgainstIndex]], [[bm25RanksAgainstIndex]]) cannot
-    * drift arithmetically: the indexed path's whole correctness
-    * claim is bit-equality of the rounded score, and that only holds
-    * if both paths evaluate the identical expression tree over
-    * identical (tf, dl, df_t, n_docs, sum_dl) longs. */
+    * definition the fresh-scan operators ([[bm25TopK]],
+    * [[bm25PerQueryRanks]]), the index-serving operators
+    * ([[bm25TopKAgainstIndex]], [[bm25RanksAgainstIndex]]) and the
+    * positional paths ([[scorePhrase]]) all CALL, so the paths
+    * cannot drift arithmetically: the indexed path's whole
+    * correctness claim is bit-equality of the rounded score, and
+    * that only holds if every path evaluates the identical
+    * expression tree over identical (tf, dl, df_t, n_docs, sum_dl)
+    * longs — structural sharing, not textual duplication. */
   private def bm25Weight(k1: Double, b: Double): Column = {
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +
@@ -273,58 +351,85 @@ object Retrieval {
     * per-document statistic; the explode→groupBy formulation pays a
     * corpus-wide exchange whose merge step is a no-op), so the only
     * redistribution in the whole build is the bucketed writes'
-    * term/doc clustering. Tokenization is [[Dedup.tokens]], the same
-    * case-folding \s+ split the fresh path uses — index and screen
-    * arithmetic cannot drift because serving reads everything from
-    * the tables.
+    * term/doc clustering. Tokenization is [[tokensFor]] at the
+    * `tokenizer` FAMILY recorded in `_meta` — serving verbs check
+    * their declared family against it and refuse on mismatch, so
+    * index and query tokenization can never disagree silently.
     *
     * Reference anchor: the reference's query surface pushes filters
     * to an external engine per query (AthenaEventQuery.java:161-198);
     * a persistent inverted index is that "query the corpus without
     * rescanning it" capability re-expressed for ranked retrieval. */
-  def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
-      name: String, numBuckets: Int = 8): Unit = {
-    val spark = docs.sparkSession
-    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-    // positional postings: positions (1-based ascending) ride every
-    // (term, doc) row so phrase/proximity serving never re-tokenizes
-    // the corpus; tf is their size. Storage cost, disclosed: ~one
-    // int per corpus token — the standard positional-index price,
-    // and the column PRUNES AWAY at every pure-BM25 serving scan.
-    val post = live
-      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("tk"))
+  /** Per-document (doc_id, dl, ents) rows — the ONE tokenize pass
+    * build and append both project their tables from: `dl` is the
+    * family's token count, `ents` the positional (term, positions)
+    * entries. Shared so the `_docs` and `_postings` derivations can
+    * never disagree about what a document's tokens were. */
+  private def bm25DocRows(docs: DataFrame, idCol: String,
+      textCol: String, tokenizer: String): DataFrame =
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        tokensFor(tokenizer, col(textCol)).as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-        explode(SketchFunctions.termPositions(col("tk"))).as("e"))
-      .select(col("e.term").as("term"), col("doc_id"),
-        size(col("e.positions")).cast("long").as("tf"), col("dl"),
-        col("e.positions").as("positions"))
+        SketchFunctions.termPositions(col("tk")).as("ents"))
+
+  /** The postings projection of [[bm25DocRows]] rows: one (term,
+    * doc_id, tf, dl, positions) row per distinct (doc, term).
+    * Positions are 1-based ascending; tf is their count. Storage
+    * cost, disclosed: ~one int per corpus token — the standard
+    * positional-index price, and the column PRUNES AWAY at every
+    * pure-BM25 serving scan. */
+  private def bm25Postings(docRows: DataFrame): DataFrame = docRows
+    .select(col("doc_id"), col("dl"), explode(col("ents")).as("e"))
+    .select(col("e.term").as("term"), col("doc_id"),
+      size(col("e.positions")).cast("long").as("tf"), col("dl"),
+      col("e.positions").as("positions"))
+
+  def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      name: String, numBuckets: Int = 8,
+      tokenizer: String = "ws"): Unit = {
+    require(TokenizerFamilies.contains(tokenizer),
+      s"buildBm25Index: unknown tokenizer family '$tokenizer' — one " +
+        s"of $TokenizerFamilies")
+    val spark = docs.sparkSession
+    Bucketing.withIndexLease(spark, name, "buildBm25Index") {
+    val rows = bm25DocRows(docs, idCol, textCol, tokenizer)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      Bucketing.writeBucketed(post, s"${name}_postings", "term", numBuckets)
-      Bucketing.writeBucketed(
-        post.groupBy(col("term")).agg(count(lit(1)).as("df_t")),
-        s"${name}_df", "term", numBuckets)
-      // every live doc has >= 1 token (split returns [""] on empty
-      // text), so the per-doc fold over postings loses nobody
-      Bucketing.writeBucketed(
-        post.groupBy(col("doc_id")).agg(max(col("dl")).as("dl")),
+      Bucketing.writeBucketed(bm25Postings(rows), s"${name}_postings",
+        "term", numBuckets)
+      // _docs from the per-doc rows, NOT a fold over postings: under
+      // the norm family a document can tokenize to ZERO terms (all
+      // punctuation), and it must still hold a _docs row — that row
+      // is what makes a replayed append self-suppress at
+      // [[screenNewForBm25Index]] and keeps n_docs honest.
+      Bucketing.writeBucketed(rows.select(col("doc_id"), col("dl")),
         s"${name}_docs", "doc_id", numBuckets)
-    } finally post.unpersist()
-    writeBm25Meta(spark, name, numBuckets)
+    } finally rows.unpersist()
+    // df from the postings TABLE just written — a pruned (term-only)
+    // parquet scan instead of a third pass over corpus text, and the
+    // same derivation [[repairBm25Stats]] uses, so build-time and
+    // repaired stats are one code path
+    Bucketing.writeBucketed(
+      spark.table(s"${name}_postings").groupBy(col("term"))
+        .agg(count(lit(1)).as("df_t")),
+      s"${name}_df", "term", numBuckets)
+    writeBm25Meta(spark, name, numBuckets, tokenizer)
+    }
   }
 
   /** (n_docs, sum_dl) recomputed from the `_docs` table — the single
     * source every maintenance verb re-derives `_meta` from, so the
     * stats can never drift from the doc set they describe. */
   private def writeBm25Meta(spark: SparkSession, name: String,
-      numBuckets: Int): Unit = {
+      numBuckets: Int, tokenizer: String): Unit = {
     val st = spark.table(s"${name}_docs")
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
       .head()
     import spark.implicits._
     Bucketing.writeTable(
-      Seq((st.getLong(0), st.getLong(1), numBuckets))
-        .toDF("n_docs", "sum_dl", "num_buckets"),
+      Seq((st.getLong(0), st.getLong(1), numBuckets, tokenizer))
+        .toDF("n_docs", "sum_dl", "num_buckets", "tokenizer"),
       s"${name}_meta")
   }
 
@@ -341,43 +446,48 @@ object Retrieval {
     * here would cost a full `_docs` scan per append, the re-scan tax
     * the index exists to avoid).
     *
-    * Crash windows: the four table updates are ordered postings →
-    * docs → df → meta, so a death mid-verb leaves scores computed
-    * with a conservative (slightly stale) df/avgdl over complete
-    * postings — re-running the append is NOT safe (ids would
-    * double); re-deriving df/meta is: call [[repairBm25Stats]]. */
+    * Crash windows — the four table updates are ordered docs →
+    * postings → df → meta, and the ORDER is load-bearing twice:
+    * `_docs` lands FIRST because it is the idempotence key — the
+    * streaming compositions replay a crashed batch through
+    * [[screenNewForBm25Index]], which anti-joins on `_docs` ids, so
+    * once `_docs` holds the batch the replay self-suppresses and can
+    * never double-append postings (postings-first had the inverse
+    * window: docs absent, replay re-appends, tf rows silently double
+    * and every score inflates undetectably). The residual windows
+    * are both REPAIRABLE: a death between `_docs` and `_postings`
+    * leaves landed docs with no postings — a hole
+    * [[reconcileBm25Index]] detects (docs with dl > 0 absent from
+    * postings) and heals from the landed corpus; a death after
+    * `_postings` leaves conservative (slightly stale) df/avgdl over
+    * complete postings — [[repairBm25Stats]] re-derives both. */
   def appendToBm25Index(batch: DataFrame, idCol: String, textCol: String,
       name: String): Unit = {
     val spark = batch.sparkSession
-    val numBuckets = spark.table(s"${name}_meta").head()
-      .getAs[Int]("num_buckets")
-    val live = batch.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    Bucketing.withIndexLease(spark, name, "appendToBm25Index") {
+    val (numBuckets, tokenizer) = bm25Meta(spark, name)
     // eager localCheckpoint, NOT persist: the caller's batch plan may
     // reference this index's own tables (the [[screenNewForBm25Index]]
     // anti-join in the streaming composition), and the `_docs` append
     // below INVALIDATES any cache built over them — a lazily
     // re-evaluated plan would then anti-join against the mutated
     // table, see its own rows as already-indexed, and silently feed
-    // an EMPTY frame to the df/meta refresh. The checkpoint truncates
-    // lineage, so the pinned postings are immune to the mutation.
-    val post = live
-      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("tk"))
-      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-        explode(SketchFunctions.termPositions(col("tk"))).as("e"))
-      .select(col("e.term").as("term"), col("doc_id"),
-        size(col("e.positions")).cast("long").as("tf"), col("dl"),
-        col("e.positions").as("positions"))
+    // an EMPTY frame to the postings/df/meta writes. The checkpoint
+    // truncates lineage, so the pinned rows are immune to the
+    // mutation.
+    val rows = bm25DocRows(batch, idCol, textCol, tokenizer)
       .localCheckpoint(true)
-    Bucketing.appendBucketed(post, s"${name}_postings", "term", numBuckets)
-    Bucketing.appendBucketed(
-      post.groupBy(col("doc_id")).agg(max(col("dl")).as("dl")),
+    Bucketing.appendBucketed(rows.select(col("doc_id"), col("dl")),
       s"${name}_docs", "doc_id", numBuckets)
+    val post = bm25Postings(rows)
+    Bucketing.appendBucketed(post, s"${name}_postings", "term", numBuckets)
     val batchDf = post.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
     Bucketing.compactBucketed(old =>
       old.unionByName(batchDf).groupBy(col("term"))
         .agg(sum(col("df_t")).as("df_t")))(
       spark, s"${name}_df", "term", numBuckets)
-    writeBm25Meta(spark, name, numBuckets)
+    writeBm25Meta(spark, name, numBuckets, tokenizer)
+    }
   }
 
   /** Maintenance pass for a BM25 index that has accreted appends:
@@ -389,15 +499,15 @@ object Retrieval {
     * and an interrupted swap finishes on the next verb or
     * [[openBm25Index]]. `_df`/`_meta` are value-unchanged by
     * compaction and stay. */
-  def compactBm25Index(spark: SparkSession, name: String): Unit = {
-    val numBuckets = spark.table(s"${name}_meta").head()
-      .getAs[Int]("num_buckets")
-    Bucketing.compactBucketed()(spark, s"${name}_postings", "term",
-      numBuckets)
-    Bucketing.compactBucketed()(spark, s"${name}_df", "term", numBuckets)
-    Bucketing.compactBucketed()(spark, s"${name}_docs", "doc_id",
-      numBuckets)
-  }
+  def compactBm25Index(spark: SparkSession, name: String): Unit =
+    Bucketing.withIndexLease(spark, name, "compactBm25Index") {
+      val (numBuckets, _) = bm25Meta(spark, name)
+      Bucketing.compactBucketed()(spark, s"${name}_postings", "term",
+        numBuckets)
+      Bucketing.compactBucketed()(spark, s"${name}_df", "term", numBuckets)
+      Bucketing.compactBucketed()(spark, s"${name}_docs", "doc_id",
+        numBuckets)
+    }
 
   /** The ids of `batch` rows NOT yet in the index — the idempotence
     * screen a streaming composition runs before
@@ -414,31 +524,73 @@ object Retrieval {
       col(idCol) === col("__bm_id"), "left_anti")
   }
 
-  /** Heals the one residual window of the retrieval-ready ingest
-    * composition ([[graft.streaming.StreamingIngest
-    * .toScreenedDocIngest]]'s `bm25IndexName`): a crash between the
-    * sink append and the BM25 append leaves landed documents with no
-    * postings, and the replay self-suppresses at the dedup screen —
-    * so redelivery alone cannot heal it. Reconciliation is the
-    * answer: anti-join the LANDED corpus against the index's own
-    * `_docs` ids and append whatever is missing. Idempotent (a
-    * second run finds nothing) and safe to run any time — it is the
-    * [[screenNewForBm25Index]] + [[appendToBm25Index]] composition
-    * with the count surfaced. COST, disclosed: one scan of the
-    * landed corpus against the narrow `_docs` projection — a repair
-    * verb to run after a crash or on a schedule, not per batch.
-    * Returns the number of documents healed. */
+  /** Reconciles a BM25 index against the LANDED corpus — the repair
+    * verb for every window redelivery does NOT heal. In the streaming
+    * compositions ([[graft.streaming.StreamingIngest
+    * .toScreenedDocIngest]]/`toPipelineIngest` with `bm25IndexName`)
+    * the dedup fold-in runs AFTER the BM25 append, so a crash between
+    * the sink append and the BM25 append replays past the dedup
+    * screen and the BM25 append completes on its own — redelivery
+    * heals that window. What redelivery CANNOT heal, and this verb
+    * exists for:
+    *
+    *   - enabling `bm25IndexName` on an already-landed corpus (the
+    *     backfill case — nothing will ever redeliver those docs);
+    *   - a terminally abandoned stream (its last crash window never
+    *     replays);
+    *   - a death INSIDE [[appendToBm25Index]] between the `_docs`
+    *     and `_postings` appends: the replay self-suppresses at
+    *     [[screenNewForBm25Index]] (by design — that is what makes
+    *     double-append impossible), leaving docs with dl > 0 and no
+    *     postings.
+    *
+    * Two passes, both idempotent (a second run finds nothing):
+    * (1) landed docs absent from `_docs` entirely append through the
+    * normal verb; (2) `_docs` rows with dl > 0 but no postings row
+    * (the dl > 0 guard keeps zero-token norm-family docs from
+    * re-flagging forever — they legitimately have no postings) get
+    * their postings re-derived from the landed text, then df/meta
+    * re-derive via [[repairBm25Stats]]. COST, disclosed: one scan of
+    * the landed corpus against the narrow `_docs` projection plus
+    * one doc_id-distinct pass over `_postings` — a repair verb to
+    * run after a crash or on a schedule, not per batch. Returns the
+    * number of documents healed across both passes. */
   def reconcileBm25Index(landed: DataFrame, idCol: String,
       textCol: String, name: String): Long = {
+    val spark = landed.sparkSession
+    Bucketing.withIndexLease(spark, name, "reconcileBm25Index") {
+    val (numBuckets, tokenizer) = bm25Meta(spark, name)
+    val live = landed.filter(col(idCol).isNotNull && col(textCol).isNotNull)
     // eager pin: counted AND appended — and the append mutates the
     // very tables the anti-join reads (the appendToBm25Index
     // cache-invalidation lesson)
-    val missing = screenNewForBm25Index(
-      landed.filter(col(idCol).isNotNull && col(textCol).isNotNull),
-      idCol, name).localCheckpoint(true)
-    val n = missing.count()
-    if (n > 0) appendToBm25Index(missing, idCol, textCol, name)
-    n
+    val missing = screenNewForBm25Index(live, idCol, name)
+      .localCheckpoint(true)
+    val nMissing = missing.count()
+    if (nMissing > 0) appendToBm25Index(missing, idCol, textCol, name)
+    // pass 2 reads the post-pass-1 tables fresh: pass 1's appends
+    // carry complete postings, so they can never surface as holes
+    val holeIds = spark.table(s"${name}_docs")
+      .filter(col("dl") > 0)
+      .select(col("doc_id"))
+      .join(spark.table(s"${name}_postings").select(col("doc_id"))
+        .distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("__hole_id"))
+    val holes = live
+      .join(holeIds, col(idCol) === col("__hole_id"), "left_semi")
+      .localCheckpoint(true)
+    val nHoles = holes.count()
+    if (nHoles > 0) {
+      // postings ONLY — these docs' _docs rows already exist; a
+      // second _docs append would double n_docs/sum_dl
+      Bucketing.appendBucketed(
+        bm25Postings(bm25DocRows(holes, idCol, textCol, tokenizer)
+          .localCheckpoint(true)),
+        s"${name}_postings", "term", numBuckets)
+      repairBm25Stats(spark, name)
+    }
+    nMissing + nHoles
+    }
   }
 
   /** Rebuilds the index's derived statistics (`_df`, `_meta`) from
@@ -447,15 +599,15 @@ object Retrieval {
     * answer to "are the stats still true?": df re-derives as one
     * term-keyed aggregate over postings (already bucketed by term, so
     * zero exchange below the write), meta from `_docs`. */
-  def repairBm25Stats(spark: SparkSession, name: String): Unit = {
-    val numBuckets = spark.table(s"${name}_meta").head()
-      .getAs[Int]("num_buckets")
-    Bucketing.compactBucketed(_ =>
-      spark.table(s"${name}_postings").groupBy(col("term"))
-        .agg(count(lit(1)).as("df_t")))(
-      spark, s"${name}_df", "term", numBuckets)
-    writeBm25Meta(spark, name, numBuckets)
-  }
+  def repairBm25Stats(spark: SparkSession, name: String): Unit =
+    Bucketing.withIndexLease(spark, name, "repairBm25Stats") {
+      val (numBuckets, tokenizer) = bm25Meta(spark, name)
+      Bucketing.compactBucketed(_ =>
+        spark.table(s"${name}_postings").groupBy(col("term"))
+          .agg(count(lit(1)).as("df_t")))(
+        spark, s"${name}_df", "term", numBuckets)
+      writeBm25Meta(spark, name, numBuckets, tokenizer)
+    }
 
   /** Takedown for the BM25 index — [[graft.operators.Dedup
     * .retireFromDedupIndex]]'s verb for postings: removes the ids'
@@ -467,8 +619,8 @@ object Retrieval {
   def retireFromBm25Index(ids: DataFrame, idCol: String,
       name: String): Unit = {
     val spark = ids.sparkSession
-    val numBuckets = spark.table(s"${name}_meta").head()
-      .getAs[Int]("num_buckets")
+    Bucketing.withIndexLease(spark, name, "retireFromBm25Index") {
+    val (numBuckets, _) = bm25Meta(spark, name)
     val rids = ids.filter(col(idCol).isNotNull)
       .select(col(idCol).as("__rid")).distinct()
     Bucketing.compactBucketed(
@@ -478,6 +630,7 @@ object Retrieval {
       _.join(broadcast(rids), col("doc_id") === col("__rid"), "left_anti"))(
       spark, s"${name}_docs", "doc_id", numBuckets)
     repairBm25Stats(spark, name)
+    }
   }
 
   /** Re-registers a persisted BM25 index's tables from their
@@ -487,8 +640,7 @@ object Retrieval {
   def openBm25Index(spark: SparkSession, name: String): Unit = {
     require(Bucketing.registerExisting(spark, s"${name}_meta", None),
       s"no persisted BM25 index named '$name' in the warehouse")
-    val numBuckets = spark.table(s"${name}_meta").head()
-      .getAs[Int]("num_buckets")
+    val (numBuckets, _) = bm25Meta(spark, name)
     Seq(("_postings", "term"), ("_df", "term"), ("_docs", "doc_id"))
       .foreach { case (suffix, bucketCol) =>
         Bucketing.finishInterruptedSwap(spark, s"$name$suffix")
@@ -528,15 +680,15 @@ object Retrieval {
     * appears nowhere in this plan. */
   def bm25TopKAgainstIndex(spark: SparkSession, name: String,
       queryTerms: Seq[String], topK: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      tokenizer: String = "ws"): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct == queryTerms,
       s"queryTerms must be distinct, got $queryTerms")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    queryTerms.find(t => t != t.toLowerCase).foreach(t =>
-      throw new IllegalArgumentException(
-        s"bm25TopKAgainstIndex: query term '$t' is not lowercase — " +
-          "index terms are case-folded by Dedup.tokens"))
+    requireQueryTerms("bm25TopKAgainstIndex", tokenizer, queryTerms)
+    requireFamily("bm25TopKAgainstIndex", name,
+      bm25Meta(spark, name)._2, tokenizer)
     val post = spark.table(s"${name}_postings")
       .filter(col("term").isin(queryTerms: _*))
     val dfT = spark.table(s"${name}_df")
@@ -567,8 +719,12 @@ object Retrieval {
       queries: DataFrame, queryIdCol: String, termsCol: String,
       topK: Int, k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = false,
-      maxQueryTerms: Int = 65536): DataFrame = {
+      maxQueryTerms: Int = 65536,
+      tokenizer: String = "ws"): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
+    requireQueryTerms("bm25RanksAgainstIndex", tokenizer, Nil)
+    requireFamily("bm25RanksAgainstIndex", name,
+      bm25Meta(spark, name)._2, tokenizer)
     val qt = queries
       .filter(col(queryIdCol).isNotNull && col(termsCol).isNotNull)
       .select(col(queryIdCol).as("query_id"),
@@ -582,10 +738,12 @@ object Retrieval {
         "split it or raise maxQueryTerms")
     val termLits = termRows.map(_.getString(0)).toSeq
     if (termLits.isEmpty)
-      return spark.emptyDataFrame
-        .select(lit(0L).as("query_id"), lit(0).as("rank"),
-          lit(0L).as("doc_id"), lit(0.0).as("bm25"))
-        .limit(0)
+      // empty frame derived from the REAL query plan so query_id
+      // keeps the caller's type — hardcoded lits forced it to long,
+      // and a caller unioning the empty-batch edge with the normal
+      // path would hit a schema mismatch only on that edge
+      return qt.select(col("query_id"), lit(0).cast("int").as("rank"),
+        lit(0L).as("doc_id"), lit(0.0).as("bm25")).limit(0)
     val post = spark.table(s"${name}_postings")
       .filter(col("term").isin(termLits: _*))
     val dfT = spark.table(s"${name}_df")
@@ -608,51 +766,90 @@ object Retrieval {
         col("col.neighbor_id").as("doc_id"), col("col.cos").as("bm25"))
   }
 
-  private def requirePhrase(phrase: Seq[String]): Unit = {
+  private def requirePhrase(op: String, phrase: Seq[String],
+      tokenizer: String): Unit = {
     require(phrase.nonEmpty, "phrase must be non-empty")
-    phrase.find(t => t != t.toLowerCase).foreach(t =>
-      throw new IllegalArgumentException(
-        s"phrase term '$t' is not lowercase — corpus tokens are " +
-          "case-folded by Dedup.tokens; lowercase the phrase"))
+    requireQueryTerms(op, tokenizer, phrase)
   }
 
-  /** Shared phrase-scoring tail of [[bm25PhraseTopK]] and
-    * [[bm25PhraseAgainstIndex]] — ONE definition so the fresh and
-    * indexed paths are bit-equal by construction (the bm25Weight
-    * argument). Input `pos`: (doc_id, dl, term, positions) rows for
-    * the phrase's distinct terms only. Slot 0 anchors; each later
-    * slot joins its postings on doc_id (repeated phrase terms reuse
-    * the same rows), and the occurrence count is the intersection of
-    * slot-shifted position arrays — array HOFs, zero explodes. The
-    * phrase then scores as ONE pseudo-term: tf = occurrences, df =
-    * docs containing the phrase (derived per query — phrase df is
-    * query-specific by nature, never stored), dl/n_docs/sum_dl the
-    * ordinary corpus stats. `scored` is evaluated twice (df
-    * aggregate + scoring) — both narrow (doc_id, dl, tf) passes over
-    * the matched docs only, the [[bm25TopK]] recompute posture. */
-  private def scorePhrase(pos: DataFrame, stats: DataFrame,
-      phrase: Seq[String], topK: Int, k1: Double, b: Double): DataFrame = {
-    val slot0 = pos.filter(col("term") === phrase.head)
+  /** Per-slot position-list join shared by the phrase and proximity
+    * paths: slot 0 anchors; each later slot joins its postings on
+    * doc_id (repeated terms reuse the same rows). Input `pos`:
+    * (doc_id, dl, term, positions) rows for the distinct query terms
+    * only; output carries (doc_id, dl, __p0..__pN). An inner join
+    * per slot — a document missing ANY term can match neither a
+    * phrase nor an all-terms window, so it drops before the
+    * occurrence arithmetic. */
+  private def joinTermPositions(pos: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    val slot0 = pos.filter(col("term") === terms.head)
       .select(col("doc_id"), col("dl"), col("positions").as("__p0"))
-    val joined = phrase.zipWithIndex.tail.foldLeft(slot0) {
+    terms.zipWithIndex.tail.foldLeft(slot0) {
       case (acc, (t, i)) =>
         acc.join(pos.filter(col("term") === t)
           .select(col("doc_id"), col("positions").as(s"__p$i")),
           Seq("doc_id"))
     }
-    val inter = phrase.indices.tail.foldLeft(col("__p0")) { (acc, i) =>
-      array_intersect(acc, transform(col(s"__p$i"), x => x - i))
-    }
-    val scored = joined
-      .select(col("doc_id"), col("dl"), size(inter).cast("long").as("tf"))
-      .filter(col("tf") > 0)
+  }
+
+  /** Shared single-pseudo-term scoring tail of the positional
+    * operators — ONE definition so each operator's fresh and indexed
+    * paths are bit-equal by construction (the bm25Weight argument).
+    * Input `matched`: (doc_id, dl, tf) rows with tf the occurrence
+    * count; the pseudo-term scores with df = matched doc count
+    * (derived per query — a positional pattern's df is
+    * query-specific by nature, never stored) and the ordinary corpus
+    * stats. `scored` is evaluated twice (df aggregate + scoring) —
+    * both narrow (doc_id, dl, tf) passes over the matched docs only,
+    * the [[bm25TopK]] recompute posture. */
+  private def scorePseudoTerm(matched: DataFrame, stats: DataFrame,
+      tfName: String, topK: Int, k1: Double, b: Double): DataFrame = {
+    val scored = matched.filter(col("tf") > 0)
     val dfp = scored.agg(count(lit(1)).as("df_t"))
     scored.join(broadcast(dfp))
       .join(broadcast(stats))
-      .select(col("doc_id"), col("tf").as("phrase_tf"),
+      .select(col("doc_id"), col("tf").as(tfName),
         round(bm25Weight(k1, b), 4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
+  }
+
+  /** Phrase occurrences = the intersection of slot-shifted position
+    * arrays (a phrase occurs at p iff term_i sits at p+i for every
+    * slot) — array HOFs, zero explodes. */
+  private def scorePhrase(pos: DataFrame, stats: DataFrame,
+      phrase: Seq[String], topK: Int, k1: Double, b: Double): DataFrame = {
+    val joined = joinTermPositions(pos, phrase)
+    val inter = phrase.indices.tail.foldLeft(col("__p0")) { (acc, i) =>
+      array_intersect(acc, transform(col(s"__p$i"), x => x - i))
+    }
+    scorePseudoTerm(
+      joined.select(col("doc_id"), col("dl"),
+        size(inter).cast("long").as("tf")),
+      stats, "phrase_tf", topK, k1, b)
+  }
+
+  /** Proximity occurrences = anchor positions of the FIRST term such
+    * that every other term has an occurrence within `window` tokens
+    * (|q − p| <= window, unordered — "all terms near each other",
+    * the looser contamination-hunt primitive; [[scorePhrase]] is the
+    * ordered exact-offset special case). Anchoring on one designated
+    * term makes tf well-defined and engine-reproducible: counting
+    * all satisfying TUPLES would explode combinatorially and counting
+    * distinct windows is ambiguous at overlaps. Pure array HOFs
+    * (filter + exists), zero explodes. */
+  private def scoreProximity(pos: DataFrame, stats: DataFrame,
+      terms: Seq[String], window: Int, topK: Int, k1: Double,
+      b: Double): DataFrame = {
+    val joined = joinTermPositions(pos, terms)
+    val anchors = filter(col("__p0"), p =>
+      terms.indices.tail
+        .map(i => exists(col(s"__p$i"), q => abs(q - p) <= window))
+        .reduce(_ && _))
+    scorePseudoTerm(
+      joined.select(col("doc_id"), col("dl"),
+        size(anchors).cast("long").as("tf")),
+      stats, "prox_tf", topK, k1, b)
   }
 
   /** Exact-PHRASE BM25 top-k over a fresh corpus scan — "find every
@@ -667,22 +864,48 @@ object Retrieval {
     * decimals, ordered (bm25 desc, doc_id), top-k via
     * TakeOrderedAndProject. A one-word phrase degenerates to
     * [[bm25TopK]] on that term, as it should. */
-  def bm25PhraseTopK(docs: DataFrame, idCol: String, textCol: String,
-      phrase: Seq[String], topK: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    requirePhrase(phrase)
-    require(topK >= 1, s"topK must be >= 1, got $topK")
+  /** The (pos, stats) pair of a fresh positional scan: per-doc
+    * positional rows for `terms` only (the isin filter sits under
+    * the Generate, so only the query terms' rows ever leave the
+    * scan) plus the one-row corpus stats. Shared by the fresh phrase
+    * and proximity paths. */
+  private def freshPositions(docs: DataFrame, idCol: String,
+      textCol: String, tokenizer: String,
+      terms: Seq[String]): (DataFrame, DataFrame) = {
     val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
     val toks = live.select(col(idCol).as("doc_id"),
-      Dedup.tokens(col(textCol)).as("tk"))
+      tokensFor(tokenizer, col(textCol)).as("tk"))
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       sum(size(col("tk")).cast("long")).as("sum_dl"))
     val pos = toks
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         explode(SketchFunctions.termPositions(col("tk"))).as("e"))
-      .filter(col("e.term").isin(phrase.distinct: _*))
+      .filter(col("e.term").isin(terms: _*))
       .select(col("doc_id"), col("dl"), col("e.term").as("term"),
         col("e.positions").as("positions"))
+    (pos, stats)
+  }
+
+  /** The positional rows + stats of an INDEX serve: only the query
+    * terms' bucket-pruned postings and the one-row `_meta`. */
+  private def indexPositions(spark: SparkSession, name: String,
+      terms: Seq[String]): (DataFrame, DataFrame) = {
+    val pos = spark.table(s"${name}_postings")
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("positions"))
+    val stats = spark.table(s"${name}_meta")
+      .select(col("n_docs"), col("sum_dl"))
+    (pos, stats)
+  }
+
+  def bm25PhraseTopK(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      tokenizer: String = "ws"): DataFrame = {
+    requirePhrase("bm25PhraseTopK", phrase, tokenizer)
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val (pos, stats) = freshPositions(docs, idCol, textCol, tokenizer,
+      phrase.distinct)
     scorePhrase(pos, stats, phrase, topK, k1, b)
   }
 
@@ -694,15 +917,64 @@ object Retrieval {
     * the fresh path's SQL verbatim). */
   def bm25PhraseAgainstIndex(spark: SparkSession, name: String,
       phrase: Seq[String], topK: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    requirePhrase(phrase)
+      k1: Double = 1.2, b: Double = 0.75,
+      tokenizer: String = "ws"): DataFrame = {
+    requirePhrase("bm25PhraseAgainstIndex", phrase, tokenizer)
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val pos = spark.table(s"${name}_postings")
-      .filter(col("term").isin(phrase.distinct: _*))
-      .select(col("doc_id"), col("dl"), col("term"), col("positions"))
-    val stats = spark.table(s"${name}_meta")
-      .select(col("n_docs"), col("sum_dl"))
+    requireFamily("bm25PhraseAgainstIndex", name,
+      bm25Meta(spark, name)._2, tokenizer)
+    val (pos, stats) = indexPositions(spark, name, phrase.distinct)
     scorePhrase(pos, stats, phrase, topK, k1, b)
+  }
+
+  private def requireProximity(op: String, terms: Seq[String],
+      window: Int, tokenizer: String): Unit = {
+    require(terms.size >= 2,
+      s"$op: need >= 2 terms (one term has no proximity), got $terms")
+    require(terms.distinct == terms,
+      s"$op: terms must be distinct, got $terms")
+    require(window >= 1, s"$op: window must be >= 1, got $window")
+    requireQueryTerms(op, tokenizer, terms)
+  }
+
+  /** PROXIMITY BM25 top-k over a fresh corpus scan — "find documents
+    * where all these terms occur within `window` tokens of each
+    * other, best first": the looser half of positional retrieval
+    * ([[bm25PhraseTopK]] demands the exact sequence; a paraphrased
+    * benchmark leak or a co-mention survives word reordering, and
+    * this catches it). An occurrence is an anchor position of
+    * `terms.head` with every other term within ±`window` tokens
+    * ([[scoreProximity]]); occurrences score as ONE pseudo-term
+    * under the standard Okapi weight. Returns (doc_id, prox_tf,
+    * bm25), score rounded to 4 decimals, ordered (bm25 desc,
+    * doc_id), top-k via TakeOrderedAndProject. */
+  def bm25ProximityTopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], window: Int, topK: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      tokenizer: String = "ws"): DataFrame = {
+    requireProximity("bm25ProximityTopK", terms, window, tokenizer)
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val (pos, stats) = freshPositions(docs, idCol, textCol, tokenizer,
+      terms)
+    scoreProximity(pos, stats, terms, window, topK, k1, b)
+  }
+
+  /** [[bm25ProximityTopK]] served from a [[buildBm25Index]] index —
+    * same positional postings the phrase path reads, same pruned
+    * scan of only the query terms' buckets, bit-equal to the fresh
+    * scan (shared [[scoreProximity]] tail; the d124 oracle is the
+    * fresh path's SQL verbatim). */
+  def bm25ProximityAgainstIndex(spark: SparkSession, name: String,
+      terms: Seq[String], window: Int, topK: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      tokenizer: String = "ws"): DataFrame = {
+    requireProximity("bm25ProximityAgainstIndex", terms, window,
+      tokenizer)
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    requireFamily("bm25ProximityAgainstIndex", name,
+      bm25Meta(spark, name)._2, tokenizer)
+    val (pos, stats) = indexPositions(spark, name, terms)
+    scoreProximity(pos, stats, terms, window, topK, k1, b)
   }
 
   /** Per-document TF-IDF keyword extraction — the tagging pass that

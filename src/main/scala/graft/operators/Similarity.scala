@@ -1107,6 +1107,8 @@ object Similarity {
       md5Sig: Boolean = false,
       numBuckets: Int = 8): Unit = {
     val spark = corpus.sparkSession
+    graft.sources.Bucketing.withIndexLease(spark, name,
+      "buildAnnIndex") {
     val sampleOrd =
       if (md5Sig) Dedup.md5Hash60(col(idCol).cast("long").cast("string"))
       else xxhash64(col(idCol).cast("long"))
@@ -1136,6 +1138,7 @@ object Similarity {
       Seq((nlist, m, ksub, md5Sig, numBuckets))
         .toDF("nlist", "m", "ksub", "md5_sig", "num_buckets"),
       s"${name}_meta")
+    }
   }
 
   /** Appends a batch of NEW vectors to a [[buildAnnIndex]] index:
@@ -1151,6 +1154,8 @@ object Similarity {
       vecCol: String,
       name: String): Unit = {
     val spark = batch.sparkSession
+    graft.sources.Bucketing.withIndexLease(spark, name,
+      "appendToAnnIndex") {
     val meta = spark.table(s"${name}_meta").head()
     val m = meta.getAs[Int]("m")
     val numBuckets = meta.getAs[Int]("num_buckets")
@@ -1178,6 +1183,7 @@ object Similarity {
         book.codesOf(col(vecCol)).as("codes"),
         col(vecCol).as("vec")),
       s"${name}_vectors", "cell_id", numBuckets)
+    }
   }
 
   /** Ops observability for the ANN index — the occupancy histogram
@@ -1241,7 +1247,9 @@ object Similarity {
   def rebalanceAnnIndex(spark: org.apache.spark.sql.SparkSession,
       name: String,
       refineIters: Int = 2,
-      refineSampleMod: Long = 4): Unit = {
+      refineSampleMod: Long = 4): Unit =
+    graft.sources.Bucketing.withIndexLease(spark, name,
+      "rebalanceAnnIndex") {
     finishInterruptedRebalance(spark, name)
     val meta = spark.table(s"${name}_meta").head()
     val nlist = meta.getAs[Int]("nlist")
@@ -1259,7 +1267,7 @@ object Similarity {
         .toDF("cell_id", "cvec"), s"${name}_cents_stage")
     graft.sources.Bucketing.createMarker(spark, rebalanceMarker(name))
     completeRebalance(spark, name)
-  }
+    }
 
   /** Roll-forward tail shared by [[rebalanceAnnIndex]],
     * [[rebuildAnnIndex]] and their crash recovery — precondition:
@@ -1331,7 +1339,9 @@ object Similarity {
   def rebuildAnnIndex(spark: org.apache.spark.sql.SparkSession,
       name: String,
       refineIters: Int = 2,
-      refineSampleMod: Long = 4): Unit = {
+      refineSampleMod: Long = 4): Unit =
+    graft.sources.Bucketing.withIndexLease(spark, name,
+      "rebuildAnnIndex") {
     finishInterruptedRebalance(spark, name)
     val meta = spark.table(s"${name}_meta").head()
     val nlist = meta.getAs[Int]("nlist")
@@ -1356,7 +1366,7 @@ object Similarity {
         .toDF("code", "cvec"), s"${name}_book_stage")
     graft.sources.Bucketing.createMarker(spark, rebalanceMarker(name))
     completeRebalance(spark, name)
-  }
+    }
 
   private def finishInterruptedRebalance(
       spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
@@ -1384,13 +1394,16 @@ object Similarity {
   def retireFromAnnIndex(ids: DataFrame, idCol: String,
       name: String): Unit = {
     val spark = ids.sparkSession
-    val numBuckets = spark.table(s"${name}_meta").head()
-      .getAs[Int]("num_buckets")
-    val rids = ids.filter(col(idCol).isNotNull)
-      .select(col(idCol).cast("long").as("__rid")).distinct()
-    graft.sources.Bucketing.compactBucketed(
-      _.join(broadcast(rids), col("vec_id") === col("__rid"),
-        "left_anti"))(spark, s"${name}_vectors", "cell_id", numBuckets)
+    graft.sources.Bucketing.withIndexLease(spark, name,
+      "retireFromAnnIndex") {
+      val numBuckets = spark.table(s"${name}_meta").head()
+        .getAs[Int]("num_buckets")
+      val rids = ids.filter(col(idCol).isNotNull)
+        .select(col(idCol).cast("long").as("__rid")).distinct()
+      graft.sources.Bucketing.compactBucketed(
+        _.join(broadcast(rids), col("vec_id") === col("__rid"),
+          "left_anti"))(spark, s"${name}_vectors", "cell_id", numBuckets)
+    }
   }
 
   /** Re-registers a persisted ANN index's tables from their
@@ -1442,13 +1455,65 @@ object Similarity {
   def annRecallSweep(spark: org.apache.spark.sql.SparkSession,
       name: String, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobes: Seq[Int], shortlistFactor: Int = 5): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
     require(nprobes.nonEmpty && nprobes.distinct == nprobes,
       s"nprobes must be non-empty and distinct, got $nprobes")
+    sweepRecallArms(spark, name, queries, idCol, vecCol, k, "nprobe",
+      nprobes, np => annTopKAgainstIndex(queries, idCol, vecCol, name,
+        k = k, nprobe = np, shortlistFactor = shortlistFactor))
+  }
+
+  /** REFINE-DEPTH sweep for a [[buildAnnIndex]] index — the ops card
+    * behind choosing `shortlistFactor`, the OTHER recall lever
+    * [[annRecallSweep]] holds fixed: every serve already exact-
+    * re-ranks its ADC shortlist against the index's stored vectors
+    * (the [[annTopKAgainstIndex]] refine stage — FAISS IndexRefine's
+    * shape), but a true neighbor the quantized ADC distance ranks
+    * past k·factor never REACHES that re-rank; this is the ADC-
+    * truncation cost, and recall it leaves behind is recoverable for
+    * shortlist×dim exact work per query — bounded, never a corpus
+    * scan. The card prices exactly that trade: same query batch,
+    * same FIXED nprobe, one arm per shortlist factor, all arms
+    * scored against ONE brute-force ground truth (the
+    * [[annRecallSweep]] cost disclosure applies). recall(factor)
+    * rising means ADC truncation was binding — spend shortlist;
+    * recall(factor) flat means the probe set is binding — spend
+    * nprobe (d117's card) or rebalance.
+    *
+    * Returns (shortlist_factor, k, n_queries, hits, recall), one row
+    * per factor including zero-hit arms. */
+  def annRefineSweep(spark: org.apache.spark.sql.SparkSession,
+      name: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, shortlistFactors: Seq[Int]): DataFrame = {
+    require(shortlistFactors.nonEmpty &&
+      shortlistFactors.distinct == shortlistFactors,
+      s"shortlistFactors must be non-empty and distinct, got " +
+        s"$shortlistFactors")
+    require(shortlistFactors.forall(_ >= 1),
+      s"shortlistFactors must be >= 1, got $shortlistFactors")
+    sweepRecallArms(spark, name, queries, idCol, vecCol, k,
+      "shortlist_factor", shortlistFactors,
+      sf => annTopKAgainstIndex(queries, idCol, vecCol, name, k = k,
+        nprobe = nprobe, shortlistFactor = sf))
+  }
+
+  /** Shared sweep machinery of [[annRecallSweep]] and
+    * [[annRefineSweep]]: ONE exact ground truth over the index's own
+    * contents (broadcast query batch × one pruned (vec_id, vec)
+    * scan, folded by the bounded per-query top-k heap, self
+    * excluded), one arm of [[annTopKAgainstIndex]] per swept value,
+    * ONE semi-join scoring all arms, recall = hits / (n_queries · k)
+    * as exact integer counts divided once, rounded to 4 decimals
+    * (§6). Zero-hit arms surface as 0.0 rows via the left join from
+    * the arm list. */
+  private def sweepRecallArms(spark: org.apache.spark.sql.SparkSession,
+      name: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, armCol: String, arms: Seq[Int],
+      serve: Int => DataFrame): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val qv = queries.filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
     val nq = qv.count() // bounded: an eval-sized probe batch
-    require(nq >= 1, s"annRecallSweep('$name'): empty query batch")
+    require(nq >= 1, s"recall sweep over '$name': empty query batch")
     val contents = spark.table(s"${name}_vectors")
       .select(col("vec_id").as("neighbor_id"), col("vec").as("__cv"))
     val truth = contents
@@ -1462,19 +1527,18 @@ object Similarity {
         col("neighbor_id"), -col("__d2"), k).as("top"))
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"))
-    val servedAll = nprobes.map { np =>
-      annTopKAgainstIndex(queries, idCol, vecCol, name, k = k,
-        nprobe = np, shortlistFactor = shortlistFactor)
-        .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id"))
+    val servedAll = arms.map { a =>
+      serve(a)
+        .select(lit(a).as(armCol), col("query_id"), col("neighbor_id"))
     }.reduce(_ unionByName _)
     val hits = servedAll
       .join(truth.hint("SHUFFLE_HASH"),
         Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+      .groupBy(col(armCol)).agg(count(lit(1)).as("hits"))
     import spark.implicits._
-    nprobes.toDF("nprobe")
-      .join(broadcast(hits), Seq("nprobe"), "left")
-      .select(col("nprobe"), lit(k).as("k"), lit(nq).as("n_queries"),
+    arms.toDF(armCol)
+      .join(broadcast(hits), Seq(armCol), "left")
+      .select(col(armCol), lit(k).as("k"), lit(nq).as("n_queries"),
         coalesce(col("hits"), lit(0L)).as("hits"),
         round(coalesce(col("hits"), lit(0L)).cast("double") /
           lit(nq * k).cast("double"), 4).as("recall"))

@@ -1132,6 +1132,27 @@ object DBlock {
         .orderBy(col("nprobe"))
     }),
 
+    // D95: ANN REFINE-DEPTH sweep — the other recall lever (d117
+    // sweeps nprobe at fixed shortlist; this sweeps the ADC
+    // shortlist at fixed nprobe): a true neighbor the quantized
+    // distance ranks past k·factor never reaches the exact re-rank
+    // every serve already runs, and that ADC-truncation loss is
+    // recoverable for bounded shortlist×dim work. One ground truth,
+    // three arms (factor 1/5/20), one semi-join. Fully oracle-
+    // checked: DuckDB re-derives cells, book, all three shortlist
+    // cuts, the exact re-ranks AND the brute-force truth.
+    "d123_refine_sweep" -> ((s, d) => {
+      val q8 = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+      Similarity.buildAnnIndex(q8, "vec_id", "qv", name = "d123_idx",
+        nlist = 16, m = 4, ksub = 8, md5Sig = true)
+      Similarity.annRefineSweep(s, "d123_idx",
+        q8.filter(col("vec_id") < 50), "vec_id", "qv",
+        k = 10, nprobe = 4, shortlistFactors = Seq(1, 5, 20))
+        .orderBy(col("shortlist_factor"))
+    }),
+
     // D67: per-bin token-id MATERIALIZATION — the `.bin` artifact
     // the d90 manifest addresses: concatenate each context bin's
     // document segments (real fixed-BPE ids, the d38/d59 tokenizer)
@@ -1699,6 +1720,53 @@ object DBlock {
         name = "d119_idx")
       Retrieval.bm25PhraseAgainstIndex(s, "d119_idx",
         phrase = d118Phrase, topK = 20, k1 = 1.5, b = 0.75)
+    }),
+
+    // D93: the NORM tokenizer FAMILY over a punctuation-planted
+    // corpus — the first thing a real corpus exposes: the plant
+    // glues a boundary mark onto EVERY token ('(' + space->'. ' +
+    // ')'), so the ws family finds NOTHING for any clean query term;
+    // the norm family (strip boundary [^a-z0-9] runs, drop emptied
+    // tokens) finds everything. The family is INDEX STATE: it is
+    // recorded in _meta at build and every serving verb refuses
+    // loudly on mismatch (the dedup shh_basis precedent), so index
+    // and query tokenization can never disagree silently. Serving
+    // from the index with the oracle re-deriving the normalized
+    // tokens fresh = the d112 twin proof at the new family.
+    "d122_norm_bm25" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("("), regexp_replace(col("text"), " ", ". "),
+          lit(")")).as("text"))
+      Retrieval.buildBm25Index(planted, "doc_id", "text",
+        name = "d122_idx", tokenizer = "norm")
+      Retrieval.bm25TopKAgainstIndex(s, "d122_idx",
+        queryTerms = d70Terms, topK = 20, k1 = 1.5, b = 0.75,
+        tokenizer = "norm")
+    }),
+
+    // D94: PROXIMITY BM25 — "all terms within a window of N tokens",
+    // the looser half of positional retrieval (a paraphrased
+    // benchmark leak survives word reordering; the exact phrase
+    // doesn't catch it, the bag-of-words match is too wide):
+    // occurrences are anchors of terms[0] with every other term
+    // within ±window, counted by windowed position-list HOFs (zero
+    // explodes), scored as one pseudo-term under the Okapi weight.
+    // Fresh-scan form; d124b serves the same query from the d112
+    // positional postings, same oracle (twin proof).
+    "d124_prox_bm25" -> ((s, d) =>
+      Retrieval.bm25ProximityTopK(Tables.documents(s, d), "doc_id",
+        "text", terms = d124Terms, window = d124Window, topK = 20,
+        k1 = 1.5, b = 0.75)),
+
+    // D94 (indexed): the same proximity query served from the
+    // positional index — only the three terms' buckets read, no
+    // re-tokenization; oracle = the fresh path's SQL verbatim.
+    "d124b_indexed_prox" -> ((s, d) => {
+      Retrieval.buildBm25Index(Tables.documents(s, d), "doc_id", "text",
+        name = "d124_idx")
+      Retrieval.bm25ProximityAgainstIndex(s, "d124_idx",
+        terms = d124Terms, window = d124Window, topK = 20,
+        k1 = 1.5, b = 0.75)
     }),
 
     // D52b: per-doc TF-IDF keyword extraction — the tagging pass
@@ -2503,14 +2571,36 @@ object DBlock {
        |ORDER BY bm25 DESC, doc_id LIMIT $topK""".stripMargin
   }
 
-  /** The d70 fresh-scan BM25 oracle — shared VERBATIM with d112 (the
-    * d58 twin discipline): one SQL string proving both the direct
-    * operator and the persistent-index serving path, so a hash match
-    * on d112 is a proof that index build + bucket-pruned serving ==
-    * direct corpus recomputation, bit for bit. */
-  private lazy val d70Sql: String =
+  /** The DuckDB mirror of [[graft.operators.Retrieval.tokensFor]]'s
+    * `ws` family: case-folded whitespace split. */
+  private val wsTokensSql: String =
+    "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** The `norm` family over the d122 PUNCTUATION-PLANTED corpus:
+    * the plant ('(' + text with every space -> '. ' + ')') glues a
+    * boundary mark onto EVERY token, so the ws family would find
+    * nothing for any clean query term — exactly the real-corpus
+    * failure d122 exists to prove fixed. The normalization mirrors
+    * tokensFor("norm"): strip leading/trailing [^a-z0-9] runs after
+    * case-folding, drop emptied tokens. */
+  private val normPlantedTokensSql: String =
+    "list_filter(list_transform(string_split_regex(lower(trim(" +
+      "'(' || replace(text, ' ', '. ') || ')')), '\\s+'), " +
+      "w -> regexp_replace(w, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')), " +
+      "w -> len(w) > 0)"
+
+  /** The d70 fresh-scan BM25 oracle, parametrized over the token
+    * derivation so the ws corpus (d70/d112) and the norm-family
+    * planted corpus (d122) share one Okapi arithmetic — shared
+    * VERBATIM with d112 (the d58 twin discipline): one SQL string
+    * proving both the direct operator and the persistent-index
+    * serving path, so a hash match on d112 is a proof that index
+    * build + bucket-pruned serving == direct corpus recomputation,
+    * bit for bit. */
+  private def bm25SqlFor(wsExpr: String, terms: Seq[String],
+      topK: Int): String =
     s"""WITH tok AS (
-      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      |  SELECT doc_id, $wsExpr AS ws
       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
       |), st AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -2521,7 +2611,7 @@ object DBlock {
       |), tf AS (
       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
       |    max(dl) AS dl
-      |  FROM post WHERE term IN (${d70Terms.map("'" + _ + "'").mkString(", ")})
+      |  FROM post WHERE term IN (${terms.map("'" + _ + "'").mkString(", ")})
       |  GROUP BY doc_id, term
       |), dft AS (
       |  SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term
@@ -2536,7 +2626,60 @@ object DBlock {
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
       |  round(sum(w), 4) AS bm25
       |FROM sc GROUP BY doc_id
-      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+      |ORDER BY bm25 DESC, doc_id LIMIT $topK""".stripMargin
+
+  private lazy val d70Sql: String = bm25SqlFor(wsTokensSql, d70Terms, 20)
+
+  /** d124's proximity-BM25 oracle (generated for fresh AND indexed —
+    * the d118/d119 twin discipline): DuckDB re-derives per-term
+    * position lists, counts anchors of terms[0] with every other
+    * term within ±window, and scores the anchors as one pseudo-term
+    * under the Okapi weight (k1 = 1.5, b = 0.75 inlined as the exact
+    * literals 2.5/1.5/0.25/0.75, the phrase-oracle convention). */
+  private def proxBm25SqlFor(terms: Seq[String], window: Int,
+      topK: Int): String = {
+    val posDefs = terms.zipWithIndex.map { case (t, i) =>
+      s"list_filter(range(1, len(ws) + 1), " +
+        s"i -> ws[CAST(i AS INT)] = '$t') AS p$i"
+    }.mkString(",\n    ")
+    val cond = terms.indices.tail.map(i =>
+      s"len(list_filter(p$i, q -> abs(q - p) <= $window)) > 0")
+      .mkString(" AND ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, $wsTokensSql AS ws
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(ws)) AS BIGINT) AS sum_dl FROM tok
+       |), pos AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |    $posDefs
+       |  FROM tok
+       |), occ AS (
+       |  SELECT doc_id, dl,
+       |    CAST(len(list_filter(p0, p -> $cond)) AS BIGINT) AS tf
+       |  FROM pos
+       |), hit AS (
+       |  SELECT * FROM occ WHERE tf > 0
+       |), dfp AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS df_t FROM hit
+       |)
+       |SELECT doc_id, tf AS prox_tf,
+       |  round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5) /
+       |      (CAST(df_t AS DOUBLE) + 0.5)) *
+       |    (CAST(tf AS DOUBLE) * 2.5) /
+       |    (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+       |      (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 4) AS bm25
+       |FROM hit CROSS JOIN dfp CROSS JOIN st
+       |ORDER BY bm25 DESC, doc_id LIMIT $topK""".stripMargin
+  }
+
+  /** d124's terms and window — three common vocabulary words so
+    * windows hit (and multi-hit) at every SF; the window is small
+    * enough that the positional constraint genuinely cuts (the
+    * bag-of-words match set is much larger). */
+  private val d124Terms = Seq("vector", "merge", "spark")
+  private val d124Window = 6
 
   /** d72's global token budget (~30% of the sf0.01 corpus; a FIXED
     * budget, so like d66 the cut cost stays flat as the corpus
@@ -2856,9 +2999,11 @@ object DBlock {
 
   /** One ADC-serve chain (adc → short → exact → ranked) against a
     * named probes CTE, suffixed so several nprobe arms can share one
-    * book — shared by the twin (suffix "", `cprobes`) and the d117
-    * per-nprobe arms. */
-  private def ivfServeChainFor(suffix: String, probesCte: String): String =
+    * book — shared by the twin (suffix "", `cprobes`), the d117
+    * per-nprobe arms and the d123 per-shortlist arms (`shortK`
+    * parametrizes the ADC shortlist cut the exact re-rank sees). */
+  private def ivfServeChainFor(suffix: String, probesCte: String,
+      shortK: Int = 50): String =
     s"""adc$suffix AS (
         |  SELECT qd.vec_id AS query_id, nc.vec_id AS neighbor_id,
         |    CAST(sum(qd.d2) AS BIGINT) AS adc2
@@ -2874,7 +3019,7 @@ object DBlock {
         |    SELECT query_id, neighbor_id,
         |      row_number() OVER (PARTITION BY query_id
         |        ORDER BY adc2, neighbor_id) AS rk
-        |    FROM adc$suffix) WHERE rk <= 50),
+        |    FROM adc$suffix) WHERE rk <= $shortK),
         |exact$suffix AS (
         |  SELECT s.query_id, s.neighbor_id,
         |    CAST(list_sum(list_transform(range(1, len(a.q)+1), i ->
@@ -2911,14 +3056,10 @@ object DBlock {
     * plus the brute-force exact top-10 ground truth over all
     * vectors — recall = |served ∩ true| / (n_queries · 10), exact
     * integer counts divided once. */
-  private val annRecallSql: String =
-    s"WITH $ivfCellCtes,\n" +
-    """cprobes1 AS (SELECT vec_id AS query_id, cell_id FROM cass WHERE rk <= 1 AND vec_id < 50),
-        |cprobes2 AS (SELECT vec_id AS query_id, cell_id FROM cass WHERE rk <= 2 AND vec_id < 50),""".stripMargin +
-    "\n" + ivfBookCtesFor("") + ",\n" +
-    ivfServeChainFor("1", "cprobes1") + ",\n" +
-    ivfServeChainFor("2", "cprobes2") + ",\n" +
-    ivfServeChainFor("4", "cprobes") + ",\n" +
+  /** Brute-force exact ground truth + query count over the twin's
+    * `q` CTE — shared by the d117 (nprobe) and d123 (shortlist)
+    * sweeps so both score against the identical truth set. */
+  private val bruteTruthCtes: String =
     """bd AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |    CAST(list_sum(list_transform(range(1, len(a.q)+1), i ->
@@ -2932,23 +3073,53 @@ object DBlock {
         |      row_number() OVER (PARTITION BY query_id
         |        ORDER BY d2, neighbor_id) AS rk
         |    FROM bd) WHERE rk <= 10),
-        |nqr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q WHERE vec_id < 50),
-        |hitsr AS (
-        |  SELECT 1 AS nprobe, CAST(count(*) AS BIGINT) AS hits
-        |  FROM ranked1 r JOIN btrue t USING (query_id, neighbor_id)
-        |  WHERE r.rank <= 10
-        |  UNION ALL
-        |  SELECT 2, CAST(count(*) AS BIGINT)
-        |  FROM ranked2 r JOIN btrue t USING (query_id, neighbor_id)
-        |  WHERE r.rank <= 10
-        |  UNION ALL
-        |  SELECT 4, CAST(count(*) AS BIGINT)
-        |  FROM ranked4 r JOIN btrue t USING (query_id, neighbor_id)
-        |  WHERE r.rank <= 10)
-        |SELECT nprobe, 10 AS k, n AS n_queries, hits,
+        |nqr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q WHERE vec_id < 50)""".stripMargin
+
+  /** One recall arm: hits of a ranked serve chain against btrue. */
+  private def recallArmSql(label: Int, armCol: String,
+      rankedCte: String): String =
+    s"""SELECT $label AS $armCol, CAST(count(*) AS BIGINT) AS hits
+        |  FROM $rankedCte r JOIN btrue t USING (query_id, neighbor_id)
+        |  WHERE r.rank <= 10""".stripMargin
+
+  private val annRecallSql: String =
+    s"WITH $ivfCellCtes,\n" +
+    """cprobes1 AS (SELECT vec_id AS query_id, cell_id FROM cass WHERE rk <= 1 AND vec_id < 50),
+        |cprobes2 AS (SELECT vec_id AS query_id, cell_id FROM cass WHERE rk <= 2 AND vec_id < 50),""".stripMargin +
+    "\n" + ivfBookCtesFor("") + ",\n" +
+    ivfServeChainFor("1", "cprobes1") + ",\n" +
+    ivfServeChainFor("2", "cprobes2") + ",\n" +
+    ivfServeChainFor("4", "cprobes") + ",\n" +
+    bruteTruthCtes + ",\n" +
+    "hitsr AS (\n" +
+    Seq((1, "ranked1"), (2, "ranked2"), (4, "ranked4"))
+      .map { case (l, r) => recallArmSql(l, "nprobe", r) }
+      .mkString("", "\n  UNION ALL\n", ")\n") +
+    """SELECT nprobe, 10 AS k, n AS n_queries, hits,
         |  round(CAST(hits AS DOUBLE) / CAST(n * 10 AS DOUBLE), 4) AS recall
         |FROM hitsr CROSS JOIN nqr
         |ORDER BY nprobe""".stripMargin
+
+  /** d123 oracle: the twin's cell/book arithmetic served at nprobe 4
+    * with the ADC shortlist cut at 10/50/200 (factors 1/5/20 of
+    * k=10), each arm exact-re-ranked to k=10 and scored against the
+    * same brute-force truth as d117 — the refine-depth card
+    * re-derived end to end. */
+  private val annRefineSql: String =
+    s"WITH $ivfCellCtes,\n" +
+    ivfBookCtesFor("") + ",\n" +
+    ivfServeChainFor("s1", "cprobes", 10) + ",\n" +
+    ivfServeChainFor("s5", "cprobes", 50) + ",\n" +
+    ivfServeChainFor("s20", "cprobes", 200) + ",\n" +
+    bruteTruthCtes + ",\n" +
+    "hitsr AS (\n" +
+    Seq((1, "rankeds1"), (5, "rankeds5"), (20, "rankeds20"))
+      .map { case (l, r) => recallArmSql(l, "shortlist_factor", r) }
+      .mkString("", "\n  UNION ALL\n", ")\n") +
+    """SELECT shortlist_factor, 10 AS k, n AS n_queries, hits,
+        |  round(CAST(hits AS DOUBLE) / CAST(n * 10 AS DOUBLE), 4) AS recall
+        |FROM hitsr CROSS JOIN nqr
+        |ORDER BY shortlist_factor""".stripMargin
 
   /** DuckDB mirror of TextAnalysis.occurrences on padded lower text. */
   private def occ(marker: String): String =
@@ -3988,6 +4159,18 @@ object DBlock {
     // positional-index serving (the d70/d112 twin discipline).
     "d118_phrase_bm25" -> phraseBm25SqlFor(d118Phrase, 20),
     "d119_indexed_phrase" -> phraseBm25SqlFor(d118Phrase, 20),
+
+    // d122: the norm tokenizer family — DuckDB re-derives the
+    // NORMALIZED tokens from the planted text, then the d70 Okapi
+    // arithmetic verbatim; the Spark entry serves from the index,
+    // so a hash match proves fresh == indexed at the new family.
+    "d122_norm_bm25" -> bm25SqlFor(normPlantedTokensSql, d70Terms, 20),
+
+    // d124/d124b: one generated proximity oracle proves the fresh
+    // scan AND the positional-index serving (the d118/d119 twin
+    // discipline).
+    "d124_prox_bm25" -> proxBm25SqlFor(d124Terms, d124Window, 20),
+    "d124b_indexed_prox" -> proxBm25SqlFor(d124Terms, d124Window, 20),
 
     // chunk arithmetic re-derived: last chunk index =
     // ceil(max(n - 64, 0) / 48), chunk i starts at 48·i + 1 and
@@ -5223,6 +5406,7 @@ object DBlock {
     // twin, verbatim
     "d93_ann_rebuild" -> ivfPqTwinSql,
     "d117_ann_recall" -> annRecallSql,
+    "d123_refine_sweep" -> annRefineSql,
 
     "d100_incremental_curation" -> incrementalCurationSql,
     "d97_dedup_index_stats" -> dedupIndexStatsSql,

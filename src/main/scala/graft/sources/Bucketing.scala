@@ -83,6 +83,85 @@ object Bucketing {
     if (fs.exists(p)) fs.delete(p, false)
   }
 
+  // ---------------------------------------------------------------
+  // Single-writer LEASE for index lifecycle verbs.
+  //
+  // Every index family's verbs (append/compact/reband/rebalance/
+  // rebuild/rechunk/retire/reconcile) are individually crash-safe,
+  // but not CONCURRENT-safe: two sessions running verbs on one index
+  // can interleave stage/marker states (a streaming ingest appending
+  // while an operator rebands is the realistic 100 TB window). The
+  // lease makes that window fail LOUDLY: a verb acquires
+  // `<name>__lease` in the warehouse directory before mutating,
+  // releases after, and a second writer finding a live lease throws
+  // instead of interleaving. A lease older than `staleMs` is STOLEN
+  // (the holder is presumed dead — crash-exit never releases), so a
+  // crashed verb blocks the index for at most the stale window.
+  //
+  // Scope, disclosed: the create(overwrite=false) acquire is atomic
+  // on HDFS-like stores; on object stores without atomic create the
+  // lease is best-effort mutual exclusion — still strictly better
+  // than the nothing it replaces, and the steal path's
+  // read-check-delete race is bounded by one verb's duration.
+  // Re-entrancy is per-thread: a verb that nests other verbs
+  // (reconcile → append → repair) holds ONE lease for the whole
+  // composition.
+  // ---------------------------------------------------------------
+
+  private def leasePath(spark: SparkSession, name: String) =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"${name.toLowerCase}__lease")
+
+  private val heldLeases = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue(): scala.collection.mutable.Set[String] =
+      scala.collection.mutable.Set.empty[String]
+  }
+
+  /** Default steal-after window: generous against slow verbs (a
+    * compaction of a large index), small against operational pain. */
+  val DefaultLeaseStaleMs: Long = 15L * 60L * 1000L
+
+  /** Runs `body` holding the single-writer lease of index `name`.
+    * Throws IllegalStateException if another live writer holds it;
+    * steals a lease older than `staleMs`. Re-entrant within the
+    * acquiring thread (nested verbs share the outer lease). */
+  def withIndexLease[T](spark: SparkSession, name: String, verb: String,
+      staleMs: Long = DefaultLeaseStaleMs)(body: => T): T = {
+    val key = name.toLowerCase
+    if (heldLeases.get.contains(key)) return body
+    val p = leasePath(spark, key)
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) {
+      val st = fs.getFileStatus(p)
+      val age = System.currentTimeMillis() - st.getModificationTime
+      if (age <= staleMs) {
+        val holder = try {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        } catch { case _: Exception => "<unreadable>" }
+        throw new IllegalStateException(
+          s"index '$key' is locked by an in-flight '$holder' verb " +
+            s"(lease age ${age / 1000}s <= stale window " +
+            s"${staleMs / 1000}s) — concurrent lifecycle verbs on one " +
+            "index can interleave stage/marker states; wait for the " +
+            "holder or, if it is dead, delete the lease at " +
+            s"$p or retry after the stale window")
+      }
+      // stale: the holder is presumed crashed — steal
+      fs.delete(p, false)
+    }
+    val out = fs.create(p, false) // atomic no-overwrite create
+    try out.write(verb.getBytes("UTF-8")) finally out.close()
+    heldLeases.get += key
+    try body
+    finally {
+      heldLeases.get -= key
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+  }
+
   /** Cross-restart half of the swap recovery: if a PRIOR PROCESS
     * died inside [[compactBucketed]]'s drop→rename window (durable
     * marker present, catalog — having not survived the restart —

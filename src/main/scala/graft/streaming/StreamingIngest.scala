@@ -216,10 +216,16 @@ object StreamingIngest {
     * replay would self-suppress at the dedup screen and the landed
     * rows' postings would never be written, exactly the C12/C13
     * url-frontier ordering argument. With BM25 second and
-    * anti-joined, every crash window replays to a consistent index:
-    * the dedup screen passes (hashes not yet folded), the BM25
-    * anti-join suppresses what already landed, and the fold-in
-    * completes. */
+    * anti-joined, every crash window between THESE stages replays
+    * to a consistent index: the dedup screen passes (hashes not yet
+    * folded), the BM25 anti-join suppresses what already landed,
+    * and the fold-in completes. The one window replay does NOT
+    * close is a death INSIDE the BM25 append between its `_docs`
+    * and `_postings` writes — the anti-join then suppresses the
+    * replay by design (that is what makes double-append impossible)
+    * and the docs sit posting-less until
+    * [[graft.operators.Retrieval.reconcileBm25Index]] heals them
+    * from the landed sink; run it after a crash or on a schedule. */
   def toScreenedDocIngest(docs: DataFrame, idCol: String,
       textCol: String, indexName: String, path: String,
       checkpoint: String, dedupWithinBatch: Boolean = true,

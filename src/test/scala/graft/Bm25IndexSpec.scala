@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Retrieval
@@ -274,6 +275,145 @@ class Bm25IndexSpec extends AnyFunSuite {
         Seq("Quick", "brown"), topK = 5)
     }
     assert(e.getMessage.contains("lowercase"))
+  }
+
+  test("tokenizer family: norm strips boundary punctuation; a family mismatch refuses loudly") {
+    import spark.implicits._
+    // the planted transform every word-boundary punctuation test
+    // uses: '(' + text with ' ' -> '. ' + ')' — under norm this
+    // corpus tokenizes exactly like the clean corpus under ws
+    val planted = docs.select(col("doc_id"),
+      when(col("text").isNotNull,
+        concat(lit("("), regexp_replace(col("text"), " ", ". "),
+          lit(")"))).as("text"))
+    Retrieval.buildBm25Index(planted, "doc_id", "text", "bmspec_norm",
+      numBuckets = 4, tokenizer = "norm")
+    val servedNorm = topKRows(Retrieval.bm25TopKAgainstIndex(spark,
+      "bmspec_norm", terms, topK = 8, tokenizer = "norm"))
+    val freshNorm = topKRows(Retrieval.bm25TopK(planted, "doc_id",
+      "text", terms, topK = 8, tokenizer = "norm"))
+    assert(servedNorm == freshNorm, "fresh == indexed at the norm family")
+    // ...and both equal the ws family over the CLEAN corpus except
+    // n_docs bookkeeping: doc 7's "" is dl=1 under ws ([""]) but
+    // dl=0 under norm — scores differ in avgdl, so compare matched
+    // doc ids and tf-bearing structure instead of doubles
+    assert(servedNorm.map(_._1) ==
+      topKRows(Retrieval.bm25TopK(docs, "doc_id", "text", terms,
+        topK = 8)).map(_._1),
+      "norm over planted ranks like ws over clean")
+    // a ws-family index refuses a norm-family query (and vice versa)
+    val e1 = intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKAgainstIndex(spark, "bmspec_norm", terms,
+        topK = 5) // default tokenizer = ws
+    }
+    assert(e1.getMessage.contains("tokenizer family"))
+    Retrieval.buildBm25Index(docs, "doc_id", "text", "bmspec_ws",
+      numBuckets = 4)
+    val e2 = intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKAgainstIndex(spark, "bmspec_ws", terms,
+        topK = 5, tokenizer = "norm")
+    }
+    assert(e2.getMessage.contains("tokenizer family"))
+    // a punctuation-carrying query term against a norm index is a
+    // caller bug surfaced loudly, not a silent zero-match
+    val e3 = intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKAgainstIndex(spark, "bmspec_norm",
+        Seq("fox."), topK = 5, tokenizer = "norm")
+    }
+    assert(e3.getMessage.contains("boundary punctuation"))
+    // zero-token docs (all punctuation) still hold a _docs row with
+    // dl = 0 — the idempotence key — and n_docs counts them
+    val allPunct = Seq((20L, "... !!! ---")).toDF("doc_id", "text")
+    Retrieval.appendToBm25Index(allPunct, "doc_id", "text",
+      "bmspec_norm")
+    assert(spark.table("bmspec_norm_docs")
+      .filter("doc_id = 20 and dl = 0").count() == 1L)
+    assert(Retrieval.screenNewForBm25Index(allPunct, "doc_id",
+      "bmspec_norm").count() == 0L, "zero-token doc must self-suppress")
+  }
+
+  test("docs-first append order: a death before the postings append self-suppresses on replay and reconcile heals the hole") {
+    import spark.implicits._
+    Retrieval.buildBm25Index(docs.filter("doc_id <= 6"), "doc_id",
+      "text", "bmspec_hole", numBuckets = 4)
+    // simulate a death INSIDE appendToBm25Index after _docs, before
+    // _postings: append only the _docs rows of the batch
+    val batch = docs.filter("doc_id = 8")
+    graft.sources.Bucketing.appendBucketed(
+      batch.select(col("doc_id"),
+        size(graft.operators.Dedup.tokens(col("text")))
+          .cast("long").as("dl")),
+      "bmspec_hole_docs", "doc_id", 4)
+    // the replay self-suppresses (this is the docs-first guarantee:
+    // postings can never double)...
+    assert(Retrieval.screenNewForBm25Index(batch, "doc_id",
+      "bmspec_hole").count() == 0L)
+    // ...so only reconciliation heals the posting-less doc
+    val landed = docs.filter("doc_id <= 8")
+    assert(Retrieval.reconcileBm25Index(landed, "doc_id", "text",
+      "bmspec_hole") == 2L) // doc 7 missing entirely + doc 8's hole
+    val fresh = topKRows(Retrieval.bm25TopK(landed, "doc_id", "text",
+      terms, topK = 8))
+    assert(topKRows(Retrieval.bm25TopKAgainstIndex(spark,
+      "bmspec_hole", terms, topK = 8)) == fresh)
+    assert(Retrieval.reconcileBm25Index(landed, "doc_id", "text",
+      "bmspec_hole") == 0L, "reconcile must be idempotent")
+  }
+
+  test("proximity: indexed equals fresh; window semantics are positional and unordered") {
+    import spark.implicits._
+    val pdocs = Seq(
+      (1L, "alpha beta nearby words"),           // adjacent: every window
+      (2L, "beta then one gap alpha"),           // |q-p| = 4, inverted order
+      (3L, "alpha far far far far far far beta"),// |q-p| = 7
+      (4L, "alpha only no partner here"),        // missing term: never
+      (5L, "alpha beta alpha distant text then alpha")) // multi-anchor
+      .toDF("doc_id", "text")
+    Retrieval.buildBm25Index(pdocs, "doc_id", "text", "bmspec_prox",
+      numBuckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    val fresh = rows(Retrieval.bm25ProximityTopK(pdocs, "doc_id",
+      "text", Seq("alpha", "beta"), window = 4, topK = 10))
+    val served = rows(Retrieval.bm25ProximityAgainstIndex(spark,
+      "bmspec_prox", Seq("alpha", "beta"), window = 4, topK = 10))
+    assert(served == fresh)
+    val byDoc = fresh.map(r => r._1 -> r._2).toMap
+    // doc 1: anchor@1, beta@2 -> 1; doc 2: alpha@5, beta@1, |d|=4 -> 1
+    // (unordered); doc 3: |d|=7 > 4 -> absent; doc 4: no beta -> absent;
+    // doc 5: alpha@{1,3,7}, beta@2 -> anchors 1,3 within 4, 7 not -> 2
+    assert(byDoc == Map(1L -> 1L, 2L -> 1L, 5L -> 2L), byDoc.toString)
+    // widening the window admits doc 3
+    val wide = rows(Retrieval.bm25ProximityAgainstIndex(spark,
+      "bmspec_prox", Seq("alpha", "beta"), window = 7, topK = 10))
+    assert(wide.map(_._1).contains(3L))
+    // loud refusals: duplicate terms, window < 1, single term
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25ProximityTopK(pdocs, "doc_id", "text",
+        Seq("alpha", "alpha"), window = 3, topK = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25ProximityTopK(pdocs, "doc_id", "text",
+        Seq("alpha", "beta"), window = 0, topK = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25ProximityTopK(pdocs, "doc_id", "text",
+        Seq("alpha"), window = 3, topK = 5)
+    }
+  }
+
+  test("empty query batch keeps the caller's query_id type") {
+    import spark.implicits._
+    Retrieval.buildBm25Index(docs, "doc_id", "text", "bmspec_empty",
+      numBuckets = 4)
+    val stringQueries = Seq.empty[(String, Seq[String])]
+      .toDF("qid", "terms")
+    val out = Retrieval.bm25RanksAgainstIndex(spark, "bmspec_empty",
+      stringQueries, "qid", "terms", topK = 3)
+    assert(out.schema("query_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(out.count() == 0L)
   }
 
   test("rrfFuseAll: hand-computed three-system fusion; binary delegation unchanged") {

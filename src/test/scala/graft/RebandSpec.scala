@@ -189,6 +189,54 @@ class RebandSpec extends AnyFunSuite {
     }
   }
 
+  test("shh_basis format guard: a pre-basis md5Sig index refuses loudly; a basis-less xx64 index still opens") {
+    import spark.implicits._
+    // forge the OLD meta format (no shh_basis column) over a real
+    // md5Sig index: this is exactly what a pre-upgrade index looks
+    // like on disk — its _docs sets were stored under xxhash64, which
+    // this version's md5Hash60 batch hashing cannot screen against
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", "basis_old",
+      shingleK = 3, numPerms = 16, bands = 8, md5Sig = true,
+      numBuckets = 4)
+    graft.sources.Bucketing.writeTable(
+      Seq((3, 16, 8, true, 4))
+        .toDF("shingle_k", "num_perms", "bands", "md5_sig",
+          "num_buckets"),
+      "basis_old_meta")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(batch, "doc_id", "text", "basis_old")
+    }
+    assert(e.getMessage.contains("shh_basis") &&
+      e.getMessage.contains("rebuild"))
+    // the xxh64 family's basis never changed, so a basis-less
+    // non-md5 meta keeps working (no forced rebuild for fine indexes)
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", "basis_xx",
+      shingleK = 3, numPerms = 16, bands = 8, md5Sig = false,
+      numBuckets = 4)
+    graft.sources.Bucketing.writeTable(
+      Seq((3, 16, 8, false, 4))
+        .toDF("shingle_k", "num_perms", "bands", "md5_sig",
+          "num_buckets"),
+      "basis_xx_meta")
+    val sXx = survivors("basis_xx")
+    assert(!sXx.contains(101L) && sXx.contains(103L) &&
+      sXx.contains(106L))
+    // a WRONG recorded basis (operator hand-edited, tool drift)
+    // also refuses
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", "basis_bad",
+      shingleK = 3, numPerms = 16, bands = 8, md5Sig = true,
+      numBuckets = 4)
+    graft.sources.Bucketing.writeTable(
+      Seq((3, 16, 8, true, "xxh64", 4))
+        .toDF("shingle_k", "num_perms", "bands", "md5_sig",
+          "shh_basis", "num_buckets"),
+      "basis_bad_meta")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(batch, "doc_id", "text", "basis_bad")
+    }
+    assert(e2.getMessage.contains("shh_basis"))
+  }
+
   test("a non-md5 index refuses to reband index-locally") {
     Dedup.buildDedupIndex(corpus, "doc_id", "text", name = "t_reband_xx",
       numPerms = 32, bands = 16, md5Sig = false, numBuckets = 4)
