@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Packing, Retrieval, Sampling, Similarity, Snapshot, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, OpsCard, Packing, Retrieval, Sampling, Similarity, Snapshot, TextAnalysis}
 import graft.sources.Tables
 
 /** D-block: LLM-training-data pipeline operators (SURVEY.md §2
@@ -1151,6 +1151,47 @@ object DBlock {
         q8.filter(col("vec_id") < 50), "vec_id", "qv",
         k = 10, nprobe = 4, shortlistFactors = Seq(1, 5, 20))
         .orderBy(col("shortlist_factor"))
+    }),
+
+    // D96: the CORPUS OPS CARD capstone — all five index families'
+    // stats verbs composed into the one-row-per-family page an
+    // operator reads: (family, n_items, n_buckets, pending_verb,
+    // n_landed, drift_vs_landed). The drift column is the alarm that
+    // schedules reconcile/rebuild (landed counts vs index counts —
+    // what no per-family stats verb can see alone); pending_verb
+    // surfaces live leases and interrupted maintenance markers.
+    // Fully oracle-checked: DuckDB re-derives every family's item
+    // count from the same corpus frames, so a hash match proves the
+    // five indexes' CONTENTS mirror what landed, family by family.
+    "d125_ops_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+      val urls = docs.filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), concat(lit("http://ex"),
+          (col("doc_id") % 37).cast("string"), lit(".com/")).as("url"))
+      Dedup.buildDedupIndex(docs, "doc_id", "text", name = "d125_dx",
+        md5Sig = true)
+      Retrieval.buildBm25Index(docs, "doc_id", "text", name = "d125_bx")
+      Similarity.buildAnnIndex(emb, "vec_id", "qv", name = "d125_ax",
+        nlist = 16, m = 4, ksub = 8, md5Sig = true)
+      // the sim slot cares about COUNTING and lifecycle state, not
+      // signature quality — a pure doc_id-derived signature keeps
+      // the capstone free of media decode
+      Dedup.buildSimIndex(docs.filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), xxhash64(col("doc_id")).as("sim")),
+        name = "d125_sx", maxDist = 2)
+      Dedup.buildUrlIndex(urls, "url", name = "d125_ux")
+      OpsCard.indexOpsCard(s, Seq(
+        OpsCard.Entry("ann", "d125_ax", emb, "vec_id"),
+        OpsCard.Entry("bm25", "d125_bx",
+          docs.filter(col("text").isNotNull), "doc_id"),
+        OpsCard.Entry("dedup", "d125_dx",
+          docs.filter(col("text").isNotNull), "doc_id"),
+        OpsCard.Entry("sim", "d125_sx", docs, "doc_id"),
+        OpsCard.Entry("url", "d125_ux",
+          urls.select(col("url")).distinct(), "url")))
     }),
 
     // D67: per-bin token-id MATERIALIZATION — the `.bin` artifact
@@ -2680,6 +2721,42 @@ object DBlock {
     * bag-of-words match set is much larger). */
   private val d124Terms = Seq("vector", "merge", "spark")
   private val d124Window = 6
+
+  /** d125's ops-card oracle: every family's item count re-derived
+    * from the corpus frames the entry indexed — a hash match proves
+    * each index's CONTENTS mirror what landed (drift 0 across the
+    * board, pending_verb idle, the healthy card). The dedup/bm25
+    * slots count id+text-live docs (both families' build door); sim
+    * counts id-live docs (its signature is id-derived); url counts
+    * distinct planted canonical keys. */
+  private val d125Sql: String =
+    """WITH dt AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |dd AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |  WHERE doc_id IS NOT NULL),
+      |em AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+      |  WHERE vec_id IS NOT NULL),
+      |uu AS (
+      |  SELECT CAST(count(DISTINCT doc_id % 37) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id IS NOT NULL)
+      |SELECT family, index_name, n_items, 8 AS n_buckets,
+      |  'idle' AS pending_verb, n_landed,
+      |  n_landed - n_items AS drift_vs_landed
+      |FROM (
+      |  SELECT 'ann' AS family, 'd125_ax' AS index_name,
+      |    (SELECT n FROM em) AS n_items, (SELECT n FROM em) AS n_landed
+      |  UNION ALL SELECT 'bm25', 'd125_bx',
+      |    (SELECT n FROM dt), (SELECT n FROM dt)
+      |  UNION ALL SELECT 'dedup', 'd125_dx',
+      |    (SELECT n FROM dt), (SELECT n FROM dt)
+      |  UNION ALL SELECT 'sim', 'd125_sx',
+      |    (SELECT n FROM dd), (SELECT n FROM dd)
+      |  UNION ALL SELECT 'url', 'd125_ux',
+      |    (SELECT n FROM uu), (SELECT n FROM uu))
+      |ORDER BY family""".stripMargin
 
   /** d72's global token budget (~30% of the sf0.01 corpus; a FIXED
     * budget, so like d66 the cut cost stays flat as the corpus
@@ -5407,6 +5484,7 @@ object DBlock {
     "d93_ann_rebuild" -> ivfPqTwinSql,
     "d117_ann_recall" -> annRecallSql,
     "d123_refine_sweep" -> annRefineSql,
+    "d125_ops_card" -> d125Sql,
 
     "d100_incremental_curation" -> incrementalCurationSql,
     "d97_dedup_index_stats" -> dedupIndexStatsSql,

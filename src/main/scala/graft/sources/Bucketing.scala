@@ -162,6 +162,27 @@ object Bucketing {
     }
   }
 
+  /** The verb named in index `name`'s live lease, if one exists —
+    * the ops-card observability read of the single-writer protocol
+    * (it does NOT check staleness; the card reports what is on
+    * disk, the acquiring verb decides whether to steal). */
+  def leaseHolder(spark: SparkSession, name: String): Option[String] = {
+    val p = leasePath(spark, name.toLowerCase)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else Some(try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+    } catch { case _: Exception => "<unreadable>" })
+  }
+
+  /** Public marker probe for ops observability ([[graft.operators
+    * .OpsCard]] reads the maintenance markers every family's verbs
+    * write; the verbs themselves keep the private[graft] faces). */
+  def maintenanceMarkerExists(spark: SparkSession, tag: String): Boolean =
+    markerExists(spark, tag)
+
   /** Cross-restart half of the swap recovery: if a PRIOR PROCESS
     * died inside [[compactBucketed]]'s drop→rename window (durable
     * marker present, catalog — having not survived the restart —

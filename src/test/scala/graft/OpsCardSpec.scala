@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, OpsCard, Retrieval}
+import graft.sources.Bucketing
+
+/** The corpus ops card's OBSERVABILITY columns — the oracle (d125)
+  * proves the healthy all-idle counts; this spec proves the card
+  * actually SEES trouble: drift when the sink outruns the index,
+  * a live lease, and an interrupted maintenance marker. */
+class OpsCardSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs: DataFrame = {
+    import spark.implicits._
+    Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"),
+      (4L, "eta theta")).toDF("doc_id", "text")
+  }
+
+  private def cardRow(entries: Seq[OpsCard.Entry],
+      family: String): org.apache.spark.sql.Row =
+    OpsCard.indexOpsCard(spark, entries)
+      .filter(s"family = '$family'").head()
+
+  test("drift_vs_landed surfaces a sink/index gap; zero when reconciled") {
+    Retrieval.buildBm25Index(docs.filter("doc_id <= 2"), "doc_id",
+      "text", "card_bx", numBuckets = 2)
+    val e = Seq(OpsCard.Entry("bm25", "card_bx", docs, "doc_id"))
+    val drifted = cardRow(e, "bm25")
+    assert(drifted.getAs[Long]("n_items") == 2L &&
+      drifted.getAs[Long]("n_landed") == 4L &&
+      drifted.getAs[Long]("drift_vs_landed") == 2L)
+    // the drift column is exactly what schedules the reconcile verb —
+    // and after it runs, the card reads healthy
+    assert(Retrieval.reconcileBm25Index(docs, "doc_id", "text",
+      "card_bx") == 2L)
+    assert(cardRow(e, "bm25").getAs[Long]("drift_vs_landed") == 0L)
+  }
+
+  test("pending_verb surfaces a live lease and an interrupted marker; idle otherwise") {
+    Dedup.buildDedupIndex(docs, "doc_id", "text", "card_dx",
+      md5Sig = true, numBuckets = 2)
+    val e = Seq(OpsCard.Entry("dedup", "card_dx", docs, "doc_id"))
+    assert(cardRow(e, "dedup").getAs[String]("pending_verb") == "idle")
+    // a live lease (another session's in-flight verb) names its holder
+    Bucketing.withIndexLease(spark, "card_dx", "rebandDedupIndex") {
+      assert(cardRow(e, "dedup").getAs[String]("pending_verb")
+        == "lease:rebandDedupIndex")
+    }
+    // an interrupted two-table promotion names its marker
+    val tag = "card_dx__reband_pending"
+    Bucketing.maintenanceMarkerExists(spark, tag) // probe face compiles
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tag)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(p, true).close()
+    try assert(cardRow(e, "dedup").getAs[String]("pending_verb")
+      == "reband_pending")
+    finally fs.delete(p, false)
+    assert(cardRow(e, "dedup").getAs[String]("pending_verb") == "idle")
+  }
+}
