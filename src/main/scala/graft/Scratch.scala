@@ -1,54 +1,45 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Profiling scratch main (contents change per investigation).
-  * Current: where do d55's sf1 seconds go — gram stream, counts
-  * aggregate, or the final collapse? */
+  * Current: did the r17 structured audio samples (envelope ×
+  * carrier — Multimodal.audioSample) fix the fingerprint-family
+  * concentration the r16 probe diagnosed (top exact family 24 → 80
+  * at 10×)? Prints the top family sizes and family count at 1× and
+  * 10× of the sf0.1 audio slice. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.operators.{Dedup, TextAnalysis}
+    import spark.implicits._
 
-    val live = spark.read.parquet("/root/repo/tmp/sf1/documents.parquet")
-      .filter(col("doc_id").isNotNull && col("text").isNotNull)
-    val tk = Dedup.tokens(col("text"))
-    val tagged = Seq(1, 2, 3, 5).map { n =>
-      transform(graft.functions.SketchFunctions.wordGrams(tk, n),
-        g => struct(lit(n).as("n"), g.as("g")))
-    }.reduce(concat(_, _))
-    val grams = live
-      .select(col("doc_id"), explode(tagged).as("t"))
-      .select(col("doc_id"), col("t.n").as("n"),
-        xxhash64(col("t.n"), col("t.g")).as("gh"),
-        length(col("t.g")).as("gl"))
-    def time(label: String)(mk: () => DataFrame): Unit = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        mk().write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      once()
-      println(f"$label%-26s ${once()}%7.2f s")
+    def topFam(ids: org.apache.spark.sql.Dataset[Long], label: String): Unit = {
+      val media = ids.mapPartitions(_.map(id =>
+        graft.operators.Multimodal.MediaRow(id, "audio",
+          graft.operators.Multimodal.audioPayload(id))))
+      val sigs = graft.operators.Multimodal.mediaSigs(spark, media)
+      val fams = sigs.groupBy(col("sim")).agg(count(lit(1)).as("n"))
+      val top = fams.orderBy(desc("n")).limit(5).collect()
+        .map(_.getLong(1)).mkString(", ")
+      println(s"[$label] n_sigs=${sigs.count()} " +
+        s"n_families=${fams.count()} top5=[$top]")
     }
-    val gramsStr = live
-      .select(col("doc_id"), explode(tagged).as("t"))
-      .select(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
-    time("counts agg HASH-keyed")(() => grams.groupBy(col("doc_id"),
-      col("n"), col("gh")).agg(count(lit(1)).as("c"),
-      min(col("gl")).as("gl")))
-    time("counts agg STRING-keyed")(() => gramsStr.groupBy(col("doc_id"),
-      col("n"), col("g")).agg(count(lit(1)).as("c")))
-    time("full repetitionStats")(() =>
-      TextAnalysis.repetitionStats(live, "doc_id", "text"))
+
+    val base = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id")).as[Long].filter((id: Long) => id % 3 == 1)
+    topFam(base, "1x")
+    val shift = 2000000011L
+    val ten = (0 until 10).map(i => base.map(_ + i * shift))
+      .reduce(_ union _)
+    topFam(ten, "10x")
     spark.stop()
   }
 }

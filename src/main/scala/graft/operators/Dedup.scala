@@ -778,6 +778,41 @@ object Dedup {
     }
   }
 
+  /** Reconciles a dedup index against the LANDED corpus — the
+    * [[graft.operators.Retrieval.reconcileBm25Index]] verb for this
+    * family, and what makes [[graft.operators.OpsCard]]'s drift
+    * column actionable here: landed docs absent from `_docs` (a
+    * crashed fold-in, an index enabled after the corpus landed, an
+    * abandoned stream's last window) fold in through the normal
+    * append, count surfaced, idempotent (a second run finds
+    * nothing). Replay-safety note: [[appendToDedupIndex]] writes
+    * bands → docs → ch, and unlike BM25 postings this order is SAFE
+    * under re-append of a partially-appended doc — the screen's
+    * semantics are EXISTENTIAL (a duplicate band/ch row can only
+    * re-produce the same candidate, which the verification
+    * re-rejects or re-confirms identically), so the one residual
+    * window (death between bands and docs) heals right here by
+    * re-running. COST, disclosed: one landed-corpus scan against
+    * the narrow `_docs` id projection — a repair verb, not a
+    * per-batch one. */
+  def reconcileDedupIndex(landed: DataFrame, idCol: String,
+      textCol: String, name: String): Long = {
+    val spark = landed.sparkSession
+    Bucketing.withIndexLease(spark, name, "reconcileDedupIndex") {
+      // eager pin: counted AND appended, and the append mutates the
+      // tables the anti-join reads (the reconcileBm25Index lesson)
+      val missing = landed
+        .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+        .join(spark.table(s"${name}_docs")
+          .select(col("doc_id").as("__seen_id")),
+          col(idCol) === col("__seen_id"), "left_anti")
+        .localCheckpoint(true)
+      val n = missing.count()
+      if (n > 0) appendToDedupIndex(missing, idCol, textCol, name)
+      n
+    }
+  }
+
   /** Keep-one dedup WITHIN one batch, with the SAME sketch
     * arithmetic as a [[buildDedupIndex]] index (parameters read from
     * `<name>_meta`): [[dedupAgainstIndex]] screens a batch against
@@ -1237,6 +1272,30 @@ object Dedup {
     }
   }
 
+  /** Reconciles a signature index against the LANDED signature set —
+    * the [[reconcileDedupIndex]] verb for the perceptual family:
+    * landed (doc_id, sim) rows whose doc_id holds no chunk rows
+    * append through the normal verb, count surfaced, idempotent.
+    * COST, disclosed: one doc_id-distinct pass over `_chunks`
+    * (column-pruned) against the landed sigs — a repair verb. The
+    * caller passes SIGNATURES (the cheap, already-decoded
+    * projection), never media payloads: reconciliation must not
+    * become a re-decode. */
+  def reconcileSimIndex(landedSigs: DataFrame, name: String): Long = {
+    val spark = landedSigs.sparkSession
+    Bucketing.withIndexLease(spark, name, "reconcileSimIndex") {
+      val missing = landedSigs
+        .filter(col("doc_id").isNotNull && col("sim").isNotNull)
+        .join(spark.table(s"${name}_chunks").select(col("doc_id"))
+          .distinct().select(col("doc_id").as("__seen_id")),
+          col("doc_id") === col("__seen_id"), "left_anti")
+        .localCheckpoint(true)
+      val n = missing.count()
+      if (n > 0) appendToSimIndex(missing, name)
+      n
+    }
+  }
+
   /** Maintenance: rewrites the chunk table to one file per bucket
     * after K appends ([[compactDedupIndex]]'s contract). The optional
     * video-frame tables compact too when present — with distinct(),
@@ -1594,6 +1653,28 @@ object Dedup {
       Bucketing.appendBucketed(urlKeys(docs, urlCol),
         s"${name}_url", "uh", numBuckets)
     }
+
+  /** Reconciles a url frontier against the LANDED rows — the
+    * [[reconcileDedupIndex]] verb for the frontier: landed canonical
+    * keys absent from `_url` append as new per-bucket files, count
+    * surfaced (distinct missing keys), idempotent. One narrow
+    * key anti-join; a repair verb. */
+  def reconcileUrlIndex(landed: DataFrame, urlCol: String,
+      name: String): Long = {
+    val spark = landed.sparkSession
+    Bucketing.withIndexLease(spark, name, "reconcileUrlIndex") {
+      val numBuckets = urlIndexMeta(spark, name)
+      val missing = urlKeys(landed, urlCol)
+        .join(spark.table(s"${name}_url").select(col("uh").as("__seen")),
+          col("uh") === col("__seen"), "left_anti")
+        .select(col("uh"))
+        .localCheckpoint(true)
+      val n = missing.count()
+      if (n > 0)
+        Bucketing.appendBucketed(missing, s"${name}_url", "uh", numBuckets)
+      n
+    }
+  }
 
   /** Maintenance: rewrites the url table to one file per bucket
     * ([[compactDedupIndex]]'s contract), deduplicating the appended

@@ -76,36 +76,74 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Deterministic REAL PCM WAV for doc `id`: 16-bit little-endian
-    * samples at an id-derived sample rate / channel count / frame
-    * count, containerized by javax.sound.sampled's own WAV writer.
-    * Like [[imagePayload]], the parameter formulas give downstream
-    * decode queries an exact SQL oracle: a correct decoder must read
-    * exactly these back out of the WAV header. */
-  def audioPayload(id: Long): Array[Byte] = {
-    val sampleRate = 8000 + math.floorMod(id, 8).toInt * 1000
-    val channels = 1 + math.floorMod(id, 2).toInt
-    val frames = 200 + math.floorMod(id, 100).toInt
-    val fmt = new javax.sound.sampled.AudioFormat(
-      sampleRate.toFloat, 16, channels, true, false)
+  /** The STRUCTURED signed 16-bit sample at sample index `j` of doc
+    * `id`'s synthetic audio: a pseudo-noise carrier (the historical
+    * byte arithmetic, reduced mod 251 and centered) multiplied by an
+    * id- and family-keyed per-FRAME amplitude envelope. The envelope
+    * is the fix for the r16 scale-probe diagnosis: near-noise
+    * samples alone give every fingerprint window the same mean
+    * |sample|, so adjacent-window energy differences collapse into a
+    * handful of sign patterns and exact fingerprint families grow
+    * superlinearly with corpus size (top family 24 → 80 at 10× — a
+    * corpus artifact the d64/d67 probe ratios then measured instead
+    * of the operators). `1 + (f · (1 + (id + ka) % 31)) % 97` makes
+    * window energies strongly id- and position-dependent — diverse
+    * the way real audio's are — while staying one integer expression
+    * DuckDB re-derives exactly. The envelope rate keys on `id + ka`
+    * so the (37, 11, 17) "unrelated recording" family gets a
+    * DIFFERENT envelope than the (31, 7, 13) main family for the
+    * same id (a shared envelope would give both near-proportional
+    * window energies — identical sign fingerprints, turning the
+    * planted unrelated row into a false near-dup). */
+  private[graft] def audioSample(id: Long, ka: Long, kb: Long,
+      km: Long, channels: Int, j: Int): Int = {
+    val f = j / channels
+    val carrier =
+      ((id * ka + j * kb + (id >> 8) * (j % km)) % 251L).toInt - 125
+    val env = 1 + ((f * (1 + (id + ka) % 31L)) % 97L).toInt
+    carrier * env
+  }
+
+  /** Little-endian 16-bit PCM of [[audioSample]] over
+    * frames × channels samples. */
+  private def pcmBytes(id: Long, ka: Long, kb: Long, km: Long,
+      channels: Int, frames: Int): Array[Byte] = {
     val data = new Array[Byte](frames * channels * 2)
-    var i = 0
-    while (i < data.length) {
-      // deterministic sample bytes; the (id >> 8)·(i % 13) term
-      // breaks the mod-256 periodicity of id·31 alone — without it,
-      // ids congruent mod lcm(256, 100, 2) share IDENTICAL payloads,
-      // which turns large synthetic corpora into forests of true
-      // duplicate fingerprints (a data artifact the sf1 scale probe
-      // measured as a fake pair explosion)
-      data(i) = ((id * 31 + i * 7 + (id >> 8) * (i % 13)) & 0xFF).toByte
-      i += 1
+    var j = 0
+    while (j < frames * channels) {
+      val s = audioSample(id, ka, kb, km, channels, j)
+      data(2 * j) = (s & 0xFF).toByte
+      data(2 * j + 1) = ((s >> 8) & 0xFF).toByte
+      j += 1
     }
+    data
+  }
+
+  private def wavOf(data: Array[Byte], sampleRate: Float,
+      channels: Int, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate, 16, channels, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
     val bos = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** Deterministic REAL PCM WAV for doc `id`: 16-bit little-endian
+    * [[audioSample]] samples at an id-derived sample rate / channel
+    * count / frame count, containerized by javax.sound.sampled's own
+    * WAV writer. Like [[imagePayload]], the parameter formulas give
+    * downstream decode queries an exact SQL oracle: a correct
+    * decoder must read exactly these back out of the WAV header and
+    * sample stream. */
+  def audioPayload(id: Long): Array[Byte] = {
+    val sampleRate = 8000 + math.floorMod(id, 8).toInt * 1000
+    val channels = 1 + math.floorMod(id, 2).toInt
+    val frames = 200 + math.floorMod(id, 100).toInt
+    wavOf(pcmBytes(id, 31, 7, 13, channels, frames),
+      sampleRate.toFloat, channels, frames)
   }
 
   // ---------------------------------------------------------------
@@ -997,20 +1035,10 @@ object Multimodal {
     val sampleRate = 8000 + math.floorMod(id, 8).toInt * 1000
     val channels = 1 + math.floorMod(id, 2).toInt
     val frames = 200 + math.floorMod(id, 100).toInt
-    val fmt = new javax.sound.sampled.AudioFormat(
-      sampleRate.toFloat, 16, channels, true, false)
-    val data = new Array[Byte](frames * channels * 2)
-    var i = 0
-    while (i < data.length) { // de-periodized like audioPayload
-      data(i) = ((id * 37 + i * 11 + (id >> 8) * (i % 17)) & 0xFF).toByte
-      i += 1
-    }
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    // different carrier constants AND (via id + ka) a different
+    // envelope than audioPayload(id) — see [[audioSample]]
+    wavOf(pcmBytes(id, 37, 11, 17, channels, frames),
+      sampleRate.toFloat, channels, frames)
   }
 
   /** [[audioPayload]]'s samples re-containerized at a fixed 22050 Hz
@@ -1019,19 +1047,9 @@ object Multimodal {
   private[graft] def remuxedAudioPayload(id: Long): Array[Byte] = {
     val channels = 1 + math.floorMod(id, 2).toInt
     val frames = 200 + math.floorMod(id, 100).toInt
-    val fmt = new javax.sound.sampled.AudioFormat(
-      22050f, 16, channels, true, false)
-    val data = new Array[Byte](frames * channels * 2)
-    var i = 0
-    while (i < data.length) { // identical samples to audioPayload
-      data(i) = ((id * 31 + i * 7 + (id >> 8) * (i % 13)) & 0xFF).toByte
-      i += 1
-    }
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    // identical samples to audioPayload (same constants, same
+    // envelope) under a different declared rate — the remux twin
+    wavOf(pcmBytes(id, 31, 7, 13, channels, frames),
+      22050f, channels, frames)
   }
 }

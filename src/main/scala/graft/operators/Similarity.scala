@@ -1186,6 +1186,31 @@ object Similarity {
     }
   }
 
+  /** Reconciles an ANN index against the LANDED vector set — the
+    * [[graft.operators.Dedup.reconcileDedupIndex]] verb for this
+    * family: landed vectors whose id holds no `_vectors` row encode
+    * through the normal append (against the index's OWN stored
+    * centroids and book — reconciliation ingests, it does not
+    * retrain; pair with [[rebuildAnnIndex]] when the healed mass is
+    * large enough to have drifted the distribution), count surfaced,
+    * idempotent. COST, disclosed: one landed scan against the narrow
+    * `_vectors` id projection — a repair verb. */
+  def reconcileAnnIndex(landed: DataFrame, idCol: String,
+      vecCol: String, name: String): Long = {
+    val spark = landed.sparkSession
+    graft.sources.Bucketing.withIndexLease(spark, name,
+      "reconcileAnnIndex") {
+      val missing = landed.filter(col(idCol).isNotNull)
+        .join(spark.table(s"${name}_vectors")
+          .select(col("vec_id").as("__seen_id")),
+          col(idCol).cast("long") === col("__seen_id"), "left_anti")
+        .localCheckpoint(true)
+      val n = missing.count()
+      if (n > 0) appendToAnnIndex(missing, idCol, vecCol, name)
+      n
+    }
+  }
+
   /** Ops observability for the ANN index — the occupancy histogram
     * that drives the retrain/re-balance decision (a cell holding 10×
     * its share degrades nprobe recall AND makes its bucket the

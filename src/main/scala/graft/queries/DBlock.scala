@@ -29,9 +29,10 @@ object DBlock {
     val src = new org.apache.hadoop.fs.Path(d, "documents.parquet")
     val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(src)
-    // v2: video rows carry real MJPEG AVIs (payload format is part of
-    // the key so pre-video stores self-invalidate)
-    val store = "/tmp/graft_media_store_v2_" +
+    // v3: structured audio samples (envelope × carrier — the r16
+    // probe fix); the version is part of the key so stores holding
+    // the old near-noise WAVs self-invalidate
+    val store = "/tmp/graft_media_store_v3_" +
       d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
       java.lang.Long.toHexString(st.getLen ^ st.getModificationTime)
     if (!fs.exists(new org.apache.hadoop.fs.Path(store)))
@@ -1192,6 +1193,97 @@ object DBlock {
         OpsCard.Entry("sim", "d125_sx", docs, "doc_id"),
         OpsCard.Entry("url", "d125_ux",
           urls.select(col("url")).distinct(), "url")))
+    }),
+
+    // D98: RECONCILE verbs for every index family — d125's drift
+    // column made actionable everywhere (BM25 already had the verb;
+    // these close dedup/ANN/sim/url). Each entry is a twin proof:
+    // build the index on a PARTIAL slice, reconcile against the full
+    // landed set, then run the family's screen/serve — the oracle is
+    // the family's FULL-BUILD SQL verbatim, so a hash match proves
+    // reconcile found exactly the missing items and the healed index
+    // is indistinguishable from one built whole.
+    "d126_dedup_reconcile" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val isBatch = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+      Dedup.buildDedupIndex(
+        docs.filter(!isBatch && col("doc_id") % 2 === 0),
+        "doc_id", "text", name = "d126_idx", md5Sig = true)
+      Dedup.reconcileDedupIndex(docs.filter(!isBatch), "doc_id", "text",
+        "d126_idx")
+      Dedup.dedupAgainstIndex(docs.filter(isBatch), "doc_id", "text",
+        name = "d126_idx")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // D98 (ANN): the d93 rebuild shape with the append replaced by
+    // reconcile — build on evens, reconcile the full set (finding
+    // exactly the odds), REBUILD (reconcile ingests against the
+    // stored book; equality with a fresh full build needs the
+    // retrain, the honest d93 contract), serve. Oracle = the
+    // d50/d58/d93 full-corpus twin SQL verbatim.
+    "d127_ann_reconcile" -> ((s, d) => {
+      val q8 = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+      Similarity.buildAnnIndex(q8.filter(col("vec_id") % 2 === 0),
+        "vec_id", "qv", name = "d127_idx",
+        nlist = 16, m = 4, ksub = 8, md5Sig = true)
+      Similarity.reconcileAnnIndex(q8, "vec_id", "qv", "d127_idx")
+      Similarity.rebuildAnnIndex(s, "d127_idx")
+      Similarity.annTopKAgainstIndex(q8.filter(col("vec_id") < 50),
+        "vec_id", "qv", name = "d127_idx", k = 10, nprobe = 4,
+        shortlistFactor = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("dist2").cast("long").as("dist2"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // D98 (sim): d67's screen with the index built on HALF the
+    // corpus sigs and reconciled up to all of them; oracle = d67's
+    // screen SQL verbatim.
+    "d128_sim_reconcile" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("doc_id") % 3 === 1)
+        .select(col("doc_id").cast("long")).as[Long]
+      val corpus = base.mapPartitions(_.map(id =>
+        Multimodal.MediaRow(id, "audio", Multimodal.audioPayload(id))))
+      val batch = base.mapPartitions(_.flatMap(id => Iterator(
+        Multimodal.MediaRow(id + Multimodal.PlantedIdOffset, "audio",
+          Multimodal.remuxedAudioPayload(id)),
+        Multimodal.MediaRow(id + 2 * Multimodal.PlantedIdOffset, "audio",
+          Multimodal.unrelatedAudioPayload(id)))))
+      val sigs = Multimodal.audioFingerprintSigs(s, corpus)
+      Dedup.buildSimIndex(sigs.filter(col("doc_id") % 2 === 0),
+        "d128_idx", maxDist = 2)
+      Dedup.reconcileSimIndex(sigs, "d128_idx")
+      Dedup.screenAgainstSimIndex(
+        Multimodal.audioFingerprintSigs(s, batch), "d128_idx")
+        .select(col("doc_id"),
+          expr("shiftrightunsigned(sim, 32)").as("sig_hi"),
+          (col("sim").bitwiseAND(lit(0xFFFFFFFFL))).as("sig_lo"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // D98 (url): d84's frontier with the corpus side built on a 1/32
+    // slice and reconciled up to the full 1/16; oracle = d84's SQL
+    // verbatim.
+    "d129_url_reconcile" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), plantedUrl.as("url"))
+      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      Dedup.buildUrlIndex(
+        docs.filter(h1 === "0" && col("doc_id") % 2 === 0),
+        "url", "d129_url_idx")
+      Dedup.reconcileUrlIndex(docs.filter(h1 === "0"), "url",
+        "d129_url_idx")
+      Dedup.screenAgainstUrlIndex(docs.filter(h1 >= "8"), "url",
+        "d129_url_idx")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // D67: per-bin token-id MATERIALIZATION — the `.bin` artifact
@@ -2532,16 +2624,14 @@ object DBlock {
         |  FROM dims d, (SELECT unnest(range(65)) AS w) w
         |), en AS (
         |  SELECT aid, batch, w,
-        |    SUM(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END))
-        |      // ((f1 - f0) * ch) AS e
+        |    SUM(abs(v)) // ((f1 - f0) * ch) AS e
         |  FROM (
         |    SELECT aid, batch, w, f1, f0, ch,
-        |      ((src * ka + jb * kb + (src // 256) * (jb % km)) & 255)
-        |      + 256 * ((src * ka + (jb + 1) * kb
-        |                + (src // 256) * ((jb + 1) % km)) & 255) AS v
+        |      (((src * ka + j * kb + (src // 256) * (j % km)) % 251) - 125)
+        |      * (1 + ((f * (1 + (src + ka) % 31)) % 97)) AS v
         |    FROM (
         |      SELECT ws.aid, ws.src, ws.ka, ws.kb, ws.km, ws.batch, ws.w,
-        |        ws.f1, ws.f0, ws.ch, (fs.f * ws.ch + cs.c) * 2 AS jb
+        |        ws.f1, ws.f0, ws.ch, fs.f AS f, fs.f * ws.ch + cs.c AS j
         |      FROM wins ws,
         |        unnest(range(ws.f0, ws.f1)) AS fs(f),
         |        unnest(range(ws.ch)) AS cs(c)
@@ -2757,6 +2847,21 @@ object DBlock {
       |  UNION ALL SELECT 'url', 'd125_ux',
       |    (SELECT n FROM uu), (SELECT n FROM uu))
       |ORDER BY family""".stripMargin
+
+  /** d84/d129's frontier-screen oracle — canonicalize BOTH halves
+    * with the d71 arithmetic; a batch (upper-half md5 slice) doc
+    * survives iff its canonical url matches no corpus (lower-half)
+    * doc's. Shared verbatim by the fresh build (d84) and the
+    * reconciled build (d129) — the twin discipline for the url
+    * family's reconcile verb. */
+  private lazy val d84Sql: String =
+    s"WITH $canonUrlCtes\n" +
+      """SELECT c.doc_id FROM c
+        |WHERE substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 1) >= '8'
+        |  AND c.canon_url NOT IN (
+        |    SELECT canon_url FROM c
+        |    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0')
+        |ORDER BY doc_id""".stripMargin
 
   /** d72's global token budget (~30% of the sf0.01 corpus; a FIXED
     * budget, so like d66 the cut cost stays flat as the corpus
@@ -4165,9 +4270,10 @@ object DBlock {
         |GROUP BY a.bin, a.n, a.n_pos, a.p4s, tp
         |ORDER BY a.bin""".stripMargin
 
-  /** The d64b audio-fingerprint CTE chain (planted WAV byte
-    * arithmetic → signed 16-bit reassembly → 65 window means →
-    * gradient-sign halves), ending in `asigs(aid, sig_hi, sig_lo)`.
+  /** The d64b audio-fingerprint CTE chain (planted WAV sample
+    * arithmetic — envelope × carrier, see Multimodal.audioSample —
+    * → 65 window means → gradient-sign halves), ending in
+    * `asigs(aid, sig_hi, sig_lo)`.
     * Parameterized by an extra WHERE fragment on the source slice and
     * shared by the d64b bit oracle and the d81 audio-dedup
     * composition oracle, so the two cannot drift (the dhashSigCtes
@@ -4189,16 +4295,14 @@ object DBlock {
        |  FROM dims d, (SELECT unnest(range(65)) AS w) w
        |), en AS (
        |  SELECT aid, w,
-       |    SUM(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END))
-       |      // ((f1 - f0) * ch) AS e
+       |    SUM(abs(v)) // ((f1 - f0) * ch) AS e
        |  FROM (
        |    SELECT aid, w, f1, f0, ch,
-       |      ((src * 31 + jb * 7 + (src // 256) * (jb % 13)) & 255)
-       |      + 256 * ((src * 31 + (jb + 1) * 7
-       |                + (src // 256) * ((jb + 1) % 13)) & 255) AS v
+       |      (((src * 31 + j * 7 + (src // 256) * (j % 13)) % 251) - 125)
+       |      * (1 + ((f * (1 + (src + 31) % 31)) % 97)) AS v
        |    FROM (
        |      SELECT ws.aid, ws.src, ws.w, ws.f1, ws.f0, ws.ch,
-       |        (fs.f * ws.ch + cs.c) * 2 AS jb
+       |        fs.f AS f, fs.f * ws.ch + cs.c AS j
        |      FROM wins ws,
        |        unnest(range(ws.f0, ws.f1)) AS fs(f),
        |        unnest(range(ws.ch)) AS cs(c)
@@ -4229,6 +4333,12 @@ object DBlock {
     // (8 bands × 4 rows from the same 32 permutations) — proving the
     // index-local reband equals a fresh build at the new parameters.
     "d113_rebanded_dedup" -> indexedDedupSqlFor(32, 8),
+
+    // d126: d46's derivation VERBATIM — the index was built on the
+    // even half of the corpus slice and RECONCILED up to all of it,
+    // so a hash match proves the healed index screens exactly like
+    // one built whole.
+    "d126_dedup_reconcile" -> incrementalDedupSql,
 
     "d116_reband_sweep" -> rebandSweepSql,
 
@@ -4653,6 +4763,10 @@ object DBlock {
     // d120: d67's screen derivation VERBATIM — proving the
     // index-local rechunk equals a fresh build at the new maxDist.
     "d120_rechunked_sim" -> simScreenTwinSql,
+
+    // d128: d67's derivation VERBATIM — half-built then reconciled
+    // must screen like built-whole.
+    "d128_sim_reconcile" -> simScreenTwinSql,
 
 
     // exclusive running total re-derived with a 1-PRECEDING window
@@ -5482,6 +5596,11 @@ object DBlock {
     // rebuild proof: build history erased — the direct full-corpus
     // twin, verbatim
     "d93_ann_rebuild" -> ivfPqTwinSql,
+
+    // d127: the same twin SQL a FOURTH time — build-on-evens +
+    // reconcile (finds the odds) + rebuild must equal the direct
+    // full-corpus computation.
+    "d127_ann_reconcile" -> ivfPqTwinSql,
     "d117_ann_recall" -> annRecallSql,
     "d123_refine_sweep" -> annRefineSql,
     "d125_ops_card" -> d125Sql,
@@ -5947,14 +6066,12 @@ object DBlock {
     // halves with the d71 arithmetic; a batch (upper-half) doc
     // survives iff its canonical url matches no corpus (lower-half)
     // doc's canonical url.
-    "d84_url_screen" ->
-      (s"WITH $canonUrlCtes\n" +
-      """SELECT c.doc_id FROM c
-        |WHERE substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 1) >= '8'
-        |  AND c.canon_url NOT IN (
-        |    SELECT canon_url FROM c
-        |    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0')
-        |ORDER BY doc_id""".stripMargin),
+    "d84_url_screen" -> d84Sql,
+
+    // d129: d84's derivation VERBATIM — the index was built on a
+    // 1/32 slice and RECONCILED up to the full 1/16 corpus, so a
+    // hash match proves reconcile found exactly the missing keys.
+    "d129_url_reconcile" -> d84Sql,
 
     // d72: integer allowances (w·B // Σw over the distinct strata),
     // per-stratum cumulative token mass in (md5 priority DESC, id)
