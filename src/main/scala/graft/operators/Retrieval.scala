@@ -40,20 +40,29 @@ object Retrieval {
     *     stripping interior marks would glue or split real
     *     vocabulary both ways, and the boundary-only rule is the
     *     reversible one). The character class is ASCII `[a-z0-9]`
-    *     after case-folding — the oracle-reproducible choice; a
-    *     Unicode-letter class is a family VALUE away precisely
-    *     because the family is recorded, not assumed. */
-  val TokenizerFamilies: Seq[String] = Seq("ws", "norm")
+    *     after case-folding — a non-ASCII LETTER at a token boundary
+    *     is stripped too, which is wrong for multilingual text and
+    *     exactly why the family below exists.
+    *   - `"uni"` — `"norm"` with the Unicode character classes
+    *     `\p{L}\p{N}` in place of ASCII: `«über»` normalizes to
+    *     `über`, not `ber`. Java regex and DuckDB's RE2 agree on
+    *     these classes, so the family stays oracle-reproducible. */
+  val TokenizerFamilies: Seq[String] = Seq("ws", "norm", "uni")
+
+  private def boundaryClass(family: String): String = family match {
+    case "norm" => "^[^a-z0-9]+|[^a-z0-9]+$"
+    case "uni"  => "^[^\\p{L}\\p{N}]+|[^\\p{L}\\p{N}]+$"
+  }
 
   /** The token array of `text` under a tokenizer family — ONE
     * definition shared by every fresh-scan operator and every index
     * build/append, so a family can never mean two things. */
   def tokensFor(family: String, text: Column): Column = family match {
     case "ws" => Dedup.tokens(text)
-    case "norm" =>
+    case "norm" | "uni" =>
       filter(
         transform(Dedup.tokens(text),
-          t => regexp_replace(t, "^[^a-z0-9]+|[^a-z0-9]+$", "")),
+          t => regexp_replace(t, boundaryClass(family), "")),
         t => length(t) > 0)
     case other => throw new IllegalArgumentException(
       s"unknown tokenizer family '$other' — one of $TokenizerFamilies")
@@ -73,12 +82,12 @@ object Retrieval {
       throw new IllegalArgumentException(
         s"$op: query term '$t' is not lowercase — corpus tokens are " +
           "case-folded; lowercase the query"))
-    if (tokenizer == "norm")
-      terms.find(t => t != t.replaceAll("^[^a-z0-9]+|[^a-z0-9]+$", ""))
+    if (tokenizer == "norm" || tokenizer == "uni")
+      terms.find(t => t != t.replaceAll(boundaryClass(tokenizer), ""))
         .foreach(t => throw new IllegalArgumentException(
           s"$op: query term '$t' carries boundary punctuation the " +
-            "'norm' tokenizer strips from the corpus — normalize the " +
-            "query term"))
+            s"'$tokenizer' tokenizer strips from the corpus — " +
+            "normalize the query term"))
   }
 
   /** (num_buckets, tokenizer) from a BM25 index's `_meta`, failing

@@ -1877,6 +1877,26 @@ object DBlock {
         tokenizer = "norm")
     }),
 
+    // D93 (uni family): the Unicode tokenizer over a corpus planted
+    // with guillemets AND a non-ASCII word — the case that separates
+    // the families: under `norm`'s ASCII classes «über» strips to
+    // `ber` (a leading Unicode LETTER reads as punctuation); under
+    // `uni`'s \p{L}\p{N} it normalizes to `über`. Java regex and
+    // DuckDB RE2 agree on the classes, so the family is fully
+    // oracle-checked like d122.
+    "d130_uni_bm25" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("«"),
+          regexp_replace(regexp_replace(col("text"), "spark", "über"),
+            " ", "» «"),
+          lit("»")).as("text"))
+      Retrieval.buildBm25Index(planted, "doc_id", "text",
+        name = "d130_idx", tokenizer = "uni")
+      Retrieval.bm25TopKAgainstIndex(s, "d130_idx",
+        queryTerms = d130Terms, topK = 20, k1 = 1.5, b = 0.75,
+        tokenizer = "uni")
+    }),
+
     // D94: PROXIMITY BM25 — "all terms within a window of N tokens",
     // the looser half of positional retrieval (a paraphrased
     // benchmark leak survives word reordering; the exact phrase
@@ -2718,6 +2738,23 @@ object DBlock {
     "list_filter(list_transform(string_split_regex(lower(trim(" +
       "'(' || replace(text, ' ', '. ') || ')')), '\\s+'), " +
       "w -> regexp_replace(w, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')), " +
+      "w -> len(w) > 0)"
+
+  /** d130's query terms: d70's with `spark` swapped for the planted
+    * non-ASCII replacement — the term only the `uni` family can
+    * find. */
+  private val d130Terms = Seq("customer", "vector", "merge", "über")
+
+  /** The `uni` family over the d130 guillemet-planted corpus:
+    * '«' + every space→'» «' + '»' wraps EVERY token, and `spark` is
+    * replaced with `über` so a non-ASCII LETTER sits at a token
+    * boundary — \p{L}\p{N} classes keep it, ASCII classes would
+    * strip it. */
+  private val uniPlantedTokensSql: String =
+    "list_filter(list_transform(string_split_regex(lower(trim(" +
+      "'«' || replace(replace(text, 'spark', 'über'), ' ', '» «') " +
+      "|| '»')), '\\s+'), " +
+      "w -> regexp_replace(w, '^[^\\p{L}\\p{N}]+|[^\\p{L}\\p{N}]+$', '', 'g')), " +
       "w -> len(w) > 0)"
 
   /** The d70 fresh-scan BM25 oracle, parametrized over the token
@@ -4352,6 +4389,12 @@ object DBlock {
     // arithmetic verbatim; the Spark entry serves from the index,
     // so a hash match proves fresh == indexed at the new family.
     "d122_norm_bm25" -> bm25SqlFor(normPlantedTokensSql, d70Terms, 20),
+
+    // d130: the uni family — DuckDB re-derives the \p{L}\p{N}-
+    // normalized tokens from the guillemet-planted text, then the
+    // d70 Okapi arithmetic verbatim; serving is from the index, so
+    // the hash match proves fresh == indexed at the third family.
+    "d130_uni_bm25" -> bm25SqlFor(uniPlantedTokensSql, d130Terms, 20),
 
     // d124/d124b: one generated proximity oracle proves the fresh
     // scan AND the positional-index serving (the d118/d119 twin

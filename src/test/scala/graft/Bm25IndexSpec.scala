@@ -332,6 +332,36 @@ class Bm25IndexSpec extends AnyFunSuite {
       "bmspec_norm").count() == 0L, "zero-token doc must self-suppress")
   }
 
+  test("uni family: Unicode letters survive boundary stripping where norm's ASCII classes eat them") {
+    import spark.implicits._
+    val multi = Seq(
+      (1L, "«über» performance matters…"),
+      (2L, "plain ascii words here"),
+      (3L, "“quoted” über again")).toDF("doc_id", "text")
+    // norm (ASCII classes): «über» -> leading « AND ü both strip ->
+    // 'ber'; uni (\p{L}\p{N}): -> 'über'
+    val normToks = multi.select(
+      Retrieval.tokensFor("norm", col("text")).as("tk"))
+      .collect().flatMap(_.getSeq[String](0)).toSet
+    val uniToks = multi.select(
+      Retrieval.tokensFor("uni", col("text")).as("tk"))
+      .collect().flatMap(_.getSeq[String](0)).toSet
+    assert(normToks.contains("ber") && !normToks.contains("über"))
+    assert(uniToks.contains("über") && !uniToks.contains("ber"))
+    // end-to-end: a uni index finds the non-ASCII term; families
+    // refuse across
+    Retrieval.buildBm25Index(multi, "doc_id", "text", "bmspec_uni",
+      numBuckets = 2, tokenizer = "uni")
+    val hits = Retrieval.bm25TopKAgainstIndex(spark, "bmspec_uni",
+      Seq("über"), topK = 5, tokenizer = "uni")
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 3L))
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKAgainstIndex(spark, "bmspec_uni",
+        Seq("über"), topK = 5, tokenizer = "norm")
+    }
+  }
+
   test("docs-first append order: a death before the postings append self-suppresses on replay and reconcile heals the hole") {
     import spark.implicits._
     Retrieval.buildBm25Index(docs.filter("doc_id <= 6"), "doc_id",

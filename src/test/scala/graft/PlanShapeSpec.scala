@@ -140,6 +140,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"indexed serving plan touches the corpus:\n${p.take(2000)}")
   }
 
+  test("d124b: indexed proximity serving bucket-prunes postings, never reads the corpus") {
+    val p = plan("d124b_indexed_prox")
+    assert(p.contains("SelectedBucketsCount"),
+      s"proximity postings scan did not bucket-prune:\n${p.take(2000)}")
+    assert(!p.contains("documents"),
+      s"indexed proximity plan touches the corpus:\n${p.take(2000)}")
+  }
+
   test("a15: per-user agg runs on bucket partitioning — no hash exchange") {
     val p = plan("a15_bucketed_events")
     // the userid-bucketed layout must satisfy the groupBy(userid)
