@@ -986,6 +986,76 @@ object Retrieval {
     scoreProximity(pos, stats, terms, window, topK, k1, b)
   }
 
+  /** Ranked-retrieval EVAL metrics — the scorer behind every
+    * retrieval decision this engine's other operators set up (which
+    * tokenizer family, how much shortlist, which fusion): given a
+    * RUN (query_id, rank, doc_id — any ranked list: BM25, dense,
+    * fused) and QRELS (query_id, doc_id, grade — graded relevance,
+    * grade > 0 relevant), one row per query:
+    *
+    *   - `rr` — 1/rank of the first relevant doc anywhere in the
+    *     run's list (the run is already top-k-bounded by its
+    *     producer); 0 when none retrieved. Mean over queries is MRR.
+    *   - `dcg` / `ndcg` — Σ grade/log2(rank+1) over relevant
+    *     retrieved docs at rank <= k (Järvelin & Kekäläinen's
+    *     graded form with linear gain), normalized by the ideal DCG
+    *     of the query's own grades sorted descending, truncated at
+    *     k. log2 is spelled ln(x)/ln(2) so both engines evaluate the
+    *     identical expression tree.
+    *   - `recall_at_k` — relevant retrieved at rank <= k over the
+    *     query's total relevant count.
+    *
+    * Queries in the run with no relevant docs in qrels score 0
+    * across the board (an eval harness must surface them, not drop
+    * them). All metrics rounded to 4 decimals (§6).
+    *
+    * Scale shape: the run is top-k-bounded per query and qrels is an
+    * eval set — one SHUFFLE_HASH equi-join on (query_id, doc_id),
+    * one per-query bounded aggregate each side; the ideal-DCG side
+    * sorts each query's own grade list (bounded by its qrels count)
+    * with array HOFs. Nothing corpus-sized anywhere. */
+  def rankedEval(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ln2 = log(lit(2.0))
+    val rel = qrels.filter(col("grade") > 0)
+      .select(col("query_id"), col("doc_id"),
+        col("grade").cast("double").as("grade"))
+    // ideal side: each query's own grades, sorted desc, truncated at
+    // k, discounted by position
+    val ideal = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"),
+        slice(sort_array(collect_list(col("grade")), asc = false),
+          1, k).as("__g"))
+      .select(col("query_id"), col("n_rel"),
+        aggregate(
+          zip_with(col("__g"),
+            sequence(lit(2), size(col("__g")) + 1),
+            (g, pos) => g / (log(pos.cast("double")) / ln2)),
+          lit(0.0), (acc, x) => acc + x).as("idcg"))
+    val hits = run
+      .join(rel.hint("SHUFFLE_HASH"), Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg((lit(1.0) / min(col("rank"))).as("rr"),
+        sum(when(col("rank") <= k,
+          col("grade") / (log((col("rank") + 1).cast("double")) / ln2))
+          .otherwise(0.0)).as("dcg"),
+        sum(when(col("rank") <= k, 1L).otherwise(0L)).as("hits_at_k"))
+    run.select(col("query_id")).distinct()
+      .join(broadcast(ideal), Seq("query_id"), "left")
+      .join(broadcast(hits), Seq("query_id"), "left")
+      .select(col("query_id"), lit(k).as("k"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        round(coalesce(col("rr"), lit(0.0)), 4).as("rr"),
+        round(coalesce(col("dcg"), lit(0.0)), 4).as("dcg"),
+        round(when(coalesce(col("idcg"), lit(0.0)) > 0.0,
+          coalesce(col("dcg"), lit(0.0)) / col("idcg"))
+          .otherwise(0.0), 4).as("ndcg"),
+        round(when(coalesce(col("n_rel"), lit(0L)) > 0,
+          coalesce(col("hits_at_k"), lit(0L)).cast("double") /
+            col("n_rel").cast("double"))
+          .otherwise(0.0), 4).as("recall_at_k"))
+  }
+
   /** Per-document TF-IDF keyword extraction — the tagging pass that
     * labels every document with its most distinctive terms (topical
     * routing, cluster naming, index-card metadata): score(d, t) =

@@ -1286,6 +1286,34 @@ object DBlock {
         .orderBy(col("doc_id"))
     }),
 
+    // D99: RANKED-RETRIEVAL EVAL metrics — the scorer behind every
+    // retrieval decision the other operators set up (tokenizer
+    // family, shortlist depth, fusion choice): per query, MRR's
+    // reciprocal rank, graded DCG@10 / nDCG@10 (linear gain,
+    // ln(x)/ln(2) discount so both engines evaluate one expression
+    // tree) and recall@10, over a REAL BM25 run (bm25PerQueryRanks,
+    // three queries) against qrels PLANTED from doc_id arithmetic
+    // (the d44 discipline — relevance needn't be meaningful for the
+    // metric arithmetic to be exactly checkable).
+    "d131_ranked_eval" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val queries = Seq(
+        (1L, Seq("customer", "vector")),
+        (2L, Seq("merge", "spark")),
+        (3L, Seq("table", "filter"))).toDF("query_id", "terms")
+      val run = Retrieval.bm25PerQueryRanks(docs, "doc_id", "text",
+        queries, "query_id", "terms", topK = 20, k1 = 1.5, b = 0.75)
+      val base = docs.filter(col("doc_id").isNotNull)
+      val qrels = Seq(1L, 2L, 3L).map(q =>
+        base.filter(col("doc_id") % (5 + q) === q)
+          .select(lit(q).as("query_id"), col("doc_id"),
+            (lit(1L) + col("doc_id") % 3).as("grade")))
+        .reduce(_ unionByName _)
+      Retrieval.rankedEval(run, qrels, k = 10)
+        .orderBy(col("query_id"))
+    }),
+
     // D67: per-bin token-id MATERIALIZATION — the `.bin` artifact
     // the d90 manifest addresses: concatenate each context bin's
     // document segments (real fixed-BPE ids, the d38/d59 tokenizer)
@@ -2899,6 +2927,93 @@ object DBlock {
         |    SELECT canon_url FROM c
         |    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0')
         |ORDER BY doc_id""".stripMargin
+
+  /** d131's oracle: three per-query BM25 ranked lists re-derived
+    * with the d70 arithmetic (rank = row_number over (bm25 desc,
+    * doc_id), the rounded-before-rank discipline), the planted
+    * qrels, and the metric arithmetic — rr, graded DCG@10 with the
+    * ln(x)/ln(2) discount, nDCG against the ideal ordering of each
+    * query's own grades, recall@10. */
+  private lazy val d131Sql: String = {
+    val w =
+      """ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5) /
+        |        (CAST(df_t AS DOUBLE) + 0.5)) *
+        |      (CAST(tf AS DOUBLE) * 2.5) /
+        |      (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+        |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))""".stripMargin
+    def leg(q: Int, terms: Seq[String]): String = {
+      val in = terms.map("'" + _ + "'").mkString(", ")
+      s"""tf$q AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+         |    max(dl) AS dl
+         |  FROM post WHERE term IN ($in) GROUP BY doc_id, term
+         |), dft$q AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df_t
+         |  FROM tf$q GROUP BY term
+         |), sc$q AS (
+         |  SELECT doc_id, round(sum($w), 4) AS bm25
+         |  FROM tf$q JOIN dft$q USING (term) CROSS JOIN st
+         |  GROUP BY doc_id
+         |), r$q AS (
+         |  SELECT $q AS q,
+         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+         |      AS rank, doc_id
+         |  FROM sc$q QUALIFY rank <= 20
+         |)""".stripMargin
+    }
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(ws)) AS BIGINT) AS sum_dl FROM tok
+       |), post AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |    unnest(ws) AS term FROM tok
+       |), ${leg(1, Seq("customer", "vector"))},
+       |${leg(2, Seq("merge", "spark"))},
+       |${leg(3, Seq("table", "filter"))},
+       |run AS (
+       |  SELECT * FROM r1 UNION ALL SELECT * FROM r2
+       |  UNION ALL SELECT * FROM r3
+       |), qr AS (
+       |  SELECT qq.q, d.doc_id, CAST(1 + d.doc_id % 3 AS DOUBLE) AS grade
+       |  FROM (SELECT unnest([1, 2, 3]) AS q) qq, documents d
+       |  WHERE d.doc_id IS NOT NULL AND d.doc_id % (5 + qq.q) = qq.q
+       |), gr AS (
+       |  SELECT q, grade,
+       |    row_number() OVER (PARTITION BY q ORDER BY grade DESC) AS i
+       |  FROM qr
+       |), ideal AS (
+       |  SELECT q, CAST(count(*) AS BIGINT) AS n_rel,
+       |    sum(CASE WHEN i <= 10
+       |      THEN grade / (ln(CAST(i + 1 AS DOUBLE)) / ln(2.0))
+       |      ELSE 0 END) AS idcg
+       |  FROM gr GROUP BY q
+       |), hits AS (
+       |  SELECT r.q, 1.0 / min(r.rank) AS rr,
+       |    sum(CASE WHEN r.rank <= 10
+       |      THEN x.grade / (ln(CAST(r.rank + 1 AS DOUBLE)) / ln(2.0))
+       |      ELSE 0 END) AS dcg,
+       |    CAST(sum(CASE WHEN r.rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS hits_at_k
+       |  FROM run r JOIN qr x ON x.q = r.q AND x.doc_id = r.doc_id
+       |  GROUP BY r.q
+       |)
+       |SELECT CAST(rq.q AS BIGINT) AS query_id, 10 AS k,
+       |  coalesce(i.n_rel, 0) AS n_rel,
+       |  round(coalesce(h.rr, 0), 4) AS rr,
+       |  round(coalesce(h.dcg, 0), 4) AS dcg,
+       |  round(CASE WHEN coalesce(i.idcg, 0) > 0
+       |    THEN coalesce(h.dcg, 0) / i.idcg ELSE 0 END, 4) AS ndcg,
+       |  round(CASE WHEN coalesce(i.n_rel, 0) > 0
+       |    THEN CAST(coalesce(h.hits_at_k, 0) AS DOUBLE) / i.n_rel
+       |    ELSE 0 END, 4) AS recall_at_k
+       |FROM (SELECT DISTINCT q FROM run) rq
+       |LEFT JOIN ideal i ON i.q = rq.q
+       |LEFT JOIN hits h ON h.q = rq.q
+       |ORDER BY query_id""".stripMargin
+  }
 
   /** d72's global token budget (~30% of the sf0.01 corpus; a FIXED
     * budget, so like d66 the cut cost stays flat as the corpus
@@ -5647,6 +5762,7 @@ object DBlock {
     "d117_ann_recall" -> annRecallSql,
     "d123_refine_sweep" -> annRefineSql,
     "d125_ops_card" -> d125Sql,
+    "d131_ranked_eval" -> d131Sql,
 
     "d100_incremental_curation" -> incrementalCurationSql,
     "d97_dedup_index_stats" -> dedupIndexStatsSql,

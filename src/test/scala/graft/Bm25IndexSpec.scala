@@ -446,6 +446,40 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(out.count() == 0L)
   }
 
+  test("rankedEval: hand-computed MRR/DCG/nDCG/recall; no-relevant and not-retrieved edges") {
+    import spark.implicits._
+    // run: q1 ranks docs 10,11,12,13; q2 ranks 20,21
+    val run = Seq(
+      (1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L), (1L, 4, 13L),
+      (2L, 1, 20L), (2L, 2, 21L)).toDF("query_id", "rank", "doc_id")
+    // qrels: q1 relevant {11: g2, 13: g1, 99: g3 (never retrieved)};
+    // q2 has NO relevant docs (grade-0 row must not count)
+    val qrels = Seq(
+      (1L, 11L, 2L), (1L, 13L, 1L), (1L, 99L, 3L),
+      (2L, 20L, 0L)).toDF("query_id", "doc_id", "grade")
+    val out = Retrieval.rankedEval(run, qrels, k = 3)
+      .orderBy("query_id").collect()
+    val q1 = out(0)
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    // rr = 1/2 (first hit at rank 2); dcg@3 = 2/log2(3) (doc 13 at
+    // rank 4 > k); idcg@3 = 3/log2(2) + 2/log2(3) + 1/log2(4);
+    // recall@3 = 1/3
+    val dcg = 2.0 / log2(3)
+    val idcg = 3.0 / log2(2) + 2.0 / log2(3) + 1.0 / log2(4)
+    assert(q1.getAs[Long]("n_rel") == 3L)
+    assert(q1.getAs[Double]("rr") == 0.5)
+    assert(q1.getAs[Double]("dcg") ==
+      BigDecimal(dcg).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(q1.getAs[Double]("ndcg") ==
+      BigDecimal(dcg / idcg).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(q1.getAs[Double]("recall_at_k") == 0.3333)
+    val q2 = out(1)
+    assert(q2.getAs[Long]("n_rel") == 0L &&
+      q2.getAs[Double]("rr") == 0.0 && q2.getAs[Double]("ndcg") == 0.0 &&
+      q2.getAs[Double]("recall_at_k") == 0.0)
+  }
+
   test("rrfFuseAll: hand-computed three-system fusion; binary delegation unchanged") {
     import spark.implicits._
     import graft.operators.Retrieval
