@@ -214,11 +214,23 @@ object Bench {
         System.err.println(s"[bench] d112_serve setup: ${e.getMessage}")
         None
       }
+    // the positional serving paths ride the SAME prebuilt index —
+    // their steady cost is one bucket-pruned positional read each
+    val phraseServeOnly = bm25ServeOnly.map(_ => () =>
+      graft.operators.Retrieval.bm25PhraseAgainstIndex(
+        spark, "d112bench_idx", phrase = Seq("merge", "spark"),
+        topK = 20, k1 = 1.5, b = 0.75))
+    val proxServeOnly = bm25ServeOnly.map(_ => () =>
+      graft.operators.Retrieval.bm25ProximityAgainstIndex(
+        spark, "d112bench_idx", terms = Seq("vector", "merge", "spark"),
+        window = 6, topK = 20, k1 = 1.5, b = 0.75))
     val extras = screenOnly.map(mk => "d46_screen" -> mk) ++
       annQueryOnly.map(mk => "d58_query" -> mk) ++
       simScreenOnly.map(mk => "d67_screen" -> mk) ++
       nbScoreOnly.map(mk => "d74_score" -> mk) ++
-      bm25ServeOnly.map(mk => "d112_serve" -> mk)
+      bm25ServeOnly.map(mk => "d112_serve" -> mk) ++
+      phraseServeOnly.map(mk => "d119_serve" -> mk) ++
+      proxServeOnly.map(mk => "d124_serve" -> mk)
 
     // -------- per-entry isolation (the r14 measurement fix) --------
     // Single-JVM timing of 150+ plans inflated OLD entries ~7-12% as

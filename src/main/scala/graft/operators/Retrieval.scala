@@ -986,6 +986,31 @@ object Retrieval {
     scoreProximity(pos, stats, terms, window, topK, k1, b)
   }
 
+  /** Match EXPLANATION for a BM25 result — the positional backing of
+    * snippet/highlight generation, and the "WHY did this doc rank"
+    * answer an operator debugging a retrieval stack asks first: for
+    * each of the query's top-k documents, every query term's
+    * occurrence positions (1-based token offsets, straight from the
+    * positional postings — the corpus is never re-tokenized).
+    * Returns (doc_id, bm25, term, pos), one row per occurrence;
+    * terms a document lacks contribute no rows. Per-batch cost: the
+    * top-k serve + ONE more bucket-pruned read of the same query
+    * terms' postings joined on the k doc ids — the explanation is
+    * k·|Q| narrow rows, never a corpus pass. */
+  def matchPositionsAgainstIndex(spark: SparkSession, name: String,
+      queryTerms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      tokenizer: String = "ws"): DataFrame = {
+    val top = bm25TopKAgainstIndex(spark, name, queryTerms, topK,
+      k1, b, tokenizer).select(col("doc_id"), col("bm25"))
+    val pos = spark.table(s"${name}_postings")
+      .filter(col("term").isin(queryTerms: _*))
+      .select(col("doc_id"), col("term"), col("positions"))
+    top.join(pos.hint("SHUFFLE_HASH"), Seq("doc_id"))
+      .select(col("doc_id"), col("bm25"), col("term"),
+        explode(col("positions")).as("pos"))
+  }
+
   /** Ranked-retrieval EVAL metrics — the scorer behind every
     * retrieval decision this engine's other operators set up (which
     * tokenizer family, how much shortlist, which fusion): given a

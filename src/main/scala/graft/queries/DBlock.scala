@@ -1925,6 +1925,22 @@ object DBlock {
         tokenizer = "uni")
     }),
 
+    // D100: MATCH-POSITION explanation — the positional backing of
+    // snippet/highlight generation: for the query's top-5 docs,
+    // every query term's 1-based occurrence offsets straight from
+    // the positional postings (one more bucket-pruned read joined on
+    // 5 doc ids — k·|Q| narrow rows, never a corpus pass). Fully
+    // oracle-checked: DuckDB re-derives the top-5 AND every offset
+    // by filtering token positions, so a match proves the stored
+    // positions are exactly the corpus's.
+    "d132_match_positions" -> ((s, d) => {
+      Retrieval.buildBm25Index(Tables.documents(s, d), "doc_id", "text",
+        name = "d132_idx")
+      Retrieval.matchPositionsAgainstIndex(s, "d132_idx",
+        queryTerms = d70Terms, topK = 5, k1 = 1.5, b = 0.75)
+        .orderBy(col("doc_id"), col("term"), col("pos"))
+    }),
+
     // D94: PROXIMITY BM25 — "all terms within a window of N tokens",
     // the looser half of positional retrieval (a paraphrased
     // benchmark leak survives word reordering; the exact phrase
@@ -2825,6 +2841,49 @@ object DBlock {
       |ORDER BY bm25 DESC, doc_id LIMIT $topK""".stripMargin
 
   private lazy val d70Sql: String = bm25SqlFor(wsTokensSql, d70Terms, 20)
+
+  /** d132's oracle: the d70 scored chain cut to the top 5, then
+    * every query term's occurrence offsets re-derived by filtering
+    * token positions — a hash match proves the index's stored
+    * positions are exactly the corpus's, through the real
+    * build→serve→join path. */
+  private lazy val d132Sql: String = {
+    val in = d70Terms.map("'" + _ + "'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, $wsTokensSql AS ws
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(ws)) AS BIGINT) AS sum_dl FROM tok
+       |), post AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |    unnest(ws) AS term FROM tok
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+       |    max(dl) AS dl
+       |  FROM post WHERE term IN ($in) GROUP BY doc_id, term
+       |), dft AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+       |), sc AS (
+       |  SELECT doc_id,
+       |    round(sum(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5) /
+       |        (CAST(df_t AS DOUBLE) + 0.5)) *
+       |      (CAST(tf AS DOUBLE) * 2.5) /
+       |      (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+       |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 4) AS bm25
+       |  FROM tf JOIN dft USING (term) CROSS JOIN st GROUP BY doc_id
+       |), top5 AS (
+       |  SELECT doc_id, bm25,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+       |  FROM sc QUALIFY rk <= 5
+       |)
+       |SELECT s.doc_id, s.bm25, tt.term,
+       |  CAST(unnest(list_filter(range(1, len(k.ws) + 1),
+       |    i -> k.ws[CAST(i AS INT)] = tt.term)) AS INT) AS pos
+       |FROM top5 s JOIN tok k USING (doc_id)
+       |CROSS JOIN (SELECT unnest([$in]) AS term) tt
+       |ORDER BY doc_id, term, pos""".stripMargin
+  }
 
   /** d124's proximity-BM25 oracle (generated for fresh AND indexed —
     * the d118/d119 twin discipline): DuckDB re-derives per-term
@@ -5763,6 +5822,7 @@ object DBlock {
     "d123_refine_sweep" -> annRefineSql,
     "d125_ops_card" -> d125Sql,
     "d131_ranked_eval" -> d131Sql,
+    "d132_match_positions" -> d132Sql,
 
     "d100_incremental_curation" -> incrementalCurationSql,
     "d97_dedup_index_stats" -> dedupIndexStatsSql,
