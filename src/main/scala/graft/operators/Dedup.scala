@@ -33,14 +33,49 @@ object Dedup {
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** The retrieval/dedup tokenizer FAMILIES — ONE home for the
+    * definition both surfaces share (the BM25 index and the dedup
+    * index record the family in their `_meta` and refuse
+    * cross-family use; see [[graft.operators.Retrieval]] for the
+    * full family rationale): `ws` bare case-folded whitespace split;
+    * `norm` strips leading/trailing ASCII `[^a-z0-9]` runs per token
+    * and drops emptied tokens; `uni` the same with Unicode
+    * `\p{L}\p{N}` classes. */
+  val TokenizerFamilies: Seq[String] = Seq("ws", "norm", "uni")
+
+  private[operators] def boundaryClass(family: String): String =
+    family match {
+      case "norm" => "^[^a-z0-9]+|[^a-z0-9]+$"
+      case "uni"  => "^[^\\p{L}\\p{N}]+|[^\\p{L}\\p{N}]+$"
+    }
+
+  /** The token array of `text` under a tokenizer family — shared by
+    * every fresh scan, every BM25 index write and every shingle
+    * derivation, so a family can never mean two things. */
+  def tokensFor(family: String, text: Column): Column = family match {
+    case "ws" => tokens(text)
+    case "norm" | "uni" =>
+      filter(
+        transform(tokens(text),
+          t => regexp_replace(t, boundaryClass(family), "")),
+        t => length(t) > 0)
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenizer family '$other' — one of $TokenizerFamilies")
+  }
+
   /** Adds `out` = distinct word k-shingles of `textCol`; documents
     * shorter than k words get their whole text as a single shingle.
     * Native one-pass expression (the HOF slice-per-window form was
-    * interpreted and re-evaluated the token split per shingle). */
+    * interpreted and re-evaluated the token split per shingle).
+    * `tokenizer` picks the family the words come from — on real
+    * punctuation-bearing text the `ws` family makes `fox!` and `fox`
+    * different shingle words, so a trivially re-punctuated near-dup
+    * shares NO shingles and sails through the screen; the normalized
+    * families close that hole (the D93 argument applied to dedup). */
   def withShingles(df: DataFrame, textCol: String, k: Int,
-      out: String = "sh"): DataFrame =
+      out: String = "sh", tokenizer: String = "ws"): DataFrame =
     df.withColumn(out,
-      SketchFunctions.wordShingles(tokens(col(textCol)), k))
+      SketchFunctions.wordShingles(tokensFor(tokenizer, col(textCol)), k))
 
   /** Sorted distinct per-shingle hashes of a string-array column —
     * the compact set representation the Jaccard merge-join verifies
@@ -492,10 +527,10 @@ object Dedup {
     * switch picks the engine-reproducible twin arithmetic. */
   private[graft] def screenSigs(df: DataFrame, idCol: String,
       textCol: String, shingleK: Int, numPerms: Int,
-      md5Sig: Boolean): DataFrame = {
+      md5Sig: Boolean, tokenizer: String = "ws"): DataFrame = {
     val s = withShingles(
       df.select(col(idCol).as("doc_id"), col(textCol).as("__graft_text")),
-      "__graft_text", shingleK, "sh")
+      "__graft_text", shingleK, "sh", tokenizer)
       .select(col("doc_id"), col("sh"))
       .filter(size(col("sh")) > 0)
     if (md5Sig)
@@ -535,11 +570,12 @@ object Dedup {
       numPerms: Int = 32,
       bands: Int = 16,
       threshold: Double = 0.5,
-      md5Sig: Boolean = false): DataFrame = {
+      md5Sig: Boolean = false,
+      tokenizer: String = "ws"): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val r = numPerms / bands
     def sigs(df: DataFrame): DataFrame =
-      screenSigs(df, idCol, textCol, shingleK, numPerms, md5Sig)
+      screenSigs(df, idCol, textCol, shingleK, numPerms, md5Sig, tokenizer)
     def bandRows(withSig: DataFrame): DataFrame =
       screenBandRows(withSig, bands, r)
 
@@ -606,8 +642,12 @@ object Dedup {
       numPerms: Int = 32,
       bands: Int = 16,
       md5Sig: Boolean = false,
-      numBuckets: Int = 8): Unit = {
+      numBuckets: Int = 8,
+      tokenizer: String = "ws"): Unit = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
+    require(TokenizerFamilies.contains(tokenizer),
+      s"buildDedupIndex: unknown tokenizer family '$tokenizer' — one " +
+        s"of $TokenizerFamilies")
     Bucketing.withIndexLease(corpus.sparkSession, name,
       "buildDedupIndex") {
     // _bands/_docs need ids (candidates carry corpus ids; a null id
@@ -620,7 +660,8 @@ object Dedup {
     // the corpus for the second write would double the build's
     // dominant cost (the _ch scan below is a single pruned text
     // column, cheap by comparison)
-    val sig = screenSigs(live, idCol, textCol, shingleK, numPerms, md5Sig)
+    val sig = screenSigs(live, idCol, textCol, shingleK, numPerms,
+      md5Sig, tokenizer)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       Bucketing.writeBucketed(screenBandRows(sig, bands, numPerms / bands),
@@ -642,9 +683,9 @@ object Dedup {
     import spark.implicits._
     Bucketing.writeTable(
       Seq((shingleK, numPerms, bands, md5Sig, shhBasisOf(md5Sig),
-        numBuckets))
+        numBuckets, tokenizer))
         .toDF("shingle_k", "num_perms", "bands", "md5_sig", "shh_basis",
-          "num_buckets"),
+          "num_buckets", "tokenizer"),
       s"${name}_meta")
     }
   }
@@ -661,9 +702,16 @@ object Dedup {
     if (md5Sig) "md5h60" else "xxh64"
 
   private def indexMeta(spark: org.apache.spark.sql.SparkSession,
-      name: String): (Int, Int, Int, Boolean, Int) = {
+      name: String): (Int, Int, Int, Boolean, Int, String) = {
     val m = spark.table(s"${name}_meta").head()
     val md5Sig = m.getAs[Boolean]("md5_sig")
+    // pre-family metas tokenized with the only family that existed:
+    // ws — unlike the shh basis (which silently corrupts), the read
+    // is unambiguous, so no forced rebuild
+    val tokenizer =
+      if (m.schema.fieldNames.contains("tokenizer"))
+        m.getAs[String]("tokenizer")
+      else "ws"
     // Format guard: a pre-basis-field md5Sig index stored xxhash64
     // sets, which this code would screen against md5Hash60 batch
     // hashes — duplicates would silently pass. Refuse and direct the
@@ -686,7 +734,8 @@ object Dedup {
         "stored sets and this version's batch hashing disagree; " +
         "rebuild with buildDedupIndex")
     (m.getAs[Int]("shingle_k"), m.getAs[Int]("num_perms"),
-      m.getAs[Int]("bands"), md5Sig, m.getAs[Int]("num_buckets"))
+      m.getAs[Int]("bands"), md5Sig, m.getAs[Int]("num_buckets"),
+      tokenizer)
   }
 
   /** Screens `batch` against a [[buildDedupIndex]] index — the
@@ -710,8 +759,10 @@ object Dedup {
       name: String,
       threshold: Double = 0.5): DataFrame = {
     val spark = batch.sparkSession
-    val (shingleK, numPerms, bands, md5Sig, _) = indexMeta(spark, name)
-    val bSig = screenSigs(batch, idCol, textCol, shingleK, numPerms, md5Sig)
+    val (shingleK, numPerms, bands, md5Sig, _, tokenizer) =
+      indexMeta(spark, name)
+    val bSig = screenSigs(batch, idCol, textCol, shingleK, numPerms,
+      md5Sig, tokenizer)
     // join on band_hash ALONE: the band index is already folded into
     // the hash (screenBandRows seeds xxhash64 with it), so equality
     // on band_hash implies same-band equality up to a 2^-64 collision
@@ -758,10 +809,11 @@ object Dedup {
       name: String): Unit = {
     val spark = docs.sparkSession
     Bucketing.withIndexLease(spark, name, "appendToDedupIndex") {
-    val (shingleK, numPerms, bands, md5Sig, numBuckets) =
+    val (shingleK, numPerms, bands, md5Sig, numBuckets, tokenizer) =
       indexMeta(spark, name)
     val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-    val sig = screenSigs(live, idCol, textCol, shingleK, numPerms, md5Sig)
+    val sig = screenSigs(live, idCol, textCol, shingleK, numPerms,
+      md5Sig, tokenizer)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       Bucketing.appendBucketed(screenBandRows(sig, bands, numPerms / bands),
@@ -839,7 +891,7 @@ object Dedup {
       textCol: String,
       name: String,
       threshold: Double = 0.5): DataFrame = {
-    val (shingleK, numPerms, bands, md5Sig, _) =
+    val (shingleK, numPerms, bands, md5Sig, _, tokenizer) =
       indexMeta(batch.sparkSession, name)
     // Keep-one per content hash as a narrow HASH AGGREGATE +
     // SHUFFLE_HASH semi-join back (the d4/d33 house recipe), never
@@ -871,7 +923,7 @@ object Dedup {
       .unionByName(
         hashed.filter(col("__graft_ch").isNull).drop("__graft_ch"))
     val sigs = screenSigs(exactKept, idCol, textCol, shingleK, numPerms,
-      md5Sig)
+      md5Sig, tokenizer)
     val pairs = bandPairsFromSigs(sigs, numPerms / bands, bands, threshold)
       .select(col("id_a"), col("id_b"))
     dropNearDuplicates(exactKept, idCol, pairs)
@@ -890,7 +942,7 @@ object Dedup {
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
       name: String): Unit =
     Bucketing.withIndexLease(spark, name, "compactDedupIndex") {
-      val (_, _, _, _, numBuckets) = indexMeta(spark, name)
+      val (_, _, _, _, numBuckets, _) = indexMeta(spark, name)
       Bucketing.compactBucketed()(spark, s"${name}_bands", "band_hash",
         numBuckets)
       Bucketing.compactBucketed()(spark, s"${name}_docs", "doc_id",
@@ -941,7 +993,8 @@ object Dedup {
       name: String, bands: Int, numPerms: Int): Unit =
     Bucketing.withIndexLease(spark, name, "rebandDedupIndex") {
     finishInterruptedReband(spark, name)
-    val (shingleK, _, _, md5Sig, numBuckets) = indexMeta(spark, name)
+    val (shingleK, _, _, md5Sig, numBuckets, tokenizer) =
+      indexMeta(spark, name)
     require(md5Sig,
       s"rebandDedupIndex('$name'): only md5Sig indexes re-band " +
         "index-locally — the xxhash64 signature family seeds each " +
@@ -959,9 +1012,9 @@ object Dedup {
     import spark.implicits._
     Bucketing.writeTable(
       Seq((shingleK, numPerms, bands, md5Sig, shhBasisOf(md5Sig),
-        numBuckets))
+        numBuckets, tokenizer))
         .toDF("shingle_k", "num_perms", "bands", "md5_sig", "shh_basis",
-          "num_buckets"),
+          "num_buckets", "tokenizer"),
       s"${name}_meta_stage")
     Bucketing.createMarker(spark, rebandMarker(name))
     completeReband(spark, name)
@@ -988,7 +1041,7 @@ object Dedup {
   def rebandSweep(spark: org.apache.spark.sql.SparkSession,
       name: String, bandsChoices: Seq[Int]): DataFrame = {
     require(bandsChoices.nonEmpty, "bandsChoices must be non-empty")
-    val (_, numPerms, _, md5Sig, _) = indexMeta(spark, name)
+    val (_, numPerms, _, md5Sig, _, _) = indexMeta(spark, name)
     require(md5Sig,
       s"rebandSweep('$name'): only md5Sig indexes re-derive " +
         "signatures index-locally (the rebandDedupIndex argument)")
@@ -1094,7 +1147,7 @@ object Dedup {
       dropContentHashes: Boolean = false): Unit = {
     val spark = docs.sparkSession
     Bucketing.withIndexLease(spark, name, "retireFromDedupIndex") {
-    val (_, _, _, _, numBuckets) = indexMeta(spark, name)
+    val (_, _, _, _, numBuckets, _) = indexMeta(spark, name)
     val ids = docs.filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("__rid")).distinct()
     Bucketing.compactBucketed(
@@ -1134,7 +1187,7 @@ object Dedup {
     finishInterruptedReband(spark, name)
     require(Bucketing.registerExisting(spark, s"${name}_meta", None),
       s"no persisted dedup index named '$name' in the warehouse")
-    val (_, _, _, _, numBuckets) = indexMeta(spark, name)
+    val (_, _, _, _, numBuckets, _) = indexMeta(spark, name)
     Seq(s"${name}_bands" -> "band_hash", s"${name}_docs" -> "doc_id",
       s"${name}_ch" -> "ch").foreach { case (table, bucketCol) =>
       Bucketing.finishInterruptedSwap(spark, table)

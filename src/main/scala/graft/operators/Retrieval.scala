@@ -47,26 +47,17 @@ object Retrieval {
     *     `\p{L}\p{N}` in place of ASCII: `«über»` normalizes to
     *     `über`, not `ber`. Java regex and DuckDB's RE2 agree on
     *     these classes, so the family stays oracle-reproducible. */
-  val TokenizerFamilies: Seq[String] = Seq("ws", "norm", "uni")
+  val TokenizerFamilies: Seq[String] = Dedup.TokenizerFamilies
 
-  private def boundaryClass(family: String): String = family match {
-    case "norm" => "^[^a-z0-9]+|[^a-z0-9]+$"
-    case "uni"  => "^[^\\p{L}\\p{N}]+|[^\\p{L}\\p{N}]+$"
-  }
+  private def boundaryClass(family: String): String =
+    Dedup.boundaryClass(family)
 
   /** The token array of `text` under a tokenizer family — ONE
-    * definition shared by every fresh-scan operator and every index
-    * build/append, so a family can never mean two things. */
-  def tokensFor(family: String, text: Column): Column = family match {
-    case "ws" => Dedup.tokens(text)
-    case "norm" | "uni" =>
-      filter(
-        transform(Dedup.tokens(text),
-          t => regexp_replace(t, boundaryClass(family), "")),
-        t => length(t) > 0)
-    case other => throw new IllegalArgumentException(
-      s"unknown tokenizer family '$other' — one of $TokenizerFamilies")
-  }
+    * definition (now housed in [[Dedup.tokensFor]], shared with the
+    * dedup family's shingles) so a family can never mean two
+    * things across surfaces. */
+  def tokensFor(family: String, text: Column): Column =
+    Dedup.tokensFor(family, text)
 
   /** Fail-loud guard every term-taking entry point runs: corpus
     * tokens are case-folded by both families, and under `norm` a

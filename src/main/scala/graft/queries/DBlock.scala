@@ -2234,6 +2234,35 @@ object DBlock {
         .orderBy(col("doc_id"))
     }),
 
+    // D101: the tokenizer FAMILY on the DEDUP side — the D93
+    // argument applied to shingles: under the ws family `fox!` and
+    // `fox` are different shingle words, so a trivially
+    // re-punctuated near-dup shares NO shingles and sails through
+    // the screen. The family is recorded in the dedup `_meta`
+    // (beside md5_sig and shh_basis); every screen/append reads it
+    // from there, so index and batch tokenization cannot disagree.
+    // This entry runs the d46 shape on a punctuation-PLANTED corpus
+    // at tokenizer="norm": the oracle re-derives the NORMALIZED
+    // shingles, so a hash match proves the family threads through
+    // build → meta → screen end to end (a side using the wrong
+    // family would produce disjoint shingle sets and extra
+    // survivors).
+    "d133_norm_dedup" -> ((s, d) => {
+      val planted = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(lit("("), regexp_replace(col("text"), " ", ". "),
+            lit(")")).as("text"),
+          col("lang"), col("source"))
+      val isBatch = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+      Dedup.buildDedupIndex(planted.filter(!isBatch), "doc_id", "text",
+        name = "d133_idx", md5Sig = true, tokenizer = "norm")
+      Dedup.dedupAgainstIndex(planted.filter(isBatch), "doc_id", "text",
+        name = "d133_idx")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D86: dedup-index RE-BAND — the actuator symmetry the ANN
     // family got in r15 (rebalance/rebuild), for the minhash index:
     // the LSH geometry (bands × rows-per-band → candidate threshold)
@@ -3974,7 +4003,10 @@ object DBlock {
     * so d113's REBANDED index proves against the same derivation at
     * its NEW (bands, rows-per-band) — the reband claim is exactly
     * "screens as if freshly built at the new parameters". */
-  private def indexedDedupSqlFor(numPerms: Int, bands: Int): String = {
+  private def indexedDedupSqlFor(numPerms: Int, bands: Int,
+      textExpr: String = "text",
+      wsExpr: String = "string_split_regex(lower(trim(text)), '\\s+')")
+      : String = {
     import graft.operators.Dedup.{mhA, mhB, mhPrime}
     val r = numPerms / bands
     val mins = (0 until numPerms)
@@ -3986,9 +4018,9 @@ object DBlock {
         .mkString(" AND ") + ")")
       .mkString(" OR ")
     s"""WITH all_docs AS (
-       |  SELECT doc_id, text, lang, source,
+       |  SELECT doc_id, $textExpr AS text, lang, source,
        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_batch,
-       |    string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |    $wsExpr AS ws
        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
        |), sh AS (
        |  SELECT doc_id, is_batch,
@@ -4550,6 +4582,15 @@ object DBlock {
     // so a hash match proves the healed index screens exactly like
     // one built whole.
     "d126_dedup_reconcile" -> incrementalDedupSql,
+
+    // d133: the d46 derivation with the tokenize step swapped for
+    // the NORM family over the punctuation-planted text (the
+    // bm25SqlFor parametrization applied to the dedup twin) — both
+    // the exact screen's md5 and the shingle words derive from the
+    // planted text.
+    "d133_norm_dedup" -> indexedDedupSqlFor(32, 16,
+      textExpr = "'(' || replace(text, ' ', '. ') || ')'",
+      wsExpr = normPlantedTokensSql),
 
     "d116_reband_sweep" -> rebandSweepSql,
 

@@ -31,6 +31,34 @@ class ReconcileSpec extends AnyFunSuite {
       "rec_dx") == 0L)
   }
 
+  test("dedup tokenizer family: a re-punctuated near-dup sails through a ws index and is caught by a norm index") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every day"))
+      .toDF("doc_id", "text")
+    // same words, punctuation glued onto most of them — and
+    // different BYTES, so the exact content-hash screen cannot save
+    // the ws family
+    val batch = Seq(
+      (2L, "the, quick. brown! fox? jumps; over: the lazy dog, every day."))
+      .toDF("doc_id", "text")
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", "fam_ws",
+      md5Sig = true, numBuckets = 2)
+    assert(Dedup.dedupAgainstIndex(batch, "doc_id", "text", "fam_ws")
+      .count() == 1L,
+      "ws family: punctuated twin shares no shingles and survives")
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", "fam_norm",
+      md5Sig = true, numBuckets = 2, tokenizer = "norm")
+    assert(Dedup.dedupAgainstIndex(batch, "doc_id", "text", "fam_norm")
+      .count() == 0L,
+      "norm family: identical normalized shingles — caught")
+    // the family is meta state: appends read it from there (an
+    // appended punctuated copy of an indexed doc self-screens)
+    Dedup.appendToDedupIndex(batch, "doc_id", "text", "fam_norm")
+    assert(spark.table("fam_norm_meta").head()
+      .getAs[String]("tokenizer") == "norm")
+  }
+
   test("reconcileSimIndex heals from signatures, never media; idempotent") {
     import spark.implicits._
     val sigs = Seq((1L, 11L), (2L, 22L), (3L, 33L), (4L, 44L))
