@@ -115,7 +115,8 @@ object Dedup {
       shingleK: Int = 3,
       numPerms: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      tokenizer: String = "ws"): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val r = numPerms / bands
 
@@ -125,7 +126,7 @@ object Dedup {
     // sort/distinct set construction into the banding branch too.
     val withSets = withShingles(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("__graft_text")),
-      "__graft_text", shingleK, "sh")
+      "__graft_text", shingleK, "sh", tokenizer)
       .select(col("doc_id"), col("sh"))
     val withSig = withSets
       .withColumn("sig", SketchFunctions.minhash64(col("sh"), numPerms))
