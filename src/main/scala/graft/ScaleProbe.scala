@@ -184,7 +184,20 @@ object ScaleProbe {
     "d118_phrase_bm25",     // positional fresh-scan phrase
     "d119_indexed_phrase",  // build + pruned positional serve
     "d120_rechunked_sim",   // sim build + rechunk + screen
-    "d121_hybrid3_topk")    // bm25 build + 3-leg fuse (fixed 5 queries)
+    "d121_hybrid3_topk",    // bm25 build + 3-leg fuse (fixed 5 queries)
+    // r17 additions. d122 is a d112-shaped build+serve with the norm
+    // token normalization in the build scan (~10×); d124b a build +
+    // pruned positional proximity serve (~10×); d125 builds FIVE
+    // indexes + narrow counts (~10×); d126 a half-build + reconcile
+    // (anti-join + append of the other half) + screen (~10×); d131
+    // three per-query BM25 rank chains + bounded metric joins
+    // (~10×); d133 the d46 shape at the norm family (~10×).
+    "d122_norm_bm25",       // norm-family build + pruned serve
+    "d124b_indexed_prox",   // build + windowed positional serve
+    "d125_ops_card",        // five index builds + per-family counts
+    "d126_dedup_reconcile", // half build + reconcile + screen
+    "d131_ranked_eval",     // 3 rank chains + metric joins
+    "d133_norm_dedup")      // d46 shape at the norm family
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

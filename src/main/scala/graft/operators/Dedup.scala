@@ -1790,13 +1790,13 @@ object Dedup {
     * is md5, so every consumer is engine-reproducible end to end
     * (DuckDB recomputes each gram hash from raw text). */
   def gramHashes(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, tokenizer: String = "ws"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         posexplode(graft.functions.SketchFunctions.wordGrams(
-          tokens(col(textCol)), k)))
+          tokensFor(tokenizer, col(textCol)), k)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"),
         md5Hash60(col("col")).as("h"))
   }
@@ -2255,10 +2255,17 @@ object Dedup {
     * positions whose gram occurs anywhere in the holdout;
     * documents shorter than k tokens hold no gram and report 0. */
   def decontaminate(train: DataFrame, holdout: DataFrame,
-      idCol: String, textCol: String, k: Int = 8): DataFrame = {
-    val holdGrams = gramHashes(holdout, idCol, textCol, k)
+      idCol: String, textCol: String, k: Int = 8,
+      tokenizer: String = "ws"): DataFrame = {
+    // the contamination screen matches SEQUENCES, where punctuation
+    // blindness bites hardest: a benchmark question quoted with a
+    // trailing "?" glued to its last word shares NO ws k-grams with
+    // the clean holdout — the normalized families close that hole
+    // (the D93/D101 argument; both sides MUST use one family, which
+    // is why it is one parameter for the pair)
+    val holdGrams = gramHashes(holdout, idCol, textCol, k, tokenizer)
       .select(col("h")).distinct()
-    val shared = gramHashes(train, idCol, textCol, k)
+    val shared = gramHashes(train, idCol, textCol, k, tokenizer)
       .join(broadcast(holdGrams), Seq("h"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("shared_grams"))

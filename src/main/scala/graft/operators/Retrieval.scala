@@ -831,20 +831,26 @@ object Retrieval {
 
   /** Proximity occurrences = anchor positions of the FIRST term such
     * that every other term has an occurrence within `window` tokens
-    * (|q − p| <= window, unordered — "all terms near each other",
-    * the looser contamination-hunt primitive; [[scorePhrase]] is the
-    * ordered exact-offset special case). Anchoring on one designated
-    * term makes tf well-defined and engine-reproducible: counting
-    * all satisfying TUPLES would explode combinatorially and counting
-    * distinct windows is ambiguous at overlaps. Pure array HOFs
-    * (filter + exists), zero explodes. */
+    * — unordered (|q − p| <= window: "all terms near each other",
+    * the looser contamination-hunt primitive) or ORDERED
+    * (p < q <= p + window: every other term AFTER the anchor within
+    * the window — the directional middle ground between d124's bag
+    * and d118's exact sequence; a quote whose interior words were
+    * edited still matches ordered-proximity but not the phrase).
+    * Anchoring on one designated term makes tf well-defined and
+    * engine-reproducible: counting all satisfying TUPLES would
+    * explode combinatorially and counting distinct windows is
+    * ambiguous at overlaps. Pure array HOFs (filter + exists), zero
+    * explodes. */
   private def scoreProximity(pos: DataFrame, stats: DataFrame,
       terms: Seq[String], window: Int, topK: Int, k1: Double,
-      b: Double): DataFrame = {
+      b: Double, ordered: Boolean): DataFrame = {
     val joined = joinTermPositions(pos, terms)
     val anchors = filter(col("__p0"), p =>
       terms.indices.tail
-        .map(i => exists(col(s"__p$i"), q => abs(q - p) <= window))
+        .map(i => exists(col(s"__p$i"), q =>
+          if (ordered) q > p && q <= p + window
+          else abs(q - p) <= window))
         .reduce(_ && _))
     scorePseudoTerm(
       joined.select(col("doc_id"), col("dl"),
@@ -951,12 +957,12 @@ object Retrieval {
   def bm25ProximityTopK(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], window: Int, topK: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      tokenizer: String = "ws"): DataFrame = {
+      tokenizer: String = "ws", ordered: Boolean = false): DataFrame = {
     requireProximity("bm25ProximityTopK", terms, window, tokenizer)
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val (pos, stats) = freshPositions(docs, idCol, textCol, tokenizer,
       terms)
-    scoreProximity(pos, stats, terms, window, topK, k1, b)
+    scoreProximity(pos, stats, terms, window, topK, k1, b, ordered)
   }
 
   /** [[bm25ProximityTopK]] served from a [[buildBm25Index]] index —
@@ -967,14 +973,14 @@ object Retrieval {
   def bm25ProximityAgainstIndex(spark: SparkSession, name: String,
       terms: Seq[String], window: Int, topK: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      tokenizer: String = "ws"): DataFrame = {
+      tokenizer: String = "ws", ordered: Boolean = false): DataFrame = {
     requireProximity("bm25ProximityAgainstIndex", terms, window,
       tokenizer)
     require(topK >= 1, s"topK must be >= 1, got $topK")
     requireFamily("bm25ProximityAgainstIndex", name,
       bm25Meta(spark, name)._2, tokenizer)
     val (pos, stats) = indexPositions(spark, name, terms)
-    scoreProximity(pos, stats, terms, window, topK, k1, b)
+    scoreProximity(pos, stats, terms, window, topK, k1, b, ordered)
   }
 
   /** Match EXPLANATION for a BM25 result — the positional backing of

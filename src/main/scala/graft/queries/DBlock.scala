@@ -1905,6 +1905,21 @@ object DBlock {
         tokenizer = "norm")
     }),
 
+    // D94 (ordered): directional proximity — every term AFTER the
+    // anchor within the window (p < q <= p + window): the middle
+    // ground between d124's unordered bag and d118's exact sequence
+    // (a quote whose interior words were edited still matches
+    // ordered-proximity but not the phrase). Served from the
+    // positional index; oracle = the generated proximity SQL with
+    // the directional condition.
+    "d134_ordered_prox" -> ((s, d) => {
+      Retrieval.buildBm25Index(Tables.documents(s, d), "doc_id", "text",
+        name = "d134_idx")
+      Retrieval.bm25ProximityAgainstIndex(s, "d134_idx",
+        terms = d124Terms, window = d124Window, topK = 20,
+        k1 = 1.5, b = 0.75, ordered = true)
+    }),
+
     // D93 (uni family): the Unicode tokenizer over a corpus planted
     // with guillemets AND a non-ASCII word — the case that separates
     // the families: under `norm`'s ASCII classes «über» strips to
@@ -2260,6 +2275,29 @@ object DBlock {
       Dedup.dedupAgainstIndex(planted.filter(isBatch), "doc_id", "text",
         name = "d133_idx")
         .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // D101 (decontamination): the family where punctuation blindness
+    // bites HARDEST — contamination matching is sequence-level, so a
+    // benchmark question whose words carry different punctuation in
+    // train vs holdout shares NO ws k-grams at all. This entry
+    // plants the two sides DIFFERENTLY ('. ' + parens in train,
+    // ', ' in holdout): under ws the screen would find zero overlap
+    // by construction; under norm it finds exactly what the clean
+    // text shares. Oracle = the d43 derivation with a per-side
+    // normalized token expression.
+    "d135_norm_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val isHold = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+      val train = docs.filter(!isHold).select(col("doc_id"),
+        concat(lit("("), regexp_replace(col("text"), " ", ". "),
+          lit(")")).as("text"))
+      val hold = docs.filter(isHold).select(col("doc_id"),
+        regexp_replace(col("text"), " ", ", ").as("text"))
+      Dedup.decontaminate(train, hold, "doc_id", "text",
+        k = d36GramK, tokenizer = "norm")
         .orderBy(col("doc_id"))
     }),
 
@@ -2830,6 +2868,15 @@ object DBlock {
       "w -> regexp_replace(w, '^[^\\p{L}\\p{N}]+|[^\\p{L}\\p{N}]+$', '', 'g')), " +
       "w -> len(w) > 0)"
 
+  /** The norm family over a comma-planted text (every space →
+    * ', ') — d135's HOLDOUT side, deliberately punctuated
+    * differently from the train side's normPlantedTokensSql. */
+  private val normCommaTokensSql: String =
+    "list_filter(list_transform(string_split_regex(lower(trim(" +
+      "replace(text, ' ', ', '))), '\\s+'), " +
+      "w -> regexp_replace(w, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')), " +
+      "w -> len(w) > 0)"
+
   /** The d70 fresh-scan BM25 oracle, parametrized over the token
     * derivation so the ws corpus (d70/d112) and the norm-family
     * planted corpus (d122) share one Okapi arithmetic — shared
@@ -2921,13 +2968,16 @@ object DBlock {
     * under the Okapi weight (k1 = 1.5, b = 0.75 inlined as the exact
     * literals 2.5/1.5/0.25/0.75, the phrase-oracle convention). */
   private def proxBm25SqlFor(terms: Seq[String], window: Int,
-      topK: Int): String = {
+      topK: Int, ordered: Boolean = false): String = {
     val posDefs = terms.zipWithIndex.map { case (t, i) =>
       s"list_filter(range(1, len(ws) + 1), " +
         s"i -> ws[CAST(i AS INT)] = '$t') AS p$i"
     }.mkString(",\n    ")
+    val per = (i: Int) =>
+      if (ordered) s"q > p AND q <= p + $window"
+      else s"abs(q - p) <= $window"
     val cond = terms.indices.tail.map(i =>
-      s"len(list_filter(p$i, q -> abs(q - p) <= $window)) > 0")
+      s"len(list_filter(p$i, q -> ${per(i)})) > 0")
       .mkString(" AND ")
     s"""WITH tok AS (
        |  SELECT doc_id, $wsTokensSql AS ws
@@ -3639,11 +3689,17 @@ object DBlock {
     * the 1/16 md5(doc_id) slice is the holdout, its distinct k-gram
     * hashes (the d36 slice+md5 arithmetic) form the banned set, and
     * each training doc counts its gram positions landing in it. */
-  private val decontaminateSql: String = {
+  private val decontaminateSql: String =
+    decontaminateSqlFor(wsTokensSql)
+
+  /** The d43 derivation parametrized over the token expression (the
+    * bm25SqlFor discipline) — d135 reuses it with the norm family
+    * over the planted text. */
+  private def decontaminateSqlFor(wsExpr: String): String = {
     val k = d36GramK
     s"""WITH t AS (
        |  SELECT doc_id,
-       |    string_split_regex(lower(trim(text)), '\\s+') AS ws,
+       |    $wsExpr AS ws,
        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_hold
        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
        |), g AS (
@@ -4616,6 +4672,8 @@ object DBlock {
     // discipline).
     "d124_prox_bm25" -> proxBm25SqlFor(d124Terms, d124Window, 20),
     "d124b_indexed_prox" -> proxBm25SqlFor(d124Terms, d124Window, 20),
+    "d134_ordered_prox" ->
+      proxBm25SqlFor(d124Terms, d124Window, 20, ordered = true),
 
     // chunk arithmetic re-derived: last chunk index =
     // ceil(max(n - 64, 0) / 48), chunk i starts at 48·i + 1 and
@@ -4648,6 +4706,14 @@ object DBlock {
         |WHERE rk <= 3 ORDER BY doc_id""".stripMargin,
 
     "d43_decontaminate" -> decontaminateSql,
+
+    // d135: the d43 derivation with per-side NORMALIZED tokens over
+    // the differently-planted texts — ws would find zero overlap by
+    // construction; the hash match proves the family threads through
+    // BOTH sides of the screen.
+    "d135_norm_decontaminate" -> decontaminateSqlFor(
+      "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' " +
+        s"THEN $normCommaTokensSql ELSE $normPlantedTokensSql END"),
 
     // d52's oracle twin: the planted corpus's pixels are doc_id
     // arithmetic and PNG is lossless, so every dHash bit re-derives

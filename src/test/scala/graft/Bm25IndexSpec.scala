@@ -418,6 +418,19 @@ class Bm25IndexSpec extends AnyFunSuite {
     val wide = rows(Retrieval.bm25ProximityAgainstIndex(spark,
       "bmspec_prox", Seq("alpha", "beta"), window = 7, topK = 10))
     assert(wide.map(_._1).contains(3L))
+    // ORDERED proximity: doc 2's inverted pair (beta before alpha)
+    // matches unordered but NOT ordered; doc 1's in-order pair
+    // matches both; doc 5's anchors at 1 and 3 still see beta@2
+    // unordered, but ordered only anchor 1 (beta must FOLLOW) -> tf 1
+    val orderedRows = rows(Retrieval.bm25ProximityAgainstIndex(spark,
+      "bmspec_prox", Seq("alpha", "beta"), window = 4, topK = 10,
+      ordered = true))
+    val orderedByDoc = orderedRows.map(r => r._1 -> r._2).toMap
+    assert(orderedByDoc == Map(1L -> 1L, 5L -> 1L), orderedByDoc.toString)
+    // ordered == fresh ordered (twin)
+    assert(orderedRows == rows(Retrieval.bm25ProximityTopK(pdocs,
+      "doc_id", "text", Seq("alpha", "beta"), window = 4, topK = 10,
+      ordered = true)))
     // loud refusals: duplicate terms, window < 1, single term
     intercept[IllegalArgumentException] {
       Retrieval.bm25ProximityTopK(pdocs, "doc_id", "text",

@@ -59,6 +59,26 @@ class ReconcileSpec extends AnyFunSuite {
       .getAs[String]("tokenizer") == "norm")
   }
 
+  test("decontaminate tokenizer family: differently-punctuated leak invisible at ws, caught at norm") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "(the. benchmark. question. leaked. into. training. here)"),
+      (2L, "(totally. unrelated. training. text. nothing. shared. at. all)"))
+      .toDF("doc_id", "text")
+    val hold = Seq(
+      (10L, "the, benchmark, question, leaked, into, training, here"))
+      .toDF("doc_id", "text")
+    val ws = Dedup.decontaminate(train, hold, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(ws == Map(1L -> false, 2L -> false),
+      "ws family: zero shared grams across punctuation styles")
+    val norm = Dedup.decontaminate(train, hold, "doc_id", "text",
+      k = 5, tokenizer = "norm")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(norm == Map(1L -> true, 2L -> false),
+      "norm family: the leak's normalized 5-grams match")
+  }
+
   test("reconcileSimIndex heals from signatures, never media; idempotent") {
     import spark.implicits._
     val sigs = Seq((1L, 11L), (2L, 22L), (3L, 33L), (4L, 44L))
