@@ -66,7 +66,16 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, (id * 31 + x * 7 + y * 131).toInt & 0xFFFFFF)
+        // id-KEYED gradient rates (x·(7 + id%23), y·(131 + id%19)) —
+        // the r17 fix for dHash family concentration: a globally
+        // CONSTANT gradient gave every image the same wrap pattern
+        // up to phase, collapsing 1,667 images into 844 exact dHash
+        // families (top 58 of 16,670 at 10× — a corpus artifact the
+        // sim-index probes then measured instead of the operator);
+        // per-id rates make the cell-mean comparisons genuinely
+        // id-dependent, the audio envelope's sibling
+        img.setRGB(x, y, (id * 31 + x * (7 + math.floorMod(id, 23))
+          + y * (131 + math.floorMod(id, 19))).toInt & 0xFFFFFF)
         x += 1
       }
       y += 1
@@ -759,7 +768,9 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val base = (id * 31 + x * 7 + y * 131).toInt & 0xFFFFFF
+        // identical base arithmetic to imagePayload (id-keyed rates)
+        val base = (id * 31 + x * (7 + math.floorMod(id, 23))
+          + y * (131 + math.floorMod(id, 19))).toInt & 0xFFFFFF
         val v = if (x >= x0 && x < x1 && y >= y0 && y < y1) {
           val r = math.min(((base >> 16) & 0xFF) + 12, 255)
           val g = math.min(((base >> 8) & 0xFF) + 12, 255)

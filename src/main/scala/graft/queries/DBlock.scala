@@ -29,10 +29,10 @@ object DBlock {
     val src = new org.apache.hadoop.fs.Path(d, "documents.parquet")
     val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(src)
-    // v3: structured audio samples (envelope × carrier — the r16
-    // probe fix); the version is part of the key so stores holding
-    // the old near-noise WAVs self-invalidate
-    val store = "/tmp/graft_media_store_v3_" +
+    // v4: structured audio samples (envelope × carrier) AND id-keyed
+    // image gradients — the r17 probe fixes; the version is part of
+    // the key so stores holding old payloads self-invalidate
+    val store = "/tmp/graft_media_store_v4_" +
       d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
       java.lang.Long.toHexString(st.getLen ^ st.getModificationTime)
     if (!fs.exists(new org.apache.hadoop.fs.Path(store)))
@@ -3383,7 +3383,8 @@ object DBlock {
        |    END AS luma
        |  FROM (
        |    SELECT c.*, xs.x, ys.y,
-       |      ((c.src * 31) + (xs.x * 7) + (ys.y * 131)) & 16777215 AS base
+       |      ((c.src * 31) + (xs.x * (7 + c.src % 23))
+       |       + (ys.y * (131 + c.src % 19))) & 16777215 AS base
        |    FROM cells c,
        |      unnest(range(c.x0, c.x1)) AS xs(x),
        |      unnest(range(c.y0, c.y1)) AS ys(y)
