@@ -844,6 +844,110 @@ object Similarity {
       queries, corpus, idCol, vecCol, k)
   }
 
+  /** The per-row RESIDUAL of `vv` against its (runtime) cell's
+    * centroid — a literal-cents CASE over zip_with subtractions, so
+    * encode stays a map-only projection exactly like the raw path.
+    * nlist branches of dim-width literals: bulky codegen, bounded by
+    * config, never data. */
+  private def residualExpr(
+      cellCents: IndexedSeq[(Long, IndexedSeq[Float])],
+      vv: Column, cellId: Column): Column =
+    cellCents.tail.foldLeft(
+      when(cellId === cellCents.head._1,
+        zip_with(vv, typedLit(cellCents.head._2.toSeq),
+          (a, b) => a - b))) {
+      case (acc, (cid, cv)) =>
+        acc.when(cellId === cid,
+          zip_with(vv, typedLit(cv.toSeq), (a, b) => a - b))
+    }
+
+  /** RESIDUAL-encoded IVF-PQ, md5 twin — the refinement the raw-code
+    * family's scaladoc promised ("the residual refinement drops into
+    * PqBook without touching this shape"), landed as an OPT-IN twin
+    * beside the raw-code operators rather than a rewiring of them:
+    * production IVFPQ (FAISS's default) quantizes each vector's
+    * RESIDUAL against its cell centroid, because residuals
+    * concentrate near zero and the codebook's k centroids spend
+    * their resolution on the distribution that actually reaches
+    * them — raw-vector codes waste resolution re-describing the
+    * cell structure the coarse quantizer already captured.
+    *
+    * Same md5-deterministic sampling as [[md5IvfPqTopK]] (cells =
+    * first nlist by md5 order, book = first ksub RESIDUALS by md5
+    * order, zero refinement iterations), so with int8-quantized
+    * inputs the ENTIRE pipeline — cell assignment, residuals, book,
+    * codes, per-(query, cell) residual LUTs, ADC, exact re-rank —
+    * is integer arithmetic an oracle re-derives bit for bit
+    * (centroids are exact corpus vectors, so residuals stay
+    * integral). The ADC differs from the raw path in ONE structural
+    * way: the LUT is per (query, PROBED CELL) — the query's residual
+    * changes with the cell — which costs |queries|·nprobe LUT rows
+    * instead of |queries| (each m·ksub doubles; broadcast-small) and
+    * is exactly how production residual IVFPQ serves. Candidate
+    * codes join per probed cell, and a candidate's encode cell
+    * always equals the probe cell in that join, so code and LUT
+    * agree on the residual basis by construction.
+    *
+    * Returns (query_id, rank, neighbor_id, dist2): exact squared L2
+    * over the shortlist, rank by (dist2 asc, id asc), self
+    * excluded — the [[ivfPqTopK]] contract. */
+  def md5IvfPqResidualTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 4,
+      ksub: Int = 8,
+      shortlistFactor: Int = 5): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
+      s"need 1 <= nprobe <= nlist, got $nprobe/$nlist")
+    val md5Ord = (c: Column) => Dedup.md5Hash60(c.cast("long").cast("string"))
+    val cellCents = trainL2CellCents(corpus, idCol, vecCol, nlist,
+      cellRefineIters = 0, refineSampleMod = 4, md5Ord(col(idCol)))
+    def cellStructs(vv: Column): Seq[Column] = l2CellStructs(cellCents, vv)
+
+    // one corpus projection: cell + residual (map-only)
+    val withRes = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("__v"),
+        array_min(array(cellStructs(col(vecCol)): _*))
+          .getField("cell_id").as("cell_id"))
+      .withColumn("__rv",
+        residualExpr(cellCents, col("__v"), col("cell_id")))
+
+    // the book trains on RESIDUALS (first ksub by md5 of the id)
+    val book = trainPqBook(
+      withRes.select(col("neighbor_id").as("rid"), col("__rv").as("rv")),
+      "rid", "rv", m, ksub, refineIters = 0, refineSampleMod = 4,
+      md5Ord(col("rid")))
+
+    val enc = withRes
+      .select(col("neighbor_id"), col("cell_id"),
+        book.codesOf(col("__rv")).as("codes"))
+      .repartition(col("cell_id"))
+    // per (query, probed cell): the query's RESIDUAL lut for that cell
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        explode(slice(sort_array(array(cellStructs(col(vecCol)): _*)),
+          1, nprobe)).as("__probe"))
+      .select(col("query_id"), col("__qv"),
+        col("__probe").getField("cell_id").as("cell_id"))
+      .select(col("query_id"), col("cell_id"),
+        book.lutOf(residualExpr(cellCents, col("__qv"), col("cell_id")))
+          .as("lut"))
+    val scored = enc.join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-VectorFunctions.pqAdc(col("codes"), col("lut"))).as("cos"))
+    refineShortlist(
+      rankTopK(scored, k * shortlistFactor)
+        .select(col("query_id"), col("neighbor_id")),
+      queries, corpus, idCol, vecCol, k)
+  }
+
   private def refineShortlist(
       shortlist: DataFrame,
       queries: DataFrame,

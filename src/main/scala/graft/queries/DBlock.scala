@@ -1133,6 +1133,29 @@ object DBlock {
         .orderBy(col("nprobe"))
     }),
 
+    // D102: RESIDUAL-encoded IVFPQ (md5 twin) — production IVFPQ
+    // quantizes residuals against the cell centroid (FAISS's
+    // default): residuals concentrate near zero, so the codebook
+    // spends its k centroids on the distribution that actually
+    // reaches it instead of re-describing the cell structure the
+    // coarse quantizer already captured. Landed as an OPT-IN twin
+    // beside the raw-code family (the PqBook scaladoc's promised
+    // refinement), with the one structural serving difference made
+    // explicit: the query LUT is per (query, PROBED CELL). With
+    // int8 inputs and md5-deterministic sampling the entire pipeline
+    // stays exact integer arithmetic — fully oracle-checked.
+    "d136_residual_ivfpq" -> ((s, d) => {
+      val q8 = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+      Similarity.md5IvfPqResidualTopK(q8.filter(col("vec_id") < 50), q8,
+        "vec_id", "qv", k = 10, nlist = 16, nprobe = 4, m = 4,
+        ksub = 8, shortlistFactor = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("dist2").cast("long").as("dist2"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // D95: ANN REFINE-DEPTH sweep — the other recall lever (d117
     // sweeps nprobe at fixed shortlist; this sweeps the ADC
     // shortlist at fixed nprobe): a true neighbor the quantized
@@ -3529,6 +3552,85 @@ object DBlock {
     * plus the brute-force exact top-10 ground truth over all
     * vectors — recall = |served ∩ true| / (n_queries · 10), exact
     * integer counts divided once. */
+  /** d136 oracle: RESIDUAL-encoded IVFPQ re-derived end to end —
+    * per-vector residuals against the assigned cell's centroid
+    * (both integer-valued, so every step stays exact BIGINT
+    * arithmetic), the book trained on the first-8 residuals by md5
+    * order, candidate codes from residual distances, the query LUT
+    * per (query, PROBED cell) — the one structural difference from
+    * the raw twin — then ADC, the shortlist cut and the exact
+    * re-rank over RAW vectors. */
+  private val residualIvfPqSql: String =
+    s"WITH $ivfCellCtes,\n" +
+    """resv AS (
+        |  SELECT a.vec_id, list_transform(range(1, len(a.q)+1), i ->
+        |    a.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]) AS rq
+        |  FROM q a JOIN ccells cc ON cc.neighbor_id = a.vec_id
+        |  JOIN ccent c ON c.cell_id = cc.cell_id),
+        |rcent AS (
+        |  SELECT vec_id AS cid, rq AS cq FROM resv
+        |  ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT, vec_id
+        |  LIMIT 8),
+        |rcenti AS (SELECT cq, CAST(row_number() OVER (ORDER BY cid) - 1 AS INT) AS code FROM rcent),
+        |rsub AS (
+        |  SELECT code, j.j,
+        |    list_transform(range(1, 17), i -> cq[CAST(j.j*16 + i AS INT)]) AS cs
+        |  FROM rcenti CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
+        |ndist AS (
+        |  SELECT a.vec_id, s.j, s.code,
+        |    CAST(list_sum(list_transform(range(1, 17), i ->
+        |      (a.rq[CAST(s.j*16 + i AS INT)] - s.cs[CAST(i AS INT)])
+        |      * (a.rq[CAST(s.j*16 + i AS INT)] - s.cs[CAST(i AS INT)]))) AS BIGINT) AS d2
+        |  FROM resv a CROSS JOIN rsub s),
+        |rncode AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT vec_id, j, code,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rk
+        |    FROM ndist) WHERE rk = 1),
+        |qres AS (
+        |  SELECT p.query_id, p.cell_id,
+        |    list_transform(range(1, len(a.q)+1), i ->
+        |      a.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]) AS rq
+        |  FROM cprobes p JOIN q a ON a.vec_id = p.query_id
+        |  JOIN ccent c ON c.cell_id = p.cell_id),
+        |qdist AS (
+        |  SELECT a.query_id, a.cell_id, s.j, s.code,
+        |    CAST(list_sum(list_transform(range(1, 17), i ->
+        |      (a.rq[CAST(s.j*16 + i AS INT)] - s.cs[CAST(i AS INT)])
+        |      * (a.rq[CAST(s.j*16 + i AS INT)] - s.cs[CAST(i AS INT)]))) AS BIGINT) AS d2
+        |  FROM qres a CROSS JOIN rsub s),
+        |radc AS (
+        |  SELECT qd.query_id, nc.vec_id AS neighbor_id,
+        |    CAST(sum(qd.d2) AS BIGINT) AS adc2
+        |  FROM rncode nc
+        |  JOIN ccells cc ON cc.neighbor_id = nc.vec_id
+        |  JOIN qdist qd ON qd.cell_id = cc.cell_id
+        |    AND qd.j = nc.j AND qd.code = nc.code
+        |  WHERE qd.query_id != nc.vec_id
+        |  GROUP BY 1, 2),
+        |rshort AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adc2, neighbor_id) AS rk
+        |    FROM radc) WHERE rk <= 50),
+        |rexact AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.q)+1), i ->
+        |      (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)])
+        |      * (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)]))) AS BIGINT) AS dist2
+        |  FROM rshort s
+        |  JOIN q a ON a.vec_id = s.query_id
+        |  JOIN q b ON b.vec_id = s.neighbor_id),
+        |rranked AS (
+        |  SELECT query_id, neighbor_id, dist2,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist2, neighbor_id) AS rank
+        |  FROM rexact)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2
+        |FROM rranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
+
   /** Brute-force exact ground truth + query count over the twin's
     * `q` CTE — shared by the d117 (nprobe) and d123 (shortlist)
     * sweeps so both score against the identical truth set. */
@@ -5926,6 +6028,7 @@ object DBlock {
     // reconcile (finds the odds) + rebuild must equal the direct
     // full-corpus computation.
     "d127_ann_reconcile" -> ivfPqTwinSql,
+    "d136_residual_ivfpq" -> residualIvfPqSql,
     "d117_ann_recall" -> annRecallSql,
     "d123_refine_sweep" -> annRefineSql,
     "d125_ops_card" -> d125Sql,
