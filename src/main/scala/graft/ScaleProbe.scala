@@ -197,7 +197,13 @@ object ScaleProbe {
     "d125_ops_card",        // five index builds + per-family counts
     "d126_dedup_reconcile", // half build + reconcile + screen
     "d131_ranked_eval",     // 3 rank chains + metric joins
-    "d133_norm_dedup")      // d46 shape at the norm family
+    "d133_norm_dedup",      // d46 shape at the norm family
+    // r17 late. d132 is a build + pruned serve + a positions join on
+    // 5 doc ids (~10× build, serve bounded); d136 is the residual
+    // twin — cell assign + residual encode are map-only over the
+    // corpus, ADC joins per probed cell (~10×).
+    "d132_match_positions", // build + serve + positions join
+    "d136_residual_ivfpq")  // residual encode + per-cell ADC
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
