@@ -704,7 +704,7 @@ object Dedup {
 
   private def indexMeta(spark: org.apache.spark.sql.SparkSession,
       name: String): (Int, Int, Int, Boolean, Int, String) = {
-    val m = spark.table(s"${name}_meta").head()
+    val m = Bucketing.stableTable(spark, s"${name}_meta").head()
     val md5Sig = m.getAs[Boolean]("md5_sig")
     // pre-family metas tokenized with the only family that existed:
     // ws — unlike the shh basis (which silently corrupts), the read
@@ -776,7 +776,7 @@ object Dedup {
     // large for AQE to broadcast.
     val candidates = screenBandRows(bSig, bands, numPerms / bands)
       .drop("band_id").as("a")
-      .join(spark.table(s"${name}_bands").as("b"), Seq("band_hash"))
+      .join(Bucketing.stableTable(spark, s"${name}_bands").as("b"), Seq("band_hash"))
       .filter(least(col("a.sz"), col("b.sz")).cast("double") >=
         lit(threshold) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("corpus_id"))
@@ -784,7 +784,7 @@ object Dedup {
     val nearFlagged = candidates
       .join(bSig.select(col("doc_id").as("batch_id"),
         hashedSet(col("sh"), md5Sig).as("shh_a")), Seq("batch_id"))
-      .join(spark.table(s"${name}_docs")
+      .join(Bucketing.stableTable(spark, s"${name}_docs")
         .select(col("doc_id").as("corpus_id"), col("shh").as("shh_b")),
         Seq("corpus_id"))
       .filter(SketchFunctions.jaccardSorted(col("shh_a"), col("shh_b")) >=
@@ -792,7 +792,7 @@ object Dedup {
       .select(col("batch_id"))
       .distinct()
     batch
-      .join(spark.table(s"${name}_ch"),
+      .join(Bucketing.stableTable(spark, s"${name}_ch"),
         md5(col(textCol)) === col("ch"), "left_anti")
       .join(nearFlagged, col(idCol) === col("batch_id"), "left_anti")
   }
@@ -856,7 +856,7 @@ object Dedup {
       // tables the anti-join reads (the reconcileBm25Index lesson)
       val missing = landed
         .filter(col(idCol).isNotNull && col(textCol).isNotNull)
-        .join(spark.table(s"${name}_docs")
+        .join(Bucketing.stableTable(spark, s"${name}_docs")
           .select(col("doc_id").as("__seen_id")),
           col(idCol) === col("__seen_id"), "left_anti")
         .localCheckpoint(true)
@@ -1004,7 +1004,7 @@ object Dedup {
     require(numPerms % bands == 0,
       s"numPerms ($numPerms) must divide into bands ($bands)")
     val r = numPerms / bands
-    val sigRows = spark.table(s"${name}_docs")
+    val sigRows = Bucketing.stableTable(spark, s"${name}_docs")
       .select(col("doc_id"), col("sz"),
         SketchFunctions.md5Minhash30FromHashes(col("shh"), numPerms)
           .as("sig"))
@@ -1049,7 +1049,7 @@ object Dedup {
     bandsChoices.foreach(b => require(b >= 1 && numPerms % b == 0,
       s"bands $b must divide numPerms $numPerms"))
     // one signature pass, pinned: every geometry re-aggregates it
-    val sig = spark.table(s"${name}_docs")
+    val sig = Bucketing.stableTable(spark, s"${name}_docs")
       .select(col("doc_id"), col("sz"),
         SketchFunctions.md5Minhash30FromHashes(col("shh"), numPerms)
           .as("sig"))
@@ -1219,13 +1219,13 @@ object Dedup {
     * the d97 oracle verifies no-collision holds at every gate SF). */
   def dedupIndexStats(spark: org.apache.spark.sql.SparkSession,
       name: String): DataFrame = {
-    val occ = spark.table(s"${name}_bands")
+    val occ = Bucketing.stableTable(spark, s"${name}_bands")
       .groupBy(col("band_hash")).agg(count(lit(1)).as("__n"))
       .agg(sum(col("__n")).as("n_band_rows"),
         count(lit(1)).as("n_distinct_bands"),
         max(col("__n")).as("max_band_occ"))
-    spark.table(s"${name}_docs").agg(count(lit(1)).as("n_docs"))
-      .crossJoin(spark.table(s"${name}_ch")
+    Bucketing.stableTable(spark, s"${name}_docs").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(Bucketing.stableTable(spark, s"${name}_ch")
         .agg(count(lit(1)).as("n_content_hashes")))
       .crossJoin(occ)
   }
@@ -1255,7 +1255,7 @@ object Dedup {
 
   private def simIndexMeta(spark: org.apache.spark.sql.SparkSession,
       name: String): (Int, Int) = {
-    val m = spark.table(s"${name}_meta").head()
+    val m = Bucketing.stableTable(spark, s"${name}_meta").head()
     (m.getAs[Int]("max_dist"), m.getAs[Int]("num_buckets"))
   }
 
@@ -1304,7 +1304,7 @@ object Dedup {
     val live = batchSigs
       .filter(col("doc_id").isNotNull && col("sim").isNotNull)
     val flagged = simChunkRows(live, maxDist).as("a")
-      .join(spark.table(s"${name}_chunks").as("b"), Seq("chunk_hash"))
+      .join(Bucketing.stableTable(spark, s"${name}_chunks").as("b"), Seq("chunk_hash"))
       .filter(bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= maxDist)
       .select(col("a.doc_id").as("doc_id"))
       .distinct()
@@ -1340,7 +1340,7 @@ object Dedup {
     Bucketing.withIndexLease(spark, name, "reconcileSimIndex") {
       val missing = landedSigs
         .filter(col("doc_id").isNotNull && col("sim").isNotNull)
-        .join(spark.table(s"${name}_chunks").select(col("doc_id"))
+        .join(Bucketing.stableTable(spark, s"${name}_chunks").select(col("doc_id"))
           .distinct().select(col("doc_id").as("__seen_id")),
           col("doc_id") === col("__seen_id"), "left_anti")
         .localCheckpoint(true)
@@ -1455,7 +1455,7 @@ object Dedup {
       !spark.catalog.tableExists(s"${name}_vframes")) return live
     val M = Multimodal.MaxSampledFrames
     val matches = simChunkRows(videoCompositeKey(live), maxDist).as("a")
-      .join(spark.table(s"${name}_vchunks").as("b"), Seq("chunk_hash"))
+      .join(Bucketing.stableTable(spark, s"${name}_vchunks").as("b"), Seq("chunk_hash"))
       .filter(bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= maxDist)
       .select(expr(s"a.doc_id div $M").as("bvid"),
         expr(s"a.doc_id % $M").as("bfi"),
@@ -1468,7 +1468,7 @@ object Dedup {
     val bCounts = live.groupBy(col("doc_id").as("bvid"))
       .agg(count(lit(1)).as("nfb"))
     val flagged = tallies
-      .join(spark.table(s"${name}_vframes").select(col("vid").as("cvid"),
+      .join(Bucketing.stableTable(spark, s"${name}_vframes").select(col("vid").as("cvid"),
         col("nf").as("nfc")).distinct(), Seq("cvid"))
       .join(bCounts.hint("SHUFFLE_HASH"), Seq("bvid"))
       .filter(col("n") === col("nfb") && col("n") === col("nfc"))
@@ -1510,12 +1510,12 @@ object Dedup {
     require(maxDist >= 0 && maxDist <= 63,
       s"maxDist must be in [0, 63], got $maxDist")
     val (_, numBuckets) = simIndexMeta(spark, name)
-    val sigs = spark.table(s"${name}_chunks")
+    val sigs = Bucketing.stableTable(spark, s"${name}_chunks")
       .select(col("doc_id"), col("sim")).distinct()
     Bucketing.writeBucketed(simChunkRows(sigs, maxDist),
       s"${name}_chunks_stage", "chunk_hash", numBuckets)
     if (spark.catalog.tableExists(s"${name}_vchunks")) {
-      val vsigs = spark.table(s"${name}_vchunks")
+      val vsigs = Bucketing.stableTable(spark, s"${name}_vchunks")
         .select(col("doc_id"), col("sim")).distinct()
       Bucketing.writeBucketed(simChunkRows(vsigs, maxDist),
         s"${name}_vchunks_stage", "chunk_hash", numBuckets)
@@ -1539,11 +1539,11 @@ object Dedup {
     val numBuckets = spark.table(metaStage).head().getAs[Int]("num_buckets")
     Bucketing.registerExisting(spark, s"${name}_chunks_stage",
       Some(("chunk_hash", numBuckets)))
-    Bucketing.writeBucketed(spark.table(s"${name}_chunks_stage"),
+    Bucketing.writeBucketed(Bucketing.stableTable(spark, s"${name}_chunks_stage"),
       s"${name}_chunks", "chunk_hash", numBuckets)
     if (Bucketing.registerExisting(spark, s"${name}_vchunks_stage",
       Some(("chunk_hash", numBuckets))))
-      Bucketing.writeBucketed(spark.table(s"${name}_vchunks_stage"),
+      Bucketing.writeBucketed(Bucketing.stableTable(spark, s"${name}_vchunks_stage"),
         s"${name}_vchunks", "chunk_hash", numBuckets)
     Bucketing.writeTable(spark.table(metaStage), s"${name}_meta")
     Bucketing.deleteMarker(spark, rechunkMarker(name))
@@ -1630,7 +1630,7 @@ object Dedup {
   def simIndexStats(spark: org.apache.spark.sql.SparkSession,
       name: String): DataFrame = {
     val (maxDist, _) = simIndexMeta(spark, name)
-    spark.table(s"${name}_chunks")
+    Bucketing.stableTable(spark, s"${name}_chunks")
       .groupBy(col("chunk_hash")).agg(count(lit(1)).as("__n"))
       .agg(sum(col("__n")).as("n_chunk_rows"),
         count(lit(1)).as("n_distinct_chunks"),
@@ -1655,7 +1655,7 @@ object Dedup {
 
   private def urlIndexMeta(spark: org.apache.spark.sql.SparkSession,
       name: String): Int =
-    spark.table(s"${name}_meta").head().getAs[Int]("num_buckets")
+    Bucketing.stableTable(spark, s"${name}_meta").head().getAs[Int]("num_buckets")
 
   private def urlKeys(docs: DataFrame, urlCol: String): DataFrame =
     docs.filter(col(urlCol).isNotNull)
@@ -1689,7 +1689,7 @@ object Dedup {
       name: String): DataFrame = {
     val spark = batch.sparkSession
     batch.filter(col(urlCol).isNotNull)
-      .join(spark.table(s"${name}_url"),
+      .join(Bucketing.stableTable(spark, s"${name}_url"),
         md5(TextAnalysis.canonicalizeUrl(col(urlCol))) === col("uh"),
         "left_anti")
   }
@@ -1719,7 +1719,7 @@ object Dedup {
     Bucketing.withIndexLease(spark, name, "reconcileUrlIndex") {
       val numBuckets = urlIndexMeta(spark, name)
       val missing = urlKeys(landed, urlCol)
-        .join(spark.table(s"${name}_url").select(col("uh").as("__seen")),
+        .join(Bucketing.stableTable(spark, s"${name}_url").select(col("uh").as("__seen")),
           col("uh") === col("__seen"), "left_anti")
         .select(col("uh"))
         .localCheckpoint(true)
@@ -1779,7 +1779,7 @@ object Dedup {
     * scan. */
   def urlIndexStats(spark: org.apache.spark.sql.SparkSession,
       name: String): DataFrame =
-    spark.table(s"${name}_url").agg(count(lit(1)).as("n_urls"))
+    Bucketing.stableTable(spark, s"${name}_url").agg(count(lit(1)).as("n_urls"))
 
   /** The shared positional gram pipeline under [[crossDocSpans]] and
     * [[gramProfile]]: one scan — tokenize, [[graft.functions

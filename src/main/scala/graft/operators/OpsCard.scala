@@ -10,25 +10,43 @@ import graft.sources.Bucketing
   * to schedule. Every family already carries a stats verb
   * ([[Dedup.dedupIndexStats]], [[Similarity.annIndexStats]],
   * [[Retrieval.bm25IndexStats]], [[Dedup.urlIndexStats]]) — this is
-  * their composition plus the two columns none of them can see
-  * alone:
+  * their composition plus the columns none of them can see alone:
   *
   *   - `drift_vs_landed` — the landed corpus count minus the index's
-  *     item count: the alarm that schedules
-  *     [[Retrieval.reconcileBm25Index]] / a rebuild (a non-zero
-  *     drift means the index no longer describes what actually
-  *     landed — the exact condition the reconciliation verbs exist
-  *     for);
+  *     item count. POSITIVE drift means the index is missing items
+  *     that landed → run the family's reconcile verb
+  *     ([[Retrieval.reconcileBm25Index]], [[Dedup.reconcileDedupIndex]],
+  *     [[Similarity.reconcileAnnIndex]], …). NEGATIVE drift means the
+  *     index still carries items the landed corpus no longer has
+  *     (retention sweeps, realm clears, corpus diffs shrink the
+  *     landed side) → run the family's RETIRE verb — reconcile heals
+  *     missing items only and cannot shrink an index.
+  *   - `ids_digest_match` — contents, not just counts: an
+  *     order-independent XOR fold of the hashed item ids on both
+  *     sides (the d114 per-shard digest discipline applied to
+  *     identity). An index holding the right NUMBER of wrong rows —
+  *     a healed-then-diverged id, a collision — reads drift 0 but
+  *     digest false.
+  *   - `suggested_verb` — the two columns above composed into the
+  *     action an operator runs: `reconcile` (positive drift),
+  *     `retire` (negative drift), `rebuild` (counts agree, ids
+  *     don't), `none` (healthy).
   *   - `pending_verb` — what is in flight or interrupted on the
   *     index right now: a live single-writer lease (verb name), an
   *     un-rolled-forward maintenance marker (reband/rebalance/
   *     rechunk), or an unfinished compaction swap. `idle` is the
-  *     healthy reading; anything else names the verb to finish.
+  *     healthy reading; anything else names the verb to finish
+  *     FIRST — drift measured against an in-flight write is advisory.
   *
-  * Scale shape: each family contributes one narrow COUNT over its
-  * own bucketed table (map-side partials, a one-row gather) crossed
-  * with one one-row count of the landed frame; marker/lease probes
-  * are driver-side filesystem stats. Nothing corpus-sized moves.
+  * Scale shape: each family contributes one narrow scan over its own
+  * bucketed table — a count plus a distinct-id XOR fold (map-side
+  * partials into an id-keyed distinct whose shuffle carries one
+  * 8-byte column, then one 8-byte gather) — crossed with the same
+  * narrow pass over the landed frame; marker/lease probes are
+  * driver-side filesystem stats. Nothing corpus-WIDE moves: the
+  * digest shuffle is the one id-column exchange content integrity
+  * fundamentally requires (counts alone provably cannot see content
+  * drift), and it is the card's cost ceiling.
   *
   * Reference anchor: the reference operates its store through
   * per-table console dashboards (terraform/main.tf:84-96 provisions
@@ -42,38 +60,57 @@ object OpsCard {
     * the frame of what the pipeline actually landed for this family
     * (the sink the index is supposed to mirror) with `idCol` its
     * identity column — null ids are dropped before counting, the
-    * same door every index build applies. */
+    * same door every index build applies, and the landed side is
+    * counted by DISTINCT identity (an index holds one item per id,
+    * so that is the mirror a duplicate-carrying sink should be
+    * compared by). */
   final case class Entry(family: String, name: String,
       landed: DataFrame, idCol: String)
 
-  private def nItemsOf(spark: SparkSession, e: Entry): DataFrame =
-    e.family match {
-      case "dedup" =>
-        spark.table(s"${e.name}_docs").agg(count(lit(1)).as("n_items"))
-      case "bm25" =>
-        spark.table(s"${e.name}_docs").agg(count(lit(1)).as("n_items"))
-      case "ann" =>
-        spark.table(s"${e.name}_vectors")
-          .agg(count(lit(1)).as("n_items"))
-      case "sim" =>
-        // every signature emits EXACTLY maxDist+1 pigeonhole chunk
-        // rows, so items = chunks / (maxDist+1) with no distinct —
-        // the exchange-free count (a countDistinct over doc_id would
-        // shuffle the whole chunk table for the same number)
-        val maxDist = spark.table(s"${e.name}_meta").head()
-          .getAs[Int]("max_dist")
-        spark.table(s"${e.name}_chunks")
-          .agg((count(lit(1)) / lit(maxDist + 1)).cast("long")
-            .as("n_items"))
-      case "url" =>
-        spark.table(s"${e.name}_url").agg(count(lit(1)).as("n_items"))
+  /** ONE pass over a distinct-key frame: (count, order-independent
+    * identity digest — XOR-fold of xxhash64 over the DISTINCT keys;
+    * distinct first, because XOR cancels pairs, so a duplicated id
+    * must count once, and the sim family's pigeonhole chunks repeat
+    * each doc_id maxDist+1 times by design). Keys are hashed through
+    * a string cast so the landed frame's id type (int vs long vs
+    * string) can never change the digest. */
+  private def countAndDigest(distinctIds: DataFrame, key: Column,
+      nOut: String, dOut: String): DataFrame =
+    distinctIds.select(xxhash64(key.cast("string")).as("__h"))
+      .agg(count(lit(1)).as(nOut),
+        expr("coalesce(bit_xor(__h), 0)").as(dOut))
+
+  /** (n_items, idx_digest) for the family's index table. The sim
+    * slot counts DISTINCT signatures: appendToSimIndex is
+    * replay-tolerant by design and accretes duplicate chunk rows
+    * until compactSimIndex runs, so a fixed chunks/(maxDist+1)
+    * ratio would inflate after a replayed append — exactly the
+    * false alarm (or masked real drift) the card exists to avoid. */
+  private def nItemsOf(spark: SparkSession, e: Entry): DataFrame = {
+    val (table, idc) = e.family match {
+      case "dedup" => (s"${e.name}_docs", "doc_id")
+      case "bm25"  => (s"${e.name}_docs", "doc_id")
+      case "ann"   => (s"${e.name}_vectors", "vec_id")
+      case "sim"   => (s"${e.name}_chunks", "doc_id")
+      case "url"   => (s"${e.name}_url", "uh")
       case other => throw new IllegalArgumentException(
         s"indexOpsCard: unknown family '$other' — one of " +
           "dedup/ann/sim/bm25/url")
     }
+    countAndDigest(Bucketing.stableTable(spark, table).select(col(idc)).distinct(),
+      col(idc), "n_items", "idx_digest")
+  }
+
+  /** The landed side's comparable key: families keyed by the row id
+    * itself, except the url frontier, whose identity is the md5 of
+    * the CANONICAL url (buildUrlIndex's `uh`). */
+  private def landedKey(e: Entry): Column = e.family match {
+    case "url" => md5(TextAnalysis.canonicalizeUrl(col(e.idCol)))
+    case _     => col(e.idCol)
+  }
 
   private def numBucketsOf(spark: SparkSession, e: Entry): Int =
-    spark.table(s"${e.name}_meta").head().getAs[Int]("num_buckets")
+    Bucketing.stableTable(spark, s"${e.name}_meta").head().getAs[Int]("num_buckets")
 
   /** What is in flight or interrupted on the index, by descending
     * urgency: a live lease names a RUNNING (or crashed-holding)
@@ -106,15 +143,18 @@ object OpsCard {
   }
 
   /** Builds the card: one row per entry, (family, index_name,
-    * n_items, n_buckets, pending_verb, n_landed, drift_vs_landed),
-    * ordered by family for a deterministic read. */
+    * n_items, n_buckets, pending_verb, n_landed, drift_vs_landed,
+    * ids_digest_match, suggested_verb), ordered by family for a
+    * deterministic read. */
   def indexOpsCard(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
     require(entries.nonEmpty, "indexOpsCard: no entries")
     require(entries.map(_.family).distinct.size == entries.size,
       "indexOpsCard: one entry per family (duplicate family passed)")
     entries.map { e =>
-      val landedN = e.landed.filter(col(e.idCol).isNotNull)
-        .agg(count(lit(1)).as("n_landed"))
+      val landedN = countAndDigest(
+        e.landed.filter(col(e.idCol).isNotNull)
+          .select(landedKey(e).as("__k")).distinct(),
+        col("__k"), "n_landed", "landed_digest")
       nItemsOf(spark, e)
         .crossJoin(broadcast(landedN))
         .select(
@@ -124,7 +164,14 @@ object OpsCard {
           lit(numBucketsOf(spark, e)).as("n_buckets"),
           lit(pendingVerbOf(spark, e)).as("pending_verb"),
           col("n_landed"),
-          (col("n_landed") - col("n_items")).as("drift_vs_landed"))
+          (col("n_landed") - col("n_items")).as("drift_vs_landed"),
+          (col("idx_digest") === col("landed_digest"))
+            .as("ids_digest_match"),
+          when(col("n_landed") > col("n_items"), lit("reconcile"))
+            .when(col("n_landed") < col("n_items"), lit("retire"))
+            .when(col("idx_digest") =!= col("landed_digest"),
+              lit("rebuild"))
+            .otherwise(lit("none")).as("suggested_verb"))
     }.reduce(_ unionByName _).orderBy(col("family"))
   }
 }

@@ -81,20 +81,20 @@ object Retrieval {
             "normalize the query term"))
   }
 
-  /** (num_buckets, tokenizer) from a BM25 index's `_meta`, failing
-    * LOUDLY on a pre-tokenizer-family index: its meta cannot say
-    * which family built its postings, and guessing wrong makes every
-    * query silently score zero — the operator must rebuild (the
-    * [[Dedup]] `shh_basis` refusal precedent). */
+  /** (num_buckets, tokenizer) from a BM25 index's `_meta`. An index
+    * whose meta predates the tokenizer-family format can only have
+    * been built with the then-unchanged whitespace tokenizer, so a
+    * missing field reads as `ws` — the same migration treatment as
+    * the dedup side's `indexMeta` (one rule for both families; a
+    * forced rebuild here would be pure cost, not safety). */
   private def bm25Meta(spark: SparkSession,
       name: String): (Int, String) = {
-    val row = spark.table(s"${name}_meta").head()
-    require(row.schema.fieldNames.contains("tokenizer"),
-      s"BM25 index '$name' predates the tokenizer-family format: its " +
-        "_meta does not record which tokenizer built the postings, so " +
-        "serving cannot verify query/index agreement — rebuild with " +
-        "buildBm25Index")
-    (row.getAs[Int]("num_buckets"), row.getAs[String]("tokenizer"))
+    val row = Bucketing.stableTable(spark, s"${name}_meta").head()
+    val tok =
+      if (row.schema.fieldNames.contains("tokenizer"))
+        row.getAs[String]("tokenizer")
+      else "ws"
+    (row.getAs[Int]("num_buckets"), tok)
   }
 
   /** The serving-side half of the family contract: the caller says
@@ -411,7 +411,7 @@ object Retrieval {
     // same derivation [[repairBm25Stats]] uses, so build-time and
     // repaired stats are one code path
     Bucketing.writeBucketed(
-      spark.table(s"${name}_postings").groupBy(col("term"))
+      Bucketing.stableTable(spark, s"${name}_postings").groupBy(col("term"))
         .agg(count(lit(1)).as("df_t")),
       s"${name}_df", "term", numBuckets)
     writeBm25Meta(spark, name, numBuckets, tokenizer)
@@ -423,7 +423,7 @@ object Retrieval {
     * stats can never drift from the doc set they describe. */
   private def writeBm25Meta(spark: SparkSession, name: String,
       numBuckets: Int, tokenizer: String): Unit = {
-    val st = spark.table(s"${name}_docs")
+    val st = Bucketing.stableTable(spark, s"${name}_docs")
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
       .head()
     import spark.implicits._
@@ -520,7 +520,7 @@ object Retrieval {
       name: String): DataFrame = {
     val spark = batch.sparkSession
     batch.join(
-      spark.table(s"${name}_docs").select(col("doc_id").as("__bm_id")),
+      Bucketing.stableTable(spark, s"${name}_docs").select(col("doc_id").as("__bm_id")),
       col(idCol) === col("__bm_id"), "left_anti")
   }
 
@@ -570,10 +570,10 @@ object Retrieval {
     if (nMissing > 0) appendToBm25Index(missing, idCol, textCol, name)
     // pass 2 reads the post-pass-1 tables fresh: pass 1's appends
     // carry complete postings, so they can never surface as holes
-    val holeIds = spark.table(s"${name}_docs")
+    val holeIds = Bucketing.stableTable(spark, s"${name}_docs")
       .filter(col("dl") > 0)
       .select(col("doc_id"))
-      .join(spark.table(s"${name}_postings").select(col("doc_id"))
+      .join(Bucketing.stableTable(spark, s"${name}_postings").select(col("doc_id"))
         .distinct(), Seq("doc_id"), "left_anti")
       .select(col("doc_id").as("__hole_id"))
     val holes = live
@@ -603,7 +603,7 @@ object Retrieval {
     Bucketing.withIndexLease(spark, name, "repairBm25Stats") {
       val (numBuckets, tokenizer) = bm25Meta(spark, name)
       Bucketing.compactBucketed(_ =>
-        spark.table(s"${name}_postings").groupBy(col("term"))
+        Bucketing.stableTable(spark, s"${name}_postings").groupBy(col("term"))
           .agg(count(lit(1)).as("df_t")))(
         spark, s"${name}_df", "term", numBuckets)
       writeBm25Meta(spark, name, numBuckets, tokenizer)
@@ -658,11 +658,11 @@ object Retrieval {
     * anywhere) crossed broadcast-small. avgdl rounded to 4 decimals
     * (§6 rule). */
   def bm25IndexStats(spark: SparkSession, name: String): DataFrame = {
-    val nTerms = spark.table(s"${name}_df")
+    val nTerms = Bucketing.stableTable(spark, s"${name}_df")
       .agg(count(lit(1)).as("n_terms"))
-    val nPost = spark.table(s"${name}_postings")
+    val nPost = Bucketing.stableTable(spark, s"${name}_postings")
       .agg(count(lit(1)).as("n_postings"))
-    spark.table(s"${name}_meta")
+    Bucketing.stableTable(spark, s"${name}_meta")
       .crossJoin(broadcast(nTerms))
       .crossJoin(broadcast(nPost))
       .select(col("n_docs"), col("n_terms"), col("n_postings"),
@@ -689,11 +689,11 @@ object Retrieval {
     requireQueryTerms("bm25TopKAgainstIndex", tokenizer, queryTerms)
     requireFamily("bm25TopKAgainstIndex", name,
       bm25Meta(spark, name)._2, tokenizer)
-    val post = spark.table(s"${name}_postings")
+    val post = Bucketing.stableTable(spark, s"${name}_postings")
       .filter(col("term").isin(queryTerms: _*))
-    val dfT = spark.table(s"${name}_df")
+    val dfT = Bucketing.stableTable(spark, s"${name}_df")
       .filter(col("term").isin(queryTerms: _*))
-    val stats = spark.table(s"${name}_meta")
+    val stats = Bucketing.stableTable(spark, s"${name}_meta")
       .select(col("n_docs"), col("sum_dl"))
     post.join(broadcast(dfT), Seq("term"))
       .join(broadcast(stats))
@@ -737,18 +737,28 @@ object Retrieval {
         s"$maxQueryTerms distinct terms — not an eval-set-sized batch; " +
         "split it or raise maxQueryTerms")
     val termLits = termRows.map(_.getString(0)).toSeq
+    // the per-query terms live in the DataFrame, not an argument
+    // list, so the lowercase/boundary-punctuation guard runs over
+    // the COLLECTED literals — a mixed-case term under norm/uni
+    // would otherwise silently score zero matches, the exact
+    // wrong-answer class the guard exists to refuse
+    requireQueryTerms("bm25RanksAgainstIndex", tokenizer, termLits)
     if (termLits.isEmpty)
-      // empty frame derived from the REAL query plan so query_id
-      // keeps the caller's type — hardcoded lits forced it to long,
-      // and a caller unioning the empty-batch edge with the normal
-      // path would hit a schema mismatch only on that edge
-      return qt.select(col("query_id"), lit(0).cast("int").as("rank"),
-        lit(0L).as("doc_id"), lit(0.0).as("bm25")).limit(0)
-    val post = spark.table(s"${name}_postings")
+      // empty frame derived from the REAL plans on both sides so
+      // query_id keeps the caller's type and doc_id derives from the
+      // index's postings through the SAME cast the non-empty path
+      // applies — hardcoded lits would force types a caller unioning
+      // the empty-batch edge with the normal path only hits here
+      return qt.select(col("query_id")).limit(0)
+        .crossJoin(Bucketing.stableTable(spark, s"${name}_postings")
+          .select(col("doc_id").cast("long").as("doc_id")).limit(0))
+        .select(col("query_id"), lit(0).cast("int").as("rank"),
+          col("doc_id"), lit(0.0).as("bm25"))
+    val post = Bucketing.stableTable(spark, s"${name}_postings")
       .filter(col("term").isin(termLits: _*))
-    val dfT = spark.table(s"${name}_df")
+    val dfT = Bucketing.stableTable(spark, s"${name}_df")
       .filter(col("term").isin(termLits: _*))
-    val stats = spark.table(s"${name}_meta")
+    val stats = Bucketing.stableTable(spark, s"${name}_meta")
       .select(col("n_docs"), col("sum_dl"))
     val perQuery = post.join(broadcast(dfT), Seq("term"))
       .join(broadcast(stats))
@@ -896,10 +906,10 @@ object Retrieval {
     * terms' bucket-pruned postings and the one-row `_meta`. */
   private def indexPositions(spark: SparkSession, name: String,
       terms: Seq[String]): (DataFrame, DataFrame) = {
-    val pos = spark.table(s"${name}_postings")
+    val pos = Bucketing.stableTable(spark, s"${name}_postings")
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("positions"))
-    val stats = spark.table(s"${name}_meta")
+    val stats = Bucketing.stableTable(spark, s"${name}_meta")
       .select(col("n_docs"), col("sum_dl"))
     (pos, stats)
   }
@@ -1000,7 +1010,7 @@ object Retrieval {
       tokenizer: String = "ws"): DataFrame = {
     val top = bm25TopKAgainstIndex(spark, name, queryTerms, topK,
       k1, b, tokenizer).select(col("doc_id"), col("bm25"))
-    val pos = spark.table(s"${name}_postings")
+    val pos = Bucketing.stableTable(spark, s"${name}_postings")
       .filter(col("term").isin(queryTerms: _*))
       .select(col("doc_id"), col("term"), col("positions"))
     top.join(pos.hint("SHUFFLE_HASH"), Seq("doc_id"))
@@ -1039,9 +1049,17 @@ object Retrieval {
   def rankedEval(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val ln2 = log(lit(2.0))
-    val rel = qrels.filter(col("grade") > 0)
-      .select(col("query_id"), col("doc_id"),
-        col("grade").cast("double").as("grade"))
+    // defensive dedup on BOTH inputs: a duplicated (query_id, doc_id)
+    // pair would multiply through the hits join and push dcg /
+    // recall_at_k past their bounds — a ranked list keeps its best
+    // (min) rank, judgments keep their highest grade
+    val runD = run
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(col("rank")).as("rank"))
+    val rel = qrels
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("grade")).cast("double").as("grade"))
+      .filter(col("grade") > 0)
     // ideal side: each query's own grades, sorted desc, truncated at
     // k, discounted by position
     val ideal = rel.groupBy(col("query_id"))
@@ -1054,7 +1072,7 @@ object Retrieval {
             sequence(lit(2), size(col("__g")) + 1),
             (g, pos) => g / (log(pos.cast("double")) / ln2)),
           lit(0.0), (acc, x) => acc + x).as("idcg"))
-    val hits = run
+    val hits = runD
       .join(rel.hint("SHUFFLE_HASH"), Seq("query_id", "doc_id"))
       .groupBy(col("query_id"))
       .agg((lit(1.0) / min(col("rank"))).as("rr"),
@@ -1062,7 +1080,12 @@ object Retrieval {
           col("grade") / (log((col("rank") + 1).cast("double")) / ln2))
           .otherwise(0.0)).as("dcg"),
         sum(when(col("rank") <= k, 1L).otherwise(0L)).as("hits_at_k"))
-    run.select(col("query_id")).distinct()
+    // base = run queries ∪ judged queries: a query whose producer
+    // returned nothing must SCORE 0, not vanish — dropping it would
+    // inflate every downstream mean over this frame
+    runD.select(col("query_id"))
+      .union(qrels.select(col("query_id")))
+      .distinct()
       .join(broadcast(ideal), Seq("query_id"), "left")
       .join(broadcast(hits), Seq("query_id"), "left")
       .select(col("query_id"), lit(k).as("k"),

@@ -1260,13 +1260,13 @@ object Similarity {
     val spark = batch.sparkSession
     graft.sources.Bucketing.withIndexLease(spark, name,
       "appendToAnnIndex") {
-    val meta = spark.table(s"${name}_meta").head()
+    val meta = graft.sources.Bucketing.stableTable(spark, s"${name}_meta").head()
     val m = meta.getAs[Int]("m")
     val numBuckets = meta.getAs[Int]("num_buckets")
-    val cellCents = spark.table(s"${name}_cents").collect()
+    val cellCents = graft.sources.Bucketing.stableTable(spark, s"${name}_cents").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
       .sortBy(_._1).toIndexedSeq
-    val bookCents = spark.table(s"${name}_book").collect()
+    val bookCents = graft.sources.Bucketing.stableTable(spark, s"${name}_book").collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toIndexedSeq).toIndexedSeq
     val book = PqBook(bookCents, m, bookCents.head.size / m)
     // Fail loudly on a wrong-dimension batch: slice/vecDot over a
@@ -1305,7 +1305,7 @@ object Similarity {
     graft.sources.Bucketing.withIndexLease(spark, name,
       "reconcileAnnIndex") {
       val missing = landed.filter(col(idCol).isNotNull)
-        .join(spark.table(s"${name}_vectors")
+        .join(graft.sources.Bucketing.stableTable(spark, s"${name}_vectors")
           .select(col("vec_id").as("__seen_id")),
           col(idCol).cast("long") === col("__seen_id"), "left_anti")
         .localCheckpoint(true)
@@ -1327,10 +1327,10 @@ object Similarity {
     * (cell_id, n_vecs, share) with share rounded to 4 decimals. */
   def annIndexStats(spark: org.apache.spark.sql.SparkSession,
       name: String): DataFrame = {
-    val counts = spark.table(s"${name}_vectors")
+    val counts = graft.sources.Bucketing.stableTable(spark, s"${name}_vectors")
       .groupBy(col("cell_id")).agg(count(lit(1)).as("__n"))
     val total = counts.agg(sum(col("__n")).as("__t"))
-    spark.table(s"${name}_cents").select(col("cell_id"))
+    graft.sources.Bucketing.stableTable(spark, s"${name}_cents").select(col("cell_id"))
       .join(broadcast(counts), Seq("cell_id"), "left")
       .crossJoin(broadcast(total))
       .select(col("cell_id"),
@@ -1380,10 +1380,10 @@ object Similarity {
     graft.sources.Bucketing.withIndexLease(spark, name,
       "rebalanceAnnIndex") {
     finishInterruptedRebalance(spark, name)
-    val meta = spark.table(s"${name}_meta").head()
+    val meta = graft.sources.Bucketing.stableTable(spark, s"${name}_meta").head()
     val nlist = meta.getAs[Int]("nlist")
     val md5Sig = meta.getAs[Boolean]("md5_sig")
-    val contents = spark.table(s"${name}_vectors")
+    val contents = graft.sources.Bucketing.stableTable(spark, s"${name}_vectors")
     val sampleOrd =
       if (md5Sig) Dedup.md5Hash60(col("vec_id").cast("long").cast("string"))
       else xxhash64(col("vec_id").cast("long"))
@@ -1408,7 +1408,7 @@ object Similarity {
       name: String): Unit = {
     val stage = s"${name}_cents_stage"
     val bookStage = s"${name}_book_stage"
-    val metaRow = spark.table(s"${name}_meta").head()
+    val metaRow = graft.sources.Bucketing.stableTable(spark, s"${name}_meta").head()
     val numBuckets = metaRow.getAs[Int]("num_buckets")
     val m = metaRow.getAs[Int]("m")
     val cellCents = spark.table(stage).collect()
@@ -1472,12 +1472,12 @@ object Similarity {
     graft.sources.Bucketing.withIndexLease(spark, name,
       "rebuildAnnIndex") {
     finishInterruptedRebalance(spark, name)
-    val meta = spark.table(s"${name}_meta").head()
+    val meta = graft.sources.Bucketing.stableTable(spark, s"${name}_meta").head()
     val nlist = meta.getAs[Int]("nlist")
     val m = meta.getAs[Int]("m")
     val ksub = meta.getAs[Int]("ksub")
     val md5Sig = meta.getAs[Boolean]("md5_sig")
-    val contents = spark.table(s"${name}_vectors")
+    val contents = graft.sources.Bucketing.stableTable(spark, s"${name}_vectors")
     val sampleOrd =
       if (md5Sig) Dedup.md5Hash60(col("vec_id").cast("long").cast("string"))
       else xxhash64(col("vec_id").cast("long"))
@@ -1525,7 +1525,7 @@ object Similarity {
     val spark = ids.sparkSession
     graft.sources.Bucketing.withIndexLease(spark, name,
       "retireFromAnnIndex") {
-      val numBuckets = spark.table(s"${name}_meta").head()
+      val numBuckets = graft.sources.Bucketing.stableTable(spark, s"${name}_meta").head()
         .getAs[Int]("num_buckets")
       val rids = ids.filter(col(idCol).isNotNull)
         .select(col(idCol).cast("long").as("__rid")).distinct()
@@ -1544,7 +1544,7 @@ object Similarity {
     import graft.sources.Bucketing
     require(Bucketing.registerExisting(spark, s"${name}_meta", None),
       s"no persisted ANN index named '$name' in the warehouse")
-    val numBuckets = spark.table(s"${name}_meta").head()
+    val numBuckets = graft.sources.Bucketing.stableTable(spark, s"${name}_meta").head()
       .getAs[Int]("num_buckets")
     // a prior process may have died inside retireFromAnnIndex's (or
     // the rebalance's) compact swap — finish it before registering
@@ -1643,7 +1643,7 @@ object Similarity {
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
     val nq = qv.count() // bounded: an eval-sized probe batch
     require(nq >= 1, s"recall sweep over '$name': empty query batch")
-    val contents = spark.table(s"${name}_vectors")
+    val contents = graft.sources.Bucketing.stableTable(spark, s"${name}_vectors")
       .select(col("vec_id").as("neighbor_id"), col("vec").as("__cv"))
     val truth = contents
       .join(broadcast(qv), col("neighbor_id") =!= col("query_id"))
@@ -1696,15 +1696,15 @@ object Similarity {
       nprobe: Int = 4,
       shortlistFactor: Int = 5): DataFrame = {
     val spark = queries.sparkSession
-    val meta = spark.table(s"${name}_meta").head()
+    val meta = graft.sources.Bucketing.stableTable(spark, s"${name}_meta").head()
     val m = meta.getAs[Int]("m")
     val nlist = meta.getAs[Int]("nlist")
     require(nprobe >= 1 && nprobe <= nlist,
       s"need 1 <= nprobe <= nlist, got $nprobe/$nlist")
-    val cellCents = spark.table(s"${name}_cents").collect()
+    val cellCents = graft.sources.Bucketing.stableTable(spark, s"${name}_cents").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
       .sortBy(_._1).toIndexedSeq
-    val bookCents = spark.table(s"${name}_book").collect()
+    val bookCents = graft.sources.Bucketing.stableTable(spark, s"${name}_book").collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toIndexedSeq).toIndexedSeq
     val book = PqBook(bookCents, m, bookCents.head.size / m)
 
@@ -1719,7 +1719,7 @@ object Similarity {
     // distinct) → bucket pruning on the index scan
     val probed = q.select(col("cell_id")).distinct().collect()
       .map(_.getLong(0)).toSeq
-    val idx = spark.table(s"${name}_vectors")
+    val idx = graft.sources.Bucketing.stableTable(spark, s"${name}_vectors")
     val scored = idx
       .filter(col("cell_id").isin(probed: _*))
       .join(broadcast(q), Seq("cell_id"))
@@ -1762,11 +1762,11 @@ object Similarity {
       nprobe: Int = 4): DataFrame = {
     require(radius2 >= 0, s"radius2 must be >= 0, got $radius2")
     val spark = queries.sparkSession
-    val meta = spark.table(s"${name}_meta").head()
+    val meta = graft.sources.Bucketing.stableTable(spark, s"${name}_meta").head()
     val nlist = meta.getAs[Int]("nlist")
     require(nprobe >= 1 && nprobe <= nlist,
       s"need 1 <= nprobe <= nlist, got $nprobe/$nlist")
-    val cellCents = spark.table(s"${name}_cents").collect()
+    val cellCents = graft.sources.Bucketing.stableTable(spark, s"${name}_cents").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
       .sortBy(_._1).toIndexedSeq
     val q = queries
@@ -1778,7 +1778,7 @@ object Similarity {
         col("__probe").getField("cell_id").as("cell_id"))
     val probed = q.select(col("cell_id")).distinct().collect()
       .map(_.getLong(0)).toSeq
-    spark.table(s"${name}_vectors")
+    graft.sources.Bucketing.stableTable(spark, s"${name}_vectors")
       .filter(col("cell_id").isin(probed: _*))
       .join(broadcast(q), Seq("cell_id"))
       .filter(col("query_id") =!= col("vec_id"))

@@ -2728,6 +2728,34 @@ object DBlock {
           col("bin_start"), col("bin_end"), col("mh").as("main_md5"),
           col("log_odds"))
         .orderBy(col("doc_id"))
+    }),
+
+    // D103: READER-vs-WRITER consistency — the snapshot-pointer
+    // contract (VersionedTable): a reader that resolved a generation
+    // BEFORE a maintenance rewrite keeps scanning its own immutable
+    // snapshot to completion while new readers see the new
+    // generation; no instant at which either observes a missing
+    // table. The entry runs the race in sequence — publish v1, PIN a
+    // reader on it, rewrite to v2 (a retention sweep), then count
+    // through BOTH handles — and the oracle re-derives both counts
+    // from the corpus, so a hash match proves the pinned snapshot
+    // really is the pre-rewrite corpus and the current one the
+    // post-rewrite corpus, not two reads of one mutating table.
+    "d137_versioned_read" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      VersionedTable.publishBucketed(docs, "d137_vt", "doc_id", 8)
+      val pinned = VersionedTable.read(s, "d137_vt") // resolves v1
+      VersionedTable.rewriteBucketed(s, "d137_vt",
+        _.filter(col("doc_id") % 3 =!= 0), "doc_id", 8)
+      val cur = VersionedTable.read(s, "d137_vt") // resolves v2
+      pinned.agg(count(lit(1)).as("n"))
+        .select(lit("pinned_v1").as("snapshot"), col("n"))
+        .unionByName(cur.agg(count(lit(1)).as("n"))
+          .select(lit("current_v2").as("snapshot"), col("n")))
+        .orderBy(col("snapshot"))
     })
   )
 
@@ -3060,7 +3088,8 @@ object DBlock {
       |  FROM documents WHERE doc_id IS NOT NULL)
       |SELECT family, index_name, n_items, 8 AS n_buckets,
       |  'idle' AS pending_verb, n_landed,
-      |  n_landed - n_items AS drift_vs_landed
+      |  n_landed - n_items AS drift_vs_landed,
+      |  TRUE AS ids_digest_match, 'none' AS suggested_verb
       |FROM (
       |  SELECT 'ann' AS family, 'd125_ax' AS index_name,
       |    (SELECT n FROM em) AS n_items, (SELECT n FROM em) AS n_landed
@@ -4725,6 +4754,19 @@ object DBlock {
        |  GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d137: both snapshot counts re-derived from the corpus — the
+    // pinned handle must read the PRE-rewrite corpus, the current
+    // one the post-rewrite corpus
+    "d137_versioned_read" ->
+      """SELECT 'current_v2' AS snapshot, CAST(count(*) AS BIGINT) AS n
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 3 <> 0
+        |UNION ALL
+        |SELECT 'pinned_v1', CAST(count(*) AS BIGINT)
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |ORDER BY snapshot""".stripMargin,
+
     "d40_incremental_dedup" -> incrementalDedupSql,
 
     // identical semantics through the persistent index — the same

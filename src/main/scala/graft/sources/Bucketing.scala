@@ -119,13 +119,40 @@ object Bucketing {
   }
 
   /** Default steal-after window: generous against slow verbs (a
-    * compaction of a large index), small against operational pain. */
+    * compaction of a large index), small against operational pain.
+    * With the heartbeat (below) refreshing the lease's mtime every
+    * `staleMs / 3`, staleness now means CRASHED, not slow — a verb
+    * legitimately running for hours keeps its lease fresh. */
   val DefaultLeaseStaleMs: Long = 15L * 60L * 1000L
+
+  private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[(String, String)] =
+    try {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in).mkString
+      finally in.close()
+      raw.split("\n", 2) match {
+        case Array(verb, token) => Some((verb.trim, token.trim))
+        case Array(verb) => Some((verb.trim, "")) // pre-token format
+        case _ => None
+      }
+    } catch { case _: Exception => None }
 
   /** Runs `body` holding the single-writer lease of index `name`.
     * Throws IllegalStateException if another live writer holds it;
     * steals a lease older than `staleMs`. Re-entrant within the
-    * acquiring thread (nested verbs share the outer lease). */
+    * acquiring thread (nested verbs share the outer lease).
+    *
+    * Liveness vs crash is disambiguated by a HEARTBEAT: a daemon
+    * thread touches the lease file's mtime every `staleMs / 3`
+    * while `body` runs, so a verb slower than the stale window is
+    * never mistaken for a dead holder — staleness means the
+    * heartbeat stopped, i.e. the holding JVM crashed. Release is
+    * FENCED by a unique holder token written into the lease: the
+    * finally re-reads the file and deletes it only if the token is
+    * still its own, so a holder whose lease WAS stolen (clock skew,
+    * a paused JVM outliving the window) can never release the new
+    * holder's lease and open the index to a third writer. */
   def withIndexLease[T](spark: SparkSession, name: String, verb: String,
       staleMs: Long = DefaultLeaseStaleMs)(body: => T): T = {
     val key = name.toLowerCase
@@ -136,11 +163,7 @@ object Bucketing {
       val st = fs.getFileStatus(p)
       val age = System.currentTimeMillis() - st.getModificationTime
       if (age <= staleMs) {
-        val holder = try {
-          val in = fs.open(p)
-          try scala.io.Source.fromInputStream(in).mkString.trim
-          finally in.close()
-        } catch { case _: Exception => "<unreadable>" }
+        val holder = readLease(fs, p).map(_._1).getOrElse("<unreadable>")
         throw new IllegalStateException(
           s"index '$key' is locked by an in-flight '$holder' verb " +
             s"(lease age ${age / 1000}s <= stale window " +
@@ -149,16 +172,37 @@ object Bucketing {
             "holder or, if it is dead, delete the lease at " +
             s"$p or retry after the stale window")
       }
-      // stale: the holder is presumed crashed — steal
+      // stale: the heartbeat stopped, the holder is presumed
+      // crashed — steal
       fs.delete(p, false)
     }
+    val token = java.util.UUID.randomUUID().toString
     val out = fs.create(p, false) // atomic no-overwrite create
-    try out.write(verb.getBytes("UTF-8")) finally out.close()
+    try out.write(s"$verb\n$token".getBytes("UTF-8")) finally out.close()
+    val beatEvery = math.max(staleMs / 3, 50L)
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val beat = new Thread(() => {
+      while (!stop.await(beatEvery,
+        java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try {
+          // only the still-owning holder refreshes: a stolen lease
+          // is the NEW holder's to keep alive
+          if (readLease(fs, p).exists(_._2 == token))
+            fs.setTimes(p, System.currentTimeMillis(), -1)
+        } catch { case _: Exception => () } // advisory; next beat retries
+      }
+    }, s"graft-lease-heartbeat-$key")
+    beat.setDaemon(true)
+    beat.start()
     heldLeases.get += key
     try body
     finally {
       heldLeases.get -= key
-      if (fs.exists(p)) fs.delete(p, false)
+      stop.countDown()
+      beat.join(1000)
+      // fenced release: delete only OUR lease — if it was stolen,
+      // the file now carries the new holder's token and must stand
+      if (readLease(fs, p).exists(_._2 == token)) fs.delete(p, false)
     }
   }
 
@@ -170,11 +214,7 @@ object Bucketing {
     val p = leasePath(spark, name.toLowerCase)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) None
-    else Some(try {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in).mkString.trim
-      finally in.close()
-    } catch { case _: Exception => "<unreadable>" })
+    else Some(readLease(fs, p).map(_._1).getOrElse("<unreadable>"))
   }
 
   /** Public marker probe for ops observability ([[graft.operators
@@ -247,6 +287,39 @@ object Bucketing {
   }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** READER half of the reader-vs-writer contract on swap-maintained
+    * tables: [[compactBucketed]]'s drop→rename window is writer-safe
+    * (marker + lease) but a concurrent READER resolving the table
+    * inside it sees TABLE_OR_VIEW_NOT_FOUND for the few milliseconds
+    * the catalog is between names. This resolve retries while (and
+    * only while) the table's swap marker shows a swap in flight —
+    * a genuinely absent table still fails immediately and loudly,
+    * and the reader never MUTATES anything (rolling an interrupted
+    * swap forward is the next WRITER's job; a reader doing it would
+    * race the live writer it is waiting for).
+    *
+    * Scope, disclosed: this closes the RESOLVE window. A reader that
+    * resolved the table before the swap and is still scanning its
+    * files when the swap deletes them is the scan-time window —
+    * closed by [[VersionedTable]], whose published versions are
+    * immutable until explicitly retired a generation later. */
+  def stableTable(spark: SparkSession, table: String,
+      maxWaitMs: Long = 30000L): DataFrame = {
+    val mk = swapMarker(spark, table)
+    val fs = fsOf(spark, mk)
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    while (true) {
+      try return spark.table(table)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          if (System.currentTimeMillis() >= deadline || !fs.exists(mk))
+            throw e
+          Thread.sleep(50L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** APPEND to an existing bucketed table with a matching spec — new
     * rows land in new per-bucket files (no rewrite of existing data),

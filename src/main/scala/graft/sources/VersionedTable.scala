@@ -1,0 +1,164 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** VERSIONED tables — the reader-vs-writer consistency contract for
+  * tables that get REWRITTEN in place (compactions, rebalances,
+  * retention rewrites). [[Bucketing.compactBucketed]]'s swap is
+  * crash-safe for the WRITER, and [[Bucketing.stableTable]] closes
+  * the reader's catalog-resolve window, but one window remains: a
+  * reader that resolved the table BEFORE a swap and is still
+  * scanning when the swap deletes the old files fails mid-query. At
+  * 100 TB with a streaming loop compacting while dashboards serve,
+  * that fires daily.
+  *
+  * The fix is the snapshot-pointer discipline production table
+  * formats use (Iceberg/Delta's metadata pointer, re-expressed
+  * minimally): the logical name never holds data — it resolves
+  * through an atomic POINTER to an immutable physical generation
+  * `<name>__v<N>`. A rewrite builds `v(N+1)` completely, flips the
+  * pointer, and retires only generations OLDER than the one it
+  * replaced. So:
+  *
+  *   - a reader that resolved vN keeps scanning vN's untouched files
+  *     to completion — the rewrite deleted nothing it can see;
+  *   - a reader arriving after the flip sees v(N+1);
+  *   - no reader, at any instant, can observe a missing table.
+  *
+  * The pointer is made atomic WITHOUT rename-over (not atomic on
+  * every store): the version is encoded in the pointer file's NAME
+  * (`<name>__ptr_v<N>`), publish = one atomic create of the new
+  * pointer + delete of the old, resolve = max N over a prefix
+  * listing. A crash between create and delete leaves two pointers —
+  * max still wins, the next publish sweeps stragglers.
+  *
+  * Reader contract, disclosed: a resolved generation stays scannable
+  * for ONE further rewrite (the rewrite retires `<= N-1`, keeping N).
+  * A query outliving two maintenance generations re-resolves — the
+  * same contract Iceberg gives a reader pinned to an expired
+  * snapshot. Writers serialize through the existing single-writer
+  * lease ([[Bucketing.withIndexLease]]); readers take no lease and
+  * never block.
+  *
+  * Reference anchor: the reference's store delegates this to S3 +
+  * Glue (readers of a Glue table racing a partition rewrite get the
+  * same torn read; Athena answers it with snapshot-isolated Iceberg
+  * tables). This is that isolation re-expressed engine-side.
+  */
+object VersionedTable {
+
+  private def warehouse(spark: SparkSession) =
+    new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+
+  private def fsOf(spark: SparkSession) =
+    warehouse(spark).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def ptrPrefix(name: String) = s"${name.toLowerCase}__ptr_v"
+
+  /** Physical catalog name of generation `v` of logical `name`. */
+  def physicalName(name: String, v: Long): String =
+    s"${name.toLowerCase}__v$v"
+
+  /** All pointer versions currently on disk (usually one; two only
+    * inside a publish's create→sweep window or after a crash in it). */
+  private def pointerVersions(spark: SparkSession,
+      name: String): Seq[Long] = {
+    val fs = fsOf(spark)
+    val wh = warehouse(spark)
+    if (!fs.exists(wh)) return Seq.empty
+    val pfx = ptrPrefix(name)
+    fs.listStatus(wh).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(pfx))
+      .flatMap(n => scala.util.Try(n.drop(pfx.length).toLong).toOption)
+  }
+
+  /** The live generation number, if the logical table exists. */
+  def currentVersion(spark: SparkSession, name: String): Option[Long] =
+    pointerVersions(spark, name).sorted.lastOption
+
+  /** Resolves the logical name to its live physical table — the ONE
+    * call every reader makes; the returned name's files are immutable
+    * until a LATER rewrite retires the generation before it. */
+  def resolve(spark: SparkSession, name: String): String =
+    physicalName(name, currentVersion(spark, name).getOrElse(
+      throw new IllegalStateException(
+        s"no published version of versioned table '$name' — publish " +
+          "one with VersionedTable.publishBucketed")))
+
+  /** Snapshot-isolated read: resolve once, scan that generation. */
+  def read(spark: SparkSession, name: String): DataFrame =
+    spark.table(resolve(spark, name))
+
+  /** Atomic pointer flip: create `__ptr_v<next>` (atomic no-overwrite
+    * create), then sweep every older pointer. Readers listing between
+    * the two steps see both — max wins. */
+  private def flipPointer(spark: SparkSession, name: String,
+      next: Long): Unit = {
+    val fs = fsOf(spark)
+    val wh = warehouse(spark)
+    fs.mkdirs(wh)
+    fs.create(new org.apache.hadoop.fs.Path(wh,
+      s"${ptrPrefix(name)}$next"), false).close()
+    pointerVersions(spark, name).filter(_ < next).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(wh,
+        s"${ptrPrefix(name)}$v"), false)
+    }
+  }
+
+  /** Publishes `df` as the next generation of logical `name`,
+    * bucketed — build fully, THEN flip. Returns the new version.
+    * Serialized against other writers by the index lease. */
+  def publishBucketed(df: DataFrame, name: String, bucketCol: String,
+      numBuckets: Int): Long = {
+    val spark = df.sparkSession
+    Bucketing.withIndexLease(spark, name, "publishVersioned") {
+      val next = currentVersion(spark, name).getOrElse(0L) + 1L
+      Bucketing.writeBucketed(df, physicalName(name, next), bucketCol,
+        numBuckets)
+      flipPointer(spark, name, next)
+      next
+    }
+  }
+
+  /** REWRITE = the maintenance verb (compaction, retention sweep,
+    * re-cluster): builds generation N+1 from a transform of the live
+    * generation, flips, and retires generations `<= N-1` — the one
+    * the flip replaced stays on disk for in-flight readers, per the
+    * reader contract above. Returns the new version. */
+  def rewriteBucketed(spark: SparkSession, name: String,
+      transform: DataFrame => DataFrame, bucketCol: String,
+      numBuckets: Int): Long =
+    Bucketing.withIndexLease(spark, name, "rewriteVersioned") {
+      val cur = currentVersion(spark, name).getOrElse(
+        throw new IllegalStateException(
+          s"rewriteBucketed: no published version of '$name'"))
+      val next = cur + 1L
+      Bucketing.writeBucketed(
+        transform(spark.table(physicalName(name, cur))),
+        physicalName(name, next), bucketCol, numBuckets)
+      flipPointer(spark, name, next)
+      retireBelow(spark, name, cur)
+      next
+    }
+
+  /** Drops every physical generation strictly below `keep` (catalog
+    * entry AND directory). Callable directly for an aggressive
+    * space reclaim once no reader can be pinned that far back. */
+  def retireBelow(spark: SparkSession, name: String, keep: Long): Unit =
+    (1L until keep).foreach(v =>
+      Bucketing.dropTableAndDir(spark, physicalName(name, v)))
+
+  /** Cross-session re-open: registers the live generation's physical
+    * table from its directory (the [[Bucketing.registerExisting]]
+    * face for versioned tables). Returns the resolved physical name. */
+  def open(spark: SparkSession, name: String,
+      bucketSpec: Option[(String, Int)]): String = {
+    val phys = resolve(spark, name)
+    require(Bucketing.registerExisting(spark, phys, bucketSpec),
+      s"versioned table '$name' points at generation '$phys' but its " +
+        "directory is missing — the warehouse was truncated out from " +
+        "under the pointer")
+    phys
+  }
+}

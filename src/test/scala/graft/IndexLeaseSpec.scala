@@ -81,4 +81,47 @@ class IndexLeaseSpec extends AnyFunSuite {
     }
     assert(!fs.exists(leasePath("lease_missing_index")))
   }
+
+  test("heartbeat keeps a SLOW verb's lease fresh — slow is not stolen") {
+    // the 100 TB hole the heartbeat closes: a verb legitimately
+    // longer than the stale window must not read as crashed — a
+    // second writer arriving after staleMs has elapsed since ACQUIRE
+    // must still refuse, because the heartbeat kept the mtime fresh
+    val name = "lease_hb"
+    Bucketing.withIndexLease(spark, name, "slowVerb", staleMs = 400L) {
+      Thread.sleep(1200L) // three stale windows; heartbeat every ~133ms
+      @volatile var res: Option[Throwable] = None
+      val t = new Thread(() => {
+        res =
+          try {
+            Bucketing.withIndexLease(spark, name, "intruder",
+              staleMs = 400L) { () }
+            None
+          } catch { case e: Throwable => Some(e) }
+      })
+      t.start(); t.join()
+      assert(res.exists(_.isInstanceOf[IllegalStateException]),
+        "a live (heartbeating) lease must refuse a second writer " +
+          "even past the stale window")
+      assert(res.exists(_.getMessage.contains("slowVerb")))
+    }
+    assert(!fs.exists(leasePath(name)))
+  }
+
+  test("a stolen lease is never released by the old holder (token fence)") {
+    val name = "lease_fence"
+    val p = leasePath(name)
+    Bucketing.withIndexLease(spark, name, "victim", staleMs = 60000L) {
+      // simulate a steal (clock-skewed second writer): the lease file
+      // now carries the NEW holder's verb + token
+      fs.delete(p, false)
+      val out = fs.create(p, false)
+      out.write("thief\nother-token".getBytes("UTF-8")); out.close()
+    }
+    assert(fs.exists(p),
+      "the old holder's finally must not delete a lease it no longer " +
+        "owns — that would open the index to a third writer")
+    assert(Bucketing.leaseHolder(spark, name).contains("thief"))
+    fs.delete(p, false)
+  }
 }

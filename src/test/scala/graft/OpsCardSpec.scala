@@ -33,10 +33,60 @@ class OpsCardSpec extends AnyFunSuite {
       drifted.getAs[Long]("n_landed") == 4L &&
       drifted.getAs[Long]("drift_vs_landed") == 2L)
     // the drift column is exactly what schedules the reconcile verb —
-    // and after it runs, the card reads healthy
+    // positive drift names it, and after it runs the card reads healthy
+    assert(drifted.getAs[String]("suggested_verb") == "reconcile")
     assert(Retrieval.reconcileBm25Index(docs, "doc_id", "text",
       "card_bx") == 2L)
-    assert(cardRow(e, "bm25").getAs[Long]("drift_vs_landed") == 0L)
+    val healed = cardRow(e, "bm25")
+    assert(healed.getAs[Long]("drift_vs_landed") == 0L &&
+      healed.getAs[Boolean]("ids_digest_match") &&
+      healed.getAs[String]("suggested_verb") == "none")
+  }
+
+  test("NEGATIVE drift (landed shrank under the index) suggests retire, not reconcile") {
+    // retention sweeps / realm clears shrink the landed frame; the
+    // index still carries the cleared items. Reconcile verbs heal
+    // MISSING items only — the card must direct the operator to the
+    // retire verbs instead
+    Retrieval.buildBm25Index(docs, "doc_id", "text", "card_neg",
+      numBuckets = 2)
+    val shrunk = cardRow(
+      Seq(OpsCard.Entry("bm25", "card_neg",
+        docs.filter("doc_id <= 2"), "doc_id")), "bm25")
+    assert(shrunk.getAs[Long]("drift_vs_landed") == -2L &&
+      shrunk.getAs[String]("suggested_verb") == "retire")
+  }
+
+  test("ids_digest_match catches CONTENT drift that counts cannot see") {
+    import spark.implicits._
+    // same number of items, one wrong identity: a healed-then-
+    // diverged id reads drift 0 — only the digest sees it
+    Retrieval.buildBm25Index(docs, "doc_id", "text", "card_dig",
+      numBuckets = 2)
+    val wrongIds = Seq((1L, "alpha beta"), (2L, "gamma delta"),
+      (3L, "epsilon zeta"), (5L, "eta theta")).toDF("doc_id", "text")
+    val r = cardRow(
+      Seq(OpsCard.Entry("bm25", "card_dig", wrongIds, "doc_id")), "bm25")
+    assert(r.getAs[Long]("drift_vs_landed") == 0L &&
+      !r.getAs[Boolean]("ids_digest_match") &&
+      r.getAs[String]("suggested_verb") == "rebuild")
+  }
+
+  test("sim slot counts DISTINCT signatures — a replayed append cannot inflate it") {
+    import spark.implicits._
+    val sigs = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("doc_id")).as("sim"))
+    Dedup.buildSimIndex(sigs, name = "card_sx", maxDist = 2,
+      numBuckets = 2)
+    // replay: append the same batch again — chunk rows duplicate
+    // until compaction, but the card's item count must not move
+    Dedup.appendToSimIndex(sigs, "card_sx")
+    val r = cardRow(Seq(OpsCard.Entry("sim", "card_sx", docs,
+      "doc_id")), "sim")
+    assert(r.getAs[Long]("n_items") == 4L &&
+      r.getAs[Long]("drift_vs_landed") == 0L &&
+      r.getAs[Boolean]("ids_digest_match"))
   }
 
   test("pending_verb surfaces a live lease and an interrupted marker; idle otherwise") {

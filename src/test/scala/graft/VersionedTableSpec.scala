@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Bucketing, VersionedTable}
+
+/** Reader-vs-writer consistency — the one operational window the
+  * lease (writers only, by design) does not cover: a reader racing a
+  * compact/retire swap. [[VersionedTable]] closes it with immutable
+  * generations behind an atomic pointer; [[Bucketing.stableTable]]
+  * closes the legacy swap path's catalog-resolve window. */
+class VersionedTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs(n: Int): DataFrame = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, s"doc number $i"))
+      .toDF("doc_id", "text")
+  }
+
+  test("a reader pinned to the PREVIOUS generation survives a rewrite") {
+    val v1 = VersionedTable.publishBucketed(docs(8), "vt_a", "doc_id", 2)
+    assert(v1 == 1L)
+    // the reader resolves BEFORE the maintenance rewrite…
+    val pinned = VersionedTable.read(spark, "vt_a")
+    assert(pinned.count() == 8L)
+    // …the writer rewrites (a retention sweep dropping half)…
+    val v2 = VersionedTable.rewriteBucketed(spark, "vt_a",
+      _.filter("doc_id <= 4"), "doc_id", 2)
+    assert(v2 == 2L)
+    // …and the pinned reader STILL scans its own untouched snapshot
+    // to completion, while a new reader sees the new generation —
+    // no instant at which either observes a missing table
+    assert(pinned.count() == 8L)
+    assert(VersionedTable.read(spark, "vt_a").count() == 4L)
+  }
+
+  test("generations retire one rewrite later — the disclosed reader window") {
+    VersionedTable.publishBucketed(docs(6), "vt_b", "doc_id", 2)
+    VersionedTable.rewriteBucketed(spark, "vt_b",
+      _.filter("doc_id <= 5"), "doc_id", 2) // v2; v1 kept
+    assert(spark.catalog.tableExists(
+      VersionedTable.physicalName("vt_b", 1L)))
+    VersionedTable.rewriteBucketed(spark, "vt_b",
+      _.filter("doc_id <= 4"), "doc_id", 2) // v3; retires v1, keeps v2
+    assert(!spark.catalog.tableExists(
+      VersionedTable.physicalName("vt_b", 1L)))
+    assert(spark.catalog.tableExists(
+      VersionedTable.physicalName("vt_b", 2L)))
+    assert(VersionedTable.currentVersion(spark, "vt_b").contains(3L))
+    assert(VersionedTable.read(spark, "vt_b").count() == 4L)
+  }
+
+  test("a crash between pointer create and sweep still resolves to max") {
+    VersionedTable.publishBucketed(docs(3), "vt_c", "doc_id", 2)
+    VersionedTable.rewriteBucketed(spark, "vt_c", identity, "doc_id", 2)
+    // simulate the crash window: the OLD pointer resurfaces beside
+    // the new one (publish died between create and sweep)
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(wh, "vt_c__ptr_v1"),
+      true).close()
+    assert(VersionedTable.currentVersion(spark, "vt_c").contains(2L),
+      "two pointers on disk must resolve to the max generation")
+    // the next publish sweeps the straggler
+    VersionedTable.rewriteBucketed(spark, "vt_c", identity, "doc_id", 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(wh, "vt_c__ptr_v1")))
+    assert(VersionedTable.currentVersion(spark, "vt_c").contains(3L))
+  }
+
+  test("resolve before any publish fails loudly") {
+    val e = intercept[IllegalStateException] {
+      VersionedTable.resolve(spark, "vt_never_published")
+    }
+    assert(e.getMessage.contains("no published version"))
+  }
+
+  test("stableTable waits out a swap window instead of failing the reader") {
+    import org.apache.spark.sql.functions.col
+    Bucketing.writeTable(docs(5), "vt_swap")
+    // simulate the middle of compactBucketed's drop→rename: marker
+    // up, table momentarily absent from the catalog
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mk = new org.apache.hadoop.fs.Path(wh, "vt_swap__swap_pending")
+    fs.create(mk, true).close()
+    spark.sql("DROP TABLE `vt_swap`")
+    val writer = new Thread(() => {
+      Thread.sleep(400L)
+      // raw saveAsTable, NOT writeTable — writeTable's dropStale
+      // would delete the marker BEFORE the slow write, reopening the
+      // very window the marker exists to describe
+      docs(5).filter(col("doc_id") <= 3).write.format("parquet")
+        .saveAsTable("vt_swap")
+      fs.delete(mk, false)
+    })
+    writer.start()
+    // the reader arrives inside the window: plain spark.table would
+    // throw TABLE_OR_VIEW_NOT_FOUND; stableTable waits for the rename
+    val seen = Bucketing.stableTable(spark, "vt_swap").count()
+    writer.join()
+    assert(seen == 3L)
+    // and with NO swap in flight, a missing table still fails fast
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Bucketing.stableTable(spark, "vt_absent")
+    }
+  }
+}
