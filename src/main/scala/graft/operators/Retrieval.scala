@@ -482,8 +482,16 @@ object Retrieval {
     val post = bm25Postings(rows)
     Bucketing.appendBucketed(post, s"${name}_postings", "term", numBuckets)
     val batchDf = post.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    // repartition before the merge aggregate: if the bucketed old
+    // scan and the batch's shuffle output ever report the SAME
+    // term-hash partitioning (numBuckets == shuffle partitions),
+    // the union "satisfies" the clustering requirement while each
+    // term still lives in two partitions, and the sum silently emits
+    // two rows per term — the mergeBm25Indexes hazard, closed here
+    // defensively (vocabulary-sized exchange, noise-level cost)
     Bucketing.compactBucketed(old =>
-      old.unionByName(batchDf).groupBy(col("term"))
+      old.unionByName(batchDf).repartition(col("term"))
+        .groupBy(col("term"))
         .agg(sum(col("df_t")).as("df_t")))(
       spark, s"${name}_df", "term", numBuckets)
     writeBm25Meta(spark, name, numBuckets, tokenizer)
@@ -648,6 +656,113 @@ object Retrieval {
           Some((bucketCol, numBuckets))),
           s"BM25 index '$name' is missing its $name$suffix table")
       }
+  }
+
+  /** MERGES source BM25 indexes into one `target` index — the shard
+    * consolidation verb (the Lucene segment-merge / per-day-index →
+    * monthly-index shape a 100 TB ingest actually runs: build small
+    * indexes near the data, merge them off the hot path). All
+    * sources must share one tokenizer family (meta state, refused
+    * loudly on mismatch) and DISJOINT doc-id sets — enforced here
+    * with one narrow count-vs-distinct pass over the unioned `_docs`
+    * ids (disclosed cost: a silent overlap would double the
+    * overlapped docs' postings and quietly inflate every score,
+    * exactly the wrong-answer class worth one id-column scan).
+    *
+    * Scale shape: postings and docs merge as pure UNIONS re-bucketed
+    * once (the write-side shuffle every build pays); `_df` merges as
+    * the SUM of the sources' vocabulary-sized df tables — never a
+    * postings re-scan; `_meta` re-derives from the merged `_docs`
+    * (the one-source-of-stats rule shared with repairBm25Stats).
+    * Crash mid-merge leaves a partial TARGET only — sources are
+    * never touched — and a re-run overwrites it whole (idempotent by
+    * rerun, the build-verb contract). */
+  def mergeBm25Indexes(spark: SparkSession, target: String,
+      sources: Seq[String], numBuckets: Int = 8): Unit = {
+    require(sources.size >= 2,
+      s"mergeBm25Indexes: need at least 2 sources, got ${sources.size}")
+    val fams = sources.map(s => bm25Meta(spark, s)._2).distinct
+    require(fams.size == 1,
+      s"mergeBm25Indexes: sources were built with different tokenizer " +
+        s"families $fams — merged postings would mean two things; " +
+        "rebuild the odd one out first")
+    Bucketing.withIndexLease(spark, target, "mergeBm25Indexes") {
+      val docsAll = sources
+        .map(s => Bucketing.stableTable(spark, s"${s}_docs"))
+        .reduce(_ unionByName _)
+      // repartition for the SAME reason as the _df merge below:
+      // count(DISTINCT) plans a keyed first stage, and a union of
+      // co-bucketed scans lets it run exchange-free with each doc_id
+      // split across children — an overlap would go undetected
+      val chk = docsAll.repartition(col("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("nd")).head()
+      require(chk.getLong(0) == chk.getLong(1),
+        s"mergeBm25Indexes: sources share ${chk.getLong(0) - chk.getLong(1)} " +
+          "doc id(s) — merging would double their postings; retire the " +
+          "duplicates from one source first")
+      Bucketing.writeBucketed(
+        sources.map(s => Bucketing.stableTable(spark, s"${s}_postings"))
+          .reduce(_ unionByName _),
+        s"${target}_postings", "term", numBuckets)
+      Bucketing.writeBucketed(docsAll, s"${target}_docs", "doc_id",
+        numBuckets)
+      // the explicit repartition is LOAD-BEARING: a union of
+      // co-bucketed scans reports a term-hash partitioning that
+      // satisfies the aggregation's clustering requirement, but the
+      // same term lives in one partition PER CHILD — without a real
+      // exchange the final aggregate emits one row per source
+      // (observed on Spark 4.1.2; MergeDbgSpec-shape plan had
+      // HashAggregate directly over Union, no Exchange)
+      Bucketing.writeBucketed(
+        sources.map(s => Bucketing.stableTable(spark, s"${s}_df"))
+          .reduce(_ unionByName _)
+          .repartition(col("term"))
+          .groupBy(col("term")).agg(sum(col("df_t")).as("df_t")),
+        s"${target}_df", "term", numBuckets)
+      writeBm25Meta(spark, target, numBuckets, fams.head)
+    }
+  }
+
+  /** BM25 with PSEUDO-RELEVANCE-FEEDBACK query expansion (RM3-lite,
+    * Lavrenko & Croft's relevance-model shape without the term
+    * re-weighting — expansion terms join the query unweighted, the
+    * deterministic simplification disclosed so the oracle and the
+    * engine agree on one arithmetic): run the base query, take the
+    * top `fbDocs` documents, mine their `fbTerms` strongest terms
+    * (total tf across the feedback docs, desc, term-asc tie-break,
+    * original query terms excluded), re-run with the expanded term
+    * set. The classic recall lever when queries are short and
+    * vocabulary mismatch is the loss mode.
+    *
+    * Scale shape: pass 1 is [[bm25TopK]]'s term-filtered scan; the
+    * feedback-term mining is one corpus token stream semi-joined to
+    * fbDocs ids (narrow, broadcast-shaped) aggregated per term; the
+    * fbTerms literals are a BOUNDED driver pull (the centroid-pull
+    * class — fbTerms strings, never corpus rows); pass 2 is the same
+    * term-filtered scan at |Q| + fbTerms terms. */
+  def bm25PrfTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int, fbDocs: Int = 3,
+      fbTerms: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+      tokenizer: String = "ws"): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0,
+      s"need fbDocs >= 1, fbTerms >= 0, got $fbDocs/$fbTerms")
+    requireQueryTerms("bm25PrfTopK", tokenizer, queryTerms)
+    val fb = bm25TopK(docs, idCol, textCol, queryTerms, topK = fbDocs,
+      k1 = k1, b = b, tokenizer = tokenizer)
+      .select(col("doc_id"))
+    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val mined = live
+      .select(col(idCol).as("doc_id"),
+        explode(tokensFor(tokenizer, col(textCol))).as("term"))
+      .join(broadcast(fb), Seq("doc_id"), "left_semi")
+      .filter(!col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(fbTerms)
+      .collect().map(_.getString(0)).toSeq
+    bm25TopK(docs, idCol, textCol, (queryTerms ++ mined).distinct,
+      topK = topK, k1 = k1, b = b, tokenizer = tokenizer)
   }
 
   /** Ops observability for the BM25 index — the one-row corpus card
@@ -1099,6 +1214,71 @@ object Retrieval {
           coalesce(col("hits_at_k"), lit(0L)).cast("double") /
             col("n_rel").cast("double"))
           .otherwise(0.0), 4).as("recall_at_k"))
+  }
+
+  /** Retrieval-quality DECISION CARD — the artifact that turns
+    * [[rankedEval]]'s metrics into the choice an operator actually
+    * makes (the d116 reband sweep / d117-d123 recall sweeps'
+    * discipline, applied to retrieval): ONE qrels set, one probe
+    * batch, and a row of mean metrics per ARM —
+    *
+    *   - `bm25_ws` / `bm25_norm` / `bm25_uni`: the same probe texts
+    *     tokenized by each tokenizer family, run through the same
+    *     BM25 (query-by-example, self excluded) — "which family
+    *     should this corpus's index be built with" as a measured
+    *     number instead of a judgment call;
+    *   - `dense` (when a dense run is supplied): the embedding leg
+    *     alone;
+    *   - `hybrid_rrf`: the `hybridLex` family's lexical leg RRF-fused
+    *     with the dense leg — "is fusion worth it HERE".
+    *
+    * Output: (arm, k, n_queries, mrr, mean_ndcg, mean_recall), means
+    * of the per-query [[rankedEval]] rows (already rounded to 4
+    * decimals each; the means rounded again — both engines average
+    * identical doubles), ordered by arm.
+    *
+    * Scale shape: everything is EVAL-sized — probes and qrels are
+    * operator-curated sets, each lexical arm is one term-filtered
+    * corpus scan (the [[bm25PerQueryRanks]] shape: only the probe
+    * terms' postings ever shuffle), the eval joins are top-k × |Q|
+    * rows. Arms run as independent narrow plans; nothing
+    * corpus-sized is ever collected or re-joined across arms. */
+  def retrievalQualityCard(docs: DataFrame, idCol: String,
+      textCol: String, probes: DataFrame, queryIdCol: String,
+      qtextCol: String, qrels: DataFrame, k: Int, topK: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75,
+      denseRun: Option[DataFrame] = None,
+      hybridLex: String = "norm"): DataFrame = {
+    require(k >= 1 && topK >= k,
+      s"need topK >= k >= 1, got k=$k topK=$topK")
+    val probeQ = probes.select(col(queryIdCol).as("query_id"),
+      col(qtextCol).as("qtext"))
+    def lexRun(fam: String): DataFrame =
+      bm25PerQueryRanks(docs, idCol, textCol,
+        probeQ.select(col("query_id"),
+          tokensFor(fam, col("qtext")).as("terms")),
+        "query_id", "terms", topK = topK, k1 = k1, b = b,
+        excludeSelf = true, tokenizer = fam)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+    val arms: Seq[(String, DataFrame)] =
+      Dedup.TokenizerFamilies.map(f => (s"bm25_$f", lexRun(f))) ++
+        denseRun.toSeq.flatMap { dr =>
+          val d = dr.select(col("query_id"), col("rank"), col("doc_id"))
+          Seq(("dense", d),
+            ("hybrid_rrf", rrfFuse(lexRun(hybridLex), d, k0 = 60,
+              topK = topK)
+              .select(col("query_id"), col("rank"), col("doc_id"))))
+        }
+    arms.map { case (name, run) =>
+      rankedEval(run, qrels, k)
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("rr")), 4).as("mrr"),
+          round(avg(col("ndcg")), 4).as("mean_ndcg"),
+          round(avg(col("recall_at_k")), 4).as("mean_recall"))
+        .select(lit(name).as("arm"), lit(k).as("k"),
+          col("n_queries"), col("mrr"), col("mean_ndcg"),
+          col("mean_recall"))
+    }.reduce(_ unionByName _).orderBy(col("arm"))
   }
 
   /** Per-document TF-IDF keyword extraction — the tagging pass that

@@ -849,17 +849,26 @@ object Similarity {
     * encode stays a map-only projection exactly like the raw path.
     * nlist branches of dim-width literals: bulky codegen, bounded by
     * config, never data. */
-  private def residualExpr(
-      cellCents: IndexedSeq[(Long, IndexedSeq[Float])],
-      vv: Column, cellId: Column): Column =
-    cellCents.tail.foldLeft(
-      when(cellId === cellCents.head._1,
-        zip_with(vv, typedLit(cellCents.head._2.toSeq),
-          (a, b) => a - b))) {
-      case (acc, (cid, cv)) =>
-        acc.when(cellId === cid,
-          zip_with(vv, typedLit(cv.toSeq), (a, b) => a - b))
-    }
+  /** The trained centroids as a broadcastable (cell_id, __cent)
+    * frame — the PRODUCTION residual form: residual = row vector
+    * minus the centroid JOINED in on cell_id. The first cut of this
+    * inlined the centroids as an nlist-branch literal CASE
+    * expression, fine at twin scale (nlist=16) but a codegen killer
+    * at production nlist×dim (thousands of branches each carrying a
+    * dim-length literal array in the generated code); the join form
+    * keeps the plan size constant and the subtraction inside
+    * whole-stage codegen. Same values, same coercions — residual
+    * arithmetic is bit-identical to the literal form. */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+      cellCents: IndexedSeq[(Long, IndexedSeq[Float])]): DataFrame = {
+    import spark.implicits._
+    cellCents.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cell_id", "__cent")
+  }
+
+  /** residual column given a joined-in `__cent` centroid array. */
+  private def residualCol(vv: Column): Column =
+    zip_with(vv, col("__cent"), (a, b) => a - b)
 
   /** RESIDUAL-encoded IVF-PQ, md5 twin — the refinement the raw-code
     * family's scaladoc promised ("the residual refinement drops into
@@ -909,14 +918,17 @@ object Similarity {
       cellRefineIters = 0, refineSampleMod = 4, md5Ord(col(idCol)))
     def cellStructs(vv: Column): Seq[Column] = l2CellStructs(cellCents, vv)
 
-    // one corpus projection: cell + residual (map-only)
+    val cents = broadcast(centroidFrame(corpus.sparkSession, cellCents))
+    // one corpus projection: cell + residual (map-only — the
+    // centroid join is broadcast, so no exchange joins the pass)
     val withRes = corpus
       .select(col(idCol).cast("long").as("neighbor_id"),
         col(vecCol).as("__v"),
         array_min(array(cellStructs(col(vecCol)): _*))
           .getField("cell_id").as("cell_id"))
-      .withColumn("__rv",
-        residualExpr(cellCents, col("__v"), col("cell_id")))
+      .join(cents, Seq("cell_id"))
+      .withColumn("__rv", residualCol(col("__v")))
+      .drop("__cent")
 
     // the book trains on RESIDUALS (first ksub by md5 of the id)
     val book = trainPqBook(
@@ -935,9 +947,9 @@ object Similarity {
           1, nprobe)).as("__probe"))
       .select(col("query_id"), col("__qv"),
         col("__probe").getField("cell_id").as("cell_id"))
+      .join(cents, Seq("cell_id"))
       .select(col("query_id"), col("cell_id"),
-        book.lutOf(residualExpr(cellCents, col("__qv"), col("cell_id")))
-          .as("lut"))
+        book.lutOf(residualCol(col("__qv"))).as("lut"))
     val scored = enc.join(broadcast(q), Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -2756,6 +2756,103 @@ object DBlock {
         .unionByName(cur.agg(count(lit(1)).as("n"))
           .select(lit("current_v2").as("snapshot"), col("n")))
         .orderBy(col("snapshot"))
+    }),
+
+    // D105/D106: the ops card's DRIFT DIRECTIONS + integrity digest,
+    // oracle-pinned: a bm25 index whose landed frame SHRANK under it
+    // (retention/realm-clear) reads negative drift → retire; a dedup
+    // index built on half the landed corpus reads positive drift →
+    // reconcile; and in both drifted states the ids digest computes
+    // UNEQUAL (pinned FALSE). DuckDB re-derives every count and pins
+    // the verbs, so the card's direction rule — not just its
+    // arithmetic — is the checked artifact.
+    "d138_drift_directions" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      Retrieval.buildBm25Index(docs, "doc_id", "text",
+        name = "d138_bx")
+      Dedup.buildDedupIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", name = "d138_dx", md5Sig = true)
+      OpsCard.indexOpsCard(s, Seq(
+        OpsCard.Entry("bm25", "d138_bx",
+          docs.filter(col("doc_id") % 2 === 0), "doc_id"),
+        OpsCard.Entry("dedup", "d138_dx", docs, "doc_id")))
+        .select(col("family"), col("n_items"), col("n_landed"),
+          col("drift_vs_landed"), col("ids_digest_match"),
+          col("suggested_verb"))
+        .orderBy(col("family"))
+    }),
+
+    // D104: the RETRIEVAL-QUALITY decision card — rankedEval
+    // composed into the artifact the other families already have
+    // (d116/d117/d123's sweep→decide discipline): ONE planted qrels
+    // set, one probe batch (query-by-example on the d122
+    // punctuation-planted corpus, where tokenizer families GENUINELY
+    // differ), and a mean-metrics row per arm: bm25_ws / bm25_norm /
+    // bm25_uni (which family should the index be built with), dense
+    // (the embedding leg alone), hybrid_rrf (is fusion worth it).
+    // Fully oracle-checked: DuckDB re-derives all three families'
+    // corpus+query tokenizations, all five runs (incl. the cosine
+    // leg and the RRF fusion), every per-query metric and the means.
+    "d139_retrieval_card" -> ((s, d) => {
+      val corp = Tables.documents(s, d).join(
+        Tables.embeddings(s, d).hint("SHUFFLE_HASH"),
+        col("doc_id") === col("vec_id"))
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(lit("("), regexp_replace(col("text"), " ", ". "),
+            lit(")")).as("text"),
+          col("embedding"))
+      val probes = corp.filter(col("doc_id").isin(1L, 2L, 3L))
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      val qrels = Seq(1L, 2L, 3L).map(q =>
+        corp.filter(col("doc_id") % (5 + q) === q)
+          .select(lit(q).as("query_id"), col("doc_id"),
+            (lit(1L) + col("doc_id") % 3).as("grade")))
+        .reduce(_ unionByName _)
+      val dense = Similarity.bruteForceTopK(
+        corp.filter(col("doc_id").isin(1L, 2L, 3L)), corp,
+        "doc_id", "embedding", k = 20)
+        .select(col("query_id"), col("rank"),
+          col("neighbor_id").as("doc_id"))
+      Retrieval.retrievalQualityCard(corp, "doc_id", "text",
+        probes, "query_id", "qtext", qrels, k = 10, topK = 20,
+        k1 = 1.5, b = 0.75, denseRun = Some(dense),
+        hybridLex = "norm")
+    }),
+
+    // D107: BM25 index shard MERGE — the consolidation verb a
+    // 100 TB ingest actually runs (build small indexes near the
+    // data, merge off the hot path — the Lucene segment-merge
+    // shape). Twin proof: build one index on the even doc ids and
+    // one on the odds, merge, serve the d70 query from the MERGED
+    // index — the oracle is the d70/d112 full-corpus SQL VERBATIM,
+    // so a hash match proves merged == built-whole through the real
+    // serve path (postings union, summed df, re-derived meta).
+    "d140_merged_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", name = "d140_a")
+      Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", name = "d140_b")
+      Retrieval.mergeBm25Indexes(s, "d140_m", Seq("d140_a", "d140_b"))
+      Retrieval.bm25TopKAgainstIndex(s, "d140_m",
+        queryTerms = d70Terms, topK = 20, k1 = 1.5, b = 0.75)
+    }),
+
+    // D108: pseudo-relevance-feedback BM25 (RM3-lite, unweighted
+    // expansion — the deterministic simplification is disclosed in
+    // the scaladoc): base run → top-3 docs → their 5 strongest
+    // non-query terms (total tf, desc, term tie-break) → re-run
+    // with the expanded set. Fully oracle-checked: DuckDB re-derives
+    // BOTH scored passes, the feedback-doc cut and the mined-term
+    // selection — the expansion is corpus-derived, so the oracle
+    // proves the whole feedback loop, not a fixed term list.
+    "d141_prf_bm25" -> ((s, d) => {
+      Retrieval.bm25PrfTopK(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = d70Terms, topK = 20, fbDocs = 3, fbTerms = 5,
+        k1 = 1.5, b = 0.75)
     })
   )
 
@@ -3102,6 +3199,248 @@ object DBlock {
       |  UNION ALL SELECT 'url', 'd125_ux',
       |    (SELECT n FROM uu), (SELECT n FROM uu))
       |ORDER BY family""".stripMargin
+
+  /** d138: both drift directions' counts re-derived, the digest
+    * booleans pinned FALSE (drifted id sets MUST compute unequal)
+    * and the direction → verb rule pinned by name. */
+  private val d138Sql: String =
+    """WITH dt AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |ev AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 2 = 0)
+      |SELECT * FROM (
+      |  SELECT 'bm25' AS family, (SELECT n FROM dt) AS n_items,
+      |    (SELECT n FROM ev) AS n_landed,
+      |    (SELECT n FROM ev) - (SELECT n FROM dt) AS drift_vs_landed,
+      |    FALSE AS ids_digest_match, 'retire' AS suggested_verb
+      |  UNION ALL
+      |  SELECT 'dedup', (SELECT n FROM ev), (SELECT n FROM dt),
+      |    (SELECT n FROM dt) - (SELECT n FROM ev), FALSE, 'reconcile')
+      |ORDER BY family""".stripMargin
+
+  /** The `uni` family over the d139 paren-planted corpus — the d122
+    * plant with \p{L}\p{N} boundary classes (ASCII corpus, so uni
+    * and norm tokenize identically here; the card SHOWS that as two
+    * arms with equal numbers, which is itself the decision datum). */
+  private val uniParenTokensSql: String =
+    "list_filter(list_transform(string_split_regex(lower(trim(" +
+      "'(' || replace(text, ' ', '. ') || ')')), '\\s+'), " +
+      "w -> regexp_replace(w, '^[^\\p{L}\\p{N}]+|[^\\p{L}\\p{N}]+$', '', 'g')), " +
+      "w -> len(w) > 0)"
+
+  /** The `ws` family over the same plant — punctuation-glued tokens
+    * kept verbatim. */
+  private val wsParenTokensSql: String =
+    "string_split_regex(lower(trim(" +
+      "'(' || replace(text, ' ', '. ') || ')')), '\\s+')"
+
+  /** One lexical arm of the d139 card: family tokenization of corpus
+    * AND probes, the d70 Okapi arithmetic (k1=1.5 b=0.75 inlined),
+    * self excluded, rounded before ranking, top-20 per query. */
+  private def cardArmCtes(a: String, toks: String): String =
+    s"""tok_$a AS (SELECT doc_id, $toks AS ws FROM corp),
+       |qt_$a AS (
+       |  SELECT DISTINCT query_id, term FROM (
+       |    SELECT doc_id AS query_id, unnest(ws) AS term
+       |    FROM tok_$a WHERE doc_id IN (1, 2, 3)) z),
+       |st_$a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(ws)) AS BIGINT) AS sum_dl FROM tok_$a),
+       |post_$a AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |    unnest(ws) AS term FROM tok_$a),
+       |tf_$a AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+       |    max(dl) AS dl
+       |  FROM post_$a WHERE term IN (SELECT DISTINCT term FROM qt_$a)
+       |  GROUP BY doc_id, term),
+       |df_$a AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df_t
+       |  FROM tf_$a GROUP BY term),
+       |sc_$a AS (
+       |  SELECT q.query_id, t.doc_id,
+       |    round(sum(
+       |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5) /
+       |          (CAST(df_t AS DOUBLE) + 0.5)) *
+       |        (CAST(tf AS DOUBLE) * 2.5) /
+       |        (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+       |          (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 4) AS bm25
+       |  FROM tf_$a t JOIN df_$a USING (term) JOIN qt_$a q USING (term)
+       |  CROSS JOIN st_$a
+       |  WHERE t.doc_id <> q.query_id
+       |  GROUP BY q.query_id, t.doc_id),
+       |run_$a AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY bm25 DESC, doc_id) AS rank
+       |    FROM sc_$a) z WHERE rank <= 20)""".stripMargin
+
+  /** One arm's per-query rankedEval rows (rr / ndcg / recall@10,
+    * each rounded to 4 like the engine's per-query output). */
+  private def cardEvalCtes(a: String): String =
+    s"""hit_$a AS (
+       |  SELECT r.query_id, 1.0 / min(r.rank) AS rr,
+       |    sum(CASE WHEN r.rank <= 10 THEN
+       |      g.grade / (ln(CAST(r.rank + 1 AS DOUBLE)) / ln(2))
+       |      ELSE 0 END) AS dcg,
+       |    CAST(sum(CASE WHEN r.rank <= 10 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits
+       |  FROM run_$a r
+       |  JOIN rel g ON r.query_id = g.query_id AND r.doc_id = g.doc_id
+       |  GROUP BY r.query_id),
+       |ev_$a AS (
+       |  SELECT b.query_id, round(coalesce(h.rr, 0), 4) AS rr,
+       |    round(CASE WHEN coalesce(i.idcg, 0) > 0
+       |      THEN coalesce(h.dcg, 0) / i.idcg ELSE 0 END, 4) AS ndcg,
+       |    round(CASE WHEN coalesce(n.n_rel, 0) > 0
+       |      THEN CAST(coalesce(h.hits, 0) AS DOUBLE) / n.n_rel
+       |      ELSE 0 END, 4) AS rec
+       |  FROM base b LEFT JOIN hit_$a h USING (query_id)
+       |  LEFT JOIN ideal i USING (query_id)
+       |  LEFT JOIN nrel n USING (query_id))""".stripMargin
+
+  private def cardMeanSql(arm: String, a: String): String =
+    s"""SELECT '$arm' AS arm, CAST(count(*) AS BIGINT) AS n_queries,
+       |  round(avg(rr), 4) AS mrr, round(avg(ndcg), 4) AS mean_ndcg,
+       |  round(avg(rec), 4) AS mean_recall FROM ev_$a""".stripMargin
+
+  /** d139's oracle: five complete runs (three tokenizer-family BM25
+    * arms over family-specific corpus AND query tokenizations, the
+    * cosine dense leg, the norm+dense RRF fusion), the planted
+    * graded qrels, per-query metrics and the arm means — one hash
+    * over the whole decision card. */
+  private lazy val d139Sql: String = {
+    val arms = Seq(
+      cardArmCtes("w", wsParenTokensSql),
+      cardArmCtes("n", normPlantedTokensSql),
+      cardArmCtes("u", uniParenTokensSql)).mkString(",\n")
+    s"""WITH corp AS (
+       |  SELECT d.doc_id, d.text, e.embedding
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+       |  WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
+       |),
+       |$arms,
+       |run_d AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+       |      row_number() OVER (PARTITION BY q.doc_id ORDER BY
+       |        list_cosine_similarity(q.embedding::DOUBLE[],
+       |          c.embedding::DOUBLE[]) DESC, c.doc_id) AS rank
+       |    FROM corp q JOIN corp c ON q.doc_id <> c.doc_id
+       |    WHERE q.doc_id IN (1, 2, 3)) t
+       |  WHERE rank <= 20),
+       |fused AS (
+       |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+       |    coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |    coalesce(1.0/(60 + a.rank), 0)
+       |      + coalesce(1.0/(60 + b.rank), 0) AS rrf
+       |  FROM run_n a FULL OUTER JOIN run_d b
+       |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+       |run_h AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY rrf DESC, doc_id) AS rank
+       |    FROM fused) z WHERE rank <= 20),
+       |rel AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(1 + doc_id % 3 AS DOUBLE) AS grade FROM (
+       |    SELECT 1 AS query_id, doc_id FROM corp WHERE doc_id % 6 = 1
+       |    UNION ALL
+       |    SELECT 2, doc_id FROM corp WHERE doc_id % 7 = 2
+       |    UNION ALL
+       |    SELECT 3, doc_id FROM corp WHERE doc_id % 8 = 3) z),
+       |nrel AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |  FROM rel GROUP BY 1),
+       |ideal AS (
+       |  SELECT query_id,
+       |    sum(grade / (ln(CAST(pos + 1 AS DOUBLE)) / ln(2))) AS idcg
+       |  FROM (
+       |    SELECT query_id, grade,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY grade DESC) AS pos
+       |    FROM rel) z
+       |  WHERE pos <= 10 GROUP BY query_id),
+       |base AS (SELECT DISTINCT query_id FROM rel),
+       |${cardEvalCtes("w")},
+       |${cardEvalCtes("n")},
+       |${cardEvalCtes("u")},
+       |${cardEvalCtes("d")},
+       |${cardEvalCtes("h")}
+       |SELECT arm, 10 AS k, n_queries, mrr, mean_ndcg, mean_recall
+       |FROM (
+       |  ${cardMeanSql("bm25_ws", "w")}
+       |  UNION ALL ${cardMeanSql("bm25_norm", "n")}
+       |  UNION ALL ${cardMeanSql("bm25_uni", "u")}
+       |  UNION ALL ${cardMeanSql("dense", "d")}
+       |  UNION ALL ${cardMeanSql("hybrid_rrf", "h")})
+       |ORDER BY arm""".stripMargin
+  }
+
+  /** d141's PRF oracle: the d70 Okapi weight (k1=1.5, b=0.75
+    * inlined), applied TWICE — pass 1 on the literal query terms to
+    * cut the top-3 feedback docs (rounded before ranking), the mined
+    * expansion (total tf over feedback docs, desc, term tie-break,
+    * query terms excluded, top-5), pass 2 on the expanded set — so
+    * the corpus-derived feedback loop itself is the checked
+    * artifact. */
+  private lazy val d141Sql: String = {
+    val w =
+      """ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5) /
+        |        (CAST(df_t AS DOUBLE) + 0.5)) *
+        |      (CAST(tf AS DOUBLE) * 2.5) /
+        |      (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+        |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))""".stripMargin
+    val qin = d70Terms.map("'" + _ + "'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, $wsTokensSql AS ws
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(ws)) AS BIGINT) AS sum_dl FROM tok
+       |), post AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |    unnest(ws) AS term FROM tok
+       |), tf1 AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+       |    max(dl) AS dl
+       |  FROM post WHERE term IN ($qin) GROUP BY doc_id, term
+       |), df1 AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df_t
+       |  FROM tf1 GROUP BY term
+       |), sc1 AS (
+       |  SELECT doc_id, round(sum($w), 4) AS bm25
+       |  FROM tf1 JOIN df1 USING (term) CROSS JOIN st GROUP BY doc_id
+       |), fb AS (
+       |  SELECT doc_id FROM sc1 ORDER BY bm25 DESC, doc_id LIMIT 3
+       |), mined AS (
+       |  SELECT term FROM (
+       |    SELECT term, CAST(count(*) AS BIGINT) AS tf
+       |    FROM post JOIN fb USING (doc_id)
+       |    WHERE term NOT IN ($qin)
+       |    GROUP BY term ORDER BY tf DESC, term LIMIT 5) z
+       |), expq AS (
+       |  SELECT unnest([$qin]) AS term UNION SELECT term FROM mined
+       |), tf2 AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+       |    max(dl) AS dl
+       |  FROM post WHERE term IN (SELECT term FROM expq)
+       |  GROUP BY doc_id, term
+       |), df2 AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df_t
+       |  FROM tf2 GROUP BY term
+       |), sc2 AS (
+       |  SELECT doc_id, $w AS w
+       |  FROM tf2 JOIN df2 USING (term) CROSS JOIN st)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |  round(sum(w), 4) AS bm25
+       |FROM sc2 GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
 
   /** d84/d129's frontier-screen oracle — canonicalize BOTH halves
     * with the d71 arithmetic; a batch (upper-half md5 slice) doc
@@ -4766,6 +5105,13 @@ object DBlock {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |ORDER BY snapshot""".stripMargin,
+
+    "d138_drift_directions" -> d138Sql,
+    "d139_retrieval_card" -> d139Sql,
+    // merged shards serve exactly like one whole build — the d70/d112
+    // full-corpus SQL verbatim (the twin discipline)
+    "d140_merged_bm25" -> d70Sql,
+    "d141_prf_bm25" -> d141Sql,
 
     "d40_incremental_dedup" -> incrementalDedupSql,
 

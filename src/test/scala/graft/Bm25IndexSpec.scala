@@ -493,6 +493,77 @@ class Bm25IndexSpec extends AnyFunSuite {
       q2.getAs[Double]("recall_at_k") == 0.0)
   }
 
+  test("mergeBm25Indexes: merged shards serve equal to one whole build") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+      (3L, "alpha alpha epsilon"), (4L, "gamma delta epsilon"),
+      (5L, "alpha beta beta"), (6L, "zeta eta theta"))
+      .toDF("doc_id", "text")
+    Retrieval.buildBm25Index(corpus.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", "mrg_even", numBuckets = 2)
+    Retrieval.buildBm25Index(corpus.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", "mrg_odd", numBuckets = 2)
+    Retrieval.mergeBm25Indexes(spark, "mrg_all",
+      Seq("mrg_even", "mrg_odd"), numBuckets = 2)
+    Retrieval.buildBm25Index(corpus, "doc_id", "text", "mrg_whole",
+      numBuckets = 2)
+    // the merged _df must hold ONE summed row per term
+    val df = spark.table("mrg_all_df")
+    assert(df.count() == df.select("term").distinct().count())
+    val q = Seq("alpha", "beta")
+    val merged = Retrieval.bm25TopKAgainstIndex(spark, "mrg_all",
+      q, topK = 10).collect().toSeq
+    val whole = Retrieval.bm25TopKAgainstIndex(spark, "mrg_whole",
+      q, topK = 10).collect().toSeq
+    assert(merged == whole, s"merged=$merged whole=$whole")
+    // overlapping shards refuse loudly instead of doubling postings
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.mergeBm25Indexes(spark, "mrg_bad",
+        Seq("mrg_even", "mrg_whole"), numBuckets = 2)
+    }
+    assert(e.getMessage.contains("doc id"))
+    // family mismatch refuses loudly
+    Retrieval.buildBm25Index(corpus, "doc_id", "text", "mrg_norm",
+      numBuckets = 2, tokenizer = "norm")
+    val e2 = intercept[IllegalArgumentException] {
+      Retrieval.mergeBm25Indexes(spark, "mrg_bad2",
+        Seq("mrg_even", "mrg_norm"), numBuckets = 2)
+    }
+    assert(e2.getMessage.contains("families"))
+  }
+
+  test("retrievalQualityCard: the family arms measure the real family gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // every corpus token carries punctuation; doc 4 is the clean twin
+    val corpus = Seq(
+      (1L, "alpha, beta."), (2L, "alpha; beta!"),
+      (3L, "gamma delta"), (4L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val probes = Seq((1L, "alpha, beta.")).toDF("query_id", "qtext")
+    val qrels = Seq((1L, 2L, 1L), (1L, 4L, 1L))
+      .toDF("query_id", "doc_id", "grade")
+    val dense = Seq((1L, 1, 3L)).toDF("query_id", "rank", "doc_id")
+    val card = Retrieval.retrievalQualityCard(corpus, "doc_id", "text",
+      probes, "query_id", "qtext", qrels, k = 10,
+      denseRun = Some(dense), hybridLex = "norm")
+      .collect().map(r => r.getAs[String]("arm") ->
+        (r.getAs[Double]("mrr"), r.getAs[Double]("mean_recall"))).toMap
+    assert(card.size == 5)
+    // ws: the probe's punctuation-glued terms match no OTHER doc —
+    // the silent-zero failure the card exists to surface as a number
+    assert(card("bm25_ws") == (0.0, 0.0))
+    // norm strips boundaries on both sides: both relevant docs found
+    assert(card("bm25_norm") == (1.0, 1.0))
+    assert(card("bm25_uni") == card("bm25_norm"))
+    // the dense leg alone ranks only the irrelevant doc 3
+    assert(card("dense") == (0.0, 0.0))
+    // fusion still surfaces the norm leg's relevant docs
+    assert(card("hybrid_rrf")._2 == 1.0)
+  }
+
   test("rrfFuseAll: hand-computed three-system fusion; binary delegation unchanged") {
     import spark.implicits._
     import graft.operators.Retrieval
