@@ -1133,6 +1133,59 @@ object Retrieval {
         explode(col("positions")).as("pos"))
   }
 
+  /** SNIPPET WINDOW selection — [[matchPositionsAgainstIndex]]'s
+    * positions composed into the span a result page actually shows:
+    * for each of the query's top-k documents, the best window of
+    * `window` tokens, where best = most DISTINCT query terms
+    * covered, then most total occurrences, then earliest start (all
+    * three deterministic, so both engines pick one window). Windows
+    * are anchored at term occurrences — the optimal window can
+    * always be slid left until its first hit is at its left edge,
+    * so anchoring at hits loses nothing.
+    *
+    * Returns one row per top-k doc: (doc_id, bm25, win_start,
+    * win_end, n_terms, n_hits), win_* 1-based inclusive token
+    * offsets — the caller slices its own stored text (the index
+    * stores positions, not text; that projection stays prunable).
+    *
+    * Scale shape: everything after the serve is k·|Q|-bounded — the
+    * positions read is one more bucket-pruned postings scan joined
+    * on k doc ids; the anchor×hit window join is per-doc quadratic
+    * in the doc's QUERY-TERM occurrence count (tens, not doc
+    * length), never a corpus pass; the per-doc argmax is a bounded
+    * aggregate via max_by over a struct ordering, not a rank
+    * window. */
+  def snippetWindowsAgainstIndex(spark: SparkSession, name: String,
+      queryTerms: Seq[String], topK: Int, window: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      tokenizer: String = "ws"): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val hits = matchPositionsAgainstIndex(spark, name, queryTerms,
+      topK, k1, b, tokenizer)
+      .localCheckpoint(true) // anchors AND members read it (k·|Q| rows)
+    val anchors = hits.select(col("doc_id"), col("bm25"),
+      col("pos").as("a"))
+    val scored = anchors
+      .join(hits.select(col("doc_id"), col("term"), col("pos"))
+        .hint("SHUFFLE_HASH"), Seq("doc_id"))
+      .filter(col("pos") >= col("a") &&
+        col("pos") < col("a") + lit(window))
+      .groupBy(col("doc_id"), col("bm25"), col("a"))
+      .agg(countDistinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_hits"))
+    // per-doc argmax by (n_terms desc, n_hits desc, a asc): encode
+    // the preference as one orderable struct and take max_by
+    scored.groupBy(col("doc_id"), col("bm25"))
+      .agg(expr(
+        "max_by(struct(a, n_terms, n_hits), " +
+          "struct(n_terms, n_hits, -a))").as("w"))
+      .select(col("doc_id"), col("bm25"),
+        col("w.a").as("win_start"),
+        (col("w.a") + lit(window - 1)).as("win_end"),
+        col("w.n_terms"), col("w.n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Ranked-retrieval EVAL metrics — the scorer behind every
     * retrieval decision this engine's other operators set up (which
     * tokenizer family, how much shortlist, which fusion): given a

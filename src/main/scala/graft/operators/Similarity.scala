@@ -1351,6 +1351,73 @@ object Similarity {
           col("__t").cast("double"), 4).as("share"))
   }
 
+  /** INGEST-DRIFT card for an ANN index — [[annIndexStats]]'s
+    * occupancy histogram compared against where an INCOMING batch
+    * would land, per stored cell: the question an operator asks
+    * BEFORE appending a large ingest ("does the index's trained
+    * geometry still describe the data that is arriving?"), and the
+    * decision input for [[rebalanceAnnIndex]] / [[rebuildAnnIndex]]
+    * — the dense sibling of [[Snapshot.vocabDrift]]. A batch whose
+    * share mass concentrates in cells the index holds thinly (large
+    * positive `share_shift`) will pile appends into straggler cells;
+    * a batch avoiding the index's fat cells signals the corpus
+    * distribution moved.
+    *
+    * Returns one row per stored cell: (cell_id, n_index, n_batch,
+    * share_index, share_batch, share_shift = batch − index, rounded
+    * to 4), every cell present (zeros surface, never vanish),
+    * ordered by cell_id.
+    *
+    * Scale shape: the index side reads ONLY cell_id from the
+    * bucketed vectors table (codes/vec prune away) into an
+    * nlist-sized aggregate; the batch side is one map-only
+    * assignment pass against the broadcast stored centroids (the
+    * serve path's own `_cents` pull) into the same nlist-sized
+    * aggregate; totals are one-row broadcasts. Nothing corpus-sized
+    * moves. */
+  def annIngestDriftCard(spark: org.apache.spark.sql.SparkSession,
+      name: String, batch: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val cellCents = graft.sources.Bucketing
+      .stableTable(spark, s"${name}_cents").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+    val idx = graft.sources.Bucketing
+      .stableTable(spark, s"${name}_vectors")
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("__ni"))
+    val bat = batch
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(array_min(array(l2CellStructs(cellCents, col(vecCol)): _*))
+        .getField("cell_id").as("cell_id"))
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("__nb"))
+    val ti = idx.agg(coalesce(sum(col("__ni")), lit(0L)).as("__ti"))
+    val tb = bat.agg(coalesce(sum(col("__nb")), lit(0L)).as("__tb"))
+    def share(n: Column, t: Column): Column =
+      round(when(t > 0, n.cast("double") / t.cast("double"))
+        .otherwise(0.0), 4)
+    graft.sources.Bucketing.stableTable(spark, s"${name}_cents")
+      .select(col("cell_id"))
+      .join(broadcast(idx), Seq("cell_id"), "left")
+      .join(broadcast(bat), Seq("cell_id"), "left")
+      .crossJoin(broadcast(ti)).crossJoin(broadcast(tb))
+      .select(col("cell_id"),
+        coalesce(col("__ni"), lit(0L)).as("n_index"),
+        coalesce(col("__nb"), lit(0L)).as("n_batch"),
+        share(coalesce(col("__ni"), lit(0L)), col("__ti"))
+          .as("share_index"),
+        share(coalesce(col("__nb"), lit(0L)), col("__tb"))
+          .as("share_batch"),
+        round(
+          when(col("__tb") > 0,
+            coalesce(col("__nb"), lit(0L)).cast("double")
+              / col("__tb").cast("double")).otherwise(0.0)
+          - when(col("__ti") > 0,
+            coalesce(col("__ni"), lit(0L)).cast("double")
+              / col("__ti").cast("double")).otherwise(0.0), 4)
+          .as("share_shift"))
+      .orderBy(col("cell_id"))
+  }
+
   private def rebalanceMarker(name: String): String =
     s"${name.toLowerCase}__rebalance_pending"
 

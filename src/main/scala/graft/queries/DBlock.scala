@@ -2853,6 +2853,42 @@ object DBlock {
       Retrieval.bm25PrfTopK(Tables.documents(s, d), "doc_id", "text",
         queryTerms = d70Terms, topK = 20, fbDocs = 3, fbTerms = 5,
         k1 = 1.5, b = 0.75)
+    }),
+
+    // D109: SNIPPET WINDOW selection — d132's match positions
+    // composed into the span a result page actually shows: per
+    // top-5 doc, the 8-token window covering the most DISTINCT
+    // query terms (then most hits, then earliest), anchored at term
+    // occurrences. Fully oracle-checked: DuckDB re-derives the
+    // serve, the positions AND the window argmax — the snippet
+    // CHOICE is the checked artifact, through the real
+    // build→serve→postings path.
+    "d142_snippet_windows" -> ((s, d) => {
+      Retrieval.buildBm25Index(Tables.documents(s, d), "doc_id",
+        "text", name = "d142_idx")
+      Retrieval.snippetWindowsAgainstIndex(s, "d142_idx",
+        queryTerms = d70Terms, topK = 5, window = 8,
+        k1 = 1.5, b = 0.75)
+    }),
+
+    // D110: ANN INGEST-DRIFT card — annIndexStats' occupancy
+    // compared against where an INCOMING batch would land, per
+    // stored cell: the question an operator asks BEFORE a large
+    // append ("does the trained geometry still describe what's
+    // arriving?"), the decision input for rebalance/rebuild — the
+    // dense sibling of d103_vocab_drift. Index trained/built on the
+    // even vec_ids, the odd half probes as the batch. Fully
+    // oracle-checked: DuckDB re-derives the even-trained centroids,
+    // BOTH sides' cell assignments, the counts, shares and shifts.
+    "d143_ann_ingest_drift" -> ((s, d) => {
+      val q8 = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+      Similarity.buildAnnIndex(q8.filter(col("vec_id") % 2 === 0),
+        "vec_id", "qv", name = "d143_idx",
+        nlist = 16, m = 4, ksub = 8, md5Sig = true)
+      Similarity.annIngestDriftCard(s, "d143_idx",
+        q8.filter(col("vec_id") % 2 =!= 0), "vec_id", "qv")
     })
   )
 
@@ -3107,6 +3143,66 @@ object DBlock {
        |FROM top5 s JOIN tok k USING (doc_id)
        |CROSS JOIN (SELECT unnest([$in]) AS term) tt
        |ORDER BY doc_id, term, pos""".stripMargin
+  }
+
+  /** d142's oracle: the d132 chain (top-5 + term positions) extended
+    * with the window selection itself — anchor windows of width 8 at
+    * every hit, count distinct terms and total hits per window, and
+    * pick each doc's best by (n_terms desc, n_hits desc, start asc),
+    * so the snippet CHOICE, not just the positions, is the checked
+    * artifact. */
+  private lazy val d142Sql: String = {
+    val in = d70Terms.map("'" + _ + "'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, $wsTokensSql AS ws
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(ws)) AS BIGINT) AS sum_dl FROM tok
+       |), post AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |    unnest(ws) AS term FROM tok
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+       |    max(dl) AS dl
+       |  FROM post WHERE term IN ($in) GROUP BY doc_id, term
+       |), dft AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+       |), sc AS (
+       |  SELECT doc_id,
+       |    round(sum(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5) /
+       |        (CAST(df_t AS DOUBLE) + 0.5)) *
+       |      (CAST(tf AS DOUBLE) * 2.5) /
+       |      (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+       |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 4) AS bm25
+       |  FROM tf JOIN dft USING (term) CROSS JOIN st GROUP BY doc_id
+       |), top5 AS (
+       |  SELECT doc_id, bm25,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+       |  FROM sc QUALIFY rk <= 5
+       |), hits AS (
+       |  SELECT s.doc_id, s.bm25, tt.term,
+       |    CAST(unnest(list_filter(range(1, len(k.ws) + 1),
+       |      i -> k.ws[CAST(i AS INT)] = tt.term)) AS INT) AS pos
+       |  FROM top5 s JOIN tok k USING (doc_id)
+       |  CROSS JOIN (SELECT unnest([$in]) AS term) tt
+       |), win AS (
+       |  SELECT a.doc_id, a.bm25, a.a,
+       |    CAST(count(DISTINCT h.term) AS BIGINT) AS n_terms,
+       |    CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM (SELECT doc_id, bm25, pos AS a FROM hits) a
+       |  JOIN hits h ON h.doc_id = a.doc_id
+       |    AND h.pos >= a.a AND h.pos < a.a + 8
+       |  GROUP BY a.doc_id, a.bm25, a.a
+       |), best AS (
+       |  SELECT doc_id, bm25, a, n_terms, n_hits,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY n_terms DESC, n_hits DESC, a) AS rk
+       |  FROM win
+       |)
+       |SELECT doc_id, bm25, a AS win_start, a + 7 AS win_end,
+       |  n_terms, n_hits
+       |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin
   }
 
   /** d124's proximity-BM25 oracle (generated for fresh AND indexed —
@@ -5112,6 +5208,56 @@ object DBlock {
     // full-corpus SQL verbatim (the twin discipline)
     "d140_merged_bm25" -> d70Sql,
     "d141_prf_bm25" -> d141Sql,
+    "d142_snippet_windows" -> d142Sql,
+
+    // d143: the ivfCellCtes derivation with centroids trained on the
+    // EVEN half (the built index's training slice), both halves
+    // assigned, counts/shares/shifts re-derived per stored cell
+    "d143_ann_ingest_drift" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |mm AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+        |q AS (SELECT vec_id,
+        |  CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(v, x -> CAST(floor(x / (mx / 127.0) + 0.5) AS BIGINT)) END AS q
+        |  FROM mm),
+        |ccent AS (
+        |  SELECT vec_id AS cell_id, q AS cq FROM q
+        |  WHERE vec_id % 2 = 0
+        |  ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT, vec_id
+        |  LIMIT 16),
+        |cdist AS (
+        |  SELECT a.vec_id, c.cell_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.q)+1), i ->
+        |      (a.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)])
+        |      * (a.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS BIGINT) AS d2
+        |  FROM q a CROSS JOIN ccent c),
+        |cass AS (
+        |  SELECT vec_id, cell_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rk
+        |  FROM cdist),
+        |ccells AS (SELECT vec_id, cell_id FROM cass WHERE rk = 1),
+        |idx AS (
+        |  SELECT cell_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM ccells WHERE vec_id % 2 = 0 GROUP BY cell_id),
+        |bat AS (
+        |  SELECT cell_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM ccells WHERE vec_id % 2 <> 0 GROUP BY cell_id),
+        |ti AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM idx),
+        |tb AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM bat)
+        |SELECT c.cell_id,
+        |  coalesce(i.n, 0) AS n_index,
+        |  coalesce(b.n, 0) AS n_batch,
+        |  round(CAST(coalesce(i.n, 0) AS DOUBLE) / CAST(ti.t AS DOUBLE), 4)
+        |    AS share_index,
+        |  round(CAST(coalesce(b.n, 0) AS DOUBLE) / CAST(tb.t AS DOUBLE), 4)
+        |    AS share_batch,
+        |  round(CAST(coalesce(b.n, 0) AS DOUBLE) / CAST(tb.t AS DOUBLE)
+        |    - CAST(coalesce(i.n, 0) AS DOUBLE) / CAST(ti.t AS DOUBLE), 4)
+        |    AS share_shift
+        |FROM ccent c LEFT JOIN idx i USING (cell_id)
+        |LEFT JOIN bat b USING (cell_id)
+        |CROSS JOIN ti CROSS JOIN tb
+        |ORDER BY cell_id""".stripMargin,
 
     "d40_incremental_dedup" -> incrementalDedupSql,
 

@@ -90,6 +90,19 @@ object VersionedTable {
   def read(spark: SparkSession, name: String): DataFrame =
     spark.table(resolve(spark, name))
 
+  /** Time-travel read of an EXPLICIT generation — audit/debug reads
+    * ("what did the corpus look like before that sweep?"), valid for
+    * any generation not yet retired; a retired one fails loudly with
+    * the live version named. */
+  def readVersion(spark: SparkSession, name: String, v: Long): DataFrame = {
+    val t = physicalName(name, v)
+    require(spark.catalog.tableExists(t) ||
+      Bucketing.registerExisting(spark, t, None),
+      s"generation $v of versioned table '$name' is retired or never " +
+        s"existed — live version is ${currentVersion(spark, name)}")
+    spark.table(t)
+  }
+
   /** Atomic pointer flip: create `__ptr_v<next>` (atomic no-overwrite
     * create), then sweep every older pointer. Readers listing between
     * the two steps see both — max wins. */

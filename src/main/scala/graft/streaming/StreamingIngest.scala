@@ -757,10 +757,27 @@ object StreamingIngest {
     * rows and the within-batch id duplicates into one number (both
     * are "no usable identity" cuts at the same door). The identified
     * frame is pinned when telemetry is on; fresh is already pinned
-    * for its own two consumers. */
+    * for its own two consumers.
+    *
+    * `driftDir` turns on the D110 INGEST-DRIFT telemetry: one
+    * [[graft.operators.Similarity.annIngestDriftCard]] per
+    * micro-batch (per stored cell: index occupancy vs where THIS
+    * batch's identified rows land) under
+    * `driftDir/ingest_batch=<id>/` — the per-batch feed of the
+    * rebalance/rebuild decision, watched the way the C14 funnel
+    * rows are. Written LAST like all telemetry (advisory), and
+    * AFTER the index append deliberately: the card's index side
+    * then reads the post-append state, which is what a replay
+    * re-derives too (the batch self-suppresses, the index is
+    * unchanged, the identified frame is the same) — computing
+    * against the pre-append index would make the first delivery
+    * and its replay disagree. Cost: one map-only assignment pass
+    * over the batch against the broadcast centroids + an
+    * nlist-sized aggregate. */
   def toAnnIngest(vectors: DataFrame, idCol: String, vecCol: String,
       indexName: String, path: String, checkpoint: String,
-      funnelDir: Option[String] = None): StreamingQuery =
+      funnelDir: Option[String] = None,
+      driftDir: Option[String] = None): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -778,7 +795,7 @@ object StreamingIngest {
           .withColumn("__graft_cid", batch(idCol).try_cast("long"))
           .filter(col("__graft_cid").isNotNull)
           .dropDuplicates("__graft_cid")
-        val identified = if (funnelDir.isDefined)
+        val identified = if (funnelDir.isDefined || driftDir.isDefined)
           identified0.localCheckpoint(true) else identified0
         val fresh = identified
           .join(indexed.hint("SHUFFLE_HASH"),
@@ -799,6 +816,13 @@ object StreamingIngest {
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(s"$fd/ingest_batch=$batchId")
+        }
+        driftDir.foreach { dd =>
+          graft.operators.Similarity.annIngestDriftCard(
+            batch.sparkSession, indexName, identified, idCol, vecCol)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$dd/ingest_batch=$batchId")
         }
         ()
       }

@@ -493,6 +493,30 @@ class Bm25IndexSpec extends AnyFunSuite {
       q2.getAs[Double]("recall_at_k") == 0.0)
   }
 
+  test("snippetWindowsAgainstIndex picks the densest window, earliest on ties") {
+    import spark.implicits._
+    // doc 1: 'alpha' early and alone; 'alpha beta' together late —
+    // the 2-distinct-term window must win over the earlier lone hit.
+    // doc 2: two 1-term windows — the EARLIER anchor must win.
+    val corpus = Seq(
+      (1L, "alpha x x x x x x x x x alpha y beta z"),
+      (2L, "x beta x x x x x x x x x x beta x"))
+      .toDF("doc_id", "text")
+    Retrieval.buildBm25Index(corpus, "doc_id", "text", "snip_idx",
+      numBuckets = 2)
+    val w = Retrieval.snippetWindowsAgainstIndex(spark, "snip_idx",
+      Seq("alpha", "beta"), topK = 5, window = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("win_start"), r.getAs[Long]("n_terms"),
+          r.getAs[Long]("n_hits"))).toMap
+    // doc 1 tokens: alpha(1) ... alpha(11) y beta(13) z — the window
+    // [11,14] covers alpha+beta (2 terms, 2 hits); [1,4] covers 1
+    assert(w(1L) == (11, 2L, 2L))
+    // doc 2: beta at 2 and 13 — two identical 1-term windows, the
+    // earlier anchor wins
+    assert(w(2L) == (2, 1L, 1L))
+  }
+
   test("mergeBm25Indexes: merged shards serve equal to one whole build") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

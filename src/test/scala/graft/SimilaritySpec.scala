@@ -228,6 +228,36 @@ class SimilaritySpec extends AnyFunSuite {
         col("embedding")).as("qv"))
   }
 
+  test("annIngestDriftCard: a batch landing in one cell reads as that cell's positive shift") {
+    import org.apache.spark.sql.functions.col
+    Similarity.buildAnnIndex(q8corpus.filter(col("vec_id") < 60),
+      "vec_id", "qv", name = "t_drift_idx",
+      nlist = 4, m = 4, ksub = 8, md5Sig = true, numBuckets = 4)
+    // batch = ONE index vector repeated under fresh ids: every row
+    // assigns to exactly that vector's cell
+    val one = q8corpus.filter(col("vec_id") === 7L).select(col("qv"))
+    val batch = spark.range(1000, 1005).toDF("vec_id").crossJoin(one)
+    val card = Similarity.annIngestDriftCard(spark, "t_drift_idx",
+      batch, "vec_id", "qv").collect()
+    assert(card.length == 4, "one row per stored cell, zeros included")
+    assert(card.map(_.getAs[Long]("n_index")).sum == 60L)
+    assert(card.map(_.getAs[Long]("n_batch")).sum == 5L)
+    val hot = card.filter(_.getAs[Long]("n_batch") == 5L)
+    assert(hot.length == 1, "the whole batch lands in one cell")
+    assert(hot.head.getAs[Double]("share_batch") == 1.0)
+    assert(hot.head.getAs[Double]("share_shift") > 0.0)
+    assert(card.filter(_.getAs[Long]("n_batch") == 0L)
+      .forall(_.getAs[Double]("share_shift") <= 0.0))
+    // null-id / null-vector rows drop at the door (the index-family
+    // liveness contract)
+    val withNulls = batch.withColumn("vec_id",
+      org.apache.spark.sql.functions.when(col("vec_id") === 1000L,
+        org.apache.spark.sql.functions.lit(null)).otherwise(col("vec_id")))
+    assert(Similarity.annIngestDriftCard(spark, "t_drift_idx",
+      withNulls, "vec_id", "qv")
+      .collect().map(_.getAs[Long]("n_batch")).sum == 4L)
+  }
+
   test("annRecallSweep: monotone in nprobe; full-probe over a sub-shortlist corpus reads exactly 1.0") {
     import org.apache.spark.sql.functions.col
     // 40 vectors < the k·shortlistFactor = 50-wide shortlist:

@@ -359,6 +359,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ANN ingest drift telemetry: one card per batch, replay re-derives the same card") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("anndrift").toString
+    val q8 = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+    graft.operators.Similarity.buildAnnIndex(q8, "vec_id", "qv",
+      name = "t_drift_stream", nlist = 8, m = 4, ksub = 8,
+      md5Sig = true, numBuckets = 4)
+    val twinVec = q8.filter(col("vec_id") === 0).collect()
+      .head.getSeq[Float](1)
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = StreamingIngest.toAnnIngest(
+      input.toDS().toDF("vec_id", "qv"), "vec_id", "qv",
+      "t_drift_stream", s"$dir/vecs", s"$dir/ckpt",
+      driftDir = Some(s"$dir/drift"))
+    try {
+      input.addData((300000L, twinVec), (300001L, twinVec))
+      q.processAllAvailable()
+      val card = spark.read.parquet(s"$dir/drift/ingest_batch=0")
+      // one row per stored cell; the 2-row batch (one id survives the
+      // in-batch keep-one... both ids are distinct, both land) maps
+      // entirely onto vec 0's cell
+      assert(card.count() == 8L)
+      assert(card.agg(org.apache.spark.sql.functions.sum("n_batch"))
+        .head.getLong(0) == 2L)
+      assert(card.filter(col("n_batch") === 2L).count() == 1L)
+      // the index side reads POST-append state — n_index total is the
+      // base corpus plus this batch, which is exactly what a replay
+      // re-derives (self-suppressed append, same identified frame)
+      val nIdx = card.agg(org.apache.spark.sql.functions.sum("n_index"))
+        .head.getLong(0)
+      input.addData((300000L, twinVec), (300001L, twinVec))
+      q.processAllAvailable()
+      val card2 = spark.read.parquet(s"$dir/drift/ingest_batch=1")
+      assert(card2.agg(org.apache.spark.sql.functions.sum("n_index"))
+        .head.getLong(0) == nIdx,
+        "replayed ids self-suppress — the index side must not grow")
+      assert(card2.agg(org.apache.spark.sql.functions.sum("n_batch"))
+        .head.getLong(0) == 2L)
+    } finally q.stop()
+  }
+
   test("ANN ingest loop: fresh vectors land + index-append, redelivered ids self-suppress") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

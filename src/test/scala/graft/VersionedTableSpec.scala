@@ -50,6 +50,14 @@ class VersionedTableSpec extends AnyFunSuite {
       VersionedTable.physicalName("vt_b", 2L)))
     assert(VersionedTable.currentVersion(spark, "vt_b").contains(3L))
     assert(VersionedTable.read(spark, "vt_b").count() == 4L)
+    // explicit time travel: the kept previous generation reads by
+    // number; the retired one fails loudly naming the live version
+    assert(VersionedTable.readVersion(spark, "vt_b", 2L).count() == 5L)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, "vt_b", 1L)
+    }
+    assert(e.getMessage.contains("retired") &&
+      e.getMessage.contains("3"))
   }
 
   test("a crash between pointer create and sweep still resolves to max") {
@@ -88,20 +96,27 @@ class VersionedTableSpec extends AnyFunSuite {
     val mk = new org.apache.hadoop.fs.Path(wh, "vt_swap__swap_pending")
     fs.create(mk, true).close()
     spark.sql("DROP TABLE `vt_swap`")
+    @volatile var writerErr: Option[Throwable] = None
     val writer = new Thread(() => {
-      Thread.sleep(400L)
-      // raw saveAsTable, NOT writeTable — writeTable's dropStale
-      // would delete the marker BEFORE the slow write, reopening the
-      // very window the marker exists to describe
-      docs(5).filter(col("doc_id") <= 3).write.format("parquet")
-        .saveAsTable("vt_swap")
-      fs.delete(mk, false)
+      try {
+        Thread.sleep(400L)
+        // raw saveAsTable, NOT writeTable — writeTable's dropStale
+        // would delete the marker BEFORE the slow write, reopening the
+        // very window the marker exists to describe
+        docs(5).filter(col("doc_id") <= 3).write.format("parquet")
+          .saveAsTable("vt_swap")
+        fs.delete(mk, false)
+      } catch { case e: Throwable => writerErr = Some(e) }
     })
     writer.start()
     // the reader arrives inside the window: plain spark.table would
-    // throw TABLE_OR_VIEW_NOT_FOUND; stableTable waits for the rename
-    val seen = Bucketing.stableTable(spark, "vt_swap").count()
-    writer.join()
+    // throw TABLE_OR_VIEW_NOT_FOUND; stableTable waits for the rename.
+    // Generous deadline: in a full-suite JVM late-run GC can stretch
+    // the writer's saveAsTable well past interactive timings
+    val seen = Bucketing.stableTable(spark, "vt_swap",
+      maxWaitMs = 120000L).count()
+    writer.join(120000L)
+    assert(writerErr.isEmpty, s"writer thread failed: $writerErr")
     assert(seen == 3L)
     // and with NO swap in flight, a missing table still fails fast
     intercept[org.apache.spark.sql.AnalysisException] {
