@@ -220,7 +220,14 @@ object ScaleProbe {
     "d140_merged_bm25",     // two half builds + union merge + serve
     "d141_prf_bm25",        // two scored passes + term mine
     "d142_snippet_windows", // build + serve + window argmax
-    "d143_ann_ingest_drift") // half build + assignment pass + cards
+    "d143_ann_ingest_drift", // half build + assignment pass + cards
+    // r18 session 2. d144 is d139 with THREE index builds replacing
+    // the fresh lexical scans (build-dominated, ~10× write-side);
+    // d145 two raw-score passes + the blend join (~10×); d146 a half
+    // build + one batch token pass + a vocabulary anti-join (~10×).
+    "d144_indexed_card",    // 3 family builds + indexed card
+    "d145_prf_blended",     // two raw passes + blend join
+    "d146_bm25_ingest_drift") // half build + vocab anti-join
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

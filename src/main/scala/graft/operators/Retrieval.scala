@@ -741,18 +741,19 @@ object Retrieval {
     * fbTerms literals are a BOUNDED driver pull (the centroid-pull
     * class — fbTerms strings, never corpus rows); pass 2 is the same
     * term-filtered scan at |Q| + fbTerms terms. */
-  def bm25PrfTopK(docs: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String], topK: Int, fbDocs: Int = 3,
-      fbTerms: Int = 5, k1: Double = 1.2, b: Double = 0.75,
-      tokenizer: String = "ws"): DataFrame = {
-    require(fbDocs >= 1 && fbTerms >= 0,
-      s"need fbDocs >= 1, fbTerms >= 0, got $fbDocs/$fbTerms")
-    requireQueryTerms("bm25PrfTopK", tokenizer, queryTerms)
+  /** The PRF term-mining pass shared by [[bm25PrfTopK]] and
+    * [[bm25PrfBlendedTopK]]: the `fbTerms` strongest non-query terms
+    * of the base run's top `fbDocs` documents (total tf, desc,
+    * term-asc tie-break) — a BOUNDED driver pull of fbTerms strings
+    * (the centroid-pull class). */
+  private def minePrfTerms(docs: DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], fbDocs: Int,
+      fbTerms: Int, k1: Double, b: Double,
+      tokenizer: String): Seq[String] = {
     val fb = bm25TopK(docs, idCol, textCol, queryTerms, topK = fbDocs,
       k1 = k1, b = b, tokenizer = tokenizer)
       .select(col("doc_id"))
-    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-    val mined = live
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         explode(tokensFor(tokenizer, col(textCol))).as("term"))
       .join(broadcast(fb), Seq("doc_id"), "left_semi")
@@ -761,8 +762,138 @@ object Retrieval {
       .orderBy(col("tf").desc, col("term"))
       .limit(fbTerms)
       .collect().map(_.getString(0)).toSeq
+  }
+
+  def bm25PrfTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int, fbDocs: Int = 3,
+      fbTerms: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+      tokenizer: String = "ws"): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0,
+      s"need fbDocs >= 1, fbTerms >= 0, got $fbDocs/$fbTerms")
+    requireQueryTerms("bm25PrfTopK", tokenizer, queryTerms)
+    val mined = minePrfTerms(docs, idCol, textCol, queryTerms,
+      fbDocs, fbTerms, k1, b, tokenizer)
     bm25TopK(docs, idCol, textCol, (queryTerms ++ mined).distinct,
       topK = topK, k1 = k1, b = b, tokenizer = tokenizer)
+  }
+
+  /** Per-document RAW (unrounded) BM25 sums over a term set — the
+    * blended PRF's inputs; rounding happens ONCE, after the blend,
+    * so both engines rank one identical double. */
+  private def bm25RawScores(docs: DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], k1: Double, b: Double,
+      tokenizer: String, out: String): DataFrame = {
+    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val toks = live.select(col(idCol).as("doc_id"),
+      tokensFor(tokenizer, col(textCol)).as("tk"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("tk")).cast("long")).as("sum_dl"))
+    val tf = toks
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    tf.join(broadcast(dfT), Seq("term"))
+      .join(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(sum(bm25Weight(k1, b)).as(out))
+  }
+
+  /** PRF with the RM3-style INTERPOLATION [[bm25PrfTopK]] discloses
+    * skipping: score(d) = λ·bm25(d, Q) + (1−λ)·bm25(d, E), where E
+    * is the mined expansion set — the original query keeps majority
+    * weight instead of being diluted by its own expansion (the
+    * classic PRF failure on drifting feedback). Both legs score as
+    * plain Okapi sums (raw, unrounded), the blend rounds ONCE to 4
+    * decimals, rank by (score desc, doc_id), top-k. A document
+    * matching only one leg keeps that leg's contribution (the other
+    * coalesces to 0). Same scale shape as [[bm25PrfTopK]]: two
+    * term-filtered scans + one fbTerms-bounded driver pull; the
+    * blend is a doc-keyed full-outer join of two top-heavy score
+    * sets, SHUFFLE_HASH-hinted. */
+  def bm25PrfBlendedTopK(docs: DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], topK: Int,
+      lambda: Double = 0.6, fbDocs: Int = 3, fbTerms: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75,
+      tokenizer: String = "ws"): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0,
+      s"need fbDocs >= 1, fbTerms >= 0, got $fbDocs/$fbTerms")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1], got $lambda")
+    requireQueryTerms("bm25PrfBlendedTopK", tokenizer, queryTerms)
+    val mined = minePrfTerms(docs, idCol, textCol, queryTerms,
+      fbDocs, fbTerms, k1, b, tokenizer)
+    val base = bm25RawScores(docs, idCol, textCol, queryTerms,
+      k1, b, tokenizer, "__sb")
+    if (mined.isEmpty)
+      // nothing mined (fbTerms = 0 or a degenerate corpus): the
+      // blend degenerates to λ·base — still ranked and rounded the
+      // same way
+      return base.select(col("doc_id"),
+        round(lit(lambda) * col("__sb"), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(topK)
+    val exp = bm25RawScores(docs, idCol, textCol, mined,
+      k1, b, tokenizer, "__se")
+    base.join(exp.hint("SHUFFLE_HASH"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(lit(lambda) * coalesce(col("__sb"), lit(0.0))
+          + lit(1.0 - lambda) * coalesce(col("__se"), lit(0.0)), 4)
+          .as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** VOCABULARY-DRIFT card for a BM25 index vs an INCOMING batch —
+    * the retrieval sibling of [[Similarity.annIngestDriftCard]] and
+    * the lexical ops number a crawl team watches: how much of what
+    * is arriving is NEW to the index's vocabulary? A spiking
+    * new-term share is a source change, a language shift, or spam —
+    * and the signal that df statistics (hence every idf) are about
+    * to move. One row: (n_batch_docs, n_batch_terms, n_new_terms,
+    * new_term_share, n_batch_tokens, n_oov_tokens, oov_token_share),
+    * shares rounded to 4. Terms tokenize under the INDEX's own
+    * family (meta state — the card can never measure a different
+    * vocabulary than the index stores).
+    *
+    * Scale shape: one batch token pass (map-side) into a distinct
+    * term set; newness is one anti-join against the bucketed
+    * vocabulary-sized `_df` (the index side never shuffles); token
+    * OOV mass rides the same join back onto the term counts. Nothing
+    * index-corpus-sized moves. */
+  def bm25IngestDriftCard(spark: SparkSession, name: String,
+      batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (_, tokenizer) = bm25Meta(spark, name)
+    val live = batch
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val termCounts = live
+      .select(explode(tokensFor(tokenizer, col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__n"))
+      .join(Bucketing.stableTable(spark, s"${name}_df")
+        .select(col("term"), lit(1).as("__known")),
+        Seq("term"), "left")
+      .localCheckpoint(true) // both aggregates below read it
+    val docsN = live.agg(count(lit(1)).as("n_batch_docs"))
+    termCounts
+      .agg(count(lit(1)).as("n_batch_terms"),
+        sum(when(col("__known").isNull, 1L).otherwise(0L))
+          .as("n_new_terms"),
+        coalesce(sum(col("__n")), lit(0L)).as("n_batch_tokens"),
+        coalesce(sum(when(col("__known").isNull, col("__n"))
+          .otherwise(0L)), lit(0L)).as("n_oov_tokens"))
+      .crossJoin(broadcast(docsN))
+      .select(col("n_batch_docs"), col("n_batch_terms"),
+        col("n_new_terms"),
+        round(when(col("n_batch_terms") > 0,
+          col("n_new_terms").cast("double")
+            / col("n_batch_terms").cast("double")).otherwise(0.0), 4)
+          .as("new_term_share"),
+        col("n_batch_tokens"), col("n_oov_tokens"),
+        round(when(col("n_batch_tokens") > 0,
+          col("n_oov_tokens").cast("double")
+            / col("n_batch_tokens").cast("double")).otherwise(0.0), 4)
+          .as("oov_token_share"))
   }
 
   /** Ops observability for the BM25 index — the one-row corpus card
@@ -1301,18 +1432,33 @@ object Retrieval {
       qtextCol: String, qrels: DataFrame, k: Int, topK: Int = 20,
       k1: Double = 1.2, b: Double = 0.75,
       denseRun: Option[DataFrame] = None,
-      hybridLex: String = "norm"): DataFrame = {
+      hybridLex: String = "norm",
+      indexedArms: Map[String, String] = Map.empty): DataFrame = {
     require(k >= 1 && topK >= k,
       s"need topK >= k >= 1, got k=$k topK=$topK")
     val probeQ = probes.select(col(queryIdCol).as("query_id"),
       col(qtextCol).as("qtext"))
-    def lexRun(fam: String): DataFrame =
-      bm25PerQueryRanks(docs, idCol, textCol,
-        probeQ.select(col("query_id"),
-          tokensFor(fam, col("qtext")).as("terms")),
-        "query_id", "terms", topK = topK, k1 = k1, b = b,
-        excludeSelf = true, tokenizer = fam)
-        .select(col("query_id"), col("rank"), col("doc_id"))
+    // `indexedArms` maps a tokenizer family to a PERSISTENT BM25
+    // index name built at that family: that arm serves through the
+    // index (bm25RanksAgainstIndex — bit-equal to the fresh scan,
+    // the d112 twin proof) instead of rescanning the corpus — the
+    // production posture once the card is run repeatedly
+    def lexRun(fam: String): DataFrame = {
+      val q = probeQ.select(col("query_id"),
+        tokensFor(fam, col("qtext")).as("terms"))
+      indexedArms.get(fam) match {
+        case Some(idx) =>
+          bm25RanksAgainstIndex(docs.sparkSession, idx, q, "query_id",
+            "terms", topK = topK, k1 = k1, b = b,
+            excludeSelf = true, tokenizer = fam)
+            .select(col("query_id"), col("rank"), col("doc_id"))
+        case None =>
+          bm25PerQueryRanks(docs, idCol, textCol, q,
+            "query_id", "terms", topK = topK, k1 = k1, b = b,
+            excludeSelf = true, tokenizer = fam)
+            .select(col("query_id"), col("rank"), col("doc_id"))
+      }
+    }
     val arms: Seq[(String, DataFrame)] =
       Dedup.TokenizerFamilies.map(f => (s"bm25_$f", lexRun(f))) ++
         denseRun.toSeq.flatMap { dr =>

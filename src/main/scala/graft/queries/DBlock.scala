@@ -2871,6 +2871,80 @@ object DBlock {
         k1 = 1.5, b = 0.75)
     }),
 
+    // D104 (indexed twin): the d139 decision card with all three
+    // lexical arms served from PERSISTENT family-built indexes
+    // instead of fresh scans — the production posture once the card
+    // runs repeatedly. Oracle = d139's SQL VERBATIM: a hash match
+    // proves three index builds + bucket-pruned batch serving feed
+    // the eval to the SAME decision numbers as direct corpus
+    // recomputation (the d112 twin discipline lifted to the whole
+    // card).
+    "d144_indexed_card" -> ((s, d) => {
+      val corp = Tables.documents(s, d).join(
+        Tables.embeddings(s, d).hint("SHUFFLE_HASH"),
+        col("doc_id") === col("vec_id"))
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(lit("("), regexp_replace(col("text"), " ", ". "),
+            lit(")")).as("text"),
+          col("embedding"))
+      Seq("ws", "norm", "uni").foreach(f =>
+        Retrieval.buildBm25Index(corp, "doc_id", "text",
+          name = s"d144_${f}_idx", tokenizer = f))
+      val probes = corp.filter(col("doc_id").isin(1L, 2L, 3L))
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      val qrels = Seq(1L, 2L, 3L).map(q =>
+        corp.filter(col("doc_id") % (5 + q) === q)
+          .select(lit(q).as("query_id"), col("doc_id"),
+            (lit(1L) + col("doc_id") % 3).as("grade")))
+        .reduce(_ unionByName _)
+      val dense = Similarity.bruteForceTopK(
+        corp.filter(col("doc_id").isin(1L, 2L, 3L)), corp,
+        "doc_id", "embedding", k = 20)
+        .select(col("query_id"), col("rank"),
+          col("neighbor_id").as("doc_id"))
+      Retrieval.retrievalQualityCard(corp, "doc_id", "text",
+        probes, "query_id", "qtext", qrels, k = 10, topK = 20,
+        k1 = 1.5, b = 0.75, denseRun = Some(dense),
+        hybridLex = "norm",
+        indexedArms = Map("ws" -> "d144_ws_idx",
+          "norm" -> "d144_norm_idx", "uni" -> "d144_uni_idx"))
+    }),
+
+    // D108 (weighted): PRF with the RM3-style interpolation the
+    // unweighted d141 disclosed skipping — score = λ·bm25(d, Q) +
+    // (1−λ)·bm25(d, E), the original query keeping majority weight
+    // instead of being diluted by its own expansion. λ = 0.5 (exact
+    // in binary, so both engines blend one identical double); the
+    // blend rounds ONCE. Fully oracle-checked: both raw score sets,
+    // the feedback cut, the mined terms AND the blend re-derived.
+    "d145_prf_blended" -> ((s, d) => {
+      Retrieval.bm25PrfBlendedTopK(Tables.documents(s, d), "doc_id",
+        "text", queryTerms = d70Terms, topK = 20, lambda = 0.5,
+        fbDocs = 3, fbTerms = 5, k1 = 1.5, b = 0.75)
+    }),
+
+    // D111: BM25 VOCABULARY-DRIFT card — the lexical sibling of the
+    // d143 ANN drift card: how much of an arriving batch's
+    // vocabulary is NEW to the index (term share and token mass)?
+    // Index on the even half; the odd half arrives carrying a
+    // planted novel token family, so both shares are provably
+    // nonzero. Fully oracle-checked: DuckDB re-derives the index
+    // vocabulary, the batch tokenization (the index's own family),
+    // the newness join and every share.
+    "d146_bm25_ingest_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", name = "d146_idx")
+      val batch = docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" novelton"),
+            (col("doc_id") % 7).cast("string")).as("text"))
+      Retrieval.bm25IngestDriftCard(s, "d146_idx", batch,
+        "doc_id", "text")
+    }),
+
     // D110: ANN INGEST-DRIFT card — annIndexStats' occupancy
     // compared against where an INCOMING batch would land, per
     // stored cell: the question an operator asks BEFORE a large
@@ -3535,6 +3609,66 @@ object DBlock {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
        |  round(sum(w), 4) AS bm25
        |FROM sc2 GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** d145's blended-PRF oracle: the d141 chain up to the mined
+    * expansion set, then BOTH legs as RAW (unrounded) Okapi sums and
+    * the λ = 0.5 blend rounded once — the interpolation itself is
+    * the checked arithmetic. */
+  private lazy val d145Sql: String = {
+    val w =
+      """ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5) /
+        |        (CAST(df_t AS DOUBLE) + 0.5)) *
+        |      (CAST(tf AS DOUBLE) * 2.5) /
+        |      (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+        |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))""".stripMargin
+    val qin = d70Terms.map("'" + _ + "'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, $wsTokensSql AS ws
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(ws)) AS BIGINT) AS sum_dl FROM tok
+       |), post AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |    unnest(ws) AS term FROM tok
+       |), tf1 AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+       |    max(dl) AS dl
+       |  FROM post WHERE term IN ($qin) GROUP BY doc_id, term
+       |), df1 AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df_t
+       |  FROM tf1 GROUP BY term
+       |), sc1 AS (
+       |  SELECT doc_id, round(sum($w), 4) AS bm25
+       |  FROM tf1 JOIN df1 USING (term) CROSS JOIN st GROUP BY doc_id
+       |), fb AS (
+       |  SELECT doc_id FROM sc1 ORDER BY bm25 DESC, doc_id LIMIT 3
+       |), mined AS (
+       |  SELECT term FROM (
+       |    SELECT term, CAST(count(*) AS BIGINT) AS tf
+       |    FROM post JOIN fb USING (doc_id)
+       |    WHERE term NOT IN ($qin)
+       |    GROUP BY term ORDER BY tf DESC, term LIMIT 5) z
+       |), sb AS (
+       |  SELECT doc_id, sum($w) AS s
+       |  FROM tf1 JOIN df1 USING (term) CROSS JOIN st GROUP BY doc_id
+       |), tfe AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+       |    max(dl) AS dl
+       |  FROM post WHERE term IN (SELECT term FROM mined)
+       |  GROUP BY doc_id, term
+       |), dfe AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df_t
+       |  FROM tfe GROUP BY term
+       |), se AS (
+       |  SELECT doc_id, sum($w) AS s
+       |  FROM tfe JOIN dfe USING (term) CROSS JOIN st GROUP BY doc_id)
+       |SELECT coalesce(sb.doc_id, se.doc_id) AS doc_id,
+       |  round(0.5 * coalesce(sb.s, 0) + 0.5 * coalesce(se.s, 0), 4)
+       |    AS bm25
+       |FROM sb FULL OUTER JOIN se ON sb.doc_id = se.doc_id
        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   }
 
@@ -5204,11 +5338,50 @@ object DBlock {
 
     "d138_drift_directions" -> d138Sql,
     "d139_retrieval_card" -> d139Sql,
+    // indexed arms == fresh arms, the d112 twin discipline lifted to
+    // the whole decision card — one SQL string proves both paths
+    "d144_indexed_card" -> d139Sql,
     // merged shards serve exactly like one whole build — the d70/d112
     // full-corpus SQL verbatim (the twin discipline)
     "d140_merged_bm25" -> d70Sql,
     "d141_prf_bm25" -> d141Sql,
     "d142_snippet_windows" -> d142Sql,
+    "d145_prf_blended" -> d145Sql,
+
+    // d146: index vocabulary from the even half, batch tokenization
+    // with the planted novel family, newness join, shares
+    "d146_bm25_ingest_drift" ->
+      """WITH voc AS (
+        |  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)),
+        |    '\s+')) AS term
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 2 = 0
+        |), bt AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(
+        |      text || ' novelton' || CAST(doc_id % 7 AS VARCHAR))),
+        |      '\s+') AS ws
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 2 <> 0
+        |), tc AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(ws) AS term FROM bt) z GROUP BY term
+        |), j AS (
+        |  SELECT tc.term, tc.n,
+        |    CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS newt
+        |  FROM tc LEFT JOIN voc v USING (term)
+        |), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bt)
+        |SELECT (SELECT n FROM nd) AS n_batch_docs,
+        |  CAST(count(*) AS BIGINT) AS n_batch_terms,
+        |  CAST(sum(newt) AS BIGINT) AS n_new_terms,
+        |  round(CAST(sum(newt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+        |    AS new_term_share,
+        |  CAST(sum(n) AS BIGINT) AS n_batch_tokens,
+        |  CAST(sum(CASE WHEN newt = 1 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_oov_tokens,
+        |  round(CAST(sum(CASE WHEN newt = 1 THEN n ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(n) AS DOUBLE), 4) AS oov_token_share
+        |FROM j""".stripMargin,
 
     // d143: the ivfCellCtes derivation with centroids trained on the
     // EVEN half (the built index's training slice), both halves

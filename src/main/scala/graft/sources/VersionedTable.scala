@@ -136,12 +136,21 @@ object VersionedTable {
 
   /** REWRITE = the maintenance verb (compaction, retention sweep,
     * re-cluster): builds generation N+1 from a transform of the live
-    * generation, flips, and retires generations `<= N-1` — the one
-    * the flip replaced stays on disk for in-flight readers, per the
-    * reader contract above. Returns the new version. */
+    * generation, flips, and retires everything older than the
+    * `keepGenerations` most recent REPLACED generations — the
+    * default keeps one (the generation the flip replaced stays on
+    * disk for in-flight readers, per the reader contract above); a
+    * store serving queries that can outlive one maintenance cycle
+    * raises it, trading disk for a longer reader grace (the Iceberg
+    * snapshot-retention knob, generation-counted). Returns the new
+    * version. */
   def rewriteBucketed(spark: SparkSession, name: String,
       transform: DataFrame => DataFrame, bucketCol: String,
-      numBuckets: Int): Long =
+      numBuckets: Int, keepGenerations: Int = 1): Long = {
+    require(keepGenerations >= 1,
+      s"keepGenerations must be >= 1 (a reader that resolved just " +
+        s"before the flip needs its generation alive), got " +
+        s"$keepGenerations")
     Bucketing.withIndexLease(spark, name, "rewriteVersioned") {
       val cur = currentVersion(spark, name).getOrElse(
         throw new IllegalStateException(
@@ -151,9 +160,10 @@ object VersionedTable {
         transform(spark.table(physicalName(name, cur))),
         physicalName(name, next), bucketCol, numBuckets)
       flipPointer(spark, name, next)
-      retireBelow(spark, name, cur)
+      retireBelow(spark, name, next - keepGenerations)
       next
     }
+  }
 
   /** Drops every physical generation strictly below `keep` (catalog
     * entry AND directory). Callable directly for an aggressive

@@ -60,6 +60,27 @@ class VersionedTableSpec extends AnyFunSuite {
       e.getMessage.contains("3"))
   }
 
+  test("keepGenerations widens the reader grace window") {
+    VersionedTable.publishBucketed(docs(6), "vt_g", "doc_id", 2)
+    VersionedTable.rewriteBucketed(spark, "vt_g",
+      _.filter("doc_id <= 5"), "doc_id", 2, keepGenerations = 2)
+    VersionedTable.rewriteBucketed(spark, "vt_g",
+      _.filter("doc_id <= 4"), "doc_id", 2, keepGenerations = 2)
+    // v3 live; v1 AND v2 both still scannable under the wider grace
+    assert(VersionedTable.readVersion(spark, "vt_g", 1L).count() == 6L)
+    assert(VersionedTable.readVersion(spark, "vt_g", 2L).count() == 5L)
+    // a narrower rewrite retires back down to one kept generation
+    VersionedTable.rewriteBucketed(spark, "vt_g",
+      _.filter("doc_id <= 3"), "doc_id", 2)
+    assert(!spark.catalog.tableExists(
+      VersionedTable.physicalName("vt_g", 2L)))
+    assert(VersionedTable.readVersion(spark, "vt_g", 3L).count() == 4L)
+    intercept[IllegalArgumentException] {
+      VersionedTable.rewriteBucketed(spark, "vt_g", identity,
+        "doc_id", 2, keepGenerations = 0)
+    }
+  }
+
   test("a crash between pointer create and sweep still resolves to max") {
     VersionedTable.publishBucketed(docs(3), "vt_c", "doc_id", 2)
     VersionedTable.rewriteBucketed(spark, "vt_c", identity, "doc_id", 2)
