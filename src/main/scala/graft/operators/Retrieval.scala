@@ -873,7 +873,6 @@ object Retrieval {
       .join(Bucketing.stableTable(spark, s"${name}_df")
         .select(col("term"), lit(1).as("__known")),
         Seq("term"), "left")
-      .localCheckpoint(true) // both aggregates below read it
     val docsN = live.agg(count(lit(1)).as("n_batch_docs"))
     termCounts
       .agg(count(lit(1)).as("n_batch_terms"),

@@ -762,4 +762,37 @@ class PlanShapeSpec extends AnyFunSuite {
     // ObjectHashAggregates (bounded per-group state)
     assert(count(p, "ObjectHashAggregate") >= 4, p.take(3000))
   }
+
+  test("d142: snippet windows — no rank window, no cartesian past the hits pin") {
+    // the plan below the load-bearing localCheckpoint (hits feeds
+    // BOTH the anchor and member sides): the per-doc argmax is a
+    // bounded max_by aggregate, never a corpus-wide rank window, and
+    // the anchor×hit join is a doc_id equi-join, never a cartesian.
+    // The postings bucket pruning sits ABOVE the pin and is already
+    // pinned by the d112/d132 serving tests.
+    val p = plan("d142_snippet_windows")
+    assert(count(p, "Window") == 0,
+      s"rank window crept into the snippet argmax:\n${p.take(2500)}")
+    assert(count(p, "CartesianProduct") == 0, p.take(2000))
+  }
+
+  test("d139/d144: the decision card has no rank window and no cartesian on either path") {
+    Seq("d139_retrieval_card", "d144_indexed_card").foreach { n =>
+      val p = plan(n)
+      assert(count(p, "Window") == 0,
+        s"$n: rank window crept into an arm:\n${p.take(2500)}")
+      assert(count(p, "CartesianProduct") == 0, s"$n:\n" + p.take(2000))
+    }
+  }
+
+  test("d146: vocab-drift card — one batch token aggregate joined to the bucketed vocabulary") {
+    val p = plan("d146_bm25_ingest_drift")
+    assert(count(p, "Window") == 0, p.take(2000))
+    assert(count(p, "CartesianProduct") == 0, p.take(2000))
+    // the index side is the _df table read, never _postings or a
+    // corpus re-scan: exactly one FileScan over a *_df location
+    assert(count(p, "_df") >= 1, s"vocab join lost the _df side:\n${p.take(2500)}")
+    assert(!p.contains("d146_idx_postings"),
+      s"drift card must not scan postings:\n${p.take(2500)}")
+  }
 }
