@@ -227,7 +227,9 @@ object ScaleProbe {
     // build + one batch token pass + a vocabulary anti-join (~10×).
     "d144_indexed_card",    // 3 family builds + indexed card
     "d145_prf_blended",     // two raw passes + blend join
-    "d146_bm25_ingest_drift") // half build + vocab anti-join
+    "d146_bm25_ingest_drift", // half build + vocab anti-join
+    "d147_lm_dirichlet",    // term-filtered scan, QL scoring
+    "d148_indexed_dirichlet") // build + pruned Dirichlet serve
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -845,6 +845,94 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Query-likelihood retrieval with DIRICHLET smoothing (Zhai &
+    * Lafferty, SIGIR 2001 — the other canonical ranking model
+    * production engines ship beside Okapi; Lucene's
+    * LMDirichletSimilarity): rank-equivalent decomposed form over
+    * candidate documents (≥ 1 matching term — the engine convention;
+    * a no-match document's score is pure length prior and is not a
+    * retrieval result):
+    *
+    *   score(d, Q) = Σ_{t ∈ d∩Q} ln(1 + tf / (μ · p(t|C)))
+    *                 + |Q| · ln(μ / (dl + μ))
+    *
+    * with p(t|C) = cf_t / total_tokens the collection LM. The second
+    * term is the document-length prior applied once per query term
+    * (including UNMATCHED ones — that is what makes the form
+    * rank-equivalent to the full product).
+    *
+    * Scale shape: [[bm25TopK]]'s — the query-term isin filter sits
+    * on the exploded token stream below the first exchange, cf_t is
+    * a per-term aggregate over exactly those rows, total tokens one
+    * broadcast row; top-k is TakeOrderedAndProject. Returns (doc_id,
+    * n_terms, ql) with ql rounded to 4 AFTER summing (§6), ordered
+    * (ql desc, doc_id). */
+  def lmDirichletTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int, mu: Double = 2000.0,
+      tokenizer: String = "ws"): DataFrame = {
+    require(topK >= 1 && mu > 0, s"need topK >= 1, mu > 0, got $topK/$mu")
+    requireQueryTerms("lmDirichletTopK", tokenizer, queryTerms)
+    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val toks = live.select(col(idCol).as("doc_id"),
+      tokensFor(tokenizer, col(textCol)).as("tk"))
+    val stats = toks.agg(
+      sum(size(col("tk")).cast("long")).as("total_tokens"))
+    val tf = toks
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf_t"))
+    scoreLmDirichlet(tf, cf, stats, queryTerms.distinct.size, mu)
+      .orderBy(col("ql").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** The Dirichlet arithmetic shared VERBATIM by the fresh scan and
+    * the indexed serve, so the two paths cannot drift (the
+    * bm25Weight discipline). `tf` carries (doc_id, term, tf, dl);
+    * `cf` (term, cf_t); `stats` one row (total_tokens). */
+  private def scoreLmDirichlet(tf: DataFrame, cf: DataFrame,
+      stats: DataFrame, nQueryTerms: Int, mu: Double): DataFrame =
+    tf.join(broadcast(cf), Seq("term"))
+      .join(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(
+          sum(log(lit(1.0) + col("tf").cast("double")
+            / (lit(mu) * (col("cf_t").cast("double")
+              / col("total_tokens").cast("double")))))
+            + lit(nQueryTerms.toDouble)
+            * log(lit(mu) / (max(col("dl")).cast("double") + lit(mu))),
+          4).as("ql"))
+
+  /** [[lmDirichletTopK]] served from a persistent [[buildBm25Index]]
+    * index — the positional/BM25 index already stores everything the
+    * Dirichlet model needs (per-(doc, term) tf + dl in postings;
+    * total tokens in meta), so one index serves BOTH ranking models:
+    * cf_t derives from the query terms' postings alone (a pruned
+    * bucket read + a |Q|-row aggregate — collection frequencies are
+    * per-term sums over exactly the rows already fetched). Identical
+    * arithmetic by construction ([[scoreLmDirichlet]] shared). */
+  def lmDirichletAgainstIndex(spark: SparkSession, name: String,
+      queryTerms: Seq[String], topK: Int, mu: Double = 2000.0,
+      tokenizer: String = "ws"): DataFrame = {
+    require(topK >= 1 && mu > 0, s"need topK >= 1, mu > 0, got $topK/$mu")
+    requireQueryTerms("lmDirichletAgainstIndex", tokenizer, queryTerms)
+    requireFamily("lmDirichletAgainstIndex", name,
+      bm25Meta(spark, name)._2, tokenizer)
+    val post = Bucketing.stableTable(spark, s"${name}_postings")
+      .filter(col("term").isin(queryTerms: _*))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val cf = post.groupBy(col("term")).agg(sum(col("tf")).as("cf_t"))
+    val stats = Bucketing.stableTable(spark, s"${name}_meta")
+      .select(col("sum_dl").as("total_tokens"))
+    scoreLmDirichlet(post, cf, stats, queryTerms.distinct.size, mu)
+      .orderBy(col("ql").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** VOCABULARY-DRIFT card for a BM25 index vs an INCOMING batch —
     * the retrieval sibling of [[Similarity.annIngestDriftCard]] and
     * the lexical ops number a crawl team watches: how much of what

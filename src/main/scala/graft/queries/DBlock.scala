@@ -2945,6 +2945,30 @@ object DBlock {
         "doc_id", "text")
     }),
 
+    // D112: Dirichlet-smoothed QUERY-LIKELIHOOD retrieval (Zhai &
+    // Lafferty 2001; Lucene's LMDirichletSimilarity) — the second
+    // canonical ranking model, in its rank-equivalent decomposed
+    // form over candidates (≥ 1 matching term), μ = 2000. Fresh-scan
+    // form; d148 serves the SAME query from the persistent BM25
+    // index (postings already carry tf + dl; cf_t derives from the
+    // pruned postings; total tokens from meta) — one index, two
+    // ranking models. Fully oracle-checked.
+    "d147_lm_dirichlet" -> ((s, d) => {
+      Retrieval.lmDirichletTopK(Tables.documents(s, d), "doc_id",
+        "text", queryTerms = d70Terms, topK = 20, mu = 2000.0)
+    }),
+
+    // D112 (indexed twin): oracle = d147's SQL verbatim — a hash
+    // match proves the index's stored tf/dl/sum_dl feed the
+    // Dirichlet arithmetic to the same ranking as the fresh corpus
+    // scan, bit for bit.
+    "d148_indexed_dirichlet" -> ((s, d) => {
+      Retrieval.buildBm25Index(Tables.documents(s, d), "doc_id",
+        "text", name = "d148_idx")
+      Retrieval.lmDirichletAgainstIndex(s, "d148_idx",
+        queryTerms = d70Terms, topK = 20, mu = 2000.0)
+    }),
+
     // D110: ANN INGEST-DRIFT card — annIndexStats' occupancy
     // compared against where an INCOMING batch would land, per
     // stored cell: the question an operator asks BEFORE a large
@@ -3670,6 +3694,39 @@ object DBlock {
        |    AS bm25
        |FROM sb FULL OUTER JOIN se ON sb.doc_id = se.doc_id
        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** d147/d148's Dirichlet QL oracle (ONE string for the fresh scan
+    * AND the indexed serve — the twin discipline): candidates with
+    * ≥ 1 matching term, score = Σ ln(1 + tf/(μ·cf_t/total)) +
+    * |Q|·ln(μ/(dl+μ)), μ = 2000, |Q| = 4, rounded once after the
+    * sum. */
+  private lazy val d147Sql: String = {
+    val qin = d70Terms.map("'" + _ + "'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, $wsTokensSql AS ws
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), st AS (
+       |  SELECT CAST(sum(len(ws)) AS BIGINT) AS total_tokens FROM tok
+       |), post AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |    unnest(ws) AS term FROM tok
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+       |    max(dl) AS dl
+       |  FROM post WHERE term IN ($qin) GROUP BY doc_id, term
+       |), cf AS (
+       |  SELECT term, CAST(sum(tf) AS BIGINT) AS cf_t
+       |  FROM tf GROUP BY term)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |  round(sum(ln(1.0 + CAST(tf AS DOUBLE)
+       |      / (2000.0 * (CAST(cf_t AS DOUBLE)
+       |        / CAST(total_tokens AS DOUBLE)))))
+       |    + 4.0 * ln(2000.0 / (CAST(max(dl) AS DOUBLE) + 2000.0)),
+       |    4) AS ql
+       |FROM tf JOIN cf USING (term) CROSS JOIN st
+       |GROUP BY doc_id
+       |ORDER BY ql DESC, doc_id LIMIT 20""".stripMargin
   }
 
   /** d84/d129's frontier-screen oracle — canonicalize BOTH halves
@@ -5350,6 +5407,10 @@ object DBlock {
 
     // d146: index vocabulary from the even half, batch tokenization
     // with the planted novel family, newness join, shares
+    "d147_lm_dirichlet" -> d147Sql,
+    // indexed serve == fresh scan, one SQL string (twin)
+    "d148_indexed_dirichlet" -> d147Sql,
+
     "d146_bm25_ingest_drift" ->
       """WITH voc AS (
         |  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)),

@@ -493,6 +493,29 @@ class Bm25IndexSpec extends AnyFunSuite {
       q2.getAs[Double]("recall_at_k") == 0.0)
   }
 
+  test("lmDirichlet: indexed serve equals the fresh scan; family guard wired") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha"), (2L, "beta gamma delta"),
+      (3L, "alpha epsilon zeta"), (4L, "gamma delta epsilon eta"))
+      .toDF("doc_id", "text")
+    Retrieval.buildBm25Index(corpus, "doc_id", "text", "lmd_idx",
+      numBuckets = 2)
+    val fresh = Retrieval.lmDirichletTopK(corpus, "doc_id", "text",
+      Seq("alpha", "gamma"), topK = 10, mu = 100.0).collect().toSeq
+    val served = Retrieval.lmDirichletAgainstIndex(spark, "lmd_idx",
+      Seq("alpha", "gamma"), topK = 10, mu = 100.0).collect().toSeq
+    assert(fresh == served, s"fresh=$fresh served=$served")
+    // only candidates (>= 1 matching term) are results; all 4 docs
+    // match here, doc 1 (two alphas + gamma, short) ranks first
+    assert(served.size == 4 && served.head.getLong(0) == 1L)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.lmDirichletAgainstIndex(spark, "lmd_idx",
+        Seq("alpha"), topK = 5, tokenizer = "norm")
+    }
+    assert(e.getMessage.contains("family"))
+  }
+
   test("snippetWindowsAgainstIndex picks the densest window, earliest on ties") {
     import spark.implicits._
     // doc 1: 'alpha' early and alone; 'alpha beta' together late —
