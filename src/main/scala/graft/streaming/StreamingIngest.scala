@@ -225,12 +225,25 @@ object StreamingIngest {
     * replay by design (that is what makes double-append impossible)
     * and the docs sit posting-less until
     * [[graft.operators.Retrieval.reconcileBm25Index]] heals them
-    * from the landed sink; run it after a crash or on a schedule. */
+    * from the landed sink; run it after a crash or on a schedule.
+    *
+    * `bm25DriftDir` (needs `bm25IndexName`) turns on the D111
+    * vocabulary-drift telemetry: one
+    * [[graft.operators.Retrieval.bm25IngestDriftCard]] row per
+    * micro-batch — the survivors' new-term share and OOV token mass
+    * vs the index as the batch FOUND it (measured before the append;
+    * measuring after would self-pollute) — under
+    * `bm25DriftDir/ingest_batch=<id>/`, written LAST like all
+    * telemetry. Replay semantics follow the C14/C15 funnel
+    * precedent: the row reflects the LAST delivery, so a replayed
+    * batch (screened to zero survivors) truthfully re-reads as
+    * nothing-new and overwrites its own partition. */
   def toScreenedDocIngest(docs: DataFrame, idCol: String,
       textCol: String, indexName: String, path: String,
       checkpoint: String, dedupWithinBatch: Boolean = true,
       funnelDir: Option[String] = None,
-      bm25IndexName: Option[String] = None): StreamingQuery =
+      bm25IndexName: Option[String] = None,
+      bm25DriftDir: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -251,6 +264,23 @@ object StreamingIngest {
           .dedupAgainstIndex(b, idCol, textCol, indexName)
           .localCheckpoint(true)
         survivors.write.mode("append").parquet(path)
+        // D111 vocabulary-drift telemetry, measured BEFORE the BM25
+        // append (the card asks what the survivors bring that the
+        // index has never seen; measuring after would self-pollute —
+        // the survivors' terms would already be vocabulary) and
+        // materialized as ONE driver row so the lazy frame cannot be
+        // re-evaluated against the mutated index. Written LAST with
+        // the other telemetry. Replay semantics follow the C14/C15
+        // funnel precedent: the row reflects the LAST delivery — a
+        // replayed batch screens to zero survivors and truthfully
+        // re-reads as nothing-new, overwriting its own partition.
+        val driftRow = bm25DriftDir.flatMap { _ =>
+          bm25IndexName.map { bx =>
+            graft.operators.Retrieval.bm25IngestDriftCard(
+              batch.sparkSession, bx, survivors, idCol, textCol)
+              .head()
+          }
+        }
         // BM25 append BEFORE the dedup fold-in, anti-joined for
         // idempotence — see the ordering argument in the scaladoc
         bm25IndexName.foreach { bx =>
@@ -272,6 +302,15 @@ object StreamingIngest {
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(s"$fd/ingest_batch=$batchId")
+        }
+        for (dd <- bm25DriftDir; row <- driftRow) {
+          val spark = batch.sparkSession
+          spark.createDataFrame(
+            java.util.List.of(row),
+            row.schema)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$dd/ingest_batch=$batchId")
         }
         ()
       }

@@ -592,6 +592,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("BM25 vocab-drift telemetry: novel batch reads nonzero; replay truthfully re-reads nothing-new") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("bm25drift").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    graft.operators.Dedup.buildDedupIndex(corpus, "doc_id", "text",
+      name = "t_bmdrift_idx")
+    graft.operators.Retrieval.buildBm25Index(corpus, "doc_id", "text",
+      name = "t_bmdrift_bx")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingIngest.toScreenedDocIngest(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      "t_bmdrift_idx", s"$dir/docs", s"$dir/ckpt",
+      bm25IndexName = Some("t_bmdrift_bx"),
+      bm25DriftDir = Some(s"$dir/drift"))
+    try {
+      // batch 0: two known words + two the index has never seen
+      input.addData((30L, "the quick zyzzyva qwghlm"))
+      q.processAllAvailable()
+      val c0 = spark.read.parquet(s"$dir/drift/ingest_batch=0").head()
+      assert(c0.getAs[Long]("n_batch_docs") == 1L)
+      assert(c0.getAs[Long]("n_new_terms") == 2L,
+        s"expected the two planted novel terms: $c0")
+      assert(c0.getAs[Long]("n_oov_tokens") == 2L)
+      // full redelivery: the screen suppresses everything, so the
+      // card truthfully re-reads nothing-new (the funnel precedent:
+      // telemetry reflects the LAST delivery)
+      input.addData((30L, "the quick zyzzyva qwghlm"))
+      q.processAllAvailable()
+      val c1 = spark.read.parquet(s"$dir/drift/ingest_batch=1").head()
+      assert(c1.getAs[Long]("n_batch_docs") == 0L &&
+        c1.getAs[Long]("n_new_terms") == 0L, s"replay row: $c1")
+      // and the landed doc serves: the telemetry never interfered
+      // with the retrieval-ready contract (refresh first — the
+      // appends ran in the stream's cloned session, the scaladoc's
+      // visibility rule)
+      Seq("_postings", "_df", "_docs", "_meta").foreach(t =>
+        spark.catalog.refreshTable(s"t_bmdrift_bx$t"))
+      val top = graft.operators.Retrieval.bm25TopKAgainstIndex(spark,
+        "t_bmdrift_bx", Seq("zyzzyva"), topK = 5)
+      assert(top.collect().map(_.getLong(0)).toSeq == Seq(30L))
+    } finally q.stop()
+  }
+
   test("screened ingest dedups WITHIN a micro-batch: one representative per exact/near family lands") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("intrabatch").toString
