@@ -952,6 +952,151 @@ object Dedup {
         numBuckets)
     }
 
+  /** Merge disjoint dedup-index SHARDS into one — the BM25 shard
+    * merge's pattern ([[graft.operators.Retrieval.mergeBm25Indexes]],
+    * the Lucene segment-merge shape) for the MinHash family: the
+    * 100 TB ingest builds small indexes near the data and
+    * consolidates off the hot path. Band rows and doc sets union
+    * re-bucketed once (per-doc rows — no merge arithmetic); `_ch`
+    * unions DEDUPED (exact content legitimately repeats across
+    * shards, and the set semantics must survive the merge) through
+    * an explicit repartition — the co-bucketed-union planner hazard
+    * (same key in one partition PER CHILD satisfying the clustering
+    * requirement) bites any keyed aggregate over unioned co-bucketed
+    * scans. Refuses loudly: different sketch geometries / tokenizer
+    * families / hash bases (merged band rows would mean two things —
+    * reband or rebuild the odd one out first) and overlapping doc
+    * ids (their bands would double). Holds EVERY participant's lease
+    * — sources too, so a concurrent append cannot land between the
+    * merge's read passes. */
+  def mergeDedupIndexes(spark: org.apache.spark.sql.SparkSession,
+      target: String, sources: Seq[String], numBuckets: Int = 8): Unit = {
+    require(sources.size >= 2,
+      s"mergeDedupIndexes: need at least 2 sources, got ${sources.size}")
+    val metas = sources.map(s => indexMeta(spark, s))
+    val geoms = metas.map(m => (m._1, m._2, m._3, m._4, m._6)).distinct
+    require(geoms.size == 1,
+      s"mergeDedupIndexes: sources carry different sketch geometries / " +
+        s"families $geoms — merged band rows would mean two things; " +
+        "reband or rebuild the odd one out first")
+    Bucketing.withIndexLeases(spark, target +: sources,
+      "mergeDedupIndexes") {
+      val docsAll = sources
+        .map(s => Bucketing.stableTable(spark, s"${s}_docs"))
+        .reduce(_ unionByName _)
+      val chk = docsAll.repartition(col("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("nd")).head()
+      require(chk.getLong(0) == chk.getLong(1),
+        s"mergeDedupIndexes: sources share ${chk.getLong(0) - chk.getLong(1)} " +
+          "doc id(s) — their band rows would double; retire the " +
+          "duplicates from one source first")
+      Bucketing.writeBucketed(
+        sources.map(s => Bucketing.stableTable(spark, s"${s}_bands"))
+          .reduce(_ unionByName _),
+        s"${target}_bands", "band_hash", numBuckets)
+      Bucketing.writeBucketed(docsAll, s"${target}_docs", "doc_id",
+        numBuckets)
+      Bucketing.writeBucketed(
+        sources.map(s => Bucketing.stableTable(spark, s"${s}_ch"))
+          .reduce(_ unionByName _)
+          .repartition(col("ch")) // LOAD-BEARING: see scaladoc
+          .distinct(),
+        s"${target}_ch", "ch", numBuckets)
+      val (k, p, b, m, _, t) = metas.head
+      import spark.implicits._
+      Bucketing.writeTable(
+        Seq((k, p, b, m, shhBasisOf(m), numBuckets, t))
+          .toDF("shingle_k", "num_perms", "bands", "md5_sig",
+            "shh_basis", "num_buckets", "tokenizer"),
+        s"${target}_meta")
+    }
+  }
+
+  /** INGEST-DRIFT card for a dedup index vs an INCOMING batch — the
+    * MinHash sibling of [[graft.operators.Retrieval
+    * .bm25IngestDriftCard]] and the reband/ingest decision input an
+    * operator reads BEFORE a large append: how much of the arriving
+    * batch's candidate space is NEW to the index? A high new-band
+    * share means novel content (little dedup benefit, band buckets
+    * about to grow); a LOW share means a mirror flood (the screen is
+    * about to do heavy work) — and the exact-hash share splits the
+    * two (mirrors are old hashes, novelty is new ones). One row:
+    * (n_batch_docs, n_batch_bands, n_new_bands, new_band_share,
+    * n_batch_hashes, n_new_hashes, new_hash_share), shares rounded
+    * to 4. Sketch parameters come from `_meta` — the card can never
+    * measure a different geometry than the index stores.
+    *
+    * Scale shape: one batch sig/band pass (batch-sized); novelty is
+    * the index's narrow band_hash / ch columns SEMI-JOINED to the
+    * BROADCAST batch key sets (the index side never shuffles and
+    * only batch-bounded rows survive the scan); the card is five
+    * one-row aggregates cross-joined. Nothing corpus-sized moves. */
+  def dedupIngestDriftCard(spark: org.apache.spark.sql.SparkSession,
+      name: String, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val (shingleK, numPerms, bands, md5Sig, _, tokenizer) =
+      indexMeta(spark, name)
+    val live = batch
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val bandKeys = screenBandRows(
+      screenSigs(live, idCol, textCol, shingleK, numPerms, md5Sig,
+        tokenizer), bands, numPerms / bands)
+      .select(col("band_hash")).distinct()
+    val hashKeys = live.select(md5(col(textCol)).as("ch")).distinct()
+    val nDocs = live.agg(count(lit(1)).as("n_batch_docs"))
+    val nBands = bandKeys.agg(count(lit(1)).as("n_batch_bands"))
+    val nKnownBands = Bucketing.stableTable(spark, s"${name}_bands")
+      .select(col("band_hash"))
+      .join(broadcast(bandKeys), Seq("band_hash"), "left_semi")
+      .distinct()
+      .agg(count(lit(1)).as("n_known_bands"))
+    val nHashes = hashKeys.agg(count(lit(1)).as("n_batch_hashes"))
+    val nKnownHashes = Bucketing.stableTable(spark, s"${name}_ch")
+      .join(broadcast(hashKeys), Seq("ch"), "left_semi")
+      .distinct() // appends can re-land a hash; the count is of the SET
+      .agg(count(lit(1)).as("n_known_hashes"))
+    nDocs.crossJoin(broadcast(nBands))
+      .crossJoin(broadcast(nKnownBands))
+      .crossJoin(broadcast(nHashes))
+      .crossJoin(broadcast(nKnownHashes))
+      .select(col("n_batch_docs"), col("n_batch_bands"),
+        (col("n_batch_bands") - col("n_known_bands")).as("n_new_bands"),
+        round(when(col("n_batch_bands") > 0,
+          (col("n_batch_bands") - col("n_known_bands")).cast("double")
+            / col("n_batch_bands").cast("double")).otherwise(0.0), 4)
+          .as("new_band_share"),
+        col("n_batch_hashes"),
+        (col("n_batch_hashes") - col("n_known_hashes")).as("n_new_hashes"),
+        round(when(col("n_batch_hashes") > 0,
+          (col("n_batch_hashes") - col("n_known_hashes")).cast("double")
+            / col("n_batch_hashes").cast("double")).otherwise(0.0), 4)
+          .as("new_hash_share"))
+  }
+
+  /** Merge URL-frontier SHARDS — the same consolidation verb for the
+    * crawl frontier: canonical-URL keys union DEDUPED (two shards
+    * remembering one URL is the normal case, not an error — the
+    * frontier is a set) through the same load-bearing repartition,
+    * re-bucketed once. Holds every participant's lease. */
+  def mergeUrlIndexes(spark: org.apache.spark.sql.SparkSession,
+      target: String, sources: Seq[String], numBuckets: Int = 8): Unit = {
+    require(sources.size >= 2,
+      s"mergeUrlIndexes: need at least 2 sources, got ${sources.size}")
+    Bucketing.withIndexLeases(spark, target +: sources,
+      "mergeUrlIndexes") {
+      Bucketing.writeBucketed(
+        sources.map(s => Bucketing.stableTable(spark, s"${s}_url"))
+          .reduce(_ unionByName _)
+          .repartition(col("uh")) // the co-bucketed-union hazard again
+          .distinct(),
+        s"${target}_url", "uh", numBuckets)
+      import spark.implicits._
+      Bucketing.writeTable(Seq(numBuckets).toDF("num_buckets"),
+        s"${target}_meta")
+    }
+  }
+
   private def rebandMarker(name: String): String =
     s"${name.toLowerCase}__reband_pending"
 

@@ -112,6 +112,40 @@ object OpsCard {
   private def numBucketsOf(spark: SparkSession, e: Entry): Int =
     Bucketing.stableTable(spark, s"${e.name}_meta").head().getAs[Int]("num_buckets")
 
+  /** SIDE-TABLE integrity for the sim family: `_vchunks`/`_vframes`
+    * are what the media screens actually JOIN, they are lazily
+    * created and replay-accreted, and a crash between their two
+    * appends leaves them disagreeing — the exact state the screen
+    * silently degrades on (pass-everything). The check is internal
+    * consistency, no landed input needed: both tables must know the
+    * SAME video set (vchunks' composite keys integer-divide back to
+    * vids; vframes keys vids directly) — compared as the same
+    * order-independent XOR digest the id column gets. None (null in
+    * the card) when the family has no side tables or none exist yet
+    * (no video evidence is a healthy state); Some(false) when one
+    * exists without the other — the torn crash state itself. */
+  private def sideDigestOf(spark: SparkSession, e: Entry): Option[Boolean] = {
+    if (e.family != "sim") return None
+    val hasChunks = spark.catalog.tableExists(s"${e.name}_vchunks")
+    val hasFrames = spark.catalog.tableExists(s"${e.name}_vframes")
+    if (!hasChunks && !hasFrames) None
+    else if (!hasChunks || !hasFrames) Some(false)
+    else {
+      val m = Multimodal.MaxSampledFrames
+      val a = countAndDigest(
+        Bucketing.stableTable(spark, s"${e.name}_vchunks")
+          // integer DIV, not double division: a float round-trip
+          // would corrupt vids above 2^53/M
+          .select(expr(s"doc_id DIV $m").as("__vid")).distinct(),
+        col("__vid"), "n", "d").head().getLong(1)
+      val b = countAndDigest(
+        Bucketing.stableTable(spark, s"${e.name}_vframes")
+          .select(col("vid")).distinct(),
+        col("vid"), "n", "d").head().getLong(1)
+      Some(a == b)
+    }
+  }
+
   /** What is in flight or interrupted on the index, by descending
     * urgency: a live lease names a RUNNING (or crashed-holding)
     * verb; a maintenance marker names an interrupted two-table
@@ -167,6 +201,8 @@ object OpsCard {
           (col("n_landed") - col("n_items")).as("drift_vs_landed"),
           (col("idx_digest") === col("landed_digest"))
             .as("ids_digest_match"),
+          sideDigestOf(spark, e).map(lit(_)).getOrElse(lit(null))
+            .cast("boolean").as("side_digest_match"),
           when(col("n_landed") > col("n_items"), lit("reconcile"))
             .when(col("n_landed") < col("n_items"), lit("retire"))
             .when(col("idx_digest") =!= col("landed_digest"),

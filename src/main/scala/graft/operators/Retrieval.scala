@@ -686,7 +686,14 @@ object Retrieval {
       s"mergeBm25Indexes: sources were built with different tokenizer " +
         s"families $fams — merged postings would mean two things; " +
         "rebuild the odd one out first")
-    Bucketing.withIndexLease(spark, target, "mergeBm25Indexes") {
+    // every SOURCE's lease too, not just the target's: the merge
+    // reads each source across several Spark actions (overlap check,
+    // three table writes) on lazy plans — an un-leased concurrent
+    // append to a source could land between them, merging postings,
+    // df and meta that disagree (and passing a disjointness check on
+    // state the later unions no longer see)
+    Bucketing.withIndexLeases(spark, target +: sources,
+      "mergeBm25Indexes") {
       val docsAll = sources
         .map(s => Bucketing.stableTable(spark, s"${s}_docs"))
         .reduce(_ unionByName _)
@@ -750,6 +757,10 @@ object Retrieval {
       textCol: String, queryTerms: Seq[String], fbDocs: Int,
       fbTerms: Int, k1: Double, b: Double,
       tokenizer: String): Seq[String] = {
+    // fbTerms == 0 means "no expansion": the mined set is provably
+    // empty, so skip the whole pass-1 scan + mining collect instead
+    // of paying a corpus scan for a no-op
+    if (fbTerms == 0) return Seq.empty
     val fb = bm25TopK(docs, idCol, textCol, queryTerms, topK = fbDocs,
       k1 = k1, b = b, tokenizer = tokenizer)
       .select(col("doc_id"))
@@ -845,6 +856,103 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** The PRF term-mining pass served from a persistent
+    * [[buildBm25Index]] index — [[minePrfTerms]] with the corpus
+    * tokenize DELETED: the postings already store (doc_id, term, tf),
+    * so the feedback docs' term masses are one broadcast-semi-joined
+    * aggregate over the postings, no text touched. Disclosed scan
+    * shape: the postings are bucketed by TERM but this pass filters
+    * by DOC — one full columnar scan of the (term, doc_id, tf)
+    * projection with a broadcast semi-join; still strictly cheaper
+    * than the fresh path's tokenize-everything, and bounded output
+    * (fbTerms strings, the centroid-pull class). */
+  private def minePrfTermsFromIndex(spark: SparkSession, name: String,
+      queryTerms: Seq[String], fbDocs: Int, fbTerms: Int,
+      k1: Double, b: Double, tokenizer: String): Seq[String] = {
+    if (fbTerms == 0) return Seq.empty
+    val fb = bm25TopKAgainstIndex(spark, name, queryTerms,
+      topK = fbDocs, k1 = k1, b = b, tokenizer = tokenizer)
+      .select(col("doc_id"))
+    Bucketing.stableTable(spark, s"${name}_postings")
+      .join(broadcast(fb), Seq("doc_id"), "left_semi")
+      .filter(!col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(sum(col("tf")).as("tf"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(fbTerms)
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** [[bm25PrfTopK]] served from a persistent index — both scored
+    * passes AND the term mining ride the stored postings (the
+    * d112/d148 twin discipline: same contract, same rounding,
+    * bit-equal results, corpus appears nowhere in the plan). */
+  def bm25PrfAgainstIndex(spark: SparkSession, name: String,
+      queryTerms: Seq[String], topK: Int, fbDocs: Int = 3,
+      fbTerms: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+      tokenizer: String = "ws"): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0,
+      s"need fbDocs >= 1, fbTerms >= 0, got $fbDocs/$fbTerms")
+    requireQueryTerms("bm25PrfAgainstIndex", tokenizer, queryTerms)
+    requireFamily("bm25PrfAgainstIndex", name,
+      bm25Meta(spark, name)._2, tokenizer)
+    val mined = minePrfTermsFromIndex(spark, name, queryTerms,
+      fbDocs, fbTerms, k1, b, tokenizer)
+    bm25TopKAgainstIndex(spark, name, (queryTerms ++ mined).distinct,
+      topK = topK, k1 = k1, b = b, tokenizer = tokenizer)
+  }
+
+  /** [[bm25RawScores]]' indexed face: per-document raw (unrounded)
+    * BM25 sums over a term set from the stored postings — the
+    * blended PRF's inputs, bucket-pruned to the term set. */
+  private def bm25RawScoresFromIndex(spark: SparkSession, name: String,
+      terms: Seq[String], k1: Double, b: Double,
+      out: String): DataFrame = {
+    val post = Bucketing.stableTable(spark, s"${name}_postings")
+      .filter(col("term").isin(terms: _*))
+    val dfT = Bucketing.stableTable(spark, s"${name}_df")
+      .filter(col("term").isin(terms: _*))
+    val stats = Bucketing.stableTable(spark, s"${name}_meta")
+      .select(col("n_docs"), col("sum_dl"))
+    post.join(broadcast(dfT), Seq("term"))
+      .join(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(sum(bm25Weight(k1, b)).as(out))
+  }
+
+  /** [[bm25PrfBlendedTopK]] served from a persistent index — the
+    * RM3 interpolation with every pass on the stored postings: both
+    * raw score legs are bucket-pruned term scans, the mining is
+    * [[minePrfTermsFromIndex]], the blend rounds ONCE after the
+    * λ-weighted sum exactly like the fresh path. */
+  def bm25PrfBlendedAgainstIndex(spark: SparkSession, name: String,
+      queryTerms: Seq[String], topK: Int, lambda: Double = 0.6,
+      fbDocs: Int = 3, fbTerms: Int = 5, k1: Double = 1.2,
+      b: Double = 0.75, tokenizer: String = "ws"): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0,
+      s"need fbDocs >= 1, fbTerms >= 0, got $fbDocs/$fbTerms")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1], got $lambda")
+    requireQueryTerms("bm25PrfBlendedAgainstIndex", tokenizer, queryTerms)
+    requireFamily("bm25PrfBlendedAgainstIndex", name,
+      bm25Meta(spark, name)._2, tokenizer)
+    val mined = minePrfTermsFromIndex(spark, name, queryTerms,
+      fbDocs, fbTerms, k1, b, tokenizer)
+    val base = bm25RawScoresFromIndex(spark, name, queryTerms,
+      k1, b, "__sb")
+    if (mined.isEmpty)
+      return base.select(col("doc_id"),
+        round(lit(lambda) * col("__sb"), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(topK)
+    val exp = bm25RawScoresFromIndex(spark, name, mined, k1, b, "__se")
+    base.join(exp.hint("SHUFFLE_HASH"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(lit(lambda) * coalesce(col("__sb"), lit(0.0))
+          + lit(1.0 - lambda) * coalesce(col("__se"), lit(0.0)), 4)
+          .as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Query-likelihood retrieval with DIRICHLET smoothing (Zhai &
     * Lafferty, SIGIR 2001 — the other canonical ranking model
     * production engines ship beside Okapi; Lucene's
@@ -931,6 +1039,65 @@ object Retrieval {
     scoreLmDirichlet(post, cf, stats, queryTerms.distinct.size, mu)
       .orderBy(col("ql").desc, col("doc_id"))
       .limit(topK)
+  }
+
+  /** The batch (query-set) face of Dirichlet QL — [[bm25PerQueryRanks]]'
+    * shape with [[lmDirichletTopK]]'s arithmetic: per query, the
+    * matched-term sum + |Q_q|·ln(μ/(dl+μ)) with |Q_q| the QUERY'S OWN
+    * distinct-term count (per-row, where the single-query form takes a
+    * scalar), rounded to 4 before ranking, per-query top-k on the
+    * bounded heap. Feeds [[retrievalQualityCard]]'s `lm_dirichlet`
+    * arm. Scale shape: one corpus token pass semi-join-filtered to
+    * the batch vocabulary; cf_t and the stats ride the same filtered
+    * frame; the heap bounds the output at topK×|Q| rows. */
+  def lmDirichletPerQueryRanks(docs: DataFrame, idCol: String,
+      textCol: String, queries: DataFrame, queryIdCol: String,
+      termsCol: String, topK: Int, mu: Double = 2000.0,
+      excludeSelf: Boolean = false,
+      tokenizer: String = "ws"): DataFrame = {
+    require(topK >= 1 && mu > 0, s"need topK >= 1, mu > 0, got $topK/$mu")
+    requireQueryTerms("lmDirichletPerQueryRanks", tokenizer, Nil)
+    val live = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val toks = live.select(col(idCol).as("doc_id"),
+      tokensFor(tokenizer, col(textCol)).as("tk"))
+    val stats = toks.agg(
+      sum(size(col("tk")).cast("long")).as("total_tokens"))
+    val qt = queries
+      .filter(col(queryIdCol).isNotNull && col(termsCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        explode(col(termsCol)).as("term"))
+      .distinct()
+    val nq = qt.groupBy(col("query_id")).agg(count(lit(1)).as("__nq"))
+    val termSet = qt.select(col("term")).distinct()
+    val tf = toks
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .join(broadcast(termSet), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf_t"))
+    val perQuery = tf.join(broadcast(cf), Seq("term"))
+      .join(broadcast(stats))
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(log(lit(1.0) + col("tf").cast("double")
+        / (lit(mu) * (col("cf_t").cast("double")
+          / col("total_tokens").cast("double"))))).as("__sm"),
+        max(col("dl")).as("__dl"))
+      .join(broadcast(nq), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("__sm") + col("__nq").cast("double")
+          * log(lit(mu) / (col("__dl").cast("double") + lit(mu))), 4)
+          .as("ql"))
+    val screened =
+      if (excludeSelf) perQuery.filter(col("doc_id") =!= col("query_id"))
+      else perQuery
+    screened.groupBy(col("query_id"))
+      .agg(graft.functions.VectorFunctions.topKByCos(
+        col("doc_id").cast("long"), col("ql"), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("doc_id"), col("col.cos").as("ql"))
   }
 
   /** VOCABULARY-DRIFT card for a BM25 index vs an INCOMING batch —
@@ -1466,11 +1633,15 @@ object Retrieval {
           col("grade") / (log((col("rank") + 1).cast("double")) / ln2))
           .otherwise(0.0)).as("dcg"),
         sum(when(col("rank") <= k, 1L).otherwise(0L)).as("hits_at_k"))
-    // base = run queries ∪ judged queries: a query whose producer
-    // returned nothing must SCORE 0, not vanish — dropping it would
-    // inflate every downstream mean over this frame
+    // base = run queries ∪ GRADED-relevant judged queries: a query
+    // whose producer returned nothing must SCORE 0, not vanish —
+    // dropping it would inflate every downstream mean. The judged
+    // side unions `rel` (grade > 0), NOT raw qrels: trec_eval
+    // convention — a query judged only with grade-0 rows and absent
+    // from the run has no relevant documents to find and must not
+    // deflate the means with an unearnable all-zero row
     runD.select(col("query_id"))
-      .union(qrels.select(col("query_id")))
+      .union(rel.select(col("query_id")))
       .distinct()
       .join(broadcast(ideal), Seq("query_id"), "left")
       .join(broadcast(hits), Seq("query_id"), "left")
@@ -1520,7 +1691,8 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75,
       denseRun: Option[DataFrame] = None,
       hybridLex: String = "norm",
-      indexedArms: Map[String, String] = Map.empty): DataFrame = {
+      indexedArms: Map[String, String] = Map.empty,
+      lmMu: Option[Double] = None): DataFrame = {
     require(k >= 1 && topK >= k,
       s"need topK >= k >= 1, got k=$k topK=$topK")
     val probeQ = probes.select(col(queryIdCol).as("query_id"),
@@ -1546,15 +1718,36 @@ object Retrieval {
             .select(col("query_id"), col("rank"), col("doc_id"))
       }
     }
+    // each family's run is built ONCE and shared with the fusion leg
+    // (the hybrid arm re-calling lexRun would duplicate the plan)
+    val lexRuns: Map[String, DataFrame] =
+      Dedup.TokenizerFamilies.map(f => f -> lexRun(f)).toMap
+    // `lmMu` adds the OTHER ranking model as a measured arm:
+    // `lm_dirichlet` is the hybridLex-family Dirichlet QL run (the
+    // card now answers "BM25 or LM?" with a number), and when a
+    // dense leg is present `hybrid_rrf_lm` fuses LM×dense so the
+    // fusion question is answered for both models symmetrically
+    val lmRun: Option[DataFrame] = lmMu.map { mu =>
+      val q = probeQ.select(col("query_id"),
+        tokensFor(hybridLex, col("qtext")).as("terms"))
+      lmDirichletPerQueryRanks(docs, idCol, textCol, q, "query_id",
+        "terms", topK = topK, mu = mu, excludeSelf = true,
+        tokenizer = hybridLex)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+    }
     val arms: Seq[(String, DataFrame)] =
-      Dedup.TokenizerFamilies.map(f => (s"bm25_$f", lexRun(f))) ++
+      Dedup.TokenizerFamilies.map(f => (s"bm25_$f", lexRuns(f))) ++
         denseRun.toSeq.flatMap { dr =>
           val d = dr.select(col("query_id"), col("rank"), col("doc_id"))
           Seq(("dense", d),
-            ("hybrid_rrf", rrfFuse(lexRun(hybridLex), d, k0 = 60,
+            ("hybrid_rrf", rrfFuse(lexRuns(hybridLex), d, k0 = 60,
               topK = topK)
-              .select(col("query_id"), col("rank"), col("doc_id"))))
-        }
+              .select(col("query_id"), col("rank"), col("doc_id")))) ++
+            lmRun.toSeq.map(lm => ("hybrid_rrf_lm",
+              rrfFuse(lm, d, k0 = 60, topK = topK)
+                .select(col("query_id"), col("rank"), col("doc_id"))))
+        } ++
+        lmRun.toSeq.map(lm => ("lm_dirichlet", lm))
     arms.map { case (name, run) =>
       rankedEval(run, qrels, k)
         .agg(count(lit(1)).as("n_queries"),

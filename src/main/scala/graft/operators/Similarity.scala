@@ -1302,6 +1302,104 @@ object Similarity {
     }
   }
 
+  /** Opens an EMPTY shard on an existing index's trained geometry —
+    * the codebook-sharing half of the shard-merge story: a 100 TB
+    * ingest trains centroids + PQ book ONCE, opens shards near the
+    * data ([[appendToAnnIndex]] encodes each batch against the
+    * shard's — shared — geometry), and [[mergeAnnIndexes]]
+    * consolidates off the hot path. The shard copies `_cents`,
+    * `_book` and `_meta` verbatim and starts `_vectors` empty. */
+  def shardFromAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, shard: String): Unit =
+    graft.sources.Bucketing.withIndexLeases(spark, Seq(name, shard),
+      "shardFromAnnIndex") {
+      val numBuckets = graft.sources.Bucketing
+        .stableTable(spark, s"${name}_meta").head().getAs[Int]("num_buckets")
+      graft.sources.Bucketing.writeBucketed(
+        graft.sources.Bucketing.stableTable(spark, s"${name}_vectors")
+          .limit(0),
+        s"${shard}_vectors", "cell_id", numBuckets)
+      graft.sources.Bucketing.writeTable(
+        graft.sources.Bucketing.stableTable(spark, s"${name}_cents"),
+        s"${shard}_cents")
+      graft.sources.Bucketing.writeTable(
+        graft.sources.Bucketing.stableTable(spark, s"${name}_book"),
+        s"${shard}_book")
+      graft.sources.Bucketing.writeTable(
+        graft.sources.Bucketing.stableTable(spark, s"${name}_meta"),
+        s"${shard}_meta")
+    }
+
+  /** Merge ANN index SHARDS that share ONE trained geometry — the
+    * [[graft.operators.Retrieval.mergeBm25Indexes]] consolidation
+    * verb for the dense family, with the precondition that makes it
+    * sound: cell assignments and PQ codes are meaningful only
+    * against the codebook that produced them, so the sources'
+    * `_cents` AND `_book` must be bit-identical (refused loudly
+    * otherwise — there is no way to merge encodings across books;
+    * rebuild one index over the union, or re-encode shards from one
+    * shared geometry via [[shardFromAnnIndex]]). With one geometry
+    * the merge is pure metadata + one union: `_vectors` re-bucketed
+    * once, geometry tables copied, ids refused on overlap. The
+    * codebook comparison is a BOUNDED collect (nlist + m·ksub rows —
+    * the centroid-pull class). No repartition guard is needed on the
+    * overlap check here: `_vectors` buckets on cell_id, so a
+    * vec_id-keyed aggregate over the union can never be wrongly
+    * exchange-elided (the clustering is genuinely unsatisfied). */
+  def mergeAnnIndexes(spark: org.apache.spark.sql.SparkSession,
+      target: String, sources: Seq[String], numBuckets: Int = 8): Unit = {
+    require(sources.size >= 2,
+      s"mergeAnnIndexes: need at least 2 sources, got ${sources.size}")
+    val metas = sources.map(s =>
+      graft.sources.Bucketing.stableTable(spark, s"${s}_meta").head())
+    val geoms = metas.map(m => (m.getAs[Int]("nlist"), m.getAs[Int]("m"),
+      m.getAs[Int]("ksub"), m.getAs[Boolean]("md5_sig"))).distinct
+    require(geoms.size == 1,
+      s"mergeAnnIndexes: sources carry different geometries $geoms — " +
+        "rebuild one index over the union instead")
+    def geometryOf(s: String): (Seq[(Long, Seq[Float])], Seq[(Int, Seq[Float])]) = (
+      graft.sources.Bucketing.stableTable(spark, s"${s}_cents").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq,
+      graft.sources.Bucketing.stableTable(spark, s"${s}_book").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq)
+    val baseGeom = geometryOf(sources.head)
+    sources.tail.foreach { s =>
+      require(geometryOf(s) == baseGeom,
+        s"mergeAnnIndexes: '$s' was trained with a different codebook " +
+          s"than '${sources.head}' — cell assignments and PQ codes are " +
+          "not mergeable across books; rebuild one index over the " +
+          "union (buildAnnIndex/rebuildAnnIndex), or produce shards " +
+          "from one shared geometry with shardFromAnnIndex")
+    }
+    graft.sources.Bucketing.withIndexLeases(spark, target +: sources,
+      "mergeAnnIndexes") {
+      val vecAll = sources
+        .map(s => graft.sources.Bucketing.stableTable(spark, s"${s}_vectors"))
+        .reduce(_ unionByName _)
+      val chk = vecAll
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("vec_id")).as("nd")).head()
+      require(chk.getLong(0) == chk.getLong(1),
+        s"mergeAnnIndexes: sources share ${chk.getLong(0) - chk.getLong(1)} " +
+          "vec id(s) — the merged index would serve them twice; retire " +
+          "the duplicates from one source first")
+      graft.sources.Bucketing.writeBucketed(vecAll,
+        s"${target}_vectors", "cell_id", numBuckets)
+      graft.sources.Bucketing.writeTable(
+        graft.sources.Bucketing.stableTable(spark, s"${sources.head}_cents"),
+        s"${target}_cents")
+      graft.sources.Bucketing.writeTable(
+        graft.sources.Bucketing.stableTable(spark, s"${sources.head}_book"),
+        s"${target}_book")
+      import spark.implicits._
+      val g = geoms.head
+      graft.sources.Bucketing.writeTable(
+        Seq((g._1, g._2, g._3, g._4, numBuckets))
+          .toDF("nlist", "m", "ksub", "md5_sig", "num_buckets"),
+        s"${target}_meta")
+    }
+  }
+
   /** Reconciles an ANN index against the LANDED vector set — the
     * [[graft.operators.Dedup.reconcileDedupIndex]] verb for this
     * family: landed vectors whose id holds no `_vectors` row encode

@@ -251,6 +251,36 @@ object ABlock {
         .orderBy(col("realmid"))
     }),
 
+    // A17: the SNAPSHOT-isolated store — the full maintenance cycle
+    // (fragmented appends → compaction → retention sweep) run through
+    // the manifest discipline, then read through the live snapshot.
+    // The oracle pins that manifest-defined reads agree exactly with
+    // the raw-slice semantics: survivors of clearExpired(TMid) over
+    // the [T0, T1) two-day slice — even though the replaced/expired
+    // files are STILL ON DISK under the one-cycle reader grace (a
+    // directory read would double-count; the snapshot read must not).
+    "a17_snapshot_store" -> ((s, d) => {
+      val store = "/tmp/graft_a17_store_" + storeKey(s, d)
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) {
+        val slice = ke(s, d).filter(col("time") >= T0 && col("time") < T1)
+        fs.mkdirs(p)
+        graft.sources.SnapshotEventStore.init(s, store)
+        graft.sources.SnapshotEventStore.append(
+          slice.filter(col("time") % 2 === 0), store)
+        graft.sources.SnapshotEventStore.append(
+          slice.filter(col("time") % 2 =!= 0), store)
+        graft.sources.SnapshotEventStore.compact(s, store,
+          maxFilesPerPartition = 1)
+      }
+      graft.sources.SnapshotEventStore.clearExpired(s, store, TMid)
+      graft.sources.SnapshotEventStore.read(s, store)
+        .groupBy(col("eventtype"))
+        .agg(count(lit(1)).as("n"), min(col("time")).as("min_time"))
+        .orderBy(col("eventtype"))
+    }),
+
     // A13: the PHYSICAL pruned read — events land in a real dt/hour
     // partitioned store, then the builder's time range derives
     // partition predicates (PartitionPruning) so the scan lists only
@@ -354,6 +384,11 @@ object ABlock {
          |FROM ke WHERE time >= $T0 AND time < $T1
          |  AND (realmid IS DISTINCT FROM 'realm-1' OR time >= $TMid)
          |GROUP BY realmid ORDER BY realmid""".stripMargin,
+
+    "a17_snapshot_store" ->
+      s"""$withKe SELECT eventtype, count(*) AS n, min(time) AS min_time
+         |FROM ke WHERE time >= $T0 AND time < $T1 AND time >= $TMid
+         |GROUP BY eventtype ORDER BY eventtype""".stripMargin,
 
     "a11_provider_roundtrip" ->
       s"""$withKe SELECT id, eventtype, realmid, userid, time

@@ -1206,6 +1206,18 @@ object DBlock {
       Dedup.buildSimIndex(docs.filter(col("doc_id").isNotNull)
         .select(col("doc_id"), xxhash64(col("doc_id")).as("sim")),
         name = "d125_sx", maxDist = 2)
+      // the VIDEO evidence side tables too (doc_id-derived frame
+      // sigs, no decode — every fifth doc a 3-frame video), so the
+      // card's side_digest_match is a REAL internal-consistency
+      // check (vchunks' composite keys vs vframes' vid set), not a
+      // vacuous null
+      Dedup.appendVideoFramesToSimIndex(
+        docs.filter(col("doc_id").isNotNull && col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            explode(sequence(lit(0), lit(2))).as("frame_idx"))
+          .select(col("doc_id"), col("frame_idx"),
+            xxhash64(col("doc_id"), col("frame_idx")).as("sim")),
+        "d125_sx")
       Dedup.buildUrlIndex(urls, "url", name = "d125_ux")
       OpsCard.indexOpsCard(s, Seq(
         OpsCard.Entry("ann", "d125_ax", emb, "vec_id"),
@@ -2773,13 +2785,30 @@ object DBlock {
         name = "d138_bx")
       Dedup.buildDedupIndex(docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", name = "d138_dx", md5Sig = true)
+      // sim slot with a FABRICATED torn side-table state: frames
+      // appended, then `_vframes` dropped — exactly what a death
+      // between appendVideoFramesToSimIndex's two writes leaves, the
+      // state the video screen silently degrades on. The card must
+      // read it as side_digest_match = FALSE.
+      Dedup.buildSimIndex(docs
+        .select(col("doc_id"), xxhash64(col("doc_id")).as("sim")),
+        name = "d138_sx", maxDist = 2)
+      Dedup.appendVideoFramesToSimIndex(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            explode(sequence(lit(0), lit(2))).as("frame_idx"))
+          .select(col("doc_id"), col("frame_idx"),
+            xxhash64(col("doc_id"), col("frame_idx")).as("sim")),
+        "d138_sx")
+      graft.sources.Bucketing.dropTableAndDir(s, "d138_sx_vframes")
       OpsCard.indexOpsCard(s, Seq(
         OpsCard.Entry("bm25", "d138_bx",
           docs.filter(col("doc_id") % 2 === 0), "doc_id"),
-        OpsCard.Entry("dedup", "d138_dx", docs, "doc_id")))
+        OpsCard.Entry("dedup", "d138_dx", docs, "doc_id"),
+        OpsCard.Entry("sim", "d138_sx", docs, "doc_id")))
         .select(col("family"), col("n_items"), col("n_landed"),
           col("drift_vs_landed"), col("ids_digest_match"),
-          col("suggested_verb"))
+          col("side_digest_match"), col("suggested_verb"))
         .orderBy(col("family"))
     }),
 
@@ -2819,6 +2848,40 @@ object DBlock {
         probes, "query_id", "qtext", qrels, k = 10, topK = 20,
         k1 = 1.5, b = 0.75, denseRun = Some(dense),
         hybridLex = "norm")
+    }),
+
+    // D104↑ (LM arm): the d139 card extended with the engine's OTHER
+    // ranking model — `lm_dirichlet` (norm-family Dirichlet QL,
+    // μ=2000) plus `hybrid_rrf_lm` (LM×dense fusion), so the card
+    // answers "BM25 or LM, fused or not" as measured numbers. Oracle
+    // = the d139 SQL parameterized with the two extra arms — DuckDB
+    // re-derives the LM run (cf_t, total tokens, per-query |Q|, the
+    // decomposed Dirichlet score), its fusion, and every mean.
+    "d150_card_lm" -> ((s, d) => {
+      val corp = Tables.documents(s, d).join(
+        Tables.embeddings(s, d).hint("SHUFFLE_HASH"),
+        col("doc_id") === col("vec_id"))
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(lit("("), regexp_replace(col("text"), " ", ". "),
+            lit(")")).as("text"),
+          col("embedding"))
+      val probes = corp.filter(col("doc_id").isin(1L, 2L, 3L))
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      val qrels = Seq(1L, 2L, 3L).map(q =>
+        corp.filter(col("doc_id") % (5 + q) === q)
+          .select(lit(q).as("query_id"), col("doc_id"),
+            (lit(1L) + col("doc_id") % 3).as("grade")))
+        .reduce(_ unionByName _)
+      val dense = Similarity.bruteForceTopK(
+        corp.filter(col("doc_id").isin(1L, 2L, 3L)), corp,
+        "doc_id", "embedding", k = 20)
+        .select(col("query_id"), col("rank"),
+          col("neighbor_id").as("doc_id"))
+      Retrieval.retrievalQualityCard(corp, "doc_id", "text",
+        probes, "query_id", "qtext", qrels, k = 10, topK = 20,
+        k1 = 1.5, b = 0.75, denseRun = Some(dense),
+        hybridLex = "norm", lmMu = Some(2000.0))
     }),
 
     // D107: BM25 index shard MERGE — the consolidation verb a
@@ -2967,6 +3030,129 @@ object DBlock {
         "text", name = "d148_idx")
       Retrieval.lmDirichletAgainstIndex(s, "d148_idx",
         queryTerms = d70Terms, topK = 20, mu = 2000.0)
+    }),
+
+    // D108 (indexed twin): PRF served end-to-end from the persistent
+    // postings — both scored passes AND the feedback-term mining
+    // (the mining reads stored tf, no corpus tokenize). Oracle =
+    // d141's SQL verbatim: one hash match proves the index path
+    // re-derives the fresh feedback loop bit for bit (the d112/d148
+    // one-string-proves-two-paths discipline).
+    "d149_indexed_prf" -> ((s, d) => {
+      Retrieval.buildBm25Index(Tables.documents(s, d), "doc_id",
+        "text", name = "d149_idx")
+      Retrieval.bm25PrfAgainstIndex(s, "d149_idx",
+        queryTerms = d70Terms, topK = 20, fbDocs = 3, fbTerms = 5,
+        k1 = 1.5, b = 0.75)
+    }),
+
+    // D108 (indexed + blended twin): the RM3 interpolation on the
+    // persistent postings — oracle = d145's SQL verbatim.
+    "d151_indexed_prf_blended" -> ((s, d) => {
+      Retrieval.buildBm25Index(Tables.documents(s, d), "doc_id",
+        "text", name = "d151_idx")
+      Retrieval.bm25PrfBlendedAgainstIndex(s, "d151_idx",
+        queryTerms = d70Terms, topK = 20, lambda = 0.5,
+        fbDocs = 3, fbTerms = 5, k1 = 1.5, b = 0.75)
+    }),
+
+    // D115 (dedup): shard MERGE for the MinHash family — the d140
+    // consolidation verb extended to the dedup index (the r18
+    // verdict's #4). Twin proof: two shards built on the
+    // non-batch evens/odds, merged, the batch screened against the
+    // MERGED index — oracle = d126's incremental SQL verbatim, so a
+    // hash match proves merged == the one index a whole build (or a
+    // reconcile to the same set) produces, through the real screen.
+    "d152_merged_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val isBatch = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+      Dedup.buildDedupIndex(
+        docs.filter(!isBatch && col("doc_id") % 2 === 0),
+        "doc_id", "text", name = "d152_a", md5Sig = true)
+      Dedup.buildDedupIndex(
+        docs.filter(!isBatch && col("doc_id") % 2 =!= 0),
+        "doc_id", "text", name = "d152_b", md5Sig = true)
+      Dedup.mergeDedupIndexes(s, "d152_m", Seq("d152_a", "d152_b"))
+      Dedup.dedupAgainstIndex(docs.filter(isBatch), "doc_id", "text",
+        name = "d152_m")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // D115 (url): frontier shard MERGE — URL keys union DEDUPED
+    // (shards legitimately remember the same URL; the frontier is a
+    // set). Twin proof: the d129 shape with reconcile replaced by
+    // merge; oracle = d84's SQL verbatim.
+    "d153_merged_url" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), plantedUrl.as("url"))
+      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      Dedup.buildUrlIndex(
+        docs.filter(h1 === "0" && col("doc_id") % 2 === 0),
+        "url", "d153_a")
+      Dedup.buildUrlIndex(
+        docs.filter(h1 === "0" && col("doc_id") % 2 =!= 0),
+        "url", "d153_b")
+      Dedup.mergeUrlIndexes(s, "d153_m", Seq("d153_a", "d153_b"))
+      Dedup.screenAgainstUrlIndex(docs.filter(h1 >= "8"), "url",
+        "d153_m")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // D115 (ANN): shard MERGE for the dense family under the
+    // shared-codebook precondition — geometry trains ONCE on the
+    // evens (shardFromAnnIndex clones it empty), the odds encode
+    // into the shard against that SAME geometry, merge consolidates.
+    // Oracle: the IVFPQ twin SQL with cells AND book trained on the
+    // evens slice, every vector assigned/encoded against them —
+    // exactly what the merged index must serve, re-derived whole.
+    "d154_merged_ann" -> ((s, d) => {
+      val q8 = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.functions.SketchFunctions.quantizeInt8Floats(
+          col("embedding")).as("qv"))
+      Similarity.buildAnnIndex(q8.filter(col("vec_id") % 2 === 0),
+        "vec_id", "qv", name = "d154_train",
+        nlist = 16, m = 4, ksub = 8, md5Sig = true)
+      Similarity.shardFromAnnIndex(s, "d154_train", "d154_shard")
+      Similarity.appendToAnnIndex(q8.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "qv", "d154_shard")
+      Similarity.mergeAnnIndexes(s, "d154_m",
+        Seq("d154_train", "d154_shard"))
+      Similarity.annTopKAgainstIndex(q8.filter(col("vec_id") < 50),
+        "vec_id", "qv", name = "d154_m", k = 10, nprobe = 4,
+        shortlistFactor = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("dist2").cast("long").as("dist2"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // D116: DEDUP INGEST-DRIFT card — the MinHash sibling of d146's
+    // vocabulary drift and d143's cell drift: how much of an
+    // arriving batch's candidate space (band keys) and exact-content
+    // space (md5 hashes) is NEW to the dedup index — the
+    // reband/ingest decision input. Index on the evens (md5Sig =
+    // the d30 oracle-reproducible family); the odds arrive with a
+    // novel token planted on every third doc, so both signals are
+    // provably mixed. Oracle: DuckDB re-derives both sides' md5-
+    // minhash band VECTORS (the d97 discipline — band novelty by
+    // vector equals novelty by the engine's xxhash64 fold modulo
+    // the collision-freeness d97 pins), the hash sets, and every
+    // count/share.
+    "d155_dedup_ingest_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      Dedup.buildDedupIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", name = "d155_idx", md5Sig = true)
+      val batch = docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" novelton"),
+              (col("doc_id") % 7).cast("string")))
+            .otherwise(col("text")).as("text"))
+      Dedup.dedupIngestDriftCard(s, "d155_idx", batch,
+        "doc_id", "text")
     }),
 
     // D110: ANN INGEST-DRIFT card — annIndexStats' occupancy
@@ -3380,7 +3566,10 @@ object DBlock {
       |SELECT family, index_name, n_items, 8 AS n_buckets,
       |  'idle' AS pending_verb, n_landed,
       |  n_landed - n_items AS drift_vs_landed,
-      |  TRUE AS ids_digest_match, 'none' AS suggested_verb
+      |  TRUE AS ids_digest_match,
+      |  CASE WHEN family = 'sim' THEN TRUE
+      |       ELSE CAST(NULL AS BOOLEAN) END AS side_digest_match,
+      |  'none' AS suggested_verb
       |FROM (
       |  SELECT 'ann' AS family, 'd125_ax' AS index_name,
       |    (SELECT n FROM em) AS n_items, (SELECT n FROM em) AS n_landed
@@ -3395,8 +3584,11 @@ object DBlock {
       |ORDER BY family""".stripMargin
 
   /** d138: both drift directions' counts re-derived, the digest
-    * booleans pinned FALSE (drifted id sets MUST compute unequal)
-    * and the direction → verb rule pinned by name. */
+    * booleans pinned FALSE (drifted id sets MUST compute unequal),
+    * the direction → verb rule pinned by name, and the sim slot's
+    * FABRICATED torn side-table state (frames appended, `_vframes`
+    * dropped — the mid-append crash) pinned as side_digest_match =
+    * FALSE beside healthy counts. */
   private val d138Sql: String =
     """WITH dt AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
@@ -3408,10 +3600,16 @@ object DBlock {
       |  SELECT 'bm25' AS family, (SELECT n FROM dt) AS n_items,
       |    (SELECT n FROM ev) AS n_landed,
       |    (SELECT n FROM ev) - (SELECT n FROM dt) AS drift_vs_landed,
-      |    FALSE AS ids_digest_match, 'retire' AS suggested_verb
+      |    FALSE AS ids_digest_match,
+      |    CAST(NULL AS BOOLEAN) AS side_digest_match,
+      |    'retire' AS suggested_verb
       |  UNION ALL
       |  SELECT 'dedup', (SELECT n FROM ev), (SELECT n FROM dt),
-      |    (SELECT n FROM dt) - (SELECT n FROM ev), FALSE, 'reconcile')
+      |    (SELECT n FROM dt) - (SELECT n FROM ev), FALSE,
+      |    CAST(NULL AS BOOLEAN), 'reconcile'
+      |  UNION ALL
+      |  SELECT 'sim', (SELECT n FROM dt), (SELECT n FROM dt),
+      |    0, TRUE, FALSE, 'none')
       |ORDER BY family""".stripMargin
 
   /** The `uni` family over the d139 paren-planted corpus — the d122
@@ -3505,12 +3703,66 @@ object DBlock {
     * arms over family-specific corpus AND query tokenizations, the
     * cosine dense leg, the norm+dense RRF fusion), the planted
     * graded qrels, per-query metrics and the arm means — one hash
-    * over the whole decision card. */
-  private lazy val d139Sql: String = {
+    * over the whole decision card. `withLm` (d150) adds the
+    * Dirichlet-QL arm (norm family, μ=2000 — reusing tok_n/qt_n/tf_n,
+    * exactly the frames the engine's lm run derives from the same
+    * tokenization) and its dense fusion, so the card answers
+    * "BM25 or LM, fused or not" with every number re-derived. */
+  private def cardSql(withLm: Boolean): String = {
     val arms = Seq(
       cardArmCtes("w", wsParenTokensSql),
       cardArmCtes("n", normPlantedTokensSql),
       cardArmCtes("u", uniParenTokensSql)).mkString(",\n")
+    val lmCtes = if (!withLm) "" else
+      s""",
+         |cf_l AS (
+         |  SELECT term, CAST(sum(tf) AS BIGINT) AS cf_t
+         |  FROM tf_n GROUP BY term),
+         |tt_l AS (
+         |  SELECT CAST(sum(len(ws)) AS BIGINT) AS total_tokens
+         |  FROM tok_n),
+         |nq_l AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS nq
+         |  FROM qt_n GROUP BY query_id),
+         |sc_l AS (
+         |  SELECT q.query_id, t.doc_id,
+         |    round(sum(ln(1.0 + CAST(t.tf AS DOUBLE) /
+         |        (2000.0 * (CAST(c.cf_t AS DOUBLE) /
+         |          CAST(tt_l.total_tokens AS DOUBLE)))))
+         |      + CAST(max(n.nq) AS DOUBLE)
+         |        * ln(2000.0 / (CAST(max(t.dl) AS DOUBLE) + 2000.0)),
+         |      4) AS ql
+         |  FROM tf_n t JOIN cf_l c USING (term) JOIN qt_n q USING (term)
+         |  JOIN nq_l n ON n.query_id = q.query_id CROSS JOIN tt_l
+         |  WHERE t.doc_id <> q.query_id
+         |  GROUP BY q.query_id, t.doc_id),
+         |run_l AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ql DESC, doc_id) AS rank
+         |    FROM sc_l) z WHERE rank <= 20),
+         |fused_lm AS (
+         |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         |    coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |    coalesce(1.0/(60 + a.rank), 0)
+         |      + coalesce(1.0/(60 + b.rank), 0) AS rrf
+         |  FROM run_l a FULL OUTER JOIN run_d b
+         |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+         |run_hl AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf DESC, doc_id) AS rank
+         |    FROM fused_lm) z WHERE rank <= 20)""".stripMargin
+    val lmEvals = if (!withLm) "" else
+      s""",
+         |${cardEvalCtes("l")},
+         |${cardEvalCtes("hl")}""".stripMargin
+    val lmMeans = if (!withLm) "" else
+      s"""
+         |  UNION ALL ${cardMeanSql("lm_dirichlet", "l")}
+         |  UNION ALL ${cardMeanSql("hybrid_rrf_lm", "hl")}""".stripMargin
     s"""WITH corp AS (
        |  SELECT d.doc_id, d.text, e.embedding
        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
@@ -3538,7 +3790,7 @@ object DBlock {
        |    SELECT query_id, doc_id,
        |      row_number() OVER (PARTITION BY query_id
        |        ORDER BY rrf DESC, doc_id) AS rank
-       |    FROM fused) z WHERE rank <= 20),
+       |    FROM fused) z WHERE rank <= 20)$lmCtes,
        |rel AS (
        |  SELECT query_id, doc_id,
        |    CAST(1 + doc_id % 3 AS DOUBLE) AS grade FROM (
@@ -3564,16 +3816,19 @@ object DBlock {
        |${cardEvalCtes("n")},
        |${cardEvalCtes("u")},
        |${cardEvalCtes("d")},
-       |${cardEvalCtes("h")}
+       |${cardEvalCtes("h")}$lmEvals
        |SELECT arm, 10 AS k, n_queries, mrr, mean_ndcg, mean_recall
        |FROM (
        |  ${cardMeanSql("bm25_ws", "w")}
        |  UNION ALL ${cardMeanSql("bm25_norm", "n")}
        |  UNION ALL ${cardMeanSql("bm25_uni", "u")}
        |  UNION ALL ${cardMeanSql("dense", "d")}
-       |  UNION ALL ${cardMeanSql("hybrid_rrf", "h")})
+       |  UNION ALL ${cardMeanSql("hybrid_rrf", "h")}$lmMeans)
        |ORDER BY arm""".stripMargin
   }
+
+  private lazy val d139Sql: String = cardSql(withLm = false)
+  private lazy val d150Sql: String = cardSql(withLm = true)
 
   /** d141's PRF oracle: the d70 Okapi weight (k1=1.5, b=0.75
     * inlined), applied TWICE — pass 1 on the literal query terms to
@@ -4098,15 +4353,17 @@ object DBlock {
     * `cprobes` (nprobe 4, queries vec_id < 50) — reused by the
     * d50/d58 IVF-PQ oracle and the d69 range-search oracle so the
     * cell machinery cannot drift between them. */
-  private val ivfCellCtes: String =
-    """v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** `cellWhere` restricts the CELL-training slice (the d154 merge
+    * proof: shards sharing one evens-trained geometry). */
+  private def ivfCellCtesFor(cellWhere: String): String =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |mm AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
         |q AS (SELECT vec_id,
         |  CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
         |       ELSE list_transform(v, x -> CAST(floor(x / (mx / 127.0) + 0.5) AS BIGINT)) END AS q
         |  FROM mm),
         |ccent AS (
-        |  SELECT vec_id AS cell_id, q AS cq FROM q
+        |  SELECT vec_id AS cell_id, q AS cq FROM q $cellWhere
         |  ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT, vec_id
         |  LIMIT 16),
         |cdist AS (
@@ -4121,6 +4378,8 @@ object DBlock {
         |  FROM cdist),
         |ccells AS (SELECT vec_id AS neighbor_id, cell_id FROM cass WHERE rk = 1),
         |cprobes AS (SELECT vec_id AS query_id, cell_id FROM cass WHERE rk <= 4 AND vec_id < 50)""".stripMargin
+
+  private val ivfCellCtes: String = ivfCellCtesFor("")
 
   /** PQ-book + per-subvector code/distance CTEs (cent → ncode),
     * shared by the d50/d58/d91/d93 twin and the d117 recall oracle
@@ -4200,6 +4459,18 @@ object DBlock {
         |ORDER BY query_id, rank""".stripMargin
 
   private val ivfPqTwinSql: String = ivfPqTwinSqlFor("")
+
+  /** d154 oracle: cells AND book trained on the evens slice (the
+    * shared shard geometry), every vector encoded/assigned against
+    * it — exactly what merging an evens-built index with an
+    * odds-shard encoded on its codebook must serve. */
+  private val mergedAnnTwinSql: String =
+    s"WITH ${ivfCellCtesFor("WHERE vec_id % 2 = 0")},\n" +
+    ivfBookCtesFor("WHERE vec_id % 2 = 0") + ",\n" +
+    ivfServeChainFor("", "cprobes") + "\n" +
+    """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
 
   /** d117 oracle: the twin's cell/book arithmetic, served at THREE
     * nprobe values (cprobes1/cprobes2 from the same cell-rank CTE,
@@ -4677,6 +4948,82 @@ object DBlock {
        |ORDER BY id_a, id_b""".stripMargin
   }
   private val md5MinhashSql: String = md5MinhashSqlFor(32, 16, 0.5)
+
+  /** d155 oracle: both sides' md5-minhash band VECTORS (32 perms, 16
+    * bands of r=2 — the d30/d97 arithmetic), batch-band and
+    * exact-hash novelty vs the evens-built index, every count and
+    * share re-derived. Band novelty compares vectors where the
+    * engine compares its xxhash64 band folds — equal modulo the
+    * fold's collision-freeness, which d97 pins on this corpus. */
+  private lazy val d155Sql: String = {
+    import graft.operators.Dedup.{mhA, mhB, mhPrime}
+    val mins = (0 until 32)
+      .map(j => s"min((h * ${mhA(j)} + ${mhB(j)}) % $mhPrime) AS m$j")
+      .mkString(", ")
+    def bandsOf(side: String) = (0 until 16)
+      .map(b => s"SELECT $b AS band_id, m${2 * b} AS x, m${2 * b + 1} AS y FROM m_$side")
+      .mkString("\nUNION ALL ")
+    def sigChain(side: String, src: String) =
+      s"""sh_$side AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ws) >= 3 THEN
+         |      list_distinct(list_transform(range(1, len(ws) - 1),
+         |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         |    ELSE [list_aggregate(ws, 'string_agg', ' ')] END AS s
+         |  FROM $src
+         |), g_$side AS (
+         |  SELECT doc_id, unnest(s) AS g FROM sh_$side
+         |), h_$side AS (
+         |  SELECT doc_id, ${h60("g")} & 1073741823 AS h FROM g_$side
+         |), m_$side AS (
+         |  SELECT doc_id, $mins FROM h_$side GROUP BY doc_id
+         |), bands_$side AS (
+         |  SELECT DISTINCT band_id, x, y FROM (
+         |${bandsOf(side)})
+         |)""".stripMargin
+    s"""WITH tok_e AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws,
+       |    text
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 2 = 0
+       |), tok_b AS (
+       |  SELECT doc_id,
+       |    string_split_regex(lower(trim(t2)), '\\s+') AS ws, t2 AS text
+       |  FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN doc_id % 3 = 0
+       |        THEN text || ' novelton' || CAST(doc_id % 7 AS VARCHAR)
+       |        ELSE text END AS t2
+       |    FROM documents
+       |    WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 2 <> 0)
+       |),
+       |${sigChain("e", "tok_e")},
+       |${sigChain("b", "tok_b")},
+       |counts AS (
+       |  SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM tok_b) AS n_batch_docs,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM bands_b) AS n_batch_bands,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM bands_b b
+       |       WHERE NOT EXISTS (SELECT 1 FROM bands_e e
+       |         WHERE e.band_id = b.band_id AND e.x = b.x AND e.y = b.y))
+       |      AS n_new_bands,
+       |    (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) FROM tok_b)
+       |      AS n_batch_hashes,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM
+       |       (SELECT DISTINCT md5(text) AS ch FROM tok_b) b
+       |       WHERE NOT EXISTS (SELECT 1 FROM tok_e e
+       |         WHERE md5(e.text) = b.ch)) AS n_new_hashes
+       |)
+       |SELECT n_batch_docs, n_batch_bands, n_new_bands,
+       |  round(CASE WHEN n_batch_bands > 0
+       |    THEN CAST(n_new_bands AS DOUBLE) / n_batch_bands
+       |    ELSE 0 END, 4) AS new_band_share,
+       |  n_batch_hashes, n_new_hashes,
+       |  round(CASE WHEN n_batch_hashes > 0
+       |    THEN CAST(n_new_hashes AS DOUBLE) / n_batch_hashes
+       |    ELSE 0 END, 4) AS new_hash_share
+       |FROM counts""".stripMargin
+  }
 
   /** d106 oracle: the md5-minhash banding machinery (32 perms, 16
     * bands of r=2 — the d30 geometry) with NO threshold and NO
@@ -5398,10 +5745,13 @@ object DBlock {
     // indexed arms == fresh arms, the d112 twin discipline lifted to
     // the whole decision card — one SQL string proves both paths
     "d144_indexed_card" -> d139Sql,
+    "d150_card_lm" -> d150Sql,
     // merged shards serve exactly like one whole build — the d70/d112
     // full-corpus SQL verbatim (the twin discipline)
     "d140_merged_bm25" -> d70Sql,
     "d141_prf_bm25" -> d141Sql,
+    "d149_indexed_prf" -> d141Sql,
+    "d151_indexed_prf_blended" -> d145Sql,
     "d142_snippet_windows" -> d142Sql,
     "d145_prf_blended" -> d145Sql,
 
@@ -5509,6 +5859,8 @@ object DBlock {
     // so a hash match proves the healed index screens exactly like
     // one built whole.
     "d126_dedup_reconcile" -> incrementalDedupSql,
+    "d152_merged_dedup" -> incrementalDedupSql,
+    "d155_dedup_ingest_drift" -> d155Sql,
 
     // d133: the d46 derivation with the tokenize step swapped for
     // the NORM family over the punctuation-planted text (the
@@ -7270,6 +7622,8 @@ object DBlock {
     // 1/32 slice and RECONCILED up to the full 1/16 corpus, so a
     // hash match proves reconcile found exactly the missing keys.
     "d129_url_reconcile" -> d84Sql,
+    "d153_merged_url" -> d84Sql,
+    "d154_merged_ann" -> mergedAnnTwinSql,
 
     // d72: integer allowances (w·B // Σw over the distinct strata),
     // per-stratum cumulative token mass in (md5 priority DESC, id)

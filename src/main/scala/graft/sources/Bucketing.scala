@@ -54,11 +54,159 @@ object Bucketing {
 
   private def dropStale(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `${table}__gen_stage`")
     val loc = tableDir(spark, table)
     val fs = fsOf(spark, loc)
     if (fs.exists(loc)) fs.delete(loc, true)
     val mk = swapMarker(spark, table)
     if (fs.exists(mk)) fs.delete(mk, false)
+    // sweep generation directories and pointers (see the
+    // "generation-location swap" section below)
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    if (fs.exists(wh)) {
+      val pat = s"${table.toLowerCase}__g(ptr_)?\\d+".r
+      fs.listStatus(wh).toSeq.map(_.getPath)
+        .filter(p => pat.pattern.matcher(p.getName).matches())
+        .foreach(fs.delete(_, true))
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Generation-location swap — scan-time snapshot isolation for
+  // REWRITTEN tables (the window [[stableTable]]'s scaladoc names).
+  //
+  // A maintenance rewrite (compaction, reband, rebalance, retire
+  // sweep) used to replace a table via drop→rename: crash-safe for
+  // the writer, but a reader that resolved the table BEFORE the swap
+  // and is still scanning when the old files are deleted dies
+  // mid-query — at 100 TB with streaming loops compacting while
+  // dashboards serve, that fires daily. The fix is the
+  // [[VersionedTable]] pointer discipline applied to the table's
+  // LOCATION, with the catalog entry as the pointer:
+  //
+  //   - each rewrite builds generation g+1 COMPLETELY in a fresh
+  //     directory `<table>__g<g+1>` (generation 0 is the legacy
+  //     managed directory `<table>`);
+  //   - a durable name-encoded pointer file `<table>__gptr_<g+1>`
+  //     records the new generation FIRST (a restart resolves through
+  //     it, so a crash after this point already serves the new
+  //     generation via [[registerExisting]]);
+  //   - `ALTER TABLE .. SET LOCATION` repoints the catalog entry —
+  //     ONE atomic catalog op, so there is NO instant at which the
+  //     table is absent (the drop→rename resolve window is gone, not
+  //     just retried around);
+  //   - the generation BEFORE the replaced one retires; the replaced
+  //     one stays on disk for one further rewrite, so a reader that
+  //     resolved just before the flip keeps scanning immutable files
+  //     to completion — the VersionedTable reader grace, location-
+  //     level.
+  //
+  // The table NAME never changes, so every call site (and every
+  // serve path) inherits snapshot isolation with zero changes.
+  // ---------------------------------------------------------------
+
+  private def genPtrPrefix(table: String) = s"${table.toLowerCase}__gptr_"
+
+  private def genDirPath(spark: SparkSession, table: String, g: Long) =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"${table.toLowerCase}__g$g")
+
+  /** Live generation of `table` (0 = legacy directory, never swapped). */
+  private[graft] def generationOf(spark: SparkSession, table: String): Long = {
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = fsOf(spark, wh)
+    if (!fs.exists(wh)) return 0L
+    val pfx = genPtrPrefix(table)
+    fs.listStatus(wh).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(pfx))
+      .flatMap(n => scala.util.Try(n.drop(pfx.length).toLong).toOption)
+      .sorted.lastOption.getOrElse(0L)
+  }
+
+  /** Create-then-sweep pointer flip (max wins; a crash between the
+    * two steps leaves two pointers, resolved to the max and swept by
+    * the next flip — the [[VersionedTable]] pointer discipline). */
+  private def flipGenPointer(spark: SparkSession, table: String,
+      next: Long): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = fsOf(spark, wh)
+    fs.mkdirs(wh)
+    val p = new org.apache.hadoop.fs.Path(wh, s"${genPtrPrefix(table)}$next")
+    if (!fs.exists(p)) fs.create(p, false).close()
+    val pfx = genPtrPrefix(table)
+    fs.listStatus(wh).toSeq.map(_.getPath)
+      .filter(q => q.getName.startsWith(pfx) && scala.util.Try(
+        q.getName.drop(pfx.length).toLong).toOption.exists(_ < next))
+      .foreach(fs.delete(_, false))
+  }
+
+  /** Can `table` be replaced by a generation swap instead of a
+    * drop-and-recreate? Yes iff it exists in the catalog and neither
+    * its schema (names+types) nor its bucket layout changes — SET
+    * LOCATION moves only the data, so the catalog metadata must stay
+    * valid for the new files. A genuine re-shape (new columns, new
+    * bucket spec) takes the legacy full-replace path, disclosed as
+    * the one remaining reader window of that (rare, rebuild-class)
+    * verb. */
+  private def canGenerationSwap(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      bucketSpec: Option[(String, Int)]): Boolean = {
+    if (!spark.catalog.tableExists(table)) return false
+    try {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      val sameSchema = meta.schema.fields.map(f =>
+        (f.name.toLowerCase, f.dataType)).toSeq ==
+        schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
+      val sameBuckets = (meta.bucketSpec, bucketSpec) match {
+        case (None, None) => true
+        case (Some(b), Some((c, n))) =>
+          b.numBuckets == n &&
+            b.bucketColumnNames.map(_.toLowerCase) == Seq(c.toLowerCase)
+        case _ => false
+      }
+      sameSchema && sameBuckets
+    } catch { case _: Exception => false }
+  }
+
+  /** The swap itself: build generation g+1 fully in its own
+    * directory (under a throwaway stage catalog name — external, so
+    * dropping the alias never touches the files), flip the durable
+    * pointer, repoint the live entry with ONE atomic ALTER, then
+    * retire generations `<= g-1` (down-walk, stops at the first
+    * absent — O(1) steady-state, self-healing after a crashed
+    * retire). The replaced generation g stays alive for in-flight
+    * scanners. */
+  private def generationSwap(df: DataFrame, table: String,
+      bucketSpec: Option[(String, Int)]): Unit = {
+    val spark = df.sparkSession
+    val cur = generationOf(spark, table)
+    val next = cur + 1
+    val nextDir = genDirPath(spark, table, next)
+    val fs = fsOf(spark, nextDir)
+    val stage = s"${table}__gen_stage"
+    spark.sql(s"DROP TABLE IF EXISTS `$stage`")
+    if (fs.exists(nextDir)) fs.delete(nextDir, true)
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", nextDir.toString)
+    bucketSpec.fold(w)(bs =>
+      w.bucketBy(bs._2, bs._1).sortBy(bs._1)).saveAsTable(stage)
+    flipGenPointer(spark, table, next)
+    spark.sql(s"ALTER TABLE `$table` SET LOCATION '$nextDir'")
+    spark.catalog.refreshTable(table)
+    spark.sql(s"DROP TABLE IF EXISTS `$stage`") // external: files stand
+    var g = cur - 1
+    var walking = true
+    while (g >= 0 && walking) {
+      val d = if (g == 0) tableDir(spark, table)
+        else genDirPath(spark, table, g)
+      if (fs.exists(d)) { fs.delete(d, true); g -= 1 }
+      else walking = false
+    }
   }
 
   /** Durable filesystem markers for MULTI-table maintenance verbs
@@ -121,8 +269,14 @@ object Bucketing {
   /** Default steal-after window: generous against slow verbs (a
     * compaction of a large index), small against operational pain.
     * With the heartbeat (below) refreshing the lease's mtime every
-    * `staleMs / 3`, staleness now means CRASHED, not slow — a verb
-    * legitimately running for hours keeps its lease fresh. */
+    * `staleMs / 3`, staleness means CRASHED, not slow, on stores
+    * whose `setTimes` works (HDFS, local FS) — a verb legitimately
+    * running for hours keeps its lease fresh. On stores where
+    * `setTimes` is unsupported the heartbeat cannot refresh and the
+    * protection degrades to the pre-heartbeat contract (a verb
+    * slower than the window can be mistaken for dead); the acquire
+    * probes this ONCE and warns loudly so the degradation is never
+    * silent. */
   val DefaultLeaseStaleMs: Long = 15L * 60L * 1000L
 
   private def readLease(fs: org.apache.hadoop.fs.FileSystem,
@@ -146,8 +300,13 @@ object Bucketing {
     * Liveness vs crash is disambiguated by a HEARTBEAT: a daemon
     * thread touches the lease file's mtime every `staleMs / 3`
     * while `body` runs, so a verb slower than the stale window is
-    * never mistaken for a dead holder — staleness means the
-    * heartbeat stopped, i.e. the holding JVM crashed. Release is
+    * not mistaken for a dead holder — staleness means the heartbeat
+    * stopped, i.e. the holding JVM crashed. Best-effort, disclosed:
+    * the heartbeat and fenced release are read-then-act, so the
+    * stolen-lease race is narrowed (to one beat / one delete), not
+    * closed; and on stores without `setTimes` the heartbeat cannot
+    * refresh at all — probed once at acquire, warned loudly.
+    * Release is
     * FENCED by a unique holder token written into the lease: the
     * finally re-reads the file and deletes it only if the token is
     * still its own, so a holder whose lease WAS stolen (clock skew,
@@ -179,6 +338,19 @@ object Bucketing {
     val token = java.util.UUID.randomUUID().toString
     val out = fs.create(p, false) // atomic no-overwrite create
     try out.write(s"$verb\n$token".getBytes("UTF-8")) finally out.close()
+    // probe setTimes support ONCE at acquire: on stores where it is
+    // unsupported the heartbeat silently cannot refresh mtime, and a
+    // verb slower than the stale window is again stealable — degrade
+    // LOUDLY, not silently (the heartbeat loop's catch would swallow
+    // it every beat)
+    try fs.setTimes(p, System.currentTimeMillis(), -1)
+    catch {
+      case e: Exception => System.err.println(
+        s"[graft-lease] WARNING: setTimes unsupported on this store " +
+          s"(${e.getClass.getSimpleName}) — the '$verb' lease on " +
+          s"'$key' cannot heartbeat; a run longer than " +
+          s"${staleMs / 1000}s may be stolen as presumed-dead")
+    }
     val beatEvery = math.max(staleMs / 3, 50L)
     val stop = new java.util.concurrent.CountDownLatch(1)
     val beat = new Thread(() => {
@@ -205,6 +377,19 @@ object Bucketing {
       if (readLease(fs, p).exists(_._2 == token)) fs.delete(p, false)
     }
   }
+
+  /** Acquire EVERY named index's single-writer lease (sorted order —
+    * two multi-index verbs acquiring in a deterministic order cannot
+    * deadlock), then run `body`. Built on [[withIndexLease]]'s
+    * per-thread re-entrancy, so a verb that already holds some of
+    * the leases nests freely. The multi-index verbs (shard merges)
+    * need this: leasing only the TARGET leaves a concurrent append
+    * free to mutate a SOURCE between the merge's read passes,
+    * yielding a merged index whose tables disagree. */
+  def withIndexLeases[T](spark: SparkSession, names: Seq[String],
+      verb: String)(body: => T): T =
+    names.distinct.sorted.foldRight(() => body)((n, acc) =>
+      () => withIndexLease(spark, n, verb)(acc())).apply()
 
   /** The verb named in index `name`'s live lease, if one exists —
     * the ops-card observability read of the single-writer protocol
@@ -258,7 +443,11 @@ object Bucketing {
   def registerExisting(spark: SparkSession, table: String,
       bucketSpec: Option[(String, Int)]): Boolean = {
     if (spark.catalog.tableExists(table)) return true
-    val loc = tableDir(spark, table)
+    // a table maintained by generation swaps lives at its pointer's
+    // generation directory, not the legacy warehouse/<table> one
+    val gen = generationOf(spark, table)
+    val loc = if (gen == 0L) tableDir(spark, table)
+      else genDirPath(spark, table, gen)
     if (!fsOf(spark, loc).exists(loc)) return false
     val cols = spark.read.parquet(loc.toString).schema.fields
       .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
@@ -271,19 +460,31 @@ object Bucketing {
   }
 
   /** Write `df` as a bucketed+sorted managed table. Idempotent across
-    * sessions (see [[dropStale]]). */
+    * sessions (see [[dropStale]]). When the table already exists with
+    * the same schema and bucket layout (a rebuild/reband/rebalance
+    * replacing content, the common maintenance shape), the replace is
+    * a generation-location swap: the table name is never absent from
+    * the catalog and a reader mid-scan keeps its old generation's
+    * files — scan-time snapshot isolation for every maintenance verb
+    * that funnels through here, zero call-site changes. A re-SHAPE
+    * (different columns or bucket spec) still drops and recreates. */
   def writeBucketed(
       df: DataFrame,
       table: String,
       bucketCol: String,
       numBuckets: Int): Unit = {
-    dropStale(df.sparkSession, table)
-    df.write
-      .mode("overwrite")
-      .format("parquet")
-      .bucketBy(numBuckets, bucketCol)
-      .sortBy(bucketCol)
-      .saveAsTable(table)
+    val spec = Some((bucketCol, numBuckets))
+    if (canGenerationSwap(df.sparkSession, table, df.schema, spec))
+      generationSwap(df, table, spec)
+    else {
+      dropStale(df.sparkSession, table)
+      df.write
+        .mode("overwrite")
+        .format("parquet")
+        .bucketBy(numBuckets, bucketCol)
+        .sortBy(bucketCol)
+        .saveAsTable(table)
+    }
   }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
@@ -299,11 +500,12 @@ object Bucketing {
     * swap forward is the next WRITER's job; a reader doing it would
     * race the live writer it is waiting for).
     *
-    * Scope, disclosed: this closes the RESOLVE window. A reader that
-    * resolved the table before the swap and is still scanning its
-    * files when the swap deletes them is the scan-time window —
-    * closed by [[VersionedTable]], whose published versions are
-    * immutable until explicitly retired a generation later. */
+    * Scope: this closes the RESOLVE window for the legacy staged
+    * swap (now only the re-SHAPE fallback path — see
+    * [[compactBucketed]]). The scan-time window — a reader still
+    * scanning files a swap deletes — is closed by the
+    * generation-location swap for same-shape rewrites and by
+    * [[VersionedTable]] for pointer-resolved tables. */
   def stableTable(spark: SparkSession, table: String,
       maxWaitMs: Long = 30000L): DataFrame = {
     val mk = swapMarker(spark, table)
@@ -338,23 +540,33 @@ object Bucketing {
       .saveAsTable(table)
 
   /** Write a small unbucketed managed table (drop-and-replace,
-    * idempotent across sessions like [[writeBucketed]]). */
+    * idempotent across sessions like [[writeBucketed]], and like it
+    * a generation-location swap when the shape is unchanged — stats
+    * and meta tables are replaced on every append/maintenance verb,
+    * so their readers get the same never-absent guarantee). */
   def writeTable(df: DataFrame, table: String): Unit = {
-    dropStale(df.sparkSession, table)
-    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+    if (canGenerationSwap(df.sparkSession, table, df.schema, None))
+      generationSwap(df, table, None)
+    else {
+      dropStale(df.sparkSession, table)
+      df.write.mode("overwrite").format("parquet").saveAsTable(table)
+    }
   }
 
   /** Rewrites a bucketed table accreted by [[appendBucketed]] back to
     * one file per bucket (every append adds a file per bucket; after
-    * K appends each bucketed scan opens K× the files). The rewrite
-    * stages into a `__compact_tmp` table first and swaps via
-    * drop+rename, so the live table is replaced only after the
-    * compacted copy fully exists. The drop→rename window is guarded
-    * by a durable filesystem marker ([[swapMarker]]): a crash inside
-    * it is finished on the next call — same-session via the catalog
-    * (live gone, staging present → rename), across a restart via
-    * [[finishInterruptedSwap]] (catalog gone, marker + staging
-    * directory present → filesystem-level rename). */
+    * K appends each bucketed scan opens K× the files). The rewrite is
+    * a generation-location swap (see [[generationSwap]]): the
+    * compacted copy is built COMPLETELY in the next generation's
+    * directory, the catalog entry repoints with one atomic ALTER, and
+    * the replaced generation's files survive one further rewrite for
+    * in-flight scanners — no instant at which the table is absent
+    * (the old drop→rename resolve window) and no deletion a pinned
+    * reader can observe (the old scan-time window). A transform that
+    * changes the SCHEMA (rare; retire sweeps keep it) falls back to
+    * the legacy staged drop→rename, still guarded by the durable
+    * [[swapMarker]]. Legacy crash states (a marker + staging left by
+    * the old mechanism, or by the fallback) are finished on entry. */
   def compactBucketed(
       df: DataFrame => DataFrame = identity)(
       spark: SparkSession, table: String, bucketCol: String,
@@ -369,8 +581,14 @@ object Bucketing {
       fs.delete(swapMarker(spark, table), false)
       return
     }
+    val out = df(spark.table(table))
+    val spec = Some((bucketCol, numBuckets))
+    if (canGenerationSwap(spark, table, out.schema, spec)) {
+      generationSwap(out, table, spec)
+      return
+    }
     dropStale(spark, tmp)
-    df(spark.table(table)).write
+    out.write
       .format("parquet")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)

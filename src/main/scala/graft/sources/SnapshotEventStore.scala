@@ -1,0 +1,361 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-isolated face of the dt/hour event store — the LAST
+  * reader-vs-writer window in the engine, closed.
+  *
+  * [[EventStore]]'s maintenance verbs (compact / clearExpired /
+  * clearRealm) swap partition DIRECTORIES via aside→in→drop
+  * ([[EventStore.swapIn]]): crash-safe for the writer, but a
+  * path-based reader racing the swap can (a) list the store during
+  * the rename window and silently MISS a partition, or (b) list
+  * before the swap and then scan file paths the swap just renamed
+  * away — at 100 TB with retention sweeping while dashboards serve,
+  * both fire. The reference never sees this only because its readers
+  * go through Glue/Athena's snapshot-isolated metadata
+  * (terraform/main.tf:84-96); a standalone engine must own it.
+  *
+  * This is that metadata layer re-expressed minimally — the
+  * Iceberg/Delta manifest discipline over the same physical layout:
+  *
+  *  - a MANIFEST (`_graft_snapshots/snap_<N>`, one store-relative
+  *    file path per line) is the table: readers resolve max N once
+  *    and scan exactly those files, never a directory listing;
+  *  - every write verb lands files INVISIBLY first (a dot-prefixed
+  *    temp root, then per-file rename into the live partition dirs —
+  *    new unique names, nothing overwritten), and publishes a new
+  *    manifest as the LAST step: rename-atomic, so a crash anywhere
+  *    leaves the prior snapshot intact plus unreferenced orphans;
+  *  - maintenance never deletes what a pinned reader can see: a
+  *    compaction/retention rewrite publishes a manifest WITHOUT the
+  *    replaced files and leaves them on disk for one further
+  *    maintenance cycle ([[retire]]'s `keepSnapshots` grace, the
+  *    [[VersionedTable]] reader contract at file grain);
+  *  - a whole-partition retention drop is METADATA-ONLY (the files
+  *    leave the manifest; the directory is untouched until retire) —
+  *    cheaper than the directory delete it replaces, and undoable
+  *    until retired.
+  *
+  * `keepSnapshots` on every write verb is the reader-grace knob
+  * (the Iceberg snapshot-retention analog): a reader's resolved
+  * snapshot stays scannable for that many FURTHER maintenance
+  * cycles (default 1). Size it to the longest query a store serves —
+  * back-to-back maintenance with the default grace can outrun a
+  * reader that resolved two cycles ago, exactly the disclosed
+  * [[VersionedTable]] contract.
+  *
+  * Writers serialize through the single-writer lease
+  * ([[Bucketing.withIndexLease]], keyed by the store path); readers
+  * take no lease and never block. Partition pruning survives: the
+  * scan is handed the file list WITH `basePath`, so dt/hour stay
+  * partition columns and time predicates prune as before.
+  *
+  * Contract: a store maintained through this face must be READ
+  * through it ([[read]]) — the physical directories legitimately
+  * hold replaced-but-not-yet-retired files a raw directory read
+  * would double-count. A legacy store adopts the discipline with one
+  * [[init]] call; a streaming sink joins it by appending through
+  * [[append]] in `foreachBatch`.
+  */
+object SnapshotEventStore {
+
+  private val SnapDirName = "_graft_snapshots"
+  private val SnapPrefix = "snap_"
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def snapDir(path: String) = new Path(path, SnapDirName)
+
+  private def leaseKey(path: String): String =
+    "evsnap__" + path.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+
+  /** Live snapshot number, if the store has been sealed. */
+  def currentSnapshot(spark: SparkSession, path: String): Option[Long] = {
+    val d = snapDir(path)
+    val fs = fsOf(spark, d)
+    if (!fs.exists(d)) return None
+    fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(SnapPrefix) && !n.endsWith(".tmp"))
+      .flatMap(n => scala.util.Try(n.drop(SnapPrefix.length).toLong).toOption)
+      .sorted.lastOption
+  }
+
+  private def manifestFiles(spark: SparkSession, path: String,
+      n: Long): Seq[String] = {
+    val p = new Path(snapDir(path), s"$SnapPrefix$n")
+    val fs = fsOf(spark, p)
+    val in = fs.open(p)
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    raw.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Write manifest N+1: stage to a dot-tmp name, then ONE atomic
+    * rename makes it visible — readers see the old complete manifest
+    * or the new complete one, never a torn read. Returns N+1. */
+  private def publish(spark: SparkSession, path: String,
+      files: Seq[String]): Long = {
+    val d = snapDir(path)
+    val fs = fsOf(spark, d)
+    fs.mkdirs(d)
+    val next = currentSnapshot(spark, path).getOrElse(0L) + 1L
+    val tmp = new Path(d, s".$SnapPrefix$next.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(tmp, new Path(d, s"$SnapPrefix$next"))
+    next
+  }
+
+  private def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  /** Store-relative data-file paths currently in the live partition
+    * directories (the legacy, directory-defined view). */
+  private def listLive(spark: SparkSession, path: String): Seq[String] = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return Seq.empty
+    for {
+      dt <- fs.listStatus(root).toSeq
+      if dt.isDirectory && dt.getPath.getName.startsWith("dt=")
+      hour <- fs.listStatus(dt.getPath).toSeq
+      if hour.isDirectory && hour.getPath.getName.startsWith("hour=")
+      f <- fs.listStatus(hour.getPath).toSeq
+      if f.isFile && isDataFile(f.getPath.getName)
+    } yield s"${dt.getPath.getName}/${hour.getPath.getName}/${f.getPath.getName}"
+  }
+
+  /** Seal the store's current directory state as the next snapshot —
+    * how a legacy [[EventStore]]-maintained store adopts the
+    * discipline (and how a fresh one starts: init on the empty
+    * directory, then [[append]]). */
+  def init(spark: SparkSession, path: String): Long =
+    Bucketing.withIndexLease(spark, leaseKey(path), "snapInit") {
+      publish(spark, path, listLive(spark, path))
+    }
+
+  /** Snapshot-isolated read: resolve the live manifest once, scan
+    * exactly its files. `basePath` keeps dt/hour as partition
+    * columns, so time predicates prune partitions exactly as on the
+    * raw store. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val n = currentSnapshot(spark, path).getOrElse(throw
+      new IllegalStateException(
+        s"no snapshot published for event store '$path' — seal it " +
+          "once with SnapshotEventStore.init"))
+    val files = manifestFiles(spark, path, n)
+    if (files.isEmpty) return spark.emptyDataFrame
+    spark.read.option("basePath", path)
+      .parquet(files.map(f => s"$path/$f"): _*)
+  }
+
+  /** Move every data file under `tmpRoot`'s dt/hour tree into the
+    * live tree (names are Spark-generated UUIDs — collision-free),
+    * returning the store-relative paths that landed. */
+  private def moveIntoLive(spark: SparkSession, tmpRoot: Path,
+      root: Path): Seq[String] = {
+    val fs = fsOf(spark, tmpRoot)
+    if (!fs.exists(tmpRoot)) return Seq.empty
+    val moved = for {
+      dt <- fs.listStatus(tmpRoot).toSeq
+      if dt.isDirectory && dt.getPath.getName.startsWith("dt=")
+      hour <- fs.listStatus(dt.getPath).toSeq
+      if hour.isDirectory && hour.getPath.getName.startsWith("hour=")
+      f <- fs.listStatus(hour.getPath).toSeq
+      if f.isFile && isDataFile(f.getPath.getName)
+    } yield {
+      val rel = s"${dt.getPath.getName}/${hour.getPath.getName}/${f.getPath.getName}"
+      val target = new Path(root, rel)
+      fs.mkdirs(target.getParent)
+      fs.rename(f.getPath, target)
+      rel
+    }
+    fs.delete(tmpRoot, true)
+    moved
+  }
+
+  /** Append a batch: land under an invisible temp root, move into the
+    * live tree, publish prev+new. A crash before publish leaves only
+    * unreferenced orphans — the prior snapshot is untouched. */
+  def append(events: DataFrame, path: String,
+      maxRecordsPerFile: Int = 1000000,
+      sortWithin: Seq[String] = Nil,
+      keepSnapshots: Int = 1): Long = {
+    val spark = events.sparkSession
+    Bucketing.withIndexLease(spark, leaseKey(path), "snapAppend") {
+      val n = currentSnapshot(spark, path).getOrElse(throw
+        new IllegalStateException(
+          s"snapshot append to un-sealed store '$path' — init first"))
+      val prev = manifestFiles(spark, path, n)
+      val tmp = new Path(path, ".snap_append_tmp")
+      val fs = fsOf(spark, tmp)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      EventStore.write(events, tmp.toString, maxRecordsPerFile, sortWithin)
+      val moved = moveIntoLive(spark, tmp, new Path(path))
+      val snap = publish(spark, path, prev ++ moved)
+      retire(spark, path, keepSnapshots)
+      snap
+    }
+  }
+
+  private def partitionOf(rel: String): (String, Int) = {
+    val parts = rel.split("/")
+    (parts(0).stripPrefix("dt="), parts(1).stripPrefix("hour=").toInt)
+  }
+
+  private def partitionStartMs(rel: String): Long = {
+    val (dt, hour) = partitionOf(rel)
+    java.time.LocalDate.parse(dt)
+      .atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli + hour * 3600000L
+  }
+
+  private def readFiles(spark: SparkSession, path: String,
+      rels: Seq[String]): DataFrame =
+    spark.read.option("basePath", path)
+      .parquet(rels.map(f => s"$path/$f"): _*)
+
+  /** Rewrite `replaced` as `transform` of their rows, landing new
+    * files invisibly and publishing `keep − replaced + new`. The
+    * shared shape of compact / retention / realm-clear. */
+  private def rewriteFiles(spark: SparkSession, path: String,
+      all: Seq[String], replaced: Seq[String],
+      transform: DataFrame => DataFrame, keepSnapshots: Int): Long = {
+    val tmp = new Path(path, ".snap_rewrite_tmp")
+    val fs = fsOf(spark, tmp)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val moved = if (replaced.isEmpty) Seq.empty[String] else {
+      transform(readFiles(spark, path, replaced))
+        .repartition(col("dt"), col("hour"))
+        .write.partitionBy("dt", "hour").parquet(tmp.toString)
+      moveIntoLive(spark, tmp, new Path(path))
+    }
+    val snap = publish(spark, path,
+      all.diff(replaced) ++ moved)
+    retire(spark, path, keepSnapshots)
+    snap
+  }
+
+  /** Compact fragmented partitions ([[EventStore.compact]] semantics:
+    * any hour with more than `maxFilesPerPartition` manifest files is
+    * rewritten) — one job for all oversized partitions, snapshot
+    * flip, replaced files retained one cycle. Returns partitions
+    * compacted. */
+  def compact(spark: SparkSession, path: String,
+      maxFilesPerPartition: Int = 4, keepSnapshots: Int = 1): Int =
+    Bucketing.withIndexLease(spark, leaseKey(path), "snapCompact") {
+      val n = currentSnapshot(spark, path).getOrElse(throw
+        new IllegalStateException(s"un-sealed store '$path' — init first"))
+      val all = manifestFiles(spark, path, n)
+      val oversized = all.groupBy(r => partitionOf(r))
+        .filter(_._2.size > maxFilesPerPartition)
+      if (oversized.isEmpty) 0
+      else {
+        rewriteFiles(spark, path, all, oversized.values.flatten.toSeq,
+          identity, keepSnapshots)
+        oversized.size
+      }
+    }
+
+  /** Retention sweep ([[EventStore.clearExpired]] semantics): hours
+    * wholly before the cutoff leave the manifest METADATA-ONLY (no
+    * scan, no delete — retire reclaims them a cycle later); the one
+    * boundary hour is rewritten with its survivors. Returns whole
+    * partitions dropped. */
+  def clearExpired(spark: SparkSession, path: String,
+      olderThanMs: Long, keepSnapshots: Int = 1): Int =
+    Bucketing.withIndexLease(spark, leaseKey(path), "snapRetention") {
+      val n = currentSnapshot(spark, path).getOrElse(throw
+        new IllegalStateException(s"un-sealed store '$path' — init first"))
+      val all = manifestFiles(spark, path, n)
+      val dropped = all.filter(r => partitionStartMs(r) + 3600000L <= olderThanMs)
+      val boundary = all.filter { r =>
+        val s = partitionStartMs(r)
+        s < olderThanMs && s + 3600000L > olderThanMs
+      }
+      if (dropped.isEmpty && boundary.isEmpty) 0
+      else {
+        val afterDrop = all.diff(dropped)
+        rewriteFiles(spark, path, afterDrop, boundary,
+          _.filter(col("time") >= olderThanMs), keepSnapshots)
+        dropped.map(partitionOf).distinct.size
+      }
+    }
+
+  /** Realm purge ([[EventStore.clearRealm]] semantics): find touched
+    * partitions with one pushdown-pruned discovery pass over the
+    * SNAPSHOT, rewrite only those files keeping survivors (null
+    * realmid always survives). Returns partitions touched. */
+  def clearRealm(spark: SparkSession, path: String, realmId: String,
+      olderThanMs: Option[Long] = None, keepSnapshots: Int = 1): Int =
+    Bucketing.withIndexLease(spark, leaseKey(path), "snapRealmClear") {
+      val n = currentSnapshot(spark, path).getOrElse(throw
+        new IllegalStateException(s"un-sealed store '$path' — init first"))
+      val all = manifestFiles(spark, path, n)
+      val doomed = olderThanMs.foldLeft(col("realmid") === realmId) {
+        (p, cut) => p && col("time") < cut
+      }
+      val touched = if (all.isEmpty) Set.empty[(String, Int)]
+        else readFiles(spark, path, all)
+          .filter(doomed)
+          .select(col("dt").cast("string").as("dt"),
+            col("hour").cast("int").as("hour"))
+          .distinct()
+          .collect() // bounded: one row per store partition
+          .map(r => (r.getString(0), r.getInt(1))).toSet
+      if (touched.isEmpty) 0
+      else {
+        val replaced = all.filter(r => touched.contains(partitionOf(r)))
+        rewriteFiles(spark, path, all, replaced,
+          _.filter(not(coalesce(doomed, lit(false)))), keepSnapshots)
+        touched.size
+      }
+    }
+
+  /** Reclaim space: drop every snapshot older than the
+    * `keepSnapshots` most recent BEHIND the live one, delete the
+    * physical files only they reference, prune emptied partition
+    * dirs. Run automatically by every write verb with the default
+    * one-cycle grace; callable directly with a larger horizon for
+    * stores whose queries outlive a maintenance cycle. Returns files
+    * deleted. */
+  def retire(spark: SparkSession, path: String,
+      keepSnapshots: Int = 1): Int =
+    Bucketing.withIndexLease(spark, leaseKey(path), "snapRetire") {
+      val d = snapDir(path)
+      val fs = fsOf(spark, d)
+      val nums = if (!fs.exists(d)) Seq.empty[Long]
+        else fs.listStatus(d).toSeq.map(_.getPath.getName)
+          .filter(n => n.startsWith(SnapPrefix) && !n.endsWith(".tmp"))
+          .flatMap(n =>
+            scala.util.Try(n.drop(SnapPrefix.length).toLong).toOption)
+          .sorted
+      val retired = if (nums.isEmpty) Seq.empty[Long]
+        else nums.filter(_ < nums.last - keepSnapshots)
+      if (retired.isEmpty) 0
+      else {
+        val kept = nums.filter(_ >= nums.last - keepSnapshots)
+        val keepFiles = kept.flatMap(manifestFiles(spark, path, _)).toSet
+        val doomed = retired.flatMap(manifestFiles(spark, path, _))
+          .distinct.filterNot(keepFiles)
+        val root = new Path(path)
+        doomed.foreach(r => fs.delete(new Path(root, r), false))
+        retired.foreach(v => fs.delete(new Path(d, s"$SnapPrefix$v"), false))
+        // prune partition dirs the deletions emptied
+        for (dt <- fs.listStatus(root).toSeq
+             if dt.isDirectory && dt.getPath.getName.startsWith("dt=")) {
+          for (hour <- fs.listStatus(dt.getPath).toSeq
+               if hour.isDirectory && hour.getPath.getName.startsWith("hour=")
+               if fs.listStatus(hour.getPath).isEmpty)
+            fs.delete(hour.getPath, true)
+          if (fs.listStatus(dt.getPath).isEmpty) fs.delete(dt.getPath, true)
+        }
+        doomed.size
+      }
+    }
+}

@@ -237,13 +237,27 @@ object StreamingIngest {
     * telemetry. Replay semantics follow the C14/C15 funnel
     * precedent: the row reflects the LAST delivery, so a replayed
     * batch (screened to zero survivors) truthfully re-reads as
-    * nothing-new and overwrites its own partition. */
+    * nothing-new and overwrites its own partition.
+    *
+    * `dedupDriftDir` turns on the C19/D116 telemetry: one
+    * [[graft.operators.Dedup.dedupIngestDriftCard]] row per
+    * micro-batch — the ARRIVING batch's (post keep-one, PRE-screen)
+    * band-key and exact-hash novelty vs the dedup index as the batch
+    * found it: the reband/ingest decision feed, and the flood
+    * detector (a mirror flood reads LOW new shares while the funnel
+    * still shows high n_index_dup — measuring survivors instead
+    * would hide exactly that signal, so this card deliberately reads
+    * the pre-screen frame). Measured before the fold-in and
+    * materialized as ONE driver row (the C18 discipline — a lazy
+    * frame would re-evaluate against the mutated index); written
+    * LAST; replay reads all-known, truthfully. */
   def toScreenedDocIngest(docs: DataFrame, idCol: String,
       textCol: String, indexName: String, path: String,
       checkpoint: String, dedupWithinBatch: Boolean = true,
       funnelDir: Option[String] = None,
       bm25IndexName: Option[String] = None,
-      bm25DriftDir: Option[String] = None): StreamingQuery =
+      bm25DriftDir: Option[String] = None,
+      dedupDriftDir: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -281,6 +295,13 @@ object StreamingIngest {
               .head()
           }
         }
+        // C19/D116: the dedup-drift card reads the PRE-screen frame
+        // (see scaladoc) against the index as the batch found it —
+        // one driver row, before any fold-in mutates the index side
+        val dedupDriftRow = dedupDriftDir.map { _ =>
+          graft.operators.Dedup.dedupIngestDriftCard(
+            batch.sparkSession, indexName, b, idCol, textCol).head()
+        }
         // BM25 append BEFORE the dedup fold-in, anti-joined for
         // idempotence — see the ordering argument in the scaladoc
         bm25IndexName.foreach { bx =>
@@ -304,6 +325,15 @@ object StreamingIngest {
             .parquet(s"$fd/ingest_batch=$batchId")
         }
         for (dd <- bm25DriftDir; row <- driftRow) {
+          val spark = batch.sparkSession
+          spark.createDataFrame(
+            java.util.List.of(row),
+            row.schema)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$dd/ingest_batch=$batchId")
+        }
+        for (dd <- dedupDriftDir; row <- dedupDriftRow) {
           val spark = batch.sparkSession
           spark.createDataFrame(
             java.util.List.of(row),

@@ -761,8 +761,12 @@ class DedupSpec extends AnyFunSuite {
       Seq((41L, "appended doc number two with other words in it"))
         .toDF("doc_id", "text"), "doc_id", "text", cName)
     def bandFiles(): Int = {
+      // resolve the table's LIVE location from the catalog — the
+      // generation-location swap moves it on every compaction
       val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), s"${cName}_bands")
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(
+            s"${cName}_bands")).location)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.listStatus(loc).count(f => f.isFile &&
         !f.getPath.getName.startsWith("_"))

@@ -89,6 +89,36 @@ class OpsCardSpec extends AnyFunSuite {
       r.getAs[Boolean]("ids_digest_match"))
   }
 
+  test("side_digest_match: null without video evidence, true when consistent, FALSE on the torn crash state") {
+    import org.apache.spark.sql.functions.{col, explode, lit, sequence, xxhash64}
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id"), xxhash64(col("doc_id")).as("sim"))
+    Dedup.buildSimIndex(sigs, name = "card_vx", maxDist = 2,
+      numBuckets = 2)
+    val entry = Seq(OpsCard.Entry("sim", "card_vx", docs, "doc_id"))
+    // no video evidence yet: the column is NULL (healthy absence)
+    assert(cardRow(entry, "sim").isNullAt(
+      cardRow(entry, "sim").fieldIndex("side_digest_match")))
+    // consistent evidence: both side tables know the same video set
+    val frames = docs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(1))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        xxhash64(col("doc_id"), col("frame_idx")).as("sim"))
+    Dedup.appendVideoFramesToSimIndex(frames, "card_vx")
+    assert(cardRow(entry, "sim").getAs[Boolean]("side_digest_match"))
+    // the torn crash state (death between the two appends): frames
+    // table gone, chunk evidence still there — the screen silently
+    // degrades on this; the card must NAME it
+    graft.sources.Bucketing.dropTableAndDir(spark, "card_vx_vframes")
+    assert(!cardRow(entry, "sim").getAs[Boolean]("side_digest_match"))
+    // and a non-sim family never carries the column's value
+    Retrieval.buildBm25Index(docs, "doc_id", "text", "card_vb",
+      numBuckets = 2)
+    val b = cardRow(Seq(OpsCard.Entry("bm25", "card_vb", docs,
+      "doc_id")), "bm25")
+    assert(b.isNullAt(b.fieldIndex("side_digest_match")))
+  }
+
   test("pending_verb surfaces a live lease and an interrupted marker; idle otherwise") {
     Dedup.buildDedupIndex(docs, "doc_id", "text", "card_dx",
       md5Sig = true, numBuckets = 2)

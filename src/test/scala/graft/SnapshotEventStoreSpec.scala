@@ -1,0 +1,188 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotEventStore
+
+/** The event store's snapshot discipline — manifest-defined reads
+  * racing maintenance that rewrites the physical directories. The
+  * legacy [[graft.sources.EventStore]] swap verbs expose a path-based
+  * reader to the rename window (silently missing a partition, or
+  * scanning just-renamed paths); a snapshot reader resolves one
+  * manifest and scans only immutable, grace-retained files — so a
+  * read loop concurrent with compaction + retention sweeps must
+  * NEVER error and never see a state that was not a published
+  * snapshot. */
+class SnapshotEventStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val Base = 1704067200000L // 2024-01-01T00:00:00Z
+
+  /** `n` events per hour over `hours` hours, realms round-robin. */
+  private def events(hours: Int, perHour: Int,
+      idOffset: Long = 0L): DataFrame = {
+    import spark.implicits._
+    (0 until hours).flatMap { h =>
+      (0 until perHour).map { i =>
+        val id = idOffset + h.toLong * perHour + i
+        (id.toString, "LOGIN", s"realm-${i % 3}", s"user-$i",
+          Base + h * 3600000L + i * 1000L)
+      }
+    }.toDF("id", "eventtype", "realmid", "userid", "time")
+  }
+
+  private def freshDir(): String = {
+    val dir = Files.createTempDirectory("graft_snap_").toString
+    new java.io.File(dir).mkdirs()
+    dir
+  }
+
+  test("init + append + read: snapshot reads agree with what landed") {
+    val dir = freshDir()
+    SnapshotEventStore.init(spark, dir)
+    SnapshotEventStore.append(events(4, 10), dir)
+    assert(SnapshotEventStore.read(spark, dir).count() == 40L)
+    SnapshotEventStore.append(events(4, 10, idOffset = 1000L), dir)
+    val back = SnapshotEventStore.read(spark, dir)
+    assert(back.count() == 80L)
+    // dt/hour stay partition columns, and time predicates still prune
+    assert(back.columns.contains("dt") && back.columns.contains("hour"))
+    val pruned = back.filter(col("hour") === 2)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"), "pruning lost through the manifest")
+    assert(pruned.count() == 20L)
+  }
+
+  test("compact is invisible to results; replaced files retire one cycle later") {
+    val dir = freshDir()
+    SnapshotEventStore.init(spark, dir)
+    (0 until 3).foreach(k =>
+      SnapshotEventStore.append(events(2, 5, idOffset = 100L * k), dir))
+    val before = SnapshotEventStore.read(spark, dir)
+      .groupBy("hour").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // a reader pinned BEFORE the compaction…
+    val pinned = SnapshotEventStore.read(spark, dir)
+    assert(SnapshotEventStore.compact(spark, dir,
+      maxFilesPerPartition = 1) == 2)
+    // …still scans its snapshot's files (grace-retained on disk)
+    assert(pinned.count() == 30L)
+    val after = SnapshotEventStore.read(spark, dir)
+      .groupBy("hour").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after == before, s"compaction changed results: $before -> $after")
+    // a second maintenance cycle retires the replaced files: the
+    // directory shrinks to the manifest's view
+    SnapshotEventStore.compact(spark, dir, maxFilesPerPartition = 1)
+    SnapshotEventStore.retire(spark, dir, keepSnapshots = 0)
+    val live = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .filterNot(_.getName.startsWith("_"))
+      .flatMap(_.listFiles).flatMap(_.listFiles)
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(live == 2, s"retire must reclaim replaced files, saw $live")
+    assert(SnapshotEventStore.read(spark, dir).count() == 30L)
+  }
+
+  test("clearExpired: whole partitions leave metadata-only, boundary rewrites") {
+    val dir = freshDir()
+    SnapshotEventStore.init(spark, dir)
+    SnapshotEventStore.append(events(4, 10), dir)
+    // cutoff mid hour-1: hour 0 drops whole, hour 1 keeps survivors
+    val cut = Base + 3600000L + 5000L
+    assert(SnapshotEventStore.clearExpired(spark, dir, cut) == 1)
+    val back = SnapshotEventStore.read(spark, dir)
+    assert(back.count() == 25L) // 5 survivors in hour 1 + 2 full hours
+    assert(back.agg(min(col("time"))).head().getLong(0) >= cut)
+    // metadata-only: the dropped hour's directory is STILL on disk
+    // (one-cycle grace) even though no snapshot read can see it
+    assert(new java.io.File(s"$dir/dt=2024-01-01/hour=0").exists(),
+      "whole-partition drop must be metadata-only until retire")
+    // a no-op sweep publishes nothing
+    assert(SnapshotEventStore.clearExpired(spark, dir, cut) == 0)
+  }
+
+  test("clearRealm purges one realm only; null realms survive") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotEventStore.init(spark, dir)
+    val withNull = events(2, 9)
+      .withColumn("realmid", when(col("userid") === "user-0",
+        lit(null: String)).otherwise(col("realmid")))
+    SnapshotEventStore.append(withNull, dir)
+    val touched = SnapshotEventStore.clearRealm(spark, dir, "realm-1")
+    assert(touched == 2)
+    val back = SnapshotEventStore.read(spark, dir)
+    assert(back.filter(col("realmid") === "realm-1").count() == 0)
+    assert(back.filter(col("realmid").isNull).count() == 2L,
+      "null-realm rows must survive a realm purge")
+    assert(back.count() == 12L) // 18 - 6 realm-1 rows
+  }
+
+  test("THE window: a read loop racing compact + retention sweeps never errors") {
+    val dir = freshDir()
+    SnapshotEventStore.init(spark, dir)
+    SnapshotEventStore.append(events(6, 8), dir)
+    SnapshotEventStore.append(events(6, 8, idOffset = 500L), dir)
+
+    // legal totals: any published snapshot's count — appends done, so
+    // maintenance preserves (compact) or cuts to a sweep state
+    val legal = Set(96L, // pre-sweep
+      96L - 16L, // after sweep 1 (hour 0 gone: 2 appends × 8)
+      96L - 32L) // after sweep 2
+    @volatile var readerErr: Option[Throwable] = None
+    @volatile var stop = false
+    var reads = 0
+    val reader = new Thread(() => {
+      try {
+        while (!stop) {
+          val c = SnapshotEventStore.read(spark, dir).count()
+          assert(legal.contains(c), s"illegal observed state: $c")
+          reads += 1
+        }
+      } catch { case e: Throwable => readerErr = Some(e) }
+    })
+    reader.start()
+    try {
+      // back-to-back maintenance outruns the default one-cycle grace,
+      // so size keepSnapshots to the burst — the production knob for
+      // stores whose queries can span several maintenance cycles
+      SnapshotEventStore.compact(spark, dir, maxFilesPerPartition = 1,
+        keepSnapshots = 4)
+      SnapshotEventStore.clearExpired(spark, dir, Base + 3600000L,
+        keepSnapshots = 4)
+      SnapshotEventStore.compact(spark, dir, maxFilesPerPartition = 1,
+        keepSnapshots = 4)
+      SnapshotEventStore.clearExpired(spark, dir, Base + 2 * 3600000L,
+        keepSnapshots = 4)
+    } finally { stop = true; reader.join(60000) }
+    assert(readerErr.isEmpty,
+      s"reader failed during maintenance: $readerErr")
+    assert(reads >= 1, "reader loop never completed a read")
+    assert(SnapshotEventStore.read(spark, dir).count() == 64L)
+  }
+
+  test("crash leftovers are invisible: orphan files and tmp roots never surface") {
+    val dir = freshDir()
+    SnapshotEventStore.init(spark, dir)
+    SnapshotEventStore.append(events(2, 6), dir)
+    // fabricate a crash: a half-landed append (tmp root) AND an
+    // orphan data file moved into a live partition dir but never
+    // published
+    events(1, 3, idOffset = 900L).write.mode("overwrite")
+      .parquet(s"$dir/.snap_append_tmp_crashed")
+    val orphanSrc = new java.io.File(s"$dir/.snap_append_tmp_crashed")
+      .listFiles.filter(f => f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(orphanSrc.toPath,
+      new java.io.File(s"$dir/dt=2024-01-01/hour=0/orphan-crashed.parquet").toPath)
+    assert(SnapshotEventStore.read(spark, dir).count() == 12L,
+      "unpublished files must be invisible to snapshot readers")
+    // and the next append does not accidentally adopt them
+    SnapshotEventStore.append(events(1, 2, idOffset = 950L), dir)
+    assert(SnapshotEventStore.read(spark, dir).count() == 14L)
+  }
+}

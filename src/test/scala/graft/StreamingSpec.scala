@@ -638,6 +638,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup ingest-drift telemetry: novel batch reads new bands/hashes; a mirror flood reads all-known; replay reads all-known") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("deddrift").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    graft.operators.Dedup.buildDedupIndex(corpus, "doc_id", "text",
+      name = "t_ddrift_idx")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingIngest.toScreenedDocIngest(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      "t_ddrift_idx", s"$dir/docs", s"$dir/ckpt",
+      dedupDriftDir = Some(s"$dir/drift"))
+    try {
+      // batch 0: genuinely novel content — every band and hash is
+      // new to the index
+      input.addData(
+        (30L, "entirely novel streaming payload with fresh words arriving first"))
+      q.processAllAvailable()
+      val c0 = spark.read.parquet(s"$dir/drift/ingest_batch=0").head()
+      assert(c0.getAs[Long]("n_batch_docs") == 1L)
+      assert(c0.getAs[Long]("n_new_bands") > 0L &&
+        c0.getAs[Double]("new_band_share") == 1.0, s"novel batch: $c0")
+      assert(c0.getAs[Long]("n_new_hashes") == 1L &&
+        c0.getAs[Double]("new_hash_share") == 1.0)
+      // batch 1: a MIRROR FLOOD — exact copies of indexed content
+      // under fresh ids. The card reads all-known (low new shares)
+      // BEFORE the screen drops them: the flood detector the
+      // survivors-side card would be blind to.
+      input.addData(
+        (40L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (41L, "entirely novel streaming payload with fresh words arriving first"))
+      q.processAllAvailable()
+      val c1 = spark.read.parquet(s"$dir/drift/ingest_batch=1").head()
+      assert(c1.getAs[Long]("n_batch_docs") == 2L &&
+        c1.getAs[Long]("n_new_bands") == 0L &&
+        c1.getAs[Long]("n_new_hashes") == 0L, s"mirror flood row: $c1")
+      // full redelivery of batch 0: the index already folded doc 30
+      // in, so the card truthfully re-reads all-known
+      input.addData(
+        (30L, "entirely novel streaming payload with fresh words arriving first"))
+      q.processAllAvailable()
+      val c2 = spark.read.parquet(s"$dir/drift/ingest_batch=2").head()
+      assert(c2.getAs[Long]("n_new_bands") == 0L &&
+        c2.getAs[Long]("n_new_hashes") == 0L, s"replay row: $c2")
+      // the telemetry never interfered with ingest: exactly the two
+      // distinct contents landed
+      assert(spark.read.parquet(s"$dir/docs").select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(30L))
+    } finally q.stop()
+  }
+
   test("screened ingest dedups WITHIN a micro-batch: one representative per exact/near family lands") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("intrabatch").toString

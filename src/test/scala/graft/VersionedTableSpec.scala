@@ -81,6 +81,74 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("retireBelow walks O(generations retired), not O(all history)") {
+    VersionedTable.publishBucketed(docs(4), "vt_f", "doc_id", 2)
+    (1 to 5).foreach { _ =>
+      VersionedTable.rewriteBucketed(spark, "vt_f", identity, "doc_id", 2)
+    }
+    // live v6, floor advanced to 5 by the per-rewrite retirements —
+    // a further retire probes exactly the one generation below the
+    // live one (the pre-fix walk would have re-probed 1..5)
+    assert(VersionedTable.retireBelow(spark, "vt_f", 6L) == 1)
+    // and a repeat probes NOTHING — the floor marker remembers
+    assert(VersionedTable.retireBelow(spark, "vt_f", 6L) == 0)
+    assert(VersionedTable.read(spark, "vt_f").count() == 4L)
+  }
+
+  test("publishBucketed retires like rewrite — refresh loops don't leak") {
+    VersionedTable.publishBucketed(docs(3), "vt_p", "doc_id", 2)
+    VersionedTable.publishBucketed(docs(4), "vt_p", "doc_id", 2)
+    VersionedTable.publishBucketed(docs(5), "vt_p", "doc_id", 2)
+    // v3 live, v2 kept for pinned readers, v1 retired
+    assert(!spark.catalog.tableExists(
+      VersionedTable.physicalName("vt_p", 1L)))
+    assert(spark.catalog.tableExists(
+      VersionedTable.physicalName("vt_p", 2L)))
+    assert(VersionedTable.read(spark, "vt_p").count() == 5L)
+  }
+
+  test("cross-session time travel keeps the bucket layout (zero-Exchange agg)") {
+    import org.apache.spark.sql.functions._
+    VersionedTable.publishBucketed(docs(8), "vt_tt", "doc_id", 2)
+    VersionedTable.rewriteBucketed(spark, "vt_tt",
+      _.filter("doc_id <= 4"), "doc_id", 2) // v2 live, v1 kept
+    val s2 = {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir",
+          spark.conf.get("spark.sql.warehouse.dir"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
+    try {
+      assert(!s2.catalog.tableExists(
+        VersionedTable.physicalName("vt_tt", 1L)),
+        "restart simulation failed: catalog still knows the generation")
+      val prevAqe = s2.conf.get("spark.sql.adaptive.enabled")
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        // the bucketSpec passes through registerExisting, so the
+        // re-registered generation still satisfies the clustering its
+        // layout paid for — a per-key agg plans ZERO Exchange (the
+        // pre-fix re-register as unbucketed planned one)
+        val pinned = VersionedTable.readVersion(s2, "vt_tt", 1L,
+          bucketSpec = Some(("doc_id", 2)))
+        val agg = pinned.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val plan = agg.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"time-travel read lost the bucket spec:\n$plan")
+        assert(agg.count() == 8L)
+      } finally s2.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("a crash between pointer create and sweep still resolves to max") {
     VersionedTable.publishBucketed(docs(3), "vt_c", "doc_id", 2)
     VersionedTable.rewriteBucketed(spark, "vt_c", identity, "doc_id", 2)
