@@ -224,13 +224,27 @@ object Bench {
       graft.operators.Retrieval.bm25ProximityAgainstIndex(
         spark, "d112bench_idx", terms = Seq("vector", "merge", "spark"),
         window = 6, topK = 20, k1 = 1.5, b = 0.75))
+    // the other ranking model and the PRF loop ride the same prebuilt
+    // index — their steady cost is what a production serve pays
+    val lmServeOnly = bm25ServeOnly.map(_ => () =>
+      graft.operators.Retrieval.lmDirichletAgainstIndex(
+        spark, "d112bench_idx",
+        queryTerms = Seq("customer", "vector", "merge", "spark"),
+        topK = 20, mu = 2000.0))
+    val prfServeOnly = bm25ServeOnly.map(_ => () =>
+      graft.operators.Retrieval.bm25PrfAgainstIndex(
+        spark, "d112bench_idx",
+        queryTerms = Seq("customer", "vector", "merge", "spark"),
+        topK = 20, fbDocs = 3, fbTerms = 5, k1 = 1.5, b = 0.75))
     val extras = screenOnly.map(mk => "d46_screen" -> mk) ++
       annQueryOnly.map(mk => "d58_query" -> mk) ++
       simScreenOnly.map(mk => "d67_screen" -> mk) ++
       nbScoreOnly.map(mk => "d74_score" -> mk) ++
       bm25ServeOnly.map(mk => "d112_serve" -> mk) ++
       phraseServeOnly.map(mk => "d119_serve" -> mk) ++
-      proxServeOnly.map(mk => "d124_serve" -> mk)
+      proxServeOnly.map(mk => "d124_serve" -> mk) ++
+      lmServeOnly.map(mk => "d148_serve" -> mk) ++
+      prfServeOnly.map(mk => "d149_serve" -> mk)
 
     // -------- per-entry isolation (the r14 measurement fix) --------
     // Single-JVM timing of 150+ plans inflated OLD entries ~7-12% as

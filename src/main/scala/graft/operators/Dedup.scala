@@ -1097,6 +1097,77 @@ object Dedup {
     }
   }
 
+  /** Merge perceptual SIGNATURE-index shards — the fifth family's
+    * consolidation verb, completing the build-small-near-the-data
+    * story for every persistent index. Chunk rows union re-bucketed
+    * once (doc-disjoint shards → no merge arithmetic); the OPTIONAL
+    * video evidence sides (`_vchunks`/`_vframes`) union DEDUPED from
+    * whichever sources carry them — evidence is a SET, and the
+    * video screen is dup-tolerant by contract, so a vid remembered
+    * by two shards merges to its distinct rows. Every distinct here
+    * runs through an explicit repartition: the sources' bucketed
+    * scans report a partitioning on the BUCKET column that satisfies
+    * the distinct's clustering requirement ({bucket col} ⊆ {all
+    * cols}), so without a real exchange the same row would survive
+    * once PER CHILD — the d140 co-bucketed-union planner hazard.
+    * Refuses different hamming geometries (maxDist is the chunk
+    * fold's shape — merged chunk rows would mean two things;
+    * rechunk first) and overlapping doc ids. Holds every
+    * participant's lease. */
+  def mergeSimIndexes(spark: org.apache.spark.sql.SparkSession,
+      target: String, sources: Seq[String], numBuckets: Int = 8): Unit = {
+    require(sources.size >= 2,
+      s"mergeSimIndexes: need at least 2 sources, got ${sources.size}")
+    val geoms = sources.map(s => simIndexMeta(spark, s)._1).distinct
+    require(geoms.size == 1,
+      s"mergeSimIndexes: sources carry different hamming geometries " +
+        s"(maxDist $geoms) — merged chunk rows would mean two things; " +
+        "rechunkSimIndex the odd one out first")
+    Bucketing.withIndexLeases(spark, target +: sources,
+      "mergeSimIndexes") {
+      val perSrc = sources.map(s =>
+        Bucketing.stableTable(spark, s"${s}_chunks")
+          .select(col("doc_id")).distinct())
+      val sumEach = perSrc.map(_.count()).sum
+      val unionDistinct = perSrc.reduce(_ unionByName _)
+        .repartition(col("doc_id")) // the hazard again
+        .distinct().count()
+      require(sumEach == unionDistinct,
+        s"mergeSimIndexes: sources share ${sumEach - unionDistinct} " +
+          "doc id(s) — their chunk rows would double; retire the " +
+          "duplicates from one source first")
+      Bucketing.writeBucketed(
+        sources.map(s => Bucketing.stableTable(spark, s"${s}_chunks"))
+          .reduce(_ unionByName _),
+        s"${target}_chunks", "chunk_hash", numBuckets)
+      // video evidence: union whatever exists (lazily created)
+      val withVChunks = sources.filter(s =>
+        spark.catalog.tableExists(s"${s}_vchunks"))
+      val withVFrames = sources.filter(s =>
+        spark.catalog.tableExists(s"${s}_vframes"))
+      Bucketing.dropTableAndDir(spark, s"${target}_vchunks")
+      Bucketing.dropTableAndDir(spark, s"${target}_vframes")
+      if (withVChunks.nonEmpty)
+        Bucketing.writeBucketed(
+          withVChunks.map(s => Bucketing.stableTable(spark, s"${s}_vchunks"))
+            .reduce(_ unionByName _)
+            .repartition(col("chunk_hash"))
+            .distinct(),
+          s"${target}_vchunks", "chunk_hash", numBuckets)
+      if (withVFrames.nonEmpty)
+        Bucketing.writeBucketed(
+          withVFrames.map(s => Bucketing.stableTable(spark, s"${s}_vframes"))
+            .reduce(_ unionByName _)
+            .repartition(col("vid"))
+            .distinct(),
+          s"${target}_vframes", "vid", numBuckets)
+      import spark.implicits._
+      Bucketing.writeTable(
+        Seq((geoms.head, numBuckets)).toDF("max_dist", "num_buckets"),
+        s"${target}_meta")
+    }
+  }
+
   private def rebandMarker(name: String): String =
     s"${name.toLowerCase}__reband_pending"
 

@@ -1100,6 +1100,76 @@ object Retrieval {
         col("col.neighbor_id").as("doc_id"), col("col.cos").as("ql"))
   }
 
+  /** [[lmDirichletPerQueryRanks]] served from a persistent
+    * [[buildBm25Index]] index — the batch face of the one-index-two-
+    * ranking-models story ([[lmDirichletAgainstIndex]]'s contract at
+    * [[bm25RanksAgainstIndex]]'s shape): the query batch's distinct
+    * terms pull to the driver (bounded by `maxQueryTerms`, the
+    * probed-cell discipline) and push as an IN literal on the bucket
+    * column; tf/dl come from the pruned postings, cf_t is a per-term
+    * sum over exactly those rows, total tokens one broadcast meta
+    * row; per-query |Q| and the heap top-k are the fresh path
+    * verbatim. */
+  def lmDirichletRanksAgainstIndex(spark: SparkSession, name: String,
+      queries: DataFrame, queryIdCol: String, termsCol: String,
+      topK: Int, mu: Double = 2000.0,
+      excludeSelf: Boolean = false,
+      maxQueryTerms: Int = 65536,
+      tokenizer: String = "ws"): DataFrame = {
+    require(topK >= 1 && mu > 0, s"need topK >= 1, mu > 0, got $topK/$mu")
+    requireQueryTerms("lmDirichletRanksAgainstIndex", tokenizer, Nil)
+    requireFamily("lmDirichletRanksAgainstIndex", name,
+      bm25Meta(spark, name)._2, tokenizer)
+    val qt = queries
+      .filter(col(queryIdCol).isNotNull && col(termsCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        explode(col(termsCol)).as("term"))
+      .distinct()
+    val termRows = qt.select(col("term")).distinct()
+      .limit(maxQueryTerms + 1).collect()
+    require(termRows.length <= maxQueryTerms,
+      s"lmDirichletRanksAgainstIndex('$name'): query batch carries " +
+        s"more than $maxQueryTerms distinct terms — split it or raise " +
+        "maxQueryTerms")
+    val termLits = termRows.map(_.getString(0)).toSeq
+    requireQueryTerms("lmDirichletRanksAgainstIndex", tokenizer, termLits)
+    if (termLits.isEmpty)
+      return qt.select(col("query_id")).limit(0)
+        .crossJoin(Bucketing.stableTable(spark, s"${name}_postings")
+          .select(col("doc_id").cast("long").as("doc_id")).limit(0))
+        .select(col("query_id"), lit(0).cast("int").as("rank"),
+          col("doc_id"), lit(0.0).as("ql"))
+    val nq = qt.groupBy(col("query_id")).agg(count(lit(1)).as("__nq"))
+    val post = Bucketing.stableTable(spark, s"${name}_postings")
+      .filter(col("term").isin(termLits: _*))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val cf = post.groupBy(col("term")).agg(sum(col("tf")).as("cf_t"))
+    val stats = Bucketing.stableTable(spark, s"${name}_meta")
+      .select(col("sum_dl").as("total_tokens"))
+    val perQuery = post.join(broadcast(cf), Seq("term"))
+      .join(broadcast(stats))
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(log(lit(1.0) + col("tf").cast("double")
+        / (lit(mu) * (col("cf_t").cast("double")
+          / col("total_tokens").cast("double"))))).as("__sm"),
+        max(col("dl")).as("__dl"))
+      .join(broadcast(nq), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("__sm") + col("__nq").cast("double")
+          * log(lit(mu) / (col("__dl").cast("double") + lit(mu))), 4)
+          .as("ql"))
+    val screened =
+      if (excludeSelf) perQuery.filter(col("doc_id") =!= col("query_id"))
+      else perQuery
+    screened.groupBy(col("query_id"))
+      .agg(graft.functions.VectorFunctions.topKByCos(
+        col("doc_id").cast("long"), col("ql"), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("doc_id"), col("col.cos").as("ql"))
+  }
+
   /** VOCABULARY-DRIFT card for a BM25 index vs an INCOMING batch —
     * the retrieval sibling of [[Similarity.annIngestDriftCard]] and
     * the lexical ops number a crawl team watches: how much of what
@@ -1730,10 +1800,21 @@ object Retrieval {
     val lmRun: Option[DataFrame] = lmMu.map { mu =>
       val q = probeQ.select(col("query_id"),
         tokensFor(hybridLex, col("qtext")).as("terms"))
-      lmDirichletPerQueryRanks(docs, idCol, textCol, q, "query_id",
-        "terms", topK = topK, mu = mu, excludeSelf = true,
-        tokenizer = hybridLex)
-        .select(col("query_id"), col("rank"), col("doc_id"))
+      // the LM arm serves from the hybridLex family's persistent
+      // index when one is supplied — the same twin discipline as the
+      // lexical arms (one index, two ranking models)
+      indexedArms.get(hybridLex) match {
+        case Some(idx) =>
+          lmDirichletRanksAgainstIndex(docs.sparkSession, idx, q,
+            "query_id", "terms", topK = topK, mu = mu,
+            excludeSelf = true, tokenizer = hybridLex)
+            .select(col("query_id"), col("rank"), col("doc_id"))
+        case None =>
+          lmDirichletPerQueryRanks(docs, idCol, textCol, q, "query_id",
+            "terms", topK = topK, mu = mu, excludeSelf = true,
+            tokenizer = hybridLex)
+            .select(col("query_id"), col("rank"), col("doc_id"))
+      }
     }
     val arms: Seq[(String, DataFrame)] =
       Dedup.TokenizerFamilies.map(f => (s"bm25_$f", lexRuns(f))) ++

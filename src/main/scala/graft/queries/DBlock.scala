@@ -2974,6 +2974,45 @@ object DBlock {
           "norm" -> "d144_norm_idx", "uni" -> "d144_uni_idx"))
     }),
 
+    // D104↑ (indexed LM card): the FULL seven-arm card through
+    // persistent indexes — the three lexical arms AND the Dirichlet
+    // arm all serve from the three family-built indexes (the LM arm
+    // from the norm index via lmDirichletRanksAgainstIndex — one
+    // index, two ranking models, batch face). Oracle = d150's SQL
+    // VERBATIM: one hash match proves the whole indexed decision
+    // card re-derives the fresh one bit for bit.
+    "d157_indexed_card_lm" -> ((s, d) => {
+      val corp = Tables.documents(s, d).join(
+        Tables.embeddings(s, d).hint("SHUFFLE_HASH"),
+        col("doc_id") === col("vec_id"))
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(lit("("), regexp_replace(col("text"), " ", ". "),
+            lit(")")).as("text"),
+          col("embedding"))
+      Seq("ws", "norm", "uni").foreach(f =>
+        Retrieval.buildBm25Index(corp, "doc_id", "text",
+          name = s"d157_${f}_idx", tokenizer = f))
+      val probes = corp.filter(col("doc_id").isin(1L, 2L, 3L))
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      val qrels = Seq(1L, 2L, 3L).map(q =>
+        corp.filter(col("doc_id") % (5 + q) === q)
+          .select(lit(q).as("query_id"), col("doc_id"),
+            (lit(1L) + col("doc_id") % 3).as("grade")))
+        .reduce(_ unionByName _)
+      val dense = Similarity.bruteForceTopK(
+        corp.filter(col("doc_id").isin(1L, 2L, 3L)), corp,
+        "doc_id", "embedding", k = 20)
+        .select(col("query_id"), col("rank"),
+          col("neighbor_id").as("doc_id"))
+      Retrieval.retrievalQualityCard(corp, "doc_id", "text",
+        probes, "query_id", "qtext", qrels, k = 10, topK = 20,
+        k1 = 1.5, b = 0.75, denseRun = Some(dense),
+        hybridLex = "norm", lmMu = Some(2000.0),
+        indexedArms = Map("ws" -> "d157_ws_idx",
+          "norm" -> "d157_norm_idx", "uni" -> "d157_uni_idx"))
+    }),
+
     // D108 (weighted): PRF with the RM3-style interpolation the
     // unweighted d141 disclosed skipping — score = λ·bm25(d, Q) +
     // (1−λ)·bm25(d, E), the original query keeping majority weight
@@ -3153,6 +3192,39 @@ object DBlock {
             .otherwise(col("text")).as("text"))
       Dedup.dedupIngestDriftCard(s, "d155_idx", batch,
         "doc_id", "text")
+    }),
+
+    // D115 (sim): shard MERGE for the perceptual-signature family —
+    // the fifth and last family's consolidation verb. Twin proof:
+    // the d67 shape with the one build split into even/odd shards
+    // and merged; oracle = d67's screen SQL verbatim, so the hash
+    // match proves merged == built-whole through the real
+    // chunk-join + popcount screen.
+    "d156_merged_sim" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("doc_id") % 3 === 1)
+        .select(col("doc_id").cast("long")).as[Long]
+      val corpus = base.mapPartitions(_.map(id =>
+        Multimodal.MediaRow(id, "audio", Multimodal.audioPayload(id))))
+      val batch = base.mapPartitions(_.flatMap(id => Iterator(
+        Multimodal.MediaRow(id + Multimodal.PlantedIdOffset, "audio",
+          Multimodal.remuxedAudioPayload(id)),
+        Multimodal.MediaRow(id + 2 * Multimodal.PlantedIdOffset, "audio",
+          Multimodal.unrelatedAudioPayload(id)))))
+      val sigs = Multimodal.audioFingerprintSigs(s, corpus)
+        .localCheckpoint(true)
+      Dedup.buildSimIndex(sigs.filter(col("doc_id") % 2 === 0),
+        "d156_a", maxDist = 2)
+      Dedup.buildSimIndex(sigs.filter(col("doc_id") % 2 =!= 0),
+        "d156_b", maxDist = 2)
+      Dedup.mergeSimIndexes(s, "d156_m", Seq("d156_a", "d156_b"))
+      Dedup.screenAgainstSimIndex(
+        Multimodal.audioFingerprintSigs(s, batch), "d156_m")
+        .select(col("doc_id"),
+          expr("shiftrightunsigned(sim, 32)").as("sig_hi"),
+          (col("sim").bitwiseAND(lit(0xFFFFFFFFL))).as("sig_lo"))
+        .orderBy(col("doc_id"))
     }),
 
     // D110: ANN INGEST-DRIFT card — annIndexStats' occupancy
@@ -5746,6 +5818,7 @@ object DBlock {
     // the whole decision card — one SQL string proves both paths
     "d144_indexed_card" -> d139Sql,
     "d150_card_lm" -> d150Sql,
+    "d157_indexed_card_lm" -> d150Sql,
     // merged shards serve exactly like one whole build — the d70/d112
     // full-corpus SQL verbatim (the twin discipline)
     "d140_merged_bm25" -> d70Sql,
@@ -6314,6 +6387,7 @@ object DBlock {
     // d128: d67's derivation VERBATIM — half-built then reconciled
     // must screen like built-whole.
     "d128_sim_reconcile" -> simScreenTwinSql,
+    "d156_merged_sim" -> simScreenTwinSql,
 
 
     // exclusive running total re-derived with a 1-PRECEDING window

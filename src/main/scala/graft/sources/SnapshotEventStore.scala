@@ -84,7 +84,7 @@ object SnapshotEventStore {
       .sorted.lastOption
   }
 
-  private def manifestFiles(spark: SparkSession, path: String,
+  private def manifestLines(spark: SparkSession, path: String,
       n: Long): Seq[String] = {
     val p = new Path(snapDir(path), s"$SnapPrefix$n")
     val fs = fsOf(spark, p)
@@ -94,18 +94,45 @@ object SnapshotEventStore {
     raw.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  private def manifestFiles(spark: SparkSession, path: String,
+      n: Long): Seq[String] =
+    manifestLines(spark, path, n).filterNot(_.startsWith("#"))
+
+  /** The streaming-commit tag carried by snapshot `n`, if any — the
+    * `#batch=<id>` header [[appendBatch]] publishes atomically WITH
+    * the file list (one rename commits both), which is what makes a
+    * replayed micro-batch skippable with no marker race. */
+  def committedBatch(spark: SparkSession, path: String,
+      n: Long): Option[Long] =
+    manifestLines(spark, path, n)
+      .find(_.startsWith("#batch="))
+      .flatMap(l => scala.util.Try(l.drop("#batch=".length).toLong).toOption)
+
+  /** The live manifest's batch watermark — carried FORWARD by every
+    * non-batch publish (maintenance must not lose the streaming
+    * commit point; a retire could otherwise delete the only manifest
+    * that remembered it, re-opening the replay window). */
+  private def currentBatchTag(spark: SparkSession,
+      path: String): Option[Long] =
+    currentSnapshot(spark, path)
+      .flatMap(n => committedBatch(spark, path, n))
+
+  private def headerFor(tag: Option[Long]): Seq[String] =
+    tag.map(t => s"#batch=$t").toSeq
+
   /** Write manifest N+1: stage to a dot-tmp name, then ONE atomic
     * rename makes it visible — readers see the old complete manifest
     * or the new complete one, never a torn read. Returns N+1. */
   private def publish(spark: SparkSession, path: String,
-      files: Seq[String]): Long = {
+      files: Seq[String], header: Seq[String] = Nil): Long = {
     val d = snapDir(path)
     val fs = fsOf(spark, d)
     fs.mkdirs(d)
     val next = currentSnapshot(spark, path).getOrElse(0L) + 1L
     val tmp = new Path(d, s".$SnapPrefix$next.tmp")
     val out = fs.create(tmp, true)
-    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    try out.write((header ++ files.sorted).mkString("\n")
+      .getBytes("UTF-8"))
     finally out.close()
     fs.rename(tmp, new Path(d, s"$SnapPrefix$next"))
     next
@@ -197,9 +224,49 @@ object SnapshotEventStore {
       if (fs.exists(tmp)) fs.delete(tmp, true)
       EventStore.write(events, tmp.toString, maxRecordsPerFile, sortWithin)
       val moved = moveIntoLive(spark, tmp, new Path(path))
-      val snap = publish(spark, path, prev ++ moved)
+      val snap = publish(spark, path, prev ++ moved,
+        headerFor(currentBatchTag(spark, path)))
       retire(spark, path, keepSnapshots)
       snap
+    }
+  }
+
+  /** EXACTLY-ONCE streaming append — [[append]] keyed by the
+    * source's micro-batch id (Structured Streaming ids are monotonic
+    * per checkpoint). The id commits ATOMICALLY with the file list
+    * (the `#batch=<id>` manifest header — one rename commits both),
+    * and every later publish carries the watermark forward, so a
+    * replayed delivery finds `committed >= its id` in the LIVE
+    * manifest and lands NOTHING — no marker file, no marker race, no
+    * crash window between "files landed" and "batch recorded".
+    * Stronger than the index loops' sink-first at-least-once (those
+    * replay to a recoverable duplicate; this never creates one).
+    * Auto-seals an un-init'd store (the streaming sink IS the
+    * store's first writer in the foreachBatch posture). Returns the
+    * published (or already-covering) snapshot. */
+  def appendBatch(events: DataFrame, path: String, batchId: Long,
+      maxRecordsPerFile: Int = 1000000,
+      sortWithin: Seq[String] = Nil,
+      keepSnapshots: Int = 1): Long = {
+    val spark = events.sparkSession
+    Bucketing.withIndexLease(spark, leaseKey(path), "snapAppendBatch") {
+      if (currentSnapshot(spark, path).isEmpty)
+        publish(spark, path, listLive(spark, path))
+      val n = currentSnapshot(spark, path).get
+      if (currentBatchTag(spark, path).exists(_ >= batchId)) n
+      else {
+        val prev = manifestFiles(spark, path, n)
+        val tmp = new Path(path, ".snap_append_tmp")
+        val fs = fsOf(spark, tmp)
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        EventStore.write(events, tmp.toString, maxRecordsPerFile,
+          sortWithin)
+        val moved = moveIntoLive(spark, tmp, new Path(path))
+        val snap = publish(spark, path, prev ++ moved,
+          Seq(s"#batch=$batchId"))
+        retire(spark, path, keepSnapshots)
+        snap
+      }
     }
   }
 
@@ -236,7 +303,8 @@ object SnapshotEventStore {
       moveIntoLive(spark, tmp, new Path(path))
     }
     val snap = publish(spark, path,
-      all.diff(replaced) ++ moved)
+      all.diff(replaced) ++ moved,
+      headerFor(currentBatchTag(spark, path)))
     retire(spark, path, keepSnapshots)
     snap
   }

@@ -80,6 +80,33 @@ object StreamingIngest {
       .partitionBy("dt", "hour")
       .start()
 
+  /** C20: streaming ingest into the SNAPSHOT-isolated event store —
+    * [[graft.sources.SnapshotEventStore.appendBatch]] per
+    * micro-batch, which makes the loop EXACTLY-ONCE even across
+    * checkpoint-replayed deliveries: the micro-batch id commits
+    * atomically WITH the manifest (one rename), every later publish
+    * carries the watermark forward, so a replay finds its id covered
+    * and lands nothing — no crash window between "files landed" and
+    * "batch recorded", unlike the plain parquet sink (exactly-once
+    * only while its own `_spark_metadata` log describes the store —
+    * which the FIRST maintenance sweep invalidates) and stronger
+    * than the index loops' sink-first recoverable-duplicate posture.
+    * Concurrent maintenance (compact/retention on a schedule) and
+    * concurrent readers compose by construction: writers serialize
+    * on the store lease, readers resolve immutable snapshots. */
+  def toSnapshotEventStore(events: DataFrame, path: String,
+      checkpoint: String,
+      sortWithin: Seq[String] = Nil): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.SnapshotEventStore.appendBatch(
+          batch, path, batchId, sortWithin = sortWithin)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Batch-drain ingestion: process everything available on the
     * source NOW (across as many micro-batches as needed), then stop —
     * Trigger.AvailableNow. The scheduled-job deployment mode: each

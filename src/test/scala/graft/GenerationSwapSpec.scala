@@ -144,6 +144,21 @@ class GenerationSwapSpec extends AnyFunSuite {
     assert(serve() == expected)
   }
 
+  test("appends after a generation swap land in the LIVE generation") {
+    import spark.implicits._
+    Bucketing.writeBucketed(docs(4), "gs_app", "k", 2)
+    Bucketing.compactBucketed()(spark, "gs_app", "k", 2) // → gen 1
+    Bucketing.appendBucketed(
+      (5 to 6).map(i => (i.toLong, s"doc number $i")).toDF("k", "s"),
+      "gs_app", "k", 2)
+    assert(spark.table("gs_app").count() == 6,
+      "append after swap lost rows")
+    // and the next compact folds the appended files into gen 2
+    Bucketing.compactBucketed()(spark, "gs_app", "k", 2)
+    assert(spark.table("gs_app").count() == 6)
+    Bucketing.dropTableAndDir(spark, "gs_app")
+  }
+
   test("restart after generation swaps: registerExisting resolves the pointer") {
     Bucketing.writeBucketed(docs(6), "gs_restart", "k", 2)
     Bucketing.compactBucketed()(spark, "gs_restart", "k", 2) // → gen 1

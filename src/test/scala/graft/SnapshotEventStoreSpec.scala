@@ -166,6 +166,28 @@ class SnapshotEventStoreSpec extends AnyFunSuite {
     assert(SnapshotEventStore.read(spark, dir).count() == 64L)
   }
 
+  test("appendBatch is exactly-once: a replayed batch id lands nothing, even across maintenance") {
+    val dir = freshDir()
+    // auto-seals: the streaming sink is the store's first writer
+    SnapshotEventStore.appendBatch(events(2, 5), dir, batchId = 0L)
+    assert(SnapshotEventStore.read(spark, dir).count() == 10L)
+    // the REPLAY: same batch id redelivered (crash after commit) —
+    // the manifest's atomic #batch watermark covers it, nothing lands
+    SnapshotEventStore.appendBatch(events(2, 5), dir, batchId = 0L)
+    assert(SnapshotEventStore.read(spark, dir).count() == 10L,
+      "replayed batch must land NOTHING — the exactly-once claim")
+    // a maintenance publish in between must CARRY the watermark
+    // forward (losing it would re-open the replay window)
+    SnapshotEventStore.compact(spark, dir, maxFilesPerPartition = 1)
+    SnapshotEventStore.appendBatch(events(2, 5), dir, batchId = 0L)
+    assert(SnapshotEventStore.read(spark, dir).count() == 10L,
+      "watermark lost across maintenance: replay landed rows")
+    // the NEXT batch lands normally
+    SnapshotEventStore.appendBatch(events(2, 5, idOffset = 100L), dir,
+      batchId = 1L)
+    assert(SnapshotEventStore.read(spark, dir).count() == 20L)
+  }
+
   test("crash leftovers are invisible: orphan files and tmp roots never surface") {
     val dir = freshDir()
     SnapshotEventStore.init(spark, dir)

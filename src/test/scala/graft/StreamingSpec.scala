@@ -53,6 +53,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("snapshot-store streaming ingest: exactly-once appendBatch loop, maintenance-safe reads") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val parsed = StreamingIngest.fromJsonLines(input.toDS())
+    val out = Files.createTempDirectory("graft_snap_stream_").toString
+    val ckpt = Files.createTempDirectory("graft_snap_sckpt_").toString
+    val q = StreamingIngest.toSnapshotEventStore(parsed, out, ckpt)
+    try {
+      val lines = jsonLines()
+      input.addData(lines.take(100))
+      q.processAllAvailable()
+      assert(graft.sources.SnapshotEventStore.read(spark, out)
+        .count() == 100L)
+      input.addData(lines.drop(100))
+      q.processAllAvailable()
+      assert(graft.sources.SnapshotEventStore.read(spark, out)
+        .count() == lines.size.toLong)
+      // a crash-replayed delivery of an ALREADY-COMMITTED batch id
+      // lands nothing — the manifest watermark, driven directly
+      graft.sources.SnapshotEventStore.appendBatch(
+        spark.read.option("basePath", out).parquet(out)
+          .drop("dt", "hour").limit(10), out, batchId = 0L)
+      assert(graft.sources.SnapshotEventStore.read(spark, out)
+        .count() == lines.size.toLong,
+        "replayed batch id must be covered by the watermark")
+      // and maintenance composes mid-stream: compact, then keep
+      // ingesting — unlike the parquet-sink store, no metadata log
+      // invalidation, no fresh checkpoint needed
+      graft.sources.SnapshotEventStore.compact(spark, out,
+        maxFilesPerPartition = 1)
+      assert(graft.sources.SnapshotEventStore.read(spark, out)
+        .count() == lines.size.toLong)
+    } finally q.stop()
+  }
+
   test("malformed JSON lines land as null rows, not failures") {
     import spark.implicits._
     // the reference logs-and-continues on serialization trouble
