@@ -281,6 +281,31 @@ object ABlock {
         .orderBy(col("eventtype"))
     }),
 
+    // A18: the reference QUERY SURFACE over the snapshot store — the
+    // fluent builder's time range derives the same dt/hour partition
+    // predicates over a MANIFEST-defined scan (basePath keeps the
+    // partition columns, so planning-time pruning survives the
+    // snapshot indirection; SnapshotEventStoreSpec pins the
+    // PartitionFilters). Proves a reference user loses nothing by
+    // moving their store onto the snapshot discipline.
+    "a18_snapshot_query" -> ((s, d) => {
+      val store = "/tmp/graft_a18_store_" + storeKey(s, d)
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) {
+        fs.mkdirs(p)
+        graft.sources.SnapshotEventStore.init(s, store)
+        graft.sources.SnapshotEventStore.append(
+          ke(s, d).filter(col("time") >= T0 && col("time") < T1), store)
+      }
+      EventQuery(graft.sources.SnapshotEventStore.read(s, store))
+        .fromDate(TMid).toDate(T1)
+        .orderByAscTime
+        .toDF
+        .select(col("id"), col("eventtype"), col("realmid"), col("userid"),
+          col("time"), col("detailsjson"))
+    }),
+
     // A13: the PHYSICAL pruned read — events land in a real dt/hour
     // partitioned store, then the builder's time range derives
     // partition predicates (PartitionPruning) so the scan lists only
@@ -389,6 +414,11 @@ object ABlock {
       s"""$withKe SELECT eventtype, count(*) AS n, min(time) AS min_time
          |FROM ke WHERE time >= $T0 AND time < $T1 AND time >= $TMid
          |GROUP BY eventtype ORDER BY eventtype""".stripMargin,
+
+    "a18_snapshot_query" ->
+      s"""$withKe SELECT id, eventtype, realmid, userid, time, detailsjson
+         |FROM ke WHERE time >= $TMid AND time <= $T1 AND time >= $T0 AND time < $T1
+         |ORDER BY time, id""".stripMargin,
 
     "a11_provider_roundtrip" ->
       s"""$withKe SELECT id, eventtype, realmid, userid, time

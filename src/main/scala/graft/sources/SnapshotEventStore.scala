@@ -181,6 +181,48 @@ object SnapshotEventStore {
       .parquet(files.map(f => s"$path/$f"): _*)
   }
 
+  /** TIME-TRAVEL read of an EXPLICIT snapshot — audit/debug ("what
+    * did the store hold before that sweep?"), valid for any snapshot
+    * not yet retired; a retired one fails loudly naming the live
+    * snapshot (the [[VersionedTable.readVersion]] contract at store
+    * level). */
+  def readSnapshot(spark: SparkSession, path: String,
+      n: Long): DataFrame = {
+    val p = new Path(snapDir(path), s"$SnapPrefix$n")
+    require(fsOf(spark, p).exists(p),
+      s"snapshot $n of store '$path' is retired or never existed — " +
+        s"live snapshot is ${currentSnapshot(spark, path)}")
+    val files = manifestFiles(spark, path, n)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.option("basePath", path)
+      .parquet(files.map(f => s"$path/$f"): _*)
+  }
+
+  /** Reclaim ORPHANS: data files in the live partition directories
+    * that no live manifest references — what a crash between a write
+    * verb's per-file moves and its publish leaves behind (invisible
+    * to every reader, but paid for in storage). Holds the writer
+    * lease: an in-flight append's just-moved, not-yet-published
+    * files look exactly like orphans, so vacuum must serialize with
+    * writers (readers are unaffected either way — they never see
+    * unreferenced files). Returns files deleted. */
+  def vacuumOrphans(spark: SparkSession, path: String): Int =
+    Bucketing.withIndexLease(spark, leaseKey(path), "snapVacuum") {
+      val d = snapDir(path)
+      val fs = fsOf(spark, d)
+      val referenced: Set[String] =
+        if (!fs.exists(d)) Set.empty
+        else fs.listStatus(d).toSeq.map(_.getPath.getName)
+          .filter(n => n.startsWith(SnapPrefix) && !n.endsWith(".tmp"))
+          .flatMap(n =>
+            scala.util.Try(n.drop(SnapPrefix.length).toLong).toOption)
+          .flatMap(n => manifestFiles(spark, path, n)).toSet
+      val orphans = listLive(spark, path).filterNot(referenced)
+      val root = new Path(path)
+      orphans.foreach(r => fs.delete(new Path(root, r), false))
+      orphans.size
+    }
+
   /** Move every data file under `tmpRoot`'s dt/hour tree into the
     * live tree (names are Spark-generated UUIDs — collision-free),
     * returning the store-relative paths that landed. */

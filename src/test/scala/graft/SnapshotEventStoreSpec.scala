@@ -188,6 +188,42 @@ class SnapshotEventStoreSpec extends AnyFunSuite {
     assert(SnapshotEventStore.read(spark, dir).count() == 20L)
   }
 
+  test("time travel reads an explicit kept snapshot; a retired one fails loudly") {
+    val dir = freshDir()
+    SnapshotEventStore.init(spark, dir) // snap 1 (empty)
+    SnapshotEventStore.append(events(2, 5), dir) // snap 2
+    SnapshotEventStore.append(events(2, 5, idOffset = 100L), dir) // snap 3
+    // snap 2 is within the default one-cycle grace: time travel works
+    assert(SnapshotEventStore.readSnapshot(spark, dir, 2L).count() == 10L)
+    assert(SnapshotEventStore.readSnapshot(spark, dir, 3L).count() == 20L)
+    // retire aggressively, then the old snapshot fails loudly
+    SnapshotEventStore.retire(spark, dir, keepSnapshots = 0)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotEventStore.readSnapshot(spark, dir, 2L)
+    }
+    assert(e.getMessage.contains("retired") && e.getMessage.contains("3"))
+  }
+
+  test("vacuumOrphans reclaims crash leftovers without touching referenced files") {
+    val dir = freshDir()
+    SnapshotEventStore.init(spark, dir)
+    SnapshotEventStore.append(events(2, 5), dir)
+    // fabricate the crash: a file MOVED into a live partition dir but
+    // never published (death between move and publish)
+    events(1, 3, idOffset = 900L).write.mode("overwrite")
+      .parquet(s"$dir/.vac_tmp")
+    val orphanSrc = new java.io.File(s"$dir/.vac_tmp")
+      .listFiles.filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(orphanSrc.toPath,
+      new java.io.File(s"$dir/dt=2024-01-01/hour=0/orphan-vac.parquet").toPath)
+    assert(SnapshotEventStore.vacuumOrphans(spark, dir) == 1,
+      "exactly the planted orphan must be reclaimed")
+    assert(!new java.io.File(s"$dir/dt=2024-01-01/hour=0/orphan-vac.parquet").exists())
+    assert(SnapshotEventStore.read(spark, dir).count() == 10L,
+      "vacuum must never touch referenced files")
+    assert(SnapshotEventStore.vacuumOrphans(spark, dir) == 0)
+  }
+
   test("crash leftovers are invisible: orphan files and tmp roots never surface") {
     val dir = freshDir()
     SnapshotEventStore.init(spark, dir)
