@@ -973,14 +973,17 @@ object Dedup {
       target: String, sources: Seq[String], numBuckets: Int = 8): Unit = {
     require(sources.size >= 2,
       s"mergeDedupIndexes: need at least 2 sources, got ${sources.size}")
-    val metas = sources.map(s => indexMeta(spark, s))
-    val geoms = metas.map(m => (m._1, m._2, m._3, m._4, m._6)).distinct
-    require(geoms.size == 1,
-      s"mergeDedupIndexes: sources carry different sketch geometries / " +
-        s"families $geoms — merged band rows would mean two things; " +
-        "reband or rebuild the odd one out first")
     Bucketing.withIndexLeases(spark, target +: sources,
       "mergeDedupIndexes") {
+      // geometry reads INSIDE the leases: validated-then-leased would
+      // let a concurrent rebuild land between the check and the lock,
+      // merging rows under a geometry the check never saw (TOCTOU)
+      val metas = sources.map(s => indexMeta(spark, s))
+      val geoms = metas.map(m => (m._1, m._2, m._3, m._4, m._6)).distinct
+      require(geoms.size == 1,
+        s"mergeDedupIndexes: sources carry different sketch geometries / " +
+          s"families $geoms — merged band rows would mean two things; " +
+          "reband or rebuild the odd one out first")
       val docsAll = sources
         .map(s => Bucketing.stableTable(spark, s"${s}_docs"))
         .reduce(_ unionByName _)
@@ -1118,22 +1121,28 @@ object Dedup {
       target: String, sources: Seq[String], numBuckets: Int = 8): Unit = {
     require(sources.size >= 2,
       s"mergeSimIndexes: need at least 2 sources, got ${sources.size}")
-    val geoms = sources.map(s => simIndexMeta(spark, s)._1).distinct
-    require(geoms.size == 1,
-      s"mergeSimIndexes: sources carry different hamming geometries " +
-        s"(maxDist $geoms) — merged chunk rows would mean two things; " +
-        "rechunkSimIndex the odd one out first")
     Bucketing.withIndexLeases(spark, target +: sources,
       "mergeSimIndexes") {
-      val perSrc = sources.map(s =>
+      // geometry reads INSIDE the leases (the merge-verb TOCTOU rule)
+      val geoms = sources.map(s => simIndexMeta(spark, s)._1).distinct
+      require(geoms.size == 1,
+        s"mergeSimIndexes: sources carry different hamming geometries " +
+          s"(maxDist $geoms) — merged chunk rows would mean two things; " +
+          "rechunkSimIndex the odd one out first")
+      // ONE aggregate proves disjointness (the sibling verbs' form):
+      // rows of the union-of-per-source-DISTINCTs count the sum of
+      // per-shard doc sets, countDistinct the union — equal iff
+      // disjoint. Chunks repeat doc_id per doc, hence the inner
+      // distincts; the repartition is the co-bucketed-union guard.
+      val chk = sources.map(s =>
         Bucketing.stableTable(spark, s"${s}_chunks")
           .select(col("doc_id")).distinct())
-      val sumEach = perSrc.map(_.count()).sum
-      val unionDistinct = perSrc.reduce(_ unionByName _)
-        .repartition(col("doc_id")) // the hazard again
-        .distinct().count()
-      require(sumEach == unionDistinct,
-        s"mergeSimIndexes: sources share ${sumEach - unionDistinct} " +
+        .reduce(_ unionByName _)
+        .repartition(col("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("nd")).head()
+      require(chk.getLong(0) == chk.getLong(1),
+        s"mergeSimIndexes: sources share ${chk.getLong(0) - chk.getLong(1)} " +
           "doc id(s) — their chunk rows would double; retire the " +
           "duplicates from one source first")
       Bucketing.writeBucketed(

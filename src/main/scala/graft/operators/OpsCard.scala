@@ -132,17 +132,21 @@ object OpsCard {
     else if (!hasChunks || !hasFrames) Some(false)
     else {
       val m = Multimodal.MaxSampledFrames
+      // compare the (count, digest) PAIR, not the digest alone — the
+      // count is computed in the same pass and closes the cheap half
+      // of the XOR-collision space, exactly as n_items/n_landed sit
+      // beside ids_digest_match
       val a = countAndDigest(
         Bucketing.stableTable(spark, s"${e.name}_vchunks")
           // integer DIV, not double division: a float round-trip
           // would corrupt vids above 2^53/M
           .select(expr(s"doc_id DIV $m").as("__vid")).distinct(),
-        col("__vid"), "n", "d").head().getLong(1)
+        col("__vid"), "n", "d").head()
       val b = countAndDigest(
         Bucketing.stableTable(spark, s"${e.name}_vframes")
           .select(col("vid")).distinct(),
-        col("vid"), "n", "d").head().getLong(1)
-      Some(a == b)
+        col("vid"), "n", "d").head()
+      Some(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1))
     }
   }
 

@@ -681,19 +681,20 @@ object Retrieval {
       sources: Seq[String], numBuckets: Int = 8): Unit = {
     require(sources.size >= 2,
       s"mergeBm25Indexes: need at least 2 sources, got ${sources.size}")
-    val fams = sources.map(s => bm25Meta(spark, s)._2).distinct
-    require(fams.size == 1,
-      s"mergeBm25Indexes: sources were built with different tokenizer " +
-        s"families $fams — merged postings would mean two things; " +
-        "rebuild the odd one out first")
     // every SOURCE's lease too, not just the target's: the merge
-    // reads each source across several Spark actions (overlap check,
-    // three table writes) on lazy plans — an un-leased concurrent
-    // append to a source could land between them, merging postings,
-    // df and meta that disagree (and passing a disjointness check on
-    // state the later unions no longer see)
+    // reads each source across several Spark actions (family check,
+    // overlap check, three table writes) on lazy plans — an un-leased
+    // concurrent append/rebuild on a source could land between them,
+    // merging postings, df and meta that disagree (and passing a
+    // check on state the later unions no longer see). The family
+    // read itself sits INSIDE the leases for the same reason.
     Bucketing.withIndexLeases(spark, target +: sources,
       "mergeBm25Indexes") {
+      val fams = sources.map(s => bm25Meta(spark, s)._2).distinct
+      require(fams.size == 1,
+        s"mergeBm25Indexes: sources were built with different tokenizer " +
+          s"families $fams — merged postings would mean two things; " +
+          "rebuild the odd one out first")
       val docsAll = sources
         .map(s => Bucketing.stableTable(spark, s"${s}_docs"))
         .reduce(_ unionByName _)

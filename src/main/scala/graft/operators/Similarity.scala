@@ -1350,29 +1350,35 @@ object Similarity {
       target: String, sources: Seq[String], numBuckets: Int = 8): Unit = {
     require(sources.size >= 2,
       s"mergeAnnIndexes: need at least 2 sources, got ${sources.size}")
-    val metas = sources.map(s =>
-      graft.sources.Bucketing.stableTable(spark, s"${s}_meta").head())
-    val geoms = metas.map(m => (m.getAs[Int]("nlist"), m.getAs[Int]("m"),
-      m.getAs[Int]("ksub"), m.getAs[Boolean]("md5_sig"))).distinct
-    require(geoms.size == 1,
-      s"mergeAnnIndexes: sources carry different geometries $geoms — " +
-        "rebuild one index over the union instead")
-    def geometryOf(s: String): (Seq[(Long, Seq[Float])], Seq[(Int, Seq[Float])]) = (
-      graft.sources.Bucketing.stableTable(spark, s"${s}_cents").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq,
-      graft.sources.Bucketing.stableTable(spark, s"${s}_book").collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq)
-    val baseGeom = geometryOf(sources.head)
-    sources.tail.foreach { s =>
-      require(geometryOf(s) == baseGeom,
-        s"mergeAnnIndexes: '$s' was trained with a different codebook " +
-          s"than '${sources.head}' — cell assignments and PQ codes are " +
-          "not mergeable across books; rebuild one index over the " +
-          "union (buildAnnIndex/rebuildAnnIndex), or produce shards " +
-          "from one shared geometry with shardFromAnnIndex")
-    }
     graft.sources.Bucketing.withIndexLeases(spark, target +: sources,
       "mergeAnnIndexes") {
+      // geometry/codebook reads INSIDE the leases: a concurrent
+      // rebuild on a source landing between a pre-lease check and the
+      // lease would merge vectors encoded against a NEW book under
+      // the OLD book copied as target geometry — silently wrong
+      // distances on every serve, the exact corruption the refusal
+      // exists to prevent (TOCTOU)
+      val metas = sources.map(s =>
+        graft.sources.Bucketing.stableTable(spark, s"${s}_meta").head())
+      val geoms = metas.map(m => (m.getAs[Int]("nlist"), m.getAs[Int]("m"),
+        m.getAs[Int]("ksub"), m.getAs[Boolean]("md5_sig"))).distinct
+      require(geoms.size == 1,
+        s"mergeAnnIndexes: sources carry different geometries $geoms — " +
+          "rebuild one index over the union instead")
+      def geometryOf(s: String): (Seq[(Long, Seq[Float])], Seq[(Int, Seq[Float])]) = (
+        graft.sources.Bucketing.stableTable(spark, s"${s}_cents").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq,
+        graft.sources.Bucketing.stableTable(spark, s"${s}_book").collect()
+          .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq)
+      val baseGeom = geometryOf(sources.head)
+      sources.tail.foreach { s =>
+        require(geometryOf(s) == baseGeom,
+          s"mergeAnnIndexes: '$s' was trained with a different codebook " +
+            s"than '${sources.head}' — cell assignments and PQ codes are " +
+            "not mergeable across books; rebuild one index over the " +
+            "union (buildAnnIndex/rebuildAnnIndex), or produce shards " +
+            "from one shared geometry with shardFromAnnIndex")
+      }
       val vecAll = sources
         .map(s => graft.sources.Bucketing.stableTable(spark, s"${s}_vectors"))
         .reduce(_ unionByName _)

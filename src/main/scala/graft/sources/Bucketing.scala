@@ -442,10 +442,31 @@ object Bucketing {
     * Returns false if the directory does not exist either. */
   def registerExisting(spark: SparkSession, table: String,
       bucketSpec: Option[(String, Int)]): Boolean = {
-    if (spark.catalog.tableExists(table)) return true
     // a table maintained by generation swaps lives at its pointer's
     // generation directory, not the legacy warehouse/<table> one
     val gen = generationOf(spark, table)
+    if (spark.catalog.tableExists(table)) {
+      // CROSS-SESSION re-align: another JVM may have generation-
+      // swapped this table since this session resolved it — our
+      // catalog entry then pins a directory the writer retires one
+      // rewrite later, and without this the reader's scans fail
+      // FOREVER (the old in-place swap kept the location constant;
+      // the generation swap must re-point on re-open instead). A
+      // reader that merely holds a resolved DataFrame still has the
+      // one-rewrite grace; re-opening through here (the openXxx
+      // verbs' path) realigns it to the live generation.
+      if (gen > 0L) {
+        val live = genDirPath(spark, table, gen)
+        val cur = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+        if (cur.getName != live.getName && fsOf(spark, live).exists(live)) {
+          spark.sql(s"ALTER TABLE `$table` SET LOCATION '$live'")
+          spark.catalog.refreshTable(table)
+        }
+      }
+      return true
+    }
     val loc = if (gen == 0L) tableDir(spark, table)
       else genDirPath(spark, table, gen)
     if (!fsOf(spark, loc).exists(loc)) return false

@@ -98,27 +98,76 @@ object SnapshotEventStore {
       n: Long): Seq[String] =
     manifestLines(spark, path, n).filterNot(_.startsWith("#"))
 
-  /** The streaming-commit tag carried by snapshot `n`, if any — the
-    * `#batch=<id>` header [[appendBatch]] publishes atomically WITH
-    * the file list (one rename commits both), which is what makes a
-    * replayed micro-batch skippable with no marker race. */
-  def committedBatch(spark: SparkSession, path: String,
-      n: Long): Option[Long] =
+  /** The streaming-commit tags carried by snapshot `n` — one
+    * `#batch=<streamId>:<id>` header line PER STREAM, published
+    * atomically WITH the file list (one rename commits both), which
+    * is what makes a replayed micro-batch skippable with no marker
+    * race. Keyed by stream identity, NOT the bare id: batch ids are
+    * monotonic only within one checkpoint, so an un-keyed watermark
+    * would silently DISCARD a new pipeline's restarted ids as
+    * replays — data loss where the old sink merely duplicated. The
+    * id parses from the LAST colon (stream ids are paths and may
+    * contain colons). */
+  def committedBatches(spark: SparkSession, path: String,
+      n: Long): Map[String, Long] =
     manifestLines(spark, path, n)
-      .find(_.startsWith("#batch="))
-      .flatMap(l => scala.util.Try(l.drop("#batch=".length).toLong).toOption)
+      .filter(_.startsWith("#batch="))
+      .flatMap { l =>
+        val body = l.drop("#batch=".length)
+        val cut = body.lastIndexOf(':')
+        if (cut < 0) // pre-streamId format: one anonymous stream
+          scala.util.Try(body.toLong).toOption.map("default" -> _)
+        else scala.util.Try(body.drop(cut + 1).toLong).toOption
+          .map(body.take(cut) -> _)
+      }.toMap
 
-  /** The live manifest's batch watermark — carried FORWARD by every
+  /** The live manifest's batch watermarks — carried FORWARD by every
     * non-batch publish (maintenance must not lose the streaming
-    * commit point; a retire could otherwise delete the only manifest
-    * that remembered it, re-opening the replay window). */
-  private def currentBatchTag(spark: SparkSession,
-      path: String): Option[Long] =
+    * commit points; a retire could otherwise delete the only
+    * manifest that remembered them, re-opening the replay window). */
+  private def currentBatchTags(spark: SparkSession,
+      path: String): Map[String, Long] =
     currentSnapshot(spark, path)
-      .flatMap(n => committedBatch(spark, path, n))
+      .map(n => committedBatches(spark, path, n))
+      .getOrElse(Map.empty)
 
-  private def headerFor(tag: Option[Long]): Seq[String] =
-    tag.map(t => s"#batch=$t").toSeq
+  private def headerFor(tags: Map[String, Long]): Seq[String] =
+    tags.toSeq.sortBy(_._1).map { case (sid, n) => s"#batch=$sid:$n" }
+
+  /** The store's row schema, carried as a `#schema=<json>` header by
+    * every append and forwarded by every later publish — so a read
+    * of an EMPTY manifest (a fully-swept store, or C20's store
+    * between init and its first batch) returns a correctly-TYPED
+    * empty frame instead of the zero-column emptyDataFrame that
+    * breaks every schema-dependent consumer (`.filter(col("time")..)`
+    * on a just-swept store must not throw). */
+  private def schemaTagOf(spark: SparkSession,
+      path: String): Option[String] =
+    currentSnapshot(spark, path).flatMap(n =>
+      manifestLines(spark, path, n).find(_.startsWith("#schema="))
+        .map(_.drop("#schema=".length)))
+
+  private def schemaHeader(events: DataFrame): Seq[String] = {
+    val dataFields = events.schema.fields
+      .filterNot(f => f.name == "dt" || f.name == "hour")
+    val full = org.apache.spark.sql.types.StructType(dataFields ++ Seq(
+      org.apache.spark.sql.types.StructField("dt",
+        org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("hour",
+        org.apache.spark.sql.types.IntegerType)))
+    Seq(s"#schema=${full.json}")
+  }
+
+  private def typedEmpty(spark: SparkSession,
+      path: String): DataFrame =
+    schemaTagOf(spark, path)
+      .flatMap(j => scala.util.Try(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+        .toOption)
+      .getOrElse(spark.emptyDataFrame)
 
   /** Write manifest N+1: stage to a dot-tmp name, then ONE atomic
     * rename makes it visible — readers see the old complete manifest
@@ -176,7 +225,7 @@ object SnapshotEventStore {
         s"no snapshot published for event store '$path' — seal it " +
           "once with SnapshotEventStore.init"))
     val files = manifestFiles(spark, path, n)
-    if (files.isEmpty) return spark.emptyDataFrame
+    if (files.isEmpty) return typedEmpty(spark, path)
     spark.read.option("basePath", path)
       .parquet(files.map(f => s"$path/$f"): _*)
   }
@@ -193,7 +242,7 @@ object SnapshotEventStore {
       s"snapshot $n of store '$path' is retired or never existed — " +
         s"live snapshot is ${currentSnapshot(spark, path)}")
     val files = manifestFiles(spark, path, n)
-    if (files.isEmpty) spark.emptyDataFrame
+    if (files.isEmpty) typedEmpty(spark, path)
     else spark.read.option("basePath", path)
       .parquet(files.map(f => s"$path/$f"): _*)
   }
@@ -267,7 +316,8 @@ object SnapshotEventStore {
       EventStore.write(events, tmp.toString, maxRecordsPerFile, sortWithin)
       val moved = moveIntoLive(spark, tmp, new Path(path))
       val snap = publish(spark, path, prev ++ moved,
-        headerFor(currentBatchTag(spark, path)))
+        headerFor(currentBatchTags(spark, path)) ++
+          schemaHeader(events))
       retire(spark, path, keepSnapshots)
       snap
     }
@@ -289,13 +339,17 @@ object SnapshotEventStore {
   def appendBatch(events: DataFrame, path: String, batchId: Long,
       maxRecordsPerFile: Int = 1000000,
       sortWithin: Seq[String] = Nil,
-      keepSnapshots: Int = 1): Long = {
+      keepSnapshots: Int = 1,
+      streamId: String = "default"): Long = {
+    require(!streamId.contains("\n"),
+      "streamId must not contain newlines (it lives in the manifest)")
     val spark = events.sparkSession
     Bucketing.withIndexLease(spark, leaseKey(path), "snapAppendBatch") {
       if (currentSnapshot(spark, path).isEmpty)
         publish(spark, path, listLive(spark, path))
       val n = currentSnapshot(spark, path).get
-      if (currentBatchTag(spark, path).exists(_ >= batchId)) n
+      val tags = currentBatchTags(spark, path)
+      if (tags.get(streamId).exists(_ >= batchId)) n
       else {
         val prev = manifestFiles(spark, path, n)
         val tmp = new Path(path, ".snap_append_tmp")
@@ -305,7 +359,8 @@ object SnapshotEventStore {
           sortWithin)
         val moved = moveIntoLive(spark, tmp, new Path(path))
         val snap = publish(spark, path, prev ++ moved,
-          Seq(s"#batch=$batchId"))
+          headerFor(tags + (streamId -> batchId)) ++
+            schemaHeader(events))
         retire(spark, path, keepSnapshots)
         snap
       }
@@ -346,7 +401,8 @@ object SnapshotEventStore {
     }
     val snap = publish(spark, path,
       all.diff(replaced) ++ moved,
-      headerFor(currentBatchTag(spark, path)))
+      headerFor(currentBatchTags(spark, path)) ++
+        schemaTagOf(spark, path).map(j => s"#schema=$j").toSeq)
     retire(spark, path, keepSnapshots)
     snap
   }

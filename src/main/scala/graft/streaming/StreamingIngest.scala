@@ -96,16 +96,28 @@ object StreamingIngest {
     * on the store lease, readers resolve immutable snapshots. */
   def toSnapshotEventStore(events: DataFrame, path: String,
       checkpoint: String,
-      sortWithin: Seq[String] = Nil): StreamingQuery =
+      sortWithin: Seq[String] = Nil,
+      keepSnapshots: Int = 1,
+      streamId: Option[String] = None): StreamingQuery = {
+    // the exactly-once watermark is keyed by STREAM identity, not the
+    // bare batch id: a new pipeline (fresh checkpoint) restarts ids
+    // at 0, and an un-keyed watermark would silently DISCARD its
+    // batches as replays. Default identity = the checkpoint path
+    // (Spark's own recovery unit); after checkpoint loss, follow the
+    // standard recovery of a new checkpoint dir — which is a new
+    // identity here, so batches land again.
+    val sid = streamId.getOrElse(checkpoint)
     events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.SnapshotEventStore.appendBatch(
-          batch, path, batchId, sortWithin = sortWithin)
+          batch, path, batchId, sortWithin = sortWithin,
+          keepSnapshots = keepSnapshots, streamId = sid)
         ()
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** Batch-drain ingestion: process everything available on the
     * source NOW (across as many micro-batches as needed), then stop —

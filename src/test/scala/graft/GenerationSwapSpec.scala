@@ -186,6 +186,43 @@ class GenerationSwapSpec extends AnyFunSuite {
     }
   }
 
+  test("a cross-session reader re-opening after swaps re-aligns to the live generation") {
+    Bucketing.writeBucketed(docs(5), "gs_xs", "k", 2)
+    Bucketing.compactBucketed()(spark, "gs_xs", "k", 2) // gen 1
+    val s2 = {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir",
+          spark.conf.get("spark.sql.warehouse.dir"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
+    try {
+      // the OTHER session opens the table (resolves gen 1)…
+      assert(Bucketing.registerExisting(s2, "gs_xs", Some(("k", 2))))
+      assert(s2.table("gs_xs").count() == 5)
+      // …the writer session swaps TWICE, retiring gen 1 under it
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      Bucketing.compactBucketed()(spark, "gs_xs", "k", 2) // gen 2
+      Bucketing.compactBucketed()(spark, "gs_xs", "k", 2) // gen 3; 1 dies
+      // …and the reader's RE-OPEN realigns to the live generation
+      // instead of scanning the deleted one forever
+      org.apache.spark.sql.SparkSession.setDefaultSession(s2)
+      org.apache.spark.sql.SparkSession.setActiveSession(s2)
+      assert(Bucketing.registerExisting(s2, "gs_xs", Some(("k", 2))))
+      assert(s2.table("gs_xs").count() == 5,
+        "cross-session re-open must re-point to the live generation")
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("a crash between stage-write and pointer flip is cleaned by the next swap") {
     Bucketing.writeBucketed(docs(7), "gs_crash", "k", 2)
     Bucketing.compactBucketed()(spark, "gs_crash", "k", 2) // live gen 1

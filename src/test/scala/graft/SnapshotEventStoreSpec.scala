@@ -186,6 +186,37 @@ class SnapshotEventStoreSpec extends AnyFunSuite {
     SnapshotEventStore.appendBatch(events(2, 5, idOffset = 100L), dir,
       batchId = 1L)
     assert(SnapshotEventStore.read(spark, dir).count() == 20L)
+    // a DIFFERENT stream's restarted ids are NOT replays: a new
+    // pipeline (fresh checkpoint → new identity) starting at batch 0
+    // must land, not be silently discarded by the other stream's
+    // watermark — the data-loss shape an un-keyed watermark has
+    SnapshotEventStore.appendBatch(events(2, 5, idOffset = 200L), dir,
+      batchId = 0L, streamId = "pipeline-b")
+    assert(SnapshotEventStore.read(spark, dir).count() == 30L,
+      "a new stream's batch 0 must land")
+    // and each stream's own watermark still dedups its own replays
+    SnapshotEventStore.appendBatch(events(2, 5, idOffset = 200L), dir,
+      batchId = 0L, streamId = "pipeline-b")
+    assert(SnapshotEventStore.read(spark, dir).count() == 30L)
+  }
+
+  test("a fully-swept store still reads with its SCHEMA (typed empty frame)") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshDir()
+    SnapshotEventStore.init(spark, dir)
+    SnapshotEventStore.append(events(2, 5), dir)
+    // sweep EVERYTHING: the live manifest is empty
+    SnapshotEventStore.clearExpired(spark, dir, Base + 10 * 3600000L)
+    val swept = SnapshotEventStore.read(spark, dir)
+    assert(swept.count() == 0L)
+    // the schema survives — a dashboard's time filter must not throw
+    // on a just-swept store
+    assert(swept.filter(col("time") >= 0L).count() == 0L)
+    assert(swept.columns.contains("realmid") &&
+      swept.columns.contains("dt"))
+    // and new data lands normally afterwards
+    SnapshotEventStore.append(events(1, 3, idOffset = 500L), dir)
+    assert(SnapshotEventStore.read(spark, dir).count() == 3L)
   }
 
   test("time travel reads an explicit kept snapshot; a retired one fails loudly") {

@@ -72,9 +72,12 @@ class StreamingSpec extends AnyFunSuite {
         .count() == lines.size.toLong)
       // a crash-replayed delivery of an ALREADY-COMMITTED batch id
       // lands nothing — the manifest watermark, driven directly
+      // under the LOOP's stream identity (the checkpoint path; a
+      // different identity would rightly land as a new pipeline)
       graft.sources.SnapshotEventStore.appendBatch(
         spark.read.option("basePath", out).parquet(out)
-          .drop("dt", "hour").limit(10), out, batchId = 0L)
+          .drop("dt", "hour").limit(10), out, batchId = 0L,
+        streamId = ckpt)
       assert(graft.sources.SnapshotEventStore.read(spark, out)
         .count() == lines.size.toLong,
         "replayed batch id must be covered by the watermark")
