@@ -500,7 +500,8 @@ object StreamingIngest {
       blocklist: Option[DataFrame] = None,
       blocklistDomainCol: String = "domain",
       funnelDir: Option[String] = None,
-      bm25IndexName: Option[String] = None): StreamingQuery = {
+      bm25IndexName: Option[String] = None,
+      dedupDriftDir: Option[String] = None): StreamingQuery = {
     require(urlCol.isDefined == urlIndexName.isDefined,
       "urlCol and urlIndexName come together: the frontier screen " +
         "needs both the key column and the index to screen against")
@@ -566,6 +567,15 @@ object StreamingIngest {
         val survivors = graft.operators.Dedup
           .dedupAgainstIndex(inBatch, idCol, "main_text", indexName)
           .localCheckpoint(true)
+        // C19/D116 here too: the drift card reads the gated,
+        // keep-one'd PRE-screen frame over the EXTRACTED text (the
+        // pipeline's dedup identity) against the index as the batch
+        // found it — one driver row, before any fold-in
+        val dedupDriftRow = dedupDriftDir.map { _ =>
+          graft.operators.Dedup.dedupIngestDriftCard(
+            batch0.sparkSession, indexName, inBatch, idCol,
+            "main_text").head()
+        }
         val packed = graft.operators.Packing.sequencePack(
           survivors, idCol,
           tokens = graft.operators.TextAnalysis
@@ -617,6 +627,15 @@ object StreamingIngest {
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(s"$fd/ingest_batch=$batchId")
+        }
+        for (dd <- dedupDriftDir; row <- dedupDriftRow) {
+          val spark = batch0.sparkSession
+          spark.createDataFrame(
+            java.util.List.of(row),
+            row.schema)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$dd/ingest_batch=$batchId")
         }
         ()
       }

@@ -1155,6 +1155,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pipeline dedup-drift telemetry: the card reads the EXTRACTED-text novelty pre-screen") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pipedrift").toString
+    def page(chrome: String, body: String): String =
+      s"""<html><head><title>$chrome</title><style>p{margin:0}</style>""" +
+        s"""<script>var n=1;</script></head><body><div class="nav">""" +
+        s"""<a href="/">home</a> <a href="/s">$chrome</a></div><p>$body""" +
+        s"""</p><div class="footer">copyright <a href="/t">terms</a> """ +
+        s"""<a href="/p">privacy</a></div></body></html>"""
+    val corpusText = "the corpus data table holds a value summary with " +
+      "enough prior words that the quality gate keeps it and the " +
+      "screen can match it exactly"
+    val freshBody = "a genuinely novel streaming document about the data " +
+      "value landscape with sufficient distinct words to clear the " +
+      "minimum word count gate easily today"
+    graft.operators.Dedup.buildDedupIndex(
+      Seq((1L, corpusText)).toDF("doc_id", "text"), "doc_id", "text",
+      name = "t_pipedrift_idx")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingIngest.toPipelineIngest(
+      input.toDS().toDF("doc_id", "html"), "doc_id", "html",
+      "t_pipedrift_idx", s"$dir/packed", s"$dir/ckpt",
+      minWords = 20, packCapacity = 64L,
+      dedupDriftDir = Some(s"$dir/drift"))
+    try {
+      // one mirror of the INDEXED corpus text + one novel doc: the
+      // card (measured on the extracted, gated, keep-one'd frame)
+      // must read exactly one known and one new content hash — the
+      // chrome differs but the card keys on the EXTRACTED body,
+      // proving the pipeline's dedup identity feeds the telemetry
+      input.addData(
+        (10L, page("m1", corpusText)),
+        (11L, page("m2", freshBody)))
+      q.processAllAvailable()
+      val c0 = spark.read.parquet(s"$dir/drift/ingest_batch=0").head()
+      assert(c0.getAs[Long]("n_batch_docs") == 2L, s"$c0")
+      assert(c0.getAs[Long]("n_batch_hashes") == 2L &&
+        c0.getAs[Long]("n_new_hashes") == 1L &&
+        c0.getAs[Double]("new_hash_share") == 0.5, s"$c0")
+      // replay: everything now indexed → all-known
+      input.addData(
+        (10L, page("m1", corpusText)),
+        (11L, page("m2", freshBody)))
+      q.processAllAvailable()
+      val c1 = spark.read.parquet(s"$dir/drift/ingest_batch=1").head()
+      assert(c1.getAs[Long]("n_new_hashes") == 0L &&
+        c1.getAs[Long]("n_new_bands") == 0L, s"replay: $c1")
+    } finally q.stop()
+  }
+
   test("pipeline ingest with a frozen model gate: rule-passing spam drops between gate and dedup") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
