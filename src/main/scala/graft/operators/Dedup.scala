@@ -1100,6 +1100,66 @@ object Dedup {
     }
   }
 
+  /** INGEST-DRIFT card for a perceptual SIGNATURE index vs an
+    * incoming batch of sigs — [[dedupIngestDriftCard]]'s sibling for
+    * the media family and the last family's decision feed: how much
+    * of what is arriving is NEW to the signature space? Exact-sig
+    * novelty splits re-encodes/remuxes (same 64-bit sig → known)
+    * from genuinely new footage; CHUNK-key novelty measures the
+    * candidate space the pigeonhole screen is about to join through
+    * (low new-chunk share with high sig novelty = near-dup families
+    * of indexed content arriving — heavy verify work ahead; high
+    * both = novel media). One row: (n_batch_sigs,
+    * n_batch_distinct_sigs, n_new_sigs, new_sig_share,
+    * n_batch_chunks, n_new_chunks, new_chunk_share), shares over the
+    * distinct sets, rounded to 4. Chunk geometry comes from `_meta`.
+    *
+    * Scale shape: one batch-sized chunk pass; novelty via the
+    * index's narrow chunk_hash / sim columns SEMI-joined to the
+    * broadcast batch key sets (the index side never shuffles);
+    * five one-row aggregates cross-joined. */
+  def simIngestDriftCard(spark: org.apache.spark.sql.SparkSession,
+      name: String, batchSigs: DataFrame): DataFrame = {
+    val (maxDist, _) = simIndexMeta(spark, name)
+    val live = batchSigs
+      .filter(col("doc_id").isNotNull && col("sim").isNotNull)
+    val chunkKeys = simChunkRows(live, maxDist)
+      .select(col("chunk_hash")).distinct()
+    val sigKeys = live.select(col("sim")).distinct()
+    val nRows = live.agg(count(lit(1)).as("n_batch_sigs"))
+    val nSigs = sigKeys.agg(count(lit(1)).as("n_batch_distinct_sigs"))
+    val nChunks = chunkKeys.agg(count(lit(1)).as("n_batch_chunks"))
+    val nKnownSigs = Bucketing.stableTable(spark, s"${name}_chunks")
+      .select(col("sim"))
+      .join(broadcast(sigKeys), Seq("sim"), "left_semi")
+      .distinct() // chunk rows repeat each sig maxDist+1 times
+      .agg(count(lit(1)).as("n_known_sigs"))
+    val nKnownChunks = Bucketing.stableTable(spark, s"${name}_chunks")
+      .select(col("chunk_hash"))
+      .join(broadcast(chunkKeys), Seq("chunk_hash"), "left_semi")
+      .distinct()
+      .agg(count(lit(1)).as("n_known_chunks"))
+    nRows.crossJoin(broadcast(nSigs))
+      .crossJoin(broadcast(nChunks))
+      .crossJoin(broadcast(nKnownSigs))
+      .crossJoin(broadcast(nKnownChunks))
+      .select(col("n_batch_sigs"), col("n_batch_distinct_sigs"),
+        (col("n_batch_distinct_sigs") - col("n_known_sigs"))
+          .as("n_new_sigs"),
+        round(when(col("n_batch_distinct_sigs") > 0,
+          (col("n_batch_distinct_sigs") - col("n_known_sigs"))
+            .cast("double")
+            / col("n_batch_distinct_sigs").cast("double"))
+          .otherwise(0.0), 4).as("new_sig_share"),
+        col("n_batch_chunks"),
+        (col("n_batch_chunks") - col("n_known_chunks"))
+          .as("n_new_chunks"),
+        round(when(col("n_batch_chunks") > 0,
+          (col("n_batch_chunks") - col("n_known_chunks")).cast("double")
+            / col("n_batch_chunks").cast("double")).otherwise(0.0), 4)
+          .as("new_chunk_share"))
+  }
+
   /** Merge perceptual SIGNATURE-index shards — the fifth family's
     * consolidation verb, completing the build-small-near-the-data
     * story for every persistent index. Chunk rows union re-bucketed

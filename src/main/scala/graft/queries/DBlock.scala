@@ -3227,6 +3227,29 @@ object DBlock {
         .orderBy(col("doc_id"))
     }),
 
+    // D116 (sim): INGEST-DRIFT card for the perceptual-signature
+    // family — the last family's decision feed: exact-sig novelty
+    // (re-encodes read known) beside pigeonhole CHUNK-key novelty
+    // (the candidate space the screen is about to join through).
+    // Index on the evens' md5-h60 sigs (the oracle-reproducible
+    // basis); the batch carries half known (the %4==2 evens) and
+    // half novel (%4==1 odds) sigs, so every share is provably
+    // mixed. Oracle: DuckDB re-derives both sides' sigs, the
+    // bit-slice chunk pieces (novelty-by-piece == novelty-by-
+    // xxhash64-fold modulo the d97-pinned collision premise), and
+    // every count/share.
+    "d158_sim_ingest_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      val sig = Dedup.md5Hash60(col("doc_id").cast("string"))
+      Dedup.buildSimIndex(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), sig.as("sim")),
+        name = "d158_idx", maxDist = 2)
+      Dedup.simIngestDriftCard(s, "d158_idx",
+        docs.filter((col("doc_id") % 4).isin(1, 2))
+          .select(col("doc_id"), sig.as("sim")))
+    }),
+
     // D110: ANN INGEST-DRIFT card — annIndexStats' occupancy
     // compared against where an INCOMING batch would land, per
     // stored cell: the question an operator asks BEFORE a large
@@ -3683,6 +3706,54 @@ object DBlock {
       |  SELECT 'sim', (SELECT n FROM dt), (SELECT n FROM dt),
       |    0, TRUE, FALSE, 'none')
       |ORDER BY family""".stripMargin
+
+  /** d158 oracle: both sides' md5-h60 sigs re-derived, split into
+    * the maxDist=2 pigeonhole pieces as pure integer bit-slices
+    * (widths 22/21/21 at offsets 0/22/43 — simChunkCols' geometry;
+    * h60 sigs are 60-bit non-negative, so `//` and `%` express the
+    * unsigned shifts exactly), novelty per (piece_idx, piece) vs the
+    * evens — equal to the engine's xxhash64 chunk-fold novelty
+    * modulo the d97-pinned collision premise — plus exact-sig
+    * novelty and every share. */
+  private lazy val d158Sql: String = {
+    def sigOf(where: String) =
+      s"SELECT ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT " +
+        s"AS sim FROM ids $where"
+    def chunksOf(src: String) =
+      s"""SELECT DISTINCT i, piece FROM (
+         |    SELECT 0 AS i, sim % 4194304 AS piece FROM $src
+         |    UNION ALL SELECT 1, (sim // 4194304) % 2097152 FROM $src
+         |    UNION ALL SELECT 2, sim // 8796093022208 FROM $src)""".stripMargin
+    s"""WITH ids AS (
+       |  SELECT doc_id FROM documents WHERE doc_id IS NOT NULL
+       |), esig AS (${sigOf("WHERE doc_id % 2 = 0")}
+       |), bsig AS (${sigOf("WHERE doc_id % 4 IN (1, 2)")}
+       |), ech AS (${chunksOf("esig")}
+       |), bch AS (${chunksOf("bsig")}
+       |), counts AS (
+       |  SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM bsig) AS n_batch_sigs,
+       |    (SELECT CAST(count(DISTINCT sim) AS BIGINT) FROM bsig)
+       |      AS n_batch_distinct_sigs,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM
+       |       (SELECT DISTINCT sim FROM bsig) b
+       |       WHERE NOT EXISTS (SELECT 1 FROM esig e WHERE e.sim = b.sim))
+       |      AS n_new_sigs,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM bch) AS n_batch_chunks,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM bch b
+       |       WHERE NOT EXISTS (SELECT 1 FROM ech e
+       |         WHERE e.i = b.i AND e.piece = b.piece)) AS n_new_chunks
+       |)
+       |SELECT n_batch_sigs, n_batch_distinct_sigs, n_new_sigs,
+       |  round(CASE WHEN n_batch_distinct_sigs > 0
+       |    THEN CAST(n_new_sigs AS DOUBLE) / n_batch_distinct_sigs
+       |    ELSE 0 END, 4) AS new_sig_share,
+       |  n_batch_chunks, n_new_chunks,
+       |  round(CASE WHEN n_batch_chunks > 0
+       |    THEN CAST(n_new_chunks AS DOUBLE) / n_batch_chunks
+       |    ELSE 0 END, 4) AS new_chunk_share
+       |FROM counts""".stripMargin
+  }
 
   /** The `uni` family over the d139 paren-planted corpus — the d122
     * plant with \p{L}\p{N} boundary classes (ASCII corpus, so uni
@@ -5934,6 +6005,7 @@ object DBlock {
     "d126_dedup_reconcile" -> incrementalDedupSql,
     "d152_merged_dedup" -> incrementalDedupSql,
     "d155_dedup_ingest_drift" -> d155Sql,
+    "d158_sim_ingest_drift" -> d158Sql,
 
     // d133: the d46 derivation with the tokenize step swapped for
     // the NORM family over the punctuation-planted text (the

@@ -722,7 +722,8 @@ object StreamingIngest {
       checkpoint: String, videoFrameScreen: Boolean = false,
       urlCol: Option[String] = None,
       urlIndexName: Option[String] = None,
-      funnelDir: Option[String] = None): StreamingQuery = {
+      funnelDir: Option[String] = None,
+      simDriftDir: Option[String] = None): StreamingQuery = {
     require(urlCol.isDefined == urlIndexName.isDefined,
       "urlCol and urlIndexName come together: the frontier screen " +
         "needs both the key column and the index to screen against")
@@ -768,6 +769,16 @@ object StreamingIngest {
         // discipline)
         val kept = if (funnelDir.isDefined) kept0.localCheckpoint(true)
           else kept0
+        // C19 for the media loop: the D116-sibling sim drift card
+        // on the decoded, keep-one'd PRE-screen sigs (a remux flood
+        // screens to zero survivors — the pre-screen frame is where
+        // the flood signal lives), one driver row, before the
+        // fold-in mutates the index side; written LAST below
+        val simDriftRow = simDriftDir.map { _ =>
+          graft.operators.Dedup.simIngestDriftCard(
+            spark, indexName, kept.select(col("doc_id"), col("sim")))
+            .head()
+        }
         val foldSurvivors = graft.operators.Dedup
           .screenAgainstSimIndex(kept, indexName)
           .localCheckpoint(true)
@@ -839,6 +850,14 @@ object StreamingIngest {
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(s"$fd/ingest_batch=$batchId")
+        }
+        for (dd <- simDriftDir; row <- simDriftRow) {
+          spark.createDataFrame(
+            java.util.List.of(row),
+            row.schema)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$dd/ingest_batch=$batchId")
         }
         ()
       }

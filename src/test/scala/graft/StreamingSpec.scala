@@ -874,6 +874,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("media sim-drift telemetry: a remux flood reads known sigs pre-screen; novel media reads new") {
+    import spark.implicits._
+    val M = graft.operators.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("mediadrift").toString
+    val corpus = Seq(
+      M.MediaRow(6L, "audio", M.audioPayload(6L)),
+      M.MediaRow(7L, "audio", M.audioPayload(7L))).toDS()
+    graft.operators.Dedup.buildSimIndex(
+      M.mediaSigs(spark, corpus), "t_mdrift_idx", maxDist = 2,
+      numBuckets = 2)
+    val input = MemoryStream[(Long, String, Array[Byte])](spark)
+    val q = StreamingIngest.toMediaIngest(
+      input.toDS().toDF("doc_id", "media_type", "payload"),
+      "doc_id", "media_type", "payload",
+      "t_mdrift_idx", s"$dir/media", s"$dir/ckpt",
+      simDriftDir = Some(s"$dir/drift"))
+    try {
+      // batch 0: a REMUX FLOOD — byte-identical fingerprints of
+      // indexed audio under fresh ids. The card (pre-screen) reads
+      // all sigs KNOWN while the screen lands nothing — the flood
+      // signal a survivors-side card would miss.
+      input.addData(
+        (100L, "audio", M.remuxedAudioPayload(6L)),
+        (101L, "audio", M.remuxedAudioPayload(7L)))
+      q.processAllAvailable()
+      val c0 = spark.read.parquet(s"$dir/drift/ingest_batch=0").head()
+      assert(c0.getAs[Long]("n_batch_sigs") == 2L &&
+        c0.getAs[Long]("n_new_sigs") == 0L &&
+        c0.getAs[Double]("new_sig_share") == 0.0, s"flood row: $c0")
+      assert(spark.read.parquet(s"$dir/media").count() == 0L)
+      // batch 1: genuinely novel audio — new sigs, new chunk keys
+      input.addData((102L, "audio", M.audioPayload(40L)))
+      q.processAllAvailable()
+      val c1 = spark.read.parquet(s"$dir/drift/ingest_batch=1").head()
+      assert(c1.getAs[Long]("n_new_sigs") == 1L &&
+        c1.getAs[Double]("new_sig_share") == 1.0, s"novel row: $c1")
+      assert(c1.getAs[Long]("n_new_chunks") > 0L)
+      assert(spark.read.parquet(s"$dir/media").count() == 1L)
+    } finally q.stop()
+  }
+
   test("media ingest: perceptual screen per micro-batch over the sim index, replay self-suppresses") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
