@@ -229,7 +229,25 @@ object ScaleProbe {
     "d145_prf_blended",     // two raw passes + blend join
     "d146_bm25_ingest_drift", // half build + vocab anti-join
     "d147_lm_dirichlet",    // term-filtered scan, QL scoring
-    "d148_indexed_dirichlet") // build + pruned Dirichlet serve
+    "d148_indexed_dirichlet", // build + pruned Dirichlet serve
+    // r19 additions. d149/d151 are a build + postings-side PRF
+    // (build-dominated ~10×; the mining joins the fb docs' postings);
+    // d150 is d139 + the LM arm (one more term-filtered pass, ~10×);
+    // d152-d154/d156 are two half builds + a union merge + the
+    // family's serve (~10× write-side — the merge moves each row
+    // once); d155/d158 are a half build + a batch-sized sig/band
+    // pass + SEMI-joins against the index's narrow key columns
+    // (~10×); d157 is d144 + the indexed LM arm (build-dominated).
+    "d149_indexed_prf",     // build + postings-mined PRF serve
+    "d150_card_lm",         // d139 card + LM + LM-dense fusion arms
+    "d151_indexed_prf_blended", // build + blended indexed PRF
+    "d152_merged_dedup",    // two half builds + merge + screen
+    "d153_merged_url",      // two half builds + merge + screen
+    "d154_merged_ann",      // train + shard + merge + pruned serve
+    "d155_dedup_ingest_drift", // half build + band/hash novelty card
+    "d156_merged_sim",      // two half builds + merge + screen
+    "d157_indexed_card_lm", // 3 builds + 7 indexed arms + eval
+    "d158_sim_ingest_drift") // half build + sig/chunk novelty card
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
