@@ -483,6 +483,41 @@ object SnapshotEventStore {
       }
     }
 
+  /** Ops observability for the snapshot store — the one-row card the
+    * family stats verbs give every index: (live_snapshot,
+    * n_snapshots, n_live_files, n_grace_files, n_orphan_files,
+    * n_streams) where grace files are on disk and referenced only by
+    * RETIRED-eligible older snapshots (reclaimable by the next
+    * retire), orphans by nothing (reclaimable by [[vacuumOrphans]]),
+    * and n_streams counts the exactly-once watermarks the live
+    * manifest carries. Driver-side filesystem/manifest reads only —
+    * no Spark job, nothing corpus-sized. */
+  def snapshotStoreStats(spark: SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    val d = snapDir(path)
+    val fs = fsOf(spark, d)
+    val nums = if (!fs.exists(d)) Seq.empty[Long]
+      else fs.listStatus(d).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith(SnapPrefix) && !n.endsWith(".tmp"))
+        .flatMap(n =>
+          scala.util.Try(n.drop(SnapPrefix.length).toLong).toOption)
+        .sorted
+    val live = nums.lastOption
+    val liveFiles = live.map(manifestFiles(spark, path, _).toSet)
+      .getOrElse(Set.empty)
+    val allRef = nums.flatMap(manifestFiles(spark, path, _)).toSet
+    val onDisk = listLive(spark, path).toSet
+    Seq((live.getOrElse(-1L), nums.size.toLong,
+      liveFiles.size.toLong,
+      (onDisk & (allRef -- liveFiles)).size.toLong,
+      (onDisk -- allRef).size.toLong,
+      live.map(committedBatches(spark, path, _).size.toLong)
+        .getOrElse(0L)))
+      .toDF("live_snapshot", "n_snapshots", "n_live_files",
+        "n_grace_files", "n_orphan_files", "n_streams")
+  }
+
   /** Reclaim space: drop every snapshot older than the
     * `keepSnapshots` most recent BEHIND the live one, delete the
     * physical files only they reference, prune emptied partition

@@ -255,6 +255,37 @@ class SnapshotEventStoreSpec extends AnyFunSuite {
     assert(SnapshotEventStore.vacuumOrphans(spark, dir) == 0)
   }
 
+  test("snapshotStoreStats: live/grace/orphan file classes and stream watermarks counted exactly") {
+    val dir = freshDir()
+    SnapshotEventStore.appendBatch(events(2, 3), dir, batchId = 0L,
+      streamId = "s-a")
+    SnapshotEventStore.appendBatch(events(2, 3, idOffset = 100L), dir,
+      batchId = 0L, streamId = "s-b")
+    // compaction replaces the appended files → they become GRACE
+    // files (on disk, referenced only by older snapshots)
+    SnapshotEventStore.compact(spark, dir, maxFilesPerPartition = 1)
+    // plant one orphan (moved-but-unpublished crash leftover)
+    events(1, 1, idOffset = 900L).write.mode("overwrite")
+      .parquet(s"$dir/.st_tmp")
+    val src = new java.io.File(s"$dir/.st_tmp").listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(s"$dir/dt=2024-01-01/hour=0/orphan-st.parquet").toPath)
+    val r = SnapshotEventStore.snapshotStoreStats(spark, dir).head()
+    assert(r.getAs[Long]("n_live_files") == 2L, s"$r")     // 1/partition
+    assert(r.getAs[Long]("n_grace_files") > 0L, s"$r")     // replaced
+    assert(r.getAs[Long]("n_orphan_files") == 1L, s"$r")   // planted
+    assert(r.getAs[Long]("n_streams") == 2L, s"$r")        // s-a, s-b
+    assert(r.getAs[Long]("live_snapshot") ==
+      SnapshotEventStore.currentSnapshot(spark, dir).get)
+    // vacuum + retire reconcile the classes back to live-only
+    SnapshotEventStore.vacuumOrphans(spark, dir)
+    SnapshotEventStore.retire(spark, dir, keepSnapshots = 0)
+    val r2 = SnapshotEventStore.snapshotStoreStats(spark, dir).head()
+    assert(r2.getAs[Long]("n_grace_files") == 0L &&
+      r2.getAs[Long]("n_orphan_files") == 0L, s"$r2")
+  }
+
   test("crash leftovers are invisible: orphan files and tmp roots never surface") {
     val dir = freshDir()
     SnapshotEventStore.init(spark, dir)
