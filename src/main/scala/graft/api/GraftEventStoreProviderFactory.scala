@@ -32,13 +32,28 @@ object GraftEventStoreProviderFactory {
     case object Drain extends IngestMode
   }
 
+  /** Which store discipline the provider's verbs run on. */
+  sealed trait StoreMode
+  object StoreMode {
+    /** The dt/hour directory store with [[graft.sources.EventStore]]'s
+      * swap-in maintenance — readers racing a sweep can observe the
+      * rename window (disclosed). */
+    case object Legacy extends StoreMode
+    /** The snapshot-isolated manifest store
+      * ([[graft.sources.SnapshotEventStore]]): every read resolves an
+      * immutable snapshot, maintenance never deletes what a pinned
+      * reader can see, and streaming ingest is exactly-once. */
+    case object Snapshot extends StoreMode
+  }
+
   /** Resolved configuration (all defaults applied). */
   final case class Settings(
       enabled: Boolean,
       eventsPath: String,
       adminEventsPath: String,
       retentionMs: Option[Long],
-      ingestMode: IngestMode)
+      ingestMode: IngestMode,
+      storeMode: StoreMode = StoreMode.Legacy)
 
   private val DefaultBasePath = "/tmp/graft-event-store"
 
@@ -73,6 +88,13 @@ object GraftEventStoreProviderFactory {
         case Some(other) =>
           System.err.println(s"[graft] unknown ingestMode '$other', using append")
           IngestMode.Append
+      },
+      storeMode = get(config, "storeMode").map(_.toLowerCase) match {
+        case Some("snapshot") => StoreMode.Snapshot
+        case Some("legacy") | None => StoreMode.Legacy
+        case Some(other) =>
+          System.err.println(s"[graft] unknown storeMode '$other', using legacy")
+          StoreMode.Legacy
       })
     new GraftEventStoreProviderFactory(settings)
   }
@@ -97,7 +119,8 @@ final class GraftEventStoreProviderFactory private (
   def create(spark: SparkSession): GraftEventStoreProvider = {
     if (!isSupported) throw new IllegalStateException(
       s"$ProviderId is disabled; set enabled=true to opt in")
-    new GraftEventStoreProvider(spark, settings.eventsPath, settings.adminEventsPath)
+    new GraftEventStoreProvider(spark, settings.eventsPath,
+      settings.adminEventsPath, settings.storeMode)
   }
 
   /** Attach a JSON-lines source using the CONFIGURED ingest mode. */

@@ -44,6 +44,29 @@ object ABlock {
       java.lang.Long.toHexString(st.getLen ^ st.getModificationTime)
   }
 
+  /** Build-once-then-reuse for the physical stores, CRASH-SAFE: the
+    * old `if (!exists) { mkdirs; build into place }` pattern meant a
+    * failure mid-build left a half-built store every later invocation
+    * silently reused — wrong rows against the oracle with no error.
+    * The build lands in a `.building` staging directory and ONE
+    * rename publishes it; a crash leaves only staging (deleted and
+    * rebuilt next time), never a half-store under the live name.
+    * Safe for snapshot stores too: manifests hold store-RELATIVE
+    * paths, so the directory rename moves the whole discipline
+    * intact. */
+  private def cachedStore(s: SparkSession, store: String)(
+      build: String => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) return
+    val staging = new org.apache.hadoop.fs.Path(store + ".building")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    fs.mkdirs(staging)
+    build(staging.toString)
+    require(fs.rename(staging, p),
+      s"failed to publish staged store $staging -> $p")
+  }
+
   val queries: Map[String, Q] = Map(
     // A1: user-event flattening (FlatEvent.java:43-55).
     "a1_flatten_event" -> ((s, d) =>
@@ -148,13 +171,11 @@ object ABlock {
     // per sf dir; the READ is the measured operation).
     "a12_compacted_read" -> ((s, d) => {
       val store = "/tmp/graft_a12_store_" + storeKey(s, d)
-      val p = new org.apache.hadoop.fs.Path(store)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) {
+      cachedStore(s, store) { st =>
         val slice = ke(s, d).filter(col("time") >= T0 && col("time") < T1)
-        graft.sources.EventStore.write(slice.filter(col("time") % 2 === 0), store)
-        graft.sources.EventStore.write(slice.filter(col("time") % 2 =!= 0), store)
-        graft.sources.EventStore.compact(s, store, maxFilesPerPartition = 1)
+        graft.sources.EventStore.write(slice.filter(col("time") % 2 === 0), st)
+        graft.sources.EventStore.write(slice.filter(col("time") % 2 =!= 0), st)
+        graft.sources.EventStore.compact(s, st, maxFilesPerPartition = 1)
       }
       graft.sources.EventStore.read(s, store)
         .groupBy(col("dt").cast("string").as("dt"), col("hour").cast("int").as("hour"))
@@ -168,16 +189,38 @@ object ABlock {
     // oracle derives the same split from the mid-slice boundary.
     "a14_evolved_read" -> ((s, d) => {
       val store = "/tmp/graft_a14_store_" + storeKey(s, d)
-      val p = new org.apache.hadoop.fs.Path(store)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) {
+      cachedStore(s, store) { st =>
         val slice = ke(s, d).filter(col("time") >= T0 && col("time") < T1)
-        graft.sources.EventStore.write(slice.filter(col("time") < TMid), store)
+        graft.sources.EventStore.write(slice.filter(col("time") < TMid), st)
         graft.sources.EventStore.write(
           slice.filter(col("time") >= TMid)
-            .withColumn("channel", upper(col("eventtype"))), store)
+            .withColumn("channel", upper(col("eventtype"))), st)
       }
       graft.sources.EventStore.read(s, store, mergeSchema = true)
+        .groupBy(col("eventtype"))
+        .agg(count(lit(1)).as("n"),
+          count(col("channel")).as("n_evolved"))
+        .orderBy(col("eventtype"))
+    }),
+
+    // A14 × A17: schema evolution THROUGH the snapshot discipline —
+    // the first append predates the `channel` column, the second
+    // carries it, and the snapshot read resolves the MERGED carried
+    // schema (the `#schema=` header every publish forwards) instead
+    // of sampling a file: pre-evolution rows surface null exactly as
+    // the legacy mergeSchema read, proven by A14's oracle verbatim.
+    "a14b_evolved_snapshot_read" -> ((s, d) => {
+      val store = "/tmp/graft_a14b_store_" + storeKey(s, d)
+      cachedStore(s, store) { st =>
+        val slice = ke(s, d).filter(col("time") >= T0 && col("time") < T1)
+        graft.sources.SnapshotEventStore.init(s, st)
+        graft.sources.SnapshotEventStore.append(
+          slice.filter(col("time") < TMid), st)
+        graft.sources.SnapshotEventStore.append(
+          slice.filter(col("time") >= TMid)
+            .withColumn("channel", upper(col("eventtype"))), st)
+      }
+      graft.sources.SnapshotEventStore.read(s, store)
         .groupBy(col("eventtype"))
         .agg(count(lit(1)).as("n"),
           count(col("channel")).as("n_evolved"))
@@ -210,16 +253,52 @@ object ABlock {
     "a11_provider_roundtrip" -> ((s, d) => {
       import s.implicits._
       val base = "/tmp/graft_a11_store_" + storeKey(s, d)
+      cachedStore(s, base) { st =>
+        graft.api.GraftEventStoreProviderFactory.fromConfig(
+          Map("enabled" -> "true", "basePath" -> st)).create(s)
+          .onEvents(
+            ke(s, d).filter(col("time") >= T0 && col("time") < T1)
+              .as[graft.model.KeycloakEvent])
+      }
       val factory = graft.api.GraftEventStoreProviderFactory.fromConfig(
         Map("enabled" -> "true", "basePath" -> base))
       val provider = factory.create(s)
-      val p = new org.apache.hadoop.fs.Path(base)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p))
-        provider.onEvents(
-          ke(s, d).filter(col("time") >= T0 && col("time") < T1)
-            .as[graft.model.KeycloakEvent])
       provider.createQuery()
+        .types("LOGIN", "LOGOUT")
+        .realm("realm-2")
+        .fromDate(T0).toDate(TMid)
+        .orderByAscTime
+        .toDF
+        .select(col("id"), col("eventtype"), col("realmid"), col("userid"),
+          col("time"))
+    }),
+
+    // A19: the provider facade in SNAPSHOT mode — a11's exact
+    // end-to-end path (config map → factory → provider → typed
+    // onEvents → createQuery → toDF) with ONE config key flipped
+    // (`storeMode=snapshot`), so every verb rides the manifest
+    // discipline: the append seals + publishes, the query resolves
+    // the live snapshot, and a maintenance COMPACTION runs between
+    // write and read to prove the query result is manifest-defined
+    // (the replaced fragmented files are still on disk under reader
+    // grace — a directory read would double-count). Oracle: a11's
+    // SQL verbatim — the one-string-proves-two-disciplines rule.
+    "a19_provider_snapshot" -> ((s, d) => {
+      import s.implicits._
+      val base = "/tmp/graft_a19_store_" + storeKey(s, d)
+      def cfg(bp: String) = graft.api.GraftEventStoreProviderFactory
+        .fromConfig(Map("enabled" -> "true", "basePath" -> bp,
+          "storeMode" -> "snapshot"))
+      cachedStore(s, base) { st =>
+        val p = cfg(st).create(s)
+        val slice = ke(s, d).filter(col("time") >= T0 && col("time") < T1)
+        p.onEvents(slice.filter(col("time") % 2 === 0)
+          .as[graft.model.KeycloakEvent])
+        p.onEvents(slice.filter(col("time") % 2 =!= 0)
+          .as[graft.model.KeycloakEvent])
+        p.compactEvents(maxFilesPerPartition = 1)
+      }
+      cfg(base).create(s).createQuery()
         .types("LOGIN", "LOGOUT")
         .realm("realm-2")
         .fromDate(T0).toDate(TMid)
@@ -239,11 +318,11 @@ object ABlock {
     // rows and touches nothing.
     "a16_realm_clear" -> ((s, d) => {
       val store = "/tmp/graft_a16_store_" + storeKey(s, d)
-      val p = new org.apache.hadoop.fs.Path(store)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) graft.sources.EventStore.write(
-        ke(s, d).filter(col("time") >= T0 && col("time") < T1), store,
-        sortWithin = Seq("realmid"))
+      cachedStore(s, store) { st =>
+        graft.sources.EventStore.write(
+          ke(s, d).filter(col("time") >= T0 && col("time") < T1), st,
+          sortWithin = Seq("realmid"))
+      }
       graft.sources.EventStore.clearRealm(s, store, "realm-1", Some(TMid))
       graft.sources.EventStore.read(s, store)
         .groupBy(col("realmid"))
@@ -261,17 +340,14 @@ object ABlock {
     // directory read would double-count; the snapshot read must not).
     "a17_snapshot_store" -> ((s, d) => {
       val store = "/tmp/graft_a17_store_" + storeKey(s, d)
-      val p = new org.apache.hadoop.fs.Path(store)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) {
+      cachedStore(s, store) { st =>
         val slice = ke(s, d).filter(col("time") >= T0 && col("time") < T1)
-        fs.mkdirs(p)
-        graft.sources.SnapshotEventStore.init(s, store)
+        graft.sources.SnapshotEventStore.init(s, st)
         graft.sources.SnapshotEventStore.append(
-          slice.filter(col("time") % 2 === 0), store)
+          slice.filter(col("time") % 2 === 0), st)
         graft.sources.SnapshotEventStore.append(
-          slice.filter(col("time") % 2 =!= 0), store)
-        graft.sources.SnapshotEventStore.compact(s, store,
+          slice.filter(col("time") % 2 =!= 0), st)
+        graft.sources.SnapshotEventStore.compact(s, st,
           maxFilesPerPartition = 1)
       }
       graft.sources.SnapshotEventStore.clearExpired(s, store, TMid)
@@ -290,13 +366,10 @@ object ABlock {
     // moving their store onto the snapshot discipline.
     "a18_snapshot_query" -> ((s, d) => {
       val store = "/tmp/graft_a18_store_" + storeKey(s, d)
-      val p = new org.apache.hadoop.fs.Path(store)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) {
-        fs.mkdirs(p)
-        graft.sources.SnapshotEventStore.init(s, store)
+      cachedStore(s, store) { st =>
+        graft.sources.SnapshotEventStore.init(s, st)
         graft.sources.SnapshotEventStore.append(
-          ke(s, d).filter(col("time") >= T0 && col("time") < T1), store)
+          ke(s, d).filter(col("time") >= T0 && col("time") < T1), st)
       }
       EventQuery(graft.sources.SnapshotEventStore.read(s, store))
         .fromDate(TMid).toDate(T1)
@@ -314,10 +387,10 @@ object ABlock {
     // filter: pruning must be invisible in the results.
     "a13_pruned_read" -> ((s, d) => {
       val store = "/tmp/graft_a13_store_" + storeKey(s, d)
-      val p = new org.apache.hadoop.fs.Path(store)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) graft.sources.EventStore.write(
-        ke(s, d).filter(col("time") >= T0 && col("time") < T1), store)
+      cachedStore(s, store) { st =>
+        graft.sources.EventStore.write(
+          ke(s, d).filter(col("time") >= T0 && col("time") < T1), st)
+      }
       EventQuery(graft.sources.EventStore.read(s, store))
         .fromDate(TMid).toDate(T1)
         .orderByAscTime
@@ -425,6 +498,23 @@ object ABlock {
          |FROM ke
          |WHERE eventtype IN ('LOGIN','LOGOUT') AND realmid = 'realm-2'
          |  AND time >= $T0 AND time <= $TMid
-         |ORDER BY time, id""".stripMargin
+         |ORDER BY time, id""".stripMargin,
+
+    // a11's SQL VERBATIM: the snapshot-mode provider must be
+    // result-indistinguishable from the legacy one
+    "a19_provider_snapshot" ->
+      s"""$withKe SELECT id, eventtype, realmid, userid, time
+         |FROM ke
+         |WHERE eventtype IN ('LOGIN','LOGOUT') AND realmid = 'realm-2'
+         |  AND time >= $T0 AND time <= $TMid
+         |ORDER BY time, id""".stripMargin,
+
+    // a14's SQL VERBATIM: evolved-schema reads through the snapshot
+    // discipline must agree with the legacy mergeSchema read
+    "a14b_evolved_snapshot_read" ->
+      s"""$withKe SELECT eventtype, count(*) AS n,
+         |  CAST(sum(CASE WHEN time >= $TMid THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved
+         |FROM ke WHERE time >= $T0 AND time < $T1
+         |GROUP BY eventtype ORDER BY eventtype""".stripMargin
   )
 }

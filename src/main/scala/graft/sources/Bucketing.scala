@@ -61,15 +61,12 @@ object Bucketing {
     val mk = swapMarker(spark, table)
     if (fs.exists(mk)) fs.delete(mk, false)
     // sweep generation directories and pointers (see the
-    // "generation-location swap" section below)
-    val wh = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"))
-    if (fs.exists(wh)) {
-      val pat = s"${table.toLowerCase}__g(ptr_)?\\d+".r
-      fs.listStatus(wh).toSeq.map(_.getPath)
-        .filter(p => pat.pattern.matcher(p.getName).matches())
-        .foreach(fs.delete(_, true))
-    }
+    // "generation-location swap" section below) — prefix-filtered
+    // listing, not a full warehouse scan
+    val pat = s"${table.toLowerCase}__g(ptr_)?\\d+".r
+    globWarehouse(spark, s"${table.toLowerCase}__g*").map(_.getPath)
+      .filter(p => pat.pattern.matcher(p.getName).matches())
+      .foreach(fs.delete(_, true))
   }
 
   // ---------------------------------------------------------------
@@ -113,15 +110,28 @@ object Bucketing {
       spark.conf.get("spark.sql.warehouse.dir"),
       s"${table.toLowerCase}__g$g")
 
-  /** Live generation of `table` (0 = legacy directory, never swapped). */
-  private[graft] def generationOf(spark: SparkSession, table: String): Long = {
+  /** PREFIX-FILTERED warehouse listing — the pointer/generation
+    * resolves' scale posture: a full `listStatus(warehouse)` per
+    * resolve is O(#tables + pointers + leases + markers) driver-side,
+    * and lifecycle verbs resolve several times each — at hundreds of
+    * families × frequent maintenance that is an accidental O(N²).
+    * `globStatus` on the name prefix pushes the filter into the
+    * filesystem (HDFS/S3 list-with-prefix), keeping each resolve
+    * O(matches). Returns empty when the warehouse does not exist
+    * (globStatus yields null for a missing parent). */
+  private[sources] def globWarehouse(spark: SparkSession,
+      pattern: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val wh = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"))
     val fs = fsOf(spark, wh)
-    if (!fs.exists(wh)) return 0L
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(wh, pattern)))
+      .map(_.toSeq).getOrElse(Seq.empty)
+  }
+
+  /** Live generation of `table` (0 = legacy directory, never swapped). */
+  private[graft] def generationOf(spark: SparkSession, table: String): Long = {
     val pfx = genPtrPrefix(table)
-    fs.listStatus(wh).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(pfx))
+    globWarehouse(spark, pfx + "*").map(_.getPath.getName)
       .flatMap(n => scala.util.Try(n.drop(pfx.length).toLong).toOption)
       .sorted.lastOption.getOrElse(0L)
   }
@@ -135,11 +145,11 @@ object Bucketing {
       spark.conf.get("spark.sql.warehouse.dir"))
     val fs = fsOf(spark, wh)
     fs.mkdirs(wh)
-    val p = new org.apache.hadoop.fs.Path(wh, s"${genPtrPrefix(table)}$next")
-    if (!fs.exists(p)) fs.create(p, false).close()
     val pfx = genPtrPrefix(table)
-    fs.listStatus(wh).toSeq.map(_.getPath)
-      .filter(q => q.getName.startsWith(pfx) && scala.util.Try(
+    val p = new org.apache.hadoop.fs.Path(wh, s"$pfx$next")
+    if (!fs.exists(p)) fs.create(p, false).close()
+    globWarehouse(spark, pfx + "*").map(_.getPath)
+      .filter(q => scala.util.Try(
         q.getName.drop(pfx.length).toLong).toOption.exists(_ < next))
       .foreach(fs.delete(_, false))
   }
@@ -181,6 +191,23 @@ object Bucketing {
     * absent — O(1) steady-state, self-healing after a crashed
     * retire). The replaced generation g stays alive for in-flight
     * scanners. */
+  /** The generation encoded in `table`'s CURRENT catalog location —
+    * what readers resolving the table right now actually scan. The
+    * pointer can legitimately run AHEAD of this (a crash between
+    * [[flipGenPointer]] and the ALTER), so retire decisions must key
+    * off the served generation, never the pointer. */
+  private def servedGenerationOf(spark: SparkSession,
+      table: String): Long = {
+    val name = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+      .getName
+    val pfx = s"${table.toLowerCase}__g"
+    if (name.startsWith(pfx))
+      scala.util.Try(name.drop(pfx.length).toLong).getOrElse(0L)
+    else 0L
+  }
+
   private def generationSwap(df: DataFrame, table: String,
       bucketSpec: Option[(String, Int)]): Unit = {
     val spark = df.sparkSession
@@ -195,11 +222,19 @@ object Bucketing {
       .option("path", nextDir.toString)
     bucketSpec.fold(w)(bs =>
       w.bucketBy(bs._2, bs._1).sortBy(bs._1)).saveAsTable(stage)
+    // the retire floor derives from what the catalog SERVED until
+    // this instant, not from the pointer: after a crash between a
+    // prior swap's pointer flip and its ALTER, the pointer reads g+1
+    // while the catalog still serves g — a pointer-derived floor
+    // would then retire g, deleting the directory in-flight readers
+    // were promised one rewrite of grace on. servedGen keeps its
+    // grace; only generations strictly below it retire.
+    val servedGen = servedGenerationOf(spark, table)
     flipGenPointer(spark, table, next)
     spark.sql(s"ALTER TABLE `$table` SET LOCATION '$nextDir'")
     spark.catalog.refreshTable(table)
     spark.sql(s"DROP TABLE IF EXISTS `$stage`") // external: files stand
-    var g = cur - 1
+    var g = math.min(servedGen, cur) - 1
     var walking = true
     while (g >= 0 && walking) {
       val d = if (g == 0) tableDir(spark, table)
@@ -208,6 +243,66 @@ object Bucketing {
       else walking = false
     }
   }
+
+  /** GENERATION-LEVEL TIME TRAVEL for a swap-maintained table — the
+    * audit read ("what did the index hold before that compaction?")
+    * that [[VersionedTable.readVersion]] gives pointer tables and
+    * [[SnapshotEventStore.readSnapshot]] gives the event store, at
+    * location grain: reads generation `g`'s directory directly
+    * (g = 0 is the legacy managed directory). Valid for the live
+    * generation and the one-rewrite grace generation; an already-
+    * retired generation fails loudly naming the live one. Plain
+    * parquet scan, no catalog entry — bucket metadata does not ride
+    * a raw directory read, so joins against an audit read shuffle
+    * normally (disclosed; audit reads are not the serve path). */
+  def readGeneration(spark: SparkSession, table: String,
+      g: Long): DataFrame = {
+    val live = generationOf(spark, table)
+    val d = if (g == 0L) tableDir(spark, table)
+      else genDirPath(spark, table, g)
+    require(g >= 0L && fsOf(spark, d).exists(d),
+      s"generation $g of table '$table' is retired or never existed " +
+        s"— live generation is $live (grace generation " +
+        s"${math.max(live - 1, 0)} may also be readable)")
+    spark.read.parquet(d.toString)
+  }
+
+  /** Reclaim GENERATION ORPHANS of a swap-maintained table: directories
+    * a crashed [[generationSwap]] leaves that nothing else deletes —
+    * a fully-built `__g<n>` with n ABOVE the live pointer (death
+    * between the build and the pointer flip; the next swap overwrites
+    * only the SAME number, so a different-numbered leftover stands
+    * forever), and below-floor leftovers the retire down-walk missed
+    * (it stops at the first absent directory, so a gap strands
+    * everything older). Keeps the live generation and its one-rewrite
+    * grace predecessor. Holds the table's writer lease — an in-flight
+    * swap's fully-built next generation looks exactly like an orphan,
+    * so the vacuum must serialize with writers; callers composing
+    * family-level verbs (which lease the FAMILY name, not the table)
+    * run this in the family's quiet window. Returns directories
+    * deleted. */
+  def vacuumGenerations(spark: SparkSession, table: String): Int =
+    withIndexLease(spark, table, "vacuumGenerations") {
+      val live = generationOf(spark, table)
+      val pat = s"${table.toLowerCase}__g\\d+".r
+      val pfx = s"${table.toLowerCase}__g"
+      val gens = globWarehouse(spark, pfx + "*")
+        .map(_.getPath)
+        .filter(p => pat.pattern.matcher(p.getName).matches())
+        .flatMap(p => scala.util.Try(
+          p.getName.drop(pfx.length).toLong).toOption.map(_ -> p))
+      val doomed = gens.filter { case (n, _) =>
+        n > live || n < live - 1 }
+      val fs = fsOf(spark, new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir")))
+      doomed.foreach { case (_, p) => fs.delete(p, true) }
+      // the legacy directory (generation 0) is below-floor once the
+      // live generation is past its grace window
+      val legacy = tableDir(spark, table)
+      val legacyDoomed = live >= 2 && fs.exists(legacy)
+      if (legacyDoomed) fs.delete(legacy, true)
+      doomed.size + (if (legacyDoomed) 1 else 0)
+    }
 
   /** Durable filesystem markers for MULTI-table maintenance verbs
     * (the ANN rebalance changes centroids AND assignments together):

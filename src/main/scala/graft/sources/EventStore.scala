@@ -25,6 +25,30 @@ import org.apache.spark.sql.functions._
   */
 object EventStore {
 
+  /** Mutual exclusion with the snapshot discipline: once a store is
+    * SEALED ([[SnapshotEventStore.init]] published a manifest), its
+    * physical directories legitimately hold replaced-but-not-retired
+    * grace files, and these legacy verbs — which rename/delete by
+    * DIRECTORY — would move files out from under every manifest:
+    * pinned snapshot reads start throwing missing-file errors, and a
+    * re-init would double-count grace files. One missed call site
+    * silently corrupts the store's flagship guarantee, so every
+    * legacy MUTATING verb refuses loudly instead (the A17 "must be
+    * maintained through the snapshot face" contract, enforced in
+    * code, not documentation). [[clearAll]] stays legal: it drops the
+    * manifests WITH the data — a whole-store reset, not a
+    * half-discipline mutation. */
+  private def requireNotSealed(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, verb: String, snapVerb: String): Unit = {
+    val snaps = new Path(root, SnapshotEventStore.SnapDirName)
+    if (fs.exists(snaps)) throw new IllegalStateException(
+      s"EventStore.$verb on snapshot-sealed store '$root': the store " +
+        "has published manifests and its directories hold " +
+        "grace-retained files a directory-grain verb would corrupt — " +
+        s"use SnapshotEventStore.$snapVerb (or clearAll to drop the " +
+        "whole store, manifests included)")
+  }
+
   /** Add the dt/hour partition columns derived from epoch-ms `time`.
     *
     * Pure integer epoch arithmetic (floor-division via pmod), NOT
@@ -53,6 +77,10 @@ object EventStore {
   def write(events: DataFrame, path: String,
       maxRecordsPerFile: Int = 1000000,
       sortWithin: Seq[String] = Nil): Unit = {
+    val root = new Path(path)
+    requireNotSealed(root.getFileSystem(
+      events.sparkSession.sparkContext.hadoopConfiguration),
+      root, "write", "append")
     val partitioned = withPartitionColumns(events)
     val arranged =
       if (sortWithin.isEmpty) partitioned
@@ -148,6 +176,7 @@ object EventStore {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
+    requireNotSealed(fs, root, "compact", "compact")
     recoverSwaps(spark, path)
 
     val oversized =
@@ -203,6 +232,7 @@ object EventStore {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
+    requireNotSealed(fs, root, "clearExpired", "clearExpired")
     recoverSwaps(spark, path)
 
     // Scan first: partitions wholly before the cutoff are dropped,
@@ -292,6 +322,7 @@ object EventStore {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
+    requireNotSealed(fs, root, "clearRealm", "clearRealm")
     recoverSwaps(spark, path)
     val hasData = fs.listStatus(root)
       .exists(d => d.isDirectory && d.getPath.getName.startsWith("dt="))

@@ -62,7 +62,7 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotEventStore {
 
-  private val SnapDirName = "_graft_snapshots"
+  private[sources] val SnapDirName = "_graft_snapshots"
   private val SnapPrefix = "snap_"
 
   private def fsOf(spark: SparkSession, p: Path) =
@@ -140,17 +140,42 @@ object SnapshotEventStore {
     * between init and its first batch) returns a correctly-TYPED
     * empty frame instead of the zero-column emptyDataFrame that
     * breaks every schema-dependent consumer (`.filter(col("time")..)`
-    * on a just-swept store must not throw). */
+    * on a just-swept store must not throw) — and so every NON-empty
+    * read resolves one declared schema instead of sampling a file
+    * (see [[read]]'s evolved-store contract). */
+  private def schemaTag(spark: SparkSession, path: String,
+      n: Long): Option[String] =
+    manifestLines(spark, path, n).find(_.startsWith("#schema="))
+      .map(_.drop("#schema=".length))
+
   private def schemaTagOf(spark: SparkSession,
       path: String): Option[String] =
-    currentSnapshot(spark, path).flatMap(n =>
-      manifestLines(spark, path, n).find(_.startsWith("#schema="))
-        .map(_.drop("#schema=".length)))
+    currentSnapshot(spark, path).flatMap(n => schemaTag(spark, path, n))
 
-  private def schemaHeader(events: DataFrame): Seq[String] = {
-    val dataFields = events.schema.fields
+  private def parseSchema(
+      json: String): Option[org.apache.spark.sql.types.StructType] =
+    scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
+
+  /** Header for the NEXT manifest: the carried schema MERGED with the
+    * batch's — an append that ADDS a column (the [[EventStore.read]]
+    * `mergeSchema` scenario, A14) widens the store schema, and an
+    * append that carries FEWER columns (a source that stopped sending
+    * an optional attribute) must not narrow it: files already live
+    * under the old schema and their columns stay readable. Field
+    * order: existing data fields, then genuinely new ones, dt/hour
+    * last. */
+  private def schemaHeader(events: DataFrame, spark: SparkSession,
+      path: String): Seq[String] = {
+    val newData = events.schema.fields
       .filterNot(f => f.name == "dt" || f.name == "hour")
-    val full = org.apache.spark.sql.types.StructType(dataFields ++ Seq(
+    val existingData = schemaTagOf(spark, path).flatMap(parseSchema)
+      .map(_.fields.filterNot(f => f.name == "dt" || f.name == "hour"))
+      .getOrElse(Array.empty[org.apache.spark.sql.types.StructField])
+    val existingNames = existingData.map(_.name.toLowerCase).toSet
+    val merged = existingData ++
+      newData.filterNot(f => existingNames(f.name.toLowerCase))
+    val full = org.apache.spark.sql.types.StructType(merged ++ Seq(
       org.apache.spark.sql.types.StructField("dt",
         org.apache.spark.sql.types.DateType),
       org.apache.spark.sql.types.StructField("hour",
@@ -160,13 +185,9 @@ object SnapshotEventStore {
 
   private def typedEmpty(spark: SparkSession,
       path: String): DataFrame =
-    schemaTagOf(spark, path)
-      .flatMap(j => scala.util.Try(
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.DataType.fromJson(j)
-            .asInstanceOf[org.apache.spark.sql.types.StructType]))
-        .toOption)
+    schemaTagOf(spark, path).flatMap(parseSchema)
+      .map(s => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
       .getOrElse(spark.emptyDataFrame)
 
   /** Write manifest N+1: stage to a dot-tmp name, then ONE atomic
@@ -183,7 +204,16 @@ object SnapshotEventStore {
     try out.write((header ++ files.sorted).mkString("\n")
       .getBytes("UTF-8"))
     finally out.close()
-    fs.rename(tmp, new Path(d, s"$SnapPrefix$next"))
+    // the rename IS the commit — on filesystems where a failed rename
+    // returns false instead of throwing, ignoring it would report
+    // success while the landed files stay invisible orphans and the
+    // #batch watermark is never recorded (silent data loss under the
+    // exactly-once contract), so refuse loudly
+    require(fs.rename(tmp, new Path(d, s"$SnapPrefix$next")),
+      s"failed to publish snapshot $next of store '$path' — " +
+        s"rename($tmp) returned false; the prior snapshot is intact " +
+        "and the landed files are unreferenced orphans (vacuumOrphans " +
+        "reclaims them)")
     next
   }
 
@@ -215,10 +245,30 @@ object SnapshotEventStore {
       publish(spark, path, listLive(spark, path))
     }
 
+  /** Scan exactly `rels` under the manifest's declared schema: the
+    * carried `#schema=` header, when present, is applied explicitly —
+    * on an EVOLVED store (appends added a column, the A14 scenario)
+    * parquet inference would otherwise resolve to whichever file it
+    * samples and the new column could silently vanish from a scan.
+    * Pre-header manifests (an [[init]]-sealed legacy store that was
+    * never appended to) fall back to `mergeSchema`, the legacy read's
+    * reconciliation. `basePath` keeps dt/hour partition columns and
+    * planning-time pruning either way. */
+  private def scanFiles(spark: SparkSession, path: String,
+      rels: Seq[String],
+      header: Option[String]): DataFrame = {
+    val reader = header.flatMap(parseSchema) match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read.option("mergeSchema", "true")
+    }
+    reader.option("basePath", path)
+      .parquet(rels.map(f => s"$path/$f"): _*)
+  }
+
   /** Snapshot-isolated read: resolve the live manifest once, scan
-    * exactly its files. `basePath` keeps dt/hour as partition
-    * columns, so time predicates prune partitions exactly as on the
-    * raw store. */
+    * exactly its files under the carried schema ([[scanFiles]]).
+    * `basePath` keeps dt/hour as partition columns, so time
+    * predicates prune partitions exactly as on the raw store. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val n = currentSnapshot(spark, path).getOrElse(throw
       new IllegalStateException(
@@ -226,25 +276,31 @@ object SnapshotEventStore {
           "once with SnapshotEventStore.init"))
     val files = manifestFiles(spark, path, n)
     if (files.isEmpty) return typedEmpty(spark, path)
-    spark.read.option("basePath", path)
-      .parquet(files.map(f => s"$path/$f"): _*)
+    scanFiles(spark, path, files, schemaTag(spark, path, n))
   }
 
   /** TIME-TRAVEL read of an EXPLICIT snapshot — audit/debug ("what
     * did the store hold before that sweep?"), valid for any snapshot
     * not yet retired; a retired one fails loudly naming the live
     * snapshot (the [[VersionedTable.readVersion]] contract at store
-    * level). */
+    * level). The schema is the SNAPSHOT'S OWN header — a column
+    * appended after snapshot `n` does not appear in its time-travel
+    * read. Readers hold no lease, so a retire can race the resolve;
+    * both the upfront probe and the manifest read itself translate
+    * that to the loud retired message instead of a raw
+    * FileNotFoundException. */
   def readSnapshot(spark: SparkSession, path: String,
       n: Long): DataFrame = {
-    val p = new Path(snapDir(path), s"$SnapPrefix$n")
-    require(fsOf(spark, p).exists(p),
+    def retired() = throw new IllegalArgumentException(
       s"snapshot $n of store '$path' is retired or never existed — " +
         s"live snapshot is ${currentSnapshot(spark, path)}")
-    val files = manifestFiles(spark, path, n)
+    val p = new Path(snapDir(path), s"$SnapPrefix$n")
+    if (!fsOf(spark, p).exists(p)) retired()
+    val (files, header) =
+      try (manifestFiles(spark, path, n), schemaTag(spark, path, n))
+      catch { case _: java.io.FileNotFoundException => retired() }
     if (files.isEmpty) typedEmpty(spark, path)
-    else spark.read.option("basePath", path)
-      .parquet(files.map(f => s"$path/$f"): _*)
+    else scanFiles(spark, path, files, header)
   }
 
   /** Reclaim ORPHANS: data files in the live partition directories
@@ -317,7 +373,7 @@ object SnapshotEventStore {
       val moved = moveIntoLive(spark, tmp, new Path(path))
       val snap = publish(spark, path, prev ++ moved,
         headerFor(currentBatchTags(spark, path)) ++
-          schemaHeader(events))
+          schemaHeader(events, spark, path))
       retire(spark, path, keepSnapshots)
       snap
     }
@@ -360,7 +416,7 @@ object SnapshotEventStore {
         val moved = moveIntoLive(spark, tmp, new Path(path))
         val snap = publish(spark, path, prev ++ moved,
           headerFor(tags + (streamId -> batchId)) ++
-            schemaHeader(events))
+            schemaHeader(events, spark, path))
         retire(spark, path, keepSnapshots)
         snap
       }
@@ -381,22 +437,33 @@ object SnapshotEventStore {
 
   private def readFiles(spark: SparkSession, path: String,
       rels: Seq[String]): DataFrame =
-    spark.read.option("basePath", path)
-      .parquet(rels.map(f => s"$path/$f"): _*)
+    scanFiles(spark, path, rels, schemaTagOf(spark, path))
 
   /** Rewrite `replaced` as `transform` of their rows, landing new
     * files invisibly and publishing `keep − replaced + new`. The
-    * shared shape of compact / retention / realm-clear. */
+    * shared shape of compact / retention / realm-clear.
+    * `maxRecordsPerFile`/`sortWithin` mirror [[append]]'s write
+    * discipline — a compaction must not silently undo the file-size
+    * cap and within-file clustering the appends established (the
+    * min/max-stats file skipping on `sortWithin` columns survives
+    * maintenance). */
   private def rewriteFiles(spark: SparkSession, path: String,
       all: Seq[String], replaced: Seq[String],
-      transform: DataFrame => DataFrame, keepSnapshots: Int): Long = {
+      transform: DataFrame => DataFrame, keepSnapshots: Int,
+      maxRecordsPerFile: Int, sortWithin: Seq[String]): Long = {
     val tmp = new Path(path, ".snap_rewrite_tmp")
     val fs = fsOf(spark, tmp)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     val moved = if (replaced.isEmpty) Seq.empty[String] else {
-      transform(readFiles(spark, path, replaced))
+      val clustered = transform(readFiles(spark, path, replaced))
         .repartition(col("dt"), col("hour"))
-        .write.partitionBy("dt", "hour").parquet(tmp.toString)
+      val arranged =
+        if (sortWithin.isEmpty) clustered
+        else clustered.sortWithinPartitions(
+          (Seq("dt", "hour") ++ sortWithin).map(col): _*)
+      arranged.write
+        .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+        .partitionBy("dt", "hour").parquet(tmp.toString)
       moveIntoLive(spark, tmp, new Path(path))
     }
     val snap = publish(spark, path,
@@ -413,7 +480,9 @@ object SnapshotEventStore {
     * flip, replaced files retained one cycle. Returns partitions
     * compacted. */
   def compact(spark: SparkSession, path: String,
-      maxFilesPerPartition: Int = 4, keepSnapshots: Int = 1): Int =
+      maxFilesPerPartition: Int = 4, keepSnapshots: Int = 1,
+      maxRecordsPerFile: Int = 1000000,
+      sortWithin: Seq[String] = Nil): Int =
     Bucketing.withIndexLease(spark, leaseKey(path), "snapCompact") {
       val n = currentSnapshot(spark, path).getOrElse(throw
         new IllegalStateException(s"un-sealed store '$path' — init first"))
@@ -423,7 +492,7 @@ object SnapshotEventStore {
       if (oversized.isEmpty) 0
       else {
         rewriteFiles(spark, path, all, oversized.values.flatten.toSeq,
-          identity, keepSnapshots)
+          identity, keepSnapshots, maxRecordsPerFile, sortWithin)
         oversized.size
       }
     }
@@ -434,7 +503,9 @@ object SnapshotEventStore {
     * boundary hour is rewritten with its survivors. Returns whole
     * partitions dropped. */
   def clearExpired(spark: SparkSession, path: String,
-      olderThanMs: Long, keepSnapshots: Int = 1): Int =
+      olderThanMs: Long, keepSnapshots: Int = 1,
+      maxRecordsPerFile: Int = 1000000,
+      sortWithin: Seq[String] = Nil): Int =
     Bucketing.withIndexLease(spark, leaseKey(path), "snapRetention") {
       val n = currentSnapshot(spark, path).getOrElse(throw
         new IllegalStateException(s"un-sealed store '$path' — init first"))
@@ -448,7 +519,8 @@ object SnapshotEventStore {
       else {
         val afterDrop = all.diff(dropped)
         rewriteFiles(spark, path, afterDrop, boundary,
-          _.filter(col("time") >= olderThanMs), keepSnapshots)
+          _.filter(col("time") >= olderThanMs), keepSnapshots,
+          maxRecordsPerFile, sortWithin)
         dropped.map(partitionOf).distinct.size
       }
     }
@@ -458,7 +530,9 @@ object SnapshotEventStore {
     * SNAPSHOT, rewrite only those files keeping survivors (null
     * realmid always survives). Returns partitions touched. */
   def clearRealm(spark: SparkSession, path: String, realmId: String,
-      olderThanMs: Option[Long] = None, keepSnapshots: Int = 1): Int =
+      olderThanMs: Option[Long] = None, keepSnapshots: Int = 1,
+      maxRecordsPerFile: Int = 1000000,
+      sortWithin: Seq[String] = Nil): Int =
     Bucketing.withIndexLease(spark, leaseKey(path), "snapRealmClear") {
       val n = currentSnapshot(spark, path).getOrElse(throw
         new IllegalStateException(s"un-sealed store '$path' — init first"))
@@ -478,7 +552,8 @@ object SnapshotEventStore {
       else {
         val replaced = all.filter(r => touched.contains(partitionOf(r)))
         rewriteFiles(spark, path, all, replaced,
-          _.filter(not(coalesce(doomed, lit(false)))), keepSnapshots)
+          _.filter(not(coalesce(doomed, lit(false)))), keepSnapshots,
+          maxRecordsPerFile, sortWithin)
         touched.size
       }
     }

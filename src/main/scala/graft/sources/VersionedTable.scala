@@ -71,13 +71,12 @@ object VersionedTable {
     * inside a publish's create→sweep window or after a crash in it). */
   private def pointerVersions(spark: SparkSession,
       name: String): Seq[Long] = {
-    val fs = fsOf(spark)
-    val wh = warehouse(spark)
-    if (!fs.exists(wh)) return Seq.empty
     val pfx = ptrPrefix(name)
-    fs.listStatus(wh).toSeq
+    // prefix-filtered listing ([[Bucketing.globWarehouse]]): a full
+    // warehouse listStatus per resolve is O(#tables) driver-side and
+    // pointer resolves happen several times per verb
+    Bucketing.globWarehouse(spark, pfx + "*")
       .map(_.getPath.getName)
-      .filter(_.startsWith(pfx))
       .flatMap(n => scala.util.Try(n.drop(pfx.length).toLong).toOption)
   }
 
@@ -89,13 +88,9 @@ object VersionedTable {
     * any retirement). Same prefix-listing resolve as the version
     * pointer. */
   private def floorVersion(spark: SparkSession, name: String): Long = {
-    val fs = fsOf(spark)
-    val wh = warehouse(spark)
-    if (!fs.exists(wh)) return 1L
     val pfx = floorPrefix(name)
-    fs.listStatus(wh).toSeq
+    Bucketing.globWarehouse(spark, pfx + "*")
       .map(_.getPath.getName)
-      .filter(_.startsWith(pfx))
       .flatMap(n => scala.util.Try(n.drop(pfx.length).toLong).toOption)
       .sorted.lastOption.getOrElse(1L)
   }
@@ -105,12 +100,12 @@ object VersionedTable {
     val fs = fsOf(spark)
     val wh = warehouse(spark)
     fs.mkdirs(wh)
-    val p = new org.apache.hadoop.fs.Path(wh, s"${floorPrefix(name)}$next")
+    val pfx = floorPrefix(name)
+    val p = new org.apache.hadoop.fs.Path(wh, s"$pfx$next")
     if (!fs.exists(p)) fs.create(p, false).close()
-    fs.listStatus(wh).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith(floorPrefix(name)))
+    Bucketing.globWarehouse(spark, pfx + "*").map(_.getPath)
       .filter(q => scala.util.Try(
-        q.getName.drop(floorPrefix(name).length).toLong)
+        q.getName.drop(pfx.length).toLong)
         .toOption.exists(_ < next))
       .foreach(fs.delete(_, false))
   }

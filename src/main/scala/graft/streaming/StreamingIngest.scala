@@ -98,7 +98,8 @@ object StreamingIngest {
       checkpoint: String,
       sortWithin: Seq[String] = Nil,
       keepSnapshots: Int = 1,
-      streamId: Option[String] = None): StreamingQuery = {
+      streamId: Option[String] = None,
+      availableNow: Boolean = false): StreamingQuery = {
     // the exactly-once watermark is keyed by STREAM identity, not the
     // bare batch id: a new pipeline (fresh checkpoint) restarts ids
     // at 0, and an un-keyed watermark would silently DISCARD its
@@ -107,7 +108,7 @@ object StreamingIngest {
     // standard recovery of a new checkpoint dir — which is a new
     // identity here, so batches land again.
     val sid = streamId.getOrElse(checkpoint)
-    events.writeStream
+    val base = events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.SnapshotEventStore.appendBatch(
@@ -116,6 +117,11 @@ object StreamingIngest {
         ()
       }
       .option("checkpointLocation", checkpoint)
+    // availableNow = the drain deployment mode ([[drainAvailableNow]]
+    // over the snapshot store): process the backlog, then stop —
+    // exactly-once either way, the manifest watermark does not care
+    // about the trigger
+    (if (availableNow) base.trigger(Trigger.AvailableNow()) else base)
       .start()
   }
 
