@@ -223,6 +223,76 @@ class GenerationSwapSpec extends AnyFunSuite {
     }
   }
 
+  test("readGeneration: grace generation readable, retired fails loudly naming live") {
+    Bucketing.writeBucketed(docs(4), "gs_tt", "k", 2) // gen 0 (legacy dir)
+    Bucketing.writeBucketed(docs(6), "gs_tt", "k", 2) // swap → gen 1
+    assert(spark.table("gs_tt").count() == 6)
+    assert(Bucketing.readGeneration(spark, "gs_tt", 1L).count() == 6)
+    // the replaced generation has its one-rewrite grace: auditable
+    assert(Bucketing.readGeneration(spark, "gs_tt", 0L).count() == 4,
+      "the grace generation must stay time-travel readable")
+    Bucketing.writeBucketed(docs(8), "gs_tt", "k", 2) // gen 2; gen 0 dies
+    val e = intercept[IllegalArgumentException] {
+      Bucketing.readGeneration(spark, "gs_tt", 0L)
+    }
+    assert(e.getMessage.contains("retired") &&
+      e.getMessage.contains("live generation is 2"), e.getMessage)
+    assert(Bucketing.readGeneration(spark, "gs_tt", 1L).count() == 6)
+    Bucketing.dropTableAndDir(spark, "gs_tt")
+  }
+
+  test("vacuumGenerations reclaims crashed-swap orphans, live and grace intact") {
+    Bucketing.writeBucketed(docs(5), "gs_vac", "k", 2)
+    Bucketing.compactBucketed()(spark, "gs_vac", "k", 2) // gen 1 live
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    // plant the crash shape nothing else reclaims: a COMPLETE build
+    // above the live pointer (death between stage-write and flip, at
+    // a number a later swap will not reuse)
+    docs(2).write.mode("overwrite").parquet(s"$wh/gs_vac__g3")
+    assert(Bucketing.vacuumGenerations(spark, "gs_vac") == 1)
+    assert(!new java.io.File(s"$wh/gs_vac__g3").exists())
+    assert(spark.table("gs_vac").count() == 5, "live table must be intact")
+    assert(Bucketing.readGeneration(spark, "gs_vac", 0L).count() == 5,
+      "the grace generation must survive a vacuum")
+    // below-floor leftover (a crashed retire's stranded gap): gen 1
+    // live after two more swaps → plant __g1-era junk and re-vacuum
+    Bucketing.compactBucketed()(spark, "gs_vac", "k", 2) // gen 2
+    Bucketing.compactBucketed()(spark, "gs_vac", "k", 2) // gen 3
+    docs(1).write.mode("overwrite").parquet(s"$wh/gs_vac__g1")
+    assert(Bucketing.vacuumGenerations(spark, "gs_vac") == 1)
+    assert(spark.table("gs_vac").count() == 5)
+    assert(Bucketing.vacuumGenerations(spark, "gs_vac") == 0)
+    Bucketing.dropTableAndDir(spark, "gs_vac")
+  }
+
+  test("a crash between pointer flip and ALTER never retires the served generation") {
+    Bucketing.writeBucketed(docs(4), "gs_ptr", "k", 2)
+    Bucketing.compactBucketed()(spark, "gs_ptr", "k", 2) // gen 1 (catalog + pointer)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fabricate the crash: generation 2 fully built, pointer flipped
+    // to 2, death BEFORE the ALTER — catalog still serves gen 1
+    docs(9).write.mode("overwrite").format("parquet")
+      .bucketBy(2, "k").sortBy("k")
+      .option("path", s"$wh/gs_ptr__g2").saveAsTable("gs_ptr__crashstage")
+    spark.sql("DROP TABLE `gs_ptr__crashstage`") // external: files stand
+    fs.create(new org.apache.hadoop.fs.Path(wh, "gs_ptr__gptr_2"),
+      false).close()
+    fs.delete(new org.apache.hadoop.fs.Path(wh, "gs_ptr__gptr_1"), false)
+    val pinned = spark.table("gs_ptr") // resolves gen 1, the served one
+    assert(pinned.count() == 4)
+    // the next swap derives its retire floor from the CATALOG's
+    // pre-ALTER location (gen 1), not the pointer (2): gen 1 keeps
+    // its promised grace, only gen 0 retires
+    Bucketing.compactBucketed()(spark, "gs_ptr", "k", 2) // builds gen 3
+    assert(spark.table("gs_ptr").count() == 4)
+    assert(pinned.count() == 4,
+      "the served generation lost its one-rewrite grace to a " +
+        "pointer-derived retire floor")
+    Bucketing.dropTableAndDir(spark, "gs_ptr")
+  }
+
   test("a crash between stage-write and pointer flip is cleaned by the next swap") {
     Bucketing.writeBucketed(docs(7), "gs_crash", "k", 2)
     Bucketing.compactBucketed()(spark, "gs_crash", "k", 2) // live gen 1

@@ -145,6 +145,98 @@ class ProviderSpec extends AnyFunSuite {
     assert(noRet.applyRetention(p, System.currentTimeMillis()) == 0)
   }
 
+  test("storeMode=snapshot: the full provider journey rides the manifest discipline") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.api.GraftEventStoreProviderFactory
+    import GraftEventStoreProviderFactory.StoreMode
+    import graft.sources.SnapshotEventStore
+
+    // the config path: default legacy, case-insensitive snapshot,
+    // junk falls back loudly-but-safely (the reference's resolve
+    // discipline)
+    assert(GraftEventStoreProviderFactory.fromConfig(Map.empty)
+      .settings.storeMode == StoreMode.Legacy)
+    assert(GraftEventStoreProviderFactory.fromConfig(
+      Map("storeMode" -> "Snapshot")).settings.storeMode == StoreMode.Snapshot)
+    assert(GraftEventStoreProviderFactory.fromConfig(
+      Map("storeMode" -> "carrier-pigeon")).settings.storeMode == StoreMode.Legacy)
+
+    val base = Files.createTempDirectory("graft_snap_provider_").toString
+    val f = GraftEventStoreProviderFactory.fromConfig(Map(
+      "enabled" -> "true", "basePath" -> base, "storeMode" -> "snapshot"))
+    val p = f.create(spark)
+
+    // a never-written snapshot store answers queries empty, like legacy
+    assert(p.createQuery().types("ERROR").toDF.count() == 0)
+
+    val ev = EventAdapter.keycloakEvents(Tables.events(spark, TestSpark.sf))
+    p.onEvents(ev.as[graft.model.KeycloakEvent])
+    // the append SEALED the store: manifests exist and define the read
+    assert(SnapshotEventStore.currentSnapshot(spark, s"$base/events").isDefined)
+    assert(p.events.count() == ev.count())
+    val errors = p.createQuery().types("ERROR").maxResults(10)
+      .results(spark).collect()
+    assert(errors.nonEmpty && errors.forall(_.eventtype == "ERROR"))
+
+    // maintenance through the facade: compaction preserves results
+    val before = p.events.count()
+    p.compactEvents(maxFilesPerPartition = 1)
+    assert(p.events.count() == before)
+
+    // retention rides the snapshot sweep
+    val minT = p.events.agg(min(col("time"))).head.getLong(0)
+    val cutoff = minT + 12 * 3600000L
+    assert(p.clearExpired(cutoff) > 0)
+    assert(p.events.agg(min(col("time"))).head.getLong(0) >= cutoff)
+
+    // realm purge rides the snapshot rewrite
+    val someRealm = p.events.filter(col("realmid").isNotNull)
+      .select(col("realmid")).head.getString(0)
+    assert(p.clear(someRealm) > 0)
+    assert(p.events.filter(col("realmid") === someRealm).count() == 0)
+
+    // and the legacy verbs REFUSE on the sealed path — the provider
+    // cannot be tricked into half-discipline maintenance
+    intercept[IllegalStateException] {
+      graft.sources.EventStore.compact(spark, s"$base/events")
+    }
+  }
+
+  test("storeMode=snapshot: streaming ingest through the facade is exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.api.GraftEventStoreProviderFactory
+    val t0 = 1704067200000L
+    def ev(id: String, t: Long) =
+      s"""{"id":"$id","type":"LOGIN","realmid":"r","userid":"u","time":$t,"detailsjson":"{}"}"""
+
+    val base = Files.createTempDirectory("graft_snap_ingest_").toString
+    val p = GraftEventStoreProviderFactory.fromConfig(Map(
+      "enabled" -> "true", "basePath" -> base, "storeMode" -> "snapshot"))
+      .create(spark)
+
+    // drain mode lands through the manifest commit
+    val drainSrc = MemoryStream[String](spark)
+    drainSrc.addData(Seq(ev("d1", t0), ev("d2", t0 + 1000)))
+    val q1 = p.drainBacklog(drainSrc.toDS(),
+      Files.createTempDirectory("graft_snap_drain_ck_").toString)
+    assert(q1.awaitTermination(60000))
+    assert(p.createQuery().toDF.count() == 2)
+
+    // continuous mode: batches land once; the manifest watermark is
+    // what makes a replay a no-op (covered row-level by
+    // SnapshotEventStoreSpec — here the facade wiring is the subject)
+    val src = MemoryStream[String](spark)
+    val q2 = p.startIngest(src.toDS(),
+      Files.createTempDirectory("graft_snap_ing_ck_").toString)
+    try {
+      src.addData(Seq(ev("s1", t0 + 2000)))
+      q2.processAllAvailable()
+      assert(p.createQuery().toDF.count() == 3)
+    } finally q2.stop()
+  }
+
   test("factory: fromSparkConf reads the spark.graft.eventStore.* scope") {
     import graft.api.GraftEventStoreProviderFactory
     spark.conf.set("spark.graft.eventStore.enabled", "true")

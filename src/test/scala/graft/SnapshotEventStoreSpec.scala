@@ -286,6 +286,57 @@ class SnapshotEventStoreSpec extends AnyFunSuite {
       r2.getAs[Long]("n_orphan_files") == 0L, s"$r2")
   }
 
+  test("evolved schema: the carried header surfaces new columns over old files") {
+    val dir = freshDir()
+    SnapshotEventStore.init(spark, dir)
+    SnapshotEventStore.append(events(2, 4), dir) // pre-evolution
+    SnapshotEventStore.append(
+      events(2, 4, idOffset = 100L).withColumn("channel", lit("WEB")),
+      dir) // evolved: adds a column
+    val back = SnapshotEventStore.read(spark, dir)
+    assert(back.columns.contains("channel"),
+      "the evolved column must not vanish behind a sampled file schema")
+    assert(back.filter(col("channel").isNull).count() == 8L,
+      "pre-evolution rows surface null, the mergeSchema contract")
+    assert(back.filter(col("channel") === "WEB").count() == 8L)
+    // time travel reads under the SNAPSHOT'S OWN schema: the
+    // pre-evolution snapshot never had the column
+    val live = SnapshotEventStore.currentSnapshot(spark, dir).get
+    assert(!SnapshotEventStore.readSnapshot(spark, dir, live - 1)
+      .columns.contains("channel"))
+    // a NARROWING append (source stopped sending the attribute) must
+    // not lose the column for the files that carry it
+    SnapshotEventStore.append(events(1, 2, idOffset = 200L), dir)
+    val after = SnapshotEventStore.read(spark, dir)
+    assert(after.columns.contains("channel"))
+    assert(after.filter(col("channel") === "WEB").count() == 8L)
+  }
+
+  test("legacy EventStore verbs refuse on a sealed store; clearAll stays legal") {
+    val dir = freshDir()
+    SnapshotEventStore.init(spark, dir)
+    SnapshotEventStore.append(events(2, 3), dir)
+    val e = intercept[IllegalStateException] {
+      graft.sources.EventStore.write(events(1, 1, idOffset = 500L), dir)
+    }
+    assert(e.getMessage.contains("SnapshotEventStore"),
+      s"the refusal must name the snapshot face: ${e.getMessage}")
+    intercept[IllegalStateException] {
+      graft.sources.EventStore.compact(spark, dir)
+    }
+    intercept[IllegalStateException] {
+      graft.sources.EventStore.clearExpired(spark, dir, Base + 10 * 3600000L)
+    }
+    intercept[IllegalStateException] {
+      graft.sources.EventStore.clearRealm(spark, dir, "realm-1")
+    }
+    // nothing mutated: the manifests still define the same rows
+    assert(SnapshotEventStore.read(spark, dir).count() == 6L)
+    // the whole-store reset drops manifests WITH the data — legal
+    graft.sources.EventStore.clearAll(spark, dir)
+    assert(SnapshotEventStore.currentSnapshot(spark, dir).isEmpty)
+  }
+
   test("crash leftovers are invisible: orphan files and tmp roots never surface") {
     val dir = freshDir()
     SnapshotEventStore.init(spark, dir)
