@@ -385,6 +385,33 @@ object Retrieval {
       size(col("e.positions")).cast("long").as("tf"), col("dl"),
       col("e.positions").as("positions"))
 
+  /** The DOC-KEYED narrow projection of the postings — (doc_id, term,
+    * tf) bucketed by doc_id. Exists for exactly one serve shape: PRF
+    * term mining filters postings by the feedback DOC ids, and the
+    * term-bucketed `_postings` table cannot prune that (one full
+    * narrow scan per query, the r19 disclosed PRF latency floor). A
+    * doc-bucketed copy makes the mining pass bucket-pruned like every
+    * other indexed serve. Storage, disclosed: a second (doc_id, term,
+    * tf) copy of the postings — no positions, no dl, ~the cheap half
+    * of the positional index. Derived data: always re-derivable from
+    * `_postings` ([[reconcileBm25Index]] does, closing the crash
+    * window between the two appends). */
+  private def byDocProjection(post: DataFrame): DataFrame =
+    post.select(col("doc_id"), col("term"), col("tf"))
+
+  /** The `_postings_bydoc` table if this index has one — indexes
+    * persisted before the projection existed legitimately lack it
+    * (their PRF mining falls back to the full-scan path, disclosed),
+    * and every build/append/merge since maintains it. */
+  private def byDocTable(spark: SparkSession, name: String,
+      numBuckets: Int): Option[DataFrame] = {
+    val t = s"${name}_postings_bydoc"
+    if (spark.catalog.tableExists(t) ||
+        Bucketing.registerExisting(spark, t, Some(("doc_id", numBuckets))))
+      Some(Bucketing.stableTable(spark, t))
+    else None
+  }
+
   def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
       name: String, numBuckets: Int = 8,
       tokenizer: String = "ws"): Unit = {
@@ -405,6 +432,8 @@ object Retrieval {
       // [[screenNewForBm25Index]] and keeps n_docs honest.
       Bucketing.writeBucketed(rows.select(col("doc_id"), col("dl")),
         s"${name}_docs", "doc_id", numBuckets)
+      Bucketing.writeBucketed(byDocProjection(bm25Postings(rows)),
+        s"${name}_postings_bydoc", "doc_id", numBuckets)
     } finally rows.unpersist()
     // df from the postings TABLE just written — a pruned (term-only)
     // parquet scan instead of a third pass over corpus text, and the
@@ -481,6 +510,12 @@ object Retrieval {
       s"${name}_docs", "doc_id", numBuckets)
     val post = bm25Postings(rows)
     Bucketing.appendBucketed(post, s"${name}_postings", "term", numBuckets)
+    // the doc-keyed projection rides every append; a death between the
+    // two posting appends leaves it stale-conservative (mining misses
+    // the batch's terms, never invents any) — reconcileBm25Index
+    // re-derives it from _postings wholesale
+    Bucketing.appendBucketed(byDocProjection(post),
+      s"${name}_postings_bydoc", "doc_id", numBuckets)
     val batchDf = post.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
     // repartition before the merge aggregate: if the bucketed old
     // scan and the batch's shuffle output ever report the SAME
@@ -515,6 +550,9 @@ object Retrieval {
       Bucketing.compactBucketed()(spark, s"${name}_df", "term", numBuckets)
       Bucketing.compactBucketed()(spark, s"${name}_docs", "doc_id",
         numBuckets)
+      if (byDocTable(spark, name, numBuckets).isDefined)
+        Bucketing.compactBucketed()(spark, s"${name}_postings_bydoc",
+          "doc_id", numBuckets)
     }
 
   /** The ids of `batch` rows NOT yet in the index — the idempotence
@@ -595,6 +633,13 @@ object Retrieval {
         bm25Postings(bm25DocRows(holes, idCol, textCol, tokenizer)
           .localCheckpoint(true)),
         s"${name}_postings", "term", numBuckets)
+      // the doc-keyed projection re-derives WHOLESALE from the healed
+      // postings: a hole doc's bydoc rows may or may not have landed
+      // before the crash, and a blind append would double the ones
+      // that did — one postings scan, the reconcile-verb cost class
+      Bucketing.writeBucketed(
+        byDocProjection(Bucketing.stableTable(spark, s"${name}_postings")),
+        s"${name}_postings_bydoc", "doc_id", numBuckets)
       repairBm25Stats(spark, name)
     }
     nMissing + nHoles
@@ -637,6 +682,10 @@ object Retrieval {
     Bucketing.compactBucketed(
       _.join(broadcast(rids), col("doc_id") === col("__rid"), "left_anti"))(
       spark, s"${name}_docs", "doc_id", numBuckets)
+    if (byDocTable(spark, name, numBuckets).isDefined)
+      Bucketing.compactBucketed(
+        _.join(broadcast(rids), col("doc_id") === col("__rid"), "left_anti"))(
+        spark, s"${name}_postings_bydoc", "doc_id", numBuckets)
     repairBm25Stats(spark, name)
     }
   }
@@ -656,6 +705,12 @@ object Retrieval {
           Some((bucketCol, numBuckets))),
           s"BM25 index '$name' is missing its $name$suffix table")
       }
+    // optional: indexes persisted before the doc-keyed projection
+    // existed lack it (PRF mining falls back to the full-scan path)
+    Bucketing.finishInterruptedSwap(spark, s"${name}_postings_bydoc")
+    Bucketing.registerExisting(spark, s"${name}_postings_bydoc",
+      Some(("doc_id", numBuckets)))
+    ()
   }
 
   /** MERGES source BM25 indexes into one `target` index — the shard
@@ -715,6 +770,17 @@ object Retrieval {
         s"${target}_postings", "term", numBuckets)
       Bucketing.writeBucketed(docsAll, s"${target}_docs", "doc_id",
         numBuckets)
+      // the doc-keyed projection merges from each source's own bydoc
+      // table when it has one, deriving from its postings otherwise
+      // (pre-projection shards stay mergeable) — a union re-bucketed
+      // once, same shape as the postings merge
+      Bucketing.writeBucketed(
+        sources.map { s =>
+          val nb = bm25Meta(spark, s)._1
+          byDocTable(spark, s, nb).getOrElse(
+            byDocProjection(Bucketing.stableTable(spark, s"${s}_postings")))
+        }.reduce(_ unionByName _),
+        s"${target}_postings_bydoc", "doc_id", numBuckets)
       // the explicit repartition is LOAD-BEARING: a union of
       // co-bucketed scans reports a term-hash partitioning that
       // satisfies the aggregation's clustering requirement, but the
@@ -857,30 +923,72 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Runs `body` with Spark's DisableUnnecessaryBucketedScan rule
+    * off: the rule keeps a bucketed scan only when its output
+    * PARTITIONING is exploited downstream, but the mining aggregate
+    * is term-keyed over a doc_id-bucketed table — the bucketing's
+    * value there is bucket PRUNING of the IN filter, which the rule
+    * does not account for and silently discards (observed on Spark
+    * 4.1.2: "Bucketed: false (disabled by query planner)", full-table
+    * read). Scoped to the action and restored after. */
+  private[graft] def withForcedBucketedScan[T](spark: SparkSession)(
+      body: => T): T = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** The mining AGGREGATE over an explicit feedback-id set — split
+    * out so the plan-shape spec can pin the scan it takes: on an
+    * index with the `_postings_bydoc` projection the ids are an IN
+    * filter on the bucket column (doc_id), so the scan BUCKET-PRUNES
+    * to the feedback docs' buckets and `_postings` appears nowhere in
+    * the plan — PRF mining serves like every other indexed verb
+    * (evaluate under [[withForcedBucketedScan]] or the planner drops
+    * the pruning). The fallback for pre-projection indexes is the r19
+    * shape, disclosed: one full narrow scan of `_postings`
+    * semi-joined to the ids. */
+  private[graft] def minePrfCandidatesFromIndex(spark: SparkSession,
+      name: String, fbIds: Seq[Any],
+      queryTerms: Seq[String]): DataFrame = {
+    val (numBuckets, _) = bm25Meta(spark, name)
+    val byDoc = byDocTable(spark, name, numBuckets) match {
+      case Some(t) => t.filter(col("doc_id").isin(fbIds: _*))
+      case None =>
+        import spark.implicits._
+        val fb = fbIds.map(_.toString).toDF("__fb_id")
+        Bucketing.stableTable(spark, s"${name}_postings")
+          .join(broadcast(fb),
+            col("doc_id").cast("string") === col("__fb_id"), "left_semi")
+    }
+    byDoc
+      .filter(!col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(sum(col("tf")).as("tf"))
+      .orderBy(col("tf").desc, col("term"))
+  }
+
   /** The PRF term-mining pass served from a persistent
     * [[buildBm25Index]] index — [[minePrfTerms]] with the corpus
-    * tokenize DELETED: the postings already store (doc_id, term, tf),
-    * so the feedback docs' term masses are one broadcast-semi-joined
-    * aggregate over the postings, no text touched. Disclosed scan
-    * shape: the postings are bucketed by TERM but this pass filters
-    * by DOC — one full columnar scan of the (term, doc_id, tf)
-    * projection with a broadcast semi-join; still strictly cheaper
-    * than the fresh path's tokenize-everything, and bounded output
-    * (fbTerms strings, the centroid-pull class). */
+    * tokenize DELETED: the postings already store (doc_id, term, tf).
+    * Two bounded driver pulls (the centroid-pull class): the fbDocs
+    * feedback ids from pass 1, then the fbTerms mined strings; in
+    * between, [[minePrfCandidatesFromIndex]]'s bucket-pruned scan of
+    * the doc-keyed projection. */
   private def minePrfTermsFromIndex(spark: SparkSession, name: String,
       queryTerms: Seq[String], fbDocs: Int, fbTerms: Int,
       k1: Double, b: Double, tokenizer: String): Seq[String] = {
     if (fbTerms == 0) return Seq.empty
-    val fb = bm25TopKAgainstIndex(spark, name, queryTerms,
+    val fbIds = bm25TopKAgainstIndex(spark, name, queryTerms,
       topK = fbDocs, k1 = k1, b = b, tokenizer = tokenizer)
       .select(col("doc_id"))
-    Bucketing.stableTable(spark, s"${name}_postings")
-      .join(broadcast(fb), Seq("doc_id"), "left_semi")
-      .filter(!col("term").isin(queryTerms: _*))
-      .groupBy(col("term")).agg(sum(col("tf")).as("tf"))
-      .orderBy(col("tf").desc, col("term"))
-      .limit(fbTerms)
-      .collect().map(_.getString(0)).toSeq
+      .collect().map(_.get(0)).toSeq // bounded: fbDocs rows
+    if (fbIds.isEmpty) return Seq.empty
+    withForcedBucketedScan(spark) {
+      minePrfCandidatesFromIndex(spark, name, fbIds, queryTerms)
+        .limit(fbTerms)
+        .collect().map(_.getString(0)).toSeq
+    }
   }
 
   /** [[bm25PrfTopK]] served from a persistent index — both scored

@@ -140,6 +140,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"indexed serving plan touches the corpus:\n${p.take(2000)}")
   }
 
+  test("d149 mining: PRF term mining bucket-prunes the doc-keyed projection; full postings absent") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val corpus = (1 to 40).map(i =>
+      (i.toLong, s"document $i about spark catalyst planning topic$i"))
+      .toDF("doc_id", "text")
+    Retrieval.buildBm25Index(corpus, "doc_id", "text", "ps_prf",
+      numBuckets = 8)
+    val p = Retrieval.withForcedBucketedScan(spark) {
+      val mining = Retrieval.minePrfCandidatesFromIndex(spark, "ps_prf",
+        Seq(3L, 7L, 11L), Seq("spark"))
+      assert(mining.collect().nonEmpty)
+      mining.queryExecution.executedPlan.toString
+    }
+    // the feedback ids are an IN filter on the bydoc table's bucket
+    // column: the scan selects at most fbDocs buckets
+    assert(p.contains("SelectedBucketsCount") && !p.contains("8 out of 8"),
+      s"mining scan did not bucket-prune:\n${p.take(2000)}")
+    // the TERM-bucketed postings table appears nowhere — the r19
+    // full-scan mining floor is gone (every ps_prf_postings mention
+    // must be the _bydoc projection)
+    assert(!"ps_prf_postings(?!_bydoc)".r.findFirstIn(p).isDefined,
+      s"mining plan still scans the full postings table:\n${p.take(2000)}")
+  }
+
   test("d124b: indexed proximity serving bucket-prunes postings, never reads the corpus") {
     val p = plan("d124b_indexed_prox")
     assert(p.contains("SelectedBucketsCount"),
