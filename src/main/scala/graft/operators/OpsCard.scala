@@ -67,6 +67,20 @@ object OpsCard {
   final case class Entry(family: String, name: String,
       landed: DataFrame, idCol: String)
 
+  /** A snapshot EVENT STORE's slot in the card — the one stateful
+    * component the index families' rows could not see. Its columns
+    * map to the card's where the semantics genuinely align (n_items =
+    * live manifest files — the store's unit of content the card can
+    * know without a corpus scan; pending_verb = the store lease) and
+    * read null where they do not (no landed mirror, no digest — the
+    * manifest IS the truth, there is nothing independent to drift
+    * from). suggested_verb is the store's own D106 rule:
+    * [[graft.sources.SnapshotEventStore.suggestedStoreVerb]] —
+    * vacuum on orphans, retire on grace buildup, compact on
+    * fragmentation. */
+  final case class StoreEntry(name: String, path: String,
+      maxFilesPerPartition: Int = 4)
+
   /** ONE pass over a distinct-key frame: (count, order-independent
     * identity digest — XOR-fold of xxhash64 over the DISTINCT keys;
     * distinct first, because XOR cancels pairs, so a duplicated id
@@ -180,15 +194,39 @@ object OpsCard {
     }
   }
 
+  /** One [[StoreEntry]]'s row in the card schema — driver-side
+    * manifest/filesystem reads only ([[graft.sources
+    * .SnapshotEventStore.snapshotStoreStats]]), nothing scans data. */
+  private def storeRow(spark: SparkSession, e: StoreEntry): DataFrame =
+    graft.sources.SnapshotEventStore
+      .snapshotStoreStats(spark, e.path, e.maxFilesPerPartition)
+      .select(
+        lit("store").as("family"),
+        lit(e.name).as("index_name"),
+        col("n_live_files").as("n_items"),
+        lit(null).cast("int").as("n_buckets"),
+        lit(graft.sources.SnapshotEventStore
+          .storePendingVerb(spark, e.path)).as("pending_verb"),
+        lit(null).cast("bigint").as("n_landed"),
+        lit(null).cast("bigint").as("drift_vs_landed"),
+        lit(null).cast("boolean").as("ids_digest_match"),
+        lit(null).cast("boolean").as("side_digest_match"),
+        col("suggested_verb"))
+
   /** Builds the card: one row per entry, (family, index_name,
     * n_items, n_buckets, pending_verb, n_landed, drift_vs_landed,
     * ids_digest_match, suggested_verb), ordered by family for a
-    * deterministic read. */
-  def indexOpsCard(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
+    * deterministic read. `stores` appends the event stores' rows
+    * (family = "store", ordered by index_name within) — the full ops
+    * page in one frame. */
+  def indexOpsCard(spark: SparkSession, entries: Seq[Entry],
+      stores: Seq[StoreEntry] = Nil): DataFrame = {
     require(entries.nonEmpty, "indexOpsCard: no entries")
     require(entries.map(_.family).distinct.size == entries.size,
       "indexOpsCard: one entry per family (duplicate family passed)")
-    entries.map { e =>
+    require(stores.map(_.name).distinct.size == stores.size,
+      "indexOpsCard: duplicate store name passed")
+    (entries.map { e =>
       val landedN = countAndDigest(
         e.landed.filter(col(e.idCol).isNotNull)
           .select(landedKey(e).as("__k")).distinct(),
@@ -212,6 +250,8 @@ object OpsCard {
             .when(col("idx_digest") =!= col("landed_digest"),
               lit("rebuild"))
             .otherwise(lit("none")).as("suggested_verb"))
-    }.reduce(_ unionByName _).orderBy(col("family"))
+    } ++ stores.map(storeRow(spark, _)))
+      .reduce(_ unionByName _)
+      .orderBy(col("family"), col("index_name"))
   }
 }

@@ -54,7 +54,7 @@ object ABlock {
     * Safe for snapshot stores too: manifests hold store-RELATIVE
     * paths, so the directory rename moves the whole discipline
     * intact. */
-  private def cachedStore(s: SparkSession, store: String)(
+  private[queries] def cachedStore(s: SparkSession, store: String)(
       build: String => Unit): Unit = {
     val p = new org.apache.hadoop.fs.Path(store)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -1219,6 +1219,30 @@ object DBlock {
             xxhash64(col("doc_id"), col("frame_idx")).as("sim")),
         "d125_sx")
       Dedup.buildUrlIndex(urls, "url", name = "d125_ux")
+      // the STORE row (r20): a healthy snapshot event store on the
+      // same page — built ONCE per sf dir (deterministic: sorted
+      // appends land one file per hour partition, compact folds the
+      // two-file partitions, retire+vacuum clear every reclaimable
+      // class), measured fresh each run by driver-side manifest
+      // reads. doc_id % 48 → hour, so the live-file count the card
+      // reports is derivable by the oracle.
+      val storePath = "/tmp/graft_d125_store_" + ABlock.storeKey(s, d)
+      ABlock.cachedStore(s, storePath) { st =>
+        val ev = docs.filter(col("doc_id").isNotNull && col("doc_id") < 96)
+          .select(col("doc_id").cast("long").as("id"),
+            (lit(1704153600000L) + (col("doc_id") % 48) * 3600000L)
+              .cast("long").as("time"))
+        graft.sources.SnapshotEventStore.init(s, st)
+        graft.sources.SnapshotEventStore.append(
+          ev.filter(col("id") % 2 === 0), st, sortWithin = Seq("id"))
+        graft.sources.SnapshotEventStore.append(
+          ev.filter(col("id") % 2 =!= 0), st, sortWithin = Seq("id"))
+        graft.sources.SnapshotEventStore.compact(s, st,
+          maxFilesPerPartition = 1)
+        graft.sources.SnapshotEventStore.retire(s, st, keepSnapshots = 0)
+        graft.sources.SnapshotEventStore.vacuumOrphans(s, st)
+        ()
+      }
       OpsCard.indexOpsCard(s, Seq(
         OpsCard.Entry("ann", "d125_ax", emb, "vec_id"),
         OpsCard.Entry("bm25", "d125_bx",
@@ -1227,7 +1251,9 @@ object DBlock {
           docs.filter(col("text").isNotNull), "doc_id"),
         OpsCard.Entry("sim", "d125_sx", docs, "doc_id"),
         OpsCard.Entry("url", "d125_ux",
-          urls.select(col("url")).distinct(), "url")))
+          urls.select(col("url")).distinct(), "url")),
+        stores = Seq(OpsCard.StoreEntry("d125_st", storePath,
+          maxFilesPerPartition = 1)))
     }),
 
     // D98: RECONCILE verbs for every index family — d125's drift
@@ -2801,15 +2827,73 @@ object DBlock {
             xxhash64(col("doc_id"), col("frame_idx")).as("sim")),
         "d138_sx")
       graft.sources.Bucketing.dropTableAndDir(s, "d138_sx_vframes")
+      // the STORE's three decision states (r20), planted
+      // deterministically and built once per sf dir: an unreferenced
+      // orphan (a landed-but-unpublished crash leftover) → vacuum;
+      // grace files outweighing the live set (a compaction that
+      // replaced every file under a long reader-grace horizon) →
+      // retire; two sorted appends never compacted (two files per
+      // hour over a cap of one) → compact. doc_id % 48 → hour keeps
+      // every file count oracle-derivable.
+      val storeEv = docs
+        .filter(col("doc_id").isNotNull && col("doc_id") < 96)
+        .select(col("doc_id").cast("long").as("id"),
+          (lit(1704153600000L) + (col("doc_id") % 48) * 3600000L)
+            .cast("long").as("time"))
+      val key = ABlock.storeKey(s, d)
+      val stA = "/tmp/graft_d138_sta_" + key
+      ABlock.cachedStore(s, stA) { st =>
+        graft.sources.SnapshotEventStore.init(s, st)
+        graft.sources.SnapshotEventStore.append(storeEv, st,
+          sortWithin = Seq("id"))
+        // plant the orphan: a byte-copy of a live file under a name
+        // no manifest references
+        val fs = new org.apache.hadoop.fs.Path(st)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val part = new org.apache.hadoop.fs.Path(
+          s"$st/dt=2024-01-02/hour=0")
+        val src = fs.listStatus(part).map(_.getPath)
+          .find(p => !p.getName.startsWith("_") &&
+            !p.getName.startsWith(".")).get
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new org.apache.hadoop.fs.Path(part, "orphan-d138.parquet"),
+          false, s.sparkContext.hadoopConfiguration)
+        ()
+      }
+      val stB = "/tmp/graft_d138_stb_" + key
+      ABlock.cachedStore(s, stB) { st =>
+        graft.sources.SnapshotEventStore.init(s, st)
+        graft.sources.SnapshotEventStore.append(storeEv, st,
+          sortWithin = Seq("id"))
+        graft.sources.SnapshotEventStore.append(storeEv, st,
+          sortWithin = Seq("id"))
+        graft.sources.SnapshotEventStore.compact(s, st,
+          maxFilesPerPartition = 1, keepSnapshots = 5)
+        ()
+      }
+      val stC = "/tmp/graft_d138_stc_" + key
+      ABlock.cachedStore(s, stC) { st =>
+        graft.sources.SnapshotEventStore.init(s, st)
+        graft.sources.SnapshotEventStore.append(storeEv, st,
+          sortWithin = Seq("id"))
+        graft.sources.SnapshotEventStore.append(storeEv, st,
+          sortWithin = Seq("id"))
+        ()
+      }
       OpsCard.indexOpsCard(s, Seq(
         OpsCard.Entry("bm25", "d138_bx",
           docs.filter(col("doc_id") % 2 === 0), "doc_id"),
         OpsCard.Entry("dedup", "d138_dx", docs, "doc_id"),
-        OpsCard.Entry("sim", "d138_sx", docs, "doc_id")))
-        .select(col("family"), col("n_items"), col("n_landed"),
-          col("drift_vs_landed"), col("ids_digest_match"),
-          col("side_digest_match"), col("suggested_verb"))
-        .orderBy(col("family"))
+        OpsCard.Entry("sim", "d138_sx", docs, "doc_id")),
+        stores = Seq(
+          OpsCard.StoreEntry("d138_sta", stA, maxFilesPerPartition = 1),
+          OpsCard.StoreEntry("d138_stb", stB, maxFilesPerPartition = 1),
+          OpsCard.StoreEntry("d138_stc", stC, maxFilesPerPartition = 1)))
+        .select(col("family"), col("index_name"), col("n_items"),
+          col("n_landed"), col("drift_vs_landed"),
+          col("ids_digest_match"), col("side_digest_match"),
+          col("suggested_verb"))
+        .orderBy(col("family"), col("index_name"))
     }),
 
     // D104: the RETRIEVAL-QUALITY decision card — rankedEval
@@ -3657,11 +3741,18 @@ object DBlock {
       |  WHERE vec_id IS NOT NULL),
       |uu AS (
       |  SELECT CAST(count(DISTINCT doc_id % 37) AS BIGINT) AS n
-      |  FROM documents WHERE doc_id IS NOT NULL)
-      |SELECT family, index_name, n_items, 8 AS n_buckets,
-      |  'idle' AS pending_verb, n_landed,
-      |  n_landed - n_items AS drift_vs_landed,
-      |  TRUE AS ids_digest_match,
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |sp AS (
+      |  SELECT CAST(count(DISTINCT doc_id % 48) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id IS NOT NULL AND doc_id < 96)
+      |SELECT family, index_name, n_items,
+      |  CASE WHEN family = 'store' THEN NULL ELSE 8 END AS n_buckets,
+      |  'idle' AS pending_verb,
+      |  CASE WHEN family = 'store' THEN NULL ELSE n_landed END AS n_landed,
+      |  CASE WHEN family = 'store' THEN NULL
+      |       ELSE n_landed - n_items END AS drift_vs_landed,
+      |  CASE WHEN family = 'store' THEN CAST(NULL AS BOOLEAN)
+      |       ELSE TRUE END AS ids_digest_match,
       |  CASE WHEN family = 'sim' THEN TRUE
       |       ELSE CAST(NULL AS BOOLEAN) END AS side_digest_match,
       |  'none' AS suggested_verb
@@ -3675,8 +3766,13 @@ object DBlock {
       |  UNION ALL SELECT 'sim', 'd125_sx',
       |    (SELECT n FROM dd), (SELECT n FROM dd)
       |  UNION ALL SELECT 'url', 'd125_ux',
-      |    (SELECT n FROM uu), (SELECT n FROM uu))
-      |ORDER BY family""".stripMargin
+      |    (SELECT n FROM uu), (SELECT n FROM uu)
+      |  -- the store row: one live file per covered hour partition
+      |  -- after the sorted-append + compact + retire + vacuum cycle;
+      |  -- no landed mirror, no digests — the manifest IS the truth
+      |  UNION ALL SELECT 'store', 'd125_st',
+      |    (SELECT n FROM sp), CAST(NULL AS BIGINT))
+      |ORDER BY family, index_name""".stripMargin
 
   /** d138: both drift directions' counts re-derived, the digest
     * booleans pinned FALSE (drifted id sets MUST compute unequal),
@@ -3690,22 +3786,45 @@ object DBlock {
       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
       |ev AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
-      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 2 = 0)
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 2 = 0),
+      |sp AS (
+      |  SELECT CAST(count(DISTINCT doc_id % 48) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id IS NOT NULL AND doc_id < 96)
       |SELECT * FROM (
-      |  SELECT 'bm25' AS family, (SELECT n FROM dt) AS n_items,
+      |  SELECT 'bm25' AS family, 'd138_bx' AS index_name,
+      |    (SELECT n FROM dt) AS n_items,
       |    (SELECT n FROM ev) AS n_landed,
       |    (SELECT n FROM ev) - (SELECT n FROM dt) AS drift_vs_landed,
       |    FALSE AS ids_digest_match,
       |    CAST(NULL AS BOOLEAN) AS side_digest_match,
       |    'retire' AS suggested_verb
       |  UNION ALL
-      |  SELECT 'dedup', (SELECT n FROM ev), (SELECT n FROM dt),
+      |  SELECT 'dedup', 'd138_dx', (SELECT n FROM ev), (SELECT n FROM dt),
       |    (SELECT n FROM dt) - (SELECT n FROM ev), FALSE,
       |    CAST(NULL AS BOOLEAN), 'reconcile'
       |  UNION ALL
-      |  SELECT 'sim', (SELECT n FROM dt), (SELECT n FROM dt),
-      |    0, TRUE, FALSE, 'none')
-      |ORDER BY family""".stripMargin
+      |  SELECT 'sim', 'd138_sx', (SELECT n FROM dt), (SELECT n FROM dt),
+      |    0, TRUE, FALSE, 'none'
+      |  -- the store's three planted decision states: an orphaned
+      |  -- crash leftover (one sorted append = one live file per
+      |  -- covered hour, plus the unreferenced plant) → vacuum; a
+      |  -- compaction under a long grace horizon (two appends, every
+      |  -- partition's two files replaced by one → grace 2n > live n)
+      |  -- → retire; two appends never compacted (two files per hour
+      |  -- over a cap of one) → compact. No landed mirror, no digests.
+      |  UNION ALL
+      |  SELECT 'store', 'd138_sta', (SELECT n FROM sp),
+      |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |    CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), 'vacuum'
+      |  UNION ALL
+      |  SELECT 'store', 'd138_stb', (SELECT n FROM sp),
+      |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |    CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), 'retire'
+      |  UNION ALL
+      |  SELECT 'store', 'd138_stc', 2 * (SELECT n FROM sp),
+      |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |    CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), 'compact')
+      |ORDER BY family, index_name""".stripMargin
 
   /** d158 oracle: both sides' md5-h60 sigs re-derived, split into
     * the maxDist=2 pigeonhole pieces as pure integer bit-slices

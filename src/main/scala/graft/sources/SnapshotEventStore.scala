@@ -558,17 +558,42 @@ object SnapshotEventStore {
       }
     }
 
+  /** The store's maintenance decision rule — the D106 suggested-verb
+    * discipline extended to the event store, by descending urgency:
+    * orphans are dead storage nothing will ever reference (vacuum);
+    * grace files outweighing the live set means maintenance churn is
+    * holding more reclaimable bytes than data (retire with a tighter
+    * horizon); fragmented partitions tax every scan (compact);
+    * otherwise healthy. */
+  def suggestedStoreVerb(orphans: Long, grace: Long, live: Long,
+      fragmented: Long): String =
+    if (orphans > 0) "vacuum"
+    else if (grace > live) "retire"
+    else if (fragmented > 0) "compact"
+    else "none"
+
+  /** The verb named in the store's live writer lease, if any — the
+    * ops card's pending_verb probe ([[Bucketing.leaseHolder]] keyed
+    * by the store path). */
+  def storePendingVerb(spark: SparkSession, path: String): String =
+    Bucketing.leaseHolder(spark, leaseKey(path))
+      .map(v => s"lease:$v").getOrElse("idle")
+
   /** Ops observability for the snapshot store — the one-row card the
     * family stats verbs give every index: (live_snapshot,
     * n_snapshots, n_live_files, n_grace_files, n_orphan_files,
-    * n_streams) where grace files are on disk and referenced only by
-    * RETIRED-eligible older snapshots (reclaimable by the next
-    * retire), orphans by nothing (reclaimable by [[vacuumOrphans]]),
-    * and n_streams counts the exactly-once watermarks the live
-    * manifest carries. Driver-side filesystem/manifest reads only —
-    * no Spark job, nothing corpus-sized. */
-  def snapshotStoreStats(spark: SparkSession,
-      path: String): DataFrame = {
+    * n_streams, n_fragmented_partitions, suggested_verb) where grace
+    * files are on disk and referenced only by RETIRED-eligible older
+    * snapshots (reclaimable by the next retire), orphans by nothing
+    * (reclaimable by [[vacuumOrphans]]), n_streams counts the
+    * exactly-once watermarks the live manifest carries, fragmentation
+    * is live files per partition over `maxFilesPerPartition` (the
+    * [[compact]] cap), and suggested_verb composes the classes into
+    * the action an operator runs ([[suggestedStoreVerb]]).
+    * Driver-side filesystem/manifest reads only — no Spark job,
+    * nothing corpus-sized. */
+  def snapshotStoreStats(spark: SparkSession, path: String,
+      maxFilesPerPartition: Int = 4): DataFrame = {
     import spark.implicits._
     val d = snapDir(path)
     val fs = fsOf(spark, d)
@@ -583,14 +608,20 @@ object SnapshotEventStore {
       .getOrElse(Set.empty)
     val allRef = nums.flatMap(manifestFiles(spark, path, _)).toSet
     val onDisk = listLive(spark, path).toSet
+    val nGrace = (onDisk & (allRef -- liveFiles)).size.toLong
+    val nOrphan = (onDisk -- allRef).size.toLong
+    val nFragmented = liveFiles.groupBy(partitionOf)
+      .count(_._2.size > maxFilesPerPartition).toLong
     Seq((live.getOrElse(-1L), nums.size.toLong,
-      liveFiles.size.toLong,
-      (onDisk & (allRef -- liveFiles)).size.toLong,
-      (onDisk -- allRef).size.toLong,
+      liveFiles.size.toLong, nGrace, nOrphan,
       live.map(committedBatches(spark, path, _).size.toLong)
-        .getOrElse(0L)))
+        .getOrElse(0L),
+      nFragmented,
+      suggestedStoreVerb(nOrphan, nGrace, liveFiles.size.toLong,
+        nFragmented)))
       .toDF("live_snapshot", "n_snapshots", "n_live_files",
-        "n_grace_files", "n_orphan_files", "n_streams")
+        "n_grace_files", "n_orphan_files", "n_streams",
+        "n_fragmented_partitions", "suggested_verb")
   }
 
   /** Reclaim space: drop every snapshot older than the
