@@ -194,6 +194,110 @@ object OpsCard {
     }
   }
 
+  /** The index families' actuators for [[maintenanceTick]] — the
+    * caller supplies each verb as a thunk because the verbs'
+    * signatures are family-specific (a BM25 reconcile needs the text
+    * column, an ANN rebuild the vector column); the LOOP owns only
+    * the decision of WHICH verb to run, read off the card. A verb
+    * the family genuinely cannot run (an append-only frontier has no
+    * retire) stays at the loud default. */
+  final case class Actions(
+      reconcile: () => Unit = () => throw new UnsupportedOperationException(
+        "no reconcile actuator supplied for this family"),
+      retire: () => Unit = () => throw new UnsupportedOperationException(
+        "no retire actuator supplied for this family"),
+      rebuild: () => Unit = () => throw new UnsupportedOperationException(
+        "no rebuild actuator supplied for this family"))
+
+  /** ONE TICK of the maintenance loop — the scheduled driver verb
+    * that closes the decision feeds into action: compute the card,
+    * act on the FIRST actionable row in card order, return what ran.
+    * Budget discipline: one family (or store) per tick, so a
+    * scheduler caps maintenance cost per interval and a misdiagnosed
+    * state can never cascade through every index in one call. Rows
+    * with a non-idle pending_verb are SKIPPED — drift measured
+    * against an in-flight write is advisory (the card's own
+    * contract); the in-flight verb's lease serializes the family and
+    * the next tick re-reads the healed card. Each executed verb runs
+    * under its family's single-writer lease (the verbs acquire it
+    * themselves).
+    *
+    * Store verbs are uniform and built in: vacuum →
+    * [[graft.sources.SnapshotEventStore.vacuumOrphans]]; retire →
+    * [[graft.sources.SnapshotEventStore.retire]] with
+    * `storeRetireKeep` (default 0 — running a scheduled actuator IS
+    * the operator's declaration that no reader outlives a tick; a
+    * deployment with long-pinned readers raises it); compact →
+    * [[graft.sources.SnapshotEventStore.compact]] at the entry's cap.
+    * A compact tick legitimately leaves grace files the NEXT tick
+    * retires — the one-verb-per-tick cadence, not a livelock.
+    *
+    * The card collect is bounded: one row per family/store, the
+    * adjudicated driver-pull class. Returns (family, index_name,
+    * verb) for the action taken, None when every row is healthy or
+    * lease-busy. */
+  def maintenanceTick(spark: SparkSession,
+      entries: Seq[(Entry, Actions)],
+      stores: Seq[StoreEntry] = Nil,
+      storeRetireKeep: Int = 0): Option[(String, String, String)] = {
+    val card = indexOpsCard(spark, entries.map(_._1), stores)
+      .select(col("family"), col("index_name"), col("pending_verb"),
+        col("suggested_verb"))
+      .collect() // bounded: one row per family/store
+    val byName = entries.map(e => e._1.name -> e).toMap
+    val storeByName = stores.map(st => st.name -> st).toMap
+    card.iterator
+      .filter(r => r.getString(2) == "idle" && r.getString(3) != "none")
+      .nextOption()
+      .map { r =>
+        val (family, name, verb) =
+          (r.getString(0), r.getString(1), r.getString(3))
+        if (family == "store") {
+          val st = storeByName(name)
+          verb match {
+            case "vacuum" =>
+              graft.sources.SnapshotEventStore.vacuumOrphans(spark, st.path)
+            case "retire" =>
+              graft.sources.SnapshotEventStore.retire(spark, st.path,
+                keepSnapshots = storeRetireKeep)
+            case "compact" =>
+              graft.sources.SnapshotEventStore.compact(spark, st.path,
+                st.maxFilesPerPartition)
+          }
+        } else {
+          val actions = byName(name)._2
+          verb match {
+            case "reconcile" => actions.reconcile()
+            case "retire" => actions.retire()
+            case "rebuild" => actions.rebuild()
+          }
+        }
+        (family, name, verb)
+      }
+  }
+
+  /** The LOOP: ticks until the card reads healthy (or every unhealthy
+    * row is lease-busy) or `maxTicks` is spent — the budget cap that
+    * bounds one scheduling interval's maintenance cost. Returns the
+    * actions taken in order. */
+  def maintenanceLoop(spark: SparkSession,
+      entries: Seq[(Entry, Actions)],
+      stores: Seq[StoreEntry] = Nil,
+      maxTicks: Int = 5,
+      storeRetireKeep: Int = 0): Seq[(String, String, String)] = {
+    require(maxTicks >= 1, s"maxTicks must be >= 1, got $maxTicks")
+    val acted = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String)]
+    var ticking = true
+    while (ticking && acted.size < maxTicks) {
+      maintenanceTick(spark, entries, stores, storeRetireKeep) match {
+        case Some(a) => acted += a
+        case None => ticking = false
+      }
+    }
+    acted.toSeq
+  }
+
   /** One [[StoreEntry]]'s row in the card schema — driver-side
     * manifest/filesystem reads only ([[graft.sources
     * .SnapshotEventStore.snapshotStoreStats]]), nothing scans data. */

@@ -3334,6 +3334,63 @@ object DBlock {
           .select(col("doc_id"), sig.as("sim")))
     }),
 
+    // D117: the MAINTENANCE ACTUATOR LOOP — the decision feeds (stats
+    // → drift cards → suggested_verb) closed into action: a scheduled
+    // driver verb reads the ops card and executes each row's
+    // suggested verb under its family's lease, one family per tick
+    // (the budget cap). Two planted states, both REBUILT each run
+    // because the loop heals them: a dedup index missing the odd half
+    // of the landed corpus (positive drift → reconcile) and a store
+    // carrying an unreferenced crash leftover (orphan → vacuum). The
+    // output is the card BEFORE (pinned eagerly — the loop mutates
+    // what a lazy plan would re-read) unioned with the card AFTER;
+    // the oracle re-derives both phases, so a hash match proves the
+    // loop ran exactly the suggested verbs and drove every row to
+    // 'none'.
+    "d159_actuator_loop" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      Dedup.buildDedupIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", name = "d159_dx", md5Sig = true)
+      val storePath = "/tmp/graft_d159_store"
+      graft.sources.EventStore.clearAll(s, storePath)
+      graft.sources.SnapshotEventStore.init(s, storePath)
+      graft.sources.SnapshotEventStore.append(
+        docs.filter(col("doc_id") < 96)
+          .select(col("doc_id").cast("long").as("id"),
+            (lit(1704153600000L) + (col("doc_id") % 48) * 3600000L)
+              .cast("long").as("time")),
+        storePath, sortWithin = Seq("id"))
+      val fs = new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val part = new org.apache.hadoop.fs.Path(
+        s"$storePath/dt=2024-01-02/hour=0")
+      val src = fs.listStatus(part).map(_.getPath)
+        .find(p => !p.getName.startsWith("_") &&
+          !p.getName.startsWith(".")).get
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+        new org.apache.hadoop.fs.Path(part, "orphan-d159.parquet"),
+        false, s.sparkContext.hadoopConfiguration)
+      val entries = Seq((
+        OpsCard.Entry("dedup", "d159_dx", docs, "doc_id"),
+        OpsCard.Actions(reconcile = () => {
+          Dedup.reconcileDedupIndex(docs, "doc_id", "text", "d159_dx")
+          ()
+        })))
+      val stores = Seq(OpsCard.StoreEntry("d159_st", storePath,
+        maxFilesPerPartition = 1))
+      def cardNow(phase: String) =
+        OpsCard.indexOpsCard(s, entries.map(_._1), stores)
+          .select(lit(phase).as("phase"), col("family"),
+            col("index_name"), col("n_items"), col("n_landed"),
+            col("drift_vs_landed"), col("ids_digest_match"),
+            col("suggested_verb"))
+      val before = cardNow("1_before").localCheckpoint(true)
+      OpsCard.maintenanceLoop(s, entries, stores, maxTicks = 4)
+      before.unionByName(cardNow("2_after"))
+        .orderBy(col("phase"), col("family"), col("index_name"))
+    }),
+
     // D110: ANN INGEST-DRIFT card — annIndexStats' occupancy
     // compared against where an INCOMING batch would land, per
     // stored cell: the question an operator asks BEFORE a large
@@ -3825,6 +3882,36 @@ object DBlock {
       |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
       |    CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), 'compact')
       |ORDER BY family, index_name""".stripMargin
+
+  /** d159: both phases of the actuator loop re-derived — the planted
+    * drift and orphan read reconcile/vacuum BEFORE; after the loop,
+    * every row counts the full landed set and reads 'none'. */
+  private val d159Sql: String =
+    """WITH dt AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |ev AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 2 = 0),
+      |sp AS (
+      |  SELECT CAST(count(DISTINCT doc_id % 48) AS BIGINT) AS n
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id < 96)
+      |SELECT * FROM (
+      |  SELECT '1_before' AS phase, 'dedup' AS family,
+      |    'd159_dx' AS index_name,
+      |    (SELECT n FROM ev) AS n_items, (SELECT n FROM dt) AS n_landed,
+      |    (SELECT n FROM dt) - (SELECT n FROM ev) AS drift_vs_landed,
+      |    FALSE AS ids_digest_match, 'reconcile' AS suggested_verb
+      |  UNION ALL SELECT '1_before', 'store', 'd159_st',
+      |    (SELECT n FROM sp), CAST(NULL AS BIGINT),
+      |    CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN), 'vacuum'
+      |  UNION ALL SELECT '2_after', 'dedup', 'd159_dx',
+      |    (SELECT n FROM dt), (SELECT n FROM dt), 0, TRUE, 'none'
+      |  UNION ALL SELECT '2_after', 'store', 'd159_st',
+      |    (SELECT n FROM sp), CAST(NULL AS BIGINT),
+      |    CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN), 'none')
+      |ORDER BY phase, family, index_name""".stripMargin
 
   /** d158 oracle: both sides' md5-h60 sigs re-derived, split into
     * the maxDist=2 pigeonhole pieces as pure integer bit-slices
@@ -6125,6 +6212,7 @@ object DBlock {
     "d152_merged_dedup" -> incrementalDedupSql,
     "d155_dedup_ingest_drift" -> d155Sql,
     "d158_sim_ingest_drift" -> d158Sql,
+    "d159_actuator_loop" -> d159Sql,
 
     // d133: the d46 derivation with the tokenize step swapped for
     // the NORM family over the punctuation-planted text (the

@@ -141,4 +141,64 @@ class OpsCardSpec extends AnyFunSuite {
     finally fs.delete(p, false)
     assert(cardRow(e, "dedup").getAs[String]("pending_verb") == "idle")
   }
+
+  test("maintenance loop: planted drift + store orphan healed end-to-end, one verb per tick") {
+    import graft.sources.SnapshotEventStore
+    // planted state 1: a BM25 index missing half the landed corpus
+    Retrieval.buildBm25Index(docs.filter("doc_id <= 2"), "doc_id",
+      "text", "loop_bx", numBuckets = 2)
+    // planted state 2: a store with an orphaned crash leftover
+    val dir = java.nio.file.Files.createTempDirectory("graft_loop_st_")
+      .toString
+    SnapshotEventStore.init(spark, dir)
+    import spark.implicits._
+    SnapshotEventStore.append(
+      Seq((1L, 1704153600000L), (2L, 1704157200000L))
+        .toDF("id", "time"), dir)
+    val part = new java.io.File(s"$dir/dt=2024-01-02/hour=0")
+    val src = part.listFiles.filter(f =>
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")).head
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(part, "orphan-loop.parquet").toPath)
+
+    val entries = Seq((
+      OpsCard.Entry("bm25", "loop_bx", docs, "doc_id"),
+      OpsCard.Actions(reconcile = () => {
+        Retrieval.reconcileBm25Index(docs, "doc_id", "text", "loop_bx")
+        ()
+      })))
+    val stores = Seq(OpsCard.StoreEntry("loop_st", dir))
+
+    // budget cap: ONE tick acts on exactly one row (card order:
+    // bm25 < store), leaving the other still flagged
+    val first = OpsCard.maintenanceLoop(spark, entries, stores,
+      maxTicks = 1)
+    assert(first == Seq(("bm25", "loop_bx", "reconcile")), first)
+    assert(cardRow(entries.map(_._1), "bm25")
+      .getAs[String]("suggested_verb") == "none")
+    assert(SnapshotEventStore.snapshotStoreStats(spark, dir).head()
+      .getAs[Long]("n_orphan_files") == 1L,
+      "the budget cap must defer the second row to the next tick")
+
+    // the loop runs to a healthy card and then stops acting
+    val rest = OpsCard.maintenanceLoop(spark, entries, stores,
+      maxTicks = 5)
+    assert(rest == Seq(("store", "loop_st", "vacuum")), rest)
+    assert(SnapshotEventStore.snapshotStoreStats(spark, dir).head()
+      .getAs[Long]("n_orphan_files") == 0L)
+    assert(OpsCard.maintenanceTick(spark, entries, stores).isEmpty,
+      "a healthy card must produce no action")
+
+    // a lease-busy family is SKIPPED, not acted on (drift against an
+    // in-flight write is advisory — the card's own contract)
+    Retrieval.retireFromBm25Index(
+      Seq(3L, 4L).toDF("doc_id"), "doc_id", "loop_bx")
+    // loop_bx now drifts again (positive); hold its lease and tick
+    val acted = Bucketing.withIndexLease(spark, "loop_bx", "holdForTest") {
+      // the tick sees pending_verb = lease:holdForTest on bm25; the
+      // store row is healthy — nothing actionable
+      OpsCard.maintenanceTick(spark, entries, stores)
+    }
+    assert(acted.isEmpty, s"lease-busy row must be skipped: $acted")
+  }
 }
