@@ -94,7 +94,7 @@ object SnapshotEventStore {
     raw.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  private def manifestFiles(spark: SparkSession, path: String,
+  private[graft] def manifestFiles(spark: SparkSession, path: String,
       n: Long): Seq[String] =
     manifestLines(spark, path, n).filterNot(_.startsWith("#"))
 
@@ -192,8 +192,21 @@ object SnapshotEventStore {
 
   /** Write manifest N+1: stage to a dot-tmp name, then ONE atomic
     * rename makes it visible — readers see the old complete manifest
-    * or the new complete one, never a torn read. Returns N+1. */
-  private def publish(spark: SparkSession, path: String,
+    * or the new complete one, never a torn read. Returns N+1.
+    *
+    * SIZING CONSTRAINT, measured (SnapshotEventStoreSpec's receipt,
+    * local FS): the manifest is FLAT — every publish rewrites the
+    * full live-file list (sort + write) and every resolve re-reads
+    * it. At 10³ files that is ~ms; at 10⁵ files tens of ms per
+    * publish and per resolve — fine for any retention×compaction-
+    * bounded store (a 90-day hourly store at maxFilesPerPartition=4
+    * is ~9k lines, sub-MB), NOT for an unretained firehose landing
+    * millions of files: there the flat list becomes the Iceberg
+    * manifest-list problem and the format would need delta manifests
+    * (snap N = snap N−1 ± changes + periodic checkpoint, the Delta
+    * log shape) behind this same API. Size retention/compaction so
+    * live files stay ≲10⁵. (private[graft] for the receipt spec.) */
+  private[graft] def publish(spark: SparkSession, path: String,
       files: Seq[String], header: Seq[String] = Nil): Long = {
     val d = snapDir(path)
     val fs = fsOf(spark, d)

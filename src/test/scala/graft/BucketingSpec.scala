@@ -86,4 +86,50 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ev_bucketed")
     }
   }
+
+  test("pointer resolves are prefix-isolated: decoy warehouse entries never leak in") {
+    import spark.implicits._
+    import graft.sources.Bucketing
+    // the r20 prefix-filtered resolve (globStatus on the pointer
+    // prefix instead of a full warehouse listStatus — O(matches) on
+    // stores with native prefix listing) must not change WHAT
+    // resolves: populate the warehouse with the adversarial decoys a
+    // full-listing filter used to wade through, including a sibling
+    // table whose name EXTENDS this one's
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+    Bucketing.writeBucketed(df, "pfx_a", "k", 2)
+    Bucketing.writeBucketed(df, "pfx_a", "k", 2)  // swap → gen 1
+    // sibling whose pointers share every character up to the table
+    // boundary, at a HIGHER generation number
+    Bucketing.writeBucketed(df, "pfx_a_b", "k", 2)
+    (1 to 9).foreach { _ =>
+      Bucketing.writeBucketed(df, "pfx_a_b", "k", 2)
+    } // pfx_a_b at gen 9
+    // junk files that merely share the prefix shape
+    Seq("pfx_a__gptr_notanumber", "pfx_a__gptrx_77", "pfx_a__lease_x")
+      .foreach(n => fs.create(
+        new org.apache.hadoop.fs.Path(wh, n), true).close())
+    try {
+      assert(spark.table("pfx_a").count() == 2L)
+      // the audit read resolves THIS table's generation, not the
+      // sibling's gen 9 and not the junk
+      assert(Bucketing.readGeneration(spark, "pfx_a", 1L).count() == 2L)
+      intercept[IllegalArgumentException] {
+        Bucketing.readGeneration(spark, "pfx_a", 9L)
+      }
+      // and the next swap still lands generation 2, proving the
+      // resolve read 1, not 9
+      Bucketing.writeBucketed(df, "pfx_a", "k", 2)
+      assert(Bucketing.readGeneration(spark, "pfx_a", 2L).count() == 2L)
+    } finally {
+      Bucketing.dropTableAndDir(spark, "pfx_a")
+      Bucketing.dropTableAndDir(spark, "pfx_a_b")
+      Seq("pfx_a__gptr_notanumber", "pfx_a__gptrx_77", "pfx_a__lease_x")
+        .foreach(n =>
+          fs.delete(new org.apache.hadoop.fs.Path(wh, n), false))
+    }
+  }
 }

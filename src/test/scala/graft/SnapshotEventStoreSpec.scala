@@ -337,6 +337,31 @@ class SnapshotEventStoreSpec extends AnyFunSuite {
     assert(SnapshotEventStore.currentSnapshot(spark, dir).isEmpty)
   }
 
+  test("manifest sizing receipt: flat-list publish + resolve stay cheap to 1e5 files") {
+    // the disclosed A17 sizing constraint, MEASURED: every publish
+    // rewrites the full live-file list and every resolve re-reads it.
+    // The receipt (printed below, recorded in SURVEY §11m) shows the
+    // driver-side cost is ms-scale through 1e5 lines — the
+    // retention×compaction-bounded regime — and the scaladoc names
+    // the delta-manifest escape hatch beyond it. Ceilings are
+    // deliberately loose (CI-safe); the printed numbers are the data.
+    val dir = freshDir()
+    for (n <- Seq(1000, 10000, 100000)) {
+      val files = (0 until n).map(i =>
+        f"dt=2024-01-01/hour=${i % 24}/part-$i%06d.parquet")
+      val t0 = System.nanoTime()
+      val snap = SnapshotEventStore.publish(spark, dir, files)
+      val t1 = System.nanoTime()
+      val got = SnapshotEventStore.manifestFiles(spark, dir, snap)
+      val t2 = System.nanoTime()
+      assert(got.size == n)
+      info(f"n=$n%6d publish=${(t1 - t0) / 1e6}%8.1f ms " +
+        f"resolve=${(t2 - t1) / 1e6}%8.1f ms")
+      assert((t1 - t0) / 1e9 < 10.0 && (t2 - t1) / 1e9 < 10.0,
+        s"manifest arithmetic blew the loose ceiling at n=$n")
+    }
+  }
+
   test("crash leftovers are invisible: orphan files and tmp roots never surface") {
     val dir = freshDir()
     SnapshotEventStore.init(spark, dir)
