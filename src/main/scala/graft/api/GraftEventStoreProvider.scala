@@ -98,14 +98,17 @@ final class GraftEventStoreProvider(
     else StreamingIngest.drainAvailableNow(
       StreamingIngest.fromJsonLines(jsonLines), eventsPath, checkpoint)
 
-  /** Attach the source with redelivery-safe semantics. Legacy mode
+  /** Attach the source with ID-KEYED redelivery safety. Legacy mode
     * UPSERTS by event id (replayed ids replace their earlier copies);
-    * snapshot mode needs no upsert — the manifest-committed batch
-    * watermark makes redelivery land NOTHING, which is strictly
-    * stronger (exactly-once, not replace-on-replay). */
+    * snapshot mode anti-joins each micro-batch against the live
+    * snapshot before the exactly-once append
+    * ([[StreamingIngest.toSnapshotUpsertSink]]) — the batch watermark
+    * alone covers only Spark's own replays, not a source retrying an
+    * id in a later batch or a pipeline restarted after checkpoint
+    * loss, which are exactly the cases this mode exists for. */
   def startIngestUpsert(jsonLines: Dataset[String], checkpoint: String): StreamingQuery =
     if (snapshotMode)
-      StreamingIngest.toSnapshotEventStore(
+      StreamingIngest.toSnapshotUpsertSink(
         StreamingIngest.fromJsonLines(jsonLines), eventsPath, checkpoint)
     else StreamingIngest.toUpsertSink(
       StreamingIngest.fromJsonLines(jsonLines), eventsPath, checkpoint)

@@ -432,9 +432,14 @@ object Retrieval {
       // [[screenNewForBm25Index]] and keeps n_docs honest.
       Bucketing.writeBucketed(rows.select(col("doc_id"), col("dl")),
         s"${name}_docs", "doc_id", numBuckets)
-      Bucketing.writeBucketed(byDocProjection(bm25Postings(rows)),
-        s"${name}_postings_bydoc", "doc_id", numBuckets)
     } finally rows.unpersist()
+    // bydoc from the postings TABLE just written, not a re-run of the
+    // corpus explode+aggregate — the same one-derivation rule _df
+    // follows below: a narrow pruned columnar scan instead of a
+    // second corpus-sized pass
+    Bucketing.writeBucketed(
+      byDocProjection(Bucketing.stableTable(spark, s"${name}_postings")),
+      s"${name}_postings_bydoc", "doc_id", numBuckets)
     // df from the postings TABLE just written — a pruned (term-only)
     // parquet scan instead of a third pass over corpus text, and the
     // same derivation [[repairBm25Stats]] uses, so build-time and
@@ -513,9 +518,15 @@ object Retrieval {
     // the doc-keyed projection rides every append; a death between the
     // two posting appends leaves it stale-conservative (mining misses
     // the batch's terms, never invents any) — reconcileBm25Index
-    // re-derives it from _postings wholesale
-    Bucketing.appendBucketed(byDocProjection(post),
-      s"${name}_postings_bydoc", "doc_id", numBuckets)
+    // re-derives it from _postings wholesale. GUARDED on the table
+    // already existing: on a pre-projection index a bare append would
+    // CREATE a bydoc holding only this batch, which mining would then
+    // trust as the whole corpus — the index stays pre-projection
+    // (full-scan mining fallback) until a rebuild or reconcile derives
+    // the complete projection
+    if (byDocTable(spark, name, numBuckets).isDefined)
+      Bucketing.appendBucketed(byDocProjection(post),
+        s"${name}_postings_bydoc", "doc_id", numBuckets)
     val batchDf = post.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
     // repartition before the merge aggregate: if the bucketed old
     // scan and the batch's shuffle output ever report the SAME
@@ -633,15 +644,18 @@ object Retrieval {
         bm25Postings(bm25DocRows(holes, idCol, textCol, tokenizer)
           .localCheckpoint(true)),
         s"${name}_postings", "term", numBuckets)
-      // the doc-keyed projection re-derives WHOLESALE from the healed
-      // postings: a hole doc's bydoc rows may or may not have landed
-      // before the crash, and a blind append would double the ones
-      // that did — one postings scan, the reconcile-verb cost class
+      repairBm25Stats(spark, name)
+    }
+    // the doc-keyed projection re-derives WHOLESALE whenever holes
+    // were healed (a hole doc's bydoc rows may or may not have landed
+    // before the crash — a blind append would double the ones that
+    // did) and whenever the index PREDATES the projection (reconcile
+    // is the upgrade verb that makes PRF mining bucket-pruned on an
+    // old index). One postings scan, the reconcile-verb cost class.
+    if (nHoles > 0 || byDocTable(spark, name, numBuckets).isEmpty)
       Bucketing.writeBucketed(
         byDocProjection(Bucketing.stableTable(spark, s"${name}_postings")),
         s"${name}_postings_bydoc", "doc_id", numBuckets)
-      repairBm25Stats(spark, name)
-    }
     nMissing + nHoles
     }
   }

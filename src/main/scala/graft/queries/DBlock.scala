@@ -3846,7 +3846,8 @@ object DBlock {
       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 2 = 0),
       |sp AS (
       |  SELECT CAST(count(DISTINCT doc_id % 48) AS BIGINT) AS n
-      |  FROM documents WHERE doc_id IS NOT NULL AND doc_id < 96)
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id < 96)
       |SELECT * FROM (
       |  SELECT 'bm25' AS family, 'd138_bx' AS index_name,
       |    (SELECT n FROM dt) AS n_items,

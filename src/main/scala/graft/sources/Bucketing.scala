@@ -64,7 +64,7 @@ object Bucketing {
     // "generation-location swap" section below) — prefix-filtered
     // listing, not a full warehouse scan
     val pat = s"${table.toLowerCase}__g(ptr_)?\\d+".r
-    globWarehouse(spark, s"${table.toLowerCase}__g*").map(_.getPath)
+    globWarehouse(spark, s"${table.toLowerCase}__g").map(_.getPath)
       .filter(p => pat.pattern.matcher(p.getName).matches())
       .foreach(fs.delete(_, true))
   }
@@ -117,21 +117,29 @@ object Bucketing {
     * families × frequent maintenance that is an accidental O(N²).
     * `globStatus` on the name prefix pushes the filter into the
     * filesystem (HDFS/S3 list-with-prefix), keeping each resolve
-    * O(matches). Returns empty when the warehouse does not exist
-    * (globStatus yields null for a missing parent). */
+    * O(matches). The prefix is a LITERAL name fragment, so glob
+    * metacharacters in it (a caller-supplied index name containing
+    * `[`/`{`/`*`…) are escaped — the old listStatus+startsWith
+    * resolve treated them literally, and this must too. Returns
+    * empty when the warehouse does not exist (globStatus yields null
+    * for a missing parent). */
   private[sources] def globWarehouse(spark: SparkSession,
-      pattern: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      prefix: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val wh = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"))
     val fs = fsOf(spark, wh)
-    Option(fs.globStatus(new org.apache.hadoop.fs.Path(wh, pattern)))
+    val escaped = prefix.flatMap {
+      case c @ ('*' | '?' | '[' | ']' | '{' | '}' | '\\') => s"\\$c"
+      case c => c.toString
+    }
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(wh, escaped + "*")))
       .map(_.toSeq).getOrElse(Seq.empty)
   }
 
   /** Live generation of `table` (0 = legacy directory, never swapped). */
   private[graft] def generationOf(spark: SparkSession, table: String): Long = {
     val pfx = genPtrPrefix(table)
-    globWarehouse(spark, pfx + "*").map(_.getPath.getName)
+    globWarehouse(spark, pfx).map(_.getPath.getName)
       .flatMap(n => scala.util.Try(n.drop(pfx.length).toLong).toOption)
       .sorted.lastOption.getOrElse(0L)
   }
@@ -148,7 +156,7 @@ object Bucketing {
     val pfx = genPtrPrefix(table)
     val p = new org.apache.hadoop.fs.Path(wh, s"$pfx$next")
     if (!fs.exists(p)) fs.create(p, false).close()
-    globWarehouse(spark, pfx + "*").map(_.getPath)
+    globWarehouse(spark, pfx).map(_.getPath)
       .filter(q => scala.util.Try(
         q.getName.drop(pfx.length).toLong).toOption.exists(_ < next))
       .foreach(fs.delete(_, false))
@@ -284,22 +292,33 @@ object Bucketing {
   def vacuumGenerations(spark: SparkSession, table: String): Int =
     withIndexLease(spark, table, "vacuumGenerations") {
       val live = generationOf(spark, table)
+      // the keep-set follows what the CATALOG serves, not just the
+      // pointer (the generationSwap retire-floor rule): after a crash
+      // between a swap's pointer flip and its ALTER the pointer runs
+      // ahead of the served generation — a pointer-only keep-set of
+      // {live, live-1} would then delete the served generation's
+      // promised grace while preserving a never-served build. Keep
+      // the pointer generation (what re-open resolves), the served
+      // generation (what current readers scan), and the served one's
+      // grace predecessor.
+      val served = if (spark.catalog.tableExists(table))
+        servedGenerationOf(spark, table) else live
+      val keep = Set(live, served, served - 1)
       val pat = s"${table.toLowerCase}__g\\d+".r
       val pfx = s"${table.toLowerCase}__g"
-      val gens = globWarehouse(spark, pfx + "*")
+      val gens = globWarehouse(spark, pfx)
         .map(_.getPath)
         .filter(p => pat.pattern.matcher(p.getName).matches())
         .flatMap(p => scala.util.Try(
           p.getName.drop(pfx.length).toLong).toOption.map(_ -> p))
-      val doomed = gens.filter { case (n, _) =>
-        n > live || n < live - 1 }
+      val doomed = gens.filterNot { case (n, _) => keep.contains(n) }
       val fs = fsOf(spark, new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir")))
       doomed.foreach { case (_, p) => fs.delete(p, true) }
-      // the legacy directory (generation 0) is below-floor once the
-      // live generation is past its grace window
+      // the legacy directory (generation 0) is below-floor once it
+      // leaves the keep-set
       val legacy = tableDir(spark, table)
-      val legacyDoomed = live >= 2 && fs.exists(legacy)
+      val legacyDoomed = !keep.contains(0L) && fs.exists(legacy)
       if (legacyDoomed) fs.delete(legacy, true)
       doomed.size + (if (legacyDoomed) 1 else 0)
     }

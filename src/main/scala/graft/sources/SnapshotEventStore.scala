@@ -183,6 +183,33 @@ object SnapshotEventStore {
     Seq(s"#schema=${full.json}")
   }
 
+  /** Refuses a TYPE conflict BEFORE any file lands: silently keeping
+    * the carried type while a batch's files land with another
+    * physical type would let the append SUCCEED and every later
+    * read/compact fail on "Parquet column cannot be converted" — a
+    * poisoned store with no error at the write that poisoned it.
+    * Schema evolution ADDS columns; it never changes a column's
+    * type. */
+  private def requireCompatibleSchema(events: DataFrame,
+      spark: SparkSession, path: String): Unit = {
+    val existingTypes = schemaTagOf(spark, path).flatMap(parseSchema)
+      .map(_.fields.filterNot(f => f.name == "dt" || f.name == "hour"))
+      .getOrElse(Array.empty[org.apache.spark.sql.types.StructField])
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    events.schema.fields
+      .filterNot(f => f.name == "dt" || f.name == "hour")
+      .foreach { f =>
+        existingTypes.get(f.name.toLowerCase).foreach { t =>
+          require(t == f.dataType,
+            s"snapshot append to store '$path': column '${f.name}' " +
+              s"arrives as ${f.dataType.simpleString} but the store " +
+              s"carries ${t.simpleString} — schema evolution adds " +
+              "columns, never changes a column's type; cast the " +
+              "batch to the store's type first")
+        }
+      }
+  }
+
   private def typedEmpty(spark: SparkSession,
       path: String): DataFrame =
     schemaTagOf(spark, path).flatMap(parseSchema)
@@ -378,6 +405,7 @@ object SnapshotEventStore {
       val n = currentSnapshot(spark, path).getOrElse(throw
         new IllegalStateException(
           s"snapshot append to un-sealed store '$path' — init first"))
+      requireCompatibleSchema(events, spark, path)
       val prev = manifestFiles(spark, path, n)
       val tmp = new Path(path, ".snap_append_tmp")
       val fs = fsOf(spark, tmp)
@@ -420,6 +448,7 @@ object SnapshotEventStore {
       val tags = currentBatchTags(spark, path)
       if (tags.get(streamId).exists(_ >= batchId)) n
       else {
+        requireCompatibleSchema(events, spark, path)
         val prev = manifestFiles(spark, path, n)
         val tmp = new Path(path, ".snap_append_tmp")
         val fs = fsOf(spark, tmp)

@@ -75,7 +75,7 @@ object VersionedTable {
     // prefix-filtered listing ([[Bucketing.globWarehouse]]): a full
     // warehouse listStatus per resolve is O(#tables) driver-side and
     // pointer resolves happen several times per verb
-    Bucketing.globWarehouse(spark, pfx + "*")
+    Bucketing.globWarehouse(spark, pfx)
       .map(_.getPath.getName)
       .flatMap(n => scala.util.Try(n.drop(pfx.length).toLong).toOption)
   }
@@ -89,7 +89,7 @@ object VersionedTable {
     * pointer. */
   private def floorVersion(spark: SparkSession, name: String): Long = {
     val pfx = floorPrefix(name)
-    Bucketing.globWarehouse(spark, pfx + "*")
+    Bucketing.globWarehouse(spark, pfx)
       .map(_.getPath.getName)
       .flatMap(n => scala.util.Try(n.drop(pfx.length).toLong).toOption)
       .sorted.lastOption.getOrElse(1L)
@@ -103,7 +103,7 @@ object VersionedTable {
     val pfx = floorPrefix(name)
     val p = new org.apache.hadoop.fs.Path(wh, s"$pfx$next")
     if (!fs.exists(p)) fs.create(p, false).close()
-    Bucketing.globWarehouse(spark, pfx + "*").map(_.getPath)
+    Bucketing.globWarehouse(spark, pfx).map(_.getPath)
       .filter(q => scala.util.Try(
         q.getName.drop(pfx.length).toLong)
         .toOption.exists(_ < next))

@@ -206,6 +206,54 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** ID-KEYED redelivery safety for the SNAPSHOT store — the upsert
+    * contract ([[toUpsertSink]]'s "safe under at-least-once delivery
+    * AND checkpoint loss") on the manifest discipline. The batch
+    * watermark alone does NOT give this: it dedups Spark's own
+    * checkpoint replays (same stream, same batch id) but a
+    * source-level retry delivering an already-landed event id in a
+    * LATER batch — the Firehose retry shape — or a restarted pipeline
+    * after checkpoint LOSS (new stream identity by design) would land
+    * duplicates. Here each micro-batch is additionally anti-joined by
+    * id against the live snapshot before the exactly-once append, so
+    * both windows close: an id lands at most once, ever. Events are
+    * immutable facts, so insert-if-absent IS the event-store upsert
+    * (the legacy sink's replace-by-id differs only for mutated
+    * payloads, which the reference wire format does not produce).
+    * Cost, disclosed: one id-column scan of the snapshot per
+    * micro-batch (columnar, id-only) — the price [[upsertBatch]] pays
+    * as partition rewrites instead. */
+  def toSnapshotUpsertSink(events: DataFrame, path: String,
+      checkpoint: String, idCol: String = "id",
+      sortWithin: Seq[String] = Nil,
+      keepSnapshots: Int = 1,
+      streamId: Option[String] = None): StreamingQuery = {
+    val sid = streamId.getOrElse(checkpoint)
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val deduped = batch.dropDuplicates(idCol)
+        val fresh =
+          if (graft.sources.SnapshotEventStore
+            .currentSnapshot(spark, path).isEmpty) deduped
+          else {
+            val existing = graft.sources.SnapshotEventStore
+              .read(spark, path)
+            if (existing.columns.isEmpty) deduped
+            else deduped.join(
+              existing.select(col(idCol).as("__landed_id")),
+              col(idCol) === col("__landed_id"), "left_anti")
+          }
+        graft.sources.SnapshotEventStore.appendBatch(
+          fresh, path, batchId, sortWithin = sortWithin,
+          keepSnapshots = keepSnapshots, streamId = sid)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** The full streaming ingestion-dedup loop over a PERSISTENT index
     * ([[graft.operators.Dedup.buildDedupIndex]]): per micro-batch,
     * screen arriving documents against everything ingested so far

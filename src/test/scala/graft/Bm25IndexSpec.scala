@@ -650,4 +650,32 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(!p.contains("documents"),
       s"serving plan touches the corpus:\n${p.take(2000)}")
   }
+
+  test("PRF equals the fresh scan with AND without the bydoc projection; a pre-projection append never creates a partial one") {
+    Retrieval.buildBm25Index(docs.filter("doc_id % 2 = 0"), "doc_id",
+      "text", "bmspec_bydoc", numBuckets = 4)
+    // simulate a PRE-PROJECTION index (persisted before r20): drop
+    // the bydoc table outright
+    graft.sources.Bucketing.dropTableAndDir(spark,
+      "bmspec_bydoc_postings_bydoc")
+    // an append on it must NOT create a bydoc holding only the batch
+    // — mining would then trust a partial projection as the corpus
+    Retrieval.appendToBm25Index(docs.filter("doc_id % 2 = 1"),
+      "doc_id", "text", "bmspec_bydoc")
+    assert(!spark.catalog.tableExists("bmspec_bydoc_postings_bydoc"),
+      "a pre-projection index must stay pre-projection under appends")
+    // the FALLBACK mining path still serves the fresh answer
+    val fresh = topKRows(Retrieval.bm25PrfTopK(docs, "doc_id", "text",
+      terms, topK = 6, fbDocs = 2, fbTerms = 3))
+    assert(topKRows(Retrieval.bm25PrfAgainstIndex(spark, "bmspec_bydoc",
+      terms, topK = 6, fbDocs = 2, fbTerms = 3)) == fresh)
+    // reconcile is the UPGRADE verb: it derives the complete
+    // projection for a pre-projection index, and the bucket-pruned
+    // mining path then serves the same answer
+    Retrieval.reconcileBm25Index(docs, "doc_id", "text", "bmspec_bydoc")
+    assert(spark.catalog.tableExists("bmspec_bydoc_postings_bydoc"),
+      "reconcile must derive the missing projection")
+    assert(topKRows(Retrieval.bm25PrfAgainstIndex(spark, "bmspec_bydoc",
+      terms, topK = 6, fbDocs = 2, fbTerms = 3)) == fresh)
+  }
 }

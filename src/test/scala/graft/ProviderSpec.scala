@@ -235,6 +235,21 @@ class ProviderSpec extends AnyFunSuite {
       q2.processAllAvailable()
       assert(p.createQuery().toDF.count() == 3)
     } finally q2.stop()
+
+    // upsert mode closes the window the batch watermark cannot: a
+    // SOURCE retry redelivering an already-landed id in a LATER
+    // batch (fresh checkpoint = fresh stream identity, so the
+    // watermark treats everything as new) — the id anti-join lands
+    // only the genuinely new event
+    val upsSrc = MemoryStream[String](spark)
+    val q3 = p.startIngestUpsert(upsSrc.toDS(),
+      Files.createTempDirectory("graft_snap_ups_ck_").toString)
+    try {
+      upsSrc.addData(Seq(ev("s1", t0 + 2000), ev("u1", t0 + 3000)))
+      q3.processAllAvailable()
+      assert(p.createQuery().toDF.count() == 4,
+        "a source-level id redelivery must not duplicate")
+    } finally q3.stop()
   }
 
   test("factory: fromSparkConf reads the spark.graft.eventStore.* scope") {

@@ -312,6 +312,28 @@ class SnapshotEventStoreSpec extends AnyFunSuite {
     assert(after.filter(col("channel") === "WEB").count() == 8L)
   }
 
+  test("a type-conflicting append refuses BEFORE any file lands") {
+    val dir = freshDir()
+    SnapshotEventStore.init(spark, dir)
+    SnapshotEventStore.append(
+      events(1, 3).withColumn("channel", lit("WEB")), dir)
+    // same column, different type: must refuse loudly at append time
+    // — silently keeping the carried type would poison every later
+    // read with a parquet conversion error
+    val e = intercept[IllegalArgumentException] {
+      SnapshotEventStore.append(
+        events(1, 2, idOffset = 100L).withColumn("channel", lit(7)),
+        dir)
+    }
+    assert(e.getMessage.contains("channel") &&
+      e.getMessage.contains("type"), e.getMessage)
+    // nothing landed, nothing published — the store is unchanged
+    assert(SnapshotEventStore.read(spark, dir).count() == 3L)
+    assert(SnapshotEventStore.snapshotStoreStats(spark, dir).head()
+      .getAs[Long]("n_orphan_files") == 0L,
+      "the refusal must fire before files move into the live tree")
+  }
+
   test("legacy EventStore verbs refuse on a sealed store; clearAll stays legal") {
     val dir = freshDir()
     SnapshotEventStore.init(spark, dir)
