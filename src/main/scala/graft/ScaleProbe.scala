@@ -247,7 +247,17 @@ object ScaleProbe {
     "d155_dedup_ingest_drift", // half build + band/hash novelty card
     "d156_merged_sim",      // two half builds + merge + screen
     "d157_indexed_card_lm", // 3 builds + 7 indexed arms + eval
-    "d158_sim_ingest_drift") // half build + sig/chunk novelty card
+    "d158_sim_ingest_drift", // half build + sig/chunk novelty card
+    // r20 additions. a14b/a19 are snapshot-store cycles whose write
+    // side is the documents-derived two-day slice (build once per sf
+    // dir — the timing converges to the manifest-defined read, ~10×
+    // scan-side); d159 REBUILDS its planted states every run by
+    // design (the loop heals them), so its timing is a half dedup
+    // build + a 96-row store + two card computations + the two
+    // healing verbs (~10× on the build-dominated side).
+    "a14b_evolved_snapshot_read", // evolved snapshot read (merged header)
+    "a19_provider_snapshot", // snapshot-mode provider end-to-end
+    "d159_actuator_loop")   // planted drift/orphan healed by the loop
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -266,6 +276,7 @@ object ScaleProbe {
 
     buildIfMissing(spark)
     buildBaselineIfMissing(spark)
+    buildEventsIfMissing(spark)
 
     def timeWarm(name: String, dir: String): Double = {
       def once(): Double = {
@@ -780,6 +791,34 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$Sf1x/$t.parquet")
     }
     marker.createNewFile()
+  }
+
+  /** Events for the r20 A-block probes (a14b/a19 build their snapshot
+    * stores from the events table). Separate markers so existing
+    * derived dirs upgrade in place: 1× side = the sf0.1 events
+    * re-laid as 32 files; 10× side = ten event_id-shifted copies with
+    * timestamps UNCHANGED (the probed entries slice a fixed [T0, T1)
+    * window — the 10× set must put 10× rows INSIDE it, same dt/hour
+    * partitions, 10× rows each). `ts` round-trips as the int64 nanos
+    * Tables.events already reads it as. */
+  private def buildEventsIfMissing(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    if (!new java.io.File(s"$Sf1x/events.parquet").exists()) {
+      graft.sources.Tables.events(spark, Sf01)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$Sf1x/events.parquet")
+    }
+    if (!new java.io.File(s"$Sf1/events.parquet").exists()) {
+      val ev = graft.sources.Tables.events(spark, Sf01)
+      val copyShift = 2000000011L
+      (0 until 10).map { i =>
+        if (i == 0) ev
+        else ev.withColumn("event_id",
+          col("event_id") + lit(i * copyShift))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$Sf1/events.parquet")
+    }
   }
 
   private def buildIfMissing(spark: SparkSession): Unit = {
