@@ -803,12 +803,17 @@ object ScaleProbe {
     * Tables.events already reads it as. */
   private def buildEventsIfMissing(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions._
-    if (!new java.io.File(s"$Sf1x/events.parquet").exists()) {
+    // gate on Spark's own _SUCCESS commit marker, not bare directory
+    // existence: a killed mid-write run leaves the directory without
+    // it, and a bare-existence gate would silently trust a partial
+    // (sub-10×) events table — wrong receipts with no error (the
+    // cachedStore lesson)
+    if (!new java.io.File(s"$Sf1x/events.parquet/_SUCCESS").exists()) {
       graft.sources.Tables.events(spark, Sf01)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$Sf1x/events.parquet")
     }
-    if (!new java.io.File(s"$Sf1/events.parquet").exists()) {
+    if (!new java.io.File(s"$Sf1/events.parquet/_SUCCESS").exists()) {
       val ev = graft.sources.Tables.events(spark, Sf01)
       val copyShift = 2000000011L
       (0 until 10).map { i =>

@@ -244,7 +244,10 @@ object OpsCard {
       .select(col("family"), col("index_name"), col("pending_verb"),
         col("suggested_verb"))
       .collect() // bounded: one row per family/store
-    val byName = entries.map(e => e._1.name -> e).toMap
+    // keyed by (family, name): families are unique per card, but two
+    // FAMILIES may legitimately share an index name — a bare-name map
+    // would dispatch the wrong family's actuator
+    val byKey = entries.map(e => (e._1.family, e._1.name) -> e._2).toMap
     val storeByName = stores.map(st => st.name -> st).toMap
     card.iterator
       .filter(r => r.getString(2) == "idle" && r.getString(3) != "none")
@@ -265,7 +268,7 @@ object OpsCard {
                 st.maxFilesPerPartition)
           }
         } else {
-          val actions = byName(name)._2
+          val actions = byKey((family, name))
           verb match {
             case "reconcile" => actions.reconcile()
             case "retire" => actions.retire()
@@ -325,7 +328,8 @@ object OpsCard {
     * page in one frame. */
   def indexOpsCard(spark: SparkSession, entries: Seq[Entry],
       stores: Seq[StoreEntry] = Nil): DataFrame = {
-    require(entries.nonEmpty, "indexOpsCard: no entries")
+    require(entries.nonEmpty || stores.nonEmpty,
+      "indexOpsCard: no entries and no stores")
     require(entries.map(_.family).distinct.size == entries.size,
       "indexOpsCard: one entry per family (duplicate family passed)")
     require(stores.map(_.name).distinct.size == stores.size,

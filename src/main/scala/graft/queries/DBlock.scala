@@ -3352,7 +3352,11 @@ object DBlock {
         .filter(col("doc_id").isNotNull && col("text").isNotNull)
       Dedup.buildDedupIndex(docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", name = "d159_dx", md5Sig = true)
-      val storePath = "/tmp/graft_d159_store"
+      // storeKey suffix like d125/d138: concurrent processes on
+      // DIFFERENT sf dirs must not clearAll each other's mid-build
+      // store (the entry rebuilds per run by design — the loop heals
+      // its plants — so only the path needs isolating)
+      val storePath = "/tmp/graft_d159_store_" + ABlock.storeKey(s, d)
       graft.sources.EventStore.clearAll(s, storePath)
       graft.sources.SnapshotEventStore.init(s, storePath)
       graft.sources.SnapshotEventStore.append(

@@ -200,10 +200,15 @@ object SnapshotEventStore {
       .filterNot(f => f.name == "dt" || f.name == "hour")
       .foreach { f =>
         existingTypes.get(f.name.toLowerCase).foreach { t =>
-          require(t == f.dataType,
+          // catalogString equality: nullability-INSENSITIVE (a nested
+          // field flipping nullable across batches is compatible —
+          // strict DataType equality would refuse it with an error
+          // whose printed types look identical) and full-fidelity on
+          // names/types
+          require(t.catalogString == f.dataType.catalogString,
             s"snapshot append to store '$path': column '${f.name}' " +
-              s"arrives as ${f.dataType.simpleString} but the store " +
-              s"carries ${t.simpleString} — schema evolution adds " +
+              s"arrives as ${f.dataType.catalogString} but the store " +
+              s"carries ${t.catalogString} — schema evolution adds " +
               "columns, never changes a column's type; cast the " +
               "batch to the store's type first")
         }

@@ -234,17 +234,22 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val deduped = batch.dropDuplicates(idCol)
+        // an un-sealed store SEALS FIRST (init snapshots whatever the
+        // directory already holds — the legacy-adoption posture), so
+        // the anti-join below sees adopted rows too: skipping it for
+        // batch 0 would let a crashed legacy pipeline's redelivered
+        // last batch land twice, exactly the duplicate this sink
+        // exists to prevent
+        if (graft.sources.SnapshotEventStore
+          .currentSnapshot(spark, path).isEmpty)
+          graft.sources.SnapshotEventStore.init(spark, path)
+        val existing = graft.sources.SnapshotEventStore
+          .read(spark, path)
         val fresh =
-          if (graft.sources.SnapshotEventStore
-            .currentSnapshot(spark, path).isEmpty) deduped
-          else {
-            val existing = graft.sources.SnapshotEventStore
-              .read(spark, path)
-            if (existing.columns.isEmpty) deduped
-            else deduped.join(
-              existing.select(col(idCol).as("__landed_id")),
-              col(idCol) === col("__landed_id"), "left_anti")
-          }
+          if (existing.columns.isEmpty) deduped // empty sealed store
+          else deduped.join(
+            existing.select(col(idCol).as("__landed_id")),
+            col(idCol) === col("__landed_id"), "left_anti")
         graft.sources.SnapshotEventStore.appendBatch(
           fresh, path, batchId, sortWithin = sortWithin,
           keepSnapshots = keepSnapshots, streamId = sid)
