@@ -189,6 +189,23 @@ class OpsCardSpec extends AnyFunSuite {
     assert(OpsCard.maintenanceTick(spark, entries, stores).isEmpty,
       "a healthy card must produce no action")
 
+    // STORE-ONLY maintenance (a deployment with just the event store,
+    // no index families — the a19 provider posture): the loop must
+    // act on store rows without any Entry
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_loop_st2_")
+      .toString
+    SnapshotEventStore.init(spark, dir2)
+    SnapshotEventStore.append(
+      Seq((9L, 1704153600000L)).toDF("id", "time"), dir2)
+    val part2 = new java.io.File(s"$dir2/dt=2024-01-02/hour=0")
+    val src2 = part2.listFiles.filter(f =>
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")).head
+    java.nio.file.Files.copy(src2.toPath,
+      new java.io.File(part2, "orphan-only.parquet").toPath)
+    assert(OpsCard.maintenanceLoop(spark, Seq.empty,
+      Seq(OpsCard.StoreEntry("loop_only", dir2)))
+      == Seq(("store", "loop_only", "vacuum")))
+
     // a lease-busy family is SKIPPED, not acted on (drift against an
     // in-flight write is advisory — the card's own contract)
     Retrieval.retireFromBm25Index(
