@@ -65,33 +65,89 @@ object SnapshotEventStore {
   private[sources] val SnapDirName = "_graft_snapshots"
   private val SnapPrefix = "snap_"
 
+  /** DELTA manifests (the Delta-log shape behind the same API): a
+    * publish whose change set is small relative to the live list —
+    * every streaming micro-batch append against a large store —
+    * writes `snapd_<N>` holding the FULL headers plus `+<rel>` /
+    * `-<rel>` lines relative to snapshot N−1, instead of rewriting
+    * the whole list. Resolution walks the delta chain back to the
+    * nearest FULL checkpoint (`snap_<N>`); the chain is capped at
+    * [[CheckpointEvery]] (a full checkpoint is forced past it), so a
+    * resolve reads at most that many small files. Retire MATERIALIZES
+    * the oldest kept snapshot as a full checkpoint before deleting
+    * below it, so a retained delta can never lose its ancestors.
+    * Publish stays one atomic rename either way. */
+  private val DeltaPrefix = "snapd_"
+
+  /** Max delta-chain length before a publish is forced to write a
+    * full checkpoint — bounds resolution at K small reads and keeps
+    * the crash-recovery walk short (the Delta log's checkpoint
+    * cadence). */
+  private val CheckpointEvery = 16
+
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def snapDir(path: String) = new Path(path, SnapDirName)
 
+  private def fullPath(path: String, n: Long) =
+    new Path(snapDir(path), s"$SnapPrefix$n")
+  private def deltaPath(path: String, n: Long) =
+    new Path(snapDir(path), s"$DeltaPrefix$n")
+
   private def leaseKey(path: String): String =
     "evsnap__" + path.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
 
-  /** Live snapshot number, if the store has been sealed. */
-  def currentSnapshot(spark: SparkSession, path: String): Option[Long] = {
+  /** Snapshot numbers on disk (full checkpoints AND deltas), sorted. */
+  private def snapshotNumbers(spark: SparkSession,
+      path: String): Seq[Long] = {
     val d = snapDir(path)
     val fs = fsOf(spark, d)
-    if (!fs.exists(d)) return None
+    if (!fs.exists(d)) return Seq.empty
     fs.listStatus(d).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith(SnapPrefix) && !n.endsWith(".tmp"))
-      .flatMap(n => scala.util.Try(n.drop(SnapPrefix.length).toLong).toOption)
-      .sorted.lastOption
+      .filter(n => !n.endsWith(".tmp"))
+      .flatMap { n =>
+        val num =
+          if (n.startsWith(SnapPrefix)) Some(n.drop(SnapPrefix.length))
+          else if (n.startsWith(DeltaPrefix)) Some(n.drop(DeltaPrefix.length))
+          else None
+        num.flatMap(s => scala.util.Try(s.toLong).toOption)
+      }
+      .distinct.sorted
   }
 
-  private def manifestLines(spark: SparkSession, path: String,
-      n: Long): Seq[String] = {
-    val p = new Path(snapDir(path), s"$SnapPrefix$n")
+  /** Live snapshot number, if the store has been sealed. */
+  def currentSnapshot(spark: SparkSession, path: String): Option[Long] =
+    snapshotNumbers(spark, path).lastOption
+
+  private def rawLines(spark: SparkSession, p: Path): Seq[String] = {
     val fs = fsOf(spark, p)
     val in = fs.open(p)
     val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     raw.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Snapshot `n`'s logical manifest lines: headers + one
+    * store-relative file path per line. A FULL checkpoint is read
+    * verbatim; a DELTA carries its own complete headers and resolves
+    * its file list against snapshot n−1 (recursion bounded by
+    * [[CheckpointEvery]]). A snapshot that exists in NEITHER form
+    * throws FileNotFoundException — retired, callers translate. */
+  private def manifestLines(spark: SparkSession, path: String,
+      n: Long): Seq[String] = {
+    val full = fullPath(path, n)
+    val fs = fsOf(spark, full)
+    // prefer the full form: retire's materialization writes snap_<n>
+    // beside a stale snapd_<n> before deleting it — both present
+    // means the full one is the (newer, equivalent) truth
+    if (fs.exists(full)) return rawLines(spark, full)
+    val lines = rawLines(spark, deltaPath(path, n))
+    val headers = lines.filter(_.startsWith("#"))
+    val adds = lines.filter(_.startsWith("+")).map(_.drop(1))
+    val dels = lines.filter(_.startsWith("-")).map(_.drop(1)).toSet
+    val base = manifestFiles(spark, path, n - 1)
+    headers ++ (base.filterNot(dels) ++ adds).sorted
   }
 
   private[graft] def manifestFiles(spark: SparkSession, path: String,
@@ -226,35 +282,73 @@ object SnapshotEventStore {
     * rename makes it visible — readers see the old complete manifest
     * or the new complete one, never a torn read. Returns N+1.
     *
-    * SIZING CONSTRAINT, measured (SnapshotEventStoreSpec's receipt,
-    * local FS): the manifest is FLAT — every publish rewrites the
-    * full live-file list (sort + write) and every resolve re-reads
-    * it. At 10³ files that is ~ms; at 10⁵ files tens of ms per
-    * publish and per resolve — fine for any retention×compaction-
-    * bounded store (a 90-day hourly store at maxFilesPerPartition=4
-    * is ~9k lines, sub-MB), NOT for an unretained firehose landing
-    * millions of files: there the flat list becomes the Iceberg
-    * manifest-list problem and the format would need delta manifests
-    * (snap N = snap N−1 ± changes + periodic checkpoint, the Delta
-    * log shape) behind this same API. Size retention/compaction so
-    * live files stay ≲10⁵. (private[graft] for the receipt spec.) */
+    * SIZING, measured (SnapshotEventStoreSpec's receipts, local FS):
+    * a FULL checkpoint rewrites the live-file list — ~ms at 10³
+    * files, ~100 ms at 10⁵. Small changes against a large store
+    * (every streaming micro-batch append) publish as DELTAS instead:
+    * the WRITE drops to O(changes) bytes (~KB instead of the ~5 MB
+    * full list — the storage/IO term that accumulates per
+    * micro-batch), with a full checkpoint forced every
+    * [[CheckpointEvery]] publishes so a resolve reads at most that
+    * many small files. Publish LATENCY stays resolve-bound either
+    * way (the delta diff needs the previous list), and the live list
+    * still materializes in driver memory per resolve (~MB at 10⁵
+    * lines) — size retention/compaction so live files stay ≲10⁶.
+    * (private[graft] for the receipt spec.) */
+  /** Length of the delta chain ENDING at snapshot `n` (0 when `n` is
+    * a full checkpoint). Bounded walk — at most CheckpointEvery + 1
+    * existence probes. */
+  private def deltaChainLen(spark: SparkSession, path: String,
+      n: Long): Int = {
+    val fs = fsOf(spark, snapDir(path))
+    var g = n
+    var c = 0
+    while (g >= 1 && c <= CheckpointEvery &&
+      !fs.exists(fullPath(path, g)) && fs.exists(deltaPath(path, g))) {
+      c += 1; g -= 1
+    }
+    c
+  }
+
   private[graft] def publish(spark: SparkSession, path: String,
       files: Seq[String], header: Seq[String] = Nil): Long = {
     val d = snapDir(path)
     val fs = fsOf(spark, d)
     fs.mkdirs(d)
-    val next = currentSnapshot(spark, path).getOrElse(0L) + 1L
-    val tmp = new Path(d, s".$SnapPrefix$next.tmp")
+    val cur = currentSnapshot(spark, path).getOrElse(0L)
+    val next = cur + 1L
+    // DELTA when it is genuinely smaller than the full list and the
+    // chain stays under the checkpoint cadence; full otherwise (and
+    // always when anything about the previous resolve fails — a full
+    // checkpoint is self-contained and heals the chain)
+    val delta: Option[Seq[String]] =
+      if (cur == 0L || deltaChainLen(spark, path, cur) >= CheckpointEvery)
+        None
+      else scala.util.Try {
+        val prev = manifestFiles(spark, path, cur)
+        val pSet = prev.toSet
+        val fSet = files.toSet
+        val adds = files.filterNot(pSet).sorted.map("+" + _)
+        val dels = prev.filterNot(fSet).sorted.map("-" + _)
+        if (adds.size + dels.size < files.size)
+          Some(header ++ adds ++ dels)
+        else None
+      }.toOption.flatten
+    val (tmp, dst, body) = delta match {
+      case Some(b) => (new Path(d, s".$DeltaPrefix$next.tmp"),
+        new Path(d, s"$DeltaPrefix$next"), b)
+      case None => (new Path(d, s".$SnapPrefix$next.tmp"),
+        new Path(d, s"$SnapPrefix$next"), header ++ files.sorted)
+    }
     val out = fs.create(tmp, true)
-    try out.write((header ++ files.sorted).mkString("\n")
-      .getBytes("UTF-8"))
+    try out.write(body.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     // the rename IS the commit — on filesystems where a failed rename
     // returns false instead of throwing, ignoring it would report
     // success while the landed files stay invisible orphans and the
     // #batch watermark is never recorded (silent data loss under the
     // exactly-once contract), so refuse loudly
-    require(fs.rename(tmp, new Path(d, s"$SnapPrefix$next")),
+    require(fs.rename(tmp, dst),
       s"failed to publish snapshot $next of store '$path' — " +
         s"rename($tmp) returned false; the prior snapshot is intact " +
         "and the landed files are unreferenced orphans (vacuumOrphans " +
@@ -339,8 +433,11 @@ object SnapshotEventStore {
     def retired() = throw new IllegalArgumentException(
       s"snapshot $n of store '$path' is retired or never existed — " +
         s"live snapshot is ${currentSnapshot(spark, path)}")
-    val p = new Path(snapDir(path), s"$SnapPrefix$n")
-    if (!fsOf(spark, p).exists(p)) retired()
+    val fs = fsOf(spark, snapDir(path))
+    if (!fs.exists(fullPath(path, n)) && !fs.exists(deltaPath(path, n)))
+      retired()
+    // the FileNotFound catch also covers a racing retire deleting a
+    // DELTA chain's ancestor mid-resolve
     val (files, header) =
       try (manifestFiles(spark, path, n), schemaTag(spark, path, n))
       catch { case _: java.io.FileNotFoundException => retired() }
@@ -361,11 +458,7 @@ object SnapshotEventStore {
       val d = snapDir(path)
       val fs = fsOf(spark, d)
       val referenced: Set[String] =
-        if (!fs.exists(d)) Set.empty
-        else fs.listStatus(d).toSeq.map(_.getPath.getName)
-          .filter(n => n.startsWith(SnapPrefix) && !n.endsWith(".tmp"))
-          .flatMap(n =>
-            scala.util.Try(n.drop(SnapPrefix.length).toLong).toOption)
+        snapshotNumbers(spark, path)
           .flatMap(n => manifestFiles(spark, path, n)).toSet
       val orphans = listLive(spark, path).filterNot(referenced)
       val root = new Path(path)
@@ -642,14 +735,7 @@ object SnapshotEventStore {
   def snapshotStoreStats(spark: SparkSession, path: String,
       maxFilesPerPartition: Int = 4): DataFrame = {
     import spark.implicits._
-    val d = snapDir(path)
-    val fs = fsOf(spark, d)
-    val nums = if (!fs.exists(d)) Seq.empty[Long]
-      else fs.listStatus(d).toSeq.map(_.getPath.getName)
-        .filter(n => n.startsWith(SnapPrefix) && !n.endsWith(".tmp"))
-        .flatMap(n =>
-          scala.util.Try(n.drop(SnapPrefix.length).toLong).toOption)
-        .sorted
+    val nums = snapshotNumbers(spark, path)
     val live = nums.lastOption
     val liveFiles = live.map(manifestFiles(spark, path, _).toSet)
       .getOrElse(Set.empty)
@@ -683,23 +769,44 @@ object SnapshotEventStore {
     Bucketing.withIndexLease(spark, leaseKey(path), "snapRetire") {
       val d = snapDir(path)
       val fs = fsOf(spark, d)
-      val nums = if (!fs.exists(d)) Seq.empty[Long]
-        else fs.listStatus(d).toSeq.map(_.getPath.getName)
-          .filter(n => n.startsWith(SnapPrefix) && !n.endsWith(".tmp"))
-          .flatMap(n =>
-            scala.util.Try(n.drop(SnapPrefix.length).toLong).toOption)
-          .sorted
+      val nums = snapshotNumbers(spark, path)
       val retired = if (nums.isEmpty) Seq.empty[Long]
         else nums.filter(_ < nums.last - keepSnapshots)
       if (retired.isEmpty) 0
       else {
         val kept = nums.filter(_ >= nums.last - keepSnapshots)
-        val keepFiles = kept.flatMap(manifestFiles(spark, path, _)).toSet
+        // resolve EVERYTHING before any deletion — the delta chains
+        // still need their ancestors
+        val keptLines = kept.map(v => v -> manifestLines(spark, path, v))
+        val keepFiles = keptLines
+          .flatMap(_._2.filterNot(_.startsWith("#"))).toSet
         val doomed = retired.flatMap(manifestFiles(spark, path, _))
           .distinct.filterNot(keepFiles)
+        // MATERIALIZE the oldest kept snapshot as a FULL checkpoint
+        // before deleting below it: a kept delta whose base is about
+        // to retire would otherwise be unresolvable forever. Write
+        // tmp → rename (atomic; resolution prefers the full form when
+        // both exist, so a crash between the rename and the delta
+        // delete is benign), then drop the superseded delta.
+        val oldest = kept.head
+        if (fs.exists(deltaPath(path, oldest)) &&
+          !fs.exists(fullPath(path, oldest))) {
+          val lines = keptLines.head._2
+          val tmp = new Path(d, s".$SnapPrefix$oldest.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(lines.mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          require(fs.rename(tmp, fullPath(path, oldest)),
+            s"failed to materialize checkpoint $oldest of '$path'")
+        }
+        if (fs.exists(fullPath(path, oldest)))
+          fs.delete(deltaPath(path, oldest), false)
         val root = new Path(path)
         doomed.foreach(r => fs.delete(new Path(root, r), false))
-        retired.foreach(v => fs.delete(new Path(d, s"$SnapPrefix$v"), false))
+        retired.foreach { v =>
+          fs.delete(new Path(d, s"$SnapPrefix$v"), false)
+          fs.delete(new Path(d, s"$DeltaPrefix$v"), false)
+        }
         // prune partition dirs the deletions emptied
         for (dt <- fs.listStatus(root).toSeq
              if dt.isDirectory && dt.getPath.getName.startsWith("dt=")) {

@@ -382,6 +382,71 @@ class SnapshotEventStoreSpec extends AnyFunSuite {
       assert((t1 - t0) / 1e9 < 10.0 && (t2 - t1) / 1e9 < 10.0,
         s"manifest arithmetic blew the loose ceiling at n=$n")
     }
+    // the DELTA side: a 10-file append against the 1e5-file store
+    // WRITES O(changes) bytes (a ~KB delta instead of a ~5 MB full
+    // list — the storage/IO term that accumulates per micro-batch);
+    // publish LATENCY stays resolve-bound (it must diff against the
+    // previous list), same tens-of-ms class as the flat publish
+    val big = SnapshotEventStore
+      .manifestFiles(spark, dir,
+        SnapshotEventStore.currentSnapshot(spark, dir).get)
+    val appended = big ++ (0 until 10).map(i =>
+      f"dt=2024-01-02/hour=0/part-extra-$i%02d.parquet")
+    val t0 = System.nanoTime()
+    val snap = SnapshotEventStore.publish(spark, dir, appended)
+    val t1 = System.nanoTime()
+    assert(SnapshotEventStore.manifestFiles(spark, dir, snap).size
+      == big.size + 10)
+    info(f"delta publish (+10 vs 1e5 live)=${(t1 - t0) / 1e6}%8.1f ms")
+    assert(new java.io.File(s"$dir/_graft_snapshots/snapd_$snap").exists(),
+      "a 10-file change against 1e5 live files must publish as a delta")
+  }
+
+  test("delta manifests: chain resolution, checkpoint cadence, retire materializes") {
+    val dir = freshDir()
+    SnapshotEventStore.init(spark, dir) // snap 1, full
+    // appends against a growing store publish as deltas (small change
+    // sets); results identical to the flat discipline throughout
+    SnapshotEventStore.append(events(2, 6), dir, keepSnapshots = 30)
+    (1 to 3).foreach(k => SnapshotEventStore.append(
+      events(1, 4, idOffset = 1000L * k), dir, keepSnapshots = 30))
+    assert(SnapshotEventStore.read(spark, dir).count() == 24L)
+    val snapDir = new java.io.File(s"$dir/_graft_snapshots")
+    assert(snapDir.listFiles.exists(_.getName.startsWith("snapd_")),
+      "small appends must publish as deltas")
+    // exactly-once watermarks and schema headers ride the deltas
+    SnapshotEventStore.appendBatch(events(1, 2, idOffset = 9000L), dir,
+      batchId = 0L, keepSnapshots = 30)
+    SnapshotEventStore.appendBatch(events(1, 2, idOffset = 9000L), dir,
+      batchId = 0L, keepSnapshots = 30)
+    assert(SnapshotEventStore.read(spark, dir).count() == 26L,
+      "the replay watermark must survive delta publishes")
+    // time travel through the chain
+    assert(SnapshotEventStore.readSnapshot(spark, dir, 2L).count() == 12L)
+    // maintenance (compact rewrites most files → publishes full or
+    // delta, either way equivalent) and RETIRE: the oldest kept
+    // snapshot materializes as a full checkpoint so its chain never
+    // dangles
+    SnapshotEventStore.compact(spark, dir, maxFilesPerPartition = 1,
+      keepSnapshots = 30)
+    val live = SnapshotEventStore.currentSnapshot(spark, dir).get
+    SnapshotEventStore.retire(spark, dir, keepSnapshots = 1)
+    assert(new java.io.File(
+      s"$dir/_graft_snapshots/snap_${live - 1}").exists(),
+      "retire must leave the oldest kept snapshot as a FULL checkpoint")
+    assert(SnapshotEventStore.read(spark, dir).count() == 26L)
+    assert(SnapshotEventStore.readSnapshot(spark, dir, live - 1)
+      .count() == 26L)
+    // a long append run crosses the checkpoint cadence: at least one
+    // LATER full checkpoint appears mid-chain and reads stay exact
+    (1 to 18).foreach(k => SnapshotEventStore.append(
+      events(1, 1, idOffset = 20000L + k), dir, keepSnapshots = 40))
+    assert(SnapshotEventStore.read(spark, dir).count() == 44L)
+    val fulls = snapDir.listFiles.map(_.getName)
+      .filter(_.startsWith("snap_"))
+      .map(_.stripPrefix("snap_").toLong).sorted
+    assert(fulls.exists(_ > live),
+      s"the checkpoint cadence must force a full manifest; saw $fulls")
   }
 
   test("crash leftovers are invisible: orphan files and tmp roots never surface") {
