@@ -128,6 +128,18 @@ object SnapshotEventStore {
     raw.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Snapshot `n`'s HEADER lines from its single newest manifest
+    * file — full or delta, each carries the snapshot's COMPLETE
+    * headers by the format's design, so header reads (batch
+    * watermarks, the schema tag) never walk the delta chain. */
+  private def headerLines(spark: SparkSession, path: String,
+      n: Long): Seq[String] = {
+    val full = fullPath(path, n)
+    val p = if (fsOf(spark, full).exists(full)) full
+      else deltaPath(path, n)
+    rawLines(spark, p).filter(_.startsWith("#"))
+  }
+
   /** Snapshot `n`'s logical manifest lines: headers + one
     * store-relative file path per line. A FULL checkpoint is read
     * verbatim; a DELTA carries its own complete headers and resolves
@@ -154,6 +166,41 @@ object SnapshotEventStore {
       n: Long): Seq[String] =
     manifestLines(spark, path, n).filterNot(_.startsWith("#"))
 
+  /** Every listed snapshot's FILE list in ONE forward fold (oldest →
+    * newest, each delta applied to its predecessor) instead of an
+    * independent chain walk per snapshot — the multi-snapshot verbs'
+    * (retire/vacuum/stats) resolution shape, O(N + chain) single-file
+    * reads. A snapshot whose manifest cannot be resolved — a dangling
+    * delta left by a crashed retire, or a gap under it — yields None
+    * and is SKIPPED by callers rather than wedging the verb forever
+    * (the next full checkpoint re-anchors the fold). */
+  private def foldChains(spark: SparkSession, path: String,
+      nums: Seq[Long]): Map[Long, Seq[String]] = {
+    val fs = fsOf(spark, snapDir(path))
+    var prevNum = -1L
+    var prevFiles: Option[Seq[String]] = None
+    nums.sorted.map { n =>
+      val resolved: Option[Seq[String]] = scala.util.Try {
+        val full = fullPath(path, n)
+        if (fs.exists(full))
+          rawLines(spark, full).filterNot(_.startsWith("#"))
+        else {
+          val lines = rawLines(spark, deltaPath(path, n))
+          val adds = lines.filter(_.startsWith("+")).map(_.drop(1))
+          val dels = lines.filter(_.startsWith("-")).map(_.drop(1)).toSet
+          val base =
+            if (prevNum == n - 1 && prevFiles.isDefined) prevFiles.get
+            else throw new java.io.FileNotFoundException(
+              s"delta $n has no resolvable base ${n - 1}")
+          (base.filterNot(dels) ++ adds).sorted
+        }
+      }.toOption
+      prevNum = n
+      prevFiles = resolved
+      n -> resolved
+    }.collect { case (n, Some(f)) => n -> f }.toMap
+  }
+
   /** The streaming-commit tags carried by snapshot `n` — one
     * `#batch=<streamId>:<id>` header line PER STREAM, published
     * atomically WITH the file list (one rename commits both), which
@@ -166,7 +213,7 @@ object SnapshotEventStore {
     * contain colons). */
   def committedBatches(spark: SparkSession, path: String,
       n: Long): Map[String, Long] =
-    manifestLines(spark, path, n)
+    headerLines(spark, path, n)
       .filter(_.startsWith("#batch="))
       .flatMap { l =>
         val body = l.drop("#batch=".length)
@@ -201,7 +248,7 @@ object SnapshotEventStore {
     * (see [[read]]'s evolved-store contract). */
   private def schemaTag(spark: SparkSession, path: String,
       n: Long): Option[String] =
-    manifestLines(spark, path, n).find(_.startsWith("#schema="))
+    headerLines(spark, path, n).find(_.startsWith("#schema="))
       .map(_.drop("#schema=".length))
 
   private def schemaTagOf(spark: SparkSession,
@@ -311,7 +358,8 @@ object SnapshotEventStore {
   }
 
   private[graft] def publish(spark: SparkSession, path: String,
-      files: Seq[String], header: Seq[String] = Nil): Long = {
+      files: Seq[String], header: Seq[String] = Nil,
+      prevFiles: Option[Seq[String]] = None): Long = {
     val d = snapDir(path)
     val fs = fsOf(spark, d)
     fs.mkdirs(d)
@@ -320,12 +368,14 @@ object SnapshotEventStore {
     // DELTA when it is genuinely smaller than the full list and the
     // chain stays under the checkpoint cadence; full otherwise (and
     // always when anything about the previous resolve fails — a full
-    // checkpoint is self-contained and heals the chain)
+    // checkpoint is self-contained and heals the chain). Callers that
+    // already resolved the previous list pass it in (`prevFiles`), so
+    // the hot append path pays ONE chain resolution, not two.
     val delta: Option[Seq[String]] =
       if (cur == 0L || deltaChainLen(spark, path, cur) >= CheckpointEvery)
         None
       else scala.util.Try {
-        val prev = manifestFiles(spark, path, cur)
+        val prev = prevFiles.getOrElse(manifestFiles(spark, path, cur))
         val pSet = prev.toSet
         val fSet = files.toSet
         val adds = files.filterNot(pSet).sorted.map("+" + _)
@@ -407,15 +457,31 @@ object SnapshotEventStore {
   /** Snapshot-isolated read: resolve the live manifest once, scan
     * exactly its files under the carried schema ([[scanFiles]]).
     * `basePath` keeps dt/hour as partition columns, so time
-    * predicates prune partitions exactly as on the raw store. */
+    * predicates prune partitions exactly as on the raw store.
+    * Readers hold no lease, so a concurrent retire can delete a
+    * DELTA chain's ancestor mid-resolve (the flat format's single
+    * never-deleted live file had no such window) — the resolve
+    * RETRIES on FileNotFound: the live snapshot only moves forward,
+    * and the retry re-resolves through the freshly-materialized
+    * checkpoint. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val n = currentSnapshot(spark, path).getOrElse(throw
-      new IllegalStateException(
-        s"no snapshot published for event store '$path' — seal it " +
-          "once with SnapshotEventStore.init"))
-    val files = manifestFiles(spark, path, n)
-    if (files.isEmpty) return typedEmpty(spark, path)
-    scanFiles(spark, path, files, schemaTag(spark, path, n))
+    var attempt = 0
+    while (true) {
+      val n = currentSnapshot(spark, path).getOrElse(throw
+        new IllegalStateException(
+          s"no snapshot published for event store '$path' — seal it " +
+            "once with SnapshotEventStore.init"))
+      try {
+        val files = manifestFiles(spark, path, n)
+        return if (files.isEmpty) typedEmpty(spark, path)
+        else scanFiles(spark, path, files, schemaTag(spark, path, n))
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt > 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** TIME-TRAVEL read of an EXPLICIT snapshot — audit/debug ("what
@@ -458,8 +524,8 @@ object SnapshotEventStore {
       val d = snapDir(path)
       val fs = fsOf(spark, d)
       val referenced: Set[String] =
-        snapshotNumbers(spark, path)
-          .flatMap(n => manifestFiles(spark, path, n)).toSet
+        foldChains(spark, path, snapshotNumbers(spark, path))
+          .values.flatten.toSet
       val orphans = listLive(spark, path).filterNot(referenced)
       val root = new Path(path)
       orphans.foreach(r => fs.delete(new Path(root, r), false))
@@ -512,7 +578,8 @@ object SnapshotEventStore {
       val moved = moveIntoLive(spark, tmp, new Path(path))
       val snap = publish(spark, path, prev ++ moved,
         headerFor(currentBatchTags(spark, path)) ++
-          schemaHeader(events, spark, path))
+          schemaHeader(events, spark, path),
+        prevFiles = Some(prev))
       retire(spark, path, keepSnapshots)
       snap
     }
@@ -556,7 +623,8 @@ object SnapshotEventStore {
         val moved = moveIntoLive(spark, tmp, new Path(path))
         val snap = publish(spark, path, prev ++ moved,
           headerFor(tags + (streamId -> batchId)) ++
-            schemaHeader(events, spark, path))
+            schemaHeader(events, spark, path),
+          prevFiles = Some(prev))
         retire(spark, path, keepSnapshots)
         snap
       }
@@ -590,7 +658,8 @@ object SnapshotEventStore {
   private def rewriteFiles(spark: SparkSession, path: String,
       all: Seq[String], replaced: Seq[String],
       transform: DataFrame => DataFrame, keepSnapshots: Int,
-      maxRecordsPerFile: Int, sortWithin: Seq[String]): Long = {
+      maxRecordsPerFile: Int, sortWithin: Seq[String],
+      prevLive: Seq[String]): Long = {
     val tmp = new Path(path, ".snap_rewrite_tmp")
     val fs = fsOf(spark, tmp)
     if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -609,7 +678,8 @@ object SnapshotEventStore {
     val snap = publish(spark, path,
       all.diff(replaced) ++ moved,
       headerFor(currentBatchTags(spark, path)) ++
-        schemaTagOf(spark, path).map(j => s"#schema=$j").toSeq)
+        schemaTagOf(spark, path).map(j => s"#schema=$j").toSeq,
+      prevFiles = Some(prevLive))
     retire(spark, path, keepSnapshots)
     snap
   }
@@ -632,7 +702,8 @@ object SnapshotEventStore {
       if (oversized.isEmpty) 0
       else {
         rewriteFiles(spark, path, all, oversized.values.flatten.toSeq,
-          identity, keepSnapshots, maxRecordsPerFile, sortWithin)
+          identity, keepSnapshots, maxRecordsPerFile, sortWithin,
+          prevLive = all)
         oversized.size
       }
     }
@@ -660,7 +731,7 @@ object SnapshotEventStore {
         val afterDrop = all.diff(dropped)
         rewriteFiles(spark, path, afterDrop, boundary,
           _.filter(col("time") >= olderThanMs), keepSnapshots,
-          maxRecordsPerFile, sortWithin)
+          maxRecordsPerFile, sortWithin, prevLive = all)
         dropped.map(partitionOf).distinct.size
       }
     }
@@ -693,7 +764,7 @@ object SnapshotEventStore {
         val replaced = all.filter(r => touched.contains(partitionOf(r)))
         rewriteFiles(spark, path, all, replaced,
           _.filter(not(coalesce(doomed, lit(false)))), keepSnapshots,
-          maxRecordsPerFile, sortWithin)
+          maxRecordsPerFile, sortWithin, prevLive = all)
         touched.size
       }
     }
@@ -737,9 +808,10 @@ object SnapshotEventStore {
     import spark.implicits._
     val nums = snapshotNumbers(spark, path)
     val live = nums.lastOption
-    val liveFiles = live.map(manifestFiles(spark, path, _).toSet)
-      .getOrElse(Set.empty)
-    val allRef = nums.flatMap(manifestFiles(spark, path, _)).toSet
+    val resolved = foldChains(spark, path, nums)
+    val liveFiles = live.flatMap(resolved.get)
+      .map(_.toSet).getOrElse(Set.empty)
+    val allRef = resolved.values.flatten.toSet
     val onDisk = listLive(spark, path).toSet
     val nGrace = (onDisk & (allRef -- liveFiles)).size.toLong
     val nOrphan = (onDisk -- allRef).size.toLong
@@ -775,12 +847,13 @@ object SnapshotEventStore {
       if (retired.isEmpty) 0
       else {
         val kept = nums.filter(_ >= nums.last - keepSnapshots)
-        // resolve EVERYTHING before any deletion — the delta chains
-        // still need their ancestors
-        val keptLines = kept.map(v => v -> manifestLines(spark, path, v))
-        val keepFiles = keptLines
-          .flatMap(_._2.filterNot(_.startsWith("#"))).toSet
-        val doomed = retired.flatMap(manifestFiles(spark, path, _))
+        // resolve EVERYTHING before any deletion (the delta chains
+        // still need their ancestors), in ONE forward fold — and
+        // TOLERANTLY: an unresolvable number (a dangling delta from a
+        // crashed retire) is skipped, never a wedge
+        val resolved = foldChains(spark, path, nums)
+        val keepFiles = kept.flatMap(resolved.get).flatten.toSet
+        val doomed = retired.flatMap(resolved.get).flatten
           .distinct.filterNot(keepFiles)
         // MATERIALIZE the oldest kept snapshot as a FULL checkpoint
         // before deleting below it: a kept delta whose base is about
@@ -790,8 +863,9 @@ object SnapshotEventStore {
         // delete is benign), then drop the superseded delta.
         val oldest = kept.head
         if (fs.exists(deltaPath(path, oldest)) &&
-          !fs.exists(fullPath(path, oldest))) {
-          val lines = keptLines.head._2
+          !fs.exists(fullPath(path, oldest)) &&
+          resolved.contains(oldest)) {
+          val lines = headerLines(spark, path, oldest) ++ resolved(oldest)
           val tmp = new Path(d, s".$SnapPrefix$oldest.tmp")
           val out = fs.create(tmp, true)
           try out.write(lines.mkString("\n").getBytes("UTF-8"))
@@ -803,7 +877,10 @@ object SnapshotEventStore {
           fs.delete(deltaPath(path, oldest), false)
         val root = new Path(path)
         doomed.foreach(r => fs.delete(new Path(root, r), false))
-        retired.foreach { v =>
+        // DESCENDING order: children (deltas) die before their bases,
+        // so a crash mid-loop can never leave a delta whose base is
+        // already gone
+        retired.sorted.reverse.foreach { v =>
           fs.delete(new Path(d, s"$SnapPrefix$v"), false)
           fs.delete(new Path(d, s"$DeltaPrefix$v"), false)
         }

@@ -447,6 +447,22 @@ class SnapshotEventStoreSpec extends AnyFunSuite {
       .map(_.stripPrefix("snap_").toLong).sorted
     assert(fulls.exists(_ > live),
       s"the checkpoint cadence must force a full manifest; saw $fulls")
+    // a DANGLING delta (the crashed-retire shape: a retired delta
+    // whose base is gone) must never wedge the maintenance verbs —
+    // plant one below the live chain and prove retire/vacuum/stats
+    // skip it while the live read stays exact
+    val liveCount = SnapshotEventStore.read(spark, dir).count()
+    val orphanDelta = new java.io.File(snapDir, "snapd_1")
+    val w = new java.io.FileWriter(orphanDelta)
+    try w.write("+dt=2024-01-01/hour=0/ghost.parquet")
+    finally w.close()
+    assert(SnapshotEventStore.read(spark, dir).count() == liveCount)
+    SnapshotEventStore.vacuumOrphans(spark, dir)
+    SnapshotEventStore.snapshotStoreStats(spark, dir).head()
+    SnapshotEventStore.retire(spark, dir, keepSnapshots = 1)
+    assert(!orphanDelta.exists(),
+      "retire must sweep the dangling delta, not wedge on it")
+    assert(SnapshotEventStore.read(spark, dir).count() == liveCount)
   }
 
   test("crash leftovers are invisible: orphan files and tmp roots never surface") {
