@@ -225,9 +225,12 @@ object OpsCard {
     * Store verbs are uniform and built in: vacuum →
     * [[graft.sources.SnapshotEventStore.vacuumOrphans]]; retire →
     * [[graft.sources.SnapshotEventStore.retire]] with
-    * `storeRetireKeep` (default 0 — running a scheduled actuator IS
-    * the operator's declaration that no reader outlives a tick; a
-    * deployment with long-pinned readers raises it); compact →
+    * `storeRetireKeep` (default 1, the store verbs' own one-cycle
+    * reader grace: a scheduled tick can race a live query whose
+    * resolved snapshot still scans lazily — retiring at 0 would
+    * delete the replaced files under that in-flight scan; a
+    * deployment that KNOWS no reader outlives a tick may lower it);
+    * compact →
     * [[graft.sources.SnapshotEventStore.compact]] at the entry's cap.
     * A compact tick legitimately leaves grace files the NEXT tick
     * retires — the one-verb-per-tick cadence, not a livelock.
@@ -239,7 +242,7 @@ object OpsCard {
   def maintenanceTick(spark: SparkSession,
       entries: Seq[(Entry, Actions)],
       stores: Seq[StoreEntry] = Nil,
-      storeRetireKeep: Int = 0): Option[(String, String, String)] = {
+      storeRetireKeep: Int = 1): Option[(String, String, String)] = {
     val card = indexOpsCard(spark, entries.map(_._1), stores)
       .select(col("family"), col("index_name"), col("pending_verb"),
         col("suggested_verb"))
@@ -266,6 +269,11 @@ object OpsCard {
             case "compact" =>
               graft.sources.SnapshotEventStore.compact(spark, st.path,
                 st.maxFilesPerPartition)
+            case other => throw new UnsupportedOperationException(
+              s"maintenanceTick: no store actuator for suggested verb " +
+                s"'$other' on store '$name' — the card's store " +
+                "vocabulary grew past the dispatch; teach the tick " +
+                "the new verb")
           }
         } else {
           val actions = byKey((family, name))
@@ -273,6 +281,11 @@ object OpsCard {
             case "reconcile" => actions.reconcile()
             case "retire" => actions.retire()
             case "rebuild" => actions.rebuild()
+            case other => throw new UnsupportedOperationException(
+              s"maintenanceTick: no family actuator for suggested verb " +
+                s"'$other' on index '$name' (family '$family') — the " +
+                "card vocabulary grew past the dispatch; teach the " +
+                "tick the new verb")
           }
         }
         (family, name, verb)
@@ -287,7 +300,7 @@ object OpsCard {
       entries: Seq[(Entry, Actions)],
       stores: Seq[StoreEntry] = Nil,
       maxTicks: Int = 5,
-      storeRetireKeep: Int = 0): Seq[(String, String, String)] = {
+      storeRetireKeep: Int = 1): Seq[(String, String, String)] = {
     require(maxTicks >= 1, s"maxTicks must be >= 1, got $maxTicks")
     val acted = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, String)]

@@ -944,9 +944,13 @@ object Retrieval {
     * value there is bucket PRUNING of the IN filter, which the rule
     * does not account for and silently discards (observed on Spark
     * 4.1.2: "Bucketed: false (disabled by query planner)", full-table
-    * read). Scoped to the action and restored after. */
+    * read). Scoped to the action and restored after. The toggle is a
+    * SESSION-global SQL conf, so callers are serialized under a
+    * per-session monitor: two overlapping calls could otherwise
+    * interleave save/restore and leave the planner optimization
+    * permanently off for the whole session. */
   private[graft] def withForcedBucketedScan[T](spark: SparkSession)(
-      body: => T): T = {
+      body: => T): T = spark.sessionState.conf.synchronized {
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "false")

@@ -180,26 +180,46 @@ object SnapshotEventStore {
     var prevNum = -1L
     var prevFiles: Option[Seq[String]] = None
     nums.sorted.map { n =>
-      val resolved: Option[Seq[String]] = scala.util.Try {
-        val full = fullPath(path, n)
-        if (fs.exists(full))
-          rawLines(spark, full).filterNot(_.startsWith("#"))
-        else {
-          val lines = rawLines(spark, deltaPath(path, n))
-          val adds = lines.filter(_.startsWith("+")).map(_.drop(1))
-          val dels = lines.filter(_.startsWith("-")).map(_.drop(1)).toSet
-          val base =
-            if (prevNum == n - 1 && prevFiles.isDefined) prevFiles.get
-            else throw new java.io.FileNotFoundException(
-              s"delta $n has no resolvable base ${n - 1}")
-          (base.filterNot(dels) ++ adds).sorted
-        }
-      }.toOption
+      // tolerate ONLY the dangling-delta case (FileNotFound): any
+      // other read failure — a transient IO error on a perfectly
+      // healthy manifest — must ABORT the verb, not mark the snapshot
+      // unreferenced (vacuum/retire delete files computed from this
+      // map; swallowing a transient error here deletes live data)
+      val resolved: Option[Seq[String]] =
+        try Some {
+          val full = fullPath(path, n)
+          if (fs.exists(full))
+            rawLines(spark, full).filterNot(_.startsWith("#"))
+          else {
+            val lines = rawLines(spark, deltaPath(path, n))
+            val adds = lines.filter(_.startsWith("+")).map(_.drop(1))
+            val dels = lines.filter(_.startsWith("-")).map(_.drop(1)).toSet
+            val base =
+              if (prevNum == n - 1 && prevFiles.isDefined) prevFiles.get
+              else throw new java.io.FileNotFoundException(
+                s"delta $n has no resolvable base ${n - 1}")
+            (base.filterNot(dels) ++ adds).sorted
+          }
+        } catch { case _: java.io.FileNotFoundException => None }
       prevNum = n
       prevFiles = resolved
       n -> resolved
     }.collect { case (n, Some(f)) => n -> f }.toMap
   }
+
+  /** Deletion guard for [[vacuumOrphans]]/[[retire]]: a verb about to
+    * delete files must have RESOLVED the live snapshot — a live
+    * manifest that reads as a dangling delta (crash corruption, or a
+    * racing writer this lease should have excluded) makes every live
+    * file look unreferenced, and deleting on that view is data loss.
+    * Fail loud; a later full checkpoint (or manual repair) re-anchors
+    * the chain. */
+  private def requireLiveResolved(resolved: Map[Long, Seq[String]],
+      nums: Seq[Long], path: String, verb: String): Unit =
+    nums.lastOption.foreach(live => require(resolved.contains(live),
+      s"$verb on store '$path': live snapshot $live did not resolve " +
+        "(dangling delta or unreadable manifest) — refusing to delete " +
+        "anything computed from an incomplete reference map"))
 
   /** The streaming-commit tags carried by snapshot `n` — one
     * `#batch=<streamId>:<id>` header line PER STREAM, published
@@ -428,10 +448,29 @@ object SnapshotEventStore {
   /** Seal the store's current directory state as the next snapshot —
     * how a legacy [[EventStore]]-maintained store adopts the
     * discipline (and how a fresh one starts: init on the empty
-    * directory, then [[append]]). */
+    * directory, then [[append]]).
+    *
+    * The seal PUBLISHES a `#schema=` header derived from the adopted
+    * files' merged parquet footers: without it the first append's
+    * [[schemaHeader]] merge would start from nothing and record a
+    * batch-only schema, which [[scanFiles]] then applies explicitly —
+    * silently dropping every column that exists only in the adopted
+    * pre-seal files (the exact vanish the explicit-schema read was
+    * built to prevent). An init over an empty directory has no files
+    * to derive from and publishes headerless, as before — the first
+    * append's header takes over. */
   def init(spark: SparkSession, path: String): Long =
     Bucketing.withIndexLease(spark, leaseKey(path), "snapInit") {
-      publish(spark, path, listLive(spark, path))
+      val files = listLive(spark, path)
+      val header =
+        if (files.isEmpty) Seq.empty[String]
+        else schemaHeader(
+          spark.read.option("mergeSchema", "true")
+            .option("basePath", path)
+            .parquet(files.map(f => s"$path/$f"): _*),
+          spark, path)
+      publish(spark, path, files,
+        header = headerFor(currentBatchTags(spark, path)) ++ header)
     }
 
   /** Scan exactly `rels` under the manifest's declared schema: the
@@ -463,7 +502,12 @@ object SnapshotEventStore {
     * never-deleted live file had no such window) — the resolve
     * RETRIES on FileNotFound: the live snapshot only moves forward,
     * and the retry re-resolves through the freshly-materialized
-    * checkpoint. */
+    * checkpoint. Scope: the retry covers driver-side MANIFEST
+    * resolution only — the returned DataFrame scans its parquet
+    * lazily, so a retire that deletes this snapshot's replaced files
+    * AFTER read() returns still fails the in-flight scan (which is
+    * why every retiring caller keeps the default one-cycle
+    * `keepSnapshots = 1` reader grace). */
   def read(spark: SparkSession, path: String): DataFrame = {
     var attempt = 0
     while (true) {
@@ -523,9 +567,10 @@ object SnapshotEventStore {
     Bucketing.withIndexLease(spark, leaseKey(path), "snapVacuum") {
       val d = snapDir(path)
       val fs = fsOf(spark, d)
-      val referenced: Set[String] =
-        foldChains(spark, path, snapshotNumbers(spark, path))
-          .values.flatten.toSet
+      val nums = snapshotNumbers(spark, path)
+      val chains = foldChains(spark, path, nums)
+      requireLiveResolved(chains, nums, path, "vacuumOrphans")
+      val referenced: Set[String] = chains.values.flatten.toSet
       val orphans = listLive(spark, path).filterNot(referenced)
       val root = new Path(path)
       orphans.foreach(r => fs.delete(new Path(root, r), false))
@@ -852,6 +897,7 @@ object SnapshotEventStore {
         // TOLERANTLY: an unresolvable number (a dangling delta from a
         // crashed retire) is skipped, never a wedge
         val resolved = foldChains(spark, path, nums)
+        requireLiveResolved(resolved, nums, path, "retire")
         val keepFiles = kept.flatMap(resolved.get).flatten.toSet
         val doomed = retired.flatMap(resolved.get).flatten
           .distinct.filterNot(keepFiles)
