@@ -664,22 +664,26 @@ object Dedup {
     val sig = screenSigs(live, idCol, textCol, shingleK, numPerms,
       md5Sig, tokenizer)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      Bucketing.writeBucketed(screenBandRows(sig, bands, numPerms / bands),
-        s"${name}_bands", "band_hash", numBuckets)
-      // the stored set's hash basis follows the signature family (see
-      // hashedSet): under md5Sig the _docs column doubles as the
-      // sufficient statistic rebandDedupIndex re-derives signatures
-      // from, corpus-free
-      Bucketing.writeBucketed(
+    // three INDEPENDENT target tables (bands/docs off the cached sig
+    // pass, ch its own pruned text-column scan) — overlapped
+    // (graft.Par, guide §2.6) instead of serial behind each other's
+    // commit/DDL driver gaps. The stored set's hash basis follows the
+    // signature family (see hashedSet): under md5Sig the _docs column
+    // doubles as the sufficient statistic rebandDedupIndex re-derives
+    // signatures from, corpus-free.
+    try graft.Par.run(
+      () => Bucketing.writeBucketed(
+        screenBandRows(sig, bands, numPerms / bands),
+        s"${name}_bands", "band_hash", numBuckets),
+      () => Bucketing.writeBucketed(
         sig.select(col("doc_id"), size(col("sh")).as("sz"),
           hashedSet(col("sh"), md5Sig).as("shh")),
-        s"${name}_docs", "doc_id", numBuckets)
-    } finally sig.unpersist()
-    Bucketing.writeBucketed(
-      corpus.filter(col(textCol).isNotNull)
-        .select(md5(col(textCol)).as("ch")).distinct(),
-      s"${name}_ch", "ch", numBuckets)
+        s"${name}_docs", "doc_id", numBuckets),
+      () => Bucketing.writeBucketed(
+        corpus.filter(col(textCol).isNotNull)
+          .select(md5(col(textCol)).as("ch")).distinct(),
+        s"${name}_ch", "ch", numBuckets))
+    finally sig.unpersist()
     val spark = corpus.sparkSession
     import spark.implicits._
     Bucketing.writeTable(

@@ -347,12 +347,18 @@ object OpsCard {
       "indexOpsCard: one entry per family (duplicate family passed)")
     require(stores.map(_.name).distinct.size == stores.size,
       "indexOpsCard: duplicate store name passed")
-    (entries.map { e =>
+    // each row's CONSTRUCTION is itself eager driver work (a
+    // num_buckets head, lease/marker filesystem probes, the sim
+    // family's side-digest jobs) — rows are independent per family,
+    // so they are assembled concurrently (graft.Par, guide §2.6) and
+    // stitched back in entry order
+    val rows = new Array[DataFrame](entries.size)
+    graft.Par.run(entries.zipWithIndex.map { case (e, i) => () =>
       val landedN = countAndDigest(
         e.landed.filter(col(e.idCol).isNotNull)
           .select(landedKey(e).as("__k")).distinct(),
         col("__k"), "n_landed", "landed_digest")
-      nItemsOf(spark, e)
+      rows(i) = nItemsOf(spark, e)
         .crossJoin(broadcast(landedN))
         .select(
           lit(e.family).as("family"),
@@ -371,7 +377,8 @@ object OpsCard {
             .when(col("idx_digest") =!= col("landed_digest"),
               lit("rebuild"))
             .otherwise(lit("none")).as("suggested_verb"))
-    } ++ stores.map(storeRow(spark, _)))
+    }: _*)
+    (rows.toSeq ++ stores.map(storeRow(spark, _)))
       .reduce(_ unionByName _)
       .orderBy(col("family"), col("index_name"))
   }

@@ -422,32 +422,34 @@ object Retrieval {
     Bucketing.withIndexLease(spark, name, "buildBm25Index") {
     val rows = bm25DocRows(docs, idCol, textCol, tokenizer)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      Bucketing.writeBucketed(bm25Postings(rows), s"${name}_postings",
-        "term", numBuckets)
-      // _docs from the per-doc rows, NOT a fold over postings: under
-      // the norm family a document can tokenize to ZERO terms (all
-      // punctuation), and it must still hold a _docs row — that row
-      // is what makes a replayed append self-suppress at
-      // [[screenNewForBm25Index]] and keeps n_docs honest.
-      Bucketing.writeBucketed(rows.select(col("doc_id"), col("dl")),
-        s"${name}_docs", "doc_id", numBuckets)
-    } finally rows.unpersist()
-    // bydoc from the postings TABLE just written, not a re-run of the
-    // corpus explode+aggregate — the same one-derivation rule _df
-    // follows below: a narrow pruned columnar scan instead of a
-    // second corpus-sized pass
-    Bucketing.writeBucketed(
-      byDocProjection(Bucketing.stableTable(spark, s"${name}_postings")),
-      s"${name}_postings_bydoc", "doc_id", numBuckets)
-    // df from the postings TABLE just written — a pruned (term-only)
-    // parquet scan instead of a third pass over corpus text, and the
-    // same derivation [[repairBm25Stats]] uses, so build-time and
-    // repaired stats are one code path
-    Bucketing.writeBucketed(
-      Bucketing.stableTable(spark, s"${name}_postings").groupBy(col("term"))
-        .agg(count(lit(1)).as("df_t")),
-      s"${name}_df", "term", numBuckets)
+    // the two writes off the cached sig pass are INDEPENDENT tables —
+    // overlapped (graft.Par, guide §2.6) so the second is not serial
+    // behind the first's commit/DDL driver gap. _docs from the
+    // per-doc rows, NOT a fold over postings: under the norm family a
+    // document can tokenize to ZERO terms (all punctuation), and it
+    // must still hold a _docs row — that row is what makes a replayed
+    // append self-suppress at [[screenNewForBm25Index]] and keeps
+    // n_docs honest.
+    try graft.Par.run(
+      () => Bucketing.writeBucketed(bm25Postings(rows),
+        s"${name}_postings", "term", numBuckets),
+      () => Bucketing.writeBucketed(rows.select(col("doc_id"), col("dl")),
+        s"${name}_docs", "doc_id", numBuckets))
+    finally rows.unpersist()
+    // bydoc and df both derive from the postings TABLE just written,
+    // not a re-run of the corpus explode+aggregate (one-derivation
+    // rule): narrow pruned columnar scans instead of corpus-sized
+    // passes — df is the same derivation [[repairBm25Stats]] uses, so
+    // build-time and repaired stats are one code path. Independent
+    // target tables → overlapped.
+    graft.Par.run(
+      () => Bucketing.writeBucketed(
+        byDocProjection(Bucketing.stableTable(spark, s"${name}_postings")),
+        s"${name}_postings_bydoc", "doc_id", numBuckets),
+      () => Bucketing.writeBucketed(
+        Bucketing.stableTable(spark, s"${name}_postings").groupBy(col("term"))
+          .agg(count(lit(1)).as("df_t")),
+        s"${name}_df", "term", numBuckets))
     writeBm25Meta(spark, name, numBuckets, tokenizer)
     }
   }
@@ -456,16 +458,19 @@ object Retrieval {
     * source every maintenance verb re-derives `_meta` from, so the
     * stats can never drift from the doc set they describe. */
   private def writeBm25Meta(spark: SparkSession, name: String,
-      numBuckets: Int, tokenizer: String): Unit = {
-    val st = Bucketing.stableTable(spark, s"${name}_docs")
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
-      .head()
-    import spark.implicits._
+      numBuckets: Int, tokenizer: String): Unit =
+    // ONE Spark job: the aggregate row is written directly with the
+    // literals appended — the previous head()-then-re-create shape
+    // paid a second driver round trip per build/append for the same
+    // bytes (same column names, same types: long, long, int, string)
     Bucketing.writeTable(
-      Seq((st.getLong(0), st.getLong(1), numBuckets, tokenizer))
-        .toDF("n_docs", "sum_dl", "num_buckets", "tokenizer"),
+      Bucketing.stableTable(spark, s"${name}_docs")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+        .select(col("n_docs"), col("sum_dl"),
+          lit(numBuckets).as("num_buckets"),
+          lit(tokenizer).as("tokenizer")),
       s"${name}_meta")
-  }
 
   /** Folds a batch of NEW documents into a [[buildBm25Index]] index:
     * appends their postings and doc lengths as per-bucket files (no

@@ -1229,27 +1229,37 @@ object Similarity {
       if (md5Sig) Dedup.md5Hash60(col(idCol).cast("long").cast("string"))
       else xxhash64(col(idCol).cast("long"))
     val iters = if (md5Sig) 0 else refineIters
-    val cellCents = trainL2CellCents(corpus, idCol, vecCol, nlist, iters,
-      refineSampleMod, sampleOrd)
-    val book = trainPqBook(corpus, idCol, vecCol, m, ksub, iters,
-      refineSampleMod, sampleOrd)
+    // the two trainings read the same corpus but share no state —
+    // overlapped (graft.Par, guide §2.6), so the PQ book's sample
+    // jobs back-fill the executors the cell refinement's job tails
+    // leave idle
+    var cellCents: IndexedSeq[(Long, IndexedSeq[Float])] = null
+    var book: PqBook = null
+    graft.Par.run(
+      () => cellCents = trainL2CellCents(corpus, idCol, vecCol, nlist,
+        iters, refineSampleMod, sampleOrd),
+      () => book = trainPqBook(corpus, idCol, vecCol, m, ksub, iters,
+        refineSampleMod, sampleOrd))
+    import spark.implicits._
     // ONE corpus projection — nearest cell + codes + the vector
     // itself (kept for the exact re-rank; readers that only ADC-scan
-    // prune it at the scan)
-    graft.sources.Bucketing.writeBucketed(
-      corpus.select(col(idCol).cast("long").as("vec_id"),
-        array_min(array(l2CellStructs(cellCents, col(vecCol)): _*))
-          .getField("cell_id").as("cell_id"),
-        book.codesOf(col(vecCol)).as("codes"),
-        col(vecCol).as("vec")),
-      s"${name}_vectors", "cell_id", numBuckets)
-    import spark.implicits._
-    graft.sources.Bucketing.writeTable(
-      cellCents.map { case (cid, v) => (cid, v.toSeq) }
-        .toDF("cell_id", "cvec"), s"${name}_cents")
-    graft.sources.Bucketing.writeTable(
-      book.cents.zipWithIndex.map { case (v, c) => (c, v.toSeq) }
-        .toDF("code", "cvec"), s"${name}_book")
+    // prune it at the scan). The three driver-side side tables are
+    // independent of it and of each other — overlapped; `_meta` stays
+    // LAST, the existence readers key on.
+    graft.Par.run(
+      () => graft.sources.Bucketing.writeBucketed(
+        corpus.select(col(idCol).cast("long").as("vec_id"),
+          array_min(array(l2CellStructs(cellCents, col(vecCol)): _*))
+            .getField("cell_id").as("cell_id"),
+          book.codesOf(col(vecCol)).as("codes"),
+          col(vecCol).as("vec")),
+        s"${name}_vectors", "cell_id", numBuckets),
+      () => graft.sources.Bucketing.writeTable(
+        cellCents.map { case (cid, v) => (cid, v.toSeq) }
+          .toDF("cell_id", "cvec"), s"${name}_cents"),
+      () => graft.sources.Bucketing.writeTable(
+        book.cents.zipWithIndex.map { case (v, c) => (c, v.toSeq) }
+          .toDF("code", "cvec"), s"${name}_book"))
     graft.sources.Bucketing.writeTable(
       Seq((nlist, m, ksub, md5Sig, numBuckets))
         .toDF("nlist", "m", "ksub", "md5_sig", "num_buckets"),
@@ -1665,17 +1675,23 @@ object Similarity {
       if (md5Sig) Dedup.md5Hash60(col("vec_id").cast("long").cast("string"))
       else xxhash64(col("vec_id").cast("long"))
     val iters = if (md5Sig) 0 else refineIters
-    val cellCents = trainL2CellCents(contents, "vec_id", "vec", nlist,
-      iters, refineSampleMod, sampleOrd)
-    val book = trainPqBook(contents, "vec_id", "vec", m, ksub,
-      iters, refineSampleMod, sampleOrd)
+    // independent trainings, then independent stage writes —
+    // overlapped (graft.Par, guide §2.6), the buildAnnIndex shape
+    var cellCents: IndexedSeq[(Long, IndexedSeq[Float])] = null
+    var book: PqBook = null
+    graft.Par.run(
+      () => cellCents = trainL2CellCents(contents, "vec_id", "vec",
+        nlist, iters, refineSampleMod, sampleOrd),
+      () => book = trainPqBook(contents, "vec_id", "vec", m, ksub,
+        iters, refineSampleMod, sampleOrd))
     import spark.implicits._
-    graft.sources.Bucketing.writeTable(
-      cellCents.map { case (cid, v) => (cid, v.toSeq) }
-        .toDF("cell_id", "cvec"), s"${name}_cents_stage")
-    graft.sources.Bucketing.writeTable(
-      book.cents.zipWithIndex.map { case (v, c) => (c, v.toSeq) }
-        .toDF("code", "cvec"), s"${name}_book_stage")
+    graft.Par.run(
+      () => graft.sources.Bucketing.writeTable(
+        cellCents.map { case (cid, v) => (cid, v.toSeq) }
+          .toDF("cell_id", "cvec"), s"${name}_cents_stage"),
+      () => graft.sources.Bucketing.writeTable(
+        book.cents.zipWithIndex.map { case (v, c) => (c, v.toSeq) }
+          .toDF("code", "cvec"), s"${name}_book_stage"))
     graft.sources.Bucketing.createMarker(spark, rebalanceMarker(name))
     completeRebalance(spark, name)
     }

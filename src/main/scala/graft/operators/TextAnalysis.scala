@@ -619,33 +619,47 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"),
         regexp_replace(lower(hex(col(textCol).cast("binary"))),
           "([0-9a-f]{2})", "|$1|").as("ts")))
+    def bestPair(st: DataFrame): Array[org.apache.spark.sql.Row] = st
+      .select(split(regexp_replace(col("ts"), "^\\||\\|$", ""), "\\|\\|")
+        .as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(tk[i-1] AS a, tk[i] AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("a"), col("b"))
+      .limit(1).collect()
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long, Long)]
     var rank = 1
     var done = false
+    // a round was three SERIAL driver actions (winning-pair collect →
+    // pin of the merged state → digest agg); the digest and the NEXT
+    // round's pair count both read the same freshly-pinned state, so
+    // they overlap (guide §2.6) — two action latencies per round
+    // instead of three, identical per-round arithmetic and the same
+    // early-stop rule (the overlapped next-pair result is inspected
+    // at the top of the next iteration exactly as before)
+    var best = bestPair(state)
     while (rank <= numMerges && !done) {
-      val best = state
-        .select(split(regexp_replace(col("ts"), "^\\||\\|$", ""), "\\|\\|")
-          .as("tk"))
-        .filter(size(col("tk")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(tk) - 1), " +
-            "i -> struct(tk[i-1] AS a, tk[i] AS b))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1).collect()
       if (best.isEmpty || best.head.getAs[Long]("c") < minCount) done = true
       else {
         val (a, b, c) = (best.head.getAs[String]("a"),
           best.head.getAs[String]("b"), best.head.getAs[Long]("c"))
         state = pin(state.select(col("doc_id"),
           replace(col("ts"), lit(s"|$a||$b|"), lit(s"|$a$b|")).as("ts")))
-        val digest = state
-          .agg(expr("bit_xor(" +
-            s"cast(conv(substring(md5(ts), 1, 15), 16, 10) as bigint))"))
-          .head().getLong(0)
+        val st = state
+        var digest = 0L
+        var nextBest: Array[org.apache.spark.sql.Row] = Array.empty
+        graft.Par.run(
+          () => digest = st
+            .agg(expr("bit_xor(" +
+              s"cast(conv(substring(md5(ts), 1, 15), 16, 10) as bigint))"))
+            .head().getLong(0),
+          () => if (rank < numMerges) nextBest = bestPair(st))
         learned += ((rank, a, b, c, digest))
+        best = nextBest
         rank += 1
       }
     }

@@ -724,9 +724,13 @@ object DBlock {
     // legs). Fully oracle-checked: DuckDB re-derives the keywords,
     // both legs' ranked lists and the fused RRF ranking.
     "d96_hybrid_topk" -> ((s, d) => {
+      // the joined corpus feeds keywords, the index build and both
+      // sides of the dense leg — materialize it once per run
+      // (guide §3.3), recomputed from parquet every invocation
       val corp = Tables.documents(s, d).join(
         Tables.embeddings(s, d).hint("SHUFFLE_HASH"),
         col("doc_id") === col("vec_id"))
+        .localCheckpoint(true)
       val kw = Retrieval.tfidfKeywords(corp, "doc_id", "text", topK = 3)
         .filter(col("doc_id") < 5)
         .groupBy(col("doc_id"))
@@ -761,9 +765,11 @@ object DBlock {
     // oracle-checked: DuckDB re-derives keywords, both dynamic legs,
     // the quality prior and the chained full-outer fusion.
     "d121_hybrid3_topk" -> ((s, d) => {
+      // one materialized corpus join per run — the d96 rationale
       val corp = Tables.documents(s, d).join(
         Tables.embeddings(s, d).hint("SHUFFLE_HASH"),
         col("doc_id") === col("vec_id"))
+        .localCheckpoint(true)
       Retrieval.buildBm25Index(corp, "doc_id", "text", name = "d121_idx")
       val kw = Retrieval.tfidfKeywords(corp, "doc_id", "text", topK = 3)
         .filter(col("doc_id") < 5)
@@ -1195,30 +1201,37 @@ object DBlock {
       val urls = docs.filter(col("doc_id").isNotNull)
         .select(col("doc_id"), concat(lit("http://ex"),
           (col("doc_id") % 37).cast("string"), lit(".com/")).as("url"))
-      Dedup.buildDedupIndex(docs, "doc_id", "text", name = "d125_dx",
-        md5Sig = true)
-      Retrieval.buildBm25Index(docs, "doc_id", "text", name = "d125_bx")
-      Similarity.buildAnnIndex(emb, "vec_id", "qv", name = "d125_ax",
-        nlist = 16, m = 4, ksub = 8, md5Sig = true)
-      // the sim slot cares about COUNTING and lifecycle state, not
-      // signature quality — a pure doc_id-derived signature keeps
-      // the capstone free of media decode
-      Dedup.buildSimIndex(docs.filter(col("doc_id").isNotNull)
-        .select(col("doc_id"), xxhash64(col("doc_id")).as("sim")),
-        name = "d125_sx", maxDist = 2)
-      // the VIDEO evidence side tables too (doc_id-derived frame
-      // sigs, no decode — every fifth doc a 3-frame video), so the
-      // card's side_digest_match is a REAL internal-consistency
+      // the five family builds are INDEPENDENT (five index names,
+      // five leases) — overlapped (graft.Par, guide §2.6) instead of
+      // serial behind each other's commit/DDL driver gaps. The sim
+      // slot cares about COUNTING and lifecycle state, not signature
+      // quality — a pure doc_id-derived signature keeps the capstone
+      // free of media decode; its VIDEO evidence side tables
+      // (doc_id-derived frame sigs, every fifth doc a 3-frame video)
+      // make the card's side_digest_match a REAL internal-consistency
       // check (vchunks' composite keys vs vframes' vid set), not a
-      // vacuous null
-      Dedup.appendVideoFramesToSimIndex(
-        docs.filter(col("doc_id").isNotNull && col("doc_id") % 5 === 0)
-          .select(col("doc_id"),
-            explode(sequence(lit(0), lit(2))).as("frame_idx"))
-          .select(col("doc_id"), col("frame_idx"),
-            xxhash64(col("doc_id"), col("frame_idx")).as("sim")),
-        "d125_sx")
-      Dedup.buildUrlIndex(urls, "url", name = "d125_ux")
+      // vacuous null — the append stays ordered AFTER its own
+      // family's build inside that family's thunk.
+      graft.Par.run(
+        () => Dedup.buildDedupIndex(docs, "doc_id", "text",
+          name = "d125_dx", md5Sig = true),
+        () => Retrieval.buildBm25Index(docs, "doc_id", "text",
+          name = "d125_bx"),
+        () => Similarity.buildAnnIndex(emb, "vec_id", "qv",
+          name = "d125_ax", nlist = 16, m = 4, ksub = 8, md5Sig = true),
+        () => {
+          Dedup.buildSimIndex(docs.filter(col("doc_id").isNotNull)
+            .select(col("doc_id"), xxhash64(col("doc_id")).as("sim")),
+            name = "d125_sx", maxDist = 2)
+          Dedup.appendVideoFramesToSimIndex(
+            docs.filter(col("doc_id").isNotNull && col("doc_id") % 5 === 0)
+              .select(col("doc_id"),
+                explode(sequence(lit(0), lit(2))).as("frame_idx"))
+              .select(col("doc_id"), col("frame_idx"),
+                xxhash64(col("doc_id"), col("frame_idx")).as("sim")),
+            "d125_sx")
+        },
+        () => Dedup.buildUrlIndex(urls, "url", name = "d125_ux"))
       // the STORE row (r20): a healthy snapshot event store on the
       // same page — built ONCE per sf dir (deterministic: sorted
       // appends land one file per hour partition, compact folds the
@@ -2807,26 +2820,31 @@ object DBlock {
     "d138_drift_directions" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .filter(col("doc_id").isNotNull && col("text").isNotNull)
-      Retrieval.buildBm25Index(docs, "doc_id", "text",
-        name = "d138_bx")
-      Dedup.buildDedupIndex(docs.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", name = "d138_dx", md5Sig = true)
-      // sim slot with a FABRICATED torn side-table state: frames
-      // appended, then `_vframes` dropped — exactly what a death
-      // between appendVideoFramesToSimIndex's two writes leaves, the
-      // state the video screen silently degrades on. The card must
-      // read it as side_digest_match = FALSE.
-      Dedup.buildSimIndex(docs
-        .select(col("doc_id"), xxhash64(col("doc_id")).as("sim")),
-        name = "d138_sx", maxDist = 2)
-      Dedup.appendVideoFramesToSimIndex(
-        docs.filter(col("doc_id") % 5 === 0)
-          .select(col("doc_id"),
-            explode(sequence(lit(0), lit(2))).as("frame_idx"))
-          .select(col("doc_id"), col("frame_idx"),
-            xxhash64(col("doc_id"), col("frame_idx")).as("sim")),
-        "d138_sx")
-      graft.sources.Bucketing.dropTableAndDir(s, "d138_sx_vframes")
+      // three INDEPENDENT family builds — overlapped (guide §2.6).
+      // The sim slot fabricates a torn side-table state INSIDE its
+      // own thunk (ordered: build → frames append → `_vframes`
+      // drop — exactly what a death between
+      // appendVideoFramesToSimIndex's two writes leaves, the state
+      // the video screen silently degrades on; the card must read it
+      // as side_digest_match = FALSE).
+      graft.Par.run(
+        () => Retrieval.buildBm25Index(docs, "doc_id", "text",
+          name = "d138_bx"),
+        () => Dedup.buildDedupIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", name = "d138_dx", md5Sig = true),
+        () => {
+          Dedup.buildSimIndex(docs
+            .select(col("doc_id"), xxhash64(col("doc_id")).as("sim")),
+            name = "d138_sx", maxDist = 2)
+          Dedup.appendVideoFramesToSimIndex(
+            docs.filter(col("doc_id") % 5 === 0)
+              .select(col("doc_id"),
+                explode(sequence(lit(0), lit(2))).as("frame_idx"))
+              .select(col("doc_id"), col("frame_idx"),
+                xxhash64(col("doc_id"), col("frame_idx")).as("sim")),
+            "d138_sx")
+          graft.sources.Bucketing.dropTableAndDir(s, "d138_sx_vframes")
+        })
       // the STORE's three decision states (r20), planted
       // deterministically and built once per sf dir: an unreferenced
       // orphan (a landed-but-unpublished crash leftover) → vacuum;
@@ -2908,14 +2926,12 @@ object DBlock {
     // corpus+query tokenizations, all five runs (incl. the cosine
     // leg and the RRF fusion), every per-query metric and the means.
     "d139_retrieval_card" -> ((s, d) => {
-      val corp = Tables.documents(s, d).join(
-        Tables.embeddings(s, d).hint("SHUFFLE_HASH"),
-        col("doc_id") === col("vec_id"))
-        .filter(col("doc_id").isNotNull && col("text").isNotNull)
-        .select(col("doc_id"),
-          concat(lit("("), regexp_replace(col("text"), " ", ". "),
-            lit(")")).as("text"),
-          col("embedding"))
+      // the card consumes the joined corpus ~8× (three lexical arms,
+      // qrels ×3, probes, the dense leg's query and corpus sides) —
+      // materialize the join ONCE per run (guide §3.3: truncate a
+      // reused intermediate) instead of re-running the scan+join per
+      // consumer; recomputed from the parquet inputs every run
+      val corp = cardCorpus(s, d)
       val probes = corp.filter(col("doc_id").isin(1L, 2L, 3L))
         .select(col("doc_id").as("query_id"), col("text").as("qtext"))
       val qrels = Seq(1L, 2L, 3L).map(q =>
@@ -2942,14 +2958,8 @@ object DBlock {
     // re-derives the LM run (cf_t, total tokens, per-query |Q|, the
     // decomposed Dirichlet score), its fusion, and every mean.
     "d150_card_lm" -> ((s, d) => {
-      val corp = Tables.documents(s, d).join(
-        Tables.embeddings(s, d).hint("SHUFFLE_HASH"),
-        col("doc_id") === col("vec_id"))
-        .filter(col("doc_id").isNotNull && col("text").isNotNull)
-        .select(col("doc_id"),
-          concat(lit("("), regexp_replace(col("text"), " ", ". "),
-            lit(")")).as("text"),
-          col("embedding"))
+      // one materialized corpus join per run — the d139 rationale
+      val corp = cardCorpus(s, d)
       val probes = corp.filter(col("doc_id").isin(1L, 2L, 3L))
         .select(col("doc_id").as("query_id"), col("text").as("qtext"))
       val qrels = Seq(1L, 2L, 3L).map(q =>
@@ -2979,10 +2989,12 @@ object DBlock {
     "d140_merged_bm25" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .filter(col("doc_id").isNotNull && col("text").isNotNull)
-      Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", name = "d140_a")
-      Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 =!= 0),
-        "doc_id", "text", name = "d140_b")
+      // independent shard builds — overlapped (guide §2.6)
+      graft.Par.run(
+        () => Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", name = "d140_a"),
+        () => Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text", name = "d140_b"))
       Retrieval.mergeBm25Indexes(s, "d140_m", Seq("d140_a", "d140_b"))
       Retrieval.bm25TopKAgainstIndex(s, "d140_m",
         queryTerms = d70Terms, topK = 20, k1 = 1.5, b = 0.75)
@@ -3027,17 +3039,14 @@ object DBlock {
     // recomputation (the d112 twin discipline lifted to the whole
     // card).
     "d144_indexed_card" -> ((s, d) => {
-      val corp = Tables.documents(s, d).join(
-        Tables.embeddings(s, d).hint("SHUFFLE_HASH"),
-        col("doc_id") === col("vec_id"))
-        .filter(col("doc_id").isNotNull && col("text").isNotNull)
-        .select(col("doc_id"),
-          concat(lit("("), regexp_replace(col("text"), " ", ". "),
-            lit(")")).as("text"),
-          col("embedding"))
-      Seq("ws", "norm", "uni").foreach(f =>
-        Retrieval.buildBm25Index(corp, "doc_id", "text",
-          name = s"d144_${f}_idx", tokenizer = f))
+      // one materialized corpus join per run (the d139 rationale),
+      // and the three single-family index builds are INDEPENDENT —
+      // overlapped (graft.Par, guide §2.6) instead of serial behind
+      // each other's commit/DDL driver gaps
+      val corp = cardCorpus(s, d)
+      graft.Par.run(Seq("ws", "norm", "uni").map(f =>
+        () => Retrieval.buildBm25Index(corp, "doc_id", "text",
+          name = s"d144_${f}_idx", tokenizer = f)): _*)
       val probes = corp.filter(col("doc_id").isin(1L, 2L, 3L))
         .select(col("doc_id").as("query_id"), col("text").as("qtext"))
       val qrels = Seq(1L, 2L, 3L).map(q =>
@@ -3066,17 +3075,12 @@ object DBlock {
     // VERBATIM: one hash match proves the whole indexed decision
     // card re-derives the fresh one bit for bit.
     "d157_indexed_card_lm" -> ((s, d) => {
-      val corp = Tables.documents(s, d).join(
-        Tables.embeddings(s, d).hint("SHUFFLE_HASH"),
-        col("doc_id") === col("vec_id"))
-        .filter(col("doc_id").isNotNull && col("text").isNotNull)
-        .select(col("doc_id"),
-          concat(lit("("), regexp_replace(col("text"), " ", ". "),
-            lit(")")).as("text"),
-          col("embedding"))
-      Seq("ws", "norm", "uni").foreach(f =>
-        Retrieval.buildBm25Index(corp, "doc_id", "text",
-          name = s"d157_${f}_idx", tokenizer = f))
+      // one materialized corpus join per run + overlapped independent
+      // index builds — the d144 rationale
+      val corp = cardCorpus(s, d)
+      graft.Par.run(Seq("ws", "norm", "uni").map(f =>
+        () => Retrieval.buildBm25Index(corp, "doc_id", "text",
+          name = s"d157_${f}_idx", tokenizer = f)): _*)
       val probes = corp.filter(col("doc_id").isin(1L, 2L, 3L))
         .select(col("doc_id").as("query_id"), col("text").as("qtext"))
       val qrels = Seq(1L, 2L, 3L).map(q =>
@@ -3190,12 +3194,14 @@ object DBlock {
       val docs = Tables.documents(s, d)
         .filter(col("doc_id").isNotNull && col("text").isNotNull)
       val isBatch = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
-      Dedup.buildDedupIndex(
-        docs.filter(!isBatch && col("doc_id") % 2 === 0),
-        "doc_id", "text", name = "d152_a", md5Sig = true)
-      Dedup.buildDedupIndex(
-        docs.filter(!isBatch && col("doc_id") % 2 =!= 0),
-        "doc_id", "text", name = "d152_b", md5Sig = true)
+      // independent shard builds — overlapped (guide §2.6)
+      graft.Par.run(
+        () => Dedup.buildDedupIndex(
+          docs.filter(!isBatch && col("doc_id") % 2 === 0),
+          "doc_id", "text", name = "d152_a", md5Sig = true),
+        () => Dedup.buildDedupIndex(
+          docs.filter(!isBatch && col("doc_id") % 2 =!= 0),
+          "doc_id", "text", name = "d152_b", md5Sig = true))
       Dedup.mergeDedupIndexes(s, "d152_m", Seq("d152_a", "d152_b"))
       Dedup.dedupAgainstIndex(docs.filter(isBatch), "doc_id", "text",
         name = "d152_m")
@@ -3211,12 +3217,14 @@ object DBlock {
       val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
         .select(col("doc_id"), plantedUrl.as("url"))
       val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
-      Dedup.buildUrlIndex(
-        docs.filter(h1 === "0" && col("doc_id") % 2 === 0),
-        "url", "d153_a")
-      Dedup.buildUrlIndex(
-        docs.filter(h1 === "0" && col("doc_id") % 2 =!= 0),
-        "url", "d153_b")
+      // independent shard builds — overlapped (guide §2.6)
+      graft.Par.run(
+        () => Dedup.buildUrlIndex(
+          docs.filter(h1 === "0" && col("doc_id") % 2 === 0),
+          "url", "d153_a"),
+        () => Dedup.buildUrlIndex(
+          docs.filter(h1 === "0" && col("doc_id") % 2 =!= 0),
+          "url", "d153_b"))
       Dedup.mergeUrlIndexes(s, "d153_m", Seq("d153_a", "d153_b"))
       Dedup.screenAgainstUrlIndex(docs.filter(h1 >= "8"), "url",
         "d153_m")
@@ -3298,10 +3306,12 @@ object DBlock {
           Multimodal.unrelatedAudioPayload(id)))))
       val sigs = Multimodal.audioFingerprintSigs(s, corpus)
         .localCheckpoint(true)
-      Dedup.buildSimIndex(sigs.filter(col("doc_id") % 2 === 0),
-        "d156_a", maxDist = 2)
-      Dedup.buildSimIndex(sigs.filter(col("doc_id") % 2 =!= 0),
-        "d156_b", maxDist = 2)
+      // independent shard builds — overlapped (guide §2.6)
+      graft.Par.run(
+        () => Dedup.buildSimIndex(sigs.filter(col("doc_id") % 2 === 0),
+          "d156_a", maxDist = 2),
+        () => Dedup.buildSimIndex(sigs.filter(col("doc_id") % 2 =!= 0),
+          "d156_b", maxDist = 2))
       Dedup.mergeSimIndexes(s, "d156_m", Seq("d156_a", "d156_b"))
       Dedup.screenAgainstSimIndex(
         Multimodal.audioFingerprintSigs(s, batch), "d156_m")
@@ -3435,6 +3445,27 @@ object DBlock {
   /** d70's query terms — corpus-vocabulary words with distinct
     * document frequencies so idf actually differentiates. */
   private val d70Terms = Seq("customer", "vector", "merge", "spark")
+
+  /** The retrieval cards' (doc_id, text, embedding) corpus — the
+    * documents×embeddings join every card arm consumes, MATERIALIZED
+    * once per run (eager localCheckpoint): the four card entries
+    * (d139/d144/d150/d157) each referenced this join ~8 times (three
+    * lexical arms, qrels ×3, probes, both sides of the dense leg),
+    * so Spark re-ran the scan+join per reference. One checkpoint per
+    * run truncates the reused subtree (guide §3.3); everything is
+    * still recomputed from the parquet inputs on every invocation —
+    * nothing persists across runs. Identical rows to the inline
+    * join, so the cards' oracle SQL is untouched. */
+  private def cardCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).join(
+      Tables.embeddings(s, d).hint("SHUFFLE_HASH"),
+      col("doc_id") === col("vec_id"))
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        concat(lit("("), regexp_replace(col("text"), " ", ". "),
+          lit(")")).as("text"),
+        col("embedding"))
+      .localCheckpoint(true)
 
   /** d67/d120's screen oracle — the d64b fingerprint arithmetic over
     * corpus + batch, screen brute-forced at hamming <= 2. Shared
