@@ -1920,49 +1920,63 @@ object Retrieval {
             .select(col("query_id"), col("rank"), col("doc_id"))
       }
     }
-    // each family's run is built ONCE and shared with the fusion leg
-    // (the hybrid arm re-calling lexRun would duplicate the plan)
-    val lexRuns: Map[String, DataFrame] =
-      Dedup.TokenizerFamilies.map(f => f -> lexRun(f)).toMap
-    // `lmMu` adds the OTHER ranking model as a measured arm:
-    // `lm_dirichlet` is the hybridLex-family Dirichlet QL run (the
-    // card now answers "BM25 or LM?" with a number), and when a
-    // dense leg is present `hybrid_rrf_lm` fuses LM×dense so the
-    // fusion question is answered for both models symmetrically
-    val lmRun: Option[DataFrame] = lmMu.map { mu =>
-      val q = probeQ.select(col("query_id"),
-        tokensFor(hybridLex, col("qtext")).as("terms"))
-      // the LM arm serves from the hybridLex family's persistent
-      // index when one is supplied — the same twin discipline as the
-      // lexical arms (one index, two ranking models)
-      indexedArms.get(hybridLex) match {
-        case Some(idx) =>
-          lmDirichletRanksAgainstIndex(docs.sparkSession, idx, q,
-            "query_id", "terms", topK = topK, mu = mu,
-            excludeSelf = true, tokenizer = hybridLex)
+    // Every producer run is MATERIALIZED once (eager localCheckpoint,
+    // guide §3.3) and the materializations OVERLAP (graft.Par, guide
+    // §2.6): the runs are top-k × |probes| rows — eval-sized — but
+    // each fed several arms (the hybridLex run its own arm AND the
+    // fusion leg; the dense run three arms; the LM run two), and
+    // qrels feeds every arm's rankedEval, so the un-pinned plan
+    // re-ran each producer per consuming arm. Identical rows, same
+    // arms, same oracle SQL.
+    val qrelsP = qrels.localCheckpoint(true)
+    val lexRuns = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    var denseP: Option[DataFrame] = None
+    var lmP: Option[DataFrame] = None
+    graft.Par.run(
+      Dedup.TokenizerFamilies.map(f => () => {
+        lexRuns.put(f, lexRun(f).localCheckpoint(true)); ()
+      }) ++
+        denseRun.toSeq.map(dr => () => {
+          denseP = Some(dr
             .select(col("query_id"), col("rank"), col("doc_id"))
-        case None =>
-          lmDirichletPerQueryRanks(docs, idCol, textCol, q, "query_id",
-            "terms", topK = topK, mu = mu, excludeSelf = true,
-            tokenizer = hybridLex)
-            .select(col("query_id"), col("rank"), col("doc_id"))
-      }
-    }
+            .localCheckpoint(true)); ()
+        }) ++
+        lmMu.toSeq.map(mu => () => {
+          // `lmMu` adds the OTHER ranking model as a measured arm:
+          // `lm_dirichlet` is the hybridLex-family Dirichlet QL run
+          // (the card answers "BM25 or LM?" with a number); it
+          // serves from the hybridLex family's persistent index when
+          // one is supplied — the same twin discipline as the
+          // lexical arms (one index, two ranking models)
+          val q = probeQ.select(col("query_id"),
+            tokensFor(hybridLex, col("qtext")).as("terms"))
+          lmP = Some((indexedArms.get(hybridLex) match {
+            case Some(idx) =>
+              lmDirichletRanksAgainstIndex(docs.sparkSession, idx, q,
+                "query_id", "terms", topK = topK, mu = mu,
+                excludeSelf = true, tokenizer = hybridLex)
+                .select(col("query_id"), col("rank"), col("doc_id"))
+            case None =>
+              lmDirichletPerQueryRanks(docs, idCol, textCol, q,
+                "query_id", "terms", topK = topK, mu = mu,
+                excludeSelf = true, tokenizer = hybridLex)
+                .select(col("query_id"), col("rank"), col("doc_id"))
+          }).localCheckpoint(true)); ()
+        }): _*)
     val arms: Seq[(String, DataFrame)] =
-      Dedup.TokenizerFamilies.map(f => (s"bm25_$f", lexRuns(f))) ++
-        denseRun.toSeq.flatMap { dr =>
-          val d = dr.select(col("query_id"), col("rank"), col("doc_id"))
+      Dedup.TokenizerFamilies.map(f => (s"bm25_$f", lexRuns.get(f))) ++
+        denseP.toSeq.flatMap { d =>
           Seq(("dense", d),
-            ("hybrid_rrf", rrfFuse(lexRuns(hybridLex), d, k0 = 60,
+            ("hybrid_rrf", rrfFuse(lexRuns.get(hybridLex), d, k0 = 60,
               topK = topK)
               .select(col("query_id"), col("rank"), col("doc_id")))) ++
-            lmRun.toSeq.map(lm => ("hybrid_rrf_lm",
+            lmP.toSeq.map(lm => ("hybrid_rrf_lm",
               rrfFuse(lm, d, k0 = 60, topK = topK)
                 .select(col("query_id"), col("rank"), col("doc_id"))))
         } ++
-        lmRun.toSeq.map(lm => ("lm_dirichlet", lm))
+        lmP.toSeq.map(lm => ("lm_dirichlet", lm))
     arms.map { case (name, run) =>
-      rankedEval(run, qrels, k)
+      rankedEval(run, qrelsP, k)
         .agg(count(lit(1)).as("n_queries"),
           round(avg(col("rr")), 4).as("mrr"),
           round(avg(col("ndcg")), 4).as("mean_ndcg"),

@@ -1330,7 +1330,11 @@ object DBlock {
           Multimodal.remuxedAudioPayload(id)),
         Multimodal.MediaRow(id + 2 * Multimodal.PlantedIdOffset, "audio",
           Multimodal.unrelatedAudioPayload(id)))))
+      // decoded ONCE: build (evens) and reconcile (full) both read
+      // the sigs — without the pin each reference re-synthesizes and
+      // re-decodes every WAV (the d156 pin discipline)
       val sigs = Multimodal.audioFingerprintSigs(s, corpus)
+        .localCheckpoint(true)
       Dedup.buildSimIndex(sigs.filter(col("doc_id") % 2 === 0),
         "d128_idx", maxDist = 2)
       Dedup.reconcileSimIndex(sigs, "d128_idx")
@@ -3360,31 +3364,37 @@ object DBlock {
     "d159_actuator_loop" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .filter(col("doc_id").isNotNull && col("text").isNotNull)
-      Dedup.buildDedupIndex(docs.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", name = "d159_dx", md5Sig = true)
       // storeKey suffix like d125/d138: concurrent processes on
       // DIFFERENT sf dirs must not clearAll each other's mid-build
       // store (the entry rebuilds per run by design — the loop heals
-      // its plants — so only the path needs isolating)
+      // its plants — so only the path needs isolating). The dedup
+      // build and the store setup chain are independent plants —
+      // overlapped (guide §2.6); each chain stays ordered inside its
+      // own thunk.
       val storePath = "/tmp/graft_d159_store_" + ABlock.storeKey(s, d)
-      graft.sources.EventStore.clearAll(s, storePath)
-      graft.sources.SnapshotEventStore.init(s, storePath)
-      graft.sources.SnapshotEventStore.append(
-        docs.filter(col("doc_id") < 96)
-          .select(col("doc_id").cast("long").as("id"),
-            (lit(1704153600000L) + (col("doc_id") % 48) * 3600000L)
-              .cast("long").as("time")),
-        storePath, sortWithin = Seq("id"))
-      val fs = new org.apache.hadoop.fs.Path(storePath)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val part = new org.apache.hadoop.fs.Path(
-        s"$storePath/dt=2024-01-02/hour=0")
-      val src = fs.listStatus(part).map(_.getPath)
-        .find(p => !p.getName.startsWith("_") &&
-          !p.getName.startsWith(".")).get
-      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-        new org.apache.hadoop.fs.Path(part, "orphan-d159.parquet"),
-        false, s.sparkContext.hadoopConfiguration)
+      graft.Par.run(
+        () => Dedup.buildDedupIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", name = "d159_dx", md5Sig = true),
+        () => {
+          graft.sources.EventStore.clearAll(s, storePath)
+          graft.sources.SnapshotEventStore.init(s, storePath)
+          graft.sources.SnapshotEventStore.append(
+            docs.filter(col("doc_id") < 96)
+              .select(col("doc_id").cast("long").as("id"),
+                (lit(1704153600000L) + (col("doc_id") % 48) * 3600000L)
+                  .cast("long").as("time")),
+            storePath, sortWithin = Seq("id"))
+          val fs = new org.apache.hadoop.fs.Path(storePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val part = new org.apache.hadoop.fs.Path(
+            s"$storePath/dt=2024-01-02/hour=0")
+          val src = fs.listStatus(part).map(_.getPath)
+            .find(p => !p.getName.startsWith("_") &&
+              !p.getName.startsWith(".")).get
+          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+            new org.apache.hadoop.fs.Path(part, "orphan-d159.parquet"),
+            false, s.sparkContext.hadoopConfiguration)
+        })
       val entries = Seq((
         OpsCard.Entry("dedup", "d159_dx", docs, "doc_id"),
         OpsCard.Actions(reconcile = () => {

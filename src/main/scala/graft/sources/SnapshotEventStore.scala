@@ -523,6 +523,10 @@ object SnapshotEventStore {
         case e: java.io.FileNotFoundException =>
           attempt += 1
           if (attempt > 5) throw e
+          // spaced, not immediate: a slow retire on an object store
+          // can outlast five back-to-back retries; linear backoff
+          // keeps the total window ~1.5 s without hot-looping
+          Thread.sleep(100L * attempt)
       }
     }
     throw new IllegalStateException("unreachable")

@@ -216,13 +216,25 @@ object StreamingIngest {
     * after checkpoint LOSS (new stream identity by design) would land
     * duplicates. Here each micro-batch is additionally anti-joined by
     * id against the live snapshot before the exactly-once append, so
-    * both windows close: an id lands at most once, ever. Events are
+    * both windows close: an id lands at most once for a SINGLE
+    * writing stream (the spec-pinned contract; with two concurrent
+    * streams writing the same ids to one store the screen resolves
+    * its snapshot outside the append lease, so a window exists where
+    * both anti-joins miss each other's in-flight ids — serialize
+    * writers per store for the strict claim). Events are
     * immutable facts, so insert-if-absent IS the event-store upsert
     * (the legacy sink's replace-by-id differs only for mutated
     * payloads, which the reference wire format does not produce).
-    * Cost, disclosed: one id-column scan of the snapshot per
-    * micro-batch (columnar, id-only) — the price [[upsertBatch]] pays
-    * as partition rewrites instead. */
+    * Cost: the screen's snapshot side is pre-filtered to the BATCH'S
+    * OWN id range before the anti-join — ids outside
+    * [min(batch), max(batch)] cannot match any batch row, so the
+    * filter preserves the join result exactly while parquet row-group
+    * min/max stats prune the scan; with the id-ordered layout
+    * (`sortWithin = Seq("id")`) that makes the per-batch read
+    * O(files overlapping the batch's range), not O(store). The range
+    * probe itself is one batch-sized aggregate.
+    * Residual cost, disclosed: a batch whose ids straddle the whole
+    * id space still scans the full (columnar, id-only) column. */
   def toSnapshotUpsertSink(events: DataFrame, path: String,
       checkpoint: String, idCol: String = "id",
       sortWithin: Seq[String] = Nil,
@@ -245,10 +257,22 @@ object StreamingIngest {
           graft.sources.SnapshotEventStore.init(spark, path)
         val existing = graft.sources.SnapshotEventStore
           .read(spark, path)
+        // the batch's id range, one batch-sized aggregate: snapshot
+        // ids OUTSIDE it cannot match any batch row, so the range
+        // filter below preserves the anti-join result exactly while
+        // letting parquet min/max stats (id-sorted files under
+        // `sortWithin = Seq("id")`) skip everything else
+        val bounds =
+          if (existing.columns.isEmpty) null
+          else deduped.agg(min(col(idCol)), max(col(idCol))).head()
         val fresh =
           if (existing.columns.isEmpty) deduped // empty sealed store
+          else if (bounds.isNullAt(0)) deduped  // empty batch
           else deduped.join(
-            existing.select(col(idCol).as("__landed_id")),
+            existing
+              .filter(col(idCol)
+                .between(lit(bounds.get(0)), lit(bounds.get(1))))
+              .select(col(idCol).as("__landed_id")),
             col(idCol) === col("__landed_id"), "left_anti")
         graft.sources.SnapshotEventStore.appendBatch(
           fresh, path, batchId, sortWithin = sortWithin,

@@ -91,6 +91,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("snapshot upsert sink: the id-range pre-filter preserves the screen exactly") {
+    import spark.implicits._
+    val t0 = 1704067200000L
+    val out = Files.createTempDirectory("graft_ups_range_").toString
+    val ckpt = Files.createTempDirectory("graft_ups_range_ck_").toString
+    // pre-seal a store whose ids sit far OUTSIDE (1, 10^6) and INSIDE
+    // (500) the coming batch's id range: the screen pre-filters its
+    // snapshot side to [min(batch), max(batch)] for file skipping,
+    // and the out-of-range ids must neither break the scan nor change
+    // any verdict
+    graft.sources.SnapshotEventStore.init(spark, out)
+    graft.sources.SnapshotEventStore.append(
+      Seq((1L, t0), (500L, t0 + 3600000L), (1000000L, t0))
+        .toDF("id", "time"),
+      out, sortWithin = Seq("id"))
+    val src = MemoryStream[(Long, Long)](spark)
+    val q = graft.streaming.StreamingIngest.toSnapshotUpsertSink(
+      src.toDS().toDF("id", "time"), out, ckpt,
+      sortWithin = Seq("id"))
+    try {
+      // batch range [400, 600]: 500 is a source-level redelivery of a
+      // landed id (must suppress); 400 and 600 are new (must land)
+      src.addData((400L, t0 + 1000), (500L, t0 + 2000), (600L, t0 + 3000))
+      q.processAllAvailable()
+      val ids = graft.sources.SnapshotEventStore.read(spark, out)
+        .select(org.apache.spark.sql.functions.col("id"))
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 400L, 500L, 600L, 1000000L),
+        s"range-screened upsert verdicts drifted: $ids")
+      // an EMPTY micro-batch must be a no-op, not a null-bounds crash
+      src.addData()
+      q.processAllAvailable()
+      assert(graft.sources.SnapshotEventStore.read(spark, out)
+        .count() == 5L)
+    } finally q.stop()
+  }
+
   test("malformed JSON lines land as null rows, not failures") {
     import spark.implicits._
     // the reference logs-and-continues on serialization trouble
